@@ -1,0 +1,11 @@
+"""Demo query battery: the driver-facing surface of the engine.
+
+Importing this package populates the QUERIES / ORACLES registries from
+every submodule. Each entry exercises an engine operator (SURVEY.md §2)
+and, where SQL-expressible, carries a DuckDB oracle.
+"""
+
+from dbt_fusion_spark.demo.registry import ORACLES, QUERIES  # noqa: F401
+
+# Import for side effects: each module registers its queries.
+from dbt_fusion_spark.demo import tpch  # noqa: F401, E402

@@ -1,0 +1,186 @@
+"""TPC-H-ish model queries — the "model SQL" layer of the engine.
+
+In the reference, model SELECTs are executed verbatim by the target
+warehouse (SURVEY §2.4 note: fusion implements zero SQL operators; the
+warehouse is the executor). Here Spark SQL/Catalyst is that warehouse,
+so these queries ARE the engine's query-execution surface: joins,
+aggregations, windows, set-ops all ride whole-stage codegen.
+
+Numeric discipline for oracle parity: source money columns are doubles;
+every aggregate casts to DECIMAL first (exact, associative — immune to
+partial-aggregation order), then the final value is cast to DOUBLE.
+Averages divide the exact decimal sum by the count in double space
+(IEEE-deterministic), avoiding ROUND entirely.
+
+CRITICAL rules (verified empirically against duckdb 1.0 / spark 4.1):
+- decimal→DOUBLE is engine-identical ONLY while the unscaled integer is
+  < 2^53 (single correctly-rounded conversion); above that the engines
+  differ by 1 ulp.
+- NEVER scale-reduce a decimal for parity: Spark casts HALF_UP, DuckDB
+  HALF_EVEN (0.20335→.2034 vs .2033).
+- when the exact sum needs scale*digits beyond 2^53, return the exact
+  DECIMAL itself (same scale both sides) instead of a double.
+"""
+
+from __future__ import annotations
+
+from dbt_fusion_spark.demo.registry import sql_query
+
+# Exact decimal renderings of the double source columns.
+QTY = "CAST(l_quantity AS DECIMAL(18,2))"
+PRICE = "CAST(l_extendedprice AS DECIMAL(18,2))"
+DISC = "CAST(l_discount AS DECIMAL(8,4))"
+TAX = "CAST(l_tax AS DECIMAL(8,4))"
+REV = f"{PRICE} * (1 - {DISC})"  # decimal(27,6): exact
+
+sql_query(
+    "tpch_q1_pricing_summary",
+    f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM({QTY}) AS DOUBLE)                         AS sum_qty,
+      CAST(SUM({PRICE}) AS DOUBLE)                       AS sum_base_price,
+      CAST(SUM({REV}) AS DOUBLE)                         AS sum_disc_price,
+      CAST(SUM({REV} * (1 + {TAX})) AS DECIMAL(38,10))   AS sum_charge,
+      CAST(SUM({QTY}) AS DOUBLE) / COUNT(*)              AS avg_qty,
+      CAST(SUM({PRICE}) AS DOUBLE) / COUNT(*)            AS avg_price,
+      CAST(SUM({DISC}) AS DOUBLE) / COUNT(*)             AS avg_disc,
+      COUNT(*)                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+sql_query(
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT
+      o_orderkey,
+      CAST(SUM({REV}) AS DOUBLE) AS revenue,
+      o_orderdate,
+      o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1998-03-15'
+      AND l_shipdate > DATE '1998-03-15'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+
+sql_query(
+    "tpch_q5_local_supplier_volume",
+    f"""
+    SELECT
+      n_name,
+      CAST(SUM({REV}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+
+sql_query(
+    "tpch_q6_forecast_revenue",
+    f"""
+    SELECT
+      CAST(SUM({PRICE} * {DISC}) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+
+sql_query(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT
+      c_custkey,
+      c_name,
+      CAST(SUM({REV}) AS DOUBLE) AS revenue,
+      CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+      n_name,
+      c_mktsegment
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1997-01-01'
+      AND o_orderdate < DATE '1997-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+
+# Window functions: top-3 spenders per nation (reference models rely on
+# warehouse window support; Spark windows are native).
+sql_query(
+    "window_top_customers_per_nation",
+    f"""
+    WITH spend AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name, c_nationkey
+    )
+    SELECT n_name, c_name, total_spend, rnk
+    FROM (
+      SELECT n_name, c_name, total_spend,
+             ROW_NUMBER() OVER (
+               PARTITION BY n_name
+               ORDER BY total_spend DESC, c_custkey
+             ) AS rnk
+      FROM spend JOIN nation ON c_nationkey = n_nationkey
+    ) ranked
+    WHERE rnk <= 3
+    """,
+)
+
+# Set operations + EXISTS-style subqueries.
+sql_query(
+    "setop_active_vs_lapsed_customers",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '2000-01-01'
+    )
+    EXCEPT
+    SELECT c_custkey FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_orderdate < DATE '1996-01-01'
+    )
+    """,
+)
+
+# Correlated-style aggregate subquery (decorrelated by Catalyst).
+sql_query(
+    "subquery_above_avg_orders",
+    """
+    WITH stats AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS cust_total
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT COUNT(*) AS n_above,
+           CAST(MIN(cust_total) AS DOUBLE) AS min_above
+    FROM stats
+    WHERE cust_total > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                               / COUNT(*) FROM orders)
+    """,
+)

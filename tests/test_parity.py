@@ -1,0 +1,29 @@
+"""Driver-gate replica: every queries() entry with an oracle must match
+DuckDB on row count, schema, and canonicalized values at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.parity_util import compare
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_parity(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    if name not in ORACLES:
+        # rows-only check (driver's weaker gate for non-SQL-expressible ops)
+        assert df.count() >= 0
+        return
+    errs = compare(df, ORACLES[name], sf_dir)
+    assert not errs, f"{name}: " + "; ".join(errs)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert len(df.columns) > 0
+    assert df.count() >= 0
