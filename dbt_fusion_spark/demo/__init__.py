@@ -8,4 +8,8 @@ and, where SQL-expressible, carries a DuckDB oracle.
 from dbt_fusion_spark.demo.registry import ORACLES, QUERIES  # noqa: F401
 
 # Import for side effects: each module registers its queries.
-from dbt_fusion_spark.demo import tpch  # noqa: F401, E402
+from dbt_fusion_spark.demo import (  # noqa: F401, E402
+    incremental_demo,
+    snapshot_demo,
+    tpch,
+)

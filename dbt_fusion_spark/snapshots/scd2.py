@@ -1,0 +1,209 @@
+"""SCD-2 snapshots as pure DataFrame algebra.
+
+Re-expresses the reference snapshot materialization
+(dbt_macro_assets/dbt-adapters/macros/materializations/snapshots/):
+- staging CTE pipeline (insertions / updates / deletes / deletion
+  records): helpers.sql:49-207
+- first build (build_snapshot_table): helpers.sql:214-233
+- strategies: timestamp (strategies.sql:56-88 — row_changed =
+  snapshotted.dbt_valid_from < current.updated_at; scd_id =
+  md5(key|updated_at)) and check (strategies.sql:103-187 — NULL-safe
+  any-column inequality)
+- hard_deletes ignore/invalidate/new_record: common.rs:613-617,
+  staging CTEs helpers.sql:100-207
+- final merge: snapshot_merge.sql (update matched scd_ids' dbt_valid_to,
+  insert new versions)
+
+Meta columns: dbt_scd_id, dbt_updated_at, dbt_valid_from, dbt_valid_to
+(+ dbt_is_deleted for hard_deletes=new_record).
+
+Scale: one shuffle join of current-source vs open-rows on the unique
+key per run, plus a key-join to close updated rows — identical shape to
+a warehouse MERGE. No driver-side loops; everything stays distributed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass
+class SnapshotConfig:
+    unique_key: str | Sequence[str]
+    strategy: str = "timestamp"          # timestamp | check
+    updated_at: str | None = None        # timestamp strategy
+    check_cols: Sequence[str] | str = "all"  # check strategy
+    hard_deletes: str = "ignore"         # ignore | invalidate | new_record
+    keys: list[str] = field(init=False)
+
+    def __post_init__(self):
+        self.keys = [self.unique_key] if isinstance(self.unique_key, str) else list(self.unique_key)
+        if self.strategy == "timestamp" and not self.updated_at:
+            raise ValueError("timestamp strategy requires updated_at")
+        if self.hard_deletes not in ("ignore", "invalidate", "new_record"):
+            raise ValueError(f"invalid hard_deletes {self.hard_deletes!r}")
+
+
+def _scd_id(cfg: SnapshotConfig, updated: Column, keys_from) -> Column:
+    # strategies.sql:56-88: scd_id = md5(key || '|' || updated_at)
+    parts = [keys_from[k].cast("string") for k in cfg.keys]
+    parts.append(F.date_format(updated, "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    return F.md5(F.concat_ws("|", *parts))
+
+
+def _updated_at_col(cfg: SnapshotConfig, df_alias, now: Column) -> Column:
+    if cfg.strategy == "timestamp":
+        return df_alias[cfg.updated_at]
+    return now
+
+
+def _row_changed(cfg: SnapshotConfig, snap, cur, check_cols: list[str]) -> Column:
+    if cfg.strategy == "timestamp":
+        # strategies.sql:72: snapshotted.dbt_valid_from < current.updated_at
+        return snap["dbt_valid_from"] < cur[cfg.updated_at]
+    # check strategy (strategies.sql:145-187): NULL-safe any-column diff
+    cond = F.lit(False)
+    for c in check_cols:
+        cond = cond | ~snap[c].eqNullSafe(cur[c])
+    return cond
+
+
+def snapshot_build(source: DataFrame, cfg: SnapshotConfig, now: Column | None = None
+                   ) -> DataFrame:
+    """First-run build (helpers.sql:214-233): every source row becomes an
+    open version."""
+    now = now if now is not None else F.current_timestamp()
+    s = source.alias("s")
+    updated = _updated_at_col(cfg, s, now)
+    out = s.select(
+        "*",
+        updated.cast("timestamp").alias("dbt_updated_at"),
+        updated.cast("timestamp").alias("dbt_valid_from"),
+        F.lit(None).cast("timestamp").alias("dbt_valid_to"),
+        _scd_id(cfg, updated.cast("timestamp"), s).alias("dbt_scd_id"),
+    )
+    if cfg.hard_deletes == "new_record":
+        out = out.withColumn("dbt_is_deleted", F.lit("False"))
+    return out
+
+
+def snapshot_run(existing: DataFrame, source: DataFrame, cfg: SnapshotConfig,
+                 now: Column | None = None) -> DataFrame:
+    """Subsequent run: staging pipeline + merge, returning the new
+    snapshot table contents (helpers.sql:49-207 + snapshot_merge.sql)."""
+    now = now if now is not None else F.current_timestamp()
+    data_cols = [c for c in source.columns]
+    check_cols = (
+        list(cfg.check_cols)
+        if cfg.strategy == "check" and cfg.check_cols != "all"
+        else [c for c in data_cols if c not in cfg.keys]
+    )
+
+    # Rename-prefix the snapshot side before joining: `existing` usually
+    # shares lineage with `source`, and alias-qualified refs still trip
+    # Spark's ambiguous-self-join analysis. Distinct names are airtight.
+    snap_open = existing.filter(F.col("dbt_valid_to").isNull()).select(
+        [F.col(c).alias(f"__snap_{c}") for c in existing.columns]
+    )
+    cur = source
+
+    key_eq = None
+    for k in cfg.keys:
+        e = F.col(f"__snap_{k}").eqNullSafe(F.col(k))
+        key_eq = e if key_eq is None else (key_eq & e)
+
+    if cfg.strategy == "timestamp":
+        changed = F.col("__snap_dbt_valid_from") < F.col(cfg.updated_at)
+    else:
+        changed = F.lit(False)
+        for c in check_cols:
+            changed = changed | ~F.col(f"__snap_{c}").eqNullSafe(F.col(c))
+
+    updated = (
+        F.col(cfg.updated_at) if cfg.strategy == "timestamp" else now
+    ).cast("timestamp")
+
+    # --- insertions (helpers.sql: new keys, or changed rows' new versions)
+    joined = cur.join(snap_open, key_eq, "left")
+    is_new = F.col("__snap_dbt_scd_id").isNull()
+    insertions = joined.filter(is_new | changed).select(
+        *[F.col(c) for c in data_cols],
+        updated.alias("dbt_updated_at"),
+        updated.alias("dbt_valid_from"),
+        F.lit(None).cast("timestamp").alias("dbt_valid_to"),
+        _scd_id(cfg, updated, joined).alias("dbt_scd_id"),
+    )
+
+    # --- updates: close the previous open version of changed rows
+    changed_ids = joined.filter(~is_new & changed).select(
+        F.col("__snap_dbt_scd_id").alias("scd_id"),
+        updated.alias("new_valid_to"),
+    )
+
+    # --- hard deletes: open rows whose key vanished from source
+    cur_keys = cur.select(
+        *[F.col(k).alias(f"__cur_{k}") for k in cfg.keys]
+    ).dropDuplicates()
+    del_eq = None
+    for k in cfg.keys:
+        e = F.col(f"__snap_{k}").eqNullSafe(F.col(f"__cur_{k}"))
+        del_eq = e if del_eq is None else (del_eq & e)
+    deleted_open = snap_open.join(cur_keys, del_eq, "left_anti")
+
+    closed = existing.join(
+        changed_ids, F.col("dbt_scd_id") == F.col("scd_id"), "left"
+    )
+
+    if cfg.hard_deletes in ("invalidate", "new_record"):
+        del_ids = deleted_open.select(
+            F.col("__snap_dbt_scd_id").alias("del_id"),
+            now.cast("timestamp").alias("del_valid_to"),
+        )
+        closed = closed.join(del_ids, F.col("dbt_scd_id") == F.col("del_id"), "left")
+        new_valid_to = F.coalesce(F.col("new_valid_to"), F.col("del_valid_to"),
+                                  F.col("dbt_valid_to"))
+    else:
+        new_valid_to = F.coalesce(F.col("new_valid_to"), F.col("dbt_valid_to"))
+
+    meta = ["dbt_updated_at", "dbt_valid_from", "dbt_valid_to", "dbt_scd_id"]
+    extra = ["dbt_is_deleted"] if "dbt_is_deleted" in existing.columns else []
+    merged = closed.select(
+        *[F.col(c) for c in data_cols],
+        F.col("dbt_updated_at"),
+        F.col("dbt_valid_from"),
+        new_valid_to.alias("dbt_valid_to"),
+        F.col("dbt_scd_id"),
+        *[F.col(c) for c in extra],
+    )
+
+    if cfg.hard_deletes == "new_record":
+        insertions = insertions.withColumn("dbt_is_deleted", F.lit("False"))
+        # tombstone row per deleted key (helpers.sql:161-207)
+        tomb_updated = now.cast("timestamp")
+        deleted_plain = deleted_open.select(
+            *[F.col(f"__snap_{c}").alias(c) for c in data_cols]
+        )
+        tombstones = deleted_plain.select(
+            *[F.col(c) for c in data_cols],
+            tomb_updated.alias("dbt_updated_at"),
+            tomb_updated.alias("dbt_valid_from"),
+            F.lit(None).cast("timestamp").alias("dbt_valid_to"),
+            _scd_id(cfg, tomb_updated, deleted_plain).alias("dbt_scd_id"),
+            F.lit("True").alias("dbt_is_deleted"),
+        )
+        insertions = insertions.unionByName(tombstones)
+    elif extra:
+        insertions = insertions.withColumn("dbt_is_deleted", F.lit("False"))
+
+    return merged.unionByName(insertions.select(*data_cols, *meta, *extra))
+
+
+def snapshot_merge(existing: DataFrame | None, source: DataFrame,
+                   cfg: SnapshotConfig, now: Column | None = None) -> DataFrame:
+    """Entry point: build on first run, else staged merge."""
+    if existing is None:
+        return snapshot_build(source, cfg, now)
+    return snapshot_run(existing, source, cfg, now)
