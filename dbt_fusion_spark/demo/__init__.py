@@ -9,7 +9,10 @@ from dbt_fusion_spark.demo.registry import ORACLES, QUERIES  # noqa: F401
 
 # Import for side effects: each module registers its queries.
 from dbt_fusion_spark.demo import (  # noqa: F401, E402
+    functions_demo,
     incremental_demo,
+    sampling_demo,
     snapshot_demo,
+    testing_demo,
     tpch,
 )

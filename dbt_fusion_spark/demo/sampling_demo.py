@@ -1,0 +1,106 @@
+"""Driver-gate queries for sampling strategies (SURVEY §2.8, dbt-sample
+plan.rs:89-124)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_fusion_spark.demo.registry import register
+from dbt_fusion_spark.sample import (
+    sample_branch,
+    sample_group,
+    sample_hash,
+    sample_random,
+    sample_stratified,
+    sample_time,
+)
+from dbt_fusion_spark.sources.registry import load_table
+
+
+@register(
+    "sample_time_window",
+    oracle="""
+    SELECT o_orderkey, o_orderdate FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def sample_time_window(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders")
+    return sample_time(df, "o_orderdate", start="1997-01-01", end="1998-01-01").select(
+        "o_orderkey", "o_orderdate"
+    )
+
+
+@register(
+    "sample_hash_bucket",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 8, 1) IN ('0', '1', '2')
+    """,
+)
+def sample_hash_bucket(spark, sf_dir):
+    """Hash{by,mod=16,keep=3} with the portable md5 bucket: bucket =
+    conv(md5[1:8], 16, 10) % 16, which is exactly the 8th hex nibble —
+    the oracle states it that way. Stable under repartitioning."""
+    df = load_table(spark, sf_dir, "orders")
+    return sample_hash(df, "o_orderkey", mod=16, keep=3, method="md5").select("o_orderkey")
+
+
+@register(
+    "sample_group_topn",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 2
+    """,
+)
+def sample_group_topn(spark, sf_dir):
+    """Group{by,n_per_group}: latest 2 orders per customer."""
+    df = load_table(spark, sf_dir, "orders")
+    return sample_group(
+        df, "o_custkey", 2, [F.col("o_orderdate").desc(), F.col("o_orderkey")]
+    ).select("o_custkey", "o_orderkey", "o_orderdate")
+
+
+@register(
+    "sample_branch_alloc",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_totalprice > 250000 THEN 'whale'
+                WHEN o_orderstatus = 'O' THEN 'open'
+           END AS __branch
+    FROM orders
+    WHERE o_totalprice > 250000 OR o_orderstatus = 'O'
+    """,
+)
+def sample_branch_alloc(spark, sf_dir):
+    """Branch{predicates,alloc}: first matching predicate labels the row;
+    unmatched rows drop."""
+    df = load_table(spark, sf_dir, "orders")
+    return sample_branch(
+        df,
+        predicates=["o_totalprice > 250000", "o_orderstatus = 'O'"],
+        alloc=["whale", "open"],
+    ).select("o_orderkey", "o_totalprice", "__branch")
+
+
+@register("sample_random_seeded")  # rows-only: Spark's seeded Bernoulli
+def sample_random_seeded(spark, sf_dir):
+    """Random{frac,seed}: Spark-deterministic (xorshift per partition);
+    not oracle-expressible — driver records the weaker rows-check."""
+    df = load_table(spark, sf_dir, "orders")
+    return sample_random(df, 0.1, seed=42).select("o_orderkey")
+
+
+@register("sample_stratified_by_segment")  # rows-only: Spark sampleBy
+def sample_stratified_by_segment(spark, sf_dir):
+    """Stratified{by,frac_map,seed} via df.sampleBy."""
+    df = load_table(spark, sf_dir, "customer")
+    return sample_stratified(
+        df, "c_mktsegment",
+        {"BUILDING": 0.5, "AUTOMOBILE": 0.25, "MACHINERY": 0.1}, seed=42
+    ).select("c_custkey", "c_mktsegment")

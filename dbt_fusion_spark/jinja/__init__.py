@@ -1,0 +1,4 @@
+from dbt_fusion_spark.jinja.environment import (  # noqa: F401
+    compile_node,
+    parse_node,
+)

@@ -1,0 +1,196 @@
+"""Jinja compilation: parse context (dependency capture) and compile
+context (relation resolution).
+
+The reference implements a forked minijinja in Rust
+(crates/dbt-jinja); per SURVEY §2.5 our engine uses real Python Jinja2
+— filters/tests/pycompat come free — and implements only the dbt
+context functions:
+
+- parse phase (execute=False): ref/source/config RECORD dependencies
+  and configs, SQL goes nowhere
+  (crates/dbt-jinja-utils/src/phases/parse/resolve_model_context.rs:
+  120-205, init.rs:80-107)
+- compile/run phase: ref/source resolve to relation names, `this`,
+  `is_incremental()`, `run_query`, `adapter`, `statement` become live
+  (phases/run/run_node_context.rs:65-313, compile_node_context.rs)
+- ephemeral deps inline as __dbt__cte__<name> CTEs
+  (RelationType::CTE, dbt_types.rs:15)
+- cross-db macros exposed as the `dbt` namespace (SURVEY §2.4)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from types import SimpleNamespace
+from typing import Any
+
+import jinja2
+
+from dbt_fusion_spark.functions import crossdb
+
+
+class CompileError(Exception):
+    pass
+
+
+def _base_env() -> jinja2.Environment:
+    env = jinja2.Environment(undefined=jinja2.StrictUndefined, autoescape=False)
+    env.filters["as_bool"] = lambda v: bool(v)
+    env.filters["as_number"] = lambda v: float(v)
+    env.filters["as_text"] = str
+    return env
+
+
+def _dbt_namespace() -> SimpleNamespace:
+    """`{{ dbt.dateadd(...) }}` etc. — every §2.4 macro."""
+    ns = {
+        n: getattr(crossdb, n)
+        for n in dir(crossdb)
+        if not n.startswith("_") and callable(getattr(crossdb, n))
+    }
+    ns["except"] = crossdb.except_
+    return SimpleNamespace(**ns)
+
+
+def _common_context(project, node) -> dict[str, Any]:
+    def var(name, default=None):
+        return project.vars.get(name, default)
+
+    def env_var(name, default=None):
+        val = os.environ.get(name, default)
+        if val is None:
+            raise CompileError(f"env_var {name!r} not set")
+        return val
+
+    exceptions = SimpleNamespace(
+        raise_compiler_error=lambda msg: (_ for _ in ()).throw(CompileError(msg)),
+        warn=lambda msg: msg,
+    )
+    return {
+        "var": var,
+        "env_var": env_var,
+        "target": SimpleNamespace(
+            name=project.profile.get("name", "dev"),
+            schema=project.default_schema,
+            type="spark",
+            threads=project.profile.get("threads", 4),
+        ),
+        "dbt": _dbt_namespace(),
+        "dbt_version": "fusion-spark-0.1",
+        "exceptions": exceptions,
+        "tojson": json.dumps,
+        "fromjson": json.loads,
+        "log": lambda msg, info=False: None,
+        "print": lambda msg: None,
+        "model": SimpleNamespace(name=node.name, unique_id=node.unique_id,
+                                 config=node.config),
+        "zip": zip,
+        "set": lambda xs: list(dict.fromkeys(xs)),
+        "modules": SimpleNamespace(re=re),
+    }
+
+
+def parse_node(project, node) -> None:
+    """Render with capturing ref/source/config; fills node.depends_on
+    and node.config (reference resolve_model_context.rs:120-205)."""
+    deps: list[str] = []
+
+    def ref(*args):
+        name = args[-1]
+        uid = f"model.{project.name}.{name}"
+        if uid not in project.nodes:
+            seed_uid = f"seed.{project.name}.{name}"
+            snap_uid = f"snapshot.{project.name}.{name}"
+            if seed_uid in project.nodes:
+                uid = seed_uid
+            elif snap_uid in project.nodes:
+                uid = snap_uid
+            else:
+                raise CompileError(f"{node.unique_id}: unknown ref {name!r}")
+        deps.append(uid)
+        return f"__ref__{uid}__"
+
+    def source(src, tbl):
+        uid = f"source.{project.name}.{src}.{tbl}"
+        if uid not in project.sources:
+            raise CompileError(f"{node.unique_id}: unknown source {src}.{tbl}")
+        deps.append(uid)
+        return f"__ref__{uid}__"
+
+    def config(*args, **kwargs):
+        captured.update(kwargs)
+        return ""
+
+    captured: dict[str, Any] = {}
+    ctx = _common_context(project, node)
+    ctx.update(
+        ref=ref, source=source, config=config,
+        this="__this__", is_incremental=lambda: False,
+        execute=False,
+        run_query=lambda sql: None,
+        adapter=None,
+    )
+    env = _base_env()
+    try:
+        env.from_string(node.raw_code).render(**ctx)
+    except jinja2.UndefinedError as e:
+        raise CompileError(f"{node.unique_id}: {e}") from e
+    # per-node config() wins over dir-level config (reference precedence)
+    merged = dict(node.config)
+    merged.update(captured)
+    node.config = merged
+    seen = set()
+    node.depends_on = [d for d in deps if not (d in seen or seen.add(d))]
+
+
+def compile_node(project, node, relation_for, adapter=None,
+                 is_incremental: bool = False) -> str:
+    """Second render: ref/source emit relation names; ephemeral deps
+    inline as CTEs (compile_node_context.rs; __dbt__cte__ naming)."""
+    ephemeral_ctes: dict[str, str] = {}
+
+    def resolve(uid: str) -> str:
+        target = project.nodes.get(uid) or project.sources.get(uid)
+        if target is not None and getattr(target, "is_ephemeral", False):
+            cte = f"__dbt__cte__{target.name}"
+            if cte not in ephemeral_ctes:
+                ephemeral_ctes[cte] = compile_node(
+                    project, target, relation_for, adapter, False
+                )
+            return cte
+        return relation_for(uid)
+
+    def ref(*args):
+        name = args[-1]
+        for uid in (f"model.{project.name}.{name}", f"seed.{project.name}.{name}",
+                    f"snapshot.{project.name}.{name}"):
+            if uid in project.nodes:
+                return resolve(uid)
+        raise CompileError(f"{node.unique_id}: unknown ref {name!r}")
+
+    def source(src, tbl):
+        return resolve(f"source.{project.name}.{src}.{tbl}")
+
+    def run_query(sql: str):
+        if adapter is None:
+            raise CompileError("run_query unavailable without adapter")
+        return adapter.run_query(sql)
+
+    ctx = _common_context(project, node)
+    ctx.update(
+        ref=ref, source=source, config=lambda *a, **k: "",
+        this=node.relation_name(), is_incremental=lambda: is_incremental,
+        execute=True, run_query=run_query, adapter=adapter,
+    )
+    body = _base_env().from_string(node.raw_code).render(**ctx).strip()
+    if ephemeral_ctes:
+        ctes = ",\n".join(f"{name} AS (\n{sql}\n)" for name, sql in ephemeral_ctes.items())
+        # merge with an existing WITH in the model body if present
+        m = re.match(r"(?is)^\s*WITH\s+(.*)$", body)
+        if m:
+            body = f"WITH {ctes},\n{m.group(1)}"
+        else:
+            body = f"WITH {ctes}\n{body}"
+    return body

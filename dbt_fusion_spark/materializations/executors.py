@@ -1,0 +1,265 @@
+"""Materialization executors: how each node kind becomes a relation.
+
+Re-expresses the reference materialization macros
+(dbt_macro_assets/dbt-adapters/macros/materializations/):
+
+- view      models/view.sql:1 (CREATE OR REPLACE VIEW; Spark supports
+            atomic view replace natively, so no backup/swap needed)
+- table     models/table.sql:1-64 — CTAS intermediate, rename old to
+            backup, rename intermediate in, drop backup. The plain
+            Spark session catalog has no atomic REPLACE TABLE, so the
+            reference's swap dance is exactly right here.
+- incremental  models/incremental/incremental.sql:1-99 — first run
+            CTAS; then strategy DML + on_schema_change handling
+- seed      seeds/seed.sql + helpers.sql (create_csv_table:7,
+            load_csv_rows:96) — Spark reads the CSV distributed instead
+            of batching INSERT VALUES; column_types override honored
+- snapshot  snapshots/snapshot.sql:1-111 via the scd2 module
+- test      materializations/tests/test.sql via testing.generic
+
+Scale notes: table/incremental writes are distributed CTAS — the swap
+is metadata-only. merge/delete+insert rewrite the target via shuffle
+join (the no-Delta path; on Delta these become MERGE INTO).
+insert_overwrite replaces only touched partitions (dynamic partition
+overwrite — metadata swap per partition, the preferred 100 TB shape).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dbt_fusion_spark.adapter import SparkAdapter
+from dbt_fusion_spark.incremental import delete_insert as di_fn, merge as merge_fn
+from dbt_fusion_spark.relation import Relation, RelationType
+from dbt_fusion_spark.snapshots import SnapshotConfig, snapshot_build, snapshot_run
+from dbt_fusion_spark.testing.generic import (
+    get_test_sql,
+    test_accepted_values,
+    test_not_null,
+    test_relationships,
+    test_unique,
+)
+
+
+def _rel(schema: str, identifier: str, type_: RelationType | None = None) -> Relation:
+    return Relation.create(schema=schema, identifier=identifier, type=type_)
+
+
+def _partition_clause(partition_by) -> str:
+    if not partition_by:
+        return ""
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    return " PARTITIONED BY (" + ", ".join(f"`{c}`" for c in cols) + ")"
+
+
+def create_table_as(adapter: SparkAdapter, relation: Relation, sql: str,
+                    partition_by=None) -> None:
+    """CTAS; with partition_by, partition columns must come last in the
+    select — Spark moves them to the end of the schema."""
+    adapter.spark.sql(
+        f"CREATE TABLE {relation.render()} USING PARQUET"
+        f"{_partition_clause(partition_by)} AS\n{sql}"
+    )
+    adapter.cache_added(relation.incorporate(type=RelationType.Table))
+
+
+def swap_in(adapter: SparkAdapter, tmp: Relation, target: Relation) -> None:
+    """models/table.sql:3-22 backup dance: old -> backup, tmp -> target,
+    drop backup. Metadata-only; the data files never move."""
+    backup = target.incorporate(identifier=target.identifier + "__dbt_backup")
+    adapter.drop_relation(backup)
+    existing = adapter.get_relation(None, target.schema, target.identifier,
+                                    use_cache=False)
+    if existing is not None:
+        if existing.is_view:
+            adapter.drop_relation(existing)
+        else:
+            adapter.rename_relation(existing, backup)
+    adapter.rename_relation(tmp, target)
+    adapter.drop_relation(backup.incorporate(type=RelationType.Table))
+
+
+def materialize_view(adapter: SparkAdapter, schema: str, name: str, sql: str) -> str:
+    target = _rel(schema, name, RelationType.View)
+    existing = adapter.get_relation(None, schema, name, use_cache=False)
+    if existing is not None and existing.is_table:
+        adapter.drop_relation(existing)
+    adapter.spark.sql(f"CREATE OR REPLACE VIEW {target.render()} AS\n{sql}")
+    adapter.cache_added(target)
+    return "CREATE VIEW"
+
+
+def materialize_table(adapter: SparkAdapter, schema: str, name: str, sql: str,
+                      partition_by=None) -> str:
+    target = _rel(schema, name, RelationType.Table)
+    tmp = _rel(schema, name + "__dbt_tmp", RelationType.Table)
+    adapter.drop_relation(tmp)
+    create_table_as(adapter, tmp, sql, partition_by)
+    swap_in(adapter, tmp, target)
+    return "CREATE TABLE"
+
+
+def _reorder_to_table(spark: SparkSession, table: str, sql: str) -> str:
+    cols = ", ".join(f"`{f.name}`" for f in spark.table(table).schema.fields)
+    return f"SELECT {cols} FROM (\n{sql}\n) __dbt_src"
+
+
+def process_schema_changes(adapter: SparkAdapter, target: Relation, sql: str,
+                           on_schema_change: str) -> None:
+    """incremental/on_schema_change.sql (called from incremental.sql:55)."""
+    if on_schema_change == "ignore":
+        return
+    have = {c.name.lower(): c for c in adapter.get_columns_in_relation(target)}
+    want = adapter.get_column_schema_from_query(sql)
+    new_cols = [c for c in want if c.name.lower() not in have]
+    if on_schema_change == "fail":
+        missing = [n for n in have if n not in {c.name.lower() for c in want}]
+        if new_cols or missing:
+            raise RuntimeError(
+                f"schema changed for {target.render()}: +{[c.name for c in new_cols]}"
+                f" -{missing} (on_schema_change=fail)"
+            )
+        return
+    if on_schema_change in ("append_new_columns", "sync_all_columns"):
+        adapter.alter_table_add_columns(target, new_cols)
+        # sync_all_columns would also drop removed columns; plain parquet
+        # tables can't drop columns without rewrite — reference behavior
+        # on Spark is the same (add-only), so we match it.
+
+
+def materialize_incremental(
+    adapter: SparkAdapter,
+    schema: str,
+    name: str,
+    sql: str,
+    strategy: str = "append",
+    unique_key=None,
+    partition_by=None,
+    on_schema_change: str = "ignore",
+    full_refresh: bool = False,
+    merge_update_columns=None,
+    merge_exclude_columns=None,
+    incremental_predicates=None,
+) -> str:
+    spark = adapter.spark
+    target = _rel(schema, name, RelationType.Table)
+    existing = adapter.get_relation(None, schema, name, use_cache=False)
+
+    if existing is None or full_refresh or existing.is_view:
+        return materialize_table(adapter, schema, name, sql, partition_by) and "CTAS (first run)"
+
+    process_schema_changes(adapter, target, sql, on_schema_change)
+
+    if strategy == "append":
+        spark.sql(
+            f"INSERT INTO {target.render()}\n"
+            + _reorder_to_table(spark, target.render(), sql)
+        )
+        return "INSERT"
+    if strategy == "insert_overwrite":
+        # dynamic partition overwrite: only partitions present in the
+        # batch are replaced (spark.sql.sources.partitionOverwriteMode)
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {target.render()}\n"
+            + _reorder_to_table(spark, target.render(), sql)
+        )
+        return "INSERT OVERWRITE"
+    if strategy in ("merge", "delete+insert"):
+        target_df = spark.table(target.render())
+        source_df = spark.sql(sql)
+        if unique_key is None:
+            raise ValueError(f"{strategy} requires unique_key")
+        if strategy == "merge":
+            result = merge_fn(target_df, source_df, unique_key,
+                              merge_update_columns, merge_exclude_columns,
+                              incremental_predicates)
+        else:
+            result = di_fn(target_df, source_df, unique_key, incremental_predicates)
+        tmp = _rel(schema, name + "__dbt_tmp", RelationType.Table)
+        adapter.drop_relation(tmp)
+        result.createOrReplaceTempView(f"__dbt_inc_{name}")
+        create_table_as(adapter, tmp, f"SELECT * FROM __dbt_inc_{name}", partition_by)
+        swap_in(adapter, tmp, target)
+        return "MERGE (rewrite)"
+    raise ValueError(f"unknown incremental strategy {strategy!r}")
+
+
+def materialize_seed(adapter: SparkAdapter, schema: str, name: str, path: str,
+                     column_types: dict[str, str] | None = None) -> str:
+    """seeds/helpers.sql: typed CSV load. Distributed read (not the
+    reference's 10k-row INSERT batches — Spark's reader IS the bulk
+    path); column_types overrides applied as casts."""
+    spark = adapter.spark
+    if path.endswith(".csv"):
+        df = spark.read.csv(path, header=True, inferSchema=True)
+    elif path.endswith(".parquet"):
+        df = spark.read.parquet(path)
+    else:
+        df = spark.read.json(path)
+    for col, typ in (column_types or {}).items():
+        from dbt_fusion_spark.column import translate_type
+
+        df = df.withColumn(col, df[col].cast(translate_type(typ)))
+    tmp_view = f"__dbt_seed_{name}"
+    df.createOrReplaceTempView(tmp_view)
+    target = _rel(schema, name, RelationType.Table)
+    tmp = _rel(schema, name + "__dbt_tmp", RelationType.Table)
+    adapter.drop_relation(tmp)
+    create_table_as(adapter, tmp, f"SELECT * FROM {tmp_view}")
+    swap_in(adapter, tmp, target)
+    return f"SEED {name}"
+
+
+def materialize_snapshot(adapter: SparkAdapter, schema: str, name: str, sql: str,
+                         cfg: SnapshotConfig) -> str:
+    """snapshots/snapshot.sql:1-111: first run -> build; else staged
+    merge. Without Delta MERGE the new state lands via tmp+swap (full
+    rewrite); on Delta this would be MERGE INTO on dbt_scd_id."""
+    spark = adapter.spark
+    target = _rel(schema, name, RelationType.Table)
+    existing = adapter.get_relation(None, schema, name, use_cache=False)
+    source_df = spark.sql(sql)
+    if existing is None:
+        result = snapshot_build(source_df, cfg)
+        verb = "SNAPSHOT (build)"
+    else:
+        result = snapshot_run(spark.table(target.render()), source_df, cfg)
+        verb = "SNAPSHOT (merge)"
+    tmp = _rel(schema, name + "__dbt_tmp", RelationType.Table)
+    adapter.drop_relation(tmp)
+    result.createOrReplaceTempView(f"__dbt_snap_{name}")
+    create_table_as(adapter, tmp, f"SELECT * FROM __dbt_snap_{name}")
+    swap_in(adapter, tmp, target)
+    return verb
+
+
+_TEST_SQL_BUILDERS = {
+    "unique": lambda model, col, kw: test_unique(model, col),
+    "not_null": lambda model, col, kw: test_not_null(model, col),
+    "accepted_values": lambda model, col, kw: test_accepted_values(
+        model, col, kw["values"], kw.get("quote", True)),
+    "relationships": lambda model, col, kw: test_relationships(
+        model, col, kw["to"], kw["field"]),
+}
+
+
+def run_generic_test(adapter: SparkAdapter, test_type: str, model_relation: str,
+                     column: str, kwargs: dict):
+    from dbt_fusion_spark.testing.generic import TestResult
+
+    main_sql = _TEST_SQL_BUILDERS[test_type](model_relation, column, kwargs)
+    row = adapter.spark.sql(get_test_sql(main_sql)).collect()[0]
+    return TestResult(row["failures"], bool(row["should_warn"]),
+                      bool(row["should_error"]))
+
+
+MATERIALIZATION_REGISTRY = {
+    # materialization_resolver.rs:11-21 BUILTIN_MATERIALIZATIONS
+    "view": materialize_view,
+    "table": materialize_table,
+    "incremental": materialize_incremental,
+    "seed": materialize_seed,
+    "snapshot": materialize_snapshot,
+}

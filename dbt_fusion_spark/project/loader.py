@@ -1,0 +1,197 @@
+"""Project loading: dbt_project.yml + file discovery.
+
+Re-expresses crates/dbt-loader/src/loader.rs: discover files by kind
+and extension (models .sql, seeds .csv/.parquet/.json — loader.rs:
+590-633, seed extensions :611-618), read dbt_project.yml
+(dbt_project_yml_loader.rs), profiles (load_profiles.rs), vars
+(load_vars.rs). Packages/deps are out of scope for v1 (single-package
+projects).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+from dbt_fusion_spark.project.nodes import Node
+
+SNAPSHOT_BLOCK_RE = re.compile(
+    r"{%\s*snapshot\s+(\w+)\s*%}(.*?){%\s*endsnapshot\s*%}", re.S
+)
+
+
+@dataclass
+class Project:
+    root: Path
+    name: str
+    vars: dict[str, Any] = field(default_factory=dict)
+    models_config: dict[str, Any] = field(default_factory=dict)
+    seeds_config: dict[str, Any] = field(default_factory=dict)
+    profile: dict[str, Any] = field(default_factory=dict)
+    nodes: dict[str, Node] = field(default_factory=dict)
+    sources: dict[str, Node] = field(default_factory=dict)  # source.<src>.<table>
+
+    @property
+    def default_schema(self) -> str:
+        return self.profile.get("schema", "analytics")
+
+
+def _dir_config(tree: dict, rel_parts: tuple[str, ...], project_name: str) -> dict:
+    """Resolve hierarchical models:/seeds: config (project-level, then
+    per-directory, '+'-prefixed keys) — dbt_project.yml semantics."""
+    out: dict[str, Any] = {}
+    scope = tree.get(project_name, tree) if tree else {}
+
+    def take(d: dict):
+        for k, v in d.items():
+            if k.startswith("+"):
+                out[k[1:]] = v
+            elif not isinstance(v, dict):
+                out[k] = v
+
+    if isinstance(scope, dict):
+        take(scope)
+        node = scope
+        for part in rel_parts:
+            nxt = node.get(part)
+            if not isinstance(nxt, dict):
+                break
+            take(nxt)
+            node = nxt
+    return out
+
+
+def load_project(root: str | Path, profile: dict | None = None,
+                 vars_overrides: dict | None = None) -> Project:
+    root = Path(root)
+    cfg = yaml.safe_load((root / "dbt_project.yml").read_text()) or {}
+    name = cfg.get("name", root.name)
+    proj = Project(
+        root=root,
+        name=name,
+        vars=dict(cfg.get("vars", {}) or {}),
+        models_config=cfg.get("models", {}) or {},
+        seeds_config=cfg.get("seeds", {}) or {},
+        profile=profile or {"schema": "analytics", "threads": 4, "name": "dev"},
+    )
+    if vars_overrides:
+        proj.vars.update(vars_overrides)
+
+    model_paths = cfg.get("model-paths", ["models"])
+    seed_paths = cfg.get("seed-paths", ["seeds"])
+    snapshot_paths = cfg.get("snapshot-paths", ["snapshots"])
+
+    # --- models (+ schema.yml in model dirs) ---
+    for mp in model_paths:
+        base = root / mp
+        if not base.exists():
+            continue
+        for f in sorted(base.rglob("*.sql")):
+            rel = f.relative_to(base)
+            node_name = f.stem
+            uid = f"model.{name}.{node_name}"
+            conf = _dir_config(proj.models_config, rel.parts[:-1], name)
+            proj.nodes[uid] = Node(
+                unique_id=uid, name=node_name, resource_type="model",
+                package=name, path=str(f.relative_to(root)),
+                raw_code=f.read_text(), config=conf,
+            )
+        for f in sorted(base.rglob("*.yml")) + sorted(base.rglob("*.yaml")):
+            _load_schema_yml(proj, f)
+
+    # --- seeds (loader.rs:611-618: csv/parquet/json) ---
+    for sp in seed_paths:
+        base = root / sp
+        if not base.exists():
+            continue
+        for f in sorted(base.rglob("*")):
+            if f.suffix.lower() not in (".csv", ".parquet", ".json"):
+                continue
+            uid = f"seed.{name}.{f.stem}"
+            conf = _dir_config(proj.seeds_config, f.relative_to(base).parts[:-1], name)
+            proj.nodes[uid] = Node(
+                unique_id=uid, name=f.stem, resource_type="seed",
+                package=name, path=str(f.relative_to(root)), config=conf,
+            )
+
+    # --- snapshots ({% snapshot %} blocks, parser.rs:920-933 block tags) ---
+    for sp in snapshot_paths:
+        base = root / sp
+        if not base.exists():
+            continue
+        for f in sorted(base.rglob("*.sql")):
+            for m in SNAPSHOT_BLOCK_RE.finditer(f.read_text()):
+                snap_name, body = m.group(1), m.group(2)
+                uid = f"snapshot.{name}.{snap_name}"
+                proj.nodes[uid] = Node(
+                    unique_id=uid, name=snap_name, resource_type="snapshot",
+                    package=name, path=str(f.relative_to(root)), raw_code=body,
+                )
+    return proj
+
+
+_TEST_BUILDERS = {"unique", "not_null", "accepted_values", "relationships"}
+
+
+def _load_schema_yml(proj: Project, path: Path) -> None:
+    """schema.yml: sources, model descriptions/columns, generic tests
+    (reference resolve_{sources,tests}.rs)."""
+    doc = yaml.safe_load(path.read_text()) or {}
+
+    for src in doc.get("sources", []) or []:
+        src_name = src["name"]
+        src_schema = src.get("schema", src_name)
+        for tbl in src.get("tables", []) or []:
+            uid = f"source.{proj.name}.{src_name}.{tbl['name']}"
+            node = Node(
+                unique_id=uid, name=tbl["name"], resource_type="source",
+                package=proj.name, path=str(path.relative_to(proj.root)),
+                source_name=src_name,
+                config={"schema": src_schema,
+                        "identifier": tbl.get("identifier", tbl["name"]),
+                        "location": tbl.get("meta", {}).get("location"),
+                        "format": tbl.get("meta", {}).get("format", "parquet"),
+                        "freshness": tbl.get("freshness") or src.get("freshness"),
+                        "loaded_at_field": tbl.get("loaded_at_field")
+                        or src.get("loaded_at_field")},
+                loader_meta=tbl.get("meta", {}) or {},
+            )
+            proj.sources[uid] = node
+
+    for model in doc.get("models", []) or []:
+        uid = f"model.{proj.name}.{model['name']}"
+        node = proj.nodes.get(uid)
+        if node is not None:
+            node.description = model.get("description", "")
+        for col in model.get("columns", []) or []:
+            if node is not None:
+                node.columns[col["name"]] = {
+                    "description": col.get("description", ""),
+                    "data_type": col.get("data_type"),
+                }
+            for t in (col.get("tests") or col.get("data_tests") or []):
+                _add_generic_test(proj, model["name"], col["name"], t, path)
+
+
+def _add_generic_test(proj: Project, model_name: str, column: str, t, path: Path
+                      ) -> None:
+    if isinstance(t, str):
+        test_type, kwargs = t, {}
+    else:
+        test_type, kwargs = next(iter(t.items()))
+    if test_type not in _TEST_BUILDERS:
+        return
+    suffix = f"{test_type}_{model_name}_{column}"
+    uid = f"test.{proj.name}.{suffix}"
+    proj.nodes[uid] = Node(
+        unique_id=uid, name=suffix, resource_type="test", package=proj.name,
+        path=str(path.relative_to(proj.root)),
+        config={"test_type": test_type, "column_name": column,
+                "model_name": model_name, "kwargs": kwargs or {},
+                "severity": (kwargs or {}).get("severity", "error")},
+        depends_on=[f"model.{proj.name}.{model_name}"],
+    )

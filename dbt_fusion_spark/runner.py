@@ -1,0 +1,284 @@
+"""The runner: parse -> compile -> schedule -> materialize -> artifacts.
+
+Re-expresses the reference's execute_all_phases
+(crates/dbt-sa-cli/src/dbt_sa_lib.rs:205-265): load (dbt-loader),
+resolve (dbt-parser resolver.rs:82-265, parse contexts), manifest
+(manifest.rs, dbt_sa_lib.rs:250-256), then the run loop (run contexts
+run_node_context.rs:65-313 + materialization dispatch
+materialization_resolver.rs) with DAG waves (dbt-dag schedule.rs:22)
+executed across threads (profile `threads`, dbt_sa_lib.rs:218).
+
+Spark concurrency: the driver is thread-safe; each thread submits
+independent jobs, so a wave of N models runs N concurrent Spark jobs
+sharing the executor pool.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from dbt_fusion_spark.adapter import SparkAdapter
+from dbt_fusion_spark.dag import Dag, select_nodes
+from dbt_fusion_spark.jinja import compile_node, parse_node
+from dbt_fusion_spark.materializations.executors import (
+    materialize_incremental,
+    materialize_seed,
+    materialize_snapshot,
+    materialize_table,
+    materialize_view,
+    run_generic_test,
+)
+from dbt_fusion_spark.project import load_project
+from dbt_fusion_spark.snapshots import SnapshotConfig
+
+
+@dataclass
+class NodeResult:
+    unique_id: str
+    status: str          # success | error | pass | warn | fail | skipped
+    message: str = ""
+    execution_time: float = 0.0
+
+
+@dataclass
+class RunResults:
+    results: list[NodeResult] = field(default_factory=list)
+    elapsed: float = 0.0
+
+    @property
+    def ok(self) -> bool:
+        return all(r.status in ("success", "pass", "warn", "skipped")
+                   for r in self.results)
+
+    def to_dict(self) -> dict:
+        return {
+            "elapsed_time": self.elapsed,
+            "results": [
+                {"unique_id": r.unique_id, "status": r.status,
+                 "message": r.message, "execution_time": r.execution_time}
+                for r in self.results
+            ],
+        }
+
+
+class DbtSparkRunner:
+    def __init__(self, spark: SparkSession, project_dir: str,
+                 profile: dict | None = None, vars: dict | None = None):
+        self.spark = spark
+        self.project = load_project(project_dir, profile=profile,
+                                    vars_overrides=vars)
+        self.adapter = SparkAdapter(spark,
+                                    default_schema=self.project.default_schema)
+        self.dag: Dag | None = None
+        self._parsed = False
+
+    # ------------------------------------------------------------- parse
+    def parse(self) -> None:
+        proj = self.project
+        for node in proj.nodes.values():
+            if node.resource_type in ("model", "snapshot"):
+                parse_node(proj, node)
+            node.schema = node.config.get("schema") or proj.default_schema
+        self.dag = Dag({uid: n.depends_on for uid, n in proj.nodes.items()})
+        self._parsed = True
+
+    # ----------------------------------------------------------- resolve
+    def relation_for(self, uid: str) -> str:
+        proj = self.project
+        if uid.startswith("source."):
+            src = proj.sources[uid]
+            location = src.config.get("location")
+            schema, ident = src.config["schema"], src.config["identifier"]
+            if location:
+                # register as an external table (metadata only, no copy):
+                # persistent views may not reference temp views, and at
+                # scale sources ARE catalog tables.
+                fmt = src.config.get("format", "parquet")
+                self.adapter.create_schema(schema)
+                self.spark.sql(
+                    f"CREATE TABLE IF NOT EXISTS `{schema}`.`{ident}` "
+                    f"USING {fmt} LOCATION '{location}'"
+                )
+            return f"`{schema}`.`{ident}`"
+        node = proj.nodes[uid]
+        return node.relation_name()
+
+    def compile(self, node, is_incremental: bool = False) -> str:
+        sql = compile_node(self.project, node, self.relation_for,
+                           adapter=self.adapter, is_incremental=is_incremental)
+        node.compiled_code = sql
+        return sql
+
+    # --------------------------------------------------------------- run
+    def run(self, select: str | None = None, exclude: str | None = None,
+            full_refresh: bool = False, include_tests: bool = True,
+            threads: int | None = None) -> RunResults:
+        if not self._parsed:
+            self.parse()
+        t_start = time.perf_counter()
+        proj = self.project
+        self.adapter.create_schema(proj.default_schema)
+        for schema in {n.schema for n in proj.nodes.values() if n.schema}:
+            self.adapter.create_schema(schema)
+
+        selected = select_nodes(proj, self.dag, select, exclude)
+        if not include_tests:
+            selected = {u for u in selected
+                        if proj.nodes[u].resource_type != "test"}
+        threads = threads or proj.profile.get("threads", 4)
+        results: dict[str, NodeResult] = {}
+        failed: set[str] = set()
+
+        for wave in self.dag.generations():
+            runnable = [u for u in wave if u in selected]
+            if not runnable:
+                continue
+            with ThreadPoolExecutor(max_workers=threads) as pool:
+                futs = {}
+                for uid in runnable:
+                    if any(d in failed for d in self.dag.deps.get(uid, [])):
+                        results[uid] = NodeResult(uid, "skipped",
+                                                  "upstream failure")
+                        failed.add(uid)
+                        continue
+                    futs[uid] = pool.submit(self._run_node, uid, full_refresh)
+                for uid, fut in futs.items():
+                    res = fut.result()
+                    results[uid] = res
+                    if res.status in ("error", "fail"):
+                        failed.add(uid)
+
+        rr = RunResults(list(results.values()), time.perf_counter() - t_start)
+        self.write_artifacts(rr)
+        return rr
+
+    def _run_node(self, uid: str, full_refresh: bool) -> NodeResult:
+        node = self.project.nodes[uid]
+        t0 = time.perf_counter()
+        try:
+            msg = self._materialize(node, full_refresh)
+            status = "success"
+            if node.resource_type == "test":
+                status = msg  # pass | warn | fail
+                msg = ""
+        except Exception as e:  # noqa: BLE001 — node errors become results
+            return NodeResult(uid, "error", str(e)[:500],
+                              time.perf_counter() - t0)
+        return NodeResult(uid, status, msg, time.perf_counter() - t0)
+
+    def _hooks(self, node, key: str) -> None:
+        hooks = node.config.get(key) or []
+        if isinstance(hooks, str):
+            hooks = [hooks]
+        for h in hooks:
+            self.adapter.execute(h)
+
+    def _materialize(self, node, full_refresh: bool) -> str:
+        rt = node.resource_type
+        if rt == "test":
+            cfg = node.config
+            model_uid = node.depends_on[0]
+            res = run_generic_test(
+                self.adapter, cfg["test_type"],
+                self.relation_for(model_uid), cfg["column_name"], cfg["kwargs"],
+            )
+            if res.should_error and cfg.get("severity", "error") == "error":
+                return "fail"
+            return "warn" if res.should_warn else "pass"
+
+        if rt == "seed":
+            return materialize_seed(
+                self.adapter, node.schema, node.identifier,
+                str(self.project.root / node.path),
+                column_types=node.config.get("column_types"),
+            )
+
+        self._hooks(node, "pre_hook")
+        if rt == "snapshot":
+            sql = self.compile(node)
+            cfg = SnapshotConfig(
+                unique_key=node.config["unique_key"],
+                strategy=node.config.get("strategy", "timestamp"),
+                updated_at=node.config.get("updated_at"),
+                check_cols=node.config.get("check_cols", "all"),
+                hard_deletes=node.config.get("hard_deletes", "ignore"),
+            )
+            out = materialize_snapshot(self.adapter, node.schema,
+                                       node.identifier, sql, cfg)
+        elif rt == "model":
+            mat = node.materialized
+            if mat == "ephemeral":
+                return "EPHEMERAL (inlined downstream)"
+            exists = self.adapter.get_relation(
+                None, node.schema, node.identifier, use_cache=False)
+            sql = self.compile(
+                node,
+                is_incremental=(mat == "incremental" and exists is not None
+                                and not full_refresh),
+            )
+            if mat == "view":
+                out = materialize_view(self.adapter, node.schema,
+                                       node.identifier, sql)
+            elif mat == "table" or mat == "materialized_view":
+                out = materialize_table(self.adapter, node.schema,
+                                        node.identifier, sql,
+                                        node.config.get("partition_by"))
+            elif mat == "incremental":
+                out = materialize_incremental(
+                    self.adapter, node.schema, node.identifier, sql,
+                    strategy=node.config.get(
+                        "incremental_strategy",
+                        "merge" if node.config.get("unique_key") else "append"),
+                    unique_key=node.config.get("unique_key"),
+                    partition_by=node.config.get("partition_by"),
+                    on_schema_change=node.config.get("on_schema_change", "ignore"),
+                    full_refresh=full_refresh or bool(node.config.get("full_refresh")),
+                    merge_update_columns=node.config.get("merge_update_columns"),
+                    merge_exclude_columns=node.config.get("merge_exclude_columns"),
+                    incremental_predicates=node.config.get("incremental_predicates"),
+                )
+            else:
+                raise ValueError(f"unsupported materialization {mat!r}")
+        else:
+            raise ValueError(f"unsupported resource_type {rt!r}")
+        self._hooks(node, "post_hook")
+        return out
+
+    # --------------------------------------------------------- artifacts
+    def write_artifacts(self, rr: RunResults) -> None:
+        target = self.project.root / "target"
+        target.mkdir(exist_ok=True)
+        manifest = {
+            "metadata": {"dbt_schema_version":
+                         "https://schemas.getdbt.com/dbt/manifest/v12.json",
+                         "project_name": self.project.name},
+            "nodes": {uid: n.to_manifest_dict()
+                      for uid, n in self.project.nodes.items()},
+            "sources": {uid: n.to_manifest_dict()
+                        for uid, n in self.project.sources.items()},
+        }
+        (target / "manifest.json").write_text(json.dumps(manifest, indent=1,
+                                                         default=str))
+        (target / "run_results.json").write_text(json.dumps(rr.to_dict(),
+                                                            indent=1))
+
+    # ---------------------------------------------------------- freshness
+    def source_freshness(self, uid: str):
+        """adapters/freshness.sql:7-18: select max(loaded_at_field),
+        current_timestamp() from source."""
+        src = self.project.sources[uid]
+        loaded_at = src.config.get("loaded_at_field")
+        if not loaded_at:
+            raise ValueError(f"{uid} has no loaded_at_field")
+        rel = self.relation_for(uid)
+        row = self.spark.sql(
+            f"SELECT max({loaded_at}) AS max_loaded_at,"
+            f" current_timestamp() AS snapshotted_at FROM {rel}"
+        ).collect()[0]
+        return row["max_loaded_at"], row["snapshotted_at"]

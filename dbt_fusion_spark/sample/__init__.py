@@ -1,0 +1,9 @@
+from dbt_fusion_spark.sample.strategies import (  # noqa: F401
+    sample_branch,
+    sample_group,
+    sample_hash,
+    sample_limit,
+    sample_random,
+    sample_stratified,
+    sample_time,
+)

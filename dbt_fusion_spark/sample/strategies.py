@@ -1,0 +1,87 @@
+"""Sampling strategies (dbt-sample).
+
+Re-expresses the reference Strategy enum
+(crates/dbt-sample/src/plan.rs:89-124): Clone, Pass, Random{frac,seed},
+Limit{n}, Time{by,last,start,end}, Hash{by,mod,keep,seed},
+Group{by,n_per_group}, Stratified{by,frac_map,seed},
+Branch{predicates,alloc} — as DataFrame transforms.
+
+Hash sampling offers two keyed modes:
+- 'xxhash64' (default): Spark-native, seeded, fastest — the scale path.
+- 'md5': engine-portable (md5 hex prefix bucket), used when results
+  must be reproducible outside Spark (e.g. the DuckDB oracle).
+Both are stable under repartitioning — the sample is a pure function
+of the key, never of physical placement (critical for consistent
+samples across 1000 executors and across runs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sample_random(df: DataFrame, frac: float, seed: int = 42) -> DataFrame:
+    # plan.rs Random{frac,seed} -> Bernoulli sample
+    return df.sample(fraction=frac, seed=seed)
+
+
+def sample_limit(df: DataFrame, n: int, order_by: Sequence[str] | None = None
+                 ) -> DataFrame:
+    # plan.rs Limit{n}; deterministic only with an order
+    if order_by:
+        df = df.orderBy(*order_by)
+    return df.limit(n)
+
+
+def sample_time(df: DataFrame, by: str, start=None, end=None) -> DataFrame:
+    # plan.rs Time{by,last,start,end}
+    if start is not None:
+        df = df.filter(F.col(by) >= start)
+    if end is not None:
+        df = df.filter(F.col(by) < end)
+    return df
+
+
+def sample_hash(df: DataFrame, by: str | Sequence[str], mod: int, keep: int,
+                seed: int = 42, method: str = "xxhash64") -> DataFrame:
+    """plan.rs Hash{by,mod,keep,seed}: keep rows with bucket(key) < keep."""
+    cols = [by] if isinstance(by, str) else list(by)
+    if method == "xxhash64":
+        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in cols], F.lit(seed)), F.lit(mod))
+    elif method == "md5":
+        # engine-portable: first 8 hex chars of md5 -> int bucket
+        h = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
+        bucket = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(mod))
+    else:
+        raise ValueError(f"unknown hash method {method!r}")
+    return df.filter(bucket < keep)
+
+
+def sample_group(df: DataFrame, by: str | Sequence[str], n_per_group: int,
+                 order_by: Sequence[str]) -> DataFrame:
+    # plan.rs Group{by,n_per_group}: top-N per key via window
+    cols = [by] if isinstance(by, str) else list(by)
+    w = Window.partitionBy(*cols).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )
+
+
+def sample_stratified(df: DataFrame, by: str, frac_map: dict, seed: int = 42
+                      ) -> DataFrame:
+    # plan.rs Stratified{by,frac_map,seed} -> per-stratum Bernoulli
+    return df.sampleBy(by, fractions=frac_map, seed=seed)
+
+
+def sample_branch(df: DataFrame, predicates: Sequence[str],
+                  alloc: Sequence[str]) -> DataFrame:
+    """plan.rs Branch{predicates,alloc}: first matching predicate decides
+    the branch label; rows with no match are dropped."""
+    expr = F.lit(None).cast("string")
+    for pred, label in reversed(list(zip(predicates, alloc))):
+        expr = F.when(F.expr(pred), F.lit(label)).otherwise(expr)
+    return df.withColumn("__branch", expr).filter(F.col("__branch").isNotNull())

@@ -1,0 +1,7 @@
+{{ config(materialized='ephemeral') }}
+
+select
+    l_orderkey,
+    cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(8,4)))
+        as net_price
+from {{ source('tpch', 'lineitem') }}

@@ -1,0 +1,121 @@
+"""End-to-end: the dbt-style runner over the fixture project.
+
+Covers SURVEY §3 (parse -> compile -> schedule -> materialize ->
+artifacts): sources, seeds, view/table/ephemeral/incremental models,
+SCD2 snapshot, generic tests, selection, incremental second runs,
+source freshness.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from dbt_fusion_spark.runner import DbtSparkRunner
+
+PROJECT = str(Path(__file__).parent / "fixtures" / "tpch_project")
+
+
+@pytest.fixture(scope="module")
+def runner(spark):
+    spark.sql("DROP DATABASE IF EXISTS analytics CASCADE")
+    r = DbtSparkRunner(spark, PROJECT)
+    r.parse()
+    return r
+
+
+def test_parse_builds_graph(runner):
+    n = runner.project.nodes
+    assert "model.tpch_demo.stg_orders" in n
+    assert "seed.tpch_demo.segment_names" in n
+    assert "snapshot.tpch_demo.orders_snapshot" in n
+    assert n["model.tpch_demo.customer_revenue"].depends_on == [
+        "model.tpch_demo.stg_customers",
+        "model.tpch_demo.stg_orders",
+        "model.tpch_demo.order_lines",
+    ]
+    assert n["model.tpch_demo.order_lines"].config["materialized"] == "ephemeral"
+    # dir-level config from dbt_project.yml applied
+    assert n["model.tpch_demo.stg_orders"].config["materialized"] == "view"
+    assert "staging" in n["model.tpch_demo.stg_orders"].config["tags"]
+
+
+def test_full_run(runner, spark):
+    rr = runner.run()
+    by_id = {r.unique_id: r for r in rr.results}
+    assert rr.ok, [(r.unique_id, r.status, r.message) for r in rr.results
+                   if r.status not in ("success", "pass")]
+    # ephemeral produced no relation
+    assert by_id["model.tpch_demo.order_lines"].status == "success"
+    assert not spark.catalog.tableExists("analytics.order_lines")
+    # view + table + seed + incremental + snapshot exist
+    for t in ("stg_orders", "stg_customers", "customer_revenue",
+              "recent_orders", "segment_names", "orders_snapshot"):
+        assert spark.catalog.tableExists(f"analytics.{t}"), t
+    # tests ran and passed
+    assert by_id["test.tpch_demo.unique_stg_orders_o_orderkey"].status == "pass"
+    assert by_id["test.tpch_demo.relationships_customer_revenue_segment"].status == "pass"
+    # revenue values sane
+    rev = spark.table("analytics.customer_revenue")
+    assert rev.count() > 0
+    assert {f.name for f in rev.schema.fields} == {
+        "c_custkey", "c_name", "segment", "revenue", "n_orders"}
+    # seed column_types override applied
+    seed_types = dict(spark.table("analytics.segment_names").dtypes)
+    assert seed_types["priority_rank"] == "int"
+    # artifacts
+    target = Path(PROJECT) / "target"
+    manifest = json.loads((target / "manifest.json").read_text())
+    assert "model.tpch_demo.customer_revenue" in manifest["nodes"]
+    assert manifest["nodes"]["model.tpch_demo.customer_revenue"]["compiled_code"]
+    assert (target / "run_results.json").exists()
+
+
+def test_incremental_second_run_merges(runner, spark):
+    before = spark.table("analytics.recent_orders").count()
+    # second run hits the is_incremental() branch; cutoff filters rows
+    rr = runner.run(select="recent_orders")
+    assert rr.ok
+    after = spark.table("analytics.recent_orders").count()
+    assert after == before  # merge of an overlapping window: no new keys
+
+    # full refresh rebuilds from scratch
+    rr = runner.run(select="recent_orders", full_refresh=True)
+    assert rr.ok
+    assert spark.table("analytics.recent_orders").count() == before
+
+
+def test_snapshot_second_run_is_stable(runner, spark):
+    before = spark.table("analytics.orders_snapshot").count()
+    rr = runner.run(select="orders_snapshot")
+    assert rr.ok
+    # identical source state: no new versions, nothing closed
+    snap = spark.table("analytics.orders_snapshot")
+    assert snap.count() == before
+    assert snap.filter("dbt_valid_to IS NOT NULL").count() == 0
+    assert {"dbt_scd_id", "dbt_updated_at", "dbt_valid_from", "dbt_valid_to"} <= set(
+        snap.columns)
+
+
+def test_selection_operators(runner):
+    dag = runner.dag
+    sel = __import__("dbt_fusion_spark.dag", fromlist=["select_nodes"]).select_nodes
+    proj = runner.project
+    staging = sel(proj, dag, select="tag:staging")
+    assert "model.tpch_demo.stg_orders" in staging
+    assert "model.tpch_demo.customer_revenue" not in staging
+    down = sel(proj, dag, select="stg_orders+")
+    assert "model.tpch_demo.customer_revenue" in down
+    up = sel(proj, dag, select="+customer_revenue")
+    assert "model.tpch_demo.stg_customers" in up
+    glob = sel(proj, dag, select="stg_*")
+    assert {"model.tpch_demo.stg_orders", "model.tpch_demo.stg_customers"} <= glob
+
+
+def test_source_freshness(runner):
+    max_loaded, snapshotted = runner.source_freshness(
+        "source.tpch_demo.tpch.orders")
+    assert max_loaded is not None and snapshotted is not None
+    assert max_loaded.year >= 1995
