@@ -11,6 +11,7 @@ from dbt_fusion_spark.demo.registry import ORACLES, QUERIES  # noqa: F401
 from dbt_fusion_spark.demo import (  # noqa: F401, E402
     functions_demo,
     incremental_demo,
+    llm_demo,
     sampling_demo,
     snapshot_demo,
     testing_demo,

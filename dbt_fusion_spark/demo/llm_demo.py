@@ -1,0 +1,396 @@
+"""Driver-gate queries for the LLM-pipeline operators (north star).
+
+Corpus construction makes each operator's effect visible: exact-dup
+copies (whitespace-perturbed) for exact dedup, prefix-truncated copies
+for near-dup LSH, and identical-vector copies for embedding dedup.
+
+Oracle notes (dialect drift discovered empirically):
+- DuckDB regexp_replace needs the 'g' flag (Spark is global by default)
+- DuckDB list ops: list_distinct / list_aggregate(min) / list_filter /
+  list_reduce mirror Spark's array_distinct / array_min / filter /
+  aggregate
+- the md5/strpos/floor arithmetic is identical in both engines
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_fusion_spark.demo.registry import register
+from dbt_fusion_spark.llm import dedup as D, multimodal as M, similarity as S, text as T
+from dbt_fusion_spark.sources.registry import load_table
+
+# ---------------------------------------------------------------- corpora
+
+_DUCK_CORPUS_EXACT = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text || '  ' FROM documents)
+"""
+
+_DUCK_CORPUS_NEAR = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, substring(text, 20) FROM documents)
+"""
+
+
+def _corpus_exact(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("  ")).alias("text"),
+    )
+    return d.unionByName(pert)
+
+
+def _corpus_near(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.expr("substring(text, 20)").alias("text"),
+    )
+    return d.unionByName(pert)
+
+
+_DUCK_FP = ("md5(trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))")
+
+
+@register(
+    "dedup_exact_fingerprint",
+    oracle=f"""
+    WITH {_DUCK_CORPUS_EXACT},
+    fp AS (SELECT doc_id, {_DUCK_FP} AS fingerprint FROM corpus)
+    SELECT fingerprint, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def dedup_exact_fingerprint(spark, sf_dir):
+    """Exact dedup: normalized-content fingerprint groups; whitespace
+    perturbation collapses onto the original (n_copies=2 per group)."""
+    corpus = _corpus_exact(spark, sf_dir)
+    fp = T.fingerprint(corpus, "text", "doc_id")
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
+    )
+
+
+def _duck_bands_sql(n_bands: int, rows_per_band: int, shingle_n: int = 5) -> str:
+    band_selects = []
+    for j in range(n_bands):
+        parts = [
+            f"list_aggregate(list_transform(s, x -> md5('b{j * rows_per_band + i}|' || x)), 'min')"
+            for i in range(rows_per_band)
+        ]
+        band_selects.append(
+            f"SELECT doc_id, {j} AS band_id, {' || '.join(parts)} AS band_value FROM sh"
+        )
+    return (
+        "norm AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t"
+        " FROM corpus),\n"
+        "sh AS (SELECT doc_id, list_distinct(list_transform("
+        f"generate_series(1, greatest(length(t) - {shingle_n - 1}, 1)),"
+        f" i -> substring(t, i, {shingle_n}))) AS s FROM norm),\n"
+        "bands AS (" + "\nUNION ALL\n".join(band_selects) + ")"
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_DUCK_CORPUS_NEAR},
+    {_duck_bands_sql(4, 4)}
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_value = b.band_value
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash LSH (b=4, r=4) candidate pairs over a corpus with
+    truncated-prefix near-dups."""
+    return D.lsh_candidate_pairs(_corpus_near(spark, sf_dir), "doc_id", "text")
+
+
+@register(
+    "dedup_jaccard_verify",
+    oracle=f"""
+    WITH {_DUCK_CORPUS_NEAR},
+    {_duck_bands_sql(4, 4)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_value = b.band_value
+      WHERE a.doc_id < b.doc_id),
+    shset AS (SELECT doc_id, s FROM sh)
+    SELECT id_a, id_b,
+           CAST(len(list_filter(x.s, e -> list_contains(y.s, e))) AS DOUBLE)
+           / CAST(len(x.s) + len(y.s)
+                  - len(list_filter(x.s, e -> list_contains(y.s, e))) AS DOUBLE)
+             AS jaccard
+    FROM cand JOIN shset x ON x.doc_id = id_a JOIN shset y ON y.doc_id = id_b
+    """,
+)
+def dedup_jaccard_verify(spark, sf_dir):
+    """Exact n-gram Jaccard on the LSH candidates (the verify stage —
+    kills LSH false positives before dropping documents)."""
+    corpus = _corpus_near(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(corpus, "doc_id", "text")
+    return D.jaccard_pairs(corpus, pairs, "doc_id", "text")
+
+
+def _duck_simhash_sql() -> str:
+    sums, bits = [], []
+    for pos in range(8):
+        for b in range(4):
+            j = pos * 4 + b
+            nib = f"(strpos('0123456789abcdef', substring(h, {pos + 1}, 1)) - 1)"
+            sums.append(f"SUM(CAST(floor({nib} / {2 ** b}) AS BIGINT) % 2) AS s{j}")
+            bits.append(f"(CASE WHEN s{j} * 2 > n THEN 1 ELSE 0 END) * {2 ** j}")
+    return (
+        "norm AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t"
+        " FROM documents),\n"
+        "toks AS (SELECT doc_id, unnest(list_distinct(list_filter("
+        "string_split(t, ' '), x -> x <> ''))) AS tok FROM norm),\n"
+        "hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),\n"
+        f"sums AS (SELECT doc_id, COUNT(*) AS n, {', '.join(sums)}"
+        " FROM hashed GROUP BY doc_id)\n"
+        f"SELECT doc_id, CAST({' + '.join(bits)} AS BIGINT) AS simhash32 FROM sums"
+    )
+
+
+@register("dedup_simhash", oracle=f"WITH {_duck_simhash_sql()}")
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash per document (nibble-vote construction)."""
+    return D.simhash32(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ------------------------------------------------------------- similarity
+
+_DUCK_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+
+
+def _duck_cos(a: str, b: str) -> str:
+    dot = _DUCK_DOT.format(a=a, b=b)
+    na = f"sqrt({_DUCK_DOT.format(a=a, b=a)})"
+    nb = f"sqrt({_DUCK_DOT.format(a=b, b=b)})"
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+@register(
+    "similarity_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             {_duck_cos('qv', 'e.embedding')} AS cos_sim
+      FROM q, embeddings e WHERE e.vec_id <> query_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def similarity_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-5 for 10 query vectors: broadcast queries, scan
+    corpus once, window top-k. The fold-dot is bit-identical across
+    engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings
+               WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             {_duck_cos('qv', 'e.embedding')} AS cos_sim
+      FROM q JOIN embeddings e USING (label) WHERE e.vec_id <> query_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def similarity_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse cell = label column (nprobe=1); scans only
+    the query's cell — the ~n_cells× cheaper scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "embedding_near_dups",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, embedding, label FROM embeddings WHERE vec_id % 50 = 0)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_duck_cos('a.embedding', 'b.embedding')} AS cos_sim
+    FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_duck_cos('a.embedding', 'b.embedding')} >= 0.95
+    """,
+)
+def embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked per label cell; injected
+    identical-vector copies (every 50th) surface as cos=1 pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(copies)
+    return S.embedding_near_dups(corpus, threshold=0.95)
+
+
+# ------------------------------------------------------------------ text
+
+
+@register(
+    "text_char_stats",
+    oracle="""
+    SELECT doc_id,
+      length(text) AS n_chars,
+      length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+      length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+      length(regexp_replace(text, '[^ ]', '', 'g')) AS n_space,
+      length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        - length(regexp_replace(text, '[^0-9]', '', 'g'))
+        - length(regexp_replace(text, '[^ ]', '', 'g')) AS n_other,
+      len(list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                                   ' '), x -> x <> '')) AS n_tokens
+    FROM documents
+    """,
+)
+def text_char_stats(spark, sf_dir):
+    return T.char_stats(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _duck_lang_sql() -> str:
+    from dbt_fusion_spark.llm.text import _LANG_MARKERS
+
+    def cnt(w):
+        needle = f" {w} "
+        return (f"CAST((length(p) - length(replace(p, '{needle}', '')))"
+                f" / {len(needle)} AS BIGINT)")
+
+    score = {
+        lang: " + ".join(cnt(w) for w in words)
+        for lang, words in _LANG_MARKERS.items()
+    }
+    langs = sorted(score)
+    cases = []
+    for lang in langs:
+        conds = []
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">=" if other > lang else ">"
+            conds.append(f"score_{lang} {op} score_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return (
+        "padded AS (SELECT doc_id,"
+        " ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ' AS p"
+        " FROM documents),\n"
+        "scores AS (SELECT doc_id, "
+        + ", ".join(f"{score[lang]} AS score_{lang}" for lang in langs)
+        + " FROM padded)\n"
+        "SELECT doc_id, "
+        + ", ".join(f"score_{lang}" for lang in langs)
+        + f", CASE {' '.join(cases)} ELSE 'und' END AS pred_lang FROM scores"
+    )
+
+
+@register("text_lang_id", oracle=f"WITH {_duck_lang_sql()}")
+def text_lang_id(spark, sf_dir):
+    """Marker-stopword language ID with deterministic tie-breaking."""
+    return T.lang_id(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+        CAST(length(text) AS DOUBLE) AS n,
+        CAST(len(list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ',
+             'g'), ' '), x -> x <> '')) AS DOUBLE) AS n_tok,
+        length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS n_alpha_sp
+      FROM documents)
+    SELECT doc_id,
+      CAST(n AS BIGINT) AS n_chars,
+      CAST(n_tok AS BIGINT) AS n_tokens,
+      CAST(n >= 100 AND n <= 20000 AS DOUBLE) * 0.4
+        + CAST((n - n_tok + 1) / n_tok >= 2.5
+               AND (n - n_tok + 1) / n_tok <= 12.0 AS DOUBLE) * 0.2
+        + n_alpha_sp / n * 0.4 AS quality
+    FROM base
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    return T.quality_score(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"SELECT doc_id, {_DUCK_FP} AS fingerprint FROM documents",
+)
+def text_fingerprint(spark, sf_dir):
+    return T.fingerprint(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ------------------------------------------------------------ multimodal
+
+
+@register(
+    "multimodal_decode_features",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           [CAST(strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1
+                 AS DOUBLE) / 15.0,
+            CAST(strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1
+                 AS DOUBLE) / 15.0,
+            CAST(strpos('0123456789abcdef', substring(md5(text), 3, 1)) - 1
+                 AS DOUBLE) / 15.0,
+            CAST(strpos('0123456789abcdef', substring(md5(text), 4, 1)) - 1
+                 AS DOUBLE) / 15.0] AS features
+    FROM documents
+    """,
+)
+def multimodal_decode_features(spark, sf_dir):
+    """Arrow-batched mapInPandas 'decode' over binary payloads: real
+    multimodal plumbing (schema/batching/UDF signature); the fake
+    md5-feature codec stands in for PIL/librosa (not in container)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_media(M.attach_payload(docs, "text", "doc_id"))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, frame_idx FROM (
+      SELECT doc_id, unnest(generate_series(0,
+               greatest(CAST(floor(octet_length(encode(text)) / 100) AS BIGINT),
+                        1) - 1))
+             AS frame_idx
+      FROM documents) sub
+    WHERE frame_idx % 10 = 0
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video-frame sampling plan: explode frame indexes from metadata,
+    keep every 10th — fan-out without touching payload bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.frame_sample_plan(M.attach_payload(docs, "text", "doc_id"), every_n=10)

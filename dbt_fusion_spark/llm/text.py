@@ -1,0 +1,137 @@
+"""Text-analysis operators for LLM data pipelines.
+
+Beyond-reference surface (north star): token counting, quality scoring,
+language-ID heuristic, and document fingerprinting — all as built-in
+column expressions (JVM-side, codegen'd; no Python in the hot path).
+Each is deterministic and oracle-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _norm(text_col: str) -> Column:
+    return F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+
+
+def tokens(text_col: str) -> Column:
+    return F.filter(F.split(_norm(text_col), " "), lambda x: x != F.lit(""))
+
+
+def token_count(text_col: str) -> Column:
+    """Whitespace token count (the cheap proxy; BPE-ish token estimate
+    below)."""
+    return F.size(tokens(text_col))
+
+
+def bpe_token_estimate(text_col: str) -> Column:
+    """BPE-ish upper-bound estimate: word tokens + punctuation marks +
+    one extra per 6 chars of long words (subword splits)."""
+    n_words = token_count(text_col)
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", ""))
+    long_chars = F.length(F.regexp_replace(_norm(text_col), r"\b\w{1,6}\b|\s", ""))
+    return (n_words + n_punct + F.floor(long_chars / 6)).cast("long")
+
+
+def char_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    t = F.col(text_col)
+    alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", ""))
+    digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    space = F.length(F.regexp_replace(t, r"[^ ]", ""))
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        alpha.alias("n_alpha"),
+        digit.alias("n_digit"),
+        space.alias("n_space"),
+        (F.length(t) - alpha - digit - space).alias("n_other"),
+        token_count(text_col).alias("n_tokens"),
+    )
+
+
+# stopword markers per language — counts of ' w ' occurrences.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to"],
+    "de": ["der", "und", "die", "nicht"],
+    "fr": ["le", "et", "les", "des"],
+    "es": ["el", "los", "las", "una"],
+    "it": ["il", "che", "per", "con"],
+}
+
+
+def _count_occurrences(padded: Column, word: str) -> Column:
+    """Occurrences of ' word ' via length-difference arithmetic
+    (replace-based counting — identical in every SQL engine)."""
+    needle = f" {word} "
+    # overlapping ' a a ' cases don't matter for scoring purposes
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def lang_scores(text_col: str) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), _norm(text_col), F.lit(" "))
+    return {
+        lang: sum((_count_occurrences(padded, w) for w in words), F.lit(0))
+        for lang, words in _LANG_MARKERS.items()
+    }
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Argmax language over marker-word counts; ties resolve to the
+    alphabetically-first language (deterministic)."""
+    scores = lang_scores(text_col)
+    best = None
+    for lang in sorted(scores):  # fixed tie-break order
+        cond = None
+        for other, sc in scores.items():
+            if other == lang:
+                continue
+            # strictly greater than later langs, >= earlier ones
+            c = scores[lang] >= sc if other > lang else scores[lang] > sc
+            cond = c if cond is None else (cond & c)
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    pred = best.otherwise(F.lit("und"))
+    return df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
+        pred.alias("pred_lang"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality in [0,1]: length band + alpha ratio + mean word
+    length band — the classic cheap pre-filters before model scoring."""
+    t = F.col(text_col)
+    n = F.length(t).cast("double")
+    alpha_ratio = F.length(F.regexp_replace(t, r"[^a-zA-Z ]", "")) / n
+    n_tok = token_count(text_col).cast("double")
+    mean_word = (n - n_tok + 1) / n_tok
+    len_ok = (n >= 100) & (n <= 20000)
+    word_ok = (mean_word >= 2.5) & (mean_word <= 12.0)
+    score = (
+        len_ok.cast("double") * 0.4
+        + word_ok.cast("double") * 0.2
+        + alpha_ratio * 0.4
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Normalized-content fingerprint: md5 of lowercase,
+    whitespace-collapsed, punctuation-stripped text. Documents equal
+    after normalization collide — the first-pass exact-dup key."""
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""),
+            r"\s+", " ",
+        )
+    )
+    return df.select(F.col(id_col), F.md5(canon).alias("fingerprint"))
