@@ -15,12 +15,23 @@ import time
 
 
 HEADLINE = [
+    # SQL pipeline core (plans verified: broadcast dims + pushed filters,
+    # single shuffle for the final aggregate)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
     "window_top_customers_per_nation",
+    # materialization algebra
+    "incremental_merge",
+    "incremental_insert_overwrite",
+    "snapshot_timestamp",
+    # LLM-pipeline operators
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_bruteforce_topk",
+    "text_quality_score",
 ]
 
 

@@ -35,6 +35,47 @@ class CompileError(Exception):
     pass
 
 
+# Builtin macro library prepended to every render — the statement
+# call-block protocol (MA etc/statement.sql:5-28,50-56): the macro body
+# is the SQL; __execute_statement runs it and stashes the result for
+# store_result/load_result.
+BUILTIN_MACROS = """\
+{% macro statement(name=None, fetch_result=False, auto_begin=True, language='sql') %}
+{%- set _ = __execute_statement(name, caller(), fetch_result) -%}
+{% endmacro %}
+{% macro noop_statement(name=None, message=None, code=None, rows_affected=None, res=None) %}
+{%- set _ = __store_raw(name, message, code, rows_affected, res) -%}
+{% endmacro %}
+"""
+
+
+def _parse_python_model(node) -> tuple[list[tuple[str, ...]], dict]:
+    """Static analysis of a python model: collect dbt.ref()/dbt.source()
+    dependencies and dbt.config() kwargs — the same trick dbt-core uses
+    (and the reference's python_model wrapper expects,
+    MA python_model/python.sql)."""
+    import ast
+
+    deps: list[tuple[str, ...]] = []
+    config: dict = {}
+    tree = ast.parse(node.raw_code)
+    for n in ast.walk(tree):
+        if not (isinstance(n, ast.Call) and isinstance(n.func, ast.Attribute)):
+            continue
+        if not (isinstance(n.func.value, ast.Name) and n.func.value.id == "dbt"):
+            continue
+        args = [a.value for a in n.args if isinstance(a, ast.Constant)]
+        if n.func.attr == "ref" and args:
+            deps.append(("ref", *args))
+        elif n.func.attr == "source" and len(args) == 2:
+            deps.append(("source", *args))
+        elif n.func.attr == "config":
+            for kw in n.keywords:
+                if isinstance(kw.value, ast.Constant) and kw.arg:
+                    config[kw.arg] = kw.value.value
+    return deps, config
+
+
 def _base_env() -> jinja2.Environment:
     env = jinja2.Environment(undefined=jinja2.StrictUndefined, autoescape=False)
     env.filters["as_bool"] = lambda v: bool(v)
@@ -97,6 +138,31 @@ def parse_node(project, node) -> None:
     and node.config (reference resolve_model_context.rs:120-205)."""
     deps: list[str] = []
 
+    if node.config.get("language") == "python":
+        py_deps, py_config = _parse_python_model(node)
+        merged = dict(node.config)
+        merged.update(py_config)
+        node.config = merged
+        resolved = []
+        for d in py_deps:
+            if d[0] == "ref":
+                name = d[-1]
+                for uid in (f"model.{project.name}.{name}",
+                            f"seed.{project.name}.{name}",
+                            f"snapshot.{project.name}.{name}"):
+                    if uid in project.nodes:
+                        resolved.append(uid)
+                        break
+                else:
+                    raise CompileError(f"{node.unique_id}: unknown ref {name!r}")
+            else:
+                uid = f"source.{project.name}.{d[1]}.{d[2]}"
+                if uid not in project.sources:
+                    raise CompileError(f"{node.unique_id}: unknown source {d[1]}.{d[2]}")
+                resolved.append(uid)
+        node.depends_on = list(dict.fromkeys(resolved))
+        return
+
     def ref(*args):
         name = args[-1]
         uid = f"model.{project.name}.{name}"
@@ -131,10 +197,15 @@ def parse_node(project, node) -> None:
         execute=False,
         run_query=lambda sql: None,
         adapter=None,
+        __execute_statement=lambda *a, **k: "",
+        __store_raw=lambda *a, **k: "",
+        store_result=lambda *a, **k: "",
+        load_result=lambda name: None,
     )
     env = _base_env()
     try:
-        env.from_string(node.raw_code).render(**ctx)
+        src = BUILTIN_MACROS + project.macros_src + "\n" + node.raw_code
+        env.from_string(src).render(**ctx)
     except jinja2.UndefinedError as e:
         raise CompileError(f"{node.unique_id}: {e}") from e
     # per-node config() wins over dir-level config (reference precedence)
@@ -178,13 +249,49 @@ def compile_node(project, node, relation_for, adapter=None,
             raise CompileError("run_query unavailable without adapter")
         return adapter.run_query(sql)
 
+    # statement protocol (MA etc/statement.sql): results stored per
+    # compile, readable via load_result
+    statement_results: dict[str, dict] = {}
+
+    def __execute_statement(name, sql, fetch_result=False):
+        if adapter is None:
+            raise CompileError("statement unavailable without adapter")
+        response, table = adapter.execute(sql, fetch=bool(fetch_result))
+        if name:
+            statement_results[name] = {
+                "response": response, "table": table,
+                "data": list(table.rows) if table is not None else [],
+            }
+        return ""
+
+    def __store_raw(name, message, code, rows_affected, res):
+        if name:
+            statement_results[name] = {
+                "response": {"message": message, "code": code,
+                             "rows_affected": rows_affected},
+                "table": res, "data": [],
+            }
+        return ""
+
+    def store_result(name, response=None, agate_table=None):
+        statement_results[name] = {
+            "response": response, "table": agate_table,
+            "data": list(agate_table.rows) if agate_table is not None else [],
+        }
+        return ""
+
     ctx = _common_context(project, node)
     ctx.update(
         ref=ref, source=source, config=lambda *a, **k: "",
         this=node.relation_name(), is_incremental=lambda: is_incremental,
         execute=True, run_query=run_query, adapter=adapter,
+        __execute_statement=__execute_statement,
+        __store_raw=__store_raw,
+        store_result=store_result,
+        load_result=statement_results.get,
     )
-    body = _base_env().from_string(node.raw_code).render(**ctx).strip()
+    src = BUILTIN_MACROS + project.macros_src + "\n" + node.raw_code
+    body = _base_env().from_string(src).render(**ctx).strip()
     if ephemeral_ctes:
         ctes = ",\n".join(f"{name} AS (\n{sql}\n)" for name, sql in ephemeral_ctes.items())
         # merge with an existing WITH in the model body if present

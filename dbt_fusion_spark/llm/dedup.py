@@ -30,14 +30,61 @@ def _norm(text_col) -> Column:
 
 
 def shingle_array(text_col: str, n: int = 5) -> Column:
-    norm = _norm(text_col)
+    """Distinct character n-grams as an array (requires the `__t` column
+    from with_normalized). Only for small/candidate-set use — bulk
+    pipelines use exploded_shingles (see PERF note there)."""
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(length(regexp_replace(lower({text_col}),"
-            f" '\\\\s+', ' ')) - {n - 1}, 1)),"
-            f" i -> substring(regexp_replace(lower({text_col}), '\\\\s+', ' '), i, {n}))"
+            "transform(sequence(1, greatest(length(__t) - {o}, 1)),"
+            " i -> substring(__t, i, {n}))".replace("{o}", str(n - 1)).replace(
+                "{n}", str(n)
+            )
         )
     )
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5,
+                      distinct: bool = False) -> DataFrame:
+    """(id, shingle) long form, built WITHOUT higher-order functions.
+
+    PERF (hard-won): HOF lambdas are interpreted, and Catalyst's
+    CollapseProject inlines a staged normalization regex INTO the lambda
+    body — re-running the regex per array element (observed 50ms/row).
+    Exploding the position range through a Generate node instead blocks
+    projection collapse: the regex is evaluated once per row in the
+    child projection, and substring/md5 above it are flat, whole-stage-
+    codegen'd projections. ~20x faster and the shape that scales."""
+    norm = with_normalized(ensure_parallelism(df), text_col).select(id_col, "__t")
+    pos = norm.select(
+        id_col,
+        "__t",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("__t") - (n - 1), F.lit(1)))
+        ).alias("__i"),
+    )
+    out = pos.select(id_col, F.expr(f"substring(__t, __i, {n})").alias("__s"))
+    return out.dropDuplicates([id_col, "__s"]) if distinct else out
+
+
+def with_normalized(df: DataFrame, text_col: str) -> DataFrame:
+    """Adds `__t` (lowercased, whitespace-collapsed text) — the shared
+    input for shingles/tokens, computed exactly once per row."""
+    return df.withColumn(
+        "__t", F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    )
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition ONLY under-parallelized inputs up to the cluster's
+    core count. A single-file corpus otherwise runs every per-row
+    shingle/hash on one core (observed: 30s -> 3s on local[32]); at
+    real scale inputs already have >= cores partitions and this is a
+    no-op — no shuffle is ever added for big inputs."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup(df: DataFrame, keys: list[str], tie_breaker: str) -> DataFrame:
@@ -59,63 +106,98 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str,
     collide on a band with probability J^r, giving the standard
     (1-(1-J^r)^b) S-curve. Returns (id, band_id, band_value) long form
     ready for bucketing."""
-    sh = shingle_array(text_col, shingle_n).alias("__sh")
-    base = df.select(F.col(id_col), sh)
-
-    def salted_min(salt: str) -> Column:
-        # NB: the lambda must be single-arg — a second arg would be
-        # interpreted by F.transform as the array index.
-        return F.array_min(
-            F.transform(F.col("__sh"), lambda s: F.md5(F.concat(F.lit(salt), s)))
+    # Exploded shingles (codegen path — see exploded_shingles PERF note);
+    # duplicates are harmless under min-aggregation, so no distinct pass.
+    # Partial min runs map-side: the shuffle carries one 16-hash row per
+    # doc — the right shape at 100 TB too.
+    n_hashes = n_bands * rows_per_band
+    exploded = exploded_shingles(df, id_col, text_col, shingle_n, distinct=False)
+    hashed = exploded.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"b{k}|"), F.col("__s"))).alias(f"__h{k}")
+            for k in range(n_hashes)
+        ],
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"__h{k}").alias(f"__m{k}") for k in range(n_hashes)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band_id"),
+            F.concat_ws(
+                "",
+                *[F.col(f"__m{j * rows_per_band + i}")
+                  for i in range(rows_per_band)],
+            ).alias("band_value"),
         )
-
-    bands = []
-    for j in range(n_bands):
-        parts = [
-            salted_min(f"b{j * rows_per_band + i}|") for i in range(rows_per_band)
-        ]
-        bands.append(
-            base.select(
-                id_col,
-                F.lit(j).alias("band_id"),
-                F.concat_ws("", *parts).alias("band_value"),
-            )
-        )
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionByName(b)
-    return out
+        for j in range(n_bands)
+    ]
+    return sig.select(
+        id_col, F.explode(F.array(*band_structs)).alias("__b")
+    ).select(id_col, F.col("__b.band_id"), F.col("__b.band_value"))
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                         n_bands: int = 4, rows_per_band: int = 4,
                         shingle_n: int = 5) -> DataFrame:
-    """Near-dup candidates: pairs sharing ANY minhash band. The join is
-    per-(band_id, band_value) bucket — never all-pairs."""
+    """Near-dup candidates: pairs sharing ANY minhash band, generated
+    bucket-wise: group ids per (band_id, band_value), emit in-bucket
+    pairs. One pass over the signature pipeline (a self-join would
+    evaluate it twice) and never an all-pairs product — work is
+    O(sum of bucket^2), the LSH contract."""
     bands = minhash_bands(df, id_col, text_col, n_bands, rows_per_band, shingle_n)
-    a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_value")
-    b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_value")
-    return (
-        a.join(b, ["band_id", "band_value"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    buckets = (
+        bands.groupBy("band_id", "band_value")
+        .agg(F.collect_list(id_col).alias("__ids"))
+        .filter(F.size("__ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(__ids,"
+                " a -> transform(__ids, b -> struct(a AS id_a, b AS id_b)))),"
+                " p -> p.id_a < p.id_b)"
+            )
+        ).alias("__p")
+    )
+    return pairs.select("__p.id_a", "__p.id_b").distinct()
 
 
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
                   shingle_n: int = 5) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (the verify step after
-    LSH): |A ∩ B| / |A ∪ B| over distinct shingle sets."""
-    sh = df.select(F.col(id_col), shingle_array(text_col, shingle_n).alias("__sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
-    joined = pairs.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    return joined.select(
-        "id_a", "id_b",
-        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    LSH): |A ∩ B| / |A ∪ B| over distinct shingle sets.
+
+    Count-join formulation — no arrays, no HOFs: the distinct (id,
+    shingle) table joins itself through the pair list; the intersection
+    is a group count and set sizes come from a per-doc count. Pure
+    codegen'd joins + aggregates, and only candidate pairs pay."""
+    shc = exploded_shingles(df, id_col, text_col, shingle_n, distinct=True)
+    sizes = shc.groupBy(id_col).agg(F.count("*").alias("__n"))
+
+    sh_a = shc.select(F.col(id_col).alias("id_a"), F.col("__s"))
+    sh_b = shc.select(F.col(id_col).alias("id_b"), F.col("__s"))
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "__s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (
+                F.coalesce(F.col("__inter"), F.lit(0)).cast("double")
+                / (F.col("__na") + F.col("__nb")
+                   - F.coalesce(F.col("__inter"), F.lit(0))).cast("double")
+            ).alias("jaccard"),
+        )
     )
 
 
@@ -132,7 +214,7 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = F.array_distinct(
         F.filter(F.split(_norm(text_col), " "), lambda x: x != F.lit(""))
     )
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
+    exploded = ensure_parallelism(df).select(F.col(id_col), F.explode(toks).alias("__tok"))
     h = F.md5(F.col("__tok"))
     bit_sums = []
     for pos in range(8):  # hex positions 1..8

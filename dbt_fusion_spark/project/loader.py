@@ -34,6 +34,10 @@ class Project:
     profile: dict[str, Any] = field(default_factory=dict)
     nodes: dict[str, Node] = field(default_factory=dict)
     sources: dict[str, Node] = field(default_factory=dict)  # source.<src>.<table>
+    # concatenated {% macro %} definitions from macro-paths; prepended to
+    # every template render so models can call project macros (the
+    # reference resolves macros per package, resolver.rs:103-112)
+    macros_src: str = ""
 
     @property
     def default_schema(self) -> str:
@@ -84,17 +88,29 @@ def load_project(root: str | Path, profile: dict | None = None,
     model_paths = cfg.get("model-paths", ["models"])
     seed_paths = cfg.get("seed-paths", ["seeds"])
     snapshot_paths = cfg.get("snapshot-paths", ["snapshots"])
+    macro_paths = cfg.get("macro-paths", ["macros"])
 
-    # --- models (+ schema.yml in model dirs) ---
+    # --- macros ---
+    for mp in macro_paths:
+        base = root / mp
+        if base.exists():
+            proj.macros_src = "\n".join(
+                f.read_text() for f in sorted(base.rglob("*.sql"))
+            )
+
+    # --- models (+ schema.yml in model dirs); .py = python models ---
     for mp in model_paths:
         base = root / mp
         if not base.exists():
             continue
-        for f in sorted(base.rglob("*.sql")):
+        for f in sorted(base.rglob("*.sql")) + sorted(base.rglob("*.py")):
             rel = f.relative_to(base)
             node_name = f.stem
             uid = f"model.{name}.{node_name}"
             conf = _dir_config(proj.models_config, rel.parts[:-1], name)
+            if f.suffix == ".py":
+                conf = dict(conf)
+                conf["language"] = "python"
             proj.nodes[uid] = Node(
                 unique_id=uid, name=node_name, resource_type="model",
                 package=name, path=str(f.relative_to(root)),

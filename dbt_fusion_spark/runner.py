@@ -211,6 +211,8 @@ class DbtSparkRunner:
             )
             out = materialize_snapshot(self.adapter, node.schema,
                                        node.identifier, sql, cfg)
+        elif rt == "model" and node.config.get("language") == "python":
+            out = self._run_python_model(node, full_refresh)
         elif rt == "model":
             mat = node.materialized
             if mat == "ephemeral":
@@ -249,6 +251,46 @@ class DbtSparkRunner:
             raise ValueError(f"unsupported resource_type {rt!r}")
         self._hooks(node, "post_hook")
         return out
+
+    def _run_python_model(self, node, full_refresh: bool) -> str:
+        """Python models run natively: `session` IS the SparkSession and
+        dbt.ref() returns DataFrames — the place this engine is *more*
+        natural than the reference, which ships python jobs to warehouse
+        runtimes (base_adapter.rs:436 submit_python_job,
+        crates/dbt-adapter/src/python/*.rs)."""
+        runner = self
+
+        class _Dbt:
+            def ref(self, *args):
+                name = args[-1]
+                for uid in (f"model.{runner.project.name}.{name}",
+                            f"seed.{runner.project.name}.{name}",
+                            f"snapshot.{runner.project.name}.{name}"):
+                    if uid in runner.project.nodes:
+                        return runner.spark.table(runner.relation_for(uid))
+                raise KeyError(f"unknown ref {name!r}")
+
+            def source(self, src, tbl):
+                return runner.spark.table(
+                    runner.relation_for(
+                        f"source.{runner.project.name}.{src}.{tbl}"))
+
+            def config(self, **kwargs):  # captured statically at parse
+                return None
+
+            this = node.relation_name()
+
+        namespace: dict = {}
+        exec(compile(node.raw_code, node.path, "exec"), namespace)  # noqa: S102
+        if "model" not in namespace:
+            raise ValueError(f"{node.unique_id}: python model must define "
+                             "model(dbt, session)")
+        result = namespace["model"](_Dbt(), self.spark)
+        view = f"__dbt_py_{node.name}"
+        result.createOrReplaceTempView(view)
+        return materialize_table(self.adapter, node.schema, node.identifier,
+                                 f"SELECT * FROM {view}",
+                                 node.config.get("partition_by"))
 
     # --------------------------------------------------------- artifacts
     def write_artifacts(self, rr: RunResults) -> None:

@@ -119,3 +119,33 @@ def test_source_freshness(runner):
         "source.tpch_demo.tpch.orders")
     assert max_loaded is not None and snapshotted is not None
     assert max_loaded.year >= 1995
+
+
+def test_macros_and_statement_protocol(runner, spark):
+    """Project macros render; {% call statement %} executes and
+    load_result feeds the template (MA etc/statement.sql protocol)."""
+    rr = runner.run(select="order_bands")
+    assert rr.ok, [(r.unique_id, r.message) for r in rr.results]
+    df = spark.table("analytics.order_bands")
+    rows = {r["value_band"]: r for r in df.collect()}
+    assert set(rows) <= {"high", "mid", "low"} and len(rows) >= 2
+    # statement result was inlined: corpus_max_price equals true max
+    true_max = spark.sql(
+        "select max(o_totalprice) from analytics.stg_orders").collect()[0][0]
+    assert rows["high"]["corpus_max_price"] == true_max
+
+
+def test_python_model(runner, spark):
+    """Python models run natively with session=SparkSession and
+    dbt.ref() -> DataFrame (reference: submit_python_job ships these to
+    warehouse runtimes; Spark runs them in-process)."""
+    node = runner.project.nodes["model.tpch_demo.nation_stats_py"]
+    assert node.config["language"] == "python"
+    assert node.config["materialized"] == "table"  # from dbt.config()
+    assert set(node.depends_on) == {
+        "model.tpch_demo.stg_customers", "model.tpch_demo.customer_revenue"}
+    rr = runner.run(select="nation_stats_py")
+    assert rr.ok, [(r.unique_id, r.message) for r in rr.results]
+    df = spark.table("analytics.nation_stats_py")
+    assert df.count() == 25  # 25 nations
+    assert {"c_nationkey", "n_customers", "nation_revenue"} == set(df.columns)

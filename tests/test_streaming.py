@@ -1,0 +1,97 @@
+"""Structured Streaming operators: availableNow backfill over the
+events parquet, windowed aggregates with watermark, streaming merge."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_fusion_spark.sources.registry import load_table
+from dbt_fusion_spark.streaming import streaming_merge, streaming_table, windowed_aggregate
+
+
+@pytest.fixture()
+def events_stream(spark, sf_small):
+    # file-based stream over the events parquet (schema from batch read)
+    batch = load_table(spark, sf_small, "events")
+    return (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_small}/events.parquet").schema
+        )
+        .parquet(f"{sf_small}/events.parquet"[: -len("/events.parquet")] )
+        # restrict to the events file via pathGlobFilter below
+    )
+
+
+def test_streaming_table_backfill(spark, sf_small):
+    """availableNow trigger = the microbatch backfill path: process all
+    existing data as micro-batches, then stop."""
+    schema = spark.read.parquet(f"{sf_small}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_small)
+    )
+    ckpt = tempfile.mkdtemp(prefix="dfs-ckpt-")
+    spark.sql("CREATE DATABASE IF NOT EXISTS streaming_test")
+    spark.sql("DROP TABLE IF EXISTS streaming_test.events_copy")
+
+    def transform(df):
+        return df.select(
+            "event_id", "user_id", "event_type",
+            F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
+        ).filter(F.col("event_type") != "error")
+
+    q = streaming_table(stream, transform, "streaming_test.events_copy",
+                        ckpt, trigger={"availableNow": True})
+    q.awaitTermination(120)
+    got = spark.table("streaming_test.events_copy").count()
+    want = load_table(spark, sf_small, "events").filter("event_type != 'error'").count()
+    assert got == want
+    # idempotent restart: no duplicates after a second availableNow run
+    q2 = streaming_table(stream, transform, "streaming_test.events_copy",
+                         ckpt, trigger={"availableNow": True})
+    q2.awaitTermination(120)
+    assert spark.table("streaming_test.events_copy").count() == want
+
+
+def test_windowed_aggregate_matches_batch(spark, sf_small):
+    """The streaming windowed aggregate plan, executed on the batch
+    frame, equals a plain group-by — semantics check of the window+
+    watermark construction."""
+    events = load_table(spark, sf_small, "events")
+    agg = windowed_aggregate(events, window_size="1 day", watermark="2 days")
+    batch = (
+        events.groupBy(
+            F.date_trunc("day", "ts").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    a = {(r["window_start"], r["event_type"]): r["n_events"] for r in agg.collect()}
+    b = {(r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    assert a == b
+
+
+def test_streaming_merge_upserts(spark, sf_small, tmp_path):
+    schema = spark.read.parquet(f"{sf_small}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_small)
+        .select("user_id", "event_type", "value")
+        .groupBy("user_id").agg(F.count("*").alias("n"))
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS streaming_test")
+    spark.sql("DROP TABLE IF EXISTS streaming_test.user_counts")
+    q = streaming_merge(
+        stream.select("user_id", "n"), "streaming_test.user_counts",
+        "user_id", str(tmp_path / "ckpt"), spark,
+        trigger={"availableNow": True},
+    )
+    # complete-mode aggregation requires update/complete: foreachBatch
+    # receives the full aggregate each batch; merge keeps keys unique.
+    q.awaitTermination(120)
+    t = spark.table("streaming_test.user_counts")
+    assert t.count() == t.select("user_id").distinct().count()
+    assert t.count() > 0
