@@ -106,6 +106,67 @@ def _reorder_to_table(spark: SparkSession, table: str, sql: str) -> str:
     return f"SELECT {cols} FROM (\n{sql}\n) __dbt_src"
 
 
+def materialize_materialized_view(adapter: SparkAdapter, schema: str, name: str,
+                                  sql: str,
+                                  on_configuration_change: str = "apply") -> str:
+    """models/materialized_view.sql:1-123: create / refresh / alter by
+    on_configuration_change (apply|continue|fail). The Spark session
+    catalog has no MV object, so refresh = full recompute into the same
+    relation (what the reference's `refresh` relation op does for
+    warehouses without incremental MV maintenance). `continue` skips the
+    refresh when the relation already exists; `fail` errors."""
+    existing = adapter.get_relation(None, schema, name, use_cache=False)
+    if existing is not None:
+        if on_configuration_change == "continue":
+            return "SKIP (on_configuration_change=continue)"
+        if on_configuration_change == "fail":
+            raise RuntimeError(
+                f"materialized view {schema}.{name} exists "
+                "(on_configuration_change=fail)")
+    materialize_table(adapter, schema, name, sql)
+    return ("REFRESH MATERIALIZED VIEW" if existing is not None
+            else "CREATE MATERIALIZED VIEW")
+
+
+def materialize_clone(adapter: SparkAdapter, schema: str, name: str,
+                      source_relation: str, copy: bool = False) -> str:
+    """models/clone/{clone.sql:1-67, can_clone_table.sql,
+    create_or_replace_clone.sql}: zero-copy clone where the format
+    supports it, else pointer view. Plain parquet tables have no
+    SHALLOW CLONE (a Delta/Iceberg feature), so the default is the
+    reference's pointer fallback (a view over the source); copy=True
+    forces a full CTAS copy."""
+    if copy:
+        materialize_table(adapter, schema, name,
+                          f"SELECT * FROM {source_relation}")
+        return "CLONE (copy)"
+    materialize_view(adapter, schema, name, f"SELECT * FROM {source_relation}")
+    return "CLONE (pointer view)"
+
+
+def materialize_function(adapter: SparkAdapter, schema: str, name: str,
+                         body: str, config: dict) -> str:
+    """materializations/functions/{function.sql,scalar.sql,helpers.sql}
+    + DbtFunction node (nodes.rs:3875-3892): CREATE FUNCTION from the
+    model body. Spark 4 SQL UDFs: scalar functions persist in the
+    catalog; RETURNS TABLE(...) functions cannot be schema-qualified,
+    so they register as temporary (session-scoped) functions."""
+    args = config.get("arguments") or []
+    arg_sql = ", ".join(f"{a['name']} {a['data_type']}" for a in args)
+    returns = config.get("returns", "STRING")
+    if returns.strip().upper().startswith("TABLE"):
+        adapter.spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({arg_sql}) "
+            f"RETURNS {returns} RETURN {body}"
+        )
+        return "CREATE TEMPORARY FUNCTION (table)"
+    adapter.spark.sql(
+        f"CREATE OR REPLACE FUNCTION `{schema}`.`{name}`({arg_sql}) "
+        f"RETURNS {returns} RETURN {body}"
+    )
+    return "CREATE FUNCTION"
+
+
 def process_schema_changes(adapter: SparkAdapter, target: Relation, sql: str,
                            on_schema_change: str) -> None:
     """incremental/on_schema_change.sql (called from incremental.sql:55)."""
@@ -166,6 +227,30 @@ def materialize_incremental(
             + _reorder_to_table(spark, target.render(), sql)
         )
         return "INSERT OVERWRITE"
+    if strategy == "replace_where":
+        # databricks replace_where (common.rs:566-568): atomic
+        # predicate-scoped replacement. Delta expresses it as
+        # option("replaceWhere", pred); the plain-parquet rewrite keeps
+        # target rows NOT matching the predicate and unions the batch,
+        # landing via tmp+swap (same atomicity as table.sql's dance).
+        preds = incremental_predicates
+        if not preds:
+            raise ValueError("replace_where requires incremental_predicates")
+        if isinstance(preds, str):
+            preds = [preds]
+        pred_sql = " AND ".join(f"({p})" for p in preds)
+        cols = ", ".join(
+            f"`{f.name}`" for f in spark.table(target.render()).schema.fields)
+        rewrite = (
+            f"SELECT {cols} FROM {target.render()} WHERE NOT ({pred_sql})\n"
+            f"UNION ALL\nSELECT {cols} FROM (\n{sql}\n) __dbt_batch "
+            f"WHERE {pred_sql}"
+        )
+        tmp = _rel(schema, name + "__dbt_tmp", RelationType.Table)
+        adapter.drop_relation(tmp)
+        create_table_as(adapter, tmp, rewrite, partition_by)
+        swap_in(adapter, tmp, target)
+        return "REPLACE WHERE"
     if strategy in ("merge", "delete+insert"):
         target_df = spark.table(target.render())
         source_df = spark.sql(sql)
@@ -262,4 +347,7 @@ MATERIALIZATION_REGISTRY = {
     "incremental": materialize_incremental,
     "seed": materialize_seed,
     "snapshot": materialize_snapshot,
+    "materialized_view": materialize_materialized_view,
+    "clone": materialize_clone,
+    "function": materialize_function,
 }

@@ -27,7 +27,10 @@ from dbt_fusion_spark.adapter import SparkAdapter
 from dbt_fusion_spark.dag import Dag, select_nodes
 from dbt_fusion_spark.jinja import compile_node, parse_node
 from dbt_fusion_spark.materializations.executors import (
+    materialize_clone,
+    materialize_function,
     materialize_incremental,
+    materialize_materialized_view,
     materialize_seed,
     materialize_snapshot,
     materialize_table,
@@ -77,6 +80,9 @@ class DbtSparkRunner:
                                     default_schema=self.project.default_schema)
         self.dag: Dag | None = None
         self._parsed = False
+        # continuous streaming queries started by streaming_table /
+        # dynamic_table models with a target_lag (caller manages lifetime)
+        self.streams: list = []
 
     # ------------------------------------------------------------- parse
     def parse(self) -> None:
@@ -217,6 +223,8 @@ class DbtSparkRunner:
             mat = node.materialized
             if mat == "ephemeral":
                 return "EPHEMERAL (inlined downstream)"
+            if mat in ("streaming_table", "dynamic_table"):
+                return self._run_streaming_model(node)
             exists = self.adapter.get_relation(
                 None, node.schema, node.identifier, use_cache=False)
             sql = self.compile(
@@ -227,10 +235,22 @@ class DbtSparkRunner:
             if mat == "view":
                 out = materialize_view(self.adapter, node.schema,
                                        node.identifier, sql)
-            elif mat == "table" or mat == "materialized_view":
+            elif mat == "table":
                 out = materialize_table(self.adapter, node.schema,
                                         node.identifier, sql,
                                         node.config.get("partition_by"))
+            elif mat == "materialized_view":
+                out = materialize_materialized_view(
+                    self.adapter, node.schema, node.identifier, sql,
+                    node.config.get("on_configuration_change", "apply"))
+            elif mat == "clone":
+                out = materialize_clone(
+                    self.adapter, node.schema, node.identifier,
+                    self.relation_for(node.depends_on[0]),
+                    copy=bool(node.config.get("copy")))
+            elif mat == "function":
+                out = materialize_function(self.adapter, node.schema,
+                                           node.identifier, sql, node.config)
             elif mat == "incremental":
                 out = materialize_incremental(
                     self.adapter, node.schema, node.identifier, sql,
@@ -251,6 +271,61 @@ class DbtSparkRunner:
             raise ValueError(f"unsupported resource_type {rt!r}")
         self._hooks(node, "post_hook")
         return out
+
+    def _run_streaming_model(self, node) -> str:
+        """streaming_table (databricks streaming_table.rs:16) and
+        dynamic_table (snowflake dynamic_table.rs:129-291) as real
+        Structured Streaming: each source dependency becomes a
+        readStream temp view, the model SQL runs against it (yielding a
+        streaming DataFrame), and the result lands via writeStream.
+        No target_lag -> trigger(availableNow) backfill that terminates
+        (the microbatch-shaped default); target_lag ->
+        trigger(processingTime=lag), query handle kept in self.streams."""
+        import os
+
+        spark = self.spark
+        proj = self.project
+
+        def rel_for(uid: str) -> str:
+            if uid.startswith("source."):
+                src = proj.sources[uid]
+                loc = src.config.get("location")
+                if loc:
+                    fmt = src.config.get("format", "parquet")
+                    batch_schema = spark.read.format(fmt).load(loc).schema
+                    d, base = os.path.split(loc)
+                    reader = spark.readStream.schema(batch_schema).format(fmt)
+                    # file-path source: stream the parent dir with a glob
+                    # (the file-stream source wants a directory)
+                    if "." in base:
+                        sdf = reader.option("pathGlobFilter", base).load(d)
+                    else:
+                        sdf = reader.load(loc)
+                    view = f"__dbt_stream_{src.config['identifier']}"
+                    sdf.createOrReplaceTempView(view)
+                    return view
+            return self.relation_for(uid)
+
+        sql = compile_node(proj, node, rel_for, adapter=self.adapter)
+        node.compiled_code = sql
+        sdf = spark.sql(sql)
+        cfg = node.config
+        mat = node.materialized
+        output_mode = cfg.get("output_mode", "append")
+        if mat == "dynamic_table" and cfg.get("refresh_mode") == "full":
+            output_mode = "complete"
+        ckpt = str(proj.root / "target" / "checkpoints" / node.name)
+        writer = (sdf.writeStream.outputMode(output_mode)
+                  .option("checkpointLocation", ckpt))
+        target_lag = cfg.get("target_lag")
+        if target_lag:
+            q = writer.trigger(processingTime=target_lag).toTable(
+                node.relation_name())
+            self.streams.append(q)
+            return f"STREAMING ({mat}, target_lag={target_lag})"
+        q = writer.trigger(availableNow=True).toTable(node.relation_name())
+        q.awaitTermination()
+        return f"STREAMING ({mat}, availableNow backfill)"
 
     def _run_python_model(self, node, full_refresh: bool) -> str:
         """Python models run natively: `session` IS the SparkSession and

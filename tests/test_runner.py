@@ -20,7 +20,12 @@ PROJECT = str(Path(__file__).parent / "fixtures" / "tpch_project")
 
 @pytest.fixture(scope="module")
 def runner(spark):
+    import shutil
+
     spark.sql("DROP DATABASE IF EXISTS analytics CASCADE")
+    # stale streaming checkpoints would make availableNow re-runs no-ops
+    # against the freshly dropped database
+    shutil.rmtree(Path(PROJECT) / "target" / "checkpoints", ignore_errors=True)
     r = DbtSparkRunner(spark, PROJECT)
     r.parse()
     return r
@@ -149,3 +154,75 @@ def test_python_model(runner, spark):
     df = spark.table("analytics.nation_stats_py")
     assert df.count() == 25  # 25 nations
     assert {"c_nationkey", "n_customers", "nation_revenue"} == set(df.columns)
+
+
+def test_materialized_view(runner, spark):
+    """materialized_view emulation: create, then refresh = full
+    recompute (models/materialized_view.sql on_configuration_change)."""
+    rr = runner.run(select="revenue_mv")
+    assert rr.ok, [(r.unique_id, r.message) for r in rr.results]
+    first = spark.table("analytics.revenue_mv").collect()
+    assert len(first) >= 2  # O/F(/P) statuses
+    rr2 = runner.run(select="revenue_mv")
+    assert rr2.ok
+    assert {r["o_orderstatus"]: r["n_orders"] for r in
+            spark.table("analytics.revenue_mv").collect()} == \
+           {r["o_orderstatus"]: r["n_orders"] for r in first}
+
+
+def test_clone_pointer_view(runner, spark):
+    """clone without Delta = the reference's pointer fallback
+    (create_or_replace_clone.sql else-branch): a view over the source
+    that tracks it with zero data copied."""
+    rr = runner.run(select="+customer_revenue_clone")
+    assert rr.ok, [(r.unique_id, r.message) for r in rr.results]
+    src = spark.table("analytics.customer_revenue")
+    cln = spark.table("analytics.customer_revenue_clone")
+    assert cln.count() == src.count()
+    tbls = {t.name: t.tableType for t in spark.catalog.listTables("analytics")}
+    assert tbls["customer_revenue_clone"] == "VIEW"
+
+
+def test_function_materialization(runner, spark):
+    """function materialization -> Spark 4 SQL UDF persisted in the
+    catalog (functions/function.sql; DbtFunction nodes.rs:3875-3892)."""
+    rr = runner.run(select="order_value_usd")
+    assert rr.ok, [(r.unique_id, r.message) for r in rr.results]
+    got = spark.sql(
+        "SELECT analytics.order_value_usd(100.0, 1.25) AS usd").collect()[0]
+    assert got["usd"] == 125.0
+
+
+def test_streaming_table_model(runner, spark):
+    """streaming_table materialization: the model's source becomes a
+    readStream, availableNow backfill lands the result exactly-once."""
+    rr = runner.run(select="orders_stream")
+    assert rr.ok, [(r.unique_id, r.message) for r in rr.results]
+    got = spark.table("analytics.orders_stream").count()
+    want = spark.read.parquet("/root/testdata/sf0.001/orders.parquet") \
+        .filter("o_orderstatus = 'O'").count()
+    assert got == want
+    # second run: checkpoint makes the backfill a no-op, not a duplicate
+    rr2 = runner.run(select="orders_stream")
+    assert rr2.ok
+    assert spark.table("analytics.orders_stream").count() == want
+
+
+def test_replace_where_strategy(runner, spark):
+    """databricks replace_where: predicate-scoped atomic replacement
+    (common.rs:566-568) via the no-Delta rewrite."""
+    from dbt_fusion_spark.materializations.executors import (
+        materialize_incremental, materialize_table)
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS analytics")
+    materialize_table(runner.adapter, "analytics", "rw_target",
+                      "SELECT 'a' AS k, 1 AS v UNION ALL SELECT 'b', 2")
+    out = materialize_incremental(
+        runner.adapter, "analytics", "rw_target",
+        "SELECT 'b' AS k, 99 AS v UNION ALL SELECT 'c', 3",
+        strategy="replace_where",
+        incremental_predicates=["k >= 'b'"],
+    )
+    assert out == "REPLACE WHERE"
+    rows = {r["k"]: r["v"] for r in spark.table("analytics.rw_target").collect()}
+    assert rows == {"a": 1, "b": 99, "c": 3}
