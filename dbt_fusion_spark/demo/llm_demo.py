@@ -79,10 +79,14 @@ def dedup_exact_fingerprint(spark, sf_dir):
 
 
 def _duck_bands_sql(n_bands: int, rows_per_band: int, shingle_n: int = 5) -> str:
+    # hash family mirrors dedup.minhash_bands: hash k = 8-hex-char chunk
+    # (k%4) of md5('s{k//4}|' || shingle)
     band_selects = []
     for j in range(n_bands):
         parts = [
-            f"list_aggregate(list_transform(s, x -> md5('b{j * rows_per_band + i}|' || x)), 'min')"
+            "list_aggregate(list_transform(s, x -> substring("
+            f"md5('s{(j * rows_per_band + i) // 4}|' || x), "
+            f"{((j * rows_per_band + i) % 4) * 8 + 1}, 8)), 'min')"
             for i in range(rows_per_band)
         ]
         band_selects.append(

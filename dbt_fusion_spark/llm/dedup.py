@@ -110,12 +110,21 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str,
     # duplicates are harmless under min-aggregation, so no distinct pass.
     # Partial min runs map-side: the shuffle carries one 16-hash row per
     # doc — the right shape at 100 TB too.
+    #
+    # Hash family: instead of one salted md5 PER hash function, each
+    # salted md5 (128 bits) is split into four independent 8-hex-char
+    # (32-bit) chunks — 16 hash functions cost 4 md5 calls per shingle,
+    # not 16. The identical md5 subexpressions within the projection are
+    # eliminated once by codegen CSE (deterministic exprs).
     n_hashes = n_bands * rows_per_band
     exploded = exploded_shingles(df, id_col, text_col, shingle_n, distinct=False)
     hashed = exploded.select(
         id_col,
         *[
-            F.md5(F.concat(F.lit(f"b{k}|"), F.col("__s"))).alias(f"__h{k}")
+            F.substring(
+                F.md5(F.concat(F.lit(f"s{k // 4}|"), F.col("__s"))),
+                (k % 4) * 8 + 1, 8,
+            ).alias(f"__h{k}")
             for k in range(n_hashes)
         ],
     )
@@ -141,27 +150,33 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str,
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                         n_bands: int = 4, rows_per_band: int = 4,
                         shingle_n: int = 5) -> DataFrame:
-    """Near-dup candidates: pairs sharing ANY minhash band, generated
-    bucket-wise: group ids per (band_id, band_value), emit in-bucket
-    pairs. One pass over the signature pipeline (a self-join would
-    evaluate it twice) and never an all-pairs product — work is
-    O(sum of bucket^2), the LSH contract."""
-    bands = minhash_bands(df, id_col, text_col, n_bands, rows_per_band, shingle_n)
-    buckets = (
-        bands.groupBy("band_id", "band_value")
-        .agg(F.collect_list(id_col).alias("__ids"))
-        .filter(F.size("__ids") > 1)
+    """Near-dup candidates: pairs sharing ANY minhash band, via a
+    self-equi-join of the signature table on (band_id, band_value) —
+    work is O(sum of bucket^2), the LSH contract, and the join +
+    distinct stay whole-stage-codegen'd end to end.
+
+    PERF (measured, sf0.1 10k docs): generating in-bucket pairs with
+    collect_list + nested-transform HOFs looked shuffle-optimal but ran
+    12s — the m^2 struct expansion per bucket is interpreted row by
+    row. The shuffled hash self-join does the same m^2 work inside
+    codegen in ~2s. The signature table is persisted AND materialized
+    before the join — a lazy persist would let both join branches race
+    the empty cache and compute the shingle->hash pipeline twice
+    concurrently (measured: 2x wall). It is tiny next to the corpus
+    (one ~16-hash row per doc — at 100 TB corpus scale, signatures for
+    1B docs are ~100 GB, cache-able across a fleet)."""
+    bands = minhash_bands(
+        df, id_col, text_col, n_bands, rows_per_band, shingle_n
+    ).persist()
+    bands.count()  # materialize once; both join sides then read cache
+    a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_value")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_value")
+    return (
+        a.join(b, ["band_id", "band_value"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "filter(flatten(transform(__ids,"
-                " a -> transform(__ids, b -> struct(a AS id_a, b AS id_b)))),"
-                " p -> p.id_a < p.id_b)"
-            )
-        ).alias("__p")
-    )
-    return pairs.select("__p.id_a", "__p.id_b").distinct()
 
 
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
