@@ -72,13 +72,40 @@ class Dag:
 
 
 def select_nodes(project, dag: Dag, select: str | None = None,
-                 exclude: str | None = None) -> set[str]:
-    """Selection language subset (node_selector.rs:49-90): space-separated
-    union of atoms; each atom is [+]name[+] | tag:x | resource:type;
-    names support fnmatch globs."""
+                 exclude: str | None = None,
+                 prev_manifest: dict | None = None) -> set[str]:
+    """Selection language (node_selector.rs:49-90, 107-530):
+    space-separated terms union; ","-joined atoms within a term
+    intersect; each atom is [@|+]name[+] | tag:x | path:glob |
+    resource:type | config.<key>:value | state:modified|new. Names
+    support fnmatch globs. `@model` = model, its descendants, and all
+    ancestors of those descendants (the build-everything-needed form).
+    state: atoms compare raw_code checksums and config against
+    prev_manifest (prev_state/mod.rs + changeset.rs)."""
     all_ids = set(dag.deps)
 
+    def state_base(which: str) -> set[str]:
+        if prev_manifest is None:
+            raise ValueError(
+                "state: selector requires a previous manifest (state_dir)")
+        prev_nodes = prev_manifest.get("nodes", {})
+        out = set()
+        for uid in all_ids:
+            node = project.nodes[uid]
+            prev = prev_nodes.get(uid)
+            if prev is None:
+                out.add(uid)  # new nodes count as modified AND new
+                continue
+            if which == "new":
+                continue
+            if (prev.get("raw_code") != node.raw_code
+                    or prev.get("config", {}) != dict(node.config)):
+                out.add(uid)
+        return out
+
     def atom(a: str) -> set[str]:
+        at_op = a.startswith("@")
+        a = a.lstrip("@")
         plus_pre = a.startswith("+")
         plus_post = a.endswith("+")
         a = a.strip("+")
@@ -91,12 +118,35 @@ def select_nodes(project, dag: Dag, select: str | None = None,
         elif a.startswith("resource:"):
             rt = a[9:]
             base = {uid for uid in all_ids if project.nodes[uid].resource_type == rt}
+        elif a.startswith("path:"):
+            pat = a[5:]
+            base = {
+                uid for uid in all_ids
+                if fnmatch.fnmatch(project.nodes[uid].path or "", pat)
+                or (project.nodes[uid].path or "").startswith(pat.rstrip("*"))
+            }
+        elif a.startswith("config."):
+            key, _, val = a[7:].partition(":")
+            base = {
+                uid for uid in all_ids
+                if str(project.nodes[uid].config.get(key)) == val
+            }
+        elif a.startswith("state:"):
+            base = state_base(a[6:])
         else:
             base = {
                 uid for uid in all_ids
                 if fnmatch.fnmatch(project.nodes[uid].name, a)
             }
         out = set(base)
+        if at_op:
+            # @model: model + children + all ancestors of each of those
+            for uid in base:
+                desc = dag.descendants(uid)
+                out |= desc
+                for d in desc | {uid}:
+                    out |= dag.ancestors(d)
+            return out
         for uid in base:
             if plus_pre:
                 out |= dag.ancestors(uid)
@@ -104,9 +154,17 @@ def select_nodes(project, dag: Dag, select: str | None = None,
                 out |= dag.descendants(uid)
         return out
 
+    def term(t: str) -> set[str]:
+        # "a,b" intersects atoms (node_selector.rs set intersection)
+        parts = [p for p in t.split(",") if p]
+        out = atom(parts[0])
+        for p in parts[1:]:
+            out &= atom(p)
+        return out
+
     selected = all_ids if not select else set().union(
-        *(atom(a) for a in select.split())
+        *(term(t) for t in select.split())
     )
     if exclude:
-        selected -= set().union(*(atom(a) for a in exclude.split()))
+        selected -= set().union(*(term(t) for t in exclude.split()))
     return selected

@@ -96,6 +96,16 @@ def _dbt_namespace() -> SimpleNamespace:
 
 
 def _common_context(project, node) -> dict[str, Any]:
+    """Base dbt context (jinja-utils functions/base.rs:42-64 +
+    phases/parse/init.rs:80-107): var/env_var/target/run_started_at/
+    invocation_id/flags/json+yaml codecs/local_md5/api/modules."""
+    import datetime as _dt
+    import hashlib
+    import uuid
+
+    import pytz
+    import yaml
+
     def var(name, default=None):
         return project.vars.get(name, default)
 
@@ -109,6 +119,16 @@ def _common_context(project, node) -> dict[str, Any]:
         raise_compiler_error=lambda msg: (_ for _ in ()).throw(CompileError(msg)),
         warn=lambda msg: msg,
     )
+    # run_started_at / invocation_id are per-project-run constants
+    # (init.rs:80, base.rs invocation_id) — stamped once, then shared by
+    # every node render in the run
+    if not hasattr(project, "_run_started_at"):
+        project._run_started_at = _dt.datetime.now(tz=pytz.UTC)
+        project._invocation_id = str(uuid.uuid4())
+
+    from dbt_fusion_spark.column import Column
+    from dbt_fusion_spark.relation import Relation
+
     return {
         "var": var,
         "env_var": env_var,
@@ -120,16 +140,27 @@ def _common_context(project, node) -> dict[str, Any]:
         ),
         "dbt": _dbt_namespace(),
         "dbt_version": "fusion-spark-0.1",
+        "run_started_at": project._run_started_at,
+        "invocation_id": project._invocation_id,
+        "invocation_args_dict": {"project_dir": str(project.root)},
+        "flags": SimpleNamespace(FULL_REFRESH=False, WHICH="run",
+                                 STORE_FAILURES=False),
         "exceptions": exceptions,
         "tojson": json.dumps,
         "fromjson": json.loads,
+        "toyaml": yaml.safe_dump,
+        "fromyaml": yaml.safe_load,
+        "local_md5": lambda s: hashlib.md5(s.encode()).hexdigest(),
+        "diff_of_two_dicts": lambda a, b: {
+            k: v for k, v in a.items() if b.get(k) != v},
         "log": lambda msg, info=False: None,
         "print": lambda msg: None,
         "model": SimpleNamespace(name=node.name, unique_id=node.unique_id,
                                  config=node.config),
         "zip": zip,
         "set": lambda xs: list(dict.fromkeys(xs)),
-        "modules": SimpleNamespace(re=re),
+        "api": SimpleNamespace(Relation=Relation, Column=Column),
+        "modules": SimpleNamespace(re=re, datetime=_dt, pytz=pytz),
     }
 
 

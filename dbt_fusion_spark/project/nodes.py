@@ -14,14 +14,16 @@ from dataclasses import dataclass, field
 from typing import Any
 
 MATERIALIZATIONS = {
-    # common.rs:217-239 (subset executable on Spark v1)
+    # common.rs:217-239
     "view", "table", "incremental", "ephemeral", "seed", "snapshot", "test",
-    "unit", "materialized_view", "streaming_table",
+    "unit", "materialized_view", "streaming_table", "dynamic_table",
+    "clone", "function",
 }
 
 INCREMENTAL_STRATEGIES = {
     # common.rs:558-572
     "append", "merge", "delete+insert", "insert_overwrite", "microbatch",
+    "replace_where",
 }
 
 ON_SCHEMA_CHANGE = {"ignore", "append_new_columns", "fail", "sync_all_columns"}
@@ -65,7 +67,14 @@ class Node:
         return self.resource_type == "model" and self.materialized == "ephemeral"
 
     def to_manifest_dict(self) -> dict:
+        import hashlib
+
         return {
+            "checksum": {
+                "name": "sha256",
+                "checksum": hashlib.sha256(
+                    (self.raw_code or "").encode()).hexdigest(),
+            },
             "unique_id": self.unique_id,
             "name": self.name,
             "resource_type": self.resource_type,

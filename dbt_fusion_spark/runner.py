@@ -124,7 +124,8 @@ class DbtSparkRunner:
     # --------------------------------------------------------------- run
     def run(self, select: str | None = None, exclude: str | None = None,
             full_refresh: bool = False, include_tests: bool = True,
-            threads: int | None = None) -> RunResults:
+            threads: int | None = None,
+            state_dir: str | None = None) -> RunResults:
         if not self._parsed:
             self.parse()
         t_start = time.perf_counter()
@@ -133,7 +134,15 @@ class DbtSparkRunner:
         for schema in {n.schema for n in proj.nodes.values() if n.schema}:
             self.adapter.create_schema(schema)
 
-        selected = select_nodes(proj, self.dag, select, exclude)
+        # state:modified / state:new compare against a previous manifest
+        # (prev_state/mod.rs; --state flag in the reference CLI)
+        prev_manifest = None
+        if state_dir is not None:
+            prev_manifest = json.loads(
+                (Path(state_dir) / "manifest.json").read_text())
+
+        selected = select_nodes(proj, self.dag, select, exclude,
+                                prev_manifest=prev_manifest)
         if not include_tests:
             selected = {u for u in selected
                         if proj.nodes[u].resource_type != "test"}

@@ -226,3 +226,84 @@ def test_replace_where_strategy(runner, spark):
     assert out == "REPLACE WHERE"
     rows = {r["k"]: r["v"] for r in spark.table("analytics.rw_target").collect()}
     assert rows == {"a": 1, "b": 99, "c": 3}
+
+
+def test_selection_language_extended(runner, tmp_path):
+    """Intersection, @-operator, path:, config.*:, state:modified
+    (node_selector.rs:107-530; prev_state/mod.rs)."""
+    import copy
+    import json as _json
+
+    from dbt_fusion_spark.dag import select_nodes
+
+    proj, dag = runner.project, runner.dag
+    # intersection: marts-tagged AND incremental == recent_orders
+    both = select_nodes(proj, dag, select="tag:marts,config.materialized:incremental")
+    assert both == {"model.tpch_demo.recent_orders"}
+    # path: prefix
+    staging = select_nodes(proj, dag, select="path:models/staging*")
+    assert "model.tpch_demo.stg_orders" in staging
+    assert "model.tpch_demo.customer_revenue" not in staging
+    # @stg_orders: itself + descendants + ancestors of descendants
+    at = select_nodes(proj, dag, select="@stg_orders")
+    assert "model.tpch_demo.customer_revenue" in at          # descendant
+    assert "model.tpch_demo.stg_customers" in at             # needed by descendant
+    # state:modified against a tweaked manifest
+    manifest = {"nodes": {uid: n.to_manifest_dict()
+                          for uid, n in proj.nodes.items()}}
+    prev = copy.deepcopy(manifest)
+    prev["nodes"]["model.tpch_demo.stg_orders"]["raw_code"] = "select 1"
+    del prev["nodes"]["model.tpch_demo.order_bands"]  # new node
+    modified = select_nodes(proj, dag, select="state:modified",
+                            prev_manifest=prev)
+    assert modified == {"model.tpch_demo.stg_orders",
+                        "model.tpch_demo.order_bands"}
+    new = select_nodes(proj, dag, select="state:new", prev_manifest=prev)
+    assert new == {"model.tpch_demo.order_bands"}
+    # state:modified+ pulls downstream rebuilds
+    downstream = select_nodes(proj, dag, select="state:modified+",
+                              prev_manifest=prev)
+    assert "model.tpch_demo.customer_revenue" in downstream
+    # runner API: state_dir wiring end-to-end
+    state = tmp_path / "state"
+    state.mkdir()
+    (state / "manifest.json").write_text(_json.dumps(prev))
+    rr = runner.run(select="state:new", state_dir=str(state),
+                    include_tests=False)
+    assert {r.unique_id for r in rr.results} == {"model.tpch_demo.order_bands"}
+
+
+def test_jinja_context_surface(runner, spark):
+    """dbt context functions beyond ref/source/config
+    (jinja-utils functions/base.rs:42-64, init.rs:80-107): yaml/json
+    codecs, local_md5, invocation_id, run_started_at, modules, api.*."""
+    from dbt_fusion_spark.jinja import compile_node, parse_node
+    from dbt_fusion_spark.project.nodes import Node
+
+    raw = (
+        "{% set d = fromyaml('a: 41') %}"
+        "{% set j = fromjson(tojson({'b': 2})) %}"
+        "select '{{ local_md5('x') }}' as md5_x, {{ d['a'] + j['b'] }} as n,"
+        " '{{ invocation_id }}' as inv,"
+        " {{ run_started_at.year }} as yr,"
+        " '{{ modules.datetime.date(2020, 1, 2).isoformat() }}' as dt,"
+        " '{{ api.Relation.create(schema='s', identifier='t').render() }}'"
+        " as rel"
+    )
+    node = Node(unique_id="model.tpch_demo.ctx_probe", name="ctx_probe",
+                resource_type="model", package="tpch_demo",
+                path="models/ctx_probe.sql", raw_code=raw)
+    runner.project.nodes[node.unique_id] = node
+    try:
+        parse_node(runner.project, node)
+        sql = compile_node(runner.project, node, runner.relation_for,
+                           adapter=runner.adapter)
+    finally:
+        del runner.project.nodes[node.unique_id]
+    row = spark.sql(sql).collect()[0]
+    assert row["md5_x"] == "9dd4e461268c8034f5c8564e155c67a6"
+    assert row["n"] == 43
+    assert len(row["inv"]) == 36
+    assert row["yr"] >= 2026
+    assert row["dt"] == "2020-01-02"
+    assert row["rel"] == "`s`.`t`"
