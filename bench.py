@@ -21,7 +21,9 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
     "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
     "window_top_customers_per_nation",
     # materialization algebra
     "incremental_merge",

@@ -114,3 +114,29 @@ def crossdb_date_spine(spark, sf_dir):
 def crossdb_generate_series(spark, sf_dir):
     register_views(spark, sf_dir)
     return spark.sql(X.generate_series(1000))
+
+
+@register(
+    "function_sql_udf",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice / 10 AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_fee
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def function_sql_udf(spark, sf_dir):
+    """function materialization surface (functions/function.sql,
+    DbtFunction nodes.rs:3875-3892): a SQL UDF created in-catalog and
+    applied in a query. The oracle inlines the body — the UDF is pure
+    SQL, so Catalyst inlines it too (no black-box penalty; the cast to
+    decimal keeps the sum associative/exact for parity)."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION order_fee(p DOUBLE) "
+        "RETURNS DECIMAL(18,4) RETURN CAST(p / 10 AS DECIMAL(18,4))"
+    )
+    return spark.sql(
+        "SELECT o_orderpriority, CAST(SUM(order_fee(o_totalprice)) AS DOUBLE)"
+        " AS total_fee FROM orders GROUP BY o_orderpriority"
+    )
