@@ -203,6 +203,10 @@ def materialize_incremental(
     merge_update_columns=None,
     merge_exclude_columns=None,
     incremental_predicates=None,
+    event_time: str | None = None,
+    batch_size: str = "day",
+    lookback: int = 1,
+    begin: str | None = None,
 ) -> str:
     spark = adapter.spark
     target = _rel(schema, name, RelationType.Table)
@@ -212,6 +216,57 @@ def materialize_incremental(
         return materialize_table(adapter, schema, name, sql, partition_by) and "CTAS (first run)"
 
     process_schema_changes(adapter, target, sql, on_schema_change)
+
+    if strategy == "microbatch":
+        # model_config.rs:79-82,155,209 + dbt-spark strategies.sql:80-91:
+        # split the run into event_time windows of batch_size, reprocess
+        # `lookback` already-seen batches (late data), land each batch as
+        # a dynamic-partition INSERT OVERWRITE — idempotent per window,
+        # which is what makes retries/replays exactly-once at 100 TB.
+        import datetime as _dt
+
+        from dbt_fusion_spark.incremental import microbatch_windows
+
+        if not event_time:
+            raise ValueError("microbatch requires event_time")
+        if not partition_by:
+            raise ValueError(
+                "microbatch on plain parquet requires partition_by so "
+                "INSERT OVERWRITE replaces only the batch's partitions")
+        hi_row = spark.sql(
+            f"SELECT CAST(MAX({event_time}) AS TIMESTAMP) AS hi "
+            f"FROM (\n{sql}\n) __mb_src").collect()[0]
+        if hi_row["hi"] is None:
+            return "MICROBATCH (no new data)"
+        end = hi_row["hi"] + _dt.timedelta(seconds=1)
+        last = spark.sql(
+            f"SELECT CAST(MAX({event_time}) AS TIMESTAMP) AS hi "
+            f"FROM {target.render()}").collect()[0]["hi"]
+        if last is not None:
+            # resume `lookback` batches before the newest seen batch
+            steps = {"hour": _dt.timedelta(hours=lookback),
+                     "day": _dt.timedelta(days=lookback),
+                     "month": _dt.timedelta(days=31 * lookback),
+                     "year": _dt.timedelta(days=366 * lookback)}[batch_size]
+            start = last - steps
+        else:
+            start = _dt.datetime.fromisoformat(begin) if begin else None
+        if start is None:
+            start = spark.sql(
+                f"SELECT CAST(MIN({event_time}) AS TIMESTAMP) AS lo "
+                f"FROM (\n{sql}\n) __mb_src").collect()[0]["lo"]
+        cols = ", ".join(
+            f"`{f.name}`" for f in spark.table(target.render()).schema.fields)
+        n = 0
+        for lo, hi in microbatch_windows(start, end, batch_size):
+            batch_sql = (
+                f"SELECT {cols} FROM (\n{sql}\n) __mb_batch "
+                f"WHERE {event_time} >= TIMESTAMP '{lo}' "
+                f"AND {event_time} < TIMESTAMP '{hi}'"
+            )
+            spark.sql(f"INSERT OVERWRITE TABLE {target.render()}\n{batch_sql}")
+            n += 1
+        return f"MICROBATCH ({n} batches of {batch_size})"
 
     if strategy == "append":
         spark.sql(

@@ -192,6 +192,18 @@ def _load_schema_yml(proj: Project, path: Path) -> None:
             for t in (col.get("tests") or col.get("data_tests") or []):
                 _add_generic_test(proj, model["name"], col["name"], t, path)
 
+    # unit tests (nodes.rs unit_tests map; fixtures common.rs:759-780
+    # Formats{Dict,Csv,Sql} + Rows)
+    for ut in doc.get("unit_tests", []) or []:
+        uid = f"unit_test.{proj.name}.{ut['name']}"
+        proj.nodes[uid] = Node(
+            unique_id=uid, name=ut["name"], resource_type="unit_test",
+            package=proj.name, path=str(path.relative_to(proj.root)),
+            config={"model": ut["model"], "given": ut.get("given") or [],
+                    "expect": ut.get("expect") or {}},
+            depends_on=[f"model.{proj.name}.{ut['model']}"],
+        )
+
 
 def _add_generic_test(proj: Project, model_name: str, column: str, t, path: Path
                       ) -> None:

@@ -179,7 +179,7 @@ class DbtSparkRunner:
         try:
             msg = self._materialize(node, full_refresh)
             status = "success"
-            if node.resource_type == "test":
+            if node.resource_type in ("test", "unit_test"):
                 status = msg  # pass | warn | fail
                 msg = ""
         except Exception as e:  # noqa: BLE001 — node errors become results
@@ -196,6 +196,8 @@ class DbtSparkRunner:
 
     def _materialize(self, node, full_refresh: bool) -> str:
         rt = node.resource_type
+        if rt == "unit_test":
+            return self._run_unit_test(node)
         if rt == "test":
             cfg = node.config
             model_uid = node.depends_on[0]
@@ -273,6 +275,10 @@ class DbtSparkRunner:
                     merge_update_columns=node.config.get("merge_update_columns"),
                     merge_exclude_columns=node.config.get("merge_exclude_columns"),
                     incremental_predicates=node.config.get("incremental_predicates"),
+                    event_time=node.config.get("event_time"),
+                    batch_size=node.config.get("batch_size", "day"),
+                    lookback=int(node.config.get("lookback", 1)),
+                    begin=node.config.get("begin"),
                 )
             else:
                 raise ValueError(f"unsupported materialization {mat!r}")
@@ -280,6 +286,79 @@ class DbtSparkRunner:
             raise ValueError(f"unsupported resource_type {rt!r}")
         self._hooks(node, "post_hook")
         return out
+
+    def _run_unit_test(self, node) -> str:
+        """Unit-test node (materializations/tests/unit.sql +
+        get_fixture_sql.sql:1-48): each `given` input becomes a typed
+        literal CTE (Dict/Csv/Sql fixture formats, common.rs:759-780),
+        the model SQL compiles with ref()/source() redirected to those
+        CTEs, and actual-vs-expected compares via two-way EXCEPT ALL
+        (helpers.sql:20-46)."""
+        import csv as _csv
+        import io
+        import re as _re
+
+        from dbt_fusion_spark.testing.unit import build_fixture_sql, unit_test_sql
+
+        proj = self.project
+        model = proj.nodes[f"model.{proj.name}.{node.config['model']}"]
+
+        def parse_rows(spec) -> list[dict]:
+            fmt = spec.get("format", "dict")
+            rows = spec.get("rows")
+            if fmt == "csv":
+                return list(_csv.DictReader(io.StringIO(rows)))
+            return rows or []
+
+        def input_columns(uid: str) -> dict[str, str]:
+            rel = self.relation_for(uid)
+            return {c.name: c.data_type
+                    for c in self.adapter.get_columns_in_relation(rel)}
+
+        fixtures: dict[str, str] = {}
+        redirect: dict[str, str] = {}
+        for giv in node.config["given"]:
+            inp = giv["input"].strip()
+            m = _re.match(r"ref\(\s*'([^']+)'\s*\)", inp)
+            if m:
+                name = m.group(1)
+                uid = next(u for u in (f"model.{proj.name}.{name}",
+                                       f"seed.{proj.name}.{name}",
+                                       f"snapshot.{proj.name}.{name}")
+                           if u in proj.nodes)
+            else:
+                m = _re.match(r"source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)", inp)
+                uid = f"source.{proj.name}.{m.group(1)}.{m.group(2)}"
+            cte = f"__dbt_fixture_{len(fixtures)}"
+            if giv.get("format") == "sql":
+                fixtures[cte] = giv["rows"]
+            else:
+                fixtures[cte] = build_fixture_sql(parse_rows(giv),
+                                                  input_columns(uid))
+            redirect[uid] = cte
+
+        def rel_for(uid: str) -> str:
+            return redirect.get(uid) or self.relation_for(uid)
+
+        model_sql = compile_node(proj, model, rel_for, adapter=self.adapter)
+
+        exp_rows = parse_rows(node.config["expect"])
+        exp_cols = list(dict.fromkeys(k for r in exp_rows for k in r))
+        # expected literal types come from the actual output schema
+        # (lazy analysis only — get_column_schema_from_query)
+        probe = (
+            "WITH " + ",\n".join(f"{k} AS (\n{v}\n)" for k, v in fixtures.items())
+            + f"\nSELECT * FROM (\n{model_sql}\n) __dbt_ut_probe"
+            if fixtures else model_sql
+        )
+        schema = {c.name: c.data_type
+                  for c in self.adapter.get_column_schema_from_query(probe)}
+        expected_sql = build_fixture_sql(
+            exp_rows, {c: schema.get(c, "string") for c in exp_cols})
+        actual_sql = (f"SELECT {', '.join(exp_cols)} FROM (\n{model_sql}\n)"
+                      " __dbt_ut_actual")
+        diff = self.spark.sql(unit_test_sql(actual_sql, fixtures, expected_sql))
+        return "pass" if diff.isEmpty() else "fail"
 
     def _run_streaming_model(self, node) -> str:
         """streaming_table (databricks streaming_table.rs:16) and
@@ -408,3 +487,31 @@ class DbtSparkRunner:
             f" current_timestamp() AS snapshotted_at FROM {rel}"
         ).collect()[0]
         return row["max_loaded_at"], row["snapshotted_at"]
+
+    def check_source_freshness(self, uid: str) -> dict:
+        """Freshness status against warn_after/error_after thresholds
+        (sources.rs:31-33; source YAML freshness block). Returns
+        {max_loaded_at, snapshotted_at, age_sec, status}."""
+        import datetime as _dt
+
+        src = self.project.sources[uid]
+        max_loaded, snapshotted = self.source_freshness(uid)
+        age = (snapshotted - max_loaded.replace(tzinfo=snapshotted.tzinfo)
+               ).total_seconds()
+        periods = {"minute": 60, "hour": 3600, "day": 86400}
+
+        def threshold(spec) -> float | None:
+            if not spec:
+                return None
+            return spec["count"] * periods[spec["period"]]
+
+        fresh_cfg = src.config.get("freshness") or {}
+        status = "pass"
+        err = threshold(fresh_cfg.get("error_after"))
+        warn = threshold(fresh_cfg.get("warn_after"))
+        if err is not None and age > err:
+            status = "error"
+        elif warn is not None and age > warn:
+            status = "warn"
+        return {"max_loaded_at": max_loaded, "snapshotted_at": snapshotted,
+                "age_sec": age, "status": status}

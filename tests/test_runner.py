@@ -239,7 +239,8 @@ def test_selection_language_extended(runner, tmp_path):
     proj, dag = runner.project, runner.dag
     # intersection: marts-tagged AND incremental == recent_orders
     both = select_nodes(proj, dag, select="tag:marts,config.materialized:incremental")
-    assert both == {"model.tpch_demo.recent_orders"}
+    assert both == {"model.tpch_demo.recent_orders",
+                    "model.tpch_demo.orders_by_month"}
     # path: prefix
     staging = select_nodes(proj, dag, select="path:models/staging*")
     assert "model.tpch_demo.stg_orders" in staging
@@ -307,3 +308,59 @@ def test_jinja_context_surface(runner, spark):
     assert row["yr"] >= 2026
     assert row["dt"] == "2020-01-02"
     assert row["rel"] == "`s`.`t`"
+
+
+def test_unit_test_node(runner, spark):
+    """unit_tests: YAML -> fixture CTEs -> model SQL -> two-way EXCEPT
+    ALL compare (materializations/tests/unit.sql, get_fixture_sql.sql)."""
+    import copy
+
+    uid = "unit_test.tpch_demo.ut_stg_orders_derivations"
+    assert uid in runner.project.nodes
+    rr = runner.run(select="ut_stg_orders_derivations")
+    by_id = {r.unique_id: r for r in rr.results}
+    assert by_id[uid].status == "pass", by_id[uid].message
+    # a wrong expectation must fail
+    node = copy.deepcopy(runner.project.nodes[uid])
+    node.config["expect"] = {"rows": [
+        {"o_orderkey": 1, "priority_rank": "9",
+         "due_date": "1995-04-14 00:00:00"},
+    ]}
+    assert runner._run_unit_test(node) == "fail"
+
+
+def test_microbatch_incremental(runner, spark):
+    """microbatch strategy: event_time windows, per-batch dynamic
+    partition INSERT OVERWRITE, lookback reprocessing
+    (model_config.rs:79-82; dbt-spark strategies.sql:80-91)."""
+    rr = runner.run(select="orders_by_month")
+    assert rr.ok, [(r.unique_id, r.message) for r in rr.results]
+    want = spark.table("analytics.stg_orders").count()
+    assert spark.table("analytics.orders_by_month").count() == want
+    # second run: only lookback+new windows reprocess; idempotent result
+    rr2 = runner.run(select="orders_by_month")
+    assert rr2.ok
+    msg = next(r for r in rr2.results
+               if r.unique_id == "model.tpch_demo.orders_by_month").message
+    assert "MICROBATCH" in msg and "batches of month" in msg
+    # a bounded number of windows reprocessed, not the full history
+    n_batches = int(msg.split("(")[1].split(" ")[0])
+    assert n_batches <= 3  # lookback=1 month + newest (+ boundary)
+    assert spark.table("analytics.orders_by_month").count() == want
+
+
+def test_freshness_thresholds(runner):
+    """warn_after/error_after evaluation (sources.rs:31-33): the 1995-
+    2001 testdata is ancient, so any threshold trips; no threshold
+    configured means pass."""
+    uid = "source.tpch_demo.tpch.orders"
+    res = runner.check_source_freshness(uid)
+    assert res["status"] == "pass" and res["age_sec"] > 0
+    src = runner.project.sources[uid]
+    src.config["freshness"] = {"warn_after": {"count": 1, "period": "day"}}
+    assert runner.check_source_freshness(uid)["status"] == "warn"
+    src.config["freshness"] = {
+        "warn_after": {"count": 1, "period": "hour"},
+        "error_after": {"count": 30, "period": "day"}}
+    assert runner.check_source_freshness(uid)["status"] == "error"
+    src.config["freshness"] = None
