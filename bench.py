@@ -34,6 +34,9 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_bruteforce_topk",
     "text_quality_score",
+    # events (streaming-shaped batch semantics)
+    "events_daily_rollup",
+    "events_sessionization",
 ]
 
 

@@ -398,3 +398,36 @@ def multimodal_frame_sample(spark, sf_dir):
     keep every 10th — fan-out without touching payload bytes."""
     docs = load_table(spark, sf_dir, "documents")
     return M.frame_sample_plan(M.attach_payload(docs, "text", "doc_id"), every_n=10)
+
+
+# ------------------------------------------------------------- events
+
+from dbt_fusion_spark.demo.registry import sql_query as _sql_query  # noqa: E402
+
+_sql_query(
+    "events_daily_rollup",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+
+_sql_query(
+    "events_sessionization",
+    """
+    WITH ordered AS (
+      SELECT user_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events)
+    SELECT user_id, CAST(1 + SUM(new_sess) AS BIGINT) AS n_sessions
+    FROM ordered GROUP BY user_id
+    """,
+)

@@ -30,8 +30,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (see session.py nanosAsLong);
-        # convert to microsecond timestamps — DuckDB does the same on read.
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # convert to microsecond timestamps — DuckDB does the same on
+        # read. Integer DIV, not /1000: epoch nanos (~1e18) exceed
+        # double's 53-bit mantissa, so float division drifts by ±1 µs.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     return df
 
 

@@ -1,0 +1,115 @@
+"""Physical-plan shape guards — the 100 TB scale contract.
+
+Correctness says WHAT each query returns; these tests pin HOW Spark
+executes it: filters reach the parquet scan (PushedFilters), projection
+prunes to the needed columns (ReadSchema), small dimensions broadcast
+instead of shuffling, and aggregates combine map-side so the shuffle
+carries partials, not rows. A regression here is invisible at sf0.01
+and catastrophic at 1000 executors, which is exactly why it's pinned.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from dbt_fusion_spark.demo import QUERIES
+
+
+def plan_of(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def shuffles(plan: str) -> int:
+    # "+- Exchange (n)" / ":- Exchange (n)" — NOT BroadcastExchange
+    return len(re.findall(r"[+:]- Exchange ", plan))
+
+
+def n_nodes(plan: str, name: str) -> int:
+    # formatted explain repeats each node in a detail section; count the
+    # "(7) NodeName" detail headers so every physical node counts once
+    return len(re.findall(rf"\(\d+\) {name}\n", plan))
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_q6_single_scan_single_shuffle(spark, sf):
+    """q6 must be: pruned scan -> pushed filters -> partial agg -> ONE
+    single-partition exchange. Anything else reads too much."""
+    plan = plan_of(QUERIES["tpch_q6_forecast_revenue"](spark, sf))
+    assert shuffles(plan) == 1
+    assert "Join" not in plan
+    # every predicate reached the scan
+    for pushed in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                   "GreaterThanOrEqual(l_discount", "LessThan(l_quantity"):
+        assert pushed in plan, pushed
+    # column pruning: only the 4 referenced columns are read
+    m = re.search(r"ReadSchema: struct<([^>]+)>", plan)
+    assert sorted(c.split(":")[0] for c in m.group(1).split(",")) == [
+        "l_discount", "l_extendedprice", "l_quantity", "l_shipdate"]
+
+
+def test_q1_no_join_partial_agg(spark, sf):
+    """q1: single table, map-side partial aggregation, one shuffle of
+    4-row-per-task partials."""
+    plan = plan_of(QUERIES["tpch_q1_pricing_summary"](spark, sf))
+    assert shuffles(plan) == 1
+    assert "Join" not in plan
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q3_broadcasts_dimensions(spark, sf):
+    """q3: customer filter pushes to scan; both joins broadcast (no
+    sort-merge shuffle of lineitem); final agg is the only shuffle."""
+    plan = plan_of(QUERIES["tpch_q3_shipping_priority"](spark, sf))
+    assert n_nodes(plan, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert shuffles(plan) == 1  # only the group-by on orderkey
+
+
+def test_q5_star_join_all_broadcast(spark, sf):
+    """q5's five-way star join: every dimension side broadcasts; the
+    fact table (lineitem) is never shuffled pre-join."""
+    plan = plan_of(QUERIES["tpch_q5_local_supplier_volume"](spark, sf))
+    assert n_nodes(plan, "BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(r_name" in plan  # region filter pushed to scan
+
+
+def test_q8_seven_table_join_shape(spark, sf):
+    plan = plan_of(QUERIES["tpch_q8_market_share"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(p_type,STANDARD)" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_exact_dedup_single_shuffle(spark, sf):
+    """Exact dedup = one hash shuffle on the fingerprint; the min/count
+    combine map-side."""
+    plan = plan_of(QUERIES["dedup_exact_fingerprint"](spark, sf))
+    assert shuffles(plan) == 1
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_similarity_broadcasts_queries(spark, sf):
+    """Brute-force top-k: the 10-query side must broadcast — shuffling
+    the corpus against 10 rows would be the classic at-scale mistake."""
+    plan = plan_of(QUERIES["similarity_bruteforce_topk"](spark, sf))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_merge_no_extra_shuffle(spark, sf):
+    """The merge rewrite: target left-anti source + union — the anti
+    join may broadcast the batch; assert no cartesian blowup."""
+    plan = plan_of(QUERIES["incremental_merge"](spark, sf))
+    assert "CartesianProduct" not in plan
