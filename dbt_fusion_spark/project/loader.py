@@ -38,6 +38,11 @@ class Project:
     # every template render so models can call project macros (the
     # reference resolves macros per package, resolver.rs:103-112)
     macros_src: str = ""
+    # dbt_project.yml on-run-start / on-run-end hook SQL
+    on_run_start: list[str] = field(default_factory=list)
+    on_run_end: list[str] = field(default_factory=list)
+    # exposures from schema.yml (nodes.rs exposures map) — manifest-only
+    exposures: dict[str, dict] = field(default_factory=dict)
 
     @property
     def default_schema(self) -> str:
@@ -84,6 +89,12 @@ def load_project(root: str | Path, profile: dict | None = None,
     )
     if vars_overrides:
         proj.vars.update(vars_overrides)
+
+    def _hook_list(v) -> list[str]:
+        return [v] if isinstance(v, str) else list(v or [])
+
+    proj.on_run_start = _hook_list(cfg.get("on-run-start"))
+    proj.on_run_end = _hook_list(cfg.get("on-run-end"))
 
     model_paths = cfg.get("model-paths", ["models"])
     seed_paths = cfg.get("seed-paths", ["seeds"])
@@ -191,6 +202,18 @@ def _load_schema_yml(proj: Project, path: Path) -> None:
                 }
             for t in (col.get("tests") or col.get("data_tests") or []):
                 _add_generic_test(proj, model["name"], col["name"], t, path)
+
+    # exposures (nodes.rs:2100-2115 exposures map) — downstream BI/ML
+    # consumers; manifest-only, selectable via graph operators
+    for exp in doc.get("exposures", []) or []:
+        uid = f"exposure.{proj.name}.{exp['name']}"
+        proj.exposures[uid] = {
+            "unique_id": uid, "name": exp["name"],
+            "type": exp.get("type", "dashboard"),
+            "owner": exp.get("owner") or {},
+            "depends_on": exp.get("depends_on") or [],
+            "url": exp.get("url"), "description": exp.get("description", ""),
+        }
 
     # unit tests (nodes.rs unit_tests map; fixtures common.rs:759-780
     # Formats{Dict,Csv,Sql} + Rows)

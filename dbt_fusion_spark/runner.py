@@ -143,6 +143,10 @@ class DbtSparkRunner:
 
         selected = select_nodes(proj, self.dag, select, exclude,
                                 prev_manifest=prev_manifest)
+
+        # project-level hooks (common.rs:810-830 run-level variant)
+        for sql in proj.on_run_start:
+            self.adapter.execute(sql)
         if not include_tests:
             selected = {u for u in selected
                         if proj.nodes[u].resource_type != "test"}
@@ -168,6 +172,9 @@ class DbtSparkRunner:
                     results[uid] = res
                     if res.status in ("error", "fail"):
                         failed.add(uid)
+
+        for sql in proj.on_run_end:
+            self.adapter.execute(sql)
 
         rr = RunResults(list(results.values()), time.perf_counter() - t_start)
         self.write_artifacts(rr)
@@ -467,6 +474,7 @@ class DbtSparkRunner:
                       for uid, n in self.project.nodes.items()},
             "sources": {uid: n.to_manifest_dict()
                         for uid, n in self.project.sources.items()},
+            "exposures": dict(self.project.exposures),
         }
         (target / "manifest.json").write_text(json.dumps(manifest, indent=1,
                                                          default=str))
@@ -474,6 +482,44 @@ class DbtSparkRunner:
                                                             indent=1))
 
     # ---------------------------------------------------------- freshness
+    def generate_catalog(self) -> dict:
+        """`dbt docs generate` catalog.json: introspected schema of every
+        materialized relation (reference: metadata adapters +
+        DESCRIBE-based catalog build, metadata_adapter.rs:214-345).
+        Written to target/catalog.json."""
+        nodes: dict[str, dict] = {}
+        for uid, node in self.project.nodes.items():
+            if node.resource_type not in ("model", "seed", "snapshot"):
+                continue
+            if node.config.get("materialized") == "ephemeral":
+                continue
+            if not self.spark.catalog.tableExists(
+                    f"{node.schema}.{node.identifier}"):
+                continue
+            fields = self.spark.table(node.relation_name()).schema.fields
+            is_view = any(
+                t.name == node.identifier and t.tableType == "VIEW"
+                for t in self.spark.catalog.listTables(node.schema))
+            nodes[uid] = {
+                "metadata": {"type": "VIEW" if is_view else "TABLE",
+                             "schema": node.schema, "name": node.identifier},
+                "columns": {
+                    f.name: {"name": f.name, "index": i,
+                             "type": f.dataType.simpleString()}
+                    for i, f in enumerate(fields)
+                },
+                "stats": {},
+            }
+        catalog = {
+            "metadata": {"dbt_schema_version":
+                         "https://schemas.getdbt.com/dbt/catalog/v1.json"},
+            "nodes": nodes,
+        }
+        target = self.project.root / "target"
+        target.mkdir(exist_ok=True)
+        (target / "catalog.json").write_text(json.dumps(catalog, indent=1))
+        return catalog
+
     def source_freshness(self, uid: str):
         """adapters/freshness.sql:7-18: select max(loaded_at_field),
         current_timestamp() from source."""

@@ -364,3 +364,31 @@ def test_freshness_thresholds(runner):
         "error_after": {"count": 30, "period": "day"}}
     assert runner.check_source_freshness(uid)["status"] == "error"
     src.config["freshness"] = None
+
+
+def test_run_level_hooks_and_exposures(runner, spark):
+    """on-run-start/on-run-end project hooks execute once per run;
+    exposures land in the manifest (nodes.rs exposures map)."""
+    rr = runner.run(select="stg_customers", include_tests=False)
+    assert rr.ok
+    log = spark.table("analytics.audit_log")
+    assert log.filter("event = 'run_complete'").count() >= 1
+    assert "exposure.tpch_demo.revenue_dashboard" in runner.project.exposures
+    manifest = json.loads(
+        (Path(PROJECT) / "target" / "manifest.json").read_text())
+    exp = manifest["exposures"]["exposure.tpch_demo.revenue_dashboard"]
+    assert exp["type"] == "dashboard"
+    assert exp["depends_on"] == ["ref('customer_revenue')"]
+
+
+def test_generate_catalog(runner, spark):
+    """docs generate catalog.json: per-relation introspected columns
+    (metadata_adapter.rs:214-345 DESCRIBE-based catalog)."""
+    runner.run(select="stg_orders customer_revenue", include_tests=False)
+    cat = runner.generate_catalog()
+    n = cat["nodes"]["model.tpch_demo.customer_revenue"]
+    assert n["metadata"]["type"] == "TABLE"
+    assert n["columns"]["revenue"]["type"] == "double"
+    v = cat["nodes"]["model.tpch_demo.stg_orders"]
+    assert v["metadata"]["type"] == "VIEW"
+    assert (Path(PROJECT) / "target" / "catalog.json").exists()
