@@ -431,3 +431,21 @@ _sql_query(
     FROM ordered GROUP BY user_id
     """,
 )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id, 8 AS width, 8 AS height,
+           least(octet_length(encode(text)), 64) AS n_bytes_out,
+           md5(substring(text, 1, 64)) AS payload_md5
+    FROM documents
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Arrow-batched resize plumbing (mapInPandas, fixed schema); fake
+    codec truncates payloads to the target pixel budget. The oracle
+    reproduces the byte-level truncation on the (ASCII) source text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.resize_media(M.attach_payload(docs, "text", "doc_id"),
+                          target_w=8, target_h=8)

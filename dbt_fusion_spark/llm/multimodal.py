@@ -103,3 +103,44 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     ).filter(F.col("frame_idx") % every_n == 0)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_bytes_out", LongType()),
+        StructField("payload_md5", StringType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, target_w: int = 64, target_h: int = 64,
+                 codec: str = "fake") -> DataFrame:
+    """Arrow-batched media resize (mapInPandas): the plumbing — batch
+    shape, fixed output schema, payload-stays-on-executor — is real;
+    the pixel work is the integration point. codec='fake' deterministic
+    stand-in: 'resized' payload = payload truncated to target_w*target_h
+    bytes, reported as (width, height, n_bytes_out, md5)."""
+    if codec == "real":
+        raise NotImplementedError(
+            "real image resize needs PIL/opencv — not in this container")
+    cap = target_w * target_h
+
+    def resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = [bytes(p)[:cap] for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "n_bytes_out": [len(p) for p in out],
+                    "payload_md5": [hashlib.md5(p).hexdigest() for p in out],
+                }
+            )
+
+    return df.mapInPandas(resize, RESIZED_SCHEMA)
