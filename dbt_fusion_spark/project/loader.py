@@ -101,13 +101,25 @@ def load_project(root: str | Path, profile: dict | None = None,
     snapshot_paths = cfg.get("snapshot-paths", ["snapshots"])
     macro_paths = cfg.get("macro-paths", ["macros"])
 
-    # --- macros ---
+    # --- macros (project macro-paths + installed packages) ---
+    # package macros load first so project macros of the same name win
+    # (reference locality precedence Core < Imported < Root,
+    # materialization_resolver.rs:27-34; packages via dbt-deps, local
+    # package kind packages.rs:27-32)
+    macro_chunks: list[str] = []
+    pkg_root = root / cfg.get("packages-install-path", "dbt_packages")
+    if pkg_root.exists():
+        for pkg_dir in sorted(p for p in pkg_root.iterdir() if p.is_dir()):
+            for sub in ("macros",):
+                base = pkg_dir / sub
+                if base.exists():
+                    macro_chunks += [f.read_text()
+                                     for f in sorted(base.rglob("*.sql"))]
     for mp in macro_paths:
         base = root / mp
         if base.exists():
-            proj.macros_src = "\n".join(
-                f.read_text() for f in sorted(base.rglob("*.sql"))
-            )
+            macro_chunks += [f.read_text() for f in sorted(base.rglob("*.sql"))]
+    proj.macros_src = "\n".join(macro_chunks)
 
     # --- models (+ schema.yml in model dirs); .py = python models ---
     for mp in model_paths:

@@ -83,6 +83,12 @@ class DbtSparkRunner:
         # continuous streaming queries started by streaming_table /
         # dynamic_table models with a target_lag (caller manages lifetime)
         self.streams: list = []
+        # standardized grants recorded per node (no GRANT DDL in the
+        # Spark session catalog — see _apply_grants)
+        self.applied_grants: dict[str, dict] = {}
+        # --defer: previous-state manifest used to resolve refs to
+        # relations not built locally (prev_state/mod.rs)
+        self._defer_manifest: dict | None = None
 
     # ------------------------------------------------------------- parse
     def parse(self) -> None:
@@ -113,6 +119,16 @@ class DbtSparkRunner:
                 )
             return f"`{schema}`.`{ident}`"
         node = proj.nodes[uid]
+        # --defer: a ref to a relation missing locally resolves to the
+        # previous state's (e.g. prod) schema.alias instead
+        if (self._defer_manifest is not None
+                and node.resource_type in ("model", "seed", "snapshot")
+                and not node.is_ephemeral
+                and not self.spark.catalog.tableExists(
+                    f"{node.schema}.{node.identifier}")):
+            prev = self._defer_manifest.get("nodes", {}).get(uid)
+            if prev is not None:
+                return f"`{prev['schema']}`.`{prev['alias']}`"
         return node.relation_name()
 
     def compile(self, node, is_incremental: bool = False) -> str:
@@ -125,7 +141,8 @@ class DbtSparkRunner:
     def run(self, select: str | None = None, exclude: str | None = None,
             full_refresh: bool = False, include_tests: bool = True,
             threads: int | None = None,
-            state_dir: str | None = None) -> RunResults:
+            state_dir: str | None = None,
+            defer: bool = False) -> RunResults:
         if not self._parsed:
             self.parse()
         t_start = time.perf_counter()
@@ -140,6 +157,7 @@ class DbtSparkRunner:
         if state_dir is not None:
             prev_manifest = json.loads(
                 (Path(state_dir) / "manifest.json").read_text())
+        self._defer_manifest = prev_manifest if defer else None
 
         selected = select_nodes(proj, self.dag, select, exclude,
                                 prev_manifest=prev_manifest)
@@ -292,7 +310,47 @@ class DbtSparkRunner:
         else:
             raise ValueError(f"unsupported resource_type {rt!r}")
         self._hooks(node, "post_hook")
+        if rt in ("model", "seed", "snapshot"):
+            self._persist_docs(node)
+            self._apply_grants(node)
         return out
+
+    def _persist_docs(self, node) -> None:
+        """adapters/persist_docs.sql + get_persist_doc_columns
+        (base_adapter.rs:1047): relation and column comments become
+        COMMENT ON / ALTER COLUMN DDL when persist_docs is configured."""
+        cfg = node.config.get("persist_docs") or {}
+        rel = node.relation_name()
+
+        def q(s: str) -> str:
+            return s.replace("'", "\\'")
+
+        if cfg.get("relation") and node.description:
+            self.adapter.execute(
+                f"COMMENT ON TABLE {rel} IS '{q(node.description)}'")
+        if cfg.get("columns"):
+            for col, meta in node.columns.items():
+                desc = (meta or {}).get("description")
+                if desc:
+                    self.adapter.execute(
+                        f"ALTER TABLE {rel} ALTER COLUMN `{col}` "
+                        f"COMMENT '{q(desc)}'")
+
+    def _apply_grants(self, node) -> None:
+        """apply_grants.sql + standardize_grants_dict
+        (base_adapter.rs:192): normalize {privilege: grantee|[grantees]}.
+        The Spark session catalog has no GRANT statement, so grants are
+        standardized and recorded (the reference's behavior for adapters
+        without grant support is the same diff-then-skip)."""
+        grants = node.config.get("grants")
+        if not grants:
+            return
+        std = {
+            str(priv).lower():
+                [g] if isinstance(g, str) else [str(x) for x in g]
+            for priv, g in grants.items()
+        }
+        self.applied_grants[node.unique_id] = std
 
     def _run_unit_test(self, node) -> str:
         """Unit-test node (materializations/tests/unit.sql +

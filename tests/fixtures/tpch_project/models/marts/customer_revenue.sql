@@ -1,4 +1,6 @@
-{{ config(pre_hook="select 1") }}
+{{ config(pre_hook="select 1",
+          persist_docs={'relation': true, 'columns': true},
+          grants={'select': ['analyst_role', 'bi_role']}) }}
 
 select
     c.c_custkey,

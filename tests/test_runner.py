@@ -392,3 +392,78 @@ def test_generate_catalog(runner, spark):
     v = cat["nodes"]["model.tpch_demo.stg_orders"]
     assert v["metadata"]["type"] == "VIEW"
     assert (Path(PROJECT) / "target" / "catalog.json").exists()
+
+
+def test_persist_docs_and_grants(runner, spark):
+    """persist_docs -> COMMENT ON TABLE / ALTER COLUMN COMMENT DDL;
+    grants standardized + recorded (no GRANT in the session catalog:
+    base_adapter.rs:192 standardize_grants_dict behavior)."""
+    rr = runner.run(select="customer_revenue", include_tests=False)
+    assert rr.ok, [(r.unique_id, r.message) for r in rr.results]
+    detail = {r["col_name"]: r["data_type"] for r in spark.sql(
+        "DESCRIBE TABLE EXTENDED analytics.customer_revenue").collect()}
+    assert detail.get("Comment") == "Per-customer lifetime revenue."
+    cols = {f.name: f.metadata for f in
+            spark.table("analytics.customer_revenue").schema.fields}
+    assert cols["c_custkey"].get("comment") == "Customer key."
+    assert runner.applied_grants["model.tpch_demo.customer_revenue"] == {
+        "select": ["analyst_role", "bi_role"]}
+
+
+def test_package_macros(runner, spark):
+    """Installed package macros (dbt_packages/<pkg>/macros) are
+    callable from models; project macros of the same name take
+    precedence (locality Core < Imported < Root,
+    materialization_resolver.rs:27-34)."""
+    from dbt_fusion_spark.jinja import compile_node, parse_node
+    from dbt_fusion_spark.project.nodes import Node
+
+    raw = ("select {{ generate_surrogate_key(['o_orderkey', 'o_custkey']) }}"
+           " as sk, {{ cents_to_dollars('100') }} as dollars")
+    node = Node(unique_id="model.tpch_demo.pkg_probe", name="pkg_probe",
+                resource_type="model", package="tpch_demo",
+                path="models/pkg_probe.sql", raw_code=raw)
+    runner.project.nodes[node.unique_id] = node
+    try:
+        parse_node(runner.project, node)
+        sql = compile_node(runner.project, node, runner.relation_for,
+                           adapter=runner.adapter)
+    finally:
+        del runner.project.nodes[node.unique_id]
+    assert "md5(concat_ws('-', o_orderkey, o_custkey))" in sql
+    # project cents_to_dollars (div by 100) beat the package's "-1"
+    row = spark.sql(
+        "select " + sql.split("select", 1)[1].replace(
+            "o_orderkey", "1").replace("o_custkey", "2")).collect()[0]
+    assert row["dollars"] == 1.0
+
+
+def test_defer_resolves_missing_refs(runner, spark, tmp_path):
+    """--defer: refs to relations not built locally resolve to the
+    previous state's schema (prev_state/mod.rs + defer semantics)."""
+    import json as _json
+
+    # "prod" copy of stg_customers; local copy dropped
+    spark.sql("CREATE DATABASE IF NOT EXISTS analytics_prod")
+    runner.run(select="stg_customers", include_tests=False)
+    spark.sql("DROP TABLE IF EXISTS analytics_prod.stg_customers")
+    spark.sql("CREATE TABLE analytics_prod.stg_customers AS "
+              "SELECT * FROM analytics.stg_customers")
+    spark.sql("DROP VIEW IF EXISTS analytics.stg_customers")
+
+    manifest = {"nodes": {uid: n.to_manifest_dict()
+                          for uid, n in runner.project.nodes.items()}}
+    manifest["nodes"]["model.tpch_demo.stg_customers"]["schema"] = \
+        "analytics_prod"
+    state = tmp_path / "prod_state"
+    state.mkdir()
+    (state / "manifest.json").write_text(_json.dumps(manifest))
+
+    rr = runner.run(select="customer_revenue", include_tests=False,
+                    state_dir=str(state), defer=True)
+    assert rr.ok, [(r.unique_id, r.message) for r in rr.results]
+    sql = runner.project.nodes["model.tpch_demo.customer_revenue"].compiled_code
+    assert "`analytics_prod`.`stg_customers`" in sql
+    assert spark.table("analytics.customer_revenue").count() > 0
+    # restore the local view for later tests
+    runner.run(select="stg_customers", include_tests=False)
