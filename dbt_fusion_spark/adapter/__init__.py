@@ -1,1 +1,2 @@
+from dbt_fusion_spark.adapter.query_cache import QueryCache  # noqa: F401
 from dbt_fusion_spark.adapter.spark_adapter import AdapterResponse, SparkAdapter  # noqa: F401

@@ -540,6 +540,26 @@ class DbtSparkRunner:
                                                             indent=1))
 
     # ---------------------------------------------------------- freshness
+    def list_nodes(self, select: str | None = None,
+                   exclude: str | None = None) -> list[str]:
+        """`dbt list`: selected unique_ids in topological order."""
+        if not self._parsed:
+            self.parse()
+        selected = select_nodes(self.project, self.dag, select, exclude)
+        return [uid for wave in self.dag.generations()
+                for uid in wave if uid in selected]
+
+    def show(self, name: str, limit: int = 5):
+        """`dbt show`: compile the model inline and preview rows as a
+        driver-side agate table (§2.6 — the only collect in the
+        engine's API surface, and it is LIMIT-bounded)."""
+        if not self._parsed:
+            self.parse()
+        node = self.project.nodes[f"model.{self.project.name}.{name}"]
+        sql = self.compile(node)
+        return self.adapter.run_query(
+            f"SELECT * FROM (\n{sql}\n) __dbt_show", limit=limit)
+
     def generate_catalog(self) -> dict:
         """`dbt docs generate` catalog.json: introspected schema of every
         materialized relation (reference: metadata adapters +

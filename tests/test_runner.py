@@ -467,3 +467,34 @@ def test_defer_resolves_missing_refs(runner, spark, tmp_path):
     assert spark.table("analytics.customer_revenue").count() > 0
     # restore the local view for later tests
     runner.run(select="stg_customers", include_tests=False)
+
+
+def test_query_cache(runner, spark, tmp_path):
+    """Query result cache (query_cache.rs:31-154): SQL-hash keyed
+    parquet results with TTL; hits scan cached files distributed."""
+    from dbt_fusion_spark.adapter import QueryCache
+
+    qc = QueryCache(tmp_path / "qcache", ttl_sec=3600)
+    sql = "SELECT o_orderstatus, COUNT(*) AS n FROM analytics.stg_orders GROUP BY 1"
+    a = qc.execute(spark, sql).collect()
+    assert qc.misses == 1 and qc.hits == 0
+    b = qc.execute(spark, sql).collect()
+    assert qc.hits == 1
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # whitespace-insensitive keying
+    assert qc.execute(spark, "  " + sql.replace("  ", " ") + "  ") is not None
+    assert qc.hits == 2
+    # TTL expiry forces recompute
+    qc.ttl = 0.0
+    qc.execute(spark, sql)
+    assert qc.misses == 2
+
+
+def test_list_and_show(runner):
+    """dbt list (topo order) and dbt show (bounded preview)."""
+    uids = runner.list_nodes(select="+customer_revenue")
+    assert uids.index("model.tpch_demo.stg_orders") < uids.index(
+        "model.tpch_demo.customer_revenue")
+    tbl = runner.show("stg_orders", limit=3)
+    assert len(tbl.rows) == 3
+    assert "o_orderkey" in tbl.column_names
