@@ -449,3 +449,36 @@ def multimodal_resize(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return M.resize_media(M.attach_payload(docs, "text", "doc_id"),
                           target_w=8, target_h=8)
+
+
+def _duck_hyperplane_bucket(vec: str, n_bits: int = 8) -> str:
+    return " + ".join(
+        f"(CASE WHEN CAST({vec}[{j + 1}] AS DOUBLE) > 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(n_bits)
+    )
+
+
+@register(
+    "similarity_hyperplane_lsh",
+    oracle=f"""
+    WITH cells AS (
+      SELECT vec_id, embedding, {_duck_hyperplane_bucket('embedding')} AS cell
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM cells
+          WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             {_duck_cos('qv', 'c.embedding')} AS cos_sim
+      FROM q JOIN cells c USING (cell) WHERE c.vec_id <> query_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def similarity_hyperplane_lsh(spark, sf_dir):
+    """Training-free ANN: axis-aligned sign-bit buckets (cosine-SimHash
+    LSH, 256 cells, nprobe=1) — the no-fit alternative to IVF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.hyperplane_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)

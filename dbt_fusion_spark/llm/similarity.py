@@ -111,3 +111,48 @@ def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95,
         .select("id_a", "id_b", cosine("__va", "__vb").alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def hyperplane_bucket(vec_col: str, n_bits: int = 8) -> Column:
+    """Sign-bit bucket id: bit j set iff dim j > 0. Axis-aligned
+    deterministic hyperplanes — the training-free random-hyperplane
+    (cosine-SimHash) LSH; unlike IVF it needs no centroid fit, so the
+    bucketing is a pure projection that pushes into the scan."""
+    bits = [
+        F.when(F.element_at(F.col(vec_col), j + 1).cast("double") > 0,
+               F.lit(2 ** j)).otherwise(F.lit(0))
+        for j in range(n_bits)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def hyperplane_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                        n_bits: int = 8, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """ANN via sign-bit buckets (2^n_bits cells, nprobe=1): scan only
+    the query's cell. Work drops ~2^n_bits-fold vs brute force; recall
+    follows the cosine-SimHash collision curve."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        hyperplane_bucket(vec_col, n_bits).alias("__cell"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
+        hyperplane_bucket(vec_col, n_bits).alias("__cell"),
+    )
+    scored = (
+        F.broadcast(q).join(c, "__cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

@@ -1,0 +1,51 @@
+"""Join-strategy helpers for skew and co-location at scale.
+
+The reference delegates all physical strategy to the warehouse
+(SURVEY §4); on Spark WE are the warehouse, so the engine ships the
+two knobs Catalyst cannot infer on its own:
+
+- broadcast_dim: explicit broadcast hint for dimensions the optimizer
+  mis-sizes (statistics absent on fresh external tables)
+- salted_join: the classic skew fix — replicate the small side R ways,
+  scatter the skewed big-side keys across R salt buckets, join on
+  (key, salt). Turns one straggler partition into R even ones. AQE's
+  skew-join split handles moderate skew; salting is for the
+  pathological single-hot-key case (null keys, "unknown" ids) where
+  even a split partition is one key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def broadcast_dim(df: DataFrame) -> DataFrame:
+    """Explicit broadcast hint (join side must fit in executor mem)."""
+    return F.broadcast(df)
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: str | list[str],
+                how: str = "inner", salt_buckets: int = 16) -> DataFrame:
+    """Skew-resistant equi-join.
+
+    Each big-side row gets a salt in [0, R); the small side is
+    replicated once per salt value via explode. Joining on
+    (keys..., __salt) then matches each big row against exactly the
+    one replica set carrying its salt — the same rows a plain key join
+    would produce, for any join type and duplicate profile — while a
+    hot key's rows scatter across R shuffle partitions instead of one
+    straggler. Which salt a row gets never affects the result, so the
+    per-row value only needs spread, not determinism.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    r = int(salt_buckets)
+    big_s = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(k) for k in keys],
+                          F.monotonically_increasing_id()), F.lit(r)),
+    )
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(r - 1)))
+    )
+    out = big_s.join(small_s, [*keys, "__salt"], how)
+    return out.drop("__salt")

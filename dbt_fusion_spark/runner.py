@@ -274,7 +274,9 @@ class DbtSparkRunner:
             elif mat == "table":
                 out = materialize_table(self.adapter, node.schema,
                                         node.identifier, sql,
-                                        node.config.get("partition_by"))
+                                        node.config.get("partition_by"),
+                                        node.config.get("bucket_by"),
+                                        node.config.get("buckets"))
             elif mat == "materialized_view":
                 out = materialize_materialized_view(
                     self.adapter, node.schema, node.identifier, sql,

@@ -113,3 +113,50 @@ def test_incremental_merge_no_extra_shuffle(spark, sf):
     join may broadcast the batch; assert no cartesian blowup."""
     plan = plan_of(QUERIES["incremental_merge"](spark, sf))
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_no_exchange(spark, sf):
+    """Two tables bucketed on the same key/count must sort-merge join
+    with ZERO exchanges — the co-located join shape (dbt-spark buckets
+    config; reference: warehouse-side clustering)."""
+    from dbt_fusion_spark.adapter import SparkAdapter
+    from dbt_fusion_spark.materializations.executors import materialize_table
+    from dbt_fusion_spark.sources.registry import register_views
+
+    register_views(spark, sf)
+    adapter = SparkAdapter(spark, default_schema="bucketing_test")
+    adapter.create_schema("bucketing_test")
+    materialize_table(adapter, "bucketing_test", "orders_b",
+                      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+                      bucket_by="o_orderkey", buckets=8)
+    materialize_table(adapter, "bucketing_test", "lines_b",
+                      "SELECT l_orderkey, l_extendedprice FROM lineitem",
+                      bucket_by="l_orderkey", buckets=8)
+    joined = spark.sql("""
+        SELECT /*+ MERGE(o) */ o.o_orderkey, o.o_totalprice, l.l_extendedprice
+        FROM bucketing_test.orders_b o
+        JOIN bucketing_test.lines_b l ON o.o_orderkey = l.l_orderkey
+    """)
+    plan = plan_of(joined)
+    assert n_nodes(plan, "SortMergeJoin") == 1
+    assert shuffles(plan) == 0  # bucket layout replaces both exchanges
+
+
+def test_salted_join_correct_and_spread(spark, sf):
+    """salted_join returns exactly the plain-join rows while scattering
+    a hot key across salt buckets."""
+    from pyspark.sql import functions as F
+
+    from dbt_fusion_spark.plans import salted_join
+
+    # skewed big side: one hot key (90%), long tail
+    big = spark.range(0, 10000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100)
+        .alias("k"), F.col("id").alias("payload"))
+    small = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dim"))
+    plain = big.join(small, "k").agg(
+        F.count("*").alias("n"), F.sum("dim").alias("s")).collect()[0]
+    salted = salted_join(big, small, "k", salt_buckets=8).agg(
+        F.count("*").alias("n"), F.sum("dim").alias("s")).collect()[0]
+    assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
