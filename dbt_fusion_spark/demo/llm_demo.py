@@ -482,3 +482,49 @@ def similarity_hyperplane_lsh(spark, sf_dir):
     LSH, 256 cells, nprobe=1) — the no-fit alternative to IVF."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.hyperplane_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "events_session_window_agg",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged)
+    SELECT user_id, sess_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM numbered GROUP BY user_id, sess_id
+    """,
+)
+def events_session_window_agg(spark, sf_dir):
+    """Native session_window (gap-based) aggregation — the batch twin
+    of the streaming session-window operator. The oracle reproduces the
+    windows via LAG+cumulative-sum; Spark's session_window closes a
+    session when the gap REACHES the timeout (>=), matching the oracle's
+    `>= INTERVAL 30 MINUTE` flag. sess_id renumbers per user in
+    session_start order on both sides."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    sess = (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("__w"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+             .alias("total_value"),
+             F.min("ts").alias("session_start"))
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return sess.select(
+        "user_id",
+        (F.row_number().over(w) - 1).cast("bigint").alias("sess_id"),
+        "session_start", "n_events", "total_value",
+    )

@@ -206,11 +206,14 @@ def _load_schema_yml(proj: Project, path: Path) -> None:
         node = proj.nodes.get(uid)
         if node is not None:
             node.description = model.get("description", "")
+        if node is not None and model.get("constraints"):
+            node.config["model_constraints"] = model["constraints"]
         for col in model.get("columns", []) or []:
             if node is not None:
                 node.columns[col["name"]] = {
                     "description": col.get("description", ""),
                     "data_type": col.get("data_type"),
+                    "constraints": col.get("constraints") or [],
                 }
             for t in (col.get("tests") or col.get("data_tests") or []):
                 _add_generic_test(proj, model["name"], col["name"], t, path)

@@ -242,6 +242,10 @@ class DbtSparkRunner:
             )
 
         self._hooks(node, "pre_hook")
+        # sql_header config (run_node_context.rs sql_header): session
+        # statements (SET ...) executed before the node's main DDL/DML
+        if node.config.get("sql_header"):
+            self.adapter.execute(node.config["sql_header"])
         if rt == "snapshot":
             sql = self.compile(node)
             cfg = SnapshotConfig(
@@ -313,9 +317,61 @@ class DbtSparkRunner:
             raise ValueError(f"unsupported resource_type {rt!r}")
         self._hooks(node, "post_hook")
         if rt in ("model", "seed", "snapshot"):
+            self._validate_constraints(node)
             self._persist_docs(node)
             self._apply_grants(node)
         return out
+
+    def _validate_constraints(self, node) -> None:
+        """Constraints (common.rs:634-670: not_null/unique/primary_key/
+        foreign_key/check) under ConstraintSupport::NotEnforced:
+        parquet tables can't enforce DDL constraints, so the engine
+        validates by query after the build (render_constraint.rs's
+        documented fallback) and fails the node on violations."""
+        rel = node.relation_name()
+
+        def violated(sql: str) -> int:
+            return self.spark.sql(sql).collect()[0][0]
+
+        def validate(col: str | None, c: dict) -> None:
+            ctype = c.get("type")
+            if ctype == "not_null":
+                n = violated(f"SELECT COUNT(*) FROM {rel} WHERE `{col}` IS NULL")
+                kind = f"not_null({col})"
+            elif ctype in ("unique", "primary_key"):
+                cols = c.get("columns") or [col]
+                key = ", ".join(f"`{x}`" for x in cols)
+                n = violated(
+                    f"SELECT COUNT(*) FROM (SELECT {key} FROM {rel} "
+                    f"GROUP BY {key} HAVING COUNT(*) > 1) __dups")
+                if ctype == "primary_key":
+                    n += violated(
+                        f"SELECT COUNT(*) FROM {rel} WHERE "
+                        + " OR ".join(f"`{x}` IS NULL" for x in cols))
+                kind = f"{ctype}({cols})"
+            elif ctype == "check":
+                n = violated(
+                    f"SELECT COUNT(*) FROM {rel} "
+                    f"WHERE NOT ({c['expression']})")
+                kind = f"check({c['expression']})"
+            elif ctype == "foreign_key":
+                to_cols = ", ".join(
+                    f"`{x}`" for x in (c.get("to_columns") or [col]))
+                n = violated(
+                    f"SELECT COUNT(*) FROM {rel} WHERE `{col}` IS NOT NULL "
+                    f"AND `{col}` NOT IN (SELECT {to_cols} FROM {c['to']})")
+                kind = f"foreign_key({col} -> {c['to']})"
+            else:
+                return  # custom: not validatable generically
+            if n:
+                raise RuntimeError(
+                    f"constraint violation: {kind} on {rel} ({n} rows)")
+
+        for col, meta in node.columns.items():
+            for c in (meta or {}).get("constraints") or []:
+                validate(col, c if isinstance(c, dict) else {"type": c})
+        for c in node.config.get("model_constraints") or []:
+            validate(None, c)
 
     def _persist_docs(self, node) -> None:
         """adapters/persist_docs.sql + get_persist_doc_columns

@@ -498,3 +498,66 @@ def test_list_and_show(runner):
     tbl = runner.show("stg_orders", limit=3)
     assert len(tbl.rows) == 3
     assert "o_orderkey" in tbl.column_names
+
+
+def test_constraint_validation(runner, spark):
+    """Constraints validate by query post-build (ConstraintSupport
+    NotEnforced fallback, common.rs:634-670) and fail the node on
+    violation."""
+    import copy
+
+    rr = runner.run(select="stg_orders", include_tests=False)
+    assert rr.ok  # declared constraints hold on real data
+    # violating check constraint fails the node
+    node = runner.project.nodes["model.tpch_demo.stg_orders"]
+    saved = copy.deepcopy(node.columns)
+    node.columns["o_totalprice"]["constraints"] = [
+        {"type": "check", "expression": "o_totalprice > 1e12"}]
+    try:
+        rr2 = runner.run(select="stg_orders", include_tests=False)
+        res = next(r for r in rr2.results
+                   if r.unique_id == "model.tpch_demo.stg_orders")
+        assert res.status == "error"
+        assert "constraint violation" in res.message
+    finally:
+        node.columns = saved
+
+
+def test_record_and_replay(runner, spark, tmp_path):
+    """Time machine (record_and_replay.rs): record live execute()
+    traffic, then replay it with no Spark access; divergence raises."""
+    from dbt_fusion_spark.adapter import RecordingAdapter, ReplayAdapter
+
+    runner.run(select="stg_orders", include_tests=False)
+    tape = tmp_path / "session.jsonl"
+    rec = RecordingAdapter(runner.adapter, tape)
+    rec.execute("SELECT 1 AS a, 'x' AS b", fetch=True)
+    rec.execute("SELECT COUNT(*) AS n FROM analytics.stg_orders", fetch=True)
+    rec.execute("DROP TABLE IF EXISTS analytics.__rr_probe")
+
+    rep = ReplayAdapter(tape)
+    resp, t = rep.execute("SELECT 1 AS a,  'x' AS b", fetch=True)  # ws-insensitive
+    assert t.rows == [(1, "x")] and t.column_names == ["a", "b"]
+    n = rep.run_query("SELECT COUNT(*) AS n FROM analytics.stg_orders")
+    assert n.rows[0][0] > 0
+    rep.execute("DROP TABLE IF EXISTS analytics.__rr_probe")
+    assert rep.remaining == 0
+    # divergence detection
+    rep2 = ReplayAdapter(tape)
+    import pytest as _pytest
+    with _pytest.raises(AssertionError, match="divergence"):
+        rep2.execute("SELECT 2")
+
+
+def test_sql_header(runner, spark):
+    """sql_header config: session statements run before the node's main
+    statement (run_node_context.rs sql_header)."""
+    node = runner.project.nodes["model.tpch_demo.stg_customers"]
+    node.config["sql_header"] = (
+        "SET spark.sql.session.timeZone=UTC")
+    try:
+        rr = runner.run(select="stg_customers", include_tests=False)
+        assert rr.ok, [(r.unique_id, r.message) for r in rr.results]
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        node.config.pop("sql_header")
