@@ -23,6 +23,22 @@ SNAPSHOT_BLOCK_RE = re.compile(
     r"{%\s*snapshot\s+(\w+)\s*%}(.*?){%\s*endsnapshot\s*%}", re.S
 )
 
+# {% test name(model, column_name, ...) %} blocks (parser.rs:920-933
+# block tags): custom generic tests. Rewritten to plain macros named
+# test_<name> so the standard macro machinery renders them.
+TEST_BLOCK_RE = re.compile(
+    r"{%\s*test\s+(\w+)\s*(\([^)]*\))?\s*%}(.*?){%\s*endtest\s*%}", re.S
+)
+
+
+def _rewrite_test_blocks(src: str, found: set[str]) -> str:
+    def sub(m: re.Match) -> str:
+        name, args, body = m.group(1), m.group(2) or "(model, column_name)", m.group(3)
+        found.add(name)
+        return f"{{% macro test_{name}{args} %}}{body}{{% endmacro %}}"
+
+    return TEST_BLOCK_RE.sub(sub, src)
+
 
 @dataclass
 class Project:
@@ -43,6 +59,8 @@ class Project:
     on_run_end: list[str] = field(default_factory=list)
     # exposures from schema.yml (nodes.rs exposures map) — manifest-only
     exposures: dict[str, dict] = field(default_factory=dict)
+    # names declared via {% test %} blocks in macro paths
+    custom_tests: set[str] = field(default_factory=set)
 
     @property
     def default_schema(self) -> str:
@@ -107,19 +125,24 @@ def load_project(root: str | Path, profile: dict | None = None,
     # materialization_resolver.rs:27-34; packages via dbt-deps, local
     # package kind packages.rs:27-32)
     macro_chunks: list[str] = []
+    custom_tests: set[str] = set()
     pkg_root = root / cfg.get("packages-install-path", "dbt_packages")
     if pkg_root.exists():
         for pkg_dir in sorted(p for p in pkg_root.iterdir() if p.is_dir()):
             for sub in ("macros",):
                 base = pkg_dir / sub
                 if base.exists():
-                    macro_chunks += [f.read_text()
-                                     for f in sorted(base.rglob("*.sql"))]
+                    macro_chunks += [
+                        _rewrite_test_blocks(f.read_text(), custom_tests)
+                        for f in sorted(base.rglob("*.sql"))]
     for mp in macro_paths:
         base = root / mp
         if base.exists():
-            macro_chunks += [f.read_text() for f in sorted(base.rglob("*.sql"))]
+            macro_chunks += [
+                _rewrite_test_blocks(f.read_text(), custom_tests)
+                for f in sorted(base.rglob("*.sql"))]
     proj.macros_src = "\n".join(macro_chunks)
+    proj.custom_tests = custom_tests
 
     # --- models (+ schema.yml in model dirs); .py = python models ---
     for mp in model_paths:
@@ -249,15 +272,26 @@ def _add_generic_test(proj: Project, model_name: str, column: str, t, path: Path
         test_type, kwargs = t, {}
     else:
         test_type, kwargs = next(iter(t.items()))
-    if test_type not in _TEST_BUILDERS:
+    custom = test_type not in _TEST_BUILDERS
+    if custom and test_type not in proj.custom_tests:
         return
     suffix = f"{test_type}_{model_name}_{column}"
     uid = f"test.{proj.name}.{suffix}"
+    # custom generic tests render as a call to the macro the {% test %}
+    # block was rewritten to; builtin tests use the native SQL builders
+    raw = ""
+    if custom:
+        extra = "".join(
+            f", {k}={v!r}" for k, v in (kwargs or {}).items()
+            if k != "severity")
+        raw = ("{{ test_%s(model=ref('%s'), column_name='%s'%s) }}"
+               % (test_type, model_name, column, extra))
     proj.nodes[uid] = Node(
         unique_id=uid, name=suffix, resource_type="test", package=proj.name,
-        path=str(path.relative_to(proj.root)),
+        path=str(path.relative_to(proj.root)), raw_code=raw,
         config={"test_type": test_type, "column_name": column,
                 "model_name": model_name, "kwargs": kwargs or {},
+                "custom": custom,
                 "severity": (kwargs or {}).get("severity", "error")},
         depends_on=[f"model.{proj.name}.{model_name}"],
     )

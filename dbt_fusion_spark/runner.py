@@ -226,10 +226,23 @@ class DbtSparkRunner:
         if rt == "test":
             cfg = node.config
             model_uid = node.depends_on[0]
-            res = run_generic_test(
-                self.adapter, cfg["test_type"],
-                self.relation_for(model_uid), cfg["column_name"], cfg["kwargs"],
-            )
+            if cfg.get("custom"):
+                # {% test %}-block test: raw_code is a call to the
+                # rewritten test_<name> macro; compile resolves ref()
+                from dbt_fusion_spark.testing.generic import (
+                    TestResult,
+                    get_test_sql,
+                )
+                main_sql = self.compile(node)
+                row = self.spark.sql(get_test_sql(main_sql)).collect()[0]
+                res = TestResult(row["failures"], bool(row["should_warn"]),
+                                 bool(row["should_error"]))
+            else:
+                res = run_generic_test(
+                    self.adapter, cfg["test_type"],
+                    self.relation_for(model_uid), cfg["column_name"],
+                    cfg["kwargs"],
+                )
             if res.should_error and cfg.get("severity", "error") == "error":
                 return "fail"
             return "warn" if res.should_warn else "pass"

@@ -62,6 +62,9 @@ def test_full_run(runner, spark):
     # tests ran and passed
     assert by_id["test.tpch_demo.unique_stg_orders_o_orderkey"].status == "pass"
     assert by_id["test.tpch_demo.relationships_customer_revenue_segment"].status == "pass"
+    # {% test %}-block custom generic tests (no-arg + kwargs)
+    assert by_id["test.tpch_demo.positive_values_stg_orders_o_totalprice"].status == "pass"
+    assert by_id["test.tpch_demo.within_range_stg_orders_o_totalprice"].status == "pass"
     # revenue values sane
     rev = spark.table("analytics.customer_revenue")
     assert rev.count() > 0
