@@ -1,1 +1,5 @@
-from dbt_fusion_spark.dag.graph import Dag, select_nodes  # noqa: F401
+from dbt_fusion_spark.dag.graph import (  # noqa: F401
+    Dag,
+    select_by_definition,
+    select_nodes,
+)

@@ -168,3 +168,55 @@ def select_nodes(project, dag: Dag, select: str | None = None,
     if exclude:
         selected -= set().union(*(term(t) for t in exclude.split()))
     return selected
+
+
+def select_by_definition(project, dag: Dag, defn,
+                         prev_manifest: dict | None = None) -> set[str]:
+    """Resolve a selectors.yml named-selector definition
+    (crates/dbt-selector-parser/): either a string in the CLI selection
+    language, a {method, value, parents?, children?, childrens_parents?}
+    leaf, or union/intersection composites whose items may carry an
+    {exclude: [...]} entry."""
+    def leaf(d: dict) -> set[str]:
+        method = d.get("method", "fqn")
+        value = str(d.get("value", "*"))
+        if method == "fqn":
+            atom = value
+        elif method == "resource_type":
+            atom = f"resource:{value}"
+        else:
+            atom = f"{method}:{value}"
+        if d.get("childrens_parents"):
+            sel = f"@{atom}"
+        else:
+            sel = f"{'+' if d.get('parents') else ''}{atom}" \
+                  f"{'+' if d.get('children') else ''}"
+        return select_nodes(project, dag, sel, prev_manifest=prev_manifest)
+
+    def resolve(d) -> set[str]:
+        if isinstance(d, str):
+            return select_nodes(project, dag, d, prev_manifest=prev_manifest)
+        if not isinstance(d, dict):
+            raise ValueError(f"bad selector definition: {d!r}")
+        for key, combine in (("union", "union"), ("intersection", "inter")):
+            if key not in d:
+                continue
+            parts: list[set[str]] = []
+            excludes: list = []
+            for item in d[key]:
+                if isinstance(item, dict) and "exclude" in item:
+                    excludes += item["exclude"]
+                else:
+                    parts.append(resolve(item))
+            if not parts:
+                out: set[str] = set()
+            elif combine == "union":
+                out = set().union(*parts)
+            else:
+                out = set.intersection(*parts)
+            for e in excludes:
+                out -= resolve(e)
+            return out
+        return leaf(d)
+
+    return resolve(defn)

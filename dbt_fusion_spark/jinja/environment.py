@@ -95,6 +95,48 @@ def _dbt_namespace() -> SimpleNamespace:
     return SimpleNamespace(**ns)
 
 
+class _GraphContext:
+    """`graph` context var: manifest introspection
+    (jinja_environment.rs exposes the resolved Nodes maps). Built
+    lazily — only renders that touch `graph` pay the serialization
+    cost, and each maps is memoized per render context."""
+
+    def __init__(self, project):
+        self._project = project
+        self._cache: dict[str, dict] = {}
+
+    def _get(self, key: str) -> dict:
+        if key not in self._cache:
+            p = self._project
+            if key == "nodes":
+                self._cache[key] = {uid: n.to_manifest_dict()
+                                    for uid, n in p.nodes.items()}
+            elif key == "sources":
+                self._cache[key] = {uid: s.to_manifest_dict()
+                                    for uid, s in p.sources.items()}
+            elif key == "exposures":
+                self._cache[key] = dict(getattr(p, "exposures", {}))
+            else:
+                self._cache[key] = {}
+        return self._cache[key]
+
+    @property
+    def nodes(self) -> dict:
+        return self._get("nodes")
+
+    @property
+    def sources(self) -> dict:
+        return self._get("sources")
+
+    @property
+    def exposures(self) -> dict:
+        return self._get("exposures")
+
+    @property
+    def metrics(self) -> dict:
+        return self._get("metrics")
+
+
 def _common_context(project, node) -> dict[str, Any]:
     """Base dbt context (jinja-utils functions/base.rs:42-64 +
     phases/parse/init.rs:80-107): var/env_var/target/run_started_at/
@@ -132,6 +174,8 @@ def _common_context(project, node) -> dict[str, Any]:
     return {
         "var": var,
         "env_var": env_var,
+        "doc": lambda *a: getattr(project, "docs", {}).get(a[-1], ""),
+        "graph": _GraphContext(project),
         "target": SimpleNamespace(
             name=project.profile.get("name", "dev"),
             schema=project.default_schema,

@@ -30,6 +30,12 @@ TEST_BLOCK_RE = re.compile(
     r"{%\s*test\s+(\w+)\s*(\([^)]*\))?\s*%}(.*?){%\s*endtest\s*%}", re.S
 )
 
+# {% docs name %}...{% enddocs %} blocks in .md files (parser.rs:
+# 920-933 block tags); referenced from YAML descriptions via doc()
+DOCS_BLOCK_RE = re.compile(
+    r"{%\s*docs\s+(\w+)\s*%}(.*?){%\s*enddocs\s*%}", re.S
+)
+
 
 def _rewrite_test_blocks(src: str, found: set[str]) -> str:
     def sub(m: re.Match) -> str:
@@ -61,6 +67,10 @@ class Project:
     exposures: dict[str, dict] = field(default_factory=dict)
     # names declared via {% test %} blocks in macro paths
     custom_tests: set[str] = field(default_factory=set)
+    # {% docs %} block name -> body, from .md files in docs/model paths
+    docs: dict[str, str] = field(default_factory=dict)
+    # selectors.yml: name -> definition (string or union/intersection dict)
+    selectors: dict[str, Any] = field(default_factory=dict)
 
     @property
     def default_schema(self) -> str:
@@ -144,6 +154,23 @@ def load_project(root: str | Path, profile: dict | None = None,
     proj.macros_src = "\n".join(macro_chunks)
     proj.custom_tests = custom_tests
 
+    # --- {% docs %} blocks (.md in docs-paths, default = model-paths) ---
+    # loaded before schema.yml so doc() references in descriptions resolve
+    for dp in cfg.get("docs-paths", model_paths):
+        base = root / dp
+        if not base.exists():
+            continue
+        for f in sorted(base.rglob("*.md")):
+            for m in DOCS_BLOCK_RE.finditer(f.read_text()):
+                proj.docs[m.group(1)] = m.group(2).strip()
+
+    # --- selectors.yml (crates/dbt-selector-parser: named selectors) ---
+    sel_file = root / "selectors.yml"
+    if sel_file.exists():
+        for s in (yaml.safe_load(sel_file.read_text()) or {}).get(
+                "selectors", []) or []:
+            proj.selectors[s["name"]] = s.get("definition")
+
     # --- models (+ schema.yml in model dirs); .py = python models ---
     for mp in model_paths:
         base = root / mp
@@ -199,6 +226,19 @@ def load_project(root: str | Path, profile: dict | None = None,
 _TEST_BUILDERS = {"unique", "not_null", "accepted_values", "relationships"}
 
 
+def _render_description(proj: Project, text: str) -> str:
+    """Resolve {{ doc('name') }} references in YAML descriptions
+    (docs blocks, parser.rs:920-933; doc() context fn)."""
+    if not text or "{{" not in text:
+        return text
+    import jinja2
+    try:
+        return jinja2.Template(text).render(
+            doc=lambda *a: proj.docs.get(a[-1], "")).strip()
+    except Exception:
+        return text
+
+
 def _load_schema_yml(proj: Project, path: Path) -> None:
     """schema.yml: sources, model descriptions/columns, generic tests
     (reference resolve_{sources,tests}.rs)."""
@@ -228,13 +268,15 @@ def _load_schema_yml(proj: Project, path: Path) -> None:
         uid = f"model.{proj.name}.{model['name']}"
         node = proj.nodes.get(uid)
         if node is not None:
-            node.description = model.get("description", "")
+            node.description = _render_description(
+                proj, model.get("description", ""))
         if node is not None and model.get("constraints"):
             node.config["model_constraints"] = model["constraints"]
         for col in model.get("columns", []) or []:
             if node is not None:
                 node.columns[col["name"]] = {
-                    "description": col.get("description", ""),
+                    "description": _render_description(
+                        proj, col.get("description", "")),
                     "data_type": col.get("data_type"),
                     "constraints": col.get("constraints") or [],
                 }

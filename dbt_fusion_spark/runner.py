@@ -24,7 +24,7 @@ from pathlib import Path
 from pyspark.sql import SparkSession
 
 from dbt_fusion_spark.adapter import SparkAdapter
-from dbt_fusion_spark.dag import Dag, select_nodes
+from dbt_fusion_spark.dag import Dag, select_by_definition, select_nodes
 from dbt_fusion_spark.jinja import compile_node, parse_node
 from dbt_fusion_spark.materializations.executors import (
     materialize_clone,
@@ -142,7 +142,8 @@ class DbtSparkRunner:
             full_refresh: bool = False, include_tests: bool = True,
             threads: int | None = None,
             state_dir: str | None = None,
-            defer: bool = False) -> RunResults:
+            defer: bool = False,
+            selector: str | None = None) -> RunResults:
         if not self._parsed:
             self.parse()
         t_start = time.perf_counter()
@@ -159,8 +160,19 @@ class DbtSparkRunner:
                 (Path(state_dir) / "manifest.json").read_text())
         self._defer_manifest = prev_manifest if defer else None
 
-        selected = select_nodes(proj, self.dag, select, exclude,
-                                prev_manifest=prev_manifest)
+        if selector is not None:
+            # named selector from selectors.yml (dbt-selector-parser)
+            if selector not in proj.selectors:
+                raise ValueError(f"unknown selector {selector!r}")
+            selected = select_by_definition(
+                proj, self.dag, proj.selectors[selector],
+                prev_manifest=prev_manifest)
+            if exclude:
+                selected -= select_nodes(proj, self.dag, exclude,
+                                         prev_manifest=prev_manifest)
+        else:
+            selected = select_nodes(proj, self.dag, select, exclude,
+                                    prev_manifest=prev_manifest)
 
         # project-level hooks (common.rs:810-830 run-level variant)
         for sql in proj.on_run_start:

@@ -122,6 +122,41 @@ def test_selection_operators(runner):
     assert {"model.tpch_demo.stg_orders", "model.tpch_demo.stg_customers"} <= glob
 
 
+def test_docs_blocks_and_doc_refs(runner):
+    """{% docs %} blocks load from .md files; {{ doc(...) }} resolves in
+    YAML descriptions; graph context var exposes the manifest."""
+    proj = runner.project
+    assert proj.docs["customer_revenue_doc"].startswith("Per-customer")
+    node = proj.nodes["model.tpch_demo.customer_revenue"]
+    assert node.description == \
+        "Per-customer lifetime revenue, aggregated from orders."
+    assert node.columns["c_custkey"]["description"] == \
+        "Customer surrogate key."
+    from dbt_fusion_spark.jinja.environment import _common_context
+    ctx = _common_context(proj, node)
+    assert "model.tpch_demo.stg_orders" in ctx["graph"].nodes
+    assert ctx["graph"].nodes[node.unique_id]["description"] == node.description
+    assert ctx["doc"]("customer_revenue_doc").startswith("Per-customer")
+
+
+def test_yaml_selectors(runner):
+    from dbt_fusion_spark.dag import select_by_definition
+    proj, dag = runner.project, runner.dag
+    assert set(proj.selectors) == {
+        "staging_models", "revenue_tree", "staging_no_customers"}
+    staging = select_by_definition(proj, dag, proj.selectors["staging_models"])
+    assert "model.tpch_demo.stg_orders" in staging
+    assert "seed.tpch_demo.segment_names" in staging
+    assert "model.tpch_demo.customer_revenue" not in staging
+    tree = select_by_definition(proj, dag, proj.selectors["revenue_tree"])
+    assert {"model.tpch_demo.customer_revenue",
+            "model.tpch_demo.stg_customers"} <= tree
+    no_cust = select_by_definition(
+        proj, dag, proj.selectors["staging_no_customers"])
+    assert "model.tpch_demo.stg_orders" in no_cust
+    assert "model.tpch_demo.stg_customers" not in no_cust
+
+
 def test_source_freshness(runner):
     max_loaded, snapshotted = runner.source_freshness(
         "source.tpch_demo.tpch.orders")
@@ -405,10 +440,11 @@ def test_persist_docs_and_grants(runner, spark):
     assert rr.ok, [(r.unique_id, r.message) for r in rr.results]
     detail = {r["col_name"]: r["data_type"] for r in spark.sql(
         "DESCRIBE TABLE EXTENDED analytics.customer_revenue").collect()}
-    assert detail.get("Comment") == "Per-customer lifetime revenue."
+    assert detail.get("Comment") == \
+        "Per-customer lifetime revenue, aggregated from orders."
     cols = {f.name: f.metadata for f in
             spark.table("analytics.customer_revenue").schema.fields}
-    assert cols["c_custkey"].get("comment") == "Customer key."
+    assert cols["c_custkey"].get("comment") == "Customer surrogate key."
     assert runner.applied_grants["model.tpch_demo.customer_revenue"] == {
         "select": ["analyst_role", "bi_role"]}
 
