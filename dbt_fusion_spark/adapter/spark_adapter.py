@@ -326,6 +326,27 @@ class SparkAdapter:
     def valid_incremental_strategies(self) -> list[str]:  # base_adapter.rs:1033
         return ["append", "merge", "delete+insert", "insert_overwrite", "microbatch"]
 
+    # ------------------------------------------------------------- indexes
+    def parse_index(self, raw: dict) -> dict:
+        """base_adapter.rs:1081 — normalize an index config dict
+        ({columns, unique?, type?})."""
+        cols = raw.get("columns") or []
+        if isinstance(cols, str):
+            cols = [cols]
+        return {"columns": list(cols),
+                "unique": bool(raw.get("unique", False)),
+                "type": raw.get("type")}
+
+    def create_indexes(self, relation: Relation | str,
+                       indexes: list[dict]) -> list[dict]:
+        """MA adapters/indexes.sql. The Spark session catalog has no
+        secondary indexes; parsed configs are recorded and returned so
+        callers can route them to a format-specific layout hook (for
+        Delta: OPTIMIZE ... ZORDER BY (cols); for plain parquet:
+        a sort-within-partitions write). No-op DDL-wise, like the
+        reference on warehouses without index support."""
+        return [self.parse_index(ix) for ix in indexes or []]
+
     # ------------------------------------------------------------- metadata
     def describe_relation(self, relation: Relation) -> AgateTable:
         # base_adapter.rs:950

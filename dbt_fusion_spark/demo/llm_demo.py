@@ -347,6 +347,33 @@ def text_quality_score(spark, sf_dir):
 
 
 @register(
+    "text_token_estimate",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+        regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+      FROM documents)
+    SELECT doc_id,
+      len(list_filter(string_split(norm, ' '), x -> x <> '')) AS n_tokens,
+      CAST(len(list_filter(string_split(norm, ' '), x -> x <> ''))
+        + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+        + floor(length(regexp_replace(norm, '\\b\\w{1,6}\\b|\\s', '', 'g'))
+                / 6) AS BIGINT) AS bpe_tokens
+    FROM base
+    """,
+)
+def text_token_estimate(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish estimate (words +
+    punctuation marks + one subword split per 6 chars of long words)."""
+    df = load_table(spark, sf_dir, "documents")
+    return df.select(
+        F.col("doc_id"),
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_token_estimate("text").alias("bpe_tokens"),
+    )
+
+
+@register(
     "text_fingerprint",
     oracle=f"SELECT doc_id, {_DUCK_FP} AS fingerprint FROM documents",
 )

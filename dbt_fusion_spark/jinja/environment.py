@@ -95,6 +95,21 @@ def _dbt_namespace() -> SimpleNamespace:
     return SimpleNamespace(**ns)
 
 
+class _BehaviorFlags:
+    """`behavior` context var (behavior_flags.rs:22-104): attribute
+    access yields the flag's configured value (dbt_project.yml `flags:`),
+    defaulting to False — so `{% if behavior.my_flag %}` gates work
+    without pre-registration."""
+
+    def __init__(self, flags: dict):
+        self._flags = dict(flags or {})
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return bool(self._flags.get(name, False))
+
+
 class _GraphContext:
     """`graph` context var: manifest introspection
     (jinja_environment.rs exposes the resolved Nodes maps). Built
@@ -176,6 +191,7 @@ def _common_context(project, node) -> dict[str, Any]:
         "env_var": env_var,
         "doc": lambda *a: getattr(project, "docs", {}).get(a[-1], ""),
         "graph": _GraphContext(project),
+        "behavior": _BehaviorFlags(getattr(project, "flags", {})),
         "target": SimpleNamespace(
             name=project.profile.get("name", "dev"),
             schema=project.default_schema,

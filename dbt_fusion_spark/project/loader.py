@@ -71,6 +71,9 @@ class Project:
     docs: dict[str, str] = field(default_factory=dict)
     # selectors.yml: name -> definition (string or union/intersection dict)
     selectors: dict[str, Any] = field(default_factory=dict)
+    # dbt_project.yml `flags:` — behavior-flag overrides
+    # (behavior_flags.rs:22-104)
+    flags: dict[str, Any] = field(default_factory=dict)
 
     @property
     def default_schema(self) -> str:
@@ -123,6 +126,7 @@ def load_project(root: str | Path, profile: dict | None = None,
 
     proj.on_run_start = _hook_list(cfg.get("on-run-start"))
     proj.on_run_end = _hook_list(cfg.get("on-run-end"))
+    proj.flags = dict(cfg.get("flags", {}) or {})
 
     model_paths = cfg.get("model-paths", ["models"])
     seed_paths = cfg.get("seed-paths", ["seeds"])

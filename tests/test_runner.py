@@ -139,6 +139,24 @@ def test_docs_blocks_and_doc_refs(runner):
     assert ctx["doc"]("customer_revenue_doc").startswith("Per-customer")
 
 
+def test_behavior_flags_and_indexes(runner):
+    """behavior context var reads dbt_project.yml flags:
+    (behavior_flags.rs); create_indexes parses configs (no index DDL on
+    the Spark catalog — adapters/indexes.sql analog)."""
+    from dbt_fusion_spark.jinja.environment import _common_context
+    proj = runner.project
+    ctx = _common_context(proj, proj.nodes["model.tpch_demo.stg_orders"])
+    assert ctx["behavior"].require_batched_execution_for_custom_microbatch_strategy is True
+    assert ctx["behavior"].some_unset_flag is False
+    parsed = runner.adapter.create_indexes(
+        "analytics.stg_orders",
+        [{"columns": ["o_orderkey"], "unique": True},
+         {"columns": "o_orderdate", "type": "btree"}])
+    assert parsed == [
+        {"columns": ["o_orderkey"], "unique": True, "type": None},
+        {"columns": ["o_orderdate"], "unique": False, "type": "btree"}]
+
+
 def test_yaml_selectors(runner):
     from dbt_fusion_spark.dag import select_by_definition
     proj, dag = runner.project, runner.dag
