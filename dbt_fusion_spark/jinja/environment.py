@@ -77,7 +77,10 @@ def _parse_python_model(node) -> tuple[list[tuple[str, ...]], dict]:
 
 
 def _base_env() -> jinja2.Environment:
-    env = jinja2.Environment(undefined=jinja2.StrictUndefined, autoescape=False)
+    env = jinja2.Environment(
+        undefined=jinja2.StrictUndefined, autoescape=False,
+        # {% do %} + {% break %}/{% continue %} — dbt macros rely on both
+        extensions=["jinja2.ext.do", "jinja2.ext.loopcontrols"])
     env.filters["as_bool"] = lambda v: bool(v)
     env.filters["as_number"] = lambda v: float(v)
     env.filters["as_text"] = str

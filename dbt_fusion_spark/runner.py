@@ -632,6 +632,25 @@ class DbtSparkRunner:
         return [uid for wave in self.dag.generations()
                 for uid in wave if uid in selected]
 
+    def run_operation(self, macro: str, args: dict | None = None) -> str:
+        """`dbt run-operation`: invoke a project macro by name with the
+        live run context — adapter, run_query, and the statement
+        protocol all work, so operation macros can execute DDL/DML
+        (reference: the run-operation task renders the macro under the
+        run-phase context, run_node_context.rs)."""
+        if not self._parsed:
+            self.parse()
+        from dbt_fusion_spark.project.nodes import Node
+        call = "{{ %s(%s) }}" % (
+            macro,
+            ", ".join(f"{k}={v!r}" for k, v in (args or {}).items()))
+        node = Node(
+            unique_id=f"operation.{self.project.name}.{macro}", name=macro,
+            resource_type="operation", package=self.project.name,
+            path="", raw_code=call)
+        node.schema = self.project.default_schema
+        return self.compile(node)
+
     def show(self, name: str, limit: int = 5):
         """`dbt show`: compile the model inline and preview rows as a
         driver-side agate table (§2.6 — the only collect in the

@@ -139,6 +139,20 @@ def test_docs_blocks_and_doc_refs(runner):
     assert ctx["doc"]("customer_revenue_doc").startswith("Per-customer")
 
 
+def test_run_operation(runner, spark):
+    """dbt run-operation: macro invoked by name under the run context —
+    run_query DML takes effect ({% do %} extension included)."""
+    runner.run(select="stg_orders", include_tests=False)  # ensures audit_log
+    before = spark.table("analytics.audit_log") \
+        .filter("event = 'op_test'").count()
+    runner.run_operation("log_audit_event", {"event": "op_test"})
+    after = spark.table("analytics.audit_log") \
+        .filter("event = 'op_test'").count()
+    assert after == before + 1
+    # macros can iterate adapter.list_relations without error
+    runner.run_operation("grant_select_all", {"role": "analyst"})
+
+
 def test_behavior_flags_and_indexes(runner):
     """behavior context var reads dbt_project.yml flags:
     (behavior_flags.rs); create_indexes parses configs (no index DDL on
