@@ -311,7 +311,8 @@ def parse_node(project, node) -> None:
 
 
 def compile_node(project, node, relation_for, adapter=None,
-                 is_incremental: bool = False) -> str:
+                 is_incremental: bool = False,
+                 extra_ctx: dict[str, Any] | None = None) -> str:
     """Second render: ref/source emit relation names; ephemeral deps
     inline as CTEs (compile_node_context.rs; __dbt__cte__ naming)."""
     ephemeral_ctes: dict[str, str] = {}
@@ -384,6 +385,8 @@ def compile_node(project, node, relation_for, adapter=None,
         store_result=store_result,
         load_result=statement_results.get,
     )
+    if extra_ctx:
+        ctx.update(extra_ctx)
     src = BUILTIN_MACROS + project.macros_src + "\n" + node.raw_code
     body = _base_env().from_string(src).render(**ctx).strip()
     if ephemeral_ctes:

@@ -37,6 +37,17 @@ DOCS_BLOCK_RE = re.compile(
 )
 
 
+# {% materialization name, default | adapter='spark' %} blocks
+# (parser.rs:920-933; materialization_resolver.rs custom
+# materializations). Rewritten to zero-arg macros named
+# materialization_<name>_<adapter>; the runner renders the winning
+# adapter's macro with `sql`/`this` in context.
+MATERIALIZATION_BLOCK_RE = re.compile(
+    r"{%\s*materialization\s+(\w+)\s*,\s*([^%]*?)\s*%}"
+    r"(.*?){%\s*endmaterialization\s*%}", re.S
+)
+
+
 def _rewrite_test_blocks(src: str, found: set[str]) -> str:
     def sub(m: re.Match) -> str:
         name, args, body = m.group(1), m.group(2) or "(model, column_name)", m.group(3)
@@ -44,6 +55,19 @@ def _rewrite_test_blocks(src: str, found: set[str]) -> str:
         return f"{{% macro test_{name}{args} %}}{body}{{% endmacro %}}"
 
     return TEST_BLOCK_RE.sub(sub, src)
+
+
+def _rewrite_materialization_blocks(src: str, found: dict[str, set[str]]
+                                    ) -> str:
+    def sub(m: re.Match) -> str:
+        name, header, body = m.group(1), m.group(2), m.group(3)
+        am = re.search(r"adapter\s*=\s*['\"](\w+)['\"]", header)
+        adapter = am.group(1) if am else "default"
+        found.setdefault(name, set()).add(adapter)
+        return (f"{{% macro materialization_{name}_{adapter}() %}}"
+                f"{body}{{% endmacro %}}")
+
+    return MATERIALIZATION_BLOCK_RE.sub(sub, src)
 
 
 @dataclass
@@ -74,6 +98,8 @@ class Project:
     # dbt_project.yml `flags:` — behavior-flag overrides
     # (behavior_flags.rs:22-104)
     flags: dict[str, Any] = field(default_factory=dict)
+    # {% materialization %} block names -> adapters declared for each
+    custom_materializations: dict[str, set[str]] = field(default_factory=dict)
 
     @property
     def default_schema(self) -> str:
@@ -140,23 +166,28 @@ def load_project(root: str | Path, profile: dict | None = None,
     # package kind packages.rs:27-32)
     macro_chunks: list[str] = []
     custom_tests: set[str] = set()
+    custom_mats: dict[str, set[str]] = {}
+
+    def _macro_chunk(f: Path) -> str:
+        src = _rewrite_test_blocks(f.read_text(), custom_tests)
+        return _rewrite_materialization_blocks(src, custom_mats)
+
     pkg_root = root / cfg.get("packages-install-path", "dbt_packages")
     if pkg_root.exists():
         for pkg_dir in sorted(p for p in pkg_root.iterdir() if p.is_dir()):
             for sub in ("macros",):
                 base = pkg_dir / sub
                 if base.exists():
-                    macro_chunks += [
-                        _rewrite_test_blocks(f.read_text(), custom_tests)
-                        for f in sorted(base.rglob("*.sql"))]
+                    macro_chunks += [_macro_chunk(f)
+                                     for f in sorted(base.rglob("*.sql"))]
     for mp in macro_paths:
         base = root / mp
         if base.exists():
-            macro_chunks += [
-                _rewrite_test_blocks(f.read_text(), custom_tests)
-                for f in sorted(base.rglob("*.sql"))]
+            macro_chunks += [_macro_chunk(f)
+                             for f in sorted(base.rglob("*.sql"))]
     proj.macros_src = "\n".join(macro_chunks)
     proj.custom_tests = custom_tests
+    proj.custom_materializations = custom_mats
 
     # --- {% docs %} blocks (.md in docs-paths, default = model-paths) ---
     # loaded before schema.yml so doc() references in descriptions resolve

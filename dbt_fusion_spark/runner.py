@@ -336,6 +336,8 @@ class DbtSparkRunner:
                     lookback=int(node.config.get("lookback", 1)),
                     begin=node.config.get("begin"),
                 )
+            elif mat in self.project.custom_materializations:
+                out = self._run_custom_materialization(node, sql)
             else:
                 raise ValueError(f"unsupported materialization {mat!r}")
         else:
@@ -346,6 +348,27 @@ class DbtSparkRunner:
             self._persist_docs(node)
             self._apply_grants(node)
         return out
+
+    def _run_custom_materialization(self, node, sql: str) -> str:
+        """{% materialization %}-block materialization: render the
+        rewritten materialization_<name>_<adapter> macro under the run
+        context with `sql`/`this` bound to this node — the body's
+        {% call statement %} blocks execute its DDL/DML
+        (materialization_resolver.rs custom dispatch; adapter-specific
+        beats default, locality Core < Imported < Root)."""
+        from dbt_fusion_spark.jinja import compile_node
+        from dbt_fusion_spark.project.nodes import Node
+        mat = node.materialized
+        adapters = self.project.custom_materializations[mat]
+        adapter_name = "spark" if "spark" in adapters else "default"
+        call = Node(
+            unique_id=f"materialization.{node.unique_id}", name=node.name,
+            resource_type="model", package=node.package, path=node.path,
+            raw_code="{{ materialization_%s_%s() }}" % (mat, adapter_name))
+        call.schema, call.alias = node.schema, node.identifier
+        compile_node(self.project, call, self.relation_for,
+                     adapter=self.adapter, extra_ctx={"sql": sql})
+        return f"CUSTOM {mat} ({adapter_name})"
 
     def _validate_constraints(self, node) -> None:
         """Constraints (common.rs:634-670: not_null/unique/primary_key/

@@ -1,0 +1,5 @@
+{{ config(materialized='ctas_sorted') }}
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM {{ ref('stg_orders') }}
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100

@@ -139,6 +139,24 @@ def test_docs_blocks_and_doc_refs(runner):
     assert ctx["doc"]("customer_revenue_doc").startswith("Per-customer")
 
 
+def test_custom_materialization_block(runner, spark):
+    """{% materialization name, default %} blocks dispatch from the
+    runner; the body's statement('main') DDL builds the relation."""
+    proj = runner.project
+    assert proj.custom_materializations == {"ctas_sorted": {"default"}}
+    rr = runner.run(select="top_orders_custom", include_tests=False)
+    by_id = {r.unique_id: r for r in rr.results}
+    res = by_id["model.tpch_demo.top_orders_custom"]
+    assert res.status == "success", res.message
+    assert res.message == "CUSTOM ctas_sorted (default)"
+    df = spark.table("analytics.top_orders_custom")
+    assert df.count() == 100
+    top = df.orderBy(df.o_totalprice.desc()).first()
+    assert top["o_totalprice"] == \
+        spark.table("analytics.stg_orders").agg(
+            {"o_totalprice": "max"}).first()[0]
+
+
 def test_run_operation(runner, spark):
     """dbt run-operation: macro invoked by name under the run context —
     run_query DML takes effect ({% do %} extension included)."""
