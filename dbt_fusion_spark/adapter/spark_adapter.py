@@ -326,6 +326,44 @@ class SparkAdapter:
     def valid_incremental_strategies(self) -> list[str]:  # base_adapter.rs:1033
         return ["append", "merge", "delete+insert", "insert_overwrite", "microbatch"]
 
+    # ------------------------------------------------------------ bulk load
+    def load_dataframe(self, schema: str, identifier: str, path: str,
+                       file_format: str = "csv", mode: str = "overwrite",
+                       **options) -> None:
+        """base_adapter.rs:886 (BigQuery bulk-load analog): file ->
+        catalog table via the native reader, so format decoding and
+        partitioned write both run distributed."""
+        opts = {"header": "true", "inferSchema": "true"} \
+            if file_format == "csv" else {}
+        opts.update({k: str(v) for k, v in options.items()})
+        reader = self.spark.read.format(file_format).options(**opts)
+        self.create_schema(schema)
+        reader.load(path).write.mode(mode).saveAsTable(
+            f"`{schema}`.`{identifier}`")
+
+    def copy_table(self, from_relation: Relation | str,
+                   to_relation: Relation | str) -> None:
+        """base_adapter.rs:850 — CTAS copy of an existing relation."""
+        src = from_relation.render() if hasattr(from_relation, "render") \
+            else from_relation
+        dst = to_relation.render() if hasattr(to_relation, "render") \
+            else to_relation
+        self.execute(f"CREATE TABLE {dst} AS SELECT * FROM {src}")
+
+    # ----------------------------------------------------------- snapshots
+    SNAPSHOT_META_COLUMNS = ("dbt_scd_id", "dbt_updated_at",
+                             "dbt_valid_from", "dbt_valid_to")
+
+    def valid_snapshot_target(self, relation: Relation | str) -> None:
+        """base_adapter.rs:572 — assert an existing snapshot table has
+        the SCD-2 metadata columns before merging into it."""
+        cols = {c.name.lower() for c in self.get_columns_in_relation(relation)}
+        missing = [c for c in self.SNAPSHOT_META_COLUMNS if c not in cols]
+        if missing:
+            rel = relation.render() if hasattr(relation, "render") else relation
+            raise ValueError(
+                f"snapshot target {rel} missing columns {missing}")
+
     # ------------------------------------------------------------- indexes
     def parse_index(self, raw: dict) -> dict:
         """base_adapter.rs:1081 — normalize an index config dict

@@ -84,6 +84,27 @@ def test_adapter_schema_relation_lifecycle(spark):
     assert not a.check_schema_exists("dfs_test")
 
 
+def test_adapter_bulk_load_copy_snapshot_target(spark, tmp_path):
+    import pytest
+
+    a = SparkAdapter(spark)
+    csv = tmp_path / "mini.csv"
+    csv.write_text("id,name\n1,a\n2,b\n")
+    a.load_dataframe("dfs_bulk", "loaded", str(csv), file_format="csv")
+    assert spark.table("`dfs_bulk`.`loaded`").count() == 2
+    a.copy_table("`dfs_bulk`.`loaded`", "`dfs_bulk`.`copied`")
+    assert spark.table("`dfs_bulk`.`copied`").count() == 2
+    # valid_snapshot_target: missing SCD-2 metadata columns -> error
+    with pytest.raises(ValueError, match="dbt_scd_id"):
+        a.valid_snapshot_target("`dfs_bulk`.`copied`")
+    a.execute("CREATE TABLE `dfs_bulk`.`snap` AS SELECT 1 AS id,"
+              " 'x' AS dbt_scd_id, current_timestamp() AS dbt_updated_at,"
+              " current_timestamp() AS dbt_valid_from,"
+              " CAST(NULL AS TIMESTAMP) AS dbt_valid_to")
+    a.valid_snapshot_target("`dfs_bulk`.`snap`")  # no raise
+    a.drop_schema("dfs_bulk")
+
+
 def test_adapter_convert_type():
     a_table = AgateTable(["x", "y", "z", "d"],
                          [("1", "1.5", "true", "2024-01-02"),
