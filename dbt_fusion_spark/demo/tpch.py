@@ -329,3 +329,57 @@ sql_query(
     GROUP BY o_orderpriority
     """,
 )
+
+# --- pivot / unpivot (relational reshaping; Spark PIVOT clause and
+# stack() generator vs conditional-aggregation / UNION ALL oracles) ---
+
+sql_query(
+    "pivot_status_by_segment",
+    """
+    SELECT c_mktsegment,
+           COALESCE(n_open, 0)    AS n_open,
+           COALESCE(n_filled, 0)  AS n_filled,
+           COALESCE(n_pending, 0) AS n_pending
+    FROM (SELECT c_mktsegment, o_orderstatus
+          FROM customer JOIN orders ON c_custkey = o_custkey)
+    PIVOT (COUNT(*) FOR o_orderstatus
+           IN ('O' AS n_open, 'F' AS n_filled, 'P' AS n_pending))
+    ORDER BY c_mktsegment
+    """,
+    oracle="""
+    SELECT c_mktsegment,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+
+sql_query(
+    "unpivot_lineitem_metrics",
+    f"""
+    SELECT l_returnflag, metric, value
+    FROM (
+      SELECT l_returnflag,
+             CAST(SUM({QTY}) AS DOUBLE)   AS sum_qty,
+             CAST(SUM({PRICE}) AS DOUBLE) AS sum_price,
+             CAST(SUM({REV}) AS DOUBLE)   AS sum_rev
+      FROM lineitem GROUP BY l_returnflag) agg
+    UNPIVOT (value FOR metric IN (sum_qty, sum_price, sum_rev))
+    """,
+    oracle=f"""
+    WITH agg AS (
+      SELECT l_returnflag,
+             CAST(SUM({QTY}) AS DOUBLE)   AS sum_qty,
+             CAST(SUM({PRICE}) AS DOUBLE) AS sum_price,
+             CAST(SUM({REV}) AS DOUBLE)   AS sum_rev
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_rev' AS metric, sum_rev AS value FROM agg
+    """,
+)
