@@ -383,3 +383,33 @@ sql_query(
     SELECT l_returnflag, 'sum_rev' AS metric, sum_rev AS value FROM agg
     """,
 )
+
+# --- multi-level aggregation (ROLLUP / CUBE / GROUPING SETS — shared
+# dialect, so the same text is the oracle; GROUPING() disambiguates
+# the NULL super-aggregate rows) ---
+
+sql_query(
+    "rollup_returnflag_linestatus",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           CAST(SUM({QTY}) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+
+sql_query(
+    "grouping_sets_segment_status",
+    """
+    SELECT c_mktsegment, o_orderstatus,
+           GROUPING(c_mktsegment) AS g_seg,
+           GROUPING(o_orderstatus) AS g_status,
+           COUNT(*) AS n_orders
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus),
+                            (c_mktsegment, o_orderstatus), ())
+    """,
+)
