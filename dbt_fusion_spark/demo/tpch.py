@@ -413,3 +413,31 @@ sql_query(
                             (c_mktsegment, o_orderstatus), ())
     """,
 )
+
+# --- window frames + ranking/offset functions (shared dialect) ---
+
+sql_query(
+    "window_running_and_moving_revenue",
+    f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS moving_3_total,
+           LAG(o_orderkey, 1) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS prev_orderkey,
+           NTILE(4) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS quartile,
+           CAST(PERCENT_RANK() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS DOUBLE) AS pct_rank
+    FROM orders
+    WHERE o_custkey <= 200
+    """,
+)
