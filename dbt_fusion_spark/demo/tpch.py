@@ -441,3 +441,20 @@ sql_query(
     WHERE o_custkey <= 200
     """,
 )
+
+# --- ordered-set aggregates (PERCENTILE_CONT WITHIN GROUP — exact
+# interpolation, IEEE-deterministic in both engines) ---
+
+sql_query(
+    "percentile_order_value_by_segment",
+    """
+    SELECT c_mktsegment,
+      PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+      PERCENTILE_CONT(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+      PERCENTILE_CONT(0.9)  WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+      COUNT(*) AS n_orders
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)

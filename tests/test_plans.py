@@ -160,3 +160,31 @@ def test_salted_join_correct_and_spread(spark, sf):
     salted = salted_join(big, small, "k", salt_buckets=8).agg(
         F.count("*").alias("n"), F.sum("dim").alias("s")).collect()[0]
     assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
+
+
+def test_rollup_single_shuffle_with_expand(spark, sf):
+    """ROLLUP: Expand feeds a partial agg so ONE exchange carries
+    per-grouping-set partials — the shape that survives 100 TB (the
+    alternative, one shuffle per grouping set, does not)."""
+    plan = plan_of(QUERIES["rollup_returnflag_linestatus"](spark, sf))
+    assert shuffles(plan) == 1
+    assert n_nodes(plan, "Expand") == 1
+    assert n_nodes(plan, "HashAggregate") == 2  # partial + final
+
+
+def test_grouping_sets_broadcast_join_one_shuffle(spark, sf):
+    """GROUPING SETS over a join: customer broadcasts (no shuffle
+    join), Expand + partial agg leave a single exchange."""
+    plan = plan_of(QUERIES["grouping_sets_segment_status"](spark, sf))
+    assert shuffles(plan) == 1
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert n_nodes(plan, "Expand") == 1
+
+
+def test_pivot_broadcast_join(spark, sf):
+    """PIVOT's two-level aggregate keeps the dimension join broadcast;
+    a sort-merge join here would add two full shuffles of orders."""
+    plan = plan_of(QUERIES["pivot_status_by_segment"](spark, sf))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
