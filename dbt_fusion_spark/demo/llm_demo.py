@@ -555,3 +555,32 @@ def events_session_window_agg(spark, sf_dir):
         (F.row_number().over(w) - 1).cast("bigint").alias("sess_id"),
         "session_start", "n_events", "total_value",
     )
+
+
+@register("streaming_stateful_sessions")  # no oracle: custom stateful
+def streaming_stateful_sessions(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user sessionization with explicit GroupState + processing-time
+    timeout. Non-SQL-expressible — the driver records the weaker
+    rows-only check. The batch twin (events_sessionization /
+    events_session_window_agg) is oracle-verified; this exercises the
+    streaming state machinery itself."""
+    import tempfile
+    import uuid
+
+    from dbt_fusion_spark.streaming import stateful_sessionize
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    # restage as a one-file stream source: a single micro-batch keeps
+    # in-batch ts ordering (and thus the emitted session set) exact
+    staging = tempfile.mkdtemp(prefix="dfs-sessions-src-")
+    ev.coalesce(1).write.mode("overwrite").parquet(staging)
+    stream = spark.readStream.schema(ev.schema).parquet(staging)
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (stateful_sessionize(stream, "user_id", "ts", gap_seconds=1800)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="dfs-sessions-ckpt-"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)

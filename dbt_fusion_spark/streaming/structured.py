@@ -131,3 +131,77 @@ def streaming_merge(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def stateful_sessionize(
+    source: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    timeout_flush: bool = False,
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState
+    (the escape hatch for semantics Spark's built-in windows can't
+    express): per-key sessionization with explicit GroupState.
+
+    State per user: (session_start_ns, last_seen_ns, n_events) — epoch
+    NANOSECOND longs, never floats: ~1.7e18 ns exceeds a double's
+    53-bit mantissa, and a float round-trip leaves sub-microsecond
+    remainders Arrow's safe timestamp cast rejects. A session
+    closes when a new event arrives more than gap_seconds after
+    last_seen (emitted in that micro-batch); with timeout_flush=True a
+    ProcessingTimeTimeout also flushes idle sessions — so stragglers
+    inside the gap extend the session, and state size is O(active
+    users), not O(rows): the shape that holds on an unbounded
+    100 TB/day stream.
+
+    timeout_flush is for LIVE streams only: registering processing-time
+    timeouts makes the engine schedule micro-batches continuously to
+    evaluate them, so a trigger(availableNow) backfill would spin until
+    every state times out instead of terminating (observed: 259 epochs
+    at sf0.01). Batch backfills leave it False — trailing open sessions
+    simply stay in state, exactly as they would mid-stream."""
+    import pandas as pd
+
+    out_schema = (f"{user_col} long, session_start timestamp, "
+                  f"session_end timestamp, n_events long")
+    state_schema = "start long, last long, n long"
+    gap_ns = int(gap_seconds) * 1_000_000_000
+
+    def fn(key, pdf_iter, state):
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            closed.append((key[0], start, last, n))
+            state.remove()
+        else:
+            ts: list[int] = []
+            for pdf in pdf_iter:
+                ts.extend(pdf[ts_col].astype("int64").tolist())
+            ts.sort()
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start = last = ts[0]
+                n = 0
+            for t in ts:
+                if t - last > gap_ns:
+                    closed.append((key[0], start, last, n))
+                    start, n = t, 0
+                n += 1
+                last = max(last, t)
+            state.update((start, last, n))
+            if timeout_flush:
+                state.setTimeoutDuration(int(gap_seconds * 1000))
+        yield pd.DataFrame(
+            {user_col: [c[0] for c in closed],
+             "session_start": [pd.to_datetime(c[1], unit="ns") for c in closed],
+             "session_end": [pd.to_datetime(c[2], unit="ns") for c in closed],
+             "n_events": [c[3] for c in closed]})
+
+    timeout_conf = "ProcessingTimeTimeout" if timeout_flush else "NoTimeout"
+    return (
+        source.groupBy(user_col)
+        .applyInPandasWithState(fn, out_schema, state_schema,
+                                "append", timeout_conf)
+    )

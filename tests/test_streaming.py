@@ -95,3 +95,43 @@ def test_streaming_merge_upserts(spark, sf_small, tmp_path):
     t = spark.table("streaming_test.user_counts")
     assert t.count() == t.select("user_id").distinct().count()
     assert t.count() > 0
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionizer: gaps close sessions within
+    the batch; the trailing open session stays in GroupState (it would
+    flush on ProcessingTimeTimeout in a live stream)."""
+    from datetime import datetime, timedelta
+
+    from dbt_fusion_spark.streaming import stateful_sessionize
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(uid, offset_s):
+        return (uid, t0 + timedelta(seconds=offset_s))
+
+    rows = [
+        ev(1, 0), ev(1, 60), ev(1, 7200), ev(1, 7260),   # gap closes s1
+        ev(2, 0), ev(2, 10000), ev(2, 20000),            # 2 gaps -> 2 closed
+    ]
+    src_dir = str(tmp_path / "events_in")
+    spark.createDataFrame(rows, "user_id long, ts timestamp") \
+        .coalesce(1).write.parquet(src_dir)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp") \
+        .parquet(src_dir)
+    sessions = stateful_sessionize(stream, "user_id", "ts",
+                                   gap_seconds=1800)
+    q = (sessions.writeStream.format("memory")
+         .queryName("sessions_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+           for r in spark.table("sessions_out").collect()}
+    assert got == {
+        (1, t0, t0 + timedelta(seconds=60), 2),
+        (2, t0, t0, 1),
+        (2, t0 + timedelta(seconds=10000), t0 + timedelta(seconds=10000), 1),
+    }
