@@ -22,6 +22,17 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def sample_pass(df: DataFrame) -> DataFrame:
+    # plan.rs Pass: identity — the table flows through unsampled
+    return df
+
+
+def sample_clone(df: DataFrame) -> DataFrame:
+    # plan.rs Clone: full copy of the input relation; on Spark the
+    # "copy" is the caller materializing this DataFrame to a new table
+    return df
+
+
 def sample_random(df: DataFrame, frac: float, seed: int = 42) -> DataFrame:
     # plan.rs Random{frac,seed} -> Bernoulli sample
     return df.sample(fraction=frac, seed=seed)
