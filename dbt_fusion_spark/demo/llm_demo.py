@@ -612,3 +612,49 @@ _sql_query(
     GROUP BY event_type
     """,
 )
+
+
+@register(
+    "streaming_windowed_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_windowed_rollup(spark, sf_dir):
+    """Oracle-verified STREAMING query: a tumbling 1-day windowed
+    aggregate over the events stream in complete output mode emits
+    every window, so the availableNow backfill reproduces the batch
+    GROUP BY day rollup exactly — the equivalence that makes
+    batch-to-streaming migration safe. (No watermark here on purpose:
+    complete mode + bounded backfill; a live append-mode pipeline adds
+    withWatermark, see streaming.windowed_aggregate.)"""
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type",
+                                                    "value")
+    staging = tempfile.mkdtemp(prefix="dfs-winroll-src-")
+    ev.write.mode("overwrite").parquet(staging)
+    stream = spark.readStream.schema(ev.schema).parquet(staging)
+    agg = (
+        stream.groupBy(F.window(F.col("ts"), "1 day").alias("win"),
+                       "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+              .alias("total_value"))
+    )
+    name = f"winroll_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="dfs-winroll-ckpt-"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("win.start").cast("date").alias("day"),
+        "event_type", "n_events", "total_value")
