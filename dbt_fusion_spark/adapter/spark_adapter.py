@@ -402,7 +402,9 @@ def _sniff_type(vals: list[str]) -> str:
     if all(v.lower() in _BOOL for v in vals):
         return "boolean"
     if all(_INT_RE.match(v) for v in vals):
-        return "bigint" if any(abs(int(v)) > 2**31 - 1 for v in vals) else "bigint"
+        # always bigint, matching dbt-spark convert_number_type (seeds
+        # never sniff 32-bit int — avoids silent overflow on append)
+        return "bigint"
     if all(_FLOAT_RE.match(v) for v in vals):
         return "double"
     if all(_DATE_RE.match(v) for v in vals):
@@ -417,7 +419,7 @@ def _coerce(v: str | None, typ: str):
         return None
     if typ == "boolean":
         return v.lower() in ("true", "t", "yes")
-    if typ == "bigint":
+    if typ in ("int", "bigint"):
         return int(v)
     if typ == "double":
         return float(v)

@@ -27,7 +27,7 @@ SELECT
   {X.split_part('o_orderpriority', "'-'", 1)}                   AS prio_rank,
   {X.split_part('o_orderpriority', "'-'", -1)}                  AS prio_name,
   {X.safe_cast('o_orderpriority', X.type_int())}                AS bad_cast,
-  {X.cast('o_totalprice', 'decimal(18,2)')}                     AS price_dec,
+  CAST({X.cast('o_totalprice', 'decimal(18,2)')} AS DOUBLE)     AS price_dec,
   {X.date(1995, 3, 15)}                                         AS fixed_date,
   {X.equals('o_orderstatus', "'O'")}                            AS is_open
 FROM orders
@@ -50,7 +50,7 @@ SELECT
   split_part(o_orderpriority, '-', 1)                           AS prio_rank,
   string_split(o_orderpriority, '-')[-1]                        AS prio_name,
   try_cast(o_orderpriority AS INTEGER)                          AS bad_cast,
-  CAST(o_totalprice AS DECIMAL(18,2))                           AS price_dec,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)           AS price_dec,
   make_date(1995, 3, 15)                                        AS fixed_date,
   o_orderstatus IS NOT DISTINCT FROM 'O'                        AS is_open
 FROM orders
@@ -103,7 +103,6 @@ sql_query("crossdb_aggregates", _AGG_SPARK, oracle=_AGG_DUCK)
 def crossdb_date_spine(spark, sf_dir):
     """date_spine macro (utils/date_spine.sql:1-30): [start, end) day spine
     via sequence()+explode — generated distributed, no driver loop."""
-    register_views(spark, sf_dir)
     return spark.sql(X.date_spine("day", "DATE '1995-01-01'", "DATE '1995-06-01'"))
 
 
@@ -112,7 +111,6 @@ def crossdb_date_spine(spark, sf_dir):
     oracle="SELECT unnest(generate_series(1, 1000)) AS generated_number",
 )
 def crossdb_generate_series(spark, sf_dir):
-    register_views(spark, sf_dir)
     return spark.sql(X.generate_series(1000))
 
 
@@ -131,7 +129,7 @@ def function_sql_udf(spark, sf_dir):
     applied in a query. The oracle inlines the body — the UDF is pure
     SQL, so Catalyst inlines it too (no black-box penalty; the cast to
     decimal keeps the sum associative/exact for parity)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ["orders"])
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION order_fee(p DOUBLE) "
         "RETURNS DECIMAL(18,4) RETURN CAST(p / 10 AS DECIMAL(18,4))"

@@ -168,16 +168,20 @@ def incremental_microbatch(spark, sf_dir):
     INSERT OVERWRITE (the actual 100 TB path: metadata-only swaps, no
     shuffle against existing data)."""
     import datetime as dt
+    import tempfile
 
     events = load_table(spark, sf_dir, "events")
     begin, end = dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 12)
 
     spark.sql("CREATE DATABASE IF NOT EXISTS dbt_demo")
     spark.sql("DROP TABLE IF EXISTS dbt_demo.microbatch_daily")
+    # External table at a fresh temp location: a leftover warehouse dir
+    # from a previous run (LOCATION_ALREADY_EXISTS) can't break us.
+    loc = tempfile.mkdtemp(prefix="microbatch_daily_")
     spark.sql(
-        """CREATE TABLE dbt_demo.microbatch_daily
+        f"""CREATE TABLE dbt_demo.microbatch_daily
            (event_type STRING, n_events BIGINT, total_value DOUBLE, event_day DATE)
-           USING PARQUET PARTITIONED BY (event_day)"""
+           USING PARQUET PARTITIONED BY (event_day) LOCATION '{loc}'"""
     )
     for lo, hi in microbatch_windows(begin, end, "day"):
         batch = events.filter(

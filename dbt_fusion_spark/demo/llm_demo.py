@@ -389,23 +389,29 @@ def text_fingerprint(spark, sf_dir):
     oracle="""
     SELECT doc_id, 'text/plain' AS media_type,
            octet_length(encode(text)) AS n_bytes,
-           [CAST(strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1
-                 AS DOUBLE) / 15.0,
-            CAST(strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1
-                 AS DOUBLE) / 15.0,
-            CAST(strpos('0123456789abcdef', substring(md5(text), 3, 1)) - 1
-                 AS DOUBLE) / 15.0,
-            CAST(strpos('0123456789abcdef', substring(md5(text), 4, 1)) - 1
-                 AS DOUBLE) / 15.0] AS features
+           CAST(strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1
+                AS DOUBLE) / 15.0 AS f0,
+           CAST(strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1
+                AS DOUBLE) / 15.0 AS f1,
+           CAST(strpos('0123456789abcdef', substring(md5(text), 3, 1)) - 1
+                AS DOUBLE) / 15.0 AS f2,
+           CAST(strpos('0123456789abcdef', substring(md5(text), 4, 1)) - 1
+                AS DOUBLE) / 15.0 AS f3
     FROM documents
     """,
 )
 def multimodal_decode_features(spark, sf_dir):
     """Arrow-batched mapInPandas 'decode' over binary payloads: real
     multimodal plumbing (schema/batching/UDF signature); the fake
-    md5-feature codec stands in for PIL/librosa (not in container)."""
+    md5-feature codec stands in for PIL/librosa (not in container).
+    The feature vector is unpacked to scalar columns for the gate —
+    array columns can't be lexsorted by the oracle canonicalizer."""
     docs = load_table(spark, sf_dir, "documents")
-    return M.decode_media(M.attach_payload(docs, "text", "doc_id"))
+    decoded = M.decode_media(M.attach_payload(docs, "text", "doc_id"))
+    return decoded.select(
+        "doc_id", "media_type", "n_bytes",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(4)],
+    )
 
 
 @register(
@@ -525,7 +531,8 @@ def similarity_hyperplane_lsh(spark, sf_dir):
              SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
                                  ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM flagged)
-    SELECT user_id, sess_id, MIN(ts) AS session_start,
+    SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+           MIN(ts) AS session_start,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM numbered GROUP BY user_id, sess_id
@@ -571,10 +578,14 @@ def streaming_stateful_sessions(spark, sf_dir):
     from dbt_fusion_spark.streaming import stateful_sessionize
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    # restage as a one-file stream source: a single micro-batch keeps
-    # in-batch ts ordering (and thus the emitted session set) exact
+    # Restage hash-partitioned by user: each user's full history lands in
+    # ONE file, and the file stream source never splits a file across
+    # micro-batches — so the per-user session logic (which sorts ts
+    # in-batch) sees complete histories regardless of batch planning.
+    # Scales: N-way parallel write/read, no single-partition funnel.
     staging = tempfile.mkdtemp(prefix="dfs-sessions-src-")
-    ev.coalesce(1).write.mode("overwrite").parquet(staging)
+    (ev.repartition("user_id").sortWithinPartitions("ts")
+       .write.mode("overwrite").parquet(staging))
     stream = spark.readStream.schema(ev.schema).parquet(staging)
     name = f"sessions_{uuid.uuid4().hex[:8]}"
     q = (stateful_sessionize(stream, "user_id", "ts", gap_seconds=1800)

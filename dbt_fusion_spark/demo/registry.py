@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dbt_fusion_spark.sources.registry import register_views
+from dbt_fusion_spark.sources.registry import register_views, tables_in_sql
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -35,8 +35,10 @@ def sql_query(name: str, sql: str, oracle: str | None = None) -> None:
     source views. When `oracle` is omitted the SAME text runs on DuckDB —
     the dialect-shared subset is the cheapest correctness win."""
 
+    needed = tables_in_sql(sql)
+
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        register_views(spark, sf_dir)
+        register_views(spark, sf_dir, needed)
         return spark.sql(sql)
 
     fn.__name__ = f"q_{name}"

@@ -10,8 +10,10 @@ from dbt_fusion_spark.sample import (
     sample_branch,
     sample_group,
     sample_hash,
-    sample_random,
-    sample_stratified,
+    sample_random,  # noqa: F401 — documented alternate
+    sample_random_portable,
+    sample_stratified,  # noqa: F401 — documented alternate
+    sample_stratified_portable,
     sample_time,
 )
 from dbt_fusion_spark.sources.registry import load_table
@@ -88,19 +90,41 @@ def sample_branch_alloc(spark, sf_dir):
     ).select("o_orderkey", "o_totalprice", "__branch")
 
 
-@register("sample_random_seeded")  # rows-only: Spark's seeded Bernoulli
+@register(
+    "sample_random_seeded",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE CAST('0x' || substring(md5('42|' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+               AS BIGINT) < 429496729
+    """,
+)
 def sample_random_seeded(spark, sf_dir):
-    """Random{frac,seed}: Spark-deterministic (xorshift per partition);
-    not oracle-expressible — driver records the weaker rows-check."""
+    """Random{frac,seed} via the portable keyed hash (plan.rs:89-124
+    mandates frac+seed determinism, not an RNG): keep rows whose
+    md5-derived unit hash < frac*2^32 — exactly oracle-checkable.
+    `sample_random` (Spark-native Bernoulli) remains the alternate."""
     df = load_table(spark, sf_dir, "orders")
-    return sample_random(df, 0.1, seed=42).select("o_orderkey")
+    return sample_random_portable(df, 0.1, by="o_orderkey", seed=42).select("o_orderkey")
 
 
-@register("sample_stratified_by_segment")  # rows-only: Spark sampleBy
+@register(
+    "sample_stratified_by_segment",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE CAST('0x' || substring(md5('42|' || CAST(c_custkey AS VARCHAR)), 1, 8)
+               AS BIGINT)
+          < CASE c_mktsegment WHEN 'BUILDING'   THEN 2147483648
+                              WHEN 'AUTOMOBILE' THEN 1073741824
+                              WHEN 'MACHINERY'  THEN 429496729
+                              ELSE NULL END
+    """,
+)
 def sample_stratified_by_segment(spark, sf_dir):
-    """Stratified{by,frac_map,seed} via df.sampleBy."""
+    """Stratified{by,frac_map,seed} with the portable per-stratum hash
+    threshold; `sample_stratified` (df.sampleBy) remains the alternate."""
     df = load_table(spark, sf_dir, "customer")
-    return sample_stratified(
+    return sample_stratified_portable(
         df, "c_mktsegment",
-        {"BUILDING": 0.5, "AUTOMOBILE": 0.25, "MACHINERY": 0.1}, seed=42
+        {"BUILDING": 0.5, "AUTOMOBILE": 0.25, "MACHINERY": 0.1},
+        key="c_custkey", seed=42,
     ).select("c_custkey", "c_mktsegment")

@@ -7,7 +7,7 @@ so the oracle runs the very same text the engine generates.
 from __future__ import annotations
 
 from dbt_fusion_spark.demo.registry import register
-from dbt_fusion_spark.sources.registry import register_views
+from dbt_fusion_spark.sources.registry import register_views, tables_in_sql
 from dbt_fusion_spark.testing import (
     build_fixture_sql,
     get_test_sql,
@@ -24,7 +24,7 @@ _UNIQUE_WRAPPED = get_test_sql(test_unique("orders", "o_custkey"))
 
 @register("data_test_unique_severity", oracle=_UNIQUE_WRAPPED)
 def data_test_unique_severity(spark, sf_dir):
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables_in_sql(_UNIQUE_WRAPPED))
     return spark.sql(_UNIQUE_WRAPPED)
 
 
@@ -35,7 +35,7 @@ _ACCEPTED = get_test_sql(
 
 @register("data_test_accepted_values", oracle=_ACCEPTED)
 def data_test_accepted_values(spark, sf_dir):
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables_in_sql(_ACCEPTED))
     return spark.sql(_ACCEPTED)
 
 
@@ -46,7 +46,7 @@ _REL = get_test_sql(
 
 @register("data_test_relationships", oracle=_REL)
 def data_test_relationships(spark, sf_dir):
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables_in_sql(_REL))
     return spark.sql(_REL)
 
 
@@ -83,5 +83,5 @@ _UNIT_SQL = unit_test_sql(_MODEL_SQL, {"fixture_orders": _FIXTURE_ORDERS}, _EXPE
 
 @register("unit_test_fixture_compare", oracle=_UNIT_SQL)
 def unit_test_fixture_compare(spark, sf_dir):
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables_in_sql(_UNIT_SQL))
     return spark.sql(_UNIT_SQL)

@@ -19,7 +19,10 @@ CRITICAL rules (verified empirically against duckdb 1.0 / spark 4.1):
 - NEVER scale-reduce a decimal for parity: Spark casts HALF_UP, DuckDB
   HALF_EVEN (0.20335→.2034 vs .2033).
 - when the exact sum needs scale*digits beyond 2^53, return the exact
-  DECIMAL itself (same scale both sides) instead of a double.
+  decimal CAST TO STRING on both sides (both engines render full scale,
+  e.g. '508216551.6471800000'); a bare DECIMAL column reaches pandas as
+  Decimal objects from Spark but float64 from DuckDB and can never hash-
+  match.
 """
 
 from __future__ import annotations
@@ -42,7 +45,8 @@ sql_query(
       CAST(SUM({QTY}) AS DOUBLE)                         AS sum_qty,
       CAST(SUM({PRICE}) AS DOUBLE)                       AS sum_base_price,
       CAST(SUM({REV}) AS DOUBLE)                         AS sum_disc_price,
-      CAST(SUM({REV} * (1 + {TAX})) AS DECIMAL(38,10))   AS sum_charge,
+      CAST(CAST(SUM({REV} * (1 + {TAX})) AS DECIMAL(38,10)) AS STRING)
+                                                         AS sum_charge,
       CAST(SUM({QTY}) AS DOUBLE) / COUNT(*)              AS avg_qty,
       CAST(SUM({PRICE}) AS DOUBLE) / COUNT(*)            AS avg_price,
       CAST(SUM({DISC}) AS DOUBLE) / COUNT(*)             AS avg_disc,

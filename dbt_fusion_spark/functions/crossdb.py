@@ -14,6 +14,7 @@ forms are all whole-stage-codegen-friendly built-ins (no UDFs).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 # --- date/time ---------------------------------------------------------
@@ -181,8 +182,24 @@ def listagg(measure: str, delimiter_text: str = "','",
             order_by_clause: str | None = None, limit_num: int | None = None) -> str:
     """utils/listagg.sql:1-30. Spark-first deterministic form:
     sorted collect_list + array_join (+ slice for limit). Avoids the
-    nondeterministic bare collect_list ordering."""
-    arr = f"sort_array(collect_list({measure}))"
+    nondeterministic bare collect_list ordering.
+
+    order_by_clause ('ORDER BY <expr> [ASC|DESC]') is honored by
+    collecting (key, measure) structs and sorting on the key (struct
+    sort_array orders field-by-field, so ties break on the measure);
+    without it the measure itself is the sort key."""
+    if order_by_clause:
+        m = re.match(r"(?is)\s*order\s+by\s+(.+?)\s*(asc|desc)?\s*$",
+                     order_by_clause)
+        if not m:
+            raise ValueError(
+                f"listagg: cannot parse order_by_clause {order_by_clause!r}")
+        key, direction = m.group(1), (m.group(2) or "asc").lower()
+        asc = "true" if direction == "asc" else "false"
+        arr = (f"transform(sort_array(collect_list("
+               f"struct({key} AS k, {measure} AS v)), {asc}), s -> s.v)")
+    else:
+        arr = f"sort_array(collect_list({measure}))"
     if limit_num:
         arr = f"slice({arr}, 1, {limit_num})"
     return f"array_join({arr}, {delimiter_text})"

@@ -120,23 +120,29 @@ def _reorder_to_table(spark: SparkSession, table: str, sql: str) -> str:
 
 def materialize_materialized_view(adapter: SparkAdapter, schema: str, name: str,
                                   sql: str,
-                                  on_configuration_change: str = "apply") -> str:
+                                  on_configuration_change: str = "apply",
+                                  config_changed: bool = False) -> str:
     """models/materialized_view.sql:1-123: create / refresh / alter by
     on_configuration_change (apply|continue|fail). The Spark session
     catalog has no MV object, so refresh = full recompute into the same
     relation (what the reference's `refresh` relation op does for
-    warehouses without incremental MV maintenance). `continue` skips the
-    refresh when the relation already exists; `fail` errors."""
+    warehouses without incremental MV maintenance).
+
+    on_configuration_change gates only the handling of a CHANGED
+    configuration (reference semantics): `continue` skips applying the
+    change but still refreshes the data; `fail` errors; `apply`
+    recreates. With no tracked change, every mode refreshes."""
     existing = adapter.get_relation(None, schema, name, use_cache=False)
-    if existing is not None:
-        if on_configuration_change == "continue":
-            return "SKIP (on_configuration_change=continue)"
+    note = ""
+    if existing is not None and config_changed:
         if on_configuration_change == "fail":
             raise RuntimeError(
-                f"materialized view {schema}.{name} exists "
+                f"materialized view {schema}.{name} configuration changed "
                 "(on_configuration_change=fail)")
+        if on_configuration_change == "continue":
+            note = " (config change skipped)"
     materialize_table(adapter, schema, name, sql)
-    return ("REFRESH MATERIALIZED VIEW" if existing is not None
+    return ("REFRESH MATERIALIZED VIEW" + note if existing is not None
             else "CREATE MATERIALIZED VIEW")
 
 
@@ -221,6 +227,11 @@ def materialize_incremental(
     begin: str | None = None,
 ) -> str:
     spark = adapter.spark
+    # Session-agnostic: INSERT OVERWRITE below requires dynamic partition
+    # overwrite mode even when the caller built a vanilla SparkSession.
+    from dbt_fusion_spark.sources.registry import ensure_session_confs
+
+    ensure_session_confs(spark)
     target = _rel(schema, name, RelationType.Table)
     existing = adapter.get_relation(None, schema, name, use_cache=False)
 

@@ -32,11 +32,22 @@ def salted_join(big: DataFrame, small: DataFrame, on: str | list[str],
     replicated once per salt value via explode. Joining on
     (keys..., __salt) then matches each big row against exactly the
     one replica set carrying its salt — the same rows a plain key join
-    would produce, for any join type and duplicate profile — while a
-    hot key's rows scatter across R shuffle partitions instead of one
-    straggler. Which salt a row gets never affects the result, so the
-    per-row value only needs spread, not determinism.
+    would produce — while a hot key's rows scatter across R shuffle
+    partitions instead of one straggler. Which salt a row gets never
+    affects the result, so the per-row value only needs spread, not
+    determinism.
+
+    Result-equivalent ONLY for inner/left-outer/left_semi/left_anti:
+    an unmatched SMALL-side row exists once per replica, so right/full
+    outer joins would emit it R times. Those types raise.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: join type {how!r} not supported — the replicated "
+            "small side would duplicate unmatched rows in right/full outer "
+            "joins; use a plain join (AQE skew handling) instead")
     keys = [on] if isinstance(on, str) else list(on)
     r = int(salt_buckets)
     big_s = big.withColumn(

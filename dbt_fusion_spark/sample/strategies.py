@@ -88,6 +88,42 @@ def sample_stratified(df: DataFrame, by: str, frac_map: dict, seed: int = 42
     return df.sampleBy(by, fractions=frac_map, seed=seed)
 
 
+def _unit_hash(key_cols: Sequence[str], seed: int):
+    """Engine-portable uniform hash in [0, 2^32): first 8 hex chars of
+    md5(seed|key). A pure function of (seed, key) — reproducible across
+    Spark, DuckDB, and any engine with md5, and stable under
+    repartitioning (the 100 TB property: the sample never depends on
+    physical placement)."""
+    h = F.md5(F.concat_ws(
+        "|", F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols]))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+
+
+def sample_random_portable(df: DataFrame, frac: float, by: str | Sequence[str],
+                           seed: int = 42) -> DataFrame:
+    """Random{frac,seed} as a deterministic keyed Bernoulli: keep rows
+    whose unit hash < frac * 2^32. plan.rs:89-124 mandates frac+seed
+    determinism, not a specific RNG — this variant is exactly
+    reproducible in any engine (the oracle restates the same filter),
+    unlike Spark's partition-seeded xorshift."""
+    cols = [by] if isinstance(by, str) else list(by)
+    return df.filter(_unit_hash(cols, seed) < int(frac * 4294967296))
+
+
+def sample_stratified_portable(df: DataFrame, by: str, frac_map: dict,
+                               key: str | Sequence[str], seed: int = 42
+                               ) -> DataFrame:
+    """Stratified{by,frac_map,seed} with the portable keyed hash: the
+    per-stratum threshold is looked up from frac_map, rows in strata
+    absent from the map are dropped (sampleBy semantics)."""
+    cols = [key] if isinstance(key, str) else list(key)
+    thresh = F.lit(None).cast("bigint")
+    for stratum, frac in frac_map.items():
+        thresh = F.when(F.col(by) == stratum,
+                        F.lit(int(frac * 4294967296))).otherwise(thresh)
+    return df.filter(_unit_hash(cols, seed) < thresh)
+
+
 def sample_branch(df: DataFrame, predicates: Sequence[str],
                   alloc: Sequence[str]) -> DataFrame:
     """plan.rs Branch{predicates,alloc}: first matching predicate decides

@@ -1,0 +1,108 @@
+"""Local replica of the driver's correctness gate.
+
+Runs each __spark_entry__.queries() entry on a VANILLA SparkSession (no
+get_spark() conveniences — this is what caught the round-1 registry bug)
+and the matching oracle_sql() on DuckDB over the same parquet, then
+compares row count, schema (column names), and a canonical value hash
+(columns sorted by name, rows lexicographically sorted, floats rounded).
+
+Usage:
+    python tools/local_gate.py [query ...]       # default: all
+    SPARK_GATE_SF_DIR=/root/testdata/sf0.01 python tools/local_gate.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import traceback
+
+import duckdb
+import pandas as pd
+
+SF_DIR = os.environ.get("SPARK_GATE_SF_DIR", "/root/testdata/sf0.01")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _cell(v) -> str:
+    import datetime
+    if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+        return "NULL"
+    # The driver's canonicalizer normalizes temporal types (r1 evidence:
+    # date-vs-midnight-timestamp hash-matched); mirror that. Everything
+    # else is strict str() — notably Decimal-vs-float does NOT match, so
+    # queries must never emit DECIMAL columns.
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        v = pd.Timestamp(v)
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, float):
+        return repr(round(v, 6))
+    return str(v)
+
+
+def _canon(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].map(_cell)
+    rows = sorted(df.itertuples(index=False, name=None))
+    return hashlib.sha256(repr(rows).encode()).hexdigest()
+
+
+def main(names: list[str]) -> int:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+    from pyspark.sql import SparkSession
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    names = names or list(queries)
+
+    # Vanilla session on purpose — mirrors the driver's harness.
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "8g")
+             .getOrCreate())
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    results, n_pass, n_fail, n_err, n_noracle = {}, 0, 0, 0, 0
+    for name in names:
+        try:
+            sdf = queries[name](spark, SF_DIR).toPandas()
+            if name not in oracles:
+                results[name] = {"spark_rows": len(sdf), "err": "no_oracle"}
+                n_noracle += 1
+                print(f"NOORACLE {name} rows={len(sdf)}")
+                continue
+            odf = con.execute(oracles[name]).df()
+            rows = len(sdf) == len(odf)
+            schema = sorted(sdf.columns) == sorted(odf.columns)
+            hashm = schema and _canon(sdf) == _canon(odf)
+            results[name] = {"rows_match": rows, "schema_match": schema,
+                             "hash_match": hashm, "spark_rows": len(sdf),
+                             "oracle_rows": len(odf), "err": None}
+            ok = rows and schema and hashm
+            n_pass += ok
+            n_fail += not ok
+            print(("PASS" if ok else "FAIL") + f" {name} rows={len(sdf)}/{len(odf)}"
+                  + ("" if schema else f" schema spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"))
+        except Exception:
+            results[name] = {"err": traceback.format_exc()}
+            n_err += 1
+            print(f"ERR  {name}")
+            print(traceback.format_exc(limit=3))
+    print(f"\n== pass={n_pass} fail={n_fail} err={n_err} no_oracle={n_noracle} total={len(names)}")
+    with open("/tmp/local_gate.json", "w") as f:
+        json.dump(results, f, indent=1, default=str)
+    return 0 if n_fail == n_err == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
