@@ -1,0 +1,200 @@
+"""Command-line entry point: `python -m dbt_fusion_spark <command>`.
+
+Mirrors the reference CLI surface (crates/dbt-sa-cli/src/dbt_sa_lib.rs:
+205-265 — run/test/build/seed/snapshot/compile/list/show/debug/deps/
+source freshness/run-operation/init) on top of DbtSparkRunner. The CLI
+is a thin shell: argument parsing and exit codes here, all semantics in
+the runner — same layering as the reference, where the CLI crate only
+dispatches into dbt-core scheduling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import yaml
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dbt-fusion-spark",
+        description="PySpark-native dbt engine")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--project-dir", default=".")
+        sp.add_argument("--profiles-dir", default=None)
+        sp.add_argument("--target", default=None)
+        sp.add_argument("--vars", default=None,
+                        help="YAML/JSON dict of var overrides")
+        sp.add_argument("-s", "--select", default=None)
+        sp.add_argument("--exclude", default=None)
+        sp.add_argument("--selector", default=None)
+        sp.add_argument("--state", default=None)
+        sp.add_argument("--defer", action="store_true")
+        sp.add_argument("--threads", type=int, default=None)
+        sp.add_argument("--full-refresh", action="store_true")
+        return sp
+
+    for name in ("run", "test", "build", "seed", "snapshot", "compile", "parse"):
+        common(sub.add_parser(name))
+    ls = common(sub.add_parser("list", aliases=["ls"]))
+    ls.add_argument("--output", choices=["name", "json"], default="name")
+    show = common(sub.add_parser("show"))
+    show.add_argument("model")
+    show.add_argument("--limit", type=int, default=5)
+    op = common(sub.add_parser("run-operation"))
+    op.add_argument("macro")
+    op.add_argument("--args", default=None)
+    src = common(sub.add_parser("source"))
+    src.add_argument("subcommand", choices=["freshness"])
+    deps = sub.add_parser("deps")
+    deps.add_argument("--project-dir", default=".")
+    init = sub.add_parser("init")
+    init.add_argument("name")
+    init.add_argument("--project-dir", default=".")
+    return p
+
+
+def _load_profile(args) -> dict | None:
+    """profiles.yml resolution (profile name from dbt_project.yml,
+    target from --target or the profile's default)."""
+    proj_dir = Path(args.project_dir)
+    profiles_dir = Path(args.profiles_dir) if args.profiles_dir else proj_dir
+    path = profiles_dir / "profiles.yml"
+    if not path.exists():
+        return None
+    profiles = yaml.safe_load(path.read_text()) or {}
+    cfg = yaml.safe_load((proj_dir / "dbt_project.yml").read_text()) or {}
+    prof_name = cfg.get("profile", cfg.get("name"))
+    prof = profiles.get(prof_name)
+    if not prof:
+        return None
+    target = args.target or prof.get("target", "dev")
+    out = dict(prof.get("outputs", {}).get(target, {}))
+    out.setdefault("name", target)
+    return out
+
+
+def _parse_vars(raw: str | None) -> dict:
+    if not raw:
+        return {}
+    return yaml.safe_load(raw) or {}
+
+
+def _runner(args, spark=None):
+    from dbt_fusion_spark.runner import DbtSparkRunner
+
+    if spark is None:
+        from dbt_fusion_spark.session import get_spark
+        spark = get_spark(app_name="dbt-fusion-spark-cli")
+    return DbtSparkRunner(
+        spark, args.project_dir,
+        profile=_load_profile(args),
+        vars=_parse_vars(getattr(args, "vars", None)) or None)
+
+
+_RESOURCE_TYPES = {
+    "run": {"model"},
+    "seed": {"seed"},
+    "snapshot": {"snapshot"},
+    "test": {"test", "unit_test"},
+    "build": None,  # everything, DAG-ordered
+}
+
+
+def _print_results(rr) -> int:
+    for r in rr.results:
+        line = f"{r.status.upper():8s} {r.unique_id}"
+        if r.message:
+            line += f"  ({str(r.message).splitlines()[0][:120]})"
+        print(line)
+    n_err = sum(1 for r in rr.results if r.status in ("error", "fail"))
+    print(f"Done. {len(rr.results)} nodes, {n_err} failures "
+          f"in {rr.elapsed:.1f}s")
+    return 1 if n_err else 0
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = _build_parser().parse_args(argv)
+    cmd = args.command
+    if cmd == "deps":
+        from dbt_fusion_spark.deps import install_deps
+        for pkg in install_deps(args.project_dir):
+            print(f"Installed {pkg}")
+        return 0
+    if cmd == "init":
+        from dbt_fusion_spark.project.scaffold import init_project
+        init_project(Path(args.project_dir) / args.name)
+        print(f"Created project {args.name}")
+        return 0
+
+    runner = _runner(args, spark=spark)
+
+    if cmd == "parse":
+        runner.parse()
+        runner.write_artifacts(
+            __import__("dbt_fusion_spark.runner", fromlist=["RunResults"])
+            .RunResults([], 0.0))
+        print("Parsed OK")
+        return 0
+    if cmd in ("list", "ls"):
+        for uid in runner.list_nodes(select=args.select, exclude=args.exclude):
+            if args.output == "json":
+                node = runner.project.nodes.get(uid)
+                print(json.dumps({
+                    "unique_id": uid,
+                    "resource_type": getattr(node, "resource_type", None),
+                    "name": getattr(node, "name", uid)}))
+            else:
+                print(uid)
+        return 0
+    if cmd == "show":
+        table = runner.show(args.model, limit=args.limit)
+        print(" | ".join(table.column_names))
+        for row in table.rows:
+            print(" | ".join(str(v) for v in row))
+        return 0
+    if cmd == "run-operation":
+        print(runner.run_operation(args.macro,
+                                   _parse_vars(args.args) or None))
+        return 0
+    if cmd == "source":
+        runner.parse()
+        worst = 0
+        for uid, node in runner.project.sources.items():
+            if (node.config or {}).get("freshness") or (node.meta or {}).get("freshness"):
+                status = runner.check_source_freshness(uid)
+                print(f"{status['status'].upper():8s} {uid} "
+                      f"(age {status.get('max_loaded_at_age', '?')})")
+                worst = max(worst, 1 if status["status"] == "error" else 0)
+        return worst
+    if cmd == "compile":
+        runner.parse()
+        outdir = Path(args.project_dir) / "target" / "compiled"
+        for uid, node in runner.project.nodes.items():
+            if (node.resource_type != "model"
+                    or node.config.get("language") == "python"):
+                continue
+            sql = runner.compile(node)
+            dest = outdir / (node.path or f"{node.name}.sql")
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            dest.write_text(sql)
+            print(f"Compiled {uid} -> {dest}")
+        return 0
+
+    # run / test / build / seed / snapshot
+    rr = runner.run(
+        select=args.select, exclude=args.exclude, selector=args.selector,
+        full_refresh=args.full_refresh, threads=args.threads,
+        state_dir=args.state, defer=args.defer,
+        include_tests=(cmd in ("test", "build")),
+        resource_types=_RESOURCE_TYPES[cmd])
+    return _print_results(rr)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -227,6 +227,29 @@ def _common_context(project, node) -> dict[str, Any]:
     }
 
 
+def resolve_ref_uid(project, node, *args) -> str | None:
+    """dbt ref() resolution order (resolver.rs package search): the
+    two-arg form ref('pkg', 'name') targets a package explicitly; the
+    one-arg form searches the referencing node's own package, then the
+    root project, then any single package defining the name."""
+    name = args[-1]
+    rts = ("model", "seed", "snapshot")
+    if len(args) == 2:
+        pkgs: list[str] = [args[0]]
+    else:
+        pkgs = list(dict.fromkeys(
+            [getattr(node, "package", None) or project.name, project.name]))
+    for pkg in pkgs:
+        for rt in rts:
+            uid = f"{rt}.{pkg}.{name}"
+            if uid in project.nodes:
+                return uid
+    # fall back: unique match across all packages
+    hits = [u for u, n in project.nodes.items()
+            if n.name == name and n.resource_type in rts]
+    return hits[0] if len(hits) == 1 else None
+
+
 def parse_node(project, node) -> None:
     """Render with capturing ref/source/config; fills node.depends_on
     and node.config (reference resolve_model_context.rs:120-205)."""
@@ -240,15 +263,11 @@ def parse_node(project, node) -> None:
         resolved = []
         for d in py_deps:
             if d[0] == "ref":
-                name = d[-1]
-                for uid in (f"model.{project.name}.{name}",
-                            f"seed.{project.name}.{name}",
-                            f"snapshot.{project.name}.{name}"):
-                    if uid in project.nodes:
-                        resolved.append(uid)
-                        break
-                else:
-                    raise CompileError(f"{node.unique_id}: unknown ref {name!r}")
+                uid = resolve_ref_uid(project, node, *d[1:])
+                if uid is None:
+                    raise CompileError(
+                        f"{node.unique_id}: unknown ref {d[-1]!r}")
+                resolved.append(uid)
             else:
                 uid = f"source.{project.name}.{d[1]}.{d[2]}"
                 if uid not in project.sources:
@@ -258,17 +277,9 @@ def parse_node(project, node) -> None:
         return
 
     def ref(*args):
-        name = args[-1]
-        uid = f"model.{project.name}.{name}"
-        if uid not in project.nodes:
-            seed_uid = f"seed.{project.name}.{name}"
-            snap_uid = f"snapshot.{project.name}.{name}"
-            if seed_uid in project.nodes:
-                uid = seed_uid
-            elif snap_uid in project.nodes:
-                uid = snap_uid
-            else:
-                raise CompileError(f"{node.unique_id}: unknown ref {name!r}")
+        uid = resolve_ref_uid(project, node, *args)
+        if uid is None:
+            raise CompileError(f"{node.unique_id}: unknown ref {args[-1]!r}")
         deps.append(uid)
         return f"__ref__{uid}__"
 
@@ -329,12 +340,10 @@ def compile_node(project, node, relation_for, adapter=None,
         return relation_for(uid)
 
     def ref(*args):
-        name = args[-1]
-        for uid in (f"model.{project.name}.{name}", f"seed.{project.name}.{name}",
-                    f"snapshot.{project.name}.{name}"):
-            if uid in project.nodes:
-                return resolve(uid)
-        raise CompileError(f"{node.unique_id}: unknown ref {name!r}")
+        uid = resolve_ref_uid(project, node, *args)
+        if uid is None:
+            raise CompileError(f"{node.unique_id}: unknown ref {args[-1]!r}")
+        return resolve(uid)
 
     def source(src, tbl):
         return resolve(f"source.{project.name}.{src}.{tbl}")

@@ -175,11 +175,31 @@ def load_project(root: str | Path, profile: dict | None = None,
     pkg_root = root / cfg.get("packages-install-path", "dbt_packages")
     if pkg_root.exists():
         for pkg_dir in sorted(p for p in pkg_root.iterdir() if p.is_dir()):
-            for sub in ("macros",):
+            pkg_cfg_file = pkg_dir / "dbt_project.yml"
+            pkg_cfg = (yaml.safe_load(pkg_cfg_file.read_text()) or {}
+                       if pkg_cfg_file.exists() else {})
+            pkg_name = pkg_cfg.get("name", pkg_dir.name)
+            for sub in pkg_cfg.get("macro-paths", ["macros"]):
                 base = pkg_dir / sub
                 if base.exists():
                     macro_chunks += [_macro_chunk(f)
                                      for f in sorted(base.rglob("*.sql"))]
+            # package models run under the package's namespace
+            # (loader.rs package traversal; ref() searches packages too)
+            for sub in pkg_cfg.get("model-paths", ["models"]):
+                base = pkg_dir / sub
+                if not base.exists():
+                    continue
+                for f in sorted(base.rglob("*.sql")):
+                    rel = f.relative_to(base)
+                    uid = f"model.{pkg_name}.{f.stem}"
+                    conf = _dir_config(pkg_cfg.get("models", {}) or {},
+                                       rel.parts[:-1], pkg_name)
+                    proj.nodes[uid] = Node(
+                        unique_id=uid, name=f.stem, resource_type="model",
+                        package=pkg_name, path=str(f.relative_to(pkg_root)),
+                        raw_code=f.read_text(), config=conf,
+                    )
     for mp in macro_paths:
         base = root / mp
         if base.exists():

@@ -92,11 +92,30 @@ class DbtSparkRunner:
 
     # ------------------------------------------------------------- parse
     def parse(self) -> None:
+        import re as _re
+
+        from dbt_fusion_spark.jinja.environment import resolve_ref_uid
+
         proj = self.project
         for node in proj.nodes.values():
             if node.resource_type in ("model", "snapshot"):
                 parse_node(proj, node)
             node.schema = node.config.get("schema") or proj.default_schema
+        # generic-test args holding ref()/source() (relationships `to:`)
+        # introduce real DAG edges — the target must build first
+        for node in proj.nodes.values():
+            if node.resource_type != "test" or node.config.get("custom"):
+                continue
+            for v in (node.config.get("kwargs") or {}).values():
+                if not isinstance(v, str):
+                    continue
+                m = _re.fullmatch(
+                    r"\s*ref\(\s*'([^']+)'\s*(?:,\s*'([^']+)'\s*)?\)\s*", v)
+                if m:
+                    uid = resolve_ref_uid(
+                        proj, node, *[a for a in m.groups() if a])
+                    if uid and uid not in node.depends_on:
+                        node.depends_on.append(uid)
         self.dag = Dag({uid: n.depends_on for uid, n in proj.nodes.items()})
         self._parsed = True
 
@@ -143,7 +162,8 @@ class DbtSparkRunner:
             threads: int | None = None,
             state_dir: str | None = None,
             defer: bool = False,
-            selector: str | None = None) -> RunResults:
+            selector: str | None = None,
+            resource_types: set[str] | None = None) -> RunResults:
         if not self._parsed:
             self.parse()
         t_start = time.perf_counter()
@@ -180,6 +200,12 @@ class DbtSparkRunner:
         if not include_tests:
             selected = {u for u in selected
                         if proj.nodes[u].resource_type != "test"}
+        if resource_types is not None:
+            # dbt command semantics: `run` executes models only, `seed`
+            # seeds, `snapshot` snapshots, `test` tests; `build` passes
+            # None and executes everything DAG-ordered.
+            selected = {u for u in selected
+                        if proj.nodes[u].resource_type in resource_types}
         threads = threads or proj.profile.get("threads", 4)
         results: dict[str, NodeResult] = {}
         failed: set[str] = set()
@@ -231,6 +257,32 @@ class DbtSparkRunner:
         for h in hooks:
             self.adapter.execute(h)
 
+    def _render_test_kwargs(self, node, kwargs: dict) -> dict:
+        """schema.yml test args may hold ref()/source() expressions
+        (e.g. relationships' `to: ref('customers')`) — resolve them to
+        relation names (generic_test_context rendering in the ref)."""
+        import re as _re
+
+        from dbt_fusion_spark.jinja.environment import resolve_ref_uid
+
+        def render(v):
+            if not isinstance(v, str):
+                return v
+            m = _re.fullmatch(r"\s*ref\(\s*'([^']+)'\s*(?:,\s*'([^']+)'\s*)?\)\s*", v)
+            if m:
+                args = [a for a in (m.group(1), m.group(2)) if a]
+                uid = resolve_ref_uid(self.project, node, *args)
+                if uid is None:
+                    raise ValueError(f"{node.unique_id}: unknown ref in test arg {v!r}")
+                return self.relation_for(uid)
+            m = _re.fullmatch(r"\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*", v)
+            if m:
+                return self.relation_for(
+                    f"source.{self.project.name}.{m.group(1)}.{m.group(2)}")
+            return v
+
+        return {k: render(v) for k, v in kwargs.items()}
+
     def _materialize(self, node, full_refresh: bool) -> str:
         rt = node.resource_type
         if rt == "unit_test":
@@ -253,7 +305,7 @@ class DbtSparkRunner:
                 res = run_generic_test(
                     self.adapter, cfg["test_type"],
                     self.relation_for(model_uid), cfg["column_name"],
-                    cfg["kwargs"],
+                    self._render_test_kwargs(node, cfg["kwargs"]),
                 )
             if res.should_error and cfg.get("severity", "error") == "error":
                 return "fail"

@@ -1,0 +1,199 @@
+"""End-to-end CLI tests: scaffold -> deps -> build -> list/show/test.
+
+Mirrors the reference's CLI surface (dbt-sa-cli) driven through
+`dbt_fusion_spark.cli.main` with an injected SparkSession (one JVM per
+test session; `python -m dbt_fusion_spark` would build its own).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from dbt_fusion_spark.cli import main
+from dbt_fusion_spark.deps import install_deps, load_package_specs, resolve_hub_version
+from dbt_fusion_spark.project.scaffold import init_project
+
+
+@pytest.fixture(scope="module")
+def jaffle(tmp_path_factory):
+    return init_project(tmp_path_factory.mktemp("proj") / "jaffle_shop")
+
+
+def test_init_scaffold(jaffle):
+    assert (jaffle / "dbt_project.yml").exists()
+    assert (jaffle / "seeds" / "raw_orders.csv").exists()
+
+
+def test_cli_build_end_to_end(spark, jaffle, capsys):
+    # build = seeds + models + tests in DAG order
+    rc = main(["build", "--project-dir", str(jaffle)], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    # all three layers ran
+    assert "seed.jaffle_shop.raw_orders" in out
+    assert "model.jaffle_shop.customers" in out
+    assert "test.jaffle_shop" in out
+    # artifacts are dbt-shaped
+    rr = json.loads((jaffle / "target" / "run_results.json").read_text())
+    assert all(r["status"] in ("success", "pass") for r in rr["results"])
+    manifest = json.loads((jaffle / "target" / "manifest.json").read_text())
+    assert "model.jaffle_shop.customers" in manifest["nodes"]
+    # the marts exist and join correctly
+    got = spark.sql(
+        "SELECT number_of_orders FROM jaffle.customers "
+        "WHERE first_name = 'Ada'").collect()
+    assert got[0][0] == 2
+
+
+def test_cli_run_models_only(spark, jaffle, capsys):
+    rc = main(["run", "--project-dir", str(jaffle),
+               "-s", "customers"], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "model.jaffle_shop.customers" in out
+    assert "test." not in out
+
+
+def test_cli_test_after_build(spark, jaffle, capsys):
+    rc = main(["test", "--project-dir", str(jaffle)], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "PASS" in out and "model." not in out
+
+
+def test_cli_list_and_show(spark, jaffle, capsys):
+    rc = main(["list", "--project-dir", str(jaffle)], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0 and "model.jaffle_shop.orders" in out
+    rc = main(["show", "--project-dir", str(jaffle), "orders", "--limit", "3"],
+              spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0 and "order_id" in out
+
+
+def test_cli_compile_writes_sql(spark, jaffle, capsys):
+    rc = main(["compile", "--project-dir", str(jaffle)], spark=spark)
+    assert rc == 0
+    compiled = jaffle / "target" / "compiled" / "models" / "customers.sql"
+    assert compiled.exists()
+    assert "{{" not in compiled.read_text()  # jinja fully rendered
+    assert "jaffle" in compiled.read_text()  # refs resolved to relations
+
+
+# --- deps ---------------------------------------------------------------
+
+
+def _write_package(root: Path, name: str, deps: list[dict] | None = None):
+    pkg = root / name
+    (pkg / "macros").mkdir(parents=True)
+    (pkg / "dbt_project.yml").write_text(f"name: {name}\nversion: '1.0.0'\n")
+    (pkg / "macros" / f"{name}.sql").write_text(
+        "{% macro " + name + "_greet() %}'hello-" + name + "'{% endmacro %}\n")
+    if deps:
+        import yaml
+        (pkg / "packages.yml").write_text(yaml.safe_dump({"packages": deps}))
+    return pkg
+
+
+def test_deps_local_and_transitive(tmp_path):
+    proj = init_project(tmp_path / "proj")
+    # util_pkg depends on base_pkg — transitive resolution must install both
+    base = _write_package(tmp_path, "base_pkg")
+    _write_package(tmp_path, "util_pkg",
+                   deps=[{"local": str(base)}])
+    (proj / "packages.yml").write_text(
+        "packages:\n  - local: ../util_pkg\n")
+    installed = install_deps(proj)
+    assert set(installed) == {"util_pkg", "base_pkg"}
+    assert (proj / "dbt_packages" / "util_pkg" / "macros" / "util_pkg.sql").exists()
+    assert (proj / "dbt_packages" / "base_pkg" / "dbt_project.yml").exists()
+
+
+def test_deps_tarball(tmp_path):
+    import tarfile
+    proj = init_project(tmp_path / "proj")
+    pkg = _write_package(tmp_path, "tar_pkg")
+    tar = tmp_path / "tar_pkg.tar.gz"
+    with tarfile.open(tar, "w:gz") as tf:
+        tf.add(pkg, arcname="tar_pkg-1.0.0")  # github-style nesting
+    (proj / "packages.yml").write_text(
+        f"packages:\n  - tarball: {tar}\n    name: tar_pkg\n")
+    assert install_deps(proj) == ["tar_pkg"]
+    assert (proj / "dbt_packages" / "tar_pkg" / "macros" / "tar_pkg.sql").exists()
+
+
+def test_deps_git(tmp_path):
+    import subprocess
+    proj = init_project(tmp_path / "proj")
+    pkg = _write_package(tmp_path, "git_pkg")
+    subprocess.run(["git", "init", "-q", "-b", "main"], cwd=pkg, check=True)
+    subprocess.run(["git", "add", "-A"], cwd=pkg, check=True)
+    subprocess.run(["git", "-c", "user.email=t@t", "-c", "user.name=t",
+                    "commit", "-qm", "pkg"], cwd=pkg, check=True)
+    (proj / "packages.yml").write_text(
+        f"packages:\n  - git: file://{pkg}\n    revision: main\n")
+    assert install_deps(proj) == ["git_pkg"]
+    assert (proj / "dbt_packages" / "git_pkg" / "macros" / "git_pkg.sql").exists()
+
+
+def test_deps_hub_offline_index(tmp_path):
+    import tarfile
+    proj = init_project(tmp_path / "proj")
+    pkg = _write_package(tmp_path, "dbt_utils")
+    tars = {}
+    for ver in ("0.9.0", "1.1.1", "1.3.0", "2.0.0"):
+        tar = tmp_path / f"dbt_utils-{ver}.tar.gz"
+        with tarfile.open(tar, "w:gz") as tf:
+            tf.add(pkg, arcname=f"dbt_utils-{ver}")
+        tars[ver] = str(tar)
+    index = {"dbt-labs/dbt_utils": tars}
+    # range pinning picks the newest satisfying version
+    ver, _ = resolve_hub_version("dbt-labs/dbt_utils",
+                                 [">=1.0.0", "<2.0.0"], index)
+    assert ver == "1.3.0"
+    (proj / "packages.yml").write_text(
+        'packages:\n  - package: dbt-labs/dbt_utils\n'
+        '    version: [">=1.0.0", "<2.0.0"]\n')
+    assert install_deps(proj, hub_index=index) == ["dbt_utils"]
+
+
+def test_deps_package_macro_usable_in_run(spark, tmp_path, capsys):
+    """A dbt deps-installed package exposes macros AND models to the
+    consuming project's run — the full reference behavior."""
+    proj = init_project(tmp_path / "proj")
+    pkg = _write_package(tmp_path, "greet_pkg")
+    (pkg / "models").mkdir()
+    (pkg / "models" / "pkg_model.sql").write_text(
+        "select {{ greet_pkg_greet() }} as greeting\n")
+    (proj / "packages.yml").write_text(
+        "packages:\n  - local: ../greet_pkg\n")
+    install_deps(proj)
+    # project model uses the package macro; package model also runs
+    (proj / "models" / "uses_pkg.sql").write_text(
+        "select {{ greet_pkg_greet() }} as g, customer_id "
+        "from {{ ref('stg_customers') }}\n")
+    rc = main(["build", "--project-dir", str(proj)], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert spark.sql(
+        "SELECT g FROM jaffle.uses_pkg LIMIT 1").collect()[0][0] == "hello-greet_pkg"
+    assert "pkg_model" in out  # package model materialized
+
+
+def test_load_package_specs_kinds(tmp_path):
+    (tmp_path / "packages.yml").write_text("""\
+packages:
+  - package: dbt-labs/dbt_utils
+    version: ">=1.0.0"
+  - git: https://example.com/x.git
+    revision: v2
+  - local: ../pkg
+  - tarball: /tmp/x.tar.gz
+    name: x
+""")
+    specs = load_package_specs(tmp_path)
+    assert [s.kind for s in specs] == ["hub", "git", "local", "tarball"]
+    assert specs[0].version == [">=1.0.0"]
