@@ -118,6 +118,15 @@ def select_nodes(project, dag: Dag, select: str | None = None,
         elif a.startswith("resource:"):
             rt = a[9:]
             base = {uid for uid in all_ids if project.nodes[uid].resource_type == rt}
+        elif a.startswith(("metric:", "semantic_model:", "saved_query:")):
+            # semantic-layer selectors (node_selector.rs MethodName::
+            # Metric/SemanticModel/SavedQuery): match by node name glob
+            rt, _, pat = a.partition(":")
+            base = {
+                uid for uid in all_ids
+                if project.nodes[uid].resource_type == rt
+                and fnmatch.fnmatch(project.nodes[uid].name, pat)
+            }
         elif a.startswith("path:"):
             pat = a[5:]
             base = {

@@ -134,6 +134,8 @@ class _GraphContext:
                                     for uid, s in p.sources.items()}
             elif key == "exposures":
                 self._cache[key] = dict(getattr(p, "exposures", {}))
+            elif key in ("metrics", "semantic_models", "saved_queries"):
+                self._cache[key] = dict(getattr(p, key, {}))
             else:
                 self._cache[key] = {}
         return self._cache[key]
@@ -153,6 +155,14 @@ class _GraphContext:
     @property
     def metrics(self) -> dict:
         return self._get("metrics")
+
+    @property
+    def semantic_models(self) -> dict:
+        return self._get("semantic_models")
+
+    @property
+    def saved_queries(self) -> dict:
+        return self._get("saved_queries")
 
 
 def _common_context(project, node) -> dict[str, Any]:

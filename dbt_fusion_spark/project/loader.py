@@ -100,6 +100,11 @@ class Project:
     flags: dict[str, Any] = field(default_factory=dict)
     # {% materialization %} block names -> adapters declared for each
     custom_materializations: dict[str, set[str]] = field(default_factory=dict)
+    # semantic layer (nodes.rs:2109-2111 semantic_models / metrics /
+    # saved_queries maps) — manifest + selection surface; uid -> dict
+    semantic_models: dict[str, dict] = field(default_factory=dict)
+    metrics: dict[str, dict] = field(default_factory=dict)
+    saved_queries: dict[str, dict] = field(default_factory=dict)
 
     @property
     def default_schema(self) -> str:
@@ -275,7 +280,30 @@ def load_project(root: str | Path, profile: dict | None = None,
                     unique_id=uid, name=snap_name, resource_type="snapshot",
                     package=name, path=str(f.relative_to(root)), raw_code=body,
                 )
+
+    _resolve_semantic_deps(proj)
     return proj
+
+
+def _resolve_semantic_deps(proj: Project) -> None:
+    """Post-pass: metric -> semantic-model edges via measure names.
+    Runs after ALL schema.yml files load, so cross-file definitions
+    resolve (a metric's measure may live in another file's
+    semantic_model)."""
+    measure_owner: dict[str, str] = {}
+    for sm_uid, sm in proj.semantic_models.items():
+        for ms in sm["measures"]:
+            if ms.get("name"):
+                measure_owner[ms["name"]] = sm_uid
+    for met_uid, met in proj.metrics.items():
+        deps = met["depends_on"]["nodes"]
+        for measure in met.get("measures", []):
+            sm_uid = measure_owner.get(measure)
+            if sm_uid and sm_uid not in deps:
+                deps.append(sm_uid)
+        node = proj.nodes.get(met_uid)
+        if node is not None:
+            node.depends_on = list(deps)
 
 
 _TEST_BUILDERS = {"unique", "not_null", "accepted_values", "relationships"}
@@ -349,6 +377,91 @@ def _load_schema_yml(proj: Project, path: Path) -> None:
             "depends_on": exp.get("depends_on") or [],
             "url": exp.get("url"), "description": exp.get("description", ""),
         }
+
+    # --- semantic layer ------------------------------------------------
+    # semantic_models (manifest/semantic_model.rs:23-57: model ref,
+    # node_relation, entities, dimensions, measures, defaults)
+    for sm in doc.get("semantic_models", []) or []:
+        uid = f"semantic_model.{proj.name}.{sm['name']}"
+        model_ref = sm.get("model", "")
+        m = re.match(r"\s*(?:{{\s*)?ref\(\s*'([^']+)'\s*\)\s*(?:}})?\s*",
+                     str(model_ref))
+        model_uid = f"model.{proj.name}.{m.group(1)}" if m else None
+        proj.semantic_models[uid] = {
+            "unique_id": uid, "name": sm["name"],
+            "resource_type": "semantic_model", "package_name": proj.name,
+            "path": str(path.relative_to(proj.root)),
+            "description": sm.get("description", ""),
+            "model": str(model_ref),
+            "label": sm.get("label"),
+            "defaults": sm.get("defaults") or {},
+            "entities": sm.get("entities") or [],
+            "dimensions": sm.get("dimensions") or [],
+            "measures": sm.get("measures") or [],
+            "primary_entity": sm.get("primary_entity"),
+            "depends_on": {"nodes": [model_uid] if model_uid else []},
+        }
+        proj.nodes[uid] = Node(
+            unique_id=uid, name=sm["name"], resource_type="semantic_model",
+            package=proj.name, path=str(path.relative_to(proj.root)),
+            depends_on=[model_uid] if model_uid else [],
+        )
+
+    # metrics (manifest/metric.rs:25-49: type, type_params{measure,
+    # numerator, denominator, window, grain_to_date}, filter, label)
+    for met in doc.get("metrics", []) or []:
+        uid = f"metric.{proj.name}.{met['name']}"
+        # a metric depends on the semantic model defining its measure(s)
+        tp = met.get("type_params") or {}
+        measures = []
+        for key in ("measure", "numerator", "denominator"):
+            v = tp.get(key)
+            if isinstance(v, str):
+                measures.append(v)
+            elif isinstance(v, dict) and v.get("name"):
+                measures.append(v["name"])
+        deps = []  # semantic-model deps resolved in _resolve_semantic_deps
+        for inp in tp.get("metrics", []) or []:
+            nm = inp if isinstance(inp, str) else inp.get("name")
+            deps.append(f"metric.{proj.name}.{nm}")
+        proj.metrics[uid] = {
+            "unique_id": uid, "name": met["name"],
+            "resource_type": "metric", "package_name": proj.name,
+            "path": str(path.relative_to(proj.root)),
+            "description": met.get("description", ""),
+            "label": met.get("label", met["name"]),
+            "type": met.get("type", "simple"),
+            "type_params": tp,
+            "filter": met.get("filter"),
+            "measures": measures,
+            "depends_on": {"nodes": deps},
+        }
+        proj.nodes[uid] = Node(
+            unique_id=uid, name=met["name"], resource_type="metric",
+            package=proj.name, path=str(path.relative_to(proj.root)),
+            depends_on=deps,
+        )
+
+    # saved_queries (manifest/saved_query.rs:18-66: query_params
+    # {metrics, group_by, where}, exports)
+    for sq in doc.get("saved_queries", []) or []:
+        uid = f"saved_query.{proj.name}.{sq['name']}"
+        qp = sq.get("query_params") or {}
+        deps = [f"metric.{proj.name}.{m}" for m in qp.get("metrics", []) or []]
+        proj.saved_queries[uid] = {
+            "unique_id": uid, "name": sq["name"],
+            "resource_type": "saved_query", "package_name": proj.name,
+            "path": str(path.relative_to(proj.root)),
+            "description": sq.get("description", ""),
+            "query_params": qp,
+            "exports": sq.get("exports") or [],
+            "depends_on": {"nodes": deps},
+        }
+        proj.nodes[uid] = Node(
+            unique_id=uid, name=sq["name"], resource_type="saved_query",
+            package=proj.name, path=str(path.relative_to(proj.root)),
+            depends_on=deps,
+        )
 
     # unit tests (nodes.rs unit_tests map; fixtures common.rs:759-780
     # Formats{Dict,Csv,Sql} + Rows)

@@ -206,6 +206,10 @@ class DbtSparkRunner:
             # None and executes everything DAG-ordered.
             selected = {u for u in selected
                         if proj.nodes[u].resource_type in resource_types}
+        # semantic-layer nodes are manifest/selection-only, never executed
+        selected = {u for u in selected
+                    if proj.nodes[u].resource_type not in
+                    ("semantic_model", "metric", "saved_query")}
         threads = threads or proj.profile.get("threads", 4)
         results: dict[str, NodeResult] = {}
         failed: set[str] = set()
@@ -687,10 +691,17 @@ class DbtSparkRunner:
                          "https://schemas.getdbt.com/dbt/manifest/v12.json",
                          "project_name": self.project.name},
             "nodes": {uid: n.to_manifest_dict()
-                      for uid, n in self.project.nodes.items()},
+                      for uid, n in self.project.nodes.items()
+                      if n.resource_type not in
+                      ("semantic_model", "metric", "saved_query")},
             "sources": {uid: n.to_manifest_dict()
                         for uid, n in self.project.sources.items()},
             "exposures": dict(self.project.exposures),
+            # semantic layer maps (manifest v12 top-level keys,
+            # nodes.rs:2109-2111)
+            "semantic_models": dict(self.project.semantic_models),
+            "metrics": dict(self.project.metrics),
+            "saved_queries": dict(self.project.saved_queries),
         }
         (target / "manifest.json").write_text(json.dumps(manifest, indent=1,
                                                          default=str))
