@@ -113,6 +113,101 @@ def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95,
     )
 
 
+def fit_kmeans_centroids(vectors, n_cells: int = 8, max_iter: int = 10
+                         ) -> list[list[float]]:
+    """Deterministic Lloyd k-means over a bounded sample (float64).
+
+    No RNG anywhere: init picks evenly-strided sample rows, ties in
+    assignment break to the lowest cell index, empty cells keep their
+    previous centroid. Same input -> bit-identical centroids, which is
+    what lets the DuckDB oracle restate the assignment exactly.
+
+    This is the production shape for IVF at 100 TB too: the coarse
+    quantizer is fit driver-side on a bounded sample (here the lowest-id
+    rows, typically a hash sample), then cell assignment ships to
+    executors as a pure projection — no iterative distributed job.
+    """
+    import numpy as np
+
+    X = np.asarray(vectors, dtype=np.float64)
+    idx = np.linspace(0, len(X) - 1, n_cells).round().astype(int)
+    centroids = X[idx].copy()
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # first-min tie-break
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids.tolist()
+
+
+def load_vectors_pyarrow(parquet_path: str, vec_col: str = "embedding",
+                         id_col: str = "vec_id", limit: int = 2000):
+    """Bounded deterministic sample for the k-means fit, readable
+    without a SparkSession (oracle construction happens driver-side)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    order = sorted(range(t.num_rows), key=t.column(id_col).to_pylist().__getitem__)
+    vecs = t.column(vec_col).to_pylist()
+    return [vecs[i] for i in order[:limit]]
+
+
+def _dot_literal(vec_col: str, centroid: list[float], dialect: str) -> str:
+    """Left-to-right fold dot product of a vector column against a
+    literal centroid. Fold form (not an unrolled 64-term sum — that
+    blows the JVM 64KB codegen method limit) with identical evaluation
+    order on both engines: Spark's aggregate starts at 0.0 (exact to
+    add), DuckDB's list_reduce starts at the first element."""
+    if dialect == "spark":
+        lits = ", ".join(f"{c!r}D" for c in centroid)
+        return (f"aggregate(zip_with({vec_col}, array({lits}), "
+                f"(x, y) -> CAST(x AS DOUBLE) * y), "
+                f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    lits = ", ".join(repr(c) for c in centroid)
+    return (f"list_reduce(list_transform(generate_series(1, {len(centroid)}),"
+            f" i -> CAST({vec_col}[i] AS DOUBLE) * ([{lits}])[i]),"
+            f" (acc, x) -> acc + x)")
+
+
+def cell_scores_sql(centroids: list[list[float]], vec_col: str,
+                    dialect: str = "spark") -> list[str]:
+    """Per-cell score v·c - 0.5|c|² (argmax of this == argmin of squared
+    distance; the row's |v|² term is constant and drops out)."""
+    out = []
+    for c in centroids:
+        half_norm2 = 0.5 * sum(x * x for x in c)
+        out.append(f"({_dot_literal(vec_col, c, dialect)} - {half_norm2!r})")
+    return out
+
+
+def _with_kmeans_cell(df: DataFrame, centroids: list[list[float]],
+                      vec_col: str) -> DataFrame:
+    """Project the argmax cell: scores evaluated ONCE into an array
+    column, then 1-based array_position of the max (first match = ties
+    to lowest index, matching numpy argmin in the fit)."""
+    scores = cell_scores_sql(centroids, vec_col, dialect="spark")
+    return (df.withColumn("__scores", F.array(*[F.expr(s) for s in scores]))
+              .withColumn("__kcell",
+                          F.expr("array_position(__scores, array_max(__scores))"))
+              .drop("__scores"))
+
+
+def ivf_topk_kmeans(corpus: DataFrame, queries: DataFrame,
+                    centroids: list[list[float]], k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding"
+                    ) -> DataFrame:
+    """IVF ANN with computed k-means cells (nprobe=1): cell id is a pure
+    projection over the vector (no fit at query time), so the bucket
+    join prunes the scan exactly as the label-placeholder variant did —
+    but with real data-driven cells."""
+    return ivf_topk(
+        _with_kmeans_cell(corpus, centroids, vec_col),
+        _with_kmeans_cell(queries, centroids, vec_col),
+        k=k, id_col=id_col, vec_col=vec_col, cell_col="__kcell")
+
+
 def hyperplane_bucket(vec_col: str, n_bits: int = 8) -> Column:
     """Sign-bit bucket id: bit j set iff dim j > 0. Axis-aligned
     deterministic hyperplanes — the training-free random-hyperplane

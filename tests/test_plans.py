@@ -188,3 +188,86 @@ def test_pivot_broadcast_join(spark, sf):
     plan = plan_of(QUERIES["pivot_status_by_segment"](spark, sf))
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q7_volume_shipping_shape(spark, sf):
+    """q7: nation pair join tree — dims broadcast, no cartesian, nation
+    filters pushed into the scans (the two-nation predicate)."""
+    plan = plan_of(QUERIES["tpch_q7_volume_shipping"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "BroadcastHashJoin") >= 3
+    assert "l_shipdate" in plan  # date range reaches the lineitem scan
+
+
+def test_q18_semi_join_shape(spark, sf):
+    """q18: the large-order qualification must aggregate lineitem ONCE
+    and feed the probe side; customer/orders broadcast or hash-join
+    without a cartesian."""
+    plan = plan_of(QUERIES["tpch_q18_large_orders"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan  # map-side combine of l_quantity
+
+
+def test_unpivot_is_expand_not_union(spark, sf):
+    """Unpivot must compile to ONE scan + Expand (or a generator), not
+    N UNIONed scans of the same table — the N-scan shape reads the fact
+    table N times at 100 TB."""
+    plan = plan_of(QUERIES["unpivot_lineitem_metrics"](spark, sf))
+    assert n_nodes(plan, "Scan parquet ") <= 1 or "Expand" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_window_frames_single_sort_per_partitioning(spark, sf):
+    """All frame variants share one partitioning: the plan must not
+    re-shuffle per window function."""
+    plan = plan_of(QUERIES["window_running_and_moving_revenue"](spark, sf))
+    assert shuffles(plan) <= 2  # one for the window partitioning, one final
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_ivf_no_cartesian(spark, sf):
+    """k-means IVF: the candidate join must be an equi-join on the cell
+    id with the query side broadcast — never an all-pairs cross join."""
+    plan = plan_of(QUERIES["similarity_ivf_kmeans_topk"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_microbatch_overwrites_only_touched_partitions(spark, sf, tmp_path):
+    """The microbatch loop must land through dynamic-partition INSERT
+    OVERWRITE: after a re-run of one window, untouched partitions keep
+    their data (metadata-only swap, no full-table rewrite)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dbt_fusion_spark.sources.registry import ensure_session_confs, load_table
+
+    ensure_session_confs(spark)
+    events = load_table(spark, sf, "events")
+    spark.sql("CREATE DATABASE IF NOT EXISTS mb_guard")
+    spark.sql("DROP TABLE IF EXISTS mb_guard.daily")
+    spark.sql(
+        f"""CREATE TABLE mb_guard.daily (n BIGINT, event_day DATE)
+            USING PARQUET PARTITIONED BY (event_day)
+            LOCATION '{tmp_path}/mb_daily'""")
+
+    def land(day: str) -> None:
+        lo = dt.datetime.fromisoformat(day)
+        hi = lo + dt.timedelta(days=1)
+        batch = (events.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+                 .groupBy(F.to_date("ts").alias("event_day"))
+                 .agg(F.count("*").alias("n")))
+        batch.select("n", "event_day").write.mode("overwrite") \
+             .insertInto("mb_guard.daily")
+
+    land("2024-01-05")
+    land("2024-01-06")
+    before = {r["event_day"]: r["n"]
+              for r in spark.table("mb_guard.daily").collect()}
+    assert len(before) == 2
+    land("2024-01-06")  # idempotent replay of ONE window
+    after = {r["event_day"]: r["n"]
+             for r in spark.table("mb_guard.daily").collect()}
+    assert after == before  # day 5 untouched, day 6 replaced identically
+    spark.sql("DROP TABLE mb_guard.daily")
