@@ -153,6 +153,13 @@ class DbtSparkRunner:
     def compile(self, node, is_incremental: bool = False) -> str:
         sql = compile_node(self.project, node, self.relation_for,
                            adapter=self.adapter, is_incremental=is_incremental)
+        # dialect translation AFTER jinja render (dbt-sql lexers in the
+        # reference; node `dialect:` config wins over project flag)
+        dialect = node.config.get("dialect") or self.project.flags.get(
+            "sql_dialect")
+        if dialect:
+            from dbt_fusion_spark.sql import translate_sql
+            sql = translate_sql(sql, dialect)
         node.compiled_code = sql
         return sql
 
