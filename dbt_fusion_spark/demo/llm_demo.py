@@ -17,7 +17,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dbt_fusion_spark.demo.registry import register
-from dbt_fusion_spark.llm import dedup as D, multimodal as M, similarity as S, text as T
+from dbt_fusion_spark.llm import (
+    dedup as D,
+    multimodal as M,
+    quality as Q,
+    similarity as S,
+    text as T,
+)
 from dbt_fusion_spark.sources.registry import load_table
 
 # ---------------------------------------------------------------- corpora
@@ -321,6 +327,113 @@ def embedding_near_dups(spark, sf_dir):
     )
     corpus = emb.select("vec_id", "embedding", "label").unionByName(copies)
     return S.embedding_near_dups(corpus, threshold=0.95)
+
+
+# --------------------------------------------------------------- quality
+
+
+_GOPHER_SIGNALS_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS w,
+         string_split(text, chr(10)) AS l
+  FROM documents)
+SELECT doc_id,
+  CAST(len(w) AS BIGINT) AS n_words,
+  CASE WHEN len(w) > 0 THEN
+    list_reduce(list_transform(w, x -> CAST(length(x) AS BIGINT)),
+                (a, b) -> a + b) / CAST(len(w) AS DOUBLE)
+  ELSE 0.0 END AS mean_word_len,
+  CASE WHEN len(w) > 0 THEN
+    len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+      / CAST(len(w) AS DOUBLE)
+  ELSE 0.0 END AS frac_alpha_words,
+  CASE WHEN len(l) > 0 THEN
+    1.0 - len(list_distinct(l)) / CAST(len(l) AS DOUBLE)
+  ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN len(l) > 0 THEN
+    len(list_filter(l, x -> regexp_matches(x, '^\\s*([-*\u2022]|[0-9]+[.)])\\s')))
+      / CAST(len(l) AS DOUBLE)
+  ELSE 0.0 END AS frac_bullet_lines,
+  CASE WHEN len(l) > 0 THEN
+    len(list_filter(l, x -> regexp_matches(x, '(\\.\\.\\.|\u2026)\\s*$')))
+      / CAST(len(l) AS DOUBLE)
+  ELSE 0.0 END AS frac_ellipsis_lines,
+  CAST(len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+       ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+    AS n_stop_words
+FROM base
+"""
+
+
+@register("gopher_quality_signals", oracle=_GOPHER_SIGNALS_ORACLE)
+def gopher_quality_signals(spark, sf_dir):
+    """Gopher repetition/quality signals (Rae et al. 2021 A1.1) as pure
+    column algebra — word/line stats, duplicate-line fraction, bullet/
+    ellipsis shape, stop-word presence. No Python in the row path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return Q.gopher_signals(docs, "text", "doc_id")
+
+
+_GOPHER_FILTER_ORACLE = """
+WITH s AS (%s),
+flagged AS (
+  SELECT doc_id,
+    CASE WHEN n_words < 20 THEN 'too_short'
+         WHEN n_words > 100000 THEN 'too_long'
+         WHEN mean_word_len < 2.0 THEN 'short_words'
+         WHEN mean_word_len > 12.0 THEN 'long_words'
+         WHEN dup_line_frac > 0.30 THEN 'repetitive_lines'
+         WHEN frac_alpha_words < 0.50 THEN 'non_alpha'
+         WHEN n_stop_words < 1 THEN 'no_stop_words'
+    END AS r
+  FROM s)
+SELECT doc_id, r IS NULL AS keep, COALESCE(r, 'ok') AS reject_reason
+FROM flagged
+""" % _GOPHER_SIGNALS_ORACLE
+
+
+@register("gopher_quality_filter", oracle=_GOPHER_FILTER_ORACLE)
+def gopher_quality_filter(spark, sf_dir):
+    """Threshold filter over the Gopher signals with an audit column:
+    (keep, reject_reason) so dropped volume is attributable. Thresholds
+    loosened to exercise both outcomes on the synthetic docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return Q.gopher_filter(docs, "text", "doc_id", min_words=20,
+                           min_mean_word_len=2.0, max_mean_word_len=12.0,
+                           min_frac_alpha=0.50, min_stop_words=1)
+
+
+@register(
+    "decontamination_13gram",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            x -> lower(x)) AS w
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS gram
+      FROM words, unnest(generate_series(1, len(w) - 12)) AS t(i)
+      WHERE len(w) >= 13),
+    probe AS (
+      SELECT DISTINCT doc_id AS probe_id, gram FROM grams
+      WHERE doc_id % 25 = 0)
+    SELECT g.doc_id,
+           CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_hits,
+           CAST(COUNT(DISTINCT p.probe_id) AS BIGINT) AS n_probe_docs
+    FROM grams g JOIN probe p USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def decontamination_13gram(spark, sf_dir):
+    """Benchmark decontamination via 13-gram overlap (the GPT-3/PaLM
+    test-set filter, public method): probe grams broadcast, corpus
+    grams dedup per doc, equi-join — O(corpus grams), never all-pairs.
+    Probe set here = every 25th doc, so overlaps are deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 25 == 0)
+    return Q.decontaminate(docs, probes, "doc_id", "text", n=13)
 
 
 # ------------------------------------------------------------------ text

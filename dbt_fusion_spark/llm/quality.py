@@ -1,0 +1,136 @@
+"""Corpus-quality signals and decontamination for training-data
+pipelines (beyond-reference surface, same family as llm/text.py).
+
+Gopher-style repetition/quality flags (Rae et al. 2021, "Scaling
+Language Models" §A1.1, public paper) as pure column algebra — every
+signal is a JVM-side expression over the text column, no Python in the
+row path, so the whole thing rides whole-stage codegen at 100 TB.
+
+Benchmark decontamination: flag documents sharing any word-n-gram with
+a probe corpus (the public n-gram-overlap method used for GPT-3/PaLM
+test-set filtering). Implemented as shingle-hash equi-join: probe side
+is tiny -> broadcast; the corpus side explodes to (doc, gram) rows,
+dedups per doc, and joins — cost is O(corpus grams), never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Gopher's stop-word presence list (public paper, §A1.1)
+STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _lines(text_col: str) -> Column:
+    return F.split(F.col(text_col), "\n")
+
+
+def _words(text_col: str) -> Column:
+    # split on whitespace runs; trim first so no empty edge tokens
+    return F.split(F.trim(F.col(text_col)), "\\s+")
+
+
+def gopher_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document repetition/quality signals:
+
+    - n_words, mean_word_len
+    - frac_alpha_words: words containing at least one letter
+    - dup_line_frac: 1 - distinct lines / lines (repetition)
+    - frac_bullet_lines / frac_ellipsis_lines (boilerplate shape)
+    - n_stop_words: how many of the 8 Gopher stop words appear
+    """
+    words = _words(text_col)
+    lines = _lines(text_col)
+    n_words = F.size(words)
+    total_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+    bullet_lines = F.size(F.filter(
+        lines, lambda ln: ln.rlike("^\\s*([-*•]|[0-9]+[.)])\\s")))
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda ln: ln.rlike("(\\.\\.\\.|…)\\s*$")))
+    lower_words = F.transform(words, F.lower)
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(lower_words),
+        F.array(*[F.lit(w) for w in STOP_WORDS])))
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        F.when(n_words > 0, total_chars / n_words.cast("double"))
+         .otherwise(F.lit(0.0)).alias("mean_word_len"),
+        F.when(n_words > 0, alpha_words / n_words.cast("double"))
+         .otherwise(F.lit(0.0)).alias("frac_alpha_words"),
+        dup_line_frac.alias("dup_line_frac"),
+        F.when(n_lines > 0, bullet_lines / n_lines.cast("double"))
+         .otherwise(F.lit(0.0)).alias("frac_bullet_lines"),
+        F.when(n_lines > 0, ellipsis_lines / n_lines.cast("double"))
+         .otherwise(F.lit(0.0)).alias("frac_ellipsis_lines"),
+        n_stop.cast("bigint").alias("n_stop_words"),
+    )
+
+
+def gopher_filter(df: DataFrame, text_col: str, id_col: str,
+                  min_words: int = 50, max_words: int = 100_000,
+                  min_mean_word_len: float = 3.0,
+                  max_mean_word_len: float = 10.0,
+                  max_dup_line_frac: float = 0.30,
+                  min_frac_alpha: float = 0.80,
+                  min_stop_words: int = 2) -> DataFrame:
+    """Keep documents passing the Gopher thresholds (paper defaults
+    adapted); returns (id, keep, reject_reason) so a pipeline can both
+    filter and audit what it dropped."""
+    s = gopher_signals(df, text_col, id_col)
+    reason = (
+        F.when(F.col("n_words") < min_words, F.lit("too_short"))
+        .when(F.col("n_words") > max_words, F.lit("too_long"))
+        .when(F.col("mean_word_len") < min_mean_word_len,
+              F.lit("short_words"))
+        .when(F.col("mean_word_len") > max_mean_word_len, F.lit("long_words"))
+        .when(F.col("dup_line_frac") > max_dup_line_frac,
+              F.lit("repetitive_lines"))
+        .when(F.col("frac_alpha_words") < min_frac_alpha,
+              F.lit("non_alpha"))
+        .when(F.col("n_stop_words") < min_stop_words, F.lit("no_stop_words"))
+    )
+    return s.select(
+        id_col,
+        reason.isNull().alias("keep"),
+        F.coalesce(reason, F.lit("ok")).alias("reject_reason"),
+    )
+
+
+def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 13
+                ) -> DataFrame:
+    """(id, gram) long form of word-level n-grams: lowercase, split,
+    explode the start index, slice + join. Stays JVM-side; one Generate
+    node per doc feeds the downstream join."""
+    words = F.transform(_words(text_col), F.lower)
+    df = df.select(F.col(id_col), words.alias("__w")) \
+           .filter(F.size("__w") >= n)
+    starts = F.sequence(F.lit(1), F.size("__w") - (n - 1))
+    return (df.select(id_col, "__w", F.explode(starts).alias("__i"))
+              .select(id_col,
+                      F.array_join(F.slice("__w", F.col("__i"), n), " ")
+                       .alias("gram")))
+
+
+def decontaminate(corpus: DataFrame, probes: DataFrame, id_col: str,
+                  text_col: str, n: int = 13) -> DataFrame:
+    """Documents sharing any word-n-gram with the probe set:
+    (id, n_hits, n_probe_docs). Probe grams are distinct + broadcast
+    (benchmarks are tiny vs a 100 TB corpus); corpus grams dedup per
+    (doc, gram) so a repeated gram counts once."""
+    corpus_grams = word_ngrams(corpus, id_col, text_col, n).distinct()
+    probe_grams = (word_ngrams(probes, id_col, text_col, n)
+                   .withColumnRenamed(id_col, "probe_id").distinct())
+    hits = corpus_grams.join(F.broadcast(probe_grams), "gram")
+    return (hits.groupBy(id_col)
+            .agg(F.countDistinct("gram").cast("bigint").alias("n_hits"),
+                 F.countDistinct("probe_id").cast("bigint")
+                  .alias("n_probe_docs")))

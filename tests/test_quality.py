@@ -1,0 +1,68 @@
+"""llm/quality: Gopher signals, threshold filter, decontamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_fusion_spark.llm import quality as Q
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gopher_signals_values(spark):
+    text = "The cat sat.\nThe cat sat.\n- bullet item\nTail line..."
+    out = Q.gopher_signals(_docs(spark, [(1, text)]), "text", "doc_id") \
+           .collect()[0]
+    assert out["n_words"] == 11
+    assert out["dup_line_frac"] == 0.25  # 4 lines, 3 distinct
+    assert out["frac_bullet_lines"] == 0.25
+    assert out["frac_ellipsis_lines"] == 0.25
+    assert out["n_stop_words"] == 1  # only 'the'
+    assert out["frac_alpha_words"] == 10 / 11  # '-' lacks letters
+
+
+def test_gopher_filter_reasons(spark):
+    rows = [
+        (1, "word " * 60 + "the of and be"),            # passes
+        (2, "short text the of"),                        # too_short
+        (3, ("duplicated line\n" * 40) + "the of and " + "word " * 40),  # repetitive
+        (4, "1234 5678 " * 30 + "9012 3456"),            # non_alpha
+    ]
+    out = {r["doc_id"]: r for r in
+           Q.gopher_filter(_docs(spark, rows), "text", "doc_id",
+                           min_words=50, min_mean_word_len=2.0).collect()}
+    assert out[1]["keep"] is True and out[1]["reject_reason"] == "ok"
+    assert out[2]["reject_reason"] == "too_short"
+    assert out[3]["reject_reason"] == "repetitive_lines"
+    assert out[4]["reject_reason"] == "non_alpha"
+
+
+def test_decontaminate_hits_and_plan(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = _docs(spark, [
+        (1, base + " extra tail words here"),   # shares the 10-gram probe
+        (2, "totally different words " * 5),
+        (3, base),                              # probe itself
+    ])
+    probes = _docs(spark, [(3, base)])
+    out = {r["doc_id"]: r for r in
+           Q.decontaminate(corpus, probes, "doc_id", "text", n=10).collect()}
+    assert set(out) == {1, 3}
+    assert out[3]["n_hits"] == 1 and out[3]["n_probe_docs"] == 1
+    assert out[1]["n_hits"] == 1  # only the exact 10-gram overlaps
+    # plan: probe side broadcast, no cartesian
+    plan = Q.decontaminate(corpus, probes, "doc_id", "text", n=10) \
+            ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan
+
+
+def test_word_ngrams_count(spark):
+    out = Q.word_ngrams(_docs(spark, [(1, "a b c d e")]), "doc_id", "text",
+                        n=3).collect()
+    assert sorted(r["gram"] for r in out) == ["a b c", "b c d", "c d e"]
+    # shorter than n -> no rows
+    assert Q.word_ngrams(_docs(spark, [(1, "a b")]), "doc_id", "text",
+                         n=3).count() == 0
