@@ -755,6 +755,22 @@ class DbtSparkRunner:
         return self.adapter.run_query(
             f"SELECT * FROM (\n{sql}\n) __dbt_show", limit=limit)
 
+    def run_saved_query(self, name: str):
+        """Execute a saved_query: compile its metrics to one SQL over
+        the semantic models' node relations and return the DataFrame
+        (semantic/compiler.py — the executable half of the semantic
+        layer; the reference delegates this planning to MetricFlow)."""
+        from dbt_fusion_spark.semantic import compile_saved_query_sql
+
+        if not self._parsed:
+            self.parse()
+        uid = f"saved_query.{self.project.name}.{name}"
+        if uid not in self.project.saved_queries:
+            raise ValueError(f"unknown saved query {name!r}")
+        sql = compile_saved_query_sql(
+            self.project, self.project.saved_queries[uid], self.relation_for)
+        return self.spark.sql(sql)
+
     def generate_catalog(self) -> dict:
         """`dbt docs generate` catalog.json: introspected schema of every
         materialized relation (reference: metadata adapters +

@@ -145,3 +145,40 @@ def test_graph_context_exposes_metrics(proj, spark):
     assert "metric.jaffle_shop.revenue" in g.metrics
     assert "semantic_model.jaffle_shop.orders_sm" in g.semantic_models
     assert node is not None
+
+
+def test_compile_metric_sql_shapes():
+    from dbt_fusion_spark.demo.semantic_demo import METRICS, ORDERS_SM
+    from dbt_fusion_spark.semantic import compile_metric_sql
+
+    sql = compile_metric_sql(ORDERS_SM, METRICS["revenue"], "orders",
+                             group_by=["order_month", "status"])
+    assert "date_trunc('month', o_orderdate)" in sql
+    assert "GROUP BY" in sql and "SUM(" in sql
+    sql = compile_metric_sql(ORDERS_SM, METRICS["open_revenue"], "orders")
+    assert "CASE WHEN o_orderstatus = 'O'" in sql
+    sql = compile_metric_sql(ORDERS_SM, METRICS["cumulative_revenue"],
+                             "orders", group_by=["status"])
+    # two-level: inner per-grain aggregate, outer window partitioned by
+    # the non-time dims
+    assert "OVER (PARTITION BY status" in sql
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        compile_metric_sql(ORDERS_SM, {"name": "x", "type": "simple",
+                                       "type_params": {"measure": "nope"}},
+                           "orders")
+
+
+def test_run_saved_query_end_to_end(proj, spark):
+    """saved_query over the jaffle semantic YAML: build the models,
+    then execute the metric join."""
+    rr = proj.run(include_tests=False)
+    assert rr.ok
+    df = proj.run_saved_query("weekly_revenue")
+    rows = df.collect()
+    assert set(df.columns) == {"order_date", "revenue", "avg_order_value"}
+    assert len(rows) > 0
+    total = sum(r["revenue"] for r in rows)
+    oracle = spark.sql(
+        "SELECT SUM(amount) FROM jaffle_sl.orders").collect()[0][0]
+    assert abs(total - oracle) < 1e-9
