@@ -53,7 +53,10 @@ METRICS = {
                            "type_params": {"measure": "order_total"}},
     "revenue_per_customer": {
         "name": "revenue_per_customer", "type": "derived",
-        "type_params": {"expr": "CAST(revenue / customers AS DOUBLE)",
+        # cast BEFORE dividing: decimal/bigint division rounds at an
+        # engine-chosen scale (Spark vs DuckDB drift by 1 ulp); double
+        # division is IEEE-identical (unscaled revenue < 2^53, exact)
+        "type_params": {"expr": "CAST(revenue AS DOUBLE) / customers",
                         "metrics": ["revenue", "customers"]}},
     "customers": {"name": "customers", "type": "simple",
                   "type_params": {"measure": "customer_count"}},

@@ -40,7 +40,12 @@ def _dim_expr(semantic_model: dict, name: str, grain: str | None) -> str:
             if d.get("type") == "time":
                 g = grain or (d.get("type_params") or {}).get(
                     "time_granularity", "day")
-                return f"date_trunc('{g}', {expr})"
+                # day+ grains emit DATE: Spark's date_trunc returns
+                # TIMESTAMP while DuckDB's returns DATE — the cast
+                # aligns both engines (lossless at these grains)
+                if g in ("day", "week", "month", "quarter", "year"):
+                    return f"CAST(date_trunc('{g}', {expr}) AS DATE)"
+                return f"CAST(date_trunc('{g}', {expr}) AS TIMESTAMP)"
             return expr
     for e in semantic_model.get("entities", []):
         if e["name"] == name:
