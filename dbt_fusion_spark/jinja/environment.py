@@ -87,6 +87,12 @@ def _base_env() -> jinja2.Environment:
     return env
 
 
+def _utils_namespace(adapter) -> SimpleNamespace:
+    from dbt_fusion_spark.functions.utils_pkg import make_namespace
+
+    return make_namespace(adapter)
+
+
 def _dbt_namespace() -> SimpleNamespace:
     """`{{ dbt.dateadd(...) }}` etc. — every §2.4 macro."""
     ns = {
@@ -212,6 +218,10 @@ def _common_context(project, node) -> dict[str, Any]:
             threads=project.profile.get("threads", 4),
         ),
         "dbt": _dbt_namespace(),
+        # dbt_utils compatibility shim (functions/utils_pkg.py) —
+        # parse-phase namespace; compile_node swaps in the adapter-aware
+        # one so star()/union_relations() can introspect
+        "dbt_utils": _utils_namespace(None),
         "dbt_version": "fusion-spark-0.1",
         "run_started_at": project._run_started_at,
         "invocation_id": project._invocation_id,
@@ -399,6 +409,7 @@ def compile_node(project, node, relation_for, adapter=None,
         ref=ref, source=source, config=lambda *a, **k: "",
         this=node.relation_name(), is_incremental=lambda: is_incremental,
         execute=True, run_query=run_query, adapter=adapter,
+        dbt_utils=_utils_namespace(adapter),
         __execute_statement=__execute_statement,
         __store_raw=__store_raw,
         store_result=store_result,
