@@ -85,25 +85,31 @@ def dedup_exact_fingerprint(spark, sf_dir):
 
 
 def _duck_bands_sql(n_bands: int, rows_per_band: int, shingle_n: int = 5) -> str:
-    # hash family mirrors dedup.minhash_bands: hash k = 8-hex-char chunk
-    # (k%4) of md5('s{k//4}|' || shingle)
+    # hash family mirrors dedup.minhash_bands: one md5 per shingle,
+    # (a, b) = its first two 32-bit hex chunks, h_k = (a + k*b) mod 2^32
+    n_hashes = n_bands * rows_per_band
+    mins = ", ".join(
+        f"MIN((a + {k} * b) % 4294967296) AS m{k}" for k in range(n_hashes)
+    )
     band_selects = []
     for j in range(n_bands):
-        parts = [
-            "list_aggregate(list_transform(s, x -> substring("
-            f"md5('s{(j * rows_per_band + i) // 4}|' || x), "
-            f"{((j * rows_per_band + i) % 4) * 8 + 1}, 8)), 'min')"
+        val = " || '-' || ".join(
+            f"CAST(m{j * rows_per_band + i} AS VARCHAR)"
             for i in range(rows_per_band)
-        ]
+        )
         band_selects.append(
-            f"SELECT doc_id, {j} AS band_id, {' || '.join(parts)} AS band_value FROM sh"
+            f"SELECT doc_id, {j} AS band_id, {val} AS band_value FROM mins"
         )
     return (
         "norm AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t"
         " FROM corpus),\n"
-        "sh AS (SELECT doc_id, list_distinct(list_transform("
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
         f"generate_series(1, greatest(length(t) - {shingle_n - 1}, 1)),"
-        f" i -> substring(t, i, {shingle_n}))) AS s FROM norm),\n"
+        f" i -> substring(t, i, {shingle_n})))) AS x FROM norm),\n"
+        "hx AS (SELECT doc_id,"
+        " CAST('0x' || substring(md5(x), 1, 8) AS BIGINT) AS a,"
+        " CAST('0x' || substring(md5(x), 9, 8) AS BIGINT) AS b FROM sh),\n"
+        f"mins AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),\n"
         "bands AS (" + "\nUNION ALL\n".join(band_selects) + ")"
     )
 
@@ -135,7 +141,9 @@ def dedup_minhash_lsh(spark, sf_dir):
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.band_value = b.band_value
       WHERE a.doc_id < b.doc_id),
-    shset AS (SELECT doc_id, s FROM sh)
+    shset AS (SELECT doc_id, list_distinct(list_transform(
+      generate_series(1, greatest(length(t) - 4, 1)),
+      i -> substring(t, i, 5))) AS s FROM norm)
     SELECT id_a, id_b,
            CAST(len(list_filter(x.s, e -> list_contains(y.s, e))) AS DOUBLE)
            / CAST(len(x.s) + len(y.s)

@@ -462,3 +462,194 @@ sql_query(
     ORDER BY c_mktsegment
     """,
 )
+
+
+# --- TPC-H q2/q9/q11/q12/q16/q20/q21/q22, adapted to the partsupp-less
+# star schema (TESTDATA.md): the part-supplier relation and its "supply
+# cost" are derived from lineitem (unit price actually charged), which
+# preserves each query's operator shape — correlated MIN subquery (q2),
+# per-nation profit decomposition (q9), scalar-subquery HAVING (q11),
+# conditional aggregation (q12), NOT IN + COUNT DISTINCT (q16), nested
+# grouped IN-subquery (q20), EXISTS/NOT EXISTS self-joins (q21), and
+# scalar-avg filter + anti-join (q22). Reference query texts:
+# crates/dbt-fusion-tests equivalents run these via the warehouse; here
+# Spark SQL is the warehouse (SURVEY §2.4 note).
+
+sql_query(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH supply AS (
+      SELECT l_partkey AS sp_partkey, l_suppkey AS sp_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
+    FROM part
+    JOIN supply ON p_partkey = sp_partkey
+    JOIN supplier ON s_suppkey = sp_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size <= 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      AND unit_cost = (
+        SELECT MIN(s2.unit_cost)
+        FROM supply s2
+        JOIN supplier sp2 ON sp2.s_suppkey = s2.sp_suppkey
+        JOIN nation n2 ON sp2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE s2.sp_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+
+sql_query(
+    "tpch_q9_product_type_profit",
+    f"""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             {REV} - CAST(p_retailprice AS DECIMAL(6,2))
+                     * CAST(l_quantity AS DECIMAL(6,2))
+                     * CAST(0.6 AS DECIMAL(2,1)) AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+
+sql_query(
+    "tpch_q11_important_stock",
+    f"""
+    SELECT l_partkey AS ps_partkey,
+           CAST(SUM({REV}) AS DOUBLE) AS value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    GROUP BY l_partkey
+    HAVING CAST(SUM({REV}) AS DOUBLE) > (
+      SELECT CAST(SUM({REV}) AS DOUBLE) / 500
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3')
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+
+sql_query(
+    "tpch_q12_priority_shipping",
+    """
+    SELECT l_returnflag,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1997-01-01'
+      AND l_shipdate < DATE '1998-01-01'
+      AND l_shipdate > o_orderdate
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+
+sql_query(
+    "tpch_q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+
+sql_query(
+    "tpch_q20_potential_promotion",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate < DATE '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 40)
+    ORDER BY s_name
+    """,
+)
+
+sql_query(
+    "tpch_q21_waiting_supplier",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND r_name = 'ASIA'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+
+sql_query(
+    "tpch_q22_global_sales_opportunity",
+    """
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+    FROM (
+      SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode,
+             c_acctbal, c_custkey
+      FROM customer
+      WHERE c_nationkey % 5 IN (0, 1, 2)
+        AND c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*)
+          FROM customer
+          WHERE c_acctbal > 0.0 AND c_nationkey % 5 IN (0, 1, 2))
+    ) cust
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= DATE '2001-01-01')
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)

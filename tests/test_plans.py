@@ -271,3 +271,41 @@ def test_microbatch_overwrites_only_touched_partitions(spark, sf, tmp_path):
              for r in spark.table("mb_guard.daily").collect()}
     assert after == before  # day 5 untouched, day 6 replaced identically
     spark.sql("DROP TABLE mb_guard.daily")
+
+
+def test_q2_correlated_min_no_cartesian(spark, sf):
+    """q2: the correlated min-cost subquery must decorrelate into an
+    aggregate + equi-join (Catalyst rewrite), never a per-row re-scan or
+    a cartesian; supply aggregation combines map-side."""
+    plan = plan_of(QUERIES["tpch_q2_min_cost_supplier"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan  # map-side combine of the MIN
+    assert n_nodes(plan, "BroadcastHashJoin") >= 2  # dims broadcast
+
+
+def test_q9_profit_star_join_shape(spark, sf):
+    """q9: star join of lineitem against part/supplier/orders/nation —
+    small dims broadcast, the p_name LIKE filter reaches the part scan
+    so the fact join only sees matching parts."""
+    plan = plan_of(QUERIES["tpch_q9_product_type_profit"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "BroadcastHashJoin") >= 2
+    assert "red" in plan  # LIKE predicate pushed toward the part scan
+
+
+def test_q21_exists_antijoin_shape(spark, sf):
+    """q21: EXISTS / NOT EXISTS must compile to semi/anti hash joins on
+    l_orderkey — never a nested-loop re-scan of lineitem per row."""
+    plan = plan_of(QUERIES["tpch_q21_waiting_supplier"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan or "ExistenceJoin" in plan
+    assert "LeftAnti" in plan or "NOT exists" in plan.lower()
+
+
+def test_q22_antijoin_and_scalar_subquery(spark, sf):
+    """q22: the no-recent-orders predicate must be a hash anti-join and
+    the global average a scalar subquery computed once, not per row."""
+    plan = plan_of(QUERIES["tpch_q22_global_sales_opportunity"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    assert plan.count("Subquery") >= 1  # scalar avg evaluated once
