@@ -12,6 +12,7 @@ from dbt_fusion_spark.demo import (  # noqa: F401, E402
     functions_demo,
     incremental_demo,
     llm_demo,
+    operators_demo,
     sampling_demo,
     semantic_demo,
     snapshot_demo,

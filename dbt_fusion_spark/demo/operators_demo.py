@@ -1,0 +1,109 @@
+"""Gate queries for the custom relational operators Spark lacks:
+as-of join, keyless range join, KMV distinct sketch.
+
+Each oracle uses DuckDB's NATIVE implementation of the operator (ASOF
+JOIN, IEJoin inequality join) — the strongest available check: our
+composed-DataFrame implementations must reproduce a dedicated engine's
+semantics exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_fusion_spark.demo.registry import register
+from dbt_fusion_spark.llm import sketch as K
+from dbt_fusion_spark.plans.asof_join import asof_join
+from dbt_fusion_spark.plans.range_join import bucketed_range_join
+from dbt_fusion_spark.sources.registry import load_table
+
+
+@register(
+    "asof_join_last_purchase",
+    oracle="""
+    WITH pur AS (
+      SELECT user_id, ts, MAX(event_id) AS purchase_id,
+             arg_max("value", event_id) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, c.ts, p.purchase_id, p.purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN pur p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_join_last_purchase(spark, sf_dir):
+    """Each click joined to the user's most recent purchase at-or-before
+    it (NULL before the first purchase) — checked against DuckDB's
+    native ASOF JOIN. One shuffle on user_id (union-of-streams plan,
+    plans/asof_join.py), vs the inequality-join blowup."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"))
+    return asof_join(clicks, purchases, "user_id",
+                     left_ts="ts", right_ts="ts",
+                     payload=["purchase_id", "purchase_value"], how="left")
+
+
+@register(
+    "range_join_incident_windows",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id AS incident_id, ts AS start_ts,
+             ts + INTERVAL 1 HOUR AS end_ts
+      FROM events WHERE event_type = 'error' AND "value" > 300)
+    SELECT incident_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM iv JOIN events e ON e.ts >= start_ts AND e.ts < end_ts
+    GROUP BY incident_id
+    """,
+)
+def range_join_incident_windows(spark, sf_dir):
+    """Keyless interval join: high-value error events open 1-hour
+    windows; count ALL events landing in each window. DuckDB executes
+    the inequality join natively (IEJoin); our plan quantizes time into
+    1h buckets and hash-joins on the bucket (plans/range_join.py) —
+    the shape that works when both sides are large."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.filter((F.col("event_type") == "error")
+                   & (F.col("value") > 300)).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"))
+    pts = ev.select(F.col("event_id").alias("pt_id"),
+                    F.col("ts").alias("pt_ts"))
+    joined = bucketed_range_join(pts, iv, "pt_ts", "start_ts", "end_ts",
+                                 bucket_width_sec=3600)
+    return joined.groupBy("incident_id").agg(
+        F.count("*").alias("n_events"))
+
+
+@register(
+    "kmv_distinct_events",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT CAST('0x' || substring(
+               md5('42|' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             AS h
+      FROM events),
+    k AS (SELECT h FROM h ORDER BY h LIMIT 1024)
+    SELECT MAX(h) AS kth_min, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CASE WHEN COUNT(*) < 1024 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE CAST(COUNT(*) - 1 AS DOUBLE) * 4294967296.0
+                     / CAST(MAX(h) AS DOUBLE)
+           END AS est_distinct
+    FROM k
+    """,
+)
+def kmv_distinct_events(spark, sf_dir):
+    """KMV distinct-count sketch over event_id: engine-portable (the
+    estimate is a pure function of the data — DuckDB reproduces it
+    bit-for-bit, which HyperLogLog never can). TakeOrdered top-k, no
+    full sort."""
+    ev = load_table(spark, sf_dir, "events")
+    return K.kmv_distinct_estimate(ev, "event_id", k=1024)

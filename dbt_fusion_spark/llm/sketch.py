@@ -1,0 +1,75 @@
+"""KMV (k-minimum-values) distinct-count sketch.
+
+`approx_count_distinct` (HyperLogLog++) is the built-in answer, but its
+estimate depends on Spark's private hash/register layout — no other
+engine can reproduce the number, so it can never be oracle-checked.
+KMV is the sketch you can check: keep the k smallest values of a
+portable uniform hash; with m distinct values the kth-smallest hash
+sits near k/m of the hash space, giving
+
+    m_hat = (k - 1) * SPACE / kth_min        (Beyer et al., 2007)
+
+Every engine with md5 computes the identical sketch — the estimate is
+a pure function of the data, not of the engine.
+
+Scale shape: the hash projection is codegen'd; TakeOrderedAndProject
+computes a per-partition top-k and merges k*partitions rows on the
+driver — no full sort, no shuffle of the corpus. Error is ~1/sqrt(k)
+(k=1024 -> ~3%), independent of m.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+HASH_SPACE = 4294967296  # 2^32: md5's first 8 hex chars
+
+
+def unit_hash(cols: Sequence[str], seed: int = 42):
+    """Portable uniform hash in [0, 2^32): first 8 hex chars of
+    md5(seed|cols...). Same function the portable samplers use —
+    reproducible on any engine, stable under repartitioning."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                "|", F.lit(str(seed)),
+                *[F.col(c).cast("string") for c in cols])),
+            1, 8),
+        16, 10,
+    ).cast("bigint")
+
+
+def kmv_sketch(df: DataFrame, cols: str | Sequence[str], k: int = 1024,
+               seed: int = 42) -> DataFrame:
+    """The sketch itself: k smallest DISTINCT hash values, one row each.
+    Sketches are mergeable (union two, keep the k smallest) — the
+    property that lets a fleet sketch per-partition and combine."""
+    cs = [cols] if isinstance(cols, str) else list(cols)
+    return (
+        df.select(unit_hash(cs, seed).alias("h"))
+        .groupBy("h").agg(F.lit(1).alias("__one")).drop("__one")
+        .orderBy("h").limit(k)
+    )
+
+
+def kmv_distinct_estimate(df: DataFrame, cols: str | Sequence[str],
+                          k: int = 1024, seed: int = 42) -> DataFrame:
+    """One row: (kth_min, n_kept, est_distinct). When fewer than k
+    distinct hashes exist the sketch IS the exact distinct set and the
+    estimate degrades to the exact count."""
+    sk = kmv_sketch(df, cols, k, seed)
+    return sk.agg(
+        F.max("h").alias("kth_min"),
+        F.count("h").alias("n_kept"),
+    ).select(
+        "kth_min",
+        "n_kept",
+        F.when(
+            F.col("n_kept") < k, F.col("n_kept").cast("double")
+        ).otherwise(
+            (F.col("n_kept") - 1).cast("double")
+            * F.lit(float(HASH_SPACE)) / F.col("kth_min").cast("double")
+        ).alias("est_distinct"),
+    )

@@ -1,0 +1,85 @@
+"""As-of join: match each left row to the latest right row at-or-before
+its timestamp — the time-series join Spark's DataFrame API lacks.
+
+The reference pushes model SQL to warehouses, several of which ship a
+native ASOF JOIN (DuckDB `ASOF JOIN`, Snowflake `MATCH_CONDITION`);
+this module is the Spark-side equivalent so models using the pattern
+run here too.
+
+Implementation is the scalable union-of-streams form, NOT an
+inequality join:
+
+    1. tag right rows (carrying payload) and left rows (payload NULL)
+    2. union them and sort within each key partition by (ts, side)
+       with right rows ordered before left rows at equal ts
+    3. last(payload, ignorenulls) over a running window = "most recent
+       right value seen so far" — exactly the as-of match
+    4. keep the left rows
+
+Cost: ONE shuffle of |L|+|R| rows on the join key and one sort — the
+same shape as a regular sort-merge join. A naive
+`L JOIN R ON key AND r_ts <= l_ts` + max-aggregation shuffles the
+O(|L| * avg right rows per key) inequality-match blowup; at 100 TB the
+union form is the only one that finishes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],
+              left_ts: str, right_ts: str,
+              payload: Sequence[str], how: str = "left",
+              strict: bool = False) -> DataFrame:
+    """Backward as-of join (latest right row with r_ts <= l_ts per key).
+
+    on        : equi-key column name(s), present in both sides
+    left_ts   : event-time column of `left` (kept in the output)
+    right_ts  : event-time column of `right` (the as-of ordering)
+    payload   : right-side columns to bring over (NULL when no match)
+    how       : 'left' keeps unmatched left rows; 'inner' drops them
+    strict    : True matches r_ts <  l_ts only (exclusive)
+
+    Right-side duplicates at the same (key, right_ts) are resolved to
+    ONE row deterministically (max over the payload struct) before the
+    merge — asof output must never depend on physical row order.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join: how={how!r} (use 'left' or 'inner')")
+
+    # Deterministic tie-break: one right row per (key, ts).
+    r_uniq = (
+        right.groupBy(*keys, F.col(right_ts).alias("__ts"))
+        .agg(F.max(F.struct(*payload)).alias("__p"))
+    )
+    # side: right=0 sorts before left=1 at equal ts, so an exact-ts
+    # match is visible to the left row (inclusive semantics); strict
+    # flips the order so it is not.
+    r_tagged = r_uniq.select(
+        *keys, "__ts", F.lit(0 if not strict else 2).alias("__side"), "__p"
+    )
+    l_tagged = left.select(
+        "*", F.col(left_ts).alias("__ts"), F.lit(1).alias("__side"),
+        F.lit(None).cast(r_uniq.schema["__p"].dataType).alias("__p"),
+    )
+    merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = merged.withColumn(
+        "__match", F.last("__p", ignorenulls=True).over(w)
+    ).filter(F.col("__side") == 1)
+    if how == "inner":
+        matched = matched.filter(F.col("__match").isNotNull())
+
+    return matched.select(
+        *[c for c in left.columns],
+        *[F.col(f"__match.{p}").alias(p) for p in payload],
+    )

@@ -1,0 +1,150 @@
+"""Unit + plan tests for asof_join, bucketed_range_join, KMV sketch."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_fusion_spark.llm.sketch import kmv_distinct_estimate, kmv_sketch
+from dbt_fusion_spark.plans.asof_join import asof_join
+from dbt_fusion_spark.plans.range_join import bucketed_range_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "a"),
+         (1, _ts("2024-01-01 12:00:00"), "b"),
+         (1, _ts("2024-01-01 09:00:00"), "c"),   # before any right row
+         (2, _ts("2024-01-01 11:00:00"), "d")],
+        "k int, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 100.0),  # equal-ts match for 'a'
+         (1, _ts("2024-01-01 11:30:00"), 200.0),
+         (2, _ts("2024-01-01 11:00:01"), 300.0)],  # 1s after 'd'
+        "k int, rts timestamp, v double")
+    return left, right
+
+
+def test_asof_backward_inclusive(spark, frames):
+    left, right = frames
+    out = {r["tag"]: r["v"] for r in
+           asof_join(left, right, "k", "ts", "rts", ["v"]).collect()}
+    assert out == {"a": 100.0,   # equal ts IS a match (inclusive)
+                   "b": 200.0,   # latest at-or-before 12:00
+                   "c": None,    # no right row yet
+                   "d": None}    # right row is 1s later
+
+
+def test_asof_strict_excludes_equal_ts(spark, frames):
+    left, right = frames
+    out = {r["tag"]: r["v"] for r in
+           asof_join(left, right, "k", "ts", "rts", ["v"],
+                     strict=True).collect()}
+    assert out["a"] is None  # equal ts no longer matches
+
+
+def test_asof_inner_drops_unmatched(spark, frames):
+    left, right = frames
+    tags = {r["tag"] for r in
+            asof_join(left, right, "k", "ts", "rts", ["v"],
+                      how="inner").collect()}
+    assert tags == {"a", "b"}
+
+
+def test_asof_tiebreak_deterministic(spark):
+    """Two right rows at the identical (key, ts) resolve to the max
+    payload struct, regardless of input order."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"))], "k int, ts timestamp")
+    dup = [(1, _ts("2024-01-01 09:00:00"), 7.0),
+           (1, _ts("2024-01-01 09:00:00"), 9.0)]
+    for rows in (dup, dup[::-1]):
+        right = spark.createDataFrame(rows, "k int, rts timestamp, v double")
+        [r] = asof_join(left, right, "k", "ts", "rts", ["v"]).collect()
+        assert r["v"] == 9.0
+
+
+def test_asof_plan_single_sort_no_cartesian(spark, frames):
+    left, right = frames
+    plan = asof_join(left, right, "k", "ts", "rts", ["v"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # the union-of-streams shape, not a join
+
+
+def test_range_join_matches_naive(spark):
+    """Bucketed result == naive inequality join, including intervals
+    spanning many buckets and points exactly on boundaries."""
+    iv = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:30:00"), _ts("2024-01-01 05:30:00")),
+         (2, _ts("2024-01-01 02:00:00"), _ts("2024-01-01 03:00:00")),
+         (3, _ts("2024-01-02 00:00:00"), _ts("2024-01-02 00:00:01"))],
+        "iv_id int, s timestamp, e timestamp")
+    pts = spark.createDataFrame(
+        [(10, _ts("2024-01-01 00:30:00")),   # == start: in
+         (11, _ts("2024-01-01 05:30:00")),   # == end: out (half-open)
+         (12, _ts("2024-01-01 02:59:59")),
+         (13, _ts("2024-01-02 00:00:00")),
+         (14, _ts("2023-12-31 23:59:59"))],
+        "pt_id int, pts timestamp")
+    got = sorted(
+        (r["iv_id"], r["pt_id"])
+        for r in bucketed_range_join(pts, iv, "pts", "s", "e",
+                                     bucket_width_sec=3600).collect())
+    naive = sorted(
+        (r["iv_id"], r["pt_id"])
+        for r in iv.join(pts, (F.col("pts") >= F.col("s"))
+                         & (F.col("pts") < F.col("e"))).collect())
+    assert got == naive
+    assert (1, 10) in got and (1, 12) in got and (3, 13) in got
+    assert (1, 11) not in got
+
+
+def test_range_join_no_nested_loop(spark):
+    iv = spark.range(100).select(
+        F.col("id").alias("iv_id"),
+        F.timestamp_seconds(F.col("id") * 7200).alias("s"),
+        F.timestamp_seconds(F.col("id") * 7200 + 3600).alias("e"))
+    pts = spark.range(1000).select(
+        F.col("id").alias("pt_id"),
+        F.timestamp_seconds(F.col("id") * 600).alias("pts"))
+    df = bucketed_range_join(pts, iv, "pts", "s", "e", 3600)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # sanity: each in-window point matched exactly once
+    assert df.count() == df.select("iv_id", "pt_id").distinct().count()
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(500).select(F.col("id").alias("x"))
+    [r] = kmv_distinct_estimate(df, "x", k=1024).collect()
+    assert r["n_kept"] == 500 and r["est_distinct"] == 500.0
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    n = 20000
+    df = spark.range(n).select(F.col("id").alias("x"))
+    [r] = kmv_distinct_estimate(df, "x", k=1024).collect()
+    assert abs(r["est_distinct"] - n) / n < 0.15  # ~1/sqrt(k) error
+
+
+def test_kmv_sketch_mergeable(spark):
+    """Sketch(A ∪ B) == merge(Sketch(A), Sketch(B)) — the fleet
+    aggregation property."""
+    a = spark.range(0, 3000).select(F.col("id").alias("x"))
+    b = spark.range(2000, 6000).select(F.col("id").alias("x"))
+    k = 256
+    direct = [r["h"] for r in
+              kmv_sketch(a.unionByName(b), "x", k).collect()]
+    merged = [r["h"] for r in
+              kmv_sketch(a, "x", k).unionByName(kmv_sketch(b, "x", k))
+              .distinct().orderBy("h").limit(k).collect()]
+    assert sorted(direct) == sorted(merged)
