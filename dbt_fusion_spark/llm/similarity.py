@@ -43,19 +43,28 @@ def cosine(a: str, b: str) -> Column:
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding"
                      ) -> DataFrame:
-    """Exact top-k neighbors per query (excluding self)."""
+    """Exact top-k neighbors per query (excluding self).
+
+    Norms are projected ONCE per vector before the pair join — the
+    fold HOFs are interpreted (not codegen'd), so evaluating
+    norm(q)/norm(c) per PAIR would triple the dominant cost (measured
+    3x on the bench). Same values, same divide order — results are
+    bit-identical to the inline-cosine form."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        norm_fold(vec_col).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
+        norm_fold(vec_col).alias("__cn"),
     )
     scored = (
         F.broadcast(q).crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            cosine("__qv", "__cv").alias("cos_sim"),
+            (dot_fold("__qv", "__cv")
+             / (F.col("__qn") * F.col("__cn"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -75,15 +84,19 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
         F.col(cell_col).alias("__cell"),
+        norm_fold(vec_col).alias("__qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
         F.col(cell_col).alias("__cell"),
+        norm_fold(vec_col).alias("__cn"),
     )
     scored = (
         F.broadcast(q).join(c, "__cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos_sim"))
+        .select("query_id", "neighbor_id",
+                (dot_fold("__qv", "__cv")
+                 / (F.col("__qn") * F.col("__cn"))).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -102,13 +115,17 @@ def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95,
     pair join is blocked per cell (the scale path); without it, exact
     all-pairs."""
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+                      norm_fold(vec_col).alias("__na"),
                       *( [F.col(cell_col).alias("__cell")] if cell_col else [] ))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+                      norm_fold(vec_col).alias("__nb"),
                       *( [F.col(cell_col).alias("__cell")] if cell_col else [] ))
     joined = a.join(b, "__cell") if cell_col else a.crossJoin(b)
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine("__va", "__vb").alias("cos_sim"))
+        .select("id_a", "id_b",
+                (dot_fold("__va", "__vb")
+                 / (F.col("__na") * F.col("__nb"))).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -233,15 +250,19 @@ def hyperplane_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
         hyperplane_bucket(vec_col, n_bits).alias("__cell"),
+        norm_fold(vec_col).alias("__qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
         hyperplane_bucket(vec_col, n_bits).alias("__cell"),
+        norm_fold(vec_col).alias("__cn"),
     )
     scored = (
         F.broadcast(q).join(c, "__cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos_sim"))
+        .select("query_id", "neighbor_id",
+                (dot_fold("__qv", "__cv")
+                 / (F.col("__qn") * F.col("__cn"))).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
