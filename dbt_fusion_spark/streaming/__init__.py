@@ -1,6 +1,8 @@
 from dbt_fusion_spark.streaming.structured import (  # noqa: F401
     dynamic_table,
     stateful_sessionize,
+    stream_stream_join,
+    streaming_dedup,
     streaming_merge,
     streaming_table,
     windowed_aggregate,

@@ -205,3 +205,51 @@ def stateful_sessionize(
         .applyInPandasWithState(fn, out_schema, state_schema,
                                 "append", timeout_conf)
     )
+
+
+def streaming_dedup(
+    source: DataFrame,
+    keys: list[str],
+    event_time: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact dedup on a stream — the streaming twin of
+    llm/dedup.exact_dedup. dropDuplicatesWithinWatermark keeps ONE row
+    per key and expires its state once the watermark passes, so state
+    is bounded by (dup horizon x arrival rate) instead of growing with
+    the full key cardinality the way dropDuplicates does — at 100 TB/day
+    the unbounded form OOMs the state store, the watermarked form
+    doesn't. Duplicates arriving later than the watermark are emitted
+    (the documented at-least-once contract for very-late data); set the
+    watermark to the pipeline's dup horizon."""
+    return source.withWatermark(event_time, watermark) \
+        .dropDuplicatesWithinWatermark(keys)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join (attribution pattern): a
+    left event matches right events within [left_time - max_delay,
+    left_time]. The time-range predicate is what lets Spark bound BOTH
+    join-state buffers (right rows older than left's watermark +
+    max_delay are evicted); an unconstrained stream-stream equi-join
+    must buffer each side forever. Non-key columns must not clash
+    (pre-alias them); the right key column is renamed internally and
+    dropped from the output."""
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withColumnRenamed(on, "__rk").withWatermark(
+        right_time, watermark)
+    return lw.join(
+        rw,
+        F.expr(
+            f"{on} = __rk AND {right_time} >= {left_time} - INTERVAL {max_delay}"
+            f" AND {right_time} <= {left_time}"
+        ),
+    ).drop("__rk")

@@ -135,3 +135,69 @@ def test_stateful_sessionize(spark, tmp_path):
         (2, t0, t0, 1),
         (2, t0 + timedelta(seconds=10000), t0 + timedelta(seconds=10000), 1),
     }
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate keys inside the watermark horizon collapse to one row
+    per key (the streaming twin of exact dedup, bounded state)."""
+    from datetime import datetime, timedelta
+
+    from dbt_fusion_spark.streaming import streaming_dedup
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, "a"),
+        (1, t0 + timedelta(seconds=30), "a-dup"),       # dup key within horizon
+        (2, t0 + timedelta(seconds=10), "b"),
+        (2, t0 + timedelta(seconds=20), "b-dup"),
+        (3, t0 + timedelta(seconds=40), "c"),
+    ]
+    src = str(tmp_path / "dedup_in")
+    spark.createDataFrame(rows, "k long, ts timestamp, payload string") \
+        .coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("k long, ts timestamp, payload string") \
+        .parquet(src)
+    out = streaming_dedup(stream, ["k"], event_time="ts", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("dedup_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.table("dedup_out").collect()
+    assert len(got) == 3
+    assert {r["k"] for r in got} == {1, 2, 3}
+
+
+def test_stream_stream_join_attribution(spark, tmp_path):
+    """Click->purchase attribution: purchases join clicks on user within
+    a 1h lookback. Matches the batch inequality join on the same data."""
+    from datetime import datetime, timedelta
+
+    from dbt_fusion_spark.streaming import stream_stream_join
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    purchases = [(1, t0, 100.0),
+                 (2, t0 + timedelta(minutes=30), 50.0)]
+    clicks = [(1, t0 - timedelta(minutes=10), "ad-1"),   # in window
+              (1, t0 - timedelta(hours=2), "ad-0"),      # too old
+              (2, t0 + timedelta(minutes=29), "ad-2"),   # in window
+              (2, t0 + timedelta(minutes=31), "ad-3")]   # after purchase
+    pdir, cdir = str(tmp_path / "p"), str(tmp_path / "c")
+    spark.createDataFrame(purchases, "user long, pts timestamp, amount double") \
+        .coalesce(1).write.parquet(pdir)
+    spark.createDataFrame(clicks, "user long, cts timestamp, ad string") \
+        .coalesce(1).write.parquet(cdir)
+
+    ps = spark.readStream.schema("user long, pts timestamp, amount double").parquet(pdir)
+    cs = spark.readStream.schema("user long, cts timestamp, ad string").parquet(cdir)
+    joined = stream_stream_join(ps, cs, on="user",
+                                left_time="pts", right_time="cts",
+                                max_delay="1 hour")
+    q = (joined.writeStream.format("memory").queryName("attr_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r["user"], r["ad"]) for r in spark.table("attr_out").collect()}
+    assert got == {(1, "ad-1"), (2, "ad-2")}
