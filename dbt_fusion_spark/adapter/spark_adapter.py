@@ -390,6 +390,64 @@ class SparkAdapter:
         # base_adapter.rs:950
         return self.run_query(f"DESCRIBE TABLE EXTENDED {relation.render()}")
 
+    def analyze_table(self, relation: Relation | str,
+                      columns: list[str] | None = None) -> None:
+        """ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...].
+
+        The 100 TB lever behind it: CBO join reordering and the
+        broadcast-threshold decision read these stats; a freshly CTAS'd
+        external table has none, so Spark falls back to file-size
+        estimates that overestimate post-filter sizes and miss broadcast
+        opportunities. Run after materializing large models (dbt
+        post-hook shape). Column stats (ndv/min/max/nulls) additionally
+        feed skew and selectivity estimates."""
+        rendered = relation.render() if hasattr(relation, "render") else relation
+        if columns:
+            self.execute(
+                f"ANALYZE TABLE {rendered} COMPUTE STATISTICS "
+                f"FOR COLUMNS {', '.join(columns)}")
+        else:
+            self.execute(f"ANALYZE TABLE {rendered} COMPUTE STATISTICS")
+
+    def table_stats(self, relation: Relation | str) -> dict[str, str]:
+        """Parsed `Statistics` row of DESCRIBE EXTENDED (bytes/rows)."""
+        rendered = relation.render() if hasattr(relation, "render") else relation
+        rows = self.run_query(f"DESCRIBE TABLE EXTENDED {rendered}").rows
+        out: dict[str, str] = {}
+        for r in rows:
+            if r[0] == "Statistics":
+                out["statistics"] = r[1]
+        return out
+
+    def compact_table(self, relation: Relation | str,
+                      target_partitions: int | None = None,
+                      sort_by: list[str] | None = None) -> int:
+        """Small-file compaction: rewrite a table into `target_partitions`
+        files (default: session shuffle parallelism), optionally
+        sort-within-partitions for clustering (the plain-parquet stand-in
+        for Delta OPTIMIZE / ZORDER, see create_indexes).
+
+        Incremental strategies that append per batch accumulate files;
+        at fleet scale a 10k-file table turns every downstream scan into
+        a listing + open storm. Returns the file-partition count written.
+        Atomic via the same staging-table swap the table
+        materialization uses."""
+        rendered = relation.render() if hasattr(relation, "render") else relation
+        n = target_partitions or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions"))
+        df = self.spark.table(rendered)
+        df = df.repartition(n)
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
+        # suffix must land INSIDE a backtick-quoted identifier
+        tmp = (rendered[:-1] + "__dbt_compact`" if rendered.endswith("`")
+               else rendered + "__dbt_compact")
+        self.execute(f"DROP TABLE IF EXISTS {tmp}")
+        df.write.saveAsTable(tmp)
+        self.execute(f"DROP TABLE {rendered}")
+        self.execute(f"ALTER TABLE {tmp} RENAME TO {rendered}")
+        return n
+
 
 _BOOL = {"true", "false", "t", "f", "yes", "no"}
 _INT_RE = re.compile(r"^[+-]?\d+$")

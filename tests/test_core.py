@@ -114,3 +114,32 @@ def test_adapter_convert_type():
     assert a.convert_type(a_table, 1) == "double"
     assert a.convert_type(a_table, 2) == "boolean"
     assert a.convert_type(a_table, 3) == "date"
+
+
+def test_adapter_analyze_and_stats(spark):
+    a = SparkAdapter(spark)
+    a.create_schema("dfs_stats")
+    a.execute("CREATE TABLE `dfs_stats`.`t` AS "
+              "SELECT id, id % 7 AS grp FROM RANGE(1000)")
+    a.analyze_table("`dfs_stats`.`t`")
+    stats = a.table_stats("`dfs_stats`.`t`")
+    assert "statistics" in stats and "rows" in stats["statistics"]
+    a.analyze_table("`dfs_stats`.`t`", columns=["grp"])  # no raise
+    a.drop_schema("dfs_stats")
+
+
+def test_adapter_compact_table(spark):
+    a = SparkAdapter(spark)
+    a.create_schema("dfs_compact")
+    # fragment: 20 single-row inserts -> many small files
+    a.execute("CREATE TABLE `dfs_compact`.`t` AS SELECT 0 AS id, 'x' AS v")
+    for i in range(1, 20):
+        a.execute(f"INSERT INTO `dfs_compact`.`t` VALUES ({i}, 'x')")
+    before = spark.table("`dfs_compact`.`t`").rdd.getNumPartitions()
+    n = a.compact_table("`dfs_compact`.`t`", target_partitions=2,
+                        sort_by=["id"])
+    after = spark.table("`dfs_compact`.`t`")
+    assert n == 2
+    assert after.count() == 20
+    assert after.rdd.getNumPartitions() <= min(before, 4)
+    a.drop_schema("dfs_compact")
