@@ -91,3 +91,94 @@ def run_test(spark, main_sql: str, **kwargs) -> TestResult:
     row = spark.sql(get_test_sql(main_sql, **kwargs)).collect()[0]
     return TestResult(row["failures"], bool(row["should_warn"]),
                       bool(row["should_error"]))
+
+
+# --- dbt_utils generic tests (the 8 most-installed community tests;
+# SQL shapes match dbt-utils macros/generic_tests/*.sql semantics,
+# re-expressed as Spark SQL generators like the built-ins above) ---
+
+
+def test_expression_is_true(model: str, expression: str,
+                            where: str | None = None) -> str:
+    # dbt_utils.expression_is_true: rows where the expression does NOT
+    # hold fail (NULL counts as not-true)
+    base = f"SELECT * FROM {model}"
+    if where:
+        base += f" WHERE {where}"
+    return (f"SELECT * FROM ({base}) dbt_subquery\n"
+            f"WHERE NOT({expression}) OR ({expression}) IS NULL")
+
+
+def test_unique_combination_of_columns(model: str,
+                                       combination: list[str]) -> str:
+    cols = ", ".join(combination)
+    return (f"SELECT {cols}, COUNT(*) AS n_records\n"
+            f"FROM {model}\nGROUP BY {cols}\nHAVING COUNT(*) > 1")
+
+
+def test_accepted_range(model: str, column_name: str,
+                        min_value=None, max_value=None,
+                        inclusive: bool = True) -> str:
+    lo_op, hi_op = (">=", "<=") if inclusive else (">", "<")
+    conds = []
+    if min_value is not None:
+        conds.append(f"NOT ({column_name} {lo_op} {min_value})")
+    if max_value is not None:
+        conds.append(f"NOT ({column_name} {hi_op} {max_value})")
+    return (f"SELECT {column_name} FROM {model}\n"
+            f"WHERE {' OR '.join(conds) if conds else 'FALSE'}")
+
+
+def test_not_null_proportion(model: str, column_name: str,
+                             at_least: float, at_most: float = 1.0) -> str:
+    # fails when the non-null proportion falls outside [at_least, at_most]
+    return (
+        f"WITH validation AS (\n"
+        f"  SELECT SUM(CASE WHEN {column_name} IS NOT NULL THEN 1 ELSE 0 END)"
+        f" / CAST(COUNT(*) AS DOUBLE) AS not_null_proportion\n"
+        f"  FROM {model})\n"
+        f"SELECT not_null_proportion FROM validation\n"
+        f"WHERE not_null_proportion < {at_least}"
+        f" OR not_null_proportion > {at_most}"
+    )
+
+
+def test_equal_rowcount(model: str, compare_model: str) -> str:
+    # one failing row when counts differ (fail_calc-compatible shape)
+    return (
+        f"WITH a AS (SELECT COUNT(*) AS c FROM {model}),\n"
+        f"b AS (SELECT COUNT(*) AS c FROM {compare_model})\n"
+        f"SELECT a.c AS count_a, b.c AS count_b FROM a, b WHERE a.c <> b.c"
+    )
+
+
+def test_fewer_rows_than(model: str, compare_model: str) -> str:
+    return (
+        f"WITH a AS (SELECT COUNT(*) AS c FROM {model}),\n"
+        f"b AS (SELECT COUNT(*) AS c FROM {compare_model})\n"
+        f"SELECT a.c AS count_model, b.c AS count_compare\n"
+        f"FROM a, b WHERE a.c >= b.c"
+    )
+
+
+def test_recency(model: str, field: str, datepart: str, interval: int) -> str:
+    # fails when max(field) is older than now - interval
+    return (
+        f"SELECT MAX({field}) AS most_recent FROM {model}\n"
+        f"HAVING MAX({field}) < current_timestamp() -"
+        f" INTERVAL {interval} {datepart}"
+    )
+
+
+def test_relationships_where(model: str, column_name: str, to: str,
+                             field: str, from_condition: str = "1=1",
+                             to_condition: str = "1=1") -> str:
+    return (
+        f"SELECT child.from_field FROM (\n"
+        f"  SELECT {column_name} AS from_field FROM {model}\n"
+        f"  WHERE {column_name} IS NOT NULL AND {from_condition}) child\n"
+        f"LEFT JOIN (SELECT {field} AS to_field FROM {to}\n"
+        f"  WHERE {to_condition}) parent\n"
+        f"ON child.from_field = parent.to_field\n"
+        f"WHERE parent.to_field IS NULL"
+    )

@@ -101,3 +101,69 @@ def test_namespace_pure_helpers():
     assert "generate_series" in ns.date_spine(
         "day", "DATE '2024-01-01'", "DATE '2024-02-01'") or "sequence" in \
         ns.date_spine("day", "DATE '2024-01-01'", "DATE '2024-02-01'")
+
+
+def test_utils_generic_tests(spark, sf_small):
+    """dbt_utils community generic tests run through the same severity
+    wrapper as the built-ins."""
+    from dbt_fusion_spark.sources.registry import register_views
+    from dbt_fusion_spark.testing.generic import (
+        run_test,
+        test_accepted_range,
+        test_equal_rowcount,
+        test_expression_is_true,
+        test_fewer_rows_than,
+        test_not_null_proportion,
+        test_recency,
+        test_relationships_where,
+        test_unique_combination_of_columns,
+    )
+
+    register_views(spark, sf_small, ["orders", "lineitem", "customer"])
+
+    # holds: o_totalprice is positive
+    assert run_test(spark, test_expression_is_true(
+        "orders", "o_totalprice > 0")).status == "pass"
+    # violated: price > 1e9
+    assert run_test(spark, test_expression_is_true(
+        "orders", "o_totalprice > 1e9")).status == "fail"
+
+    # o_orderkey is the orders grain (synthetic lineitem has no
+    # unique line number)
+    assert run_test(spark, test_unique_combination_of_columns(
+        "orders", ["o_orderkey"])).status == "pass"
+    assert run_test(spark, test_unique_combination_of_columns(
+        "orders", ["o_orderstatus", "o_orderpriority"])).status == "fail"
+
+    assert run_test(spark, test_accepted_range(
+        "lineitem", "l_discount", min_value=0, max_value=1)).status == "pass"
+    assert run_test(spark, test_accepted_range(
+        "lineitem", "l_quantity", max_value=10)).status == "fail"
+
+    assert run_test(spark, test_not_null_proportion(
+        "orders", "o_custkey", at_least=0.99)).status == "pass"
+    assert run_test(spark, test_not_null_proportion(
+        "orders", "o_custkey", at_least=0.99, at_most=0.999)).status == "fail"
+
+    assert run_test(spark, test_equal_rowcount(
+        "orders", "orders")).status == "pass"
+    assert run_test(spark, test_equal_rowcount(
+        "orders", "lineitem")).status == "fail"
+
+    assert run_test(spark, test_fewer_rows_than(
+        "orders", "lineitem")).status == "pass"
+    assert run_test(spark, test_fewer_rows_than(
+        "lineitem", "orders")).status == "fail"
+
+    # orders end in 2001 -> anything "within the last 100000 days" passes,
+    # "within 1 hour" fails
+    assert run_test(spark, test_recency(
+        "orders", "o_orderdate", "DAY", 100000)).status == "pass"
+    assert run_test(spark, test_recency(
+        "orders", "o_orderdate", "HOUR", 1)).status == "fail"
+
+    assert run_test(spark, test_relationships_where(
+        "orders", "o_custkey", "customer", "c_custkey")).status == "pass"
+    assert run_test(spark, test_relationships_where(
+        "orders", "o_custkey", "customer", "c_custkey",
+        to_condition="c_custkey < 100")).status == "fail"
