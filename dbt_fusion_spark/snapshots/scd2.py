@@ -37,6 +37,11 @@ class SnapshotConfig:
     updated_at: str | None = None        # timestamp strategy
     check_cols: Sequence[str] | str = "all"  # check strategy
     hard_deletes: str = "ignore"         # ignore | invalidate | new_record
+    # dbt 1.9 surface (snapshot_config.rs:371-377, nodes.rs:1499-1516):
+    # open rows carry this literal timestamp instead of NULL...
+    dbt_valid_to_current: str | None = None
+    # ...and meta columns can be renamed ({canonical: custom}).
+    meta_column_names: dict[str, str] | None = None
     keys: list[str] = field(init=False)
 
     def __post_init__(self):
@@ -45,6 +50,11 @@ class SnapshotConfig:
             raise ValueError("timestamp strategy requires updated_at")
         if self.hard_deletes not in ("ignore", "invalidate", "new_record"):
             raise ValueError(f"invalid hard_deletes {self.hard_deletes!r}")
+        allowed = {"dbt_scd_id", "dbt_updated_at", "dbt_valid_from",
+                   "dbt_valid_to", "dbt_is_deleted"}
+        if self.meta_column_names and not set(self.meta_column_names) <= allowed:
+            raise ValueError(
+                f"unknown meta columns {set(self.meta_column_names) - allowed}")
 
 
 def _scd_id(cfg: SnapshotConfig, updated: Column, keys_from) -> Column:
@@ -201,9 +211,44 @@ def snapshot_run(existing: DataFrame, source: DataFrame, cfg: SnapshotConfig,
     return merged.unionByName(insertions.select(*data_cols, *meta, *extra))
 
 
+def _normalize_meta(df: DataFrame, cfg: SnapshotConfig) -> DataFrame:
+    """Custom meta names / valid_to sentinel -> canonical shape the core
+    algebra operates on (NULL = open row, dbt_* names)."""
+    for canon, custom in (cfg.meta_column_names or {}).items():
+        if custom in df.columns:
+            df = df.withColumnRenamed(custom, canon)
+    if cfg.dbt_valid_to_current and "dbt_valid_to" in df.columns:
+        sentinel = F.lit(cfg.dbt_valid_to_current).cast("timestamp")
+        df = df.withColumn(
+            "dbt_valid_to",
+            F.when(F.col("dbt_valid_to").eqNullSafe(sentinel),
+                   F.lit(None).cast("timestamp"))
+            .otherwise(F.col("dbt_valid_to")))
+    return df
+
+
+def _denormalize_meta(df: DataFrame, cfg: SnapshotConfig) -> DataFrame:
+    """Canonical -> user-facing: apply the open-row sentinel, then the
+    custom column names."""
+    if cfg.dbt_valid_to_current:
+        df = df.withColumn(
+            "dbt_valid_to",
+            F.coalesce(F.col("dbt_valid_to"),
+                       F.lit(cfg.dbt_valid_to_current).cast("timestamp")))
+    for canon, custom in (cfg.meta_column_names or {}).items():
+        if canon in df.columns:
+            df = df.withColumnRenamed(canon, custom)
+    return df
+
+
 def snapshot_merge(existing: DataFrame | None, source: DataFrame,
                    cfg: SnapshotConfig, now: Column | None = None) -> DataFrame:
-    """Entry point: build on first run, else staged merge."""
-    if existing is None:
-        return snapshot_build(source, cfg, now)
-    return snapshot_run(existing, source, cfg, now)
+    """Entry point: build on first run, else staged merge. Custom meta
+    column names and the dbt_valid_to_current sentinel are applied at
+    this boundary — the staging algebra always sees canonical names and
+    NULL-means-open."""
+    if existing is not None:
+        existing = _normalize_meta(existing, cfg)
+    out = (snapshot_build(source, cfg, now) if existing is None
+           else snapshot_run(existing, source, cfg, now))
+    return _denormalize_meta(out, cfg)

@@ -108,3 +108,44 @@ def test_composite_key_snapshot(spark):
     assert snap.count() == 3  # (x: closed+new), (y: open)
     open_x = snap.filter((F.col("k2") == "x") & F.col("dbt_valid_to").isNull())
     assert open_x.collect()[0]["v"] == "a2"
+
+
+def test_valid_to_current_sentinel(spark):
+    """dbt_valid_to_current: open rows carry the sentinel timestamp
+    instead of NULL, across build AND subsequent runs."""
+    from dbt_fusion_spark.snapshots import snapshot_merge
+
+    c = cfg(dbt_valid_to_current="9999-12-31 00:00:00")
+    s1 = state(spark, [(1, "a", T0), (2, "b", T0)])
+    snap = snapshot_merge(None, s1, c)
+    sentinel = dt.datetime(9999, 12, 31)
+    assert {r["dbt_valid_to"] for r in snap.collect()} == {sentinel}
+
+    s2 = state(spark, [(1, "a2", T1), (2, "b", T0)])
+    snap2 = snapshot_merge(snap, s2, c, now=NOW2())
+    rows = by_key(snap2)
+    assert len(rows[1]) == 2
+    closed, open_ = rows[1]
+    assert closed["dbt_valid_to"] == T1          # closed at the update ts
+    assert open_["dbt_valid_to"] == sentinel     # new version stays open
+    assert rows[2][0]["dbt_valid_to"] == sentinel
+
+
+def test_custom_meta_column_names(spark):
+    """snapshot_meta_column_names (snapshot_config.rs:371-377): the
+    output exposes custom names; a second run consumes them back."""
+    from dbt_fusion_spark.snapshots import snapshot_merge
+
+    names = {"dbt_scd_id": "row_hash", "dbt_valid_from": "valid_since",
+             "dbt_valid_to": "valid_until", "dbt_updated_at": "changed_at"}
+    c = cfg(meta_column_names=names)
+    s1 = state(spark, [(1, "a", T0)])
+    snap = snapshot_merge(None, s1, c)
+    assert {"row_hash", "valid_since", "valid_until", "changed_at"} <= set(snap.columns)
+    assert "dbt_scd_id" not in snap.columns
+
+    s2 = state(spark, [(1, "a2", T1)])
+    snap2 = snapshot_merge(snap, s2, c, now=NOW2())
+    assert snap2.count() == 2
+    open_rows = snap2.filter(F.col("valid_until").isNull()).collect()
+    assert len(open_rows) == 1 and open_rows[0]["val"] == "a2"
