@@ -56,6 +56,8 @@ def _build_parser() -> argparse.ArgumentParser:
     init = sub.add_parser("init")
     init.add_argument("name")
     init.add_argument("--project-dir", default=".")
+    clean = sub.add_parser("clean")
+    clean.add_argument("--project-dir", default=".")
     return p
 
 
@@ -130,6 +132,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         from dbt_fusion_spark.project.scaffold import init_project
         init_project(Path(args.project_dir) / args.name)
         print(f"Created project {args.name}")
+        return 0
+    if cmd == "clean":
+        # dbt_sa_clap.rs:85-86 Clean: remove target dirs (clean-targets
+        # defaults to target/ and dbt_packages/ per dbt_project.yml)
+        import shutil
+        proj = Path(args.project_dir)
+        cfg = yaml.safe_load((proj / "dbt_project.yml").read_text()) or {}
+        for d in cfg.get("clean-targets", ["target", "dbt_packages"]):
+            tgt = proj / d
+            if tgt.exists():
+                shutil.rmtree(tgt)
+                print(f"Cleaned {tgt}")
         return 0
 
     runner = _runner(args, spark=spark)

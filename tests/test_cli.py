@@ -197,3 +197,13 @@ packages:
     specs = load_package_specs(tmp_path)
     assert [s.kind for s in specs] == ["hub", "git", "local", "tarball"]
     assert specs[0].version == [">=1.0.0"]
+
+
+def test_cli_clean(jaffle, capsys):
+    from dbt_fusion_spark.cli import main
+
+    target = jaffle / "target"
+    target.mkdir(exist_ok=True)
+    (target / "x.json").write_text("{}")
+    assert main(["clean", "--project-dir", str(jaffle)]) == 0
+    assert not target.exists()
