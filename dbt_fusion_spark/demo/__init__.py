@@ -13,6 +13,7 @@ from dbt_fusion_spark.demo import (  # noqa: F401, E402
     incremental_demo,
     llm_demo,
     operators_demo,
+    runner_demo,
     sampling_demo,
     semantic_demo,
     snapshot_demo,

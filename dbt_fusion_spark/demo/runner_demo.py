@@ -1,0 +1,94 @@
+"""Gate query driving the FULL project runner path end-to-end.
+
+One oracle-checked row covers four materializations at once: the
+staging views, the ephemeral CTE inlining of order_lines, the
+customer_revenue table CTAS, and the nation_stats_py PYTHON model
+(native `def model(dbt, session)` contract, runner.py python-model
+executor) — everything the fixture project's `+nation_stats_py`
+selection builds. The oracle restates the whole model pipeline as one
+DuckDB WITH-query.
+"""
+
+from __future__ import annotations
+
+import uuid
+from pathlib import Path
+
+from dbt_fusion_spark.demo.registry import register
+
+_PROJECT = str(Path(__file__).resolve().parent.parent.parent
+               / "tests" / "fixtures" / "tpch_project")
+
+
+@register(
+    "runner_python_model_pipeline",
+    oracle="""
+    WITH stg_customers AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+             c_mktsegment AS segment
+      FROM customer),
+    order_lines AS (
+      SELECT l_orderkey,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(8,4))) AS net_price
+      FROM lineitem),
+    customer_revenue AS (
+      SELECT c.c_custkey,
+             CAST(SUM(ol.net_price) AS DOUBLE) AS revenue
+      FROM stg_customers c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN order_lines ol ON ol.l_orderkey = o.o_orderkey
+      GROUP BY c.c_custkey)
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE)
+             AS nation_revenue
+    FROM stg_customers JOIN customer_revenue USING (c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def runner_python_model_pipeline(spark, sf_dir):
+    """dbt-style run of `+nation_stats_py`: sources -> staging views ->
+    ephemeral inline -> table CTAS -> python model table. Unique schema
+    per invocation (no stale-warehouse collisions under the harness's
+    vanilla session); the result is materialized driver-side so the
+    schema can be dropped before returning."""
+    from dbt_fusion_spark.runner import DbtSparkRunner
+
+    # The fixture's on-run-start hook writes to a hardcoded
+    # `analytics.audit_log`; ensure the schema exists, and clear a
+    # STALE table location: each harness process gets a fresh derby
+    # metastore, but ./spark-warehouse persists on disk, so a table
+    # absent from this catalog can still own its directory
+    # (LOCATION_ALREADY_EXISTS on the hook's CREATE otherwise).
+    spark.sql("CREATE DATABASE IF NOT EXISTS analytics")
+    if not spark.catalog.tableExists("analytics.audit_log"):
+        import shutil
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        wh = wh.removeprefix("file:")
+        shutil.rmtree(f"{wh}/analytics.db/audit_log", ignore_errors=True)
+    # The fixture pins source locations to sf0.001; the gate compares
+    # at the harness's sf_dir. Stage a copy with rewritten locations —
+    # the project itself stays untouched.
+    import shutil
+    import tempfile
+    proj = tempfile.mkdtemp(prefix="gate_proj_")
+    shutil.copytree(_PROJECT, proj, dirs_exist_ok=True)
+    shutil.rmtree(f"{proj}/target", ignore_errors=True)
+    for rel in ("models/staging/schema.yml", "dbt_project.yml"):
+        f = Path(proj) / rel
+        f.write_text(f.read_text().replace("/root/testdata/sf0.001", sf_dir))
+
+    schema = f"gate_run_{uuid.uuid4().hex[:8]}"
+    runner = DbtSparkRunner(
+        spark, proj,
+        profile={"schema": schema, "threads": 1, "name": "gate"},
+        vars={"sf_dir": sf_dir})
+    rr = runner.run(select="+nation_stats_py")
+    failures = [(r.unique_id, r.message) for r in rr.results
+                if r.status not in ("success", "pass")]
+    assert not failures, failures
+    out = spark.table(f"`{schema}`.`nation_stats_py`")
+    result = spark.createDataFrame(out.collect(), out.schema)
+    spark.sql(f"DROP DATABASE IF EXISTS `{schema}` CASCADE")
+    return result

@@ -12,7 +12,10 @@ def model(dbt, session):
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double")
+            # decimal(18,6): revenue is an exactly-scale-6 value rendered as
+            # double, so this cast is lossless on any engine; a scale-2 cast
+            # would re-round and diverge (HALF_UP vs HALF_EVEN)
+            F.sum(F.col("revenue").cast("decimal(18,6)")).cast("double")
             .alias("nation_revenue"),
         )
     )
