@@ -200,3 +200,33 @@ def incremental_microbatch(spark, sf_dir):
     return spark.table("dbt_demo.microbatch_daily").select(
         "event_day", "event_type", "n_events", "total_value"
     )
+
+
+@register(
+    "incremental_replace_where",
+    oracle=f"""
+    WITH t AS ({_T}),
+         s AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                      o_totalprice * 2 AS o_totalprice,
+                      o_orderdate, o_orderpriority
+               FROM orders WHERE o_orderdate >= DATE '1998-06-01')
+    SELECT t.* FROM t WHERE NOT (o_orderdate >= TIMESTAMP '1999-01-01')
+    UNION ALL
+    SELECT s.* FROM s WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    """,
+)
+def incremental_replace_where(spark, sf_dir):
+    """replace_where (common.rs:566-568): the predicate region
+    [1999-01-01, inf) is replaced wholesale by the matching source
+    rows; out-of-scope source rows (1998-06..1999-01) are dropped —
+    the Delta replaceWhere contract."""
+    from dbt_fusion_spark.incremental import replace_where
+
+    target = _orders_target(spark, sf_dir)
+    source = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1998-06-01")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    return replace_where(target, source,
+                         "o_orderdate >= TIMESTAMP '1999-01-01'")

@@ -92,3 +92,39 @@ def runner_python_model_pipeline(spark, sf_dir):
     result = spark.createDataFrame(out.collect(), out.schema)
     spark.sql(f"DROP DATABASE IF EXISTS `{schema}` CASCADE")
     return result
+
+
+@register(
+    "runner_seed_typed_load",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('AUTOMOBILE', 'Automobile', CAST(1 AS BIGINT)),
+      ('BUILDING',   'Building',   CAST(2 AS BIGINT)),
+      ('FURNITURE',  'Furniture',  CAST(3 AS BIGINT)),
+      ('HOUSEHOLD',  'Household',  CAST(4 AS BIGINT)),
+      ('MACHINERY',  'Machinery',  CAST(5 AS BIGINT))
+    ) AS t(segment, label, priority_rank)
+    """,
+)
+def runner_seed_typed_load(spark, sf_dir):
+    """Seed materialization through the runner: CSV -> agate-style type
+    sniffing (ints land as BIGINT, dbt-spark convert_number_type) ->
+    table. Oracle is the literal seed content with the expected types."""
+    from dbt_fusion_spark.runner import DbtSparkRunner
+
+    schema = f"gate_seed_{uuid.uuid4().hex[:8]}"
+    spark.sql("CREATE DATABASE IF NOT EXISTS analytics")
+    if not spark.catalog.tableExists("analytics.audit_log"):
+        import shutil
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{wh}/analytics.db/audit_log", ignore_errors=True)
+    runner = DbtSparkRunner(
+        spark, _PROJECT,
+        profile={"schema": schema, "threads": 1, "name": "gate"})
+    rr = runner.run(select="segment_names")
+    assert all(r.status in ("success", "pass") for r in rr.results), [
+        (r.unique_id, r.message) for r in rr.results]
+    out = spark.table(f"`{schema}`.`segment_names`")
+    result = spark.createDataFrame(out.collect(), out.schema)
+    spark.sql(f"DROP DATABASE IF EXISTS `{schema}` CASCADE")
+    return result

@@ -4,4 +4,5 @@ from dbt_fusion_spark.incremental.strategies import (  # noqa: F401
     insert_overwrite,
     merge,
     microbatch_windows,
+    replace_where,
 )

@@ -170,3 +170,23 @@ def microbatch_windows(
         out.append((lo, hi))  # full batch windows, like dbt's microbatch
         lo = hi
     return out
+
+
+def replace_where(
+    target: DataFrame,
+    source: DataFrame,
+    predicates: str | Sequence[str],
+) -> DataFrame:
+    """replace_where (databricks, common.rs:566-568): atomically replace
+    the predicate-scoped region — target rows NOT matching the
+    predicate persist, source rows matching it land (out-of-scope
+    source rows are dropped, the Delta replaceWhere contract). Pure
+    form of the executor's tmp+swap rewrite (executors.py
+    materialize_incremental 'replace_where')."""
+    preds = [predicates] if isinstance(predicates, str) else list(predicates)
+    cond = None
+    for p in preds:
+        c = F.expr(p)
+        cond = c if cond is None else (cond & c)
+    kept = target.filter(~cond | cond.isNull()).select(*target.columns)
+    return kept.unionByName(source.filter(cond).select(*target.columns))
