@@ -855,3 +855,60 @@ def streaming_windowed_rollup(spark, sf_dir):
     return spark.table(name).select(
         F.col("win.start").cast("date").alias("day"),
         "event_type", "n_events", "total_value")
+
+
+# ---------------------------------------------------- chunking / packing
+
+@register(
+    "chunk_documents_overlap",
+    oracle="""
+    WITH nc AS (
+      SELECT doc_id, text,
+             GREATEST(CAST(CEIL((length(text) - 50) / 150.0) AS INT), 1) AS n
+      FROM documents),
+    ex AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, n - 1)) AS chunk_idx
+      FROM nc)
+    SELECT doc_id, chunk_idx,
+           substring(text, chunk_idx * 150 + 1, 200) AS chunk_text,
+           length(substring(text, chunk_idx * 150 + 1, 200)) AS chunk_len
+    FROM ex
+    """,
+)
+def chunk_documents_overlap(spark, sf_dir):
+    """Fixed-width character chunking with overlap (200-char windows,
+    50-char overlap): one Generate per doc, zero shuffles — the reshape
+    stays in the scan stage at any scale."""
+    from dbt_fusion_spark.llm.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text",
+                           chunk_chars=200, overlap=50)
+
+
+@register(
+    "pack_sequences_budget",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, n_chars AS n_tokens,
+             SUM(n_chars) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_chars
+               AS start
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(start / 5000) AS BIGINT) AS seq_id,
+           CAST(start % 5000 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+)
+def pack_sequences_budget(spark, sf_dir):
+    """Deterministic sequence packing: docs assigned to 5000-char
+    training sequences by cumulative budget in doc_id order — the
+    reproducible formulation of greedy packing (order-dependent
+    first-fit can't be replayed across engines or re-runs)."""
+    from dbt_fusion_spark.llm.chunking import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("n_tokens"))
+    return pack_sequences(docs, "doc_id", "n_tokens", seq_len=5000)

@@ -1,0 +1,102 @@
+"""Document chunking and sequence packing — the two reshape operators
+between "clean corpus" and "training batches" in an LLM data pipeline.
+
+Both are pure column/window algebra (no Python in the row path):
+
+- chunk_documents: explode fixed-width character windows with overlap.
+  One Generate node per doc, no shuffle at all — chunking is
+  embarrassingly parallel and the planner keeps it in the scan stage.
+- pack_sequences: assign documents to fixed-budget training sequences
+  by cumulative token count. Deterministic (doc_id order), one shuffle
+  (the window partitioning); the greedy "first-fit" packers used
+  offline are order-dependent and unreproducible across engines — this
+  is the distributed-reproducible formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_chars: int = 512,
+                    overlap: int = 64) -> DataFrame:
+    """(id, chunk_idx, chunk_text, chunk_len): windows of `chunk_chars`
+    chars starting every (chunk_chars - overlap) chars. The final
+    partial window is kept (training pipelines pad it); empty docs
+    yield one empty chunk so no document silently disappears."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+    n_chunks = F.greatest(
+        F.ceil((F.length(F.col(text_col)) - F.lit(overlap))
+               / F.lit(stride)).cast("int"),
+        F.lit(1),
+    )
+    return (
+        df.select(
+            id_col,
+            F.col(text_col).alias("__t"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.expr(f"substring(__t, chunk_idx * {stride} + 1, {chunk_chars})")
+            .alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )
+
+
+def pack_sequences(df: DataFrame, id_col: str = "doc_id",
+                   token_col: str = "n_tokens",
+                   seq_len: int = 2048) -> DataFrame:
+    """Assign each document a training-sequence id such that the
+    cumulative token count within a sequence stays near seq_len:
+    seq_id = floor((cumsum(tokens) - tokens) / seq_len) in doc_id order
+    (the token's own count excluded so a document starts in the
+    sequence its first token falls in). Documents longer than seq_len
+    still get exactly one sequence id — chunk first (chunk_documents)
+    if oversized docs must split.
+
+    Output: (id, n_tokens, seq_id, seq_offset) where seq_offset is the
+    token offset of the doc within its sequence's budget stream."""
+    w = Window.orderBy(id_col)
+    # NOTE: global ordering = single-partition window. At fleet scale,
+    # partition the window by a coarse shard key first (e.g. hash(id)
+    # bucket) — packing quality is unaffected since budgets reset per
+    # shard. Kept global here for exact cross-engine reproducibility.
+    cum = F.sum(token_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (cum - F.col(token_col)).cast("bigint")
+    return df.select(
+        id_col,
+        F.col(token_col),
+        F.floor(start / F.lit(seq_len)).cast("bigint").alias("seq_id"),
+        (start % F.lit(seq_len)).alias("seq_offset"),
+    )
+
+
+def pack_sequences_sharded(df: DataFrame, id_col: str = "doc_id",
+                           token_col: str = "n_tokens",
+                           seq_len: int = 2048,
+                           n_shards: int = 32) -> DataFrame:
+    """The scale path: per-shard packing windows (hash(id) % n_shards),
+    n_shards parallel cumsum partitions instead of one global sort.
+    seq_id is (shard, local_seq) flattened; same budget guarantee."""
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    w = Window.partitionBy("__shard").orderBy(id_col)
+    cum = F.sum(token_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (cum - F.col(token_col)).cast("bigint")
+    return (
+        df.withColumn("__shard", shard)
+        .select(
+            id_col,
+            F.col(token_col),
+            (F.col("__shard") * F.lit(1_000_000_000)
+             + F.floor(start / F.lit(seq_len))).cast("bigint").alias("seq_id"),
+            (start % F.lit(seq_len)).alias("seq_offset"),
+        )
+    )

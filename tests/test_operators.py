@@ -148,3 +148,53 @@ def test_kmv_sketch_mergeable(spark):
               kmv_sketch(a, "x", k).unionByName(kmv_sketch(b, "x", k))
               .distinct().orderBy("h").limit(k).collect()]
     assert sorted(direct) == sorted(merged)
+
+
+def test_chunk_documents_shapes(spark):
+    from dbt_fusion_spark.llm.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a" * 500), (2, "b" * 64), (3, ""), (4, "c" * 65)],
+        "doc_id long, text string")
+    out = chunk_documents(df, chunk_chars=100, overlap=20).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 500 chars, stride 80: ceil((500-20)/80) = 6 chunks
+    assert len(by_doc[1]) == 6
+    assert by_doc[1][0]["chunk_len"] == 100
+    # consecutive chunks overlap by 20 chars
+    c0, c1 = by_doc[1][0]["chunk_text"], by_doc[1][1]["chunk_text"]
+    assert c0[80:] == c1[:20]
+    # short docs -> single chunk; empty doc still present
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_len"] == 64
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_len"] == 0
+    # 65 chars: ceil(45/80) = 1 chunk
+    assert len(by_doc[4]) == 1
+    # full reconstruction: stripping overlaps re-concatenates the doc
+    rec = "".join(r["chunk_text"][20:] if r["chunk_idx"] else r["chunk_text"]
+                  for r in sorted(by_doc[1], key=lambda r: r["chunk_idx"]))
+    assert rec == "a" * 500
+
+
+def test_pack_sequences_budget_invariants(spark):
+    from dbt_fusion_spark.llm.chunking import (
+        pack_sequences,
+        pack_sequences_sharded,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 100 + (i % 7) * 50) for i in range(200)],
+        "doc_id long, n_tokens long")
+    out = pack_sequences(df, seq_len=1000).collect()
+    rows = sorted(out, key=lambda r: r["doc_id"])
+    # offsets are the running budget stream: monotone within seq bound
+    running = 0
+    for r in rows:
+        assert r["seq_id"] == running // 1000
+        assert r["seq_offset"] == running % 1000
+        running += r["n_tokens"]
+    # sharded variant: same doc set, every shard's offsets < seq_len
+    sh = pack_sequences_sharded(df, seq_len=1000, n_shards=4).collect()
+    assert len(sh) == 200
+    assert all(0 <= r["seq_offset"] < 1000 for r in sh)
