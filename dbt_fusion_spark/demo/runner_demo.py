@@ -128,3 +128,91 @@ def runner_seed_typed_load(spark, sf_dir):
     result = spark.createDataFrame(out.collect(), out.schema)
     spark.sql(f"DROP DATABASE IF EXISTS `{schema}` CASCADE")
     return result
+
+
+def _gate_runner(spark, sf_dir, schema):
+    """Shared staging for runner-path gate queries: analytics hook
+    schema + stale-location cleanup + project copy with sf_dir
+    rewritten (see runner_python_model_pipeline)."""
+    import shutil
+    import tempfile
+
+    from dbt_fusion_spark.runner import DbtSparkRunner
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS analytics")
+    if not spark.catalog.tableExists("analytics.audit_log"):
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{wh}/analytics.db/audit_log", ignore_errors=True)
+    proj = tempfile.mkdtemp(prefix="gate_proj_")
+    shutil.copytree(_PROJECT, proj, dirs_exist_ok=True)
+    shutil.rmtree(f"{proj}/target", ignore_errors=True)
+    for rel in ("models/staging/schema.yml", "dbt_project.yml"):
+        f = Path(proj) / rel
+        f.write_text(f.read_text().replace("/root/testdata/sf0.001", sf_dir))
+    return DbtSparkRunner(
+        spark, proj,
+        profile={"schema": schema, "threads": 1, "name": "gate"})
+
+
+def _collect_drop(spark, schema, table):
+    out = spark.table(f"`{schema}`.`{table}`")
+    result = spark.createDataFrame(out.collect(), out.schema)
+    spark.sql(f"DROP DATABASE IF EXISTS `{schema}` CASCADE")
+    return result
+
+
+@register(
+    "runner_materialized_view",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def runner_materialized_view(spark, sf_dir):
+    """materialized_view materialization (models/materialized_view.sql
+    emulation: full recompute into the relation on refresh) driven
+    through the runner."""
+    schema = f"gate_mv_{uuid.uuid4().hex[:8]}"
+    runner = _gate_runner(spark, sf_dir, schema)
+    rr = runner.run(select="+revenue_mv")
+    assert all(r.status in ("success", "pass") for r in rr.results), [
+        (r.unique_id, r.message) for r in rr.results]
+    return _collect_drop(spark, schema, "revenue_mv")
+
+
+@register(
+    "runner_clone_contents",
+    oracle="""
+    WITH stg_customers AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+             c_mktsegment AS segment
+      FROM customer),
+    order_lines AS (
+      SELECT l_orderkey,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(8,4))) AS net_price
+      FROM lineitem)
+    SELECT c.c_custkey,
+           ANY_VALUE(c.c_name) AS c_name,
+           ANY_VALUE(c.segment) AS segment,
+           CAST(SUM(ol.net_price) AS DOUBLE) AS revenue,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders
+    FROM stg_customers c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN order_lines ol ON ol.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey
+    """,
+)
+def runner_clone_contents(spark, sf_dir):
+    """clone materialization (zero-copy pointer emulated as a view over
+    the source relation): the clone's contents must equal the cloned
+    table's defining query."""
+    schema = f"gate_clone_{uuid.uuid4().hex[:8]}"
+    runner = _gate_runner(spark, sf_dir, schema)
+    rr = runner.run(select="+customer_revenue_clone")
+    assert all(r.status in ("success", "pass") for r in rr.results), [
+        (r.unique_id, r.message) for r in rr.results]
+    return _collect_drop(spark, schema, "customer_revenue_clone")

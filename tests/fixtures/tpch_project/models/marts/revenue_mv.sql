@@ -3,6 +3,6 @@
 select
     o_orderstatus,
     count(*) as n_orders,
-    sum(o_totalprice) as total_price
+    cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total_price
 from {{ ref('stg_orders') }}
 group by o_orderstatus
