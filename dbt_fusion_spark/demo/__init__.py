@@ -19,4 +19,5 @@ from dbt_fusion_spark.demo import (  # noqa: F401, E402
     snapshot_demo,
     testing_demo,
     tpch,
+    utils_demo,
 )
