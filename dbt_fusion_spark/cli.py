@@ -58,6 +58,7 @@ def _build_parser() -> argparse.ArgumentParser:
     init.add_argument("--project-dir", default=".")
     clean = sub.add_parser("clean")
     clean.add_argument("--project-dir", default=".")
+    common(sub.add_parser("debug"))
     return p
 
 
@@ -147,6 +148,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return 0
 
     runner = _runner(args, spark=spark)
+
+    if cmd == "debug":
+        # connection + project sanity (reference `dbt debug` shape)
+        import pyspark
+        print(f"python: {sys.version.split()[0]}")
+        print(f"pyspark: {pyspark.__version__}")
+        print(f"spark master: {runner.spark.conf.get('spark.master')}")
+        ok = runner.spark.sql("SELECT 1 AS ok").collect()[0]["ok"] == 1
+        print(f"connection test: {'OK' if ok else 'FAILED'}")
+        runner.parse()
+        print(f"project: {runner.project.name} "
+              f"({len(runner.project.nodes)} nodes, "
+              f"{len(runner.project.sources)} sources) — parse OK")
+        return 0 if ok else 1
 
     if cmd == "parse":
         runner.parse()

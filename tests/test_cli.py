@@ -207,3 +207,9 @@ def test_cli_clean(jaffle, capsys):
     (target / "x.json").write_text("{}")
     assert main(["clean", "--project-dir", str(jaffle)]) == 0
     assert not target.exists()
+
+
+def test_cli_debug(spark, jaffle, capsys):
+    assert main(["debug", "--project-dir", str(jaffle)], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "connection test: OK" in out and "parse OK" in out

@@ -309,3 +309,45 @@ def test_q22_antijoin_and_scalar_subquery(spark, sf):
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
     assert plan.count("Subquery") >= 1  # scalar avg evaluated once
+
+
+def test_q11_having_subquery_single_fact_pass_per_side(spark, sf):
+    """q11: group + HAVING-scalar-subquery — the subquery is one extra
+    aggregation, not a per-group re-scan; dims broadcast."""
+    plan = plan_of(QUERIES["tpch_q11_important_stock"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Subquery") >= 1
+    assert n_nodes(plan, "BroadcastHashJoin") >= 1
+
+
+def test_q16_not_in_is_antijoin(spark, sf):
+    """q16: NOT IN must compile to a null-aware anti join, never a
+    nested-loop filter; count-distinct expands once."""
+    plan = plan_of(QUERIES["tpch_q16_supplier_part_counts"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan  # null-aware anti join (NAAJ)
+
+
+def test_q20_grouped_in_subquery_semijoin(spark, sf):
+    """q20: the grouped IN-subquery must reach the supplier probe as a
+    semi join on l_suppkey after the HAVING aggregation."""
+    plan = plan_of(QUERIES["tpch_q20_potential_promotion"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "partial_sum" in plan  # HAVING SUM combines map-side
+
+
+def test_asof_gate_query_shape(spark, sf):
+    """asof gate query: union-of-streams plan — Window over user_id,
+    zero joins of events against events."""
+    plan = plan_of(QUERIES["asof_join_last_purchase"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_chunking_no_shuffle(spark, sf):
+    """chunk_documents: Generate + projections only — a shuffle here
+    would be pure waste at any scale."""
+    plan = plan_of(QUERIES["chunk_documents_overlap"](spark, sf))
+    assert shuffles(plan) == 0
+    assert "Generate" in plan
