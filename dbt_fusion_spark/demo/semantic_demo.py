@@ -132,3 +132,29 @@ def metric_derived_revenue_per_customer(spark, sf_dir):
     then the derived expression."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_DERIVED_SQL)
+
+
+# Saved query: multiple metrics joined on the shared group_by keys —
+# exactly what compile_saved_query_sql emits for
+# query_params: {metrics: [revenue, avg_order_value], group_by: [...]}
+# (saved_queries node shape, nodes.rs:2109-2111).
+_SQ_REV = compile_metric_sql(ORDERS_SM, METRICS["revenue"], "orders",
+                             group_by=["order_month"])
+_SQ_AOV = compile_metric_sql(ORDERS_SM, METRICS["avg_order_value"],
+                             "orders", group_by=["order_month"])
+_SAVED_QUERY_SQL = (
+    f"WITH __m_revenue AS ({_SQ_REV}), __m_aov AS ({_SQ_AOV}) "
+    "SELECT __m_revenue.order_month, "
+    "CAST(revenue AS DOUBLE) AS revenue, avg_order_value "
+    "FROM __m_revenue JOIN __m_aov "
+    "ON __m_revenue.order_month = __m_aov.order_month"
+)
+
+
+@register("saved_query_revenue_aov", oracle=_SAVED_QUERY_SQL)
+def saved_query_revenue_aov(spark, sf_dir):
+    """saved_query execution: one SQL joining each member metric's CTE
+    on the group_by keys (semantic/compiler.py
+    compile_saved_query_sql)."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_SAVED_QUERY_SQL)

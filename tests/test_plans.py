@@ -351,3 +351,41 @@ def test_chunking_no_shuffle(spark, sf):
     plan = plan_of(QUERIES["chunk_documents_overlap"](spark, sf))
     assert shuffles(plan) == 0
     assert "Generate" in plan
+
+
+# Queries whose callables execute side-effectful pipelines (runner
+# project builds, write-path materializations, streaming restage) —
+# planned-only inspection isn't meaningful or cheap for them.
+_EXECUTING = {
+    "incremental_microbatch", "streaming_stateful_sessions",
+    "streaming_windowed_rollup", "runner_python_model_pipeline",
+    "runner_seed_typed_load", "runner_materialized_view",
+    "runner_clone_contents",
+}
+
+
+def test_no_query_has_cartesian_or_rowwise_python(spark):
+    """Blanket 100 TB guard over the ENTIRE gate battery: no plan may
+    contain a CartesianProduct (unbounded all-pairs) or a row-at-a-time
+    BatchEvalPython (the interpreted-Python hot path). Arrow-batched
+    python (ArrowEvalPython / mapInPandas) is the sanctioned boundary.
+    BroadcastNestedLoopJoin is allowed ONLY for the brute-force ANN
+    baseline, whose semantics are a deliberate broadcast cross join."""
+    sf = "/root/testdata/sf0.001"
+    allowed_bnlj = {"similarity_bruteforce_topk"}
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        if name in _EXECUTING:
+            continue
+        try:
+            plan = plan_of(fn(spark, sf))
+        except Exception as e:  # pragma: no cover - diagnostic
+            offenders.append((name, f"plan failed: {e}"))
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython (row-wise UDF)"))
+        if "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
