@@ -62,15 +62,43 @@ def _bucket_clause(bucket_by, buckets) -> str:
             + f") INTO {int(buckets)} BUCKETS")
 
 
+# dbt-spark's file_format config: formats Spark's session catalog can
+# CTAS natively, plus transactional formats (delta/iceberg/hudi) that
+# need their runtime jars on the cluster — validated lazily so a
+# delta-configured model fails with a clear message here instead of a
+# ClassNotFoundException mid-write.
+_NATIVE_FORMATS = {"parquet", "orc", "json", "csv", "text"}
+_JAR_FORMATS = {"delta", "iceberg", "hudi", "avro"}  # avro is an external module
+
+
+def _format_clause(spark, file_format: str | None) -> str:
+    fmt = (file_format or "parquet").lower()
+    if fmt in _NATIVE_FORMATS:
+        return f"USING {fmt.upper()}"
+    if fmt in _JAR_FORMATS:
+        try:  # probe for the format's catalyst source without writing
+            spark._jvm.org.apache.spark.sql.execution.datasources.DataSource \
+                .lookupDataSource(fmt, spark._jsc.sc().conf())
+        except Exception as exc:
+            raise ValueError(
+                f"file_format={fmt!r} requires the {fmt} runtime on the "
+                f"cluster (spark.jars.packages); not present: {exc}"
+            ) from None
+        return f"USING {fmt}"
+    raise ValueError(f"unsupported file_format {file_format!r}")
+
+
 def create_table_as(adapter: SparkAdapter, relation: Relation, sql: str,
-                    partition_by=None, bucket_by=None, buckets=None) -> None:
+                    partition_by=None, bucket_by=None, buckets=None,
+                    file_format: str | None = None) -> None:
     """CTAS; with partition_by, partition columns must come last in the
     select — Spark moves them to the end of the schema. bucket_by +
     buckets emit CLUSTERED BY ... INTO N BUCKETS: two tables bucketed on
     the same key/count join with ZERO exchange — the co-located join
     shape that matters at 100 TB (dbt-spark's buckets config)."""
     adapter.spark.sql(
-        f"CREATE TABLE {relation.render()} USING PARQUET"
+        f"CREATE TABLE {relation.render()} "
+        f"{_format_clause(adapter.spark, file_format)}"
         f"{_partition_clause(partition_by)}"
         f"{_bucket_clause(bucket_by, buckets)} AS\n{sql}"
     )
@@ -104,11 +132,13 @@ def materialize_view(adapter: SparkAdapter, schema: str, name: str, sql: str) ->
 
 
 def materialize_table(adapter: SparkAdapter, schema: str, name: str, sql: str,
-                      partition_by=None, bucket_by=None, buckets=None) -> str:
+                      partition_by=None, bucket_by=None, buckets=None,
+                      file_format: str | None = None) -> str:
     target = _rel(schema, name, RelationType.Table)
     tmp = _rel(schema, name + "__dbt_tmp", RelationType.Table)
     adapter.drop_relation(tmp)
-    create_table_as(adapter, tmp, sql, partition_by, bucket_by, buckets)
+    create_table_as(adapter, tmp, sql, partition_by, bucket_by, buckets,
+                    file_format)
     swap_in(adapter, tmp, target)
     return "CREATE TABLE"
 

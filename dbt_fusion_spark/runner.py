@@ -368,7 +368,8 @@ class DbtSparkRunner:
                                         node.identifier, sql,
                                         node.config.get("partition_by"),
                                         node.config.get("bucket_by"),
-                                        node.config.get("buckets"))
+                                        node.config.get("buckets"),
+                                        node.config.get("file_format"))
             elif mat == "materialized_view":
                 out = materialize_materialized_view(
                     self.adapter, node.schema, node.identifier, sql,

@@ -143,3 +143,28 @@ def test_adapter_compact_table(spark):
     assert after.count() == 20
     assert after.rdd.getNumPartitions() <= min(before, 4)
     a.drop_schema("dfs_compact")
+
+
+def test_table_file_format(spark):
+    import pytest
+
+    from dbt_fusion_spark.materializations.executors import materialize_table
+
+    a = SparkAdapter(spark)
+    a.create_schema("dfs_fmt")
+    for fmt in ("orc", "json", "parquet"):
+        materialize_table(a, "dfs_fmt", f"t_{fmt}",
+                          "SELECT 1 AS id, 'x' AS v", file_format=fmt)
+        [r] = spark.table(f"`dfs_fmt`.`t_{fmt}`").collect()
+        assert (r["id"], r["v"]) == (1, "x")
+        prov = spark.sql(f"DESCRIBE TABLE EXTENDED `dfs_fmt`.`t_{fmt}`") \
+            .filter("col_name = 'Provider'").collect()
+        assert prov and prov[0]["data_type"].lower() == fmt
+    with pytest.raises(ValueError, match="unsupported file_format"):
+        materialize_table(a, "dfs_fmt", "t_bad",
+                          "SELECT 1 AS id", file_format="feather")
+    # delta: not on this cluster -> actionable error, no partial write
+    with pytest.raises(ValueError, match="requires the delta runtime"):
+        materialize_table(a, "dfs_fmt", "t_delta",
+                          "SELECT 1 AS id", file_format="delta")
+    a.drop_schema("dfs_fmt")
