@@ -912,3 +912,57 @@ def pack_sequences_budget(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").alias("n_tokens"))
     return pack_sequences(docs, "doc_id", "n_tokens", seq_len=5000)
+
+
+# ------------------------------------------------------------- pii scrub
+
+@register(
+    "text_redact_pii",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or ' ||
+             CAST(100 + doc_id % 900 AS VARCHAR) || '-555-' ||
+             CAST(1000 + doc_id % 9000 AS VARCHAR) || ' ip 10.0.' ||
+             CAST(doc_id % 256 AS VARCHAR) || '.1' AS text
+      FROM documents)
+    SELECT doc_id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}',
+          '<PHONE>', 'g'),
+        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+        AS redacted,
+      CAST(len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        AS n_email,
+      CAST(len(regexp_extract_all(text,
+        '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}'))
+        AS BIGINT) AS n_phone,
+      CAST(len(regexp_extract_all(text,
+        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+        AS n_ipv4
+    FROM corpus
+    """,
+)
+def text_redact_pii(spark, sf_dir):
+    """PII scrub over a corpus with injected synthetic PII (email +
+    phone + IP derived from doc_id so both engines construct the same
+    text). Redaction decisions are regex-reproducible across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com or "),
+            (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+            F.lit("-555-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    return T.redact_pii(corpus, "text", "doc_id",
+                        kinds=["email", "phone", "ipv4"])

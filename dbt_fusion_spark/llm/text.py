@@ -135,3 +135,34 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         )
     )
     return df.select(F.col(id_col), F.md5(canon).alias("fingerprint"))
+
+
+# PII regexes: conservative RE2-compatible subset (no lookaround, no
+# backrefs) so the identical pattern runs on Spark (java.util.regex)
+# and any RE2 engine (DuckDB, Go, C++) — scrub decisions must be
+# reproducible across the fleet and the oracle.
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+              "<PHONE>"),
+    "ssn": (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+}
+
+
+def redact_pii(df: DataFrame, text_col: str, id_col: str,
+               kinds: list[str] | None = None) -> DataFrame:
+    """Training-corpus PII scrub: chained regexp_replace (email, phone,
+    SSN, IPv4 -> typed placeholders) plus per-kind hit counts. Pure
+    column expressions — codegen, zero shuffles, and the counts feed a
+    quality dashboard without a second pass."""
+    kinds = kinds or list(PII_PATTERNS)
+    out = F.col(text_col)
+    counts = []
+    for k in kinds:
+        pat, repl = PII_PATTERNS[k]
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("long").alias(f"n_{k}"))
+        out = F.regexp_replace(out, pat, repl)
+    return df.select(F.col(id_col), out.alias("redacted"), *counts)
