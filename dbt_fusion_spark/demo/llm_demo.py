@@ -966,3 +966,142 @@ def text_redact_pii(spark, sf_dir):
     )
     return T.redact_pii(corpus, "text", "doc_id",
                         kinds=["email", "phone", "ipv4"])
+
+
+# ------------------------------------------------------- corpus statistics
+
+from dbt_fusion_spark.llm import corpus as C  # noqa: E402
+from dbt_fusion_spark.plans.connected_components import dedup_clusters  # noqa: E402
+
+_DUCK_TOKENS = """
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> '')
+"""
+
+
+@register(
+    "corpus_heavy_hitters",
+    oracle=f"""
+    WITH {_DUCK_TOKENS}
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM tok2 GROUP BY token
+    ORDER BY n DESC, token ASC LIMIT 20
+    """,
+)
+def corpus_heavy_hitters(spark, sf_dir):
+    """Exact corpus-wide top-20 tokens: explode -> partial-agg count ->
+    single final sort over the distinct-token table (never the raw
+    token stream). Deterministic tie-break on token."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.heavy_hitters(docs, "doc_id", "text", k=20)
+
+
+@register(
+    "corpus_tfidf_top_terms",
+    oracle=f"""
+    WITH {_DUCK_TOKENS},
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok2 GROUP BY doc_id, token),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY token),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, t.token, t.tf, d.df,
+             t.tf * ln((n + 1.0) / (d.df + 1.0)) AS tfidf
+      FROM tf t JOIN dfreq d USING (token) CROSS JOIN nd),
+    rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tf DESC, df ASC, token ASC) AS rank
+      FROM scored)
+    SELECT doc_id, token, tf, df, CAST(tfidf AS DOUBLE) AS tfidf,
+           CAST(rank AS INTEGER) AS rank
+    FROM rk WHERE rank <= 3
+    """,
+)
+def corpus_tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per doc by TF-IDF; ranked by the
+    integer triple (tf desc, df asc, token asc) so ordering never
+    depends on float ULPs, while the float score is still emitted."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+@register(
+    "corpus_rebalance_domains",
+    oracle="""
+    WITH counts AS (SELECT source, COUNT(*) AS cnt FROM documents
+                    GROUP BY source),
+    fl AS (SELECT MIN(cnt) AS mn FROM counts),
+    frac AS (SELECT source, CAST(mn AS DOUBLE) / cnt AS f
+             FROM counts CROSS JOIN fl)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN frac USING (source)
+    WHERE CAST('0x' || substring(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT)
+          < CAST(floor(f * 4294967296) AS BIGINT)
+    """,
+)
+def corpus_rebalance_domains(spark, sf_dir):
+    """Uniform domain mixture: every source downsampled to the smallest
+    source's size via the portable keyed Bernoulli (placement-
+    independent, engine-reproducible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.rebalance_domains(
+        docs.select("doc_id", "source"), "source", "doc_id"
+    ).select("doc_id", "source")
+
+
+# --------------------------------------------------- dedup cluster assignment
+
+@register(
+    "dedup_connected_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_CORPUS_NEAR},
+    {_duck_bands_sql(4, 4)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_value = b.band_value
+      WHERE a.doc_id < b.doc_id),
+    shset AS (SELECT doc_id, list_distinct(list_transform(
+      generate_series(1, greatest(length(t) - 4, 1)),
+      i -> substring(t, i, 5))) AS s FROM norm),
+    jac AS (
+      SELECT id_a, id_b,
+             CAST(len(list_filter(x.s, e -> list_contains(y.s, e))) AS DOUBLE)
+             / CAST(len(x.s) + len(y.s)
+                    - len(list_filter(x.s, e -> list_contains(y.s, e)))
+               AS DOUBLE) AS jaccard
+      FROM cand JOIN shset x ON x.doc_id = id_a
+                JOIN shset y ON y.doc_id = id_b),
+    dup AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+    edges AS (SELECT id_a AS u, id_b AS v FROM dup
+              UNION SELECT id_b, id_a FROM dup),
+    reach AS (
+      SELECT u AS node, u AS lbl FROM edges
+      UNION SELECT u, v FROM edges
+      UNION SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    withc AS (
+      SELECT c.doc_id, COALESCE(p.component, c.doc_id) AS cluster_id
+      FROM corpus c LEFT JOIN comp p ON p.node = c.doc_id),
+    keep AS (SELECT cluster_id, MIN(doc_id) AS k FROM withc
+             GROUP BY cluster_id)
+    SELECT doc_id, cluster_id, doc_id = k AS is_keeper
+    FROM withc JOIN keep USING (cluster_id)
+    """,
+)
+def dedup_connected_clusters(spark, sf_dir):
+    """End-to-end dedup decision: LSH candidates -> Jaccard >= 0.6 ->
+    connected components (min-label propagation) -> per-cluster keeper.
+    Every doc gets a cluster id (singletons keep their own); the oracle
+    restates the component as min-reachable-id via a recursive CTE."""
+    corpus = _corpus_near(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(corpus, "doc_id", "text")
+    dup = D.jaccard_pairs(corpus, pairs.select("id_a", "id_b"),
+                          "doc_id", "text").filter(F.col("jaccard") >= 0.6)
+    return dedup_clusters(dup.select("id_a", "id_b"),
+                          corpus.select("doc_id"), "doc_id")

@@ -1,0 +1,118 @@
+"""Corpus-level statistics and mixture shaping for training-data curation.
+
+Beyond-reference extensions (SURVEY §2.11 family): operators that need
+a view across the whole corpus, not just per-document columns —
+document frequency (TF-IDF), global token frequency (heavy hitters),
+and per-domain rebalancing. All are expressed as DataFrame aggregates
+and joins so the heavy side stays distributed:
+
+- tokenization is `split` + `explode` (Generate — no Python row path);
+- every groupBy gets map-side partial aggregation for free;
+- corpus-wide scalars (total docs, min domain count) ride a broadcast
+  cross-join of a 1-row aggregate, never a `.collect()` round-trip;
+- the rebalance filter reuses the portable md5 unit hash from
+  sample/strategies.py, so the kept set is independent of physical
+  placement (the 100 TB property) and exactly reproducible in any
+  engine with md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, Window
+
+from dbt_fusion_spark.sample.strategies import _unit_hash
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) rows: lowercase, whitespace-run split, empties out."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+            .alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+
+
+def heavy_hitters(df: DataFrame, id_col: str, text_col: str,
+                  k: int = 20) -> DataFrame:
+    """Exact corpus-wide top-k tokens by frequency (ties break on token
+    asc, so the result is deterministic).
+
+    One shuffle: explode is pipelined into a partial count per
+    partition, the final count is one hash aggregate, and top-k is a
+    single-reducer sort over the *aggregated* (distinct-token-sized)
+    table — never over the raw token stream.
+    """
+    counts = tokens(df, id_col, text_col).groupBy("token").agg(
+        F.count("*").alias("n"), F.count_distinct(F.col(id_col)).alias("n_docs"))
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    tf = term count in doc; idf = ln((N + 1) / (df + 1)) with N = corpus
+    size, df = docs containing the term (smoothed, non-negative).
+
+    Ranking is by the integer triple (tf desc, df asc, term asc) — the
+    same ordering tf·idf induces when scores differ, but immune to
+    engine ULP drift in `ln` when two terms tie; the float score is
+    still emitted for consumers. Shape: token explode → (doc, term)
+    count → term-level df aggregate joined back on term (shuffle on
+    term, the aggregated side), window top-k partitioned by doc.
+    """
+    tok = tokens(df, id_col, text_col)
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("__n")).alias("nd")
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log((F.col("__n") + 1) / (F.col("df") + 1)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df",
+                F.col("tfidf").cast("double").alias("tfidf"), "rank")
+    )
+
+
+def rebalance_domains(df: DataFrame, domain_col: str, key_col: str,
+                      seed: int = 42) -> DataFrame:
+    """Uniform domain mixture: downsample every domain to the size of
+    the smallest one (keep fraction = min_count / count(domain)),
+    using the portable keyed Bernoulli so the decision is a pure
+    function of (seed, key) — reproducible, placement-independent,
+    and restatable as SQL for the oracle.
+
+    The per-domain counts are a tiny aggregate (|domains| rows) joined
+    back broadcast — the corpus itself is filtered in place, no
+    shuffle of the big side.
+    """
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__cnt"))
+    floor = counts.select(F.min("__cnt").alias("__min")).alias("fl")
+    frac = (
+        counts.crossJoin(F.broadcast(floor))
+        .select(
+            domain_col,
+            (F.col("__min").cast("double") / F.col("__cnt")).alias("__frac"),
+        )
+    )
+    return (
+        df.join(F.broadcast(frac), domain_col)
+        .filter(
+            _unit_hash([key_col], seed)
+            < (F.col("__frac") * F.lit(4294967296)).cast("bigint")
+        )
+        .drop("__frac")
+    )

@@ -1,0 +1,109 @@
+"""Unit + plan tests for corpus statistics and connected components."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from dbt_fusion_spark.llm import corpus as C
+from dbt_fusion_spark.plans.connected_components import (
+    connected_components,
+    dedup_clusters,
+)
+from tests.test_plans import n_nodes, plan_of, shuffles
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat on the mat", source="a"),
+            Row(doc_id=2, text="the dog sat", source="a"),
+            Row(doc_id=3, text="cat dog cat", source="b"),
+            Row(doc_id=4, text="  ", source="b"),
+        ]
+    )
+
+
+def test_heavy_hitters_counts_and_ties(spark):
+    rows = C.heavy_hitters(_docs(spark), "doc_id", "text", k=3).collect()
+    # 'the' x3, 'cat' x3; dog/sat tie at 2 and 'dog' wins the asc break
+    assert [(r.token, r.n, r.n_docs) for r in rows] == [
+        ("cat", 3, 2), ("the", 3, 2), ("dog", 2, 2)]
+
+
+def test_heavy_hitters_empty_text_ignored(spark):
+    toks = C.tokens(_docs(spark), "doc_id", "text")
+    assert toks.filter(F.col("doc_id") == 4).count() == 0
+
+
+def test_tfidf_rank_deterministic(spark):
+    out = C.tfidf_top_terms(_docs(spark), "doc_id", "text", k=2)
+    r = {(x.doc_id, x.rank): x for x in out.collect()}
+    # doc 3: 'cat' tf=2 beats 'dog' tf=1
+    assert r[(3, 1)].token == "cat" and r[(3, 1)].tf == 2
+    # rarer term ranks above equally-frequent common term (df asc)
+    assert r[(1, 1)].token == "the"  # tf=2 dominates
+    assert all(x.tfidf >= 0 for x in r.values())
+
+
+def test_rebalance_caps_every_domain(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, "rare").otherwise("common")
+        .alias("source"),
+    )
+    out = C.rebalance_domains(df, "source", "doc_id")
+    sizes = {r.source: r.n for r in
+             out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # rare domain (100 rows) keeps everything-ish, common (900) shrinks
+    # toward 100; Bernoulli variance allows slack but the order is firm
+    assert sizes["common"] < 200
+    assert sizes["rare"] > 80
+    # deterministic: same seed -> same exact set
+    again = C.rebalance_domains(df, "source", "doc_id")
+    assert out.exceptAll(again).count() == 0
+
+
+def test_connected_components_chain_and_star(spark):
+    edges = spark.createDataFrame(
+        [
+            Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4),
+            Row(id_a=10, id_b=11), Row(id_a=10, id_b=12),
+        ]
+    )
+    comp = {r.node: r.component
+            for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_dedup_clusters_singletons_and_keeper(spark):
+    pairs = spark.createDataFrame([Row(id_a=2, id_b=5)])
+    ids = spark.range(1, 7).select(F.col("id").alias("doc_id"))
+    out = {r.doc_id: (r.cluster_id, r.is_keeper)
+           for r in dedup_clusters(pairs, ids, "doc_id").collect()}
+    assert out[2] == (2, True) and out[5] == (2, False)
+    for solo in (1, 3, 4, 6):
+        assert out[solo] == (solo, True)
+
+
+def test_heavy_hitters_plan_one_shuffle_partial_agg(spark, sf_dir):
+    from dbt_fusion_spark.demo import QUERIES
+
+    plan = plan_of(QUERIES["corpus_heavy_hitters"](spark, sf_dir))
+    # exactly the two shuffles count_distinct requires — (token, doc_id)
+    # dedup level then token level, both fed by map-side partials — and
+    # top-k via TakeOrderedAndProject over the aggregated table, never a
+    # global sort exchange of the raw token stream
+    assert shuffles(plan) == 2
+    assert n_nodes(plan, "TakeOrderedAndProject") == 1
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan and "Sort " not in plan
+
+
+def test_rebalance_plan_broadcasts_fracs(spark, sf_dir):
+    from dbt_fusion_spark.demo import QUERIES
+
+    plan = plan_of(QUERIES["corpus_rebalance_domains"](spark, sf_dir))
+    # the per-domain frac table joins broadcast; the corpus scan itself
+    # is never hash-repartitioned for the join
+    assert n_nodes(plan, "BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
