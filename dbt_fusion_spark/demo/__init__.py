@@ -9,6 +9,7 @@ from dbt_fusion_spark.demo.registry import ORACLES, QUERIES  # noqa: F401
 
 # Import for side effects: each module registers its queries.
 from dbt_fusion_spark.demo import (  # noqa: F401, E402
+    dialect_demo,
     functions_demo,
     incremental_demo,
     llm_demo,

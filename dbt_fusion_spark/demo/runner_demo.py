@@ -130,10 +130,11 @@ def runner_seed_typed_load(spark, sf_dir):
     return result
 
 
-def _gate_runner(spark, sf_dir, schema):
+def _gate_runner(spark, sf_dir, schema, extra_rewrites=None):
     """Shared staging for runner-path gate queries: analytics hook
     schema + stale-location cleanup + project copy with sf_dir
-    rewritten (see runner_python_model_pipeline)."""
+    rewritten (see runner_python_model_pipeline). `extra_rewrites`
+    maps old -> new strings applied to the same staged files."""
     import shutil
     import tempfile
 
@@ -148,7 +149,10 @@ def _gate_runner(spark, sf_dir, schema):
     shutil.rmtree(f"{proj}/target", ignore_errors=True)
     for rel in ("models/staging/schema.yml", "dbt_project.yml"):
         f = Path(proj) / rel
-        f.write_text(f.read_text().replace("/root/testdata/sf0.001", sf_dir))
+        text = f.read_text().replace("/root/testdata/sf0.001", sf_dir)
+        for old, new in (extra_rewrites or {}).items():
+            text = text.replace(old, new)
+        f.write_text(text)
     return DbtSparkRunner(
         spark, proj,
         profile={"schema": schema, "threads": 1, "name": "gate"})
@@ -216,3 +220,141 @@ def runner_clone_contents(spark, sf_dir):
     assert all(r.status in ("success", "pass") for r in rr.results), [
         (r.unique_id, r.message) for r in rr.results]
     return _collect_drop(spark, schema, "customer_revenue_clone")
+
+
+@register(
+    "runner_custom_materialization",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def runner_custom_materialization(spark, sf_dir):
+    """User-defined `{% materialization ctas_sorted %}` block
+    (macros/custom_materialization.sql) dispatched by the runner for
+    the top_orders_custom model — the custom-materialization extension
+    point end-to-end."""
+    schema = f"gate_custom_{uuid.uuid4().hex[:8]}"
+    runner = _gate_runner(spark, sf_dir, schema)
+    rr = runner.run(select="+top_orders_custom")
+    assert all(r.status in ("success", "pass") for r in rr.results), [
+        (r.unique_id, r.message) for r in rr.results]
+    return _collect_drop(spark, schema, "top_orders_custom")
+
+
+@register(
+    "runner_statement_agate_codes",
+    oracle="""
+    WITH stg AS (SELECT c_custkey, c_mktsegment AS segment FROM customer),
+    codes AS (
+      SELECT segment,
+             CAST(row_number() OVER (ORDER BY segment) AS INTEGER) AS code
+      FROM (SELECT DISTINCT segment FROM stg))
+    SELECT s.c_custkey, s.segment, c.code AS seg_code
+    FROM stg s JOIN codes c USING (segment)
+    """,
+)
+def runner_statement_agate_codes(spark, sf_dir):
+    """The statement/store_result/load_result protocol + driver-side
+    agate table inside a model (segment_codes.sql): a compile-time
+    query enumerates distinct segments, the Jinja loop generates a CASE
+    mapping each to its ordinal. Oracle restates the generated CASE as
+    a row_number join."""
+    schema = f"gate_stmt_{uuid.uuid4().hex[:8]}"
+    runner = _gate_runner(spark, sf_dir, schema)
+    rr = runner.run(select="+segment_codes")
+    assert all(r.status in ("success", "pass") for r in rr.results), [
+        (r.unique_id, r.message) for r in rr.results]
+    return _collect_drop(spark, schema, "segment_codes")
+
+
+@register(
+    "runner_incremental_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+           split_part(o_orderpriority, '-', 1) AS priority_rank,
+           CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                THEN o_orderstatus END AS o_orderstatus
+    FROM orders
+    """,
+)
+def runner_incremental_schema_evolution(spark, sf_dir):
+    """on_schema_change='append_new_columns' through two real runs: the
+    first builds recent_orders from the unmodified fixture; the model
+    file then gains an o_orderstatus column and the second (incremental
+    merge) run must ALTER the target to add it — matched rows (past the
+    cutoff) get values, historical rows stay NULL."""
+    schema = f"gate_evo_{uuid.uuid4().hex[:8]}"
+    runner = _gate_runner(spark, sf_dir, schema)
+    rr = runner.run(select="+recent_orders")
+    assert all(r.status in ("success", "pass") for r in rr.results), [
+        (r.unique_id, r.message) for r in rr.results]
+
+    # evolve the model: a new column appears in the source query
+    model = Path(runner.project.root) / "models" / "marts" / "recent_orders.sql"
+    model.write_text(model.read_text().replace(
+        "select o_orderkey, o_custkey, o_totalprice, o_orderdate,"
+        " priority_rank",
+        "select o_orderkey, o_custkey, o_totalprice, o_orderdate,"
+        " priority_rank, o_orderstatus"))
+
+    from dbt_fusion_spark.runner import DbtSparkRunner
+    runner2 = DbtSparkRunner(
+        spark, str(runner.project.root),
+        profile={"schema": schema, "threads": 1, "name": "gate"})
+    rr2 = runner2.run(select="+recent_orders")
+    assert all(r.status in ("success", "pass") for r in rr2.results), [
+        (r.unique_id, r.message) for r in rr2.results]
+    return _collect_drop(spark, schema, "recent_orders")
+
+
+@register(
+    "runner_full_build_statuses",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('model.tpch_demo.customer_revenue', 'success'),
+      ('model.tpch_demo.customer_revenue_clone', 'success'),
+      ('model.tpch_demo.nation_stats_py', 'success'),
+      ('model.tpch_demo.order_bands', 'success'),
+      ('model.tpch_demo.order_lines', 'success'),
+      ('model.tpch_demo.order_value_usd', 'success'),
+      ('model.tpch_demo.orders_by_month', 'success'),
+      ('model.tpch_demo.orders_stream', 'success'),
+      ('model.tpch_demo.recent_orders', 'success'),
+      ('model.tpch_demo.revenue_mv', 'success'),
+      ('model.tpch_demo.segment_codes', 'success'),
+      ('model.tpch_demo.stg_customers', 'success'),
+      ('model.tpch_demo.stg_orders', 'success'),
+      ('model.tpch_demo.top_orders_custom', 'success'),
+      ('seed.tpch_demo.segment_names', 'success'),
+      ('snapshot.tpch_demo.orders_snapshot', 'success'),
+      ('test.tpch_demo.accepted_values_stg_orders_o_orderstatus', 'pass'),
+      ('test.tpch_demo.not_null_stg_orders_o_orderkey', 'pass'),
+      ('test.tpch_demo.positive_values_stg_orders_o_totalprice', 'pass'),
+      ('test.tpch_demo.relationships_customer_revenue_segment', 'pass'),
+      ('test.tpch_demo.unique_customer_revenue_c_custkey', 'pass'),
+      ('test.tpch_demo.unique_stg_orders_o_orderkey', 'pass'),
+      ('test.tpch_demo.within_range_stg_orders_o_totalprice', 'pass'),
+      ('unit_test.tpch_demo.ut_stg_orders_derivations', 'pass')
+    ) AS t(unique_id, status)
+    """,
+)
+def runner_full_build_statuses(spark, sf_dir):
+    """The ENTIRE fixture project lifecycle in one gate row: seeds,
+    views, ephemeral inlining, CTAS, incremental, python model, MV,
+    clone, custom materialization, statement-protocol model, SQL UDF
+    function node, streaming table, SCD-2 snapshot, all schema/data
+    tests (built-in + {% test %} custom generics + relationships) and
+    the fixture unit test — every node must land success/pass."""
+    schema = f"gate_full_{uuid.uuid4().hex[:8]}"
+    runner = _gate_runner(
+        spark, sf_dir, schema,
+        extra_rewrites={"`analytics`.`segment_names`":
+                        f"`{schema}`.`segment_names`"})
+    rr = runner.run()
+    rows = [(r.unique_id, r.status)
+            for r in sorted(rr.results, key=lambda r: r.unique_id)]
+    spark.sql(f"DROP DATABASE IF EXISTS `{schema}` CASCADE")
+    return spark.createDataFrame(rows, "unique_id string, status string")

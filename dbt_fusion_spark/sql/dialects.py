@@ -52,8 +52,8 @@ _RENAMES: dict[str, dict[str, str]] = {
         "IFF": "IF",
         "TO_VARCHAR": "CAST_TO_STRING_",   # handled structurally below
         "LISTAGG": "LISTAGG_",             # structural
-        "DATEADD": "TIMESTAMPADD",
-        "DATEDIFF": "TIMESTAMPDIFF",
+        "DATEADD": "DATEADD_UNIT_",        # structural: unit may be quoted
+        "DATEDIFF": "DATEDIFF_UNIT_",
         "TO_NUMBER": "CAST_TO_DECIMAL_",
         "SQUARE": "SQUARE_",
         "TRY_TO_NUMBER": "TRY_CAST_DECIMAL_",
@@ -83,8 +83,8 @@ _RENAMES: dict[str, dict[str, str]] = {
         "SYSDATE": "CURRENT_TIMESTAMP",
         "LEN": "LENGTH",
         "STRTOL": "CONV_TO_DEC_",
-        "DATEADD": "TIMESTAMPADD",
-        "DATEDIFF": "TIMESTAMPDIFF",
+        "DATEADD": "DATEADD_UNIT_",
+        "DATEDIFF": "DATEDIFF_UNIT_",
         "LISTAGG": "LISTAGG_",
         "CHARINDEX": "CHARINDEX_",
         "NVL2": "NVL2",
@@ -171,6 +171,11 @@ _STRUCTURAL = {
     "REGEXP_CONTAINS_": lambda a: f"({a[0]} RLIKE {a[1]})",
     "FORMAT_DATE_": lambda a: f"DATE_FORMAT({a[1]}, {_bq_fmt(a[0])})",
     "DATE_ADD_UNIT_": lambda a: f"TIMESTAMPADD({_unquote(a[0])}, {a[1]}, {a[2]})",
+    # Snowflake/Redshift allow DATEADD(day, ...), DATEADD('day', ...);
+    # Spark's timestampadd only takes a bare unit identifier
+    "DATEADD_UNIT_": lambda a: f"TIMESTAMPADD({_unquote(a[0])}, {a[1]}, {a[2]})",
+    "DATEDIFF_UNIT_": lambda a: (
+        f"TIMESTAMPDIFF({_unquote(a[0])}, {a[1]}, {a[2]})"),
     "TIMESTAMPDIFF_TRINO_": lambda a: (
         f"TIMESTAMPDIFF({_unquote(a[0])}, {a[1]}, {a[2]})"),
 }
@@ -191,6 +196,10 @@ def _bq_fmt(tok: str) -> str:
         s = s.replace(k, v)
     return f"'{s}'"
 
+
+_BQ_TYPES = {"INT64": "BIGINT", "FLOAT64": "DOUBLE", "BOOL": "BOOLEAN",
+             "BYTES": "BINARY", "BIGNUMERIC": "DECIMAL(38, 9)",
+             "NUMERIC": "DECIMAL(38, 9)"}
 
 _QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
 
@@ -226,7 +235,10 @@ def _rewrite_qualify(sql: str) -> str:
     # alias-only predicates filter the wrapped projection; window calls
     # inline in the predicate are re-evaluated in the outer projection
     if re.search(r"\bOVER\s*\(", pred, re.IGNORECASE):
-        return (f"SELECT * FROM (SELECT __q.*, ({pred}) AS __qualify_p "
+        # EXCEPT drops the helper predicate column so the translated
+        # query's schema matches the original projection exactly
+        return (f"SELECT * EXCEPT (__qualify_p) FROM "
+                f"(SELECT __q.*, ({pred}) AS __qualify_p "
                 f"FROM ({body}) __q) WHERE __qualify_p {tail}")
     return (f"SELECT * FROM ({body}) __q WHERE {pred} {tail}")
 
@@ -243,6 +255,11 @@ def translate_sql(sql: str, dialect: str | None) -> str:
     protected, saved = _protect(sql)
     protected = _rewrite_qualify(protected)
     protected = _rename_functions(protected, mapping)
+    if dialect.lower() == "bigquery":
+        # BQ type names inside CAST/declarations -> Spark types
+        for bq, sp in _BQ_TYPES.items():
+            protected = re.sub(rf"\b{bq}\b", sp, protected,
+                               flags=re.IGNORECASE)
     for marker, builder in _STRUCTURAL.items():
         if marker in protected.upper():
             protected = _rewrite_calls(protected, marker, builder, saved)
