@@ -175,3 +175,41 @@ def snapshot_check_new_record(spark, sf_dir):
     snap1 = snapshot_build(s1, cfg, now=F.lit("2024-01-01 00:00:00").cast("timestamp"))
     return snapshot_run(snap1, s2, cfg,
                         now=F.lit("2024-06-01 00:00:00").cast("timestamp"))
+
+
+_ORACLE_INVALIDATE = f"""
+WITH s1 AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % 10 <> 0
+),
+s2_deleted AS (SELECT * FROM s1 WHERE c_custkey % 7 = 0),
+s2_kept AS (SELECT * FROM s1 WHERE c_custkey % 7 <> 0)
+-- untouched open rows
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+       {_BUILD_TS} AS dbt_updated_at, {_BUILD_TS} AS dbt_valid_from,
+       NULL AS dbt_valid_to,
+       {_DUCK_SCD.format(key="c_custkey", ts=_BUILD_TS)} AS dbt_scd_id
+FROM s2_kept
+UNION ALL
+-- hard-deleted keys: row closed at now, NO tombstone (invalidate)
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+       {_BUILD_TS}, {_BUILD_TS}, {_NOW},
+       {_DUCK_SCD.format(key="c_custkey", ts=_BUILD_TS)}
+FROM s2_deleted
+"""
+
+
+@register("snapshot_hard_delete_invalidate", oracle=_ORACLE_INVALIDATE)
+def snapshot_hard_delete_invalidate(spark, sf_dir):
+    """hard_deletes=invalidate (common.rs:613-617): keys absent from the
+    new source state get dbt_valid_to closed at `now`, but unlike
+    new_record no tombstone row is added and no dbt_is_deleted column
+    exists. Unchanged keys keep their open version untouched."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 != 0)
+    s1 = cust.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    s2 = s1.filter(F.col("c_custkey") % 7 != 0)
+    cfg = SnapshotConfig(unique_key="c_custkey", strategy="check",
+                         check_cols="all", hard_deletes="invalidate")
+    snap1 = snapshot_build(s1, cfg, now=F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    return snapshot_run(snap1, s2, cfg,
+                        now=F.lit("2024-06-01 00:00:00").cast("timestamp"))
