@@ -1016,7 +1016,8 @@ def corpus_heavy_hitters(spark, sf_dir):
       SELECT *, row_number() OVER (
         PARTITION BY doc_id ORDER BY tf DESC, df ASC, token ASC) AS rank
       FROM scored)
-    SELECT doc_id, token, tf, df, CAST(tfidf AS DOUBLE) AS tfidf,
+    SELECT doc_id, token, tf, df,
+           CAST(round(tfidf, 9) AS DOUBLE) AS tfidf,
            CAST(rank AS INTEGER) AS rank
     FROM rk WHERE rank <= 3
     """,

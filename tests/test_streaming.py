@@ -39,9 +39,11 @@ def test_streaming_table_backfill(spark, sf_small):
     spark.sql("DROP TABLE IF EXISTS streaming_test.events_copy")
 
     def transform(df):
+        # source `ts` is TIMESTAMP_NTZ since the round-2 nanos fix; the
+        # transform normalizes to session-tz TIMESTAMP and filters.
         return df.select(
             "event_id", "user_id", "event_type",
-            F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
+            F.col("ts").cast("timestamp").alias("ts"),
         ).filter(F.col("event_type") != "error")
 
     q = streaming_table(stream, transform, "streaming_test.events_copy",
