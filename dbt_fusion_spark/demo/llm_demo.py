@@ -750,14 +750,46 @@ def events_session_window_agg(spark, sf_dir):
     )
 
 
-@register("streaming_stateful_sessions")  # no oracle: custom stateful
+@register(
+    "streaming_stateful_sessions",
+    # The stateful operator's OUTPUT is SQL-expressible even though its
+    # execution (GroupState across micro-batches) is not: closed
+    # sessions = gap->new-session batch algebra, minus each user's
+    # trailing session (which stays open in GroupState, exactly as it
+    # would mid-stream). Strict `>` gap matches `t - last > gap_ns` in
+    # streaming/structured.py.
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged),
+    sessions AS (
+      SELECT user_id, sess_id,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM numbered GROUP BY user_id, sess_id),
+    last_open AS (
+      SELECT user_id, MAX(sess_id) AS open_sess FROM sessions GROUP BY user_id)
+    SELECT s.user_id, s.session_start, s.session_end, s.n_events
+    FROM sessions s JOIN last_open l
+      ON s.user_id = l.user_id AND s.sess_id < l.open_sess
+    """,
+)
 def streaming_stateful_sessions(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user sessionization with explicit GroupState + processing-time
-    timeout. Non-SQL-expressible — the driver records the weaker
-    rows-only check. The batch twin (events_sessionization /
-    events_session_window_agg) is oracle-verified; this exercises the
-    streaming state machinery itself."""
+    timeout. The oracle restates the emitted (closed-session) set as
+    batch session algebra — see the register() comment; the batch twins
+    (events_sessionization / events_session_window_agg) verify the same
+    algebra independently, this row verifies the streaming state
+    machinery produces it too."""
     import tempfile
     import uuid
 
@@ -889,29 +921,41 @@ def chunk_documents_overlap(spark, sf_dir):
 
 @register(
     "pack_sequences_budget",
+    # Shard = portable md5 unit hash % 8 (same algebra as
+    # sample/strategies.py), so the oracle restates the exact shard
+    # assignment; per-shard cumulative budget in doc_id order.
     oracle="""
-    WITH c AS (
+    WITH sharded AS (
       SELECT doc_id, n_chars AS n_tokens,
-             SUM(n_chars) OVER (ORDER BY doc_id
-                                ROWS UNBOUNDED PRECEDING) - n_chars
+             CAST('0x' || substring(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 8 AS shard
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens, shard,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
                AS start
-      FROM documents)
+      FROM sharded)
     SELECT doc_id, n_tokens,
-           CAST(FLOOR(start / 5000) AS BIGINT) AS seq_id,
+           CAST(shard * 1000000000 + FLOOR(start / 5000) AS BIGINT) AS seq_id,
            CAST(start % 5000 AS BIGINT) AS seq_offset
     FROM c
     """,
 )
 def pack_sequences_budget(spark, sf_dir):
-    """Deterministic sequence packing: docs assigned to 5000-char
-    training sequences by cumulative budget in doc_id order — the
-    reproducible formulation of greedy packing (order-dependent
-    first-fit can't be replayed across engines or re-runs)."""
-    from dbt_fusion_spark.llm.chunking import pack_sequences
+    """Deterministic SHARDED sequence packing: docs assigned to
+    5000-char training sequences by cumulative budget in doc_id order
+    within 8 parallel hash shards — budgets reset per shard, so the
+    plan is N concurrent window partitions instead of one global sort
+    (the 100 TB shape), while staying exactly reproducible: the shard
+    is the engine-portable md5 unit hash, restated in the oracle."""
+    from dbt_fusion_spark.llm.chunking import pack_sequences_sharded
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").alias("n_tokens"))
-    return pack_sequences(docs, "doc_id", "n_tokens", seq_len=5000)
+    return pack_sequences_sharded(docs, "doc_id", "n_tokens",
+                                  seq_len=5000, n_shards=8,
+                                  shard_hash="md5", seed=42)
 
 
 # ------------------------------------------------------------- pii scrub

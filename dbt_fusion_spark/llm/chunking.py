@@ -81,11 +81,26 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
 def pack_sequences_sharded(df: DataFrame, id_col: str = "doc_id",
                            token_col: str = "n_tokens",
                            seq_len: int = 2048,
-                           n_shards: int = 32) -> DataFrame:
+                           n_shards: int = 32,
+                           shard_hash: str = "xxhash64",
+                           seed: int = 42) -> DataFrame:
     """The scale path: per-shard packing windows (hash(id) % n_shards),
     n_shards parallel cumsum partitions instead of one global sort.
-    seq_id is (shard, local_seq) flattened; same budget guarantee."""
-    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    seq_id is (shard, local_seq) flattened; same budget guarantee.
+
+    shard_hash: 'xxhash64' (fastest, JVM-native) or 'md5' — the
+    engine-portable unit hash shared with sample/strategies.py, so the
+    shard assignment (and therefore every seq_id) is exactly
+    restatable in any engine with md5: the oracle-checkable variant.
+    """
+    if shard_hash == "xxhash64":
+        shard = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_shards))
+    elif shard_hash == "md5":
+        from dbt_fusion_spark.sample.strategies import _unit_hash
+
+        shard = F.pmod(_unit_hash([id_col], seed), F.lit(n_shards))
+    else:
+        raise ValueError(f"unknown shard_hash {shard_hash!r}")
     w = Window.partitionBy("__shard").orderBy(id_col)
     cum = F.sum(token_col).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow))

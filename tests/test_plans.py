@@ -345,6 +345,17 @@ def test_asof_gate_query_shape(spark, sf):
     assert "Window" in plan
 
 
+def test_packing_sharded_no_global_window(spark, sf):
+    """pack_sequences_budget gates the SHARDED packer: the window must
+    hash-partition on the shard key, never collapse to a single
+    partition (the global-sort pathology the sharded variant exists to
+    avoid)."""
+    plan = plan_of(QUERIES["pack_sequences_budget"](spark, sf))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(__shard" in plan
+
+
 def test_chunking_no_shuffle(spark, sf):
     """chunk_documents: Generate + projections only — a shuffle here
     would be pure waste at any scale."""
