@@ -477,27 +477,33 @@ sql_query(
 
 sql_query(
     "tpch_q2_min_cost_supplier",
+    # Classic q2 writes the per-part minimum as a correlated scalar
+    # subquery over the same supply relation, which plans TWO lineitem
+    # scans + aggregates. The subquery correlates only on partkey and
+    # both sides carry the same EUROPE filter, so the per-part minimum
+    # over the main join's own rows is identical — one window over the
+    # single-pass join replaces the second scan. (The part filters
+    # prune partkeys, never the supplier set within a partkey.)
     """
     WITH supply AS (
       SELECT l_partkey AS sp_partkey, l_suppkey AS sp_suppkey,
              MIN(l_extendedprice / l_quantity) AS unit_cost
       FROM lineitem
       GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost,
+             MIN(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+      FROM part
+      JOIN supply ON p_partkey = sp_partkey
+      JOIN supplier ON s_suppkey = sp_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE p_size <= 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
     )
     SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
-    FROM part
-    JOIN supply ON p_partkey = sp_partkey
-    JOIN supplier ON s_suppkey = sp_suppkey
-    JOIN nation ON s_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    WHERE p_size <= 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
-      AND unit_cost = (
-        SELECT MIN(s2.unit_cost)
-        FROM supply s2
-        JOIN supplier sp2 ON sp2.s_suppkey = s2.sp_suppkey
-        JOIN nation n2 ON sp2.s_nationkey = n2.n_nationkey
-        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
-        WHERE s2.sp_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    FROM eu
+    WHERE unit_cost = min_cost
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
     LIMIT 100
     """,

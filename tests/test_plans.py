@@ -273,14 +273,17 @@ def test_microbatch_overwrites_only_touched_partitions(spark, sf, tmp_path):
     spark.sql("DROP TABLE mb_guard.daily")
 
 
-def test_q2_correlated_min_no_cartesian(spark, sf):
-    """q2: the correlated min-cost subquery must decorrelate into an
-    aggregate + equi-join (Catalyst rewrite), never a per-row re-scan or
-    a cartesian; supply aggregation combines map-side."""
+def test_q2_single_pass_window_min(spark, sf):
+    """q2: the per-part minimum is a window over the single-pass EU
+    join — exactly ONE lineitem scan (the classic correlated-subquery
+    form scans + aggregates supply twice), map-side combine on the
+    supply MIN, dims broadcast, no cartesian."""
     plan = plan_of(QUERIES["tpch_q2_min_cost_supplier"](spark, sf))
     assert "CartesianProduct" not in plan
+    assert plan.count("lineitem.parquet") == 1
     assert "partial_min" in plan  # map-side combine of the MIN
     assert n_nodes(plan, "BroadcastHashJoin") >= 2  # dims broadcast
+    assert "Window" in plan
 
 
 def test_q9_profit_star_join_shape(spark, sf):
