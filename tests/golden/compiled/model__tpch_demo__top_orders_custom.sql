@@ -1,0 +1,4 @@
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM `analytics`.`stg_orders`
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
