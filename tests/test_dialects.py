@@ -166,3 +166,63 @@ def test_runner_honors_model_dialect(spark, tmp_path):
     assert rr.ok, [r.message for r in rr.results if r.status == "error"]
     rows = spark.sql("SELECT bucket FROM dlx.snow_model").collect()
     assert len(rows) == 2 and all(r["bucket"] == "big" for r in rows)
+
+
+# --- translation boundary (sql/DIALECTS.md) ----------------------------
+# The contract for constructs OUTSIDE the rewrite map: they reach
+# Spark's parser verbatim and raise loudly — never execute silently
+# with changed semantics. One probe per documented loud-failure row.
+
+_BOUNDARY_CASES = [
+    ("snowflake", "SELECT id FROM t START WITH id = 1 CONNECT BY PRIOR id = id"),
+    ("snowflake", "SELECT * FROM t AT(TIMESTAMP => '2024-01-01')"),
+    ("snowflake", "SELECT OBJECT_KEYS(s) FROM t"),
+    ("snowflake", "SELECT * FROM TABLE(FLATTEN(input => arr))"),
+    ("snowflake", "SELECT $1 FROM @stage"),
+    ("bigquery", "SELECT x FROM t, UNNEST(arr) AS x"),
+    ("bigquery", "SELECT SAFE.SUBSTR(s, 1, 2) FROM t"),
+    ("bigquery", "SELECT ARRAY<BIGINT>[1, 2]"),
+    ("bigquery", "SELECT * FROM t FOR SYSTEM_TIME AS OF '2024-01-01'"),
+    ("redshift", "SELECT TOP 3 id FROM t"),
+    ("redshift", "SELECT CONVERT(INTEGER, s) FROM t"),
+    ("redshift", "SELECT id INTO #tmp FROM t"),
+    ("trino", "SELECT x FROM t CROSS JOIN UNNEST(arr) AS u(x)"),
+    ("trino", "SELECT TRY(1/0)"),
+    ("trino", "SELECT ROW(1, 2)"),
+    ("trino", "SELECT MAP(ARRAY[1,2], ARRAY['a','b'])"),
+    ("trino", "SELECT ARRAY[1,2,3]"),
+]
+
+
+@pytest.mark.parametrize("dialect,sql", _BOUNDARY_CASES,
+                         ids=[f"{d}-{i}" for i, (d, _) in
+                              enumerate(_BOUNDARY_CASES)])
+def test_unsupported_construct_fails_loudly(spark, dialect, sql):
+    from pyspark.errors.exceptions.captured import (
+        AnalysisException,
+        ParseException,
+    )
+
+    spark.range(5).selectExpr(
+        "id", "cast(id as string) s", "array(id, id+1) arr"
+    ).createOrReplaceTempView("t")
+    with pytest.raises((ParseException, AnalysisException)):
+        spark.sql(translate_sql(sql, dialect)).collect()
+
+
+def test_documented_passthroughs_keep_semantics(spark):
+    """Constructs the boundary doc declares pass-through must execute
+    with the source dialect's semantics unchanged."""
+    spark.range(5).selectExpr(
+        "id", "cast(id as string) s", "array(id, id+1) arr"
+    ).createOrReplaceTempView("t")
+    # redshift DECODE == Spark's Oracle-style decode
+    assert run1(spark, translate_sql(
+        "SELECT DECODE(1, 1, 'one', 'other')", "redshift")) == "one"
+    # trino lambdas share Spark's syntax
+    assert run1(spark, translate_sql(
+        "SELECT cardinality(filter(arr, x -> x > 4)) FROM t WHERE id = 4",
+        "trino")) == 1  # arr = [4, 5] -> only 5 survives
+    # snowflake :: cast is valid Spark 4
+    assert run1(spark, translate_sql(
+        "SELECT 7::string", "snowflake")) == "7"
