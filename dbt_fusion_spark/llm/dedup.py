@@ -154,7 +154,8 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str,
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                         n_bands: int = 4, rows_per_band: int = 4,
-                        shingle_n: int = 5) -> DataFrame:
+                        shingle_n: int = 5,
+                        signatures_table: str | None = None) -> DataFrame:
     """Near-dup candidates: pairs sharing ANY minhash band, via a
     self-equi-join of the signature table on (band_id, band_value) —
     work is O(sum of bucket^2), the LSH contract, and the join +
@@ -169,11 +170,30 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     the empty cache and compute the shingle->hash pipeline twice
     concurrently (measured: 2x wall). It is tiny next to the corpus
     (one ~16-hash row per doc — at 100 TB corpus scale, signatures for
-    1B docs are ~100 GB, cache-able across a fleet)."""
+    1B docs are ~100 GB, cache-able across a fleet).
+
+    signatures_table: durable checkpoint escape hatch for fleet scale.
+    Executor-cache persist is fragile on long multi-tenant runs (an
+    evicted/lost cached partition silently recomputes the whole
+    shingle->hash pipeline for that partition, and a lost executor can
+    cascade). Passing a table name (or, with a '/', a filesystem path)
+    writes the signature table ONCE before the self-join; both join
+    sides then scan the written copy — restartable, shareable across
+    jobs, and immune to cache eviction."""
     bands = minhash_bands(
         df, id_col, text_col, n_bands, rows_per_band, shingle_n
-    ).persist()
-    bands.count()  # materialize once; both join sides then read cache
+    )
+    if signatures_table is not None:
+        spark = df.sparkSession
+        if "/" in signatures_table:
+            bands.write.mode("overwrite").parquet(signatures_table)
+            bands = spark.read.parquet(signatures_table)
+        else:
+            bands.write.mode("overwrite").saveAsTable(signatures_table)
+            bands = spark.table(signatures_table)
+    else:
+        bands = bands.persist()
+        bands.count()  # materialize once; both join sides then read cache
     a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_value")
     b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_value")
     return (

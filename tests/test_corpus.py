@@ -107,3 +107,26 @@ def test_rebalance_plan_broadcasts_fracs(spark, sf_dir):
     # is never hash-repartitioned for the join
     assert n_nodes(plan, "BroadcastHashJoin") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_signatures_table_checkpoint(spark, tmp_path):
+    """signatures_table= writes the signature table once and joins
+    against the durable copy: same candidate pairs as the cached path,
+    and the checkpoint actually exists on disk."""
+    from dbt_fusion_spark.llm.dedup import lsh_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog!"),
+         (3, "a completely different document about spark engines"),
+         (4, "another unrelated text on distributed query planning")],
+        "doc_id long, text string")
+    cached = {(r["id_a"], r["id_b"]) for r in
+              lsh_candidate_pairs(docs, "doc_id", "text").collect()}
+    sig_path = str(tmp_path / "sigs")
+    durable = {(r["id_a"], r["id_b"]) for r in
+               lsh_candidate_pairs(docs, "doc_id", "text",
+                                   signatures_table=sig_path).collect()}
+    assert durable == cached and (1, 2) in durable
+    assert spark.read.parquet(sig_path).columns == \
+        ["doc_id", "band_id", "band_value"]
