@@ -1150,3 +1150,88 @@ def dedup_connected_clusters(spark, sf_dir):
                           "doc_id", "text").filter(F.col("jaccard") >= 0.6)
     return dedup_clusters(dup.select("id_a", "id_b"),
                           corpus.select("doc_id"), "doc_id")
+
+
+# ------------------------------------------- repetition / span dedup
+
+@register(
+    "quality_repetition_signals",
+    # word bigrams: starts 1..len(w)-1 (docs with <2 words are omitted,
+    # matching word_ngrams' size filter); top gram ties break
+    # (count desc, gram asc); char fractions over the normalized text.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w,
+             length(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+               AS clen
+      FROM documents),
+    grams AS (
+      SELECT doc_id, clen,
+             array_to_string(list_slice(w, i, i + 1), ' ') AS gram
+      FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2),
+    counted AS (
+      SELECT doc_id, clen, gram, COUNT(*) AS n
+      FROM grams GROUP BY doc_id, clen, gram),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY n DESC, gram ASC) AS rn
+      FROM counted)
+    SELECT doc_id,
+           MAX(CASE WHEN rn = 1 THEN gram END) AS top_gram,
+           CAST(MAX(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS top_gram_n,
+           CAST(MAX(CASE WHEN rn = 1 THEN length(gram) * n END)
+                / CAST(MAX(clen) AS DOUBLE) AS DOUBLE)
+             AS top_ngram_char_frac,
+           CAST(least(1.0, SUM(CASE WHEN n > 1 THEN length(gram) * n
+                                    ELSE 0 END)
+                           / CAST(MAX(clen) AS DOUBLE)) AS DOUBLE)
+             AS dup_ngram_char_frac
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def quality_repetition_signals(spark, sf_dir):
+    """Gopher A1.1 repetition signals (top-bigram / duplicated-bigram
+    character fractions) — one gram shuffle keyed on the doc, window
+    top-1 + aggregate on the same key, 1:1 length join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return Q.repetition_signals(docs, "doc_id", "text", n=2)
+
+
+@register(
+    "dedup_spans_corpus",
+    # non-overlapping 10-word spans; keeper = corpus-wide min of
+    # doc_id * 2^20 + span_idx per exact span text (md5-keyed).
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0),
+    spans AS (
+      SELECT doc_id, i - 1 AS span_idx,
+             md5(array_to_string(
+               list_slice(w, (i - 1) * 10 + 1, (i - 1) * 10 + 10), ' '))
+               AS h,
+             doc_id * 1048576 + (i - 1) AS pos
+      FROM toks,
+           unnest(generate_series(1, CAST(ceil(len(w) / 10.0) AS BIGINT)))
+             AS t(i)),
+    keeper AS (SELECT h, MIN(pos) AS keep_pos FROM spans GROUP BY h)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN s.pos <> k.keep_pos THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_spans,
+           CAST(SUM(CASE WHEN s.pos <> k.keep_pos THEN 1 ELSE 0 END)
+                / CAST(COUNT(*) AS DOUBLE) AS DOUBLE) AS dup_span_frac
+    FROM spans s JOIN keeper k USING (h)
+    GROUP BY s.doc_id
+    """,
+)
+def dedup_spans_corpus(spark, sf_dir):
+    """C4-style corpus-wide exact span dedup audit: non-overlapping
+    10-word windows, keep-first marking, per-doc duplicate fraction.
+    Generate -> md5-keyed keeper election -> equi-join mark-back; no
+    window over the corpus, no cross join."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        "length(trim(text)) > 0")
+    return D.span_dedup_stats(docs, "doc_id", "text", span_words=10)

@@ -128,3 +128,31 @@ def sample_stratified_by_segment(spark, sf_dir):
         {"BUILDING": 0.5, "AUTOMOBILE": 0.25, "MACHINERY": 0.1},
         key="c_custkey", seed=42,
     ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "sample_split_assign",
+    # cumulative thresholds: train [0,.9) = 3865470566, val [.9,.95) =
+    # 4080218931, test rest — over the portable unit hash of doc_id.
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN h < 3865470566 THEN 'train'
+                WHEN h < 4080218931 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 CAST('0x' || substring(md5('42|' || CAST(doc_id AS VARCHAR)),
+                                        1, 8) AS BIGINT) AS h
+          FROM documents)
+    """,
+)
+def sample_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment from the portable keyed
+    hash: reproducible across engines/repartitions, and stable under
+    incremental corpus growth (a doc never migrates splits)."""
+    from dbt_fusion_spark.sample.strategies import split_assign
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return split_assign(
+        docs, "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05}, seed=42,
+    ).select("doc_id", "split")

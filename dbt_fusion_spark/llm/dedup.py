@@ -241,6 +241,59 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
     )
 
 
+def span_dedup_stats(df: DataFrame, id_col: str, text_col: str,
+                     span_words: int = 10) -> DataFrame:
+    """C4-style exact substring dedup, corpus-wide, at span granularity:
+    split each document into NON-overlapping `span_words`-word windows,
+    and mark every span whose exact text already occurs at a smaller
+    (doc_id, span_idx) anywhere in the corpus as a duplicate. Returns
+    per-doc stats (n_spans, n_dup_spans, dup_span_frac) — the audit
+    table a pipeline filters or rewrites from.
+
+    Scale shape: span explode is a Generate; the keeper election
+    shuffles (span_hash -> min position) with the span keyed by its
+    md5 (16-byte shuffle keys instead of arbitrarily long span text);
+    the mark-back is an equi-join on the same hash, and per-doc stats
+    re-shuffle on doc_id. No cross join, no window over the corpus.
+    Positions are encoded doc_id * 2^20 + span_idx for the min — valid
+    while span_idx < 2^20 (a 10M-word doc at w=10; raise the shift for
+    longer docs), and md5 collisions are the usual 2^-64 dedup risk.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_spans = F.ceil(F.size("__w") / F.lit(span_words)).cast("int")
+    spans = (
+        df.select(F.col(id_col), words.alias("__w"))
+        .filter(F.size("__w") > 0)
+        .select(
+            id_col,
+            "__w",
+            F.explode(F.sequence(F.lit(0), n_spans - 1)).alias("span_idx"),
+        )
+        .select(
+            id_col,
+            "span_idx",
+            F.md5(F.array_join(
+                F.slice("__w", F.col("span_idx") * span_words + 1,
+                        span_words), " ")).alias("__h"),
+        )
+    )
+    pos = (F.col(id_col) * F.lit(1 << 20) + F.col("span_idx")).cast("bigint")
+    spans = spans.withColumn("__pos", pos)
+    keeper = spans.groupBy("__h").agg(F.min("__pos").alias("__keep_pos"))
+    return (
+        spans.join(keeper, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum((F.col("__pos") != F.col("__keep_pos")).cast("long"))
+            .cast("bigint").alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_span_frac",
+            F.col("n_dup_spans") / F.col("n_spans").cast("double"))
+    )
+
+
 _HEX = "0123456789abcdef"
 
 

@@ -105,6 +105,61 @@ def gopher_filter(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def repetition_signals(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 2) -> DataFrame:
+    """Gopher §A1.1 word-n-gram repetition signals, per document:
+
+    - top_ngram_char_frac: characters covered by occurrences of the
+      MOST frequent word n-gram / total normalized chars (ties break
+      deterministically: count desc, gram asc).
+    - dup_ngram_char_frac: characters covered by all n-grams occurring
+      more than once, clamped to 1.0 (overlapping occurrences may
+      double-count chars; the clamp keeps the signal a fraction —
+      documented approximation of the paper's non-overlapping count).
+
+    Shape: Generate (gram explode) -> count per (doc, gram) -> window
+    top-1 + aggregate, both keyed on the doc — ONE shuffle of
+    gram-count rows, then a 1:1 join against per-doc lengths. No
+    Python, no arrays held per row after the explode.
+    """
+    from pyspark.sql import Window
+
+    grams = word_ngrams(df, id_col, text_col, n)
+    counted = grams.groupBy(id_col, "gram").agg(F.count("*").alias("__n"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__n"), F.asc("gram"))
+    gram_chars = F.length("gram") * F.col("__n")
+    per_doc = (
+        counted.withColumn("__rn", F.row_number().over(w))
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("gram"))).alias("top_gram"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__n")))
+            .cast("bigint").alias("top_gram_n"),
+            F.max(F.when(F.col("__rn") == 1, gram_chars)).alias("__top_chars"),
+            F.sum(F.when(F.col("__n") > 1, gram_chars)
+                  .otherwise(F.lit(0))).alias("__dup_chars"),
+        )
+    )
+    doc_len = df.select(
+        F.col(id_col),
+        F.length(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                  r"\s+", " ")).alias("__len"))
+    return (
+        per_doc.join(doc_len, id_col)
+        .select(
+            id_col, "top_gram", "top_gram_n",
+            F.when(F.col("__len") > 0,
+                   F.col("__top_chars") / F.col("__len").cast("double"))
+            .otherwise(F.lit(0.0)).alias("top_ngram_char_frac"),
+            F.least(
+                F.lit(1.0),
+                F.when(F.col("__len") > 0,
+                       F.col("__dup_chars") / F.col("__len").cast("double"))
+                .otherwise(F.lit(0.0))).alias("dup_ngram_char_frac"),
+        )
+    )
+
+
 def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 13
                 ) -> DataFrame:
     """(id, gram) long form of word-level n-grams: lowercase, split,

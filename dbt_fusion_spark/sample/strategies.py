@@ -132,3 +132,34 @@ def sample_branch(df: DataFrame, predicates: Sequence[str],
     for pred, label in reversed(list(zip(predicates, alloc))):
         expr = F.when(F.expr(pred), F.lit(label)).otherwise(expr)
     return df.withColumn("__branch", expr).filter(F.col("__branch").isNotNull())
+
+
+def split_assign(df: DataFrame, key: str | Sequence[str],
+                 fracs: dict[str, float], seed: int = 42) -> DataFrame:
+    """Deterministic train/val/test (or any named) split: each row gets
+    a `split` label from its portable unit hash against the cumulative
+    fraction thresholds. A pure function of (seed, key) — the split
+    survives repartitioning, re-runs, engine changes, and incremental
+    corpus growth (a doc never migrates between splits unless its key
+    changes), which is exactly what a 100 TB training pipeline needs.
+
+    fracs must sum to 1.0 (±1e-9); label order follows dict order, so
+    {'train': .9, 'val': .05, 'test': .05} maps hash buckets
+    [0,.9) -> train, [.9,.95) -> val, [.95,1) -> test.
+    """
+    total = sum(fracs.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1.0, got {total}")
+    cols = [key] if isinstance(key, str) else list(key)
+    h = _unit_hash(cols, seed)
+    expr = None
+    cum = 0.0
+    labels = list(fracs.items())
+    for label, frac in labels[:-1]:
+        cum += frac
+        bound = int(cum * 4294967296)
+        expr = (F.when(h < bound, F.lit(label)) if expr is None
+                else expr.when(h < bound, F.lit(label)))
+    last = F.lit(labels[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

@@ -198,3 +198,24 @@ def test_pack_sequences_budget_invariants(spark):
     sh = pack_sequences_sharded(df, seq_len=1000, n_shards=4).collect()
     assert len(sh) == 200
     assert all(0 <= r["seq_offset"] < 1000 for r in sh)
+
+
+def test_split_assign_deterministic_and_complete(spark):
+    from dbt_fusion_spark.sample.strategies import split_assign
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    out = split_assign(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = dict((r["k"], r["split"]) for r in out.collect())
+    assert len(rows) == 1000
+    from collections import Counter
+    c = Counter(rows.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 700 < c["train"] < 900  # ~80% of 1000, hash-uniform
+    # placement-independent: same labels after an arbitrary repartition
+    rows2 = dict((r["k"], r["split"]) for r in
+                 split_assign(df.repartition(7), "k",
+                              {"train": 0.8, "val": 0.1, "test": 0.1})
+                 .collect())
+    assert rows2 == rows
+    with __import__("pytest").raises(ValueError):
+        split_assign(df, "k", {"a": 0.5, "b": 0.4})

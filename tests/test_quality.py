@@ -66,3 +66,34 @@ def test_word_ngrams_count(spark):
     # shorter than n -> no rows
     assert Q.word_ngrams(_docs(spark, [(1, "a b")]), "doc_id", "text",
                          n=3).count() == 0
+
+
+def test_repetition_signals_exact_fractions(spark):
+    from dbt_fusion_spark.llm.quality import repetition_signals
+
+    # "a b a b c": bigrams = a b(x2), b a, b c -> top "a b", chars 9
+    df = spark.createDataFrame([(1, "a b a b c")], "doc_id long, text string")
+    r = repetition_signals(df, "doc_id", "text", n=2).collect()[0]
+    assert r["top_gram"] == "a b" and r["top_gram_n"] == 2
+    assert r["top_ngram_char_frac"] == 6 / 9   # 2 occurrences x 3 chars
+    assert r["dup_ngram_char_frac"] == 6 / 9   # only "a b" repeats
+    # docs with fewer than n words are omitted (word_ngrams contract)
+    short = spark.createDataFrame([(2, "one")], "doc_id long, text string")
+    assert repetition_signals(short, "doc_id", "text", n=2).count() == 0
+
+
+def test_span_dedup_keep_first(spark):
+    from dbt_fusion_spark.llm.dedup import span_dedup_stats
+
+    ten = " ".join(f"w{i}" for i in range(10))
+    other = " ".join(f"x{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, ten + " " + other),   # spans: [ten, other] — both first
+         (2, ten),                 # dup of doc 1 span 0
+         (3, other + " tail")],    # span 0 dup, span 1 "tail" unique
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            span_dedup_stats(df, "doc_id", "text", span_words=10).collect()}
+    assert rows[1]["n_dup_spans"] == 0 and rows[1]["n_spans"] == 2
+    assert rows[2]["n_dup_spans"] == 1 and rows[2]["dup_span_frac"] == 1.0
+    assert rows[3]["n_spans"] == 2 and rows[3]["n_dup_spans"] == 1
