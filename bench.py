@@ -42,6 +42,9 @@ HEADLINE = [
     "text_quality_score",
     "gopher_quality_filter",
     "decontamination_13gram",
+    "quality_repetition_signals",
+    "dedup_spans_corpus",
+    "pack_sequences_budget",
     # custom relational operators
     "asof_join_last_purchase",
     "range_join_incident_windows",

@@ -129,9 +129,23 @@ class DbtSparkRunner:
             if location:
                 # register as an external table (metadata only, no copy):
                 # persistent views may not reference temp views, and at
-                # scale sources ARE catalog tables.
+                # scale sources ARE catalog tables. The source CONFIG is
+                # the source of truth: if a previous registration (same
+                # catalog, different project/environment) points at a
+                # different location, re-register — IF NOT EXISTS alone
+                # would silently read the stale data root.
                 fmt = src.config.get("format", "parquet")
                 self.adapter.create_schema(schema)
+                if self.spark.catalog.tableExists(f"`{schema}`.`{ident}`"):
+                    current = next(
+                        (r["data_type"] for r in self.spark.sql(
+                            f"DESCRIBE TABLE EXTENDED `{schema}`.`{ident}`"
+                        ).collect() if r["col_name"] == "Location"), None)
+                    if current is not None and \
+                            current.removeprefix("file:") != \
+                            str(location).removeprefix("file:"):
+                        self.spark.sql(
+                            f"DROP TABLE `{schema}`.`{ident}`")
                 self.spark.sql(
                     f"CREATE TABLE IF NOT EXISTS `{schema}`.`{ident}` "
                     f"USING {fmt} LOCATION '{location}'"

@@ -650,3 +650,28 @@ def test_sql_header(runner, spark):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         node.config.pop("sql_header")
+
+
+def test_source_location_change_reregisters(spark, tmp_path):
+    """A source whose configured location changes between runs must be
+    re-registered — CREATE TABLE IF NOT EXISTS alone would silently
+    keep reading the stale data root (observed: a project pinned to
+    sf0.001 poisoning a later sf0.01 run of the same source name)."""
+    import shutil
+
+    for sf in ("0.001", "0.01"):
+        proj = tmp_path / f"proj_{sf}"
+        shutil.copytree(PROJECT, proj)
+        shutil.rmtree(proj / "target", ignore_errors=True)
+        for rel in ("models/staging/schema.yml", "dbt_project.yml"):
+            f = proj / rel
+            f.write_text(f.read_text().replace(
+                "/root/testdata/sf0.001", f"/root/testdata/sf{sf}"))
+        r = DbtSparkRunner(spark, str(proj),
+                           profile={"schema": f"srcloc_{sf.replace('.', '_')}",
+                                    "threads": 1, "name": "dev"})
+        r.parse()
+        r.relation_for("source.tpch_demo.tpch.orders")
+        n = spark.table("tpch_raw.orders").count()
+        want = spark.read.parquet(f"/root/testdata/sf{sf}/orders.parquet").count()
+        assert n == want, f"sf{sf}: source reads {n} rows, want {want}"
