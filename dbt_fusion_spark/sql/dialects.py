@@ -65,6 +65,8 @@ _RENAMES: dict[str, dict[str, str]] = {
         "CHARINDEX": "CHARINDEX_",         # arg order differs: structural
         "EDITDISTANCE": "LEVENSHTEIN",
         "ZEROIFNULL": "ZEROIFNULL_",
+        # literal delimiter vs Spark's regex split: structural
+        "SPLIT": "SPLIT_LITERAL_",
     },
     "bigquery": {
         "SAFE_CAST": "TRY_CAST",
@@ -77,6 +79,21 @@ _RENAMES: dict[str, dict[str, str]] = {
         "COUNTIF": "COUNT_IF",
         "LOGICAL_OR": "BOOL_OR",
         "LOGICAL_AND": "BOOL_AND",
+        "SPLIT": "SPLIT_LITERAL_",         # literal delim (default ',')
+        # BQ puts the unit LAST and bare: DATE_DIFF(a, b, DAY) = a - b
+        "DATE_DIFF": "BQ_DIFF_",
+        "TIMESTAMP_DIFF": "BQ_DIFF_",
+        "DATETIME_DIFF": "BQ_DIFF_",
+        # BQ interval arithmetic: DATE_ADD(x, INTERVAL n DAY). The
+        # DATE_ variants return DATE (TIMESTAMPADD yields timestamp,
+        # so they re-cast); TIMESTAMP_/DATETIME_ keep the timestamp.
+        "DATE_ADD": "BQ_DATE_ADD_",
+        "TIMESTAMP_ADD": "BQ_ADD_",
+        "DATETIME_ADD": "BQ_ADD_",
+        "DATE_SUB": "BQ_DATE_SUB_",
+        "TIMESTAMP_SUB": "BQ_SUB_",
+        "DATETIME_SUB": "BQ_SUB_",
+        "FORMAT_TIMESTAMP": "FORMAT_DATE_",
     },
     "redshift": {
         "GETDATE": "CURRENT_TIMESTAMP",
@@ -99,6 +116,7 @@ _RENAMES: dict[str, dict[str, str]] = {
         "JSON_EXTRACT_SCALAR": "GET_JSON_OBJECT",
         "TO_UNIXTIME": "UNIX_TIMESTAMP",
         "FROM_UNIXTIME": "FROM_UNIXTIME",
+        "SPLIT": "SPLIT_LITERAL_",         # literal delim
     },
 }
 
@@ -153,8 +171,35 @@ def _rewrite_calls(sql: str, name: str, fn, saved: list[str]) -> str:
         sql = sql[:m.start()] + fn(args) + sql[i:]
 
 
+def _bq_interval(tok: str) -> tuple[str, str]:
+    """'INTERVAL 5 DAY' -> ('5', 'DAY') (BQ interval-literal arg)."""
+    m = re.fullmatch(r"\s*INTERVAL\s+(.+?)\s+(\w+)\s*", tok,
+                     re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ValueError(f"expected INTERVAL <n> <unit>, got {tok!r}")
+    return m.group(1), m.group(2)
+
+
+def _bq_add(a: list[str], negate: bool) -> str:
+    n, unit = _bq_interval(a[1])
+    n = f"-({n})" if negate else n
+    return f"TIMESTAMPADD({unit}, {n}, {a[0]})"
+
+
 _STRUCTURAL = {
     "CAST_TO_STRING_": lambda a: f"CAST({a[0]} AS STRING)",
+    # warehouses split on a LITERAL delimiter; Spark's split() takes a
+    # regex. \Q...\E quoting makes any delimiter literal (doubled
+    # backslashes survive Spark's string-literal unescaping). BQ's
+    # 1-arg form defaults to ','.
+    "SPLIT_LITERAL_": lambda a: (
+        f"SPLIT({a[0]}, CONCAT('\\\\Q', "
+        f"{a[1] if len(a) > 1 else chr(39) + ',' + chr(39)}, '\\\\E'))"),
+    "BQ_DIFF_": lambda a: f"TIMESTAMPDIFF({_unquote(a[2])}, {a[1]}, {a[0]})",
+    "BQ_ADD_": lambda a: _bq_add(a, negate=False),
+    "BQ_SUB_": lambda a: _bq_add(a, negate=True),
+    "BQ_DATE_ADD_": lambda a: f"CAST({_bq_add(a, negate=False)} AS DATE)",
+    "BQ_DATE_SUB_": lambda a: f"CAST({_bq_add(a, negate=True)} AS DATE)",
     "CAST_TO_DECIMAL_": lambda a: (
         f"CAST({a[0]} AS DECIMAL({', '.join(a[1:]) if len(a) > 1 else '38, 0'}))"),
     "TRY_CAST_DECIMAL_": lambda a: (

@@ -226,3 +226,40 @@ def test_documented_passthroughs_keep_semantics(spark):
     # snowflake :: cast is valid Spark 4
     assert run1(spark, translate_sql(
         "SELECT 7::string", "snowflake")) == "7"
+
+
+def test_split_literal_delimiter(spark):
+    """Warehouse SPLIT takes a LITERAL delimiter; Spark's split takes a
+    regex. '|' would split every character if passed through raw."""
+    for d in ("snowflake", "trino"):
+        sql = translate_sql("SELECT SPLIT('a|b|c', '|')", d)
+        assert run1(spark, sql) == ["a", "b", "c"], (d, sql)
+    # regex metachars stay literal
+    assert run1(spark, translate_sql(
+        "SELECT SPLIT('x.y.z', '.')", "snowflake")) == ["x", "y", "z"]
+    # BQ 1-arg form defaults to ','
+    assert run1(spark, translate_sql(
+        "SELECT SPLIT('a,b')", "bigquery")) == ["a", "b"]
+    # SPLIT_PART is untouched (Spark-native, already literal)
+    assert run1(spark, translate_sql(
+        "SELECT SPLIT_PART('a|b|c', '|', 2)", "snowflake")) == "b"
+
+
+def test_bigquery_date_arithmetic(spark):
+    import datetime
+
+    assert run1(spark, translate_sql(
+        "SELECT DATE_DIFF(DATE '2024-03-10', DATE '2024-03-01', DAY)",
+        "bigquery")) == 9
+    assert run1(spark, translate_sql(
+        "SELECT TIMESTAMP_DIFF(TIMESTAMP '2024-01-01 12:00:00',"
+        " TIMESTAMP '2024-01-01 09:30:00', MINUTE)", "bigquery")) == 150
+    assert run1(spark, translate_sql(
+        "SELECT DATE_ADD(DATE '2024-02-27', INTERVAL 3 DAY)",
+        "bigquery")) == datetime.date(2024, 3, 1)
+    assert run1(spark, translate_sql(
+        "SELECT DATE_SUB(DATE '2024-03-01', INTERVAL 2 MONTH)",
+        "bigquery")) == datetime.date(2024, 1, 1)
+    assert run1(spark, translate_sql(
+        "SELECT FORMAT_TIMESTAMP('%Y-%m-%d %H', TIMESTAMP"
+        " '2024-05-06 07:08:09')", "bigquery")) == "2024-05-06 07"
