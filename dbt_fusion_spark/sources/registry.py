@@ -51,9 +51,27 @@ def ensure_session_confs(spark: SparkSession) -> None:
 ensure_reader_confs = ensure_session_confs
 
 
+# Schema cache: spark.read.parquet without an explicit schema reads the
+# footer and infers the schema EAGERLY on the driver (~10-50 ms/table);
+# a query battery re-reading the same immutable source tables pays that
+# per query. Caching the inferred StructType (keyed by applicationId so
+# it dies with the session) and passing it back via .schema() skips the
+# footer read while still returning a FRESH DataFrame per call — a
+# shared DataFrame object would trip Spark's ambiguous-self-join
+# detection when a query joins two derivations of the same source.
+_SCHEMA_CACHE: dict[tuple[str, str, str], object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (nanosAsLong above); convert to
         # microsecond timestamps — DuckDB does the same on read. Integer
