@@ -267,15 +267,24 @@ sql_query(
 
 sql_query(
     "tpch_q18_large_orders",
+    # Pre-aggregate lineitem ALONE (narrow l_orderkey+qty shuffle with
+    # map-side combine) and filter to the rare >300 orders BEFORE
+    # joining orders/customer — aggregating after the 3-table join
+    # shuffles every joined row with the wide customer columns
+    # attached. Identical semantics: the order->customer join is 1:1,
+    # so per-order sums are unchanged by join placement.
     f"""
+    WITH big AS (
+      SELECT l_orderkey, SUM({QTY}) AS qty_sum
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM({QTY}) > 300)
     SELECT c_name, c_custkey, o_orderkey, o_orderdate,
            CAST(o_totalprice AS DOUBLE) AS o_totalprice,
-           CAST(SUM({QTY}) AS DOUBLE) AS sum_qty
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON o_orderkey = l_orderkey
-    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-    HAVING SUM({QTY}) > 300
+           CAST(qty_sum AS DOUBLE) AS sum_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
     """,
 )
 
