@@ -39,7 +39,8 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--full-refresh", action="store_true")
         return sp
 
-    for name in ("run", "test", "build", "seed", "snapshot", "compile", "parse"):
+    for name in ("run", "test", "build", "seed", "snapshot", "compile",
+                 "parse", "typecheck"):
         common(sub.add_parser(name))
     ls = common(sub.add_parser("list", aliases=["ls"]))
     ls.add_argument("--output", choices=["name", "json"], default="name")
@@ -201,6 +202,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                       f"(age {status.get('max_loaded_at_age', '?')})")
                 worst = max(worst, 1 if status["status"] == "error" else 0)
         return worst
+    if cmd == "typecheck":
+        # static funcsign validation (reference: dbt-jinja-utils
+        # typecheck.rs) — no SQL runs, exit 1 on any diagnostic
+        from dbt_fusion_spark.jinja.typecheck import typecheck_project
+
+        runner.parse()
+        problems = typecheck_project(runner.project)
+        for p in problems:
+            print(f"TYPECHECK {p}")
+        print(f"{len(problems)} problem(s)")
+        return 1 if problems else 0
     if cmd == "compile":
         runner.parse()
         outdir = Path(args.project_dir) / "target" / "compiled"

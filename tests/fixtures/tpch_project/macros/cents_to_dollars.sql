@@ -1,6 +1,7 @@
 {# project macro (reference fixture analog:
    crates/dbt-init/assets/jaffle_shop/macros/cents_to_dollars.sql) #}
 {% macro cents_to_dollars(column_name, scale=2) %}
+    -- funcsign: (string, optional[integer]) -> string
     round({{ column_name }} / 100, {{ scale }})
 {% endmacro %}
 

@@ -6,6 +6,7 @@ select
  as value_band,
     count(*) as n_orders,
 
+    -- funcsign: (string, optional[integer]) -> string
     round(sum(o_totalprice) / 100, 2)
  as total_dollars,
     cast(499705.05 as double) as corpus_max_price

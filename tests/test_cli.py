@@ -213,3 +213,28 @@ def test_cli_debug(spark, jaffle, capsys):
     assert main(["debug", "--project-dir", str(jaffle)], spark=spark) == 0
     out = capsys.readouterr().out
     assert "connection test: OK" in out and "parse OK" in out
+
+
+def test_cli_typecheck(spark, jaffle, capsys):
+    """`typecheck` statically validates funcsign-annotated macro calls:
+    clean project exits 0; a bad call site exits 1 with a diagnostic."""
+    macros = jaffle / "macros"
+    macros.mkdir(exist_ok=True)
+    (macros / "typed.sql").write_text(
+        "{% macro add_n(col, n) %}\n"
+        "-- funcsign: (string, integer) -> string\n"
+        "{{ col }} + {{ n }}\n"
+        "{% endmacro %}\n")
+    good = jaffle / "models" / "typed_ok.sql"
+    good.write_text("select {{ add_n('order_id', 1) }} as x"
+                    " from {{ ref('orders') }}\n")
+    rc = main(["typecheck", "--project-dir", str(jaffle)], spark=spark)
+    assert rc == 0, capsys.readouterr().out
+    bad = jaffle / "models" / "typed_bad.sql"
+    bad.write_text("select {{ add_n('order_id', 'one') }} as x"
+                   " from {{ ref('orders') }}\n")
+    rc = main(["typecheck", "--project-dir", str(jaffle)], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "arg 'n' is string, expected integer" in out
+    good.unlink(); bad.unlink()
