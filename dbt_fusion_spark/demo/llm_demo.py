@@ -306,9 +306,8 @@ def similarity_ivf_kmeans_topk(spark, sf_dir):
     label-column placeholder the round-1 verdict flagged; the oracle
     restates the same assignment over the same centroids."""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = S.fit_kmeans_centroids(
-        S.load_vectors_pyarrow(f"{sf_dir}/embeddings.parquet"),
-        n_cells=_KMEANS_N_CELLS)
+    centroids = S.fit_kmeans_centroids_cached(
+        f"{sf_dir}/embeddings.parquet", n_cells=_KMEANS_N_CELLS)
     return S.ivf_topk_kmeans(emb, emb.filter(F.col("vec_id") < 10),
                              centroids, k=5)
 

@@ -159,16 +159,41 @@ def fit_kmeans_centroids(vectors, n_cells: int = 8, max_iter: int = 10
     return centroids.tolist()
 
 
+# Fitted-quantizer cache: an IVF coarse quantizer is an INDEX — built
+# once, queried many times. The fit is deterministic (same file -> same
+# centroids bit-for-bit), so caching changes nothing semantically; the
+# file mtime in the key invalidates on data change.
+_CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
+
+
+def fit_kmeans_centroids_cached(parquet_path: str,
+                                vec_col: str = "embedding",
+                                id_col: str = "vec_id",
+                                n_cells: int = 8, limit: int = 2000,
+                                max_iter: int = 10) -> list[list[float]]:
+    import os
+
+    key = (os.path.abspath(parquet_path), os.path.getmtime(parquet_path),
+           vec_col, id_col, n_cells, limit, max_iter)
+    if key not in _CENTROID_CACHE:
+        _CENTROID_CACHE[key] = fit_kmeans_centroids(
+            load_vectors_pyarrow(parquet_path, vec_col, id_col, limit),
+            n_cells, max_iter)
+    return _CENTROID_CACHE[key]
+
+
 def load_vectors_pyarrow(parquet_path: str, vec_col: str = "embedding",
                          id_col: str = "vec_id", limit: int = 2000):
     """Bounded deterministic sample for the k-means fit, readable
     without a SparkSession (oracle construction happens driver-side)."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     t = pq.read_table(parquet_path, columns=[id_col, vec_col])
-    order = sorted(range(t.num_rows), key=t.column(id_col).to_pylist().__getitem__)
-    vecs = t.column(vec_col).to_pylist()
-    return [vecs[i] for i in order[:limit]]
+    # sort + slice in Arrow, convert ONLY the sample to Python lists —
+    # to_pylist on the full vector column is O(corpus) driver work
+    order = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])[:limit]
+    return t.take(order).column(vec_col).to_pylist()
 
 
 def _dot_literal(vec_col: str, centroid: list[float], dialect: str) -> str:
