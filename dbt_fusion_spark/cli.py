@@ -52,6 +52,8 @@ def _build_parser() -> argparse.ArgumentParser:
     op.add_argument("--args", default=None)
     src = common(sub.add_parser("source"))
     src.add_argument("subcommand", choices=["freshness"])
+    docs = common(sub.add_parser("docs"))
+    docs.add_argument("subcommand", choices=["generate"])
     deps = sub.add_parser("deps")
     deps.add_argument("--project-dir", default=".")
     init = sub.add_parser("init")
@@ -202,6 +204,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                       f"(age {status.get('max_loaded_at_age', '?')})")
                 worst = max(worst, 1 if status["status"] == "error" else 0)
         return worst
+    if cmd == "docs":
+        # docs generate: introspect built relations -> target/catalog.json
+        # (reference: DESCRIBE-based metadata catalog build); the writer
+        # lives in the runner and also refreshes the file after `run`.
+        runner.parse()
+        catalog = runner.generate_catalog()
+        print(f"Wrote {Path(args.project_dir) / 'target' / 'catalog.json'} "
+              f"({len(catalog.get('nodes', {}))} nodes)")
+        return 0
     if cmd == "typecheck":
         # static funcsign validation (reference: dbt-jinja-utils
         # typecheck.rs) — no SQL runs, exit 1 on any diagnostic

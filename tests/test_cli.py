@@ -238,3 +238,15 @@ def test_cli_typecheck(spark, jaffle, capsys):
     assert rc == 1
     assert "arg 'n' is string, expected integer" in out
     good.unlink(); bad.unlink()
+
+
+def test_cli_docs_generate(spark, jaffle, capsys):
+    main(["run", "--project-dir", str(jaffle)], spark=spark)
+    capsys.readouterr()
+    rc = main(["docs", "generate", "--project-dir", str(jaffle)], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0 and "catalog.json" in out
+    cat = json.loads((jaffle / "target" / "catalog.json").read_text())
+    assert "model.jaffle_shop.customers" in cat["nodes"]
+    cols = cat["nodes"]["model.jaffle_shop.customers"]["columns"]
+    assert "number_of_orders" in cols
