@@ -179,9 +179,12 @@ def decontaminate(corpus: DataFrame, probes: DataFrame, id_col: str,
                   text_col: str, n: int = 13) -> DataFrame:
     """Documents sharing any word-n-gram with the probe set:
     (id, n_hits, n_probe_docs). Probe grams are distinct + broadcast
-    (benchmarks are tiny vs a 100 TB corpus); corpus grams dedup per
-    (doc, gram) so a repeated gram counts once."""
-    corpus_grams = word_ngrams(corpus, id_col, text_col, n).distinct()
+    (benchmarks are tiny vs a 100 TB corpus); repeated grams count once
+    via countDistinct AFTER the join — deduplicating the raw corpus
+    gram stream first would shuffle every gram in the corpus, while the
+    broadcast join filters map-side so only MATCHED grams (a benchmark-
+    sized trickle) ever shuffle to the per-doc aggregate."""
+    corpus_grams = word_ngrams(corpus, id_col, text_col, n)
     probe_grams = (word_ngrams(probes, id_col, text_col, n)
                    .withColumnRenamed(id_col, "probe_id").distinct())
     hits = corpus_grams.join(F.broadcast(probe_grams), "gram")
