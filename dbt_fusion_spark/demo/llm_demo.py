@@ -1234,3 +1234,76 @@ def dedup_spans_corpus(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(
         "length(trim(text)) > 0")
     return D.span_dedup_stats(docs, "doc_id", "text", span_words=10)
+
+
+# ----------------------------------------------------- keyword search
+
+@register(
+    "corpus_inverted_index",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    dtok AS (SELECT DISTINCT doc_id, token FROM tok WHERE token <> ''),
+    SELECT_ AS (
+      SELECT token, list(doc_id ORDER BY doc_id) AS postings,
+             CAST(COUNT(*) AS BIGINT) AS df
+      FROM dtok GROUP BY token)
+    SELECT token, postings, df FROM SELECT_
+    """,
+)
+def corpus_inverted_index(spark, sf_dir):
+    """Inverted index over the documents table: sorted postings per
+    token + document frequency — the audit/probe primitive. One token
+    shuffle; high-df pruning available via max_df (unpruned here: the
+    synthetic vocabulary is tiny)."""
+    from dbt_fusion_spark.llm.search import inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index(docs, "doc_id", "text")
+
+
+@register(
+    "corpus_bm25_topk",
+    # Okapi BM25, Lucene idf variant; k1=1.2 b=0.75; avgdl as exact
+    # integer sum/count so both engines divide the same integers.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM tok2 GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM tok2 WHERE token IN ('spark', 'window', 'merge')
+           GROUP BY doc_id, token),
+    dfq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df
+            FROM tf GROUP BY token),
+    scored AS (
+      SELECT t.doc_id,
+             ln((n - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * (1.2 + 1.0)
+               / (tf + 1.2 * (1.0 - 0.75
+                              + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n)))
+               AS s
+      FROM tf t JOIN dfq USING (token) CROSS JOIN stats
+      JOIN dl USING (doc_id))
+    SELECT doc_id, CAST(round(SUM(s), 9) AS DOUBLE) AS bm25,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def corpus_bm25_topk(spark, sf_dir):
+    """BM25 keyword search: top-10 documents for a 3-term query. The
+    isin filter reaches the token explode, so only query-term rows
+    aggregate; corpus stats ride the 1-row scalar join."""
+    from dbt_fusion_spark.llm.search import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "window", "merge"],
+                     "doc_id", "text", k=10)

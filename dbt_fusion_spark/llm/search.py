@@ -1,0 +1,97 @@
+"""Corpus keyword-search primitives: inverted index + BM25 top-k.
+
+Beyond-reference extensions (same family as llm/corpus.py): a
+training-data pipeline needs targeted corpus probes — "find documents
+mentioning X" for audit/curation — without an external search service.
+Both operators are pure DataFrame algebra over the shared whitespace
+tokenizer (corpus.tokens):
+
+- inverted_index: (token, postings[], df) — postings sorted for
+  determinism. High-frequency terms are the scale hazard (a stopword's
+  posting list is O(corpus)); max_df prunes them, the standard IR move.
+- bm25_topk: classic Okapi BM25 (public formula; Robertson & Walker)
+  for a literal query-term list. The term filter is an `isin` pushed to
+  the scan side of the token explode, so only rows for query terms ever
+  aggregate; corpus stats (N, avgdl) ride the 1-row broadcast-hash
+  scalar join from corpus._join_scalar. Scores round(9) — the ranking
+  itself ties-breaks on integers/ids, the float is for consumers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dbt_fusion_spark.llm.corpus import _join_scalar, tokens
+
+
+def inverted_index(df: DataFrame, id_col: str, text_col: str,
+                   max_df: int | None = None) -> DataFrame:
+    """(token, postings, df): sorted distinct doc ids per token.
+
+    One shuffle on token (the distinct fuses into the aggregate).
+    max_df drops terms appearing in more than max_df docs — unbounded
+    posting lists for stopword-like terms are the 100 TB failure mode;
+    real deployments always prune or tier them.
+    """
+    tok = tokens(df, id_col, text_col).distinct()
+    idx = tok.groupBy("token").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("postings"),
+        F.count("*").cast("bigint").alias("df"),
+    )
+    if max_df is not None:
+        idx = idx.filter(F.col("df") <= max_df)
+    return idx
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], id_col: str,
+              text_col: str, k: int = 10,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-k documents for a bag-of-terms query by Okapi BM25.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) (the non-negative
+    Lucene variant). Deterministic output: ties break on doc id.
+
+    Shape: the `isin` term filter reaches the exploded token stream, so
+    tf/df aggregate only query-term rows (|terms| · matching docs, not
+    the corpus); doc lengths are one narrow aggregate; N and avgdl are
+    a 1-row scalar join; final top-k is a TakeOrdered over scored docs.
+    """
+    tok = tokens(df, id_col, text_col)
+    doc_len = tok.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("__dl"))
+    # avgdl as exact-integer sum / count: float summation order differs
+    # between engines (and between partitionings!), so avg(double)
+    # would drift; bigint sum is exact and the single final division is
+    # IEEE-identical everywhere.
+    stats = doc_len.agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum("__dl").cast("bigint").alias("__sumdl"))
+    qtok = tok.filter(F.col("token").isin(list(query_terms)))
+    tf = qtok.groupBy(id_col, "token").agg(
+        F.count("*").cast("double").alias("__tf"))
+    dfreq = tf.groupBy("token").agg(
+        F.count("*").cast("double").alias("__df"))
+    scored = (
+        _join_scalar(tf.join(dfreq, "token"), "__tf", stats, "__n")
+        .join(doc_len, id_col)
+        .withColumn("__avgdl", F.col("__sumdl") / F.col("__n"))
+        .withColumn(
+            "__idf",
+            F.log((F.col("__n") - F.col("__df") + 0.5)
+                  / (F.col("__df") + 0.5) + 1.0))
+        .withColumn(
+            "__s",
+            F.col("__idf") * F.col("__tf") * (k1 + 1.0)
+            / (F.col("__tf")
+               + k1 * (1.0 - b
+                       + b * F.col("__dl").cast("double")
+                       / F.col("__avgdl"))))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("__s"), 9).alias("bm25"),
+             F.count("*").cast("bigint").alias("n_terms_matched"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

@@ -130,3 +130,35 @@ def test_lsh_signatures_table_checkpoint(spark, tmp_path):
     assert durable == cached and (1, 2) in durable
     assert spark.read.parquet(sig_path).columns == \
         ["doc_id", "band_id", "band_value"]
+
+
+def test_inverted_index_postings_and_pruning(spark):
+    from dbt_fusion_spark.llm.search import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "banana cherry"), (3, "banana")],
+        "doc_id long, text string")
+    idx = {r["token"]: r for r in
+           inverted_index(docs, "doc_id", "text").collect()}
+    assert idx["banana"]["postings"] == [1, 2, 3] and idx["banana"]["df"] == 3
+    assert idx["apple"]["postings"] == [1]
+    pruned = inverted_index(docs, "doc_id", "text", max_df=2)
+    assert {r["token"] for r in pruned.collect()} == {"apple", "cherry"}
+
+
+def test_bm25_ranking_sanity(spark):
+    from dbt_fusion_spark.llm.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark filler filler"),
+         (2, "spark filler filler filler filler"),
+         (3, "nothing relevant here at all"),
+         (4, "spark window filler filler filler")],
+        "doc_id long, text string")
+    out = bm25_topk(docs, ["spark", "window"], "doc_id", "text", k=3).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids                    # no query terms -> absent
+    assert ids[0] == 4                     # two distinct terms beats one
+    assert out[0]["n_terms_matched"] == 2
+    by_id = {r["doc_id"]: r["bm25"] for r in out}
+    assert by_id[1] > by_id[2]             # higher tf, same dl -> higher
