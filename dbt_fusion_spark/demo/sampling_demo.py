@@ -156,3 +156,28 @@ def sample_split_assign(spark, sf_dir):
         docs, "doc_id",
         {"train": 0.9, "val": 0.05, "test": 0.05}, seed=42,
     ).select("doc_id", "split")
+
+
+@register(
+    "sample_weighted_reservoir",
+    # A-Res: u = (md5-unit-hash + 1) / 2^32 in (0,1]; keep the 50
+    # smallest -ln(u)/n_chars. Same algebra restated verbatim.
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             -ln((CAST('0x' || substring(md5('42|' || CAST(doc_id AS VARCHAR)),
+                                         1, 8) AS BIGINT) + 1) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) AS es
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, source, n_chars
+    FROM keyed ORDER BY es ASC LIMIT 50
+    """,
+)
+def sample_weighted_reservoir(spark, sf_dir):
+    """Weighted sample of 50 docs, probability proportional to length
+    (Efraimidis-Spirakis order statistics over the portable hash)."""
+    from dbt_fusion_spark.sample.strategies import sample_weighted
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    return sample_weighted(docs, "n_chars", 50, key="doc_id", seed=42)

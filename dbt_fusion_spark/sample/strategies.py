@@ -163,3 +163,28 @@ def split_assign(df: DataFrame, key: str | Sequence[str],
     last = F.lit(labels[-1][0])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def sample_weighted(df: DataFrame, weight_col: str, n: int,
+                    key: str | Sequence[str], seed: int = 42) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-Res, public algorithm): keep the n rows minimizing
+    -ln(u) / w, where u in (0, 1] derives from the portable unit hash —
+    equivalent to ranking by u^(1/w) and exactly reproducible in any
+    engine with md5 + ln. Selection probability is proportional to
+    weight without ever materializing a global prefix-sum.
+
+    Scale shape: the sort key is a pure projection; top-n is a
+    TakeOrdered (per-partition heads, no full sort). Rows with
+    non-positive weight are excluded (their inclusion probability is 0).
+    """
+    cols = [key] if isinstance(key, str) else list(key)
+    u = (_unit_hash(cols, seed) + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    es_key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__es", es_key)
+        .orderBy(F.asc("__es"))
+        .limit(n)
+        .drop("__es")
+    )

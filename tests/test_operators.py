@@ -219,3 +219,26 @@ def test_split_assign_deterministic_and_complete(spark):
     assert rows2 == rows
     with __import__("pytest").raises(ValueError):
         split_assign(df, "k", {"a": 0.5, "b": 0.4})
+
+
+def test_sample_weighted_proportional_and_deterministic(spark):
+    from dbt_fusion_spark.sample.strategies import sample_weighted
+
+    # two strata: heavy rows 100x the weight of light rows
+    rows = [(i, 100.0 if i < 100 else 1.0) for i in range(1100)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    got = {r["k"] for r in sample_weighted(df, "w", 200, key="k").collect()}
+    assert len(got) == 200
+    heavy = sum(1 for k in got if k < 100)
+    # heavy stratum: 100 rows at weight 100 vs 1000 rows at weight 1 —
+    # essentially all heavy rows selected (p_miss ~ e^-10 per row)
+    assert heavy >= 95
+    # deterministic under repartition
+    got2 = {r["k"] for r in
+            sample_weighted(df.repartition(13), "w", 200, key="k").collect()}
+    assert got2 == got
+    # zero/negative weights are never selected
+    df2 = spark.createDataFrame([(1, 0.0), (2, -5.0), (3, 1.0)],
+                                "k long, w double")
+    assert {r["k"] for r in sample_weighted(df2, "w", 3, key="k").collect()} \
+        == {3}
