@@ -40,7 +40,7 @@ def _build_parser() -> argparse.ArgumentParser:
         return sp
 
     for name in ("run", "test", "build", "seed", "snapshot", "compile",
-                 "parse", "typecheck"):
+                 "parse", "typecheck", "retry"):
         common(sub.add_parser(name))
     ls = common(sub.add_parser("list", aliases=["ls"]))
     ls.add_argument("--output", choices=["name", "json"], default="name")
@@ -204,6 +204,22 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                       f"(age {status.get('max_loaded_at_age', '?')})")
                 worst = max(worst, 1 if status["status"] == "error" else 0)
         return worst
+    if cmd == "retry":
+        # rerun exactly the nodes that errored/failed/skipped in the
+        # previous invocation's run_results.json (reference `dbt retry`)
+        rr_path = Path(args.project_dir) / "target" / "run_results.json"
+        if not rr_path.exists():
+            print("No target/run_results.json — nothing to retry.")
+            return 2
+        prev = json.loads(rr_path.read_text())
+        failed = {r["unique_id"] for r in prev.get("results", [])
+                  if r.get("status") in ("error", "fail", "skipped")}
+        if not failed:
+            print("Nothing to retry: previous run fully succeeded.")
+            return 0
+        rr = runner.run(uids=failed, threads=args.threads,
+                        full_refresh=args.full_refresh)
+        return _print_results(rr)
     if cmd == "docs":
         # docs generate: introspect built relations -> target/catalog.json
         # (reference: DESCRIBE-based metadata catalog build); the writer

@@ -184,7 +184,8 @@ class DbtSparkRunner:
             state_dir: str | None = None,
             defer: bool = False,
             selector: str | None = None,
-            resource_types: set[str] | None = None) -> RunResults:
+            resource_types: set[str] | None = None,
+            uids: set[str] | None = None) -> RunResults:
         if not self._parsed:
             self.parse()
         t_start = time.perf_counter()
@@ -201,7 +202,11 @@ class DbtSparkRunner:
                 (Path(state_dir) / "manifest.json").read_text())
         self._defer_manifest = prev_manifest if defer else None
 
-        if selector is not None:
+        if uids is not None:
+            # exact node set (dbt retry: rerun the run_results failures
+            # verbatim — name-glob selection could over-match)
+            selected = {u for u in uids if u in proj.nodes}
+        elif selector is not None:
             # named selector from selectors.yml (dbt-selector-parser)
             if selector not in proj.selectors:
                 raise ValueError(f"unknown selector {selector!r}")

@@ -250,3 +250,34 @@ def test_cli_docs_generate(spark, jaffle, capsys):
     assert "model.jaffle_shop.customers" in cat["nodes"]
     cols = cat["nodes"]["model.jaffle_shop.customers"]["columns"]
     assert "number_of_orders" in cols
+
+
+def test_cli_retry_reruns_only_failures(spark, jaffle, capsys):
+    """`retry` re-executes exactly the error/skipped node set from the
+    previous run_results.json (reference `dbt retry`)."""
+    bad = jaffle / "models" / "broken.sql"
+    bad.write_text("select no_such_column from {{ ref('orders') }}\n")
+    dep = jaffle / "models" / "broken_child.sql"
+    dep.write_text("select * from {{ ref('broken') }}\n")
+    rc = main(["build", "--project-dir", str(jaffle)], spark=spark)
+    capsys.readouterr()
+    assert rc != 0
+    rr = json.loads((jaffle / "target" / "run_results.json").read_text())
+    failed = {r["unique_id"] for r in rr["results"]
+              if r["status"] in ("error", "skipped")}
+    assert "model.jaffle_shop.broken" in failed
+    assert "model.jaffle_shop.broken_child" in failed
+    # fix the model, retry: only the failed pair runs
+    bad.write_text("select order_id from {{ ref('orders') }}\n")
+    rc = main(["retry", "--project-dir", str(jaffle)], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    rr2 = json.loads((jaffle / "target" / "run_results.json").read_text())
+    ran = {r["unique_id"] for r in rr2["results"]}
+    assert ran == failed
+    assert all(r["status"] in ("success", "pass") for r in rr2["results"])
+    # nothing left to retry
+    rc = main(["retry", "--project-dir", str(jaffle)], spark=spark)
+    assert rc == 0
+    assert "Nothing to retry" in capsys.readouterr().out
+    bad.unlink(); dep.unlink()
