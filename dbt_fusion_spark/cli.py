@@ -2,7 +2,8 @@
 
 Mirrors the reference CLI surface (crates/dbt-sa-cli/src/dbt_sa_lib.rs:
 205-265 — run/test/build/seed/snapshot/compile/list/show/debug/deps/
-source freshness/run-operation/init) on top of DbtSparkRunner. The CLI
+source freshness/run-operation/init, plus retry, docs generate, and
+static funcsign typecheck) on top of DbtSparkRunner. The CLI
 is a thin shell: argument parsing and exit codes here, all semantics in
 the runner — same layering as the reference, where the CLI crate only
 dispatches into dbt-core scheduling.

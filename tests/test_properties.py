@@ -100,3 +100,60 @@ def test_snapshot_idempotent_under_unchanged_source(spark):
     again = snapshot_run(snap, src, cfg)
     assert again.count() == snap.count() == 2
     assert again.filter("dbt_valid_to IS NOT NULL").count() == 0
+
+
+@given(fr=st.lists(st.integers(1, 10), min_size=2, max_size=5),
+       seed=st.integers(0, 3))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_split_assign_partitions_completely(spark, fr, seed):
+    """Any fraction vector summing to 1 yields a total, deterministic
+    partition of the keyspace — no row lost, none double-labeled."""
+    from dbt_fusion_spark.sample.strategies import split_assign
+
+    total = sum(fr)
+    fracs = {f"s{i}": f / total for i, f in enumerate(fr)}
+    # force exact sum-to-1 (float division residue goes to the last)
+    fracs[f"s{len(fr) - 1}"] = 1.0 - sum(
+        v for k, v in fracs.items() if k != f"s{len(fr) - 1}")
+    df = spark.range(300).withColumnRenamed("id", "k")
+    out = split_assign(df, "k", fracs, seed=seed).collect()
+    assert len(out) == 300
+    assert {r["split"] for r in out} <= set(fracs)
+    again = {(r["k"], r["split"])
+             for r in split_assign(df.repartition(5), "k", fracs,
+                                   seed=seed).collect()}
+    assert again == {(r["k"], r["split"]) for r in out}
+
+
+@given(lens=st.lists(st.integers(0, 35), min_size=1, max_size=30))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_span_dedup_invariants(spark, lens):
+    """Span accounting holds for arbitrary word counts: n_spans =
+    ceil(words/10) per non-empty doc, dup fraction in [0,1], and every
+    distinct span text keeps at least one non-duplicate occurrence."""
+    import math
+
+    from dbt_fusion_spark.llm.dedup import span_dedup_stats
+
+    rows = [(i, " ".join(f"w{j % 7}" for j in range(n)))
+            for i, n in enumerate(lens) if n > 0]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           span_dedup_stats(df, "doc_id", "text", span_words=10).collect()}
+    assert set(out) == {i for i, _ in rows}
+    kept_total = 0
+    for i, text in rows:
+        n_words = len(text.split())
+        r = out[i]
+        assert r["n_spans"] == math.ceil(n_words / 10)
+        assert 0 <= r["n_dup_spans"] <= r["n_spans"]
+        kept_total += r["n_spans"] - r["n_dup_spans"]
+    distinct_spans = len({
+        " ".join(text.split()[k * 10:(k + 1) * 10])
+        for _, text in rows
+        for k in range(math.ceil(len(text.split()) / 10))})
+    assert kept_total == distinct_spans  # exactly one keeper per span text
