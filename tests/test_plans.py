@@ -403,3 +403,36 @@ def test_no_query_has_cartesian_or_rowwise_python(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_weighted_sample_no_shuffle_takeordered(spark, sf):
+    """Weighted sampling: sort key is a pure projection; top-n must be
+    a TakeOrdered (per-partition heads), zero exchanges, no full sort."""
+    plan = plan_of(QUERIES["sample_weighted_reservoir"](spark, sf))
+    assert shuffles(plan) == 0
+    assert "TakeOrdered" in plan
+
+
+def test_bm25_takeordered_not_global_sort(spark, sf):
+    """BM25 top-k: final ranking is TakeOrdered over the scored docs —
+    a global Sort of the scored set would single-partition at scale."""
+    plan = plan_of(QUERIES["corpus_bm25_topk"](spark, sf))
+    assert "TakeOrdered" in plan
+    assert n_nodes(plan, "Sort") == 0
+
+
+def test_span_dedup_two_shuffles(spark, sf):
+    """Span dedup: keeper election (span hash) + per-doc stats = exactly
+    two exchanges; the Generate span explode stays in the scan stage."""
+    plan = plan_of(QUERIES["dedup_spans_corpus"](spark, sf))
+    assert shuffles(plan) <= 2
+    assert "Generate" in plan
+
+
+def test_repetition_signals_single_doc_keyed_shuffle_chain(spark, sf):
+    """Repetition signals: gram count -> window top-1 -> aggregate all
+    key on the doc; only the (doc, gram) count and the 1:1 length join
+    may exchange."""
+    plan = plan_of(QUERIES["quality_repetition_signals"](spark, sf))
+    assert shuffles(plan) <= 2
+    assert "Generate" in plan
