@@ -1307,3 +1307,94 @@ def corpus_bm25_topk(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, ["spark", "window", "merge"],
                      "doc_id", "text", k=10)
+
+
+# --------------------------------------------- line dedup / LM quality
+
+@register(
+    "dedup_lines_corpus",
+    # every doc gets the same boilerplate header/footer line; the
+    # corpus-wide keep-first election leaves them only in the smallest
+    # doc_id and reconstruction strips them everywhere else.
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id,
+             'nav menu home about contact subscribe' || chr(10) || text
+             || chr(10) || 'copyright twenty six all rights reserved'
+               AS text
+      FROM documents),
+    lines AS (
+      SELECT doc_id, i - 1 AS idx, l[i] AS line,
+             doc_id * 1048576 + (i - 1) AS pos
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus),
+           unnest(generate_series(1, len(l))) AS t(i)),
+    marked AS (
+      SELECT *, CASE WHEN length(trim(line)) >= 10
+                     THEN md5(trim(lower(line))) END AS k
+      FROM lines),
+    keeper AS (
+      SELECT k, MIN(pos) AS keep FROM marked
+      WHERE k IS NOT NULL GROUP BY k)
+    SELECT m.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN m.k IS NULL OR m.pos = kp.keep
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+           COALESCE(string_agg(
+             CASE WHEN m.k IS NULL OR m.pos = kp.keep THEN m.line END,
+             chr(10) ORDER BY m.idx), '') AS clean_text
+    FROM marked m LEFT JOIN keeper kp ON m.k = kp.k
+    GROUP BY m.doc_id
+    """,
+)
+def dedup_lines_corpus(spark, sf_dir):
+    """C4/RefinedWeb-style exact line dedup with document
+    reconstruction: boilerplate lines shared by every document survive
+    only at their first corpus position; every doc is re-assembled from
+    its kept lines in original order. Generate -> md5 keeper election
+    -> equi-join mark-back -> per-doc collect_list; no corpus window,
+    no cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("nav menu home about contact subscribe"),
+            F.col("text"),
+            F.lit("copyright twenty six all rights reserved"),
+        ).alias("text"),
+    )
+    return D.line_dedup(corpus, "doc_id", "text", min_chars=10)
+
+
+@register(
+    "quality_unigram_loglik",
+    # add-0.5-smoothed unigram LM fit on the corpus itself; score =
+    # average negative log-likelihood per token, rounded to 6 places
+    # (per-doc sum order differs across engines).
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               AS token
+      FROM documents),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok2 GROUP BY token),
+    stats AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                     CAST(COUNT(*) AS BIGINT) AS v FROM cnt),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok2 GROUP BY doc_id, token)
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(round(-SUM(tf * ln((c + 0.5) / (n + 0.5 * v)))
+                      / SUM(tf), 6) AS DOUBLE) AS avg_neg_loglik
+    FROM tf JOIN cnt USING (token) CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+)
+def quality_unigram_loglik(spark, sf_dir):
+    """CCNet-style statistical quality score: add-alpha unigram LM fit
+    on the corpus, each doc scored by average negative log-likelihood.
+    Two token-keyed shuffles (global counts, per-doc tf) equi-joined on
+    the token; corpus scalars ride the 1-row broadcast hash join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return Q.unigram_loglik(docs, "doc_id", "text", alpha=0.5)

@@ -322,3 +322,56 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         bit_set = (F.col(f"__s{j}") * 2 > F.col("__n")).cast("long") * (2 ** j)
         hash_expr = bit_set if hash_expr is None else (hash_expr + bit_set)
     return agg.select(F.col(id_col), hash_expr.alias("simhash32"))
+
+
+def line_dedup(df: DataFrame, id_col: str, text_col: str,
+               min_chars: int = 10) -> DataFrame:
+    """Corpus-wide exact line dedup WITH document reconstruction
+    (C4 / RefinedWeb-style boilerplate removal): split each document on
+    newlines, elect one keeper per distinct normalized line across the
+    whole corpus (smallest (doc_id, line_idx) wins), drop every other
+    occurrence, and re-assemble the surviving lines in original order.
+    Lines shorter than `min_chars` after trimming (blank lines, bullets)
+    never participate in dedup and are always kept — removing them would
+    mangle structure, and their duplication is not a training-data
+    signal.
+
+    Scale shape: posexplode is a Generate; the keeper election shuffles
+    md5(line) -> min position (16-byte keys, not line text); mark-back
+    is an equi-join on the same hash (null keys — non-participating
+    lines — never match and fall through as kept); reconstruction
+    re-shuffles on doc_id with collect_list + array_sort, which is
+    per-document state, not a corpus-wide window. Positions encode
+    doc_id * 2^20 + line_idx (valid to 1M-line docs, same convention as
+    span_dedup_stats)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("__idx", "__line"),
+    )
+    participates = F.length(F.trim(F.col("__line"))) >= min_chars
+    lines = lines.select(
+        id_col, "__idx", "__line",
+        (F.col(id_col) * F.lit(1 << 20) + F.col("__idx"))
+        .cast("bigint").alias("__pos"),
+        F.when(participates,
+               F.md5(F.trim(F.lower(F.col("__line"))))).alias("__k"),
+    )
+    keeper = (lines.filter(F.col("__k").isNotNull())
+              .groupBy("__k").agg(F.min("__pos").alias("__keep")))
+    kept = F.col("__keep").isNull() | (F.col("__pos") == F.col("__keep"))
+    return (
+        lines.join(keeper, "__k", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(kept.cast("long")).cast("bigint").alias("n_lines_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(kept, F.struct(F.col("__idx").alias("i"),
+                                              F.col("__line").alias("l"))))),
+                    lambda x: x["l"]),
+                "\n").alias("clean_text"),
+        )
+    )

@@ -192,3 +192,44 @@ def decontaminate(corpus: DataFrame, probes: DataFrame, id_col: str,
             .agg(F.countDistinct("gram").cast("bigint").alias("n_hits"),
                  F.countDistinct("probe_id").cast("bigint")
                   .alias("n_probe_docs")))
+
+
+def unigram_loglik(df: DataFrame, id_col: str, text_col: str,
+                   alpha: float = 0.5) -> DataFrame:
+    """CCNet-style statistical quality score: fit an add-alpha-smoothed
+    unigram language model on the corpus itself, then score every
+    document by its average negative log-likelihood under that model.
+    Low scores = typical text; high scores = rare-token soup (mojibake,
+    code dumps, lorem) — the standard cheap proxy when a real KenLM
+    n-gram model isn't available in-engine.
+
+    Scale shape: one token-keyed shuffle builds the global count table,
+    a second builds per-doc term frequencies; they equi-join on the
+    token (both sides already partitioned by it), and the corpus-wide
+    scalars (total tokens N, vocabulary V) ride the 1-row broadcast
+    hash join from corpus._join_scalar — no collect, no cross join.
+    The emitted double is rounded to 6 places: the per-doc sum order
+    differs across engines, so raw ULPs would not reproduce."""
+    from dbt_fusion_spark.llm.corpus import _join_scalar, tokens
+
+    # Single corpus scan: global token counts DERIVE from the per-doc
+    # tf table (sum of tf == raw count), so the text is tokenized once
+    # and the tf exchange is reused for both branches.
+    toks = tokens(df, id_col, text_col)
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("__tf"))
+    cnt = tf.groupBy("token").agg(F.sum("__tf").alias("__cnt"))
+    scalar = cnt.agg(F.sum("__cnt").alias("__N"),
+                     F.count("*").alias("__V"))
+    scored = _join_scalar(tf.join(cnt, "token"), "__tf", scalar, "__N")
+    logp = F.log((F.col("__cnt") + F.lit(alpha))
+                 / (F.col("__N") + F.lit(alpha) * F.col("__V")))
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("__tf").cast("bigint").alias("n_tokens"),
+             F.sum(F.col("__tf") * logp).alias("__ll"))
+        .select(
+            id_col, "n_tokens",
+            F.round(-F.col("__ll") / F.col("n_tokens"), 6)
+            .alias("avg_neg_loglik"),
+        )
+    )

@@ -436,3 +436,24 @@ def test_repetition_signals_single_doc_keyed_shuffle_chain(spark, sf):
     plan = plan_of(QUERIES["quality_repetition_signals"](spark, sf))
     assert shuffles(plan) <= 2
     assert "Generate" in plan
+
+
+def test_line_dedup_generate_and_bounded_shuffles(spark, sf):
+    """Line dedup: posexplode is a Generate in the scan stage; keeper
+    election + mark-back join + per-doc rebuild = at most three
+    exchanges, and nothing windows over the corpus."""
+    plan = plan_of(QUERIES["dedup_lines_corpus"](spark, sf))
+    assert "Generate" in plan
+    assert shuffles(plan) <= 3
+    assert "Window" not in plan
+
+
+def test_unigram_loglik_reuses_tf_exchange(spark, sf):
+    """Unigram LM score: global counts derive from the per-doc tf
+    table, so at runtime the tf shuffle is reused (ReusedExchange)
+    instead of re-tokenizing the corpus per branch."""
+    df = QUERIES["quality_unigram_loglik"](spark, sf)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -97,3 +97,42 @@ def test_span_dedup_keep_first(spark):
     assert rows[1]["n_dup_spans"] == 0 and rows[1]["n_spans"] == 2
     assert rows[2]["n_dup_spans"] == 1 and rows[2]["dup_span_frac"] == 1.0
     assert rows[3]["n_spans"] == 2 and rows[3]["n_dup_spans"] == 1
+
+
+def test_line_dedup_reconstruction(spark):
+    from dbt_fusion_spark.llm.dedup import line_dedup
+
+    boiler = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [(1, boiler + "\nunique first body line\n" + boiler),
+         (2, boiler + "\nanother distinct body\nok"),   # "ok" too short
+         (3, "UNIQUE FIRST BODY LINE")],  # case-dup of doc 1's body
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            line_dedup(df, "doc_id", "text", min_chars=10).collect()}
+    # doc 1 keeps its first boiler occurrence + body; second boiler drops
+    assert rows[1]["clean_text"] == boiler + "\nunique first body line"
+    assert (rows[1]["n_lines"], rows[1]["n_lines_kept"]) == (3, 2)
+    # doc 2: boiler already seen; short "ok" always kept
+    assert rows[2]["clean_text"] == "another distinct body\nok"
+    # doc 3: body is a normalized dup of doc 1's line -> everything drops
+    assert rows[3]["clean_text"] == ""
+    assert (rows[3]["n_lines"], rows[3]["n_lines_kept"]) == (1, 0)
+
+
+def test_unigram_loglik_hand_computed(spark):
+    import math
+
+    from dbt_fusion_spark.llm.quality import unigram_loglik
+
+    # corpus: "a a b" + "a c" -> counts a=3 b=1 c=1, N=5 V=3 alpha=.5
+    df = spark.createDataFrame([(1, "a a b"), (2, "a c")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            unigram_loglik(df, "doc_id", "text", alpha=0.5).collect()}
+    denom = 5 + 0.5 * 3
+    nll1 = -(2 * math.log(3.5 / denom) + math.log(1.5 / denom)) / 3
+    nll2 = -(math.log(3.5 / denom) + math.log(1.5 / denom)) / 2
+    assert rows[1]["n_tokens"] == 3
+    assert abs(rows[1]["avg_neg_loglik"] - nll1) < 1e-6
+    assert abs(rows[2]["avg_neg_loglik"] - nll2) < 1e-6
