@@ -1398,3 +1398,80 @@ def quality_unigram_loglik(spark, sf_dir):
     the token; corpus scalars ride the 1-row broadcast hash join."""
     docs = load_table(spark, sf_dir, "documents")
     return Q.unigram_loglik(docs, "doc_id", "text", alpha=0.5)
+
+
+# ------------------------------------- semantic dedup / quantization
+
+@register(
+    "dedup_semantic_cells",
+    # same injected-copy corpus as embedding_near_dups: every 50th
+    # vector has an identical +10000 copy, which must be dropped with
+    # its original as the dominator.
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, embedding, label FROM embeddings
+      WHERE vec_id % 50 = 0),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus a JOIN corpus b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_duck_cos('a.embedding', 'b.embedding')} >= 0.95),
+    dom AS (
+      SELECT id_b AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups_lower,
+             MIN(id_a) AS min_dup_id
+      FROM pairs GROUP BY id_b)
+    SELECT c.vec_id, d.vec_id IS NULL AS is_kept,
+           COALESCE(d.n_dups_lower, 0) AS n_dups_lower, d.min_dup_id
+    FROM corpus c LEFT JOIN dom d ON c.vec_id = d.vec_id
+    """,
+)
+def dedup_semantic_cells(spark, sf_dir):
+    """SemDeDup semantic dedup: greedy lowest-id keeper election over
+    cell-blocked cosine near-dup pairs; injected identical copies are
+    dropped with their original as dominator. Blocked self-join ->
+    sparse-pairs groupBy -> left mark-back join; no all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(copies)
+    return S.semantic_dedup(corpus, threshold=0.95)
+
+
+@register(
+    "embedding_quantize_int8",
+    # q_i = floor(x/scale + 0.5) with scale = max|x|/127: pure IEEE
+    # double arithmetic in list order, so the integers are bit-exact
+    # across engines; float diagnostics rounded to 9.
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             list_aggregate(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE))), 'max') AS amax
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, embedding, amax, amax / 127.0 AS scale,
+             CASE WHEN amax > 0 THEN
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) / (amax / 127.0)
+                                 + 0.5) AS INT))
+             ELSE list_transform(embedding, x -> 0) END AS qvec
+      FROM base)
+    SELECT vec_id, CAST(round(scale, 9) AS DOUBLE) AS scale, qvec,
+           CAST(round(list_aggregate(
+             list_transform(generate_series(1, len(embedding)),
+               i -> abs(CAST(embedding[i] AS DOUBLE)
+                        - CAST(qvec[i] AS DOUBLE) * scale)),
+             'max'), 9) AS DOUBLE) AS max_abs_err
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding column:
+    the 100 TB storage path (4x smaller than float32). Pure array
+    expressions — zero shuffles, zero UDFs — with bit-exact integer
+    parity across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.quantize_embeddings(emb, "vec_id", "embedding")

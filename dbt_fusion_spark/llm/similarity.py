@@ -297,3 +297,79 @@ def hyperplane_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+def semantic_dedup(corpus: DataFrame, threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   cell_col: str | None = "label") -> DataFrame:
+    """SemDeDup-style semantic deduplication: a vector is DROPPED when
+    any lower-id vector in its cell is cosine-similar above `threshold`
+    (greedy lowest-id-wins election — the document-level analog of
+    keep-first exact dedup, applied in embedding space). Returns one
+    row per input vector: is_kept, how many lower-id near-dups dominate
+    it, and the smallest dominating id (NULL when kept). `min_dup_id`
+    is the immediate dominator, not a transitive cluster representative
+    — feed the pairs into plans/connected_components for that.
+
+    Scale shape: candidate pairs come from the cell-blocked self-join
+    of embedding_near_dups (never all-pairs when cell_col is set); the
+    election is one groupBy over the (sparse) dup pairs; the mark-back
+    is a left equi-join on the vector id."""
+    pairs = embedding_near_dups(corpus, threshold, id_col, vec_col,
+                                cell_col)
+    dominated = (pairs.groupBy("id_b")
+                 .agg(F.count("*").cast("bigint").alias("n_dups_lower"),
+                      F.min("id_a").alias("min_dup_id"))
+                 .withColumnRenamed("id_b", id_col))
+    return (
+        corpus.select(id_col).join(dominated, id_col, "left")
+        .select(
+            id_col,
+            F.col("min_dup_id").isNull().alias("is_kept"),
+            F.coalesce("n_dups_lower", F.lit(0)).cast("bigint")
+            .alias("n_dups_lower"),
+            "min_dup_id",
+        )
+    )
+
+
+def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage path for
+    embedding columns at 100 TB (4x smaller than float32, 8x smaller
+    than float64, and ANN pre-filters can score int8 directly):
+    scale = max|x| / 127, q_i = floor(x_i / scale + 0.5).
+
+    Everything is a pure column expression over the array (transform /
+    zip_with — no shuffle, no UDF), and every step is deterministic
+    IEEE double arithmetic in list order, so the emitted integers are
+    bit-identical across engines; the float diagnostics (scale,
+    max_abs_err) are rounded to 9 places only as emission hygiene.
+    All-zero vectors get scale 0 and an all-zero qvec (the division is
+    guarded — ANSI mode raises on divide-by-zero)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    df = df.select(
+        id_col, F.col(vec_col),
+        F.array_max(F.transform(v, F.abs)).alias("__amax"),
+    )
+    scale = F.col("__amax") / F.lit(127.0)
+    q = F.when(
+        F.col("__amax") > 0,
+        F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double") / scale + F.lit(0.5))
+                    .cast("int")),
+    ).otherwise(F.transform(F.col(vec_col), lambda x: F.lit(0)))
+    return (
+        df.withColumn("qvec", q)
+        .select(
+            id_col,
+            F.round(scale, 9).alias("scale"),
+            "qvec",
+            F.round(
+                F.array_max(F.zip_with(
+                    F.col(vec_col), F.col("qvec"),
+                    lambda x, qq: F.abs(x.cast("double")
+                                        - qq.cast("double") * scale))),
+                9).alias("max_abs_err"),
+        )
+    )

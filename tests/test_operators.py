@@ -242,3 +242,35 @@ def test_sample_weighted_proportional_and_deterministic(spark):
                                 "k long, w double")
     assert {r["k"] for r in sample_weighted(df2, "w", 3, key="k").collect()} \
         == {3}
+
+
+def test_semantic_dedup_greedy_keeper(spark):
+    from dbt_fusion_spark.llm.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),   # identical pair, cell 0
+         (3, [0.0, 1.0], 0),                       # orthogonal, kept
+         (4, [1.0, 0.0], 1)],                      # same vec, other cell
+        "vec_id long, embedding array<float>, label int")
+    rows = {r["vec_id"]: r for r in
+            semantic_dedup(df, threshold=0.95).collect()}
+    assert rows[1]["is_kept"] and rows[1]["min_dup_id"] is None
+    assert not rows[2]["is_kept"] and rows[2]["min_dup_id"] == 1
+    assert rows[2]["n_dups_lower"] == 1
+    assert rows[3]["is_kept"]
+    assert rows[4]["is_kept"]  # cell blocking: never compared to 1/2
+
+
+def test_quantize_embeddings_exact_ints(spark):
+    from dbt_fusion_spark.llm.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    rows = {r["vec_id"]: r for r in
+            quantize_embeddings(df).collect()}
+    # scale = 1/127; q = floor(x*127 + .5) = [127, -63, 0]
+    assert rows[1]["qvec"] == [127, -63, 0]
+    assert abs(rows[1]["scale"] - 1 / 127) < 1e-9
+    assert rows[1]["max_abs_err"] <= rows[1]["scale"] / 2 + 1e-9
+    assert rows[2]["qvec"] == [0, 0, 0] and rows[2]["scale"] == 0.0

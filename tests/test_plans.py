@@ -457,3 +457,20 @@ def test_unigram_loglik_reuses_tf_exchange(spark, sf):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantize_zero_shuffle_pure_projection(spark, sf):
+    """int8 quantization is per-row array algebra: the plan must be a
+    scan + projection with zero exchanges and no Python eval."""
+    plan = plan_of(QUERIES["embedding_quantize_int8"](spark, sf))
+    assert shuffles(plan) == 0
+    assert "EvalPython" not in plan
+
+
+def test_semantic_dedup_blocked_join(spark, sf):
+    """SemDeDup election: the pair join is blocked on the cell column
+    (an equi-join, never a cartesian/BNLJ all-pairs)."""
+    plan = plan_of(QUERIES["dedup_semantic_cells"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
