@@ -44,6 +44,10 @@ HEADLINE = [
     "decontamination_13gram",
     "quality_repetition_signals",
     "dedup_spans_corpus",
+    "dedup_lines_corpus",
+    "quality_unigram_loglik",
+    "dedup_semantic_cells",
+    "embedding_quantize_int8",
     "pack_sequences_budget",
     # custom relational operators
     "asof_join_last_purchase",
