@@ -203,3 +203,42 @@ def test_stream_stream_join_attribution(spark, tmp_path):
 
     got = {(r["user"], r["ad"]) for r in spark.table("attr_out").collect()}
     assert got == {(1, "ad-1"), (2, "ad-2")}
+
+
+def test_streaming_checkpoint_resumes_with_new_data(spark, sf_small, tmp_path):
+    """Checkpoint recovery with NEW data between runs: the second
+    availableNow run must process only files that arrived after the
+    first run's offsets (incremental progress), ending with exactly the
+    union — no reprocessing, no loss. This is the file-source offset
+    contract a production backfill fleet depends on."""
+    src = tmp_path / "src"
+    src.mkdir()
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "user_id", "event_type")
+    first = events.filter("event_id % 2 = 0")
+    second = events.filter("event_id % 2 = 1")
+    first.write.parquet(str(src / "batch1"))
+
+    schema = first.schema
+    ckpt = str(tmp_path / "ckpt")
+    spark.sql("CREATE DATABASE IF NOT EXISTS streaming_test")
+    spark.sql("DROP TABLE IF EXISTS streaming_test.resume_copy")
+
+    def run():
+        stream = (spark.readStream.schema(schema)
+                  .option("recursiveFileLookup", "true")
+                  .parquet(str(src)))
+        q = streaming_table(stream, lambda df: df,
+                            "streaming_test.resume_copy",
+                            ckpt, trigger={"availableNow": True})
+        q.awaitTermination(120)
+
+    run()
+    n1 = spark.table("streaming_test.resume_copy").count()
+    assert n1 == first.count()
+
+    second.write.parquet(str(src / "batch2"))
+    run()
+    t = spark.table("streaming_test.resume_copy")
+    assert t.count() == events.count()          # union, nothing lost
+    assert t.select("event_id").distinct().count() == events.count()  # no dups
