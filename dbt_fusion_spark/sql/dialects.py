@@ -67,6 +67,10 @@ _RENAMES: dict[str, dict[str, str]] = {
         "ZEROIFNULL": "ZEROIFNULL_",
         # literal delimiter vs Spark's regex split: structural
         "SPLIT": "SPLIT_LITERAL_",
+        # fmt-token mapping (YYYY -> yyyy etc.): structural
+        "TO_CHAR": "TO_CHAR_SF_",
+        "TO_DATE": "TO_DATE_SF_",
+        "TO_TIMESTAMP": "TO_TIMESTAMP_SF_",
     },
     "bigquery": {
         "SAFE_CAST": "TRY_CAST",
@@ -84,6 +88,8 @@ _RENAMES: dict[str, dict[str, str]] = {
         "DATE_DIFF": "BQ_DIFF_",
         "TIMESTAMP_DIFF": "BQ_DIFF_",
         "DATETIME_DIFF": "BQ_DIFF_",
+        # strip IGNORE NULLS (collect_list drops nulls anyway)
+        "ARRAY_AGG": "BQ_ARRAY_AGG_",
         # BQ interval arithmetic: DATE_ADD(x, INTERVAL n DAY). The
         # DATE_ variants return DATE (TIMESTAMPADD yields timestamp,
         # so they re-cast); TIMESTAMP_/DATETIME_ keep the timestamp.
@@ -105,6 +111,8 @@ _RENAMES: dict[str, dict[str, str]] = {
         "LISTAGG": "LISTAGG_",
         "CHARINDEX": "CHARINDEX_",
         "NVL2": "NVL2",
+        "TO_CHAR": "TO_CHAR_SF_",
+        "TO_DATE": "TO_DATE_SF_",
     },
     "trino": {
         "APPROX_DISTINCT": "APPROX_COUNT_DISTINCT",
@@ -223,6 +231,19 @@ _STRUCTURAL = {
         f"TIMESTAMPDIFF({_unquote(a[0])}, {a[1]}, {a[2]})"),
     "TIMESTAMPDIFF_TRINO_": lambda a: (
         f"TIMESTAMPDIFF({_unquote(a[0])}, {a[1]}, {a[2]})"),
+    "TO_CHAR_SF_": lambda a: (
+        f"CAST({a[0]} AS STRING)" if len(a) == 1
+        else f"DATE_FORMAT({a[0]}, {_sf_fmt(a[1])})"),
+    "TO_DATE_SF_": lambda a: (
+        f"TO_DATE({a[0]})" if len(a) == 1
+        else f"TO_DATE({a[0]}, {_sf_fmt(a[1])})"),
+    "TO_TIMESTAMP_SF_": lambda a: (
+        f"TO_TIMESTAMP({a[0]})" if len(a) == 1
+        else f"TO_TIMESTAMP({a[0]}, {_sf_fmt(a[1])})"),
+    "BQ_ARRAY_AGG_": lambda a: (
+        "COLLECT_LIST("
+        + re.sub(r"\s+IGNORE\s+NULLS\s*$", "", a[0],
+                 flags=re.IGNORECASE) + ")"),
 }
 
 
@@ -240,6 +261,124 @@ def _bq_fmt(tok: str) -> str:
     for k, v in _BQ_FMT_MAP.items():
         s = s.replace(k, v)
     return f"'{s}'"
+
+
+# Snowflake/Redshift datetime format tokens -> Spark's (longest first so
+# e.g. HH24 is consumed before HH; MM is identical in both and omitted).
+_SF_FMT_TOKENS = [("YYYY", "yyyy"), ("HH24", "HH"), ("HH12", "hh"),
+                  ("MON", "MMM"), ("DY", "EEE"), ("YY", "yy"),
+                  ("DD", "dd"), ("MI", "mm"), ("SS", "ss")]
+
+
+def _sf_fmt(tok: str) -> str:
+    s = _unquote(tok)
+    for k, v in _SF_FMT_TOKENS:
+        s = re.sub(k, v, s, flags=re.IGNORECASE)
+    return f"'{s}'"
+
+
+# --- Snowflake VARIANT path access: col:a.b[0] -> GET_JSON_OBJECT ------
+
+# base identifier (possibly qualified), ':', then a dotted/indexed path.
+# `::` casts never match: after `x:` the next char is ':' which cannot
+# start a path. Strings/comments are already stashed by _protect.
+_SF_JSONPATH_RE = re.compile(
+    r"(?<![:\w])((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)\s*:\s*"
+    r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*|\[\d+\])*)")
+
+
+def _rewrite_sf_jsonpath(sql: str) -> str:
+    return _SF_JSONPATH_RE.sub(
+        lambda m: f"GET_JSON_OBJECT({m.group(1)}, '$.{m.group(2)}')", sql)
+
+
+def _match_paren(sql: str, open_idx: int) -> int:
+    """Index just past the ')' matching the '(' at open_idx."""
+    depth, i = 1, open_idx + 1
+    while i < len(sql) and depth:
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+        i += 1
+    return i
+
+
+_FLATTEN_RE = re.compile(r",?\s*LATERAL\s+FLATTEN\s*\(", re.IGNORECASE)
+
+
+def _rewrite_flatten(sql: str) -> str:
+    """Snowflake `FROM t, LATERAL FLATTEN(INPUT => t.arr) f` ->
+    `FROM t LATERAL VIEW [OUTER] POSEXPLODE(t.arr) f AS index, value`.
+    Snowflake's `f.index` is 0-based like posexplode's pos, and
+    `f.value` is the element — the two columns models actually use
+    (key/path/seq/this are not emulated). OUTER => TRUE maps to
+    LATERAL VIEW OUTER."""
+    while True:
+        m = _FLATTEN_RE.search(sql)
+        if not m:
+            return sql
+        end = _match_paren(sql, m.end() - 1)
+        args = _split_args(sql[m.end():end - 1])
+        input_expr, outer = None, False
+        for arg in args:
+            kv = re.fullmatch(r"\s*(\w+)\s*=>\s*(.+)\s*", arg, re.DOTALL)
+            if kv and kv.group(1).upper() == "INPUT":
+                input_expr = kv.group(2)
+            elif kv and kv.group(1).upper() == "OUTER":
+                outer = kv.group(2).strip().upper() == "TRUE"
+            elif not kv and input_expr is None:
+                input_expr = arg
+        if input_expr is None:
+            raise ValueError("FLATTEN without an INPUT argument")
+        am = re.match(r"\s*(?!(?:WHERE|GROUP|ORDER|ON|JOIN|INNER|LEFT|"
+                      r"RIGHT|FULL|CROSS|LIMIT|QUALIFY|UNION|HAVING)\b)"
+                      r"([A-Za-z_]\w*)", sql[end:], re.IGNORECASE)
+        alias = am.group(1) if am else "__flat"
+        tail = sql[end + am.end():] if am else sql[end:]
+        sql = (sql[:m.start()]
+               + f" LATERAL VIEW {'OUTER ' if outer else ''}"
+               + f"POSEXPLODE({input_expr}) {alias} AS index, value"
+               + tail)
+
+
+_UNNEST_RE = re.compile(r"CROSS\s+JOIN\s+UNNEST\s*\(", re.IGNORECASE)
+
+
+def _rewrite_unnest(sql: str) -> str:
+    """Trino `CROSS JOIN UNNEST(a) [WITH ORDINALITY] AS t (c...)` ->
+    LATERAL VIEW. One array -> EXPLODE; one array WITH ORDINALITY ->
+    INLINE of (element, 1-based ordinal) structs (Trino ordinality is
+    1-based and LAST in the column list); two arrays -> INLINE of
+    ZIP_WITH structs (both zip to the longest, padding NULL). Other
+    shapes pass through and fail loudly in Spark's parser."""
+    while True:
+        m = _UNNEST_RE.search(sql)
+        if not m:
+            return sql
+        end = _match_paren(sql, m.end() - 1)
+        arrays = _split_args(sql[m.end():end - 1])
+        am = re.match(
+            r"\s*(WITH\s+ORDINALITY\s+)?AS\s+([A-Za-z_]\w*)\s*"
+            r"\(([^)]*)\)", sql[end:], re.IGNORECASE)
+        if not am:
+            return sql  # un-aliased UNNEST: leave for Spark to reject
+        ordinal = am.group(1) is not None
+        alias, cols = am.group(2), _split_args(am.group(3))
+        if len(arrays) == 1 and not ordinal and len(cols) == 1:
+            view = f"EXPLODE({arrays[0]}) {alias} AS {cols[0]}"
+        elif len(arrays) == 1 and ordinal and len(cols) == 2:
+            view = (f"INLINE(TRANSFORM({arrays[0]}, (__e, __i) -> "
+                    f"STRUCT(__e AS {cols[0]}, CAST(__i + 1 AS BIGINT) "
+                    f"AS {cols[1]}))) {alias} AS {cols[0]}, {cols[1]}")
+        elif len(arrays) == 2 and not ordinal and len(cols) == 2:
+            view = (f"INLINE(ZIP_WITH({arrays[0]}, {arrays[1]}, "
+                    f"(__l, __r) -> STRUCT(__l AS {cols[0]}, __r AS "
+                    f"{cols[1]}))) {alias} AS {cols[0]}, {cols[1]}")
+        else:
+            return sql  # unsupported shape: loud failure downstream
+        sql = (sql[:m.start()] + f"LATERAL VIEW {view}"
+               + sql[end + am.end():])
 
 
 _BQ_TYPES = {"INT64": "BIGINT", "FLOAT64": "DOUBLE", "BOOL": "BOOLEAN",
@@ -299,6 +438,11 @@ def translate_sql(sql: str, dialect: str | None) -> str:
         raise ValueError(f"unknown SQL dialect {dialect!r}")
     protected, saved = _protect(sql)
     protected = _rewrite_qualify(protected)
+    if dialect.lower() == "snowflake":
+        protected = _rewrite_flatten(protected)
+        protected = _rewrite_sf_jsonpath(protected)
+    if dialect.lower() == "trino":
+        protected = _rewrite_unnest(protected)
     protected = _rename_functions(protected, mapping)
     if dialect.lower() == "bigquery":
         # BQ type names inside CAST/declarations -> Spark types

@@ -186,7 +186,8 @@ _BOUNDARY_CASES = [
     ("redshift", "SELECT TOP 3 id FROM t"),
     ("redshift", "SELECT CONVERT(INTEGER, s) FROM t"),
     ("redshift", "SELECT id INTO #tmp FROM t"),
-    ("trino", "SELECT x FROM t CROSS JOIN UNNEST(arr) AS u(x)"),
+    # three-array UNNEST stays outside the translated shapes
+    ("trino", "SELECT x FROM t CROSS JOIN UNNEST(arr, arr, arr) AS u(x, y, z)"),
     ("trino", "SELECT TRY(1/0)"),
     ("trino", "SELECT ROW(1, 2)"),
     ("trino", "SELECT MAP(ARRAY[1,2], ARRAY['a','b'])"),
@@ -263,3 +264,69 @@ def test_bigquery_date_arithmetic(spark):
     assert run1(spark, translate_sql(
         "SELECT FORMAT_TIMESTAMP('%Y-%m-%d %H', TIMESTAMP"
         " '2024-05-06 07:08:09')", "bigquery")) == "2024-05-06 07"
+
+
+# --- round-3 additions --------------------------------------------------
+
+
+def test_snowflake_json_path_access(spark):
+    sql = translate_sql(
+        """SELECT v:user.name::string || '-' || v:tags[0]::string
+           FROM (SELECT '{"user": {"name": "ada"}, "tags": ["x"]}' AS v)""",
+        "snowflake")
+    assert run1(spark, sql) == "ada-x"
+
+
+def test_snowflake_json_path_skips_casts(spark):
+    # `::` casts must never be mistaken for a path access
+    sql = translate_sql("SELECT '7'::int + 1", "snowflake")
+    assert run1(spark, sql) == 8
+
+
+def test_snowflake_lateral_flatten(spark):
+    sql = translate_sql(
+        "SELECT t.id, f.index, f.value FROM "
+        "(SELECT 1 AS id, ARRAY_CONSTRUCT('a', 'b') AS arr) t, "
+        "LATERAL FLATTEN(INPUT => t.arr) f",
+        "snowflake")
+    rows = [tuple(r) for r in spark.sql(sql).collect()]
+    assert rows == [(1, 0, "a"), (1, 1, "b")]  # index is 0-based
+
+
+def test_snowflake_to_char_to_date_tokens(spark):
+    sql = translate_sql(
+        "SELECT TO_CHAR(TO_DATE('2024-03-05', 'YYYY-MM-DD'), 'DD/MON/YYYY')",
+        "snowflake")
+    assert run1(spark, sql) == "05/Mar/2024"
+
+
+def test_trino_unnest_single(spark):
+    sql = translate_sql(
+        "SELECT x FROM (SELECT 1) CROSS JOIN UNNEST(ARRAY(10, 20)) AS t (x)",
+        "trino")
+    assert [r["x"] for r in spark.sql(sql).collect()] == [10, 20]
+
+
+def test_trino_unnest_with_ordinality(spark):
+    sql = translate_sql(
+        "SELECT x, n FROM (SELECT 1) "
+        "CROSS JOIN UNNEST(ARRAY(10, 20)) WITH ORDINALITY AS t (x, n)",
+        "trino")
+    rows = [(r["x"], r["n"]) for r in spark.sql(sql).collect()]
+    assert rows == [(10, 1), (20, 2)]  # trino ordinality is 1-based
+
+
+def test_trino_unnest_two_arrays_zip(spark):
+    sql = translate_sql(
+        "SELECT a, b FROM (SELECT 1) "
+        "CROSS JOIN UNNEST(ARRAY(1, 2, 3), ARRAY('x', 'y')) AS t (a, b)",
+        "trino")
+    rows = [(r["a"], r["b"]) for r in spark.sql(sql).collect()]
+    assert rows == [(1, "x"), (2, "y"), (3, None)]  # zip pads to longest
+
+
+def test_bigquery_array_agg_ignore_nulls(spark):
+    sql = translate_sql(
+        "SELECT ARRAY_AGG(x IGNORE NULLS) FROM "
+        "VALUES (1), (NULL), (3) AS t(x)", "bigquery")
+    assert sorted(run1(spark, sql)) == [1, 3]
