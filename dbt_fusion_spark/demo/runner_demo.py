@@ -358,3 +358,58 @@ def runner_full_build_statuses(spark, sf_dir):
             for r in sorted(rr.results, key=lambda r: r.unique_id)]
     spark.sql(f"DROP DATABASE IF EXISTS `{schema}` CASCADE")
     return spark.createDataFrame(rows, "unique_id string, status string")
+
+
+@register(
+    "runner_versioned_models",
+    # deterministic summary of which version each consumer resolved to
+    oracle="""
+    SELECT * FROM (VALUES
+      ('latest', CAST(1 AS BIGINT), 'v2'),
+      ('pinned_v1', CAST(1 AS BIGINT), 'none')
+    ) AS t(which, id, shape)
+    """,
+)
+def runner_versioned_models(spark, sf_dir):
+    """dbt 1.5 versioned models through the runner: `versions:` expands
+    to model.<pkg>.<name>.v<N> nodes with `<name>_v<N>` aliases; an
+    unversioned ref() resolves to latest_version, ref(..., v=1) pins.
+    The result row set proves both resolutions built from the right
+    version's code."""
+    import tempfile
+    from pathlib import Path as _P
+
+    from dbt_fusion_spark.runner import DbtSparkRunner
+
+    proj = _P(tempfile.mkdtemp(prefix="gate_vproj_"))
+    (proj / "models").mkdir()
+    (proj / "dbt_project.yml").write_text(
+        "name: vdemo\nversion: '1.0'\nprofile: spark_local\n"
+        "model-paths: ['models']\n")
+    (proj / "models" / "dim_customers.sql").write_text(
+        "select 1 as id, 'v2' as shape")
+    (proj / "models" / "dim_customers_v1.sql").write_text(
+        "select 1 as id")
+    (proj / "models" / "uses_latest.sql").write_text(
+        "select * from {{ ref('dim_customers') }}")
+    (proj / "models" / "uses_pinned.sql").write_text(
+        "select * from {{ ref('dim_customers', v=1) }}")
+    (proj / "models" / "schema.yml").write_text(
+        "version: 2\nmodels:\n"
+        "  - name: dim_customers\n"
+        "    latest_version: 2\n"
+        "    versions:\n      - v: 1\n      - v: 2\n")
+    schema = f"gate_ver_{uuid.uuid4().hex[:8]}"
+    runner = DbtSparkRunner(
+        spark, str(proj),
+        profile={"schema": schema, "threads": 1, "name": "gate"})
+    rr = runner.run()
+    assert all(r.status in ("success", "pass") for r in rr.results), [
+        (r.unique_id, r.message) for r in rr.results]
+    out = spark.sql(
+        f"SELECT 'latest' AS which, id, shape FROM `{schema}`.`uses_latest` "
+        f"UNION ALL "
+        f"SELECT 'pinned_v1', id, 'none' FROM `{schema}`.`uses_pinned`")
+    result = spark.createDataFrame(out.collect(), out.schema)
+    spark.sql(f"DROP DATABASE IF EXISTS `{schema}` CASCADE")
+    return result

@@ -247,11 +247,16 @@ def _common_context(project, node) -> dict[str, Any]:
     }
 
 
-def resolve_ref_uid(project, node, *args) -> str | None:
+def resolve_ref_uid(project, node, *args, v=None, version=None) -> str | None:
     """dbt ref() resolution order (resolver.rs package search): the
     two-arg form ref('pkg', 'name') targets a package explicitly; the
     one-arg form searches the referencing node's own package, then the
-    root project, then any single package defining the name."""
+    root project, then any single package defining the name.
+
+    Versioned models (dbt 1.5): ref('m', v=2) pins version 2
+    (uid model.<pkg>.m.v2); an unversioned ref to a versioned model
+    resolves to its latest_version."""
+    ver = v if v is not None else version
     name = args[-1]
     rts = ("model", "seed", "snapshot")
     if len(args) == 2:
@@ -261,12 +266,24 @@ def resolve_ref_uid(project, node, *args) -> str | None:
             [getattr(node, "package", None) or project.name, project.name]))
     for pkg in pkgs:
         for rt in rts:
+            if ver is not None:
+                uid = f"{rt}.{pkg}.{name}.v{ver}"
+                if uid in project.nodes:
+                    return uid
+                continue
             uid = f"{rt}.{pkg}.{name}"
             if uid in project.nodes:
                 return uid
+            latest = f"{rt}.{pkg}.{name}.v"
+            for u, n in project.nodes.items():
+                if (u.startswith(latest) and n.name == name
+                        and n.version == n.latest_version):
+                    return u
     # fall back: unique match across all packages
     hits = [u for u, n in project.nodes.items()
-            if n.name == name and n.resource_type in rts]
+            if n.name == name and n.resource_type in rts
+            and (n.version == ver if ver is not None
+                 else n.version in (None, n.latest_version))]
     return hits[0] if len(hits) == 1 else None
 
 
@@ -296,8 +313,8 @@ def parse_node(project, node) -> None:
         node.depends_on = list(dict.fromkeys(resolved))
         return
 
-    def ref(*args):
-        uid = resolve_ref_uid(project, node, *args)
+    def ref(*args, **kwargs):
+        uid = resolve_ref_uid(project, node, *args, **kwargs)
         if uid is None:
             raise CompileError(f"{node.unique_id}: unknown ref {args[-1]!r}")
         deps.append(uid)
@@ -359,8 +376,8 @@ def compile_node(project, node, relation_for, adapter=None,
             return cte
         return relation_for(uid)
 
-    def ref(*args):
-        uid = resolve_ref_uid(project, node, *args)
+    def ref(*args, **kwargs):
+        uid = resolve_ref_uid(project, node, *args, **kwargs)
         if uid is None:
             raise CompileError(f"{node.unique_id}: unknown ref {args[-1]!r}")
         return resolve(uid)

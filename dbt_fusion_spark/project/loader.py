@@ -306,6 +306,46 @@ def _resolve_semantic_deps(proj: Project) -> None:
             node.depends_on = list(deps)
 
 
+def _expand_model_versions(proj: Project, model: dict) -> list:
+    """dbt 1.5 versioned models: each `versions:` entry becomes its own
+    node `model.<pkg>.<name>.v<v>` with default alias `<name>_v<v>`.
+    Version v's code comes from `defined_in`, else `<name>_v<v>.sql`,
+    else the shared `<name>.sql`; the raw per-file nodes consumed this
+    way are retired so only versioned uids remain selectable.
+    `latest_version` defaults to the last declared entry and is what an
+    unversioned ref() resolves to (environment.resolve_ref_uid)."""
+    name = model["name"]
+    entries = model["versions"]
+    latest = model.get("latest_version", entries[-1]["v"])
+    out, consumed = [], set()
+    for entry in entries:
+        v = entry["v"]
+        for stem in ([entry["defined_in"]] if entry.get("defined_in")
+                     else [f"{name}_v{v}", name]):
+            src = proj.nodes.get(f"model.{proj.name}.{stem}")
+            if src is not None and src.version is None:
+                break
+        else:
+            raise ValueError(
+                f"versioned model {name} v{v}: no model file "
+                f"({name}_v{v}.sql / {name}.sql / defined_in)")
+        consumed.add(src.unique_id)
+        uid = f"model.{proj.name}.{name}.v{v}"
+        cfg = dict(src.config)
+        cfg.update(entry.get("config") or {})
+        node = Node(
+            unique_id=uid, name=name, resource_type="model",
+            package=proj.name, path=src.path, raw_code=src.raw_code,
+            config=cfg, version=v, latest_version=latest,
+            alias=cfg.get("alias") or f"{name}_v{v}",
+        )
+        proj.nodes[uid] = node
+        out.append(node)
+    for uid in consumed:
+        proj.nodes.pop(uid, None)
+    return out
+
+
 _TEST_BUILDERS = {"unique", "not_null", "accepted_values", "relationships"}
 
 
@@ -348,15 +388,19 @@ def _load_schema_yml(proj: Project, path: Path) -> None:
             proj.sources[uid] = node
 
     for model in doc.get("models", []) or []:
-        uid = f"model.{proj.name}.{model['name']}"
-        node = proj.nodes.get(uid)
-        if node is not None:
+        if model.get("versions"):
+            targets = _expand_model_versions(proj, model)
+        else:
+            targets = [n for n in
+                       [proj.nodes.get(f"model.{proj.name}.{model['name']}")]
+                       if n is not None]
+        for node in targets:
             node.description = _render_description(
                 proj, model.get("description", ""))
-        if node is not None and model.get("constraints"):
-            node.config["model_constraints"] = model["constraints"]
+            if model.get("constraints"):
+                node.config["model_constraints"] = model["constraints"]
         for col in model.get("columns", []) or []:
-            if node is not None:
+            for node in targets:
                 node.columns[col["name"]] = {
                     "description": _render_description(
                         proj, col.get("description", "")),

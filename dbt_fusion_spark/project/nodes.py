@@ -44,6 +44,12 @@ class Node:
     # source-specific
     source_name: str | None = None
     loader_meta: dict[str, Any] = field(default_factory=dict)
+    # model versions (dbt 1.5 versioned models; reference
+    # dbt-schemas nodes.rs model `version`/`latest_version` fields):
+    # version is set only on nodes expanded from a `versions:` YAML
+    # block; unique_id becomes model.<pkg>.<name>.v<version>
+    version: int | str | None = None
+    latest_version: int | str | None = None
     # filled at compile/run time
     compiled_code: str | None = None
     schema: str | None = None
@@ -89,4 +95,6 @@ class Node:
             "columns": self.columns,
             "schema": self.schema,
             "alias": self.identifier,
+            "version": self.version,
+            "latest_version": self.latest_version,
         }

@@ -675,3 +675,55 @@ def test_source_location_change_reregisters(spark, tmp_path):
         n = spark.table("tpch_raw.orders").count()
         want = spark.read.parquet(f"/root/testdata/sf{sf}/orders.parquet").count()
         assert n == want, f"sf{sf}: source reads {n} rows, want {want}"
+
+
+def test_versioned_models(spark, tmp_path):
+    """dbt 1.5 versioned models: versions expand to their own nodes
+    (model.pkg.name.vN, alias name_vN), unversioned ref() resolves to
+    latest_version, ref(..., v=N) pins a version, and the retired
+    per-file nodes are gone from the graph."""
+    proj = tmp_path / "vproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text(
+        "name: vdemo\nversion: '1.0'\nprofile: spark_local\n"
+        "model-paths: ['models']\n")
+    (proj / "models" / "dim_customers.sql").write_text(
+        "select 1 as id, 'v2' as shape")
+    (proj / "models" / "dim_customers_v1.sql").write_text(
+        "select 1 as id")
+    (proj / "models" / "uses_latest.sql").write_text(
+        "select * from {{ ref('dim_customers') }}")
+    (proj / "models" / "uses_pinned.sql").write_text(
+        "select * from {{ ref('dim_customers', v=1) }}")
+    (proj / "models" / "schema.yml").write_text(
+        "version: 2\nmodels:\n"
+        "  - name: dim_customers\n"
+        "    latest_version: 2\n"
+        "    description: customer dimension\n"
+        "    versions:\n"
+        "      - v: 1\n"
+        "      - v: 2\n")
+    r = DbtSparkRunner(spark, str(proj),
+                       profile={"schema": "vdemo", "threads": 1,
+                                "name": "dev"})
+    rr = r.run()
+    assert rr.ok, [(x.unique_id, x.message) for x in rr.results
+                   if x.status not in ("success", "pass")]
+    nodes = r.project.nodes
+    assert "model.vdemo.dim_customers.v1" in nodes
+    assert "model.vdemo.dim_customers.v2" in nodes
+    assert "model.vdemo.dim_customers" not in nodes      # retired
+    assert "model.vdemo.dim_customers_v1" not in nodes   # consumed
+    assert nodes["model.vdemo.dim_customers.v2"].latest_version == 2
+    assert nodes["model.vdemo.dim_customers.v2"].description \
+        == "customer dimension"
+    # default aliases carry the version suffix
+    assert spark.table("vdemo.dim_customers_v2").columns == ["id", "shape"]
+    assert spark.table("vdemo.dim_customers_v1").columns == ["id"]
+    # unversioned ref -> latest (v2); pinned ref -> v1
+    assert spark.table("vdemo.uses_latest").columns == ["id", "shape"]
+    assert spark.table("vdemo.uses_pinned").columns == ["id"]
+    assert ("model.vdemo.dim_customers.v2"
+            in nodes["model.vdemo.uses_latest"].depends_on)
+    assert ("model.vdemo.dim_customers.v1"
+            in nodes["model.vdemo.uses_pinned"].depends_on)
