@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_spans_corpus",
     "dedup_lines_corpus",
     "quality_unigram_loglik",
+    "corpus_dsir_logweights",
     "dedup_semantic_cells",
     "embedding_quantize_int8",
     "pack_sequences_budget",

@@ -1475,3 +1475,52 @@ def embedding_quantize_int8(spark, sf_dir):
     parity across engines."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.quantize_embeddings(emb, "vec_id", "embedding")
+
+
+@register(
+    "corpus_dsir_logweights",
+    # target = the English slice; raw = the whole corpus. Hashed-unigram
+    # histograms with add-0.5 smoothing over 1024 md5 buckets.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               AS token
+      FROM documents),
+    tok2 AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5('42|' || token), 1, 8) AS BIGINT)
+               % 1024 AS b
+      FROM tok WHERE token <> ''),
+    tgt AS (
+      SELECT t.b, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM tok2 t JOIN documents d USING (doc_id)
+      WHERE d.lang = 'en' GROUP BY t.b),
+    tf AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok2 GROUP BY doc_id, b),
+    hist AS (
+      SELECT r.b, r.cr, COALESCE(tgt.ct, 0) AS ct
+      FROM (SELECT b, CAST(SUM(tf) AS BIGINT) AS cr
+            FROM tf GROUP BY b) r
+      LEFT JOIN tgt USING (b)),
+    totals AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+                      CAST(SUM(ct) AS BIGINT) AS nt FROM hist)
+    SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           CAST(round(SUM(tf.tf * (
+             ln((hist.ct + 0.5) / (totals.nt + 0.5 * 1024))
+             - ln((hist.cr + 0.5) / (totals.nr + 0.5 * 1024)))), 6)
+             AS DOUBLE) AS log_weight
+    FROM tf JOIN hist USING (b) CROSS JOIN totals
+    GROUP BY tf.doc_id
+    """,
+)
+def corpus_dsir_logweights(spark, sf_dir):
+    """DSIR importance weights toward the English-language slice:
+    hashed-unigram bucket histograms (portable md5 buckets), per-doc
+    log importance ratio. The resampling step is sample_weighted over
+    exp(log_weight)."""
+    from dbt_fusion_spark.llm.corpus import dsir_logweights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_logweights(docs, docs.filter(F.col("lang") == "en"),
+                           "doc_id", "text", n_buckets=1024)

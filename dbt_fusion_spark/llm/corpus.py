@@ -148,3 +148,54 @@ def rebalance_domains(df: DataFrame, domain_col: str, key_col: str,
         )
         .drop("__frac")
     )
+
+
+def dsir_logweights(raw: DataFrame, target: DataFrame, id_col: str,
+                    text_col: str, n_buckets: int = 1024,
+                    alpha: float = 0.5, seed: int = 42) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): estimate hashed
+    n-gram (here: unigram) bucket distributions for the TARGET domain
+    and the RAW corpus, then score every raw document by its
+    log-importance ratio  sum_b tf_b * ln(p_target(b) / p_raw(b)).
+    High log_weight = looks like the target domain; feed the output to
+    sample_weighted for the resampling step.
+
+    Bucketing uses the engine-portable md5 unit hash mod n_buckets, so
+    weights are exactly reproducible in any engine with md5 (the 100 TB
+    property: independent of partitioning and of Spark's hash seed).
+
+    Scale shape: one bucket-keyed shuffle per corpus for the histograms
+    (the raw histogram DERIVES from the per-doc tf table — single scan,
+    exchange reuse); the bucket join is equi on at most n_buckets rows
+    per side; corpus totals ride 1-row broadcast hash joins. The
+    emitted double is rounded to 6 (sum-order ULP hygiene)."""
+    def bucket(token_col):
+        h = F.conv(F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), token_col)), 1, 8),
+            16, 10).cast("bigint")
+        return F.pmod(h, F.lit(n_buckets))
+
+    raw_toks = tokens(raw, id_col, text_col)
+    tf = (raw_toks.select(id_col, bucket(F.col("token")).alias("__b"))
+          .groupBy(id_col, "__b").agg(F.count("*").alias("__tf")))
+    raw_hist = tf.groupBy("__b").agg(F.sum("__tf").alias("__cr"))
+    tgt_hist = (tokens(target, id_col, text_col)
+                .select(bucket(F.col("token")).alias("__b"))
+                .groupBy("__b").agg(F.count("*").alias("__ct")))
+    hist = (raw_hist.join(tgt_hist, "__b", "left")
+            .withColumn("__ct", F.coalesce("__ct", F.lit(0))))
+    n_raw = hist.agg(F.sum("__cr").alias("__nr"))
+    n_tgt = hist.agg(F.sum("__ct").alias("__nt"))
+    scored = _join_scalar(tf.join(hist, "__b"), "__tf", n_raw, "__nr")
+    scored = _join_scalar(scored, "__tf", n_tgt, "__nt")
+    denom = F.lit(alpha) * F.lit(n_buckets)
+    ratio = (F.log((F.col("__ct") + F.lit(alpha))
+                   / (F.col("__nt") + denom))
+             - F.log((F.col("__cr") + F.lit(alpha))
+                     / (F.col("__nr") + denom)))
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("__tf").cast("bigint").alias("n_tokens"),
+             F.round(F.sum(F.col("__tf") * ratio), 6).alias("log_weight"))
+    )

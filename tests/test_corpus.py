@@ -162,3 +162,26 @@ def test_bm25_ranking_sanity(spark):
     assert out[0]["n_terms_matched"] == 2
     by_id = {r["doc_id"]: r["bm25"] for r in out}
     assert by_id[1] > by_id[2]             # higher tf, same dl -> higher
+
+
+def test_dsir_logweights_direction(spark):
+    """Docs matching the target domain must score higher than docs
+    that don't; weights are finite and deterministic."""
+    from dbt_fusion_spark.llm.corpus import dsir_logweights
+
+    raw = spark.createDataFrame(
+        [(1, "alpha beta alpha beta"), (2, "gamma delta gamma delta"),
+         (3, "alpha beta gamma")],
+        "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(10, "alpha beta alpha"), (11, "beta alpha beta")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            dsir_logweights(raw, target, "doc_id", "text",
+                            n_buckets=64).collect()}
+    assert rows[1]["log_weight"] > rows[3]["log_weight"] > rows[2]["log_weight"]
+    assert rows[1]["n_tokens"] == 4
+    again = {r["doc_id"]: r["log_weight"] for r in
+             dsir_logweights(raw, target, "doc_id", "text",
+                             n_buckets=64).collect()}
+    assert again == {k: v["log_weight"] for k, v in rows.items()}

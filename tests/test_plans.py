@@ -474,3 +474,13 @@ def test_semantic_dedup_blocked_join(spark, sf):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_dsir_no_bnlj_no_window(spark, sf):
+    """DSIR weights: histograms and scalars are equi/broadcast-hash
+    joins — no BNLJ, no corpus window; tokenization is a Generate."""
+    plan = plan_of(QUERIES["corpus_dsir_logweights"](spark, sf))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "Generate" in plan
