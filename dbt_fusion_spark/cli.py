@@ -38,6 +38,9 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--defer", action="store_true")
         sp.add_argument("--threads", type=int, default=None)
         sp.add_argument("--full-refresh", action="store_true")
+        sp.add_argument("--empty", action="store_true",
+                        help="schema-only dry run: model inputs limited "
+                             "to zero rows")
         return sp
 
     for name in ("run", "test", "build", "seed", "snapshot", "compile",
@@ -46,8 +49,11 @@ def _build_parser() -> argparse.ArgumentParser:
     ls = common(sub.add_parser("list", aliases=["ls"]))
     ls.add_argument("--output", choices=["name", "json"], default="name")
     show = common(sub.add_parser("show"))
-    show.add_argument("model")
+    show.add_argument("model", nargs="?")
     show.add_argument("--limit", type=int, default=5)
+    show.add_argument("--inline", default=None,
+                      help="SQL to preview instead of a model (supports "
+                           "ref()/source())")
     op = common(sub.add_parser("run-operation"))
     op.add_argument("macro")
     op.add_argument("--args", default=None)
@@ -186,7 +192,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 print(uid)
         return 0
     if cmd == "show":
-        table = runner.show(args.model, limit=args.limit)
+        table = runner.show(args.model, limit=args.limit,
+                            inline=args.inline)
         print(" | ".join(table.column_names))
         for row in table.rows:
             print(" | ".join(str(v) for v in row))
@@ -261,7 +268,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         full_refresh=args.full_refresh, threads=args.threads,
         state_dir=args.state, defer=args.defer,
         include_tests=(cmd in ("test", "build")),
-        resource_types=_RESOURCE_TYPES[cmd])
+        resource_types=_RESOURCE_TYPES[cmd],
+        empty=getattr(args, "empty", False))
     return _print_results(rr)
 
 

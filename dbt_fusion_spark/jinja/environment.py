@@ -360,10 +360,15 @@ def parse_node(project, node) -> None:
 
 def compile_node(project, node, relation_for, adapter=None,
                  is_incremental: bool = False,
-                 extra_ctx: dict[str, Any] | None = None) -> str:
+                 extra_ctx: dict[str, Any] | None = None,
+                 empty: bool = False) -> str:
     """Second render: ref/source emit relation names; ephemeral deps
-    inline as CTEs (compile_node_context.rs; __dbt__cte__ naming)."""
+    inline as CTEs (compile_node_context.rs; __dbt__cte__ naming).
+    empty=True is the dbt `--empty` dry run: every ref/source input is
+    wrapped `(select * from rel where false)` so the node builds with
+    its real schema and zero rows."""
     ephemeral_ctes: dict[str, str] = {}
+    empty_n = [0]
 
     def resolve(uid: str) -> str:
         target = project.nodes.get(uid) or project.sources.get(uid)
@@ -371,10 +376,16 @@ def compile_node(project, node, relation_for, adapter=None,
             cte = f"__dbt__cte__{target.name}"
             if cte not in ephemeral_ctes:
                 ephemeral_ctes[cte] = compile_node(
-                    project, target, relation_for, adapter, False
+                    project, target, relation_for, adapter, False,
+                    empty=empty,
                 )
             return cte
-        return relation_for(uid)
+        rel = relation_for(uid)
+        if empty:
+            empty_n[0] += 1
+            return (f"(select * from {rel} where false) "
+                    f"__dbt_empty_{empty_n[0]}")
+        return rel
 
     def ref(*args, **kwargs):
         uid = resolve_ref_uid(project, node, *args, **kwargs)

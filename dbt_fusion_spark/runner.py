@@ -166,7 +166,9 @@ class DbtSparkRunner:
 
     def compile(self, node, is_incremental: bool = False) -> str:
         sql = compile_node(self.project, node, self.relation_for,
-                           adapter=self.adapter, is_incremental=is_incremental)
+                           adapter=self.adapter, is_incremental=is_incremental,
+                           empty=getattr(self, "_empty", False)
+                           and node.resource_type == "model")
         # dialect translation AFTER jinja render (dbt-sql lexers in the
         # reference; node `dialect:` config wins over project flag)
         dialect = node.config.get("dialect") or self.project.flags.get(
@@ -185,7 +187,11 @@ class DbtSparkRunner:
             defer: bool = False,
             selector: str | None = None,
             resource_types: set[str] | None = None,
-            uids: set[str] | None = None) -> RunResults:
+            uids: set[str] | None = None,
+            empty: bool = False) -> RunResults:
+        # dbt --empty: schema-only dry run — model inputs are wrapped
+        # to zero rows at compile time (environment.compile_node)
+        self._empty = empty
         if not self._parsed:
             self.parse()
         t_start = time.perf_counter()
@@ -764,14 +770,25 @@ class DbtSparkRunner:
         node.schema = self.project.default_schema
         return self.compile(node)
 
-    def show(self, name: str, limit: int = 5):
-        """`dbt show`: compile the model inline and preview rows as a
+    def show(self, name: str | None = None, limit: int = 5,
+             inline: str | None = None):
+        """`dbt show`: compile the model (or an --inline SQL snippet
+        with full ref()/source() support) and preview rows as a
         driver-side agate table (§2.6 — the only collect in the
         engine's API surface, and it is LIMIT-bounded)."""
         if not self._parsed:
             self.parse()
-        node = self.project.nodes[f"model.{self.project.name}.{name}"]
-        sql = self.compile(node)
+        if inline is not None:
+            from dbt_fusion_spark.project.nodes import Node
+            node = Node(
+                unique_id=f"model.{self.project.name}.__dbt_inline",
+                name="__dbt_inline", resource_type="model",
+                package=self.project.name, path="", raw_code=inline)
+            node.schema = self.project.default_schema
+            sql = self.compile(node)
+        else:
+            node = self.project.nodes[f"model.{self.project.name}.{name}"]
+            sql = self.compile(node)
         return self.adapter.run_query(
             f"SELECT * FROM (\n{sql}\n) __dbt_show", limit=limit)
 

@@ -727,3 +727,38 @@ def test_versioned_models(spark, tmp_path):
             in nodes["model.vdemo.uses_latest"].depends_on)
     assert ("model.vdemo.dim_customers.v1"
             in nodes["model.vdemo.uses_pinned"].depends_on)
+
+
+def test_empty_flag_schema_only_dry_run(spark, tmp_path):
+    """dbt --empty: models build with their real schema and zero rows
+    (every ref/source input wrapped `where false`); a subsequent real
+    run over the same project fills them."""
+    proj = tmp_path / "eproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text(
+        "name: edemo\nversion: '1.0'\nprofile: spark_local\n"
+        "model-paths: ['models']\n"
+        "models:\n  edemo:\n    +materialized: table\n")
+    (proj / "models" / "base.sql").write_text(
+        "select * from values (1, 'a'), (2, 'b') as t(id, tag)")
+    (proj / "models" / "derived.sql").write_text(
+        "select id, tag from {{ ref('base') }} where id > 0")
+    r = DbtSparkRunner(spark, str(proj),
+                       profile={"schema": "edemo", "threads": 1,
+                                "name": "dev"})
+    rr = r.run(empty=True)
+    assert rr.ok
+    # base has no refs -> built in full; derived's input was emptied
+    assert spark.table("edemo.derived").columns == ["id", "tag"]
+    assert spark.table("edemo.derived").count() == 0
+    rr2 = r.run()
+    assert rr2.ok
+    assert spark.table("edemo.derived").count() == 2
+
+
+def test_show_inline(spark):
+    table = DbtSparkRunner(
+        spark, PROJECT,
+        profile={"schema": "showinline", "threads": 1, "name": "dev"},
+    ).show(inline="select 1 as one union all select 2", limit=5)
+    assert sorted(r[0] for r in table.rows) == [1, 2]
