@@ -252,7 +252,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         runner.parse()
         outdir = Path(args.project_dir) / "target" / "compiled"
         for uid, node in runner.project.nodes.items():
-            if (node.resource_type != "model"
+            if (node.resource_type not in ("model", "analysis")
                     or node.config.get("language") == "python"):
                 continue
             sql = runner.compile(node)

@@ -89,6 +89,9 @@ class Project:
     on_run_end: list[str] = field(default_factory=list)
     # exposures from schema.yml (nodes.rs exposures map) — manifest-only
     exposures: dict[str, dict] = field(default_factory=dict)
+    # groups (nodes.rs groups map): name -> {owner...}; model `group:` +
+    # `access:` gate private refs (enforced in runner.parse)
+    groups: dict[str, dict] = field(default_factory=dict)
     # names declared via {% test %} blocks in macro paths
     custom_tests: set[str] = field(default_factory=set)
     # {% docs %} block name -> body, from .md files in docs/model paths
@@ -163,6 +166,7 @@ def load_project(root: str | Path, profile: dict | None = None,
     seed_paths = cfg.get("seed-paths", ["seeds"])
     snapshot_paths = cfg.get("snapshot-paths", ["snapshots"])
     macro_paths = cfg.get("macro-paths", ["macros"])
+    analysis_paths = cfg.get("analysis-paths", ["analyses"])
 
     # --- macros (project macro-paths + installed packages) ---
     # package macros load first so project macros of the same name win
@@ -265,6 +269,21 @@ def load_project(root: str | Path, profile: dict | None = None,
             proj.nodes[uid] = Node(
                 unique_id=uid, name=f.stem, resource_type="seed",
                 package=name, path=str(f.relative_to(root)), config=conf,
+            )
+
+    # --- analyses (nodes.rs analyses map): compile-only SQL — they
+    # parse (dep capture) and `dbt compile` renders them, but the
+    # runner never executes them ---
+    for ap in analysis_paths:
+        base = root / ap
+        if not base.exists():
+            continue
+        for f in sorted(base.rglob("*.sql")):
+            uid = f"analysis.{name}.{f.stem}"
+            proj.nodes[uid] = Node(
+                unique_id=uid, name=f.stem, resource_type="analysis",
+                package=name, path=str(f.relative_to(root)),
+                raw_code=f.read_text(),
             )
 
     # --- snapshots ({% snapshot %} blocks, parser.rs:920-933 block tags) ---
@@ -387,6 +406,9 @@ def _load_schema_yml(proj: Project, path: Path) -> None:
             )
             proj.sources[uid] = node
 
+    for grp in doc.get("groups", []) or []:
+        proj.groups[grp["name"]] = {"owner": grp.get("owner") or {}}
+
     for model in doc.get("models", []) or []:
         if model.get("versions"):
             targets = _expand_model_versions(proj, model)
@@ -399,6 +421,9 @@ def _load_schema_yml(proj: Project, path: Path) -> None:
                 proj, model.get("description", ""))
             if model.get("constraints"):
                 node.config["model_constraints"] = model["constraints"]
+            for key in ("group", "access"):
+                if model.get(key):
+                    node.config[key] = model[key]
         for col in model.get("columns", []) or []:
             for node in targets:
                 node.columns[col["name"]] = {

@@ -25,7 +25,8 @@ from pyspark.sql import SparkSession
 
 from dbt_fusion_spark.adapter import SparkAdapter
 from dbt_fusion_spark.dag import Dag, select_by_definition, select_nodes
-from dbt_fusion_spark.jinja import compile_node, parse_node
+from dbt_fusion_spark.jinja import (CompileError, compile_node,
+                                    parse_node)
 from dbt_fusion_spark.materializations.executors import (
     materialize_clone,
     materialize_function,
@@ -98,7 +99,7 @@ class DbtSparkRunner:
 
         proj = self.project
         for node in proj.nodes.values():
-            if node.resource_type in ("model", "snapshot"):
+            if node.resource_type in ("model", "snapshot", "analysis"):
                 parse_node(proj, node)
             node.schema = node.config.get("schema") or proj.default_schema
         # generic-test args holding ref()/source() (relationships `to:`)
@@ -116,6 +117,23 @@ class DbtSparkRunner:
                         proj, node, *[a for a in m.groups() if a])
                     if uid and uid not in node.depends_on:
                         node.depends_on.append(uid)
+        # model access enforcement (dbt 1.5 groups; nodes.rs groups
+        # map): a `private` model may only be ref'd from its own group.
+        # `protected` (the default) stays pass-through — within one
+        # installation cross-package refs are legal; only cross-PROJECT
+        # mesh refs would gate on it, and there is one project here.
+        for node in proj.nodes.values():
+            if node.resource_type != "model":
+                continue  # analyses/tests are project-internal ad-hoc
+            for dep_uid in node.depends_on:
+                dep = proj.nodes.get(dep_uid)
+                if dep is None or dep.config.get("access") != "private":
+                    continue
+                grp = dep.config.get("group")
+                if grp and node.config.get("group") != grp:
+                    raise CompileError(
+                        f"{node.unique_id} cannot ref private model "
+                        f"{dep_uid} (group {grp!r})")
         self.dag = Dag({uid: n.depends_on for uid, n in proj.nodes.items()})
         self._parsed = True
 
@@ -238,10 +256,12 @@ class DbtSparkRunner:
             # None and executes everything DAG-ordered.
             selected = {u for u in selected
                         if proj.nodes[u].resource_type in resource_types}
-        # semantic-layer nodes are manifest/selection-only, never executed
+        # semantic-layer nodes are manifest/selection-only, never
+        # executed; analyses are compile-only (nodes.rs analyses map)
         selected = {u for u in selected
                     if proj.nodes[u].resource_type not in
-                    ("semantic_model", "metric", "saved_query")}
+                    ("semantic_model", "metric", "saved_query",
+                     "analysis")}
         threads = threads or proj.profile.get("threads", 4)
         results: dict[str, NodeResult] = {}
         failed: set[str] = set()

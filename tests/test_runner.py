@@ -762,3 +762,47 @@ def test_show_inline(spark):
         profile={"schema": "showinline", "threads": 1, "name": "dev"},
     ).show(inline="select 1 as one union all select 2", limit=5)
     assert sorted(r[0] for r in table.rows) == [1, 2]
+
+
+def test_analyses_and_group_access(spark, tmp_path):
+    """Analyses are compile-only nodes (dep-captured, never executed);
+    a private model may only be ref'd from its own group."""
+    proj = tmp_path / "gproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "analyses").mkdir()
+    (proj / "dbt_project.yml").write_text(
+        "name: gdemo\nversion: '1.0'\nprofile: spark_local\n"
+        "model-paths: ['models']\nanalysis-paths: ['analyses']\n")
+    (proj / "models" / "internal.sql").write_text("select 1 as id")
+    (proj / "models" / "same_group.sql").write_text(
+        "select * from {{ ref('internal') }}")
+    (proj / "analyses" / "adhoc.sql").write_text(
+        "select count(*) from {{ ref('internal') }}")
+    (proj / "models" / "schema.yml").write_text(
+        "version: 2\n"
+        "groups:\n  - name: finance\n    owner: {name: fin-team}\n"
+        "models:\n"
+        "  - name: internal\n    group: finance\n    access: private\n"
+        "  - name: same_group\n    group: finance\n")
+    r = DbtSparkRunner(spark, str(proj),
+                       profile={"schema": "gdemo", "threads": 1,
+                                "name": "dev"})
+    rr = r.run()
+    assert rr.ok
+    assert r.project.groups == {"finance": {"owner": {"name": "fin-team"}}}
+    # analysis parsed with deps but never materialized
+    ana = r.project.nodes["analysis.gdemo.adhoc"]
+    assert "model.gdemo.internal" in ana.depends_on
+    assert not spark.catalog.tableExists("gdemo.adhoc")
+    assert {x.unique_id for x in rr.results} == {
+        "model.gdemo.internal", "model.gdemo.same_group"}
+    # cross-group ref of the private model fails at parse
+    (proj / "models" / "outsider.sql").write_text(
+        "select * from {{ ref('internal') }}")
+    from dbt_fusion_spark.jinja import CompileError
+    import pytest as _pytest
+    r2 = DbtSparkRunner(spark, str(proj),
+                        profile={"schema": "gdemo", "threads": 1,
+                                 "name": "dev"})
+    with _pytest.raises(CompileError, match="private"):
+        r2.parse()
