@@ -1517,10 +1517,12 @@ def embedding_quantize_int8(spark, sf_dir):
 def corpus_dsir_logweights(spark, sf_dir):
     """DSIR importance weights toward the English-language slice:
     hashed-unigram bucket histograms (portable md5 buckets), per-doc
-    log importance ratio. The resampling step is sample_weighted over
-    exp(log_weight)."""
+    log importance ratio. Uses the single-scan target_flag path (the
+    target is a marked subset of the corpus); the resampling step is
+    sample_weighted over exp(log_weight)."""
     from dbt_fusion_spark.llm.corpus import dsir_logweights
 
-    docs = load_table(spark, sf_dir, "documents")
-    return dsir_logweights(docs, docs.filter(F.col("lang") == "en"),
-                           "doc_id", "text", n_buckets=1024)
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__is_en", F.col("lang") == "en")
+    return dsir_logweights(docs, None, "doc_id", "text", n_buckets=1024,
+                           target_flag="__is_en")

@@ -150,9 +150,10 @@ def rebalance_domains(df: DataFrame, domain_col: str, key_col: str,
     )
 
 
-def dsir_logweights(raw: DataFrame, target: DataFrame, id_col: str,
+def dsir_logweights(raw: DataFrame, target: DataFrame | None, id_col: str,
                     text_col: str, n_buckets: int = 1024,
-                    alpha: float = 0.5, seed: int = 42) -> DataFrame:
+                    alpha: float = 0.5, seed: int = 42,
+                    target_flag: str | None = None) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): estimate hashed
     n-gram (here: unigram) bucket distributions for the TARGET domain
@@ -160,6 +161,12 @@ def dsir_logweights(raw: DataFrame, target: DataFrame, id_col: str,
     log-importance ratio  sum_b tf_b * ln(p_target(b) / p_raw(b)).
     High log_weight = looks like the target domain; feed the output to
     sample_weighted for the resampling step.
+
+    The target is given EITHER as a separate DataFrame (`target`; any
+    corpus, tokenized in its own pass) OR as a boolean `target_flag`
+    column on `raw` (target ⊆ raw, the common case) — the flag path
+    tokenizes the corpus ONCE and derives both histograms from the same
+    per-doc tf table.
 
     Bucketing uses the engine-portable md5 unit hash mod n_buckets, so
     weights are exactly reproducible in any engine with md5 (the 100 TB
@@ -179,12 +186,24 @@ def dsir_logweights(raw: DataFrame, target: DataFrame, id_col: str,
     raw_toks = tokens(raw, id_col, text_col)
     tf = (raw_toks.select(id_col, bucket(F.col("token")).alias("__b"))
           .groupBy(id_col, "__b").agg(F.count("*").alias("__tf")))
-    raw_hist = tf.groupBy("__b").agg(F.sum("__tf").alias("__cr"))
-    tgt_hist = (tokens(target, id_col, text_col)
-                .select(bucket(F.col("token")).alias("__b"))
-                .groupBy("__b").agg(F.count("*").alias("__ct")))
-    hist = (raw_hist.join(tgt_hist, "__b", "left")
-            .withColumn("__ct", F.coalesce("__ct", F.lit(0))))
+    if target_flag is not None:
+        # target ⊆ raw marked by a boolean column: both histograms come
+        # from the SAME tf table joined to the per-doc flag — the corpus
+        # is tokenized once and the tf exchange is reused (at 100 TB the
+        # second full-text scan of the generic path dominates).
+        flags = raw.select(id_col, F.col(target_flag).alias("__flag"))
+        hist = (tf.join(flags, id_col)
+                .groupBy("__b")
+                .agg(F.sum("__tf").alias("__cr"),
+                     F.sum(F.when(F.col("__flag"), F.col("__tf"))
+                           .otherwise(F.lit(0))).alias("__ct")))
+    else:
+        raw_hist = tf.groupBy("__b").agg(F.sum("__tf").alias("__cr"))
+        tgt_hist = (tokens(target, id_col, text_col)
+                    .select(bucket(F.col("token")).alias("__b"))
+                    .groupBy("__b").agg(F.count("*").alias("__ct")))
+        hist = (raw_hist.join(tgt_hist, "__b", "left")
+                .withColumn("__ct", F.coalesce("__ct", F.lit(0))))
     n_raw = hist.agg(F.sum("__cr").alias("__nr"))
     n_tgt = hist.agg(F.sum("__ct").alias("__nt"))
     scored = _join_scalar(tf.join(hist, "__b"), "__tf", n_raw, "__nr")

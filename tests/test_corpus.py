@@ -185,3 +185,26 @@ def test_dsir_logweights_direction(spark):
              dsir_logweights(raw, target, "doc_id", "text",
                              n_buckets=64).collect()}
     assert again == {k: v["log_weight"] for k, v in rows.items()}
+
+
+def test_dsir_flag_path_equals_dataframe_path(spark):
+    """The single-scan target_flag path must produce exactly the
+    generic two-corpus path's weights when target == flagged subset."""
+    from pyspark.sql import functions as F
+
+    from dbt_fusion_spark.llm.corpus import dsir_logweights
+
+    raw = spark.createDataFrame(
+        [(1, "alpha beta alpha", "en"), (2, "gamma delta", "fr"),
+         (3, "alpha gamma", "en"), (4, "delta delta beta", "fr")],
+        "doc_id long, text string, lang string")
+    via_df = dsir_logweights(raw, raw.filter("lang = 'en'"),
+                             "doc_id", "text", n_buckets=64)
+    via_flag = dsir_logweights(
+        raw.withColumn("__f", F.col("lang") == "en"), None,
+        "doc_id", "text", n_buckets=64, target_flag="__f")
+    a = {r["doc_id"]: (r["n_tokens"], r["log_weight"])
+         for r in via_df.collect()}
+    b = {r["doc_id"]: (r["n_tokens"], r["log_weight"])
+         for r in via_flag.collect()}
+    assert a == b
