@@ -157,3 +157,73 @@ def test_span_dedup_invariants(spark, lens):
         for _, text in rows
         for k in range(math.ceil(len(text.split()) / 10))})
     assert kept_total == distinct_spans  # exactly one keeper per span text
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["the quick brown fox", "jumps over dogs",
+                              "pack my box with jugs", "ok", ""]),
+             min_size=1, max_size=5),
+    min_size=1, max_size=8))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_line_dedup_invariants(spark, texts):
+    """(1) kept-line accounting: n_lines_kept == lines(clean_text)
+    whenever any line survives; (2) every distinct long line survives
+    EXACTLY once corpus-wide; (3) short lines always survive."""
+    from dbt_fusion_spark.llm.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(texts)],
+        "doc_id long, text string")
+    rows = line_dedup(df, "doc_id", "text", min_chars=10).collect()
+    assert len(rows) == len(texts)
+    surviving: dict[str, int] = {}
+    all_kept: list[str] = []
+    for r in rows:
+        # a clean_text of "" is either zero kept lines or one kept
+        # EMPTY line — n_lines_kept disambiguates
+        if r["n_lines_kept"] == 0:
+            assert r["clean_text"] == ""
+            kept = []
+        else:
+            kept = r["clean_text"].split("\n")
+            assert r["n_lines_kept"] == len(kept)
+        all_kept.extend(kept)
+        for line in kept:
+            if len(line.strip()) >= 10:
+                key = line.strip().lower()
+                surviving[key] = surviving.get(key, 0) + 1
+    all_long = {ln.strip().lower() for lines in texts for ln in lines
+                if len(ln.strip()) >= 10}
+    assert surviving == {k: 1 for k in all_long}
+    # short lines all survive: totals match input
+    n_short_in = sum(1 for lines in texts for ln in lines
+                     if len(ln.strip()) < 10)
+    n_short_out = sum(1 for ln in all_kept if len(ln.strip()) < 10)
+    assert n_short_out == n_short_in
+
+
+@given(vecs=st.lists(
+    st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False,
+                       width=32),
+             min_size=1, max_size=8),
+    min_size=1, max_size=10))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_quantize_roundtrip_error_bound(spark, vecs):
+    """Symmetric int8 quantization: every component's reconstruction
+    error is <= scale/2 (+eps), q values lie in [-127, 127], and
+    all-zero vectors quantize to zeros with scale 0."""
+    from dbt_fusion_spark.llm.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for i, v in enumerate(vecs):
+        r = rows[i]
+        assert all(-127 <= q <= 127 for q in r["qvec"])
+        if max(abs(x) for x in v) == 0:
+            assert r["scale"] == 0.0 and set(r["qvec"]) == {0}
+        else:
+            assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9
