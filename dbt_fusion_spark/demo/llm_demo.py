@@ -1526,3 +1526,76 @@ def corpus_dsir_logweights(spark, sf_dir):
         "__is_en", F.col("lang") == "en")
     return dsir_logweights(docs, None, "doc_id", "text", n_buckets=1024,
                            target_flag="__is_en")
+
+
+# ----------------------------------------------- events: funnel/cohort
+
+_sql_query(
+    "events_funnel_conversion",
+    # step reached = first occurrence of the step AT OR AFTER the
+    # previous step's first occurrence (NULL comparisons fall out as 0)
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id),
+    flags AS (
+      SELECT user_id,
+             CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
+             CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                  THEN 1 ELSE 0 END AS s2,
+             CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                       AND t_signup >= t_click THEN 1 ELSE 0 END AS s3,
+             CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                       AND t_signup >= t_click AND t_buy >= t_signup
+                  THEN 1 ELSE 0 END AS s4
+      FROM firsts)
+    SELECT step, step_order, n_users FROM (
+      SELECT 'view' AS step, 1 AS step_order,
+             CAST(SUM(s1) AS BIGINT) AS n_users FROM flags
+      UNION ALL
+      SELECT 'click', 2, CAST(SUM(s2) AS BIGINT) FROM flags
+      UNION ALL
+      SELECT 'signup', 3, CAST(SUM(s3) AS BIGINT) FROM flags
+      UNION ALL
+      SELECT 'purchase', 4, CAST(SUM(s4) AS BIGINT) FROM flags
+    ) f
+    """,
+)
+
+_sql_query(
+    "events_cohort_retention",
+    # Spark side: datediff(end, start) day difference of week-truncated
+    # dates / 7 (exact multiple, so the int cast is safe)
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id),
+    base AS (
+      SELECT e.user_id,
+             CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+             CAST(datediff(CAST(date_trunc('week', e.ts) AS DATE),
+                           CAST(date_trunc('week', f.first_ts) AS DATE))
+                  / 7 AS INT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT cohort_week, week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
+    FROM base GROUP BY cohort_week, week_offset
+    """,
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id),
+    base AS (
+      SELECT e.user_id,
+             CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+             CAST((CAST(date_trunc('week', e.ts) AS DATE)
+                   - CAST(date_trunc('week', f.first_ts) AS DATE))
+                  / 7 AS INT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT cohort_week, week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
+    FROM base GROUP BY cohort_week, week_offset
+    """,
+)
