@@ -107,3 +107,56 @@ def kmv_distinct_events(spark, sf_dir):
     full sort."""
     ev = load_table(spark, sf_dir, "events")
     return K.kmv_distinct_estimate(ev, "event_id", k=1024)
+
+
+@register(
+    "kmv_set_estimates_events",
+    # union/intersection estimates of the clicker vs purchaser user
+    # sets from two mergeable KMV sketches (k=256): the oracle restates
+    # the identical hash-top-k algebra, so the ESTIMATES match
+    # bit-for-bit even though they are approximations.
+    oracle="""
+    WITH ha AS (
+      SELECT DISTINCT CAST('0x' || substring(
+               md5('42|' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+             AS h
+      FROM events WHERE event_type = 'click'),
+    hb AS (
+      SELECT DISTINCT CAST('0x' || substring(
+               md5('42|' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+             AS h
+      FROM events WHERE event_type = 'purchase'),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+    uk AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) u
+           ORDER BY h LIMIT 256),
+    marked AS (
+      SELECT uk.h,
+             CASE WHEN ka.h IS NOT NULL AND kb.h IS NOT NULL
+                  THEN 1 ELSE 0 END AS in_both
+      FROM uk LEFT JOIN ka ON uk.h = ka.h LEFT JOIN kb ON uk.h = kb.h),
+    agg AS (SELECT MAX(h) AS kth_min, COUNT(*) AS n_kept,
+                   SUM(in_both) AS n_both FROM marked),
+    est AS (
+      SELECT CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+                  ELSE CAST(n_kept - 1 AS DOUBLE) * 4294967296.0
+                       / CAST(kth_min AS DOUBLE) END AS eu,
+             CAST(n_both AS DOUBLE) / CAST(n_kept AS DOUBLE) AS rho
+      FROM agg)
+    SELECT CAST(round(eu, 6) AS DOUBLE) AS est_union,
+           CAST(round(rho * eu, 6) AS DOUBLE) AS est_intersection,
+           CAST(round(rho, 9) AS DOUBLE) AS jaccard
+    FROM est
+    """,
+)
+def kmv_set_estimates_events(spark, sf_dir):
+    """Mergeable-sketch set algebra: KMV sketches of the clicker and
+    purchaser user sets combine (union-the-hashes, keep k smallest)
+    into union/intersection distinct estimates — the fleet pattern of
+    sketch-per-shard-then-merge, reproducible on any engine with md5."""
+    ev = load_table(spark, sf_dir, "events")
+    a = K.kmv_sketch(ev.filter(F.col("event_type") == "click"),
+                     "user_id", k=256)
+    b = K.kmv_sketch(ev.filter(F.col("event_type") == "purchase"),
+                     "user_id", k=256)
+    return K.kmv_set_estimates(a, b, k=256)

@@ -73,3 +73,50 @@ def kmv_distinct_estimate(df: DataFrame, cols: str | Sequence[str],
             * F.lit(float(HASH_SPACE)) / F.col("kth_min").cast("double")
         ).alias("est_distinct"),
     )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 1024) -> DataFrame:
+    """Merge KMV sketches: union the hash sets, keep the k smallest.
+    The merged sketch is EXACTLY the sketch of the unioned data — the
+    property that lets a fleet sketch per shard/day and combine without
+    rescanning (HLL's engine-private registers never compose across
+    engines; this does)."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("h").agg(F.lit(1).alias("__one")) \
+                 .drop("__one").orderBy("h").limit(k)
+
+
+def kmv_set_estimates(a: DataFrame, b: DataFrame,
+                      k: int = 1024) -> DataFrame:
+    """Union/intersection distinct estimates from two KMV sketches
+    (Beyer et al. 2007 §4): with K = the k smallest hashes of A ∪ B,
+    |A ∪ B| is the plain KMV estimate over K, and the Jaccard
+    resemblance rho ≈ |K ∩ A-sketch ∩ B-sketch| / |K| gives
+    |A ∩ B| = rho * |A ∪ B|. One row: (est_union, est_intersection,
+    jaccard). Exact when both inputs carry fewer than k hashes."""
+    ka = a.select(F.col("h").alias("ha"))
+    kb = b.select(F.col("h").alias("hb"))
+    union_k = kmv_merge(a, b, k=k)
+    marked = (union_k
+              .join(ka, union_k["h"] == ka["ha"], "left")
+              .join(kb, union_k["h"] == kb["hb"], "left")
+              .select("h", (F.col("ha").isNotNull()
+                            & F.col("hb").isNotNull()).alias("__both")))
+    agg = marked.agg(
+        F.max("h").alias("kth_min"),
+        F.count("h").alias("n_kept"),
+        F.sum(F.col("__both").cast("long")).alias("n_both"),
+    )
+    est_union = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        (F.col("n_kept") - 1).cast("double")
+        * F.lit(float(HASH_SPACE)) / F.col("kth_min").cast("double"))
+    rho = F.col("n_both").cast("double") / F.col("n_kept").cast("double")
+    return agg.select(
+        F.round(est_union, 6).alias("est_union"),
+        F.round(rho * est_union, 6).alias("est_intersection"),
+        F.round(rho, 9).alias("jaccard"),
+    )

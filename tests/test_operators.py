@@ -274,3 +274,34 @@ def test_quantize_embeddings_exact_ints(spark):
     assert abs(rows[1]["scale"] - 1 / 127) < 1e-9
     assert rows[1]["max_abs_err"] <= rows[1]["scale"] / 2 + 1e-9
     assert rows[2]["qvec"] == [0, 0, 0] and rows[2]["scale"] == 0.0
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """Mergeability, the defining KMV property: merge(sketch(A),
+    sketch(B)) must equal sketch(A ∪ B) exactly."""
+    from dbt_fusion_spark.llm.sketch import kmv_merge, kmv_sketch
+
+    a = spark.range(0, 500).withColumnRenamed("id", "v")
+    b = spark.range(300, 900).withColumnRenamed("id", "v")
+    k = 64
+    merged = sorted(r["h"] for r in
+                    kmv_merge(kmv_sketch(a, "v", k), kmv_sketch(b, "v", k),
+                              k=k).collect())
+    direct = sorted(r["h"] for r in
+                    kmv_sketch(a.unionByName(b), "v", k).collect())
+    assert merged == direct
+
+
+def test_kmv_set_estimates_accuracy(spark):
+    """Union/intersection estimates land within the ~1/sqrt(k) band of
+    the true cardinalities (true union 900, intersection 200)."""
+    from dbt_fusion_spark.llm.sketch import kmv_set_estimates, kmv_sketch
+
+    a = spark.range(0, 500).withColumnRenamed("id", "v")
+    b = spark.range(300, 900).withColumnRenamed("id", "v")
+    k = 256
+    r = kmv_set_estimates(kmv_sketch(a, "v", k), kmv_sketch(b, "v", k),
+                          k=k).collect()[0]
+    assert abs(r["est_union"] - 900) / 900 < 0.25
+    assert abs(r["est_intersection"] - 200) / 200 < 0.45
+    assert 0 <= r["jaccard"] <= 1
