@@ -208,3 +208,14 @@ def test_dsir_flag_path_equals_dataframe_path(spark):
     b = {r["doc_id"]: (r["n_tokens"], r["log_weight"])
          for r in via_flag.collect()}
     assert a == b
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Regression: a 200-node chain (diameter 199) must converge within
+    the default max_iter — one-hop label propagation needed O(diameter)
+    rounds; the star algorithm is O(log^2 n)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long")
+    comp = {r["node"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert comp == {i: 0 for i in range(200)}
