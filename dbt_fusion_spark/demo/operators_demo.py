@@ -160,3 +160,50 @@ def kmv_set_estimates_events(spark, sf_dir):
     b = K.kmv_sketch(ev.filter(F.col("event_type") == "purchase"),
                      "user_id", k=256)
     return K.kmv_set_estimates(a, b, k=256)
+
+
+@register(
+    "events_gapfill_locf",
+    # sparse per-user daily purchase totals -> complete daily spine per
+    # user with last-observation-carried-forward fill
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS spend
+      FROM events
+      WHERE event_type = 'purchase' AND user_id % 7 = 0
+      GROUP BY user_id, date_trunc('day', ts)),
+    bounds AS (
+      SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+      FROM daily GROUP BY user_id),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi,
+                                             INTERVAL 1 DAY)) AS day
+      FROM bounds),
+    joined AS (
+      SELECT s.user_id, s.day, d.spend
+      FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day)
+    SELECT user_id, day,
+           last_value(spend IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spend,
+           spend IS NULL AS is_gap
+    FROM joined
+    """,
+)
+def events_gapfill_locf(spark, sf_dir):
+    """Hypertable-style gap filling: per-user daily purchase series
+    completed over each user's own span (sequence+explode spine, no
+    global calendar cross join), LOCF via a key-partitioned running
+    window — the time_bucket_gapfill primitive Spark lacks."""
+    from dbt_fusion_spark.plans.timeseries import gapfill
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 7 == 0))
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)"))
+          .cast("double").alias("spend"))
+    return gapfill(daily, "user_id", "day", "spend",
+                   step="1 day", method="locf")

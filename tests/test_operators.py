@@ -305,3 +305,36 @@ def test_kmv_set_estimates_accuracy(spark):
     assert abs(r["est_union"] - 900) / 900 < 0.25
     assert abs(r["est_intersection"] - 200) / 200 < 0.45
     assert 0 <= r["jaccard"] <= 1
+
+
+def test_gapfill_methods(spark):
+    from dbt_fusion_spark.plans.timeseries import gapfill
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (1, "2024-01-04", 40.0),
+         (2, "2024-01-02", 5.0)],
+        "k long, day string, v double").select(
+        "k", F.to_timestamp("day").alias("day"), "v")
+    locf = {(r["k"], str(r["day"].date())): (r["v"], r["is_gap"])
+            for r in gapfill(df, "k", "day", "v").collect()}
+    assert locf[(1, "2024-01-01")] == (10.0, False)
+    assert locf[(1, "2024-01-02")] == (10.0, True)   # carried forward
+    assert locf[(1, "2024-01-03")] == (10.0, True)
+    assert locf[(1, "2024-01-04")] == (40.0, False)
+    assert locf[(2, "2024-01-02")] == (5.0, False)   # single point
+    assert len(locf) == 5
+    zero = {(r["k"], str(r["day"].date())): r["v"]
+            for r in gapfill(df, "k", "day", "v", method="zero").collect()}
+    assert zero[(1, "2024-01-02")] == 0.0
+
+
+def test_gapfill_no_single_partition_window(spark):
+    from dbt_fusion_spark.plans.timeseries import gapfill
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", 1.0)], "k long, day string, v double"
+    ).select("k", F.to_timestamp("day").alias("day"), "v")
+    plan = gapfill(df, "k", "day", "v")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "Generate" in plan  # sequence+explode spine
