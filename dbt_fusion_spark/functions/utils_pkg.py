@@ -110,8 +110,56 @@ def make_namespace(adapter=None):
     def safe_add(fields: Sequence[str]) -> str:
         return " + ".join(f"coalesce({f}, 0)" for f in fields)
 
+    def safe_subtract(fields: Sequence[str]) -> str:
+        return " - ".join(f"coalesce({f}, 0)" for f in fields)
+
     def safe_divide(numerator: str, denominator: str) -> str:
         return f"({numerator}) / nullif(({denominator}), 0)"
+
+    def deduplicate(relation, partition_by: str, order_by: str) -> str:
+        """Keep row 1 per partition — the dbt-utils QUALIFY pattern,
+        emitted as the subquery form Spark executes directly."""
+        return (
+            f"select * except (_dbt_dedup_rn) from ("
+            f"select *, row_number() over (partition by {partition_by} "
+            f"order by {order_by}) as _dbt_dedup_rn from {relation}"
+            f") where _dbt_dedup_rn = 1"
+        )
+
+    def unpivot(relation, cast_to: str = "string",
+                exclude: Sequence[str] = (), remove: Sequence[str] = (),
+                field_name: str = "field_name",
+                value_name: str = "value") -> str:
+        """Columns -> rows via a stacked UNION ALL (the dbt-utils
+        shape; adapter-introspected column list)."""
+        if adapter is None:
+            return "SELECT 1 AS __dbt_parse_stub WHERE 1 = 0"
+        cols = [c.name for c in adapter.get_columns_in_relation(str(relation))]
+        excl = {e.lower() for e in exclude or ()}
+        rm = {r.lower() for r in remove or ()}
+        keep = [c for c in cols if c.lower() in excl]
+        melt = [c for c in cols
+                if c.lower() not in excl and c.lower() not in rm]
+        selects = []
+        for c in melt:
+            parts = [f"`{k}`" for k in keep]
+            parts.append(f"cast('{c}' as string) as {field_name}")
+            parts.append(f"cast(`{c}` as {cast_to}) as {value_name}")
+            selects.append(f"select {', '.join(parts)} from {relation}")
+        return "\nunion all\n".join(selects)
+
+    def haversine_distance(lat1: str, lon1: str, lat2: str, lon2: str,
+                           unit: str = "mi") -> str:
+        radius = 3963.190592 if unit == "mi" else 6378.137
+        return (
+            f"2 * {radius} * asin(sqrt("
+            f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+            f"cos(radians({lat1})) * cos(radians({lat2})) * "
+            f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)))"
+        )
+
+    def width_bucket(expr: str, min_value, max_value, num_buckets) -> str:
+        return f"width_bucket({expr}, {min_value}, {max_value}, {num_buckets})"
 
     from dbt_fusion_spark.functions import crossdb
 
@@ -125,7 +173,12 @@ def make_namespace(adapter=None):
         group_by=group_by,
         slugify=slugify,
         safe_add=safe_add,
+        safe_subtract=safe_subtract,
         safe_divide=safe_divide,
+        deduplicate=deduplicate,
+        unpivot=unpivot,
+        haversine_distance=haversine_distance,
+        width_bucket=width_bucket,
         # shared with the dbt.* namespace
         date_spine=crossdb.date_spine,
         dateadd=crossdb.dateadd,

@@ -29,6 +29,14 @@ def runner(tmp_path_factory, spark):
     (models / "union_model.sql").write_text(
         "{{ dbt_utils.union_relations([ref('stg_customers'), "
         "ref('stg_orders')]) }}\n")
+    (models / "dedup_model.sql").write_text(
+        "{% set base %}(select status, order_date from "
+        "{{ ref('stg_orders') }}) b{% endset %}\n"
+        "{{ dbt_utils.deduplicate(base, partition_by='status', "
+        "order_by='order_date') }}\n")
+    (models / "unpivot_model.sql").write_text(
+        "{{ dbt_utils.unpivot(ref('stg_orders'), cast_to='string', "
+        "exclude=['order_id']) }}\n")
     (models / "colvals_model.sql").write_text(
         "select order_id, status from {{ ref('stg_orders') }}\n"
         "where status in (\n"
@@ -167,3 +175,28 @@ def test_utils_generic_tests(spark, sf_small):
     assert run_test(spark, test_relationships_where(
         "orders", "o_custkey", "customer", "c_custkey",
         to_condition="c_custkey < 100")).status == "fail"
+
+
+def test_deduplicate_one_row_per_key(runner, spark):
+    t = spark.table("dutils.dedup_model")
+    assert t.count() == t.select("status").distinct().count()
+    assert "_dbt_dedup_rn" not in t.columns
+
+
+def test_unpivot_melts_columns(runner, spark):
+    t = spark.table("dutils.unpivot_model")
+    assert set(t.columns) == {"order_id", "field_name", "value"}
+    src = spark.table("dutils.stg_orders")
+    n_melted = len(src.columns) - 1  # all but the excluded key
+    assert t.count() == src.count() * n_melted
+
+
+def test_haversine_and_width_bucket(runner, spark):
+    ns = __import__("dbt_fusion_spark.functions.utils_pkg",
+                    fromlist=["make_namespace"]).make_namespace()
+    # London -> Paris ~= 214 mi
+    d = spark.sql(f"SELECT {ns.haversine_distance('51.5074', '-0.1278', '48.8566', '2.3522')} AS d").collect()[0]["d"]
+    assert abs(d - 214) < 5
+    b = spark.sql(f"SELECT {ns.width_bucket('7', 0, 10, 5)} AS b").collect()[0]["b"]
+    assert b == 4
+    assert ns.safe_subtract(["a", "b"]) == "coalesce(a, 0) - coalesce(b, 0)"
