@@ -1599,3 +1599,38 @@ _sql_query(
     FROM base GROUP BY cohort_week, week_offset
     """,
 )
+
+
+@register(
+    "streaming_dedup_keys",
+    # duplicate every event (two staged copies), stream through
+    # watermarked dedup, emit ONLY the key: the surviving key SET is
+    # deterministic no matter which physical row each key kept.
+    oracle="SELECT DISTINCT event_id FROM events",
+)
+def streaming_dedup_keys(spark, sf_dir):
+    """Oracle-verified STREAMING dedup: dropDuplicatesWithinWatermark
+    over a stream carrying every event twice must emit each key exactly
+    once — bounded state (watermark-expired), exactly-once key set."""
+    import tempfile
+    import uuid
+
+    from dbt_fusion_spark.streaming import streaming_dedup
+
+    # watermarks require session-tz TIMESTAMP; the source reads
+    # TIMESTAMP_NTZ (nanos fix), so normalize before staging
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"))
+    staging = tempfile.mkdtemp(prefix="dfs-sdedup-src-")
+    ev.unionByName(ev).write.mode("overwrite").parquet(staging)
+    stream = spark.readStream.schema(ev.schema).parquet(staging)
+    name = f"sdedup_{uuid.uuid4().hex[:8]}"
+    q = (streaming_dedup(stream, ["event_id"], event_time="ts",
+                         watermark="365 days")
+         .select("event_id")
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="dfs-sdedup-ckpt-"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -372,7 +372,8 @@ def test_chunking_no_shuffle(spark, sf):
 # planned-only inspection isn't meaningful or cheap for them.
 _EXECUTING = {
     "incremental_microbatch", "streaming_stateful_sessions",
-    "streaming_windowed_rollup", "runner_python_model_pipeline",
+    "streaming_windowed_rollup", "streaming_dedup_keys",
+    "runner_python_model_pipeline",
     "runner_seed_typed_load", "runner_materialized_view",
     "runner_clone_contents",
 }
