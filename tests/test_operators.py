@@ -338,3 +338,34 @@ def test_gapfill_no_single_partition_window(spark):
         .executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "Generate" in plan  # sequence+explode spine
+
+
+def test_zorder_layout_prunes_both_dimensions(spark):
+    """Z-order clustering: per-partition min/max envelopes must be
+    compact in BOTH dimensions — a single-column sort leaves the other
+    dimension's envelope at ~full width in every partition."""
+    import itertools
+
+    from dbt_fusion_spark.plans.layout import zorder_layout
+
+    n = 4096
+    rows = [(float(i % 64), float(i // 64)) for i in range(n)]
+    df = spark.createDataFrame(rows, "x double, y double")
+
+    def avg_extents(out, parts):
+        pid = F.spark_partition_id()
+        ext = (out.withColumn("p", pid).groupBy("p")
+               .agg((F.max("x") - F.min("x")).alias("ex"),
+                    (F.max("y") - F.min("y")).alias("ey")).collect())
+        return (sum(r["ex"] for r in ext) / len(ext),
+                sum(r["ey"] for r in ext) / len(ext))
+
+    zx, zy = avg_extents(zorder_layout(df, ["x", "y"], 16), 16)
+    sx, sy = avg_extents(
+        df.repartitionByRange(16, "x").sortWithinPartitions("x"), 16)
+    # single-column layout: x tight, y spans the full 0..63 domain
+    assert sx < 8 and sy > 55
+    # z-order: BOTH dimensions compact (every partition a small tile)
+    assert zx < 32 and zy < 32
+    # layout must not change the data
+    assert zorder_layout(df, ["x", "y"], 16).count() == n
