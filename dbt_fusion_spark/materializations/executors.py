@@ -133,12 +133,37 @@ def materialize_view(adapter: SparkAdapter, schema: str, name: str, sql: str) ->
 
 def materialize_table(adapter: SparkAdapter, schema: str, name: str, sql: str,
                       partition_by=None, bucket_by=None, buckets=None,
-                      file_format: str | None = None) -> str:
+                      file_format: str | None = None,
+                      zorder_by=None) -> str:
     target = _rel(schema, name, RelationType.Table)
     tmp = _rel(schema, name + "__dbt_tmp", RelationType.Table)
     adapter.drop_relation(tmp)
-    create_table_as(adapter, tmp, sql, partition_by, bucket_by, buckets,
-                    file_format)
+    if zorder_by:
+        # Delta's `OPTIMIZE ... ZORDER BY` analog for plain tables:
+        # cluster the write on the Morton curve of the configured
+        # columns so file-level min/max statistics prune multi-
+        # predicate scans (plans/layout.py). DataFrame write path —
+        # mutually exclusive with bucketing (a bucketed table pins its
+        # own hash layout).
+        if bucket_by:
+            raise ValueError("zorder_by and bucket_by are mutually "
+                             "exclusive on a table materialization")
+        from dbt_fusion_spark.plans.layout import zorder_layout
+
+        spark = adapter.spark
+        cols = ([zorder_by] if isinstance(zorder_by, str)
+                else list(zorder_by))
+        n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        df = zorder_layout(spark.sql(sql), cols, n_partitions=n)
+        writer = df.write.format((file_format or "parquet").lower())
+        if partition_by:
+            pb = ([partition_by] if isinstance(partition_by, str)
+                  else list(partition_by))
+            writer = writer.partitionBy(*pb)
+        writer.mode("overwrite").saveAsTable(tmp.render())
+    else:
+        create_table_as(adapter, tmp, sql, partition_by, bucket_by, buckets,
+                        file_format)
     swap_in(adapter, tmp, target)
     return "CREATE TABLE"
 

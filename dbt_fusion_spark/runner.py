@@ -414,7 +414,8 @@ class DbtSparkRunner:
                                         node.config.get("partition_by"),
                                         node.config.get("bucket_by"),
                                         node.config.get("buckets"),
-                                        node.config.get("file_format"))
+                                        node.config.get("file_format"),
+                                        node.config.get("zorder_by"))
             elif mat == "materialized_view":
                 out = materialize_materialized_view(
                     self.adapter, node.schema, node.identifier, sql,

@@ -806,3 +806,35 @@ def test_analyses_and_group_access(spark, tmp_path):
                                  "name": "dev"})
     with _pytest.raises(CompileError, match="private"):
         r2.parse()
+
+
+def test_table_zorder_by_config(spark, tmp_path):
+    """+zorder_by on a table materialization clusters the written files
+    on the Morton curve; data and schema are unchanged."""
+    proj = tmp_path / "zproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text(
+        "name: zdemo\nversion: '1.0'\nprofile: spark_local\n"
+        "model-paths: ['models']\n")
+    (proj / "models" / "grid.sql").write_text(
+        "{{ config(materialized='table', zorder_by=['x', 'y']) }}\n"
+        "select cast(id % 64 as double) as x,\n"
+        "       cast(id div 64 as double) as y\n"
+        "from range(4096)")
+    r = DbtSparkRunner(spark, str(proj),
+                       profile={"schema": "zdemo", "threads": 1,
+                                "name": "dev"})
+    rr = r.run()
+    assert rr.ok, [(x.unique_id, x.message) for x in rr.results]
+    from pyspark.sql import functions as F
+
+    t = spark.table("zdemo.grid")
+    assert t.count() == 4096
+    assert set(t.columns) == {"x", "y"}
+    # files are clustered: per-file x/y envelopes are tiles, not strips
+    ext = (t.withColumn("f", F.input_file_name()).groupBy("f")
+           .agg((F.max("x") - F.min("x")).alias("ex"),
+                (F.max("y") - F.min("y")).alias("ey")).collect())
+    if len(ext) > 4:  # enough files for the property to show
+        assert sum(r["ex"] for r in ext) / len(ext) < 48
+        assert sum(r["ey"] for r in ext) / len(ext) < 48
