@@ -1634,3 +1634,52 @@ def streaming_dedup_keys(spark, sf_dir):
          .trigger(availableNow=True).start())
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@register(
+    "decontamination_containment",
+    # probes = 200-char prefixes of every 25th doc: containment of a
+    # probe in its source doc is ~1.0; threshold 0.5 keeps real overlap
+    oracle="""
+    WITH probes AS (
+      SELECT doc_id AS probe_id, substring(text, 1, 200) AS text
+      FROM documents WHERE doc_id % 25 = 0),
+    pg AS (
+      SELECT DISTINCT probe_id,
+             array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+      FROM (SELECT probe_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+            FROM probes),
+           unnest(generate_series(1, len(w) - 4)) AS t(i)
+      WHERE len(w) >= 5),
+    psize AS (SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS np
+              FROM pg GROUP BY probe_id),
+    cg AS (
+      SELECT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+            FROM documents),
+           unnest(generate_series(1, len(w) - 4)) AS t(i)
+      WHERE len(w) >= 5),
+    hits AS (
+      SELECT cg.doc_id, pg.probe_id,
+             CAST(COUNT(DISTINCT cg.gram) AS BIGINT) AS n_common
+      FROM cg JOIN pg USING (gram)
+      GROUP BY cg.doc_id, pg.probe_id)
+    SELECT doc_id, probe_id, n_common,
+           CAST(round(n_common / CAST(np AS DOUBLE), 9) AS DOUBLE)
+             AS containment
+    FROM hits JOIN psize USING (probe_id)
+    WHERE n_common / CAST(np AS DOUBLE) >= 0.5
+    """,
+)
+def decontamination_containment(spark, sf_dir):
+    """Fuzzy contamination detection via word-5-gram CONTAINMENT: the
+    fraction of each benchmark probe present in each training doc —
+    catches padded/lightly-edited copies that exact 13-gram overlap
+    misses. Probe grams broadcast; corpus grams filter map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 25 == 0).select(
+        "doc_id", F.substring("text", 1, 200).alias("text"))
+    return Q.containment_scores(docs, probes, "doc_id", "text",
+                                n=5, threshold=0.5)

@@ -233,3 +233,36 @@ def unigram_loglik(df: DataFrame, id_col: str, text_col: str,
             .alias("avg_neg_loglik"),
         )
     )
+
+
+def containment_scores(corpus: DataFrame, probes: DataFrame, id_col: str,
+                       text_col: str, n: int = 5,
+                       threshold: float = 0.5) -> DataFrame:
+    """Fuzzy benchmark contamination via n-gram CONTAINMENT (the
+    asymmetric cousin of Jaccard): for each (corpus doc, probe) pair,
+    |grams(probe) ∩ grams(doc)| / |grams(probe)| — the fraction of the
+    benchmark item present in the training document. Catches padded or
+    lightly-edited copies that exact 13-gram matching misses; emit
+    pairs at or above `threshold`.
+
+    Scale shape: probe grams (distinct) and probe sizes are broadcast —
+    benchmarks are tiny against a 100 TB corpus — so the corpus gram
+    stream filters MAP-SIDE and only matched grams shuffle to the
+    per-(doc, probe) aggregate. Never a corpus-wide distinct."""
+    corpus_grams = word_ngrams(corpus, id_col, text_col, n)
+    probe_grams = (word_ngrams(probes, id_col, text_col, n)
+                   .withColumnRenamed(id_col, "probe_id").distinct())
+    probe_sizes = probe_grams.groupBy("probe_id").agg(
+        F.count("*").cast("bigint").alias("__np"))
+    hits = (corpus_grams.join(F.broadcast(probe_grams), "gram")
+            .groupBy(id_col, "probe_id")
+            .agg(F.countDistinct("gram").cast("bigint").alias("n_common")))
+    return (
+        hits.join(F.broadcast(probe_sizes), "probe_id")
+        .select(
+            id_col, "probe_id", "n_common",
+            F.round(F.col("n_common") / F.col("__np"), 9)
+            .alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

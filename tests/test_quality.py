@@ -136,3 +136,21 @@ def test_unigram_loglik_hand_computed(spark):
     assert rows[1]["n_tokens"] == 3
     assert abs(rows[1]["avg_neg_loglik"] - nll1) < 1e-6
     assert abs(rows[2]["avg_neg_loglik"] - nll2) < 1e-6
+
+
+def test_containment_scores_asymmetric(spark):
+    from dbt_fusion_spark.llm.quality import containment_scores
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h i j extra words beyond the probe text"),
+         (2, "completely different content with no shared grams at all")],
+        "doc_id long, text string")
+    probes = spark.createDataFrame(
+        [(100, "a b c d e f g h i j")], "doc_id long, text string")
+    rows = containment_scores(corpus, probes, "doc_id", "text",
+                              n=5, threshold=0.5).collect()
+    # probe fully contained in doc 1 despite doc 1 being longer
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_id"], r["probe_id"]) == (1, 100)
+    assert r["containment"] == 1.0
