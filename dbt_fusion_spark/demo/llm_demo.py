@@ -1683,3 +1683,46 @@ def decontamination_containment(spark, sf_dir):
         "doc_id", F.substring("text", 1, 200).alias("text"))
     return Q.containment_scores(docs, probes, "doc_id", "text",
                                 n=5, threshold=0.5)
+
+
+@register(
+    "batch_by_length_assignment",
+    # width_bucket restated arithmetically (DuckDB lacks it): for
+    # t in [0, 2048) bucket = floor(t*8/2048)+1, overflow -> 9.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+        regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+      FROM documents),
+    est AS (
+      SELECT doc_id,
+        CAST(len(list_filter(string_split(norm, ' '), x -> x <> ''))
+          + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+          + floor(length(regexp_replace(norm, '\\b\\w{1,6}\\b|\\s', '',
+                                        'g')) / 6) AS BIGINT) AS n_tokens
+      FROM base),
+    bucketed AS (
+      SELECT doc_id, n_tokens,
+        CAST(CASE WHEN n_tokens >= 2048 THEN 9
+                  ELSE floor(n_tokens * 8 / 2048) + 1 END AS BIGINT)
+          AS len_bucket,
+        CAST('0x' || substring(md5('42|' || CAST(doc_id AS VARCHAR)),
+                               1, 8) AS BIGINT) AS h
+      FROM est)
+    SELECT doc_id, n_tokens, len_bucket,
+           CAST(floor((row_number() OVER (PARTITION BY len_bucket
+                                          ORDER BY h, doc_id) - 1) / 32)
+                AS BIGINT) AS batch_id
+    FROM bucketed
+    """,
+)
+def batch_by_length_assignment(spark, sf_dir):
+    """Length-bucketed inference batching: similar-length docs batch
+    together (pad-to-bucket, not pad-to-global-max), batch membership
+    ordered by the portable hash — deterministic and placement-
+    independent. One bounded-key window shuffle."""
+    from dbt_fusion_spark.llm.chunking import batch_by_length
+
+    docs = load_table(spark, sf_dir, "documents")
+    return batch_by_length(docs, "doc_id", "text",
+                           n_buckets=8, batch_size=32, max_tokens=2048)

@@ -115,3 +115,46 @@ def pack_sequences_sharded(df: DataFrame, id_col: str = "doc_id",
             (start % F.lit(seq_len)).alias("seq_offset"),
         )
     )
+
+
+def batch_by_length(df: DataFrame, id_col: str, text_col: str,
+                    n_buckets: int = 8, batch_size: int = 32,
+                    max_tokens: int = 2048) -> DataFrame:
+    """Length-bucketed batch assignment — the inference/serving prep
+    step: group documents of similar token length so a batch pads to
+    its own bucket's ceiling instead of the global maximum (padding
+    waste is the dominant GPU cost of naive batching).
+
+    bucket = width_bucket(token_estimate, 0, max_tokens, n_buckets)
+    (overflow lands in bucket n_buckets+1); batch_id = dense sequence
+    within the bucket, `batch_size` docs per batch, ordered by the
+    portable md5 unit hash so assignment is deterministic and
+    placement-independent.
+
+    Scale shape: one shuffle — the window partitions by bucket (a
+    bounded key set) and orders by the hash; no global sort. With very
+    large corpora per bucket, shard the window key like
+    pack_sequences_sharded."""
+    from pyspark.sql import Window
+
+    from dbt_fusion_spark.llm.text import bpe_token_estimate
+
+    toks = bpe_token_estimate(text_col)
+    bucketed = df.select(
+        F.col(id_col),
+        toks.cast("bigint").alias("n_tokens"),
+        F.width_bucket(toks.cast("double"), F.lit(0.0),
+                       F.lit(float(max_tokens)),
+                       F.lit(n_buckets)).alias("len_bucket"),
+        F.conv(F.substring(F.md5(F.concat_ws(
+            "|", F.lit("42"), F.col(id_col).cast("string"))), 1, 8),
+            16, 10).cast("bigint").alias("__h"),
+    )
+    w = Window.partitionBy("len_bucket").orderBy("__h", id_col)
+    return (
+        bucketed.withColumn(
+            "batch_id",
+            F.floor((F.row_number().over(w) - 1) / F.lit(batch_size))
+            .cast("bigint"))
+        .select(id_col, "n_tokens", "len_bucket", "batch_id")
+    )

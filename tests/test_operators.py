@@ -369,3 +369,28 @@ def test_zorder_layout_prunes_both_dimensions(spark):
     assert zx < 32 and zy < 32
     # layout must not change the data
     assert zorder_layout(df, ["x", "y"], 16).count() == n
+
+
+def test_batch_by_length_bucketing(spark):
+    from dbt_fusion_spark.llm.chunking import batch_by_length
+
+    docs = spark.createDataFrame(
+        [(i, ("word " * (10 if i % 2 else 400)).strip())
+         for i in range(10)],
+        "doc_id long, text string")
+    out = batch_by_length(docs, "doc_id", "text", n_buckets=4,
+                          batch_size=3, max_tokens=800).collect()
+    rows = {r["doc_id"]: r for r in out}
+    # short and long docs land in different buckets
+    assert rows[1]["len_bucket"] != rows[0]["len_bucket"]
+    # batches never mix buckets and respect batch_size
+    sizes = {}
+    for r in out:
+        sizes.setdefault((r["len_bucket"], r["batch_id"]), 0)
+        sizes[(r["len_bucket"], r["batch_id"])] += 1
+    assert all(n <= 3 for n in sizes.values())
+    # deterministic across invocations
+    again = {r["doc_id"]: r["batch_id"] for r in
+             batch_by_length(docs, "doc_id", "text", n_buckets=4,
+                             batch_size=3, max_tokens=800).collect()}
+    assert again == {k: v["batch_id"] for k, v in rows.items()}
