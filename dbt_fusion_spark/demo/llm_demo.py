@@ -1726,3 +1726,39 @@ def batch_by_length_assignment(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return batch_by_length(docs, "doc_id", "text",
                            n_buckets=8, batch_size=32, max_tokens=2048)
+
+
+_SIMHASH_NEAR = _duck_simhash_sql().replace("FROM documents", "FROM corpus")
+_SIMHASH_SIG = _SIMHASH_NEAR.rsplit("\n", 1)[0] + ",\nsig AS (" \
+    + _SIMHASH_NEAR.rsplit("\n", 1)[1] + ")"
+
+
+@register(
+    "dedup_simhash_near_pairs",
+    # 4x 8-bit block buckets (pigeonhole: hamming<=3 shares a block),
+    # exact bit_count verify on the XOR
+    oracle=f"""
+    WITH {_DUCK_CORPUS_NEAR},
+    {_SIMHASH_SIG},
+    blocks AS (
+      SELECT doc_id, simhash32, t.b AS block_id,
+             (simhash32 >> (t.b * 8)) & 255 AS block_value
+      FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash32 AS ha, b.simhash32 AS hb
+      FROM blocks a JOIN blocks b
+        ON a.block_id = b.block_id AND a.block_value = b.block_value
+      WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+)
+def dedup_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: block-bucketed candidate join (the LSH
+    band pattern over 4 8-bit blocks) + exact Hamming popcount filter.
+    Prefix-truncated near-copies land within distance 3 of their
+    source; bucketing keeps the join O(collisions)."""
+    return D.simhash_near_pairs(_corpus_near(spark, sf_dir),
+                                "doc_id", "text", max_hamming=3)

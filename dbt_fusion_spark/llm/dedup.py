@@ -375,3 +375,50 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str,
                 "\n").alias("clean_text"),
         )
     )
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup PAIRS: block-bucketed candidates + exact
+    Hamming verify. Pigeonhole over 4 8-bit blocks of the 32-bit hash:
+    two hashes within Hamming distance 3 must agree on at least one
+    whole block, so the self-join runs per (block_id, block_value)
+    bucket — O(collisions), never all-pairs — then the exact popcount
+    of the XOR filters to `max_hamming`. Returns (id_a, id_b, hamming).
+
+    Scale shape: the signature table is 1 row/doc (from simhash32's
+    single token shuffle); candidates come from a 4x-exploded
+    equi-self-join (the LSH band pattern); popcount is 32 bit-ops in
+    codegen. max_hamming > 3 weakens the pigeonhole guarantee to
+    'agree on >= one of 4 blocks' recall, the standard trade."""
+    sig = simhash32(df, id_col, text_col)
+    blocks = sig.select(
+        id_col, "simhash32",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("block_id"),
+                F.shiftright("simhash32", b * 8).bitwiseAND(F.lit(255))
+                .alias("block_value"),
+            ) for b in range(4)
+        ])).alias("__blk"),
+    ).select(id_col, "simhash32", "__blk.block_id", "__blk.block_value")
+    a = blocks.select(F.col(id_col).alias("id_a"),
+                      F.col("simhash32").alias("__ha"),
+                      "block_id", "block_value")
+    b = blocks.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash32").alias("__hb"),
+                      "block_id", "block_value")
+    xor = F.col("__ha").bitwiseXOR(F.col("__hb"))
+    hamming = None
+    for j in range(32):
+        bit = F.shiftright(xor, j).bitwiseAND(F.lit(1))
+        hamming = bit if hamming is None else hamming + bit
+    return (
+        a.join(b, ["block_id", "block_value"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha", "__hb")
+        .distinct()
+        .select("id_a", "id_b",
+                hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

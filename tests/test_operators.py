@@ -394,3 +394,23 @@ def test_batch_by_length_bucketing(spark):
              batch_by_length(docs, "doc_id", "text", n_buckets=4,
                              batch_size=3, max_tokens=800).collect()}
     assert again == {k: v["batch_id"] for k, v in rows.items()}
+
+
+def test_simhash_near_pairs_hamming(spark):
+    from dbt_fusion_spark.llm.dedup import simhash_near_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    df = spark.createDataFrame(
+        [(1, base),
+         (2, base),                        # identical -> hamming 0
+         (3, base.replace("forest", "meadow")),  # near -> small hamming
+         (4, "completely unrelated words about database query engines "
+             "optimizers shuffles partitions and broadcast joins")],
+        "doc_id long, text string")
+    rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+            simhash_near_pairs(df, "doc_id", "text",
+                               max_hamming=3).collect()}
+    assert rows[(1, 2)] == 0
+    assert all(h <= 3 for h in rows.values())
+    assert not any(4 in pair for pair in rows)  # unrelated doc excluded
