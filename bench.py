@@ -50,13 +50,19 @@ HEADLINE = [
     "dedup_semantic_cells",
     "embedding_quantize_int8",
     "pack_sequences_budget",
+    "decontamination_containment",
+    "batch_by_length_assignment",
     # custom relational operators
     "asof_join_last_purchase",
     "range_join_incident_windows",
     "kmv_distinct_events",
+    "kmv_set_estimates_events",
     # events (streaming-shaped batch semantics)
     "events_daily_rollup",
     "events_sessionization",
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "events_gapfill_locf",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

@@ -413,12 +413,12 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     for j in range(32):
         bit = F.shiftright(xor, j).bitwiseAND(F.lit(1))
         hamming = bit if hamming is None else hamming + bit
+    # hamming filter BEFORE the pair distinct: far pairs from
+    # multi-block collisions never reach the dedup shuffle
     return (
         a.join(b, ["block_id", "block_value"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__ha", "__hb")
-        .distinct()
-        .select("id_a", "id_b",
-                hamming.cast("int").alias("hamming"))
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
