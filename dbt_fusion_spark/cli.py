@@ -38,6 +38,9 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--defer", action="store_true")
         sp.add_argument("--threads", type=int, default=None)
         sp.add_argument("--full-refresh", action="store_true")
+        sp.add_argument("--fail-fast", action="store_true",
+                        help="skip scheduling further nodes after the "
+                             "first failure")
         sp.add_argument("--empty", action="store_true",
                         help="schema-only dry run: model inputs limited "
                              "to zero rows")
@@ -269,7 +272,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         state_dir=args.state, defer=args.defer,
         include_tests=(cmd in ("test", "build")),
         resource_types=_RESOURCE_TYPES[cmd],
-        empty=getattr(args, "empty", False))
+        empty=getattr(args, "empty", False),
+        fail_fast=getattr(args, "fail_fast", False))
     return _print_results(rr)
 
 

@@ -206,7 +206,8 @@ class DbtSparkRunner:
             selector: str | None = None,
             resource_types: set[str] | None = None,
             uids: set[str] | None = None,
-            empty: bool = False) -> RunResults:
+            empty: bool = False,
+            fail_fast: bool = False) -> RunResults:
         # dbt --empty: schema-only dry run — model inputs are wrapped
         # to zero rows at compile time (environment.compile_node)
         self._empty = empty
@@ -266,9 +267,16 @@ class DbtSparkRunner:
         results: dict[str, NodeResult] = {}
         failed: set[str] = set()
 
+        aborted = False
         for wave in self.dag.generations():
             runnable = [u for u in wave if u in selected]
             if not runnable:
+                continue
+            if aborted:
+                # dbt --fail-fast: nodes not yet scheduled when the
+                # first failure surfaced are skipped, not run
+                for uid in runnable:
+                    results[uid] = NodeResult(uid, "skipped", "fail-fast")
                 continue
             with ThreadPoolExecutor(max_workers=threads) as pool:
                 futs = {}
@@ -284,6 +292,8 @@ class DbtSparkRunner:
                     results[uid] = res
                     if res.status in ("error", "fail"):
                         failed.add(uid)
+                        if fail_fast:
+                            aborted = True
 
         for sql in proj.on_run_end:
             self.adapter.execute(sql)

