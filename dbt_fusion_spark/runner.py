@@ -740,6 +740,13 @@ class DbtSparkRunner:
             raise ValueError(f"{node.unique_id}: python model must define "
                              "model(dbt, session)")
         result = namespace["model"](_Dbt(), self.spark)
+        # dbt python models may return pandas (or pandas-on-Spark)
+        # frames; normalize to a Spark DataFrame (dbt-core contract)
+        import pandas as pd
+        if isinstance(result, pd.DataFrame):
+            result = self.spark.createDataFrame(result)
+        elif hasattr(result, "to_spark"):  # pandas-on-Spark
+            result = result.to_spark()
         view = f"__dbt_py_{node.name}"
         result.createOrReplaceTempView(view)
         return materialize_table(self.adapter, node.schema, node.identifier,

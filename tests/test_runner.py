@@ -865,3 +865,25 @@ def test_fail_fast_skips_later_waves(spark, tmp_path):
     # or was skipped depending on scheduling; assert nothing crashed
     assert set(by) == {"model.ffdemo.bad", "model.ffdemo.dependent",
                        "model.ffdemo.independent"}
+
+
+def test_python_model_pandas_return(spark, tmp_path):
+    """dbt-core contract: a python model may return a pandas DataFrame;
+    the runner converts and materializes it like a Spark return."""
+    proj = tmp_path / "pyproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text(
+        "name: pydemo\nversion: '1.0'\nprofile: spark_local\n"
+        "model-paths: ['models']\n")
+    (proj / "models" / "pandas_model.py").write_text(
+        "import pandas as pd\n\n"
+        "def model(dbt, session):\n"
+        "    return pd.DataFrame({'k': [1, 2], 'v': ['a', 'b']})\n")
+    r = DbtSparkRunner(spark, str(proj),
+                       profile={"schema": "pydemo", "threads": 1,
+                                "name": "dev"})
+    rr = r.run()
+    assert rr.ok, [(x.unique_id, x.message) for x in rr.results]
+    t = spark.table("pydemo.pandas_model")
+    assert sorted((r["k"], r["v"]) for r in t.collect()) == [(1, "a"),
+                                                             (2, "b")]
