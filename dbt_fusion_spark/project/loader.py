@@ -424,6 +424,12 @@ def _load_schema_yml(proj: Project, path: Path) -> None:
             for key in ("group", "access"):
                 if model.get(key):
                     node.config[key] = model[key]
+            # model contracts (DbtContract common.rs:531-552): either
+            # top-level `contract:` or under `config:`
+            contract = (model.get("contract")
+                        or (model.get("config") or {}).get("contract"))
+            if contract:
+                node.config["contract"] = contract
         for col in model.get("columns", []) or []:
             for node in targets:
                 node.columns[col["name"]] = {

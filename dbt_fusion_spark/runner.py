@@ -316,6 +316,35 @@ class DbtSparkRunner:
                               time.perf_counter() - t0)
         return NodeResult(uid, status, msg, time.perf_counter() - t0)
 
+    def _enforce_contract(self, node, sql: str) -> None:
+        """dbt model contracts (DbtContract, common.rs:531-552 with
+        `enforced`): the compiled SELECT's schema must match the
+        declared columns exactly — names AND types — BEFORE anything
+        is built. Schema comes from analysis only (spark.sql().schema
+        is lazy), so a violated contract costs zero execution."""
+        cfg = node.config.get("contract") or {}
+        enforced = cfg.get("enforced") if isinstance(cfg, dict) else cfg
+        if not enforced:
+            return
+        actual = {f.name.lower(): f.dataType.simpleString()
+                  for f in self.spark.sql(sql).schema.fields}
+        declared = {n.lower(): (c.get("data_type") or "").lower()
+                    .replace(" ", "")
+                    for n, c in node.columns.items()}
+        problems = []
+        for n in declared:
+            if n not in actual:
+                problems.append(f"declared column {n!r} missing")
+            elif declared[n] and declared[n] != actual[n].replace(" ", ""):
+                problems.append(
+                    f"{n!r}: declared {declared[n]}, got {actual[n]}")
+        problems += [f"undeclared column {n!r}" for n in actual
+                     if n not in declared]
+        if problems:
+            raise CompileError(
+                f"{node.unique_id}: contract violated — "
+                + "; ".join(problems))
+
     def _hooks(self, node, key: str) -> None:
         hooks = node.config.get(key) or []
         if isinstance(hooks, str):
@@ -415,6 +444,7 @@ class DbtSparkRunner:
                 is_incremental=(mat == "incremental" and exists is not None
                                 and not full_refresh),
             )
+            self._enforce_contract(node, sql)
             if mat == "view":
                 out = materialize_view(self.adapter, node.schema,
                                        node.identifier, sql)

@@ -887,3 +887,38 @@ def test_python_model_pandas_return(spark, tmp_path):
     t = spark.table("pydemo.pandas_model")
     assert sorted((r["k"], r["v"]) for r in t.collect()) == [(1, "a"),
                                                              (2, "b")]
+
+
+def test_model_contract_enforced(spark, tmp_path):
+    """dbt model contracts: enforced contracts validate the compiled
+    schema (names + types) BEFORE building; a drifted model errors."""
+    proj = tmp_path / "cproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text(
+        "name: cdemo\nversion: '1.0'\nprofile: spark_local\n"
+        "model-paths: ['models']\n")
+    (proj / "models" / "dim.sql").write_text(
+        "select cast(1 as bigint) as id, 'x' as label")
+    (proj / "models" / "schema.yml").write_text(
+        "version: 2\nmodels:\n"
+        "  - name: dim\n"
+        "    config: {contract: {enforced: true}}\n"
+        "    columns:\n"
+        "      - {name: id, data_type: bigint}\n"
+        "      - {name: label, data_type: string}\n")
+    r = DbtSparkRunner(spark, str(proj),
+                       profile={"schema": "cdemo", "threads": 1,
+                                "name": "dev"})
+    rr = r.run()
+    assert rr.ok, [(x.unique_id, x.message) for x in rr.results]
+    # drift the model: extra column + type change -> contract violation
+    (proj / "models" / "dim.sql").write_text(
+        "select cast(1 as int) as id, 'x' as label, 2 as extra")
+    r2 = DbtSparkRunner(spark, str(proj),
+                        profile={"schema": "cdemo", "threads": 1,
+                                 "name": "dev"})
+    rr2 = r2.run()
+    bad = {x.unique_id: x for x in rr2.results}["model.cdemo.dim"]
+    assert bad.status == "error"
+    assert "contract violated" in bad.message
+    assert "extra" in bad.message and "declared bigint" in bad.message
