@@ -47,7 +47,7 @@ def _build_parser() -> argparse.ArgumentParser:
         return sp
 
     for name in ("run", "test", "build", "seed", "snapshot", "compile",
-                 "parse", "typecheck", "retry"):
+                 "parse", "typecheck", "retry", "clone"):
         common(sub.add_parser(name))
     ls = common(sub.add_parser("list", aliases=["ls"]))
     ls.add_argument("--output", choices=["name", "json"], default="name")
@@ -215,6 +215,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                       f"(age {status.get('max_loaded_at_age', '?')})")
                 worst = max(worst, 1 if status["status"] == "error" else 0)
         return worst
+    if cmd == "clone":
+        # dbt 1.6 `dbt clone --state <dir>`: clone the state's
+        # relations into this target (pointer views on parquet)
+        if not args.state:
+            print("clone requires --state <dir>")
+            return 2
+        rr = runner.clone_from_state(args.state, select=args.select,
+                                     exclude=args.exclude)
+        return _print_results(rr)
     if cmd == "retry":
         # rerun exactly the nodes that errored/failed/skipped in the
         # previous invocation's run_results.json (reference `dbt retry`)

@@ -345,6 +345,52 @@ class DbtSparkRunner:
                 f"{node.unique_id}: contract violated — "
                 + "; ".join(problems))
 
+    def clone_from_state(self, state_dir: str,
+                         select: str | None = None,
+                         exclude: str | None = None) -> RunResults:
+        """`dbt clone` (reference CLI, dbt 1.6): for each selected
+        relation-producing node in the --state manifest, clone the
+        state's relation into this target's schema — pointer views on
+        plain parquet (materialize_clone's fallback), so dev schemas
+        materialize instantly against prod data."""
+        import time as _time
+
+        from dbt_fusion_spark.materializations.executors import (
+            materialize_clone as _clone,
+        )
+
+        if not self._parsed:
+            self.parse()
+        t0 = _time.perf_counter()
+        prev = json.loads(
+            (Path(state_dir) / "manifest.json").read_text())
+        selected = select_nodes(self.project, self.dag, select, exclude,
+                                prev_manifest=prev)
+        self.adapter.create_schema(self.project.default_schema)
+        results = []
+        for uid in sorted(selected):
+            node = self.project.nodes[uid]
+            if node.resource_type not in ("model", "seed", "snapshot") \
+                    or node.is_ephemeral:
+                continue
+            src = prev["nodes"].get(uid)
+            if src is None or not src.get("schema"):
+                results.append(NodeResult(uid, "skipped",
+                                          "not in state manifest"))
+                continue
+            t1 = _time.perf_counter()
+            try:
+                msg = _clone(self.adapter, node.schema, node.identifier,
+                             f"`{src['schema']}`.`{src['alias']}`")
+                results.append(NodeResult(uid, "success", msg,
+                                          _time.perf_counter() - t1))
+            except Exception as e:  # noqa: BLE001
+                results.append(NodeResult(uid, "error", str(e)[:500],
+                                          _time.perf_counter() - t1))
+        rr = RunResults(results, _time.perf_counter() - t0)
+        self.write_artifacts(rr)
+        return rr
+
     def _hooks(self, node, key: str) -> None:
         hooks = node.config.get(key) or []
         if isinstance(hooks, str):

@@ -922,3 +922,34 @@ def test_model_contract_enforced(spark, tmp_path):
     assert bad.status == "error"
     assert "contract violated" in bad.message
     assert "extra" in bad.message and "declared bigint" in bad.message
+
+
+def test_clone_from_state(spark, tmp_path):
+    """dbt clone --state: relations from the state manifest clone into
+    the current target schema as pointer views over the state data."""
+    proj = tmp_path / "clproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text(
+        "name: cldemo\nversion: '1.0'\nprofile: spark_local\n"
+        "model-paths: ['models']\n"
+        "models:\n  cldemo:\n    +materialized: table\n")
+    (proj / "models" / "facts.sql").write_text(
+        "select 42 as answer, 'prod' as origin")
+    # "prod" run into its own schema writes the state manifest
+    prod = DbtSparkRunner(spark, str(proj),
+                          profile={"schema": "cl_prod", "threads": 1,
+                                   "name": "prod"})
+    assert prod.run().ok
+    state = tmp_path / "state"
+    state.mkdir()
+    import shutil
+    shutil.copy(proj / "target" / "manifest.json", state / "manifest.json")
+    # dev target clones instead of building
+    dev = DbtSparkRunner(spark, str(proj),
+                         profile={"schema": "cl_dev", "threads": 1,
+                                  "name": "dev"})
+    rr = dev.clone_from_state(str(state))
+    assert rr.ok, [(x.unique_id, x.message) for x in rr.results]
+    assert [r.message for r in rr.results] == ["CLONE (pointer view)"]
+    row = spark.table("cl_dev.facts").collect()[0]
+    assert (row["answer"], row["origin"]) == (42, "prod")
