@@ -207,3 +207,33 @@ def events_gapfill_locf(spark, sf_dir):
           .cast("double").alias("spend"))
     return gapfill(daily, "user_id", "day", "spend",
                    step="1 day", method="locf")
+
+
+@register(
+    "skew_report_lineitem_suppkey",
+    oracle="""
+    WITH counted AS (
+      SELECT CAST(l_suppkey AS VARCHAR) AS key_value,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY l_suppkey),
+    total AS (SELECT SUM(n_rows) AS t FROM counted),
+    top AS (SELECT key_value, n_rows FROM counted
+            ORDER BY n_rows DESC, key_value LIMIT 10)
+    SELECT key_value, n_rows,
+           CAST(round(n_rows / CAST(t AS DOUBLE), 9) AS DOUBLE)
+             AS frac_of_total,
+           CAST(row_number() OVER (ORDER BY n_rows DESC, key_value)
+                AS INT) AS rank
+    FROM top CROSS JOIN total
+    """,
+)
+def skew_report_lineitem_suppkey(spark, sf_dir):
+    """Shuffle-skew diagnosis of a prospective join key: the 10
+    heaviest l_suppkey values with their share of all lineitem rows —
+    the report that decides between plain, salted, and broadcast joins.
+    One groupBy + TakeOrdered; the global rank window covers only the
+    10 surviving rows."""
+    from dbt_fusion_spark.plans.skew import skew_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return skew_report(li, "l_suppkey", top_k=10)

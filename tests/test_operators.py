@@ -414,3 +414,14 @@ def test_simhash_near_pairs_hamming(spark):
     assert rows[(1, 2)] == 0
     assert all(h <= 3 for h in rows.values())
     assert not any(4 in pair for pair in rows)  # unrelated doc excluded
+
+
+def test_skew_report_shares(spark):
+    from dbt_fusion_spark.plans.skew import skew_report
+
+    df = spark.createDataFrame(
+        [(1,)] * 70 + [(2,)] * 20 + [(3,)] * 10, "k long")
+    rows = skew_report(df, "k", top_k=2).collect()
+    assert [(r["key_value"], r["n_rows"], r["rank"]) for r in rows] == [
+        ("1", 70, 1), ("2", 20, 2)]
+    assert abs(rows[0]["frac_of_total"] - 0.7) < 1e-9
