@@ -1530,12 +1530,8 @@ def corpus_dsir_logweights(spark, sf_dir):
 
 # ----------------------------------------------- events: funnel/cohort
 
-_sql_query(
-    "events_funnel_conversion",
-    # step reached = first occurrence of the step AT OR AFTER the
-    # previous step's first occurrence (NULL comparisons fall out as 0)
-    """
-    WITH firsts AS (
+_FUNNEL_FLAGS = """
+    firsts AS (
       SELECT user_id,
              MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
              MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
@@ -1552,17 +1548,33 @@ _sql_query(
              CASE WHEN t_view IS NOT NULL AND t_click >= t_view
                        AND t_signup >= t_click AND t_buy >= t_signup
                   THEN 1 ELSE 0 END AS s4
-      FROM firsts)
-    SELECT step, step_order, n_users FROM (
-      SELECT 'view' AS step, 1 AS step_order,
-             CAST(SUM(s1) AS BIGINT) AS n_users FROM flags
-      UNION ALL
-      SELECT 'click', 2, CAST(SUM(s2) AS BIGINT) FROM flags
-      UNION ALL
-      SELECT 'signup', 3, CAST(SUM(s3) AS BIGINT) FROM flags
-      UNION ALL
-      SELECT 'purchase', 4, CAST(SUM(s4) AS BIGINT) FROM flags
-    ) f
+      FROM firsts),
+    sums AS (
+      SELECT CAST(SUM(s1) AS BIGINT) AS c1, CAST(SUM(s2) AS BIGINT) AS c2,
+             CAST(SUM(s3) AS BIGINT) AS c3, CAST(SUM(s4) AS BIGINT) AS c4
+      FROM flags)
+"""
+
+_sql_query(
+    "events_funnel_conversion",
+    # step reached = first occurrence of the step AT OR AFTER the
+    # previous step's first occurrence (NULL comparisons fall out as
+    # 0). Spark side: stack() expands the ONE-row sums — a single pass
+    # over events (a UNION-ALL form recomputes the aggregate per step);
+    # the oracle restates it as the union, which DuckDB materializes.
+    f"""
+    WITH {_FUNNEL_FLAGS}
+    SELECT stack(4, 'view', 1, c1, 'click', 2, c2,
+                 'signup', 3, c3, 'purchase', 4, c4)
+           AS (step, step_order, n_users)
+    FROM sums
+    """,
+    oracle=f"""
+    WITH {_FUNNEL_FLAGS}
+    SELECT 'view' AS step, 1 AS step_order, c1 AS n_users FROM sums
+    UNION ALL SELECT 'click', 2, c2 FROM sums
+    UNION ALL SELECT 'signup', 3, c3 FROM sums
+    UNION ALL SELECT 'purchase', 4, c4 FROM sums
     """,
 )
 

@@ -485,3 +485,13 @@ def test_dsir_no_bnlj_no_window(spark, sf):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "Generate" in plan
+
+
+def test_funnel_single_events_scan(spark, sf):
+    """Funnel: one scan of events + one user-keyed aggregate; the step
+    expansion is a Generate over the 1-row sums, never a UNION that
+    recomputes the aggregate per step."""
+    plan = plan_of(QUERIES["events_funnel_conversion"](spark, sf))
+    assert "Union" not in plan          # no per-step re-aggregation
+    assert "Generate" in plan           # stack expands the 1-row sums
+    assert shuffles(plan) <= 2          # user agg + 1-row final agg
