@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_bruteforce_topk",
     "similarity_ivf_kmeans_topk",
+    "similarity_pq_adc_topk",
     "text_quality_score",
     "gopher_quality_filter",
     "decontamination_13gram",

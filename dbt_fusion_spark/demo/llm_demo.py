@@ -297,6 +297,74 @@ def _kmeans_oracle(centroids) -> str | None:
     """
 
 
+# Product quantization (PQ-ADC): codebooks fit once from the oracle SF
+# with the same deterministic procedure as the IVF centroids; the
+# Spark side re-fits from its own sf_dir, so at the gate SF both sides
+# hold bit-identical codebooks and the oracle can restate encode + ADC
+# exactly.
+_PQ_M, _PQ_CODES = 4, 16
+
+
+def _fit_gate_pq() -> list | None:
+    import os as _os
+
+    path = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                           "/root/testdata/sf0.01")
+    try:
+        return S.fit_pq_codebooks(
+            S.load_vectors_pyarrow(f"{path}/embeddings.parquet"),
+            m=_PQ_M, n_codes=_PQ_CODES)
+    except Exception:
+        return None
+
+
+def _pq_oracle(books) -> str | None:
+    if books is None:
+        return None
+    sub = len(books[0][0])
+    score_arrays = []
+    for j, book in enumerate(books):
+        sl = S._pq_sub_slice("embedding", j, sub, "duckdb")
+        scores = ", ".join(S.cell_scores_sql(book, sl, dialect="duckdb"))
+        score_arrays.append(f"[{scores}]")
+    codes = ", ".join(
+        f"list_position({s}, list_aggregate({s}, 'max'))"
+        for s in score_arrays)
+    adc = S.pq_adc_scores_sql(books, "q.qv", "e.pq_code", dialect="duckdb")
+    return f"""
+    WITH enc AS (
+      SELECT vec_id, [{codes}] AS pq_code FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, {adc} AS adc_dot
+      FROM q, enc e WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dot DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, adc_dot, rnk FROM ranked WHERE rnk <= 5
+    """
+
+
+_GATE_PQ = _fit_gate_pq()
+
+
+@register("similarity_pq_adc_topk", oracle=_pq_oracle(_GATE_PQ))
+def similarity_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN (similarity.py fit_pq_codebooks /
+    pq_encode / pq_adc_topk): the corpus is encoded to m=4 one-byte
+    codes (projection-only write path, ~64x smaller than float32),
+    queries stay exact, and scoring is asymmetric-distance codebook
+    lookup — the memory-resident ANN scan shape for a 100 TB embedding
+    corpus. Oracle restates encode + ADC over the identical
+    deterministic codebooks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = S.fit_pq_codebooks_cached(
+        f"{sf_dir}/embeddings.parquet", m=_PQ_M, n_codes=_PQ_CODES)
+    return S.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 10), books, k=5)
+
+
 @register("similarity_ivf_kmeans_topk", oracle=_kmeans_oracle(_GATE_CENTROIDS))
 def similarity_ivf_kmeans_topk(spark, sf_dir):
     """IVF ANN with REAL k-means cells (similarity.py fit_kmeans_

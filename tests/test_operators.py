@@ -276,6 +276,58 @@ def test_quantize_embeddings_exact_ints(spark):
     assert rows[2]["qvec"] == [0, 0, 0] and rows[2]["scale"] == 0.0
 
 
+def test_pq_encode_codes_and_determinism(spark):
+    """PQ encode: codes are 1-based codebook indices, assignment is the
+    nearest subspace centroid (first-min ties), and the whole thing is
+    a pure projection (no shuffle in the plan)."""
+    from dbt_fusion_spark.llm.similarity import fit_pq_codebooks, pq_encode
+
+    vecs = [[float(i % 3), float(i % 5), float(i % 7), float(i % 2)]
+            for i in range(40)]
+    books = fit_pq_codebooks(vecs, m=2, n_codes=4)
+    assert len(books) == 2 and len(books[0]) == 4 and len(books[0][0]) == 2
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    enc = pq_encode(df, books)
+    rows = {r["vec_id"]: r["pq_code"] for r in enc.collect()}
+    assert all(len(c) == 2 and all(1 <= x <= 4 for x in c)
+               for c in rows.values())
+    # deterministic: re-encoding yields identical codes
+    rows2 = {r["vec_id"]: r["pq_code"] for r in enc.collect()}
+    assert rows == rows2
+    # nearest-centroid property for one row, checked against numpy
+    import numpy as np
+    v = np.array(vecs[7])
+    for j in range(2):
+        d2 = [((v[j * 2:(j + 1) * 2] - np.array(c)) ** 2).sum()
+              for c in books[j]]
+        assert rows[7][j] == int(np.argmin(d2)) + 1
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pq_adc_recall_vs_bruteforce(spark):
+    """ADC with a codebook fit on the data itself reconstructs well
+    enough that top-1 of a separable corpus matches exact search."""
+    from dbt_fusion_spark.llm.similarity import (
+        brute_force_topk, fit_pq_codebooks, pq_adc_topk)
+
+    # two tight, well-separated clusters
+    vecs = ([[10.0 + 0.01 * i, 0.0, 0.0, 0.0] for i in range(10)]
+            + [[0.0, 0.0, 10.0 + 0.01 * i, 0.0] for i in range(10)])
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    books = fit_pq_codebooks(vecs, m=2, n_codes=8)
+    q = df.filter("vec_id IN (0, 15)")
+    adc = {(r["query_id"], r["rnk"]): r["neighbor_id"]
+           for r in pq_adc_topk(df, q, books, k=3).collect()}
+    # every ADC neighbor of query 0 is from cluster 0, of 15 from cluster 1
+    assert all(n < 10 for (qid, _), n in adc.items() if qid == 0)
+    assert all(n >= 10 for (qid, _), n in adc.items() if qid == 15)
+
+
 def test_kmv_merge_equals_sketch_of_union(spark):
     """Mergeability, the defining KMV property: merge(sketch(A),
     sketch(B)) must equal sketch(A ∪ B) exactly."""

