@@ -43,6 +43,7 @@ HEADLINE = [
     "text_quality_score",
     "gopher_quality_filter",
     "decontamination_13gram",
+    "decontamination_bloom_prefilter",
     "quality_repetition_signals",
     "dedup_spans_corpus",
     "dedup_lines_corpus",

@@ -511,6 +511,66 @@ def decontamination_13gram(spark, sf_dir):
     return Q.decontaminate(docs, probes, "doc_id", "text", n=13)
 
 
+_BLOOM_M, _BLOOM_K, _BLOOM_NW = 63 * 1024, 3, 1024
+
+_DUCK_BLOOM_POS = ("list_distinct([" + ", ".join(
+    f"(CAST('0x' || substring(md5(gram), 1, 8) AS BIGINT)"
+    f" + {i} * CAST('0x' || substring(md5(gram), 9, 8) AS BIGINT))"
+    f" % {_BLOOM_M}" for i in range(_BLOOM_K)) + "])")
+
+
+@register(
+    "decontamination_bloom_prefilter",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            x -> lower(x)) AS w
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS gram
+      FROM words, unnest(generate_series(1, len(w) - 12)) AS t(i)
+      WHERE len(w) >= 13),
+    probe AS (SELECT DISTINCT gram FROM grams
+              WHERE doc_id % 25 = 0),
+    ppos AS (SELECT DISTINCT unnest({_DUCK_BLOOM_POS}) AS pos FROM probe),
+    sparse AS (SELECT pos // 63 AS w,
+                      bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+               FROM ppos GROUP BY 1),
+    dense AS (SELECT list(coalesce(s.bits, 0) ORDER BY t.w) AS bloom
+              FROM range(0, {_BLOOM_NW}) t(w)
+              LEFT JOIN sparse s ON s.w = t.w),
+    flags AS (
+      SELECT g.doc_id, g.gram,
+             list_aggregate(list_transform({_DUCK_BLOOM_POS},
+               p -> CASE WHEN ((d.bloom[CAST(p // 63 AS INT) + 1]
+                                >> CAST(p % 63 AS INT)) & 1) = 1
+                         THEN 1 ELSE 0 END), 'min') = 1 AS bloom_hit
+      FROM grams g, dense d)
+    SELECT f.doc_id,
+           CAST(COUNT(DISTINCT f.gram) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT CASE WHEN f.bloom_hit THEN f.gram END)
+                AS BIGINT) AS n_bloom_hits,
+           CAST(COUNT(DISTINCT CASE WHEN p.gram IS NOT NULL THEN f.gram END)
+                AS BIGINT) AS n_true_hits
+    FROM flags f LEFT JOIN probe p ON f.gram = p.gram
+    GROUP BY f.doc_id
+    """,
+)
+def decontamination_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter decontamination prefilter (quality.bloom_prefilter):
+    probe 13-grams pack into a 64K-bit double-hashed filter (ONE
+    array<long> row riding a 1-row broadcast hash join); per-gram
+    membership is a pure projection; the exact probe join runs
+    alongside so the output audits the FP rate (n_bloom_hits >=
+    n_true_hits always). Probe set = every 25th doc, matching
+    decontamination_13gram."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 25 == 0)
+    return Q.bloom_prefilter(docs, probes, "doc_id", "text", n=13,
+                             m_bits=_BLOOM_M, k=_BLOOM_K)
+
+
 # ------------------------------------------------------------------ text
 
 

@@ -194,6 +194,84 @@ def decontaminate(corpus: DataFrame, probes: DataFrame, id_col: str,
                   .alias("n_probe_docs")))
 
 
+def _bloom_positions(gram_col: str, m_bits: int, k: int):
+    """k bit positions for a gram: Kirsch–Mitzenmacher double hashing
+    over one md5 — pos_i = (a + i·b) mod m, (a, b) = the digest's first
+    two 32-bit hex chunks (same engine-portable family as MinHash in
+    llm/dedup.py). Returns the DISTINCT positions array column (self-
+    collisions collapse so the all-bits-set test counts right)."""
+    digest = F.md5(F.col(gram_col))
+    a = F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint")
+    b = F.conv(F.substring(digest, 9, 8), 16, 10).cast("bigint")
+    return F.array_distinct(F.array(
+        *[F.pmod(a + F.lit(i) * b, F.lit(m_bits)) for i in range(k)]))
+
+
+def bloom_prefilter(corpus: DataFrame, probes: DataFrame, id_col: str,
+                    text_col: str, n: int = 13,
+                    m_bits: int = 63 * 1024, k: int = 3) -> DataFrame:
+    """Bloom-filter prefilter for n-gram decontamination, with its
+    false-positive rate audited against the exact join.
+
+    At 100 TB the exact probe join (decontaminate) broadcasts the full
+    probe gram STRINGS (a benchmark suite can be GBs of 13-grams); the
+    production prefilter ships only m bits. Here the filter is built
+    and applied entirely in column algebra so a DuckDB oracle can
+    restate it bit-for-bit:
+
+    - probe grams -> k double-hashed bit positions -> packed into
+      63-bit words (bit 63 never set: arithmetic >> stays clean in
+      every engine) -> ONE dense array<long> row of m/63 words.
+    - the dense row rides a 1-row broadcast hash join (corpus._join_
+      scalar's pmod trick — no BNLJ); per-gram membership is a pure
+      projection: forall k positions, (word >> bit) & 1 = 1.
+    - per-doc: n_grams, n_bloom_hits (prefilter positives) and
+      n_true_hits (exact join) — n_bloom_hits >= n_true_hits always
+      (no false negatives); the gap is the FP overhead the second-
+      stage exact check pays.
+    """
+    from dbt_fusion_spark.llm.corpus import _join_scalar
+
+    n_words = (m_bits + 62) // 63
+    spark = corpus.sparkSession
+
+    probe_grams = (word_ngrams(probes, id_col, text_col, n)
+                   .select("gram").distinct())
+    probe_pos = (probe_grams
+                 .select(F.explode(_bloom_positions("gram", m_bits, k))
+                         .alias("pos"))
+                 .distinct())
+    sparse = (probe_pos
+              .select((F.col("pos") / 63).cast("bigint").alias("w"),
+                      F.pmod(F.col("pos"), 63).cast("int").alias("bit"))
+              .groupBy("w")
+              .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))")
+                   .alias("bits")))
+    dense = (spark.range(n_words).withColumnRenamed("id", "w")
+             .join(sparse, "w", "left")
+             .select("w", F.coalesce("bits", F.lit(0)).alias("bits"))
+             .agg(F.expr("transform(sort_array(collect_list(struct(w, bits))),"
+                         " s -> s.bits)").alias("__bloom"),
+                  F.count("*").cast("bigint").alias("__nw")))
+
+    cg = (word_ngrams(corpus, id_col, text_col, n)
+          .withColumn("__parr", _bloom_positions("gram", m_bits, k))
+          .withColumn("__glen", F.length("gram").cast("bigint"))
+          .join(F.broadcast(probe_grams.withColumn("__probe", F.lit(1))),
+                "gram", "left"))
+    flagged = _join_scalar(cg, "__glen", dense, "__nw").withColumn(
+        "__bloom_hit",
+        F.expr("forall(__parr, p -> (shiftright(element_at(__bloom,"
+               " CAST(p div 63 AS INT) + 1), CAST(p % 63 AS INT))"
+               " & 1) = 1)"))
+    return (flagged.groupBy(id_col)
+            .agg(F.countDistinct("gram").cast("bigint").alias("n_grams"),
+                 F.countDistinct(F.when(F.col("__bloom_hit"), F.col("gram")))
+                  .cast("bigint").alias("n_bloom_hits"),
+                 F.countDistinct(F.when(F.col("__probe") == 1, F.col("gram")))
+                  .cast("bigint").alias("n_true_hits")))
+
+
 def unigram_loglik(df: DataFrame, id_col: str, text_col: str,
                    alpha: float = 0.5) -> DataFrame:
     """CCNet-style statistical quality score: fit an add-alpha-smoothed

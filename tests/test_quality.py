@@ -154,3 +154,42 @@ def test_containment_scores_asymmetric(spark):
     r = rows[0]
     assert (r["doc_id"], r["probe_id"]) == (1, 100)
     assert r["containment"] == 1.0
+
+
+def test_bloom_prefilter_superset_and_exact_membership(spark):
+    """Bloom membership can never miss a true hit (no false negatives),
+    and with a generous filter the hit sets coincide on a toy corpus."""
+    from dbt_fusion_spark.llm.quality import bloom_prefilter
+
+    mk = " ".join(f"w{i}" for i in range(13))
+    corpus = spark.createDataFrame(
+        [(1, mk + " tail words here"),             # shares probe grams
+         (2, " ".join(f"x{i}" for i in range(20)))],  # disjoint
+        "doc_id long, text string")
+    probes = spark.createDataFrame([(9, mk)], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            bloom_prefilter(corpus, probes, "doc_id", "text",
+                            n=13, m_bits=63 * 64, k=3).collect()}
+    for r in rows.values():
+        assert r["n_bloom_hits"] >= r["n_true_hits"]
+    assert rows[1]["n_true_hits"] == 1
+    assert rows[1]["n_bloom_hits"] >= 1
+    assert rows[2]["n_true_hits"] == 0
+
+
+def test_bloom_prefilter_tiny_filter_fp_visible(spark):
+    """With a deliberately overloaded filter (m=63 bits for ~28 probe
+    grams) false positives MUST appear on a disjoint corpus — the FP
+    audit exposes them as n_bloom_hits > n_true_hits = 0."""
+    from dbt_fusion_spark.llm.quality import bloom_prefilter
+
+    corpus = spark.createDataFrame(
+        [(1, " ".join(f"y{i}" for i in range(30)))],
+        "doc_id long, text string")
+    probes = spark.createDataFrame(
+        [(9, " ".join(f"z{i}" for i in range(40)))],
+        "doc_id long, text string")
+    r = bloom_prefilter(corpus, probes, "doc_id", "text",
+                        n=13, m_bits=63, k=3).collect()[0]
+    assert r["n_true_hits"] == 0
+    assert r["n_bloom_hits"] > 0  # overloaded filter: FPs visible
