@@ -132,6 +132,32 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "dedup_lsh_incremental_batch",
+    oracle=f"""
+    WITH {_DUCK_CORPUS_NEAR},
+    {_duck_bands_sql(4, 4)}
+    SELECT DISTINCT a.doc_id AS existing_id, b.doc_id AS new_id
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_value = b.band_value
+    WHERE a.doc_id < 10000 AND b.doc_id >= 10000
+    """,
+)
+def dedup_lsh_incremental_batch(spark, sf_dir):
+    """Incremental-ingestion dedup (dedup.lsh_candidate_pairs_cross):
+    the truncated-prefix copies arrive as a NEW batch and are matched
+    against the EXISTING corpus's signatures only — no intra-batch or
+    intra-corpus pairs computed. The oracle restates it as the union
+    self-join filtered to cross-side pairs (band tables are per-doc, so
+    the filtered self-join and the two-sided join agree exactly)."""
+    existing = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text")
+    batch = existing.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.expr("substring(text, 20)").alias("text"))
+    return D.lsh_candidate_pairs_cross(batch, existing, "doc_id", "text")
+
+
+@register(
     "dedup_jaccard_verify",
     oracle=f"""
     WITH {_DUCK_CORPUS_NEAR},

@@ -204,6 +204,40 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def lsh_candidate_pairs_cross(new: DataFrame, existing: DataFrame,
+                              id_col: str, text_col: str,
+                              n_bands: int = 4, rows_per_band: int = 4,
+                              shingle_n: int = 5,
+                              existing_bands: DataFrame | None = None
+                              ) -> DataFrame:
+    """Incremental-ingestion dedup: near-dup candidates of the NEW
+    batch against the EXISTING corpus only — (existing_id, new_id)
+    pairs sharing any minhash band. No new×new or existing×existing
+    pairs are generated (run lsh_candidate_pairs on the batch alone
+    for intra-batch dups).
+
+    Scale design: this is the daily-crawl shape at 100 TB — the
+    existing side's signatures are an ARTIFACT, not a recompute. Pass
+    `existing_bands` pointing at the durable signature table the last
+    run wrote (lsh_candidate_pairs signatures_table=); then the only
+    text ever shingled is the new batch, and the join is
+    batch-signatures (small, broadcastable) against the signature
+    table — never against the corpus text."""
+    nb = minhash_bands(new, id_col, text_col, n_bands, rows_per_band,
+                       shingle_n)
+    eb = (existing_bands if existing_bands is not None
+          else minhash_bands(existing, id_col, text_col, n_bands,
+                             rows_per_band, shingle_n))
+    e = eb.select(F.col(id_col).alias("existing_id"), "band_id",
+                  "band_value")
+    n = nb.select(F.col(id_col).alias("new_id"), "band_id", "band_value")
+    return (
+        e.join(n, ["band_id", "band_value"])
+        .select("existing_id", "new_id")
+        .distinct()
+    )
+
+
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
                   shingle_n: int = 5) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (the verify step after

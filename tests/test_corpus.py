@@ -132,6 +132,43 @@ def test_lsh_signatures_table_checkpoint(spark, tmp_path):
         ["doc_id", "band_id", "band_value"]
 
 
+def test_lsh_cross_only_cross_pairs_and_artifact_reuse(spark, tmp_path):
+    """Incremental LSH: only (existing, new) pairs come back — intra-
+    batch near-dups are invisible by construction — and feeding the
+    durable signature artifact via existing_bands= gives identical
+    results without re-shingling the corpus."""
+    from dbt_fusion_spark.llm.dedup import (
+        lsh_candidate_pairs, lsh_candidate_pairs_cross, minhash_bands)
+
+    existing = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a completely different document about spark engines")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog!"),
+         (11, "the quick brown fox jumps over the lazy dog!!"),  # dup of 10
+         (12, "unrelated fresh content never seen before at all")],
+        "doc_id long, text string")
+    pairs = {(r["existing_id"], r["new_id"]) for r in
+             lsh_candidate_pairs_cross(batch, existing,
+                                       "doc_id", "text").collect()}
+    assert (1, 10) in pairs and (1, 11) in pairs
+    assert all(e < 10 and n >= 10 for e, n in pairs)  # cross side only
+
+    sig_path = str(tmp_path / "sigs")
+    minhash_bands(existing, "doc_id", "text") \
+        .write.mode("overwrite").parquet(sig_path)
+    reused = {(r["existing_id"], r["new_id"]) for r in
+              lsh_candidate_pairs_cross(
+                  batch, None, "doc_id", "text",
+                  existing_bands=spark.read.parquet(sig_path)).collect()}
+    assert reused == pairs
+    # intra-batch dup (10, 11) is the batch self-join's job
+    intra = {(r["id_a"], r["id_b"]) for r in
+             lsh_candidate_pairs(batch, "doc_id", "text").collect()}
+    assert (10, 11) in intra
+
+
 def test_inverted_index_postings_and_pruning(spark):
     from dbt_fusion_spark.llm.search import inverted_index
 
