@@ -343,12 +343,17 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     exploded = ensure_parallelism(df).select(F.col(id_col), F.explode(toks).alias("__tok"))
     h = F.md5(F.col("__tok"))
+    # One conv() of the 8-hex prefix to a 32-bit value, then pure bit
+    # arithmetic: bit j (= hex position pos, nibble bit b) is
+    # (v >> (28 - 4*pos + b)) & 1 — identical values to the original
+    # per-nibble instr()/substring() extraction (the oracle still
+    # states it that way) at 1/32nd the string work per token.
+    v = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
     bit_sums = []
     for pos in range(8):  # hex positions 1..8
-        nib = F.instr(F.lit(_HEX), F.substring(h, pos + 1, 1)) - 1
         for b in range(4):
             j = pos * 4 + b
-            bit = F.floor(nib / (2 ** b)) % 2
+            bit = F.shiftright(v, 28 - 4 * pos + b).bitwiseAND(F.lit(1))
             bit_sums.append(F.sum(bit).alias(f"__s{j}"))
     agg = exploded.groupBy(id_col).agg(F.count("*").alias("__n"), *bit_sums)
     hash_expr = None
