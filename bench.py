@@ -58,6 +58,7 @@ HEADLINE = [
     "asof_join_last_purchase",
     "range_join_incident_windows",
     "kmv_distinct_events",
+    "profile_table_events",
     "kmv_set_estimates_events",
     # events (streaming-shaped batch semantics)
     "events_daily_rollup",

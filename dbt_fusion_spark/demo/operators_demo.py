@@ -237,3 +237,52 @@ def skew_report_lineitem_suppkey(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     return skew_report(li, "l_suppkey", top_k=10)
+
+
+# ---------------------------------------------------------------- profiling
+
+_PROFILE_COLS = [
+    # (name, kind) — kind drives the min/max canonicalization on BOTH
+    # engines (doubles via DECIMAL(38,9): IEEE doubles print
+    # differently per engine, decimals identically; timestamps via an
+    # explicit microsecond format)
+    ("event_id", "plain"),
+    ("ts", "ts"),
+    ("user_id", "plain"),
+    ("event_type", "plain"),
+    ("value", "float"),
+    ("props", "plain"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for name, kind in _PROFILE_COLS:
+        if kind == "float":
+            mn = f"CAST(min(CAST({name} AS DECIMAL(38,9))) AS VARCHAR)"
+            mx = f"CAST(max(CAST({name} AS DECIMAL(38,9))) AS VARCHAR)"
+        elif kind == "ts":
+            mn = f"strftime(min({name}), '%Y-%m-%d %H:%M:%S.%f')"
+            mx = f"strftime(max({name}), '%Y-%m-%d %H:%M:%S.%f')"
+        else:
+            mn = f"CAST(min({name}) AS VARCHAR)"
+            mx = f"CAST(max({name}) AS VARCHAR)"
+        parts.append(f"""
+    SELECT '{name}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({name}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
+           {mn} AS min_value, {mx} AS max_value
+    FROM events""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("profile_table_events", oracle=_profile_oracle())
+def profile_table_events(spark, sf_dir):
+    """Exact one-pass table profile (plans/profile.py): per-column
+    n_rows / n_nulls / exact NDV / canonicalized min-max over events.
+    All COUNT(DISTINCT)s collapse into one Expand feeding a single
+    shuffle — one scan regardless of column count."""
+    from dbt_fusion_spark.plans.profile import profile_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile_table(ev, [c for c, _ in _PROFILE_COLS])

@@ -477,3 +477,28 @@ def test_skew_report_shares(spark):
     assert [(r["key_value"], r["n_rows"], r["rank"]) for r in rows] == [
         ("1", 70, 1), ("2", 20, 2)]
     assert abs(rows[0]["frac_of_total"] - 0.7) < 1e-9
+
+
+def test_profile_table_nulls_ndv_and_single_scan(spark):
+    from dbt_fusion_spark.plans.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (3, "a", None), (4, "b", 2.5)],
+        "id long, s string, v double")
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["v"]["n_nulls"] == 1 and rows["v"]["n_distinct"] == 2
+    assert rows["id"]["n_rows"] == 4 and rows["id"]["n_nulls"] == 0
+    assert rows["v"]["min_value"] == "1.500000000"
+    assert rows["s"]["max_value"] == "b"
+    # one pass: a single scan feeds one Expand for all exact NDVs
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
+    assert "Expand" in plan
+
+    # approx path: no Expand (HLL sketches aggregate directly)
+    approx = profile_table(df, exact_distinct=False)
+    aplan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in aplan
+    arows = {r["column"]: r for r in approx.collect()}
+    assert arows["id"]["n_distinct"] >= 3  # approximate but sane

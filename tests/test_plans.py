@@ -498,3 +498,33 @@ def test_funnel_single_events_scan(spark, sf):
     assert "Union" not in plan          # no per-step re-aggregation
     assert "Generate" in plan           # stack expands the 1-row sums
     assert shuffles(plan) <= 2          # user agg + 1-row final agg
+
+
+def test_pq_adc_no_embedding_in_corpus_scan(spark, sf):
+    """PQ-ADC: after encode the corpus carries only (id, pq_code) into
+    the scoring join — the broadcast side is the query set; no
+    SortMergeJoin (never shuffles the corpus on a 10-row side)."""
+    plan = plan_of(QUERIES["similarity_pq_adc_topk"](spark, sf))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_prefilter_scalar_rides_hash_join(spark, sf):
+    """Bloom prefilter: the 1-row dense-bits frame must attach via a
+    BroadcastHashJoin (pmod scalar-key trick), never BNLJ; membership
+    is projection-only so there is no extra shuffle beyond the gram
+    aggregate and the filter build."""
+    plan = plan_of(QUERIES["decontamination_bloom_prefilter"](spark, sf))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "BroadcastHashJoin") >= 2  # bits row + probe grams
+
+
+def test_lsh_incremental_band_equi_join(spark, sf):
+    """Incremental LSH: cross-side candidates come from a band-bucket
+    equi-join of two signature tables — no cartesian, no BNLJ, and no
+    window anywhere."""
+    plan = plan_of(QUERIES["dedup_lsh_incremental_batch"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
