@@ -2,7 +2,7 @@
 
 Mirrors the reference CLI surface (crates/dbt-sa-cli/src/dbt_sa_lib.rs:
 205-265 — run/test/build/seed/snapshot/compile/list/show/debug/deps/
-source freshness/run-operation/init, plus retry, docs generate, and
+source freshness/run-operation/init/man, plus retry, docs generate, and
 static funcsign typecheck) on top of DbtSparkRunner. The CLI
 is a thin shell: argument parsing and exit codes here, all semantics in
 the runner — same layering as the reference, where the CLI crate only
@@ -72,6 +72,11 @@ def _build_parser() -> argparse.ArgumentParser:
     clean = sub.add_parser("clean")
     clean.add_argument("--project-dir", default=".")
     common(sub.add_parser("debug"))
+    man = sub.add_parser(
+        "man", help="print JSON Schemas for accepted config files "
+                    "(reference: dbt man --schema)")
+    man.add_argument("--schema", nargs="*", default=None,
+                     choices=["project", "schema", "selector", "profile"])
     return p
 
 
@@ -137,6 +142,12 @@ def _print_results(rr) -> int:
 def main(argv: list[str] | None = None, spark=None) -> int:
     args = _build_parser().parse_args(argv)
     cmd = args.command
+    if cmd == "man":
+        # dbt_sa_clap.rs:183-190 Man: emit JSON schema documents for the
+        # accepted config file formats
+        from dbt_fusion_spark.man import man_schemas
+        print(json.dumps(man_schemas(args.schema), indent=2))
+        return 0
     if cmd == "deps":
         from dbt_fusion_spark.deps import install_deps
         for pkg in install_deps(args.project_dir):

@@ -281,3 +281,34 @@ def test_cli_retry_reruns_only_failures(spark, jaffle, capsys):
     assert rc == 0
     assert "Nothing to retry" in capsys.readouterr().out
     bad.unlink(); dep.unlink()
+
+
+def test_man_schemas_validate_fixture_project(capsys):
+    """`dbt man` (reference dbt_sa_clap.rs ManArgs): the emitted JSON
+    Schemas must parse, and the real fixture project's config files
+    must VALIDATE against them — the schemas document the loader, so a
+    loader/schema drift fails here."""
+    import pytest as _pytest
+    import yaml as _yaml
+
+    jsonschema = _pytest.importorskip("jsonschema")
+    from dbt_fusion_spark.cli import main
+
+    rc = main(["man"])
+    assert rc == 0
+    docs = json.loads(capsys.readouterr().out)
+    assert set(docs) == {"project", "schema", "selector", "profile"}
+
+    root = Path("tests/fixtures/tpch_project")
+    proj = _yaml.safe_load((root / "dbt_project.yml").read_text())
+    jsonschema.validate(proj, docs["project"])
+    sel = _yaml.safe_load((root / "selectors.yml").read_text())
+    jsonschema.validate(sel, docs["selector"])
+    for props in root.glob("models/**/*.yml"):
+        jsonschema.validate(_yaml.safe_load(props.read_text()),
+                            docs["schema"])
+
+    rc = main(["man", "--schema", "project"])
+    assert rc == 0
+    only = json.loads(capsys.readouterr().out)
+    assert list(only) == ["project"]
