@@ -109,6 +109,11 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 4)
+        # Isolate queries from each other: operators that persist
+        # intermediates (LSH signatures, IVF centroids) would otherwise
+        # accumulate cached partitions across the whole battery and
+        # squeeze execution memory for every later query.
+        spark.catalog.clearCache()
 
     out = {
         "metric": "headline_query_wall_sec",

@@ -286,3 +286,128 @@ def profile_table_events(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return profile_table(ev, [c for c, _ in _PROFILE_COLS])
+
+
+# ------------------------------------------------------------- attribution
+
+@register(
+    "events_attribution_models",
+    # Same join + per-conversion window algebra restated for DuckDB.
+    # Per-row credits are IEEE-identical across engines (same operands,
+    # same ops); the SUMs go through DECIMAL(18,6) so accumulation is
+    # exact and order-independent on both sides.
+    oracle="""
+    WITH touches AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('view', 'click')),
+    convs AS (
+      SELECT user_id, ts AS c_ts, event_id AS conv_id, value
+      FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT t.event_type, c.conv_id, c.value,
+             COUNT(*) OVER w AS n,
+             ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                                ORDER BY t.ts, t.event_id) AS rk
+      FROM touches t JOIN convs c
+        ON t.user_id = c.user_id AND t.ts <= c.c_ts
+           AND t.ts > c.c_ts - INTERVAL 7 DAY
+      WINDOW w AS (PARTITION BY c.conv_id))
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touch_rows,
+      CAST(SUM(CAST(CASE WHEN rk = 1 THEN value ELSE 0 END
+               AS DECIMAL(18,6))) AS DOUBLE) AS credit_first_touch,
+      CAST(SUM(CAST(CASE WHEN rk = n THEN value ELSE 0 END
+               AS DECIMAL(18,6))) AS DOUBLE) AS credit_last_touch,
+      CAST(SUM(CAST(value / n AS DECIMAL(18,6))) AS DOUBLE)
+        AS credit_linear,
+      CAST(SUM(CAST(CASE WHEN n = 1 THEN value
+                         WHEN n = 2 THEN value * 0.5
+                         WHEN rk = 1 THEN value * 0.4
+                         WHEN rk = n THEN value * 0.4
+                         ELSE value * 0.2 / (n - 2) END
+               AS DECIMAL(18,6))) AS DOUBLE) AS credit_position_based
+    FROM j GROUP BY event_type
+    """,
+)
+def events_attribution_models(spark, sf_dir):
+    """Multi-touch attribution (plans/attribution.py): purchases
+    credited to preceding view/click touches within a 7-day lookback
+    under first/last/linear/position-based models, rolled up by touch
+    channel. One user-keyed equi-join + per-conversion windows — no
+    range-join blowup, no global sort."""
+    from dbt_fusion_spark.plans.attribution import attribute_conversions
+
+    ev = load_table(spark, sf_dir, "events")
+    touches = (ev.filter(F.col("event_type").isin("view", "click"))
+                 .select("user_id", "ts", "event_id", "event_type"))
+    convs = (ev.filter(F.col("event_type") == "purchase")
+               .select("user_id", "ts",
+                       F.col("event_id").alias("conv_id"), "value"))
+    credits = attribute_conversions(
+        touches, convs, "user_id", "ts", "event_id", "conv_id", "value",
+        lookback="7 days")
+
+    def dsum(c):
+        return F.sum(F.col(c).cast("decimal(18,6)")).cast("double")
+
+    return credits.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_touch_rows"),
+        dsum("credit_first_touch").alias("credit_first_touch"),
+        dsum("credit_last_touch").alias("credit_last_touch"),
+        dsum("credit_linear").alias("credit_linear"),
+        dsum("credit_position_based").alias("credit_position_based"),
+    )
+
+
+# -------------------------------------------------------- volume anomalies
+
+@register(
+    "events_volume_anomaly",
+    # gap-filled per-type daily volumes, trailing 7-bucket baseline
+    # (current excluded), z-scores rounded to 6 — the window holds <=7
+    # exactly-integer counts, so cross-engine drift is far below 1e-6
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, date_trunc('day', ts) AS bucket,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY event_type, date_trunc('day', ts)),
+    bounds AS (
+      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+      FROM counts GROUP BY event_type),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+      FROM bounds),
+    filled AS (
+      SELECT s.event_type, s.bucket, COALESCE(c.n, 0) AS n_rows
+      FROM spine s LEFT JOIN counts c
+        ON s.event_type = c.event_type AND s.bucket = c.bucket),
+    stats AS (
+      SELECT event_type, bucket, n_rows,
+             AVG(n_rows) OVER w AS mu,
+             STDDEV_SAMP(n_rows) OVER w AS sd,
+             COUNT(*) OVER w AS nw
+      FROM filled
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, bucket, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(round(mu, 6) AS DOUBLE) AS baseline_mean,
+           CAST(round(sd, 6) AS DOUBLE) AS baseline_stddev,
+           CAST(round(CASE WHEN nw >= 3 AND sd > 0
+                           THEN (n_rows - mu) / sd END, 6) AS DOUBLE) AS z,
+           COALESCE(abs(CASE WHEN nw >= 3 AND sd > 0
+                             THEN (n_rows - mu) / sd END) > 3.0, FALSE)
+           OR COALESCE(nw >= 3 AND sd = 0 AND n_rows <> mu, FALSE)
+             AS is_anomaly
+    FROM stats
+    """,
+)
+def events_volume_anomaly(spark, sf_dir):
+    """Data-observability volume check (plans/anomaly.py): per-type
+    daily row counts gap-filled to a complete spine (a missing day is
+    the anomaly you most want), trailing z-score vs the previous 7
+    buckets. The window math runs on the tiny rollup, never raw events."""
+    from dbt_fusion_spark.plans.anomaly import volume_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    return volume_anomalies(ev, "event_type", "ts", step="1 day",
+                            window=7, min_periods=3, z_thresh=3.0)

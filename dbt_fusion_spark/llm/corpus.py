@@ -218,3 +218,28 @@ def dsir_logweights(raw: DataFrame, target: DataFrame | None, id_col: str,
         .agg(F.sum("__tf").cast("bigint").alias("n_tokens"),
              F.round(F.sum(F.col("__tf") * ratio), 6).alias("log_weight"))
     )
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document lexical-diversity signals: Shannon entropy of the
+    unigram distribution, type-token ratio, and counts.
+
+    Low entropy at high length = repetitive/templated text (the cheap
+    cousin of quality.repetition_signals); TTR complements it for short
+    docs. H = ln(n) - (1/n) * sum_t tf*ln(tf) — computed in that form
+    so a single per-doc aggregate over the tf table suffices.
+
+    Scale shape: one tokenize scan -> one (doc, token) shuffle for tf
+    -> one doc-keyed aggregate. The emitted doubles are rounded to 6
+    (per-doc sum order differs across engines).
+    """
+    tf = (tokens(df, id_col, text_col)
+          .groupBy(id_col, "token").agg(F.count("*").alias("tf")))
+    n = F.sum("tf").cast("double")
+    ent = F.log(n) - F.sum(F.col("tf") * F.log("tf")) / n
+    return tf.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.round(ent, 6).alias("token_entropy"),
+        F.round(F.count("*") / n, 6).alias("type_token_ratio"),
+    )

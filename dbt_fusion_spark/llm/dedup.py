@@ -74,17 +74,9 @@ def with_normalized(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Repartition ONLY under-parallelized inputs up to the cluster's
-    core count. A single-file corpus otherwise runs every per-row
-    shingle/hash on one core (observed: 30s -> 3s on local[32]); at
-    real scale inputs already have >= cores partitions and this is a
-    no-op — no shuffle is ever added for big inputs."""
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# Shared with other scan-heavy operators (plans/profile.py); kept
+# importable from here for existing call sites.
+from dbt_fusion_spark.plans.partitioning import ensure_parallelism  # noqa: E402
 
 
 def exact_dedup(df: DataFrame, keys: list[str], tie_breaker: str) -> DataFrame:

@@ -1,0 +1,73 @@
+"""Source-volume anomaly detection — the data-observability primitive.
+
+The reference ships source *freshness* checks (MA adapters/freshness.sql
+— implemented in adapter/spark_adapter.py collect_freshness); the
+sibling check every observability tool layers on top (elementary,
+re_data, Monte Carlo) is VOLUME: "did this source land a wildly
+abnormal number of rows today?". This operator computes trailing
+z-scores over a gap-filled per-key daily volume series and flags
+buckets outside the band.
+
+Scale shape (100 TB contract):
+- the raw scan reduces to one row per (key, bucket) in a single
+  map-side-combined groupBy before anything else happens — the window
+  math runs on the tiny rollup, never on raw events.
+- the spine completion reuses plans/timeseries.gapfill (per-key
+  sequence+explode, no global calendar cross join); a missing day IS
+  the anomaly you most want to catch, so zero-fill is the default.
+- trailing stats are per-key bounded-frame windows (ROWS window-1
+  PRECEDING .. 1 PRECEDING — the current bucket is excluded from its
+  own baseline, the standard leakage guard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from dbt_fusion_spark.plans.timeseries import gapfill
+
+
+def volume_anomalies(df: DataFrame, key_col: str, time_col: str,
+                     step: str = "1 day", window: int = 28,
+                     min_periods: int = 7,
+                     z_thresh: float = 3.0) -> DataFrame:
+    """Flag abnormal per-key event volumes.
+
+    Returns one row per (key, bucket) with ``n_rows``, the trailing
+    baseline ``mean``/``stddev`` over the previous `window` buckets
+    (current excluded), ``z`` (NULL until `min_periods` baseline
+    buckets exist or when stddev is 0), and ``is_anomaly``.
+    """
+    counts = (df.groupBy(F.col(key_col),
+                         F.date_trunc(_trunc_unit(step), time_col)
+                          .alias("bucket"))
+                .agg(F.count(F.lit(1)).cast("double").alias("n_rows")))
+    filled = gapfill(counts, key_col, "bucket", "n_rows",
+                     step=step, method="zero")
+    w = (Window.partitionBy(key_col).orderBy("bucket")
+         .rowsBetween(-window, -1))
+    mu = F.avg("n_rows").over(w)
+    sd = F.stddev_samp("n_rows").over(w)
+    nw = F.count(F.lit(1)).over(w)
+    z = F.when((nw >= min_periods) & (sd > 0),
+               (F.col("n_rows") - mu) / sd)
+    # A constant baseline (stddev 0) leaves z undefined, but deviating
+    # from a constant is the most clear-cut anomaly there is — flag it.
+    flat_break = ((nw >= min_periods) & (sd == 0)
+                  & (F.col("n_rows") != mu))
+    return (filled.select(
+        key_col, "bucket",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round(mu, 6).alias("baseline_mean"),
+        F.round(sd, 6).alias("baseline_stddev"),
+        F.round(z, 6).alias("z"),
+        (F.coalesce(F.abs(z) > z_thresh, F.lit(False))
+         | F.coalesce(flat_break, F.lit(False))).alias("is_anomaly"),
+    ))
+
+
+def _trunc_unit(step: str) -> str:
+    unit = step.split()[-1].rstrip("s")
+    if unit not in ("hour", "day", "week", "month"):
+        raise ValueError(f"unsupported step {step!r}")
+    return unit

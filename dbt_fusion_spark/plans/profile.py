@@ -42,8 +42,14 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
                   exact_distinct: bool = True) -> DataFrame:
     """Long-format profile: one row per column with
     (column, n_rows, n_nulls, n_distinct, min_value, max_value)."""
+    from dbt_fusion_spark.plans.partitioning import ensure_parallelism
+
     cols = columns or df.columns
     dtypes = dict(df.dtypes)
+    # The Expand below multiplies rows (n_cols+1)-fold BEFORE the first
+    # exchange; an under-parallelized scan would run all of it on one
+    # core (single-file local inputs — no-op at fleet scale).
+    df = ensure_parallelism(df)
     aggs = [F.count(F.lit(1)).cast("bigint").alias("__total")]
     for i, c in enumerate(cols):
         nd = (F.countDistinct(F.col(c)) if exact_distinct

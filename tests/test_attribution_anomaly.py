@@ -1,0 +1,124 @@
+"""Unit tests for multi-touch attribution and volume-anomaly detection."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_fusion_spark.plans.anomaly import volume_anomalies
+from dbt_fusion_spark.plans.attribution import attribute_conversions
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def touch_conv(spark):
+    touches = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00:00"), 101, "view"),
+         (1, _ts("2024-01-01 10:00:00"), 102, "click"),
+         (1, _ts("2024-01-01 11:00:00"), 103, "view"),
+         (1, _ts("2024-01-05 09:00:00"), 104, "view"),   # after conv A
+         (2, _ts("2024-01-01 09:00:00"), 201, "view"),   # lone touch
+         (3, _ts("2023-12-01 09:00:00"), 301, "view")],  # outside lookback
+        "user_id int, ts timestamp, touch_id int, channel string")
+    convs = spark.createDataFrame(
+        [(1, _ts("2024-01-01 12:00:00"), 9001, 100.0),
+         (2, _ts("2024-01-02 09:00:00"), 9002, 50.0),
+         (3, _ts("2024-01-02 09:00:00"), 9003, 70.0)],  # no touch in window
+        "user_id int, ts timestamp, conv_id int, value double")
+    return touches, convs
+
+
+def test_attribution_models(spark, touch_conv):
+    touches, convs = touch_conv
+    out = attribute_conversions(
+        touches, convs, "user_id", "ts", "touch_id", "conv_id", "value",
+        lookback="7 days")
+    rows = {(r["conv_id"], r["touch_id"]): r for r in out.collect()}
+    # conv 9001: touches 101,102,103 qualify (104 is later); n=3
+    assert {k for k in rows} == {(9001, 101), (9001, 102), (9001, 103),
+                                 (9002, 201)}
+    a, b, c = rows[(9001, 101)], rows[(9001, 102)], rows[(9001, 103)]
+    assert (a["credit_first_touch"], b["credit_first_touch"],
+            c["credit_first_touch"]) == (100.0, 0.0, 0.0)
+    assert (a["credit_last_touch"], b["credit_last_touch"],
+            c["credit_last_touch"]) == (0.0, 0.0, 100.0)
+    for r in (a, b, c):
+        assert r["credit_linear"] == pytest.approx(100.0 / 3)
+        assert r["n_touches"] == 3
+    # U-shape: 40 / 20 / 40
+    assert (a["credit_position_based"], b["credit_position_based"],
+            c["credit_position_based"]) == (
+        pytest.approx(40.0), pytest.approx(20.0), pytest.approx(40.0))
+    # lone touch takes everything under every model
+    lone = rows[(9002, 201)]
+    for m in ("first_touch", "last_touch", "linear", "position_based"):
+        assert lone[f"credit_{m}"] == pytest.approx(50.0)
+
+
+def test_attribution_credit_conservation(spark, touch_conv):
+    touches, convs = touch_conv
+    out = attribute_conversions(
+        touches, convs, "user_id", "ts", "touch_id", "conv_id", "value",
+        lookback="7 days")
+    per_conv = out.groupBy("conv_id").agg(
+        *[F.sum(f"credit_{m}").alias(m)
+          for m in ("first_touch", "last_touch", "linear",
+                    "position_based")],
+        F.first("value").alias("value")).collect()
+    assert per_conv  # attributed conversions exist
+    for r in per_conv:
+        for m in ("first_touch", "last_touch", "linear", "position_based"):
+            assert r[m] == pytest.approx(r["value"]), (r["conv_id"], m)
+
+
+def test_volume_anomaly_flags_spike_and_gap(spark):
+    # 14 quiet days of 10 events, then a missing day (gap-filled to 0),
+    # then a 100-event spike — both must flag.
+    rows = []
+    eid = 0
+    for day in range(1, 15):
+        for _ in range(10):
+            rows.append((eid, _ts(f"2024-01-{day:02d} 12:00:00"), "a"))
+            eid += 1
+    # skip Jan 15 entirely; Jan 16 spikes; Jan 17 back to normal
+    for _ in range(100):
+        rows.append((eid, _ts("2024-01-16 12:00:00"), "a"))
+        eid += 1
+    for _ in range(10):
+        rows.append((eid, _ts("2024-01-17 12:00:00"), "a"))
+        eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, k string")
+    out = {r["bucket"].day: r for r in
+           volume_anomalies(df, "k", "ts", window=7, min_periods=3,
+                            z_thresh=3.0).collect()}
+    assert len(out) == 17
+    # gap after a CONSTANT baseline: z undefined (stddev 0) but the
+    # flat-break rule flags it
+    assert out[15]["n_rows"] == 0 and out[15]["is_anomaly"]
+    assert out[15]["z"] is None
+    # spike vs the (now noisy) baseline: classic z flag
+    assert out[16]["is_anomaly"] and out[16]["z"] > 3
+    # quiet early days: zero-variance baseline ON the mean -> no flag
+    assert out[10]["z"] is None and not out[10]["is_anomaly"]
+
+
+def test_volume_anomaly_baseline_excludes_current(spark):
+    # constant 5/day then one 50 spike: the spike's own bucket must not
+    # contaminate its baseline mean (which stays 5.0)
+    rows = []
+    eid = 0
+    for day in range(1, 9):
+        n = 50 if day == 8 else 5
+        for i in range(n):
+            rows.append((eid, _ts(f"2024-02-{day:02d} 0{i % 9}:00:00"), "a"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, k string")
+    out = {r["bucket"].day: r for r in
+           volume_anomalies(df, "k", "ts", window=7, min_periods=3)
+           .collect()}
+    assert out[8]["baseline_mean"] == 5.0

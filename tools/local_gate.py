@@ -41,6 +41,16 @@ def _cell(v) -> str:
         return pd.Timestamp(v).isoformat()
     if isinstance(v, float):
         return repr(round(v, 6))
+    # Array columns: Spark toPandas yields Python lists, DuckDB .df()
+    # yields numpy arrays — same values, different str(). Recurse so
+    # element types/containers canonicalize identically (mirrors
+    # tests/parity_util.compare).
+    if hasattr(v, "tolist") and not hasattr(v, "isoformat"):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_cell(x) for x in v) + "]"
+    if hasattr(v, "item") and not isinstance(v, (str, bytes)):
+        return _cell(v.item())  # numpy scalar → Python scalar
     return str(v)
 
 
