@@ -1928,3 +1928,34 @@ def dedup_simhash_near_pairs(spark, sf_dir):
     source; bucketing keeps the join O(collisions)."""
     return D.simhash_near_pairs(_corpus_near(spark, sf_dir),
                                 "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "quality_token_entropy",
+    # Shannon entropy of each doc's unigram distribution + TTR; the
+    # H = ln(n) - sum(tf*ln tf)/n form needs one per-doc aggregate.
+    # Rounded to 6: per-doc sum order differs across engines.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok WHERE token <> '' GROUP BY doc_id, token)
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(round(ln(CAST(SUM(tf) AS DOUBLE))
+                      - SUM(tf * ln(tf)) / CAST(SUM(tf) AS DOUBLE), 6)
+                AS DOUBLE) AS token_entropy,
+           CAST(round(COUNT(*) / CAST(SUM(tf) AS DOUBLE), 6) AS DOUBLE)
+             AS type_token_ratio
+    FROM tf GROUP BY doc_id
+    """,
+)
+def quality_token_entropy(spark, sf_dir):
+    """Lexical-diversity quality signal (llm/corpus.py token_entropy):
+    per-doc unigram Shannon entropy + type-token ratio. One tokenize
+    scan, one (doc, token) shuffle, one doc-keyed aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.token_entropy(docs, "doc_id", "text")

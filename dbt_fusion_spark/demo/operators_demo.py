@@ -411,3 +411,71 @@ def events_volume_anomaly(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return volume_anomalies(ev, "event_type", "ts", step="1 day",
                             window=7, min_periods=3, z_thresh=3.0)
+
+
+# ---------------------------------------------------------------- pagerank
+
+def _pagerank_oracle(n_iter: int = 5, d: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank for DuckDB — same algebra as
+    plans/pagerank.py (including the dangling CTE, identically zero on
+    this symmetric graph), one CTE trio per iteration."""
+    parts = [f"""
+    WITH eraw AS (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_custkey, l_suppkey),
+    edges AS (SELECT src, dst, w FROM eraw
+              UNION ALL SELECT dst AS src, src AS dst, w FROM eraw),
+    nodes0 AS (SELECT DISTINCT src AS node FROM edges
+               UNION SELECT DISTINCT dst FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes0),
+    nodes AS (SELECT node, n FROM nodes0 CROSS JOIN nn),
+    outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+    enorm AS (SELECT e.src, e.dst, e.w / o.outw AS p
+              FROM edges e JOIN outw o ON e.src = o.src),
+    r0 AS (SELECT node, n, 1.0 / n AS rank FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+    d{i} AS (SELECT COALESCE(SUM(r.rank), 0) AS dm
+             FROM r{i - 1} r LEFT JOIN outw o ON r.node = o.src
+             WHERE o.src IS NULL),
+    c{i} AS (SELECT e.dst, SUM(r.rank * e.p) AS c
+             FROM enorm e JOIN r{i - 1} r ON e.src = r.node
+             GROUP BY e.dst),
+    r{i} AS (SELECT nd.node, nd.n,
+                    (1 - {d}) / nd.n
+                    + {d} * (COALESCE(c.c, 0) + d{i}.dm / nd.n) AS rank
+             FROM nodes nd LEFT JOIN c{i} c ON nd.node = c.dst
+             CROSS JOIN d{i})""")
+    parts.append(f"""
+    SELECT node, CAST(round(rank, 9) AS DOUBLE) AS rank FROM r{n_iter}""")
+    return "".join(parts)
+
+
+@register("graph_pagerank_suppliers", oracle=_pagerank_oracle())
+def graph_pagerank_suppliers(spark, sf_dir):
+    """Weighted PageRank (plans/pagerank.py) over the symmetric
+    customer<->supplier transaction graph (edge weight = lineitems
+    traded), 5 power iterations with damping 0.85. Two edge-sized
+    shuffles per iteration, scalars on 1-row broadcast joins, lineage
+    cut by localCheckpoint — the iterative-graph pattern shared with
+    connected components."""
+    from dbt_fusion_spark.plans.pagerank import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eraw = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+            .groupBy("o_custkey", "l_suppkey")
+            .agg(F.count(F.lit(1)).cast("double").alias("w"))
+            .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+                    .alias("src"),
+                    F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+                    .alias("dst"), "w"))
+    edges = eraw.unionByName(
+        eraw.select(F.col("dst").alias("src"),
+                    F.col("src").alias("dst"), "w"))
+    pr = pagerank(edges, "src", "dst", weight_col="w",
+                  damping=0.85, n_iter=5)
+    return pr.select("node", F.round("rank", 9).alias("rank"))

@@ -122,3 +122,34 @@ def test_volume_anomaly_baseline_excludes_current(spark):
            volume_anomalies(df, "k", "ts", window=7, min_periods=3)
            .collect()}
     assert out[8]["baseline_mean"] == 5.0
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    from dbt_fusion_spark.plans.pagerank import pagerank
+
+    # c is dangling (no out-edges): its mass must redistribute, total
+    # rank must stay 1, and c (two in-edges) must outrank b (one).
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string")
+    out = {r["node"]: r["rank"]
+           for r in pagerank(edges, "src", "dst", n_iter=8).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+    assert out["c"] > out["b"] > 0
+    assert out["a"] > 0
+
+
+def test_pagerank_weighted_prefers_heavy_edge(spark):
+    from dbt_fusion_spark.plans.pagerank import pagerank
+
+    # symmetric star with one heavy spoke: the heavy neighbor outranks
+    # the light ones
+    rows = [("hub", "x", 10.0), ("x", "hub", 10.0),
+            ("hub", "y", 1.0), ("y", "hub", 1.0),
+            ("hub", "z", 1.0), ("z", "hub", 1.0)]
+    edges = spark.createDataFrame(rows, "src string, dst string, w double")
+    out = {r["node"]: r["rank"]
+           for r in pagerank(edges, "src", "dst", weight_col="w",
+                             n_iter=10).collect()}
+    assert out["x"] > out["y"] == pytest.approx(out["z"])
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
