@@ -66,6 +66,11 @@ HEADLINE = [
     "events_funnel_conversion",
     "events_cohort_retention",
     "events_gapfill_locf",
+    "events_attribution_models",
+    "events_volume_anomaly",
+    # iterative graph + corpus signals
+    "graph_pagerank_suppliers",
+    "quality_token_entropy",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

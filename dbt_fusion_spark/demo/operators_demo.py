@@ -421,10 +421,11 @@ def _pagerank_oracle(n_iter: int = 5, d: float = 0.85) -> str:
     this symmetric graph), one CTE trio per iteration."""
     parts = [f"""
     WITH eraw AS (
-      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-             's' || CAST(l_suppkey AS VARCHAR) AS dst,
+      SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
              CAST(COUNT(*) AS DOUBLE) AS w
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1997-01-01'
       GROUP BY o_custkey, l_suppkey),
     edges AS (SELECT src, dst, w FROM eraw
               UNION ALL SELECT dst AS src, src AS dst, w FROM eraw),
@@ -457,25 +458,62 @@ def _pagerank_oracle(n_iter: int = 5, d: float = 0.85) -> str:
 @register("graph_pagerank_suppliers", oracle=_pagerank_oracle())
 def graph_pagerank_suppliers(spark, sf_dir):
     """Weighted PageRank (plans/pagerank.py) over the symmetric
-    customer<->supplier transaction graph (edge weight = lineitems
-    traded), 5 power iterations with damping 0.85. Two edge-sized
+    1996 customer<->supplier transaction graph (edge weight =
+    lineitems traded; the order-year filter is pushed to the scan),
+    5 power iterations with damping 0.85. Two edge-sized
     shuffles per iteration, scalars on 1-row broadcast joins, lineage
     cut by localCheckpoint — the iterative-graph pattern shared with
     connected components."""
     from dbt_fusion_spark.plans.pagerank import pagerank
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01"))
     li = load_table(spark, sf_dir, "lineitem")
+    # bigint node ids (cust*2 / supp*2+1): node ids flow through every
+    # iteration's shuffles — 8-byte keys, not strings, at fleet scale
     eraw = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
             .groupBy("o_custkey", "l_suppkey")
             .agg(F.count(F.lit(1)).cast("double").alias("w"))
-            .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-                    .alias("src"),
-                    F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-                    .alias("dst"), "w"))
+            .select((F.col("o_custkey") * 2).alias("src"),
+                    (F.col("l_suppkey") * 2 + 1).alias("dst"), "w"))
     edges = eraw.unionByName(
         eraw.select(F.col("dst").alias("src"),
                     F.col("src").alias("dst"), "w"))
     pr = pagerank(edges, "src", "dst", weight_col="w",
                   damping=0.85, n_iter=5)
     return pr.select("node", F.round("rank", 9).alias("rank"))
+
+
+# -------------------------------------------------------- rolling actives
+
+@register(
+    "events_rolling_active_7d",
+    # the oracle is the NAIVE distinct-over-window formulation (DuckDB
+    # executes the quadratic join fine at oracle scale); the engine
+    # side is the sweep-line plan that replaces it at 100 TB
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events),
+    bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ud),
+    days AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM bounds)
+    SELECT CAST(dd.day AS DATE) AS day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_active
+    FROM days dd LEFT JOIN ud u
+      ON u.d BETWEEN CAST(dd.day AS DATE) - 6 AND CAST(dd.day AS DATE)
+    GROUP BY dd.day
+    """,
+)
+def events_rolling_active_7d(spark, sf_dir):
+    """Exact trailing-7-day active users per calendar day WITHOUT
+    distinct-over-window (plans/activity.py): per-user coverage
+    intervals via one lead() window -> +1/-1 deltas -> running sum over
+    the day spine. Two bounded shuffles; the only global window runs
+    over one row per day."""
+    from dbt_fusion_spark.plans.activity import rolling_active_users
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_active_users(ev, "user_id", "ts", window_days=7)

@@ -153,3 +153,33 @@ def test_pagerank_weighted_prefers_heavy_edge(spark):
                              n_iter=10).collect()}
     assert out["x"] > out["y"] == pytest.approx(out["z"])
     assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_rolling_active_users_exact(spark):
+    from dbt_fusion_spark.plans.activity import rolling_active_users
+
+    # u1 active day 1 and 10; u2 active day 3; window 7:
+    #   day 1-7: u1; day 3-9: u2; day 10+: u1 again
+    rows = [(1, _ts("2024-03-01 01:00:00")),
+            (1, _ts("2024-03-01 02:00:00")),   # same day dup
+            (1, _ts("2024-03-10 01:00:00")),
+            (2, _ts("2024-03-03 01:00:00"))]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = {r["day"].day: r["n_active"]
+           for r in rolling_active_users(df, "user_id", "ts",
+                                         window_days=7).collect()}
+    expect = {1: 1, 2: 1, 3: 2, 4: 2, 5: 2, 6: 2, 7: 2,
+              8: 1, 9: 1, 10: 1}
+    assert out == expect
+
+
+def test_rolling_active_users_chained_coverage(spark):
+    from dbt_fusion_spark.plans.activity import rolling_active_users
+
+    # u1 active every other day: coverage chains with no double count
+    rows = [(1, _ts(f"2024-03-{d:02d} 01:00:00")) for d in (1, 3, 5)]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = {r["day"].day: r["n_active"]
+           for r in rolling_active_users(df, "user_id", "ts",
+                                         window_days=2).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
