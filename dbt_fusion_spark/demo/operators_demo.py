@@ -307,7 +307,11 @@ def profile_table_events(spark, sf_dir):
       SELECT t.event_type, c.conv_id, c.value,
              COUNT(*) OVER w AS n,
              ROW_NUMBER() OVER (PARTITION BY c.conv_id
-                                ORDER BY t.ts, t.event_id) AS rk
+                                ORDER BY t.ts, t.event_id) AS rk,
+             pow(2.0, -((epoch_us(c.c_ts) - epoch_us(t.ts)) / 1e6)
+                       / 86400.0) AS dw,
+             SUM(pow(2.0, -((epoch_us(c.c_ts) - epoch_us(t.ts)) / 1e6)
+                           / 86400.0)) OVER w AS dws
       FROM touches t JOIN convs c
         ON t.user_id = c.user_id AND t.ts <= c.c_ts
            AND t.ts > c.c_ts - INTERVAL 7 DAY
@@ -324,14 +328,16 @@ def profile_table_events(spark, sf_dir):
                          WHEN rk = 1 THEN value * 0.4
                          WHEN rk = n THEN value * 0.4
                          ELSE value * 0.2 / (n - 2) END
-               AS DECIMAL(18,6))) AS DOUBLE) AS credit_position_based
+               AS DECIMAL(18,6))) AS DOUBLE) AS credit_position_based,
+      CAST(SUM(CAST(value * dw / dws AS DECIMAL(18,6))) AS DOUBLE)
+        AS credit_time_decay
     FROM j GROUP BY event_type
     """,
 )
 def events_attribution_models(spark, sf_dir):
     """Multi-touch attribution (plans/attribution.py): purchases
     credited to preceding view/click touches within a 7-day lookback
-    under first/last/linear/position-based models, rolled up by touch
+    under first/last/linear/position-based/time-decay models, rolled up by touch
     channel. One user-keyed equi-join + per-conversion windows — no
     range-join blowup, no global sort."""
     from dbt_fusion_spark.plans.attribution import attribute_conversions
@@ -355,6 +361,7 @@ def events_attribution_models(spark, sf_dir):
         dsum("credit_last_touch").alias("credit_last_touch"),
         dsum("credit_linear").alias("credit_linear"),
         dsum("credit_position_based").alias("credit_position_based"),
+        dsum("credit_time_decay").alias("credit_time_decay"),
     )
 
 
@@ -517,3 +524,44 @@ def events_rolling_active_7d(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return rolling_active_users(ev, "user_id", "ts", window_days=7)
+
+
+# --------------------------------------------------------------------- twap
+
+@register(
+    "events_twap_user_value",
+    # time-weighted average purchase value per (user, day): each sample
+    # holds until the next, the last until midnight; durations are
+    # exact integer microseconds and the weighted sums accumulate in
+    # DECIMAL, so both engines emit identical doubles
+    oracle="""
+    WITH s AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+               AS bucket, value,
+             epoch_us(ts) AS t,
+             epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY) AS e
+      FROM events WHERE event_type = 'purchase' AND user_id % 11 = 0),
+    d AS (
+      SELECT user_id, bucket, value,
+             COALESCE(LEAD(t) OVER (PARTITION BY user_id, bucket
+                                    ORDER BY t), e) - t AS dur
+      FROM s)
+    SELECT user_id, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(round(CAST(SUM(CAST(value * dur AS DECIMAL(28,6)))
+                           / SUM(CAST(dur AS DECIMAL(28,6)))
+                      AS DOUBLE), 6) AS DOUBLE) AS twap
+    FROM d GROUP BY user_id, bucket
+    """,
+)
+def events_twap_user_value(spark, sf_dir):
+    """TWAP (plans/timeseries.py time_weighted_average): per-user daily
+    time-weighted purchase value over irregular ticks — one keyed
+    lead() window + one aggregate on the same hash exchange. A plain
+    AVG is wrong exactly when sampling is bursty."""
+    from dbt_fusion_spark.plans.timeseries import time_weighted_average
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 11 == 0))
+    return time_weighted_average(ev, "user_id", "ts", "value",
+                                 bucket="day")

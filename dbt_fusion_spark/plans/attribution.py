@@ -31,16 +31,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-MODELS = ("first_touch", "last_touch", "linear", "position_based")
+MODELS = ("first_touch", "last_touch", "linear", "position_based",
+          "time_decay")
 
 
 def attribute_conversions(touches: DataFrame, conversions: DataFrame,
                           user_col: str, time_col: str,
                           touch_id_col: str, conv_id_col: str,
                           value_col: str,
-                          lookback: str | None = "7 days") -> DataFrame:
+                          lookback: str | None = "7 days",
+                          decay_half_life_s: float = 86400.0) -> DataFrame:
     """One row per (conversion, qualifying touch) with a credit column
     for every model in MODELS (``credit_first_touch``, ...).
+
+    ``time_decay``: credit proportional to 2^(-age/half_life) where age
+    is the touch-to-conversion delay — recent touches dominate, with
+    weights normalized per conversion so credit still sums to value.
 
     `touches` must carry (user_col, time_col, touch_id_col); extra
     columns pass through. `conversions` must carry (user_col, time_col,
@@ -72,6 +78,13 @@ def attribute_conversions(touches: DataFrame, conversions: DataFrame,
         .when(rk == n, v * 0.4)
         .otherwise(v * 0.2 / (n - 2))
     )
+    # exponential decay on touch age; epoch-microsecond arithmetic so
+    # the age is an exact integer on any engine
+    age_s = ((F.unix_micros(F.col(c_ts).cast("timestamp"))
+              - F.unix_micros(F.col(t_ts).cast("timestamp")))
+             / F.lit(1e6))
+    decay_w = F.pow(F.lit(2.0), -age_s / F.lit(float(decay_half_life_s)))
+    decay = v * decay_w / F.sum(decay_w).over(w)
     return (joined
             .withColumn("n_touches", n)
             .withColumn("touch_rank", rk)
@@ -79,5 +92,6 @@ def attribute_conversions(touches: DataFrame, conversions: DataFrame,
             .withColumn("credit_last_touch", last)
             .withColumn("credit_linear", linear)
             .withColumn("credit_position_based", position)
+            .withColumn("credit_time_decay", decay)
             .withColumnRenamed(t_ts, time_col)
             .drop(c_ts))

@@ -60,3 +60,39 @@ def gapfill(df: DataFrame, key_col: str, bucket_col: str, val_col: str,
         filled.alias(val_col),
         observed.isNull().alias("is_gap"),
     )
+
+
+def time_weighted_average(df: DataFrame, key_col: str, time_col: str,
+                          val_col: str, bucket: str = "day") -> DataFrame:
+    """Time-weighted average per (key, bucket) over irregular samples —
+    the TWAP primitive (each observation holds its value until the next
+    one, the last until bucket end; the lead-in before the first sample
+    carries no weight).
+
+    twap = sum(value_i * dur_i) / sum(dur_i), dur_i in exact
+    microseconds, so a value sampled for 23 hours dominates one sampled
+    for a minute — a plain AVG over irregular ticks is wrong exactly
+    when sampling is bursty.
+
+    Scale shape: one (key, bucket)-partitioned lead() window + one
+    aggregate on the same key — both ride a single hash exchange.
+    Weighted sums go through exact integer-microsecond durations and
+    DECIMAL accumulation, so results reproduce on any engine.
+    """
+    b = F.date_trunc(bucket, time_col)
+    t_us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    end_us = F.unix_micros(
+        (b + F.expr(f"interval 1 {bucket}")).cast("timestamp"))
+    out = (df.select(F.col(key_col), b.alias("bucket"),
+                     F.col(val_col).alias("__v"),
+                     t_us.alias("__t"), end_us.alias("__e")))
+    w2 = Window.partitionBy(key_col, "bucket").orderBy("__t")
+    nxt2 = F.lead("__t").over(w2)
+    dur2 = F.coalesce(nxt2, F.col("__e")) - F.col("__t")
+    return (out.withColumn("__dur", dur2)
+            .groupBy(key_col, "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+                 F.round((F.sum((F.col("__v") * F.col("__dur"))
+                                .cast("decimal(28,6)"))
+                          / F.sum(F.col("__dur").cast("decimal(28,6)")))
+                         .cast("double"), 6).alias("twap")))

@@ -68,11 +68,12 @@ def test_attribution_credit_conservation(spark, touch_conv):
     per_conv = out.groupBy("conv_id").agg(
         *[F.sum(f"credit_{m}").alias(m)
           for m in ("first_touch", "last_touch", "linear",
-                    "position_based")],
+                    "position_based", "time_decay")],
         F.first("value").alias("value")).collect()
     assert per_conv  # attributed conversions exist
     for r in per_conv:
-        for m in ("first_touch", "last_touch", "linear", "position_based"):
+        for m in ("first_touch", "last_touch", "linear",
+                  "position_based", "time_decay"):
             assert r[m] == pytest.approx(r["value"]), (r["conv_id"], m)
 
 
@@ -183,3 +184,32 @@ def test_rolling_active_users_chained_coverage(spark):
            for r in rolling_active_users(df, "user_id", "ts",
                                          window_days=2).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_attribution_time_decay_prefers_recent(spark, touch_conv):
+    touches, convs = touch_conv
+    out = attribute_conversions(
+        touches, convs, "user_id", "ts", "touch_id", "conv_id", "value",
+        lookback="7 days", decay_half_life_s=3600.0)
+    rows = {(r["conv_id"], r["touch_id"]): r["credit_time_decay"]
+            for r in out.collect()}
+    # touch 103 (1h before conv) must out-credit 102 (2h) and 101 (3h)
+    assert rows[(9001, 103)] > rows[(9001, 102)] > rows[(9001, 101)]
+    # halving per hour: each step is exactly 2x the previous weight
+    assert rows[(9001, 103)] == pytest.approx(2 * rows[(9001, 102)])
+
+
+def test_twap_holds_last_value_to_bucket_end(spark):
+    from dbt_fusion_spark.plans.timeseries import time_weighted_average
+
+    # 1.0 held 00:00->12:00 (12h), 3.0 held 12:00->24:00 (12h) => 2.0;
+    # second key samples only at 18:00 => twap = its own value
+    rows = [(1, _ts("2024-04-01 00:00:00"), 1.0),
+            (1, _ts("2024-04-01 12:00:00"), 3.0),
+            (2, _ts("2024-04-01 18:00:00"), 7.5)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = {r["k"]: r for r in
+           time_weighted_average(df, "k", "ts", "v", "day").collect()}
+    assert out[1]["twap"] == pytest.approx(2.0)
+    assert out[1]["n_samples"] == 2
+    assert out[2]["twap"] == pytest.approx(7.5)
