@@ -528,3 +528,43 @@ def test_lsh_incremental_band_equi_join(spark, sf):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_attribution_keyed_windows_no_global_sort(spark, sf):
+    """Attribution: the only windows are per-conversion (hash exchange
+    on conv_id), never a global single-partition sort; the touch/conv
+    join is a keyed equi-join, not a range-join blowup."""
+    plan = plan_of(QUERIES["events_attribution_models"](spark, sf))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert n_nodes(plan, "Window") >= 1
+    assert "hashpartitioning(conv_id" in plan
+
+
+def test_rolling_actives_bounded_global_window(spark, sf):
+    """Rolling actives: the per-user lead() window hash-partitions on
+    the user; the ONLY global window runs over the day spine (one row
+    per day — bounded by the calendar, not the data)."""
+    plan = plan_of(QUERIES["events_rolling_active_7d"](spark, sf))
+    assert "hashpartitioning(u" in plan
+    # delta aggregate combines map-side before its exchange
+    assert "partial_sum" in plan
+
+
+def test_twap_single_keyed_exchange_chain(spark, sf):
+    """TWAP: lead() window and the final aggregate share the (key,
+    bucket) hash partitioning — no global sort, no extra exchange."""
+    plan = plan_of(QUERIES["events_twap_user_value"](spark, sf))
+    assert "SinglePartition" not in plan
+    assert n_nodes(plan, "Window") == 1
+    assert shuffles(plan) <= 2
+
+
+def test_anomaly_rollup_before_windows(spark, sf):
+    """Volume anomaly: raw events reduce to the (key, bucket) rollup in
+    a map-side-combined aggregate BEFORE any window math; windows are
+    key-partitioned."""
+    plan = plan_of(QUERIES["events_volume_anomaly"](spark, sf))
+    assert "partial_count" in plan
+    assert "SinglePartition" not in plan
