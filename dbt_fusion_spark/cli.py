@@ -47,7 +47,7 @@ def _build_parser() -> argparse.ArgumentParser:
         return sp
 
     for name in ("run", "test", "build", "seed", "snapshot", "compile",
-                 "parse", "typecheck", "retry", "clone"):
+                 "parse", "typecheck", "retry", "clone", "lineage"):
         common(sub.add_parser(name))
     ls = common(sub.add_parser("list", aliases=["ls"]))
     ls.add_argument("--output", choices=["name", "json"], default="name")
@@ -271,6 +271,31 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(f"TYPECHECK {p}")
         print(f"{len(problems)} problem(s)")
         return 1 if problems else 0
+    if cmd == "lineage":
+        # Column-level lineage via Spark's analyzed plans (sql/lineage.py)
+        # — the reference computes this with its own SQL frontend
+        # (crates/dbt-sql static analysis); Spark's analyzer is ours.
+        # Requires upstream relations to exist (run/build first): the
+        # analyzer resolves names against the live catalog, and lineage
+        # stops at each model's IMMEDIATE parents (view/table bounds).
+        from dbt_fusion_spark.sql.lineage import column_lineage
+
+        runner.parse()
+        out: dict = {}
+        for uid, node in runner.project.nodes.items():
+            if (node.resource_type != "model"
+                    or node.config.get("language") == "python"):
+                continue
+            try:
+                out[uid] = column_lineage(spark, runner.compile(node))
+            except Exception as e:  # unresolvable ref = not built yet
+                out[uid] = {"error": str(e).splitlines()[0][:300]}
+        dest = Path(args.project_dir) / "target" / "lineage.json"
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        dest.write_text(json.dumps(out, indent=1, sort_keys=True))
+        n_err = sum(1 for v in out.values() if "error" in v)
+        print(f"Wrote {dest} ({len(out)} models, {n_err} unresolved)")
+        return 1 if n_err else 0
     if cmd == "compile":
         runner.parse()
         outdir = Path(args.project_dir) / "target" / "compiled"

@@ -312,3 +312,23 @@ def test_man_schemas_validate_fixture_project(capsys):
     assert rc == 0
     only = json.loads(capsys.readouterr().out)
     assert list(only) == ["project"]
+
+
+def test_cli_lineage_after_build(spark, jaffle, capsys):
+    # build first (relations must exist for the analyzer), then lineage
+    assert main(["build", "--project-dir", str(jaffle)], spark=spark) == 0
+    capsys.readouterr()
+    rc = main(["lineage", "--project-dir", str(jaffle)], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    lin = json.loads((jaffle / "target" / "lineage.json").read_text())
+    assert lin, "no models in lineage"
+    customers = next(v for k, v in lin.items()
+                     if k.endswith(".customers"))
+    assert "error" not in customers
+    # every output column traces to at least one upstream (table, col),
+    # and the upstream names are immediate parents, not raw files
+    assert customers
+    flat = [s for srcs in customers.values() for s in srcs]
+    assert flat, "no sources resolved"
+    assert all("table" in s and "column" in s for s in flat)
