@@ -30,13 +30,20 @@ from dbt_fusion_spark.plans.timeseries import gapfill
 def volume_anomalies(df: DataFrame, key_col: str, time_col: str,
                      step: str = "1 day", window: int = 28,
                      min_periods: int = 7,
-                     z_thresh: float = 3.0) -> DataFrame:
+                     z_thresh: float = 3.0,
+                     method: str = "z") -> DataFrame:
     """Flag abnormal per-key event volumes.
 
     Returns one row per (key, bucket) with ``n_rows``, the trailing
     baseline ``mean``/``stddev`` over the previous `window` buckets
     (current excluded), ``z`` (NULL until `min_periods` baseline
     buckets exist or when stddev is 0), and ``is_anomaly``.
+
+    method: 'z' (mean/stddev) or 'robust' (median/MAD with the 0.6745
+    consistency factor — a prior spike in the baseline no longer masks
+    today's anomaly, the weakness of plain z on bursty sources). Both
+    keep the same output shape (baseline_mean/baseline_stddev carry
+    median/MAD under 'robust').
     """
     counts = (df.groupBy(F.col(key_col),
                          F.date_trunc(_trunc_unit(step), time_col)
@@ -46,6 +53,10 @@ def volume_anomalies(df: DataFrame, key_col: str, time_col: str,
                      step=step, method="zero")
     w = (Window.partitionBy(key_col).orderBy("bucket")
          .rowsBetween(-window, -1))
+    if method == "robust":
+        return _robust(filled, key_col, w, min_periods, z_thresh)
+    if method != "z":
+        raise ValueError(f"unknown method {method!r}")
     mu = F.avg("n_rows").over(w)
     sd = F.stddev_samp("n_rows").over(w)
     nw = F.count(F.lit(1)).over(w)
@@ -64,6 +75,51 @@ def volume_anomalies(df: DataFrame, key_col: str, time_col: str,
         (F.coalesce(F.abs(z) > z_thresh, F.lit(False))
          | F.coalesce(flat_break, F.lit(False))).alias("is_anomaly"),
     ))
+
+
+def _robust(filled: DataFrame, key_col: str, w, min_periods: int,
+            z_thresh: float) -> DataFrame:
+    """Median/MAD variant. MAD needs the deviations from the WINDOW's
+    own median, which no single window aggregate expresses — instead
+    the trailing baseline is collected into a bounded array (<= window
+    elements by the frame) and median/MAD computed with array HOFs:
+    per-row work is O(window log window) on <=28 values, no extra
+    shuffle, still whole-row vectorizable."""
+    base = F.collect_list("n_rows").over(w)
+
+    def arr_median(arr):
+        s = F.array_sort(arr)
+        n = F.size(arr)
+        # greatest(...,1): keeps element_at's 1-based contract valid on
+        # an EMPTY baseline (first buckets); the outer when() nulls it
+        lo = F.element_at(
+            s, F.greatest(((n + 1) / F.lit(2)).cast("int"), F.lit(1)))
+        hi = F.element_at(s, (n / F.lit(2)).cast("int") + 1)
+        return F.when(n == 0, F.lit(None).cast("double")) \
+                .when(n % 2 == 1, lo).otherwise((lo + hi) / 2.0)
+
+    dev = lambda m: F.transform(F.col("__base"),          # noqa: E731
+                                lambda x: F.abs(x - m))
+    out = (filled
+           .withColumn("__base", base)
+           .withColumn("__med", arr_median(F.col("__base"))))
+    mad = arr_median(dev(F.col("__med")))
+    out = out.withColumn("__mad", mad).withColumn(
+        "__nw", F.size("__base"))
+    rz = F.when((F.col("__nw") >= min_periods) & (F.col("__mad") > 0),
+                F.lit(0.6745) * (F.col("n_rows") - F.col("__med"))
+                / F.col("__mad"))
+    flat_break = ((F.col("__nw") >= min_periods) & (F.col("__mad") == 0)
+                  & (F.col("n_rows") != F.col("__med")))
+    return out.select(
+        key_col, "bucket",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round(F.col("__med"), 6).alias("baseline_mean"),
+        F.round(F.col("__mad"), 6).alias("baseline_stddev"),
+        F.round(rz, 6).alias("z"),
+        (F.coalesce(F.abs(rz) > z_thresh, F.lit(False))
+         | F.coalesce(flat_break, F.lit(False))).alias("is_anomaly"),
+    )
 
 
 def _trunc_unit(step: str) -> str:

@@ -213,3 +213,32 @@ def test_twap_holds_last_value_to_bucket_end(spark):
     assert out[1]["twap"] == pytest.approx(2.0)
     assert out[1]["n_samples"] == 2
     assert out[2]["twap"] == pytest.approx(7.5)
+
+
+def test_robust_anomaly_resists_baseline_spike(spark):
+    # constant 10/day with ONE prior 100-spike in the baseline, then a
+    # 40 burst: plain z is masked by the inflated stddev, robust
+    # (median/MAD) still flags the burst
+    rows = []
+    eid = 0
+    for day in range(1, 11):
+        n = 100 if day == 5 else 10
+        for _ in range(n):
+            rows.append((eid, _ts(f"2024-05-{day:02d} 12:00:00"), "a"))
+            eid += 1
+    for _ in range(40):
+        rows.append((eid, _ts("2024-05-11 12:00:00"), "a"))
+        eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, k string")
+    plain = {r["bucket"].day: r for r in
+             volume_anomalies(df, "k", "ts", window=7, min_periods=3,
+                              method="z").collect()}
+    robust = {r["bucket"].day: r for r in
+              volume_anomalies(df, "k", "ts", window=7, min_periods=3,
+                               method="robust").collect()}
+    assert not plain[11]["is_anomaly"]          # masked by the spike
+    assert robust[11]["is_anomaly"]             # MAD baseline holds
+    assert robust[11]["baseline_mean"] == 10.0  # median ignores spike
+    # and the original spike day flags under both
+    assert plain[5]["is_anomaly"] or plain[5]["z"] is None
+    assert robust[5]["is_anomaly"]
