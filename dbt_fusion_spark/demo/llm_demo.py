@@ -1959,3 +1959,52 @@ def quality_token_entropy(spark, sf_dir):
     scan, one (doc, token) shuffle, one doc-keyed aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     return C.token_entropy(docs, "doc_id", "text")
+
+
+@register(
+    "streaming_attribution_pairs",
+    # STREAM-STREAM join certified against batch algebra: the emitted
+    # (purchase, click) pair set must equal the batch time-range join.
+    oracle="""
+    SELECT p.event_id AS p_id, c.event_id AS c_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def streaming_attribution_pairs(spark, sf_dir):
+    """Watermarked stream-stream attribution join
+    (streaming/structured.py stream_stream_join): purchases matched to
+    clicks in the trailing hour, both sides unbounded streams with
+    bounded state (the time-range predicate evicts aged rows on BOTH
+    buffers). availableNow over restaged parquet; inner-join pair set
+    is deterministic and equals the batch join — the oracle."""
+    import tempfile
+    import uuid
+
+    from dbt_fusion_spark.streaming import stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"))
+    stage = {}
+    for kind, tcol, icol in (("purchase", "p_ts", "p_id"),
+                             ("click", "c_ts", "c_id")):
+        side = (ev.filter(F.col("event_type") == kind)
+                .select(F.col("event_id").alias(icol), "user_id",
+                        F.col("ts").alias(tcol)))
+        path = tempfile.mkdtemp(prefix=f"dfs-ssj-{kind}-")
+        side.write.mode("overwrite").parquet(path)
+        stage[kind] = spark.readStream.schema(side.schema).parquet(path)
+    joined = stream_stream_join(
+        stage["purchase"], stage["click"], on="user_id",
+        left_time="p_ts", right_time="c_ts",
+        max_delay="1 hour", watermark="365 days")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (joined.select("p_id", "c_id")
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="dfs-ssj-ck-"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)
