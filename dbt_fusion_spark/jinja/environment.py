@@ -361,7 +361,8 @@ def parse_node(project, node) -> None:
 def compile_node(project, node, relation_for, adapter=None,
                  is_incremental: bool = False,
                  extra_ctx: dict[str, Any] | None = None,
-                 empty: bool = False) -> str:
+                 empty: bool = False,
+                 extra_macros: str = "") -> str:
     """Second render: ref/source emit relation names; ephemeral deps
     inline as CTEs (compile_node_context.rs; __dbt__cte__ naming).
     empty=True is the dbt `--empty` dry run: every ref/source input is
@@ -445,7 +446,10 @@ def compile_node(project, node, relation_for, adapter=None,
     )
     if extra_ctx:
         ctx.update(extra_ctx)
-    src = BUILTIN_MACROS + project.macros_src + "\n" + node.raw_code
+    # extra_macros render AFTER project macros: a later {% macro %} with
+    # the same name rebinds it (unit-test overrides ride on this)
+    src = (BUILTIN_MACROS + project.macros_src + "\n" + extra_macros
+           + "\n" + node.raw_code)
     body = _base_env().from_string(src).render(**ctx).strip()
     if ephemeral_ctes:
         ctes = ",\n".join(f"{name} AS (\n{sql}\n)" for name, sql in ephemeral_ctes.items())

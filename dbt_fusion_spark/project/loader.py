@@ -546,7 +546,10 @@ def _load_schema_yml(proj: Project, path: Path) -> None:
             unique_id=uid, name=ut["name"], resource_type="unit_test",
             package=proj.name, path=str(path.relative_to(proj.root)),
             config={"model": ut["model"], "given": ut.get("given") or [],
-                    "expect": ut.get("expect") or {}},
+                    "expect": ut.get("expect") or {},
+                    # dbt 1.8 unit-test overrides (UnitTestOverrides,
+                    # unit_test_properties.rs:29-33: macros/vars/env_vars)
+                    "overrides": ut.get("overrides") or {}},
             depends_on=[f"model.{proj.name}.{ut['model']}"],
         )
 

@@ -16,6 +16,7 @@ sharing the executor pool.
 from __future__ import annotations
 
 import json
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -707,7 +708,48 @@ class DbtSparkRunner:
         def rel_for(uid: str) -> str:
             return redirect.get(uid) or self.relation_for(uid)
 
-        model_sql = compile_node(proj, model, rel_for, adapter=self.adapter)
+        # dbt 1.8 unit-test overrides (UnitTestOverrides,
+        # unit_test_properties.rs:29-33): vars/env_vars swap the context
+        # functions; macro overrides append {% macro %} redefinitions
+        # (a later definition rebinds the name), returning the literal.
+        ov = node.config.get("overrides") or {}
+        extra_ctx: dict = {}
+        if ov.get("vars"):
+            merged = {**proj.vars, **ov["vars"]}
+            extra_ctx["var"] = (
+                lambda name, default=None, _m=merged: _m.get(name, default))
+        if ov.get("env_vars"):
+            env_ov = ov["env_vars"]
+            extra_ctx["env_var"] = (
+                lambda name, default=None, _e=env_ov:
+                _e[name] if name in _e
+                else os.environ.get(name, default))
+        extra_macros = "".join(
+            # referencing varargs/kwargs lets callers pass any args
+            "{% macro " + mname + "() %}"
+            "{% set _v = varargs %}{% set _k = kwargs %}"
+            + str(mval)
+            + "{% endmacro %}\n"
+            for mname, mval in (ov.get("macros") or {}).items()
+            if "." not in mname)
+        for mname, mval in (ov.get("macros") or {}).items():
+            if "." in mname:  # namespaced: dbt.current_timestamp etc.
+                ns_name, attr = mname.split(".", 1)
+                base = extra_ctx.get(ns_name)
+                if base is None:
+                    from dbt_fusion_spark.jinja.environment import (
+                        _common_context)
+                    base = _common_context(proj, model).get(ns_name)
+                if base is not None:
+                    import copy as _copy
+                    ns = _copy.copy(base)
+                    setattr(ns, attr,
+                            lambda *a, _v=mval, **k: str(_v))
+                    extra_ctx[ns_name] = ns
+
+        model_sql = compile_node(proj, model, rel_for, adapter=self.adapter,
+                                 extra_ctx=extra_ctx or None,
+                                 extra_macros=extra_macros)
 
         exp_rows = parse_rows(node.config["expect"])
         exp_cols = list(dict.fromkeys(k for r in exp_rows for k in r))

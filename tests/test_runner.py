@@ -953,3 +953,28 @@ def test_clone_from_state(spark, tmp_path):
     assert [r.message for r in rr.results] == ["CLONE (pointer view)"]
     row = spark.table("cl_dev.facts").collect()[0]
     assert (row["answer"], row["origin"]) == (42, "prod")
+
+
+def test_unit_test_overrides(runner, spark):
+    """dbt 1.8 unit-test overrides (UnitTestOverrides,
+    unit_test_properties.rs:29-33): a macro override rebinds due_days()
+    to 45 for the test only; var/env_var overrides swap the context
+    functions."""
+    import copy
+
+    uid = "unit_test.tpch_demo.ut_stg_orders_overrides"
+    assert uid in runner.project.nodes
+    rr = runner.run(select="ut_stg_orders_overrides")
+    by_id = {r.unique_id: r for r in rr.results}
+    assert by_id[uid].status == "pass", by_id[uid].message
+    # the ORIGINAL unit test (no override) still sees the 30-day default
+    rr2 = runner.run(select="ut_stg_orders_derivations")
+    assert all(r.status in ("pass", "success") for r in rr2.results)
+    # env_var override: reachable without the environment being set
+    node = copy.deepcopy(runner.project.nodes[uid])
+    node.config["overrides"] = {
+        "macros": {"due_days": "45"},
+        "env_vars": {"DFS_UT_PROBE": "ignored"},
+        "vars": {"whatever": 1},
+    }
+    assert runner._run_unit_test(node) == "pass"
