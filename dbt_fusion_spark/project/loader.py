@@ -401,7 +401,10 @@ def _load_schema_yml(proj: Project, path: Path) -> None:
                         "format": tbl.get("meta", {}).get("format", "parquet"),
                         "freshness": tbl.get("freshness") or src.get("freshness"),
                         "loaded_at_field": tbl.get("loaded_at_field")
-                        or src.get("loaded_at_field")},
+                        or src.get("loaded_at_field"),
+                        # dbt 1.9: custom freshness SELECT wins over field
+                        "loaded_at_query": tbl.get("loaded_at_query")
+                        or src.get("loaded_at_query")},
                 loader_meta=tbl.get("meta", {}) or {},
             )
             proj.sources[uid] = node

@@ -1004,16 +1004,26 @@ class DbtSparkRunner:
 
     def source_freshness(self, uid: str):
         """adapters/freshness.sql:7-18: select max(loaded_at_field),
-        current_timestamp() from source."""
+        current_timestamp() from source. dbt 1.9 `loaded_at_query`
+        (freshness.sql:21-36 collect_freshness_custom_sql): an
+        arbitrary SELECT wrapped as a scalar CTE wins over the field;
+        `{{ this }}` inside it resolves to the source relation."""
         src = self.project.sources[uid]
-        loaded_at = src.config.get("loaded_at_field")
-        if not loaded_at:
-            raise ValueError(f"{uid} has no loaded_at_field")
         rel = self.relation_for(uid)
-        row = self.spark.sql(
-            f"SELECT max({loaded_at}) AS max_loaded_at,"
-            f" current_timestamp() AS snapshotted_at FROM {rel}"
-        ).collect()[0]
+        query = src.config.get("loaded_at_query")
+        if query:
+            body = query.replace("{{ this }}", rel).replace("{{this}}", rel)
+            sql = (f"WITH source_query AS (\n{body}\n)\n"
+                   "SELECT (SELECT * FROM source_query) AS max_loaded_at,"
+                   " current_timestamp() AS snapshotted_at")
+        else:
+            loaded_at = src.config.get("loaded_at_field")
+            if not loaded_at:
+                raise ValueError(
+                    f"{uid} has no loaded_at_field or loaded_at_query")
+            sql = (f"SELECT max({loaded_at}) AS max_loaded_at,"
+                   f" current_timestamp() AS snapshotted_at FROM {rel}")
+        row = self.spark.sql(sql).collect()[0]
         return row["max_loaded_at"], row["snapshotted_at"]
 
     def check_source_freshness(self, uid: str) -> dict:

@@ -978,3 +978,27 @@ def test_unit_test_overrides(runner, spark):
         "vars": {"whatever": 1},
     }
     assert runner._run_unit_test(node) == "pass"
+
+
+def test_freshness_loaded_at_query(runner, spark):
+    """dbt 1.9 loaded_at_query (freshness.sql:21-36
+    collect_freshness_custom_sql): an arbitrary scalar SELECT replaces
+    max(loaded_at_field); {{ this }} resolves to the source relation."""
+    import copy
+
+    uid = next(u for u in runner.project.sources)
+    src = runner.project.sources[uid]
+    orig = copy.deepcopy(src.config)
+    try:
+        src.config["loaded_at_query"] = (
+            "select max(o_orderdate) from {{ this }}")
+        max_loaded, snap = runner.source_freshness(uid)
+        assert max_loaded is not None and snap is not None
+        # matches the field-based answer on the same column
+        src.config["loaded_at_query"] = None
+        src.config["loaded_at_field"] = "o_orderdate"
+        fld_loaded, _ = runner.source_freshness(uid)
+        assert fld_loaded == max_loaded
+    finally:
+        src.config.clear()
+        src.config.update(orig)
