@@ -565,3 +565,77 @@ def events_twap_user_value(spark, sf_dir):
         (F.col("event_type") == "purchase") & (F.col("user_id") % 11 == 0))
     return time_weighted_average(ev, "user_id", "ts", "value",
                                  bucket="day")
+
+
+def _duck_list_median(lst: str) -> str:
+    """Interpolated median of a DuckDB list expression (list_median
+    truncates even counts to the lower middle; engine side averages)."""
+    return (f"(CASE WHEN len({lst}) % 2 = 1 "
+            f"THEN list_sort({lst})[(len({lst}) + 1) // 2] "
+            f"ELSE (list_sort({lst})[len({lst}) // 2] "
+            f"      + list_sort({lst})[len({lst}) // 2 + 1]) / 2.0 END)")
+
+
+_ROBUST_MED = _duck_list_median("l")
+_ROBUST_MAD = _duck_list_median("list_transform(l, x -> abs(x - med))")
+
+@register(
+    "events_volume_anomaly_robust",
+    # median/MAD variant: the baseline list is materialized per row
+    # (bounded <= 7 by the frame) and medians computed by sort+index —
+    # exactly the engine's array-HOF algebra, restated for DuckDB
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type, date_trunc('day', ts) AS bucket,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY event_type, date_trunc('day', ts)),
+    bounds AS (
+      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+      FROM counts GROUP BY event_type),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+      FROM bounds),
+    filled AS (
+      SELECT s.event_type, s.bucket, COALESCE(c.n, 0) AS n_rows
+      FROM spine s LEFT JOIN counts c
+        ON s.event_type = c.event_type AND s.bucket = c.bucket),
+    lists AS (
+      SELECT event_type, bucket, n_rows,
+             COALESCE(list(n_rows) OVER w, []) AS l
+      FROM filled
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+    meds AS (
+      SELECT event_type, bucket, n_rows, l,
+             CAST({_ROBUST_MED} AS DOUBLE) AS med
+      FROM lists),
+    mads AS (
+      SELECT event_type, bucket, n_rows, len(l) AS nw, med,
+             CAST({_ROBUST_MAD} AS DOUBLE) AS mad
+      FROM meds)
+    SELECT event_type, bucket, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(round(med, 6) AS DOUBLE) AS baseline_mean,
+           CAST(round(mad, 6) AS DOUBLE) AS baseline_stddev,
+           CAST(round(CASE WHEN nw >= 3 AND mad > 0
+                           THEN 0.6745 * (n_rows - med) / mad END, 6)
+                AS DOUBLE) AS z,
+           COALESCE(abs(CASE WHEN nw >= 3 AND mad > 0
+                             THEN 0.6745 * (n_rows - med) / mad END)
+                    > 3.0, FALSE)
+           OR COALESCE(nw >= 3 AND mad = 0 AND n_rows <> med, FALSE)
+             AS is_anomaly
+    FROM mads
+    """,
+)
+def events_volume_anomaly_robust(spark, sf_dir):
+    """Robust (median/MAD) volume anomalies (plans/anomaly.py
+    method='robust'): immune to baseline-spike masking; the trailing
+    baseline is a bounded array per row, medians via array HOFs — no
+    extra shuffle over the plain-z variant."""
+    from dbt_fusion_spark.plans.anomaly import volume_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    return volume_anomalies(ev, "event_type", "ts", step="1 day",
+                            window=7, min_periods=3, z_thresh=3.0,
+                            method="robust")
