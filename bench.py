@@ -68,6 +68,8 @@ HEADLINE = [
     "events_gapfill_locf",
     "events_attribution_models",
     "events_volume_anomaly",
+    "events_twap_user_value",
+    "events_rolling_active_7d",
     # iterative graph + corpus signals
     "graph_pagerank_suppliers",
     "quality_token_entropy",

@@ -337,7 +337,8 @@ def runner_incremental_schema_evolution(spark, sf_dir):
       ('test.tpch_demo.unique_customer_revenue_c_custkey', 'pass'),
       ('test.tpch_demo.unique_stg_orders_o_orderkey', 'pass'),
       ('test.tpch_demo.within_range_stg_orders_o_totalprice', 'pass'),
-      ('unit_test.tpch_demo.ut_stg_orders_derivations', 'pass')
+      ('unit_test.tpch_demo.ut_stg_orders_derivations', 'pass'),
+      ('unit_test.tpch_demo.ut_stg_orders_overrides', 'pass')
     ) AS t(unique_id, status)
     """,
 )
