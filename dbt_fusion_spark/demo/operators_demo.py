@@ -639,3 +639,44 @@ def events_volume_anomaly_robust(spark, sf_dir):
     return volume_anomalies(ev, "event_type", "ts", step="1 day",
                             window=7, min_periods=3, z_thresh=3.0,
                             method="robust")
+
+
+@register(
+    "sketch_ddsketch_quantiles",
+    # DDSketch (Masson 2019): the bucket histogram is a pure function
+    # of the data (unlike percentile_approx's engine-private GK
+    # sketch), so the ESTIMATES reproduce bit-for-bit on DuckDB. The
+    # ln(gamma) divisor is passed as the same Python-computed literal
+    # to both engines.
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN value = 0 THEN 0
+                  ELSE CAST(ceil(ln(value) / 0.020000666706669435) AS BIGINT) END AS bucket
+      FROM events WHERE value >= 0),
+    h AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+          FROM s GROUP BY bucket),
+    c AS (SELECT bucket, n,
+                 SUM(n) OVER (ORDER BY bucket
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(n) OVER () AS total
+          FROM h),
+    qv AS (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q),
+    hit AS (SELECT q, MIN(bucket) AS b
+            FROM c JOIN qv ON TRUE
+            WHERE cum >= ceil(q * (total - 1)) + 1 GROUP BY q)
+    SELECT q, CAST(round(CASE WHEN b = 0 THEN 0.0
+                              ELSE 2 * pow(1.02020202020202, b) / 2.02020202020202
+                         END, 6) AS DOUBLE) AS est
+    FROM hit ORDER BY q
+""",
+)
+def sketch_ddsketch_quantiles(spark, sf_dir):
+    """Mergeable relative-error quantiles at 100 TB: DDSketch histogram
+    (one map-side-combined groupBy, output bounded by
+    log(max/min)/log(gamma) buckets regardless of input size) walked
+    for p50/p95/p99 of event values; alpha=1% relative error."""
+    from dbt_fusion_spark.llm.sketch import ddsketch, ddsketch_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = ddsketch(ev, "value", alpha=0.01)
+    return ddsketch_quantiles(sk, [0.5, 0.95, 0.99], alpha=0.01)

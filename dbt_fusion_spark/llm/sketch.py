@@ -120,3 +120,79 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame,
         F.round(rho * est_union, 6).alias("est_intersection"),
         F.round(rho, 9).alias("jaccard"),
     )
+
+
+# --------------------------------------------------------------- DDSketch
+
+def ddsketch(df: DataFrame, col: str, alpha: float = 0.01) -> DataFrame:
+    """DDSketch histogram (Masson et al., VLDB 2019): relative-error
+    quantile sketch as a (bucket, n) table.
+
+    bucket(x) = ceil(ln(x) / ln(gamma)), gamma = (1+alpha)/(1-alpha):
+    every value in a bucket is within alpha relative error of the
+    bucket's representative. Unlike percentile_approx (engine-private
+    GK sketch), the histogram is a PURE FUNCTION of the data — any
+    engine with ln() reproduces it, so it is oracle-checkable, and two
+    sketches MERGE by adding bucket counts (the fleet pattern:
+    sketch-per-shard, merge, query).
+
+    Scale shape: bucket assignment is a codegen projection; the
+    histogram is one map-side-combined groupBy whose output is at most
+    a few thousand rows regardless of input size (bounded memory — the
+    reason DDSketch exists). Zeros/negatives: bucket 0 counts zeros;
+    negative values are rejected (classic positive-value DDSketch).
+    """
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    import math
+
+    lg = math.log(gamma)
+    b = (F.when(F.col(col) == 0, F.lit(0))
+         .otherwise(F.ceil(F.log(F.col(col)) / F.lit(lg)))
+         .cast("bigint"))
+    return (df.filter(F.col(col) >= 0)
+              .select(b.alias("bucket"))
+              .groupBy("bucket")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+
+
+def ddsketch_merge(*sketches: DataFrame) -> DataFrame:
+    """Merged sketch = bucket-wise count sum (exactly the sketch of the
+    concatenated inputs)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.sum("n").cast("bigint").alias("n"))
+
+
+def ddsketch_quantiles(sketch: DataFrame, qs: Sequence[float],
+                       alpha: float = 0.01) -> DataFrame:
+    """(q, est) rows: value estimates with relative error <= alpha.
+
+    est = 2*gamma^b / (gamma+1) — the bucket midpoint representative of
+    the first bucket whose cumulative count reaches ceil(q*(n-1))+1.
+    The cumulative walk is a window over the BUCKET table (bounded:
+    ~log(max/min)/log(gamma) rows), not over the data.
+    """
+    from pyspark.sql import Window
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bucket", "n", F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(Window.partitionBy()).alias("total"))
+    qdf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double")
+    # rank of the target order statistic (1-based)
+    target = F.ceil(F.col("q") * (F.col("total") - 1)) + 1
+    # opaque constant key -> BroadcastHashJoin, not a BNLJ cross join
+    # (same trick as corpus._join_scalar; both sides are tiny)
+    key = "__k"
+    hit = (cum.withColumn(key, F.pmod(F.abs(F.xxhash64("bucket")), F.lit(1)))
+           .join(F.broadcast(qdf.withColumn(
+               key, F.pmod(F.abs(F.xxhash64("q")), F.lit(1)))), key)
+           .filter(F.col("cum") >= target)
+           .groupBy("q").agg(F.min("bucket").alias("b")))
+    rep = (F.when(F.col("b") == 0, F.lit(0.0))
+           .otherwise(F.lit(2.0) * F.pow(F.lit(gamma), F.col("b"))
+                      / F.lit(gamma + 1.0)))
+    return hit.select("q", F.round(rep, 6).alias("est")).orderBy("q")

@@ -502,3 +502,27 @@ def test_profile_table_nulls_ndv_and_single_scan(spark):
     assert "Expand" not in aplan
     arows = {r["column"]: r for r in approx.collect()}
     assert arows["id"]["n_distinct"] >= 3  # approximate but sane
+
+
+def test_ddsketch_merge_equals_concat_and_error_bound(spark):
+    import random
+
+    from dbt_fusion_spark.llm.sketch import (
+        ddsketch, ddsketch_merge, ddsketch_quantiles)
+
+    rnd = random.Random(7)
+    xs = [rnd.lognormvariate(3, 1) for _ in range(4000)]
+    a = spark.createDataFrame([(x,) for x in xs[:2000]], "v double")
+    b = spark.createDataFrame([(x,) for x in xs[2000:]], "v double")
+    both = spark.createDataFrame([(x,) for x in xs], "v double")
+    merged = ddsketch_merge(ddsketch(a, "v"), ddsketch(b, "v"))
+    direct = ddsketch(both, "v")
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
+    # alpha=1% relative error bound against the exact quantiles
+    qs = ddsketch_quantiles(direct, [0.5, 0.95], alpha=0.01).collect()
+    xs.sort()
+    import math
+    for r in qs:
+        exact = xs[math.ceil(r["q"] * (len(xs) - 1))]
+        assert abs(r["est"] - exact) / exact < 0.025, (r, exact)
