@@ -615,10 +615,10 @@ _ROBUST_MAD = _duck_list_median("list_transform(l, x -> abs(x - med))")
              CAST({_ROBUST_MAD} AS DOUBLE) AS mad
       FROM meds)
     SELECT event_type, bucket, CAST(n_rows AS BIGINT) AS n_rows,
-           CAST(round(med, 6) AS DOUBLE) AS baseline_mean,
-           CAST(round(mad, 6) AS DOUBLE) AS baseline_stddev,
-           CAST(round(CASE WHEN nw >= 3 AND mad > 0
-                           THEN 0.6745 * (n_rows - med) / mad END, 6)
+           med AS baseline_mean,
+           mad AS baseline_stddev,
+           CAST(CASE WHEN nw >= 3 AND mad > 0
+                     THEN 0.6745 * (n_rows - med) / mad END
                 AS DOUBLE) AS z,
            COALESCE(abs(CASE WHEN nw >= 3 AND mad > 0
                              THEN 0.6745 * (n_rows - med) / mad END)

@@ -111,12 +111,18 @@ def _robust(filled: DataFrame, key_col: str, w, min_periods: int,
                 / F.col("__mad"))
     flat_break = ((F.col("__nw") >= min_periods) & (F.col("__mad") == 0)
                   & (F.col("n_rows") != F.col("__med")))
+    # NO engine-side rounding here, deliberately: unlike the z variant
+    # (window sums whose accumulation order differs per engine), every
+    # robust value derives from sorts and single divisions of identical
+    # operands — the doubles are bit-identical cross-engine, and a
+    # round() can only break that on exact .5e-6 ties (observed at
+    # sf0.1: Spark HALF_UP vs DuckDB disagreeing on -0.2529375).
     return out.select(
         key_col, "bucket",
         F.col("n_rows").cast("bigint").alias("n_rows"),
-        F.round(F.col("__med"), 6).alias("baseline_mean"),
-        F.round(F.col("__mad"), 6).alias("baseline_stddev"),
-        F.round(rz, 6).alias("z"),
+        F.col("__med").alias("baseline_mean"),
+        F.col("__mad").alias("baseline_stddev"),
+        rz.alias("z"),
         (F.coalesce(F.abs(rz) > z_thresh, F.lit(False))
          | F.coalesce(flat_break, F.lit(False))).alias("is_anomaly"),
     )
