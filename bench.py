@@ -58,6 +58,7 @@ HEADLINE = [
     "asof_join_last_purchase",
     "range_join_incident_windows",
     "kmv_distinct_events",
+    "sketch_ddsketch_quantiles",
     "profile_table_events",
     "kmv_set_estimates_events",
     # events (streaming-shaped batch semantics)
