@@ -680,3 +680,46 @@ def sketch_ddsketch_quantiles(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     sk = ddsketch(ev, "value", alpha=0.01)
     return ddsketch_quantiles(sk, [0.5, 0.95, 0.99], alpha=0.01)
+
+
+@register(
+    "sketch_ddsketch_by_type",
+    # keyed DDSketch: p50/p95 of event value PER event_type — the
+    # grouped-rollup shape; the cumulative walk window hash-partitions
+    # on the key
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             CASE WHEN value = 0 THEN 0
+                  ELSE CAST(ceil(ln(value) / {__import__('math').log(101/99)!r})
+                       AS BIGINT) END AS bucket
+      FROM events WHERE value >= 0),
+    h AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n
+          FROM s GROUP BY event_type, bucket),
+    c AS (SELECT event_type, bucket, n,
+                 SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(n) OVER (PARTITION BY event_type) AS total
+          FROM h),
+    qv AS (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS q),
+    hit AS (SELECT event_type, q, MIN(bucket) AS b
+            FROM c JOIN qv ON TRUE
+            WHERE cum >= ceil(q * (total - 1)) + 1
+            GROUP BY event_type, q)
+    SELECT event_type, q,
+           CAST(round(CASE WHEN b = 0 THEN 0.0
+                           ELSE 2 * pow({(101/99)!r}, b) / {(101/99)+1.0!r}
+                      END, 6) AS DOUBLE) AS est
+    FROM hit ORDER BY event_type, q
+    """,
+)
+def sketch_ddsketch_by_type(spark, sf_dir):
+    """Keyed DDSketch quantiles (llm/sketch.py `by=`): per-event-type
+    p50/p95 from one histogram groupBy; the walk runs on the bounded
+    per-key bucket tables, hash-partitioned on the key."""
+    from dbt_fusion_spark.llm.sketch import ddsketch, ddsketch_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = ddsketch(ev, "value", alpha=0.01, by=["event_type"])
+    return ddsketch_quantiles(sk, [0.5, 0.95], alpha=0.01,
+                              by=["event_type"])

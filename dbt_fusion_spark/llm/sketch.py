@@ -124,7 +124,8 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame,
 
 # --------------------------------------------------------------- DDSketch
 
-def ddsketch(df: DataFrame, col: str, alpha: float = 0.01) -> DataFrame:
+def ddsketch(df: DataFrame, col: str, alpha: float = 0.01,
+             by: Sequence[str] = ()) -> DataFrame:
     """DDSketch histogram (Masson et al., VLDB 2019): relative-error
     quantile sketch as a (bucket, n) table.
 
@@ -149,37 +150,46 @@ def ddsketch(df: DataFrame, col: str, alpha: float = 0.01) -> DataFrame:
     b = (F.when(F.col(col) == 0, F.lit(0))
          .otherwise(F.ceil(F.log(F.col(col)) / F.lit(lg)))
          .cast("bigint"))
+    keys = list(by)
     return (df.filter(F.col(col) >= 0)
-              .select(b.alias("bucket"))
-              .groupBy("bucket")
+              .select(*keys, b.alias("bucket"))
+              .groupBy(*keys, "bucket")
               .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
 
 
 def ddsketch_merge(*sketches: DataFrame) -> DataFrame:
     """Merged sketch = bucket-wise count sum (exactly the sketch of the
-    concatenated inputs)."""
+    concatenated inputs). Works for keyed sketches too (all non-`n`
+    columns group)."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("bucket").agg(F.sum("n").cast("bigint").alias("n"))
+    keys = [c for c in out.columns if c != "n"]
+    return out.groupBy(*keys).agg(F.sum("n").cast("bigint").alias("n"))
 
 
 def ddsketch_quantiles(sketch: DataFrame, qs: Sequence[float],
-                       alpha: float = 0.01) -> DataFrame:
-    """(q, est) rows: value estimates with relative error <= alpha.
+                       alpha: float = 0.01,
+                       by: Sequence[str] = ()) -> DataFrame:
+    """(*by, q, est) rows: value estimates with relative error <= alpha.
 
     est = 2*gamma^b / (gamma+1) — the bucket midpoint representative of
     the first bucket whose cumulative count reaches ceil(q*(n-1))+1.
     The cumulative walk is a window over the BUCKET table (bounded:
-    ~log(max/min)/log(gamma) rows), not over the data.
+    ~log(max/min)/log(gamma) rows per key) — hash-partitioned per key
+    when `by` is given, a single bounded partition otherwise; never a
+    pass over the data.
     """
     from pyspark.sql import Window
 
     gamma = (1.0 + alpha) / (1.0 - alpha)
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    keys = list(by)
+    w = (Window.partitionBy(*keys).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy(*keys)
     cum = sketch.select(
-        "bucket", "n", F.sum("n").over(w).alias("cum"),
-        F.sum("n").over(Window.partitionBy()).alias("total"))
+        *keys, "bucket", "n", F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(wt).alias("total"))
     qdf = sketch.sparkSession.createDataFrame(
         [(float(q),) for q in qs], "q double")
     # rank of the target order statistic (1-based)
@@ -191,8 +201,9 @@ def ddsketch_quantiles(sketch: DataFrame, qs: Sequence[float],
            .join(F.broadcast(qdf.withColumn(
                key, F.pmod(F.abs(F.xxhash64("q")), F.lit(1)))), key)
            .filter(F.col("cum") >= target)
-           .groupBy("q").agg(F.min("bucket").alias("b")))
+           .groupBy(*keys, "q").agg(F.min("bucket").alias("b")))
     rep = (F.when(F.col("b") == 0, F.lit(0.0))
            .otherwise(F.lit(2.0) * F.pow(F.lit(gamma), F.col("b"))
                       / F.lit(gamma + 1.0)))
-    return hit.select("q", F.round(rep, 6).alias("est")).orderBy("q")
+    return (hit.select(*keys, "q", F.round(rep, 6).alias("est"))
+               .orderBy(*keys, "q"))
