@@ -35,6 +35,7 @@ from dbt_fusion_spark.incremental import delete_insert as di_fn, merge as merge_
 from dbt_fusion_spark.relation import Relation, RelationType
 from dbt_fusion_spark.snapshots import SnapshotConfig, snapshot_build, snapshot_run
 from dbt_fusion_spark.testing.generic import (
+    test_volume_anomaly as _volume_anomaly_sql,
     get_test_sql,
     test_accepted_values,
     test_not_null,
@@ -460,6 +461,12 @@ _TEST_SQL_BUILDERS = {
         model, col, kw["values"], kw.get("quote", True)),
     "relationships": lambda model, col, kw: test_relationships(
         model, col, kw["to"], kw["field"]),
+    # observability: per-day volume z-score check (plans/anomaly twin)
+    "volume_anomaly": lambda model, col, kw: _volume_anomaly_sql(
+        model, col, window=kw.get("window", 7),
+        min_periods=kw.get("min_periods", 3),
+        z_thresh=kw.get("z_thresh", 3.0),
+        group_by=kw.get("group_by")),
 }
 
 

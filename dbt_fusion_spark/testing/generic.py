@@ -182,3 +182,50 @@ def test_relationships_where(model: str, column_name: str, to: str,
         f"ON child.from_field = parent.to_field\n"
         f"WHERE parent.to_field IS NULL"
     )
+
+
+def test_volume_anomaly(model: str, column_name: str, window: int = 7,
+                        min_periods: int = 3, z_thresh: float = 3.0,
+                        group_by: str | None = None) -> str:
+    """Observability volume check as a schema test (the data-test twin
+    of plans/anomaly.volume_anomalies): fails with one row per day
+    whose row count deviates > z_thresh trailing z-scores from the
+    previous `window` days (current excluded), including gap-filled
+    zero-count days and flat-baseline breaks. `column_name` is the
+    event-time column; `group_by` optionally checks per segment."""
+    grp = f"{group_by}, " if group_by else ""
+    gsel = f"s.{group_by}, " if group_by else ""
+    gjoin = (f"s.{group_by} = c.{group_by} AND " if group_by else "")
+    part = f"PARTITION BY {group_by} " if group_by else ""
+    return f"""
+WITH counts AS (
+  SELECT {grp}date_trunc('day', {column_name}) AS bucket,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM {model}
+  GROUP BY {grp}date_trunc('day', {column_name})),
+bounds AS (
+  SELECT {grp}MIN(bucket) AS lo, MAX(bucket) AS hi
+  FROM counts {("GROUP BY " + group_by) if group_by else ""}),
+spine AS (
+  SELECT {grp}explode(sequence(lo, hi, interval 1 day)) AS bucket
+  FROM bounds),
+filled AS (
+  SELECT {gsel}s.bucket, COALESCE(c.n, 0) AS n_rows
+  FROM spine s LEFT JOIN counts c
+    ON {gjoin}s.bucket = c.bucket),
+stats AS (
+  SELECT {grp}bucket, n_rows,
+         AVG(n_rows) OVER w AS mu,
+         STDDEV_SAMP(n_rows) OVER w AS sd,
+         COUNT(*) OVER w AS nw
+  FROM filled
+  WINDOW w AS ({part}ORDER BY bucket
+               ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING))
+SELECT {grp}bucket, CAST(n_rows AS BIGINT) AS n_rows,
+       round(CASE WHEN nw >= {min_periods} AND sd > 0
+                  THEN (n_rows - mu) / sd END, 6) AS z
+FROM stats
+WHERE COALESCE(abs(CASE WHEN nw >= {min_periods} AND sd > 0
+                        THEN (n_rows - mu) / sd END) > {z_thresh}, FALSE)
+   OR COALESCE(nw >= {min_periods} AND sd = 0 AND n_rows <> mu, FALSE)
+"""

@@ -242,3 +242,31 @@ def test_robust_anomaly_resists_baseline_spike(spark):
     # and the original spike day flags under both
     assert plain[5]["is_anomaly"] or plain[5]["z"] is None
     assert robust[5]["is_anomaly"]
+
+
+def test_generic_volume_anomaly_schema_test(spark):
+    # the schema-test twin of volume_anomalies: same spike corpus as
+    # the operator test, driven through run_generic_test
+    from dbt_fusion_spark.adapter import SparkAdapter
+    from dbt_fusion_spark.materializations.executors import (
+        run_generic_test)
+
+    rows = []
+    eid = 0
+    for day in range(1, 15):
+        n = 100 if day == 14 else 10
+        for _ in range(n):
+            rows.append((eid, _ts(f"2024-06-{day:02d} 12:00:00"), "a"))
+            eid += 1
+    spark.createDataFrame(rows, "event_id long, ts timestamp, k string") \
+        .createOrReplaceTempView("va_events")
+    adapter = SparkAdapter(spark, default_schema="default")
+    res = run_generic_test(adapter, "volume_anomaly", "va_events",
+                           "ts", {"window": 7, "min_periods": 3})
+    assert res.failures == 1 and res.should_error  # the day-14 spike
+    # a quiet table passes
+    spark.createDataFrame(rows[:140], "event_id long, ts timestamp, k string") \
+        .createOrReplaceTempView("va_quiet")
+    res2 = run_generic_test(adapter, "volume_anomaly", "va_quiet",
+                            "ts", {})
+    assert res2.failures == 0 and not res2.should_error
