@@ -181,3 +181,80 @@ def sample_weighted_reservoir(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars")
     return sample_weighted(docs, "n_chars", 50, key="doc_id", seed=42)
+
+
+@register(
+    "sampler_plan_referential",
+    # SamplerPlan executor (plan.rs SamplerPlan/Keyset/Entry/Filter):
+    # hash-sample orders (portable md5 buckets), propagate the
+    # surviving order keys as a keyset, lineitem passes through the
+    # keyset filter — the oracle restates the identical algebra, and
+    # the orphan count being ZERO is the referential-integrity
+    # property the keyset machinery exists to provide.
+    oracle="""
+    WITH sampled_orders AS (
+      SELECT * FROM orders
+      WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 10 < 3),
+    sampled_lineitem AS (
+      SELECT l.* FROM lineitem l
+      WHERE l.l_orderkey IN (SELECT o_orderkey FROM sampled_orders))
+    SELECT 'orders' AS tbl,
+           CAST((SELECT COUNT(*) FROM sampled_orders) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT COUNT(*) FROM sampled_lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM sampled_lineitem
+                 WHERE l_orderkey NOT IN
+                       (SELECT o_orderkey FROM sampled_orders)) AS BIGINT)
+    """,
+)
+def sampler_plan_referential(spark, sf_dir):
+    """Referentially-intact dev sampling (sample/plan.py, plan.rs
+    SamplerPlan): orders hash-sampled on portable md5 buckets, the
+    surviving keys broadcast as a keyset, lineitem kept only where its
+    foreign key survived (left-semi broadcast join — child table never
+    shuffles). Emits per-table row counts + the orphan count (must be
+    0: the joinability property the keyset machinery buys)."""
+    from dbt_fusion_spark.sample.plan import run_sampler_plan
+
+    plan = {
+        "keysets": {
+            "live_orders": {
+                "cols": ["o_orderkey"],
+                "from": {"root": "orders",
+                         "strategy": {"type": "hash",
+                                      "args": {"by": "o_orderkey",
+                                               "mod": 10, "keep": 3,
+                                               "method": "md5"}}},
+            },
+        },
+        "entries": [
+            {"select": "orders",
+             "strategy": {"type": "hash",
+                          "args": {"by": "o_orderkey", "mod": 10,
+                                   "keep": 3, "method": "md5"}}},
+            {"select": "lineitem", "strategy": {"type": "pass"},
+             "filters": [{"use": "live_orders", "on": "l_orderkey"}]},
+        ],
+    }
+    out = run_sampler_plan(spark, plan,
+                           read=lambda sel: load_table(spark, sf_dir, sel))
+    o, li = out["orders"], out["lineitem"]
+    okeys = o.select("o_orderkey")
+    orphans = (li.join(F.broadcast(okeys),
+                       li["l_orderkey"] == okeys["o_orderkey"],
+                       "left_anti")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    r1 = o.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")).select(
+        F.lit("orders").alias("tbl"), "n_rows",
+        F.lit(0).cast("bigint").alias("n_orphans"))
+    r2_n = li.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    key = "__k"
+    r2 = (r2_n.withColumn(key, F.pmod(F.abs(F.xxhash64("n_rows")), F.lit(1)))
+          .join(F.broadcast(orphans.withColumn(
+              key, F.pmod(F.abs(F.xxhash64("n")), F.lit(1)))), key)
+          .select(F.lit("lineitem").alias("tbl"), "n_rows",
+                  F.col("n").alias("n_orphans")))
+    return r1.unionByName(r2)

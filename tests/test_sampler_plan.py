@@ -1,0 +1,78 @@
+"""SamplerPlan executor (sample/plan.py) — plan.rs parity."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_fusion_spark.sample.plan import apply_strategy, run_sampler_plan
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    orders = spark.createDataFrame(
+        [(i, f"c{i % 3}") for i in range(100)], "ok long, cust string")
+    lines = spark.createDataFrame(
+        [(i, i % 100, i * 1.0) for i in range(500)],
+        "lk long, ok long, amt double")
+    return {"orders": orders, "lines": lines}
+
+
+def test_keyset_filter_referential_integrity(spark, tables):
+    plan = {
+        "keysets": {
+            "live": {"cols": ["ok"],
+                     "from": {"root": "orders",
+                              "strategy": {"type": "hash",
+                                           "args": {"by": "ok", "mod": 4,
+                                                    "keep": 1,
+                                                    "method": "md5"}}}},
+        },
+        "entries": [
+            {"select": "orders",
+             "strategy": {"type": "hash",
+                          "args": {"by": "ok", "mod": 4, "keep": 1,
+                                   "method": "md5"}}},
+            {"select": "lines", "strategy": {"type": "pass"},
+             "filters": [{"use": "live", "on": "ok"}]},
+        ],
+    }
+    out = run_sampler_plan(spark, plan, read=lambda s: tables[s])
+    okeys = {r["ok"] for r in out["orders"].collect()}
+    assert 0 < len(okeys) < 100
+    lkeys = {r["ok"] for r in out["lines"].collect()}
+    assert lkeys <= okeys          # no orphans
+    assert len(lkeys) == len(okeys)  # every surviving order has lines
+
+
+def test_keyset_from_seed_and_multi_col_on(spark, tables):
+    seed = spark.createDataFrame([(1,), (2,), (3,)], "ok long")
+    plan = {
+        "keysets": {"pick": {"cols": ["ok"], "from": {"seed": "seedtbl"}}},
+        "entries": [{"select": "lines", "strategy": {"type": "clone"},
+                     "filters": [{"use": "pick", "on": ["ok"]}]}],
+    }
+    src = dict(tables, seedtbl=seed)
+    out = run_sampler_plan(spark, plan, read=lambda s: src[s])
+    assert {r["ok"] for r in out["lines"].collect()} == {1, 2, 3}
+
+
+def test_strategy_dispatch_variants(spark, tables):
+    o = tables["orders"]
+    assert apply_strategy(o, {"type": "pass"}).count() == 100
+    assert apply_strategy(o, {"type": "limit",
+                              "args": {"n": 7, "order_by": ["ok"]}}).count() == 7
+    grp = apply_strategy(o, {"type": "group",
+                             "args": {"by": "cust", "n_per_group": 2,
+                                      "order_by": ["ok"]}})
+    assert grp.count() == 6
+    strat = apply_strategy(
+        o, {"type": "stratified",
+            "args": {"by": "cust", "frac": {"c0": 1.0, "c1": 0.0},
+                     "key": "ok"}})
+    custs = {r["cust"] for r in strat.collect()}
+    assert custs == {"c0"}  # c1 sampled at 0, c2 absent from the map
+    rnd = apply_strategy(o, {"type": "random",
+                             "args": {"frac": 0.5, "by": "ok"}})
+    assert rnd.count() == apply_strategy(
+        o.repartition(13),
+        {"type": "random", "args": {"frac": 0.5, "by": "ok"}}).count()
