@@ -2008,3 +2008,55 @@ def streaming_attribution_pairs(spark, sf_dir):
          .trigger(availableNow=True).start())
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@register(
+    "streaming_volume_monitor",
+    # windowed per-type daily volumes scored against a fixed baseline
+    # (mean 400 / stddev 10 makes every real day a z-flag, exercising
+    # both branches deterministically); oracle = the same batch algebra
+    oracle="""
+    WITH win AS (
+      SELECT date_trunc('day', ts) AS window_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY date_trunc('day', ts), event_type)
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+           window_start + INTERVAL 1 DAY AS window_end,
+           event_type, n_events,
+           CAST(round((n_events - 400.0) / 10.0, 6) AS DOUBLE) AS z,
+           abs((n_events - 400.0) / 10.0) > 3.0 AS is_anomaly
+    FROM win
+    -- append mode emits a window only once the watermark passes its
+    -- end; the trailing day stays OPEN mid-stream (exactly as in
+    -- production), so the oracle excludes it
+    WHERE window_start + INTERVAL 1 DAY <= (SELECT max(ts) FROM events)
+    """,
+)
+def streaming_volume_monitor(spark, sf_dir):
+    """Streaming observability (streaming/structured.py
+    streaming_volume_monitor): watermarked tumbling-day volumes scored
+    live against a broadcast baseline table — the streaming twin of the
+    volume_anomaly batch operator/schema test. availableNow run over
+    restaged parquet; output equals the batch window algebra (oracle)."""
+    import tempfile
+    import uuid
+
+    from dbt_fusion_spark.streaming import streaming_volume_monitor as mon
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value",
+        F.col("ts").cast("timestamp").alias("ts"))
+    staging = tempfile.mkdtemp(prefix="dfs-vmon-src-")
+    ev.write.mode("overwrite").parquet(staging)
+    stream = spark.readStream.schema(ev.schema).parquet(staging)
+    baseline = spark.createDataFrame(
+        [(t, 400.0, 10.0) for t in
+         ("view", "click", "signup", "purchase", "error")],
+        "event_type string, mean double, stddev double")
+    name = f"vmon_{uuid.uuid4().hex[:8]}"
+    q = (mon(stream, baseline, window_size="1 day", watermark="0 seconds")
+         .writeStream.format("memory").queryName(name).outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="dfs-vmon-ck-"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)

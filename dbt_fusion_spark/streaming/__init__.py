@@ -5,5 +5,6 @@ from dbt_fusion_spark.streaming.structured import (  # noqa: F401
     streaming_dedup,
     streaming_merge,
     streaming_table,
+    streaming_volume_monitor,
     windowed_aggregate,
 )

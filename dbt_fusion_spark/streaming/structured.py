@@ -253,3 +253,35 @@ def stream_stream_join(
             f" AND {right_time} <= {left_time}"
         ),
     ).drop("__rk")
+
+
+def streaming_volume_monitor(events: DataFrame, baseline: DataFrame,
+                             event_time: str = "ts",
+                             key: str = "event_type",
+                             window_size: str = "1 day",
+                             watermark: str = "1 day",
+                             z_thresh: float = 3.0) -> DataFrame:
+    """Live observability: windowed per-key volumes scored against a
+    PRECOMPUTED baseline table (key, mean, stddev) — the streaming twin
+    of plans/anomaly.volume_anomalies (whose batch output over history
+    IS the natural baseline source).
+
+    Scale shape: one watermarked tumbling-window aggregate (bounded
+    state), baseline joined with an explicit broadcast (a per-key stats
+    table is small by construction); z and the flag are projections,
+    so the monitor adds zero extra stateful operators.
+    """
+    win = windowed_aggregate(events, event_time=event_time,
+                             window_size=window_size, watermark=watermark,
+                             keys=[key])
+    b = F.broadcast(baseline.select(
+        F.col(key), F.col("mean").alias("__mu"),
+        F.col("stddev").alias("__sd")))
+    z = F.when(F.col("__sd") > 0,
+               (F.col("n_events") - F.col("__mu")) / F.col("__sd"))
+    flat = (F.col("__sd") == 0) & (F.col("n_events") != F.col("__mu"))
+    return (win.join(b, key, "left")
+            .select("window_start", "window_end", key, "n_events",
+                    F.round(z, 6).alias("z"),
+                    (F.coalesce(F.abs(z) > z_thresh, F.lit(False))
+                     | F.coalesce(flat, F.lit(False))).alias("is_anomaly")))

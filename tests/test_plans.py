@@ -373,7 +373,7 @@ def test_chunking_no_shuffle(spark, sf):
 _EXECUTING = {
     "incremental_microbatch", "streaming_stateful_sessions",
     "streaming_windowed_rollup", "streaming_dedup_keys",
-    "streaming_attribution_pairs",
+    "streaming_attribution_pairs", "streaming_volume_monitor",
     "runner_python_model_pipeline",
     "runner_seed_typed_load", "runner_materialized_view",
     "runner_clone_contents",
