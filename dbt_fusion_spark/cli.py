@@ -41,6 +41,9 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--fail-fast", action="store_true",
                         help="skip scheduling further nodes after the "
                              "first failure")
+        sp.add_argument("--sample", default=None,
+                        help="event_time run filter: '3 days' or "
+                             "{'start': ..., 'end': ...}")
         sp.add_argument("--empty", action="store_true",
                         help="schema-only dry run: model inputs limited "
                              "to zero rows")
@@ -318,7 +321,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         include_tests=(cmd in ("test", "build")),
         resource_types=_RESOURCE_TYPES[cmd],
         empty=getattr(args, "empty", False),
-        fail_fast=getattr(args, "fail_fast", False))
+        fail_fast=getattr(args, "fail_fast", False),
+        sample=getattr(args, "sample", None))
     return _print_results(rr)
 
 

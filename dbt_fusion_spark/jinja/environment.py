@@ -362,12 +362,19 @@ def compile_node(project, node, relation_for, adapter=None,
                  is_incremental: bool = False,
                  extra_ctx: dict[str, Any] | None = None,
                  empty: bool = False,
-                 extra_macros: str = "") -> str:
+                 extra_macros: str = "",
+                 sample: tuple | None = None) -> str:
     """Second render: ref/source emit relation names; ephemeral deps
     inline as CTEs (compile_node_context.rs; __dbt__cte__ naming).
     empty=True is the dbt `--empty` dry run: every ref/source input is
     wrapped `(select * from rel where false)` so the node builds with
-    its real schema and zero rows."""
+    its real schema and zero rows. sample=(start, end) is the dbt
+    `--sample` run filter (dbt-core event_time/sample_window.py;
+    reference crates/dbt-schemas/src/filter.rs + node_resolver.rs:49
+    "filters applied to run/build, supports --empty or --sample"):
+    inputs whose TARGET declares an `event_time` config are wrapped
+    with `event_time >= start AND event_time < end`; inputs without
+    event_time pass through unfiltered, exactly like dbt-core."""
     ephemeral_ctes: dict[str, str] = {}
     empty_n = [0]
 
@@ -378,7 +385,7 @@ def compile_node(project, node, relation_for, adapter=None,
             if cte not in ephemeral_ctes:
                 ephemeral_ctes[cte] = compile_node(
                     project, target, relation_for, adapter, False,
-                    empty=empty,
+                    empty=empty, sample=sample,
                 )
             return cte
         rel = relation_for(uid)
@@ -386,6 +393,13 @@ def compile_node(project, node, relation_for, adapter=None,
             empty_n[0] += 1
             return (f"(select * from {rel} where false) "
                     f"__dbt_empty_{empty_n[0]}")
+        if sample is not None and target is not None:
+            et = (getattr(target, "config", None) or {}).get("event_time")
+            if et:
+                start, end = sample
+                empty_n[0] += 1
+                return (f"(select * from {rel} where {et} >= '{start}'"
+                        f" and {et} < '{end}') __dbt_sample_{empty_n[0]}")
         return rel
 
     def ref(*args, **kwargs):

@@ -404,7 +404,10 @@ def _load_schema_yml(proj: Project, path: Path) -> None:
                         or src.get("loaded_at_field"),
                         # dbt 1.9: custom freshness SELECT wins over field
                         "loaded_at_query": tbl.get("loaded_at_query")
-                        or src.get("loaded_at_query")},
+                        or src.get("loaded_at_query"),
+                        # --sample / microbatch input filtering target
+                        "event_time": (tbl.get("config") or {}).get(
+                            "event_time") or tbl.get("event_time")},
                 loader_meta=tbl.get("meta", {}) or {},
             )
             proj.sources[uid] = node

@@ -187,7 +187,8 @@ class DbtSparkRunner:
         sql = compile_node(self.project, node, self.relation_for,
                            adapter=self.adapter, is_incremental=is_incremental,
                            empty=getattr(self, "_empty", False)
-                           and node.resource_type == "model")
+                           and node.resource_type == "model",
+                           sample=getattr(self, "_sample", None))
         # dialect translation AFTER jinja render (dbt-sql lexers in the
         # reference; node `dialect:` config wins over project flag)
         dialect = node.config.get("dialect") or self.project.flags.get(
@@ -208,10 +209,14 @@ class DbtSparkRunner:
             resource_types: set[str] | None = None,
             uids: set[str] | None = None,
             empty: bool = False,
-            fail_fast: bool = False) -> RunResults:
+            fail_fast: bool = False,
+            sample: str | dict | None = None) -> RunResults:
         # dbt --empty: schema-only dry run — model inputs are wrapped
         # to zero rows at compile time (environment.compile_node)
         self._empty = empty
+        # dbt --sample: event_time run filter (filter.rs / dbt-core
+        # sample_window); inputs with event_time compile wrapped
+        self._sample = parse_sample_spec(sample) if sample else None
         if not self._parsed:
             self.parse()
         t_start = time.perf_counter()
@@ -1053,3 +1058,32 @@ class DbtSparkRunner:
             status = "warn"
         return {"max_loaded_at": max_loaded, "snapshotted_at": snapshotted,
                 "age_sec": age, "status": status}
+
+
+def parse_sample_spec(spec: str | dict) -> tuple[str, str]:
+    """dbt --sample spec -> (start, end) ISO strings.
+
+    Accepts the dbt-core/reference forms (filter.rs:90-140):
+    a relative duration ("3 days", "12 hours" — end = now UTC), or an
+    explicit range as a dict / JSON-ish string {'start': ..., 'end':
+    ...} (dates or datetimes; missing end = now)."""
+    import datetime as _dt
+    import re as _re
+
+    now = _dt.datetime.now(tz=_dt.timezone.utc).replace(tzinfo=None)
+    if isinstance(spec, str) and spec.strip().startswith("{"):
+        spec = json.loads(spec.replace("'", '"'))
+    if isinstance(spec, dict):
+        start = str(spec["start"])
+        end = str(spec.get("end") or now.isoformat(sep=" ", timespec="seconds"))
+        return start, end
+    m = _re.fullmatch(
+        r"\s*(?:last\s+)?(\d+)\s*(minute|hour|day|week)s?\s*", str(spec))
+    if not m:
+        raise ValueError(f"unparseable --sample spec {spec!r}")
+    n, unit = int(m.group(1)), m.group(2)
+    seconds = {"minute": 60, "hour": 3600, "day": 86400,
+               "week": 604800}[unit] * n
+    start = now - _dt.timedelta(seconds=seconds)
+    return (start.isoformat(sep=" ", timespec="seconds"),
+            now.isoformat(sep=" ", timespec="seconds"))

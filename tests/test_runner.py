@@ -1002,3 +1002,30 @@ def test_freshness_loaded_at_query(runner, spark):
     finally:
         src.config.clear()
         src.config.update(orig)
+
+
+def test_run_sample_event_time_filter(runner, spark):
+    """dbt --sample (filter.rs / dbt-core sample_window): inputs whose
+    target declares event_time compile wrapped in the range filter;
+    inputs without event_time pass through."""
+    from dbt_fusion_spark.runner import parse_sample_spec
+
+    # explicit range: the tpch.orders SOURCE declares event_time, so
+    # stg_orders builds from only-1996 input under --sample
+    rr = runner.run(select="stg_orders", full_refresh=True,
+                    sample={"start": "1996-01-01", "end": "1997-01-01"})
+    assert rr.ok, [(r.unique_id, r.message) for r in rr.results]
+    built = spark.table("analytics.stg_orders")
+    got = built.selectExpr("min(o_orderdate) lo", "max(o_orderdate) hi"
+                           ).collect()[0]
+    assert got["lo"].year == 1996 and got["hi"].year == 1996
+    n_sampled = built.count()
+    # a plain run afterwards restores the complete table
+    rr2 = runner.run(select="stg_orders", full_refresh=True)
+    assert rr2.ok
+    assert spark.table("analytics.stg_orders").count() > n_sampled
+    # relative spec parses to a window ending now
+    start, end = parse_sample_spec("3 days")
+    assert start < end
+    with pytest.raises(ValueError):
+        parse_sample_spec("sideways")
