@@ -306,7 +306,7 @@ def profile_table_events(spark, sf_dir):
     j AS (
       SELECT t.event_type, c.conv_id, c.value,
              COUNT(*) OVER w AS n,
-             ROW_NUMBER() OVER (PARTITION BY c.conv_id
+             ROW_NUMBER() OVER (PARTITION BY c.user_id, c.conv_id
                                 ORDER BY t.ts, t.event_id) AS rk,
              pow(2.0, -((epoch_us(c.c_ts) - epoch_us(t.ts)) / 1e6)
                        / 86400.0) AS dw,
@@ -315,7 +315,7 @@ def profile_table_events(spark, sf_dir):
       FROM touches t JOIN convs c
         ON t.user_id = c.user_id AND t.ts <= c.c_ts
            AND t.ts > c.c_ts - INTERVAL 7 DAY
-      WINDOW w AS (PARTITION BY c.conv_id))
+      WINDOW w AS (PARTITION BY c.user_id, c.conv_id))
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touch_rows,
       CAST(SUM(CAST(CASE WHEN rk = 1 THEN value ELSE 0 END
                AS DECIMAL(18,6))) AS DOUBLE) AS credit_first_touch,
@@ -650,7 +650,7 @@ def events_volume_anomaly_robust(spark, sf_dir):
     # to both engines.
     oracle="""
     WITH s AS (
-      SELECT CASE WHEN value = 0 THEN 0
+      SELECT CASE WHEN value = 0 THEN -4611686018427387904
                   ELSE CAST(ceil(ln(value) / 0.020000666706669435) AS BIGINT) END AS bucket
       FROM events WHERE value >= 0),
     h AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
@@ -664,7 +664,7 @@ def events_volume_anomaly_robust(spark, sf_dir):
     hit AS (SELECT q, MIN(bucket) AS b
             FROM c JOIN qv ON TRUE
             WHERE cum >= ceil(q * (total - 1)) + 1 GROUP BY q)
-    SELECT q, CAST(round(CASE WHEN b = 0 THEN 0.0
+    SELECT q, CAST(round(CASE WHEN b = -4611686018427387904 THEN 0.0
                               ELSE 2 * pow(1.02020202020202, b) / 2.02020202020202
                          END, 6) AS DOUBLE) AS est
     FROM hit ORDER BY q
@@ -690,7 +690,7 @@ def sketch_ddsketch_quantiles(spark, sf_dir):
     oracle=f"""
     WITH s AS (
       SELECT event_type,
-             CASE WHEN value = 0 THEN 0
+             CASE WHEN value = 0 THEN -4611686018427387904
                   ELSE CAST(ceil(ln(value) / {__import__('math').log(101/99)!r})
                        AS BIGINT) END AS bucket
       FROM events WHERE value >= 0),
@@ -707,7 +707,7 @@ def sketch_ddsketch_quantiles(spark, sf_dir):
             WHERE cum >= ceil(q * (total - 1)) + 1
             GROUP BY event_type, q)
     SELECT event_type, q,
-           CAST(round(CASE WHEN b = 0 THEN 0.0
+           CAST(round(CASE WHEN b = -4611686018427387904 THEN 0.0
                            ELSE 2 * pow({(101/99)!r}, b) / {(101/99)+1.0!r}
                       END, 6) AS DOUBLE) AS est
     FROM hit ORDER BY event_type, q

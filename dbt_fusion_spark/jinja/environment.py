@@ -397,9 +397,13 @@ def compile_node(project, node, relation_for, adapter=None,
             et = (getattr(target, "config", None) or {}).get("event_time")
             if et:
                 start, end = sample
-                empty_n[0] += 1
-                return (f"(select * from {rel} where {et} >= '{start}'"
-                        f" and {et} < '{end}') __dbt_sample_{empty_n[0]}")
+                conds = ([f"{et} >= '{start}'"] if start else []) + \
+                        ([f"{et} < '{end}'"] if end else [])
+                if conds:
+                    empty_n[0] += 1
+                    return (f"(select * from {rel} where"
+                            f" {' and '.join(conds)})"
+                            f" __dbt_sample_{empty_n[0]}")
         return rel
 
     def ref(*args, **kwargs):

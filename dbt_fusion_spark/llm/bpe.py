@@ -51,8 +51,11 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 200,
                 pairs[(a, b)] = pairs.get((a, b), 0) + freq
         if not pairs:
             break
-        # deterministic: max frequency, ties to the lexicographically
-        # smallest pair
+        # deterministic: max frequency; ties broken by the negated
+        # char-ordinal sequence of "a\x00b" — elementwise-smallest
+        # string wins, except a strict prefix loses to its extension
+        # (('a','bc') beats ('a','b')). Any fixed total order works;
+        # this one is kept for golden-stability.
         best = max(pairs.items(), key=lambda kv: (kv[1], [-ord(c) for c in
                                                           "\x00".join(kv[0])]))
         pair, freq = best
@@ -100,7 +103,10 @@ def bpe_encode(df: DataFrame, id_col: str, text_col: str,
     the python boundary vectorized (SURVEY §2.10 contract: no
     BatchEvalPython in any hot path)."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
-    schema = f"{id_col} long, tokens array<string>, n_tokens long"
+    # the id column keeps its incoming type (string/decimal ids would
+    # hit Arrow conversion errors if 'long' were hardcoded)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, tokens array<string>, n_tokens long"
 
     def run(batches):
         import pandas as pd

@@ -124,6 +124,14 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame,
 
 # --------------------------------------------------------------- DDSketch
 
+# Sentinel bucket for exact zeros. Real buckets are ceil(ln x / ln gamma),
+# bounded by ~|ln(DBL_MIN)|/ln(gamma) ≈ 7e5 in magnitude even at
+# alpha=1e-3, so -(2^62) can never collide with a value bucket. Zeros
+# sort below every value bucket, keeping the cumulative walk ordered by
+# true value.
+ZERO_BUCKET = -(2 ** 62)
+
+
 def ddsketch(df: DataFrame, col: str, alpha: float = 0.01,
              by: Sequence[str] = ()) -> DataFrame:
     """DDSketch histogram (Masson et al., VLDB 2019): relative-error
@@ -140,14 +148,21 @@ def ddsketch(df: DataFrame, col: str, alpha: float = 0.01,
     Scale shape: bucket assignment is a codegen projection; the
     histogram is one map-side-combined groupBy whose output is at most
     a few thousand rows regardless of input size (bounded memory — the
-    reason DDSketch exists). Zeros/negatives: bucket 0 counts zeros;
-    negative values are rejected (classic positive-value DDSketch).
+    reason DDSketch exists).
+
+    Zeros/negatives/NULLs (classic positive-value DDSketch): zeros get
+    the dedicated sentinel bucket `ZERO_BUCKET` (so bucket 0 keeps its
+    standard representative 2*gamma^0/(gamma+1) for values in
+    (1/gamma, 1] — storing zeros there would report those values as
+    0.0, unbounded relative error); negative values and NULLs are
+    DROPPED by the filter, matching the positive-value sketch contract
+    (callers wanting strictness should assert min(col) >= 0 upstream).
     """
     gamma = (1.0 + alpha) / (1.0 - alpha)
     import math
 
     lg = math.log(gamma)
-    b = (F.when(F.col(col) == 0, F.lit(0))
+    b = (F.when(F.col(col) == 0, F.lit(ZERO_BUCKET))
          .otherwise(F.ceil(F.log(F.col(col)) / F.lit(lg)))
          .cast("bigint"))
     keys = list(by)
@@ -202,7 +217,7 @@ def ddsketch_quantiles(sketch: DataFrame, qs: Sequence[float],
                key, F.pmod(F.abs(F.xxhash64("q")), F.lit(1)))), key)
            .filter(F.col("cum") >= target)
            .groupBy(*keys, "q").agg(F.min("bucket").alias("b")))
-    rep = (F.when(F.col("b") == 0, F.lit(0.0))
+    rep = (F.when(F.col("b") == ZERO_BUCKET, F.lit(0.0))
            .otherwise(F.lit(2.0) * F.pow(F.lit(gamma), F.col("b"))
                       / F.lit(gamma + 1.0)))
     return (hit.select(*keys, "q", F.round(rep, 6).alias("est"))

@@ -22,8 +22,11 @@ Scale shape (100 TB contract):
   the time predicate is a post-join filter, so there is no range-join
   blowup and no cross product. Per-user touch x conversion fan-out is
   bounded by the lookback window.
-- per-conversion ranks/counts are windows partitioned by the
-  conversion id — millions of small windows, never a global sort.
+- per-conversion ranks/counts are windows partitioned by
+  (user, conversion id) — millions of small windows, never a global
+  sort. Partitioning includes the user key so conversion ids only need
+  to be unique *per user* (the common event-log shape where conv ids
+  are per-user sequence numbers); globally unique ids work unchanged.
 - deterministic: ties on touch time break on the touch id.
 """
 
@@ -63,7 +66,9 @@ def attribute_conversions(touches: DataFrame, conversions: DataFrame,
         cond = cond & (F.col(t_ts) > F.col(c_ts) - F.expr(f"interval {lookback}"))
     joined = t.join(c, cond, "inner").drop(c[user_col])
 
-    w = Window.partitionBy(conv_id_col)
+    # (user, conv_id) so per-user-unique conversion ids don't pool
+    # touches from different users into one credit window
+    w = Window.partitionBy(user_col, conv_id_col)
     wo = w.orderBy(t_ts, touch_id_col)
     n = F.count(F.lit(1)).over(w)
     rk = F.row_number().over(wo)

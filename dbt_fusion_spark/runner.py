@@ -1017,7 +1017,9 @@ class DbtSparkRunner:
         rel = self.relation_for(uid)
         query = src.config.get("loaded_at_query")
         if query:
-            body = query.replace("{{ this }}", rel).replace("{{this}}", rel)
+            import re as _re
+
+            body = _re.sub(r"\{\{\s*this\s*\}\}", rel, query)
             sql = (f"WITH source_query AS (\n{body}\n)\n"
                    "SELECT (SELECT * FROM source_query) AS max_loaded_at,"
                    " current_timestamp() AS snapshotted_at")
@@ -1060,13 +1062,42 @@ class DbtSparkRunner:
                 "age_sec": age, "status": status}
 
 
-def parse_sample_spec(spec: str | dict) -> tuple[str, str]:
-    """dbt --sample spec -> (start, end) ISO strings.
+# filter.rs:92-99 ALLOWED_FORMATS (strptime spellings; %.fZ -> %f).
+_SAMPLE_DT_FORMATS = (
+    "%Y-%m-%d",
+    "%Y-%m-%d %H:%M:%S",
+    "%Y-%m-%d %H:%M",
+    "%Y-%m-%dT%H:%M:%S",
+    "%Y-%m-%dT%H:%M:%SZ",
+    "%Y-%m-%dT%H:%M:%S.%fZ",
+)
 
-    Accepts the dbt-core/reference forms (filter.rs:90-140):
+
+def _validate_sample_datetime(value: str) -> str:
+    import datetime as _dt
+
+    for fmt in _SAMPLE_DT_FORMATS:
+        try:
+            _dt.datetime.strptime(value, fmt)
+            return value
+        except ValueError:
+            continue
+    raise ValueError(
+        f"--sample bound {value!r} matches none of the allowed datetime "
+        f"formats {_SAMPLE_DT_FORMATS} (filter.rs:92-99)")
+
+
+def parse_sample_spec(spec: str | dict) -> tuple[str | None, str | None]:
+    """dbt --sample spec -> (start, end) ISO strings (either may be
+    None for an open-ended range).
+
+    Accepts the dbt-core/reference forms (filter.rs:63-140):
     a relative duration ("3 days", "12 hours" — end = now UTC), or an
     explicit range as a dict / JSON-ish string {'start': ..., 'end':
-    ...} (dates or datetimes; missing end = now)."""
+    ...}; start-only and end-only ranges are allowed, and each bound
+    is validated against the reference's ALLOWED_FORMATS (values are
+    interpolated into compiled SQL, so arbitrary strings are
+    rejected)."""
     import datetime as _dt
     import re as _re
 
@@ -1074,8 +1105,14 @@ def parse_sample_spec(spec: str | dict) -> tuple[str, str]:
     if isinstance(spec, str) and spec.strip().startswith("{"):
         spec = json.loads(spec.replace("'", '"'))
     if isinstance(spec, dict):
-        start = str(spec["start"])
-        end = str(spec.get("end") or now.isoformat(sep=" ", timespec="seconds"))
+        start = spec.get("start")
+        end = spec.get("end")
+        if start is None and end is None:
+            raise ValueError(
+                f"--sample range {spec!r} needs at least one of start/end")
+        start = _validate_sample_datetime(str(start)) if start is not None \
+            else None
+        end = _validate_sample_datetime(str(end)) if end is not None else None
         return start, end
     m = _re.fullmatch(
         r"\s*(?:last\s+)?(\d+)\s*(minute|hour|day|week)s?\s*", str(spec))

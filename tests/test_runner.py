@@ -1029,3 +1029,41 @@ def test_run_sample_event_time_filter(runner, spark):
     assert start < end
     with pytest.raises(ValueError):
         parse_sample_spec("sideways")
+
+
+def test_parse_sample_spec_open_ranges_and_validation():
+    """ADVICE r4: filter.rs:63-120 accepts start-only/end-only ranges
+    and validates bounds against ALLOWED_FORMATS; arbitrary strings
+    never reach the compiled SQL."""
+    from dbt_fusion_spark.runner import parse_sample_spec
+
+    assert parse_sample_spec({"end": "2020-06-01"}) == (None, "2020-06-01")
+    assert parse_sample_spec({"start": "2020-01-01 00:00:00"}) == \
+        ("2020-01-01 00:00:00", None)
+    assert parse_sample_spec("{'start': '2020-01-01T00:00:00Z'}") == \
+        ("2020-01-01T00:00:00Z", None)
+    with pytest.raises(ValueError):
+        parse_sample_spec({})
+    with pytest.raises(ValueError):
+        parse_sample_spec({"start": "2020-13-45"})  # not a real date
+    with pytest.raises(ValueError):
+        parse_sample_spec({"start": "1 or 1=1"})  # injection-shaped
+
+
+def test_freshness_this_substitution_whitespace(runner, spark):
+    """ADVICE r4: '{{this}}', '{{ this  }}' etc. all render (regex sub,
+    not two literal spellings)."""
+    import copy
+
+    uid = next(u for u in runner.project.sources)
+    src = runner.project.sources[uid]
+    orig = copy.deepcopy(src.config)
+    try:
+        for tmpl in ("{{this}}", "{{  this }}", "{{ this  }}"):
+            src.config["loaded_at_query"] = (
+                f"select max(o_orderdate) from {tmpl}")
+            max_loaded, _ = runner.source_freshness(uid)
+            assert max_loaded is not None
+    finally:
+        src.config.clear()
+        src.config.update(orig)
