@@ -1,0 +1,195 @@
+"""Native ACID-format DML: capability detection + SQL emission.
+
+The reference runs the merge-family incremental strategies as real
+transactional DML on engines that support it — `MERGE INTO` on
+Delta/Iceberg (dbt_macro_assets/dbt-spark/macros/materializations/
+incremental/strategies.sql:28-68), `DELETE`+`INSERT` (dbt_macro_assets/
+dbt-adapters/macros/materializations/models/incremental/
+merge.sql:62-92), Databricks `INSERT INTO ... REPLACE WHERE`
+(dbt-databricks/macros/materializations/incremental/
+strategies.sql:39-54), and `CREATE OR REPLACE TABLE ... SHALLOW CLONE`
+(dbt-spark/macros/materializations/clone.sql
+spark__create_or_replace_clone). On 100 TB those touch only matched
+files — O(delta + touched files) — where a plain-parquet rewrite is
+O(table) per run.
+
+This module makes the same split Spark-native:
+
+- `table_provider` / `supports_native_merge` detect whether the TARGET
+  table's format can run transactional DML in THIS session (format is
+  transactional AND its datasource is on the classpath — this sandbox
+  has neither delta-spark nor iceberg-runtime, so detection returns
+  False and the executors take the fallback; on a real cluster with
+  the jars the native statements below run unchanged).
+- `merge_into_sql` / `delete_insert_sql` / `replace_where_sql` /
+  `shallow_clone_sql` emit exactly the statements the reference macros
+  compile to — golden-tested (tests/test_incremental.py) so the native
+  path is verified even where it cannot execute.
+
+The executors (materializations/executors.py materialize_incremental)
+route: native DML when `supports_native_merge`, else a
+partition-scoped rewrite when the partition keys are a subset of the
+unique key (O(touched partitions)), else the full join-rewrite + swap
+(correct everywhere, the O(table) last resort).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import SparkSession
+
+# Formats whose Spark datasources implement transactional row-level DML
+# (MERGE INTO / DELETE). Plain files (parquet/orc/csv/json/text) do not.
+ACID_FORMATS = {"delta", "iceberg", "hudi"}
+# Formats with zero-copy SHALLOW CLONE (clone.sql gates on delta;
+# iceberg snapshots expose the same capability via a different DDL — we
+# follow the reference and only emit for delta).
+SHALLOW_CLONE_FORMATS = {"delta"}
+
+
+def table_provider(spark: SparkSession, relation: str) -> str | None:
+    """The storage provider ('parquet', 'delta', ...) of an existing
+    table, from DESCRIBE TABLE EXTENDED metadata; None if the table
+    does not exist or exposes no provider (e.g. views)."""
+    try:
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {relation}").collect()
+    except Exception:
+        return None
+    for r in rows:
+        if (r["col_name"] or "").strip().lower() == "provider":
+            return (r["data_type"] or "").strip().lower() or None
+    return None
+
+
+def format_available(spark: SparkSession, fmt: str) -> bool:
+    """True when `fmt`'s datasource resolves on this session's
+    classpath (same probe as executors._format_clause — no write).
+    Spark 4 signature: lookupDataSource(provider, SQLConf)."""
+    try:
+        sqlconf = spark._jvm.org.apache.spark.sql.internal.SQLConf.get()
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource \
+            .lookupDataSource(fmt, sqlconf)
+        return True
+    except Exception:
+        return False
+
+
+def supports_native_merge(spark: SparkSession, relation: str,
+                          file_format: str | None = None) -> bool:
+    """Can the merge-family strategies run as native DML against this
+    target in this session? Requires a transactional provider on the
+    existing table (or the configured file_format for not-yet-created
+    targets) AND its runtime on the classpath."""
+    fmt = (table_provider(spark, relation) or file_format or "").lower()
+    return fmt in ACID_FORMATS and format_available(spark, fmt)
+
+
+def supports_shallow_clone(spark: SparkSession, relation: str,
+                           file_format: str | None = None) -> bool:
+    """can_clone_table.sql / spark__can_clone_table: zero-copy clone
+    needs the delta provider (clone.sql raises for any other
+    file_format)."""
+    fmt = (table_provider(spark, relation) or file_format or "").lower()
+    return fmt in SHALLOW_CLONE_FORMATS and format_available(spark, fmt)
+
+
+# --------------------------------------------------------------- emission
+
+def _keys(unique_key: str | Sequence[str] | None) -> list[str]:
+    if unique_key is None:
+        return []
+    return [unique_key] if isinstance(unique_key, str) else list(unique_key)
+
+
+def merge_update_columns(columns: Sequence[str],
+                         merge_update_cols: Sequence[str] | None,
+                         merge_exclude_cols: Sequence[str] | None,
+                         unique_key: str | Sequence[str] | None = None,
+                         ) -> list[str] | None:
+    """get_merge_update_columns (dbt-adapters merge.sql / column
+    helpers): explicit update list wins; else all-but-excluded; else
+    None meaning `update set *`. Key columns are always dropped from an
+    explicit list — on matched rows they equal the source by the ON
+    clause, and engines like Iceberg treat identity/partition-key
+    updates as row movement (matches incremental/strategies.py:74-79)."""
+    keys = {k.lower() for k in _keys(unique_key)}
+    if merge_update_cols:
+        return [c for c in merge_update_cols if c.lower() not in keys]
+    if merge_exclude_cols:
+        excl = {c.lower() for c in merge_exclude_cols} | keys
+        return [c for c in columns if c.lower() not in excl]
+    return None
+
+
+def merge_into_sql(target: str, source: str,
+                   unique_key: str | Sequence[str] | None,
+                   update_columns: Sequence[str] | None = None,
+                   incremental_predicates: Sequence[str] | None = None,
+                   ) -> str:
+    """spark__get_merge_sql (dbt-spark strategies.sql:28-68): key
+    equalities + incremental_predicates as the ON clause (no key ->
+    ON FALSE, the append-only merge), matched -> UPDATE SET */cols,
+    not matched -> INSERT *."""
+    preds = [f"DBT_INTERNAL_SOURCE.{k} = DBT_INTERNAL_DEST.{k}"
+             for k in _keys(unique_key)] or ["FALSE"]
+    preds += list(incremental_predicates or [])
+    if update_columns:
+        set_clause = ", ".join(
+            f"{c} = DBT_INTERNAL_SOURCE.{c}" for c in update_columns)
+    else:
+        set_clause = "*"
+    return (
+        f"merge into {target} as DBT_INTERNAL_DEST\n"
+        f"using {source} as DBT_INTERNAL_SOURCE\n"
+        f"on {' and '.join(preds)}\n"
+        f"when matched then update set {set_clause}\n"
+        f"when not matched then insert *"
+    )
+
+
+def delete_insert_sql(target: str, source: str,
+                      unique_key: str | Sequence[str],
+                      columns: Sequence[str],
+                      incremental_predicates: Sequence[str] | None = None,
+                      ) -> list[str]:
+    """default__get_delete_insert_merge_sql (dbt-adapters
+    merge.sql:62-92): DELETE keys-in-source (narrowed by predicates),
+    then INSERT all source rows. Two statements — on Delta/Iceberg each
+    is transactional; the pair matches the reference's semantics
+    exactly (not atomic across the pair there either)."""
+    keys = _keys(unique_key)
+    key_csv = ", ".join(keys)
+    cols_csv = ", ".join(f"`{c}`" for c in columns)
+    where = (
+        f"({key_csv}) in (\n"
+        f"    select distinct {key_csv}\n"
+        f"    from {source} as DBT_INTERNAL_SOURCE\n"
+        f")"
+    )
+    for p in incremental_predicates or []:
+        where += f"\n    and {p}"
+    return [
+        f"delete from {target} as DBT_INTERNAL_DEST\nwhere {where}",
+        f"insert into {target} ({cols_csv})\n"
+        f"(\n    select {cols_csv}\n    from {source}\n)",
+    ]
+
+
+def replace_where_sql(target: str, source: str,
+                      predicates: str | Sequence[str]) -> str:
+    """get_replace_where_sql (dbt-databricks strategies.sql:39-54):
+    INSERT INTO ... REPLACE WHERE <preds> TABLE <source> — Delta
+    atomically swaps the predicate-scoped region."""
+    preds = [predicates] if isinstance(predicates, str) else list(predicates)
+    return (
+        f"insert into {target}\n"
+        f"replace where {' and '.join(preds)}\n"
+        f"table {source}"
+    )
+
+
+def shallow_clone_sql(target: str, source: str) -> str:
+    """spark__create_or_replace_clone (dbt-spark clone.sql): zero-copy
+    metadata clone — new table points at the source's current files."""
+    return f"create or replace table {target} shallow clone {source}"

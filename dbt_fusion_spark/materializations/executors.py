@@ -31,7 +31,11 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from dbt_fusion_spark.adapter import SparkAdapter
-from dbt_fusion_spark.incremental import delete_insert as di_fn, merge as merge_fn
+from dbt_fusion_spark.incremental import (
+    delete_insert as di_fn,
+    merge as merge_fn,
+    native,
+)
 from dbt_fusion_spark.relation import Relation, RelationType
 from dbt_fusion_spark.snapshots import SnapshotConfig, snapshot_build, snapshot_run
 from dbt_fusion_spark.testing.generic import (
@@ -77,14 +81,11 @@ def _format_clause(spark, file_format: str | None) -> str:
     if fmt in _NATIVE_FORMATS:
         return f"USING {fmt.upper()}"
     if fmt in _JAR_FORMATS:
-        try:  # probe for the format's catalyst source without writing
-            spark._jvm.org.apache.spark.sql.execution.datasources.DataSource \
-                .lookupDataSource(fmt, spark._jsc.sc().conf())
-        except Exception as exc:
+        # probe for the format's catalyst source without writing
+        if not native.format_available(spark, fmt):
             raise ValueError(
                 f"file_format={fmt!r} requires the {fmt} runtime on the "
-                f"cluster (spark.jars.packages); not present: {exc}"
-            ) from None
+                "cluster (spark.jars.packages); not present")
         return f"USING {fmt}"
     raise ValueError(f"unsupported file_format {file_format!r}")
 
@@ -108,7 +109,8 @@ def create_table_as(adapter: SparkAdapter, relation: Relation, sql: str,
 
 def swap_in(adapter: SparkAdapter, tmp: Relation, target: Relation) -> None:
     """models/table.sql:3-22 backup dance: old -> backup, tmp -> target,
-    drop backup. Metadata-only; the data files never move."""
+    drop backup. Metadata-only; the data files never move (the rename
+    relocates the table directory, not its files)."""
     backup = target.incorporate(identifier=target.identifier + "__dbt_backup")
     adapter.drop_relation(backup)
     existing = adapter.get_relation(None, target.schema, target.identifier,
@@ -120,6 +122,19 @@ def swap_in(adapter: SparkAdapter, tmp: Relation, target: Relation) -> None:
             adapter.rename_relation(existing, backup)
     adapter.rename_relation(tmp, target)
     adapter.drop_relation(backup.incorporate(type=RelationType.Table))
+    # ALTER TABLE RENAME moves the table directory but leaves each
+    # PARTITION's catalog location pointing at the old path — a
+    # partitioned table reads as EMPTY after the swap until its
+    # partition metadata is recovered. Metadata-only (one directory
+    # listing), no-op for unpartitioned tables.
+    spark = adapter.spark
+    try:
+        partitioned = bool(spark.sql(
+            f"SHOW PARTITIONS {target.render()}").take(1))
+    except Exception:
+        partitioned = False  # unpartitioned (or a view)
+    if partitioned:
+        spark.sql(f"MSCK REPAIR TABLE {target.render()}")
 
 
 def materialize_view(adapter: SparkAdapter, schema: str, name: str, sql: str) -> str:
@@ -203,13 +218,25 @@ def materialize_materialized_view(adapter: SparkAdapter, schema: str, name: str,
 
 
 def materialize_clone(adapter: SparkAdapter, schema: str, name: str,
-                      source_relation: str, copy: bool = False) -> str:
+                      source_relation: str, copy: bool = False,
+                      file_format: str | None = None) -> str:
     """models/clone/{clone.sql:1-67, can_clone_table.sql,
-    create_or_replace_clone.sql}: zero-copy clone where the format
-    supports it, else pointer view. Plain parquet tables have no
-    SHALLOW CLONE (a Delta/Iceberg feature), so the default is the
-    reference's pointer fallback (a view over the source); copy=True
-    forces a full CTAS copy."""
+    create_or_replace_clone.sql} + dbt-spark clone.sql
+    spark__create_or_replace_clone: zero-copy SHALLOW CLONE where the
+    format supports it (delta), else pointer view. Plain parquet
+    tables have no SHALLOW CLONE, so the default is the reference's
+    pointer fallback (a view over the source); copy=True forces a full
+    CTAS copy."""
+    if native.supports_shallow_clone(adapter.spark, source_relation,
+                                     file_format):
+        target = _rel(schema, name, RelationType.Table)
+        existing = adapter.get_relation(None, schema, name, use_cache=False)
+        if existing is not None and existing.is_view:
+            adapter.drop_relation(existing)
+        adapter.spark.sql(
+            native.shallow_clone_sql(target.render(), source_relation))
+        adapter.cache_added(target)
+        return "CLONE (shallow)"
     if copy:
         materialize_table(adapter, schema, name,
                           f"SELECT * FROM {source_relation}")
@@ -234,8 +261,16 @@ def materialize_function(adapter: SparkAdapter, schema: str, name: str,
             f"RETURNS {returns} RETURN {body}"
         )
         return "CREATE TEMPORARY FUNCTION (table)"
+    # explicit drop first: after a DROP DATABASE CASCADE the session's
+    # function registry can still cache the routine, which breaks the
+    # internal drop of CREATE OR REPLACE — and even DROP IF EXISTS
+    # raises ROUTINE_NOT_FOUND on the stale entry, hence the guard
+    try:
+        adapter.spark.sql(f"DROP FUNCTION IF EXISTS `{schema}`.`{name}`")
+    except Exception:
+        pass
     adapter.spark.sql(
-        f"CREATE OR REPLACE FUNCTION `{schema}`.`{name}`({arg_sql}) "
+        f"CREATE FUNCTION `{schema}`.`{name}`({arg_sql}) "
         f"RETURNS {returns} RETURN {body}"
     )
     return "CREATE FUNCTION"
@@ -281,6 +316,7 @@ def materialize_incremental(
     batch_size: str = "day",
     lookback: int = 1,
     begin: str | None = None,
+    file_format: str | None = None,
 ) -> str:
     spark = adapter.spark
     # Session-agnostic: INSERT OVERWRITE below requires dynamic partition
@@ -292,7 +328,9 @@ def materialize_incremental(
     existing = adapter.get_relation(None, schema, name, use_cache=False)
 
     if existing is None or full_refresh or existing.is_view:
-        return materialize_table(adapter, schema, name, sql, partition_by) and "CTAS (first run)"
+        return materialize_table(
+            adapter, schema, name, sql, partition_by,
+            file_format=file_format) and "CTAS (first run)"
 
     process_schema_changes(adapter, target, sql, on_schema_change)
 
@@ -363,15 +401,21 @@ def materialize_incremental(
         return "INSERT OVERWRITE"
     if strategy == "replace_where":
         # databricks replace_where (common.rs:566-568): atomic
-        # predicate-scoped replacement. Delta expresses it as
-        # option("replaceWhere", pred); the plain-parquet rewrite keeps
-        # target rows NOT matching the predicate and unions the batch,
-        # landing via tmp+swap (same atomicity as table.sql's dance).
+        # predicate-scoped replacement. On Delta this is the real
+        # `INSERT INTO ... REPLACE WHERE` (native.replace_where_sql);
+        # the plain-parquet rewrite keeps target rows NOT matching the
+        # predicate and unions the batch, landing via tmp+swap (same
+        # atomicity as table.sql's dance).
         preds = incremental_predicates
         if not preds:
             raise ValueError("replace_where requires incremental_predicates")
         if isinstance(preds, str):
             preds = [preds]
+        if native.supports_native_merge(spark, target.render(), file_format):
+            view = f"__dbt_src_{name}"
+            spark.sql(sql).createOrReplaceTempView(view)
+            spark.sql(native.replace_where_sql(target.render(), view, preds))
+            return "REPLACE WHERE (native)"
         pred_sql = " AND ".join(f"({p})" for p in preds)
         cols = ", ".join(
             f"`{f.name}`" for f in spark.table(target.render()).schema.fields)
@@ -386,16 +430,64 @@ def materialize_incremental(
         swap_in(adapter, tmp, target)
         return "REPLACE WHERE"
     if strategy in ("merge", "delete+insert"):
-        target_df = spark.table(target.render())
-        source_df = spark.sql(sql)
         if unique_key is None:
             raise ValueError(f"{strategy} requires unique_key")
+        # 1) Native transactional DML (Delta/Iceberg on the classpath):
+        #    O(delta + touched files) — the reference's path on
+        #    Databricks/Iceberg (dbt-spark strategies.sql:28-68,
+        #    dbt-adapters merge.sql:62-92).
+        if native.supports_native_merge(spark, target.render(), file_format):
+            view = f"__dbt_src_{name}"
+            spark.sql(sql).createOrReplaceTempView(view)
+            tcols = [f.name for f in spark.table(target.render()).schema.fields]
+            if strategy == "merge":
+                upd = native.merge_update_columns(
+                    tcols, merge_update_columns, merge_exclude_columns,
+                    unique_key)
+                spark.sql(native.merge_into_sql(
+                    target.render(), view, unique_key, upd,
+                    incremental_predicates))
+                return "MERGE (native MERGE INTO)"
+            for stmt in native.delete_insert_sql(
+                    target.render(), view, unique_key, tcols,
+                    incremental_predicates):
+                spark.sql(stmt)
+            return "DELETE+INSERT (native)"
+        target_df = spark.table(target.render())
+        source_df = spark.sql(sql)
+        # 2) Partition-scoped rewrite: when the partition keys are a
+        #    subset of the unique key, a matched/inserted/deleted row
+        #    can only live in a partition whose key appears in the
+        #    source batch — so rewriting ONLY those partitions (landed
+        #    via dynamic-partition INSERT OVERWRITE) is exactly
+        #    equivalent to the full rewrite, at O(touched partitions)
+        #    instead of O(table). The partition-pruning filter on the
+        #    target scan is a static IN list collected from the batch
+        #    (bounded driver-side; falls back to a broadcast semi-join
+        #    past _PRUNE_LIMIT distinct partitions).
+        parts = ([partition_by] if isinstance(partition_by, str)
+                 else list(partition_by or []))
+        keys = ([unique_key] if isinstance(unique_key, str)
+                else list(unique_key))
+        if parts and set(parts) <= set(keys):
+            return _partition_scoped_overwrite(
+                adapter, schema, name, target, target_df, source_df,
+                parts, strategy,
+                lambda tgt: (merge_fn(tgt, source_df, unique_key,
+                                      merge_update_columns,
+                                      merge_exclude_columns,
+                                      incremental_predicates)
+                             if strategy == "merge"
+                             else di_fn(tgt, source_df, unique_key,
+                                        incremental_predicates)))
+        # 3) Full join-rewrite + swap: correct on any format, O(table).
         if strategy == "merge":
             result = merge_fn(target_df, source_df, unique_key,
                               merge_update_columns, merge_exclude_columns,
                               incremental_predicates)
         else:
-            result = di_fn(target_df, source_df, unique_key, incremental_predicates)
+            result = di_fn(target_df, source_df, unique_key,
+                           incremental_predicates)
         tmp = _rel(schema, name + "__dbt_tmp", RelationType.Table)
         adapter.drop_relation(tmp)
         result.createOrReplaceTempView(f"__dbt_inc_{name}")
@@ -403,6 +495,66 @@ def materialize_incremental(
         swap_in(adapter, tmp, target)
         return "MERGE (rewrite)"
     raise ValueError(f"unknown incremental strategy {strategy!r}")
+
+
+# Above this many distinct partition values in one batch, the static IN
+# prune would bloat the plan; use a broadcast left-semi join instead
+# (dynamic partition pruning handles the scan-side skip).
+_PRUNE_LIMIT = 1000
+
+
+def _partition_scoped_overwrite(adapter, schema, name, target, target_df,
+                                source_df, parts, strategy, rebuild) -> str:
+    """Merge-family fallback for partitioned parquet targets whose
+    partition keys ⊆ unique key: rebuild only the partitions whose keys
+    appear in the batch, land them with dynamic-partition INSERT
+    OVERWRITE (metadata swap per partition — untouched partitions'
+    files never move). Every touched partition is guaranteed non-empty
+    in the result (each source row lands either as matched-update or
+    insert, carrying its own partition value), so dynamic overwrite
+    replaces exactly the touched set."""
+    from pyspark.sql import functions as F
+
+    spark = adapter.spark
+    touched = source_df.select(*parts).dropDuplicates()
+    vals = touched.limit(_PRUNE_LIMIT + 1).collect()
+    if len(vals) <= _PRUNE_LIMIT:
+        if len(parts) == 1:
+            p = parts[0]
+            non_null = [r[0] for r in vals if r[0] is not None]
+            cond = F.col(p).isin(non_null) if non_null else F.lit(False)
+            if len(non_null) < len(vals):  # batch has a NULL partition key
+                cond = cond | F.col(p).isNull()
+        else:
+            cond = F.lit(False)
+            for r in vals:
+                c = None
+                for p in parts:
+                    eq = F.col(p).eqNullSafe(F.lit(r[p]))
+                    c = eq if c is None else (c & eq)
+                cond = cond | c
+        scoped_target = target_df.filter(cond)
+    else:
+        scoped_target = target_df.join(F.broadcast(touched), parts,
+                                       "left_semi")
+    result = rebuild(scoped_target)
+    # Materialize the touched-partition result (O(touched), reads the
+    # target) into a tmp table first: Spark refuses INSERT OVERWRITE
+    # whose SELECT reads the table being overwritten.
+    tmp = _rel(schema, name + "__dbt_scoped_tmp", RelationType.Table)
+    adapter.drop_relation(tmp)
+    result.createOrReplaceTempView(f"__dbt_inc_{name}")
+    create_table_as(adapter, tmp, f"SELECT * FROM __dbt_inc_{name}")
+    try:
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {target.render()}\n"
+            + _reorder_to_table(spark, target.render(),
+                                f"SELECT * FROM {tmp.render()}"))
+    finally:
+        adapter.drop_relation(tmp)
+    n = len(vals) if len(vals) <= _PRUNE_LIMIT else f">{_PRUNE_LIMIT}"
+    verb = "MERGE" if strategy == "merge" else "DELETE+INSERT"
+    return f"{verb} (partition-scoped overwrite, {n} partitions)"
 
 
 def materialize_seed(adapter: SparkAdapter, schema: str, name: str, path: str,

@@ -516,7 +516,8 @@ class DbtSparkRunner:
                 out = materialize_clone(
                     self.adapter, node.schema, node.identifier,
                     self.relation_for(node.depends_on[0]),
-                    copy=bool(node.config.get("copy")))
+                    copy=bool(node.config.get("copy")),
+                    file_format=node.config.get("file_format"))
             elif mat == "function":
                 out = materialize_function(self.adapter, node.schema,
                                            node.identifier, sql, node.config)
@@ -537,6 +538,7 @@ class DbtSparkRunner:
                     batch_size=node.config.get("batch_size", "day"),
                     lookback=int(node.config.get("lookback", 1)),
                     begin=node.config.get("begin"),
+                    file_format=node.config.get("file_format"),
                 )
             elif mat in self.project.custom_materializations:
                 out = self._run_custom_materialization(node, sql)

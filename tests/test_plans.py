@@ -540,7 +540,9 @@ def test_attribution_keyed_windows_no_global_sort(spark, sf):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert n_nodes(plan, "Window") >= 1
-    assert "hashpartitioning(conv_id" in plan
+    # (user, conv_id) since the r4 per-user-unique-conv-id fix
+    assert "hashpartitioning(user_id" in plan and "conv_id" in plan.split(
+        "hashpartitioning(user_id")[1][:40]
 
 
 def test_rolling_actives_bounded_global_window(spark, sf):
