@@ -242,3 +242,114 @@ def test_streaming_checkpoint_resumes_with_new_data(spark, sf_small, tmp_path):
     t = spark.table("streaming_test.resume_copy")
     assert t.count() == events.count()          # union, nothing lost
     assert t.select("event_id").distinct().count() == events.count()  # no dups
+
+
+def _await_partial_then_kill(q, min_batches=2, timeout_s=60):
+    """Wait until the query has committed >= min_batches micro-batches,
+    then stop it mid-stream — the in-process stand-in for an executor/
+    driver kill (state recovery goes through the same checkpoint
+    commit-log path either way)."""
+    import time
+
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if len([p for p in q.recentProgress
+                if p["numInputRows"] > 0]) >= min_batches:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(30)
+
+
+def test_streaming_dedup_kill_and_resume_exactly_once(spark, tmp_path):
+    """r3 task #7: kill streaming_dedup mid-run and resume from its
+    checkpoint; the recovered output must equal the uninterrupted run's
+    byte-for-byte (exactly-once through the file-sink commit log)."""
+    from datetime import datetime, timedelta
+
+    from dbt_fusion_spark.streaming import streaming_dedup
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "src")
+    # 12 single-row-group files; keys repeat across files with IDENTICAL
+    # payloads so "which duplicate wins" can't affect the comparison
+    for i in range(12):
+        rows = [(i % 5, t0 + timedelta(seconds=i % 5), f"p{i % 5}"),
+                (100 + i, t0 + timedelta(seconds=i), f"q{100 + i}")]
+        spark.createDataFrame(rows, "k long, ts timestamp, payload string") \
+            .coalesce(1).write.parquet(f"{src}/f{i:02d}")
+
+    def run(tag, interrupt):
+        out, ckpt = str(tmp_path / f"out_{tag}"), str(tmp_path / f"ck_{tag}")
+        stream = (spark.readStream.schema("k long, ts timestamp, payload string")
+                  .option("maxFilesPerTrigger", "1")
+                  .option("recursiveFileLookup", "true").parquet(src))
+        deduped = streaming_dedup(stream, ["k"], "ts", "1 hour")
+        writer = (deduped.writeStream.format("parquet")
+                  .option("path", out).option("checkpointLocation", ckpt))
+        if interrupt:
+            q = writer.trigger(processingTime="2 seconds").start()
+            _await_partial_then_kill(q)
+            done = len(q.recentProgress)
+            assert done < 12, "kill landed after completion; nothing resumed"
+        # (re)start from the same checkpoint, drain to the end
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        return {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    uninterrupted = run("full", interrupt=False)
+    recovered = run("killed", interrupt=True)
+    assert recovered == uninterrupted
+    assert {r[0] for r in recovered} == set(range(5)) | set(range(100, 112))
+
+
+def test_streaming_volume_monitor_kill_and_resume(spark, tmp_path):
+    """Kill-and-resume for the stateful windowed aggregate: finalized
+    anomaly windows from the recovered run equal the uninterrupted
+    run's (watermark state restored from the checkpoint, no window
+    emitted twice into the sink)."""
+    from datetime import datetime, timedelta
+
+    from dbt_fusion_spark.streaming import streaming_volume_monitor
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "vm_src")
+    # 10 files spanning 10 days, one key; day 5 is a 5x volume spike;
+    # the last file is a far-future sentinel that finalizes every window
+    for d in range(9):
+        n = 50 if d == 5 else 10
+        rows = [("click", t0 + timedelta(days=d, minutes=m), 1.0)
+                for m in range(n)]
+        spark.createDataFrame(rows, "event_type string, ts timestamp, value double") \
+            .coalesce(1).write.parquet(f"{src}/d{d}")
+    spark.createDataFrame([("sentinel", t0 + timedelta(days=400), 1.0)],
+                          "event_type string, ts timestamp, value double") \
+        .coalesce(1).write.parquet(f"{src}/zz_sentinel")
+    baseline = spark.createDataFrame(
+        [("click", 10.0, 2.0)], "event_type string, mean double, stddev double")
+
+    def run(tag, interrupt):
+        out, ckpt = str(tmp_path / f"vm_out_{tag}"), str(tmp_path / f"vm_ck_{tag}")
+        stream = (spark.readStream
+                  .schema("event_type string, ts timestamp, value double")
+                  .option("maxFilesPerTrigger", "1")
+                  .option("recursiveFileLookup", "true").parquet(src))
+        mon = streaming_volume_monitor(stream, baseline, event_time="ts",
+                                       key="event_type", window_size="1 day",
+                                       watermark="1 day", z_thresh=3.0)
+        writer = (mon.writeStream.format("parquet").outputMode("append")
+                  .option("path", out).option("checkpointLocation", ckpt))
+        if interrupt:
+            q = writer.trigger(processingTime="2 seconds").start()
+            _await_partial_then_kill(q)
+            assert len(q.recentProgress) < 10, "kill landed after completion"
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        return {tuple(r) for r in spark.read.parquet(out)
+                .filter("event_type = 'click'").collect()}
+
+    uninterrupted = run("full", interrupt=False)
+    recovered = run("killed", interrupt=True)
+    assert recovered == uninterrupted
+    spikes = {r for r in recovered if r[5]}  # is_anomaly
+    assert len(spikes) == 1 and spikes.pop()[3] == 50
