@@ -189,6 +189,40 @@ def replace_where_sql(target: str, source: str,
     )
 
 
+def snapshot_merge_sql(target: str, source: str,
+                       insert_cols: Sequence[str],
+                       scd_id_col: str = "dbt_scd_id",
+                       valid_to_col: str = "dbt_valid_to",
+                       dbt_valid_to_current: str | None = None) -> str:
+    """default__snapshot_merge_sql (dbt-adapters snapshots/
+    snapshot_merge.sql): match on scd_id; matched open rows with
+    change_type update/delete get dbt_valid_to closed; unmatched
+    insert rows land whole. With dbt_valid_to_current, "open" means
+    valid_to equals the sentinel (or NULL) instead of NULL."""
+    cols_csv = ", ".join(insert_cols)
+    if dbt_valid_to_current:
+        open_cond = (
+            f"(DBT_INTERNAL_DEST.{valid_to_col} = {dbt_valid_to_current}"
+            f" or DBT_INTERNAL_DEST.{valid_to_col} is null)")
+    else:
+        open_cond = f"DBT_INTERNAL_DEST.{valid_to_col} is null"
+    return (
+        f"merge into {target} as DBT_INTERNAL_DEST\n"
+        f"using {source} as DBT_INTERNAL_SOURCE\n"
+        f"on DBT_INTERNAL_SOURCE.{scd_id_col} = "
+        f"DBT_INTERNAL_DEST.{scd_id_col}\n"
+        f"when matched\n"
+        f" and {open_cond}\n"
+        f" and DBT_INTERNAL_SOURCE.dbt_change_type in ('update', 'delete')\n"
+        f"    then update\n"
+        f"    set {valid_to_col} = DBT_INTERNAL_SOURCE.{valid_to_col}\n"
+        f"when not matched\n"
+        f" and DBT_INTERNAL_SOURCE.dbt_change_type = 'insert'\n"
+        f"    then insert ({cols_csv})\n"
+        f"    values ({cols_csv})"
+    )
+
+
 def shallow_clone_sql(target: str, source: str) -> str:
     """spark__create_or_replace_clone (dbt-spark clone.sql): zero-copy
     metadata clone — new table points at the source's current files."""

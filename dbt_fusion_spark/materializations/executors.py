@@ -596,6 +596,26 @@ def materialize_snapshot(adapter: SparkAdapter, schema: str, name: str, sql: str
         result = snapshot_build(source_df, cfg)
         verb = "SNAPSHOT (build)"
     else:
+        # Native path (Delta/Iceberg + default meta names): stage the
+        # change set and run the reference's snapshot MERGE
+        # (snapshot_merge.sql) — O(changes + touched files) instead of
+        # the full-table rewrite below. Custom meta names / valid_to
+        # sentinel stay on the rewrite path (the algebra normalizes
+        # them; the emitted MERGE would need the custom spellings).
+        if (native.supports_native_merge(spark, target.render())
+                and not cfg.meta_column_names
+                and not cfg.dbt_valid_to_current):
+            from dbt_fusion_spark.snapshots.scd2 import snapshot_staged_changes
+
+            staged = snapshot_staged_changes(
+                spark.table(target.render()), source_df, cfg)
+            view = f"__dbt_snap_staged_{name}"
+            staged.createOrReplaceTempView(view)
+            insert_cols = [c for c in staged.columns
+                           if c != "dbt_change_type"]
+            spark.sql(native.snapshot_merge_sql(target.render(), view,
+                                                insert_cols))
+            return "SNAPSHOT (native MERGE INTO)"
         result = snapshot_run(spark.table(target.render()), source_df, cfg)
         verb = "SNAPSHOT (merge)"
     tmp = _rel(schema, name + "__dbt_tmp", RelationType.Table)

@@ -100,11 +100,12 @@ def snapshot_build(source: DataFrame, cfg: SnapshotConfig, now: Column | None = 
     return out
 
 
-def snapshot_run(existing: DataFrame, source: DataFrame, cfg: SnapshotConfig,
-                 now: Column | None = None) -> DataFrame:
-    """Subsequent run: staging pipeline + merge, returning the new
-    snapshot table contents (helpers.sql:49-207 + snapshot_merge.sql)."""
-    now = now if now is not None else F.current_timestamp()
+def _stage(existing: DataFrame, source: DataFrame, cfg: SnapshotConfig,
+           now: Column) -> dict:
+    """The staging-CTE pipeline (helpers.sql:49-207), shared by the
+    rewrite path (snapshot_run) and the native-MERGE path
+    (snapshot_staged_changes). Returns
+    {insertions, changed_ids, del_ids, data_cols, extra}."""
     data_cols = [c for c in source.columns]
     check_cols = (
         list(cfg.check_cols)
@@ -163,32 +164,15 @@ def snapshot_run(existing: DataFrame, source: DataFrame, cfg: SnapshotConfig,
         del_eq = e if del_eq is None else (del_eq & e)
     deleted_open = snap_open.join(cur_keys, del_eq, "left_anti")
 
-    closed = existing.join(
-        changed_ids, F.col("dbt_scd_id") == F.col("scd_id"), "left"
-    )
-
     if cfg.hard_deletes in ("invalidate", "new_record"):
         del_ids = deleted_open.select(
             F.col("__snap_dbt_scd_id").alias("del_id"),
             now.cast("timestamp").alias("del_valid_to"),
         )
-        closed = closed.join(del_ids, F.col("dbt_scd_id") == F.col("del_id"), "left")
-        new_valid_to = F.coalesce(F.col("new_valid_to"), F.col("del_valid_to"),
-                                  F.col("dbt_valid_to"))
     else:
-        new_valid_to = F.coalesce(F.col("new_valid_to"), F.col("dbt_valid_to"))
+        del_ids = None
 
-    meta = ["dbt_updated_at", "dbt_valid_from", "dbt_valid_to", "dbt_scd_id"]
     extra = ["dbt_is_deleted"] if "dbt_is_deleted" in existing.columns else []
-    merged = closed.select(
-        *[F.col(c) for c in data_cols],
-        F.col("dbt_updated_at"),
-        F.col("dbt_valid_from"),
-        new_valid_to.alias("dbt_valid_to"),
-        F.col("dbt_scd_id"),
-        *[F.col(c) for c in extra],
-    )
-
     if cfg.hard_deletes == "new_record":
         insertions = insertions.withColumn("dbt_is_deleted", F.lit("False"))
         # tombstone row per deleted key (helpers.sql:161-207)
@@ -208,7 +192,83 @@ def snapshot_run(existing: DataFrame, source: DataFrame, cfg: SnapshotConfig,
     elif extra:
         insertions = insertions.withColumn("dbt_is_deleted", F.lit("False"))
 
-    return merged.unionByName(insertions.select(*data_cols, *meta, *extra))
+    return {"insertions": insertions, "changed_ids": changed_ids,
+            "del_ids": del_ids, "data_cols": data_cols, "extra": extra}
+
+
+def snapshot_run(existing: DataFrame, source: DataFrame, cfg: SnapshotConfig,
+                 now: Column | None = None) -> DataFrame:
+    """Subsequent run: staging pipeline + merge, returning the new
+    snapshot table contents (helpers.sql:49-207 + snapshot_merge.sql).
+    This is the rewrite path; snapshot_staged_changes feeds the same
+    staging to a native MERGE INTO on capable formats."""
+    now = now if now is not None else F.current_timestamp()
+    st = _stage(existing, source, cfg, now)
+    data_cols, extra = st["data_cols"], st["extra"]
+
+    closed = existing.join(
+        st["changed_ids"], F.col("dbt_scd_id") == F.col("scd_id"), "left"
+    )
+    if st["del_ids"] is not None:
+        closed = closed.join(st["del_ids"],
+                             F.col("dbt_scd_id") == F.col("del_id"), "left")
+        new_valid_to = F.coalesce(F.col("new_valid_to"), F.col("del_valid_to"),
+                                  F.col("dbt_valid_to"))
+    else:
+        new_valid_to = F.coalesce(F.col("new_valid_to"), F.col("dbt_valid_to"))
+
+    meta = ["dbt_updated_at", "dbt_valid_from", "dbt_valid_to", "dbt_scd_id"]
+    merged = closed.select(
+        *[F.col(c) for c in data_cols],
+        F.col("dbt_updated_at"),
+        F.col("dbt_valid_from"),
+        new_valid_to.alias("dbt_valid_to"),
+        F.col("dbt_scd_id"),
+        *[F.col(c) for c in extra],
+    )
+    return merged.unionByName(st["insertions"].select(*data_cols, *meta, *extra))
+
+
+def snapshot_staged_changes(existing: DataFrame, source: DataFrame,
+                            cfg: SnapshotConfig,
+                            now: Column | None = None) -> DataFrame:
+    """The staged change set the reference's snapshot_merge.sql
+    (default__snapshot_merge_sql) consumes: one row per change with
+    `dbt_change_type` in ('insert', 'update', 'delete'). Insert rows
+    carry the full new version; update/delete rows carry only
+    (dbt_scd_id, dbt_valid_to) — the MERGE matches on scd_id and sets
+    dbt_valid_to, exactly the macro's matched-branch contract. On Delta
+    /Iceberg this is O(changes + touched files); the rewrite path
+    (snapshot_run) is the plain-parquet equivalent of applying this
+    same set."""
+    now = now if now is not None else F.current_timestamp()
+    st = _stage(existing, source, cfg, now)
+    data_cols, extra = st["data_cols"], st["extra"]
+    meta = ["dbt_updated_at", "dbt_valid_from", "dbt_valid_to", "dbt_scd_id"]
+
+    inserts = st["insertions"].select(*data_cols, *meta, *extra) \
+        .withColumn("dbt_change_type", F.lit("insert"))
+
+    def _null(c):
+        t = dict(inserts.dtypes)[c]
+        return F.lit(None).cast(t).alias(c)
+
+    def closer(ids: DataFrame, id_col: str, to_col: str, kind: str):
+        return ids.select(
+            *[_null(c) for c in data_cols],
+            _null("dbt_updated_at"), _null("dbt_valid_from"),
+            F.col(to_col).alias("dbt_valid_to"),
+            F.col(id_col).alias("dbt_scd_id"),
+            *[_null(c) for c in extra],
+            F.lit(kind).alias("dbt_change_type"),
+        )
+
+    out = inserts.unionByName(
+        closer(st["changed_ids"], "scd_id", "new_valid_to", "update"))
+    if st["del_ids"] is not None:
+        out = out.unionByName(
+            closer(st["del_ids"], "del_id", "del_valid_to", "delete"))
+    return out
 
 
 def _normalize_meta(df: DataFrame, cfg: SnapshotConfig) -> DataFrame:

@@ -257,3 +257,118 @@ def test_partition_scoped_target_scan_prunes(spark, adapter):
     plan = scoped._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "dt" in plan.split(
         "PartitionFilters")[1][:120]
+
+
+# ------------------------------------------------------ snapshot merge
+
+def test_snapshot_merge_sql_golden():
+    sql = native.snapshot_merge_sql("analytics.snap", "__staged",
+                                    ["id", "v", "dbt_scd_id"])
+    assert sql == (
+        "merge into analytics.snap as DBT_INTERNAL_DEST\n"
+        "using __staged as DBT_INTERNAL_SOURCE\n"
+        "on DBT_INTERNAL_SOURCE.dbt_scd_id = DBT_INTERNAL_DEST.dbt_scd_id\n"
+        "when matched\n"
+        " and DBT_INTERNAL_DEST.dbt_valid_to is null\n"
+        " and DBT_INTERNAL_SOURCE.dbt_change_type in ('update', 'delete')\n"
+        "    then update\n"
+        "    set dbt_valid_to = DBT_INTERNAL_SOURCE.dbt_valid_to\n"
+        "when not matched\n"
+        " and DBT_INTERNAL_SOURCE.dbt_change_type = 'insert'\n"
+        "    then insert (id, v, dbt_scd_id)\n"
+        "    values (id, v, dbt_scd_id)")
+    assert ("(DBT_INTERNAL_DEST.dbt_valid_to = to_date('9999-12-31')"
+            " or DBT_INTERNAL_DEST.dbt_valid_to is null)") in \
+        native.snapshot_merge_sql(
+            "t", "s", ["id"], dbt_valid_to_current="to_date('9999-12-31')")
+
+
+def _apply_staged_merge(existing, staged):
+    """Batch re-statement of snapshot_merge.sql's MERGE semantics:
+    matched open rows w/ update|delete get valid_to set; unmatched
+    insert rows append."""
+    from pyspark.sql import functions as F
+
+    closers = (staged.filter(F.col("dbt_change_type")
+                             .isin("update", "delete"))
+               .select(F.col("dbt_scd_id").alias("__sid"),
+                       F.col("dbt_valid_to").alias("__to")))
+    updated = (existing.join(closers,
+                             existing["dbt_scd_id"] == F.col("__sid"), "left")
+               .withColumn(
+                   "dbt_valid_to",
+                   F.when(F.col("__sid").isNotNull()
+                          & F.col("dbt_valid_to").isNull(), F.col("__to"))
+                   .otherwise(F.col("dbt_valid_to")))
+               .drop("__sid", "__to"))
+    inserts = staged.filter(F.col("dbt_change_type") == "insert") \
+        .drop("dbt_change_type")
+    return updated.unionByName(inserts)
+
+
+@pytest.mark.parametrize("hard_deletes", ["ignore", "invalidate", "new_record"])
+def test_snapshot_staged_changes_equivalent_to_rewrite(spark, hard_deletes):
+    """The staged change set fed to the native MERGE must produce
+    exactly snapshot_run's table when applied with MERGE semantics —
+    the algebraic proof the native path lands the same SCD-2 state."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from dbt_fusion_spark.snapshots import SnapshotConfig
+    from dbt_fusion_spark.snapshots.scd2 import (
+        snapshot_build, snapshot_run, snapshot_staged_changes)
+
+    cfg = SnapshotConfig(unique_key="id", strategy="timestamp",
+                         updated_at="upd", hard_deletes=hard_deletes)
+    t0 = datetime(2024, 1, 1)
+    t1 = datetime(2024, 2, 1)
+    src0 = spark.createDataFrame(
+        [(1, "a", t0), (2, "b", t0), (3, "c", t0)],
+        "id long, v string, upd timestamp")
+    existing = snapshot_build(src0, cfg).localCheckpoint()
+    # run 2: id=1 changed, id=2 unchanged, id=3 deleted, id=4 new
+    src1 = spark.createDataFrame(
+        [(1, "A", t1), (2, "b", t0), (4, "d", t1)],
+        "id long, v string, upd timestamp")
+    now = F.lit(t1).cast("timestamp")
+
+    want = {tuple(r) for r in
+            snapshot_run(existing, src1, cfg, now=now).collect()}
+    staged = snapshot_staged_changes(existing, src1, cfg, now=now)
+    got = {tuple(r) for r in
+           _apply_staged_merge(existing, staged).collect()}
+    assert got == want
+    kinds = {r["dbt_change_type"] for r in staged.collect()}
+    assert kinds == ({"insert", "update"} if hard_deletes == "ignore"
+                     else {"insert", "update", "delete"})
+
+
+def test_snapshot_native_routing(spark, adapter, monkeypatch):
+    from dbt_fusion_spark.materializations.executors import (
+        materialize_snapshot,
+    )
+    from dbt_fusion_spark.snapshots import SnapshotConfig
+
+    cfg = SnapshotConfig(unique_key="id", strategy="check",
+                         check_cols="all")
+    out = materialize_snapshot(adapter, "nat", "snap_t",
+                               "SELECT 1 AS id, 'a' AS v", cfg)
+    assert out == "SNAPSHOT (build)"
+    monkeypatch.setattr(native, "supports_native_merge",
+                        lambda *a, **k: True)
+    real_sql = spark.sql
+    recorded = []
+
+    def intercept(q, *a, **k):
+        if q.strip().lower().startswith("merge into"):
+            recorded.append(q)
+            return None
+        return real_sql(q, *a, **k)
+
+    monkeypatch.setattr(spark, "sql", intercept)
+    out = materialize_snapshot(adapter, "nat", "snap_t",
+                               "SELECT 1 AS id, 'b' AS v", cfg)
+    assert out == "SNAPSHOT (native MERGE INTO)"
+    assert len(recorded) == 1
+    assert "dbt_change_type in ('update', 'delete')" in recorded[0]
