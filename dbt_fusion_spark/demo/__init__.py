@@ -52,9 +52,12 @@ GATE_WINDOW: list[str] = [
     "data_test_accepted_values",
     "data_test_relationships",
     "unit_test_fixture_compare",
-    # incremental strategies (6) + function node (1)
+    # incremental strategies (6) + function node (1).
+    # merge_partition_scoped replaced merge_update_columns in r4: it
+    # end-to-end-certifies the O(touched-partitions) merge path (the r3
+    # scale-killer fix); update_columns stays local-parity-tested.
     "incremental_merge",
-    "incremental_merge_update_columns",
+    "incremental_merge_partition_scoped",
     "incremental_delete_insert",
     "incremental_insert_overwrite",
     "incremental_microbatch",

@@ -230,3 +230,63 @@ def incremental_replace_where(spark, sf_dir):
     )
     return replace_where(target, source,
                          "o_orderdate >= TIMESTAMP '1999-01-01'")
+
+
+@register(
+    "incremental_merge_partition_scoped",
+    # merge semantics restated; the month is part of the key, so the
+    # oracle's key join is (o_month, o_orderkey) — identical rows to a
+    # plain orderkey merge, but the partition-subset-of-key shape is
+    # what routes the executor onto the scoped-overwrite path.
+    oracle=f"""
+    WITH t AS (SELECT {ORDER_COLS},
+                      CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_month
+               FROM orders WHERE o_orderdate < DATE '2000-01-01'),
+         s AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                      o_totalprice * 2 AS o_totalprice, o_orderdate,
+                      o_orderpriority,
+                      CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_month
+               FROM orders WHERE o_orderdate >= DATE '1999-07-01'
+                             AND o_orderdate < DATE '2000-01-01')
+    SELECT s.* FROM s
+    UNION ALL
+    SELECT t.* FROM t WHERE NOT EXISTS (
+      SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey
+                        AND s.o_month = t.o_month)
+    """,
+)
+def incremental_merge_partition_scoped(spark, sf_dir):
+    """The executor's partition-scoped merge end-to-end (r4: the
+    O(touched-partitions) fallback when partition keys ⊆ unique key):
+    a real month-partitioned managed table, a batch touching only
+    1999-07..1999-12, landed via dynamic-partition INSERT OVERWRITE —
+    untouched months' files never move (tests/test_native_dml.py pins
+    the file-stability property; this row certifies the values)."""
+    from dbt_fusion_spark.adapter import SparkAdapter
+    from dbt_fusion_spark.materializations.executors import (
+        materialize_incremental,
+    )
+    from dbt_fusion_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    spark.sql("CREATE DATABASE IF NOT EXISTS dbt_demo")
+    spark.sql("DROP TABLE IF EXISTS dbt_demo.merge_scoped")
+    adapter = SparkAdapter(spark=spark, default_schema="dbt_demo")
+    month = "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_month"
+    target_sql = (f"SELECT {ORDER_COLS}, {month} FROM orders "
+                  "WHERE o_orderdate < DATE '2000-01-01'")
+    batch_sql = ("SELECT o_orderkey, o_custkey, o_orderstatus, "
+                 f"o_totalprice * 2 AS o_totalprice, o_orderdate, "
+                 f"o_orderpriority, {month} FROM orders "
+                 "WHERE o_orderdate >= DATE '1999-07-01' "
+                 "AND o_orderdate < DATE '2000-01-01'")
+    kw = dict(strategy="merge", unique_key=["o_month", "o_orderkey"],
+              partition_by="o_month")
+    materialize_incremental(adapter, "dbt_demo", "merge_scoped", target_sql,
+                            full_refresh=True, **kw)
+    out = materialize_incremental(adapter, "dbt_demo", "merge_scoped",
+                                  batch_sql, **kw)
+    assert "partition-scoped" in out, out
+    return spark.table("dbt_demo.merge_scoped").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority", "o_month")

@@ -371,6 +371,7 @@ def test_chunking_no_shuffle(spark, sf):
 # project builds, write-path materializations, streaming restage) —
 # planned-only inspection isn't meaningful or cheap for them.
 _EXECUTING = {
+    "incremental_merge_partition_scoped",
     "incremental_microbatch", "streaming_stateful_sessions",
     "streaming_windowed_rollup", "streaming_dedup_keys",
     "streaming_attribution_pairs", "streaming_volume_monitor",
