@@ -393,9 +393,13 @@ def materialize_incremental(
         return "INSERT"
     if strategy == "insert_overwrite":
         # dynamic partition overwrite: only partitions present in the
-        # batch are replaced (spark.sql.sources.partitionOverwriteMode)
+        # batch are replaced (spark.sql.sources.partitionOverwriteMode).
+        # Iceberg targets drop the TABLE keyword (get_insert_overwrite_sql
+        # iceberg branch, dbt-spark strategies.sql:5-12).
+        tbl_kw = ("" if native.table_provider(
+            spark, target.render()) == "iceberg" else "TABLE ")
         spark.sql(
-            f"INSERT OVERWRITE TABLE {target.render()}\n"
+            f"INSERT OVERWRITE {tbl_kw}{target.render()}\n"
             + _reorder_to_table(spark, target.render(), sql)
         )
         return "INSERT OVERWRITE"
