@@ -111,21 +111,29 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         cell_col: str | None = "label",
-                        allow_all_pairs: bool = False) -> DataFrame:
+                        allow_all_pairs: bool = False,
+                        auto_block_bits: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs. With a cell column the
     pair join is blocked per cell (the scale path); without it the plan
     is an exact all-pairs crossJoin — O(n²), a footgun at any real
     corpus size — so `cell_col=None` additionally requires
     `allow_all_pairs=True` and raises otherwise (judge r3 "What's
-    wrong" #2). Use `assign_ivf_cells` / `hyperplane_lsh_buckets` to
-    derive a cell column when the corpus has no natural blocking key.
+    wrong" #2). When the corpus has no natural blocking key, pass
+    `auto_block_bits=N` to derive a sign-bit hyperplane cell
+    (`hyperplane_bucket`, a pure projection) — near-identical vectors
+    share all sign bits, so true near-dups stay co-blocked while the
+    join cost drops to per-cell; recall loss is confined to pairs
+    straddling a hyperplane (near-zero dims).
     """
+    if cell_col is None and auto_block_bits:
+        corpus = corpus.withColumn(
+            "__auto_cell", hyperplane_bucket(vec_col, auto_block_bits))
+        cell_col = "__auto_cell"
     if cell_col is None and not allow_all_pairs:
         raise ValueError(
             "embedding_near_dups(cell_col=None) plans an O(n²) all-pairs "
             "crossJoin; pass allow_all_pairs=True to opt in explicitly, "
-            "or derive a blocking column (assign_ivf_cells, "
-            "hyperplane_lsh_buckets) and pass it as cell_col")
+            "or auto_block_bits=N / a cell_col to block the join")
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
                       norm_fold(vec_col).alias("__na"),
                       *( [F.col(cell_col).alias("__cell")] if cell_col else [] ))

@@ -130,10 +130,16 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame,
 # sort below every value bucket, keeping the cumulative walk ordered by
 # true value.
 ZERO_BUCKET = -(2 ** 62)
+# Two-sided sketch (signed=True): negative x maps to
+# NEG_BASE - ceil(ln(-x)/ln gamma) — monotone in x, and the whole
+# negative range (NEG_BASE ± 7e5) sits strictly below ZERO_BUCKET, so
+# one ordered walk covers negatives < zero < positives. Buckets are
+# self-describing: the quantile walk decodes by range, no flag needed.
+NEG_BASE = -3 * (2 ** 61)
 
 
 def ddsketch(df: DataFrame, col: str, alpha: float = 0.01,
-             by: Sequence[str] = ()) -> DataFrame:
+             by: Sequence[str] = (), signed: bool = False) -> DataFrame:
     """DDSketch histogram (Masson et al., VLDB 2019): relative-error
     quantile sketch as a (bucket, n) table.
 
@@ -150,26 +156,34 @@ def ddsketch(df: DataFrame, col: str, alpha: float = 0.01,
     a few thousand rows regardless of input size (bounded memory — the
     reason DDSketch exists).
 
-    Zeros/negatives/NULLs (classic positive-value DDSketch): zeros get
-    the dedicated sentinel bucket `ZERO_BUCKET` (so bucket 0 keeps its
-    standard representative 2*gamma^0/(gamma+1) for values in
-    (1/gamma, 1] — storing zeros there would report those values as
-    0.0, unbounded relative error); negative values and NULLs are
-    DROPPED by the filter, matching the positive-value sketch contract
-    (callers wanting strictness should assert min(col) >= 0 upstream).
+    Zeros/negatives/NULLs: zeros get the dedicated sentinel bucket
+    `ZERO_BUCKET` (so bucket 0 keeps its standard representative
+    2*gamma^0/(gamma+1) for values in (1/gamma, 1] — storing zeros
+    there would report those values as 0.0, unbounded relative error).
+    With the default `signed=False` (the classic positive-value
+    sketch), negative values and NULLs are DROPPED by the filter
+    (callers wanting strictness should assert min(col) >= 0 upstream);
+    `signed=True` stores negatives in the mirrored `NEG_BASE` bucket
+    range — same alpha guarantee on |x|, one ordered walk across
+    negatives < zero < positives. NULLs are dropped either way.
     """
     gamma = (1.0 + alpha) / (1.0 - alpha)
     import math
 
     lg = math.log(gamma)
+    pos = F.ceil(F.log(F.col(col)) / F.lit(lg))
     b = (F.when(F.col(col) == 0, F.lit(ZERO_BUCKET))
-         .otherwise(F.ceil(F.log(F.col(col)) / F.lit(lg)))
+         .when(F.col(col) < 0,
+               F.lit(NEG_BASE) - F.ceil(F.log(-F.col(col)) / F.lit(lg)))
+         .otherwise(pos)
          .cast("bigint"))
     keys = list(by)
-    return (df.filter(F.col(col) >= 0)
-              .select(*keys, b.alias("bucket"))
-              .groupBy(*keys, "bucket")
-              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    kept = (df.filter(F.col(col).isNotNull()) if signed
+            else df.filter(F.col(col) >= 0))
+    return (kept
+            .select(*keys, b.alias("bucket"))
+            .groupBy(*keys, "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
 
 
 def ddsketch_merge(*sketches: DataFrame) -> DataFrame:
@@ -217,7 +231,13 @@ def ddsketch_quantiles(sketch: DataFrame, qs: Sequence[float],
                key, F.pmod(F.abs(F.xxhash64("q")), F.lit(1)))), key)
            .filter(F.col("cum") >= target)
            .groupBy(*keys, "q").agg(F.min("bucket").alias("b")))
+    # self-describing bucket ranges: zero sentinel, mirrored negative
+    # range around NEG_BASE, plain positive buckets
     rep = (F.when(F.col("b") == ZERO_BUCKET, F.lit(0.0))
+           .when(F.col("b") < ZERO_BUCKET,
+                 -F.lit(2.0) * F.pow(F.lit(gamma),
+                                     F.lit(NEG_BASE) - F.col("b"))
+                 / F.lit(gamma + 1.0))
            .otherwise(F.lit(2.0) * F.pow(F.lit(gamma), F.col("b"))
                       / F.lit(gamma + 1.0)))
     return (hit.select(*keys, "q", F.round(rep, 6).alias("est"))

@@ -565,3 +565,54 @@ def test_embedding_near_dups_requires_all_pairs_opt_in(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
     blocked = embedding_near_dups(df, cell_col="label")
     assert {(r["id_a"], r["id_b"]) for r in blocked.collect()} == {(1, 2)}
+
+
+def test_ddsketch_signed_two_sided(spark):
+    """signed=True: negatives live in the mirrored NEG_BASE bucket
+    range; one ordered walk spans negatives < zero < positives with the
+    alpha bound on |x|."""
+    import math
+    import random
+
+    from dbt_fusion_spark.llm.sketch import (
+        NEG_BASE, ZERO_BUCKET, ddsketch, ddsketch_quantiles)
+
+    rnd = random.Random(11)
+    xs = ([-rnd.lognormvariate(2, 1) for _ in range(1500)]
+          + [0.0] * 100
+          + [rnd.lognormvariate(2, 1) for _ in range(1500)])
+    df = spark.createDataFrame([(x,) for x in xs], "v double")
+    sk = ddsketch(df, "v", alpha=0.01, signed=True)
+    buckets = [r["bucket"] for r in sk.collect()]
+    assert ZERO_BUCKET in buckets
+    assert any(b < ZERO_BUCKET for b in buckets)       # negative range
+    assert all(b > NEG_BASE - 10**6 for b in buckets)  # sane, no underflow
+    assert sk.agg({"n": "sum"}).collect()[0][0] == len(xs)  # nothing dropped
+    qs = {r["q"]: r["est"] for r in
+          ddsketch_quantiles(sk, [0.1, 0.5, 0.9], alpha=0.01).collect()}
+    xs.sort()
+    for q, est in qs.items():
+        exact = xs[math.ceil(q * (len(xs) - 1))]
+        if exact == 0.0:
+            assert est == 0.0
+        else:
+            assert abs(est - exact) / abs(exact) < 0.025, (q, est, exact)
+    assert qs[0.1] < 0 < qs[0.9]
+    # unsigned default still drops negatives (back-compat contract)
+    n_unsigned = ddsketch(df, "v").agg({"n": "sum"}).collect()[0][0]
+    assert n_unsigned == 1600
+
+
+def test_embedding_near_dups_auto_block(spark):
+    from dbt_fusion_spark.llm.similarity import embedding_near_dups
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.5]), (2, [1.0, 0.5000001]),   # near-dup, same signs
+         (3, [-1.0, 0.5]), (4, [0.2, -0.9])],
+        "vec_id long, embedding array<double>")
+    pairs = embedding_near_dups(df, threshold=0.99, cell_col=None,
+                                auto_block_bits=2)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
+    # auto-blocked plan must not contain a cartesian product
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
