@@ -353,3 +353,54 @@ def test_streaming_volume_monitor_kill_and_resume(spark, tmp_path):
     assert recovered == uninterrupted
     spikes = {r for r in recovered if r[5]}  # is_anomaly
     assert len(spikes) == 1 and spikes.pop()[3] == 50
+
+
+def test_streaming_merge_partition_scoped(spark, tmp_path):
+    """streaming_merge with partition_by ⊆ unique_key: each micro-batch
+    rewrites only its touched partitions (the r4 cost ladder applied
+    per-trigger); untouched partitions' files stay in place."""
+    from pathlib import Path
+
+    from dbt_fusion_spark.streaming import streaming_merge
+
+    src = str(tmp_path / "sm_src")
+    spark.createDataFrame(
+        [("d1", 1, "a"), ("d2", 2, "b"), ("d3", 3, "c")],
+        "dt string, k long, v string",
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS streaming_test")
+    spark.sql("DROP TABLE IF EXISTS streaming_test.sm_scoped")
+
+    def run():
+        stream = (spark.readStream.schema("dt string, k long, v string")
+                  .option("recursiveFileLookup", "true").parquet(src))
+        q = streaming_merge(stream, "streaming_test.sm_scoped",
+                            ["dt", "k"], str(tmp_path / "sm_ck"), spark,
+                            trigger={"availableNow": True},
+                            partition_by="dt")
+        q.awaitTermination(120)
+
+    run()
+    assert spark.table("streaming_test.sm_scoped").count() == 3
+
+    def part_files():
+        loc = next(r["data_type"] for r in spark.sql(
+            "DESCRIBE TABLE EXTENDED streaming_test.sm_scoped").collect()
+            if (r["col_name"] or "").strip().lower() == "location")
+        root = Path(loc.removeprefix("file:"))
+        return {p.parent.name: {(f.name, f.stat().st_mtime_ns)
+                                for f in p.parent.glob("*.parquet")}
+                for p in root.glob("dt=*/*.parquet")}
+
+    before = part_files()
+    spark.createDataFrame([("d2", 2, "B"), ("d2", 9, "x")],
+                          "dt string, k long, v string") \
+        .coalesce(1).write.parquet(f"{src}/b2")
+    run()
+    got = {(r["dt"], r["k"]): r["v"]
+           for r in spark.table("streaming_test.sm_scoped").collect()}
+    assert got == {("d1", 1): "a", ("d2", 2): "B", ("d2", 9): "x",
+                   ("d3", 3): "c"}
+    after = part_files()
+    assert after["dt=d1"] == before["dt=d1"]  # untouched partition intact
+    assert after["dt=d3"] == before["dt=d3"]
