@@ -72,3 +72,91 @@ def zorder_layout(df: DataFrame, cols: list[str],
         .sortWithinPartitions("__zorder")
         .drop("__zorder")
     )
+
+
+def compact_partitions(spark, table: str, max_files: int = 4,
+                       target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Small-file compaction for a partitioned parquet table — the
+    plain-Spark analog of Delta's `OPTIMIZE` bin-packing (without
+    ZORDER; compose with zorder_layout for that).
+
+    Continuous ingestion (streaming_merge micro-batches, frequent
+    incremental appends) accretes a file per batch per partition; at
+    100 TB the resulting file count — not data volume — dominates scan
+    planning and task overhead. This rewrites ONLY partitions holding
+    more than `max_files` files, coalescing each to
+    ceil(bytes / target_file_bytes) files, landed via
+    dynamic-partition INSERT OVERWRITE so untouched partitions' files
+    never move (same O(touched) contract as the partition-scoped
+    merge).
+
+    Driver-side work is one filesystem listing per partition (bounded
+    by partition count, the same scale as the catalog itself).
+    Returns {partition_dir: (files_before, files_after)} for the
+    rewritten partitions.
+    """
+    import math
+    import os
+    from pathlib import Path
+
+    from dbt_fusion_spark.sources.registry import ensure_session_confs
+
+    ensure_session_confs(spark)  # dynamic partition overwrite required
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    loc = next(r["data_type"] for r in rows
+               if (r["col_name"] or "").strip().lower() == "location")
+    part_cols = []
+    seen_marker = False
+    for r in rows:
+        name = (r["col_name"] or "").strip()
+        if name == "# Partition Information":
+            seen_marker = True
+        elif seen_marker and name and not name.startswith("#"):
+            part_cols.append(name)
+    if not part_cols:
+        raise ValueError(f"{table} is not partitioned; compact by "
+                         "rewriting (CTAS) instead")
+    root = Path(loc.removeprefix("file:"))
+
+    todo = {}  # partition dir name -> (n_files, total_bytes)
+    for pdir in root.iterdir():
+        if "=" not in pdir.name or not pdir.is_dir():
+            continue
+        files = [f for f in pdir.iterdir() if f.name.endswith(".parquet")]
+        if len(files) > max_files:
+            todo[pdir.name] = (len(files),
+                               sum(f.stat().st_size for f in files))
+    if not todo:
+        return {}
+
+    # static partition prune from the dir names (dt=2024-01-01 style);
+    # single partition column only needs the values, multi-col builds
+    # the conjunction per dir
+    def dir_filter(dname: str):
+        cond = None
+        for piece in dname.split(os.sep):
+            col, _, val = piece.partition("=")
+            c = (F.col(col).isNull()
+                 if val == "__HIVE_DEFAULT_PARTITION__"
+                 else F.col(col).cast("string") ==
+                 F.lit(val.replace("%3A", ":")))
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    report = {}
+    for dname, (n_before, nbytes) in todo.items():
+        n_out = max(1, math.ceil(nbytes / target_file_bytes))
+        scoped = spark.table(table).filter(dir_filter(dname))
+        tmp = f"{table}__compact_tmp"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        scoped.coalesce(n_out).write.saveAsTable(tmp)
+        cols = ", ".join(
+            f"`{f.name}`" for f in spark.table(table).schema.fields)
+        spark.sql(f"INSERT OVERWRITE TABLE {table}\n"
+                  f"SELECT {cols} FROM {tmp}")
+        spark.sql(f"DROP TABLE {tmp}")
+        n_after = len([f for f in (root / dname).iterdir()
+                       if f.name.endswith(".parquet")])
+        report[dname] = (n_before, n_after)
+    spark.catalog.refreshTable(table)
+    return report

@@ -616,3 +616,44 @@ def test_embedding_near_dups_auto_block(spark):
     # auto-blocked plan must not contain a cartesian product
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_compact_partitions_small_file_binpack(spark):
+    """compact_partitions: only over-fragmented partitions rewrite
+    (down to the bin-packed file count); untouched partitions' files
+    stay byte-for-byte; data identical before/after."""
+    from pathlib import Path
+
+    from dbt_fusion_spark.plans.layout import compact_partitions
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS layout_test")
+    spark.sql("DROP TABLE IF EXISTS layout_test.frag")
+    spark.sql("CREATE TABLE layout_test.frag (k BIGINT, v STRING, dt STRING)"
+              " USING PARQUET PARTITIONED BY (dt)")
+    # d1: 6 small files (over max_files=4); d2: 2 files (untouched)
+    for i in range(6):
+        spark.createDataFrame([(i, f"v{i}", "d1")], "k long, v string, dt string") \
+            .coalesce(1).write.mode("append").insertInto("layout_test.frag")
+    for i in range(2):
+        spark.createDataFrame([(100 + i, f"w{i}", "d2")], "k long, v string, dt string") \
+            .coalesce(1).write.mode("append").insertInto("layout_test.frag")
+    before = {tuple(r) for r in spark.table("layout_test.frag").collect()}
+    loc = next(r["data_type"] for r in spark.sql(
+        "DESCRIBE TABLE EXTENDED layout_test.frag").collect()
+        if (r["col_name"] or "").strip().lower() == "location")
+    d2_before = {(f.name, f.stat().st_mtime_ns) for f in
+                 (Path(loc.removeprefix("file:")) / "dt=d2").iterdir()
+                 if f.name.endswith(".parquet")}
+
+    report = compact_partitions(spark, "layout_test.frag", max_files=4)
+    assert set(report) == {"dt=d1"}
+    n_before, n_after = report["dt=d1"]
+    assert n_before == 6 and n_after == 1  # tiny bytes -> one bin
+    after = {tuple(r) for r in spark.table("layout_test.frag").collect()}
+    assert after == before
+    d2_after = {(f.name, f.stat().st_mtime_ns) for f in
+                (Path(loc.removeprefix("file:")) / "dt=d2").iterdir()
+                if f.name.endswith(".parquet")}
+    assert d2_after == d2_before
+    # idempotent: nothing left to do
+    assert compact_partitions(spark, "layout_test.frag", max_files=4) == {}
