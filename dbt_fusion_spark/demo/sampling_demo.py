@@ -258,3 +258,64 @@ def sampler_plan_referential(spark, sf_dir):
           .select(F.lit("lineitem").alias("tbl"), "n_rows",
                   F.col("n").alias("n_orphans")))
     return r1.unionByName(r2)
+
+
+@register(
+    "sample_leakage_safe_split",
+    # same corpus-with-copies as embedding_near_dups; the recursive CTE
+    # is the min-label closure over the dup pairs (cf.
+    # dedup_connected_clusters); fold = portable md5 threshold on the
+    # GROUP id, restated verbatim
+    oracle="""
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, embedding, label FROM embeddings
+      WHERE vec_id % 50 = 0),
+    dup AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus a JOIN corpus b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE (list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+            / ((sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding),
+                                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))))
+             * (sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding),
+                                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))))
+            >= 0.95),
+    edges AS (SELECT id_a AS u, id_b AS v FROM dup
+              UNION SELECT id_b, id_a FROM dup),
+    reach AS (
+      SELECT u AS node, u AS lbl FROM edges
+      UNION SELECT u, v FROM edges
+      UNION SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    grouped AS (
+      SELECT c.vec_id, COALESCE(p.component, c.vec_id) AS grp
+      FROM corpus c LEFT JOIN comp p ON p.node = c.vec_id)
+    SELECT vec_id,
+           CASE WHEN CAST('0x' || substring(
+                    md5('42|' || CAST(grp AS VARCHAR)), 1, 8) AS BIGINT)
+                     < CAST(floor(0.8 * 4294967296) AS BIGINT)
+                THEN 'train' ELSE 'test' END AS fold
+    FROM grouped
+    """,
+)
+def sample_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/test split (sample/strategies.py
+    leakage_safe_split): embedding near-dup pairs -> connected
+    components -> fold decided by the portable hash of the COMPONENT
+    id, so injected copies always land in the same fold as their
+    original — the contamination-control primitive an eval pipeline
+    needs at any scale."""
+    from dbt_fusion_spark.llm import similarity as S
+    from dbt_fusion_spark.sample.strategies import leakage_safe_split
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label")
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(copies)
+    pairs = S.embedding_near_dups(corpus, threshold=0.95)
+    return leakage_safe_split(
+        corpus.select("vec_id"), "vec_id", pairs,
+        fracs={"train": 0.8, "test": 0.2}).select("vec_id", "fold")

@@ -188,3 +188,49 @@ def sample_weighted(df: DataFrame, weight_col: str, n: int,
         .limit(n)
         .drop("__es")
     )
+
+
+def leakage_safe_split(df: DataFrame, id_col: str, dup_pairs: DataFrame,
+                       fracs: dict[str, float] | None = None,
+                       seed: int = 42) -> DataFrame:
+    """Train/val/test folds with duplicate-leakage control: every
+    member of a near-duplicate component lands in the SAME fold, so an
+    eval split can never contain a near-copy of a training document
+    (the classic contamination path a row-wise split leaves open).
+
+    `dup_pairs` is any (id_a, id_b) edge list — MinHash-LSH verified
+    pairs, SimHash near-pairs, embedding near-dups. Connected
+    components collapse transitive duplicates into one group (min
+    member id); documents in no pair are their own group. The fold is
+    a cumulative-threshold lookup on the portable md5 unit hash of the
+    GROUP id — deterministic, placement-independent, and reproducible
+    on any engine (the oracle restates it verbatim).
+
+    Scale shape: the component step is the O(log² n) large/small-star
+    algorithm over the PAIR list (|pairs| << |docs| after blocking);
+    the split itself is a pure projection. `fracs` is an ordered
+    {fold: fraction} summing to ~1; the last fold absorbs rounding.
+    """
+    from dbt_fusion_spark.plans.connected_components import (
+        connected_components,
+    )
+
+    fracs = fracs or {"train": 0.9, "test": 0.1}
+    comp = connected_components(dup_pairs, "id_a", "id_b") \
+        .withColumnRenamed("node", id_col)
+    out = (df.join(comp, on=id_col, how="left")
+             .withColumn("__lk_group",
+                         F.coalesce(F.col("component"), F.col(id_col))))
+    u = _unit_hash(["__lk_group"], seed)
+    folds = list(fracs.items())
+    expr, cum = None, 0.0
+    for fold, frac in folds[:-1]:
+        cum += frac
+        thresh = int(cum * 4294967296)
+        w = (F.when(u < thresh, F.lit(fold)) if expr is None
+             else expr.when(u < thresh, F.lit(fold)))
+        expr = w
+    last = F.lit(folds[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return (out.withColumn("fold", expr)
+               .drop("component", "__lk_group"))

@@ -657,3 +657,26 @@ def test_compact_partitions_small_file_binpack(spark):
     assert d2_after == d2_before
     # idempotent: nothing left to do
     assert compact_partitions(spark, "layout_test.frag", max_files=4) == {}
+
+
+def test_leakage_safe_split_components_never_straddle(spark):
+    from dbt_fusion_spark.sample.strategies import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    # chains 0-1-2, 10-11; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long")
+    out = leakage_safe_split(docs, "id", pairs,
+                             fracs={"train": 0.5, "val": 0.25,
+                                    "test": 0.25})
+    folds = {r["id"]: r["fold"] for r in out.collect()}
+    assert len(folds) == 200
+    assert folds[0] == folds[1] == folds[2]       # transitive component
+    assert folds[10] == folds[11]
+    assert set(folds.values()) == {"train", "val", "test"}
+    # deterministic under repartition
+    again = {r["id"]: r["fold"]
+             for r in leakage_safe_split(docs.repartition(7), "id", pairs,
+                                         fracs={"train": 0.5, "val": 0.25,
+                                                "test": 0.25}).collect()}
+    assert again == folds
