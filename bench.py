@@ -74,6 +74,9 @@ HEADLINE = [
     # iterative graph + corpus signals
     "graph_pagerank_suppliers",
     "quality_token_entropy",
+    # r4: partition-scoped merge executor + leakage-safe split (CC)
+    "incremental_merge_partition_scoped",
+    "sample_leakage_safe_split",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

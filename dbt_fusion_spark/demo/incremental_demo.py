@@ -268,9 +268,20 @@ def incremental_merge_partition_scoped(spark, sf_dir):
     )
     from dbt_fusion_spark.sources.registry import register_views
 
+    import shutil
+
     register_views(spark, sf_dir, ["orders"])
     spark.sql("CREATE DATABASE IF NOT EXISTS dbt_demo")
     spark.sql("DROP TABLE IF EXISTS dbt_demo.merge_scoped")
+    # vanilla harness sessions get a fresh derby metastore but a
+    # persistent ./spark-warehouse: clear any orphaned location from a
+    # previous process or CTAS raises LOCATION_ALREADY_EXISTS
+    wh = (spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+          .removeprefix("file:"))
+    for leftover in ("merge_scoped", "merge_scoped__dbt_tmp",
+                     "merge_scoped__dbt_scoped_tmp",
+                     "merge_scoped__dbt_backup"):
+        shutil.rmtree(f"{wh}/dbt_demo.db/{leftover}", ignore_errors=True)
     adapter = SparkAdapter(spark=spark, default_schema="dbt_demo")
     month = "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_month"
     target_sql = (f"SELECT {ORDER_COLS}, {month} FROM orders "
