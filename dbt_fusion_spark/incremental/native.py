@@ -227,3 +227,19 @@ def shallow_clone_sql(target: str, source: str) -> str:
     """spark__create_or_replace_clone (dbt-spark clone.sql): zero-copy
     metadata clone — new table points at the source's current files."""
     return f"create or replace table {target} shallow clone {source}"
+
+
+def create_or_replace_table_sql(target: str, sql: str, file_format: str,
+                                partition_by: str | Sequence[str] | None = None,
+                                ) -> str:
+    """get_create_table_sql (dbt-databricks relations/table/create.sql:
+    36-40): transactional formats support atomic `CREATE OR REPLACE
+    TABLE`, replacing the reference's backup/swap dance (table.sql)
+    with a single statement — readers see old-or-new, never an absent
+    table."""
+    parts = _keys(partition_by)
+    part_clause = ("" if not parts
+                   else " PARTITIONED BY (" +
+                   ", ".join(f"`{c}`" for c in parts) + ")")
+    return (f"create or replace table {target} USING {file_format}"
+            f"{part_clause} AS\n{sql}")

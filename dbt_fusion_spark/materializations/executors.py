@@ -152,6 +152,20 @@ def materialize_table(adapter: SparkAdapter, schema: str, name: str, sql: str,
                       file_format: str | None = None,
                       zorder_by=None) -> str:
     target = _rel(schema, name, RelationType.Table)
+    # ACID formats replace atomically in ONE statement (dbt-databricks
+    # relations/table/create.sql:36-40) — no backup/swap dance, no
+    # window where the table is absent. Plain formats fall through to
+    # the reference's swap below.
+    fmt = (file_format or "").lower()
+    if (fmt in native.ACID_FORMATS and native.format_available(adapter.spark, fmt)
+            and not zorder_by and not bucket_by):
+        existing = adapter.get_relation(None, schema, name, use_cache=False)
+        if existing is not None and existing.is_view:
+            adapter.drop_relation(existing)
+        adapter.spark.sql(native.create_or_replace_table_sql(
+            target.render(), sql, fmt, partition_by))
+        adapter.cache_added(target)
+        return "CREATE TABLE (atomic replace)"
     tmp = _rel(schema, name + "__dbt_tmp", RelationType.Table)
     adapter.drop_relation(tmp)
     if zorder_by:

@@ -372,3 +372,31 @@ def test_snapshot_native_routing(spark, adapter, monkeypatch):
     assert out == "SNAPSHOT (native MERGE INTO)"
     assert len(recorded) == 1
     assert "dbt_change_type in ('update', 'delete')" in recorded[0]
+
+
+def test_create_or_replace_table_sql_golden_and_routing(spark, adapter,
+                                                        monkeypatch):
+    assert native.create_or_replace_table_sql(
+        "a.t", "SELECT 1 AS x", "delta", "dt") == (
+        "create or replace table a.t USING delta PARTITIONED BY (`dt`) AS\n"
+        "SELECT 1 AS x")
+    # parquet target never takes the atomic-replace path
+    out = materialize_table(adapter, "nat", "cor_t", "SELECT 1 AS x")
+    assert out == "CREATE TABLE"
+    # delta-configured target with the runtime "available" does
+    monkeypatch.setattr(native, "format_available", lambda *a: True)
+    real_sql = spark.sql
+    recorded = []
+
+    def intercept(q, *a, **k):
+        if q.strip().lower().startswith("create or replace table"):
+            recorded.append(q)
+            return None
+        return real_sql(q, *a, **k)
+
+    monkeypatch.setattr(spark, "sql", intercept)
+    out = materialize_table(adapter, "nat", "cor_t", "SELECT 1 AS x",
+                            file_format="delta")
+    assert out == "CREATE TABLE (atomic replace)"
+    assert recorded == ["create or replace table `nat`.`cor_t` "
+                        "USING delta AS\nSELECT 1 AS x"]
