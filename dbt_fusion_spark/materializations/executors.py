@@ -553,8 +553,13 @@ def _partition_scoped_overwrite(adapter, schema, name, target, target_df,
                 cond = cond | c
         scoped_target = target_df.filter(cond)
     else:
-        scoped_target = target_df.join(F.broadcast(touched), parts,
-                                       "left_semi")
+        # sever lineage from source_df (bounded: one row per touched
+        # partition) — the merge re-joins source_df against the scoped
+        # target, and a shared subtree would trip Spark's ambiguous-
+        # self-join analysis
+        scoped_target = target_df.join(
+            F.broadcast(touched.localCheckpoint(eager=True)), parts,
+            "left_semi")
     result = rebuild(scoped_target)
     # Materialize the touched-partition result (O(touched), reads the
     # target) into a tmp table first: Spark refuses INSERT OVERWRITE

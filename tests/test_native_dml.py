@@ -400,3 +400,42 @@ def test_create_or_replace_table_sql_golden_and_routing(spark, adapter,
     assert out == "CREATE TABLE (atomic replace)"
     assert recorded == ["create or replace table `nat`.`cor_t` "
                         "USING delta AS\nSELECT 1 AS x"]
+
+
+def test_partition_scoped_multicol_and_prune_limit(spark, adapter,
+                                                   monkeypatch):
+    """Multi-column partition keys build the per-tuple OR filter; past
+    _PRUNE_LIMIT distinct partitions the scoped path falls back to a
+    broadcast semi-join — both must stay exactly equivalent."""
+    import dbt_fusion_spark.materializations.executors as ex
+
+    base = ("SELECT * FROM VALUES ('d1', 'r1', 1, 'a'), ('d1', 'r2', 2, 'b'), "
+            "('d2', 'r1', 3, 'c'), ('d2', 'r2', 4, 'd') "
+            "AS t(dt, region, id, v)")
+    kw = dict(strategy="merge", unique_key=["dt", "region", "id"],
+              partition_by=["dt", "region"])
+    materialize_incremental(adapter, "nat", "ps_mc", base,
+                            full_refresh=True, **kw)
+    out = materialize_incremental(
+        adapter, "nat", "ps_mc",
+        "SELECT * FROM VALUES ('d1', 'r2', 2, 'B'), ('d2', 'r1', 9, 'x') "
+        "AS t(dt, region, id, v)", **kw)
+    assert out == "MERGE (partition-scoped overwrite, 2 partitions)"
+    got = {(r["dt"], r["region"], r["id"]): r["v"]
+           for r in spark.table("nat.ps_mc").collect()}
+    assert got == {("d1", "r1", 1): "a", ("d1", "r2", 2): "B",
+                   ("d2", "r1", 3): "c", ("d2", "r1", 9): "x",
+                   ("d2", "r2", 4): "d"}
+
+    # force the semi-join branch (limit below the batch's 2 partitions)
+    monkeypatch.setattr(ex, "_PRUNE_LIMIT", 1)
+    out = materialize_incremental(
+        adapter, "nat", "ps_mc",
+        "SELECT * FROM VALUES ('d1', 'r1', 1, 'A2'), ('d2', 'r2', 4, 'D2') "
+        "AS t(dt, region, id, v)", **kw)
+    assert out == "MERGE (partition-scoped overwrite, >1 partitions)"
+    got = {(r["dt"], r["region"], r["id"]): r["v"]
+           for r in spark.table("nat.ps_mc").collect()}
+    assert got == {("d1", "r1", 1): "A2", ("d1", "r2", 2): "B",
+                   ("d2", "r1", 3): "c", ("d2", "r1", 9): "x",
+                   ("d2", "r2", 4): "D2"}
