@@ -435,6 +435,11 @@ def materialize_incremental(
             spark.sql(native.replace_where_sql(target.render(), view, preds))
             return "REPLACE WHERE (native)"
         pred_sql = " AND ".join(f"({p})" for p in preds)
+        if partition_by:
+            out = _partition_scoped_replace_where(
+                adapter, schema, name, target, sql, pred_sql, partition_by)
+            if out is not None:
+                return out
         cols = ", ".join(
             f"`{f.name}`" for f in spark.table(target.render()).schema.fields)
         rewrite = (
@@ -519,6 +524,69 @@ def materialize_incremental(
 # prune would bloat the plan; use a broadcast left-semi join instead
 # (dynamic partition pruning handles the scan-side skip).
 _PRUNE_LIMIT = 1000
+
+
+def _partition_scoped_replace_where(adapter, schema, name, target, sql,
+                                    pred_sql, partition_by) -> str | None:
+    """replace_where on a partitioned parquet target, O(touched
+    partitions): only partitions that hold predicate-matching target
+    rows (rows to delete) or receive predicate-matching batch rows
+    (rows to land) change; everything else is untouched. Touched
+    partitions that end up EMPTY (predicate wiped them, batch refilled
+    nothing) are dropped explicitly — dynamic overwrite alone cannot
+    clear a partition absent from the result. Returns None to fall
+    back to the full rewrite (too many touched partitions, or a NULL
+    partition key — DROP PARTITION can't address the default
+    partition)."""
+    from pyspark.sql import functions as F
+
+    spark = adapter.spark
+    parts = ([partition_by] if isinstance(partition_by, str)
+             else list(partition_by))
+    tgt = spark.table(target.render())
+    batch = spark.sql(sql).filter(F.expr(pred_sql))
+    touched_rows = (tgt.filter(F.expr(pred_sql)).select(*parts)
+                    .unionByName(batch.select(*parts))
+                    .dropDuplicates().limit(_PRUNE_LIMIT + 1).collect())
+    if len(touched_rows) > _PRUNE_LIMIT or any(
+            r[p] is None for r in touched_rows for p in parts):
+        return None
+    cond = F.lit(False)
+    for r in touched_rows:
+        c = None
+        for p in parts:
+            eq = F.col(p).eqNullSafe(F.lit(r[p]))
+            c = eq if c is None else (c & eq)
+        cond = cond | c
+    kept = tgt.filter(cond).filter(
+        ~F.expr(pred_sql) | F.expr(pred_sql).isNull())
+    result = kept.unionByName(batch.select(*tgt.columns))
+    tmp = _rel(schema, name + "__dbt_scoped_tmp", RelationType.Table)
+    adapter.drop_relation(tmp)
+    result.createOrReplaceTempView(f"__dbt_rw_{name}")
+    create_table_as(adapter, tmp, f"SELECT * FROM __dbt_rw_{name}")
+    try:
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {target.render()}\n"
+            + _reorder_to_table(spark, target.render(),
+                                f"SELECT * FROM {tmp.render()}"))
+        # partitions wiped by the predicate and not refilled: absent
+        # from tmp, so the dynamic overwrite left their old files —
+        # drop them by name (bounded by the touched list)
+        present = {tuple(r[p] for p in parts)
+                   for r in spark.table(tmp.render())
+                   .select(*parts).dropDuplicates().collect()}
+        for r in touched_rows:
+            key = tuple(r[p] for p in parts)
+            if key not in present:
+                spec = ", ".join(
+                    f"`{p}` = '{r[p]}'" for p in parts)
+                spark.sql(f"ALTER TABLE {target.render()} "
+                          f"DROP IF EXISTS PARTITION ({spec})")
+    finally:
+        adapter.drop_relation(tmp)
+    return (f"REPLACE WHERE (partition-scoped, "
+            f"{len(touched_rows)} partitions)")
 
 
 def _partition_scoped_overwrite(adapter, schema, name, target, target_df,

@@ -439,3 +439,39 @@ def test_partition_scoped_multicol_and_prune_limit(spark, adapter,
     assert got == {("d1", "r1", 1): "A2", ("d1", "r2", 2): "B",
                    ("d2", "r1", 3): "c", ("d2", "r1", 9): "x",
                    ("d2", "r2", 4): "D2"}
+
+
+def test_replace_where_partition_scoped(spark, adapter):
+    """replace_where on a partitioned target: only predicate-touched
+    partitions change; a partition fully wiped by the predicate (and
+    not refilled) is dropped; untouched partitions' files stay."""
+    base = ("SELECT * FROM VALUES ('d1', 1, 'a'), ('d2', 2, 'b'), "
+            "('d3', 3, 'c') AS t(dt, id, v)")
+    materialize_incremental(adapter, "nat", "rw_ps", base,
+                            strategy="merge", unique_key=["dt", "id"],
+                            partition_by="dt", full_refresh=True)
+    before = _files_by_partition(spark, "nat.rw_ps")
+
+    # replace the dt >= 'd2' region: d2 refilled, d3 wiped empty
+    out = materialize_incremental(
+        adapter, "nat", "rw_ps",
+        "SELECT * FROM VALUES ('d2', 9, 'B') AS t(dt, id, v)",
+        strategy="replace_where", partition_by="dt",
+        incremental_predicates=["dt >= 'd2'"])
+    assert out == "REPLACE WHERE (partition-scoped, 2 partitions)"
+    got = {(r["dt"], r["id"]): r["v"]
+           for r in spark.table("nat.rw_ps").collect()}
+    assert got == {("d1", 1): "a", ("d2", 9): "B"}
+    after = _files_by_partition(spark, "nat.rw_ps")
+    assert after["dt=d1"] == before["dt=d1"]   # untouched
+    assert "dt=d3" not in after                # wiped partition dropped
+    # no partition_by -> full rewrite still works
+    out = materialize_incremental(
+        adapter, "nat", "rw_ps",
+        "SELECT * FROM VALUES ('d1', 7, 'z') AS t(dt, id, v)",
+        strategy="replace_where",
+        incremental_predicates=["dt = 'd1'"])
+    assert out == "REPLACE WHERE"
+    got = {(r["dt"], r["id"]): r["v"]
+           for r in spark.table("nat.rw_ps").collect()}
+    assert got == {("d1", 7): "z", ("d2", 9): "B"}
