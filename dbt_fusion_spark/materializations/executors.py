@@ -107,10 +107,33 @@ def create_table_as(adapter: SparkAdapter, relation: Relation, sql: str,
     adapter.cache_added(relation.incorporate(type=RelationType.Table))
 
 
+def _repair_if_partitioned(spark, relation: Relation) -> None:
+    """ALTER TABLE RENAME moves the table directory but leaves each
+    PARTITION's catalog location pointing at the old path — the renamed
+    table reads as EMPTY, and (worse) DROPPING it deletes whatever now
+    lives at those stale locations. MSCK re-registers partitions under
+    the table's current root. Metadata-only (one directory listing),
+    no-op for unpartitioned tables."""
+    try:
+        spark.sql(f"SHOW PARTITIONS {relation.render()}").take(1)
+    except Exception:
+        return  # unpartitioned (or a view)
+    spark.sql(f"MSCK REPAIR TABLE {relation.render()}")
+
+
 def swap_in(adapter: SparkAdapter, tmp: Relation, target: Relation) -> None:
     """models/table.sql:3-22 backup dance: old -> backup, tmp -> target,
     drop backup. Metadata-only; the data files never move (the rename
-    relocates the table directory, not its files)."""
+    relocates the table directory, not its files).
+
+    Partitioned targets need their partition metadata re-synced after
+    EACH rename (see _repair_if_partitioned). Repairing the BACKUP
+    before dropping it is load-bearing: its stale partition locations
+    point into the path the new target just moved to, and DROP TABLE
+    deletes registered partition locations — without the repair, every
+    swap over an existing partitioned table silently deleted the new
+    data (caught by the r4 property test)."""
+    spark = adapter.spark
     backup = target.incorporate(identifier=target.identifier + "__dbt_backup")
     adapter.drop_relation(backup)
     existing = adapter.get_relation(None, target.schema, target.identifier,
@@ -120,21 +143,11 @@ def swap_in(adapter: SparkAdapter, tmp: Relation, target: Relation) -> None:
             adapter.drop_relation(existing)
         else:
             adapter.rename_relation(existing, backup)
+            _repair_if_partitioned(
+                spark, backup.incorporate(type=RelationType.Table))
     adapter.rename_relation(tmp, target)
     adapter.drop_relation(backup.incorporate(type=RelationType.Table))
-    # ALTER TABLE RENAME moves the table directory but leaves each
-    # PARTITION's catalog location pointing at the old path — a
-    # partitioned table reads as EMPTY after the swap until its
-    # partition metadata is recovered. Metadata-only (one directory
-    # listing), no-op for unpartitioned tables.
-    spark = adapter.spark
-    try:
-        partitioned = bool(spark.sql(
-            f"SHOW PARTITIONS {target.render()}").take(1))
-    except Exception:
-        partitioned = False  # unpartitioned (or a view)
-    if partitioned:
-        spark.sql(f"MSCK REPAIR TABLE {target.render()}")
+    _repair_if_partitioned(spark, target)
 
 
 def materialize_view(adapter: SparkAdapter, schema: str, name: str, sql: str) -> str:
