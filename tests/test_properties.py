@@ -270,3 +270,91 @@ def test_partition_scoped_merge_equals_algebra(spark, rows, batch):
     got = {(r["p"], r["id"], r["v"])
            for r in spark.table("prop.ps_prop").collect()}
     assert got == want
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 15), st.integers(0, 99)),
+    min_size=1, max_size=20),
+    batch=st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 15), st.integers(0, 99)),
+    min_size=1, max_size=20),
+    thresh=st.integers(0, 4))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_partition_scoped_replace_where_equals_algebra(spark, rows, batch,
+                                                      thresh):
+    """Scoped replace_where (incl. its DROP-PARTITION handling for
+    predicate-wiped partitions) must equal the pure algebra for random
+    data and predicate thresholds."""
+    from dbt_fusion_spark.adapter import SparkAdapter
+    from dbt_fusion_spark.incremental import replace_where
+    from dbt_fusion_spark.materializations.executors import (
+        materialize_incremental,
+    )
+
+    tgt = list({(p, i): (p, i, v) for p, i, v in rows}.values())
+    src = list({(p, i): (p, i, v) for p, i, v in batch}.values())
+    pred = f"p >= {thresh}"
+
+    def values_sql(data):
+        vals = ", ".join(f"({p}, {i}, {v})" for p, i, v in data)
+        return f"SELECT * FROM VALUES {vals} AS t(p, id, v)"
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS prop")
+    adapter = SparkAdapter(spark=spark, default_schema="prop")
+    materialize_incremental(adapter, "prop", "rw_prop", values_sql(tgt),
+                            strategy="merge", unique_key=["p", "id"],
+                            partition_by="p", full_refresh=True)
+    want = {(r["p"], r["id"], r["v"]) for r in replace_where(
+        spark.createDataFrame(tgt, "p int, id int, v int"),
+        spark.createDataFrame(src, "p int, id int, v int"),
+        pred).collect()}
+    out = materialize_incremental(adapter, "prop", "rw_prop",
+                                  values_sql(src),
+                                  strategy="replace_where",
+                                  partition_by="p",
+                                  incremental_predicates=[pred])
+    assert "partition-scoped" in out
+    got = {(r["p"], r["id"], r["v"])
+           for r in spark.table("prop.rw_prop").collect()}
+    assert got == want
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 15), st.integers(0, 99)),
+    min_size=1, max_size=20),
+    batch=st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 15), st.integers(0, 99)),
+    min_size=1, max_size=20))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_partition_scoped_delete_insert_equals_algebra(spark, rows, batch):
+    from dbt_fusion_spark.adapter import SparkAdapter
+    from dbt_fusion_spark.incremental import delete_insert
+    from dbt_fusion_spark.materializations.executors import (
+        materialize_incremental,
+    )
+
+    tgt = list({(p, i): (p, i, v) for p, i, v in rows}.values())
+    src = list({(p, i): (p, i, v) for p, i, v in batch}.values())
+
+    def values_sql(data):
+        vals = ", ".join(f"({p}, {i}, {v})" for p, i, v in data)
+        return f"SELECT * FROM VALUES {vals} AS t(p, id, v)"
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS prop")
+    adapter = SparkAdapter(spark=spark, default_schema="prop")
+    kw = dict(strategy="delete+insert", unique_key=["p", "id"],
+              partition_by="p")
+    materialize_incremental(adapter, "prop", "di_prop", values_sql(tgt),
+                            full_refresh=True, **kw)
+    want = {(r["p"], r["id"], r["v"]) for r in delete_insert(
+        spark.createDataFrame(tgt, "p int, id int, v int"),
+        spark.createDataFrame(src, "p int, id int, v int"),
+        unique_key=["p", "id"]).collect()}
+    out = materialize_incremental(adapter, "prop", "di_prop",
+                                  values_sql(src), **kw)
+    assert "partition-scoped" in out
+    got = {(r["p"], r["id"], r["v"])
+           for r in spark.table("prop.di_prop").collect()}
+    assert got == want
