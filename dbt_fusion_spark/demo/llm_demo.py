@@ -2060,3 +2060,37 @@ def streaming_volume_monitor(spark, sf_dir):
          .trigger(availableNow=True).start())
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@register(
+    "corpus_temperature_mixture",
+    # T=2: weights are sqrt(n) — correctly rounded on both engines, so
+    # the per-domain keep fraction (and hence the md5-thresholded kept
+    # set) is bit-exact
+    oracle="""
+    WITH counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n) AS nn, SUM(sqrt(CAST(n AS DOUBLE))) AS wsum
+            FROM counts),
+    frac AS (SELECT source,
+                    least(1.0, (sqrt(CAST(n AS DOUBLE)) / wsum)
+                               * CAST(nn AS DOUBLE) / n) AS f
+             FROM counts CROSS JOIN tot)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN frac USING (source)
+    WHERE CAST('0x' || substring(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT)
+          < CAST(floor(f * 4294967296) AS BIGINT)
+    """,
+)
+def corpus_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled domain mixture (llm/corpus.py
+    temperature_mixture, T=2): small domains upweighted toward — but
+    not all the way to — uniform, downsample-only, decided by the
+    portable keyed Bernoulli on each doc id."""
+    from dbt_fusion_spark.llm.corpus import temperature_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture(
+        docs.select("doc_id", "source"), "source", "doc_id",
+        temperature=2.0).select("doc_id", "source")

@@ -150,6 +150,56 @@ def rebalance_domains(df: DataFrame, domain_col: str, key_col: str,
     )
 
 
+
+def temperature_mixture(df: DataFrame, domain_col: str, key_col: str,
+                        temperature: float = 2.0, seed: int = 42,
+                        ) -> DataFrame:
+    """Temperature-scaled domain mixture (the multilingual/multi-domain
+    sampling standard, e.g. mBERT/XLM-R exponential smoothing): target
+    share of domain d ∝ n_d^(1/T). T=1 keeps natural proportions, T→∞
+    approaches uniform; 1<T<∞ upweights small domains without starving
+    large ones. Downsample-only: per-domain keep fraction =
+    target_share_d * N_total / n_d, capped at 1 (no row duplication),
+    decided by the portable keyed Bernoulli — reproducible on any
+    engine and restatable as SQL.
+
+    Scale shape identical to rebalance_domains: a |domains|-row
+    aggregate broadcast back; the corpus is filtered in place.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    # counts stay integer: _join_scalar's pmod key trick needs an exact
+    # integer column (a double's pmod(x, 1) is its fractional part)
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__cnt"))
+    # T=2 takes sqrt, which IEEE requires to be correctly rounded on
+    # every engine (pow is only ~1-ulp), keeping the kept set bit-exact
+    # cross-engine for the most common temperature
+    w = (F.sqrt(F.col("__cnt").cast("double")) if temperature == 2.0
+         else F.pow(F.col("__cnt").cast("double"),
+                    F.lit(1.0 / temperature)))
+    weighted = counts.withColumn("__w", w)
+    tot = weighted.agg(F.sum("__cnt").alias("__n"),
+                       F.sum("__w").alias("__wsum"))
+    frac = (
+        _join_scalar(weighted, "__cnt", tot, "__n")
+        .select(
+            domain_col,
+            F.least(
+                F.lit(1.0),
+                (F.col("__w") / F.col("__wsum"))
+                * F.col("__n").cast("double") / F.col("__cnt"),
+            ).alias("__frac"),
+        )
+    )
+    return (
+        df.join(F.broadcast(frac), domain_col)
+        .filter(
+            _unit_hash([key_col], seed)
+            < (F.col("__frac") * F.lit(4294967296)).cast("bigint")
+        )
+        .drop("__frac")
+    )
+
 def dsir_logweights(raw: DataFrame, target: DataFrame | None, id_col: str,
                     text_col: str, n_buckets: int = 1024,
                     alpha: float = 0.5, seed: int = 42,

@@ -256,3 +256,29 @@ def test_connected_components_long_chain_converges(spark):
     comp = {r["node"]: r["component"]
             for r in connected_components(edges).collect()}
     assert comp == {i: 0 for i in range(200)}
+
+
+def test_temperature_mixture_shares_and_determinism(spark):
+    from dbt_fusion_spark.llm.corpus import temperature_mixture
+
+    rows = ([(i, "big") for i in range(900)]
+            + [(900 + i, "small") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture(df, "source", "doc_id", temperature=2.0)
+    kept = out.groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in kept}
+    # T=2 target shares: sqrt(900):sqrt(100) = 3:1 -> big ~750, small
+    # stays whole (frac capped at 1)
+    assert by["small"] == 100
+    assert 650 < by["big"] < 850
+    # T=1 keeps natural proportions (frac = 1 everywhere)
+    t1 = temperature_mixture(df, "source", "doc_id", temperature=1.0)
+    assert t1.count() == 1000
+    # deterministic under repartition
+    again = temperature_mixture(df.repartition(7), "source", "doc_id",
+                                temperature=2.0)
+    assert {r["doc_id"] for r in again.collect()} == \
+        {r["doc_id"] for r in out.collect()}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temperature_mixture(df, "source", "doc_id", temperature=0)
