@@ -503,3 +503,23 @@ def test_insert_overwrite_iceberg_syntax_branch(spark, adapter, monkeypatch):
     assert seen and seen[0].startswith("INSERT OVERWRITE `nat`.`io_ice`")
     got = {(r["dt"], r["v"]) for r in spark.table("nat.io_ice").collect()}
     assert got == {("d1", 1), ("d2", 99)}
+
+
+def test_partition_scoped_merge_with_schema_evolution(spark, adapter):
+    """on_schema_change=append_new_columns + the scoped path: the new
+    column lands via ALTER, old partitions' rows read NULL for it, the
+    scoped overwrite carries it for touched partitions."""
+    base = ("SELECT * FROM VALUES ('d1', 1, 'a'), ('d2', 2, 'b') "
+            "AS t(dt, id, v)")
+    kw = dict(strategy="merge", unique_key=["dt", "id"], partition_by="dt")
+    materialize_incremental(adapter, "nat", "ps_ev", base,
+                            full_refresh=True, **kw)
+    out = materialize_incremental(
+        adapter, "nat", "ps_ev",
+        "SELECT * FROM VALUES ('d2', 2, 'B', 'extra') "
+        "AS t(dt, id, v, note)",
+        on_schema_change="append_new_columns", **kw)
+    assert "partition-scoped" in out
+    got = {(r["dt"], r["id"]): (r["v"], r["note"])
+           for r in spark.table("nat.ps_ev").collect()}
+    assert got == {("d1", 1): ("a", None), ("d2", 2): ("B", "extra")}
