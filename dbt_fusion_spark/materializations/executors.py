@@ -592,8 +592,10 @@ def _partition_scoped_replace_where(adapter, schema, name, target, sql,
         for r in touched_rows:
             key = tuple(r[p] for p in parts)
             if key not in present:
+                # escape embedded quotes: partition values are data
                 spec = ", ".join(
-                    f"`{p}` = '{r[p]}'" for p in parts)
+                    "`{}` = '{}'".format(p, str(r[p]).replace("'", "''"))
+                    for p in parts)
                 spark.sql(f"ALTER TABLE {target.render()} "
                           f"DROP IF EXISTS PARTITION ({spec})")
     finally:
