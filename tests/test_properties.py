@@ -358,3 +358,45 @@ def test_partition_scoped_delete_insert_equals_algebra(spark, rows, batch):
     got = {(r["p"], r["id"], r["v"])
            for r in spark.table("prop.di_prop").collect()}
     assert got == want
+
+
+@given(run1=st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 30)),
+    min_size=1, max_size=12),
+    run2=st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 30)),
+    min_size=1, max_size=12),
+    hard_deletes=st.sampled_from(["ignore", "invalidate", "new_record"]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_snapshot_staged_changes_property(spark, run1, run2, hard_deletes):
+    """SCD-2 staged-change set applied with MERGE semantics equals
+    snapshot_run for random two-run histories (random
+    changes/inserts/deletes) under every hard_deletes mode — the
+    algebraic guarantee behind the native snapshot MERGE path."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from dbt_fusion_spark.snapshots import SnapshotConfig
+    from dbt_fusion_spark.snapshots.scd2 import (
+        snapshot_build, snapshot_run, snapshot_staged_changes)
+    from tests.test_native_dml import _apply_staged_merge
+
+    cfg = SnapshotConfig(unique_key="id", strategy="check",
+                         check_cols="all", hard_deletes=hard_deletes)
+    t1 = datetime(2024, 2, 1)
+    src0 = spark.createDataFrame(
+        list({k: (k, v) for k, v in run1}.values()), "id long, v long")
+    src1 = spark.createDataFrame(
+        list({k: (k, v) for k, v in run2}.values()), "id long, v long")
+    existing = snapshot_build(
+        src0, cfg, now=F.lit(datetime(2024, 1, 1)).cast("timestamp")
+    ).localCheckpoint()
+    now = F.lit(t1).cast("timestamp")
+    want = {tuple(r) for r in
+            snapshot_run(existing, src1, cfg, now=now).collect()}
+    staged = snapshot_staged_changes(existing, src1, cfg, now=now)
+    got = {tuple(r) for r in
+           _apply_staged_merge(existing, staged).collect()}
+    assert got == want
