@@ -97,6 +97,7 @@ def compact_partitions(spark, table: str, max_files: int = 4,
     """
     import math
     import os
+    import urllib.parse
     from pathlib import Path
 
     from dbt_fusion_spark.sources.registry import ensure_session_confs
@@ -111,6 +112,9 @@ def compact_partitions(spark, table: str, max_files: int = 4,
         name = (r["col_name"] or "").strip()
         if name == "# Partition Information":
             seen_marker = True
+        elif seen_marker and not name:
+            break  # blank row ends the partition block — rows after it
+            # are "# Detailed Table Information" (Catalog, Location, …)
         elif seen_marker and name and not name.startswith("#"):
             part_cols.append(name)
     if not part_cols:
@@ -118,20 +122,29 @@ def compact_partitions(spark, table: str, max_files: int = 4,
                          "rewriting (CTAS) instead")
     root = Path(loc.removeprefix("file:"))
 
-    todo = {}  # partition dir name -> (n_files, total_bytes)
-    for pdir in root.iterdir():
-        if "=" not in pdir.name or not pdir.is_dir():
-            continue
+    # descend one directory level per partition column — multi-column
+    # partitioned tables nest (a=1/b=2/...); listing only the first
+    # level would silently compact nothing
+    def _leaf_dirs(base, depth):
+        if depth == 0:
+            yield base
+            return
+        for child in base.iterdir():
+            if child.is_dir() and "=" in child.name:
+                yield from _leaf_dirs(child, depth - 1)
+
+    todo = {}  # partition dir (relative, a=1/b=2) -> (n_files, bytes)
+    for pdir in _leaf_dirs(root, len(part_cols)):
         files = [f for f in pdir.iterdir() if f.name.endswith(".parquet")]
         if len(files) > max_files:
-            todo[pdir.name] = (len(files),
-                               sum(f.stat().st_size for f in files))
+            todo[str(pdir.relative_to(root))] = (
+                len(files), sum(f.stat().st_size for f in files))
     if not todo:
         return {}
 
     # static partition prune from the dir names (dt=2024-01-01 style);
-    # single partition column only needs the values, multi-col builds
-    # the conjunction per dir
+    # values are Hive-escaped (%XX url-style) — decode fully, not just
+    # %3A, or the filter matches nothing and the rewrite is a no-op
     def dir_filter(dname: str):
         cond = None
         for piece in dname.split(os.sep):
@@ -139,7 +152,7 @@ def compact_partitions(spark, table: str, max_files: int = 4,
             c = (F.col(col).isNull()
                  if val == "__HIVE_DEFAULT_PARTITION__"
                  else F.col(col).cast("string") ==
-                 F.lit(val.replace("%3A", ":")))
+                 F.lit(urllib.parse.unquote(val)))
             cond = c if cond is None else (cond & c)
         return cond
 

@@ -20,7 +20,8 @@ def _lit(v) -> str:
         return "TRUE" if v else "FALSE"
     if isinstance(v, (int, float)):
         return repr(v)
-    return "'" + str(v).replace("'", "''") + "'"
+    # backslash first: Spark string literals treat \ as an escape
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def build_fixture_sql(rows: list[dict], columns: dict[str, str]) -> str:

@@ -659,6 +659,38 @@ def test_compact_partitions_small_file_binpack(spark):
     assert compact_partitions(spark, "layout_test.frag", max_files=4) == {}
 
 
+def test_compact_partitions_multicol_and_escaped_values(spark):
+    """ADVICE r4: multi-column partitioned tables nest one directory
+    level per key — the lister must descend to the leaves; partition
+    values are Hive-escaped (%XX) in dir names and must be fully
+    unquoted or the prune filter matches nothing (silent no-op)."""
+    from dbt_fusion_spark.plans.layout import compact_partitions
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS layout_test")
+    spark.sql("DROP TABLE IF EXISTS layout_test.frag2")
+    spark.sql("CREATE TABLE layout_test.frag2 (k BIGINT, dt STRING,"
+              " hr STRING) USING PARQUET PARTITIONED BY (dt, hr)")
+    # dt values carry chars Hive escapes in dir names (: and space)
+    for i in range(5):
+        spark.createDataFrame([(i, "2024-01-01 00:00", "h1")],
+                              "k long, dt string, hr string") \
+            .coalesce(1).write.mode("append") \
+            .insertInto("layout_test.frag2")
+    spark.createDataFrame([(99, "2024-01-02 00:00", "h2")],
+                          "k long, dt string, hr string") \
+        .coalesce(1).write.mode("append").insertInto("layout_test.frag2")
+    before = {tuple(r) for r in spark.table("layout_test.frag2").collect()}
+
+    report = compact_partitions(spark, "layout_test.frag2", max_files=3)
+    assert len(report) == 1
+    (dname, (n_before, n_after)), = report.items()
+    assert dname.startswith("dt=") and "/hr=h1" in dname.replace("\\", "/")
+    assert n_before == 5 and n_after == 1
+    assert {tuple(r) for r in spark.table("layout_test.frag2").collect()} \
+        == before
+    assert compact_partitions(spark, "layout_test.frag2", max_files=3) == {}
+
+
 def test_leakage_safe_split_components_never_straddle(spark):
     from dbt_fusion_spark.sample.strategies import leakage_safe_split
 
