@@ -37,7 +37,12 @@ from dbt_fusion_spark.incremental import (
     native,
 )
 from dbt_fusion_spark.relation import Relation, RelationType
-from dbt_fusion_spark.snapshots import SnapshotConfig, snapshot_build, snapshot_run
+from dbt_fusion_spark.snapshots import (
+    SnapshotConfig,
+    snapshot_merge,
+    snapshot_run,
+    snapshot_staged_changes,
+)
 from dbt_fusion_spark.testing.generic import (
     test_volume_anomaly as _volume_anomaly_sql,
     get_test_sql,
@@ -288,19 +293,28 @@ def materialize_function(adapter: SparkAdapter, schema: str, name: str,
             f"RETURNS {returns} RETURN {body}"
         )
         return "CREATE TEMPORARY FUNCTION (table)"
-    # explicit drop first: after a DROP DATABASE CASCADE the session's
-    # function registry can still cache the routine, which breaks the
-    # internal drop of CREATE OR REPLACE — and even DROP IF EXISTS
-    # raises ROUTINE_NOT_FOUND on the stale entry, hence the guard
-    try:
-        adapter.spark.sql(f"DROP FUNCTION IF EXISTS `{schema}`.`{name}`")
-    except Exception:
-        pass
-    adapter.spark.sql(
-        f"CREATE FUNCTION `{schema}`.`{name}`({arg_sql}) "
+    # atomic replace first — no window where the function is absent.
+    # Only on a stale-registry failure (after DROP DATABASE CASCADE the
+    # session registry can cache the routine, making the internal drop
+    # of CREATE OR REPLACE raise ROUTINE_NOT_FOUND) fall back to an
+    # explicit DROP (exception-guarded for the same staleness) + CREATE.
+    create_or_replace = (
+        f"CREATE OR REPLACE FUNCTION `{schema}`.`{name}`({arg_sql}) "
         f"RETURNS {returns} RETURN {body}"
     )
-    return "CREATE FUNCTION"
+    try:
+        adapter.spark.sql(create_or_replace)
+        return "CREATE OR REPLACE FUNCTION"
+    except Exception:
+        try:
+            adapter.spark.sql(f"DROP FUNCTION IF EXISTS `{schema}`.`{name}`")
+        except Exception:
+            pass
+        adapter.spark.sql(
+            f"CREATE FUNCTION `{schema}`.`{name}`({arg_sql}) "
+            f"RETURNS {returns} RETURN {body}"
+        )
+        return "CREATE FUNCTION"
 
 
 def process_schema_changes(adapter: SparkAdapter, target: Relation, sql: str,
@@ -442,12 +456,17 @@ def materialize_incremental(
             raise ValueError("replace_where requires incremental_predicates")
         if isinstance(preds, str):
             preds = [preds]
+        pred_sql = " AND ".join(f"({p})" for p in preds)
         if native.supports_native_merge(spark, target.render(), file_format):
             view = f"__dbt_src_{name}"
-            spark.sql(sql).createOrReplaceTempView(view)
+            # pre-filter the batch to predicate matches: Delta's default
+            # replaceWhere constraint check rejects out-of-scope source
+            # rows, while the parquet fallbacks silently drop them —
+            # filtering here makes all three ladder rungs agree
+            spark.sql(f"SELECT * FROM (\n{sql}\n) __dbt_batch "
+                      f"WHERE {pred_sql}").createOrReplaceTempView(view)
             spark.sql(native.replace_where_sql(target.render(), view, preds))
             return "REPLACE WHERE (native)"
-        pred_sql = " AND ".join(f"({p})" for p in preds)
         if partition_by:
             out = _partition_scoped_replace_where(
                 adapter, schema, name, target, sql, pred_sql, partition_by)
@@ -456,7 +475,11 @@ def materialize_incremental(
         cols = ", ".join(
             f"`{f.name}`" for f in spark.table(target.render()).schema.fields)
         rewrite = (
-            f"SELECT {cols} FROM {target.render()} WHERE NOT ({pred_sql})\n"
+            # NOT(pred) alone drops NULL-predicate rows; Delta REPLACE
+            # WHERE (and the partition-scoped rung / pure algebra,
+            # strategies.py) keeps them — keep pred IS NULL explicitly
+            f"SELECT {cols} FROM {target.render()} "
+            f"WHERE NOT ({pred_sql}) OR ({pred_sql}) IS NULL\n"
             f"UNION ALL\nSELECT {cols} FROM (\n{sql}\n) __dbt_batch "
             f"WHERE {pred_sql}"
         )
@@ -592,9 +615,13 @@ def _partition_scoped_replace_where(adapter, schema, name, target, sql,
         for r in touched_rows:
             key = tuple(r[p] for p in parts)
             if key not in present:
-                # escape embedded quotes: partition values are data
+                # escape embedded quotes AND backslashes: partition
+                # values are data; a trailing \ would escape the
+                # closing quote and break the parse mid-operation
                 spec = ", ".join(
-                    "`{}` = '{}'".format(p, str(r[p]).replace("'", "''"))
+                    "`{}` = '{}'".format(
+                        p, str(r[p]).replace("\\", "\\\\")
+                        .replace("'", "''"))
                     for p in parts)
                 spark.sql(f"ALTER TABLE {target.render()} "
                           f"DROP IF EXISTS PARTITION ({spec})")
@@ -689,30 +716,52 @@ def materialize_seed(adapter: SparkAdapter, schema: str, name: str, path: str,
     return f"SEED {name}"
 
 
+def _table_partition_columns(spark, table: str) -> list[str]:
+    """Partition columns of a catalog table ([] for unpartitioned /
+    views). Metadata-only."""
+    try:
+        return [c.name for c in spark.catalog.listColumns(table)
+                if c.isPartition]
+    except Exception:
+        return []
+
+
 def materialize_snapshot(adapter: SparkAdapter, schema: str, name: str, sql: str,
-                         cfg: SnapshotConfig) -> str:
+                         cfg: SnapshotConfig, partition_by=None) -> str:
     """snapshots/snapshot.sql:1-111: first run -> build; else staged
-    merge. Without Delta MERGE the new state lands via tmp+swap (full
-    rewrite); on Delta this would be MERGE INTO on dbt_scd_id."""
+    merge, landed down a cost ladder mirroring the incremental one:
+    1) native MERGE INTO on ACID formats (snapshot_merge.sql) —
+       O(changes + touched files);
+    2) partition-scoped rewrite on partitioned parquet targets —
+       snapshots only append rows and close open rows in place, so the
+       new state differs from the old ONLY in partitions holding a
+       staged insert or a closed row; rewrite just those via
+       dynamic-partition INSERT OVERWRITE (O(touched partitions),
+       untouched partitions' files never move);
+    3) full tmp+swap rewrite as last resort (exceeds the reference:
+       dbt-spark refuses snapshots on plain parquet entirely).
+    Custom meta names / the valid_to sentinel are applied at the
+    snapshot_merge boundary (scd2.py), so all rungs below see the
+    user-facing shape."""
     spark = adapter.spark
     target = _rel(schema, name, RelationType.Table)
     existing = adapter.get_relation(None, schema, name, use_cache=False)
     source_df = spark.sql(sql)
     if existing is None:
-        result = snapshot_build(source_df, cfg)
+        result = snapshot_merge(None, source_df, cfg)
+        parts = ([partition_by] if isinstance(partition_by, str)
+                 else list(partition_by or []))
         verb = "SNAPSHOT (build)"
     else:
-        # Native path (Delta/Iceberg + default meta names): stage the
-        # change set and run the reference's snapshot MERGE
-        # (snapshot_merge.sql) — O(changes + touched files) instead of
-        # the full-table rewrite below. Custom meta names / valid_to
-        # sentinel stay on the rewrite path (the algebra normalizes
-        # them; the emitted MERGE would need the custom spellings).
-        if (native.supports_native_merge(spark, target.render())
-                and not cfg.meta_column_names
-                and not cfg.dbt_valid_to_current):
-            from dbt_fusion_spark.snapshots.scd2 import snapshot_staged_changes
-
+        # Rung 1 — native (Delta/Iceberg + default meta names): stage
+        # the change set and run the reference's snapshot MERGE. Custom
+        # meta names / valid_to sentinel stay on the rewrite rungs (the
+        # algebra normalizes them; the emitted MERGE would need the
+        # custom spellings).
+        canonical = (not cfg.meta_column_names
+                     and not cfg.dbt_valid_to_current)
+        if canonical and native.supports_native_merge(
+                spark, target.render()):
             staged = snapshot_staged_changes(
                 spark.table(target.render()), source_df, cfg)
             view = f"__dbt_snap_staged_{name}"
@@ -722,14 +771,87 @@ def materialize_snapshot(adapter: SparkAdapter, schema: str, name: str, sql: str
             spark.sql(native.snapshot_merge_sql(target.render(), view,
                                                 insert_cols))
             return "SNAPSHOT (native MERGE INTO)"
-        result = snapshot_run(spark.table(target.render()), source_df, cfg)
+        # Rung 2 — partition-scoped rewrite on a partitioned target.
+        parts = _table_partition_columns(spark, target.render())
+        if parts and canonical:
+            out = _partition_scoped_snapshot(
+                adapter, schema, name, target, source_df, cfg, parts)
+            if out is not None:
+                return out
+        result = snapshot_merge(spark.table(target.render()), source_df,
+                                cfg)
         verb = "SNAPSHOT (merge)"
     tmp = _rel(schema, name + "__dbt_tmp", RelationType.Table)
     adapter.drop_relation(tmp)
     result.createOrReplaceTempView(f"__dbt_snap_{name}")
-    create_table_as(adapter, tmp, f"SELECT * FROM __dbt_snap_{name}")
+    # preserve the target's partition layout across the swap — a
+    # partitioned snapshot must stay partitioned or rung 2 (and every
+    # downstream pruned read) silently degrades to full scans
+    create_table_as(adapter, tmp, f"SELECT * FROM __dbt_snap_{name}",
+                    partition_by=parts or None)
     swap_in(adapter, tmp, target)
     return verb
+
+
+def _partition_scoped_snapshot(adapter, schema, name, target, source_df,
+                               cfg, parts) -> str | None:
+    """Snapshot fallback for partitioned parquet targets, O(touched
+    partitions): the new state differs from the old only in partitions
+    that (a) receive a staged insert row (new version / new key /
+    new_record tombstone — each carries its own partition values) or
+    (b) hold an open row being closed (update/delete closers carry only
+    dbt_scd_id; a semi-join back to the target recovers their
+    partitions). Rewrite exactly those partitions from the full
+    algebraic result (snapshot_run — property-tested ≡ applying the
+    staged set), landed via dynamic-partition INSERT OVERWRITE so
+    untouched partitions' files never move. Snapshots never remove
+    rows, so no partition can become empty — no DROP PARTITION pass is
+    needed (unlike replace_where). Returns None to fall back to the
+    full rewrite (touched set unbounded past _PRUNE_LIMIT).
+
+    Reference semantics: dbt-adapters snapshots/snapshot_merge.sql
+    (matched -> set dbt_valid_to, not matched -> insert) re-expressed
+    as a partition-pruned rewrite."""
+    from pyspark.sql import functions as F
+
+    from dbt_fusion_spark.sources.registry import ensure_session_confs
+
+    spark = adapter.spark
+    ensure_session_confs(spark)  # dynamic partition overwrite
+    tgt = spark.table(target.render())
+    staged = snapshot_staged_changes(tgt, source_df, cfg)
+    ins_parts = (staged.filter(F.col("dbt_change_type") == "insert")
+                 .select(*parts))
+    close_ids = (staged.filter(F.col("dbt_change_type") != "insert")
+                 .select("dbt_scd_id"))
+    closed_parts = tgt.join(close_ids, "dbt_scd_id", "left_semi") \
+        .select(*parts)
+    touched = (ins_parts.unionByName(closed_parts).dropDuplicates()
+               .limit(_PRUNE_LIMIT + 1).collect())
+    if len(touched) > _PRUNE_LIMIT:
+        return None
+    if not touched:
+        return "SNAPSHOT (partition-scoped, 0 partitions — no changes)"
+    cond = F.lit(False)
+    for r in touched:
+        c = None
+        for p in parts:
+            eq = F.col(p).eqNullSafe(F.lit(r[p]))
+            c = eq if c is None else (c & eq)
+        cond = cond | c
+    result = snapshot_run(tgt, source_df, cfg).filter(cond)
+    tmp = _rel(schema, name + "__dbt_scoped_tmp", RelationType.Table)
+    adapter.drop_relation(tmp)
+    result.createOrReplaceTempView(f"__dbt_snap_{name}")
+    create_table_as(adapter, tmp, f"SELECT * FROM __dbt_snap_{name}")
+    try:
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {target.render()}\n"
+            + _reorder_to_table(spark, target.render(),
+                                f"SELECT * FROM {tmp.render()}"))
+    finally:
+        adapter.drop_relation(tmp)
+    return f"SNAPSHOT (partition-scoped, {len(touched)} partitions)"
 
 
 _TEST_SQL_BUILDERS = {

@@ -477,6 +477,96 @@ def test_replace_where_partition_scoped(spark, adapter):
     assert got == {("d1", 7): "z", ("d2", 9): "B"}
 
 
+def test_replace_where_null_predicate_rows_kept(spark, adapter):
+    """ADVICE r4 (medium): target rows where the predicate evaluates
+    NULL must be KEPT by every ladder rung — Delta REPLACE WHERE
+    deletes only rows where pred is true; NOT(pred) alone would drop
+    the NULL-pred rows on the full-rewrite rung while the
+    partition-scoped rung kept them (same inputs, rung-dependent
+    answers)."""
+    base = ("SELECT * FROM VALUES (1, 10, 'a'), (2, CAST(NULL AS INT),"
+            " 'b'), (3, 30, 'c') AS t(id, score, v)")
+    # --- full-rewrite rung (no partition_by)
+    materialize_incremental(adapter, "nat", "rw_null", base,
+                            strategy="merge", unique_key="id",
+                            full_refresh=True)
+    out = materialize_incremental(
+        adapter, "nat", "rw_null",
+        "SELECT 4 AS id, 40 AS score, 'd' AS v",
+        strategy="replace_where", incremental_predicates=["score >= 30"])
+    assert out == "REPLACE WHERE"
+    got = {r["id"]: (r["score"], r["v"])
+           for r in spark.table("nat.rw_null").collect()}
+    # id=2 (NULL score) kept; id=3 (score 30) replaced by id=4
+    assert got == {1: (10, "a"), 2: (None, "b"), 4: (40, "d")}
+
+    # --- partition-scoped rung must agree on the same shape
+    base_p = ("SELECT * FROM VALUES ('d1', 1, 10), ('d1', 2, "
+              "CAST(NULL AS INT)), ('d1', 3, 30) AS t(dt, id, score)")
+    materialize_incremental(adapter, "nat", "rw_null_p", base_p,
+                            strategy="merge", unique_key=["dt", "id"],
+                            partition_by="dt", full_refresh=True)
+    out = materialize_incremental(
+        adapter, "nat", "rw_null_p",
+        "SELECT 'd1' AS dt, 4 AS id, 40 AS score",
+        strategy="replace_where", partition_by="dt",
+        incremental_predicates=["score >= 30"])
+    assert out.startswith("REPLACE WHERE (partition-scoped")
+    got = {r["id"]: r["score"]
+           for r in spark.table("nat.rw_null_p").collect()}
+    assert got == {1: 10, 2: None, 4: 40}
+
+
+def test_replace_where_native_prefilters_batch(spark, adapter, monkeypatch):
+    """ADVICE r4: the native REPLACE WHERE source view must contain
+    only predicate-matching batch rows — Delta's replaceWhere
+    constraint check throws on out-of-scope source rows, while the
+    parquet fallbacks silently drop them. Pre-filtering makes all
+    rungs agree."""
+    materialize_table(adapter, "nat", "rw_nat",
+                      "SELECT 1 AS id, 10 AS score")
+    monkeypatch.setattr(native, "supports_native_merge",
+                        lambda *a, **k: True)
+    real_sql = spark.sql
+    recorded = []
+
+    def intercept(q, *a, **k):
+        if q.strip().lower().startswith("insert into"):
+            recorded.append(q)
+            return None
+        return real_sql(q, *a, **k)
+
+    monkeypatch.setattr(spark, "sql", intercept)
+    out = materialize_incremental(
+        adapter, "nat", "rw_nat",
+        "SELECT * FROM VALUES (2, 5), (3, 50) AS t(id, score)",
+        strategy="replace_where", incremental_predicates=["score >= 30"])
+    assert out == "REPLACE WHERE (native)"
+    assert len(recorded) == 1 and "replace where score >= 30" in recorded[0]
+    # the view the statement reads holds only the in-scope row
+    rows = real_sql("SELECT * FROM __dbt_src_rw_nat").collect()
+    assert [(r["id"], r["score"]) for r in rows] == [(3, 50)]
+
+
+def test_drop_partition_spec_escapes_backslash(spark, adapter):
+    """ADVICE r4: a partition value ending in a backslash would escape
+    the closing quote of the DROP PARTITION spec and abort
+    mid-operation (after the overwrite already ran)."""
+    base = (r"SELECT * FROM VALUES ('a\\', 1), ('keep', 2) AS t(dt, id)")
+    materialize_incremental(adapter, "nat", "rw_bs", base,
+                            strategy="merge", unique_key=["dt", "id"],
+                            partition_by="dt", full_refresh=True)
+    # wipe the backslash partition without refilling it -> DROP runs
+    out = materialize_incremental(
+        adapter, "nat", "rw_bs",
+        "SELECT * FROM VALUES ('keep', 3) AS t(dt, id)",
+        strategy="replace_where", partition_by="dt",
+        incremental_predicates=[r"dt = 'a\\' OR dt = 'keep'"])
+    assert out.startswith("REPLACE WHERE (partition-scoped")
+    got = {(r["dt"], r["id"]) for r in spark.table("nat.rw_bs").collect()}
+    assert got == {("keep", 3)}
+
+
 def test_insert_overwrite_iceberg_syntax_branch(spark, adapter, monkeypatch):
     """Iceberg providers get `INSERT OVERWRITE t` without the TABLE
     keyword (dbt-spark strategies.sql:5-12); the statement is valid
@@ -523,3 +613,113 @@ def test_partition_scoped_merge_with_schema_evolution(spark, adapter):
     got = {(r["dt"], r["id"]): (r["v"], r["note"])
            for r in spark.table("nat.ps_ev").collect()}
     assert got == {("d1", 1): ("a", None), ("d2", 2): ("B", "extra")}
+
+
+# -------------------------------------- partition-scoped snapshot (r5)
+
+def _snap_files(spark, table):
+    loc = next(r["data_type"] for r in
+               spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+               if (r["col_name"] or "").strip().lower() == "location")
+    root = Path(loc.removeprefix("file:"))
+    out = {}
+    for p in root.glob("dt=*/*.parquet"):
+        out.setdefault(p.parent.name, set()).add(
+            (p.name, p.stat().st_mtime_ns))
+    return out
+
+
+@pytest.mark.parametrize("hard_deletes",
+                         ["ignore", "invalidate", "new_record"])
+def test_snapshot_partition_scoped_rewrite(spark, adapter, hard_deletes):
+    """r4 verdict weak item: on a partitioned non-ACID target the
+    snapshot must rewrite ONLY partitions holding a staged insert or a
+    closed row (dynamic-partition overwrite); untouched partitions'
+    parquet files stay byte-for-byte in place. Partition col is NOT in
+    the unique key — closer partitions are recovered via the
+    scd_id semi-join, the general case."""
+    from datetime import datetime
+
+    from dbt_fusion_spark.materializations.executors import (
+        materialize_snapshot,
+    )
+    from dbt_fusion_spark.snapshots import SnapshotConfig
+
+    t0, t1 = datetime(2024, 1, 1), datetime(2024, 2, 1)
+    cfg = SnapshotConfig(unique_key="id", strategy="timestamp",
+                         updated_at="upd", hard_deletes=hard_deletes)
+    name = f"snap_ps_{hard_deletes}"
+    spark.createDataFrame(
+        [(1, "a", t0, "d1"), (2, "b", t0, "d1"),
+         (3, "c", t0, "d2"), (4, "d", t0, "d3")],
+        "id long, v string, upd timestamp, dt string") \
+        .createOrReplaceTempView(f"__src_{name}")
+    out = materialize_snapshot(adapter, "nat", name,
+                               f"SELECT * FROM __src_{name}", cfg,
+                               partition_by="dt")
+    assert out == "SNAPSHOT (build)"
+    before = _snap_files(spark, f"nat.{name}")
+    assert set(before) == {"dt=d1", "dt=d2", "dt=d3"}
+
+    # run 2: id=1 changed (d1), id=2/3 unchanged, id=4 (d3) vanishes
+    spark.createDataFrame(
+        [(1, "A", t1, "d1"), (2, "b", t0, "d1"), (3, "c", t0, "d2")],
+        "id long, v string, upd timestamp, dt string") \
+        .createOrReplaceTempView(f"__src_{name}")
+    out = materialize_snapshot(adapter, "nat", name,
+                               f"SELECT * FROM __src_{name}", cfg,
+                               partition_by="dt")
+    n_touched = 1 if hard_deletes == "ignore" else 2
+    assert out == (f"SNAPSHOT (partition-scoped, {n_touched} partitions)")
+
+    rows = spark.table(f"nat.{name}").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    # id=1: closed old version + open new version, both in d1
+    vers = sorted(((r["v"], r["dbt_valid_to"] is None)
+                   for r in by_id[1]))
+    assert vers == [("A", True), ("a", False)]
+    assert all(r["dt"] == "d1" for r in by_id[1])
+    # id=2 / id=3 untouched open rows
+    assert len(by_id[2]) == 1 and by_id[2][0]["dbt_valid_to"] is None
+    assert len(by_id[3]) == 1 and by_id[3][0]["dbt_valid_to"] is None
+    # id=4: mode-dependent
+    if hard_deletes == "ignore":
+        assert len(by_id[4]) == 1 and by_id[4][0]["dbt_valid_to"] is None
+    elif hard_deletes == "invalidate":
+        assert len(by_id[4]) == 1
+        assert by_id[4][0]["dbt_valid_to"] is not None
+    else:  # new_record: closed row + open tombstone, both in d3
+        flags = sorted((r["dbt_is_deleted"], r["dbt_valid_to"] is None)
+                       for r in by_id[4])
+        assert flags == [("False", False), ("True", True)]
+        assert all(r["dt"] == "d3" for r in by_id[4])
+
+    after = _snap_files(spark, f"nat.{name}")
+    assert after["dt=d2"] == before["dt=d2"]   # untouched: same files
+    assert after["dt=d1"] != before["dt=d1"]   # touched: rewritten
+    if hard_deletes == "ignore":
+        assert after["dt=d3"] == before["dt=d3"]
+    else:
+        assert after["dt=d3"] != before["dt=d3"]
+
+    # run 3: identical source again. ignore/invalidate converge ->
+    # zero touched partitions, NOT A SINGLE file anywhere moves.
+    # new_record mirrors the reference macro exactly: its deletes/
+    # deletion_records CTEs carry no dbt_is_deleted guard
+    # (dbt-adapters helpers.sql:148-196), so a still-missing key
+    # re-tombstones every run — d3 alone is rewritten, d1/d2 stable.
+    out = materialize_snapshot(adapter, "nat", name,
+                               f"SELECT * FROM __src_{name}", cfg,
+                               partition_by="dt")
+    final = _snap_files(spark, f"nat.{name}")
+    if hard_deletes == "new_record":
+        assert out == "SNAPSHOT (partition-scoped, 1 partitions)"
+        assert final["dt=d3"] != after["dt=d3"]
+    else:
+        assert out == ("SNAPSHOT (partition-scoped, 0 partitions"
+                       " — no changes)")
+        assert final["dt=d3"] == after["dt=d3"]
+    assert final["dt=d1"] == after["dt=d1"]
+    assert final["dt=d2"] == after["dt=d2"]
