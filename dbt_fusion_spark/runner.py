@@ -479,8 +479,9 @@ class DbtSparkRunner:
                 check_cols=node.config.get("check_cols", "all"),
                 hard_deletes=node.config.get("hard_deletes", "ignore"),
             )
-            out = materialize_snapshot(self.adapter, node.schema,
-                                       node.identifier, sql, cfg)
+            out = materialize_snapshot(
+                self.adapter, node.schema, node.identifier, sql, cfg,
+                partition_by=node.config.get("partition_by"))
         elif rt == "model" and node.config.get("language") == "python":
             out = self._run_python_model(node, full_refresh)
         elif rt == "model":
