@@ -289,18 +289,47 @@ def _with_kmeans_cell(df: DataFrame, centroids: list[list[float]],
               .drop("__scores"))
 
 
+def _topn_cells_expr(centroids: list[list[float]], vec_col: str,
+                     nprobe: int) -> str:
+    """The query's nprobe nearest cell ids (1-based), ordered by score
+    desc with ties to the lowest index — consistent with
+    _with_kmeans_cell's first-max argmax."""
+    n = len(centroids)
+    scores = _cell_scores_spark_single(centroids, vec_col)
+    pairs = (f"zip_with({scores}, sequence(1, {n}), "
+             "(s, i) -> struct(s AS s, i AS i))")
+    cmp = ("(a, b) -> CASE WHEN a.s > b.s THEN -1 WHEN a.s < b.s THEN 1 "
+           "WHEN a.i < b.i THEN -1 WHEN a.i > b.i THEN 1 ELSE 0 END")
+    return (f"transform(slice(array_sort({pairs}, {cmp}), 1, {nprobe}), "
+            "x -> x.i)")
+
+
 def ivf_topk_kmeans(corpus: DataFrame, queries: DataFrame,
                     centroids: list[list[float]], k: int = 5,
-                    id_col: str = "vec_id", vec_col: str = "embedding"
-                    ) -> DataFrame:
-    """IVF ANN with computed k-means cells (nprobe=1): cell id is a pure
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    nprobe: int = 1) -> DataFrame:
+    """IVF ANN with computed k-means cells: cell id is a pure
     projection over the vector (no fit at query time), so the bucket
     join prunes the scan exactly as the label-placeholder variant did —
-    but with real data-driven cells."""
-    return ivf_topk(
-        _with_kmeans_cell(corpus, centroids, vec_col),
-        _with_kmeans_cell(queries, centroids, vec_col),
-        k=k, id_col=id_col, vec_col=vec_col, cell_col="__kcell")
+    but with real data-driven cells.
+
+    nprobe > 1 probes the query's nprobe nearest cells (the standard
+    IVF recall lever: each corpus vector lives in exactly one cell, so
+    scan cost grows ~linearly in nprobe while recall follows the
+    IVF recall curve; tests/test_operators.py measures recall@k vs
+    brute force on the 10x corpus). The query side explodes to one row
+    per probed cell — a (query, neighbor) pair still appears at most
+    once because the neighbor's cell is unique."""
+    c = _with_kmeans_cell(corpus, centroids, vec_col)
+    if nprobe <= 1:
+        q = _with_kmeans_cell(queries, centroids, vec_col)
+    else:
+        q = queries.withColumn(
+            "__kcell",
+            F.explode(F.expr(_topn_cells_expr(centroids, vec_col,
+                                              nprobe))))
+    return ivf_topk(c, q, k=k, id_col=id_col, vec_col=vec_col,
+                    cell_col="__kcell")
 
 
 def hyperplane_bucket(vec_col: str, n_bits: int = 8) -> Column:
