@@ -540,6 +540,7 @@ class DbtSparkRunner:
                     lookback=int(node.config.get("lookback", 1)),
                     begin=node.config.get("begin"),
                     file_format=node.config.get("file_format"),
+                    salt_threshold=node.config.get("salt_threshold"),
                 )
             elif mat in self.project.custom_materializations:
                 out = self._run_custom_materialization(node, sql)
