@@ -739,6 +739,35 @@ def materialize_seed(adapter: SparkAdapter, schema: str, name: str, path: str,
     return f"SEED {name}"
 
 
+def _sync_snapshot_columns(adapter: SparkAdapter, target: Relation,
+                           source_df: DataFrame, cfg: SnapshotConfig
+                           ) -> DataFrame:
+    """Reference snapshot.sql:59-63: before merging, columns the source
+    grew are ADDed to the target (create_columns — history rows read
+    NULL for them), and columns the source dropped are NULL-padded into
+    the source so the target KEEPS them (dbt never drops snapshot
+    columns; new versions carry NULL). Returns the padded source."""
+    from pyspark.sql import functions as F
+
+    spark = adapter.spark
+    tgt_fields = {f.name: f for f in spark.table(target.render()).schema.fields}
+    meta = {"dbt_updated_at", "dbt_valid_from", "dbt_valid_to",
+            "dbt_scd_id", "dbt_is_deleted"}
+    meta |= set((cfg.meta_column_names or {}).values())
+    new_fields = [f for f in source_df.schema.fields
+                  if f.name not in tgt_fields and f.name not in meta]
+    if new_fields:
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                         for f in new_fields)
+        spark.sql(f"ALTER TABLE {target.render()} ADD COLUMNS ({cols})")
+    dropped = [f for name, f in tgt_fields.items()
+               if name not in meta and name not in source_df.columns]
+    for f in dropped:
+        source_df = source_df.withColumn(
+            f.name, F.lit(None).cast(f.dataType))
+    return source_df
+
+
 def _table_partition_columns(spark, table: str) -> list[str]:
     """Partition columns of a catalog table ([] for unpartitioned /
     views). Metadata-only."""
@@ -776,6 +805,11 @@ def materialize_snapshot(adapter: SparkAdapter, schema: str, name: str, sql: str
                  else list(partition_by or []))
         verb = "SNAPSHOT (build)"
     else:
+        # Schema drift first (snapshot.sql:59-63): grown source columns
+        # are ADDed to the target, dropped ones NULL-padded into the
+        # source — every rung below then sees aligned schemas.
+        source_df = _sync_snapshot_columns(adapter, target, source_df,
+                                           cfg)
         # Rung 1 — native (Delta/Iceberg + default meta names): stage
         # the change set and run the reference's snapshot MERGE. Custom
         # meta names / valid_to sentinel stay on the rewrite rungs (the

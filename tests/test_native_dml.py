@@ -723,3 +723,58 @@ def test_snapshot_partition_scoped_rewrite(spark, adapter, hard_deletes):
         assert final["dt=d3"] == after["dt=d3"]
     assert final["dt=d1"] == after["dt=d1"]
     assert final["dt=d2"] == after["dt=d2"]
+
+
+def test_snapshot_source_schema_drift(spark, adapter):
+    """Reference snapshot.sql:59-63 parity: a column the source GROWS
+    is added to the target (history rows read NULL); a column the
+    source DROPS is kept, with new versions carrying NULL. Exercised
+    on both the full-rewrite and the partition-scoped rung."""
+    from datetime import datetime
+
+    from dbt_fusion_spark.materializations.executors import (
+        materialize_snapshot,
+    )
+    from dbt_fusion_spark.snapshots import SnapshotConfig
+
+    t0, t1, t2 = (datetime(2024, 1, 1), datetime(2024, 2, 1),
+                  datetime(2024, 3, 1))
+    for part_by, name in ((None, "snap_drift"), ("dt", "snap_drift_p")):
+        cfg = SnapshotConfig(unique_key="id", strategy="timestamp",
+                             updated_at="upd")
+        spark.createDataFrame(
+            [(1, "a", t0, "d1"), (2, "b", t0, "d2")],
+            "id long, v string, upd timestamp, dt string") \
+            .createOrReplaceTempView(f"__src_{name}")
+        materialize_snapshot(adapter, "nat", name,
+                             f"SELECT * FROM __src_{name}", cfg,
+                             partition_by=part_by)
+        # run 2: column `w` appears; id=1 changes
+        spark.createDataFrame(
+            [(1, "A", t1, "d1", 11), (2, "b", t0, "d2", 22)],
+            "id long, v string, upd timestamp, dt string, w long") \
+            .createOrReplaceTempView(f"__src_{name}")
+        out = materialize_snapshot(adapter, "nat", name,
+                                   f"SELECT * FROM __src_{name}", cfg,
+                                   partition_by=part_by)
+        if part_by:
+            assert out.startswith("SNAPSHOT (partition-scoped")
+        rows = {(r["id"], r["dbt_valid_to"] is None): r
+                for r in spark.table(f"nat.{name}").collect()}
+        assert rows[(1, True)]["w"] == 11     # new version carries w
+        assert rows[(1, False)]["w"] is None  # history row reads NULL
+        assert rows[(2, True)]["w"] is None   # unchanged open row
+        # run 3: column `v` disappears from the source; id=1 changes
+        spark.createDataFrame(
+            [(1, t2, "d1", 111), (2, t0, "d2", 22)],
+            "id long, upd timestamp, dt string, w long") \
+            .createOrReplaceTempView(f"__src_{name}")
+        materialize_snapshot(adapter, "nat", name,
+                             f"SELECT * FROM __src_{name}", cfg,
+                             partition_by=part_by)
+        got = spark.table(f"nat.{name}")
+        assert "v" in got.columns             # target keeps the column
+        open_1 = [r for r in got.collect()
+                  if r["id"] == 1 and r["dbt_valid_to"] is None]
+        assert len(open_1) == 1
+        assert open_1[0]["w"] == 111 and open_1[0]["v"] is None
