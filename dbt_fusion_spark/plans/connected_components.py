@@ -102,8 +102,13 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
     fp = fingerprint(e)
     for _ in range(max_iter):
-        e = _large_star(_symmetrize(e)).localCheckpoint(eager=True)
-        e = _small_star(_symmetrize(e)).localCheckpoint(eager=True)
+        # one checkpoint per ROUND, not per half-round: lineage within
+        # a round is bounded (two star rewrites), and the eager
+        # checkpoint is the per-round fixed cost that dominates local
+        # wall time on small edge lists — the cut still happens every
+        # round, so lineage never compounds across iterations
+        e = _small_star(_symmetrize(_large_star(_symmetrize(e)))) \
+            .localCheckpoint(eager=True)
         new_fp = fingerprint(e)
         if new_fp == fp:
             break

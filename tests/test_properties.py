@@ -400,3 +400,60 @@ def test_snapshot_staged_changes_property(spark, run1, run2, hard_deletes):
     got = {tuple(r) for r in
            _apply_staged_merge(existing, staged).collect()}
     assert got == want
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 15),
+              st.one_of(st.none(), st.integers(0, 9))),
+    min_size=1, max_size=20),
+    batch=st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 15),
+              st.one_of(st.none(), st.integers(0, 9))),
+    min_size=1, max_size=20))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_replace_where_rungs_agree(spark, rows, batch):
+    """ADVICE r4 (medium) certified property-style: the full-rewrite
+    and partition-scoped replace_where rungs must land EXACTLY the
+    pure algebra's result — including target rows whose predicate
+    evaluates NULL (the nullable `s` column), which NOT(pred) alone
+    would have deleted on the rewrite rung only."""
+    from dbt_fusion_spark.adapter import SparkAdapter
+    from dbt_fusion_spark.incremental import replace_where
+    from dbt_fusion_spark.materializations.executors import (
+        materialize_incremental,
+    )
+
+    tgt = list({(p, i): (p, i, s) for p, i, s in rows}.values())
+    src = list({(p, i): (p, i, s) for p, i, s in batch}.values())
+    pred = "s >= 5"
+
+    def values_sql(data):
+        vals = ", ".join(
+            f"({p}, {i}, {'CAST(NULL AS INT)' if s is None else s})"
+            for p, i, s in data)
+        return f"SELECT * FROM VALUES {vals} AS t(p, id, s)"
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS prop")
+    adapter = SparkAdapter(spark=spark, default_schema="prop")
+    want = {(r["p"], r["id"], r["s"]) for r in replace_where(
+        spark.createDataFrame(tgt, "p int, id int, s int"),
+        spark.createDataFrame(src, "p int, id int, s int"),
+        pred).collect()}
+
+    for suffix, extra in (("rw", {}), ("ps", {"partition_by": "p"})):
+        name = f"rw_prop_{suffix}"
+        materialize_incremental(
+            adapter, "prop", name, values_sql(tgt),
+            strategy="merge", unique_key=["p", "id"],
+            full_refresh=True, **extra)
+        out = materialize_incremental(
+            adapter, "prop", name, values_sql(src),
+            strategy="replace_where", incremental_predicates=[pred],
+            **extra)
+        if suffix == "ps":
+            assert out.startswith("REPLACE WHERE (partition-scoped") \
+                or out == "REPLACE WHERE"  # NULL partition key falls back
+        got = {(r["p"], r["id"], r["s"])
+               for r in spark.table(f"prop.{name}").collect()}
+        assert got == want, (suffix, out)

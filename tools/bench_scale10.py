@@ -118,9 +118,16 @@ def main() -> None:
     audit_big = lsh_audit(spark, scale_dir)
     pair_ratio = round(audit_big["candidate_pairs"]
                        / max(1, audit_small["candidate_pairs"]), 2)
+    avg_s = (sum(b["avg_bucket"] for b in audit_small["per_band"])
+             / len(audit_small["per_band"]))
+    avg_b = (sum(b["avg_bucket"] for b in audit_big["per_band"])
+             / len(audit_big["per_band"]))
     print("lsh candidate pairs:", audit_small["candidate_pairs"], "->",
-          audit_big["candidate_pairs"], f"({pair_ratio}x at 10x docs;"
-          " O(n^2) would be 100x)", flush=True)
+          audit_big["candidate_pairs"],
+          f"({pair_ratio}x at 10x docs; n x avg_bucket growth predicts "
+          f"{round(10 * avg_b / avg_s, 1)}x — the scale10 corpus makes "
+          "every replica a TRUE near-dup, so buckets themselves grow "
+          "~10x; see test_scale10_lsh_pairs_bucket_driven)", flush=True)
 
     out = {
         "method": ("same process; codegen warmed at sf0.001; min-of-2 per "
