@@ -213,3 +213,42 @@ def snapshot_hard_delete_invalidate(spark, sf_dir):
     snap1 = snapshot_build(s1, cfg, now=F.lit("2024-01-01 00:00:00").cast("timestamp"))
     return snapshot_run(snap1, s2, cfg,
                         now=F.lit("2024-06-01 00:00:00").cast("timestamp"))
+
+
+@register("snapshot_partition_scoped", oracle=_ORACLE_TS)
+def snapshot_partition_scoped(spark, sf_dir):
+    """The r5 partition-scoped snapshot rung END-TO-END through the
+    materializer (executors._partition_scoped_snapshot): a real
+    o_orderstatus-partitioned managed table, built then snapshot-run;
+    only partitions holding staged inserts or closed rows rewrite
+    (file-stability pinned in tests/test_native_dml.py; this row
+    certifies the landed VALUES equal the same SCD-2 oracle as the
+    pure-algebra `snapshot_timestamp` row — the scoped rewrite is the
+    identical algebra, partition-pruned)."""
+    import shutil
+
+    from dbt_fusion_spark.adapter import SparkAdapter
+    from dbt_fusion_spark.materializations.executors import (
+        materialize_snapshot,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS dbt_demo")
+    spark.sql("DROP TABLE IF EXISTS dbt_demo.snap_scoped")
+    wh = (spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+          .removeprefix("file:"))
+    for leftover in ("snap_scoped", "snap_scoped__dbt_tmp",
+                     "snap_scoped__dbt_scoped_tmp",
+                     "snap_scoped__dbt_backup"):
+        shutil.rmtree(f"{wh}/dbt_demo.db/{leftover}", ignore_errors=True)
+    adapter = SparkAdapter(spark=spark, default_schema="dbt_demo")
+    cfg = SnapshotConfig(unique_key="o_orderkey", strategy="timestamp",
+                         updated_at="updated_at")
+    _state1(spark, sf_dir).createOrReplaceTempView("__snap_scoped_src")
+    materialize_snapshot(adapter, "dbt_demo", "snap_scoped",
+                         "SELECT * FROM __snap_scoped_src", cfg,
+                         partition_by="o_orderstatus")
+    _state2(spark, sf_dir).createOrReplaceTempView("__snap_scoped_src")
+    materialize_snapshot(adapter, "dbt_demo", "snap_scoped",
+                         "SELECT * FROM __snap_scoped_src", cfg,
+                         partition_by="o_orderstatus")
+    return spark.table("dbt_demo.snap_scoped")
