@@ -144,10 +144,36 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str,
     ).select(id_col, F.col("__b.band_id"), F.col("__b.band_value"))
 
 
+def _drop_oversized_buckets(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """Remove every (band_id, band_value) bucket holding more than
+    max_bucket signatures before pair generation.
+
+    Scale rationale: in-bucket pair count is m*(m-1)/2 per bucket, so
+    one boilerplate bucket (cookie banners, license headers, empty
+    shingle sets) of m=1e6 docs yields 5e11 candidate pairs — a single
+    straggler task that dominates the whole job. Production fuzzy-dedup
+    pipelines cap the bucket size: a bucket that large is not evidence
+    of near-duplication anyway (any 16-hash band value shared by 1e6
+    docs is a degenerate shingle distribution, and its TRUE near-dup
+    pairs still collide in the other n_bands-1 bands with independent
+    salts). The cap is opt-in (default None = exact LSH semantics) and
+    the audit side (tools/bench_scale10.lsh_audit) reports max_bucket
+    per band so operators can pick a threshold from data.
+
+    One extra aggregation over the signature table (tiny: one row per
+    doc per band), reused by both join sides.
+    """
+    sizes = (bands.groupBy("band_id", "band_value").count()
+             .filter(F.col("count") <= max_bucket)
+             .drop("count"))
+    return bands.join(sizes, ["band_id", "band_value"])
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                         n_bands: int = 4, rows_per_band: int = 4,
                         shingle_n: int = 5,
-                        signatures_table: str | None = None) -> DataFrame:
+                        signatures_table: str | None = None,
+                        max_bucket: int | None = None) -> DataFrame:
     """Near-dup candidates: pairs sharing ANY minhash band, via a
     self-equi-join of the signature table on (band_id, band_value) —
     work is O(sum of bucket^2), the LSH contract, and the join +
@@ -186,6 +212,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     else:
         bands = bands.persist()
         bands.count()  # materialize once; both join sides then read cache
+    if max_bucket is not None:
+        bands = _drop_oversized_buckets(bands, max_bucket)
     a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_value")
     b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_value")
     return (
@@ -200,8 +228,8 @@ def lsh_candidate_pairs_cross(new: DataFrame, existing: DataFrame,
                               id_col: str, text_col: str,
                               n_bands: int = 4, rows_per_band: int = 4,
                               shingle_n: int = 5,
-                              existing_bands: DataFrame | None = None
-                              ) -> DataFrame:
+                              existing_bands: DataFrame | None = None,
+                              max_bucket: int | None = None) -> DataFrame:
     """Incremental-ingestion dedup: near-dup candidates of the NEW
     batch against the EXISTING corpus only — (existing_id, new_id)
     pairs sharing any minhash band. No new×new or existing×existing
@@ -220,6 +248,16 @@ def lsh_candidate_pairs_cross(new: DataFrame, existing: DataFrame,
     eb = (existing_bands if existing_bands is not None
           else minhash_bands(existing, id_col, text_col, n_bands,
                              rows_per_band, shingle_n))
+    if max_bucket is not None:
+        # Joint bucket size (existing + new) decides the drop — the
+        # cross-join cost of a bucket is |existing side| x |new side|,
+        # and a boilerplate band value is oversized on both.
+        joint = eb.select("band_id", "band_value").unionAll(
+            nb.select("band_id", "band_value"))
+        keep = (joint.groupBy("band_id", "band_value").count()
+                .filter(F.col("count") <= max_bucket).drop("count"))
+        eb = eb.join(keep, ["band_id", "band_value"])
+        nb = nb.join(keep, ["band_id", "band_value"])
     e = eb.select(F.col(id_col).alias("existing_id"), "band_id",
                   "band_value")
     n = nb.select(F.col(id_col).alias("new_id"), "band_id", "band_value")

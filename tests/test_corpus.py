@@ -169,6 +169,43 @@ def test_lsh_cross_only_cross_pairs_and_artifact_reuse(spark, tmp_path):
     assert (10, 11) in intra
 
 
+def test_lsh_max_bucket_drops_boilerplate_keeps_real_pairs(spark):
+    """max_bucket= caps the in-bucket pair blowup: 12 identical
+    boilerplate docs (every band bucket holds all 12 -> 66 pairs each)
+    are dropped, while the genuine near-dup pair — whose buckets hold
+    only 2 signatures — survives untouched. Default None keeps exact
+    LSH semantics (the boilerplate pairs come back)."""
+    from dbt_fusion_spark.llm.dedup import (
+        lsh_candidate_pairs, lsh_candidate_pairs_cross)
+
+    boiler = [(i, "all rights reserved cookie policy terms of service")
+              for i in range(100, 112)]
+    docs = spark.createDataFrame(
+        boiler + [(1, "the quick brown fox jumps over the lazy dog"),
+                  (2, "the quick brown fox jumps over the lazy dog!"),
+                  (3, "a completely different document about engines")],
+        "doc_id long, text string")
+    capped = {(r["id_a"], r["id_b"]) for r in
+              lsh_candidate_pairs(docs, "doc_id", "text",
+                                  max_bucket=4).collect()}
+    assert (1, 2) in capped
+    assert not any(a >= 100 for a, _ in capped)
+    full = {(r["id_a"], r["id_b"]) for r in
+            lsh_candidate_pairs(docs, "doc_id", "text").collect()}
+    assert (100, 101) in full and capped < full
+
+    # cross variant: joint (existing+new) bucket size decides the drop
+    batch = spark.createDataFrame(
+        [(200, "all rights reserved cookie policy terms of service"),
+         (201, "the quick brown fox jumps over the lazy dog!!")],
+        "doc_id long, text string")
+    cross = {(r["existing_id"], r["new_id"]) for r in
+             lsh_candidate_pairs_cross(batch, docs, "doc_id", "text",
+                                       max_bucket=4).collect()}
+    assert (1, 201) in cross and (2, 201) in cross
+    assert not any(n == 200 for _, n in cross)
+
+
 def test_inverted_index_postings_and_pruning(spark):
     from dbt_fusion_spark.llm.search import inverted_index
 
