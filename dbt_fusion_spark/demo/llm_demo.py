@@ -1554,6 +1554,62 @@ def quality_unigram_loglik(spark, sf_dir):
     return Q.unigram_loglik(docs, "doc_id", "text", alpha=0.5)
 
 
+@register(
+    "quality_classifier_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               t -> t <> '') AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(w) AS gram FROM toks
+      UNION ALL
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i + 1])) AS gram
+      FROM toks WHERE len(w) >= 2),
+    tf AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5('7|' || gram), 1, 8) AS BIGINT)
+               % 4096 AS bucket,
+             COUNT(*) AS tf
+      FROM grams WHERE gram <> '' GROUP BY doc_id, bucket),
+    wt AS (
+      SELECT b AS bucket,
+             (CAST('0x' || substring(md5('99|' || CAST(b AS VARCHAR)),
+                                     1, 8) AS BIGINT)
+              / 4294967296.0) * 2 - 1 AS weight
+      FROM generate_series(0, 4095) AS t(b)),
+    agg AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_grams,
+             SUM(tf * weight) AS dot
+      FROM tf JOIN wt USING (bucket) GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(n_grams, 0) AS n_grams,
+           ROUND(1.0 / (1.0 + exp(-(COALESCE(dot / n_grams, 0.0)))), 6)
+             AS score,
+           ROUND(1.0 / (1.0 + exp(-(COALESCE(dot / n_grams, 0.0)))), 6)
+             >= 0.5 AS keep
+    FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+    """,
+)
+def quality_classifier_scores(spark, sf_dir):
+    """Model-based quality filtering (the fastText-classifier stage of
+    CCNet/GPT-3/RedPajama pipelines): every document scored by a linear
+    model over hashed word uni+bigrams, logistic link, keep >= 0.5.
+    Weights are the deterministic seeded table (stands in for the
+    offline-trained model; same (bucket, weight) schema). Plan: gram
+    explode -> broadcast join on bucket (weights ~4k rows) -> one
+    doc-keyed partial-agg shuffle."""
+    from dbt_fusion_spark.llm import classifier as CL
+
+    docs = load_table(spark, sf_dir, "documents")
+    wt = CL.seeded_weights(spark, dim=4096, seed=99)
+    return CL.linear_quality_score(docs, wt, "doc_id", "text",
+                                   dim=4096, seed=7)
+
+
 # ------------------------------------- semantic dedup / quantization
 
 @register(

@@ -193,3 +193,54 @@ def test_bloom_prefilter_tiny_filter_fp_visible(spark):
                         n=13, m_bits=63, k=3).collect()[0]
     assert r["n_true_hits"] == 0
     assert r["n_bloom_hits"] > 0  # overloaded filter: FPs visible
+
+
+def test_linear_classifier_length_invariant_and_empty_docs(spark):
+    """The tf-normalized logistic score is length-invariant (3x the
+    same text = same gram mix = same score), empty docs flow through
+    at sigmoid(bias), and the weight join broadcasts."""
+    from dbt_fusion_spark.llm.classifier import (
+        linear_quality_score, seeded_weights)
+
+    base = "high quality prose with varied words and structure"
+    docs = spark.createDataFrame(
+        [(1, base), (2, " ".join([base] * 3)), (3, ""), (4, None)],
+        "doc_id long, text string")
+    wt = seeded_weights(spark, dim=256, seed=99)
+    # unigrams only: tripling the text exactly triples every token's
+    # tf, so the mix — and the score — is unchanged. (With bigrams the
+    # two seam bigrams at the repeat boundaries shift the mix slightly,
+    # which is correct behavior, not drift.)
+    rows = {r["doc_id"]: r for r in
+            linear_quality_score(docs, wt, "doc_id", "text",
+                                 dim=256, seed=7,
+                                 bigrams=False).collect()}
+    assert rows[1]["score"] == rows[2]["score"]  # length invariance
+    assert rows[2]["n_grams"] == 3 * rows[1]["n_grams"]
+    for d in (3, 4):  # gramless docs: score = sigmoid(0) = 0.5
+        assert rows[d]["n_grams"] == 0 and rows[d]["score"] == 0.5
+    assert len(rows) == 4
+
+    plan = linear_quality_score(docs, wt, "doc_id", "text", dim=256,
+                                seed=7)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_linear_classifier_bias_and_threshold(spark):
+    """bias shifts every score through the logistic link; threshold
+    moves the keep cut. A large positive bias keeps everything, a
+    large negative one drops everything."""
+    from dbt_fusion_spark.llm.classifier import (
+        linear_quality_score, seeded_weights)
+
+    docs = spark.createDataFrame(
+        [(1, "some words here"), (2, "other text entirely")],
+        "doc_id long, text string")
+    wt = seeded_weights(spark, dim=64, seed=5)
+    hi = linear_quality_score(docs, wt, "doc_id", "text", dim=64,
+                              seed=7, bias=10.0).collect()
+    lo = linear_quality_score(docs, wt, "doc_id", "text", dim=64,
+                              seed=7, bias=-10.0).collect()
+    assert all(r["keep"] for r in hi)
+    assert not any(r["keep"] for r in lo)
