@@ -1111,6 +1111,36 @@ def pack_sequences_budget(spark, sf_dir):
                                   shard_hash="md5", seed=42)
 
 
+@register(
+    "export_training_shards",
+    oracle="""
+    WITH sharded AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5('42|' || CAST(doc_id AS VARCHAR)),
+                                    1, 8) AS BIGINT) % 8 AS shard
+      FROM documents)
+    SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_rows,
+           COUNT(DISTINCT doc_id) AS n_keys
+    FROM sharded GROUP BY shard
+    """,
+)
+def export_training_shards(spark, sf_dir):
+    """Deterministic sharded training-data export: the corpus written
+    as path/shard=<s>/*.parquet with md5-pmod shard membership and a
+    reproducible in-shard row order, manifest read back FROM THE FILES
+    — so the oracle (same hash restated over the source table) checks
+    the actual sink contents, not just the plan."""
+    import tempfile
+
+    from dbt_fusion_spark.llm.export import write_training_shards
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="dfs-shards-")
+    return write_training_shards(docs, path, "doc_id", n_shards=8,
+                                 seed=42)
+
+
 # ------------------------------------------------------------- pii scrub
 
 @register(
@@ -1250,6 +1280,40 @@ def corpus_rebalance_domains(spark, sf_dir):
     return C.rebalance_domains(
         docs.select("doc_id", "source"), "source", "doc_id"
     ).select("doc_id", "source")
+
+
+@register(
+    "corpus_upsample_epochs",
+    oracle="""
+    WITH ep(source, e) AS (VALUES ('src0', 2.5), ('src1', 2.0),
+                                  ('src2', 0.5)),
+    j AS (SELECT d.doc_id, d.source, COALESCE(ep.e, 1.0) AS e
+          FROM documents d LEFT JOIN ep USING (source)),
+    x AS (SELECT doc_id, source, e,
+                 unnest(generate_series(0, CAST(ceil(e) AS BIGINT) - 1))
+                   AS epoch
+          FROM j)
+    SELECT doc_id, source, epoch FROM x
+    WHERE epoch < floor(e)
+       OR (epoch = floor(e)
+           AND CAST('0x' || substring(md5('42|' || CAST(doc_id AS VARCHAR)),
+                                      1, 8) AS BIGINT)
+               < CAST(floor((e - floor(e)) * 4294967296) AS BIGINT))
+    """,
+)
+def corpus_upsample_epochs(spark, sf_dir):
+    """Epoch-aware domain replication (the upsampling half of mixture
+    construction): src0 runs 2.5 epochs, src1 exactly 2, src2 is
+    half-sampled, everything else 1 — floor(e) full copies plus a
+    keyed-Bernoulli fractional copy, emitted with the 0-based epoch
+    index. Broadcast spec join + per-row sequence explode; no shuffle."""
+    from dbt_fusion_spark.llm import corpus as C2
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C2.upsample_epochs(
+        docs.select("doc_id", "source"), "source", "doc_id",
+        {"src0": 2.5, "src1": 2.0, "src2": 0.5},
+    ).select("doc_id", "source", "epoch")
 
 
 # --------------------------------------------------- dedup cluster assignment

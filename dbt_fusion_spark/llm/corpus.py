@@ -200,6 +200,54 @@ def temperature_mixture(df: DataFrame, domain_col: str, key_col: str,
         .drop("__frac")
     )
 
+def upsample_epochs(df: DataFrame, domain_col: str, key_col: str,
+                    epochs: dict[str, float], seed: int = 42) -> DataFrame:
+    """Epoch-aware domain replication: the upsampling half of mixture
+    construction (rebalance_domains / temperature_mixture are
+    downsample-only). LLaMA/DoReMi-style mixtures run small
+    high-quality domains for >1 epoch — e.g. wikipedia 2.5 epochs —
+    which at the data layer means each doc appears floor(e) times plus
+    one extra copy kept with probability frac(e).
+
+    The fractional copy is decided by the portable keyed Bernoulli on
+    (seed, key) — a pure function reproducible on any engine and stable
+    under repartitioning. Emits an `epoch` column (0-based copy index)
+    so downstream shuffling/packing can spread copies across shards
+    rather than emitting adjacent duplicates. Domains absent from
+    `epochs` default to 1.0; epochs <= 0 are rejected (drop a domain by
+    filtering it out first, where the intent is visible).
+
+    Scale shape: the epochs spec is a handful of rows broadcast onto
+    the corpus; replication is a per-row `sequence` explode (no join
+    against self, no shuffle) — output size is exactly
+    sum_d(n_d * e_d), the training-mixture size, and the explode
+    pipelines into whatever shuffle follows (packing, shard write).
+    """
+    bad = {d: e for d, e in epochs.items() if not e > 0}
+    if bad:
+        raise ValueError(f"epochs must be > 0, got {bad}")
+    spark = df.sparkSession
+    spec = spark.createDataFrame(
+        [(d, float(e)) for d, e in sorted(epochs.items())],
+        f"{domain_col} string, __e double")
+    # ceil(e) >= 1 for every e > 0, so the sequence range is never
+    # empty (Spark raises on 0..-1 ranges rather than returning [])
+    copies = F.sequence(F.lit(0).cast("long"),
+                        F.ceil("__e") - 1, F.lit(1))
+    keep_rounds = F.floor("__e")
+    frac_thresh = ((F.col("__e") - F.floor("__e"))
+                   * F.lit(4294967296)).cast("bigint")
+    return (
+        df.join(F.broadcast(spec), domain_col, "left")
+        .withColumn("__e", F.coalesce("__e", F.lit(1.0)))
+        .withColumn("epoch", F.explode(copies))
+        .filter((F.col("epoch") < keep_rounds)
+                | ((F.col("epoch") == keep_rounds)
+                   & (_unit_hash([key_col], seed) < frac_thresh)))
+        .drop("__e")
+    )
+
+
 def dsir_logweights(raw: DataFrame, target: DataFrame | None, id_col: str,
                     text_col: str, n_buckets: int = 1024,
                     alpha: float = 0.5, seed: int = 42,

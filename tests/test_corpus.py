@@ -319,3 +319,37 @@ def test_temperature_mixture_shares_and_determinism(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         temperature_mixture(df, "source", "doc_id", temperature=0)
+
+
+def test_upsample_epochs_counts_determinism_and_validation(spark):
+    """Integer epochs replicate exactly; fractional epochs keep the
+    extra copy for ~frac of keys (deterministically — two runs agree
+    row-for-row); unspecified domains default to 1 epoch; e <= 0 is
+    rejected."""
+    import pytest as _pytest
+
+    from dbt_fusion_spark.llm.corpus import upsample_epochs
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 40 else ("b" if i < 80 else "c"))
+         for i in range(120)],
+        "doc_id long, source string")
+    out = upsample_epochs(docs, "source", "doc_id",
+                          {"a": 3.0, "b": 1.5})
+    rows = out.collect()
+    by_dom = {}
+    for r in rows:
+        by_dom.setdefault(r["source"], []).append(r)
+    assert len(by_dom["a"]) == 120  # 40 docs x exactly 3 epochs
+    assert {r["epoch"] for r in by_dom["a"]} == {0, 1, 2}
+    # b: 40 full copies + Bernoulli(0.5) extras — strictly between
+    assert 40 < len(by_dom["b"]) < 80
+    assert len(by_dom["c"]) == 40  # default 1.0, epoch 0 only
+    assert all(r["epoch"] == 0 for r in by_dom["c"])
+    # determinism: the fractional decisions replay exactly
+    again = upsample_epochs(docs, "source", "doc_id",
+                            {"a": 3.0, "b": 1.5}).collect()
+    key = lambda r: (r["doc_id"], r["epoch"])
+    assert sorted(map(key, again)) == sorted(map(key, rows))
+    with _pytest.raises(ValueError, match="epochs must be > 0"):
+        upsample_epochs(docs, "source", "doc_id", {"a": 0.0})

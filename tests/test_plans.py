@@ -372,6 +372,8 @@ def test_chunking_no_shuffle(spark, sf):
 # planned-only inspection isn't meaningful or cheap for them.
 _EXECUTING = {
     "incremental_merge_partition_scoped",
+    "snapshot_partition_scoped",
+    "export_training_shards",
     "incremental_microbatch", "streaming_stateful_sessions",
     "streaming_windowed_rollup", "streaming_dedup_keys",
     "streaming_attribution_pairs", "streaming_volume_monitor",
