@@ -80,6 +80,10 @@ HEADLINE = [
     # r5: partition-scoped snapshot executor (the r4 verdict's weak
     # item closed) end-to-end through the materializer
     "snapshot_partition_scoped",
+    # r5: classifier inference, epoch upsampling, sharded export
+    "quality_classifier_scores",
+    "corpus_upsample_epochs",
+    "export_training_shards",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR
