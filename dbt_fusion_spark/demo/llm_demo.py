@@ -720,6 +720,30 @@ def text_fingerprint(spark, sf_dir):
     return T.fingerprint(load_table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+@register(
+    "text_normalize_nfc",
+    oracle="""
+    WITH pert AS (
+      SELECT doc_id, text || ' cafe' || chr(769) AS t FROM documents)
+    SELECT doc_id,
+           length(t) AS n_chars_raw,
+           length(nfc_normalize(t)) AS n_chars_norm,
+           nfc_normalize(t) AS text_nfc
+    FROM pert
+    """,
+)
+def text_normalize_nfc(spark, sf_dir):
+    """Unicode NFC normalization over a corpus perturbed with a
+    decomposed accent (e + U+0301 combining acute): the normalized
+    text recomposes to a single codepoint, visible in the before/after
+    char counts. Arrow-batched pandas_udf over unicodedata — the
+    sanctioned Python boundary; the oracle rides DuckDB's
+    nfc_normalize, a genuinely independent NFC implementation."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.lit(" cafe\u0301")).alias("text"))
+    return T.normalize_unicode(docs, "doc_id", "text")
+
+
 # ------------------------------------------------------------ multimodal
 
 

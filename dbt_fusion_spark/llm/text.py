@@ -166,3 +166,41 @@ def redact_pii(df: DataFrame, text_col: str, id_col: str,
             .cast("long").alias(f"n_{k}"))
         out = F.regexp_replace(out, pat, repl)
     return df.select(F.col(id_col), out.alias("redacted"), *counts)
+
+
+def normalize_unicode(df: DataFrame, id_col: str, text_col: str,
+                      form: str = "NFC",
+                      out_col: str = "text_nfc") -> DataFrame:
+    """Unicode normalization (default NFC) — the canonical first step
+    of web-corpus preprocessing: decomposed accents, compatibility
+    ligatures, and width variants otherwise make byte-identical-looking
+    documents hash differently in every downstream dedup/fingerprint.
+
+    This is the sanctioned Python boundary: no Spark builtin performs
+    Unicode normalization, so the transform is an Arrow-batched
+    pandas_udf over `unicodedata.normalize` — vectorized transfer,
+    never row-at-a-time BatchEvalPython, and the surrounding
+    projection/filter stays codegen'd. Emits the normalized text plus
+    before/after char counts (a free drift signal: changed rows are
+    exactly those where the counts differ or bytes moved).
+
+    Scale shape: a pure per-row map — no shuffle, pipelines into the
+    scan, parallel across whatever partitioning the corpus has.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    import pandas as pd  # noqa: F401 (typing context for the UDF)
+
+    @F.pandas_udf("string")
+    def _norm_udf(s):
+        import unicodedata
+
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize(form, x))
+
+    normed = _norm_udf(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars_raw"),
+        F.length(normed).alias("n_chars_norm"),
+        normed.alias(out_col))

@@ -244,3 +244,33 @@ def test_linear_classifier_bias_and_threshold(spark):
                               seed=7, bias=-10.0).collect()
     assert all(r["keep"] for r in hi)
     assert not any(r["keep"] for r in lo)
+
+
+def test_normalize_unicode_forms_nulls_and_arrow_plan(spark):
+    """NFC recomposes combining marks, NFKC additionally folds the fi
+    ligature; NULLs pass through; the plan is Arrow-batched
+    (ArrowEvalPython), never row-wise BatchEvalPython."""
+    import pytest as _pytest
+
+    from dbt_fusion_spark.llm.text import normalize_unicode
+
+    docs = spark.createDataFrame(
+        [(1, "café"), (2, "ﬁle"), (3, None)],
+        "doc_id long, text string")
+    nfc = {r["doc_id"]: r for r in
+           normalize_unicode(docs, "doc_id", "text").collect()}
+    assert nfc[1]["text_nfc"] == "café"
+    assert nfc[1]["n_chars_raw"] == 5 and nfc[1]["n_chars_norm"] == 4
+    assert nfc[2]["text_nfc"] == "ﬁle"  # NFC keeps ligatures
+    assert nfc[3]["text_nfc"] is None and nfc[3]["n_chars_norm"] is None
+    nfkc = {r["doc_id"]: r["text_nfc"] for r in
+            normalize_unicode(docs, "doc_id", "text",
+                              form="NFKC").collect()}
+    assert nfkc[2] == "file"  # compatibility fold
+
+    df = normalize_unicode(docs, "doc_id", "text")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+    with _pytest.raises(ValueError, match="normalization form"):
+        normalize_unicode(docs, "doc_id", "text", form="NFX")
