@@ -1340,6 +1340,49 @@ def corpus_upsample_epochs(spark, sf_dir):
     ).select("doc_id", "source", "epoch")
 
 
+@register(
+    "corpus_diff_releases",
+    oracle="""
+    WITH old AS (SELECT doc_id, text FROM documents),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 10 <> 0
+      UNION ALL
+      SELECT doc_id + 50000, 'brand new document' FROM documents
+      WHERE doc_id % 25 = 0),
+    j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                 md5(o.text) AS ho, md5(n.text) AS hn
+          FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+    SELECT doc_id,
+           CASE WHEN ho IS NULL THEN 'added'
+                WHEN hn IS NULL THEN 'removed'
+                WHEN ho = hn THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM j
+    """,
+)
+def corpus_diff_releases(spark, sf_dir):
+    """Release-to-release corpus diff: v2 drops every 10th doc, edits
+    every 7th, and adds a doc per 25 — each id classified
+    added/removed/changed/unchanged by pre-join md5 fingerprints (the
+    shuffle carries 32-char hashes, never document bodies)."""
+    from dbt_fusion_spark.llm.corpus import corpus_diff
+
+    old = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = old.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" [edited]")))
+        .otherwise(F.col("text")).alias("text"))
+    new = new.unionByName(
+        old.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 50000).alias("doc_id"),
+            F.lit("brand new document").alias("text")))
+    return corpus_diff(old, new, "doc_id", "text")
+
+
 # --------------------------------------------------- dedup cluster assignment
 
 @register(

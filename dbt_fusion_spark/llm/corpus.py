@@ -318,6 +318,35 @@ def dsir_logweights(raw: DataFrame, target: DataFrame | None, id_col: str,
     )
 
 
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str,
+                text_col: str) -> DataFrame:
+    """Release-to-release corpus diff: every doc id classified as
+    `added` (new only), `removed` (old only), `changed` (both sides,
+    content fingerprint differs) or `unchanged`. The pre-training
+    data-ops primitive behind "what moved between corpus v3 and v4" —
+    feeds release notes, invalidates downstream caches for changed
+    shards, and catches silent upstream regressions (a scraper that
+    started truncating pages shows up as a mass of `changed`).
+
+    Content identity is md5 of the raw text — byte-exact, engine-
+    portable (the oracle restates it), and computed in codegen on each
+    side BEFORE the join, so the shuffle carries (id, 32-char hash)
+    instead of document bodies. One equi-join shuffle on the id; at
+    fleet scale both sides hash-partition on the id and AQE handles the
+    skewless merge.
+    """
+    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h_old"))
+    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h_new"))
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") == F.col("__h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (o.join(n, id_col, "full_outer")
+            .select(id_col, status.alias("status")))
+
+
 def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document lexical-diversity signals: Shannon entropy of the
     unigram distribution, type-token ratio, and counts.

@@ -353,3 +353,25 @@ def test_upsample_epochs_counts_determinism_and_validation(spark):
     assert sorted(map(key, again)) == sorted(map(key, rows))
     with _pytest.raises(ValueError, match="epochs must be > 0"):
         upsample_epochs(docs, "source", "doc_id", {"a": 0.0})
+
+
+def test_corpus_diff_statuses_and_hash_before_join(spark):
+    """All four statuses classified correctly, and the join's shuffle
+    carries fingerprints, not document bodies (the md5 projection sits
+    below the join in the plan)."""
+    from dbt_fusion_spark.llm.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "was this"), (3, "gone")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "now this"), (4, "fresh")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new, "doc_id", "text").collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+    plan = corpus_diff(old, new, "doc_id", "text") \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    # the text column must not survive past the md5 projection
+    assert "md5" in plan and "text#" not in plan.split("Join")[0]
