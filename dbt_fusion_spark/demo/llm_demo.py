@@ -1685,10 +1685,11 @@ def quality_unigram_loglik(spark, sf_dir):
     return Q.unigram_loglik(docs, "doc_id", "text", alpha=0.5)
 
 
-@register(
-    "quality_classifier_scores",
-    oracle="""
-    WITH toks AS (
+# Shared classifier-score pipeline (hashed uni+bigram linear model,
+# logistic link) — used by the scoring gate row and the threshold
+# calibration row.
+_DUCK_CLASSIFIER_SCORES = """
+    toks AS (
       SELECT doc_id, list_filter(
                regexp_split_to_array(trim(lower(text)), '\\s+'),
                t -> t <> '') AS w
@@ -1715,14 +1716,21 @@ def quality_unigram_loglik(spark, sf_dir):
     agg AS (
       SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_grams,
              SUM(tf * weight) AS dot
-      FROM tf JOIN wt USING (bucket) GROUP BY doc_id)
-    SELECT d.doc_id,
-           COALESCE(n_grams, 0) AS n_grams,
-           ROUND(1.0 / (1.0 + exp(-(COALESCE(dot / n_grams, 0.0)))), 6)
-             AS score,
-           ROUND(1.0 / (1.0 + exp(-(COALESCE(dot / n_grams, 0.0)))), 6)
-             >= 0.5 AS keep
-    FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+      FROM tf JOIN wt USING (bucket) GROUP BY doc_id),
+    scores AS (
+      SELECT d.doc_id,
+             COALESCE(n_grams, 0) AS n_grams,
+             ROUND(1.0 / (1.0 + exp(-(COALESCE(dot / n_grams, 0.0)))), 6)
+               AS score
+      FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id)
+"""
+
+
+@register(
+    "quality_classifier_scores",
+    oracle=f"""
+    WITH {_DUCK_CLASSIFIER_SCORES}
+    SELECT doc_id, n_grams, score, score >= 0.5 AS keep FROM scores
     """,
 )
 def quality_classifier_scores(spark, sf_dir):
@@ -1739,6 +1747,42 @@ def quality_classifier_scores(spark, sf_dir):
     wt = CL.seeded_weights(spark, dim=4096, seed=99)
     return CL.linear_quality_score(docs, wt, "doc_id", "text",
                                    dim=4096, seed=7)
+
+
+@register(
+    "quality_threshold_calibration",
+    oracle=f"""
+    WITH {_DUCK_CLASSIFIER_SCORES},
+    ss AS (SELECT s.doc_id, s.score, d.source
+           FROM scores s JOIN documents d USING (doc_id)),
+    thr AS (SELECT source,
+                   PERCENTILE_CONT(0.7) WITHIN GROUP (ORDER BY score)
+                     AS threshold,
+                   COUNT(*) AS n_docs
+            FROM ss GROUP BY source),
+    kept AS (SELECT ss.source, COUNT(*) AS n_kept
+             FROM ss JOIN thr USING (source)
+             WHERE score >= threshold GROUP BY ss.source)
+    SELECT source, ROUND(threshold, 6) AS threshold, n_docs, n_kept
+    FROM thr JOIN kept USING (source)
+    """,
+)
+def quality_threshold_calibration(spark, sf_dir):
+    """Per-domain keep-threshold calibration: the exact 0.7-quantile of
+    each source's classifier-score distribution (keep rate 0.3), with
+    the doc counts that land above it. Exact PERCENTILE_CONT-style
+    interpolation (IEEE-deterministic cross-engine), never the
+    engine-private percentile_approx sketch."""
+    from dbt_fusion_spark.llm import classifier as CL
+
+    docs = load_table(spark, sf_dir, "documents")
+    wt = CL.seeded_weights(spark, dim=4096, seed=99)
+    scored = CL.linear_quality_score(docs, wt, "doc_id", "text",
+                                     dim=4096, seed=7) \
+        .select("doc_id", "score") \
+        .join(docs.select("doc_id", "source"), "doc_id")
+    return CL.calibrate_keep_threshold(scored, "score", keep_rate=0.3,
+                                       by="source")
 
 
 # ------------------------------------- semantic dedup / quantization

@@ -80,6 +80,47 @@ def seeded_weights(spark, dim: int = 4096, seed: int = 99) -> DataFrame:
         (_unit_hash(F.col("id"), str(seed)) * 2 - 1).alias("weight"))
 
 
+def calibrate_keep_threshold(df: DataFrame, score_col: str,
+                             keep_rate: float,
+                             by: str | None = None) -> DataFrame:
+    """Turn a target keep rate into score thresholds: threshold =
+    exact (1 - keep_rate) quantile of the score distribution,
+    per group when `by` is given (the realistic deployment — per-domain
+    thresholds stop one domain's score distribution from starving the
+    others). Emits (group, threshold, n_docs, n_kept) where n_kept
+    counts score >= threshold.
+
+    Exact PERCENTILE_CONT-style interpolation, not percentile_approx:
+    the approx sketch is engine-private (irreproducible), while the
+    exact interpolated quantile is IEEE-deterministic and restatable as
+    SQL. The per-group sort is bounded by the group's cardinality — at
+    fleet scale use group counts in the millions, not billions, or
+    pre-aggregate scores to a fixed grid first (they are already
+    round(6) values).
+
+    Two passes over the scores (quantile, then count vs the broadcast
+    thresholds) — both partial-aggregated; the threshold table is
+    |groups| rows.
+    """
+    if not 0.0 < keep_rate < 1.0:
+        raise ValueError(f"keep_rate must be in (0, 1), got {keep_rate}")
+    keys = [by] if by else []
+    q = 1.0 - keep_rate
+    thr = df.groupBy(*keys).agg(
+        F.percentile(F.col(score_col), F.lit(q)).alias("threshold"),
+        F.count("*").alias("n_docs"))
+    if by:
+        joined = df.join(F.broadcast(thr), by)
+    else:
+        joined = df.crossJoin(F.broadcast(thr.limit(1)))
+    kept = joined.filter(F.col(score_col) >= F.col("threshold")) \
+        .groupBy(*keys).agg(F.count("*").alias("n_kept"))
+    out = thr.join(kept, keys) if by else thr.crossJoin(kept)
+    return out.select(
+        *keys, F.round("threshold", 6).alias("threshold"),
+        "n_docs", "n_kept")
+
+
 def linear_quality_score(df: DataFrame, weights: DataFrame, id_col: str,
                          text_col: str, dim: int = 4096, seed: int = 7,
                          bigrams: bool = True, bias: float = 0.0,

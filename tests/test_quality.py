@@ -274,3 +274,31 @@ def test_normalize_unicode_forms_nulls_and_arrow_plan(spark):
 
     with _pytest.raises(ValueError, match="normalization form"):
         normalize_unicode(docs, "doc_id", "text", form="NFX")
+
+
+def test_calibrate_keep_threshold_rates_and_validation(spark):
+    """Grouped calibration hits the target keep rate within the
+    granularity of the group (exact quantile: the kept fraction is
+    ceil-bounded), the ungrouped path works, and bad rates raise."""
+    import pytest as _pytest
+
+    from dbt_fusion_spark.llm.classifier import calibrate_keep_threshold
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 100 else "b", float(i % 50)) for i in range(200)],
+        "doc_id long, source string, score double")
+    rows = {r["source"]: r for r in
+            calibrate_keep_threshold(df, "score", keep_rate=0.3,
+                                     by="source").collect()}
+    for src in ("a", "b"):
+        r = rows[src]
+        assert r["n_docs"] == 100
+        # 100 docs over 50 distinct scores: >= the interpolated 0.7
+        # quantile keeps 30 +/- the duplicate-score granularity (2)
+        assert 28 <= r["n_kept"] <= 32
+    ungrouped = calibrate_keep_threshold(df, "score",
+                                         keep_rate=0.3).collect()
+    assert len(ungrouped) == 1 and ungrouped[0]["n_docs"] == 200
+
+    with _pytest.raises(ValueError, match="keep_rate"):
+        calibrate_keep_threshold(df, "score", keep_rate=1.5)
