@@ -51,10 +51,12 @@ GATE_WINDOW: list[str] = [
     "runner_custom_materialization",
     "runner_incremental_schema_evolution",
     "runner_python_model_pipeline",
-    # snapshots (3)
+    # snapshots (4) — partition_scoped added r5: the r4 verdict's one
+    # weak item (non-ACID snapshot fallback) driver-certified end-to-end
     "snapshot_timestamp",
     "snapshot_check_new_record",
     "snapshot_hard_delete_invalidate",
+    "snapshot_partition_scoped",
     # data / unit tests (2)
     "data_test_unique_severity",
     "unit_test_fixture_compare",
@@ -77,14 +79,12 @@ GATE_WINDOW: list[str] = [
     "metric_simple_revenue_by_month",
     "metric_ratio_aov_by_status",
     "saved_query_revenue_aov",
-    # TPC-H (4)
+    # TPC-H (2; q6/q9 rotate out after 4 driver-green rounds, stay
+    # local-parity + sf0.1 swept)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q9_product_type_profit",
-    # SQL dialect translation (2)
+    # SQL dialect translation (1; bigquery_aggregates rotates out)
     "dialect_snowflake_qualify_topn",
-    "dialect_bigquery_aggregates",
     # cross-db macro surface (1)
     "crossdb_scalar_functions",
     # graph / joins / windows (r5 rotation in)
@@ -100,16 +100,21 @@ GATE_WINDOW: list[str] = [
     "sketch_ddsketch_quantiles",
     "sketch_ddsketch_by_type",
     "kmv_distinct_events",
-    "kmv_set_estimates_events",
+    # kmv_set_estimates rotates out (2 driver-green rounds; the KMV
+    # family stays represented by kmv_distinct_events)
     "corpus_temperature_mixture",
     "corpus_bm25_topk",
-    # LLM-pipeline flagships (6)
+    # LLM-pipeline flagships (9; classifier/upsample/export are the r5
+    # additions, driver-certified in their debut round)
     "dedup_minhash_lsh",
     "similarity_ivf_kmeans_topk",
     "gopher_quality_filter",
     "pack_sequences_budget",
     "corpus_tfidf_top_terms",
     "streaming_stateful_sessions",
+    "quality_classifier_scores",
+    "corpus_upsample_epochs",
+    "export_training_shards",
 ]
 
 
