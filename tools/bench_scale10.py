@@ -44,6 +44,9 @@ QUERY_SET = [
     "sample_leakage_safe_split",
     "incremental_merge_partition_scoped",
     "events_attribution_models",
+    # r5: classifier inference is the heaviest new per-token op
+    # (uni+bigram explode over the full corpus)
+    "quality_classifier_scores",
 ]
 
 
