@@ -457,3 +457,92 @@ def test_replace_where_rungs_agree(spark, rows, batch):
         got = {(r["p"], r["id"], r["s"])
                for r in spark.table(f"prop.{name}").collect()}
         assert got == want, (suffix, out)
+
+
+@given(epochs=st.dictionaries(
+    st.sampled_from(["a", "b", "c"]),
+    st.floats(min_value=0.05, max_value=4.0,
+              allow_nan=False, allow_infinity=False),
+    min_size=0, max_size=3),
+    seed=st.integers(0, 10))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_upsample_epochs_count_bounds_and_partition(spark, epochs, seed):
+    """For every domain: floor(e)*n <= emitted <= ceil(e)*n; epoch
+    indexes form a prefix of 0..ceil(e)-1 per doc (a doc emitted at
+    epoch k is emitted at every epoch < k); unspecified domains pass
+    through exactly once."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dbt_fusion_spark.llm.corpus import upsample_epochs
+
+    docs = spark.createDataFrame(
+        [(i, ["a", "b", "c", "d"][i % 4]) for i in range(40)],
+        "doc_id long, source string")
+    rows = upsample_epochs(docs, "source", "doc_id", epochs,
+                           seed=seed).collect()
+    per_dom: dict[str, list] = {}
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_dom.setdefault(r["source"], []).append(r)
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    n = 10  # docs per domain
+    for dom in ("a", "b", "c", "d"):
+        e = epochs.get(dom, 1.0)
+        cnt = len(per_dom.get(dom, []))
+        assert n * math.floor(e) <= cnt <= n * math.ceil(e), (dom, e, cnt)
+    for doc, eps in per_doc.items():
+        assert sorted(eps) == list(range(len(eps))), (doc, eps)
+
+
+@given(old_ids=st.sets(st.integers(0, 30), max_size=20),
+       new_ids=st.sets(st.integers(0, 30), max_size=20),
+       changed=st.sets(st.integers(0, 30), max_size=10))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_corpus_diff_partitions_id_universe(spark, old_ids, new_ids,
+                                            changed):
+    """corpus_diff emits every id from either side exactly once, with
+    the status a pure function of membership + content equality."""
+    from dbt_fusion_spark.llm.corpus import corpus_diff
+
+    if not old_ids and not new_ids:
+        return
+    old = spark.createDataFrame(
+        [(i, f"text-{i}") for i in sorted(old_ids)] or [(None, None)],
+        "doc_id long, text string").filter("doc_id IS NOT NULL")
+    new = spark.createDataFrame(
+        [(i, f"text-{i}-v2" if i in changed else f"text-{i}")
+         for i in sorted(new_ids)] or [(None, None)],
+        "doc_id long, text string").filter("doc_id IS NOT NULL")
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new, "doc_id", "text").collect()}
+    assert set(got) == old_ids | new_ids
+    for i in old_ids | new_ids:
+        want = ("removed" if i not in new_ids
+                else "added" if i not in old_ids
+                else "changed" if i in changed
+                else "unchanged")
+        assert got[i] == want, (i, got[i], want)
+
+
+@given(n_shards=st.integers(1, 16), seed=st.integers(0, 5))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_shard_assignment_total_and_stable(spark, n_shards, seed):
+    """Every key gets exactly one shard in [0, n_shards); the
+    assignment is a pure function of (seed, key) — independent of
+    which other rows are present."""
+    from dbt_fusion_spark.llm.export import with_shard
+
+    docs = spark.range(60).selectExpr("id AS doc_id")
+    full = {r["doc_id"]: r["shard"] for r in
+            with_shard(docs, "doc_id", n_shards, seed).collect()}
+    assert set(full) == set(range(60))
+    assert all(0 <= s < n_shards for s in full.values())
+    half = {r["doc_id"]: r["shard"] for r in
+            with_shard(docs.filter("doc_id % 2 = 0"), "doc_id",
+                       n_shards, seed).collect()}
+    assert all(full[k] == v for k, v in half.items())
