@@ -228,6 +228,66 @@ def _duck_cos(a: str, b: str) -> str:
 
 
 @register(
+    "embedding_health_audit",
+    oracle="""
+    WITH p0 AS (SELECT vec_id,
+                  CASE WHEN vec_id % 31 = 0 THEN embedding[1:63]
+                       ELSE embedding END AS e
+                FROM embeddings),
+    p1 AS (SELECT vec_id,
+             CASE WHEN vec_id % 23 = 0
+                  THEN list_transform(e, x -> CAST(0 AS FLOAT))
+                  ELSE e END AS e
+           FROM p0),
+    p2 AS (SELECT vec_id,
+             CASE WHEN vec_id % 17 = 0
+                  THEN list_prepend(CAST('NaN' AS FLOAT), e[2:])
+                  ELSE e END AS e
+           FROM p1),
+    h AS (SELECT vec_id, len(e) AS dim,
+            CAST(list_reduce(list_transform(e, x ->
+              CASE WHEN isnan(CAST(x AS DOUBLE))
+                     OR isinf(CAST(x AS DOUBLE))
+                   THEN 1 ELSE 0 END), (a, b) -> a + b) AS BIGINT)
+              AS n_nonfinite,
+            list_reduce(list_transform(e, x ->
+              CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (a, b) -> a + b) AS sq
+          FROM p2)
+    SELECT vec_id, dim, n_nonfinite,
+           n_nonfinite = 0 AND sq = 0 AS is_zero,
+           CASE WHEN n_nonfinite = 0 THEN ROUND(sqrt(sq), 6) END AS norm,
+           n_nonfinite = 0 AND NOT (n_nonfinite = 0 AND sq = 0)
+             AND dim = 64 AS ok
+    FROM h
+    """,
+)
+def embedding_health_audit(spark, sf_dir):
+    """Embedding delivery gate: the table perturbed with the three real
+    failure modes — truncated vectors (every 31st), zeroed vectors
+    (every 23rd, a padding bug), NaN first component (every 17th, a
+    crashed encoder batch) — and audited per vector: dim, non-finite
+    count, zero flag, norm (NULL when non-finite), overall ok against
+    expected_dim=64. Pure array folds, single scan."""
+    from dbt_fusion_spark.llm.similarity import embedding_health
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    e0 = F.when(vid % 31 == 0, F.slice("embedding", 1, 63)) \
+        .otherwise(F.col("embedding"))
+    e1 = F.when(vid % 23 == 0,
+                F.transform(e0, lambda x: F.lit(0.0).cast("float"))) \
+        .otherwise(e0)
+    e2 = F.when(vid % 17 == 0,
+                F.concat(F.array(F.lit(float("nan")).cast("float")),
+                         F.slice(e1, 2, 64))) \
+        .otherwise(e1)
+    pert = emb.select(vid, e2.alias("embedding"))
+    return embedding_health(pert, "vec_id", "embedding",
+                            expected_dim=64)
+
+
+@register(
     "similarity_bruteforce_topk",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings

@@ -602,3 +602,37 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
                 9).alias("max_abs_err"),
         )
     )
+
+
+def embedding_health(df: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     expected_dim: int | None = None) -> DataFrame:
+    """Per-vector health audit — the gate every embedding table should
+    pass BEFORE ANN/semantic-dedup consume it: a crashed encoder batch
+    shows up as NaN/Inf components, a padding bug as zero vectors, a
+    model mismatch as a wrong dimension. Emits (id, dim, n_nonfinite,
+    is_zero, norm, ok); `norm` is NULL when any component is
+    non-finite (a NaN norm is noise, not signal).
+
+    Pure array-fold column expressions (codegen, zero shuffles, single
+    scan): non-finite count is a sequential aggregate over the
+    components; the norm reuses the engine-reproducible double fold
+    (norm_fold). At fleet scale this pipelines into the parquet scan of
+    each new embedding delivery.
+    """
+    xd = (f"aggregate({vec_col}, CAST(0 AS BIGINT), (acc, x) -> acc + "
+          "(CASE WHEN isnan(CAST(x AS DOUBLE)) "
+          "OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE) "
+          "THEN 1 ELSE 0 END))")
+    nonfinite = F.expr(xd)
+    dim = F.size(F.col(vec_col))
+    norm = F.when(nonfinite == 0, F.round(norm_fold(vec_col), 6))
+    is_zero = (nonfinite == 0) & (norm_fold(vec_col) == 0.0)
+    ok = (nonfinite == 0) & ~is_zero
+    if expected_dim is not None:
+        ok = ok & (dim == F.lit(expected_dim))
+    return df.select(
+        F.col(id_col), dim.alias("dim"),
+        nonfinite.alias("n_nonfinite"),
+        is_zero.alias("is_zero"), norm.alias("norm"),
+        ok.alias("ok"))

@@ -712,3 +712,32 @@ def test_leakage_safe_split_components_never_straddle(spark):
                                          fracs={"train": 0.5, "val": 0.25,
                                                 "test": 0.25}).collect()}
     assert again == folds
+
+
+def test_embedding_health_flags_each_failure_mode(spark):
+    """Truncated / zeroed / NaN / Inf vectors each flagged for the
+    right reason; a healthy vector gets ok=True with its exact norm."""
+    from dbt_fusion_spark.llm.similarity import embedding_health
+
+    rows = [
+        (1, [3.0, 4.0]),            # healthy, norm 5
+        (2, [0.0, 0.0]),            # zero vector
+        (3, [float("nan"), 1.0]),   # NaN
+        (4, [float("inf"), 1.0]),   # Inf
+        (5, [1.0]),                 # wrong dim
+    ]
+    out = {r["vec_id"]: r for r in
+           embedding_health(
+               spark.createDataFrame(rows,
+                                     "vec_id long, embedding array<float>"),
+               expected_dim=2).collect()}
+    assert out[1]["ok"] and out[1]["norm"] == 5.0
+    assert out[2]["is_zero"] and not out[2]["ok"]
+    assert out[3]["n_nonfinite"] == 1 and out[3]["norm"] is None
+    assert out[4]["n_nonfinite"] == 1 and not out[4]["ok"]
+    assert out[5]["dim"] == 1 and not out[5]["ok"]
+    # single scan, no shuffle, no python
+    plan = embedding_health(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
