@@ -189,7 +189,6 @@ def normalize_unicode(df: DataFrame, id_col: str, text_col: str,
     """
     if form not in ("NFC", "NFD", "NFKC", "NFKD"):
         raise ValueError(f"unknown normalization form {form!r}")
-    import pandas as pd  # noqa: F401 (typing context for the UDF)
 
     @F.pandas_udf("string")
     def _norm_udf(s):
