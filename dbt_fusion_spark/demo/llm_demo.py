@@ -246,7 +246,7 @@ def _duck_cos(a: str, b: str) -> str:
            FROM p1),
     h AS (SELECT vec_id, len(e) AS dim,
             CAST(list_reduce(list_transform(e, x ->
-              CASE WHEN isnan(CAST(x AS DOUBLE))
+              CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE))
                      OR isinf(CAST(x AS DOUBLE))
                    THEN 1 ELSE 0 END), (a, b) -> a + b) AS BIGINT)
               AS n_nonfinite,
@@ -1214,13 +1214,19 @@ def export_training_shards(spark, sf_dir):
     reproducible in-shard row order, manifest read back FROM THE FILES
     — so the oracle (same hash restated over the source table) checks
     the actual sink contents, not just the plan."""
+    import os
     import tempfile
 
     from dbt_fusion_spark.llm.export import write_training_shards
 
     docs = load_table(spark, sf_dir, "documents") \
         .select("doc_id", "text", "source", "n_chars")
-    path = tempfile.mkdtemp(prefix="dfs-shards-")
+    # fixed per-SF path, overwritten each run: the write is a full
+    # corpus copy, and bench/parity invoke this several times — a fresh
+    # mkdtemp per call would leak corpus-sized directories into /tmp
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"dfs-shards-{os.path.basename(sf_dir.rstrip('/'))}")
     return write_training_shards(docs, path, "doc_id", n_shards=8,
                                  seed=42)
 
@@ -1413,12 +1419,14 @@ def corpus_upsample_epochs(spark, sf_dir):
       SELECT doc_id + 50000, 'brand new document' FROM documents
       WHERE doc_id % 25 = 0),
     j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-                 md5(o.text) AS ho, md5(n.text) AS hn
+                 md5(o.text) AS ho, md5(n.text) AS hn,
+                 o.doc_id IS NOT NULL AS in_old,
+                 n.doc_id IS NOT NULL AS in_new
           FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
     SELECT doc_id,
-           CASE WHEN ho IS NULL THEN 'added'
-                WHEN hn IS NULL THEN 'removed'
-                WHEN ho = hn THEN 'unchanged'
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                WHEN ho IS NOT DISTINCT FROM hn THEN 'unchanged'
                 ELSE 'changed' END AS status
     FROM j
     """,

@@ -28,13 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-
-def _unit_hash(col, seed: str):
-    """md5-derived uniform in [0, 1) — portable across engines."""
-    h = F.conv(F.substring(
-        F.md5(F.concat_ws("|", F.lit(seed), col.cast("string"))), 1, 8),
-        16, 10).cast("bigint")
-    return h / F.lit(float(2 ** 32))
+from dbt_fusion_spark.sample.strategies import _unit_hash
 
 
 def hashed_gram_buckets(df: DataFrame, id_col: str, text_col: str,
@@ -57,13 +51,11 @@ def hashed_gram_buckets(df: DataFrame, id_col: str, text_col: str,
             F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
             lambda a, b: F.concat_ws(" ", a, b))
         grams = F.concat(arr, big)
-    h = F.conv(F.substring(
-        F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("gram"))), 1, 8),
-        16, 10).cast("bigint")
     return (
         df.select(F.col(id_col), F.explode(grams).alias("gram"))
         .filter(F.col("gram") != "")
-        .select(id_col, F.pmod(h, F.lit(dim)).alias("bucket"))
+        .select(id_col, F.pmod(_unit_hash(["gram"], seed),
+                               F.lit(dim)).alias("bucket"))
         .groupBy(id_col, "bucket").agg(F.count("*").alias("tf"))
     )
 
@@ -77,7 +69,8 @@ def seeded_weights(spark, dim: int = 4096, seed: int = 99) -> DataFrame:
     """
     return spark.range(dim).select(
         F.col("id").alias("bucket"),
-        (_unit_hash(F.col("id"), str(seed)) * 2 - 1).alias("weight"))
+        (_unit_hash(["id"], seed) / F.lit(float(2 ** 32)) * 2 - 1)
+        .alias("weight"))
 
 
 def calibrate_keep_threshold(df: DataFrame, score_col: str,
@@ -100,22 +93,40 @@ def calibrate_keep_threshold(df: DataFrame, score_col: str,
 
     Two passes over the scores (quantile, then count vs the broadcast
     thresholds) — both partial-aggregated; the threshold table is
-    |groups| rows.
+    |groups| rows. The input is persisted+materialized first: callers
+    typically hand in an unmaterialized scoring pipeline (gram explode
+    + weight join), and without the persist both passes would recompute
+    it. Scores must be non-null (the ungrouped join key derives from
+    the score column).
     """
     if not 0.0 < keep_rate < 1.0:
         raise ValueError(f"keep_rate must be in (0, 1), got {keep_rate}")
     keys = [by] if by else []
     q = 1.0 - keep_rate
+    df = df.persist()
+    df.count()
     thr = df.groupBy(*keys).agg(
         F.percentile(F.col(score_col), F.lit(q)).alias("threshold"),
         F.count("*").alias("n_docs"))
     if by:
         joined = df.join(F.broadcast(thr), by)
+        kept = joined.filter(F.col(score_col) >= F.col("threshold")) \
+            .groupBy(*keys).agg(F.count("*").alias("n_kept"))
+        out = thr.join(kept, keys)
     else:
-        joined = df.crossJoin(F.broadcast(thr.limit(1)))
-    kept = joined.filter(F.col(score_col) >= F.col("threshold")) \
-        .groupBy(*keys).agg(F.count("*").alias("n_kept"))
-    out = thr.join(kept, keys) if by else thr.crossJoin(kept)
+        # constant-but-opaque join key (the _join_scalar trick): a
+        # plain crossJoin(broadcast(1-row)) plans BroadcastNestedLoop-
+        # Join, which the blanket plan guard forbids; pmod of a derived
+        # non-null integer keeps it a BroadcastHashJoin.
+        k = F.pmod(F.length(F.col(score_col).cast("string")), F.lit(1))
+        joined = df.withColumn("__k", k).join(
+            F.broadcast(thr.withColumn(
+                "__k", F.pmod(F.col("n_docs"), F.lit(1)))), "__k")
+        kept = joined.filter(F.col(score_col) >= F.col("threshold")) \
+            .agg(F.count("*").alias("n_kept")) \
+            .withColumn("__k", F.pmod(F.col("n_kept"), F.lit(1)))
+        out = thr.withColumn("__k", F.pmod(F.col("n_docs"), F.lit(1))) \
+            .join(F.broadcast(kept), "__k").drop("__k")
     return out.select(
         *keys, F.round("threshold", 6).alias("threshold"),
         "n_docs", "n_kept")

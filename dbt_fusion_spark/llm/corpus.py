@@ -334,13 +334,22 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str,
     instead of document bodies. One equi-join shuffle on the id; at
     fleet scale both sides hash-partition on the id and AQE handles the
     skewless merge.
+
+    Side membership rides explicit presence flags, NOT hash nullness: a
+    row with NULL text (an upstream scraper/decode failure — exactly
+    the regression this op exists to catch) has a NULL fingerprint but
+    IS present, and content comparison is null-safe, so NULL-vs-text is
+    `changed` and NULL-vs-NULL is `unchanged`.
     """
-    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h_old"))
-    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h_new"))
+    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h_old"),
+                   F.lit(True).alias("__in_old"))
+    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h_new"),
+                   F.lit(True).alias("__in_new"))
     status = (
-        F.when(F.col("__h_old").isNull(), F.lit("added"))
-        .when(F.col("__h_new").isNull(), F.lit("removed"))
-        .when(F.col("__h_old") == F.col("__h_new"), F.lit("unchanged"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old").eqNullSafe(F.col("__h_new")),
+              F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return (o.join(n, id_col, "full_outer")

@@ -251,7 +251,16 @@ def lsh_candidate_pairs_cross(new: DataFrame, existing: DataFrame,
     if max_bucket is not None:
         # Joint bucket size (existing + new) decides the drop — the
         # cross-join cost of a bucket is |existing side| x |new side|,
-        # and a boilerplate band value is oversized on both.
+        # and a boilerplate band value is oversized on both. Both band
+        # tables feed TWO plan subtrees here (the joint count and the
+        # capped join input), so materialize them first — otherwise the
+        # shingle->minhash pipeline of each side runs twice (same
+        # measured-2x-wall trap the self-join path documents).
+        nb = nb.persist()
+        nb.count()
+        if existing_bands is None:
+            eb = eb.persist()
+            eb.count()
         joint = eb.select("band_id", "band_value").unionAll(
             nb.select("band_id", "band_value"))
         keep = (joint.groupBy("band_id", "band_value").count()

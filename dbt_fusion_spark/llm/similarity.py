@@ -620,17 +620,24 @@ def embedding_health(df: DataFrame, id_col: str = "vec_id",
     (norm_fold). At fleet scale this pipelines into the parquet scan of
     each new embedding delivery.
     """
-    xd = (f"aggregate({vec_col}, CAST(0 AS BIGINT), (acc, x) -> acc + "
-          "(CASE WHEN isnan(CAST(x AS DOUBLE)) "
-          "OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE) "
-          "THEN 1 ELSE 0 END))")
-    nonfinite = F.expr(xd)
+    # NULL components count as non-finite: isnan(NULL) is NULL, which a
+    # bare CASE would fall through to 0 — letting a corrupt vector
+    # evaluate to ok=NULL, invisible to BOTH filter(ok) and filter(~ok).
+    agg_sql = (f"aggregate({vec_col}, CAST(0 AS BIGINT), (acc, x) -> acc + "
+               "(CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) "
+               "OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE) "
+               "THEN 1 ELSE 0 END))")
+    nonfinite = F.expr(agg_sql)
     dim = F.size(F.col(vec_col))
     norm = F.when(nonfinite == 0, F.round(norm_fold(vec_col), 6))
-    is_zero = (nonfinite == 0) & (norm_fold(vec_col) == 0.0)
+    is_zero = F.coalesce((nonfinite == 0) & (norm_fold(vec_col) == 0.0),
+                         F.lit(False))
     ok = (nonfinite == 0) & ~is_zero
     if expected_dim is not None:
         ok = ok & (dim == F.lit(expected_dim))
+    # a NULL vector column (dim NULL, nonfinite NULL) must still land
+    # on the quarantine side, never a three-valued NULL verdict
+    ok = F.coalesce(ok, F.lit(False))
     return df.select(
         F.col(id_col), dim.alias("dim"),
         nonfinite.alias("n_nonfinite"),

@@ -725,6 +725,8 @@ def test_embedding_health_flags_each_failure_mode(spark):
         (3, [float("nan"), 1.0]),   # NaN
         (4, [float("inf"), 1.0]),   # Inf
         (5, [1.0]),                 # wrong dim
+        (6, [1.0, None]),           # NULL component (decode gap)
+        (7, None),                  # NULL vector (missing delivery)
     ]
     out = {r["vec_id"]: r for r in
            embedding_health(
@@ -736,6 +738,12 @@ def test_embedding_health_flags_each_failure_mode(spark):
     assert out[3]["n_nonfinite"] == 1 and out[3]["norm"] is None
     assert out[4]["n_nonfinite"] == 1 and not out[4]["ok"]
     assert out[5]["dim"] == 1 and not out[5]["ok"]
+    # NULL component counts as non-finite; NULL vector lands on the
+    # quarantine side — ok must be False (boolean), NEVER NULL, so
+    # filter(ok) and filter(~ok) partition the table
+    assert out[6]["n_nonfinite"] == 1 and out[6]["ok"] is False
+    assert out[7]["ok"] is False
+    assert all(r["ok"] is not None for r in out.values())
     # single scan, no shuffle, no python
     plan = embedding_health(
         spark.createDataFrame(rows, "vec_id long, embedding array<float>")) \

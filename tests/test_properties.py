@@ -499,32 +499,47 @@ def test_upsample_epochs_count_bounds_and_partition(spark, epochs, seed):
 
 @given(old_ids=st.sets(st.integers(0, 30), max_size=20),
        new_ids=st.sets(st.integers(0, 30), max_size=20),
-       changed=st.sets(st.integers(0, 30), max_size=10))
+       changed=st.sets(st.integers(0, 30), max_size=10),
+       null_old=st.sets(st.integers(0, 30), max_size=5),
+       null_new=st.sets(st.integers(0, 30), max_size=5))
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_corpus_diff_partitions_id_universe(spark, old_ids, new_ids,
-                                            changed):
+                                            changed, null_old, null_new):
     """corpus_diff emits every id from either side exactly once, with
-    the status a pure function of membership + content equality."""
+    the status a pure function of membership + null-safe content
+    equality — NULL text means PRESENT with a broken body (scraper
+    regression), never absent: NULL-vs-text is changed, NULL-vs-NULL
+    is unchanged."""
     from dbt_fusion_spark.llm.corpus import corpus_diff
 
     if not old_ids and not new_ids:
         return
     old = spark.createDataFrame(
-        [(i, f"text-{i}") for i in sorted(old_ids)] or [(None, None)],
+        [(i, None if i in null_old else f"text-{i}")
+         for i in sorted(old_ids)] or [(None, None)],
         "doc_id long, text string").filter("doc_id IS NOT NULL")
     new = spark.createDataFrame(
-        [(i, f"text-{i}-v2" if i in changed else f"text-{i}")
+        [(i, None if i in null_new
+          else f"text-{i}-v2" if i in changed else f"text-{i}")
          for i in sorted(new_ids)] or [(None, None)],
         "doc_id long, text string").filter("doc_id IS NOT NULL")
     got = {r["doc_id"]: r["status"]
            for r in corpus_diff(old, new, "doc_id", "text").collect()}
     assert set(got) == old_ids | new_ids
     for i in old_ids | new_ids:
-        want = ("removed" if i not in new_ids
-                else "added" if i not in old_ids
-                else "changed" if i in changed
-                else "unchanged")
+        if i not in new_ids:
+            want = "removed"
+        elif i not in old_ids:
+            want = "added"
+        else:
+            o_null, n_null = i in null_old, i in null_new
+            if o_null and n_null:
+                want = "unchanged"
+            elif o_null or n_null:
+                want = "changed"
+            else:
+                want = "changed" if i in changed else "unchanged"
         assert got[i] == want, (i, got[i], want)
 
 
