@@ -84,6 +84,12 @@ HEADLINE = [
     "quality_classifier_scores",
     "corpus_upsample_epochs",
     "export_training_shards",
+    # r5: corpus-frequency boilerplate strip. corpus_dedup_keep_best is
+    # deliberately NOT benched: like dedup_connected_clusters it re-runs
+    # the LSH+verify+CC pipeline whose pieces are benched individually
+    # (dedup_minhash_lsh) and whose CC family is represented by
+    # sample_leakage_safe_split.
+    "corpus_boilerplate_strip",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

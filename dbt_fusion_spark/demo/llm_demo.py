@@ -1288,7 +1288,10 @@ def text_redact_pii(spark, sf_dir):
 # ------------------------------------------------------- corpus statistics
 
 from dbt_fusion_spark.llm import corpus as C  # noqa: E402
-from dbt_fusion_spark.plans.connected_components import dedup_clusters  # noqa: E402
+from dbt_fusion_spark.plans.connected_components import (  # noqa: E402
+    dedup_clusters,
+    dedup_keep_best,
+)
 
 _DUCK_TOKENS = """
 tok AS (
@@ -1504,6 +1507,80 @@ def dedup_connected_clusters(spark, sf_dir):
                           corpus.select("doc_id"), "doc_id")
 
 
+@register(
+    "corpus_dedup_keep_best",
+    # same recursive-CTE component as dedup_connected_clusters, but the
+    # keeper is the argmax-score member (ties -> min doc_id), score =
+    # whitespace token count. On the truncated-prefix corpus the
+    # original (longer) doc wins over its near-dup copy.
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_CORPUS_NEAR},
+    {_duck_bands_sql(4, 4)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_value = b.band_value
+      WHERE a.doc_id < b.doc_id),
+    shset AS (SELECT doc_id, list_distinct(list_transform(
+      generate_series(1, greatest(length(t) - 4, 1)),
+      i -> substring(t, i, 5))) AS s FROM norm),
+    jac AS (
+      SELECT id_a, id_b,
+             CAST(len(list_filter(x.s, e -> list_contains(y.s, e))) AS DOUBLE)
+             / CAST(len(x.s) + len(y.s)
+                    - len(list_filter(x.s, e -> list_contains(y.s, e)))
+               AS DOUBLE) AS jaccard
+      FROM cand JOIN shset x ON x.doc_id = id_a
+                JOIN shset y ON y.doc_id = id_b),
+    dup AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+    edges AS (SELECT id_a AS u, id_b AS v FROM dup
+              UNION SELECT id_b, id_a FROM dup),
+    reach AS (
+      SELECT u AS node, u AS lbl FROM edges
+      UNION SELECT u, v FROM edges
+      UNION SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM corpus),
+    withc AS (
+      SELECT s.doc_id, s.n_tokens,
+             COALESCE(p.component, s.doc_id) AS cluster_id
+      FROM scored s LEFT JOIN comp p ON p.node = s.doc_id),
+    rk AS (
+      SELECT doc_id, cluster_id,
+             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+             n_tokens,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_tokens DESC, doc_id ASC) AS rn
+      FROM withc)
+    SELECT doc_id, cluster_id, cluster_size, n_tokens, rn = 1 AS is_keeper
+    FROM rk
+    """,
+)
+def corpus_dedup_keep_best(spark, sf_dir):
+    """Quality-aware canonical selection: LSH candidates -> Jaccard >=
+    0.6 -> connected components -> keep the HIGHEST-scoring member per
+    cluster (score = token count, i.e. keep the most complete copy;
+    any score column plugs in — e.g. quality_classifier_scores). The
+    truncated-prefix near-dups lose to their originals, which is the
+    policy min-id keeper election cannot express."""
+    corpus = _corpus_near(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(corpus, "doc_id", "text")
+    dup = D.jaccard_pairs(corpus, pairs.select("id_a", "id_b"),
+                          "doc_id", "text").filter(F.col("jaccard") >= 0.6)
+    scored = corpus.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint").alias("n_tokens"),
+    )
+    return dedup_keep_best(dup.select("id_a", "id_b"), scored,
+                           "doc_id", "n_tokens")
+
+
 # ------------------------------------------- repetition / span dedup
 
 @register(
@@ -1717,6 +1794,66 @@ def dedup_lines_corpus(spark, sf_dir):
         ).alias("text"),
     )
     return D.line_dedup(corpus, "doc_id", "text", min_chars=10)
+
+
+@register(
+    "corpus_boilerplate_strip",
+    # footer on every doc + a second footer on even ids -> both exceed
+    # the min_docs=3 census and are stripped EVERYWHERE (no keeper,
+    # unlike dedup_lines_corpus); the body line (frequency 1) and the
+    # short sign-off (<10 chars, non-participating) always survive.
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id,
+             text || chr(10) || 'subscribe to our newsletter today'
+             || CASE WHEN doc_id % 2 = 0
+                     THEN chr(10) ||
+                          'copyright example corp all rights reserved'
+                     ELSE '' END
+             || chr(10) || 'ok bye' AS text
+      FROM documents),
+    lines AS (
+      SELECT doc_id, i - 1 AS idx, l[i] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus),
+           unnest(generate_series(1, len(l))) AS t(i)),
+    marked AS (
+      SELECT *, CASE WHEN length(trim(line)) >= 10
+                     THEN md5(trim(lower(line))) END AS k
+      FROM lines),
+    boiler AS (
+      SELECT k FROM marked WHERE k IS NOT NULL
+      GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 3)
+    SELECT m.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lines_kept,
+           COALESCE(string_agg(
+             CASE WHEN b.k IS NULL THEN m.line END,
+             chr(10) ORDER BY m.idx), '') AS clean_text
+    FROM marked m LEFT JOIN boiler b ON m.k = b.k
+    GROUP BY m.doc_id
+    """,
+)
+def corpus_boilerplate_strip(spark, sf_dir):
+    """Corpus-frequency boilerplate removal (the C4 'appears in >= 3
+    documents' line rule): frequent lines are dropped from EVERY doc —
+    a different policy from dedup_lines_corpus' keep-first election —
+    rare lines and short non-participating lines survive, and each doc
+    is re-assembled in original order."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nsubscribe to our newsletter today"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("\ncopyright example corp all rights reserved"))
+            .otherwise(F.lit("")),
+            F.lit("\nok bye"),
+        ).alias("text"),
+    )
+    return D.line_frequency_filter(corpus, "doc_id", "text",
+                                   min_docs=3, min_chars=10)
 
 
 @register(

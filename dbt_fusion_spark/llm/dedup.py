@@ -500,3 +500,54 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def line_frequency_filter(df: DataFrame, id_col: str, text_col: str,
+                          min_docs: int = 3,
+                          min_chars: int = 10) -> DataFrame:
+    """Corpus-frequency boilerplate strip (C4 / RefinedWeb line rule):
+    any line whose normalized form appears in >= `min_docs` DISTINCT
+    documents is boilerplate (cookie banners, footers, license
+    headers) and is removed from EVERY document — unlike `line_dedup`,
+    which elects one keeper per duplicated line. Lines shorter than
+    `min_chars` after trimming never participate and are always kept.
+
+    Scale shape: same as line_dedup — posexplode Generate; the
+    frequency census shuffles md5(line) -> count(distinct doc) (16-byte
+    keys); the mark-back join streams the corpus against the (much
+    smaller, threshold-filtered) boilerplate set, broadcast when it
+    fits; reconstruction is per-document collect_list + array_sort,
+    never a corpus-wide window.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("__idx", "__line"),
+    )
+    participates = F.length(F.trim(F.col("__line"))) >= min_chars
+    lines = lines.select(
+        id_col, "__idx", "__line",
+        F.when(participates,
+               F.md5(F.trim(F.lower(F.col("__line"))))).alias("__k"),
+    )
+    boiler = (lines.filter(F.col("__k").isNotNull())
+              .groupBy("__k")
+              .agg(F.countDistinct(id_col).alias("__nd"))
+              .filter(F.col("__nd") >= min_docs)
+              .select("__k", F.lit(True).alias("__boiler")))
+    kept = F.col("__boiler").isNull()
+    return (
+        lines.join(boiler, "__k", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(kept.cast("long")).cast("bigint").alias("n_lines_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(kept, F.struct(F.col("__idx").alias("i"),
+                                              F.col("__line").alias("l"))))),
+                    lambda x: x["l"]),
+                "\n").alias("clean_text"),
+        )
+    )

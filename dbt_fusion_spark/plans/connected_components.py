@@ -32,7 +32,7 @@ Scale shape (100 TB contract):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _min_nbr(sym: DataFrame) -> DataFrame:
@@ -150,4 +150,44 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame, id_col: str,
             "cluster_id",
             (F.col(id_col) == F.col("__keep")).alias("is_keeper"),
         )
+    )
+
+
+def dedup_keep_best(pairs: DataFrame, scored_ids: DataFrame, id_col: str,
+                    score_col: str, src: str = "id_a",
+                    dst: str = "id_b") -> DataFrame:
+    """Quality-aware canonical selection: like `dedup_clusters`, but the
+    keeper per near-dup cluster is the HIGHEST-SCORING member (ties ->
+    smallest id), not the smallest id. This is the step that turns a
+    dedup pair list into an actual filtered corpus under a "keep the
+    best copy" policy (SemDeDup / FineWeb keep-best; reference analog:
+    dbt models dedupe with QUALIFY row_number() windows,
+    crates/dbt-loader/src/dbt_macro_assets dbt_utils deduplicate macro).
+
+    `scored_ids` carries (id_col, score_col) for every corpus doc.
+    Output: (id_col, cluster_id, cluster_size, score_col, is_keeper).
+
+    Scale shape: components run over the PAIR list only (bounded);
+    cluster assignment is one left join against the corpus (pairs side
+    broadcasts when small); keeper election is a row_number window
+    partitioned by cluster_id — per-cluster state, never a global sort.
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    withc = (
+        scored_ids.select(F.col(id_col), F.col(score_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col, score_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    sz = Window.partitionBy("cluster_id")
+    return withc.select(
+        id_col,
+        "cluster_id",
+        F.count("*").over(sz).cast("bigint").alias("cluster_size"),
+        score_col,
+        (F.row_number().over(w) == 1).alias("is_keeper"),
     )

@@ -561,3 +561,94 @@ def test_shard_assignment_total_and_stable(spark, n_shards, seed):
             with_shard(docs.filter("doc_id % 2 = 0"), "doc_id",
                        n_shards, seed).collect()}
     assert all(full[k] == v for k, v in half.items())
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["the quick brown fox", "jumps over dogs",
+                              "pack my box with jugs", "ok", ""]),
+             min_size=1, max_size=5),
+    min_size=1, max_size=8),
+    min_docs=st.integers(2, 4))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_line_frequency_filter_invariants(spark, texts, min_docs):
+    """A long line is dropped iff its normalized form appears in >=
+    min_docs DISTINCT docs — and then from EVERY doc (no keeper);
+    short lines always survive; per-doc accounting and original line
+    order hold."""
+    from dbt_fusion_spark.llm.dedup import line_frequency_filter
+
+    df = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(texts)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            line_frequency_filter(df, "doc_id", "text",
+                                  min_docs=min_docs,
+                                  min_chars=10).collect()}
+    assert set(rows) == set(range(len(texts)))
+    doc_freq: dict[str, set[int]] = {}
+    for i, lines in enumerate(texts):
+        for ln in lines:
+            if len(ln.strip()) >= 10:
+                doc_freq.setdefault(ln.strip().lower(), set()).add(i)
+    boiler = {k for k, docs in doc_freq.items() if len(docs) >= min_docs}
+    for i, lines in enumerate(texts):
+        r = rows[i]
+        expected = [ln for ln in lines
+                    if len(ln.strip()) < 10
+                    or ln.strip().lower() not in boiler]
+        assert r["n_lines"] == len(lines)
+        assert r["n_lines_kept"] == len(expected)
+        if r["n_lines_kept"] == 0:
+            assert r["clean_text"] == ""
+        else:
+            assert r["clean_text"].split("\n") == expected
+
+
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)),
+    min_size=1, max_size=15),
+    scores=st.lists(st.integers(0, 5), min_size=12, max_size=12))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_keep_best_keeper_invariants(spark, edges, scores):
+    """dedup_keep_best: cluster assignment equals union-find over the
+    pair list (singletons keep their own id); exactly one keeper per
+    cluster = the max-score member, ties -> min id; cluster_size
+    matches."""
+    from dbt_fusion_spark.plans.connected_components import dedup_keep_best
+
+    edges = [(a, b) for a, b in edges if a != b]
+    n = 12
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {i: find(i) for i in range(n)}
+    # canonical label = min member id (find() already yields it since
+    # we always parent the larger root to the smaller)
+    pairs_df = spark.createDataFrame(edges or [(0, 0)],
+                                     "id_a long, id_b long")
+    scored = spark.createDataFrame(
+        [(i, scores[i]) for i in range(n)], "doc_id long, score long")
+    out = dedup_keep_best(pairs_df, scored, "doc_id", "score").collect()
+    assert {r["doc_id"] for r in out} == set(range(n))
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        assert r["cluster_id"] == comp[r["doc_id"]]
+        assert r["score"] == scores[r["doc_id"]]
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert all(r["cluster_size"] == len(members) for r in members)
+        keepers = [r for r in members if r["is_keeper"]]
+        assert len(keepers) == 1
+        best = min(members, key=lambda r: (-r["score"], r["doc_id"]))
+        assert keepers[0]["doc_id"] == best["doc_id"]
