@@ -1,0 +1,80 @@
+"""End-to-end: the LLM training-data pipeline AS a dbt project.
+
+The corpus_project fixture composes the engine's two halves — dbt-style
+materializations (view / python model / incremental merge / generic
+tests) driving the LLM operator library (gopher_signals) — the way a
+training-data team would actually deploy this engine: raw drop ->
+staging view -> python-model quality signals -> incremental
+quality-filtered mart -> per-domain stats, with schema tests gating
+the output. Reference surface: python models + incremental merge +
+generic tests (SURVEY §2.1), composed.
+"""
+
+from __future__ import annotations
+
+import uuid
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_fusion_spark.llm import quality as Q
+from dbt_fusion_spark.runner import DbtSparkRunner
+from dbt_fusion_spark.sources.registry import load_table
+
+PROJECT = str(Path(__file__).parent / "fixtures" / "corpus_project")
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def schema():
+    return f"corpus_e2e_{uuid.uuid4().hex[:8]}"
+
+
+@pytest.fixture(scope="module")
+def first_run(spark, schema):
+    runner = DbtSparkRunner(
+        spark, PROJECT,
+        profile={"schema": schema, "threads": 2, "name": "corpus_e2e"})
+    rr = runner.run()
+    yield runner, rr
+    spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+
+
+def test_pipeline_all_green(first_run):
+    _, rr = first_run
+    bad = [(r.unique_id, r.status, r.message) for r in rr.results
+           if r.status not in ("success", "pass")]
+    assert rr.ok and not bad, bad
+    # the generic tests actually ran: unique/not_null on both models,
+    # accepted_values on lang, not_null on the stats
+    test_ids = [r.unique_id for r in rr.results
+                if r.unique_id.startswith("test.")]
+    assert len(test_ids) >= 6
+
+
+def test_clean_docs_matches_direct_algebra(first_run, spark, schema):
+    """The mart equals the same pipeline expressed directly against the
+    operator library — materializations add orchestration, never drift."""
+    docs = (load_table(spark, SF_DIR, "documents")
+            .filter(F.col("text").isNotNull()
+                    & (F.length(F.trim(F.col("text"))) > 0)))
+    sig = Q.gopher_signals(docs, "text", "doc_id")
+    expected = (docs.join(sig, "doc_id")
+                .filter((F.col("n_words") >= 5)
+                        & (F.col("dup_line_frac") <= 0.5)))
+    got = spark.table(f"{schema}.clean_docs")
+    assert got.count() == expected.count() > 0
+    assert (got.join(expected.select("doc_id"), "doc_id", "left_anti")
+            .count() == 0)
+    # stats roll up exactly to the mart
+    stats = spark.table(f"{schema}.corpus_stats")
+    assert (stats.agg(F.sum("n_docs")).collect()[0][0] == got.count())
+
+
+def test_incremental_second_run_idempotent(first_run, spark, schema):
+    runner, _ = first_run
+    before = spark.table(f"{schema}.clean_docs").count()
+    rr2 = runner.run(select="clean_docs", include_tests=False)
+    assert rr2.ok, [(r.unique_id, r.message) for r in rr2.results]
+    assert spark.table(f"{schema}.clean_docs").count() == before
