@@ -135,3 +135,34 @@ def dialect_redshift_listagg(spark, sf_dir):
     ordering) and LEN -> length, nested one inside the other."""
     register_views(spark, sf_dir, ["nation"])
     return spark.sql(translate_sql(_REDSHIFT_LISTAGG, "redshift"))
+
+
+_DATABRICKS_TOP_EVENTS = """
+SELECT event_id, user_id, event_type, value,
+       props:k AS k
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY value DESC, event_id ASC) = 1
+"""
+
+
+@register(
+    "dialect_databricks_colon_qualify",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id, user_id, event_type, value,
+             json_extract_string(props, '$.k') AS k,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events)
+    SELECT event_id, user_id, event_type, value, k
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dialect_databricks_colon_qualify(spark, sf_dir):
+    """Databricks model (the reference's 5th lexer dialect): the
+    semi-structured colon path `props:k` -> GET_JSON_OBJECT and
+    QUALIFY -> wrapped window filter; every other construct passes
+    through untouched because Databricks SQL is Spark SQL."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(translate_sql(_DATABRICKS_TOP_EVENTS, "databricks"))

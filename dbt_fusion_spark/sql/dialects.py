@@ -430,9 +430,21 @@ def _rewrite_qualify(sql: str) -> str:
 def translate_sql(sql: str, dialect: str | None) -> str:
     """Translate `sql` written in `dialect` into Spark SQL. dialect in
     {snowflake, bigquery, redshift, trino, databricks, spark, None};
-    spark/databricks/None pass through (Databricks SQL ⊇ Spark SQL)."""
-    if not dialect or dialect.lower() in ("spark", "databricks"):
+    spark/None pass through. Databricks SQL ⊇ Spark SQL for the
+    function surface, but two Databricks-only constructs OSS Spark
+    lacks are rewritten (reference lexer:
+    crates/dbt-sql/dbt-lexer-databricks): QUALIFY, and the
+    semi-structured colon path `col:a.b[0]` (same surface syntax as
+    Snowflake's VARIANT access, and GET_JSON_OBJECT matches its
+    JSON-text return type). Everything else passes through untouched —
+    it IS Spark SQL."""
+    if not dialect or dialect.lower() == "spark":
         return sql
+    if dialect.lower() == "databricks":
+        protected, saved = _protect(sql)
+        protected = _rewrite_qualify(protected)
+        protected = _rewrite_sf_jsonpath(protected)
+        return _restore(protected, saved)
     mapping = _RENAMES.get(dialect.lower())
     if mapping is None:
         raise ValueError(f"unknown SQL dialect {dialect!r}")

@@ -330,3 +330,25 @@ def test_bigquery_array_agg_ignore_nulls(spark):
         "SELECT ARRAY_AGG(x IGNORE NULLS) FROM "
         "VALUES (1), (NULL), (3) AS t(x)", "bigquery")
     assert sorted(run1(spark, sql)) == [1, 3]
+
+
+def test_databricks_colon_path_and_qualify(spark):
+    sql = translate_sql(
+        "SELECT v, j:a.b AS ab FROM "
+        "(SELECT 1 AS v, '{\"a\": {\"b\": 7}}' AS j) "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY v) = 1", "databricks")
+    assert "GET_JSON_OBJECT(j, '$.a.b')" in sql
+    assert "QUALIFY" not in sql.upper().replace("__QUALIFY_P", "")
+    rows = spark.sql(sql).collect()
+    assert [(r["v"], r["ab"]) for r in rows] == [(1, "7")]
+
+
+def test_databricks_passthrough_preserves_spark_sql(spark):
+    # ::casts, string literals holding colon paths, and plain Spark SQL
+    # survive untouched — Databricks SQL IS Spark SQL outside the two
+    # rewritten constructs
+    src = "SELECT '5'::int AS a, 'see j:k here' AS s, array(1, 2)[0] AS e"
+    out = translate_sql(src, "databricks")
+    assert out == src
+    r = spark.sql(out).collect()[0]
+    assert (r["a"], r["s"], r["e"]) == (5, "see j:k here", 1)
