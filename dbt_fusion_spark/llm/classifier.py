@@ -75,61 +75,118 @@ def seeded_weights(spark, dim: int = 4096, seed: int = 99) -> DataFrame:
 
 def calibrate_keep_threshold(df: DataFrame, score_col: str,
                              keep_rate: float,
-                             by: str | None = None) -> DataFrame:
+                             by: str | None = None,
+                             grid_decimals: int | None = 6) -> DataFrame:
     """Turn a target keep rate into score thresholds: threshold =
     exact (1 - keep_rate) quantile of the score distribution,
     per group when `by` is given (the realistic deployment — per-domain
     thresholds stop one domain's score distribution from starving the
     others). Emits (group, threshold, n_docs, n_kept) where n_kept
-    counts score >= threshold.
+    counts score >= threshold. NULL scores are ignored (PERCENTILE_CONT
+    semantics); a NULL group key is a real group and survives to the
+    output (eqNullSafe joins throughout — docs with missing domain
+    metadata are common).
 
     Exact PERCENTILE_CONT-style interpolation, not percentile_approx:
     the approx sketch is engine-private (irreproducible), while the
     exact interpolated quantile is IEEE-deterministic and restatable as
-    SQL. The per-group sort is bounded by the group's cardinality — at
-    fleet scale use group counts in the millions, not billions, or
-    pre-aggregate scores to a fixed grid first (they are already
-    round(6) values).
+    SQL.
 
-    Two passes over the scores (quantile, then count vs the broadcast
-    thresholds) — both partial-aggregated; the threshold table is
-    |groups| rows. The input is persisted+materialized first: callers
-    typically hand in an unmaterialized scoring pipeline (gram explode
-    + weight join), and without the persist both passes would recompute
-    it. Scores must be non-null (the ungrouped join key derives from
-    the score column).
+    Memory contract (the 100 TB concern): with `grid_decimals` set
+    (default 6), scores are rounded to that grid FIRST and everything
+    downstream — quantile AND kept-count — is computed from a
+    (group, score) -> count aggregate. That grid table is the only
+    state: bounded by the number of distinct rounded scores per group
+    (<= 10^grid_decimals + 1 for probability scores in [0, 1], a few
+    MB), never by row count; the single data pass is an ordinary
+    partial-aggregated hash aggregate. The quantile comes from a
+    cumulative walk over the per-group grid (the ddsketch_quantiles
+    pattern, llm/sketch.py) using Spark's own two-sided interpolation
+    formula, so the output is bit-identical to F.percentile for inputs
+    that are already round(grid_decimals) values — which classifier
+    scores are (linear_quality_score emits round(6)).
+
+    `grid_decimals=None` skips the rounding: the same walk over the
+    RAW (value -> count) grid, i.e. the exact quantile of the raw
+    scores (never F.percentile, whose aggregation buffer is an
+    unspillable per-group value->count map on one reducer). State is
+    then O(distinct raw values per group) grid rows — but in a
+    sort-based window that spills, not an in-memory map. Prefer the
+    grid for anything not already discretized.
     """
     if not 0.0 < keep_rate < 1.0:
         raise ValueError(f"keep_rate must be in (0, 1), got {keep_rate}")
     keys = [by] if by else []
     q = 1.0 - keep_rate
-    df = df.persist()
-    df.count()
-    thr = df.groupBy(*keys).agg(
-        F.percentile(F.col(score_col), F.lit(q)).alias("threshold"),
-        F.count("*").alias("n_docs"))
+    s = F.col(score_col)
+    if grid_decimals is not None:
+        s = F.round(s, grid_decimals)
+    # ONE pass over the data: (group, score) -> count. localCheckpoint
+    # (eager) materializes it and cuts the lineage so the caller's
+    # unmaterialized scoring pipeline (gram explode + weight join) runs
+    # exactly once, with nothing left to unpersist.
+    grid = (df.filter(s.isNotNull())
+            .groupBy(*keys, s.alias("__s"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .localCheckpoint(eager=True))
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(*keys).orderBy("__s")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy(*keys)
+    walk = grid.select(
+        *keys, "__s", F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(wt).alias("__n"))
+    # PERCENTILE_CONT order statistics: 0-indexed position h = q*(n-1);
+    # x_lo / x_hi are the values at floor(h) / ceil(h) — i.e. the first
+    # grid rows whose cumulative count covers those positions.
+    h = F.lit(q) * (F.col("__n") - 1).cast("double")
+    lo = F.floor(h)
+    hi = F.ceil(h)
+    thr_tbl = walk.groupBy(*keys).agg(
+        F.min(F.when(F.col("__cum") >= lo + 1, F.col("__s"))).alias("__xlo"),
+        F.min(F.when(F.col("__cum") >= hi + 1, F.col("__s"))).alias("__xhi"),
+        F.max("__n").alias("n_docs"))
+    h2 = F.lit(q) * (F.col("n_docs") - 1).cast("double")
+    lo2 = F.floor(h2)
+    hi2 = F.ceil(h2)
+    # Spark Percentile's exact interpolation formula (two-sided
+    # weights, not lower + frac*delta) — bit-identity with F.percentile
+    # depends on reproducing it verbatim.
+    interp = F.when(hi2 == lo2, F.col("__xlo")).otherwise(
+        (hi2 - h2) * F.col("__xlo") + (h2 - lo2) * F.col("__xhi"))
+    thr = thr_tbl.select(*keys, interp.alias("threshold"), "n_docs")
     if by:
-        joined = df.join(F.broadcast(thr), by)
-        kept = joined.filter(F.col(score_col) >= F.col("threshold")) \
-            .groupBy(*keys).agg(F.count("*").alias("n_kept"))
-        out = thr.join(kept, keys)
+        # eqNullSafe so a NULL group keeps its threshold row end-to-end;
+        # the grid side's group column is renamed first (thr descends
+        # from grid, and a same-attribute eqNullSafe self-join would be
+        # ambiguous).
+        g2 = grid.select(F.col(by).alias("__g"), "__s", "__c")
+        kept = (g2.join(F.broadcast(thr),
+                        F.col("__g").eqNullSafe(F.col(by)))
+                .filter(F.col("__s") >= F.col("threshold"))
+                .groupBy("__g").agg(F.sum("__c").alias("n_kept")))
+        out = thr.join(kept, F.col(by).eqNullSafe(F.col("__g")), "left") \
+            .select(by, "threshold", "n_docs",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
     else:
         # constant-but-opaque join key (the _join_scalar trick): a
         # plain crossJoin(broadcast(1-row)) plans BroadcastNestedLoop-
         # Join, which the blanket plan guard forbids; pmod of a derived
         # non-null integer keeps it a BroadcastHashJoin.
-        k = F.pmod(F.length(F.col(score_col).cast("string")), F.lit(1))
-        joined = df.withColumn("__k", k).join(
+        joined = grid.withColumn(
+            "__k", F.pmod(F.col("__c"), F.lit(1))).join(
             F.broadcast(thr.withColumn(
                 "__k", F.pmod(F.col("n_docs"), F.lit(1)))), "__k")
-        kept = joined.filter(F.col(score_col) >= F.col("threshold")) \
-            .agg(F.count("*").alias("n_kept")) \
+        kept = joined.filter(F.col("__s") >= F.col("threshold")) \
+            .agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("n_kept")) \
             .withColumn("__k", F.pmod(F.col("n_kept"), F.lit(1)))
         out = thr.withColumn("__k", F.pmod(F.col("n_docs"), F.lit(1))) \
             .join(F.broadcast(kept), "__k").drop("__k")
     return out.select(
         *keys, F.round("threshold", 6).alias("threshold"),
-        "n_docs", "n_kept")
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_kept").cast("bigint").alias("n_kept"))
 
 
 def linear_quality_score(df: DataFrame, weights: DataFrame, id_col: str,

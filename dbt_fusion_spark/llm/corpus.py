@@ -340,20 +340,37 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str,
     the regression this op exists to catch) has a NULL fingerprint but
     IS present, and content comparison is null-safe, so NULL-vs-text is
     `changed` and NULL-vs-NULL is `unchanged`.
+
+    Ids need NOT be unique or non-null: each side is pre-aggregated to
+    one row per id — (row count, NULL-text count, md5 of the sorted
+    per-row hash multiset) — so duplicate ids compare as multisets
+    instead of fanning out through the join, and the join itself is
+    null-safe so a NULL id is one (matchable) group per side, never a
+    spurious added+removed pair. The groupBy and the join share the id
+    hash-partitioning, so this costs the same single shuffle per side.
     """
-    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h_old"),
-                   F.lit(True).alias("__in_old"))
-    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h_new"),
-                   F.lit(True).alias("__in_new"))
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        h = F.md5(F.col(text_col))
+        return df.groupBy(F.col(id_col).alias(f"__id_{tag}")).agg(
+            F.count(F.lit(1)).alias(f"__n_{tag}"),
+            (F.count(F.lit(1)) - F.count(h)).alias(f"__nulls_{tag}"),
+            F.md5(F.concat_ws(",", F.array_sort(F.collect_list(h))))
+            .alias(f"__fp_{tag}"))
+
+    o, n = side(old, "o"), side(new, "n")
+    same = (F.col("__n_o").eqNullSafe(F.col("__n_n"))
+            & F.col("__nulls_o").eqNullSafe(F.col("__nulls_n"))
+            & F.col("__fp_o").eqNullSafe(F.col("__fp_n")))
     status = (
-        F.when(F.col("__in_old").isNull(), F.lit("added"))
-        .when(F.col("__in_new").isNull(), F.lit("removed"))
-        .when(F.col("__h_old").eqNullSafe(F.col("__h_new")),
-              F.lit("unchanged"))
+        F.when(F.col("__n_o").isNull(), F.lit("added"))
+        .when(F.col("__n_n").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
-    return (o.join(n, id_col, "full_outer")
-            .select(id_col, status.alias("status")))
+    return (o.join(n, F.col("__id_o").eqNullSafe(F.col("__id_n")),
+                   "full_outer")
+            .select(F.coalesce("__id_o", "__id_n").alias(id_col),
+                    status.alias("status")))
 
 
 def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -422,9 +422,13 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str,
     per-document state, not a corpus-wide window. Positions encode
     doc_id * 2^20 + line_idx (valid to 1M-line docs, same convention as
     span_dedup_stats)."""
+    # coalesce NULL text to "": posexplode(split(NULL)) yields no rows,
+    # which would silently drop the document from the output — NULL-text
+    # docs (scraper regressions) must stay visible, matching
+    # corpus_diff's presence stance. They emerge as one empty kept line.
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n"))
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
         .alias("__idx", "__line"),
     )
     participates = F.length(F.trim(F.col("__line"))) >= min_chars
@@ -519,9 +523,13 @@ def line_frequency_filter(df: DataFrame, id_col: str, text_col: str,
     fits; reconstruction is per-document collect_list + array_sort,
     never a corpus-wide window.
     """
+    # coalesce NULL text to "": posexplode(split(NULL)) yields no rows,
+    # which would silently drop the document from the output — NULL-text
+    # docs (scraper regressions) must stay visible, matching
+    # corpus_diff's presence stance. They emerge as one empty kept line.
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n"))
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
         .alias("__idx", "__line"),
     )
     participates = F.length(F.trim(F.col("__line"))) >= min_chars

@@ -67,14 +67,36 @@ def hot_batch_keys(source: DataFrame, keys: list[str],
     """Bounded batch-key histogram (judge r4 #7): the top-`cap` key
     values of the batch with their row share; returns the key tuples
     whose share exceeds `threshold`. Two bounded actions (a count and
-    a TakeOrdered of `cap` rows) — never a full collect."""
+    a TakeOrdered of `cap` rows) — never a full collect. The count is
+    aliased to the reserved `__cnt`, so a user key column literally
+    named 'count' cannot shadow it. CALLERS must hand in a persisted/
+    materialized source when it is an expensive unmaterialized plan:
+    both actions here (and the rebuild afterwards) re-evaluate it
+    otherwise — executors.materialize_incremental does."""
     total = source.count()
     if not total:
         return []
-    top = (source.groupBy(*keys).count()
-           .orderBy(F.desc("count")).limit(cap).collect())
+    top = (source.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cnt"))
+           .orderBy(F.desc("__cnt")).limit(cap).collect())
     return [tuple(r[k] for k in keys) for r in top
-            if r["count"] / total > threshold]
+            if r["__cnt"] / total > threshold]
+
+
+def hot_key_condition(cols: list, hot: list[tuple]):
+    """OR-of-eqNullSafe-conjunctions membership test for the hot-key
+    list. eqNullSafe never yields NULL, so the negation is an exact
+    complement — callers can split a frame into hot/cold with
+    filter(cond) / filter(~cond) and lose nothing. `cols` are Column
+    expressions, so the same hot list can address differently-named
+    sides of a join (e.g. scd2's __snap_-prefixed snapshot side)."""
+    cond = F.lit(False)
+    for tup in hot:
+        c = None
+        for col, v in zip(cols, tup):
+            eq = col.eqNullSafe(F.lit(v))
+            c = eq if c is None else (c & eq)
+        cond = cond | c
+    return cond
 
 
 def skew_split_apply(fn, target: DataFrame, source: DataFrame,
@@ -93,14 +115,7 @@ def skew_split_apply(fn, target: DataFrame, source: DataFrame,
     rows becomes a map-side BroadcastHashJoin and the straggler
     shuffle partition never exists. Cold keys take the normal shuffle
     join. eqNullSafe literals keep NULL hot keys addressable."""
-    cond = F.lit(False)
-    for tup in hot:
-        c = None
-        for k, v in zip(keys, tup):
-            eq = F.col(k).eqNullSafe(F.lit(v))
-            c = eq if c is None else (c & eq)
-        cond = cond | c
-    # eqNullSafe never yields NULL, so ~cond is an exact complement
+    cond = hot_key_condition([F.col(k) for k in keys], hot)
     t_hot, t_cold = target.filter(cond), target.filter(~cond)
     s_hot, s_cold = source.filter(cond), source.filter(~cond)
     return fn(F.broadcast(t_hot), s_hot).unionByName(

@@ -481,7 +481,8 @@ class DbtSparkRunner:
             )
             out = materialize_snapshot(
                 self.adapter, node.schema, node.identifier, sql, cfg,
-                partition_by=node.config.get("partition_by"))
+                partition_by=node.config.get("partition_by"),
+                salt_threshold=node.config.get("salt_threshold"))
         elif rt == "model" and node.config.get("language") == "python":
             out = self._run_python_model(node, full_refresh)
         elif rt == "model":

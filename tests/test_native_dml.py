@@ -522,7 +522,9 @@ def test_replace_where_native_prefilters_batch(spark, adapter, monkeypatch):
     only predicate-matching batch rows — Delta's replaceWhere
     constraint check throws on out-of-scope source rows, while the
     parquet fallbacks silently drop them. Pre-filtering makes all
-    rungs agree."""
+    rungs agree. ADVICE r5: the drop must not be silent — the status
+    carries the dropped-row count (an out-of-scope batch usually means
+    a predicate/batch mismatch bug)."""
     materialize_table(adapter, "nat", "rw_nat",
                       "SELECT 1 AS id, 10 AS score")
     monkeypatch.setattr(native, "supports_native_merge",
@@ -541,11 +543,18 @@ def test_replace_where_native_prefilters_batch(spark, adapter, monkeypatch):
         adapter, "nat", "rw_nat",
         "SELECT * FROM VALUES (2, 5), (3, 50) AS t(id, score)",
         strategy="replace_where", incremental_predicates=["score >= 30"])
-    assert out == "REPLACE WHERE (native)"
+    assert out == ("REPLACE WHERE (native, WARNING: 1 out-of-scope "
+                   "source rows dropped)")
     assert len(recorded) == 1 and "replace where score >= 30" in recorded[0]
     # the view the statement reads holds only the in-scope row
     rows = real_sql("SELECT * FROM __dbt_src_rw_nat").collect()
     assert [(r["id"], r["score"]) for r in rows] == [(3, 50)]
+    # a fully in-scope batch keeps the clean status
+    out2 = materialize_incremental(
+        adapter, "nat", "rw_nat",
+        "SELECT * FROM VALUES (4, 60) AS t(id, score)",
+        strategy="replace_where", incremental_predicates=["score >= 30"])
+    assert out2 == "REPLACE WHERE (native)"
 
 
 def test_drop_partition_spec_escapes_backslash(spark, adapter):

@@ -302,3 +302,78 @@ def test_calibrate_keep_threshold_rates_and_validation(spark):
 
     with _pytest.raises(ValueError, match="keep_rate"):
         calibrate_keep_threshold(df, "score", keep_rate=1.5)
+
+
+def test_calibrate_grid_bitmatches_percentile_property(spark):
+    """The bounded grid path's cumulative-walk quantile reproduces
+    Spark's own F.percentile bit-for-bit on round(6) inputs (the
+    classifier contract), grouped and ungrouped, across keep rates —
+    including rates that land exactly on / between order statistics."""
+    import random
+
+    from dbt_fusion_spark.llm.classifier import calibrate_keep_threshold
+
+    rng = random.Random(20260815)
+    rows = [(i, rng.choice(["a", "b", "c"]),
+             round(rng.uniform(0.0, 1.0), 6)) for i in range(400)]
+    # duplicate-heavy tail: repeated scores exercise the cum-walk ties
+    rows += [(1000 + i, "a", 0.25) for i in range(37)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    for keep in (0.3, 0.5, 0.25, 0.999, 0.001):
+        q = 1.0 - keep
+        got = {r["source"]: r for r in calibrate_keep_threshold(
+            df, "score", keep_rate=keep, by="source").collect()}
+        exact = {r["source"]: r for r in df.groupBy("source").agg(
+            F.round(F.percentile(F.col("score"), F.lit(q)), 6)
+            .alias("t"), F.count("*").alias("n")).collect()}
+        assert set(got) == set(exact)
+        for src, r in got.items():
+            assert r["threshold"] == exact[src]["t"], (keep, src)
+            assert r["n_docs"] == exact[src]["n"]
+        gu = calibrate_keep_threshold(df, "score", keep_rate=keep).collect()[0]
+        eu = df.agg(F.round(F.percentile(F.col("score"), F.lit(q)), 6)
+                    .alias("t")).collect()[0]["t"]
+        assert gu["threshold"] == eu
+
+
+def test_calibrate_null_group_and_null_scores(spark):
+    """A NULL group key is a real group (survives with threshold AND
+    kept count); NULL scores are ignored like PERCENTILE_CONT."""
+    from dbt_fusion_spark.llm.classifier import calibrate_keep_threshold
+
+    rows = ([(i, None, float(i) / 100) for i in range(100)]
+            + [(200 + i, "web", float(i) / 50) for i in range(50)]
+            + [(900, "web", None)])  # NULL score: ignored
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = {r["source"]: r for r in calibrate_keep_threshold(
+        df, "score", keep_rate=0.3, by="source").collect()}
+    assert set(out) == {None, "web"}
+    assert out[None]["n_docs"] == 100
+    assert 28 <= out[None]["n_kept"] <= 32
+    assert out["web"]["n_docs"] == 50  # NULL score excluded
+    assert out["web"]["n_kept"] >= 1
+
+
+def test_calibrate_pathological_distinct_doubles_bounded(spark):
+    """1e6 rows of distinct raw doubles: the default grid path keeps
+    aggregate state bounded (grid cells, not rows) and stays fast;
+    grid_decimals=None still computes the exact raw quantile
+    (== F.percentile) without a per-group map aggregate."""
+    from dbt_fusion_spark.llm.classifier import calibrate_keep_threshold
+    from dbt_fusion_spark.sample.strategies import _unit_hash
+
+    n = 1_000_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (_unit_hash(["id"], 5) / F.lit(float(2 ** 32))).alias("score"))
+    out = calibrate_keep_threshold(df, "score", keep_rate=0.4).collect()[0]
+    assert out["n_docs"] == n
+    # uniform-ish hash scores: the 0.6-quantile threshold near 0.6 and
+    # the kept count near the target (grid rounding moves it by <1e-4)
+    assert abs(out["threshold"] - 0.6) < 0.01
+    assert abs(out["n_kept"] / n - 0.4) < 0.001
+    exact = calibrate_keep_threshold(
+        df, "score", keep_rate=0.4, grid_decimals=None).collect()[0]
+    ref = df.agg(F.round(F.percentile("score", F.lit(0.6)), 6)
+                 .alias("t")).collect()[0]["t"]
+    assert exact["threshold"] == ref

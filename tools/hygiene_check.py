@@ -1,0 +1,126 @@
+"""Registry-wide budget + gate bookkeeping checks (judge r5 #8).
+
+Three recurring verdict findings, turned into CI so they cannot
+regress silently:
+
+(a) every bench.py HEADLINE query must carry a perf budget in
+    tests/perf_budgets.json (and every budget key must name a real
+    registry query) — a new headline query without a budget is a
+    plan-regression blind spot;
+(b) a budget whose number comes from a non-official source (warm-local
+    debut timing instead of a driver BENCH artifact) must be refreshed
+    within one round: perf_budgets.json records such queries in a
+    `provisional: {query: round_int}` map, and this check fails once
+    the current round (max BENCH_r{N}.json present + 1) is two or more
+    rounds past the recorded one;
+(c) cumulative driver-gate coverage — the count of distinct registry
+    rows ever certified by a CORRECTNESS_r*.json artifact, plus the
+    rows the CURRENT gate window would certify this round — must never
+    regress below the high-water mark recorded as
+    `cumulative_gate_rows` in any PARITY_LOCAL_r*.json.
+
+Run directly (`python tools/hygiene_check.py`) or via
+tests/test_hygiene.py. Pure filesystem/JSON — no SparkSession.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _round_artifacts(pattern: str) -> dict[int, Path]:
+    out: dict[int, Path] = {}
+    for p in REPO.glob(pattern):
+        m = re.search(r"_r(\d+)\.json$", p.name)
+        if m:
+            out[int(m.group(1))] = p
+    return out
+
+
+def current_round() -> int:
+    """The round in progress = one past the newest driver bench."""
+    benches = _round_artifacts("BENCH_r*.json")
+    return (max(benches) + 1) if benches else 1
+
+
+def check_headline_budgets(errors: list[str]) -> None:
+    sys.path.insert(0, str(REPO))
+    import bench
+    from dbt_fusion_spark.demo import QUERIES
+
+    spec = json.loads((REPO / "tests/perf_budgets.json").read_text())
+    budgets = spec["budgets_sec"]
+    missing = [q for q in bench.HEADLINE if q not in budgets]
+    if missing:
+        errors.append(
+            f"headline queries without a perf budget: {missing}")
+    stale = [q for q in budgets if q not in QUERIES]
+    if stale:
+        errors.append(f"perf budgets naming unknown queries: {stale}")
+
+
+def check_provisional_budget_age(errors: list[str]) -> None:
+    spec = json.loads((REPO / "tests/perf_budgets.json").read_text())
+    provisional: dict[str, int] = spec.get("provisional", {})
+    now = current_round()
+    for q, rnd in provisional.items():
+        if now - int(rnd) >= 2:
+            errors.append(
+                f"budget for {q!r} has been non-official (warm-local, "
+                f"round {rnd}) for {now - int(rnd)} rounds — refresh it "
+                f"from an official BENCH artifact")
+
+
+def cumulative_gate_rows() -> int:
+    from dbt_fusion_spark.demo import GATE_WINDOW, QUERIES
+
+    gated: set[str] = set()
+    for p in _round_artifacts("CORRECTNESS_r*.json").values():
+        gated |= set(json.loads(p.read_text()))
+    gated &= set(QUERIES)  # early rounds gated rows that were renamed
+    gated |= set(GATE_WINDOW)  # what THIS round's window will certify
+    return len(gated)
+
+
+def check_gate_coverage_monotone(errors: list[str]) -> None:
+    high_water = 0
+    for p in _round_artifacts("PARITY_LOCAL_r*.json").values():
+        try:
+            v = json.loads(p.read_text()).get("cumulative_gate_rows", 0)
+        except Exception:
+            continue
+        if isinstance(v, int):
+            high_water = max(high_water, v)
+    cur = cumulative_gate_rows()
+    if cur < high_water:
+        errors.append(
+            f"cumulative driver-gate coverage regressed: {cur} rows now "
+            f"vs recorded high-water {high_water} — the rotation dropped "
+            f"never-certified rows or shrank the window")
+
+
+def run_checks() -> list[str]:
+    errors: list[str] = []
+    check_headline_budgets(errors)
+    check_provisional_budget_age(errors)
+    check_gate_coverage_monotone(errors)
+    return errors
+
+
+def main() -> int:
+    errors = run_checks()
+    for e in errors:
+        print(f"HYGIENE FAIL: {e}")
+    if not errors:
+        print(f"hygiene OK (round {current_round()}, cumulative gate "
+              f"rows {cumulative_gate_rows()})")
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
