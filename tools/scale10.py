@@ -102,14 +102,19 @@ def ensure(spark: SparkSession, out_dir: str = OUT) -> str:
 # every replica is a true near-dup of its siblings — LSH pair growth
 # there (~135x) is legitimate duplicate mass, not bucket degradation,
 # but it cannot certify O(n) scaling on a duplicate-free corpus. This
-# variant grows the corpus 10x with UNIQUE docs: replica k rewrites
-# every word with a '~k' suffix (deterministic, RNG-free). The
-# transform is applied uniformly within a replica, so each replica
-# preserves the ORIGINAL corpus's internal near-dup structure (shingle
-# overlap between two docs is invariant under a consistent per-word
-# rewrite), while cross-replica shingle overlap collapses (every char
-# 5-gram crossing a word boundary differs) — expected candidate pairs
-# ~ 10x the base corpus, i.e. O(n) with avg_bucket flat.
+# variant grows the corpus 10x with UNIQUE docs: replica k ROTATES
+# every word by k characters (deterministic, RNG-free; k=0 is the
+# original corpus). The transform is a pure function of (word, k), so
+# within a replica two near-dup docs still share their rewritten spans
+# — each replica preserves the ORIGINAL corpus's internal near-dup
+# structure — while the same doc's replicas share few shingles (every
+# 5-gram touching a rotated word changes). Crucially the rewrite adds
+# NO universal token: an earlier '~k'-suffix variant injected the
+# ' x~k ' pattern after every word, whose shingles dominated every
+# doc's minhash mins and collapsed each replica into mega-buckets
+# (measured 1249x pair growth — the exact degenerate-shingle failure
+# the audit exists to catch). Expected candidate pairs ~ 10x the base
+# corpus, i.e. O(n) with avg_bucket flat.
 
 UNIQUE_OUT = os.environ.get("SPARK_GRAFT_UNIQUE10_DIR",
                             "/tmp/spark_graft_unique10")
@@ -117,17 +122,34 @@ UNIQUE_OUT = os.environ.get("SPARK_GRAFT_UNIQUE10_DIR",
 
 def unique10_documents(docs: DataFrame) -> DataFrame:
     m = _mult(docs.sparkSession)
-    tag = F.concat(F.lit("~"), F.col("__k").cast("string"))
+
+    def rotate(w):
+        # word-dependent offset: a CONSTANT per-replica rotation would
+        # shift every word's initial consonant to the tail, making the
+        # rotated vocabulary share boundary shingles systematically
+        # (measured: 'part/data/hash' -> 'artp/atad/ashh', all
+        # a-leading, within-replica Jaccard inflated ~2x). Multiplying
+        # k by a word-hash-derived factor varies the offset per word
+        # while staying a pure function of (word, k) — and k=0 stays
+        # the identity, so replica 0 is the original corpus.
+        mult = F.lit(1) + F.pmod(F.abs(F.xxhash64(w)), F.lit(7))
+        rot = F.pmod(F.col("__k") * mult,
+                     F.greatest(F.length(w), F.lit(1)))
+        return F.concat(w.substr(rot + 1, F.length(w) - rot),
+                        w.substr(F.lit(1), rot))
+
     new_text = F.array_join(
         F.transform(
-            F.split(F.coalesce(docs["text"], F.lit("")), " "),
-            lambda w: F.concat(w, tag)),
+            F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+            rotate),
         " ")
-    return (docs.crossJoin(F.broadcast(m))
-            .withColumn("doc_id", docs["doc_id"] * 10 + F.col("__k"))
-            .withColumn("text", new_text)
-            .withColumn("n_chars", F.length(new_text))
-            .drop("__k"))
+    others = [c for c in docs.columns
+              if c not in ("doc_id", "text", "n_chars")]
+    return docs.crossJoin(F.broadcast(m)).select(
+        (F.col("doc_id") * 10 + F.col("__k")).alias("doc_id"),
+        new_text.alias("text"),
+        *others,
+        F.length(new_text).cast("bigint").alias("n_chars"))
 
 
 def generate_unique10(spark: SparkSession, out_dir: str = UNIQUE_OUT,
