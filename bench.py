@@ -90,6 +90,8 @@ HEADLINE = [
     # (dedup_minhash_lsh) and whose CC family is represented by
     # sample_leakage_safe_split.
     "corpus_boilerplate_strip",
+    # r6: C4 blocklist filter (broadcast term-table join shape)
+    "quality_blocklist_filter",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

@@ -566,6 +566,50 @@ def gopher_quality_filter(spark, sf_dir):
 
 
 @register(
+    "quality_blocklist_filter",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(coalesce(text, '')), '\\s+'))
+               AS t
+      FROM documents),
+    toks AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(t, '^[^a-z0-9]+', ''),
+                            '[^a-z0-9]+$', '') AS tok
+      FROM raw WHERE t <> ''),
+    hits AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_hits,
+             CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_terms,
+             list_slice(list_sort(list_distinct(list(tok))), 1, 5)
+               AS sample_terms
+      FROM toks
+      WHERE tok <> '' AND tok IN ('stream', 'vector', 'zzznotpresent')
+      GROUP BY doc_id)
+    SELECT d.doc_id, h.doc_id IS NULL AS keep,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_distinct_terms, 0) AS n_distinct_terms,
+           COALESCE(h.sample_terms, CAST([] AS VARCHAR[]))
+             AS sample_terms
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def quality_blocklist_filter(spark, sf_dir):
+    """C4-style blocklist document filter: reject any doc whose word
+    tokens (lowercased, edge-punctuation-stripped) match a blocklist
+    TERM TABLE — token explode -> broadcast join -> per-doc counts ->
+    left mark-back, never a mega-regex, so a 100k-term list is a few
+    broadcast MB and updating it never recompiles a pattern."""
+    from dbt_fusion_spark.llm.quality import blocklist_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = spark.createDataFrame(
+        [("STREAM",), ("vector",), ("zzznotpresent",)], "term string")
+    return blocklist_filter(docs, "doc_id", "text", terms)
+
+
+@register(
     "decontamination_13gram",
     oracle="""
     WITH words AS (

@@ -344,3 +344,63 @@ def containment_scores(corpus: DataFrame, probes: DataFrame, id_col: str,
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def blocklist_filter(df: DataFrame, id_col: str, text_col: str,
+                     terms: DataFrame, term_col: str = "term",
+                     max_terms_sample: int = 5) -> DataFrame:
+    """C4-style blocklist ("bad words") document filter: a document is
+    rejected when ANY of its word tokens matches a blocklist term
+    (case-insensitive whole-word match — the C4 policy; reference-class
+    pipelines at https://github.com/google-research/text-to-text-
+    transfer-transformer use the 'List of Dirty Naughty Obscene...'
+    list the same way). Emits (id, keep, n_hits, n_distinct_terms,
+    sample_terms) — the counts feed the rejection dashboard and
+    sample_terms (first `max_terms_sample`, sorted) makes audits
+    reproducible.
+
+    Scale shape: the blocklist is a TABLE, not a regex — token explode
+    -> broadcast hash semi-style inner join on the normalized term ->
+    per-doc count aggregate -> left mark-back join onto the corpus.
+    A 100k-term list is a few MB broadcast; the alternative (one
+    mega-regex) blows up the codegen'd pattern and cannot be updated
+    without recompiling the plan. NULL text produces zero tokens and
+    is KEPT (no evidence of a hit — scrubbing NULLs is the gopher
+    min-words filter's job, not the blocklist's).
+
+    Matching is on the same normalization as tokens()/hashed grams:
+    lowercase + whitespace-run split, then strip leading/trailing
+    punctuation from each token so "badword," still hits. Terms are
+    lowercased on the blocklist side too.
+    """
+    tok = F.explode(
+        F.filter(F.split(F.trim(F.lower(F.coalesce(F.col(text_col),
+                                                   F.lit("")))),
+                         r"\s+"),
+                 lambda t: t != "")).alias("__tok")
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.col("__tok"), r"^[^a-z0-9]+", ""),
+        r"[^a-z0-9]+$", "")
+    toks = (df.select(F.col(id_col), tok)
+            .select(id_col, stripped.alias("__tok"))
+            .filter(F.col("__tok") != ""))
+    tset = terms.select(
+        F.lower(F.col(term_col)).alias("__tok")).dropDuplicates()
+    hits = (toks.join(F.broadcast(tset), "__tok")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+                 F.countDistinct("__tok").cast("bigint")
+                 .alias("n_distinct_terms"),
+                 F.slice(F.array_sort(F.collect_set("__tok")), 1,
+                         max_terms_sample).alias("sample_terms")))
+    return (df.select(id_col).join(hits, id_col, "left")
+            .select(
+                id_col,
+                F.col("n_hits").isNull().alias("keep"),
+                F.coalesce("n_hits", F.lit(0)).cast("bigint")
+                .alias("n_hits"),
+                F.coalesce("n_distinct_terms", F.lit(0)).cast("bigint")
+                .alias("n_distinct_terms"),
+                F.coalesce("sample_terms",
+                           F.array().cast("array<string>"))
+                .alias("sample_terms")))

@@ -377,3 +377,31 @@ def test_calibrate_pathological_distinct_doubles_bounded(spark):
     ref = df.agg(F.round(F.percentile("score", F.lit(0.6)), 6)
                  .alias("t")).collect()[0]["t"]
     assert exact["threshold"] == ref
+
+
+def test_blocklist_filter_word_boundary_and_nulls(spark):
+    """C4 blocklist semantics: whole-word case-insensitive match with
+    edge punctuation stripped ('Badword,' hits), substrings do NOT hit
+    ('notbadwordish' survives), NULL text is kept, counts and the
+    sorted sample are exact."""
+    from dbt_fusion_spark.llm.quality import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(1, "clean text with nothing wrong"),
+         (2, "contains Badword, twice: badword!"),
+         (3, "notbadwordish is fine; embedword too"),
+         (4, None),
+         (5, "ALPHA beta alpha")],
+        "doc_id long, text string")
+    terms = spark.createDataFrame(
+        [("badword",), ("ALPHA",), ("beta",)], "term string")
+    out = {r["doc_id"]: r for r in
+           blocklist_filter(docs, "doc_id", "text", terms).collect()}
+    assert out[1]["keep"] is True and out[1]["n_hits"] == 0
+    assert out[2]["keep"] is False and out[2]["n_hits"] == 2
+    assert out[2]["sample_terms"] == ["badword"]
+    assert out[3]["keep"] is True  # substring never matches
+    assert out[4]["keep"] is True and out[4]["sample_terms"] == []
+    assert out[5]["keep"] is False and out[5]["n_hits"] == 3
+    assert out[5]["n_distinct_terms"] == 2
+    assert out[5]["sample_terms"] == ["alpha", "beta"]
