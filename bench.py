@@ -92,6 +92,9 @@ HEADLINE = [
     "corpus_boilerplate_strip",
     # r6: C4 blocklist filter (broadcast term-table join shape)
     "quality_blocklist_filter",
+    # r6: ADC+R two-stage ANN (code-only scan + float fetch for the
+    # broadcast shortlist only)
+    "similarity_pq_adc_rerank_topk",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

@@ -562,6 +562,56 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame,
     )
 
 
+def pq_adc_topk_rerank(corpus: DataFrame, queries: DataFrame,
+                       codebooks: list[list[list[float]]], k: int = 5,
+                       candidates: int | None = None,
+                       id_col: str = "vec_id", vec_col: str = "embedding"
+                       ) -> DataFrame:
+    """ADC+R: PQ-ADC shortlist re-ranked by EXACT cosine — the standard
+    two-stage recall fix (Jegou et al., 'Searching in one billion
+    vectors: re-rank with source coding'): quantization error makes raw
+    ADC ordering fuzzy near the decision boundary (measured recall@5 =
+    0.70 on the clustered test corpus), but the true top-k almost
+    always sit inside a slightly larger ADC shortlist, so re-scoring
+    just `candidates` rows per query with exact floats recovers
+    near-exact recall at a tiny fraction of brute-force cost.
+
+    Scale shape: stage 1 is the code-only ADC scan (m bytes/row);
+    stage 2 touches corpus floats for ONLY the |queries| x candidates
+    shortlist rows — the shortlist broadcasts (a few thousand ids) and
+    the float fetch is one hash semi-join against the embedding
+    column, prunable by row-group stats when the corpus is sorted or
+    bucketed by id. Ordering (exact cosine desc, id asc) reuses
+    brute_force_topk's bit-exact fold expressions, so on a shortlist
+    containing the true top-k the output is bit-identical to
+    brute-force."""
+    if candidates is None:
+        candidates = max(4 * k, 20)
+    short = pq_adc_topk(corpus, queries, codebooks, k=candidates,
+                        id_col=id_col, vec_col=vec_col) \
+        .select("query_id", "neighbor_id")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv"),
+                      norm_fold(vec_col).alias("__cn"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv"),
+                       norm_fold(vec_col).alias("__qn"))
+    exact = (
+        c.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id",
+                (dot_fold("__qv", "__cv")
+                 / (F.col("__qn") * F.col("__cn"))).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
 def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
     """Symmetric per-vector int8 quantization — the storage path for
