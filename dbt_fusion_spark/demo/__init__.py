@@ -55,9 +55,10 @@ GATE_WINDOW: list[str] = [
     # snapshots (2)
     "snapshot_hard_delete_invalidate",
     "snapshot_partition_scoped",
-    # data / unit tests (2)
+    # data tests (1; unit_test_fixture_compare — 3x driver-green —
+    # yields its slot to an r6 debut, staying local-parity + exercised
+    # inside runner_full_build_statuses' full project build)
     "data_test_unique_severity",
-    "unit_test_fixture_compare",
     # incremental strategies (3; replace_where + merge both touched by
     # r6 code changes — ADVICE drop-count + skew-path persist)
     "incremental_merge",
@@ -70,8 +71,8 @@ GATE_WINDOW: list[str] = [
     "sample_leakage_safe_split",
     "sampler_plan_referential",
     "sample_weighted_reservoir",
-    # semantic layer (3; cumulative + derived metric types debut)
-    "saved_query_revenue_aov",
+    # semantic layer (2 debuts; saved_query_revenue_aov — 3x
+    # driver-green — yields its slot to an r6 debut)
     "metric_cumulative_revenue",
     "metric_derived_revenue_per_customer",
     # TPC-H (2 debuts: q8 multi-join market share, q20 nested
@@ -117,6 +118,9 @@ GATE_WINDOW: list[str] = [
     # streaming (2 debuts; batch-algebra oracles)
     "streaming_dedup_keys",
     "streaming_volume_monitor",
+    # r6 NEW operators, driver-certified in their debut round
+    "quality_blocklist_filter",
+    "similarity_pq_adc_rerank_topk",
 ]
 
 
