@@ -404,9 +404,11 @@ def _fit_gate_pq() -> list | None:
         return None
 
 
-def _pq_oracle(books) -> str | None:
-    if books is None:
-        return None
+def _pq_oracle_prelude(books) -> str:
+    """Shared encode + ADC restatement (enc / q / adc_scored CTEs) —
+    ONE definition so the plain-ADC and ADC+R oracles can never drift
+    on the encoding convention (list_position tie-break, codebook
+    literal format)."""
     sub = len(books[0][0])
     score_arrays = []
     for j, book in enumerate(books):
@@ -417,18 +419,24 @@ def _pq_oracle(books) -> str | None:
         f"list_position({s}, list_aggregate({s}, 'max'))"
         for s in score_arrays)
     adc = S.pq_adc_scores_sql(books, "q.qv", "e.pq_code", dialect="duckdb")
-    return f"""
-    WITH enc AS (
+    return f"""enc AS (
       SELECT vec_id, [{codes}] AS pq_code FROM embeddings),
     q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
           WHERE vec_id < 10),
-    scored AS (
+    adc_scored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id, {adc} AS adc_dot
-      FROM q, enc e WHERE e.vec_id <> q.query_id),
+      FROM q, enc e WHERE e.vec_id <> q.query_id)"""
+
+
+def _pq_oracle(books) -> str | None:
+    if books is None:
+        return None
+    return f"""
+    WITH {_pq_oracle_prelude(books)},
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY adc_dot DESC, neighbor_id) AS rnk
-      FROM scored)
+      FROM adc_scored)
     SELECT query_id, neighbor_id, adc_dot, rnk FROM ranked WHERE rnk <= 5
     """
 
@@ -454,24 +462,8 @@ def similarity_pq_adc_topk(spark, sf_dir):
 def _pq_rerank_oracle(books, cand: int = 20) -> str | None:
     if books is None:
         return None
-    sub = len(books[0][0])
-    score_arrays = []
-    for j, book in enumerate(books):
-        sl = S._pq_sub_slice("embedding", j, sub, "duckdb")
-        scores = ", ".join(S.cell_scores_sql(book, sl, dialect="duckdb"))
-        score_arrays.append(f"[{scores}]")
-    codes = ", ".join(
-        f"list_position({s}, list_aggregate({s}, 'max'))"
-        for s in score_arrays)
-    adc = S.pq_adc_scores_sql(books, "q.qv", "e.pq_code", dialect="duckdb")
     return f"""
-    WITH enc AS (
-      SELECT vec_id, [{codes}] AS pq_code FROM embeddings),
-    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-          WHERE vec_id < 10),
-    adc_scored AS (
-      SELECT q.query_id, e.vec_id AS neighbor_id, {adc} AS adc_dot
-      FROM q, enc e WHERE e.vec_id <> q.query_id),
+    WITH {_pq_oracle_prelude(books)},
     shortlist AS (
       SELECT query_id, neighbor_id FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id

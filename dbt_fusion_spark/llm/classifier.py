@@ -85,7 +85,10 @@ def calibrate_keep_threshold(df: DataFrame, score_col: str,
     counts score >= threshold. NULL scores are ignored (PERCENTILE_CONT
     semantics); a NULL group key is a real group and survives to the
     output (eqNullSafe joins throughout — docs with missing domain
-    metadata are common).
+    metadata are common). A group whose EVERY score is NULL — and, for
+    the ungrouped call, an entirely empty input — still emits its row
+    (threshold NULL, n_docs 0, n_kept 0), so callers indexing
+    `.collect()[0]` never crash on an empty batch.
 
     Exact PERCENTILE_CONT-style interpolation, not percentile_approx:
     the approx sketch is engine-private (irreproducible), while the
@@ -124,11 +127,14 @@ def calibrate_keep_threshold(df: DataFrame, score_col: str,
     # ONE pass over the data: (group, score) -> count. localCheckpoint
     # (eager) materializes it and cuts the lineage so the caller's
     # unmaterialized scoring pipeline (gram explode + weight join) runs
-    # exactly once, with nothing left to unpersist.
-    grid = (df.filter(s.isNotNull())
-            .groupBy(*keys, s.alias("__s"))
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .localCheckpoint(eager=True))
+    # exactly once, with nothing left to unpersist. NULL scores are
+    # kept as NULL grid cells here (excluded from the walk below) so
+    # the GROUP UNIVERSE — including groups whose every score is NULL —
+    # is recoverable from the checkpoint without re-evaluating df.
+    grid0 = (df.groupBy(*keys, s.alias("__s"))
+             .agg(F.count(F.lit(1)).alias("__c"))
+             .localCheckpoint(eager=True))
+    grid = grid0.filter(F.col("__s").isNotNull())
     from pyspark.sql import Window
 
     w = (Window.partitionBy(*keys).orderBy("__s")
@@ -169,6 +175,16 @@ def calibrate_keep_threshold(df: DataFrame, score_col: str,
         out = thr.join(kept, F.col(by).eqNullSafe(F.col("__g")), "left") \
             .select(by, "threshold", "n_docs",
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+        # survival: a group whose EVERY score is NULL has no grid walk
+        # row but is still a real group — emit it with NULL threshold
+        # and zero counts (the universe comes from the checkpoint, so
+        # df is never re-evaluated)
+        universe = grid0.select(F.col(by).alias("__u")).dropDuplicates()
+        out = universe.join(
+            F.broadcast(out), F.col("__u").eqNullSafe(F.col(by)), "left") \
+            .select(F.col("__u").alias(by), "threshold",
+                    F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
     else:
         # constant-but-opaque join key (the _join_scalar trick): a
         # plain crossJoin(broadcast(1-row)) plans BroadcastNestedLoop-
@@ -183,6 +199,19 @@ def calibrate_keep_threshold(df: DataFrame, score_col: str,
             .withColumn("__k", F.pmod(F.col("n_kept"), F.lit(1)))
         out = thr.withColumn("__k", F.pmod(F.col("n_docs"), F.lit(1))) \
             .join(F.broadcast(kept), "__k").drop("__k")
+        # survival: an empty input (or all-NULL scores) must still
+        # return ONE row (NULL threshold, zero counts) — the global
+        # agg's n_docs is NULL there, its __k never matches, and the
+        # inner join above yields zero rows; seed one.
+        seed = df.sparkSession.range(1).select(
+            F.pmod(F.col("id"), F.lit(1)).alias("__j"))
+        out = seed.join(
+            F.broadcast(out.withColumn(
+                "__j", F.pmod(F.col("n_docs"), F.lit(1)))),
+            "__j", "left").drop("__j") \
+            .select(F.col("threshold"),
+                    F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
     return out.select(
         *keys, F.round("threshold", 6).alias("threshold"),
         F.col("n_docs").cast("bigint").alias("n_docs"),

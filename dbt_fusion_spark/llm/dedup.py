@@ -187,37 +187,54 @@ def _drop_oversized_buckets(bands: DataFrame, max_bucket: int) -> DataFrame:
     anti-join. At fleet scale the one aggregate job is map-side
     partial-agg over the already-materialized signature table.
     """
-    over_rows = (bands.groupBy("band_id", "band_value")
-                 .agg(F.count(F.lit(1)).alias("__m"))
-                 .filter(F.col("__m") > max_bucket)
+    return _cap_buckets(bands, [bands], max_bucket, "")[0]
+
+
+# Above this many oversized buckets the literal NOT-IN filter would
+# bloat the plan; fall back to the distributed anti-join instead.
+_OVER_LIMIT = 64
+
+
+def _cap_buckets(counting: DataFrame, targets: list[DataFrame],
+                 max_bucket: int, label: str) -> list[DataFrame]:
+    """Shared cap mechanics for the self-join and cross paths: bucket
+    sizes are counted over `counting` (the joint union for the cross
+    variant) and every frame in `targets` is filtered by the same
+    oversized set. One bounded probe job; untouched plans when nothing
+    is oversized; exact dropped-bucket/row counts in the warning even
+    on the >_OVER_LIMIT anti-join fallback (a second bounded aggregate
+    there — the rare path pays for its own diagnostics)."""
+    sizes = counting.groupBy("band_id", "band_value").agg(
+        F.count(F.lit(1)).alias("__m"))
+    over_rows = (sizes.filter(F.col("__m") > max_bucket)
                  .limit(_OVER_LIMIT + 1).collect())
     if not over_rows:
-        return bands
+        return targets
     import warnings
 
+    if len(over_rows) <= _OVER_LIMIT:
+        n_over = len(over_rows)
+        n_rows = sum(r["__m"] for r in over_rows)
+    else:
+        exact = sizes.filter(F.col("__m") > max_bucket).agg(
+            F.count(F.lit(1)).alias("b"), F.sum("__m").alias("r")) \
+            .collect()[0]
+        n_over, n_rows = exact["b"], exact["r"]
     warnings.warn(
-        f"LSH hot-bucket cap: dropping {len(over_rows)} buckets larger "
-        f"than {max_bucket} (covering "
-        f"{sum(r['__m'] for r in over_rows)} signature rows) before "
+        f"LSH hot-bucket cap{label}: dropping {n_over} buckets larger "
+        f"than {max_bucket} (covering {n_rows} signature rows) before "
         f"pair generation — likely corpus boilerplate; pass "
         f"max_bucket=None for exact LSH semantics or retune from the "
-        f"lsh_audit histogram", stacklevel=3)
+        f"lsh_audit histogram", stacklevel=4)
     if len(over_rows) <= _OVER_LIMIT:
         cond = F.lit(False)
         for r in over_rows:
             cond = cond | ((F.col("band_id") == F.lit(r["band_id"]))
                            & (F.col("band_value")
                               == F.lit(r["band_value"])))
-        return bands.filter(~cond)
-    sizes = bands.groupBy("band_id", "band_value").agg(
-        F.count(F.lit(1)).alias("__m"))
+        return [t.filter(~cond) for t in targets]
     keep = sizes.filter(F.col("__m") <= max_bucket).drop("__m")
-    return bands.join(keep, ["band_id", "band_value"])
-
-
-# Above this many oversized buckets the literal NOT-IN filter would
-# bloat the plan; fall back to the distributed anti-join instead.
-_OVER_LIMIT = 64
+    return [t.join(keep, ["band_id", "band_value"]) for t in targets]
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -316,32 +333,7 @@ def lsh_candidate_pairs_cross(new: DataFrame, existing: DataFrame,
             eb.count()
         joint = eb.select("band_id", "band_value").unionAll(
             nb.select("band_id", "band_value"))
-        over_rows = (joint.groupBy("band_id", "band_value")
-                     .agg(F.count(F.lit(1)).alias("__m"))
-                     .filter(F.col("__m") > max_bucket)
-                     .limit(_OVER_LIMIT + 1).collect())
-        if over_rows:
-            import warnings
-
-            warnings.warn(
-                f"LSH hot-bucket cap (cross): dropping {len(over_rows)} "
-                f"joint buckets larger than {max_bucket}; pass "
-                f"max_bucket=None for exact LSH semantics",
-                stacklevel=2)
-            if len(over_rows) <= _OVER_LIMIT:
-                cond = F.lit(False)
-                for r in over_rows:
-                    cond = cond | (
-                        (F.col("band_id") == F.lit(r["band_id"]))
-                        & (F.col("band_value") == F.lit(r["band_value"])))
-                eb, nb = eb.filter(~cond), nb.filter(~cond)
-            else:
-                sizes = joint.groupBy("band_id", "band_value").agg(
-                    F.count(F.lit(1)).alias("__m"))
-                keep = sizes.filter(F.col("__m") <= max_bucket) \
-                    .drop("__m")
-                eb = eb.join(keep, ["band_id", "band_value"])
-                nb = nb.join(keep, ["band_id", "band_value"])
+        eb, nb = _cap_buckets(joint, [eb, nb], max_bucket, " (cross)")
     e = eb.select(F.col(id_col).alias("existing_id"), "band_id",
                   "band_value")
     n = nb.select(F.col(id_col).alias("new_id"), "band_id", "band_value")

@@ -346,61 +346,101 @@ def containment_scores(corpus: DataFrame, probes: DataFrame, id_col: str,
     )
 
 
+def _blk_strip(c):
+    """Edge-punctuation strip on an already-lowercased token."""
+    return F.regexp_replace(
+        F.regexp_replace(c, r"^[^a-z0-9]+", ""), r"[^a-z0-9]+$", "")
+
+
 def blocklist_filter(df: DataFrame, id_col: str, text_col: str,
                      terms: DataFrame, term_col: str = "term",
                      max_terms_sample: int = 5) -> DataFrame:
     """C4-style blocklist ("bad words") document filter: a document is
-    rejected when ANY of its word tokens matches a blocklist term
-    (case-insensitive whole-word match — the C4 policy; reference-class
-    pipelines at https://github.com/google-research/text-to-text-
-    transfer-transformer use the 'List of Dirty Naughty Obscene...'
-    list the same way). Emits (id, keep, n_hits, n_distinct_terms,
-    sample_terms) — the counts feed the rejection dashboard and
-    sample_terms (first `max_terms_sample`, sorted) makes audits
-    reproducible.
+    rejected when its word-token sequence contains ANY blocklist term —
+    single words AND multi-word phrases (the real LDNOOBW list used by
+    C4 at https://github.com/google-research/text-to-text-transfer-
+    transformer mixes both) — case-insensitively on whole-word
+    boundaries. Emits (id, keep, n_hits, n_distinct_terms,
+    sample_terms): the counts feed the rejection dashboard and
+    sample_terms (first `max_terms_sample`, sorted, normalized form)
+    makes audits reproducible.
 
-    Scale shape: the blocklist is a TABLE, not a regex — token explode
-    -> broadcast hash semi-style inner join on the normalized term ->
-    per-doc count aggregate -> left mark-back join onto the corpus.
-    A 100k-term list is a few MB broadcast; the alternative (one
-    mega-regex) blows up the codegen'd pattern and cannot be updated
-    without recompiling the plan. NULL text produces zero tokens and
-    is KEPT (no evidence of a hit — scrubbing NULLs is the gopher
-    min-words filter's job, not the blocklist's).
+    BOTH sides get the identical normalization — lowercase,
+    whitespace-run split, per-word edge-punctuation strip, single-space
+    rejoin — so a noisy blocklist row like ' Badword! ' still matches
+    the document token 'badword,'. A term with n words matches against
+    the document's n-token phrases (overlapping windows over the
+    stripped token sequence), so hits are counted per occurrence.
 
-    Matching is on the same normalization as tokens()/hashed grams:
-    lowercase + whitespace-run split, then strip leading/trailing
-    punctuation from each token so "badword," still hits. Terms are
-    lowercased on the blocklist side too.
+    Scale shape: the blocklist is a TABLE, not a regex — per distinct
+    phrase length n in the list, the corpus explodes its n-token
+    windows once and broadcast-joins the (tiny) length-n term subset;
+    one bounded driver action reads the DISTINCT PHRASE LENGTHS (a few
+    ints, never the terms). A 100k-term list is a few MB broadcast; a
+    mega-regex alternative blows up the codegen'd pattern and cannot
+    be updated without recompiling the plan. NULL text produces zero
+    tokens and is KEPT (no evidence of a hit — scrubbing NULLs is the
+    gopher min-words filter's job, not the blocklist's).
     """
-    tok = F.explode(
-        F.filter(F.split(F.trim(F.lower(F.coalesce(F.col(text_col),
-                                                   F.lit("")))),
-                         r"\s+"),
-                 lambda t: t != "")).alias("__tok")
-    stripped = F.regexp_replace(
-        F.regexp_replace(F.col("__tok"), r"^[^a-z0-9]+", ""),
-        r"[^a-z0-9]+$", "")
-    toks = (df.select(F.col(id_col), tok)
-            .select(id_col, stripped.alias("__tok"))
-            .filter(F.col("__tok") != ""))
-    tset = terms.select(
-        F.lower(F.col(term_col)).alias("__tok")).dropDuplicates()
-    hits = (toks.join(F.broadcast(tset), "__tok")
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"),
-                 F.countDistinct("__tok").cast("bigint")
-                 .alias("n_distinct_terms"),
-                 F.slice(F.array_sort(F.collect_set("__tok")), 1,
-                         max_terms_sample).alias("sample_terms")))
-    return (df.select(id_col).join(hits, id_col, "left")
-            .select(
-                id_col,
-                F.col("n_hits").isNull().alias("keep"),
-                F.coalesce("n_hits", F.lit(0)).cast("bigint")
-                .alias("n_hits"),
-                F.coalesce("n_distinct_terms", F.lit(0)).cast("bigint")
-                .alias("n_distinct_terms"),
-                F.coalesce("sample_terms",
-                           F.array().cast("array<string>"))
-                .alias("sample_terms")))
+    tnorm = (terms.select(
+        F.array_join(
+            F.filter(
+                F.transform(
+                    F.split(F.trim(F.lower(F.col(term_col))), r"\s+"),
+                    _blk_strip),
+                lambda t: t != ""),
+            " ").alias("__term"))
+        .filter(F.col("__term") != "").dropDuplicates()
+        .withColumn("__n", F.size(F.split(F.col("__term"), " "))))
+    # bounded: distinct phrase LENGTHS only (ints), never the terms
+    ns = sorted(r["__n"] for r in
+                tnorm.select("__n").dropDuplicates().collect())
+    base = df.select(
+        F.col(id_col),
+        F.filter(
+            F.transform(
+                F.split(F.trim(F.lower(F.coalesce(F.col(text_col),
+                                                  F.lit("")))),
+                        r"\s+"),
+                _blk_strip),
+            lambda t: t != "").alias("__ts"))
+    hit_frames = []
+    for n in ns:
+        cnt = F.size("__ts") - F.lit(n - 1)
+        # guard: sequence(1, 0) infers a NEGATIVE step and yields
+        # [1, 0] instead of [] — never build an empty range
+        phrases = F.when(
+            cnt >= 1,
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.array_join(F.slice(F.col("__ts"), i, n),
+                                       " "))
+        ).otherwise(F.array().cast("array<string>"))
+        hit_frames.append(
+            base.select(id_col, F.explode(phrases).alias("__term"))
+            .join(F.broadcast(tnorm.filter(F.col("__n") == n)
+                              .select("__term")), "__term"))
+    if hit_frames:
+        all_hits = hit_frames[0]
+        for h in hit_frames[1:]:
+            all_hits = all_hits.unionByName(h)
+        hits = (all_hits.groupBy(id_col)
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+                     F.countDistinct("__term").cast("bigint")
+                     .alias("n_distinct_terms"),
+                     F.slice(F.array_sort(F.collect_set("__term")), 1,
+                             max_terms_sample).alias("sample_terms")))
+        out = df.select(id_col).join(hits, id_col, "left")
+    else:  # empty blocklist: everything keeps
+        out = df.select(
+            id_col, F.lit(None).cast("bigint").alias("n_hits"),
+            F.lit(None).cast("bigint").alias("n_distinct_terms"),
+            F.lit(None).cast("array<string>").alias("sample_terms"))
+    return out.select(
+        id_col,
+        F.col("n_hits").isNull().alias("keep"),
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.coalesce("n_distinct_terms", F.lit(0)).cast("bigint")
+        .alias("n_distinct_terms"),
+        F.coalesce("sample_terms", F.array().cast("array<string>"))
+        .alias("sample_terms"))

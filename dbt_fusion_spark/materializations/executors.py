@@ -466,14 +466,23 @@ def materialize_incremental(
             # filtering here makes all three ladder rungs agree. The
             # drop is NOT silent: out-of-scope rows usually mean a
             # predicate/batch mismatch bug (Delta would fail loudly),
-            # so count them (one aggregate scan) and surface the count
-            # in the status.
-            dropped = spark.sql(
-                f"SELECT count(*) - count_if({pred_sql}) AS d "
-                f"FROM (\n{sql}\n) __dbt_batch").collect()[0]["d"]
-            spark.sql(f"SELECT * FROM (\n{sql}\n) __dbt_batch "
-                      f"WHERE {pred_sql}").createOrReplaceTempView(view)
-            spark.sql(native.replace_where_sql(target.render(), view, preds))
+            # so count them and surface the count in the status. The
+            # batch is persisted+materialized ONCE so the count and the
+            # INSERT read the same evaluation (an expensive or
+            # non-deterministic batch plan would otherwise pay 2x
+            # compute and could disagree between the two passes).
+            batch_df = spark.sql(sql).persist()
+            try:
+                total = batch_df.count()
+                from pyspark.sql import functions as _F
+
+                in_scope = batch_df.filter(_F.expr(pred_sql))
+                in_scope.createOrReplaceTempView(view)
+                dropped = total - in_scope.count()
+                spark.sql(native.replace_where_sql(target.render(), view,
+                                                   preds))
+            finally:
+                batch_df.unpersist()
             if dropped:
                 return (f"REPLACE WHERE (native, WARNING: {dropped} "
                         f"out-of-scope source rows dropped)")

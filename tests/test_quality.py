@@ -391,10 +391,16 @@ def test_blocklist_filter_word_boundary_and_nulls(spark):
          (2, "contains Badword, twice: badword!"),
          (3, "notbadwordish is fine; embedword too"),
          (4, None),
-         (5, "ALPHA beta alpha")],
+         (5, "ALPHA beta alpha"),
+         (6, "has a Two-part: bad phrase! inside"),
+         (7, "phrase alone and bad alone are fine")],
         "doc_id long, text string")
+    # noisy blocklist rows: edge punctuation, stray whitespace, case,
+    # and a multi-word phrase — all must still match (ADVICE-class bug:
+    # only docs were normalized, so 'badword!' could never hit)
     terms = spark.createDataFrame(
-        [("badword",), ("ALPHA",), ("beta",)], "term string")
+        [("badword!",), (" ALPHA ",), ("beta",), ("Bad Phrase",)],
+        "term string")
     out = {r["doc_id"]: r for r in
            blocklist_filter(docs, "doc_id", "text", terms).collect()}
     assert out[1]["keep"] is True and out[1]["n_hits"] == 0
@@ -405,3 +411,38 @@ def test_blocklist_filter_word_boundary_and_nulls(spark):
     assert out[5]["keep"] is False and out[5]["n_hits"] == 3
     assert out[5]["n_distinct_terms"] == 2
     assert out[5]["sample_terms"] == ["alpha", "beta"]
+    # multi-word phrase: matched across the punctuation-stripped
+    # token boundary; its words alone do NOT match
+    assert out[6]["keep"] is False
+    assert out[6]["sample_terms"] == ["bad phrase"]
+    assert out[7]["keep"] is True
+
+
+def test_calibrate_empty_and_all_null_inputs(spark):
+    """Review r6: an empty batch (or all-NULL scores) must still return
+    one row per group — threshold NULL, zero counts — so callers doing
+    .collect()[0] on an empty incremental batch never crash; a group
+    whose every score is NULL survives with zero counts."""
+    from dbt_fusion_spark.llm.classifier import calibrate_keep_threshold
+
+    empty = spark.createDataFrame([], "doc_id long, source string, score double")
+    row = calibrate_keep_threshold(empty, "score", keep_rate=0.3).collect()
+    assert len(row) == 1
+    assert row[0]["threshold"] is None
+    assert row[0]["n_docs"] == 0 and row[0]["n_kept"] == 0
+    assert calibrate_keep_threshold(empty, "score", keep_rate=0.3,
+                                    by="source").count() == 0
+
+    nulls = spark.createDataFrame(
+        [(1, "a", None), (2, "a", None)]
+        + [(10 + i, "b", float(i)) for i in range(10)],
+        "doc_id long, source string, score double")
+    out = {r["source"]: r for r in calibrate_keep_threshold(
+        nulls, "score", keep_rate=0.3, by="source").collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["threshold"] is None
+    assert out["a"]["n_docs"] == 0 and out["a"]["n_kept"] == 0
+    assert out["b"]["n_docs"] == 10 and out["b"]["n_kept"] >= 3
+    gu = calibrate_keep_threshold(nulls.filter("source = 'a'"),
+                                  "score", keep_rate=0.3).collect()
+    assert len(gu) == 1 and gu[0]["threshold"] is None

@@ -201,29 +201,14 @@ def test_unique10_lsh_pairs_linear(spark):
     - avg_bucket flat (<= 1.5x base) and no mega-bucket (every bucket
       < 2% of the corpus) — the collision STRUCTURE stays healthy.
     """
-    from pyspark.sql import functions as F
-
     from tools.bench_scale10 import lsh_audit
-    from tools.scale10 import ensure_unique10
+    from tools.scale10 import ensure_unique10, per_replica_pairs
 
     small = lsh_audit(spark, "/root/testdata/sf0.1")
     unique_dir = ensure_unique10(spark)
     uniq = lsh_audit(spark, unique_dir)
     assert uniq["n_docs"] == 10 * small["n_docs"]
-
-    from dbt_fusion_spark.llm.dedup import minhash_bands, with_normalized
-    from dbt_fusion_spark.sources.registry import load_table
-
-    docs = load_table(spark, unique_dir, "documents")
-    per_replica = []
-    for k in range(10):
-        rep = with_normalized(
-            docs.filter(F.pmod(F.col("doc_id"), 10) == k), "text")
-        b = minhash_bands(rep, "doc_id", "text")
-        p = (b.groupBy("band_id", "band_value").count()
-             .agg(F.coalesce(F.sum(F.expr("count*(count-1)/2")),
-                             F.lit(0.0)).alias("p")).collect()[0]["p"])
-        per_replica.append(int(p))
+    per_replica = per_replica_pairs(spark, unique_dir)
     # identity: replica 0 is the untransformed base corpus
     assert per_replica[0] == small["candidate_pairs"], (
         per_replica[0], small["candidate_pairs"])

@@ -135,22 +135,11 @@ def main() -> None:
     # replica re-rolls which common shingle draws the smallest hash),
     # so the stable O(n) statistic is ADDITIVITY — total pairs ~ sum of
     # per-replica pairs, i.e. no cross-replica superlinear interaction
-    # (see tests/test_scale10.test_unique10_lsh_pairs_linear).
-    from pyspark.sql import functions as F
+    # (shared definition: tools/scale10.per_replica_pairs, also used by
+    # tests/test_scale10.test_unique10_lsh_pairs_linear).
+    from tools.scale10 import per_replica_pairs
 
-    from dbt_fusion_spark.llm.dedup import minhash_bands, with_normalized
-    from dbt_fusion_spark.sources.registry import load_table
-
-    udocs = load_table(spark, unique_dir, "documents")
-    per_replica = []
-    for k in range(10):
-        rep = with_normalized(
-            udocs.filter(F.pmod(F.col("doc_id"), 10) == k), "text")
-        b = minhash_bands(rep, "doc_id", "text")
-        p = (b.groupBy("band_id", "band_value").count()
-             .agg(F.coalesce(F.sum(F.expr("count*(count-1)/2")),
-                             F.lit(0.0)).alias("p")).collect()[0]["p"])
-        per_replica.append(int(p))
+    per_replica = per_replica_pairs(spark, unique_dir)
     pair_ratio = round(audit_big["candidate_pairs"]
                        / max(1, audit_small["candidate_pairs"]), 2)
     avg_s = (sum(b["avg_bucket"] for b in audit_small["per_band"])

@@ -169,3 +169,25 @@ def ensure_unique10(spark: SparkSession, out_dir: str = UNIQUE_OUT,
     if not os.path.exists(marker):
         generate_unique10(spark, out_dir, src_dir)
     return out_dir
+
+
+def per_replica_pairs(spark: SparkSession, unique_dir: str) -> list[int]:
+    """LSH candidate-pair count of each unique10 replica in isolation
+    (replica k = doc_id % 10 == k; replica 0 is the untransformed base
+    corpus). THE shared definition of the additivity certificate —
+    bench_scale10's artifact and test_scale10's assertion both call
+    this, so they can never silently measure different statistics."""
+    from dbt_fusion_spark.llm.dedup import minhash_bands, with_normalized
+    from dbt_fusion_spark.sources.registry import load_table
+
+    docs = load_table(spark, unique_dir, "documents")
+    out = []
+    for k in range(10):
+        rep = with_normalized(
+            docs.filter(F.pmod(F.col("doc_id"), 10) == k), "text")
+        b = minhash_bands(rep, "doc_id", "text")
+        p = (b.groupBy("band_id", "band_value").count()
+             .agg(F.coalesce(F.sum(F.expr("count*(count-1)/2")),
+                             F.lit(0.0)).alias("p")).collect()[0]["p"])
+        out.append(int(p))
+    return out
