@@ -93,8 +93,9 @@ HEADLINE = [
     # r6: C4 blocklist filter (broadcast term-table join shape)
     "quality_blocklist_filter",
     # r6: ADC+R two-stage ANN (code-only scan + float fetch for the
-    # broadcast shortlist only)
+    # broadcast shortlist only) and the full IVFADC composition
     "similarity_pq_adc_rerank_topk",
+    "similarity_ivf_pq_topk",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

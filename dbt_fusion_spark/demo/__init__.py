@@ -59,9 +59,11 @@ GATE_WINDOW: list[str] = [
     # yields its slot to an r6 debut, staying local-parity + exercised
     # inside runner_full_build_statuses' full project build)
     "data_test_unique_severity",
-    # incremental strategies (3; replace_where + merge both touched by
-    # r6 code changes — ADVICE drop-count + skew-path persist)
-    "incremental_merge",
+    # incremental strategies (2; incremental_merge — 4x driver-green —
+    # yields its slot to the r6 IVFADC debut; the merge family stays
+    # gated through its partition-scoped rung, and both rows below were
+    # touched by r6 code changes — ADVICE drop-count + skew-path
+    # persist)
     "incremental_merge_partition_scoped",
     "incremental_replace_where",
     # macro / dialect surface (2 debuts)
@@ -121,6 +123,7 @@ GATE_WINDOW: list[str] = [
     # r6 NEW operators, driver-certified in their debut round
     "quality_blocklist_filter",
     "similarity_pq_adc_rerank_topk",
+    "similarity_ivf_pq_topk",
 ]
 
 

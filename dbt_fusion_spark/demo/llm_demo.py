@@ -404,20 +404,26 @@ def _fit_gate_pq() -> list | None:
         return None
 
 
-def _pq_oracle_prelude(books) -> str:
-    """Shared encode + ADC restatement (enc / q / adc_scored CTEs) —
-    ONE definition so the plain-ADC and ADC+R oracles can never drift
-    on the encoding convention (list_position tie-break, codebook
-    literal format)."""
+def _pq_codes_expr(books) -> str:
+    """DuckDB PQ-code array expression over the `embedding` column —
+    ONE definition of the encoding restatement (list_position
+    tie-break, codebook literal format) shared by every PQ oracle."""
     sub = len(books[0][0])
     score_arrays = []
     for j, book in enumerate(books):
         sl = S._pq_sub_slice("embedding", j, sub, "duckdb")
         scores = ", ".join(S.cell_scores_sql(book, sl, dialect="duckdb"))
         score_arrays.append(f"[{scores}]")
-    codes = ", ".join(
+    return "[" + ", ".join(
         f"list_position({s}, list_aggregate({s}, 'max'))"
-        for s in score_arrays)
+        for s in score_arrays) + "]"
+
+
+def _pq_oracle_prelude(books) -> str:
+    """Shared encode + ADC restatement (enc / q / adc_scored CTEs) —
+    ONE definition so the plain-ADC and ADC+R oracles can never drift
+    on the encoding convention."""
+    codes = _pq_codes_expr(books)[1:-1]
     adc = S.pq_adc_scores_sql(books, "q.qv", "e.pq_code", dialect="duckdb")
     return f"""enc AS (
       SELECT vec_id, [{codes}] AS pq_code FROM embeddings),
@@ -499,6 +505,76 @@ def similarity_pq_adc_rerank_topk(spark, sf_dir):
         f"{sf_dir}/embeddings.parquet", m=_PQ_M, n_codes=_PQ_CODES)
     return S.pq_adc_topk_rerank(emb, emb.filter(F.col("vec_id") < 10),
                                 books, k=5, candidates=40)
+
+
+def _ivf_pq_oracle(centroids, books, nprobe: int = 2,
+                   cand: int = 20) -> str | None:
+    if centroids is None or books is None:
+        return None
+    n = len(centroids)
+    scores = ", ".join(
+        S.cell_scores_sql(centroids, "embedding", dialect="duckdb"))
+    codes = _pq_codes_expr(books)
+    adc = S.pq_adc_scores_sql(books, "p.qv", "e.pq_code", dialect="duckdb")
+    # top-nprobe cells: sort (-score, idx) structs asc == score desc
+    # with ties to the lowest index — the _topn_cells_expr convention
+    probes = (f"list_transform(list_slice(list_sort(list_transform("
+              f"generate_series(1, {n}), i -> {{s: -__s[i], i: i}})), "
+              f"1, {nprobe}), x -> x.i)")
+    return f"""
+    WITH cs AS (
+      SELECT vec_id, embedding, [{scores}] AS __s FROM embeddings),
+    cells AS (
+      SELECT vec_id, embedding,
+             list_position(__s, list_aggregate(__s, 'max')) AS cell,
+             {probes} AS probes
+      FROM cs),
+    enc AS (SELECT vec_id, cell, {codes} AS pq_code FROM cells),
+    probed AS (
+      SELECT vec_id AS query_id, embedding AS qv, unnest(probes) AS cell
+      FROM cells WHERE vec_id < 10),
+    adc_scored AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id, {adc} AS adc_dot
+      FROM probed p JOIN enc e USING (cell)
+      WHERE e.vec_id <> p.query_id),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dot DESC, neighbor_id)
+          AS arnk FROM adc_scored) WHERE arnk <= {cand}),
+    q2 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 10),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_duck_cos('q2.qv', 'e2.embedding')} AS cos_sim
+      FROM shortlist s
+      JOIN embeddings e2 ON e2.vec_id = s.neighbor_id
+      JOIN q2 USING (query_id)),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM exact)
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    """
+
+
+@register("similarity_ivf_pq_topk",
+          oracle=_ivf_pq_oracle(_GATE_CENTROIDS, _GATE_PQ))
+def similarity_ivf_pq_topk(spark, sf_dir):
+    """IVFADC (similarity.ivf_pq_topk): the billion-scale ANN
+    composition — k-means cells prune the scan to the query's 2 probed
+    cells, PQ-ADC scores survivors from m-byte codes, exact cosine
+    re-ranks the top-20. The full index path a 100 TB embedding corpus
+    serves: ~1/n_cells of the rows scanned at m bytes each, floats
+    fetched for |queries| x 20 rows only. Oracle restates cells +
+    probes + encode + ADC + re-rank stage by stage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.fit_kmeans_centroids_cached(
+        f"{sf_dir}/embeddings.parquet", n_cells=_KMEANS_N_CELLS)
+    books = S.fit_pq_codebooks_cached(
+        f"{sf_dir}/embeddings.parquet", m=_PQ_M, n_codes=_PQ_CODES)
+    return S.ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 10), cents,
+                         books, k=5, nprobe=2, candidates=20)
 
 
 @register("similarity_ivf_kmeans_topk", oracle=_kmeans_oracle(_GATE_CENTROIDS))
@@ -2046,6 +2122,52 @@ def quality_classifier_scores(spark, sf_dir):
     wt = CL.seeded_weights(spark, dim=4096, seed=99)
     return CL.linear_quality_score(docs, wt, "doc_id", "text",
                                    dim=4096, seed=7)
+
+
+@register(
+    "quality_threshold_curve",
+    oracle=f"""
+    WITH {_DUCK_CLASSIFIER_SCORES},
+    ss AS (SELECT s.doc_id, s.score, d.source
+           FROM scores s JOIN documents d USING (doc_id)),
+    thr AS (
+      SELECT source, 0.1 AS keep_rate,
+             PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY score)
+               AS threshold, COUNT(*) AS n_docs
+      FROM ss GROUP BY source
+      UNION ALL
+      SELECT source, 0.3,
+             PERCENTILE_CONT(0.7) WITHIN GROUP (ORDER BY score),
+             COUNT(*) FROM ss GROUP BY source
+      UNION ALL
+      SELECT source, 0.5,
+             PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY score),
+             COUNT(*) FROM ss GROUP BY source),
+    kept AS (SELECT ss.source, t.keep_rate, COUNT(*) AS n_kept
+             FROM ss JOIN thr t USING (source)
+             WHERE score >= threshold GROUP BY ss.source, t.keep_rate)
+    SELECT source, keep_rate, ROUND(threshold, 6) AS threshold,
+           n_docs, n_kept
+    FROM thr JOIN kept USING (source, keep_rate)
+    """,
+)
+def quality_threshold_curve(spark, sf_dir):
+    """The whole per-domain calibration CURVE (keep rates 0.1/0.3/0.5)
+    from ONE corpus pass: the rate->threshold trade-off table a
+    deployment reads before committing to a rate — each point the exact
+    PERCENTILE_CONT quantile, rates riding a broadcast join over the
+    shared score grid (zero extra corpus scans per rate)."""
+    from dbt_fusion_spark.llm import classifier as CL
+
+    docs = load_table(spark, sf_dir, "documents")
+    wt = CL.seeded_weights(spark, dim=4096, seed=99)
+    scored = CL.linear_quality_score(docs, wt, "doc_id", "text",
+                                     dim=4096, seed=7) \
+        .select("doc_id", "score") \
+        .join(docs.select("doc_id", "source"), "doc_id")
+    return CL.calibrate_threshold_curve(scored, "score",
+                                        keep_rates=[0.1, 0.3, 0.5],
+                                        by="source")
 
 
 @register(

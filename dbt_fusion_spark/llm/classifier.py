@@ -73,6 +73,38 @@ def seeded_weights(spark, dim: int = 4096, seed: int = 99) -> DataFrame:
         .alias("weight"))
 
 
+def _score_grid(df: DataFrame, score_col: str, keys: list[str],
+                grid_decimals: int | None):
+    """ONE pass over the data: (group, score) -> count, eagerly
+    localCheckpointed so the caller's unmaterialized scoring pipeline
+    (gram explode + weight join) runs exactly once with nothing left to
+    unpersist. NULL scores stay as NULL grid cells in `grid0` (the
+    GROUP UNIVERSE — including groups whose every score is NULL — is
+    recoverable from the checkpoint without re-evaluating df); the
+    returned `grid` excludes them (PERCENTILE_CONT semantics)."""
+    s = F.col(score_col)
+    if grid_decimals is not None:
+        s = F.round(s, grid_decimals)
+    grid0 = (df.groupBy(*keys, s.alias("__s"))
+             .agg(F.count(F.lit(1)).alias("__c"))
+             .localCheckpoint(eager=True))
+    return grid0, grid0.filter(F.col("__s").isNotNull())
+
+
+def _grid_walk(grid: DataFrame, keys: list[str]) -> DataFrame:
+    """Cumulative walk over the per-group score grid: (__s, __cum
+    running count, __n group total) — the ddsketch_quantiles pattern,
+    partitioned per group (bounded by grid cells, never rows)."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(*keys).orderBy("__s")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy(*keys)
+    return grid.select(
+        *keys, "__s", F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(wt).alias("__n"))
+
+
 def calibrate_keep_threshold(df: DataFrame, score_col: str,
                              keep_rate: float,
                              by: str | None = None,
@@ -121,28 +153,8 @@ def calibrate_keep_threshold(df: DataFrame, score_col: str,
         raise ValueError(f"keep_rate must be in (0, 1), got {keep_rate}")
     keys = [by] if by else []
     q = 1.0 - keep_rate
-    s = F.col(score_col)
-    if grid_decimals is not None:
-        s = F.round(s, grid_decimals)
-    # ONE pass over the data: (group, score) -> count. localCheckpoint
-    # (eager) materializes it and cuts the lineage so the caller's
-    # unmaterialized scoring pipeline (gram explode + weight join) runs
-    # exactly once, with nothing left to unpersist. NULL scores are
-    # kept as NULL grid cells here (excluded from the walk below) so
-    # the GROUP UNIVERSE — including groups whose every score is NULL —
-    # is recoverable from the checkpoint without re-evaluating df.
-    grid0 = (df.groupBy(*keys, s.alias("__s"))
-             .agg(F.count(F.lit(1)).alias("__c"))
-             .localCheckpoint(eager=True))
-    grid = grid0.filter(F.col("__s").isNotNull())
-    from pyspark.sql import Window
-
-    w = (Window.partitionBy(*keys).orderBy("__s")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    wt = Window.partitionBy(*keys)
-    walk = grid.select(
-        *keys, "__s", F.sum("__c").over(w).alias("__cum"),
-        F.sum("__c").over(wt).alias("__n"))
+    grid0, grid = _score_grid(df, score_col, keys, grid_decimals)
+    walk = _grid_walk(grid, keys)
     # PERCENTILE_CONT order statistics: 0-indexed position h = q*(n-1);
     # x_lo / x_hi are the values at floor(h) / ceil(h) — i.e. the first
     # grid rows whose cumulative count covers those positions.
@@ -255,3 +267,118 @@ def linear_quality_score(df: DataFrame, weights: DataFrame, id_col: str,
             F.round(score, 6).alias("score"),
             (F.round(score, 6) >= F.lit(threshold)).alias("keep"))
     )
+
+
+def calibrate_threshold_curve(df: DataFrame, score_col: str,
+                              keep_rates: list[float],
+                              by: str | None = None,
+                              grid_decimals: int | None = 6) -> DataFrame:
+    """The whole calibration CURVE in one corpus pass: for every
+    requested keep rate, the exact PERCENTILE_CONT threshold and the
+    kept count — per group when `by` is given. The realistic
+    deployment looks at the rate->threshold trade-off table BEFORE
+    committing to a rate; computing each point with a separate
+    calibrate_keep_threshold call would re-aggregate the corpus per
+    rate, while this shares ONE (group, score)->count grid across all
+    of them (the rates ride a broadcast join over the walk — bounded
+    work per extra rate, zero extra corpus scans).
+
+    Emits (group?, keep_rate, threshold, n_docs, n_kept), one row per
+    group x rate, same NULL-group/NULL-score semantics and the same
+    bit-exact interpolation as calibrate_keep_threshold (shared grid
+    and walk helpers — property-tested equal per rate)."""
+    if not keep_rates:
+        raise ValueError("keep_rates must be non-empty")
+    for r in keep_rates:
+        if not 0.0 < r < 1.0:
+            raise ValueError(f"keep_rate must be in (0, 1), got {r}")
+    keys = [by] if by else []
+    grid0, grid = _score_grid(df, score_col, keys, grid_decimals)
+    walk = _grid_walk(grid, keys)
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        [(float(r),) for r in sorted(set(keep_rates))],
+        "keep_rate double")
+    # every walk row x every rate: constant-but-opaque key on both
+    # sides keeps it a BroadcastHashJoin (the _join_scalar trick —
+    # NEVER a literal: Catalyst folds that into a trivial condition
+    # and plans the forbidden BroadcastNestedLoopJoin)
+    jw = walk.withColumn("__k", F.pmod(F.col("__cum"), F.lit(1))).join(
+        F.broadcast(rates.withColumn(
+            "__k", F.pmod(F.abs(F.xxhash64("keep_rate")), F.lit(1)))),
+        "__k").drop("__k")
+    q = F.lit(1.0) - F.col("keep_rate")
+    h = q * (F.col("__n") - 1).cast("double")
+    lo = F.floor(h)
+    hi = F.ceil(h)
+    thr_tbl = jw.groupBy(*keys, "keep_rate").agg(
+        F.min(F.when(F.col("__cum") >= lo + 1, F.col("__s")))
+        .alias("__xlo"),
+        F.min(F.when(F.col("__cum") >= hi + 1, F.col("__s")))
+        .alias("__xhi"),
+        F.max("__n").alias("n_docs"))
+    q2 = F.lit(1.0) - F.col("keep_rate")
+    h2 = q2 * (F.col("n_docs") - 1).cast("double")
+    lo2 = F.floor(h2)
+    hi2 = F.ceil(h2)
+    interp = F.when(hi2 == lo2, F.col("__xlo")).otherwise(
+        (hi2 - h2) * F.col("__xlo") + (h2 - lo2) * F.col("__xhi"))
+    thr = thr_tbl.select(*keys, "keep_rate",
+                         interp.alias("threshold"), "n_docs")
+    if by:
+        # renamed join keys throughout: kept/universe share lineage
+        # with thr/rates, and same-attribute equality conditions would
+        # trip Spark's ambiguous-self-join analysis
+        g2 = grid.select(F.col(by).alias("__g"), "__s", "__c")
+        kept = (g2.join(F.broadcast(thr),
+                        F.col("__g").eqNullSafe(F.col(by)))
+                .filter(F.col("__s") >= F.col("threshold"))
+                .groupBy("__g", "keep_rate")
+                .agg(F.sum("__c").alias("n_kept"))
+                .withColumnRenamed("keep_rate", "__kr"))
+        out = thr.join(
+            kept, F.col(by).eqNullSafe(F.col("__g"))
+            & (F.col("keep_rate") == F.col("__kr")), "left") \
+            .select(by, "keep_rate", "threshold", "n_docs",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+        # survival: all-NULL-score groups emit one row per rate
+        # (xxhash64 of NULL is the seed — non-null, so the opaque key
+        # works for the NULL group too)
+        universe = grid0.select(F.col(by).alias("__u")).dropDuplicates() \
+            .withColumn("__k", F.pmod(F.abs(F.xxhash64("__u")),
+                                      F.lit(1))).join(
+                F.broadcast(rates
+                            .withColumnRenamed("keep_rate", "__r")
+                            .withColumn("__k", F.pmod(
+                                F.abs(F.xxhash64("__r")), F.lit(1)))),
+                "__k") \
+            .drop("__k")
+        out = universe.join(
+            F.broadcast(out),
+            F.col("__u").eqNullSafe(F.col(by))
+            & (F.col("__r") == F.col("keep_rate")), "left") \
+            .select(F.col("__u").alias(by),
+                    F.col("__r").alias("keep_rate"),
+                    "threshold",
+                    F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+    else:
+        joined = grid.withColumn(
+            "__k", F.pmod(F.col("__c"), F.lit(1))).join(
+            F.broadcast(thr.withColumn(
+                "__k", F.pmod(F.col("n_docs"), F.lit(1)))), "__k")
+        kept = (joined.filter(F.col("__s") >= F.col("threshold"))
+                .groupBy("keep_rate")
+                .agg(F.sum("__c").alias("n_kept")))
+        out = thr.join(F.broadcast(kept), "keep_rate", "left") \
+            .select("keep_rate", "threshold", "n_docs",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+        # survival on an empty/all-NULL input: one row per rate
+        out = rates.join(F.broadcast(out), "keep_rate", "left") \
+            .select("keep_rate", "threshold",
+                    F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+    return out.select(
+        *keys, "keep_rate", F.round("threshold", 6).alias("threshold"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_kept").cast("bigint").alias("n_kept"))

@@ -612,6 +612,70 @@ def pq_adc_topk_rerank(corpus: DataFrame, queries: DataFrame,
     )
 
 
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
+                centroids: list[list[float]],
+                codebooks: list[list[list[float]]], k: int = 5,
+                nprobe: int = 1, candidates: int | None = None,
+                id_col: str = "vec_id", vec_col: str = "embedding"
+                ) -> DataFrame:
+    """IVFADC (Jégou 2011, the billion-scale ANN architecture): coarse
+    k-means cells prune the scan to the query's nprobe cells, PQ-ADC
+    scores the survivors from their m-byte codes, and (optionally,
+    `candidates=N`) an exact-cosine re-rank of the top-N repairs the
+    quantization noise — the composition of ivf_topk_kmeans +
+    pq_adc_topk + pq_adc_topk_rerank into the shape a 100 TB corpus
+    actually serves: the index scan touches 1/n_cells of the rows and
+    m bytes per row, floats are fetched for |queries| x N rows only.
+
+    Returns (query_id, neighbor_id, adc_dot, rnk) without re-rank, or
+    (query_id, neighbor_id, cos_sim, rnk) with it. Cell assignment and
+    probing reuse the exact kmeans argmax/top-n conventions (first-max
+    ties), encoding and ADC the exact pq conventions — so every stage
+    is restatable in the DuckDB oracle."""
+    c = _with_kmeans_cell(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv")),
+        centroids, "__cv")
+    c = pq_encode(c, codebooks, vec_col="__cv").drop("__cv")
+    qbase = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("__qv"))
+    if nprobe <= 1:
+        q = _with_kmeans_cell(qbase, centroids, "__qv")
+    else:
+        q = qbase.withColumn(
+            "__kcell",
+            F.explode(F.expr(_topn_cells_expr(centroids, "__qv",
+                                              nprobe))))
+    scored = (
+        F.broadcast(q).join(c, "__kcell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv",
+                F.expr(pq_adc_scores_sql(codebooks, "__qv", "pq_code",
+                                         dialect="spark"))
+                .alias("adc_dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dot").desc(), F.col("neighbor_id"))
+    short = (scored.withColumn("rnk", F.row_number().over(w))
+             .filter(F.col("rnk") <= (candidates or k)))
+    if candidates is None:
+        return short.select("query_id", "neighbor_id", "adc_dot", "rnk")
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("__cv2"),
+                       norm_fold(vec_col).alias("__cn"))
+    exact = (cv.join(F.broadcast(short.select("query_id", "neighbor_id",
+                                              "__qv")), "neighbor_id")
+             .select("query_id", "neighbor_id",
+                     (dot_fold("__qv", "__cv2")
+                      / (norm_fold("__qv") * F.col("__cn")))
+                     .alias("cos_sim")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (exact.withColumn("rnk", F.row_number().over(w2))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rnk"))
+
+
 def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
     """Symmetric per-vector int8 quantization — the storage path for

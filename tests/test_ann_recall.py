@@ -122,3 +122,13 @@ def test_ivf_recall_on_clustered_corpus(spark, tmp_path):
     full = _pairs(S.pq_adc_topk_rerank(emb, queries, books, k=K,
                                        candidates=400))
     assert full == truth
+
+    # r6: the full IVFADC composition (cells -> ADC -> exact re-rank)
+    # must match the per-stage quality on the corpus IVF assumes:
+    # nprobe=1 on 10 separated clusters finds the right cell, the
+    # shortlist covers the true top-k, re-rank restores exact order.
+    ivfadc = _pairs(S.ivf_pq_topk(emb, queries, cents, books, k=K,
+                                  nprobe=1, candidates=8 * K))
+    ivfadc_recall = _recall(truth, ivfadc)
+    print(f"ivfadc nprobe=1 cand=40 {ivfadc_recall:.3f}")
+    assert ivfadc_recall >= 0.9, ivfadc_recall

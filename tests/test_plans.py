@@ -391,10 +391,14 @@ def test_no_query_has_cartesian_or_rowwise_python(spark):
     BroadcastNestedLoopJoin is allowed ONLY for the brute-force ANN
     baseline, whose semantics are a deliberate broadcast cross join."""
     sf = "/root/testdata/sf0.001"
-    # pq_adc: same deliberate broadcast-scan shape as brute force — the
-    # corpus side is scanned once against a bounded broadcast query set;
-    # the per-pair work is an m-entry codebook lookup, not a d-dim dot.
-    allowed_bnlj = {"similarity_bruteforce_topk", "similarity_pq_adc_topk"}
+    # pq_adc (+ its re-rank wrapper): same deliberate broadcast-scan
+    # shape as brute force — the corpus side is scanned once against a
+    # bounded broadcast query set; the per-pair work is an m-entry
+    # codebook lookup, not a d-dim dot. The IVFADC composition is NOT
+    # exempt: its stage 1 joins on the cell id (equi), so a BNLJ there
+    # would be a real regression.
+    allowed_bnlj = {"similarity_bruteforce_topk", "similarity_pq_adc_topk",
+                    "similarity_pq_adc_rerank_topk"}
     offenders = []
     for name, fn in sorted(QUERIES.items()):
         if name in _EXECUTING:

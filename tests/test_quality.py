@@ -446,3 +446,51 @@ def test_calibrate_empty_and_all_null_inputs(spark):
     gu = calibrate_keep_threshold(nulls.filter("source = 'a'"),
                                   "score", keep_rate=0.3).collect()
     assert len(gu) == 1 and gu[0]["threshold"] is None
+
+
+def test_calibrate_curve_matches_per_rate_calls(spark):
+    """calibrate_threshold_curve == one calibrate_keep_threshold per
+    rate, bit-for-bit (shared grid/walk/interpolation), grouped and
+    ungrouped — including the NULL group and an all-NULL-score group
+    (which emits one row per rate)."""
+    import random
+
+    from dbt_fusion_spark.llm.classifier import (
+        calibrate_keep_threshold,
+        calibrate_threshold_curve,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice(["a", "b", None]),
+             round(rng.uniform(0, 1), 6)) for i in range(300)]
+    rows += [(900 + i, "nullsrc", None) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, score double")
+    rates = [0.2, 0.5, 0.8]
+    curve = {(r["source"], r["keep_rate"]): r for r in
+             calibrate_threshold_curve(df, "score", rates,
+                                       by="source").collect()}
+    assert len(curve) == 4 * len(rates)  # a, b, NULL, nullsrc
+    for kr in rates:
+        single = {r["source"]: r for r in calibrate_keep_threshold(
+            df, "score", keep_rate=kr, by="source").collect()}
+        for src, s in single.items():
+            c = curve[(src, kr)]
+            assert c["threshold"] == s["threshold"], (src, kr)
+            assert c["n_docs"] == s["n_docs"]
+            assert c["n_kept"] == s["n_kept"]
+    assert curve[("nullsrc", 0.5)]["threshold"] is None
+    assert curve[("nullsrc", 0.5)]["n_docs"] == 0
+
+    ucurve = {r["keep_rate"]: r for r in calibrate_threshold_curve(
+        df, "score", rates).collect()}
+    for kr in rates:
+        u = calibrate_keep_threshold(df, "score", kr).collect()[0]
+        assert ucurve[kr]["threshold"] == u["threshold"]
+        assert ucurve[kr]["n_kept"] == u["n_kept"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="keep_rate"):
+        calibrate_threshold_curve(df, "score", [0.5, 1.5])
+    with _pytest.raises(ValueError, match="non-empty"):
+        calibrate_threshold_curve(df, "score", [])

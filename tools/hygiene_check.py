@@ -91,11 +91,15 @@ def check_gate_coverage_monotone(errors: list[str]) -> None:
     high_water = 0
     for p in _round_artifacts("PARITY_LOCAL_r*.json").values():
         try:
-            v = json.loads(p.read_text()).get("cumulative_gate_rows", 0)
+            doc = json.loads(p.read_text())
         except Exception:
             continue
-        if isinstance(v, int):
-            high_water = max(high_water, v)
+        # recorded either top-level or nested under the rotation record
+        for holder in (doc, doc.get("gate_window_rotation", {})):
+            v = holder.get("cumulative_gate_rows", 0) \
+                if isinstance(holder, dict) else 0
+            if isinstance(v, int):
+                high_water = max(high_water, v)
     cur = cumulative_gate_rows()
     if cur < high_water:
         errors.append(
