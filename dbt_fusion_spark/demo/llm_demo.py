@@ -2126,28 +2126,45 @@ def quality_classifier_scores(spark, sf_dir):
 
 @register(
     "quality_threshold_curve",
+    # the oracle restates the cumulative-walk quantile EXPLICITLY (grid
+    # -> cum walk -> two-sided interpolation (hi-h)*xlo + (h-lo)*xhi)
+    # instead of calling PERCENTILE_CONT: DuckDB's built-in interpolates
+    # with a different expression whose last ulp diverges exactly at
+    # q=0.5 midpoints of two round(6) values, and ROUND(.,6) amplifies
+    # that to 1e-6 (two sf0.1 rows measured). Identical IEEE expressions
+    # are bit-identical cross-engine; the built-in is not.
     oracle=f"""
     WITH {_DUCK_CLASSIFIER_SCORES},
     ss AS (SELECT s.doc_id, s.score, d.source
            FROM scores s JOIN documents d USING (doc_id)),
-    thr AS (
-      SELECT source, 0.1 AS keep_rate,
-             PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY score)
-               AS threshold, COUNT(*) AS n_docs
-      FROM ss GROUP BY source
-      UNION ALL
-      SELECT source, 0.3,
-             PERCENTILE_CONT(0.7) WITHIN GROUP (ORDER BY score),
-             COUNT(*) FROM ss GROUP BY source
-      UNION ALL
-      SELECT source, 0.5,
-             PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY score),
-             COUNT(*) FROM ss GROUP BY source),
-    kept AS (SELECT ss.source, t.keep_rate, COUNT(*) AS n_kept
-             FROM ss JOIN thr t USING (source)
-             WHERE score >= threshold GROUP BY ss.source, t.keep_rate)
-    SELECT source, keep_rate, ROUND(threshold, 6) AS threshold,
-           n_docs, n_kept
+    grid AS (SELECT source, score AS s, COUNT(*) AS c
+             FROM ss GROUP BY source, score),
+    walk AS (SELECT source, s,
+                    SUM(c) OVER (PARTITION BY source ORDER BY s) AS cum,
+                    SUM(c) OVER (PARTITION BY source) AS n
+             FROM grid),
+    rates(keep_rate) AS (VALUES (CAST(0.1 AS DOUBLE)),
+                                (CAST(0.3 AS DOUBLE)),
+                                (CAST(0.5 AS DOUBLE))),
+    params AS (SELECT w.*, r.keep_rate,
+                      (1.0 - r.keep_rate) * (w.n - 1) AS h
+               FROM walk w CROSS JOIN rates r),
+    thr0 AS (SELECT source, keep_rate,
+                    MIN(CASE WHEN cum >= floor(h) + 1 THEN s END) AS xlo,
+                    MIN(CASE WHEN cum >= ceil(h) + 1 THEN s END) AS xhi,
+                    CAST(MAX(n) AS BIGINT) AS n_docs,
+                    MAX(h) AS h
+             FROM params GROUP BY source, keep_rate),
+    thr AS (SELECT source, keep_rate, n_docs,
+                   CASE WHEN ceil(h) = floor(h) THEN xlo
+                        ELSE (ceil(h) - h) * xlo + (h - floor(h)) * xhi
+                   END AS threshold
+            FROM thr0),
+    kept AS (SELECT g.source, t.keep_rate,
+                    CAST(SUM(g.c) AS BIGINT) AS n_kept
+             FROM grid g JOIN thr t USING (source)
+             WHERE g.s >= t.threshold GROUP BY g.source, t.keep_rate)
+    SELECT source, keep_rate, threshold, n_docs, n_kept
     FROM thr JOIN kept USING (source, keep_rate)
     """,
 )
@@ -2155,8 +2172,9 @@ def quality_threshold_curve(spark, sf_dir):
     """The whole per-domain calibration CURVE (keep rates 0.1/0.3/0.5)
     from ONE corpus pass: the rate->threshold trade-off table a
     deployment reads before committing to a rate — each point the exact
-    PERCENTILE_CONT quantile, rates riding a broadcast join over the
-    shared score grid (zero extra corpus scans per rate)."""
+    interpolated quantile (PERCENTILE_CONT semantics), rates riding a
+    broadcast join over the shared score grid (zero extra corpus scans
+    per rate)."""
     from dbt_fusion_spark.llm import classifier as CL
 
     docs = load_table(spark, sf_dir, "documents")

@@ -286,7 +286,8 @@ def calibrate_threshold_curve(df: DataFrame, score_col: str,
     Emits (group?, keep_rate, threshold, n_docs, n_kept), one row per
     group x rate, same NULL-group/NULL-score semantics and the same
     bit-exact interpolation as calibrate_keep_threshold (shared grid
-    and walk helpers — property-tested equal per rate)."""
+    and walk helpers — property-tested equal per rate; the threshold
+    here is emitted UNROUNDED, see the note at the end)."""
     if not keep_rates:
         raise ValueError("keep_rates must be non-empty")
     for r in keep_rates:
@@ -378,7 +379,14 @@ def calibrate_threshold_curve(df: DataFrame, score_col: str,
             .select("keep_rate", "threshold",
                     F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+    # threshold emitted UNROUNDED (unlike the single-rate path): a
+    # q=0.5 point is the average of two round(6) grid values, which
+    # lands EXACTLY on .0000005 decimal midpoints where Spark's
+    # BigDecimal HALF_UP round and binary-value rounding (DuckDB,
+    # Python) disagree by 1e-6 (two sf0.1 rows measured). The raw
+    # interpolation double is bit-identical cross-engine; rounding is
+    # the caller's presentation concern.
     return out.select(
-        *keys, "keep_rate", F.round("threshold", 6).alias("threshold"),
+        *keys, "keep_rate", F.col("threshold"),
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("n_kept").cast("bigint").alias("n_kept"))

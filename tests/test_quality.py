@@ -476,7 +476,13 @@ def test_calibrate_curve_matches_per_rate_calls(spark):
             df, "score", keep_rate=kr, by="source").collect()}
         for src, s in single.items():
             c = curve[(src, kr)]
-            assert c["threshold"] == s["threshold"], (src, kr)
+            # the curve emits the raw interpolation double; the
+            # single-rate path rounds to 6 — equal within that round
+            if s["threshold"] is None:
+                assert c["threshold"] is None, (src, kr)
+            else:
+                assert abs(c["threshold"] - s["threshold"]) <= 6e-7, \
+                    (src, kr)
             assert c["n_docs"] == s["n_docs"]
             assert c["n_kept"] == s["n_kept"]
     assert curve[("nullsrc", 0.5)]["threshold"] is None
@@ -486,7 +492,7 @@ def test_calibrate_curve_matches_per_rate_calls(spark):
         df, "score", rates).collect()}
     for kr in rates:
         u = calibrate_keep_threshold(df, "score", kr).collect()[0]
-        assert ucurve[kr]["threshold"] == u["threshold"]
+        assert abs(ucurve[kr]["threshold"] - u["threshold"]) <= 6e-7
         assert ucurve[kr]["n_kept"] == u["n_kept"]
 
     import pytest as _pytest
