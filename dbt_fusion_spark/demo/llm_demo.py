@@ -158,6 +158,55 @@ def dedup_lsh_incremental_batch(spark, sf_dir):
 
 
 @register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH {_DUCK_CORPUS_NEAR},
+    {_duck_bands_sql(4, 4)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_value = b.band_value
+      WHERE a.doc_id < b.doc_id),
+    shset AS (SELECT doc_id, list_distinct(list_transform(
+      generate_series(1, greatest(length(t) - 4, 1)),
+      i -> substring(t, i, 5))) AS s FROM norm),
+    jac AS (
+      SELECT id_a, id_b,
+             CAST(len(list_filter(x.s, e -> list_contains(y.s, e)))
+                  AS DOUBLE)
+             / CAST(len(x.s) + len(y.s)
+                    - len(list_filter(x.s, e -> list_contains(y.s, e)))
+               AS DOUBLE) AS jaccard
+      FROM cand JOIN shset x ON x.doc_id = id_a
+                JOIN shset y ON y.doc_id = id_b),
+    th(threshold) AS (VALUES (CAST(0.5 AS DOUBLE)),
+                             (CAST(0.7 AS DOUBLE)),
+                             (CAST(0.8 AS DOUBLE)),
+                             (CAST(0.9 AS DOUBLE)),
+                             (CAST(0.99 AS DOUBLE))),
+    agg AS (
+      SELECT t.threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COUNT(DISTINCT j.id_b) AS BIGINT) AS n_docs_removed
+      FROM jac j JOIN th t ON j.jaccard >= t.threshold
+      GROUP BY t.threshold)
+    SELECT t.threshold, COALESCE(a.n_pairs, 0) AS n_pairs,
+           COALESCE(a.n_docs_removed, 0) AS n_docs_removed
+    FROM th t LEFT JOIN agg a USING (threshold)
+    """,
+)
+def dedup_threshold_sweep(spark, sf_dir):
+    """Fuzzy-dedup threshold trade-off table: for each candidate
+    Jaccard cutoff over the injected near-dup corpus, the surviving
+    verified pairs and the docs a greedy lowest-id-keeper dedup would
+    remove — ONE LSH + verify pass shared across all cutoffs (each
+    extra threshold re-scans only the pair list, never the corpus)."""
+    from dbt_fusion_spark.llm.dedup import dedup_threshold_sweep as sweep
+
+    return sweep(_corpus_near(spark, sf_dir), "doc_id", "text",
+                 thresholds=(0.5, 0.7, 0.8, 0.9, 0.99))
+
+
+@register(
     "dedup_jaccard_verify",
     oracle=f"""
     WITH {_DUCK_CORPUS_NEAR},

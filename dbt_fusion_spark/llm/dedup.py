@@ -626,3 +626,52 @@ def line_frequency_filter(df: DataFrame, id_col: str, text_col: str,
                 "\n").alias("clean_text"),
         )
     )
+
+
+def dedup_threshold_sweep(df: DataFrame, id_col: str, text_col: str,
+                          thresholds=(0.5, 0.6, 0.7, 0.8, 0.9),
+                          n_bands: int = 4, rows_per_band: int = 4,
+                          shingle_n: int = 5,
+                          max_bucket: int | None = DEFAULT_MAX_BUCKET
+                          ) -> DataFrame:
+    """Threshold trade-off report for fuzzy dedup: for each candidate
+    Jaccard cutoff, how many verified near-dup pairs survive and how
+    many documents a greedy lowest-id-keeper dedup would REMOVE — the
+    table an operator reads BEFORE committing a corpus to a threshold
+    (too low deletes paraphrases, too high keeps boilerplate; the knee
+    of this curve is the data-driven answer).
+
+    One LSH + verify pass shared across ALL thresholds: the pair list
+    (already O(n·avg_bucket), never all-pairs) broadcast-joins the
+    tiny threshold table and aggregates per cutoff — each extra
+    threshold costs one pass over the PAIR LIST, never the corpus.
+    Thresholds with zero surviving pairs still emit their (0, 0) row.
+    `n_docs_removed` counts distinct higher-ids over surviving pairs —
+    exactly the docs the greedy lowest-id keeper election
+    (dedup_semantic_cells semantics) would drop at that cutoff."""
+    pairs = jaccard_pairs(
+        df,
+        lsh_candidate_pairs(df, id_col, text_col, n_bands,
+                            rows_per_band, shingle_n,
+                            max_bucket=max_bucket),
+        id_col, text_col, shingle_n)
+    th = df.sparkSession.createDataFrame(
+        [(float(t),) for t in sorted(set(thresholds))],
+        "threshold double")
+    # constant-but-opaque key -> BroadcastHashJoin (never a literal:
+    # Catalyst folds that into a BroadcastNestedLoopJoin)
+    joined = pairs.withColumn(
+        "__k", F.pmod(F.abs(F.xxhash64("id_a")), F.lit(1))).join(
+        F.broadcast(th.withColumn(
+            "__k", F.pmod(F.abs(F.xxhash64("threshold")), F.lit(1)))),
+        "__k").drop("__k")
+    agg = (joined.filter(F.col("jaccard") >= F.col("threshold"))
+           .groupBy("threshold")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.countDistinct("id_b").cast("bigint")
+                .alias("n_docs_removed")))
+    return th.join(agg, "threshold", "left").select(
+        "threshold",
+        F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.coalesce("n_docs_removed", F.lit(0)).cast("bigint")
+        .alias("n_docs_removed"))

@@ -410,3 +410,36 @@ def test_corpus_diff_statuses_and_hash_before_join(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     # the text column must not survive past the md5 projection
     assert "md5" in plan and "text#" not in plan.split("Join")[0]
+
+
+def test_dedup_threshold_sweep_counts(spark):
+    """Hand-checkable sweep: 2 exact dups (J=1), one moderate near-dup
+    pair, one unrelated doc — counts per threshold + zero rows for
+    cutoffs nothing survives."""
+    from pyspark.sql import functions as F
+
+    from dbt_fusion_spark.llm.dedup import (
+        dedup_threshold_sweep,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base),                      # J = 1.0
+         (3, base + " with a small extra tail"),    # high-J near dup
+         (4, "entirely different content about engines and turbines")],
+        "doc_id long, text string")
+    out = {r["threshold"]: r for r in dedup_threshold_sweep(
+        docs, "doc_id", "text",
+        thresholds=(0.5, 0.999, 1.0)).collect()}
+    # ground truth from the verified pair list itself
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(
+        docs, lsh_candidate_pairs(docs, "doc_id", "text"),
+        "doc_id", "text").collect()}
+    for t, row in out.items():
+        surviving = {p: j for p, j in jac.items() if j >= t}
+        assert row["n_pairs"] == len(surviving), (t, surviving)
+        assert row["n_docs_removed"] == len({b for _, b in surviving})
+    assert out[1.0]["n_pairs"] >= 1          # the exact-dup pair
+    assert out[0.5]["n_pairs"] >= out[0.999]["n_pairs"]
