@@ -49,6 +49,7 @@ QUERY_SET = [
     "dedup_simhash",
     "similarity_bruteforce_topk",
     "similarity_pq_adc_rerank_topk",
+    "similarity_ivf_pq_topk",
     "quality_classifier_scores",
     "quality_blocklist_filter",
     "gopher_quality_filter",
