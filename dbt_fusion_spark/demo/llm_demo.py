@@ -765,7 +765,7 @@ def gopher_quality_filter(spark, sf_dir):
     SELECT d.doc_id, h.doc_id IS NULL AS keep,
            COALESCE(h.n_hits, 0) AS n_hits,
            COALESCE(h.n_distinct_terms, 0) AS n_distinct_terms,
-           COALESCE(h.sample_terms, CAST([] AS VARCHAR[]))
+           COALESCE(array_to_string(h.sample_terms, ','), '')
              AS sample_terms
     FROM documents d LEFT JOIN hits h USING (doc_id)
     """,
@@ -775,13 +775,21 @@ def quality_blocklist_filter(spark, sf_dir):
     tokens (lowercased, edge-punctuation-stripped) match a blocklist
     TERM TABLE — token explode -> broadcast join -> per-doc counts ->
     left mark-back, never a mega-regex, so a 100k-term list is a few
-    broadcast MB and updating it never recompiles a pattern."""
+    broadcast MB and updating it never recompiles a pattern.
+
+    Gate-contract note (r6 verdict #1): the OPERATOR returns native
+    array<string> sample_terms; this registered query serializes them
+    to a ','-joined string (keep rows: empty array -> '' on Spark,
+    NULL list COALESCEd to '' on DuckDB) because the driver's pandas
+    canonicalizer cannot hash top-level lists (CORRECTNESS_r06)."""
     from dbt_fusion_spark.llm.quality import blocklist_filter
 
     docs = load_table(spark, sf_dir, "documents")
     terms = spark.createDataFrame(
         [("STREAM",), ("vector",), ("zzznotpresent",)], "term string")
-    return blocklist_filter(docs, "doc_id", "text", terms)
+    out = blocklist_filter(docs, "doc_id", "text", terms)
+    return out.withColumn("sample_terms",
+                          F.array_join("sample_terms", ","))
 
 
 @register(
@@ -1896,7 +1904,9 @@ def dedup_spans_corpus(spark, sf_dir):
       FROM documents),
     dtok AS (SELECT DISTINCT doc_id, token FROM tok WHERE token <> ''),
     SELECT_ AS (
-      SELECT token, list(doc_id ORDER BY doc_id) AS postings,
+      SELECT token,
+             array_to_string(list(doc_id ORDER BY doc_id), ',')
+               AS postings,
              CAST(COUNT(*) AS BIGINT) AS df
       FROM dtok GROUP BY token)
     SELECT token, postings, df FROM SELECT_
@@ -1906,11 +1916,20 @@ def corpus_inverted_index(spark, sf_dir):
     """Inverted index over the documents table: sorted postings per
     token + document frequency — the audit/probe primitive. One token
     shuffle; high-df pruning available via max_df (unpruned here: the
-    synthetic vocabulary is tiny)."""
+    synthetic vocabulary is tiny).
+
+    Gate-contract note (r6 verdict #1): the OPERATOR returns native
+    array<bigint> postings; this registered query serializes them to a
+    ','-joined string because the driver's pandas canonicalizer cannot
+    hash top-level lists (TypeError: unhashable type 'list',
+    CORRECTNESS_r06). Both engines serialize identically."""
     from dbt_fusion_spark.llm.search import inverted_index
 
     docs = load_table(spark, sf_dir, "documents")
-    return inverted_index(docs, "doc_id", "text")
+    idx = inverted_index(docs, "doc_id", "text")
+    return idx.withColumn(
+        "postings",
+        F.array_join(F.col("postings").cast("array<string>"), ","))
 
 
 @register(
@@ -2239,19 +2258,42 @@ def quality_threshold_curve(spark, sf_dir):
 
 @register(
     "quality_threshold_calibration",
+    # r7 (verdict #4): the oracle restates the cumulative-walk quantile
+    # EXPLICITLY — grid -> cum walk -> two-sided interpolation
+    # (hi-h)*xlo + (h-lo)*xhi — instead of PERCENTILE_CONT, and emits
+    # the RAW interpolation double with no ROUND on either side, exactly
+    # like quality_threshold_curve's oracle (the template). DuckDB's
+    # built-in interpolates with a different expression whose last ulp
+    # diverges at q=0.5 midpoints of two round(6) grid values, and
+    # ROUND(.,6) amplifies that to 1e-6.
     oracle=f"""
     WITH {_DUCK_CLASSIFIER_SCORES},
     ss AS (SELECT s.doc_id, s.score, d.source
            FROM scores s JOIN documents d USING (doc_id)),
-    thr AS (SELECT source,
-                   PERCENTILE_CONT(0.7) WITHIN GROUP (ORDER BY score)
-                     AS threshold,
-                   COUNT(*) AS n_docs
-            FROM ss GROUP BY source),
-    kept AS (SELECT ss.source, COUNT(*) AS n_kept
-             FROM ss JOIN thr USING (source)
-             WHERE score >= threshold GROUP BY ss.source)
-    SELECT source, ROUND(threshold, 6) AS threshold, n_docs, n_kept
+    grid AS (SELECT source, score AS s, COUNT(*) AS c
+             FROM ss GROUP BY source, score),
+    walk AS (SELECT source, s,
+                    SUM(c) OVER (PARTITION BY source ORDER BY s) AS cum,
+                    SUM(c) OVER (PARTITION BY source) AS n
+             FROM grid),
+    params AS (SELECT w.*,
+                      CAST(0.7 AS DOUBLE) * CAST(w.n - 1 AS DOUBLE) AS h
+               FROM walk w),
+    thr0 AS (SELECT source,
+                    MIN(CASE WHEN cum >= floor(h) + 1 THEN s END) AS xlo,
+                    MIN(CASE WHEN cum >= ceil(h) + 1 THEN s END) AS xhi,
+                    CAST(MAX(n) AS BIGINT) AS n_docs,
+                    MAX(h) AS h
+             FROM params GROUP BY source),
+    thr AS (SELECT source, n_docs,
+                   CASE WHEN ceil(h) = floor(h) THEN xlo
+                        ELSE (ceil(h) - h) * xlo + (h - floor(h)) * xhi
+                   END AS threshold
+            FROM thr0),
+    kept AS (SELECT g.source, CAST(SUM(g.c) AS BIGINT) AS n_kept
+             FROM grid g JOIN thr t USING (source)
+             WHERE g.s >= t.threshold GROUP BY g.source)
+    SELECT source, threshold, n_docs, n_kept
     FROM thr JOIN kept USING (source)
     """,
 )
@@ -2260,7 +2302,8 @@ def quality_threshold_calibration(spark, sf_dir):
     each source's classifier-score distribution (keep rate 0.3), with
     the doc counts that land above it. Exact PERCENTILE_CONT-style
     interpolation (IEEE-deterministic cross-engine), never the
-    engine-private percentile_approx sketch."""
+    engine-private percentile_approx sketch; the threshold is the RAW
+    interpolation double (unified with quality_threshold_curve, r7)."""
     from dbt_fusion_spark.llm import classifier as CL
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2332,7 +2375,8 @@ def dedup_semantic_cells(spark, sf_dir):
                                  + 0.5) AS INT))
              ELSE list_transform(embedding, x -> 0) END AS qvec
       FROM base)
-    SELECT vec_id, CAST(round(scale, 9) AS DOUBLE) AS scale, qvec,
+    SELECT vec_id, CAST(round(scale, 9) AS DOUBLE) AS scale,
+           array_to_string(qvec, ',') AS qvec,
            CAST(round(list_aggregate(
              list_transform(generate_series(1, len(embedding)),
                i -> abs(CAST(embedding[i] AS DOUBLE)
@@ -2345,9 +2389,17 @@ def embedding_quantize_int8(spark, sf_dir):
     """Symmetric per-vector int8 quantization of the embedding column:
     the 100 TB storage path (4x smaller than float32). Pure array
     expressions — zero shuffles, zero UDFs — with bit-exact integer
-    parity across engines."""
+    parity across engines.
+
+    Gate-contract note (r7 strict sweep): the OPERATOR returns native
+    array<int> qvec; this registered query serializes it to a ','-joined
+    string — the driver's pandas canonicalizer cannot hash top-level
+    lists (the CORRECTNESS_r06 ERR class, caught here pre-rotation by
+    SPARK_GATE_STRICT)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.quantize_embeddings(emb, "vec_id", "embedding")
+    out = S.quantize_embeddings(emb, "vec_id", "embedding")
+    return out.withColumn(
+        "qvec", F.array_join(F.col("qvec").cast("array<string>"), ","))
 
 
 @register(

@@ -224,8 +224,16 @@ def calibrate_keep_threshold(df: DataFrame, score_col: str,
             .select(F.col("threshold"),
                     F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+    # RAW interpolation double, never rounded (r6 lesson, unified with
+    # calibrate_threshold_curve): a q=0.5 average of two round(6) grid
+    # values lands exactly on .0000005 midpoints where Spark's
+    # BigDecimal HALF_UP and DuckDB/Python binary rounding disagree by
+    # 1e-6 — and n_kept counts against the UNROUNDED threshold, so
+    # rounding the emission would let the two columns disagree by one
+    # grid cell. Identical IEEE expressions are bit-identical
+    # cross-engine; round() of a midpoint is not.
     return out.select(
-        *keys, F.round("threshold", 6).alias("threshold"),
+        *keys, F.col("threshold"),
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("n_kept").cast("bigint").alias("n_kept"))
 

@@ -323,15 +323,18 @@ def test_calibrate_grid_bitmatches_percentile_property(spark):
         q = 1.0 - keep
         got = {r["source"]: r for r in calibrate_keep_threshold(
             df, "score", keep_rate=keep, by="source").collect()}
+        # RAW output comparison (r7: the emission is the unrounded
+        # interpolation double) — the property is about round(6) INPUT
+        # discretization, so bit-identity holds with no output rounding
         exact = {r["source"]: r for r in df.groupBy("source").agg(
-            F.round(F.percentile(F.col("score"), F.lit(q)), 6)
-            .alias("t"), F.count("*").alias("n")).collect()}
+            F.percentile(F.col("score"), F.lit(q)).alias("t"),
+            F.count("*").alias("n")).collect()}
         assert set(got) == set(exact)
         for src, r in got.items():
             assert r["threshold"] == exact[src]["t"], (keep, src)
             assert r["n_docs"] == exact[src]["n"]
         gu = calibrate_keep_threshold(df, "score", keep_rate=keep).collect()[0]
-        eu = df.agg(F.round(F.percentile(F.col("score"), F.lit(q)), 6)
+        eu = df.agg(F.percentile(F.col("score"), F.lit(q))
                     .alias("t")).collect()[0]["t"]
         assert gu["threshold"] == eu
 
@@ -374,7 +377,7 @@ def test_calibrate_pathological_distinct_doubles_bounded(spark):
     assert abs(out["n_kept"] / n - 0.4) < 0.001
     exact = calibrate_keep_threshold(
         df, "score", keep_rate=0.4, grid_decimals=None).collect()[0]
-    ref = df.agg(F.round(F.percentile("score", F.lit(0.6)), 6)
+    ref = df.agg(F.percentile("score", F.lit(0.6))
                  .alias("t")).collect()[0]["t"]
     assert exact["threshold"] == ref
 
@@ -476,13 +479,9 @@ def test_calibrate_curve_matches_per_rate_calls(spark):
             df, "score", keep_rate=kr, by="source").collect()}
         for src, s in single.items():
             c = curve[(src, kr)]
-            # the curve emits the raw interpolation double; the
-            # single-rate path rounds to 6 — equal within that round
-            if s["threshold"] is None:
-                assert c["threshold"] is None, (src, kr)
-            else:
-                assert abs(c["threshold"] - s["threshold"]) <= 6e-7, \
-                    (src, kr)
+            # r7: BOTH paths now emit the raw interpolation double —
+            # bit-equal, not merely within a rounding tolerance
+            assert c["threshold"] == s["threshold"], (src, kr)
             assert c["n_docs"] == s["n_docs"]
             assert c["n_kept"] == s["n_kept"]
     assert curve[("nullsrc", 0.5)]["threshold"] is None
@@ -492,7 +491,7 @@ def test_calibrate_curve_matches_per_rate_calls(spark):
         df, "score", rates).collect()}
     for kr in rates:
         u = calibrate_keep_threshold(df, "score", kr).collect()[0]
-        assert abs(ucurve[kr]["threshold"] - u["threshold"]) <= 6e-7
+        assert ucurve[kr]["threshold"] == u["threshold"]
         assert ucurve[kr]["n_kept"] == u["n_kept"]
 
     import pytest as _pytest
@@ -500,3 +499,31 @@ def test_calibrate_curve_matches_per_rate_calls(spark):
         calibrate_threshold_curve(df, "score", [0.5, 1.5])
     with _pytest.raises(ValueError, match="non-empty"):
         calibrate_threshold_curve(df, "score", [])
+
+
+def test_calibrate_midpoint_raw_emission(spark):
+    """r7 regression pin (verdict #4): a keep_rate that lands q=0.5
+    exactly between two round(6) grid values produces a .0000005
+    midpoint where Spark's BigDecimal HALF_UP round() and Python/DuckDB
+    binary rounding disagree by 1e-6. The raw emission sidesteps the
+    class entirely: both the single-rate and curve paths must emit the
+    bit-exact IEEE value of (hi-h)*xlo + (h-lo)*xhi, and n_kept must
+    count against that same unrounded threshold."""
+    from dbt_fusion_spark.llm.classifier import (
+        calibrate_keep_threshold,
+        calibrate_threshold_curve,
+    )
+
+    s1, s2 = 0.000096, 0.000097
+    df = spark.createDataFrame([(1, s1), (2, s2)],
+                               "doc_id long, score double")
+    # n=2, keep_rate=0.5 -> q=0.5, h=0.5, lo=0, hi=1:
+    # threshold = 0.5*s1 + 0.5*s2 — a .0000005 midpoint
+    expected = (1.0 - 0.5) * s1 + (0.5 - 0.0) * s2
+    assert round(expected, 6) in (s1, s2)  # really midpoint-adjacent
+    row = calibrate_keep_threshold(df, "score", keep_rate=0.5).collect()[0]
+    assert row["threshold"] == expected  # bit-exact, unrounded
+    assert row["n_kept"] == 1  # only s2 >= the unrounded threshold
+    crow = calibrate_threshold_curve(df, "score", [0.5]).collect()[0]
+    assert crow["threshold"] == expected
+    assert crow["n_kept"] == 1

@@ -9,6 +9,14 @@ compares row count, schema (column names), and a canonical value hash
 Usage:
     python tools/local_gate.py [query ...]       # default: all
     SPARK_GATE_SF_DIR=/root/testdata/sf0.01 python tools/local_gate.py
+    SPARK_GATE_STRICT=1 python tools/local_gate.py   # driver-faithful mode
+
+Driver-strict mode (r6 verdict "Next round" #8): the driver canonicalizes
+with a raw pandas sort_values over UN-normalized values — unhashable cells
+(lists from top-level array columns) crash it (CORRECTNESS_r06 ERR rows).
+With SPARK_GATE_STRICT=1 this tool reproduces that exact probe on both
+frames BEFORE the forgiving canonicalization, so rotation can never again
+surface a latent contract mismatch first.
 """
 
 from __future__ import annotations
@@ -62,6 +70,31 @@ def _canon(df: pd.DataFrame) -> str:
     return hashlib.sha256(repr(rows).encode()).hexdigest()
 
 
+STRICT = os.environ.get("SPARK_GATE_STRICT", "") not in ("", "0")
+
+
+def _driver_strict_probe(df: pd.DataFrame, side: str) -> None:
+    """Reproduce the driver canonicalizer's fragile step on RAW values.
+
+    The driver does `df.sort_values(<all columns>)` before hashing; pandas
+    factorizes object columns, and unhashable cells (lists/dicts/ndarrays
+    from top-level array columns) raise TypeError — the CORRECTNESS_r06
+    failure mode for corpus_inverted_index / quality_blocklist_filter.
+    Raises with a clear message when a query would crash the real gate.
+    """
+    try:
+        df[sorted(df.columns)].sort_values(by=sorted(df.columns),
+                                           kind="stable")
+    except TypeError as e:
+        if "unhashable" in str(e):
+            raise TypeError(
+                f"driver-strict canonicalization failed on {side} frame "
+                f"(would ERR at the real gate): {e}") from e
+        # mixed-type comparison quirks are pandas-version-sensitive and
+        # not the proven driver failure class — warn, don't fail
+        print(f"  strict-probe warning ({side}): {e}")
+
+
 def main(names: list[str]) -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entry
@@ -92,6 +125,9 @@ def main(names: list[str]) -> int:
                 print(f"NOORACLE {name} rows={len(sdf)}")
                 continue
             odf = con.execute(oracles[name]).df()
+            if STRICT:
+                _driver_strict_probe(sdf, "spark")
+                _driver_strict_probe(odf, "oracle")
             rows = len(sdf) == len(odf)
             schema = sorted(sdf.columns) == sorted(odf.columns)
             hashm = schema and _canon(sdf) == _canon(odf)
