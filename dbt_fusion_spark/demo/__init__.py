@@ -34,96 +34,84 @@ from dbt_fusion_spark.demo import (  # noqa: F401, E402
 # Everything else keeps registration order after slot 50 (still parity-
 # tested locally by tests/test_parity.py over ALL queries).
 #
-# r6 ROTATION (judge r5 "Next round" #3): 23 NEVER-driver-gated rows
-# rotate in (every row the judge named, plus never-gated TPC-H q8/q20,
-# dbt_utils macro surface, versioned models, sampler plan, weighted
-# reservoir, 2 semantic-layer metric types) — cumulative driver-oracle
-# coverage rises from 100 to 125 distinct registry rows (~77 %). The
-# r5 debut rows (pagerank, as-of/range join, DDSketch, attribution,
-# classifier/upsample/export, both partition-scoped paths…) keep their
-# slots at one driver-green round each; 23 twice-plus-green veterans
-# (runner seed/custom/schema-evolution, snapshot timestamp/check,
-# 4 incremental strategy rungs, function node, sample hash/stratified,
-# 2 metric veterans, tpch q1/q3, snowflake dialect, crossdb scalars,
-# minhash LSH, IVF, gopher, pack, tfidf, stateful sessions) rotate out
-# to local-parity-only coverage (tests/test_parity.py, both SFs).
+# r7 ROTATION (judge r6 "Next round" #3): ALL 40 never-driver-gated
+# rows rotate in (the judge's computed list: 11 TPC-H queries, 8
+# relational rows — grouping sets / pivot / unpivot / rollup / setop /
+# subquery / running windows / ordered percentile, metric_filtered,
+# and 20 LLM/ops rows incl. the r6 debuts quality_threshold_curve and
+# dedup_threshold_sweep) — cumulative driver-oracle coverage goes from
+# 126/166 (76 %) to every registered query (100 %, exceeding the 87 %
+# target). The two r6 ERR rows keep their slots to certify the array-
+# serialization fix; quality_threshold_calibration stays because its
+# oracle was restated (raw-double emission, verdict #4);
+# similarity_ivf_pq_prebuilt debuts the durable ANN index artifact
+# (verdict #5); the remaining 6 slots keep runner / write-path /
+# IVFADC anchors whose code or tooling is touched this round. Rotated-
+# out veterans remain covered by the exact-float DuckDB parity battery
+# at both SFs (tests/test_parity.py, tools/local_gate.py).
 GATE_WINDOW: list[str] = [
-    # core runner / materializations (3; versioned_models debuts)
+    # re-certification of the r6 ERR rows (array columns now serialized)
+    "corpus_inverted_index",
+    "quality_blocklist_filter",
+    # oracle restated this round (raw interpolation double)
+    "quality_threshold_calibration",
+    # r7 debut: durable ANN index artifact
+    "similarity_ivf_pq_prebuilt",
+    # kept anchors (runner family certifies the adapter surface every
+    # round; the 3 side-effectful write paths get r7 byte audits; the
+    # IVFADC pair re-certifies on the codes_table-aware code)
     "runner_full_build_statuses",
-    "runner_python_model_pipeline",
-    "runner_versioned_models",
-    # snapshots (2)
-    "snapshot_hard_delete_invalidate",
     "snapshot_partition_scoped",
-    # data tests (1; unit_test_fixture_compare — 3x driver-green —
-    # yields its slot to an r6 debut, staying local-parity + exercised
-    # inside runner_full_build_statuses' full project build)
-    "data_test_unique_severity",
-    # incremental strategies (2; incremental_merge — 4x driver-green —
-    # yields its slot to the r6 IVFADC debut; the merge family stays
-    # gated through its partition-scoped rung, and both rows below were
-    # touched by r6 code changes — ADVICE drop-count + skew-path
-    # persist)
     "incremental_merge_partition_scoped",
     "incremental_replace_where",
-    # macro / dialect surface (2 debuts)
-    "dbt_utils_macro_sql",
-    "dialect_databricks_colon_qualify",
-    # sampling (3; plan + reservoir debut)
-    "sample_leakage_safe_split",
-    "sampler_plan_referential",
-    "sample_weighted_reservoir",
-    # semantic layer (2 debuts; saved_query_revenue_aov — 3x
-    # driver-green — yields its slot to an r6 debut)
-    "metric_cumulative_revenue",
-    "metric_derived_revenue_per_customer",
-    # TPC-H (2 debuts: q8 multi-join market share, q20 nested
-    # semi-join potential promotion)
-    "tpch_q8_market_share",
-    "tpch_q20_potential_promotion",
-    # graph / joins / windows (7, r5 debuts)
-    "graph_pagerank_suppliers",
-    "dedup_connected_clusters",
-    "asof_join_last_purchase",
-    "range_join_incident_windows",
-    "events_twap_user_value",
-    "events_rolling_active_7d",
-    "events_attribution_models",
-    # events debuts (2)
-    "events_gapfill_locf",
-    "events_volume_anomaly_robust",
-    # profiling / sketches (4, r5 debuts)
-    "profile_table_events",
-    "sketch_ddsketch_quantiles",
-    "sketch_ddsketch_by_type",
-    "kmv_distinct_events",
-    # corpus (2, r5 debuts)
-    "corpus_temperature_mixture",
-    "corpus_bm25_topk",
-    # LLM-pipeline (15: the 3 r5 debuts + 12 never-gated rows the
-    # judge named — nfc/diff/calibration/health/keep-best/boilerplate
-    # were all touched or hardened in r6, so their debut certification
-    # lands on the NEW code)
-    "quality_classifier_scores",
-    "corpus_upsample_epochs",
-    "export_training_shards",
-    "text_normalize_nfc",
-    "corpus_diff_releases",
-    "quality_threshold_calibration",
-    "embedding_health_audit",
-    "corpus_dedup_keep_best",
-    "corpus_boilerplate_strip",
-    "dedup_lsh_incremental_batch",
-    "corpus_inverted_index",
-    "quality_unigram_loglik",
-    "dedup_simhash_near_pairs",
-    # streaming (2 debuts; batch-algebra oracles)
-    "streaming_dedup_keys",
-    "streaming_volume_monitor",
-    # r6 NEW operators, driver-certified in their debut round
-    "quality_blocklist_filter",
-    "similarity_pq_adc_rerank_topk",
     "similarity_ivf_pq_topk",
+    "similarity_pq_adc_rerank_topk",
+    # ---- the 40 never-gated rows (exact r6-verdict list) ----
+    # TPC-H (11)
+    "tpch_q4_priority_with_exists",
+    "tpch_q7_volume_shipping",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q22_global_sales_opportunity",
+    # relational surface (8)
+    "grouping_sets_segment_status",
+    "pivot_status_by_segment",
+    "unpivot_lineitem_metrics",
+    "rollup_returnflag_linestatus",
+    "setop_active_vs_lapsed_customers",
+    "subquery_above_avg_orders",
+    "window_running_and_moving_revenue",
+    "percentile_order_value_by_segment",
+    # semantic layer (1)
+    "metric_filtered_simple",
+    # events / ops (5)
+    "events_cohort_retention",
+    "events_funnel_conversion",
+    "events_volume_anomaly",
+    "skew_report_lineitem_suppkey",
+    "streaming_attribution_pairs",
+    # LLM pipeline (15)
+    "batch_by_length_assignment",
+    "corpus_dsir_logweights",
+    "decontamination_bloom_prefilter",
+    "decontamination_containment",
+    "dedup_lines_corpus",
+    "dedup_semantic_cells",
+    "dedup_spans_corpus",
+    "dedup_threshold_sweep",
+    "embedding_quantize_int8",
+    "kmv_set_estimates_events",
+    "quality_repetition_signals",
+    "quality_threshold_curve",
+    "quality_token_entropy",
+    "sample_split_assign",
+    "similarity_pq_adc_topk",
 ]
 
 

@@ -626,6 +626,29 @@ def similarity_ivf_pq_topk(spark, sf_dir):
                          books, k=5, nprobe=2, candidates=20)
 
 
+@register("similarity_ivf_pq_prebuilt",
+          oracle=_ivf_pq_oracle(_GATE_CENTROIDS, _GATE_PQ))
+def similarity_ivf_pq_prebuilt(spark, sf_dir):
+    """IVFADC served from the DURABLE index artifact (r7, verdict #5):
+    build_ivf_pq_index persists (id, cell, pq_code) partitioned by
+    cell + a centroids/codebooks meta artifact, then ivf_pq_topk
+    serves from it with codes_table= — the corpus is never re-assigned
+    or re-encoded at query time (the 100 TB serving shape: build the
+    index once, answer every query batch from the m-byte codes).
+    Bit-equal to the inline similarity_ivf_pq_topk path, same oracle."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.fit_kmeans_centroids_cached(
+        f"{sf_dir}/embeddings.parquet", n_cells=_KMEANS_N_CELLS)
+    books = S.fit_pq_codebooks_cached(
+        f"{sf_dir}/embeddings.parquet", m=_PQ_M, n_codes=_PQ_CODES)
+    idx = tempfile.mkdtemp(prefix="ivf-pq-idx-") + "/codes"
+    S.build_ivf_pq_index(emb, cents, books, idx)
+    return S.ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 10),
+                         k=5, nprobe=2, candidates=20, codes_table=idx)
+
+
 @register("similarity_ivf_kmeans_topk", oracle=_kmeans_oracle(_GATE_CENTROIDS))
 def similarity_ivf_kmeans_topk(spark, sf_dir):
     """IVF ANN with REAL k-means cells (similarity.py fit_kmeans_

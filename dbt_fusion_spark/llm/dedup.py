@@ -328,9 +328,13 @@ def lsh_candidate_pairs_cross(new: DataFrame, existing: DataFrame,
         # measured-2x-wall trap the self-join path documents).
         nb = nb.persist()
         nb.count()
-        if existing_bands is None:
-            eb = eb.persist()
-            eb.count()
+        # ADVICE r6: persist the caller-supplied existing_bands too — a
+        # derived (unmaterialized) frame would otherwise be evaluated
+        # by BOTH the joint probe and the capped join (the same
+        # measured-2x recompute trap). For the intended durable-artifact
+        # input this is a near-no-op (caching a parquet scan).
+        eb = eb.persist()
+        eb.count()
         joint = eb.select("band_id", "band_value").unionAll(
             nb.select("band_id", "band_value"))
         eb, nb = _cap_buckets(joint, [eb, nb], max_bucket, " (cross)")

@@ -612,12 +612,95 @@ def pq_adc_topk_rerank(corpus: DataFrame, queries: DataFrame,
     )
 
 
-def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
-                centroids: list[list[float]],
-                codebooks: list[list[list[float]]], k: int = 5,
+def build_ivf_pq_index(corpus: DataFrame,
+                       centroids: list[list[float]],
+                       codebooks: list[list[list[float]]],
+                       codes_table: str,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       mode: str = "overwrite") -> DataFrame:
+    """Persist the IVFADC index as a durable artifact: a codes table of
+    (id, __kcell, pq_code) PARTITIONED BY the coarse cell, plus a meta
+    table/path (`<codes_table>_meta`) holding the centroids + codebooks
+    as JSON. Mirrors lsh_candidate_pairs(signatures_table=)
+    (llm/dedup.py): build ONCE, serve many query batches from the
+    m-byte codes — at 100 TB, re-encoding the corpus per query batch
+    (what the inline ivf_pq_topk path does) is the dominant cost, and
+    the index artifact amortizes it to zero.
+
+    Partitioning by __kcell makes the nprobe cell restriction a
+    partition-pruned scan on a real cluster (each probe reads only its
+    cell's files); locally it also keeps one cell's codes co-located.
+
+    `mode="append"` is the daily-crawl shape: encode ONLY the passed
+    corpus batch with the EXISTING artifact's centroids/codebooks
+    (loaded and verified — a drifted coarse quantizer would silently
+    corrupt cell routing) and append its codes; the meta artifact is
+    untouched. Callers own id disjointness, as with any append sink.
+
+    Returns the codes DataFrame as re-read from the artifact.
+    codes_table: a path (contains '/') -> parquet dir; else a
+    saveAsTable name.
+    """
+    import json as _json
+
+    spark = corpus.sparkSession
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if mode == "append":
+        _, m_cents, m_books = load_ivf_pq_index(spark, codes_table)
+        if m_cents != centroids or m_books != codebooks:
+            raise ValueError(
+                "append batch fitted with different centroids/codebooks "
+                "than the existing index artifact — rebuild with "
+                "mode='overwrite' instead of silently mixing quantizers")
+    codes = pq_encode(
+        _with_kmeans_cell(
+            corpus.select(F.col(id_col), F.col(vec_col).alias("__v")),
+            centroids, "__v"),
+        codebooks, vec_col="__v").drop("__v")
+    meta = spark.createDataFrame(
+        [(_json.dumps({"centroids": centroids, "codebooks": codebooks,
+                       "id_col": id_col, "vec_col": vec_col}),)],
+        "meta_json string")
+    if "/" in codes_table:
+        codes.write.mode(mode).partitionBy("__kcell") \
+            .parquet(codes_table)
+        if mode == "overwrite":
+            meta.write.mode("overwrite").parquet(codes_table + "_meta")
+    else:
+        codes.write.mode(mode).partitionBy("__kcell") \
+            .format("parquet").saveAsTable(codes_table)
+        if mode == "overwrite":
+            meta.write.mode("overwrite").format("parquet") \
+                .saveAsTable(codes_table + "_meta")
+    return load_ivf_pq_index(spark, codes_table)[0]
+
+
+def load_ivf_pq_index(spark, codes_table: str
+                      ) -> tuple[DataFrame, list, list]:
+    """Read back a build_ivf_pq_index artifact: (codes DataFrame,
+    centroids, codebooks). The codes scan is the index serving path —
+    m bytes per row, cell-partitioned."""
+    import json as _json
+
+    if "/" in codes_table:
+        codes = spark.read.parquet(codes_table)
+        meta_df = spark.read.parquet(codes_table + "_meta")
+    else:
+        codes = spark.table(codes_table)
+        meta_df = spark.table(codes_table + "_meta")
+    meta = _json.loads(meta_df.collect()[0]["meta_json"])
+    return codes, meta["centroids"], meta["codebooks"]
+
+
+def ivf_pq_topk(corpus: DataFrame | None, queries: DataFrame,
+                centroids: list[list[float]] | None = None,
+                codebooks: list[list[list[float]]] | None = None,
+                k: int = 5,
                 nprobe: int = 1, candidates: int | None = None,
-                id_col: str = "vec_id", vec_col: str = "embedding"
-                ) -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                codes_table: str | None = None) -> DataFrame:
     """IVFADC (Jégou 2011, the billion-scale ANN architecture): coarse
     k-means cells prune the scan to the query's nprobe cells, PQ-ADC
     scores the survivors from their m-byte codes, and (optionally,
@@ -631,12 +714,44 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
     (query_id, neighbor_id, cos_sim, rnk) with it. Cell assignment and
     probing reuse the exact kmeans argmax/top-n conventions (first-max
     ties), encoding and ADC the exact pq conventions — so every stage
-    is restatable in the DuckDB oracle."""
-    c = _with_kmeans_cell(
-        corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("__cv")),
-        centroids, "__cv")
-    c = pq_encode(c, codebooks, vec_col="__cv").drop("__cv")
+    is restatable in the DuckDB oracle.
+
+    `codes_table=` (r7): serve from a build_ivf_pq_index artifact —
+    the corpus is NEVER re-assigned or re-encoded (the codes scan IS
+    the stage-1 input), and centroids/codebooks default to the
+    artifact's own (passing different ones is an error: the cell
+    routing must match the stored cells). `corpus` may then be None
+    unless `candidates` is set (the exact re-rank still fetches floats
+    for the |queries| x candidates shortlist)."""
+    if candidates is not None and candidates < k:
+        # ADVICE r6: a shortlist smaller than k silently returns only
+        # `candidates` rows per query — reject at entry
+        raise ValueError(
+            f"candidates ({candidates}) must be >= k ({k})")
+    if codes_table is not None:
+        codes, m_cents, m_books = load_ivf_pq_index(
+            queries.sparkSession, codes_table)
+        if centroids is not None and centroids != m_cents:
+            raise ValueError("centroids differ from the codes_table "
+                             "artifact's — cell routing would not match")
+        if codebooks is not None and codebooks != m_books:
+            raise ValueError("codebooks differ from the codes_table "
+                             "artifact's — ADC scores would not match")
+        centroids, codebooks = m_cents, m_books
+        c = codes.select(F.col(id_col).alias("neighbor_id"),
+                         "__kcell", "pq_code")
+    else:
+        if corpus is None or centroids is None or codebooks is None:
+            raise ValueError("without codes_table, corpus + centroids "
+                             "+ codebooks are all required")
+        c = _with_kmeans_cell(
+            corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("__cv")),
+            centroids, "__cv")
+        c = pq_encode(c, codebooks, vec_col="__cv").drop("__cv")
+    if candidates is not None and corpus is None:
+        raise ValueError("exact re-rank (candidates=) needs corpus "
+                         "floats; pass the corpus or drop candidates")
     qbase = queries.select(F.col(id_col).alias("query_id"),
                            F.col(vec_col).alias("__qv"))
     if nprobe <= 1:
