@@ -649,6 +649,116 @@ def similarity_ivf_pq_prebuilt(spark, sf_dir):
                          k=5, nprobe=2, candidates=20, codes_table=idx)
 
 
+def _index_health_oracle(centroids) -> str | None:
+    if centroids is None:
+        return None
+    scores = ", ".join(
+        S.cell_scores_sql(centroids, "embedding", dialect="duckdb"))
+    vv = _DUCK_DOT.format(a="embedding", b="embedding")
+    return f"""
+    WITH scored AS (
+      SELECT vec_id, embedding, [{scores}] AS __s FROM embeddings),
+    cells AS (
+      SELECT vec_id,
+             list_position(__s, list_aggregate(__s, 'max')) AS cell,
+             round({vv} - 2 * list_aggregate(__s, 'max'), 9) AS d2
+      FROM scored),
+    idx AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_index
+            FROM cells GROUP BY cell),
+    tot AS (SELECT CAST(SUM(n_index) AS BIGINT) AS t FROM idx),
+    batch AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_batch,
+             CAST(SUM(CAST(d2 AS DECIMAL(38,9))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean_batch_dist2
+      FROM cells WHERE vec_id < 50 GROUP BY cell)
+    SELECT CAST(i.cell AS INT) AS cell, i.n_index,
+           CAST(i.n_index AS DOUBLE) / CAST(t.t AS DOUBLE) AS frac_index,
+           COALESCE(b.n_batch, 0) AS n_batch, b.mean_batch_dist2
+    FROM idx i CROSS JOIN tot t LEFT JOIN batch b USING (cell)
+    """
+
+
+@register("similarity_index_health",
+          oracle=_index_health_oracle(_GATE_CENTROIDS))
+def similarity_index_health(spark, sf_dir):
+    """ANN index serving-health audit (r7, the durable artifact's
+    operational twin): per coarse cell, the codes table's occupancy
+    (skew = probe-scan degradation, the IVF mega-bucket) and an
+    incoming batch's would-be assignment with mean squared distance to
+    its centroid (rising dist2 = quantizer drift -> rebuild, don't
+    append). Index half reads only the m-byte codes scan; batch half
+    is one projection + groupBy over the batch. Oracle restates cell
+    assignment + the decimal-exact dist2 aggregation."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.fit_kmeans_centroids_cached(
+        f"{sf_dir}/embeddings.parquet", n_cells=_KMEANS_N_CELLS)
+    books = S.fit_pq_codebooks_cached(
+        f"{sf_dir}/embeddings.parquet", m=_PQ_M, n_codes=_PQ_CODES)
+    idx = tempfile.mkdtemp(prefix="ivf-health-idx-") + "/codes"
+    S.build_ivf_pq_index(emb, cents, books, idx)
+    return S.ivf_index_health(spark, idx,
+                              new_batch=emb.filter(F.col("vec_id") < 50))
+
+
+def _ann_ingest_oracle(centroids, books) -> str | None:
+    if centroids is None or books is None:
+        return None
+    scores = ", ".join(
+        S.cell_scores_sql(centroids, "embedding", dialect="duckdb"))
+    codes = _pq_codes_expr(books)
+    return f"""
+    WITH scored AS (
+      SELECT vec_id, embedding, [{scores}] AS __s FROM embeddings),
+    cells AS (
+      SELECT vec_id, embedding,
+             list_position(__s, list_aggregate(__s, 'max')) AS __kcell
+      FROM scored)
+    SELECT vec_id, CAST(__kcell AS INT) AS __kcell,
+           array_to_string({codes}, ',') AS pq_code
+    FROM cells
+    """
+
+
+@register("streaming_ann_ingest_codes",
+          oracle=_ann_ingest_oracle(_GATE_CENTROIDS, _GATE_PQ))
+def streaming_ann_ingest_codes(spark, sf_dir):
+    """Streaming ANN index maintenance end-to-end (r7): the index
+    artifact is built from the embeddings with vec_id >= 100, then the
+    first 100 vectors arrive as a stream (availableNow) and are
+    appended by streaming_ann_ingest — encode-at-ingest with the
+    artifact's own quantizers, idempotent via the id anti-join. The
+    final codes table must equal the full-corpus encode restated by
+    the oracle (cell assignment + PQ codes for EVERY vector, however
+    it arrived). pq_code serialized (driver canonicalizer contract)."""
+    import tempfile
+
+    from dbt_fusion_spark.streaming import streaming_ann_ingest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.fit_kmeans_centroids_cached(
+        f"{sf_dir}/embeddings.parquet", n_cells=_KMEANS_N_CELLS)
+    books = S.fit_pq_codebooks_cached(
+        f"{sf_dir}/embeddings.parquet", m=_PQ_M, n_codes=_PQ_CODES)
+    work = tempfile.mkdtemp(prefix="ann-ingest-")
+    idx = f"{work}/codes"
+    S.build_ivf_pq_index(emb.filter(F.col("vec_id") >= 100), cents,
+                         books, idx)
+    src = f"{work}/incoming"
+    emb.filter(F.col("vec_id") < 100).write.parquet(src)
+    stream = spark.readStream.schema(
+        emb.select("vec_id", "embedding").schema).parquet(src)
+    q = streaming_ann_ingest(stream, idx, f"{work}/ckpt", spark,
+                             trigger={"availableNow": True})
+    q.awaitTermination(120)
+    codes, _, _ = S.load_ivf_pq_index(spark, idx)
+    return codes.select(
+        "vec_id", F.col("__kcell").cast("int").alias("__kcell"),
+        F.array_join(F.col("pq_code").cast("array<string>"), ",")
+        .alias("pq_code"))
+
+
 @register("similarity_ivf_kmeans_topk", oracle=_kmeans_oracle(_GATE_CENTROIDS))
 def similarity_ivf_kmeans_topk(spark, sf_dir):
     """IVF ANN with REAL k-means cells (similarity.py fit_kmeans_

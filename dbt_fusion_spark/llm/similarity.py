@@ -791,6 +791,74 @@ def ivf_pq_topk(corpus: DataFrame | None, queries: DataFrame,
             .select("query_id", "neighbor_id", "cos_sim", "rnk"))
 
 
+def ivf_index_health(spark, codes_table: str,
+                     new_batch: DataFrame | None = None,
+                     vec_col: str = "embedding") -> DataFrame:
+    """Serving-side health audit of a build_ivf_pq_index artifact — the
+    "when do I rebuild" signal a 100 TB ANN deployment watches. Per
+    coarse cell:
+
+    - n_index / frac_index: occupancy of the codes table. A skewed
+      occupancy (one cell holding most of the corpus) means the probe
+      scan degenerates toward brute force for queries routed there —
+      the IVF twin of the LSH mega-bucket.
+    - n_batch / mean_batch_dist2 (when `new_batch` is given): where an
+      incoming batch WOULD be assigned, and its mean squared distance
+      to the assigned centroid. Rising dist2 vs the build-time
+      distribution is quantizer drift — the corpus moved, the cells
+      no longer fit, refit + rebuild (mode='overwrite') instead of
+      appending into increasingly wrong cells.
+
+    Both halves are bounded aggregates: the index side is a groupBy
+    over the m-byte codes scan (never touches floats), the batch side
+    one projection + groupBy over the batch only. mean_batch_dist2
+    rides the per-row round(9) -> DECIMAL(38,9) exact-sum recipe, so
+    the emitted doubles are engine-reproducible (the module's float
+    discipline).
+    """
+    codes, centroids, _ = load_ivf_pq_index(spark, codes_table)
+    idx = codes.groupBy("__kcell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_index"))
+    total = idx.agg(F.sum("n_index").alias("__t")) \
+        .withColumn("__k", F.pmod(F.col("__t"), F.lit(1)))
+    idx = (idx.withColumn("__k", F.pmod(F.col("n_index"), F.lit(1)))
+           .join(F.broadcast(total), "__k").drop("__k")
+           .select(F.col("__kcell").alias("cell"), "n_index",
+                   (F.col("n_index").cast("double")
+                    / F.col("__t").cast("double")).alias("frac_index")))
+    if new_batch is None:
+        return idx.select("cell", "n_index", "frac_index",
+                          F.lit(0).cast("bigint").alias("n_batch"),
+                          F.lit(None).cast("double")
+                          .alias("mean_batch_dist2")) \
+            .orderBy("cell")
+    scores = _cell_scores_spark_single(centroids, vec_col)
+    b = (new_batch.withColumn("__scores", F.expr(scores))
+         .select(
+             F.expr("array_position(__scores, array_max(__scores))")
+             .alias("cell"),
+             # |v|^2 - 2*(v·c - 0.5|c|^2) = squared distance to the
+             # assigned centroid
+             F.round(dot_fold(vec_col, vec_col)
+                     - F.lit(2.0) * F.expr("array_max(__scores)"), 9)
+             .cast("decimal(38,9)").alias("__d2"))
+         .groupBy("cell")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+              (F.sum("__d2").cast("double")
+               / F.count(F.lit(1)).cast("double"))
+              .alias("mean_batch_dist2")))
+    return (idx.join(b, "cell", "full")
+            .select(F.col("cell").cast("int").alias("cell"),
+                    F.coalesce("n_index", F.lit(0)).cast("bigint")
+                    .alias("n_index"),
+                    F.coalesce("frac_index", F.lit(0.0))
+                    .alias("frac_index"),
+                    F.coalesce("n_batch", F.lit(0)).cast("bigint")
+                    .alias("n_batch"),
+                    F.col("mean_batch_dist2"))
+            .orderBy("cell"))
+
+
 def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
     """Symmetric per-vector int8 quantization — the storage path for

@@ -2,6 +2,7 @@ from dbt_fusion_spark.streaming.structured import (  # noqa: F401
     dynamic_table,
     stateful_sessionize,
     stream_stream_join,
+    streaming_ann_ingest,
     streaming_dedup,
     streaming_merge,
     streaming_table,

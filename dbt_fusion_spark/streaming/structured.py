@@ -154,6 +154,55 @@ def streaming_merge(
     return writer.start()
 
 
+def streaming_ann_ingest(
+    source: DataFrame,
+    codes_table: str,
+    checkpoint: str,
+    spark: SparkSession,
+    trigger: dict | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Continuous ANN index maintenance: each micro-batch of new
+    embeddings is PQ-encoded with the existing build_ivf_pq_index
+    artifact's quantizers and appended to its codes table — the
+    streaming twin of build_ivf_pq_index(mode='append') (r7), i.e. the
+    live half of the 100 TB serving shape: the index artifact stays
+    current as the crawl lands, queries keep reading m-byte codes, and
+    the corpus floats are touched exactly once per vector, at ingest.
+
+    Exactly-once: the checkpoint replays failed batches, and an
+    append is made idempotent by anti-joining the batch's ids against
+    the codes table before encoding (the codes scan reads only the id
+    column of the m-byte table). Quantizer drift is rejected by the
+    append path itself; watch ivf_index_health's mean_batch_dist2 to
+    decide when to stop appending and rebuild."""
+    from dbt_fusion_spark.llm.similarity import (
+        build_ivf_pq_index,
+        load_ivf_pq_index,
+    )
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        codes, cents, books = load_ivf_pq_index(bspark, codes_table)
+        new = (batch.select(id_col, vec_col)
+               .dropDuplicates([id_col])
+               .join(codes.select(id_col), id_col, "left_anti"))
+        if new.isEmpty():
+            return
+        build_ivf_pq_index(new, cents, books, codes_table,
+                           id_col=id_col, vec_col=vec_col, mode="append")
+
+    writer = (
+        source.writeStream.outputMode("append")
+        .foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def stateful_sessionize(
     source: DataFrame,
     user_col: str = "user_id",

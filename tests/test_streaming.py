@@ -404,3 +404,63 @@ def test_streaming_merge_partition_scoped(spark, tmp_path):
     after = part_files()
     assert after["dt=d1"] == before["dt=d1"]  # untouched partition intact
     assert after["dt=d3"] == before["dt=d3"]
+
+
+def test_streaming_ann_ingest_appends_codes(spark, tmp_path):
+    """r7 streaming twin of build_ivf_pq_index(mode='append'): each
+    micro-batch of new embeddings is encoded with the artifact's own
+    quantizers and appended to the codes table — bit-equal codes to the
+    batch append path, artifact meta untouched, and a checkpoint replay
+    (same source, fresh checkpoint) appends NOTHING thanks to the id
+    anti-join."""
+    import dbt_fusion_spark.llm.similarity as S
+    from dbt_fusion_spark.streaming import streaming_ann_ingest
+
+    dim = 16
+    rows = [(i, [10.0 if d == (i % 8) else 0.0 + 0.01 * ((i + d) % 5)
+                 for d in range(dim)]) for i in range(300)]
+    base = spark.createDataFrame(rows[:200],
+                                 "vec_id long, embedding array<double>")
+    fit_path = str(tmp_path / "fit.parquet")
+    base.write.parquet(fit_path)
+    cents = S.fit_kmeans_centroids(
+        S.load_vectors_pyarrow(fit_path), n_cells=8)
+    books = S.fit_pq_codebooks(S.load_vectors_pyarrow(fit_path))
+    idx = str(tmp_path / "codes")
+    S.build_ivf_pq_index(base, cents, books, idx)
+
+    # the "crawl": 100 new vectors landing as files
+    src = str(tmp_path / "incoming")
+    spark.createDataFrame(rows[200:],
+                          "vec_id long, embedding array<double>") \
+        .coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>").parquet(src)
+    q = streaming_ann_ingest(stream, idx, str(tmp_path / "ckpt"), spark,
+                             trigger={"availableNow": True})
+    q.awaitTermination(120)
+
+    codes, m_cents, m_books = S.load_ivf_pq_index(spark, idx)
+    assert codes.count() == 300
+    assert codes.select("vec_id").distinct().count() == 300
+    assert m_cents == cents and m_books == books  # meta untouched
+
+    # bit-equality with the batch append path on a parallel artifact
+    idx2 = str(tmp_path / "codes2")
+    S.build_ivf_pq_index(base, cents, books, idx2)
+    S.build_ivf_pq_index(
+        spark.createDataFrame(rows[200:],
+                              "vec_id long, embedding array<double>"),
+        cents, books, idx2, mode="append")
+    a = sorted(map(tuple, codes.select(
+        "vec_id", "__kcell", F.col("pq_code").cast("string")).collect()))
+    b = sorted(map(tuple, S.load_ivf_pq_index(spark, idx2)[0].select(
+        "vec_id", "__kcell", F.col("pq_code").cast("string")).collect()))
+    assert a == b
+
+    # replay the same source with a FRESH checkpoint: the id anti-join
+    # makes the append idempotent — nothing new lands
+    q2 = streaming_ann_ingest(stream, idx, str(tmp_path / "ckpt2"),
+                              spark, trigger={"availableNow": True})
+    q2.awaitTermination(120)
+    assert S.load_ivf_pq_index(spark, idx)[0].count() == 300
