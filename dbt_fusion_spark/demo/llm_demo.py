@@ -1164,6 +1164,68 @@ def text_normalize_nfc(spark, sf_dir):
     return T.normalize_unicode(docs, "doc_id", "text")
 
 
+# Deterministic markup injection (the synthetic corpus has no HTML):
+# identical SQL on both engines - a wrapping <p>, a script block whose
+# BODY contains a bare '<' (must vanish wholesale), a comment, and the
+# six entities. coalesce() because Spark concat is NULL-poisoning while
+# DuckDB concat skips NULLs.
+_MARKUP_INJ = (
+    "concat('<p class=\"intro\">', coalesce(text, ''), '</p>', "
+    "CASE WHEN doc_id % 7 = 0 THEN "
+    "'<script type=\"text/javascript\">var x = 1 < 2 && \"a\";</script>'"
+    " ELSE '' END, "
+    "CASE WHEN doc_id % 5 = 0 THEN '<!-- nav boilerplate -->' "
+    "ELSE '' END, "
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "' A &amp; B &lt;i&gt; &quot;q&quot; &#39;s&#39;&nbsp;end' "
+    "ELSE '' END)"
+)
+
+
+def _markup_strip_duck(col: str) -> str:
+    """The strip chain restated for DuckDB from the SAME pattern
+    constants (llm/text.py) - inline (?is) flags work in RE2; DuckDB
+    additionally needs the 'g' option (Spark replaces globally by
+    default)."""
+    from dbt_fusion_spark.llm.text import (
+        _MARKUP_BLOCKS,
+        _MARKUP_COMMENT,
+        _MARKUP_ENTITIES,
+        _MARKUP_TAG,
+    )
+
+    expr = f"regexp_replace({col}, '{_MARKUP_BLOCKS}', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '{_MARKUP_COMMENT}', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '{_MARKUP_TAG}', ' ', 'g')"
+    for pat, repl in _MARKUP_ENTITIES:
+        r = repl.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '{r}', 'g')"
+    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+
+
+@register(
+    "text_strip_markup",
+    oracle=f"""
+    WITH inj AS (SELECT doc_id, {_MARKUP_INJ} AS t FROM documents)
+    SELECT doc_id, {_markup_strip_duck('t')} AS text,
+           CAST(length(t) - length({_markup_strip_duck('t')}) AS BIGINT)
+             AS n_chars_removed
+    FROM inj
+    """,
+)
+def text_strip_markup(spark, sf_dir):
+    """C4/Dolma markup extraction over a deterministically
+    HTML-injected corpus: script bodies (including a bare '<' inside)
+    and comments vanish wholesale, tags become word-separating spaces,
+    the six ubiquitous entities decode, whitespace collapses. Pure
+    codegen'd regexp_replace chain (RE2-compatible patterns shared
+    verbatim with the oracle); n_chars_removed is the extraction
+    dashboard's removed-mass signal."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_MARKUP_INJ).alias("text"))
+    return T.strip_markup(docs, "doc_id", "text")
+
+
 # ------------------------------------------------------------ multimodal
 
 

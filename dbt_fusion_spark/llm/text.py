@@ -168,6 +168,49 @@ def redact_pii(df: DataFrame, text_col: str, id_col: str,
     return df.select(F.col(id_col), out.alias("redacted"), *counts)
 
 
+# Markup-strip patterns: RE2-compatible (no lookaround/backrefs, the
+# PII_PATTERNS discipline) so the IDENTICAL pattern runs on Spark's
+# java.util.regex and DuckDB's RE2 — the strip decision is reproducible
+# across the fleet and the oracle. Order matters: script/style bodies
+# and comments first (their content must go, not just their tags),
+# then remaining tags, then entity decode (named/numeric before &amp;,
+# the standard decode order), then whitespace collapse.
+_MARKUP_BLOCKS = r"(?is)<(script|style)[^>]*>.*?</(script|style)>"
+_MARKUP_COMMENT = r"(?s)<!--.*?-->"
+_MARKUP_TAG = r"<[^>]+>"
+_MARKUP_ENTITIES = [  # (literal-as-regex, replacement)
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
+]
+
+
+def strip_markup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4/Dolma-style HTML/markup removal — the extraction step between
+    the raw crawl and every text-quality operator: script/style bodies
+    and comments dropped wholesale, remaining tags replaced by a space
+    (tag boundaries separate words: '</p><p>' must not fuse tokens),
+    the six ubiquitous entities decoded, whitespace runs collapsed.
+    Emits (id, text, n_chars_removed) — the removed-mass count feeds
+    the extraction dashboard (a page that loses 95% of its bytes was
+    boilerplate/nav, a candidate for dropping outright).
+
+    Pure chained regexp_replace — codegen'd, zero shuffles, no UDF; a
+    full HTML5 parser is deliberately out of scope (the reference
+    corpus-prep lineage — C4, Gopher, Dolma — operates on extracted
+    text with exactly this class of tag-regex cleanup)."""
+    t = F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
+                         _MARKUP_BLOCKS, " ")
+    t = F.regexp_replace(t, _MARKUP_COMMENT, " ")
+    t = F.regexp_replace(t, _MARKUP_TAG, " ")
+    for pat, repl in _MARKUP_ENTITIES:
+        t = F.regexp_replace(t, pat, repl)
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.select(
+        F.col(id_col), t.alias("text"),
+        (F.length(F.coalesce(F.col(text_col), F.lit("")))
+         - F.length(t)).cast("bigint").alias("n_chars_removed"))
+
+
 def normalize_unicode(df: DataFrame, id_col: str, text_col: str,
                       form: str = "NFC",
                       out_col: str = "text_nfc") -> DataFrame:

@@ -380,6 +380,11 @@ _EXECUTING = {
     "runner_python_model_pipeline",
     "runner_seed_typed_load", "runner_materialized_view",
     "runner_clone_contents",
+    # r7: index-artifact rows build (and the streaming one ingests
+    # into) a codes table at call time — write paths audited post-hoc
+    "similarity_ivf_pq_prebuilt",
+    "similarity_index_health",
+    "streaming_ann_ingest_codes",
 }
 
 

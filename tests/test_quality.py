@@ -527,3 +527,36 @@ def test_calibrate_midpoint_raw_emission(spark):
     crow = calibrate_threshold_curve(df, "score", [0.5]).collect()[0]
     assert crow["threshold"] == expected
     assert crow["n_kept"] == 1
+
+
+def test_strip_markup_edges(spark):
+    """r7 markup extraction: script/style BODIES vanish (even with a
+    bare '<' inside), comments vanish, tags become word-separating
+    spaces (adjacent </p><p> must not fuse tokens), the six entities
+    decode in the standard order (&amp; last, so '&amp;lt;' stays a
+    literal '&lt;' text), NULL text yields '' with 0 removed."""
+    from dbt_fusion_spark.llm.text import strip_markup
+
+    docs = spark.createDataFrame(
+        [(1, "<p>hello</p><p>world</p>"),
+         (2, "keep <script>var a = 1 < 2;</script>this"),
+         (3, "x <style type='text/css'>.a{color:red}</style> y"),
+         (4, "a <!-- hidden\nnote --> b"),
+         (5, "A &amp; B &lt;i&gt; &quot;q&quot; &#39;s&#39;&nbsp;."),
+         (6, "&amp;lt; stays entity-text"),
+         (7, None),
+         (8, "plain text unchanged")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           strip_markup(docs, "doc_id", "text").collect()}
+    assert out[1]["text"] == "hello world"  # tag boundary separates
+    assert out[2]["text"] == "keep this"    # script body with bare <
+    assert out[3]["text"] == "x y"
+    assert out[4]["text"] == "a b"
+    assert out[5]["text"] == "A & B <i> \"q\" 's' ."
+    assert out[6]["text"] == "&lt; stays entity-text"  # amp decoded last
+    assert out[7]["text"] == "" and out[7]["n_chars_removed"] == 0
+    assert out[8]["text"] == "plain text unchanged"
+    assert out[8]["n_chars_removed"] == 0
+    assert out[2]["n_chars_removed"] == len(
+        "keep <script>var a = 1 < 2;</script>this") - len("keep this")
