@@ -96,6 +96,12 @@ HEADLINE = [
     # broadcast shortlist only) and the full IVFADC composition
     "similarity_pq_adc_rerank_topk",
     "similarity_ivf_pq_topk",
+    # r7: the durable-index path (build + serve in one timed unit —
+    # the serve-only scaling story lives in BENCH_scale10's
+    # ivf_pq_prebuilt_serve: 1.08x wall at 10x) and the C4 markup
+    # extraction regex chain
+    "similarity_ivf_pq_prebuilt",
+    "text_strip_markup",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR
