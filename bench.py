@@ -102,6 +102,9 @@ HEADLINE = [
     # extraction regex chain
     "similarity_ivf_pq_prebuilt",
     "text_strip_markup",
+    # r7: exact duplicate-substring removal (rolling-window election +
+    # interval-merge rewrite — the heaviest per-row text op)
+    "dedup_substring_remove",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

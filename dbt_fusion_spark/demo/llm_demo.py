@@ -2088,6 +2088,63 @@ def dedup_spans_corpus(spark, sf_dir):
     return D.span_dedup_stats(docs, "doc_id", "text", span_words=10)
 
 
+@register(
+    "dedup_substring_remove",
+    # overlapping 10-word rolling windows; keep-first election; merged
+    # per-doc duplicate ranges REMOVED from the rewritten document.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0),
+    wins AS (
+      SELECT doc_id, s,
+             md5(array_to_string(list_slice(w, s + 1, s + 10), ' ')) AS h,
+             doc_id * 1048576 + s AS pos
+      FROM toks, unnest(generate_series(0, len(w) - 10)) AS t(s)
+      WHERE len(w) >= 10),
+    keeper AS (SELECT h, MIN(pos) AS kp FROM wins GROUP BY h),
+    dup AS (SELECT w.doc_id, w.s FROM wins w JOIN keeper k USING (h)
+            WHERE w.pos <> k.kp),
+    brk AS (SELECT doc_id, s,
+              CASE WHEN lag(s) OVER dw IS NULL
+                     OR s > lag(s) OVER dw + 10 THEN 1 ELSE 0 END AS b
+            FROM dup WINDOW dw AS (PARTITION BY doc_id ORDER BY s)),
+    isl AS (SELECT doc_id, s,
+              SUM(b) OVER (PARTITION BY doc_id ORDER BY s) AS g
+            FROM brk),
+    ivs AS (SELECT doc_id, MIN(s) AS iv_s, MAX(s) + 10 AS iv_e
+            FROM isl GROUP BY doc_id, g),
+    agg AS (SELECT doc_id, SUM(iv_e - iv_s) AS nd FROM ivs GROUP BY doc_id),
+    kept AS (
+      SELECT t.doc_id, string_agg(t.w[p + 1], ' ' ORDER BY p) AS clean_text
+      FROM toks t, unnest(generate_series(0, len(t.w) - 1)) AS u(p)
+      WHERE NOT EXISTS (SELECT 1 FROM ivs v
+                        WHERE v.doc_id = t.doc_id
+                          AND p >= v.iv_s AND p < v.iv_e)
+      GROUP BY t.doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_words,
+           CAST(COALESCE(a.nd, 0) AS BIGINT) AS n_dup_words,
+           CAST(COALESCE(a.nd, 0) AS BIGINT)
+             / CAST(len(t.w) AS BIGINT) AS dup_frac,
+           COALESCE(kp.clean_text, '') AS clean_text
+    FROM toks t
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN kept kp USING (doc_id)
+    """,
+)
+def dedup_substring_remove(spark, sf_dir):
+    """Exact duplicate-substring removal (Lee et al. 2022): overlapping
+    10-word windows, corpus-wide keep-first election, per-doc interval
+    merge, document rewritten with duplicated ranges dropped. The
+    cleaning pass dedup_spans_corpus only audits. Generate -> md5-keyed
+    keeper -> equi-join mark-back -> per-doc (bounded) windows -> HOF
+    rewrite; no cross join, no corpus-wide window, no Python."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        "length(trim(text)) > 0")
+    return D.remove_duplicate_spans(docs, "doc_id", "text", k=10)
+
+
 # ----------------------------------------------------- keyword search
 
 @register(

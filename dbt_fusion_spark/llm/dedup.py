@@ -679,3 +679,86 @@ def dedup_threshold_sweep(df: DataFrame, id_col: str, text_col: str,
         F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
         F.coalesce("n_docs_removed", F.lit(0)).cast("bigint")
         .alias("n_docs_removed"))
+
+
+def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                           k: int = 10, shift: int = 20) -> DataFrame:
+    """Exact duplicate-substring REMOVAL (Lee et al. 2022, arXiv
+    2107.06499): every overlapping k-word window is hashed; the
+    corpus-wide first occurrence (min of doc_id * 2^shift + start)
+    keeps its text; every other occurrence marks its [start, start+k)
+    word range; per-doc ranges are merged (equal-length intervals
+    sorted by start merge while next.start <= prev.start + k) and the
+    document is rewritten with the merged ranges dropped. Unlike
+    span_dedup_stats (audit-only, non-overlapping windows) this is the
+    cleaning pass itself. The emitted clean_text is the NORMALIZED
+    document (lowercased, whitespace-collapsed) so rewrite positions
+    align with the hashed tokens; docs shorter than k words pass
+    through unchanged (normalized).
+
+    Scale shape (100 TB): the rolling explode is a Generate (~k x the
+    non-overlapping span count); the keeper election shuffles 16-byte
+    md5 keys with a map-side partial MIN; the mark-back is an equi-join
+    on the same hash; interval merge windows partition by doc (bounded
+    by document length, never corpus-wide); the rewrite is JVM-side
+    higher-order functions over the token array. No cross join, no
+    Python, no driver collect. Position encoding doc_id * 2^shift +
+    start is valid while start < 2^shift (1M words/doc at the default).
+    """
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(id_col),
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                .alias("__w"))
+    )
+    n = F.size("__w")
+    wins = (
+        base.filter(n >= k)
+        .select(id_col, "__w",
+                F.explode(F.sequence(F.lit(0), n - k)).alias("__s"))
+        .select(
+            id_col, "__s",
+            F.md5(F.array_join(F.slice("__w", F.col("__s") + 1, k), " "))
+            .alias("__h"))
+        .withColumn(
+            "__pos",
+            (F.col(id_col) * F.lit(1 << shift) + F.col("__s"))
+            .cast("bigint"))
+    )
+    keeper = wins.groupBy("__h").agg(F.min("__pos").alias("__kp"))
+    dup = (wins.join(keeper, "__h")
+           .filter(F.col("__pos") != F.col("__kp"))
+           .select(id_col, "__s"))
+    w = Window.partitionBy(id_col).orderBy("__s")
+    lag_s = F.lag("__s").over(w)
+    brk = F.when(lag_s.isNull() | (F.col("__s") > lag_s + k), 1).otherwise(0)
+    merged = (
+        dup.withColumn("__b", brk)
+        .withColumn("__g", F.sum("__b").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(id_col, "__g")
+        .agg(F.min("__s").alias("iv_s"),
+             (F.max("__s") + F.lit(k)).alias("iv_e"))
+    )
+    iv_arr = merged.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("iv_s", "iv_e")))
+        .alias("__ivs"))
+    clean = F.expr(
+        "array_join(transform(filter("
+        " zip_with(__w, sequence(0, size(__w) - 1),"
+        "          (x, i) -> named_struct('w', x, 'i', i)),"
+        " p -> __ivs IS NULL"
+        "      OR NOT exists(__ivs, iv -> p.i >= iv.iv_s AND p.i < iv.iv_e)),"
+        " p -> p.w), ' ')")
+    n_dup = F.expr(
+        "coalesce(aggregate(__ivs, 0L,"
+        " (acc, iv) -> acc + CAST(iv.iv_e - iv.iv_s AS BIGINT)), 0L)")
+    return (
+        base.join(iv_arr, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size("__w").cast("bigint").alias("n_words"),
+            n_dup.alias("n_dup_words"),
+            (n_dup / F.size("__w").cast("bigint")).alias("dup_frac"),
+            clean.alias("clean_text"))
+    )

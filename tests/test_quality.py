@@ -560,3 +560,40 @@ def test_strip_markup_edges(spark):
     assert out[8]["n_chars_removed"] == 0
     assert out[2]["n_chars_removed"] == len(
         "keep <script>var a = 1 < 2;</script>this") - len("keep this")
+
+
+def test_remove_duplicate_spans_rewrite(spark):
+    from dbt_fusion_spark.llm.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"),        # all windows first occurrence
+         (2, "x1 w1 w2 w3 w4 x2"),     # dup windows s=1,2 -> drop w1..w4
+         (3, "w1 w2 w3 w4 w5"),        # full duplicate of doc 1
+         (4, "tiny doc")],             # shorter than k: untouched
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            remove_duplicate_spans(df, "doc_id", "text", k=3).collect()}
+    assert rows[1]["clean_text"] == "w1 w2 w3 w4 w5"
+    assert rows[1]["n_dup_words"] == 0
+    # dup windows [1,4) and [2,5) merge to [1,5): four words removed
+    assert rows[2]["clean_text"] == "x1 x2"
+    assert rows[2]["n_dup_words"] == 4 and rows[2]["n_words"] == 6
+    # every window duplicated -> whole doc removed
+    assert rows[3]["clean_text"] == "" and rows[3]["dup_frac"] == 1.0
+    assert rows[4]["clean_text"] == "tiny doc"
+
+
+def test_remove_duplicate_spans_adjacent_merge(spark):
+    from dbt_fusion_spark.llm.dedup import remove_duplicate_spans
+
+    # doc 2 repeats doc 1's six words as TWO adjacent dup regions whose
+    # windows are exactly k apart (s and s+k): intervals must merge
+    # into one maximal range, not leave a seam.
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"),
+         (2, "p a b c d e f q")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            remove_duplicate_spans(df, "doc_id", "text", k=3).collect()}
+    assert rows[2]["clean_text"] == "p q"
+    assert rows[2]["n_dup_words"] == 6
