@@ -103,8 +103,10 @@ HEADLINE = [
     "similarity_ivf_pq_prebuilt",
     "text_strip_markup",
     # r7: exact duplicate-substring removal (rolling-window election +
-    # interval-merge rewrite — the heaviest per-row text op)
+    # interval-merge rewrite — the heaviest per-row text op) and the
+    # MMR diversity re-rank (single-shuffle HOF greedy)
     "dedup_substring_remove",
+    "similarity_mmr_rerank",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

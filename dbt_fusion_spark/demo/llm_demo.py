@@ -360,6 +360,79 @@ def similarity_bruteforce_topk(spark, sf_dir):
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def _mmr_oracle(k: int = 5, candidates: int = 20) -> str:
+    """Unrolled greedy MMR in DuckDB: one CTE pair (penalty -> argmax)
+    per step — recursive-CTE-free, so every engine evaluates the exact
+    same IEEE expressions as the Spark loop."""
+    lam = "CAST(0.7 AS DOUBLE)"
+    sql = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             {_duck_cos('qv', 'e.embedding')} AS rel
+      FROM q, embeddings e WHERE e.vec_id <> query_id),
+    shortlist AS (
+      SELECT query_id, neighbor_id, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rel DESC, neighbor_id) AS rnk FROM scored)
+      WHERE rnk <= {candidates}),
+    cv AS (SELECT s.query_id, s.neighbor_id, e.embedding AS v
+           FROM shortlist s JOIN embeddings e ON e.vec_id = s.neighbor_id),
+    sims AS (SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+                    {_duck_cos('a.v', 'b.v')} AS sim
+             FROM cv a JOIN cv b
+               ON a.query_id = b.query_id
+              AND a.neighbor_id <> b.neighbor_id),
+    p1 AS (SELECT query_id, neighbor_id, rel,
+                  {lam} * rel - (1 - {lam}) * CAST(0 AS DOUBLE)
+                    AS mmr_score
+           FROM shortlist),
+    s1 AS (SELECT query_id, 1 AS step, neighbor_id, rel, mmr_score FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY mmr_score DESC, neighbor_id) AS r FROM p1)
+           WHERE r = 1),
+    sel1 AS (SELECT * FROM s1)"""
+    for t in range(2, k + 1):
+        sql += f""",
+    pen{t} AS (SELECT s.query_id, s.ia AS neighbor_id, MAX(s.sim) AS pen
+               FROM sims s JOIN sel{t - 1} x
+                 ON x.query_id = s.query_id AND x.neighbor_id = s.ib
+               GROUP BY s.query_id, s.ia),
+    p{t} AS (SELECT c.query_id, c.neighbor_id, c.rel,
+                    {lam} * c.rel - (1 - {lam}) *
+                      COALESCE(p.pen, CAST(0 AS DOUBLE)) AS mmr_score
+             FROM shortlist c
+             LEFT JOIN pen{t} p ON p.query_id = c.query_id
+                               AND p.neighbor_id = c.neighbor_id
+             WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} x
+                               WHERE x.query_id = c.query_id
+                                 AND x.neighbor_id = c.neighbor_id)),
+    s{t} AS (SELECT query_id, {t} AS step, neighbor_id, rel, mmr_score
+             FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY mmr_score DESC, neighbor_id) AS r
+               FROM p{t})
+             WHERE r = 1),
+    sel{t} AS (SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM s{t})"""
+    return sql + f"""
+    SELECT query_id, CAST(step AS INT) AS step, neighbor_id, rel,
+           mmr_score
+    FROM sel{k}"""
+
+
+@register("similarity_mmr_rerank", oracle=_mmr_oracle())
+def similarity_mmr_rerank(spark, sf_dir):
+    """MMR diversity re-rank (Carbonell & Goldstein 1998) of the
+    brute-force shortlist: greedy k=5 of 20 candidates, lam=0.7. The
+    shortlist + candidate-pair sims are localCheckpoint'ed once
+    (loop-invariant); each greedy step is an equi-join + bounded
+    per-query window. The oracle unrolls the same greedy steps."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.mmr_rerank(emb, emb.filter(F.col("vec_id") < 10),
+                        k=5, candidates=20)
+
+
 @register(
     "similarity_ivf_topk",
     oracle=f"""

@@ -749,3 +749,32 @@ def test_embedding_health_flags_each_failure_mode(spark):
         spark.createDataFrame(rows, "vec_id long, embedding array<float>")) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    from dbt_fusion_spark.llm.similarity import brute_force_topk, mmr_rerank
+    import pytest as _pytest
+
+    # id 1 and 2 are near-duplicates with the best relevance; id 3 is
+    # moderately relevant but diverse. Plain top-k ranks (1, 2, 3);
+    # MMR at lam=0.3 must demote the duplicate: (1, 3, 2).
+    rows = [(0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.10, 0.0]),
+            (2, [1.0, 0.11, 0.0]),
+            (3, [0.6, 0.80, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    c = df.filter("vec_id > 0")
+    plain = [r["neighbor_id"] for r in
+             brute_force_topk(c, q, k=3).orderBy("rnk").collect()]
+    assert plain == [1, 2, 3]
+    mmr = [r["neighbor_id"] for r in
+           mmr_rerank(c, q, k=3, candidates=3, lam=0.3)
+           .orderBy("step").collect()]
+    assert mmr == [1, 3, 2]
+    # step 1 is always the pure-relevance argmax
+    assert mmr[0] == plain[0]
+    with _pytest.raises(ValueError):
+        mmr_rerank(c, q, k=5, candidates=3)
+    with _pytest.raises(ValueError):
+        mmr_rerank(c, q, k=2, candidates=3, lam=1.5)

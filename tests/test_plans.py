@@ -403,7 +403,11 @@ def test_no_query_has_cartesian_or_rowwise_python(spark):
     # exempt: its stage 1 joins on the cell id (equi), so a BNLJ there
     # would be a real regression.
     allowed_bnlj = {"similarity_bruteforce_topk", "similarity_pq_adc_topk",
-                    "similarity_pq_adc_rerank_topk"}
+                    "similarity_pq_adc_rerank_topk",
+                    # MMR's stage 1 IS the brute-force broadcast scan;
+                    # the greedy loop after it is one equi-join + one
+                    # groupBy + HOFs (no further joins at all)
+                    "similarity_mmr_rerank"}
     offenders = []
     for name, fn in sorted(QUERIES.items()):
         if name in _EXECUTING:
