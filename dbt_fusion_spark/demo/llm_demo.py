@@ -2302,6 +2302,52 @@ def corpus_bm25_topk(spark, sf_dir):
                      "doc_id", "text", k=10)
 
 
+_PHRASES = ["table hash", "slow hash batch", "zz never in corpus"]
+
+
+def _phrase_oracle(phrases: list[str]) -> str:
+    """Chain-join phrase match per phrase over one positional postings
+    CTE — the same index shape the Spark operator joins."""
+    arms = []
+    for ph in phrases:
+        terms = ph.strip().lower().split()
+        lit = ph.replace("'", "''")
+        joins = (f"(SELECT doc, pos AS p0 FROM post"
+                 f" WHERE token = '{terms[0]}') m0")
+        for i, t in enumerate(terms[1:], start=1):
+            joins += (f"\n        JOIN (SELECT doc, pos - {i} AS p0"
+                      f" FROM post WHERE token = '{t}') m{i}"
+                      f" USING (doc, p0)")
+        arms.append(f"""
+      SELECT '{lit}' AS phrase, doc AS doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_matches
+      FROM {joins}
+      GROUP BY doc""")
+    body = "\n      UNION ALL".join(arms)
+    return f"""
+    WITH post AS (
+      SELECT doc_id AS doc, s AS pos, w[s + 1] AS token
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+            FROM documents) t,
+           unnest(generate_series(0, len(w) - 1)) u(s)
+      WHERE w[s + 1] <> '')
+    {body}"""
+
+
+@register("corpus_phrase_search", oracle=_phrase_oracle(_PHRASES))
+def corpus_phrase_search(spark, sf_dir):
+    """Exact-phrase search from positional postings: each n-word phrase
+    matches via a chain of (doc, pos)-arithmetic equi-joins between
+    token-filtered slices of ONE postings build; the token predicates
+    push into the scan. Includes a zero-hit phrase (no rows, both
+    engines)."""
+    from dbt_fusion_spark.llm.search import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, _PHRASES, "doc_id", "text")
+
+
 # --------------------------------------------- line dedup / LM quality
 
 @register(

@@ -95,3 +95,57 @@ def bm25_topk(df: DataFrame, query_terms: list[str], id_col: str,
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
     )
+
+
+def positional_postings(df: DataFrame, id_col: str, text_col: str
+                        ) -> DataFrame:
+    """(token, doc, pos) positional postings — the index phrase search
+    serves from. posexplode keeps 0-based word positions; tokens are
+    lowercased whitespace words (the corpus tokenizer used by the
+    inverted index). One Generate, no shuffle until a consumer keys it.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return (df.select(F.col(id_col).alias("doc"),
+                      F.posexplode(words).alias("pos", "token"))
+            .filter(F.col("token") != ""))
+
+
+def phrase_search(df: DataFrame, phrases: list[str], id_col: str,
+                  text_col: str) -> DataFrame:
+    """Exact-phrase search over positional postings: a phrase of n
+    words matches where postings for word_i co-occur in one doc at
+    pos_i = pos_1 + (i-1). Returns (phrase, doc_id, n_matches), one row
+    per document containing the phrase at least once.
+
+    Scale shape (100 TB): the postings table is built ONCE per call for
+    all phrases (one Generate over the corpus); each phrase's match is
+    a chain of equi-joins on (doc, pos) between tiny token-filtered
+    slices of it — the filters push the token predicate into the scan,
+    so a phrase touches only its own terms' postings, never the corpus.
+    Joins are equi (doc, pos arithmetic on the join key); no window, no
+    cross join. Multi-phrase results union cheaply (same scan subtree,
+    reused by Spark's plan cache under AQE).
+    """
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    post = positional_postings(df, id_col, text_col)
+    outs = []
+    for phrase in phrases:
+        terms = [t for t in phrase.strip().lower().split() if t]
+        if not terms:
+            raise ValueError(f"empty phrase in {phrases!r}")
+        m = (post.filter(F.col("token") == terms[0])
+             .select("doc", F.col("pos").alias("p0")))
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = (post.filter(F.col("token") == t)
+                   .select("doc", (F.col("pos") - i).alias("p0")))
+            m = m.join(nxt, ["doc", "p0"])
+        outs.append(
+            m.groupBy("doc")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+            .select(F.lit(phrase).alias("phrase"),
+                    F.col("doc").alias("doc_id"), "n_matches"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

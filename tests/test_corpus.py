@@ -443,3 +443,22 @@ def test_dedup_threshold_sweep_counts(spark):
         assert row["n_docs_removed"] == len({b for _, b in surviving})
     assert out[1.0]["n_pairs"] >= 1          # the exact-dup pair
     assert out[0.5]["n_pairs"] >= out[0.999]["n_pairs"]
+
+
+def test_phrase_search_positions_and_overlap(spark):
+    import pytest as _pytest
+    from dbt_fusion_spark.llm.search import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "the quick fox and the quick dog"),
+         (2, "quick the fox"),          # words present, order wrong
+         (3, "a a a a")],               # overlapping self-matches
+        "doc_id long, text string")
+    rows = phrase_search(df, ["the quick", "a a a", "missing term"],
+                         "doc_id", "text").collect()
+    got = {(r["phrase"], r["doc_id"]): r["n_matches"] for r in rows}
+    assert got == {("the quick", 1): 2, ("a a a", 3): 2}
+    with _pytest.raises(ValueError):
+        phrase_search(df, [], "doc_id", "text")
+    with _pytest.raises(ValueError):
+        phrase_search(df, ["  "], "doc_id", "text")
