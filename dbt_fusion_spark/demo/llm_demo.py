@@ -360,6 +360,38 @@ def similarity_bruteforce_topk(spark, sf_dir):
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@register(
+    "similarity_hard_pair_mining",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             e.label = ql AS same,
+             {_duck_cos('qv', 'e.embedding')} AS cos_sim
+      FROM q, embeddings e WHERE e.vec_id <> query_id),
+    neg AS (
+      SELECT query_id, 'hard_neg' AS kind, neighbor_id, cos_sim, rnk
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM scored WHERE NOT same) WHERE rnk <= 5),
+    pos AS (
+      SELECT query_id, 'hard_pos' AS kind, neighbor_id, cos_sim, rnk
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim ASC, neighbor_id) AS rnk
+            FROM scored WHERE same) WHERE rnk <= 5)
+    SELECT * FROM neg UNION ALL SELECT * FROM pos
+    """,
+)
+def similarity_hard_pair_mining(spark, sf_dir):
+    """Contrastive pair mining: per anchor (vec_id < 10), top-5 hard
+    negatives (most-similar, different label) and top-5 hard positives
+    (least-similar, same label) from ONE broadcast-anchor corpus scan —
+    both kinds are windows over the same scored frame."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.hard_pair_mining(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 def _mmr_oracle(k: int = 5, candidates: int = 20) -> str:
     """Unrolled greedy MMR in DuckDB: one CTE pair (penalty -> argmax)
     per step — recursive-CTE-free, so every engine evaluates the exact

@@ -1028,3 +1028,49 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 F.col("__s.rel").alias("rel"),
                 F.col("__s.mmr_score").alias("mmr_score"))
     )
+
+
+def hard_pair_mining(corpus: DataFrame, anchors: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     label_col: str = "label") -> DataFrame:
+    """Contrastive-training pair mining: per anchor, the k HARD
+    NEGATIVES (most-similar vectors with a DIFFERENT label — the pairs
+    a contrastive loss learns most from) and the k HARD POSITIVES
+    (least-similar vectors with the SAME label). Returns
+    (query_id, kind 'hard_neg'|'hard_pos', neighbor_id, cos_sim, rnk).
+
+    Scale shape (100 TB): one broadcast-anchor corpus scan scores every
+    (anchor, vector) pair exactly once (the brute-force family's
+    deliberate BNLJ); both mining directions are windows over the SAME
+    scored frame partitioned by anchor, so no second scan and no
+    re-shuffle between kinds — the union is two filters over one
+    window-ready exchange. Ties break on neighbor_id ascending.
+    """
+    q = anchors.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__ql"), norm_fold(vec_col).alias("__qn"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("__cl"), norm_fold(vec_col).alias("__cn"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                (F.col("__ql") == F.col("__cl")).alias("__same"),
+                (dot_fold("__qv", "__cv")
+                 / (F.col("__qn") * F.col("__cn"))).alias("cos_sim")))
+    w_neg = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    w_pos = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").asc(), F.col("neighbor_id"))
+    neg = (scored.filter(~F.col("__same"))
+           .withColumn("rnk", F.row_number().over(w_neg))
+           .filter(F.col("rnk") <= k)
+           .select("query_id", F.lit("hard_neg").alias("kind"),
+                   "neighbor_id", "cos_sim", "rnk"))
+    pos = (scored.filter(F.col("__same"))
+           .withColumn("rnk", F.row_number().over(w_pos))
+           .filter(F.col("rnk") <= k)
+           .select("query_id", F.lit("hard_pos").alias("kind"),
+                   "neighbor_id", "cos_sim", "rnk"))
+    return neg.unionByName(pos)

@@ -778,3 +778,19 @@ def test_mmr_rerank_prefers_diversity(spark):
         mmr_rerank(c, q, k=5, candidates=3)
     with _pytest.raises(ValueError):
         mmr_rerank(c, q, k=2, candidates=3, lam=1.5)
+
+
+def test_hard_pair_mining_kinds(spark):
+    from dbt_fusion_spark.llm.similarity import hard_pair_mining
+
+    # anchor id 0 label A. Same-label: 1 (identical), 2 (orthogonal-ish)
+    # -> hard positive is 2. Different-label: 3 (near-identical),
+    # 4 (opposite) -> hard negative is 3.
+    rows = [(0, [1.0, 0.0], "A"), (1, [1.0, 0.0], "A"),
+            (2, [0.1, 1.0], "A"), (3, [1.0, 0.1], "B"),
+            (4, [-1.0, 0.0], "B")]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    out = hard_pair_mining(df, df.filter("vec_id = 0"), k=1)
+    got = {r["kind"]: r["neighbor_id"] for r in out.collect()}
+    assert got == {"hard_neg": 3, "hard_pos": 2}

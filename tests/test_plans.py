@@ -407,7 +407,11 @@ def test_no_query_has_cartesian_or_rowwise_python(spark):
                     # MMR's stage 1 IS the brute-force broadcast scan;
                     # the greedy loop after it is one equi-join + one
                     # groupBy + HOFs (no further joins at all)
-                    "similarity_mmr_rerank"}
+                    "similarity_mmr_rerank",
+                    # hard-pair mining scores anchors x corpus once via
+                    # the same deliberate broadcast scan; both mining
+                    # kinds are windows over that one scored frame
+                    "similarity_hard_pair_mining"}
     offenders = []
     for name, fn in sorted(QUERIES.items()):
         if name in _EXECUTING:
