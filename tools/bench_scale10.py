@@ -47,6 +47,13 @@ QUERY_SET = [
     # r5: classifier inference is the heaviest new per-token op
     # (uni+bigram explode over the full corpus)
     "quality_classifier_scores",
+    # r7: the rolling-window substring removal (k x span explode +
+    # HOF rewrite), the single-shuffle MMR greedy, positional phrase
+    # search, and hard-pair mining
+    "dedup_substring_remove",
+    "similarity_mmr_rerank",
+    "corpus_phrase_search",
+    "similarity_hard_pair_mining",
 ]
 
 

@@ -57,6 +57,12 @@ QUERY_SET = [
     "events_sessionization",
     "graph_pagerank_suppliers",
     "pack_sequences_budget",
+    # r7 additions: rolling-window substring removal, single-shuffle
+    # MMR greedy, positional phrase search, hard-pair mining
+    "dedup_substring_remove",
+    "similarity_mmr_rerank",
+    "corpus_phrase_search",
+    "similarity_hard_pair_mining",
 ]
 
 FIELDS = ("inputBytes", "shuffleReadBytes", "shuffleWriteBytes",
