@@ -58,14 +58,19 @@ GATE_WINDOW: list[str] = [
     # r7 debut: durable ANN index artifact
     "similarity_ivf_pq_prebuilt",
     # kept anchors (runner family certifies the adapter surface every
-    # round; the 3 side-effectful write paths get r7 byte audits; the
-    # IVFADC pair re-certifies on the codes_table-aware code)
+    # round; IVFADC re-certifies on the codes_table-aware code). The
+    # four write-path/ANN anchors certified in r5/r6 ceded their slots
+    # to the four late-r7 debuts below — debut operators get driver
+    # certification in their debut round (the r6 lesson), and the
+    # displaced rows keep their cumulative certification + this
+    # round's byte audits.
     "runner_full_build_statuses",
-    "snapshot_partition_scoped",
-    "incremental_merge_partition_scoped",
-    "incremental_replace_where",
     "similarity_ivf_pq_topk",
-    "similarity_pq_adc_rerank_topk",
+    # late-r7 debuts (strict-green locally at both SFs)
+    "dedup_substring_remove",
+    "similarity_mmr_rerank",
+    "corpus_phrase_search",
+    "similarity_hard_pair_mining",
     # ---- the 40 never-gated rows (exact r6-verdict list) ----
     # TPC-H (11)
     "tpch_q4_priority_with_exists",
