@@ -879,6 +879,44 @@ def similarity_ivf_kmeans_topk(spark, sf_dir):
                              centroids, k=5)
 
 
+def _fit_gate_pca():
+    import os as _os
+
+    path = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                           "/root/testdata/sf0.01")
+    try:
+        return S.fit_pca_components_cached(f"{path}/embeddings.parquet",
+                                           n_components=2)
+    except Exception:
+        return None
+
+
+_GATE_PCA = _fit_gate_pca()
+
+
+def _pca_oracle(fit) -> str | None:
+    if fit is None:
+        return None
+    mean, comps, _ = fit
+    e = S.pca_project_exprs(mean, comps, "embedding", "duckdb")
+    return f"""
+    SELECT vec_id, {e[0]} AS pc1, {e[1]} AS pc2 FROM embeddings"""
+
+
+@register("embedding_pca_project", oracle=_pca_oracle(_GATE_PCA))
+def embedding_pca_project(spark, sf_dir):
+    """PCA projection onto the top-2 components: basis fit driver-side
+    on the bounded deterministic sample (exact eigh, sign-normalized —
+    the k-means coarse-quantizer pattern), projection shipped as a
+    literal-fold expression pc_j = v.c_j - mean.c_j with the offset
+    rendered as the same double into both dialects. One scan, no
+    shuffle, no executor Python."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, _ = S.fit_pca_components_cached(
+        f"{sf_dir}/embeddings.parquet", n_components=2)
+    return S.pca_project(emb, mean, comps)
+
+
 @register(
     "embedding_near_dups",
     oracle=f"""

@@ -1074,3 +1074,89 @@ def hard_pair_mining(corpus: DataFrame, anchors: DataFrame, k: int = 5,
            .select("query_id", F.lit("hard_pos").alias("kind"),
                    "neighbor_id", "cos_sim", "rnk"))
     return neg.unionByName(pos)
+
+
+def fit_pca_components(vectors, n_components: int = 2
+                       ) -> tuple[list[float], list[list[float]],
+                                  list[float]]:
+    """Deterministic exact PCA fit over a bounded sample (float64):
+    mean, top-n_components eigenvectors of the covariance (eigh — no
+    RNG, no iterative solver), explained-variance ratios. Sign is
+    normalized so each component's largest-|x| entry is positive;
+    eigenvalue order is descending. Same input -> bit-identical
+    components, which is what lets the DuckDB oracle restate the
+    projection exactly (the k-means coarse-quantizer pattern,
+    fit_kmeans_centroids).
+
+    This is the production shape at 100 TB too: the basis is fit
+    driver-side on a bounded sample, then projection ships to
+    executors as a pure literal-fold expression — no distributed
+    iteration.
+    """
+    import numpy as np
+
+    X = np.asarray(vectors, dtype=np.float64)
+    if n_components < 1 or n_components > X.shape[1]:
+        raise ValueError(
+            f"n_components={n_components} outside [1, dim={X.shape[1]}]")
+    mean = X.mean(axis=0)
+    Xc = X - mean
+    cov = Xc.T @ Xc / len(X)
+    evals, evecs = np.linalg.eigh(cov)
+    order = list(np.argsort(evals)[::-1][:n_components])
+    total = float(evals.sum())
+    comps, evr = [], []
+    for j in order:
+        v = evecs[:, j].copy()
+        if v[int(np.abs(v).argmax())] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+        evr.append(float(evals[j]) / total if total else 0.0)
+    return [float(m) for m in mean], comps, evr
+
+
+_PCA_CACHE: dict = {}
+
+
+def fit_pca_components_cached(parquet_path: str,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              n_components: int = 2, limit: int = 2000):
+    import os
+
+    key = (os.path.abspath(parquet_path), os.path.getmtime(parquet_path),
+           vec_col, id_col, n_components, limit)
+    if key not in _PCA_CACHE:
+        _PCA_CACHE[key] = fit_pca_components(
+            load_vectors_pyarrow(parquet_path, vec_col, id_col, limit),
+            n_components)
+    return _PCA_CACHE[key]
+
+
+def pca_project_exprs(mean: list[float], comps: list[list[float]],
+                      vec_col: str, dialect: str = "spark") -> list[str]:
+    """Per-component projection expression pc_j = v·c_j - mean·c_j: the
+    centered dot decomposed into a literal-fold dot minus a
+    driver-computed scalar offset — identical IEEE expression on both
+    engines (the offset is the SAME Python double rendered into both
+    dialects, so parity never depends on re-deriving it in SQL)."""
+    out = []
+    for c in comps:
+        off = 0.0
+        for m, x in zip(mean, c):
+            off += m * x
+        lit = (f"{off!r}D" if dialect == "spark"
+               else _duck_double_lit(off))
+        out.append(f"({_dot_literal(vec_col, c, dialect)} - {lit})")
+    return out
+
+
+def pca_project(df: DataFrame, mean: list[float],
+                comps: list[list[float]], id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Project every vector onto the fitted basis: (id, pc1..pcN).
+    Pure projection — one scan, no shuffle, no Python on executors."""
+    exprs = pca_project_exprs(mean, comps, vec_col, "spark")
+    return df.select(
+        F.col(id_col),
+        *[F.expr(e).alias(f"pc{j + 1}") for j, e in enumerate(exprs)])

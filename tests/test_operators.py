@@ -794,3 +794,28 @@ def test_hard_pair_mining_kinds(spark):
     out = hard_pair_mining(df, df.filter("vec_id = 0"), k=1)
     got = {r["kind"]: r["neighbor_id"] for r in out.collect()}
     assert got == {"hard_neg": 3, "hard_pos": 2}
+
+
+def test_pca_fit_recovers_dominant_direction(spark):
+    import pytest as _pytest
+    from dbt_fusion_spark.llm.similarity import (fit_pca_components,
+                                                 pca_project)
+
+    # points spread along (0.6, 0.8, 0) with small orthogonal jitter
+    vecs = [[0.6 * t, 0.8 * t, 0.01 * ((i % 3) - 1)]
+            for i, t in enumerate(x * 0.1 for x in range(-20, 21))]
+    mean, comps, evr = fit_pca_components(vecs, n_components=2)
+    assert abs(comps[0][0] - 0.6) < 0.01
+    assert abs(comps[0][1] - 0.8) < 0.01
+    assert comps[0][1] > 0          # sign-normalized: largest entry positive
+    assert evr[0] > 0.99 and evr[0] >= evr[1]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    rows = pca_project(df, mean, comps).collect()
+    import statistics
+    v1 = statistics.pvariance([r["pc1"] for r in rows])
+    v2 = statistics.pvariance([r["pc2"] for r in rows])
+    assert v1 > v2          # projections preserve eigenvalue order
+    with _pytest.raises(ValueError):
+        fit_pca_components(vecs, n_components=9)
