@@ -1284,6 +1284,48 @@ def text_fingerprint(spark, sf_dir):
 
 
 @register(
+    "text_winnow_fingerprints",
+    # rightmost-min winnowing via ONE lexicographic key min:
+    # 16-hex gram hash || lpad(n_grams - pos, 10, '0')
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0),
+    g AS (
+      SELECT doc_id, s AS p, len(w) - 3 + 1 AS ng,
+             substr(md5(array_to_string(list_slice(w, s + 1, s + 3), ' ')),
+                    1, 16) AS h
+      FROM toks, unnest(generate_series(0, len(w) - 3)) t(s)
+      WHERE len(w) >= 3),
+    keyed AS (
+      SELECT doc_id, p, ng,
+             h || lpad(CAST(ng - p AS VARCHAR), 10, '0') AS key
+      FROM g),
+    sel AS (
+      SELECT DISTINCT doc_id, ng, s FROM (
+        SELECT doc_id, p, ng,
+               min(key) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                 AS s
+        FROM keyed)
+      WHERE p <= ng - 4)
+    SELECT doc_id,
+           CAST(ng - CAST(substr(s, 17, 10) AS BIGINT) AS BIGINT) AS pos,
+           substr(s, 1, 16) AS gram_hash
+    FROM sel
+    """,
+)
+def text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. 2003): 3-word gram
+    hashes, window-4 rightmost-min selection as one lexicographic key
+    min (hash || lpad(n_grams - pos)); distinct selections per doc.
+    One Generate + one bounded per-doc window frame, no cross join."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        "length(trim(text)) > 0")
+    return T.winnow_fingerprints(docs, "doc_id", "text", k=3, window=4)
+
+
+@register(
     "text_normalize_nfc",
     oracle="""
     WITH pert AS (

@@ -8,7 +8,7 @@ Each is deterministic and oracle-reproducible.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _norm(text_col: str) -> Column:
@@ -246,3 +246,60 @@ def normalize_unicode(df: DataFrame, id_col: str, text_col: str,
         F.length(F.col(text_col)).alias("n_chars_raw"),
         F.length(normed).alias("n_chars_norm"),
         normed.alias(out_col))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 3, window: int = 4) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    MOSS local fingerprinting algorithm): hash every k-word gram, slide
+    a window of `window` consecutive gram hashes, and select each
+    window's minimum hash, breaking ties to the RIGHTMOST position;
+    distinct selections are the document's fingerprints. Guarantees:
+    every match of length >= window + k - 1 words shares a fingerprint
+    (whole-corpus robustness exact dedup lacks), at expected density
+    2 / (window + 1).
+
+    Cross-engine trick: the rightmost-min selection is ONE string min —
+    key = gram_hash (16 fixed hex chars) || lpad(n_grams - pos) — so
+    lexicographic MIN picks the smallest hash and, among ties, the
+    largest pos. No argmax/struct aggregates that engines order
+    differently.
+
+    Scale shape (100 TB): Generate per doc, ONE per-doc window frame
+    (ROWS BETWEEN CURRENT AND window-1 FOLLOWING — bounded by document
+    length, never corpus-wide), distinct on the selected keys. No
+    cross join, no Python. Returns (doc_id, pos, gram_hash).
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"k={k} and window={window} must be >= 1")
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size("__w")
+    grams = (
+        df.select(F.col(id_col), words.alias("__w"))
+        .filter(n >= k)
+        .select(
+            F.col(id_col), (n - k + 1).alias("__ng"), "__w",
+            F.explode(F.sequence(F.lit(0), n - k)).alias("__p"))
+        .select(
+            id_col, "__ng", "__p",
+            F.substring(
+                F.md5(F.array_join(
+                    F.slice("__w", F.col("__p") + 1, k), " ")),
+                1, 16).alias("__h"))
+    )
+    key = F.concat(
+        F.col("__h"),
+        F.lpad((F.col("__ng") - F.col("__p")).cast("string"), 10, "0"))
+    fw = (Window.partitionBy(id_col).orderBy("__p")
+          .rowsBetween(Window.currentRow, window - 1))
+    sel = (
+        grams.withColumn("__key", key)
+        .withColumn("__sel", F.min("__key").over(fw))
+        .filter(F.col("__p") <= F.col("__ng") - window)
+        .select(id_col, "__ng", "__sel").distinct()
+    )
+    return sel.select(
+        F.col(id_col),
+        (F.col("__ng")
+         - F.substring("__sel", 17, 10).cast("bigint")).alias("pos"),
+        F.substring("__sel", 1, 16).alias("gram_hash"))

@@ -597,3 +597,40 @@ def test_remove_duplicate_spans_adjacent_merge(spark):
             remove_duplicate_spans(df, "doc_id", "text", k=3).collect()}
     assert rows[2]["clean_text"] == "p q"
     assert rows[2]["n_dup_words"] == 6
+
+
+def test_winnow_fingerprints_guarantee_and_rightmost_min(spark):
+    from dbt_fusion_spark.llm.text import winnow_fingerprints
+
+    # 12 words -> 10 grams (k=3) -> 7 complete windows (w=4). Winnowing
+    # guarantee: every window contains a selected position; density
+    # well under 1 fingerprint per gram.
+    doc1 = " ".join(f"w{i}" for i in range(12))
+    # doc 2 shares doc1's words 3..11 (9 words >= w + k - 1 = 6): the
+    # shared run must produce at least one COMMON fingerprint hash.
+    doc2 = "x y z " + " ".join(f"w{i}" for i in range(3, 12))
+    df = spark.createDataFrame([(1, doc1), (2, doc2)],
+                               "doc_id long, text string")
+    rows = winnow_fingerprints(df, "doc_id", "text", k=3, window=4) \
+        .collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(
+            (r["pos"], r["gram_hash"]))
+    pos1 = sorted(p for p, _ in by_doc[1])
+    # every complete window j in 0..6 covers some selected pos
+    for j in range(7):
+        assert any(j <= p <= j + 3 for p in pos1), (j, pos1)
+    assert len(pos1) <= 7
+    h1 = {h for _, h in by_doc[1]}
+    h2 = {h for _, h in by_doc[2]}
+    assert h1 & h2, "shared 9-word run must share a fingerprint"
+    # identical repeated grams tie on hash -> the RIGHTMOST position of
+    # each window wins: 8x"a" = 6 grams, complete windows at p=0,1,2
+    # each select p = window_start + 3
+    rep = spark.createDataFrame([(3, "a a a a a a a a")],
+                                "doc_id long, text string")
+    sel = winnow_fingerprints(rep, "doc_id", "text", k=3, window=4) \
+        .collect()
+    assert sorted(r["pos"] for r in sel) == [3, 4, 5]
+    assert len({r["gram_hash"] for r in sel}) == 1
