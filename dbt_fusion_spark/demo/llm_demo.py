@@ -2577,6 +2577,56 @@ def corpus_boilerplate_strip(spark, sf_dir):
                                    min_docs=3, min_chars=10)
 
 
+def quality_bigram_backoff(spark, sf_dir):
+    """Stupid-Backoff bigram scoring against the English reference
+    slice (CCNet out-of-domain shape): in-domain docs score low,
+    other-language docs back off to the smoothed reference unigram and
+    score high; backoff_frac is the exact backed-off token fraction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return Q.bigram_backoff_score(docs, "doc_id", "text",
+                                  "lang", "en")
+
+
+register(
+    "quality_bigram_backoff",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS w
+      FROM documents),
+    cu AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+           FROM (SELECT unnest(w) AS token FROM toks WHERE lang = 'en')
+           GROUP BY token),
+    stats AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                     CAST(COUNT(*) AS BIGINT) AS v FROM cu),
+    bg AS (SELECT doc_id, lang, w[i + 1] AS w1, w[i + 2] AS w2
+           FROM toks, unnest(generate_series(0, len(w) - 2)) t(i)
+           WHERE len(w) >= 2),
+    cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+           FROM bg WHERE lang = 'en' GROUP BY w1, w2),
+    tf AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM bg GROUP BY doc_id, w1, w2),
+    j AS (SELECT t.doc_id, t.tf, c.cb, u1.c AS cu1, u2.c AS cu2, n, v
+          FROM tf t
+          LEFT JOIN cb c USING (w1, w2)
+          LEFT JOIN cu u1 ON u1.token = t.w1
+          LEFT JOIN cu u2 ON u2.token = t.w2
+          CROSS JOIN stats)
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           CAST(round(-SUM(tf * ln(
+                 CASE WHEN cb IS NOT NULL THEN cb / cu1
+                      ELSE CAST(0.4 AS DOUBLE) *
+                           ((COALESCE(cu2, 0) + CAST(0.5 AS DOUBLE))
+                            / (n + CAST(0.5 AS DOUBLE) * v)) END))
+               / SUM(tf), 6) AS DOUBLE) AS avg_neg_loglik,
+           CAST(SUM(CASE WHEN cb IS NULL THEN tf ELSE 0 END) AS BIGINT)
+             / CAST(SUM(tf) AS BIGINT) AS backoff_frac
+    FROM j GROUP BY doc_id
+    """,
+)(quality_bigram_backoff)
+
+
 @register(
     "quality_unigram_loglik",
     # add-0.5-smoothed unigram LM fit on the corpus itself; score =

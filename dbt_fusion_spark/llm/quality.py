@@ -444,3 +444,75 @@ def blocklist_filter(df: DataFrame, id_col: str, text_col: str,
         .alias("n_distinct_terms"),
         F.coalesce("sample_terms", F.array().cast("array<string>"))
         .alias("sample_terms"))
+
+
+def bigram_backoff_score(df: DataFrame, id_col: str, text_col: str,
+                         ref_col: str, ref_value,
+                         alpha: float = 0.5, backoff: float = 0.4
+                         ) -> DataFrame:
+    """CCNet-shaped out-of-domain scoring with a REFERENCE corpus:
+    fit a bigram LM on the `ref_col == ref_value` slice (e.g. the
+    English documents), then score EVERY document by Stupid Backoff
+    (Brants et al. 2007): s(w2|w1) = cb(w1,w2)/cu(w1) when the bigram
+    is attested in the reference, else backoff * p_add_alpha(w2). The
+    per-doc average negative log-score separates in-domain text (low)
+    from out-of-domain/other-language text (high, mostly backed off);
+    backoff_frac is the exact fraction of backed-off bigram tokens.
+    Documents with fewer than 2 tokens emit no row; an EMPTY reference
+    slice yields an empty result (the scalar join key goes null).
+
+    Scale shape (100 TB): the bigram explode is a Generate; reference
+    counts and per-doc tf shuffle on the same (w1, w2) keys and
+    equi-join; unigram lookups are token-keyed equi-joins; corpus
+    scalars (N, V) ride the 1-row broadcast _join_scalar. No window,
+    no cross join, no Python. Emitted double rounded to 6 (per-doc sum
+    order differs across engines); backoff_frac is an exact int ratio.
+    """
+    from dbt_fusion_spark.llm.corpus import _join_scalar, tokens
+
+    ref = df.filter(F.col(ref_col) == F.lit(ref_value))
+    cu = (tokens(ref, id_col, text_col)
+          .groupBy("token").agg(F.count("*").alias("__cu")))
+    scalar = cu.agg(F.sum("__cu").alias("__N"), F.count("*").alias("__V"))
+
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != "")
+    bg_struct = ("transform(sequence(0, size(__w) - 2), i -> "
+                 "named_struct('w1', element_at(__w, i + 1), "
+                 "'w2', element_at(__w, i + 2)))")
+
+    def _bigrams(frame: DataFrame) -> DataFrame:
+        return (frame.select(F.col(id_col), words.alias("__w"))
+                .filter(F.size("__w") >= 2)
+                .select(id_col, F.explode(F.expr(bg_struct)).alias("__b"))
+                .select(id_col, F.col("__b.w1").alias("__w1"),
+                        F.col("__b.w2").alias("__w2")))
+
+    cb = (_bigrams(ref).groupBy("__w1", "__w2")
+          .agg(F.count("*").alias("__cb")))
+    tf = (_bigrams(df).groupBy(id_col, "__w1", "__w2")
+          .agg(F.count("*").alias("__tf")))
+    j = (tf.join(cb, ["__w1", "__w2"], "left")
+         .join(cu.select(F.col("token").alias("__w1"),
+                         F.col("__cu").alias("__cu1")), "__w1", "left")
+         .join(cu.select(F.col("token").alias("__w2"),
+                         F.col("__cu").alias("__cu2")), "__w2", "left"))
+    j = _join_scalar(j, "__tf", scalar, "__N")
+    p_uni2 = ((F.coalesce("__cu2", F.lit(0)) + F.lit(float(alpha)))
+              / (F.col("__N") + F.lit(float(alpha)) * F.col("__V")))
+    score = F.when(F.col("__cb").isNotNull(),
+                   F.col("__cb") / F.col("__cu1")) \
+        .otherwise(F.lit(float(backoff)) * p_uni2)
+    return (
+        j.groupBy(id_col)
+        .agg(F.sum("__tf").cast("bigint").alias("n_bigrams"),
+             F.sum(F.col("__tf") * F.log(score)).alias("__ll"),
+             F.sum(F.when(F.col("__cb").isNull(), F.col("__tf"))
+                   .otherwise(F.lit(0))).cast("bigint").alias("__nb"))
+        .select(
+            F.col(id_col), "n_bigrams",
+            F.round(-F.col("__ll") / F.col("n_bigrams"), 6)
+            .alias("avg_neg_loglik"),
+            (F.col("__nb") / F.col("n_bigrams")).alias("backoff_frac"))
+    )

@@ -634,3 +634,28 @@ def test_winnow_fingerprints_guarantee_and_rightmost_min(spark):
         .collect()
     assert sorted(r["pos"] for r in sel) == [3, 4, 5]
     assert len({r["gram_hash"] for r in sel}) == 1
+
+
+def test_bigram_backoff_separates_reference_from_ood(spark):
+    from dbt_fusion_spark.llm.quality import bigram_backoff_score
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "en"),
+         (2, "the cat sat on the mat", "en"),
+         (3, "the cat sat", "en"),
+         (4, "le chat est assis", "fr"),        # fully OOV -> all backoff
+         (5, "the cat nap time", "fr")],        # partial backoff (shares
+                                                # "the cat" with the ref)
+        "doc_id long, text string, lang string")
+    rows = {r["doc_id"]: r for r in
+            bigram_backoff_score(df, "doc_id", "text", "lang", "en")
+            .collect()}
+    # attested-bigram docs never back off and score low
+    assert rows[1]["backoff_frac"] == 0.0
+    assert rows[3]["backoff_frac"] == 0.0
+    # OOV doc backs off on every bigram and scores far higher
+    assert rows[4]["backoff_frac"] == 1.0
+    assert rows[4]["avg_neg_loglik"] > rows[1]["avg_neg_loglik"] + 1.0
+    # partial: "the cat" attested, "cat nap"/"nap time" not
+    assert rows[5]["backoff_frac"] == 2.0 / 3.0
+    assert rows[1]["n_bigrams"] == 5
