@@ -1326,6 +1326,56 @@ def text_winnow_fingerprints(spark, sf_dir):
 
 
 @register(
+    "dedup_winnow_pairs",
+    # shared-winnow-fingerprint candidate pairs; max_df=1000 prunes
+    # boilerplate grams pre-join (the LSH hot-bucket-cap reasoning)
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0),
+    g AS (
+      SELECT doc_id, s AS p, len(w) - 3 + 1 AS ng,
+             substr(md5(array_to_string(list_slice(w, s + 1, s + 3), ' ')),
+                    1, 16) AS h
+      FROM toks, unnest(generate_series(0, len(w) - 3)) t(s)
+      WHERE len(w) >= 3),
+    keyed AS (
+      SELECT doc_id, p, ng,
+             h || lpad(CAST(ng - p AS VARCHAR), 10, '0') AS key
+      FROM g),
+    sigs AS (
+      SELECT DISTINCT doc_id, substr(s, 1, 16) AS gram_hash FROM (
+        SELECT doc_id, p, ng,
+               min(key) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                 AS s
+        FROM keyed)
+      WHERE p <= ng - 4),
+    pruned AS (
+      SELECT doc_id, gram_hash FROM sigs
+      WHERE gram_hash IN (SELECT gram_hash FROM sigs
+                          GROUP BY gram_hash HAVING COUNT(*) <= 1000))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM pruned a JOIN pruned b
+      ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_winnow_pairs(spark, sf_dir):
+    """MOSS-style near-dup candidate pairs: docs sharing >= 2 winnowing
+    fingerprints, via a hash-keyed self-join of the distinct signature
+    table (the LSH-band shape, O(sum df^2) never O(n^2)); grams shared
+    by > 1000 docs are pruned pre-join as boilerplate."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        "length(trim(text)) > 0")
+    return T.winnow_candidate_pairs(docs, "doc_id", "text",
+                                    k=3, window=4, max_df=1000,
+                                    min_shared=2)
+
+
+@register(
     "text_normalize_nfc",
     oracle="""
     WITH pert AS (

@@ -303,3 +303,42 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
         (F.col("__ng")
          - F.substring("__sel", 17, 10).cast("bigint")).alias("pos"),
         F.substring("__sel", 1, 16).alias("gram_hash"))
+
+
+def winnow_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                           k: int = 3, window: int = 4,
+                           max_df: int | None = 1000,
+                           min_shared: int = 2) -> DataFrame:
+    """MOSS-style near-dup candidates from shared winnowing
+    fingerprints: docs sharing >= min_shared selected gram hashes are
+    candidate pairs with their shared-fingerprint count. The winnowing
+    guarantee makes this sensitive to any >= window+k-1-word overlap
+    while scanning only ~2/(window+1) of the gram stream.
+
+    Scale shape (100 TB): the pair generator is a hash-keyed self-join
+    of the distinct (doc, hash) signature table — the LSH-band shape,
+    O(sum df_h^2), never O(n^2). `max_df` (default 1000) drops hashes
+    shared by more documents than that before the join: such grams are
+    boilerplate (every pair they'd emit is also found via rarer shared
+    grams or is pure boilerplate overlap), and one hot hash otherwise
+    plans an m^2 straggler — the same reasoning as the LSH
+    hot-bucket cap (dedup._drop_oversized_buckets). max_df=None
+    restores exact semantics.
+    """
+    sigs = (winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+            .select(F.col(id_col).alias("__id"), "gram_hash").distinct())
+    if max_df is not None:
+        dfreq = sigs.groupBy("gram_hash").agg(
+            F.count("*").alias("__df"))
+        sigs = (sigs.join(dfreq.filter(F.col("__df") <= max_df),
+                          "gram_hash")
+                .select("__id", "gram_hash"))
+    a = sigs.select(F.col("__id").alias("id_a"), "gram_hash")
+    b = sigs.select(F.col("__id").alias("id_b"), "gram_hash")
+    return (
+        a.join(b, "gram_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

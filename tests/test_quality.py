@@ -659,3 +659,21 @@ def test_bigram_backoff_separates_reference_from_ood(spark):
     # partial: "the cat" attested, "cat nap"/"nap time" not
     assert rows[5]["backoff_frac"] == 2.0 / 3.0
     assert rows[1]["n_bigrams"] == 5
+
+
+def test_winnow_pairs_detect_shared_run_and_prune(spark):
+    from dbt_fusion_spark.llm.text import winnow_candidate_pairs
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, shared + " unique one tail here"),
+         (2, "other prefix words " + shared),
+         (3, "совсем другой текст без общих слов вообще ничего общего")],
+        "doc_id long, text string")
+    pairs = winnow_candidate_pairs(df, "doc_id", "text", k=3, window=4,
+                                   max_df=None, min_shared=2).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["n_shared"] >= 2
+    # max_df=1 prunes every hash shared by 2 docs -> no pairs survive
+    assert winnow_candidate_pairs(df, "doc_id", "text", k=3, window=4,
+                                  max_df=1, min_shared=2).count() == 0
