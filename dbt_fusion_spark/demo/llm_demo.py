@@ -2380,6 +2380,51 @@ def dedup_substring_remove(spark, sf_dir):
     return D.remove_duplicate_spans(docs, "doc_id", "text", k=10)
 
 
+@register(
+    "corpus_pmi_topk",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id AS doc, s AS pos, w[s + 1] AS token
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+            FROM documents) t,
+           unnest(generate_series(0, len(w) - 1)) u(s)
+      WHERE w[s + 1] <> ''),
+    pairs AS (
+      SELECT least(a.token, b.token) AS w1,
+             greatest(a.token, b.token) AS w2
+      FROM pos a JOIN pos b ON a.doc = b.doc
+      WHERE b.pos - a.pos BETWEEN 1 AND 3),
+    cp AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cp
+           FROM pairs GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+    cu AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cu
+           FROM pos GROUP BY token),
+    ns AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM cu),
+    ps AS (SELECT CAST(COUNT(*) AS BIGINT) AS p FROM pairs)
+    SELECT w1, w2, cp AS c_pair,
+           CAST(round(ln((CAST(cp AS DOUBLE) * CAST(n AS DOUBLE)
+                          * CAST(n AS DOUBLE))
+                         / (CAST(p AS DOUBLE) * CAST(u1.cu AS DOUBLE)
+                            * CAST(u2.cu AS DOUBLE))), 6) AS DOUBLE)
+             AS pmi
+    FROM cp
+    JOIN cu u1 ON u1.token = w1
+    JOIN cu u2 ON u2.token = w2
+    CROSS JOIN ns CROSS JOIN ps
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def corpus_pmi_topk(spark, sf_dir):
+    """Top-20 collocations by PMI (Church & Hanks 1990): unordered
+    token pairs within 3 positions, min support 5; PMI rounded to 6
+    BEFORE ranking so both engines rank identical keys. Doc-keyed
+    positional self-join -> pair/unigram count shuffles -> 1-row scalar
+    joins -> TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.pmi_topk(docs, "doc_id", "text",
+                      max_dist=3, min_count=5, k=20)
+
+
 # ----------------------------------------------------- keyword search
 
 @register(

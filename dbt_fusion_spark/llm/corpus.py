@@ -396,3 +396,61 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(ent, 6).alias("token_entropy"),
         F.round(F.count("*") / n, 6).alias("type_token_ratio"),
     )
+
+
+def pmi_topk(df: DataFrame, id_col: str, text_col: str,
+             max_dist: int = 3, min_count: int = 5, k: int = 20
+             ) -> DataFrame:
+    """Top-k word pairs by pointwise mutual information (Church &
+    Hanks 1990): co-occurrence = unordered token pairs within
+    `max_dist` positions inside a document;
+    pmi = ln((c_pair/P) / ((c_a/N)(c_b/N))) with min_count support.
+    The corpus-collocation table every tokenizer/phrase-vocab build
+    starts from.
+
+    Scale shape (100 TB): the pair generator is a doc-keyed self-join
+    of the positional token table with a bounded position-distance
+    filter (per-doc work O(len * max_dist), never corpus-wide);
+    pair/unigram counts shuffle on their own keys with map-side
+    partial aggregation; N and P ride 1-row broadcast scalar joins;
+    the final top-k is orderBy().limit() — Spark plans
+    TakeOrderedAndProject, no global window, no full sort. PMI is
+    rounded to 6 BEFORE ranking so both engines rank identical keys
+    (ties break on the word pair).
+    """
+    from dbt_fusion_spark.llm.search import positional_postings
+
+    pos = positional_postings(df, id_col, text_col)
+    a = pos.select(F.col("doc"), F.col("pos").alias("__pa"),
+                   F.col("token").alias("__ta"))
+    b = pos.select(F.col("doc"), F.col("pos").alias("__pb"),
+                   F.col("token").alias("__tb"))
+    pairs = (
+        a.join(b, "doc")
+        .filter((F.col("__pb") - F.col("__pa") >= 1)
+                & (F.col("__pb") - F.col("__pa") <= max_dist))
+        .select(F.least("__ta", "__tb").alias("w1"),
+                F.greatest("__ta", "__tb").alias("w2")))
+    cp = (pairs.groupBy("w1", "w2")
+          .agg(F.count("*").alias("__cp"))
+          .filter(F.col("__cp") >= min_count))
+    cu = pos.groupBy("token").agg(F.count("*").alias("__cu"))
+    n_scalar = cu.agg(F.sum("__cu").alias("__N"))
+    p_scalar = pairs.agg(F.count("*").alias("__P"))
+    j = (cp.join(cu.select(F.col("token").alias("w1"),
+                           F.col("__cu").alias("__ca")), "w1")
+         .join(cu.select(F.col("token").alias("w2"),
+                         F.col("__cu").alias("__cb")), "w2"))
+    j = _join_scalar(j, "__cp", n_scalar, "__N")
+    j = _join_scalar(j, "__cp", p_scalar, "__P")
+    pmi = F.round(
+        F.log((F.col("__cp").cast("double")
+               * F.col("__N").cast("double") * F.col("__N").cast("double"))
+              / (F.col("__P").cast("double")
+                 * F.col("__ca").cast("double")
+                 * F.col("__cb").cast("double"))), 6)
+    return (
+        j.select("w1", "w2", F.col("__cp").cast("bigint").alias("c_pair"),
+                 pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k))

@@ -462,3 +462,23 @@ def test_phrase_search_positions_and_overlap(spark):
         phrase_search(df, [], "doc_id", "text")
     with _pytest.raises(ValueError):
         phrase_search(df, ["  "], "doc_id", "text")
+
+
+def test_pmi_topk_hand_computed(spark):
+    import math
+    from dbt_fusion_spark.llm.corpus import pmi_topk
+
+    # "a b" always adjacent (5x), "c" floats alone far from pairs
+    df = spark.createDataFrame(
+        [(i, "a b x1 x2 x3 x4 c") for i in range(5)],
+        "doc_id long, text string")
+    rows = pmi_topk(df, "doc_id", "text", max_dist=1, min_count=5,
+                    k=3).collect()
+    # adjacent-pair universe: (a,b),(b,x1),(x1,x2),(x2,x3),(x3,x4),(x4,c)
+    # each 5x; every token count 5, N=35, P=30: identical PMI for all
+    # pairs -> tie-break lexicographic keeps (a,b) first
+    assert (rows[0]["w1"], rows[0]["w2"]) == ("a", "b")
+    exp = round(math.log((5 * 35 * 35) / (30 * 5 * 5)), 6)
+    assert abs(rows[0]["pmi"] - exp) < 1e-9
+    assert rows[0]["c_pair"] == 5
+    assert len(rows) == 3
