@@ -1530,6 +1530,32 @@ _sql_query(
     """,
 )
 
+# Event-type Markov transition matrix: per-user LEAD over (ts,
+# event_id) -> (from, to) counts -> row-normalized probabilities as
+# exact integer ratios (bit-identical double division, no rounding).
+# Scale: user-keyed window (bounded per user), count shuffle on the
+# pair key, the normalizing SUM windows over the tiny type x type
+# table. The sequence-model / product-analytics transition prior.
+_sql_query(
+    "events_markov_transitions",
+    """
+    WITH ordered AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    t AS (SELECT from_type, to_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_transitions
+          FROM ordered WHERE to_type IS NOT NULL
+          GROUP BY from_type, to_type)
+    SELECT from_type, to_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+             / CAST(SUM(n_transitions) OVER (PARTITION BY from_type)
+                    AS DOUBLE) AS prob
+    FROM t
+    """,
+)
+
 _sql_query(
     "events_sessionization",
     """

@@ -270,3 +270,17 @@ def test_generic_volume_anomaly_schema_test(spark):
     res2 = run_generic_test(adapter, "volume_anomaly", "va_quiet",
                             "ts", {})
     assert res2.failures == 0 and not res2.should_error
+
+
+def test_markov_transitions_rows_normalize(spark):
+    from dbt_fusion_spark.demo import QUERIES
+
+    rows = QUERIES["events_markov_transitions"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows, "transition matrix must be non-empty"
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r["prob"])
+        assert r["n_transitions"] >= 1
+    for probs in by_from.values():
+        assert abs(sum(probs) - 1.0) < 1e-9   # each row is a distribution
