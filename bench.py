@@ -107,6 +107,10 @@ HEADLINE = [
     # MMR diversity re-rank (single-shuffle HOF greedy)
     "dedup_substring_remove",
     "similarity_mmr_rerank",
+    # r7: the two heaviest late-round text ops — PMI's positional
+    # self-join and the winnow signature self-join
+    "corpus_pmi_topk",
+    "dedup_winnow_pairs",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

@@ -102,11 +102,16 @@ def positional_postings(df: DataFrame, id_col: str, text_col: str
     """(token, doc, pos) positional postings — the index phrase search
     serves from. posexplode keeps 0-based word positions; tokens are
     lowercased whitespace words (the corpus tokenizer used by the
-    inverted index). One Generate, no shuffle until a consumer keys it.
+    inverted index). One Generate, no shuffle until a consumer keys it;
+    ensure_parallelism splits the single-row-group local scan (a no-op
+    on properly-chunked fleet parquet).
     """
+    from dbt_fusion_spark.plans.partitioning import ensure_parallelism
+
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    return (df.select(F.col(id_col).alias("doc"),
-                      F.posexplode(words).alias("pos", "token"))
+    return (ensure_parallelism(df)
+            .select(F.col(id_col).alias("doc"),
+                    F.posexplode(words).alias("pos", "token"))
             .filter(F.col("token") != ""))
 
 
