@@ -723,3 +723,41 @@ def sketch_ddsketch_by_type(spark, sf_dir):
     sk = ddsketch(ev, "value", alpha=0.01, by=["event_type"])
     return ddsketch_quantiles(sk, [0.5, 0.95], alpha=0.01,
                               by=["event_type"])
+
+
+@register(
+    "basket_pair_rules_lineitem",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+               FROM lineitem),
+    cp AS (SELECT a.i AS item_a, b2.i AS item_b,
+                  CAST(COUNT(*) AS BIGINT) AS cab
+           FROM b a JOIN b b2 USING (o) WHERE a.i < b2.i
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    ci AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY i),
+    ns AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM b)
+    SELECT item_a, item_b, cab AS n_both,
+           CAST(cab AS DOUBLE) / CAST(n AS DOUBLE) AS support,
+           CAST(cab AS DOUBLE) / CAST(ca.c AS DOUBLE) AS conf_a_to_b,
+           CAST(cab AS DOUBLE) / CAST(cb.c AS DOUBLE) AS conf_b_to_a,
+           CAST(cab AS DOUBLE) * CAST(n AS DOUBLE)
+             / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+    FROM cp
+    JOIN ci ca ON ca.i = item_a
+    JOIN ci cb ON cb.i = item_b
+    CROSS JOIN ns
+    ORDER BY lift DESC, item_a, item_b LIMIT 20
+    """,
+)
+def basket_pair_rules_lineitem(spark, sf_dir):
+    """Market-basket rules over TPC-H orders (Agrawal & Srikant 1994
+    measures): top-20 part pairs by lift with support/confidence —
+    order-keyed self-join of the distinct basket table (per-order work
+    bounded by basket size), item supports + order count on 1-row
+    scalar joins, every measure an exact integer ratio, top-k via
+    TakeOrderedAndProject."""
+    from dbt_fusion_spark.plans.basket import basket_pair_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return basket_pair_rules(li, "l_orderkey", "l_partkey",
+                             min_count=2, k=20)

@@ -819,3 +819,25 @@ def test_pca_fit_recovers_dominant_direction(spark):
     assert v1 > v2          # projections preserve eigenvalue order
     with _pytest.raises(ValueError):
         fit_pca_components(vecs, n_components=9)
+
+
+def test_basket_pair_rules_hand_computed(spark):
+    from dbt_fusion_spark.plans.basket import basket_pair_rules
+
+    # 4 baskets: {x,y} x3, {x,z} x1 -> c_x=4 c_y=3 c_z=1 N=4
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "y"),
+            (4, "x"), (4, "z"), (4, "x")]   # dup line collapses
+    df = spark.createDataFrame(rows, "o long, i string")
+    out = {(r["item_a"], r["item_b"]): r for r in
+           basket_pair_rules(df, "o", "i", min_count=1, k=10).collect()}
+    xy = out[("x", "y")]
+    assert xy["n_both"] == 3
+    assert xy["support"] == 3 / 4
+    assert xy["conf_a_to_b"] == 3 / 4        # P(y|x)
+    assert xy["conf_b_to_a"] == 1.0          # P(x|y)
+    assert xy["lift"] == (3 * 4) / (4 * 3)
+    xz = out[("x", "z")]
+    assert xz["lift"] == (1 * 4) / (4 * 1)   # z only with x
+    # min_count=2 drops the single-basket pair
+    kept = basket_pair_rules(df, "o", "i", min_count=2, k=10).collect()
+    assert [(r["item_a"], r["item_b"]) for r in kept] == [("x", "y")]
