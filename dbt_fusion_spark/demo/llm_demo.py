@@ -1376,6 +1376,68 @@ def dedup_winnow_pairs(spark, sf_dir):
 
 
 @register(
+    "dedup_winnow_incremental",
+    # daily-crawl shape: every 10th doc is the NEW batch, the rest the
+    # existing corpus; joint-df prune at 1000; (existing, new) pairs
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0),
+    g AS (
+      SELECT doc_id, s AS p, len(w) - 3 + 1 AS ng,
+             substr(md5(array_to_string(list_slice(w, s + 1, s + 3), ' ')),
+                    1, 16) AS h
+      FROM toks, unnest(generate_series(0, len(w) - 3)) t(s)
+      WHERE len(w) >= 3),
+    keyed AS (
+      SELECT doc_id, p, ng,
+             h || lpad(CAST(ng - p AS VARCHAR), 10, '0') AS key
+      FROM g),
+    sigs AS (
+      SELECT DISTINCT doc_id, substr(s, 1, 16) AS gram_hash FROM (
+        SELECT doc_id, p, ng,
+               min(key) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                 AS s
+        FROM keyed)
+      WHERE p <= ng - 4),
+    esig AS (SELECT * FROM sigs WHERE doc_id % 10 <> 0),
+    nsig AS (SELECT * FROM sigs WHERE doc_id % 10 = 0),
+    joint AS (
+      SELECT gram_hash FROM (
+        SELECT gram_hash FROM esig
+        UNION ALL SELECT gram_hash FROM nsig)
+      GROUP BY gram_hash HAVING COUNT(*) <= 1000)
+    SELECT e.doc_id AS existing_id, n.doc_id AS new_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM esig e
+    JOIN joint je ON je.gram_hash = e.gram_hash
+    JOIN nsig n ON n.gram_hash = e.gram_hash
+    GROUP BY e.doc_id, n.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_winnow_incremental(spark, sf_dir):
+    """Incremental winnow dedup, the daily-crawl shape: the NEW batch
+    (every 10th doc) winnowed and joined against the EXISTING corpus's
+    signature table only — (existing, new) candidate pairs, joint-df
+    boilerplate prune, no new x new or existing x existing pairs. In
+    production the existing side is the durable artifact a prior
+    winnow_candidate_pairs(signatures_table=) run wrote
+    (pytest test_winnow_signatures_artifact_and_cross)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        "length(trim(text)) > 0")
+    existing = docs.filter("doc_id % 10 <> 0")
+    new = docs.filter("doc_id % 10 = 0")
+    esigs = (T.winnow_fingerprints(existing, "doc_id", "text",
+                                   k=3, window=4)
+             .select("doc_id", "gram_hash").distinct())
+    return T.winnow_candidate_pairs_cross(
+        new, "doc_id", "text", esigs, k=3, window=4,
+        max_df=1000, min_shared=2)
+
+
+@register(
     "text_normalize_nfc",
     oracle="""
     WITH pert AS (

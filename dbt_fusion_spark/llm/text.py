@@ -308,7 +308,9 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
 def winnow_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                            k: int = 3, window: int = 4,
                            max_df: int | None = 1000,
-                           min_shared: int = 2) -> DataFrame:
+                           min_shared: int = 2,
+                           signatures_table: str | None = None
+                           ) -> DataFrame:
     """MOSS-style near-dup candidates from shared winnowing
     fingerprints: docs sharing >= min_shared selected gram hashes are
     candidate pairs with their shared-fingerprint count. The winnowing
@@ -324,9 +326,28 @@ def winnow_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     plans an m^2 straggler — the same reasoning as the LSH
     hot-bucket cap (dedup._drop_oversized_buckets). max_df=None
     restores exact semantics.
+
+    The signature table feeds THREE plan subtrees (the df-frequency
+    probe and both join sides), so it is persisted and materialized
+    first — the lsh_candidate_pairs measured-2x recompute trap.
+    `signatures_table` (name, or path when it contains '/') instead
+    writes it durably ONCE and scans the written copy: restartable,
+    shareable across daily runs, and the input
+    winnow_candidate_pairs_cross serves incremental batches from.
     """
     sigs = (winnow_fingerprints(df, id_col, text_col, k=k, window=window)
             .select(F.col(id_col).alias("__id"), "gram_hash").distinct())
+    if signatures_table is not None:
+        spark = df.sparkSession
+        if "/" in signatures_table:
+            sigs.write.mode("overwrite").parquet(signatures_table)
+            sigs = spark.read.parquet(signatures_table)
+        else:
+            sigs.write.mode("overwrite").saveAsTable(signatures_table)
+            sigs = spark.table(signatures_table)
+    else:
+        sigs = sigs.persist()
+        sigs.count()
     if max_df is not None:
         dfreq = sigs.groupBy("gram_hash").agg(
             F.count("*").alias("__df"))
@@ -339,6 +360,57 @@ def winnow_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
         a.join(b, "gram_hash")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_candidate_pairs_cross(new: DataFrame, id_col: str,
+                                 text_col: str,
+                                 existing_sigs: DataFrame,
+                                 k: int = 3, window: int = 4,
+                                 max_df: int | None = 1000,
+                                 min_shared: int = 2) -> DataFrame:
+    """Incremental winnow dedup — the daily-crawl shape: candidates of
+    the NEW batch against the EXISTING corpus only, where the existing
+    side is the durable signature ARTIFACT a prior
+    winnow_candidate_pairs(signatures_table=) run wrote (columns
+    (<id_col>|__id, gram_hash)) — the only text ever winnowed is the
+    new batch, and the join is batch signatures against the artifact
+    scan, never against corpus text. Returns
+    (existing_id, new_id, n_shared >= min_shared); no new x new or
+    existing x existing pairs (run winnow_candidate_pairs on the batch
+    for intra-batch dups).
+
+    max_df prunes on the JOINT document frequency (existing + new) —
+    the cross cost of a hash is |existing| x |new|, and boilerplate is
+    oversized on both sides. Both signature tables feed the probe and
+    the join, so the batch side is materialized first and the artifact
+    side is a parquet/table scan (cheap to re-read).
+    """
+    if id_col in existing_sigs.columns:
+        existing_sigs = existing_sigs.select(
+            F.col(id_col).alias("__id"), "gram_hash")
+    nsigs = (winnow_fingerprints(new, id_col, text_col, k=k,
+                                 window=window)
+             .select(F.col(id_col).alias("__id"), "gram_hash").distinct()
+             .persist())
+    nsigs.count()
+    esigs = existing_sigs.persist()
+    esigs.count()
+    if max_df is not None:
+        joint = (esigs.select("gram_hash")
+                 .unionAll(nsigs.select("gram_hash"))
+                 .groupBy("gram_hash").agg(F.count("*").alias("__df"))
+                 .filter(F.col("__df") <= max_df)
+                 .select("gram_hash"))
+        esigs = esigs.join(joint, "gram_hash")
+        nsigs = nsigs.join(joint, "gram_hash")
+    e = esigs.select(F.col("__id").alias("existing_id"), "gram_hash")
+    n = nsigs.select(F.col("__id").alias("new_id"), "gram_hash")
+    return (
+        e.join(n, "gram_hash")
+        .groupBy("existing_id", "new_id")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )

@@ -677,3 +677,39 @@ def test_winnow_pairs_detect_shared_run_and_prune(spark):
     # max_df=1 prunes every hash shared by 2 docs -> no pairs survive
     assert winnow_candidate_pairs(df, "doc_id", "text", k=3, window=4,
                                   max_df=1, min_shared=2).count() == 0
+
+
+def test_winnow_signatures_artifact_and_cross(spark, tmp_path):
+    from dbt_fusion_spark.llm.text import (winnow_candidate_pairs,
+                                           winnow_candidate_pairs_cross,
+                                           winnow_fingerprints)
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    existing = spark.createDataFrame(
+        [(1, shared + " old tail one"),
+         (2, "unrelated old content entirely different words")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "prefix " + shared), (11, "brand new unrelated words")],
+        "doc_id long, text string")
+
+    # durable artifact: second call path reads the written table back
+    path = str(tmp_path / "winnow_sigs")
+    direct = winnow_candidate_pairs(existing, "doc_id", "text",
+                                    max_df=None).collect()
+    via_table = winnow_candidate_pairs(existing, "doc_id", "text",
+                                       max_df=None,
+                                       signatures_table=path).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, via_table))
+
+    # cross: new batch vs the artifact — only (existing, new) pairs
+    art = spark.read.parquet(path)
+    pairs = winnow_candidate_pairs_cross(
+        new, "doc_id", "text", art, max_df=None, min_shared=2).collect()
+    assert [(p["existing_id"], p["new_id"]) for p in pairs] == [(1, 10)]
+    # equivalent to recomputing the existing side from text
+    esigs = (winnow_fingerprints(existing, "doc_id", "text")
+             .select("doc_id", "gram_hash").distinct())
+    re = winnow_candidate_pairs_cross(
+        new, "doc_id", "text", esigs, max_df=None, min_shared=2).collect()
+    assert sorted(map(tuple, pairs)) == sorted(map(tuple, re))
