@@ -761,3 +761,35 @@ def basket_pair_rules_lineitem(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return basket_pair_rules(li, "l_orderkey", "l_partkey",
                              min_count=2, k=20)
+
+
+@register(
+    "join_salted_supplier_volume",
+    # result-equivalence of the skew-salted join: oracle is the PLAIN
+    # join + aggregate (salting must be invisible in the result)
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def join_salted_supplier_volume(spark, sf_dir):
+    """Skew-resistant salted equi-join certified by result equivalence:
+    lineitem x supplier through salted_join (big side salted into 16
+    buckets, small side replicated per salt — a hot suppkey scatters
+    across 16 shuffle partitions instead of one straggler), then the
+    per-nation rollup; the oracle is the plain join. Decimal-exact
+    price sum (order-independent)."""
+    from dbt_fusion_spark.plans.join_strategies import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    j = salted_join(li, su.withColumnRenamed("s_suppkey", "l_suppkey"),
+                    on="l_suppkey", salt_buckets=16)
+    return (j.groupBy("s_nationkey")
+            .agg(F.count("*").cast("bigint").alias("n_lines"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double").alias("total_price")))
