@@ -793,3 +793,39 @@ def join_salted_supplier_volume(spark, sf_dir):
             .agg(F.count("*").cast("bigint").alias("n_lines"),
                  F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
                  .cast("double").alias("total_price")))
+
+
+@register(
+    "asof_join_next_purchase",
+    # forward as-of: DuckDB native ASOF with the inequality flipped
+    oracle="""
+    WITH pur AS (
+      SELECT user_id, ts, MAX(event_id) AS purchase_id,
+             arg_max("value", event_id) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts),
+    views AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+    SELECT v.event_id, v.user_id, v.ts, p.purchase_id, p.purchase_value
+    FROM views v
+    ASOF LEFT JOIN pur p
+      ON v.user_id = p.user_id AND v.ts <= p.ts
+    """,
+)
+def asof_join_next_purchase(spark, sf_dir):
+    """Forward as-of (next-conversion semantics): each view joined to
+    the user's EARLIEST purchase at-or-after it (NULL after the last
+    purchase) — checked against DuckDB's native ASOF JOIN with the
+    inequality flipped. Same single user-keyed merge shuffle as the
+    backward row, time order reversed."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"))
+    return asof_join(views, purchases, "user_id",
+                     left_ts="ts", right_ts="ts",
+                     payload=["purchase_id", "purchase_value"],
+                     how="left", direction="forward")

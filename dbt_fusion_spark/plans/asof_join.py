@@ -33,15 +33,21 @@ from pyspark.sql import DataFrame, Window, functions as F
 def asof_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],
               left_ts: str, right_ts: str,
               payload: Sequence[str], how: str = "left",
-              strict: bool = False) -> DataFrame:
-    """Backward as-of join (latest right row with r_ts <= l_ts per key).
+              strict: bool = False,
+              direction: str = "backward") -> DataFrame:
+    """As-of join: per key, the latest right row with r_ts <= l_ts
+    (direction='backward', the default) or the EARLIEST right row with
+    r_ts >= l_ts (direction='forward' — next-event semantics: next
+    restock, next conversion). Forward is the same single merge sort
+    with the time order reversed — still one shuffle, no range
+    explosion.
 
     on        : equi-key column name(s), present in both sides
     left_ts   : event-time column of `left` (kept in the output)
     right_ts  : event-time column of `right` (the as-of ordering)
     payload   : right-side columns to bring over (NULL when no match)
     how       : 'left' keeps unmatched left rows; 'inner' drops them
-    strict    : True matches r_ts <  l_ts only (exclusive)
+    strict    : True matches strictly before/after only (exclusive)
 
     Right-side duplicates at the same (key, right_ts) are resolved to
     ONE row deterministically (max over the payload struct) before the
@@ -50,6 +56,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],
     keys = [on] if isinstance(on, str) else list(on)
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join: how={how!r} (use 'left' or 'inner')")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: direction={direction!r} "
+                         "(use 'backward' or 'forward')")
 
     # Deterministic tie-break: one right row per (key, ts).
     r_uniq = (
@@ -68,9 +77,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],
     )
     merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
+    ts_order = (F.col("__ts").asc() if direction == "backward"
+                else F.col("__ts").desc())
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__side")
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = merged.withColumn(

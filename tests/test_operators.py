@@ -841,3 +841,29 @@ def test_basket_pair_rules_hand_computed(spark):
     # min_count=2 drops the single-basket pair
     kept = basket_pair_rules(df, "o", "i", min_count=2, k=10).collect()
     assert [(r["item_a"], r["item_b"]) for r in kept] == [("x", "y")]
+
+
+def test_asof_forward_next_event(spark):
+    import pytest as _pytest
+    from dbt_fusion_spark.plans.asof_join import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 25), (3, "u", 40), (4, "v", 5)],
+        "event_id long, k string, ts long")
+    right = spark.createDataFrame(
+        [("u", 25, 100.0), ("u", 30, 200.0), ("v", 1, 50.0)],
+        "k string, rts long, val double")
+    out = {r["event_id"]: r for r in
+           asof_join(left, right, "k", "ts", "rts", ["val"],
+                     direction="forward").collect()}
+    assert out[1]["val"] == 100.0     # next at 25
+    assert out[2]["val"] == 100.0     # inclusive: equal ts matches
+    assert out[3]["val"] is None      # nothing after 40
+    assert out[4]["val"] is None      # v's only event is before
+    strict = {r["event_id"]: r for r in
+              asof_join(left, right, "k", "ts", "rts", ["val"],
+                        direction="forward", strict=True).collect()}
+    assert strict[2]["val"] == 200.0  # exclusive skips the equal ts
+    with _pytest.raises(ValueError):
+        asof_join(left, right, "k", "ts", "rts", ["val"],
+                  direction="sideways")
