@@ -829,3 +829,39 @@ def asof_join_next_purchase(spark, sf_dir):
                      left_ts="ts", right_ts="ts",
                      payload=["purchase_id", "purchase_value"],
                      how="left", direction="forward")
+
+
+@register(
+    "graph_triangle_counts_coorder",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+               FROM lineitem),
+    e AS (SELECT DISTINCT a.i AS a, b2.i AS b
+          FROM b a JOIN b b2 USING (o) WHERE a.i < b2.i),
+    w AS (SELECT e1.a, e1.b, e2.b AS c
+          FROM e e1 JOIN e e2 ON e1.b = e2.a),
+    t AS (SELECT w.* FROM w JOIN e ON e.a = w.a AND e.b = w.c),
+    corners AS (
+      SELECT a AS vertex FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t)
+    SELECT vertex, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY vertex
+    """,
+)
+def graph_triangle_counts_coorder(spark, sf_dir):
+    """Per-part triangle counts on the co-order graph (parts co-present
+    in an order are connected): compact-forward counting — canonical
+    low->high edges, one wedge self-join on the middle vertex (each
+    triangle generated exactly once as a<b<c), one closing equi-join.
+    ~1.2M edges / 1.9M triangles at sf0.1."""
+    from dbt_fusion_spark.plans.triangles import triangle_counts
+
+    b = (load_table(spark, sf_dir, "lineitem")
+         .select(F.col("l_orderkey").alias("o"),
+                 F.col("l_partkey").alias("i")).distinct())
+    a2 = b.withColumnRenamed("i", "i2")
+    edges = (b.join(a2, "o")
+             .filter(F.col("i") < F.col("i2"))
+             .select(F.col("i").alias("src"), F.col("i2").alias("dst")))
+    return triangle_counts(edges, "src", "dst")

@@ -867,3 +867,21 @@ def test_asof_forward_next_event(spark):
     with _pytest.raises(ValueError):
         asof_join(left, right, "k", "ts", "rts", ["val"],
                   direction="sideways")
+
+
+def test_triangle_counts_hand_case(spark):
+    from dbt_fusion_spark.plans.triangles import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each vertex in 3) plus a pendant
+    # edge (5-6, no triangle) and a duplicate/reversed edge to dedup
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (5, 6), (2, 1), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["vertex"]: r["n_triangles"] for r in
+           triangle_counts(df, "src", "dst").collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # max_degree guard: dropping any vertex of K4 (all have degree 3)
+    # leaves a single triangle among the remaining three
+    capped = {r["vertex"]: r["n_triangles"] for r in
+              triangle_counts(df, "src", "dst", max_degree=2).collect()}
+    assert capped == {}   # every K4 vertex exceeds degree 2
