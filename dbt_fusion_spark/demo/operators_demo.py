@@ -865,3 +865,60 @@ def graph_triangle_counts_coorder(spark, sf_dir):
              .filter(F.col("i") < F.col("i2"))
              .select(F.col("i").alias("src"), F.col("i2").alias("dst")))
     return triangle_counts(edges, "src", "dst")
+
+
+@register(
+    "events_rfm_scores",
+    oracle="""
+    WITH p AS (SELECT user_id, ts, "value" FROM events
+               WHERE event_type = 'purchase'),
+    pu AS (SELECT user_id AS u, MAX(ts) AS last_ts,
+                  CAST(COUNT(*) AS BIGINT) AS frequency,
+                  CAST(floor(SUM(CAST("value" AS DECIMAL(18,6))) * 100)
+                       AS BIGINT) AS monetary_cents
+           FROM p GROUP BY user_id),
+    nw AS (SELECT MAX(ts) AS now_ts FROM p),
+    base AS (SELECT u,
+                    CAST(date_diff('day', CAST(last_ts AS DATE),
+                                   CAST(now_ts AS DATE)) AS BIGINT)
+                      AS recency_days,
+                    frequency, monetary_cents
+             FROM pu CROSS JOIN nw),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    rc AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM (
+             SELECT recency_days AS v, COUNT(*) AS c FROM base
+             GROUP BY 1)),
+    rs AS (SELECT b.u,
+                  CAST(6 - ((5 * cum + n - 1) // n) AS INT) AS r_score
+           FROM base b JOIN rc ON rc.v = b.recency_days CROSS JOIN n),
+    fc AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM (
+             SELECT frequency AS v, COUNT(*) AS c FROM base GROUP BY 1)),
+    fs AS (SELECT b.u,
+                  CAST((5 * cum + n - 1) // n AS INT) AS f_score
+           FROM base b JOIN fc ON fc.v = b.frequency CROSS JOIN n),
+    mc AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM (
+             SELECT monetary_cents AS v, COUNT(*) AS c FROM base
+             GROUP BY 1)),
+    ms AS (SELECT b.u,
+                  CAST((5 * cum + n - 1) // n AS INT) AS m_score
+           FROM base b JOIN mc ON mc.v = b.monetary_cents CROSS JOIN n)
+    SELECT b.u AS user_id, b.recency_days, b.frequency, b.monetary_cents,
+           r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
+    FROM base b
+    JOIN rs ON rs.u = b.u
+    JOIN fs ON fs.u = b.u
+    JOIN ms ON ms.u = b.u
+    """,
+)
+def events_rfm_scores(spark, sf_dir):
+    """RFM quintile scoring over purchase events: exact integer grids
+    (days / counts / floored cents — floor is midpoint-free), each
+    quintile's cumulative walk windows over the bounded value-grid
+    distribution table, never the user population; scores are pure
+    integer arithmetic ceil(5*cume/n)."""
+    from dbt_fusion_spark.plans.activity import rfm_scores
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase")
+    return rfm_scores(ev, "user_id", "ts", "value")

@@ -59,3 +59,75 @@ def rolling_active_users(df: DataFrame, user_col: str, time_col: str,
             .select("day",
                     F.sum("delta").over(run).cast("bigint")
                      .alias("n_active")))
+
+
+def _grid_quintile(values: DataFrame, key_col: str, v_col: str,
+                   out_col: str, invert: bool = False) -> DataFrame:
+    """Quintile score (1..5) of an INTEGER-grid metric, computed the
+    scale-correct way: the cumulative walk runs over the (value ->
+    count) DISTRIBUTION table — bounded by the value grid, never by
+    the entity count — and the assignment is pure integer arithmetic
+    ceil(5 * cume / n) = (5*cume + n - 1) DIV n, exact on every
+    engine. invert=True flips to 6 - score (recency: smaller = better).
+    """
+    from pyspark.sql import Window
+
+    dist = values.groupBy(v_col).agg(F.count("*").alias("__c"))
+    w = (Window.orderBy(v_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = dist.withColumn("__cum", F.sum("__c").over(w))
+    n = values.count()  # driver scalar: one job, one long
+    score = F.expr(f"CAST((5 * __cum + {n} - 1) DIV {n} AS INT)")
+    score = (F.lit(6) - score) if invert else score
+    return (values.join(cum.select(v_col, "__cum"), v_col)
+            .select(key_col, score.alias(out_col)))
+
+
+def rfm_scores(df: DataFrame, user_col: str, ts_col: str,
+               value_col: str) -> DataFrame:
+    """RFM quintile scoring (Hughes 1994, the retention-analytics
+    staple): per user, recency (days since last event, vs the corpus
+    max timestamp as 'now'), frequency (event count), monetary (exact
+    decimal value sum floored to integer cents), each scored 1..5 by
+    exact quintiles. Higher is better on every score (recency
+    inverted). Returns (user, recency_days, frequency, monetary_cents,
+    r_score, f_score, m_score, rfm) where rfm = 100r + 10f + m.
+
+    Scale shape (100 TB): per-user aggregates are one user-keyed
+    shuffle; 'now' rides a 1-row broadcast scalar join; each quintile's
+    cumulative walk windows over the bounded VALUE-GRID distribution
+    table (days / counts / cents), never over the user population —
+    the calibrate_keep_threshold grid trick. All score arithmetic is
+    integer-exact; the only floats (the decimal sum) are made exact by
+    decimal aggregation + floor-to-cents (floor is midpoint-free, so
+    no HALF_UP/HALF_EVEN divergence).
+    """
+    from dbt_fusion_spark.llm.corpus import _join_scalar
+
+    per_user = (df.groupBy(F.col(user_col).alias("u"))
+                .agg(F.max(ts_col).alias("__last"),
+                     F.count("*").cast("bigint").alias("frequency"),
+                     F.floor(F.sum(F.col(value_col).cast("decimal(18,6)"))
+                             * 100).cast("bigint")
+                     .alias("monetary_cents")))
+    # the scalar-join key must be numeric (pmod); carry a count column
+    now = df.agg(F.max(ts_col).alias("__now"),
+                 F.count("*").alias("__nc"))
+    base = _join_scalar(per_user, "frequency", now, "__nc")
+    base = base.select(
+        "u",
+        F.datediff(F.to_date("__now"), F.to_date("__last"))
+        .cast("bigint").alias("recency_days"),
+        "frequency", "monetary_cents")
+    r = _grid_quintile(base.select("u", "recency_days"), "u",
+                       "recency_days", "r_score", invert=True)
+    f = _grid_quintile(base.select("u", "frequency"), "u",
+                       "frequency", "f_score")
+    m = _grid_quintile(base.select("u", "monetary_cents"), "u",
+                       "monetary_cents", "m_score")
+    return (base.join(r, "u").join(f, "u").join(m, "u")
+            .select(F.col("u").alias(user_col),
+                    "recency_days", "frequency", "monetary_cents",
+                    "r_score", "f_score", "m_score",
+                    (F.col("r_score") * 100 + F.col("f_score") * 10
+                     + F.col("m_score")).cast("int").alias("rfm")))

@@ -284,3 +284,24 @@ def test_markov_transitions_rows_normalize(spark):
         assert r["n_transitions"] >= 1
     for probs in by_from.values():
         assert abs(sum(probs) - 1.0) < 1e-9   # each row is a distribution
+
+
+def test_rfm_scores_exact_quintiles(spark):
+    from datetime import datetime
+    from dbt_fusion_spark.plans.activity import rfm_scores
+
+    # 5 users, one purchase each on consecutive days with rising value:
+    # recency inverts (latest buyer scores 5), frequency all-equal
+    # (everyone lands in the same cume bucket -> score 5), monetary
+    # rises with user id.
+    rows = [(u, datetime(2024, 1, u), float(u) * 10.0)
+            for u in range(1, 6)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r["user_id"]: r for r in
+           rfm_scores(df, "user_id", "ts", "value").collect()}
+    assert [out[u]["r_score"] for u in range(1, 6)] == [1, 2, 3, 4, 5]
+    assert all(out[u]["f_score"] == 5 for u in range(1, 6))
+    assert [out[u]["m_score"] for u in range(1, 6)] == [1, 2, 3, 4, 5]
+    assert out[5]["rfm"] == 555
+    assert out[1]["monetary_cents"] == 1000
+    assert out[1]["recency_days"] == 4 and out[5]["recency_days"] == 0
