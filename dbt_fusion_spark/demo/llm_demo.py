@@ -2469,6 +2469,48 @@ def dedup_substring_remove(spark, sf_dir):
 
 
 @register(
+    "corpus_zipf_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               AS token
+      FROM documents),
+    cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok WHERE token <> '' GROUP BY token
+            HAVING COUNT(*) >= 2),
+    xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, token)
+                          AS DOUBLE)) AS x,
+                  ln(CAST(c AS DOUBLE)) AS y
+           FROM cnt),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+                 SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+                 SUM(y * y) AS syy
+          FROM xy)
+    SELECT n AS n_terms,
+           CAST(round((sxy - sx * sy / CAST(n AS DOUBLE))
+                      / (sxx - sx * sx / CAST(n AS DOUBLE)), 6)
+                AS DOUBLE) AS slope,
+           CAST(round((sy - ((sxy - sx * sy / CAST(n AS DOUBLE))
+                             / (sxx - sx * sx / CAST(n AS DOUBLE))) * sx)
+                      / CAST(n AS DOUBLE), 6) AS DOUBLE) AS intercept,
+           CAST(round(((sxy - sx * sy / CAST(n AS DOUBLE))
+                       * (sxy - sx * sy / CAST(n AS DOUBLE)))
+                      / ((sxx - sx * sx / CAST(n AS DOUBLE))
+                         * (syy - sy * sy / CAST(n AS DOUBLE))), 6)
+                AS DOUBLE) AS r2
+    FROM m
+    """,
+)
+def corpus_zipf_fit(spark, sf_dir):
+    """One-row Zipf-law corpus-health audit: OLS of ln(freq) on
+    ln(rank) over terms with freq >= 2, deterministic rank ties by
+    token; one count shuffle + a vocabulary-sized rank window + one
+    moment aggregate, round-6 emissions (fold-order-differing sums)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.zipf_fit(docs, "doc_id", "text", min_count=2)
+
+
+@register(
     "corpus_pmi_topk",
     oracle="""
     WITH pos AS (

@@ -454,3 +454,45 @@ def pmi_topk(df: DataFrame, id_col: str, text_col: str,
                  pmi.alias("pmi"))
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(k))
+
+
+def zipf_fit(df: DataFrame, id_col: str, text_col: str,
+             min_count: int = 2) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS of
+    ln(freq) on ln(rank) over terms with freq >= min_count. A healthy
+    natural-language corpus fits slope ~ -1; a flat slope flags
+    templated/synthetic text, a cliff flags boilerplate domination —
+    the one-row corpus-health audit.
+
+    Emits ONE row: n_terms, slope, intercept (round-6 — the OLS sums
+    fold doubles whose order differs across engines), r2. Rank ties
+    break by token (deterministic cross-engine).
+
+    Scale shape: one token-count shuffle; the rank window orders the
+    TERM table (vocabulary-sized, not corpus-sized); the OLS moments
+    are one aggregate. No iteration, no Python.
+    """
+    cnt = (tokens(df, id_col, text_col)
+           .groupBy("token").agg(F.count("*").alias("__c"))
+           .filter(F.col("__c") >= min_count))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("__c").desc(), "token")
+    xy = cnt.select(
+        F.log(F.row_number().over(w).cast("double")).alias("__x"),
+        F.log(F.col("__c").cast("double")).alias("__y"))
+    m = xy.agg(F.count("*").alias("n"), F.sum("__x").alias("sx"),
+               F.sum("__y").alias("sy"), F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+               F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+               F.sum(F.col("__y") * F.col("__y")).alias("syy"))
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = cov / varx
+    return m.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6)
+        .alias("intercept"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"))

@@ -482,3 +482,18 @@ def test_pmi_topk_hand_computed(spark):
     assert abs(rows[0]["pmi"] - exp) < 1e-9
     assert rows[0]["c_pair"] == 5
     assert len(rows) == 3
+
+
+def test_zipf_fit_recovers_exponent(spark):
+    from dbt_fusion_spark.llm.corpus import zipf_fit
+
+    # synthetic corpus with freq(rank r) = round(1000 / r): slope ~ -1
+    words = []
+    for r in range(1, 51):
+        words += [f"w{r:02d}"] * max(2, round(1000 / r))
+    df = spark.createDataFrame([(1, " ".join(words))],
+                               "doc_id long, text string")
+    row = zipf_fit(df, "doc_id", "text", min_count=2).collect()[0]
+    assert row["n_terms"] == 50
+    assert -1.05 < row["slope"] < -0.95
+    assert row["r2"] > 0.99
