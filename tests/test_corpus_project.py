@@ -78,3 +78,19 @@ def test_incremental_second_run_idempotent(first_run, spark, schema):
     rr2 = runner.run(select="clean_docs", include_tests=False)
     assert rr2.ok, [(r.unique_id, r.message) for r in rr2.results]
     assert spark.table(f"{schema}.clean_docs").count() == before
+
+
+def test_dedup_models_compose_new_operators(first_run, spark, schema):
+    """The late-r7 operators run AS python models in the same DAG:
+    substring removal over the mart (never removes more words than a
+    doc has) and the winnow near-dup pair audit (ids must come from
+    the mart)."""
+    cleaned = spark.table(f"{schema}.substring_cleaned")
+    assert cleaned.count() == spark.table(f"{schema}.clean_docs").count()
+    assert cleaned.filter("n_dup_words > n_words").count() == 0
+    pairs = spark.table(f"{schema}.winnow_dup_pairs")
+    mart_ids = {r[0] for r in
+                spark.table(f"{schema}.clean_docs")
+                .select("doc_id").collect()}
+    for r in pairs.select("id_a", "id_b").collect():
+        assert r["id_a"] in mart_ids and r["id_b"] in mart_ids
