@@ -864,6 +864,66 @@ def streaming_ann_ingest_codes(spark, sf_dir):
         .alias("pq_code"))
 
 
+@register(
+    "streaming_winnow_ingest_sigs",
+    # oracle = the full-corpus winnow signatures, however each doc
+    # arrived (batch-built artifact for doc_id >= 100, streamed first
+    # 100): the artifact must converge to the batch restatement
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0),
+    g AS (
+      SELECT doc_id, s AS p, len(w) - 3 + 1 AS ng,
+             substr(md5(array_to_string(list_slice(w, s + 1, s + 3), ' ')),
+                    1, 16) AS h
+      FROM toks, unnest(generate_series(0, len(w) - 3)) t(s)
+      WHERE len(w) >= 3),
+    keyed AS (
+      SELECT doc_id, p, ng,
+             h || lpad(CAST(ng - p AS VARCHAR), 10, '0') AS key
+      FROM g)
+    SELECT DISTINCT doc_id, substr(s, 1, 16) AS gram_hash FROM (
+      SELECT doc_id, p, ng,
+             min(key) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+               AS s
+      FROM keyed)
+    WHERE p <= ng - 4
+    """,
+)
+def streaming_winnow_ingest_sigs(spark, sf_dir):
+    """Streaming winnow-signature maintenance end-to-end: the durable
+    signature artifact is batch-built from docs with doc_id >= 100,
+    then the first 100 docs arrive as a stream (availableNow) and are
+    winnowed-at-ingest by streaming_winnow_ingest (idempotent id
+    anti-join). The final artifact must equal the full-corpus winnow
+    signatures restated by the oracle, however each doc arrived."""
+    import tempfile
+
+    from dbt_fusion_spark.streaming import streaming_winnow_ingest
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        "length(trim(text)) > 0")
+    work = tempfile.mkdtemp(prefix="winnow-ingest-")
+    sig_path = f"{work}/sigs"
+    # batch-build the artifact for the standing corpus
+    (T.winnow_fingerprints(docs.filter("doc_id >= 100"),
+                           "doc_id", "text", k=3, window=4)
+     .select(F.col("doc_id").alias("__id"), "gram_hash").distinct()
+     .write.parquet(sig_path))
+    src = f"{work}/incoming"
+    docs.filter("doc_id < 100").select("doc_id", "text") \
+        .write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .parquet(src)
+    q = streaming_winnow_ingest(stream, sig_path, f"{work}/ckpt",
+                                spark, trigger={"availableNow": True})
+    q.awaitTermination(120)
+    return (spark.read.parquet(sig_path)
+            .select(F.col("__id").alias("doc_id"), "gram_hash"))
+
+
 @register("similarity_ivf_kmeans_topk", oracle=_kmeans_oracle(_GATE_CENTROIDS))
 def similarity_ivf_kmeans_topk(spark, sf_dir):
     """IVF ANN with REAL k-means cells (similarity.py fit_kmeans_

@@ -3,6 +3,7 @@ from dbt_fusion_spark.streaming.structured import (  # noqa: F401
     stateful_sessionize,
     stream_stream_join,
     streaming_ann_ingest,
+    streaming_winnow_ingest,
     streaming_dedup,
     streaming_merge,
     streaming_table,

@@ -355,3 +355,54 @@ def streaming_volume_monitor(events: DataFrame, baseline: DataFrame,
                     F.round(z, 6).alias("z"),
                     (F.coalesce(F.abs(z) > z_thresh, F.lit(False))
                      | F.coalesce(flat, F.lit(False))).alias("is_anomaly")))
+
+
+def streaming_winnow_ingest(
+    source: DataFrame,
+    signatures_path: str,
+    checkpoint: str,
+    spark: SparkSession,
+    trigger: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> StreamingQuery:
+    """Continuous winnow-signature maintenance: each micro-batch of new
+    documents is winnowed (Schleimer et al. 2003) and its distinct
+    (id, gram_hash) rows appended to the durable signature artifact a
+    winnow_candidate_pairs(signatures_table=) run wrote — the streaming
+    twin of the batch artifact build, i.e. the live half of the
+    crawl-dedup shape: the signature store stays current as documents
+    land, winnow_candidate_pairs_cross serves incremental batches from
+    it, and each document's text is winnowed exactly once, at ingest.
+
+    Exactly-once: the checkpoint replays failed batches; the append is
+    idempotent via an id anti-join against the artifact (the scan reads
+    only its id column).
+    """
+    from dbt_fusion_spark.llm.text import winnow_fingerprints
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        existing = bspark.read.parquet(signatures_path)
+        new = (batch.select(id_col, text_col)
+               .dropDuplicates([id_col])
+               .join(existing.select(F.col("__id").alias(id_col))
+                     .distinct(), id_col, "left_anti"))
+        if new.isEmpty():
+            return
+        sigs = (winnow_fingerprints(new, id_col, text_col, k=k,
+                                    window=window)
+                .select(F.col(id_col).alias("__id"), "gram_hash")
+                .distinct())
+        sigs.write.mode("append").parquet(signatures_path)
+
+    writer = (
+        source.writeStream.outputMode("append")
+        .foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -385,6 +385,7 @@ _EXECUTING = {
     "similarity_ivf_pq_prebuilt",
     "similarity_index_health",
     "streaming_ann_ingest_codes",
+    "streaming_winnow_ingest_sigs",
 }
 
 

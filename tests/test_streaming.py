@@ -464,3 +464,42 @@ def test_streaming_ann_ingest_appends_codes(spark, tmp_path):
                               spark, trigger={"availableNow": True})
     q2.awaitTermination(120)
     assert S.load_ivf_pq_index(spark, idx)[0].count() == 300
+
+
+def test_streaming_winnow_ingest_idempotent_replay(spark, tmp_path):
+    """Streaming twin of the winnow signature artifact: streamed docs'
+    signatures equal the batch winnowing of the same docs, and a replay
+    from a FRESH checkpoint (same source) appends nothing thanks to
+    the id anti-join."""
+    from dbt_fusion_spark.llm.text import winnow_fingerprints
+    from dbt_fusion_spark.streaming import streaming_winnow_ingest
+
+    mk = lambda i: " ".join(f"w{i}_{j}" for j in range(12))  # noqa: E731
+    standing = spark.createDataFrame(
+        [(i, mk(i)) for i in range(100, 120)], "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [(i, mk(i)) for i in range(10)], "doc_id long, text string")
+    sig_path = str(tmp_path / "sigs")
+    (winnow_fingerprints(standing, "doc_id", "text")
+     .select(F.col("doc_id").alias("__id"), "gram_hash").distinct()
+     .write.parquet(sig_path))
+    src = str(tmp_path / "incoming")
+    incoming.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .parquet(src)
+    q = streaming_winnow_ingest(stream, sig_path,
+                                str(tmp_path / "ckpt"), spark,
+                                trigger={"availableNow": True})
+    q.awaitTermination(120)
+    got = spark.read.parquet(sig_path)
+    expect = (winnow_fingerprints(standing.unionByName(incoming),
+                                  "doc_id", "text")
+              .select("doc_id", "gram_hash").distinct())
+    assert got.count() == expect.count()
+    n_before = got.count()
+    # replay with a fresh checkpoint: anti-join must append nothing
+    q2 = streaming_winnow_ingest(stream, sig_path,
+                                 str(tmp_path / "ckpt2"), spark,
+                                 trigger={"availableNow": True})
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sig_path).count() == n_before
