@@ -2529,6 +2529,84 @@ def dedup_substring_remove(spark, sf_dir):
 
 
 @register(
+    "quality_langid_confusion",
+    # the lang-ID QA audit: confusion counts + per-label recall of the
+    # marker-word heuristic against the labeled lang column
+    oracle="""
+    WITH padded AS (
+      SELECT doc_id, lang,
+             ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' '
+               AS t
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             (length(t) - length(replace(t, ' the ', ''))) / 5
+             + (length(t) - length(replace(t, ' and ', ''))) / 5
+             + (length(t) - length(replace(t, ' of ', ''))) / 4
+             + (length(t) - length(replace(t, ' to ', ''))) / 4 AS s_en,
+             (length(t) - length(replace(t, ' der ', ''))) / 5
+             + (length(t) - length(replace(t, ' und ', ''))) / 5
+             + (length(t) - length(replace(t, ' die ', ''))) / 5
+             + (length(t) - length(replace(t, ' nicht ', ''))) / 7 AS s_de,
+             (length(t) - length(replace(t, ' le ', ''))) / 4
+             + (length(t) - length(replace(t, ' et ', ''))) / 4
+             + (length(t) - length(replace(t, ' les ', ''))) / 5
+             + (length(t) - length(replace(t, ' des ', ''))) / 5 AS s_fr,
+             (length(t) - length(replace(t, ' el ', ''))) / 4
+             + (length(t) - length(replace(t, ' los ', ''))) / 5
+             + (length(t) - length(replace(t, ' las ', ''))) / 5
+             + (length(t) - length(replace(t, ' una ', ''))) / 5 AS s_es,
+             (length(t) - length(replace(t, ' il ', ''))) / 4
+             + (length(t) - length(replace(t, ' che ', ''))) / 5
+             + (length(t) - length(replace(t, ' per ', ''))) / 5
+             + (length(t) - length(replace(t, ' con ', ''))) / 5 AS s_it
+      FROM padded),
+    pred AS (
+      SELECT doc_id, lang,
+             CASE
+               WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+                    AND s_de >= s_it THEN 'de'
+               WHEN s_en > s_de AND s_en >= s_es AND s_en >= s_fr
+                    AND s_en >= s_it THEN 'en'
+               WHEN s_es > s_de AND s_es > s_en AND s_es >= s_fr
+                    AND s_es >= s_it THEN 'es'
+               WHEN s_fr > s_de AND s_fr > s_en AND s_fr > s_es
+                    AND s_fr >= s_it THEN 'fr'
+               WHEN s_it > s_de AND s_it > s_en AND s_it > s_es
+                    AND s_it > s_fr THEN 'it'
+               ELSE 'und' END AS pred_lang
+      FROM scored)
+    SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang) AS DOUBLE)
+             AS frac_of_label
+    FROM pred GROUP BY lang, pred_lang
+    """,
+)
+def quality_langid_confusion(spark, sf_dir):
+    """Language-ID QA: confusion counts of the marker-word heuristic
+    (text.lang_id) against the labeled lang column, with per-label
+    fractions as exact integer ratios — the audit that decides whether
+    the cheap heuristic is good enough per slice. One projection +
+    one (lang, pred) count shuffle; the normalizing window runs over
+    the tiny label x label table."""
+    from dbt_fusion_spark.llm import text as T2
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = T2.lang_id(docs, "text", "doc_id").select("doc_id",
+                                                     "pred_lang")
+    j = docs.select("doc_id", "lang").join(pred, "doc_id")
+    from pyspark.sql import Window
+    w = Window.partitionBy("lang")
+    return (j.groupBy("lang", "pred_lang")
+            .agg(F.count("*").cast("bigint").alias("n_docs"))
+            .withColumn(
+                "frac_of_label",
+                F.col("n_docs")
+                / F.sum("n_docs").over(w).cast("double")))
+
+
+@register(
     "corpus_zipf_fit",
     oracle="""
     WITH tok AS (
