@@ -2529,6 +2529,51 @@ def dedup_substring_remove(spark, sf_dir):
 
 
 @register(
+    "sample_poisson_bootstrap",
+    # per-replicate Poisson(1) weights from the portable unit hash vs
+    # exact integer CDF thresholds; decimal-exact weighted sums
+    oracle="""
+    WITH reps AS (
+      SELECT e.event_id, e."value" AS v, r AS replicate
+      FROM events e, unnest(generate_series(1, 20)) t(r)),
+    hashed AS (
+      SELECT replicate, v,
+             CAST('0x' || substring(md5(CAST(replicate AS VARCHAR)
+                    || '|' || CAST(event_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS h
+      FROM reps),
+    weighted AS (
+      SELECT CAST(replicate AS INT) AS replicate, v,
+             CASE WHEN h >= 1580030168 THEN 1 ELSE 0 END
+             + CASE WHEN h >= 3160060337 THEN 1 ELSE 0 END
+             + CASE WHEN h >= 3950075421 THEN 1 ELSE 0 END
+             + CASE WHEN h >= 4213413783 THEN 1 ELSE 0 END
+             + CASE WHEN h >= 4279248373 THEN 1 ELSE 0 END
+             + CASE WHEN h >= 4292415291 THEN 1 ELSE 0 END
+             + CASE WHEN h >= 4294609777 THEN 1 ELSE 0 END
+             + CASE WHEN h >= 4294923276 THEN 1 ELSE 0 END
+             + CASE WHEN h >= 4294962463 THEN 1 ELSE 0 END AS w
+      FROM hashed)
+    SELECT replicate, CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(w * CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(SUM(w) AS DOUBLE) AS mean_value
+    FROM weighted GROUP BY replicate
+    """,
+)
+def sample_poisson_bootstrap(spark, sf_dir):
+    """Poisson bootstrap of the mean event value (Chamandy et al.
+    2012): 20 replicates, each row weighted Poisson(1) via the
+    portable md5 unit hash of (replicate | event_id) against exact
+    integer CDF thresholds — shard-friendly resampling with no RNG
+    state and no global pass; replicate means are decimal-exact."""
+    from dbt_fusion_spark.sample.strategies import poisson_bootstrap_mean
+
+    ev = load_table(spark, sf_dir, "events")
+    return poisson_bootstrap_mean(ev, "event_id", "value",
+                                  n_replicates=20)
+
+
+@register(
     "quality_langid_confusion",
     # the lang-ID QA audit: confusion counts + per-label recall of the
     # marker-word heuristic against the labeled lang column

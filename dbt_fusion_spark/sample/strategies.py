@@ -234,3 +234,64 @@ def leakage_safe_split(df: DataFrame, id_col: str, dup_pairs: DataFrame,
     expr = last if expr is None else expr.otherwise(last)
     return (out.withColumn("fold", expr)
                .drop("component", "__lk_group"))
+
+
+def _poisson1_thresholds(max_k: int = 9) -> list[int]:
+    """Cumulative Poisson(1) CDF scaled to the 2^32 unit-hash space —
+    exact integer literals, identical in every engine."""
+    import math
+
+    cdf, term, acc = [], math.exp(-1.0), math.exp(-1.0)
+    for k in range(max_k):
+        cdf.append(int(acc * 4294967296))
+        term /= (k + 1)
+        acc += term
+    return cdf
+
+
+def poisson_bootstrap_mean(df: DataFrame, key: str | Sequence[str],
+                           value_col: str,
+                           n_replicates: int = 20) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al. 2012 — the resampling scheme
+    that works on sharded data): instead of drawing n rows with
+    replacement (impossible without a global pass), every row gets an
+    independent Poisson(1) weight per replicate, derived from the
+    PORTABLE unit hash of (replicate | key) against exact integer CDF
+    thresholds. Emits one row per replicate: (replicate, n_eff,
+    mean_value) — the spread across replicates IS the sampling
+    distribution of the mean.
+
+    Scale shape (100 TB): one Generate (x n_replicates), weights are
+    pure projections (no RNG state, no shuffle), one aggregate keyed by
+    replicate with map-side partial sums; the weighted sum is
+    decimal-exact so the replicate means are bit-identical across
+    engines and row orders.
+    """
+    cols = [key] if isinstance(key, str) else list(key)
+    thr = _poisson1_thresholds()
+    reps = df.select(
+        *[F.col(c) for c in cols], F.col(value_col).alias("__v")
+    ).withColumn(
+        "replicate",
+        F.explode(F.sequence(F.lit(1), F.lit(int(n_replicates)))))
+    reps = reps.withColumn("replicate", F.col("replicate").cast("int"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                "|", F.col("replicate").cast("string"),
+                *[F.col(c).cast("string") for c in cols])), 1, 8),
+        16, 10).cast("bigint")
+    w = None
+    for t in thr:
+        term = (h >= F.lit(t)).cast("int")
+        w = term if w is None else w + term
+    return (
+        reps.withColumn("__w", w)
+        .groupBy("replicate")
+        .agg(F.sum("__w").cast("bigint").alias("n_eff"),
+             F.sum(F.col("__w")
+                   * F.col("__v").cast("decimal(18,6)")).alias("__wv"))
+        .select("replicate", "n_eff",
+                (F.col("__wv").cast("double")
+                 / F.col("n_eff").cast("double")).alias("mean_value"))
+    )

@@ -885,3 +885,29 @@ def test_triangle_counts_hand_case(spark):
     capped = {r["vertex"]: r["n_triangles"] for r in
               triangle_counts(df, "src", "dst", max_degree=2).collect()}
     assert capped == {}   # every K4 vertex exceeds degree 2
+
+
+def test_poisson_bootstrap_statistics(spark):
+    import statistics
+    from dbt_fusion_spark.sample.strategies import poisson_bootstrap_mean
+
+    # 2000 rows of value ~ i%100: true mean 49.5, sd ~ 28.9 ->
+    # se(mean) ~ 0.65; bootstrap replicate means must center on the
+    # true mean with spread on that order
+    df = spark.createDataFrame([(i, float(i % 100)) for i in range(2000)],
+                               "k long, v double")
+    rows = poisson_bootstrap_mean(df, "k", "v", n_replicates=20).collect()
+    assert len(rows) == 20
+    means = [r["mean_value"] for r in rows]
+    assert abs(statistics.mean(means) - 49.5) < 1.0
+    sd = statistics.stdev(means)
+    assert 0.2 < sd < 2.0           # sane sampling spread, not collapsed
+    # n_eff fluctuates around n (Poisson(1) weights sum ~ n ± sqrt(n))
+    for r in rows:
+        assert 1800 < r["n_eff"] < 2200
+    # deterministic: same inputs, same replicate means
+    again = {r["replicate"]: r["mean_value"] for r in
+             poisson_bootstrap_mean(df, "k", "v", n_replicates=20)
+             .collect()}
+    for r in rows:
+        assert again[r["replicate"]] == r["mean_value"]
