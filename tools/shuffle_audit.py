@@ -63,6 +63,11 @@ QUERY_SET = [
     "similarity_mmr_rerank",
     "corpus_phrase_search",
     "similarity_hard_pair_mining",
+    "graph_triangle_counts_coorder",
+    "sample_poisson_bootstrap",
+    "events_rfm_scores",
+    "corpus_pmi_topk",
+    "dedup_winnow_pairs",
 ]
 
 FIELDS = ("inputBytes", "shuffleReadBytes", "shuffleWriteBytes",
