@@ -232,3 +232,42 @@ def test_unique10_lsh_pairs_linear(spark):
     assert avg_uniq <= avg_small * 1.5, (avg_small, avg_uniq)
     assert all(b["max_bucket"] < uniq["n_docs"] * 0.02
                for b in uniq["per_band"]), uniq["per_band"]
+
+
+def test_winnow_pair_mass_df_driven(spark, scale_dir):
+    """The 5.5x dedup_winnow_pairs wall ratio at 10x is DATA, not plan:
+    on the replica corpus every copy is a TRUE near-dup, so each
+    fingerprint's document frequency grows ~10x and pair mass
+    sum(df*(df-1)/2) grows ~df^2 (measured 347k -> 39.7M, avg_df
+    5.4 -> 43.7). On the unique10 corpus (replicas made unique) the df
+    distribution must stay FLAT and the mass ~linear — the structural
+    certificate that candidate growth tracks true duplication, not a
+    collapsing hash space."""
+    from pyspark.sql import functions as F
+
+    from dbt_fusion_spark.llm.text import winnow_fingerprints
+    from dbt_fusion_spark.sources.registry import load_table
+    from tools.scale10 import ensure_unique10
+
+    def stats(d):
+        docs = load_table(spark, d, "documents").filter(
+            "length(trim(text)) > 0")
+        sigs = (winnow_fingerprints(docs, "doc_id", "text")
+                .select("doc_id", "gram_hash").distinct())
+        r = (sigs.groupBy("gram_hash").count()
+             .agg(F.avg("count").alias("avg_df"),
+                  F.max("count").alias("max_df"),
+                  F.sum(F.expr("count * (count - 1) / 2")).alias("mass"))
+             .collect()[0])
+        return r["avg_df"], r["max_df"], int(r["mass"])
+
+    base_avg, _, base_mass = stats("/root/testdata/sf0.1")
+    rep_avg, _, rep_mass = stats(scale_dir)
+    uniq_avg, uniq_max, uniq_mass = stats(ensure_unique10(spark))
+    # replica corpus: df itself grows ~10x (true near-dups)
+    assert rep_avg > base_avg * 5
+    # unique corpus: df distribution flat, mass ~linear-with-lottery
+    assert uniq_avg < base_avg * 1.5
+    assert uniq_mass < base_mass * 30     # vs the replica corpus' ~114x
+    assert rep_mass > uniq_mass * 4
+    assert uniq_max < 1000                # far under the max_df cap
