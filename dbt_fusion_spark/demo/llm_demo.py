@@ -963,6 +963,50 @@ def _pca_oracle(fit) -> str | None:
     SELECT vec_id, {e[0]} AS pc1, {e[1]} AS pc2 FROM embeddings"""
 
 
+def _fit_gate_pca_vars():
+    import os as _os
+
+    path = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                           "/root/testdata/sf0.01")
+    try:
+        return S.fit_pca_components_vars(
+            S.load_vectors_pyarrow(f"{path}/embeddings.parquet"),
+            n_components=2)
+    except Exception:
+        return None
+
+
+_GATE_PCA_VARS = _fit_gate_pca_vars()
+
+
+def _whiten_oracle(fit) -> str | None:
+    if fit is None:
+        return None
+    import math
+
+    mean, comps, vars_ = fit
+    e = S.pca_project_exprs(mean, comps, "embedding", "duckdb")
+    from dbt_fusion_spark.llm.similarity import _duck_double_lit
+    divs = [_duck_double_lit(math.sqrt(v + 1e-9)) for v in vars_]
+    return f"""
+    SELECT vec_id, ({e[0]}) / {divs[0]} AS w1,
+           ({e[1]}) / {divs[1]} AS w2
+    FROM embeddings"""
+
+
+@register("embedding_whiten_project", oracle=_whiten_oracle(_GATE_PCA_VARS))
+def embedding_whiten_project(spark, sf_dir):
+    """PCA whitening: the top-2 projection scaled to unit variance per
+    component (w_j = centered-dot / sqrt(var_j + eps)) — the pre-ANN
+    normalization; scale factors are driver-computed doubles rendered
+    into both dialects. One scan, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, vars_ = S.fit_pca_components_vars(
+        S.load_vectors_pyarrow(f"{sf_dir}/embeddings.parquet"),
+        n_components=2)
+    return S.pca_whiten(emb, mean, comps, vars_)
+
+
 @register("embedding_pca_project", oracle=_pca_oracle(_GATE_PCA))
 def embedding_pca_project(spark, sf_dir):
     """PCA projection onto the top-2 components: basis fit driver-side

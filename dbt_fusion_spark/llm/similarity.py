@@ -1160,3 +1160,38 @@ def pca_project(df: DataFrame, mean: list[float],
     return df.select(
         F.col(id_col),
         *[F.expr(e).alias(f"pc{j + 1}") for j, e in enumerate(exprs)])
+
+
+def pca_whiten(df: DataFrame, mean: list[float],
+               comps: list[list[float]], evr_vars: list[float],
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               eps: float = 1e-9) -> DataFrame:
+    """PCA whitening: the projection scaled to unit variance per
+    component — w_j = (v·c_j − mean·c_j) / sqrt(var_j + eps) — the
+    standard pre-ANN normalization that stops high-variance directions
+    from dominating cosine/L2. `evr_vars` are the component VARIANCES
+    (eigenvalues) from fit_pca_components_vars. Pure projection: the
+    scale factors are driver-computed doubles rendered into the
+    expression, one scan, no shuffle."""
+    import math
+
+    exprs = pca_project_exprs(mean, comps, vec_col, "spark")
+    return df.select(
+        F.col(id_col),
+        *[(F.expr(e) / F.lit(math.sqrt(v + eps))).alias(f"w{j + 1}")
+          for j, (e, v) in enumerate(zip(exprs, evr_vars))])
+
+
+def fit_pca_components_vars(vectors, n_components: int = 2):
+    """fit_pca_components plus the raw component VARIANCES
+    (eigenvalues) whitening divides by — same deterministic eigh."""
+    import numpy as np
+
+    X = np.asarray(vectors, dtype=np.float64)
+    mean, comps, _ = fit_pca_components(vectors, n_components)
+    Xc = X - np.asarray(mean)
+    out_vars = []
+    for c in comps:
+        proj = Xc @ np.asarray(c)
+        out_vars.append(float((proj * proj).sum() / len(X)))
+    return mean, comps, out_vars

@@ -911,3 +911,23 @@ def test_poisson_bootstrap_statistics(spark):
              .collect()}
     for r in rows:
         assert again[r["replicate"]] == r["mean_value"]
+
+
+def test_pca_whiten_unit_variance(spark):
+    import statistics
+    from dbt_fusion_spark.llm.similarity import (fit_pca_components_vars,
+                                                 pca_whiten)
+
+    vecs = [[0.6 * t, 0.8 * t, 0.05 * ((i % 5) - 2)]
+            for i, t in enumerate(x * 0.1 for x in range(-20, 21))]
+    mean, comps, vars_ = fit_pca_components_vars(vecs, n_components=2)
+    assert vars_[0] > vars_[1] > 0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    rows = pca_whiten(df, mean, comps, vars_).collect()
+    for col in ("w1", "w2"):
+        # population variance of the whitened coordinate ~ 1 on the
+        # fit sample (float32 storage adds ~1e-3 noise)
+        v = statistics.pvariance([r[col] for r in rows])
+        assert abs(v - 1.0) < 0.01, (col, v)
