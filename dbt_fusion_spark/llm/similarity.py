@@ -1195,3 +1195,55 @@ def fit_pca_components_vars(vectors, n_components: int = 2):
         proj = Xc @ np.asarray(c)
         out_vars.append(float((proj * proj).sum() / len(X)))
     return mean, comps, out_vars
+
+
+def pq_adc_range_search(corpus: DataFrame, queries: DataFrame,
+                        codebooks: list[list[list[float]]],
+                        threshold: float, margin: float = 0.1,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Index-accelerated RANGE search (the other half of the ANN query
+    surface next to top-k): every (query, neighbor) pair with exact
+    cosine >= threshold, found by a two-stage plan — stage 1 scans the
+    PQ codes (m bytes/row) PLUS one stored float norm per row and keeps
+    candidates whose ADC-approximated cosine clears threshold - margin;
+    stage 2 fetches floats for the survivors only (equi-join) and
+    applies the EXACT cosine filter. Precision is exact by
+    construction (stage 2); recall depends on margin covering the ADC
+    quantization error — margin >= 1 degenerates to the brute-force
+    scan bit-identically (asserted in pytest).
+
+    Scale shape: stage 1 is the broadcast-query code scan (the
+    deliberate BNLJ of the ADC family); stage 2 touches floats for
+    candidate rows only. No corpus shuffle, no window at all (range
+    search has no rank).
+    """
+    c = (pq_encode(
+            corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("__cv")),
+            codebooks, vec_col="__cv")
+         .select("neighbor_id", "pq_code",
+                 norm_fold("__cv").alias("__cn")))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv"),
+                       norm_fold(vec_col).alias("__qn"))
+    tm = float(threshold) - float(margin)
+    stage1 = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(
+            (F.expr(pq_adc_scores_sql(codebooks, "__qv", "pq_code",
+                                      dialect="spark"))
+             / (F.col("__qn") * F.col("__cn"))) >= F.lit(tm))
+        .select("query_id", "neighbor_id"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("__nv"),
+                       norm_fold(vec_col).alias("__nn"))
+    exact = (
+        stage1.join(cv, "neighbor_id")
+        .join(q.select("query_id", "__qv", "__qn"), "query_id")
+        .select("query_id", "neighbor_id",
+                (dot_fold("__qv", "__nv")
+                 / (F.col("__qn") * F.col("__nn"))).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= F.lit(float(threshold))))
+    return exact

@@ -203,3 +203,31 @@ def test_ivf_pq_index_artifact_reuse(spark, tmp_path):
                       codes_table=idx_path)
     with _pytest.raises(ValueError, match="required"):
         S.ivf_pq_topk(None, queries, k=K)
+
+
+def test_adc_range_search_precision_and_recall(spark):
+    """Range search: stage 2 makes precision exact by construction;
+    recall vs the unpruned ground truth is 1.0 once the margin covers
+    the measured ADC error, and a huge margin degenerates to the
+    brute-force result set exactly."""
+    import dbt_fusion_spark.llm.similarity as S
+    from dbt_fusion_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    books = S.fit_pq_codebooks_cached(f"{sf}/embeddings.parquet",
+                                      m=4, n_codes=16)
+    q = emb.filter(F.col("vec_id") < 10)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in
+             S.pq_adc_range_search(emb, q, books, threshold=0.35,
+                                   margin=2.0).collect()}
+    assert truth, "ground-truth range set must be non-empty"
+    got = {(r["query_id"], r["neighbor_id"]) for r in
+           S.pq_adc_range_search(emb, q, books, threshold=0.35,
+                                 margin=0.4).collect()}
+    assert got == truth               # recall 1.0 at the sized margin
+    narrow = {(r["query_id"], r["neighbor_id"]) for r in
+              S.pq_adc_range_search(emb, q, books, threshold=0.35,
+                                    margin=0.0).collect()}
+    assert narrow <= truth            # precision always exact

@@ -412,7 +412,10 @@ def test_no_query_has_cartesian_or_rowwise_python(spark):
                     # hard-pair mining scores anchors x corpus once via
                     # the same deliberate broadcast scan; both mining
                     # kinds are windows over that one scored frame
-                    "similarity_hard_pair_mining"}
+                    "similarity_hard_pair_mining",
+                    # range search's stage 1 is the ADC-family
+                    # broadcast code scan; stage 2 is equi-joins only
+                    "similarity_adc_range_search"}
     offenders = []
     for name, fn in sorted(QUERIES.items()):
         if name in _EXECUTING:
