@@ -2673,6 +2673,37 @@ def sample_poisson_bootstrap(spark, sf_dir):
                                   n_replicates=20)
 
 
+from dbt_fusion_spark.demo.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@register(
+    "sample_poisson_bootstrap_ci",
+    # wrap the bootstrap oracle verbatim, rank the 20 replicate means,
+    # take exact order statistics (2nd / 19th) — no interpolation
+    oracle=f"""
+    WITH boot AS ({_ORACLES["sample_poisson_bootstrap"]}),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY mean_value, replicate) AS r
+      FROM boot)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+           CAST(round(AVG(mean_value), 6) AS DOUBLE) AS mean_of_means,
+           MAX(CASE WHEN r = 2 THEN mean_value END) AS ci_lo,
+           MAX(CASE WHEN r = 19 THEN mean_value END) AS ci_hi
+    FROM ranked
+    """,
+)
+def sample_poisson_bootstrap_ci(spark, sf_dir):
+    """One-row bootstrap CI of the mean event value: the 20 Poisson
+    replicate means reduced to exact order-statistic bounds (2nd/19th
+    ascending ~ a 90% interval) — no interpolation, bit-identical
+    bounds; the rank window covers 20 rows."""
+    from dbt_fusion_spark.sample.strategies import poisson_bootstrap_ci
+
+    ev = load_table(spark, sf_dir, "events")
+    return poisson_bootstrap_ci(ev, "event_id", "value",
+                                n_replicates=20)
+
+
 @register(
     "quality_langid_confusion",
     # the lang-ID QA audit: confusion counts + per-label recall of the

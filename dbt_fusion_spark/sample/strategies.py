@@ -295,3 +295,33 @@ def poisson_bootstrap_mean(df: DataFrame, key: str | Sequence[str],
                 (F.col("__wv").cast("double")
                  / F.col("n_eff").cast("double")).alias("mean_value"))
     )
+
+
+def poisson_bootstrap_ci(df: DataFrame, key: str | Sequence[str],
+                         value_col: str, n_replicates: int = 20,
+                         lo_rank: int = 2, hi_rank: int = 19
+                         ) -> DataFrame:
+    """One-row bootstrap confidence interval: the Poisson replicate
+    means reduced to (n_replicates, mean_of_means, ci_lo, ci_hi) where
+    the bounds are EXACT order statistics of the replicate means
+    (lo_rank-th / hi_rank-th of n_replicates ascending — 2/19 of 20
+    brackets ~90%). No interpolation anywhere, so both engines emit
+    bit-identical bounds; mean_of_means is rounded to 6 (a sum of 20
+    doubles whose order differs). The window ranks 20 rows."""
+    if not (1 <= lo_rank < hi_rank <= n_replicates):
+        raise ValueError(
+            f"need 1 <= lo_rank({lo_rank}) < hi_rank({hi_rank})"
+            f" <= n_replicates({n_replicates})")
+    from pyspark.sql import Window
+
+    reps = poisson_bootstrap_mean(df, key, value_col, n_replicates)
+    w = Window.orderBy("mean_value", "replicate")
+    ranked = reps.withColumn("__r", F.row_number().over(w))
+    return (
+        ranked.agg(
+            F.count("*").cast("bigint").alias("n_replicates"),
+            F.round(F.avg("mean_value"), 6).alias("mean_of_means"),
+            F.max(F.when(F.col("__r") == lo_rank,
+                         F.col("mean_value"))).alias("ci_lo"),
+            F.max(F.when(F.col("__r") == hi_rank,
+                         F.col("mean_value"))).alias("ci_hi")))

@@ -931,3 +931,17 @@ def test_pca_whiten_unit_variance(spark):
         # fit sample (float32 storage adds ~1e-3 noise)
         v = statistics.pvariance([r[col] for r in rows])
         assert abs(v - 1.0) < 0.01, (col, v)
+
+
+def test_poisson_bootstrap_ci_brackets_truth(spark):
+    import pytest as _pytest
+    from dbt_fusion_spark.sample.strategies import poisson_bootstrap_ci
+
+    df = spark.createDataFrame([(i, float(i % 100)) for i in range(2000)],
+                               "k long, v double")
+    row = poisson_bootstrap_ci(df, "k", "v", n_replicates=20).collect()[0]
+    assert row["n_replicates"] == 20
+    assert row["ci_lo"] < row["mean_of_means"] < row["ci_hi"]
+    assert row["ci_lo"] < 49.5 < row["ci_hi"]   # brackets the truth
+    with _pytest.raises(ValueError):
+        poisson_bootstrap_ci(df, "k", "v", lo_rank=19, hi_rank=2)
