@@ -408,35 +408,41 @@ def pmi_topk(df: DataFrame, id_col: str, text_col: str,
     The corpus-collocation table every tokenizer/phrase-vocab build
     starts from.
 
-    Scale shape (100 TB): the pair generator is a doc-keyed self-join
-    of the positional token table with a bounded position-distance
-    filter (per-doc work O(len * max_dist), never corpus-wide);
-    pair/unigram counts shuffle on their own keys with map-side
-    partial aggregation; N and P ride 1-row broadcast scalar joins;
-    the final top-k is orderBy().limit() — Spark plans
+    Scale shape (100 TB): the pair generator is ONE per-doc
+    higher-order function over the token array (each position pairs
+    with its next `max_dist` neighbours — per-doc work exactly
+    O(len * max_dist), zero shuffle, zero join; the r7 doc-keyed
+    positional self-join enumerated O(len^2) pairs inside the join
+    before the distance filter could apply, planting a quadratic
+    straggler on any long document); pair/unigram counts shuffle on
+    their own keys with map-side partial aggregation; P aggregates the
+    vocabulary-sized UNFILTERED pair-count table (never a second pass
+    over the corpus-sized pair stream); N and P ride 1-row broadcast
+    scalar joins; the final top-k is orderBy().limit() — Spark plans
     TakeOrderedAndProject, no global window, no full sort. PMI is
     rounded to 6 BEFORE ranking so both engines rank identical keys
     (ties break on the word pair).
     """
-    from dbt_fusion_spark.llm.search import positional_postings
+    from dbt_fusion_spark.plans.partitioning import ensure_parallelism
 
-    pos = positional_postings(df, id_col, text_col)
-    a = pos.select(F.col("doc"), F.col("pos").alias("__pa"),
-                   F.col("token").alias("__ta"))
-    b = pos.select(F.col("doc"), F.col("pos").alias("__pb"),
-                   F.col("token").alias("__tb"))
-    pairs = (
-        a.join(b, "doc")
-        .filter((F.col("__pb") - F.col("__pa") >= 1)
-                & (F.col("__pb") - F.col("__pa") <= max_dist))
-        .select(F.least("__ta", "__tb").alias("w1"),
-                F.greatest("__ta", "__tb").alias("w2")))
-    cp = (pairs.groupBy("w1", "w2")
-          .agg(F.count("*").alias("__cp"))
-          .filter(F.col("__cp") >= min_count))
-    cu = pos.groupBy("token").agg(F.count("*").alias("__cu"))
+    # Tokenizer identical to search.positional_postings: lowercased
+    # whitespace words, empty tokens dropped.
+    toks = ensure_parallelism(df).select(F.expr(
+        f"filter(split(trim(lower({text_col})), '\\\\s+'),"
+        " x -> x != '')").alias("__w"))
+    pairs = toks.filter(F.size("__w") >= 2).select(F.explode(F.expr(
+        "flatten(transform(sequence(0, size(__w) - 2), i ->"
+        f" transform(sequence(i + 1, least(i + {int(max_dist)},"
+        "                                  size(__w) - 1)), j ->"
+        "   named_struct('w1', least(__w[i], __w[j]),"
+        "                'w2', greatest(__w[i], __w[j])))))"
+    )).alias("__p")).select("__p.w1", "__p.w2")
+    cp_all = pairs.groupBy("w1", "w2").agg(F.count("*").alias("__cp"))
+    cp = cp_all.filter(F.col("__cp") >= min_count)
+    cu = (toks.select(F.explode("__w").alias("token"))
+          .groupBy("token").agg(F.count("*").alias("__cu")))
     n_scalar = cu.agg(F.sum("__cu").alias("__N"))
-    p_scalar = pairs.agg(F.count("*").alias("__P"))
+    p_scalar = cp_all.agg(F.sum("__cp").alias("__P"))
     j = (cp.join(cu.select(F.col("token").alias("w1"),
                            F.col("__cu").alias("__ca")), "w1")
          .join(cu.select(F.col("token").alias("w2"),

@@ -318,6 +318,7 @@ def lsh_candidate_pairs_cross(new: DataFrame, existing: DataFrame,
     eb = (existing_bands if existing_bands is not None
           else minhash_bands(existing, id_col, text_col, n_bands,
                              rows_per_band, shingle_n))
+    cached: tuple = ()
     if max_bucket is not None:
         # Joint bucket size (existing + new) decides the drop — the
         # cross-join cost of a bucket is |existing side| x |new side|,
@@ -335,17 +336,29 @@ def lsh_candidate_pairs_cross(new: DataFrame, existing: DataFrame,
         # input this is a near-no-op (caching a parquet scan).
         eb = eb.persist()
         eb.count()
+        cached = (nb, eb)
         joint = eb.select("band_id", "band_value").unionAll(
             nb.select("band_id", "band_value"))
         eb, nb = _cap_buckets(joint, [eb, nb], max_bucket, " (cross)")
     e = eb.select(F.col(id_col).alias("existing_id"), "band_id",
                   "band_value")
     n = nb.select(F.col(id_col).alias("new_id"), "band_id", "band_value")
-    return (
+    out = (
         e.join(n, ["band_id", "band_value"])
         .select("existing_id", "new_id")
         .distinct()
     )
+    if not cached:
+        return out
+    # ADVICE r7: eagerly materialize the (small) pair list, then RELEASE
+    # the band-table caches — repeated daily-batch calls must not
+    # accumulate cache blocks for the life of the session. The returned
+    # frame's own blocks are the caller's to .unpersist() when done.
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in cached:
+            c.unpersist()
 
 
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
@@ -682,28 +695,33 @@ def dedup_threshold_sweep(df: DataFrame, id_col: str, text_col: str,
 
 
 def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
-                           k: int = 10, shift: int = 20) -> DataFrame:
+                           k: int = 10) -> DataFrame:
     """Exact duplicate-substring REMOVAL (Lee et al. 2022, arXiv
     2107.06499): every overlapping k-word window is hashed; the
-    corpus-wide first occurrence (min of doc_id * 2^shift + start)
-    keeps its text; every other occurrence marks its [start, start+k)
-    word range; per-doc ranges are merged (equal-length intervals
-    sorted by start merge while next.start <= prev.start + k) and the
-    document is rewritten with the merged ranges dropped. Unlike
-    span_dedup_stats (audit-only, non-overlapping windows) this is the
-    cleaning pass itself. The emitted clean_text is the NORMALIZED
-    document (lowercased, whitespace-collapsed) so rewrite positions
-    align with the hashed tokens; docs shorter than k words pass
-    through unchanged (normalized).
+    corpus-wide first occurrence — MIN of the sortable struct
+    (doc_id, start), i.e. lexicographic keep-first — keeps its text;
+    every other occurrence marks its [start, start+k) word range;
+    per-doc ranges are merged (equal-length intervals sorted by start
+    merge while next.start <= prev.start + k) and the document is
+    rewritten with the merged ranges dropped. Unlike span_dedup_stats
+    (audit-only, non-overlapping windows) this is the cleaning pass
+    itself. The emitted clean_text is the NORMALIZED document
+    (lowercased, whitespace-collapsed) so rewrite positions align with
+    the hashed tokens; docs shorter than k words pass through
+    unchanged (normalized).
 
     Scale shape (100 TB): the rolling explode is a Generate (~k x the
     non-overlapping span count); the keeper election shuffles 16-byte
-    md5 keys with a map-side partial MIN; the mark-back is an equi-join
+    md5 keys with a map-side partial MIN (struct MIN has the same
+    partial-merge shape as numeric MIN); the mark-back is an equi-join
     on the same hash; interval merge windows partition by doc (bounded
     by document length, never corpus-wide); the rewrite is JVM-side
     higher-order functions over the token array. No cross join, no
-    Python, no driver collect. Position encoding doc_id * 2^shift +
-    start is valid while start < 2^shift (1M words/doc at the default).
+    Python, no driver collect. The struct election key works for ANY
+    orderable id type (string ids included) with no overflow — the
+    r7 arithmetic packing (id * 2^shift + start) silently returned
+    every document unchanged for string ids (NULL keys) and corrupted
+    the keeper for ids >= 2^(63-shift).
     """
     base = (
         ensure_parallelism(df)
@@ -720,10 +738,8 @@ def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
             id_col, "__s",
             F.md5(F.array_join(F.slice("__w", F.col("__s") + 1, k), " "))
             .alias("__h"))
-        .withColumn(
-            "__pos",
-            (F.col(id_col) * F.lit(1 << shift) + F.col("__s"))
-            .cast("bigint"))
+        .withColumn("__pos", F.struct(F.col(id_col).alias("i"),
+                                      F.col("__s").alias("s")))
     )
     keeper = wins.groupBy("__h").agg(F.min("__pos").alias("__kp"))
     dup = (wins.join(keeper, "__h")

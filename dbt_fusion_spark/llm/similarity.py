@@ -677,20 +677,28 @@ def build_ivf_pq_index(corpus: DataFrame,
     return load_ivf_pq_index(spark, codes_table)[0]
 
 
+def _read_ivf_meta(spark, codes_table: str) -> dict:
+    """The full meta dict of a build_ivf_pq_index artifact (centroids,
+    codebooks, and the id_col/vec_col the index was built with)."""
+    import json as _json
+
+    if "/" in codes_table:
+        meta_df = spark.read.parquet(codes_table + "_meta")
+    else:
+        meta_df = spark.table(codes_table + "_meta")
+    return _json.loads(meta_df.collect()[0]["meta_json"])
+
+
 def load_ivf_pq_index(spark, codes_table: str
                       ) -> tuple[DataFrame, list, list]:
     """Read back a build_ivf_pq_index artifact: (codes DataFrame,
     centroids, codebooks). The codes scan is the index serving path —
     m bytes per row, cell-partitioned."""
-    import json as _json
-
     if "/" in codes_table:
         codes = spark.read.parquet(codes_table)
-        meta_df = spark.read.parquet(codes_table + "_meta")
     else:
         codes = spark.table(codes_table)
-        meta_df = spark.table(codes_table + "_meta")
-    meta = _json.loads(meta_df.collect()[0]["meta_json"])
+    meta = _read_ivf_meta(spark, codes_table)
     return codes, meta["centroids"], meta["codebooks"]
 
 
@@ -699,7 +707,7 @@ def ivf_pq_topk(corpus: DataFrame | None, queries: DataFrame,
                 codebooks: list[list[list[float]]] | None = None,
                 k: int = 5,
                 nprobe: int = 1, candidates: int | None = None,
-                id_col: str = "vec_id", vec_col: str = "embedding",
+                id_col: str | None = None, vec_col: str | None = None,
                 codes_table: str | None = None) -> DataFrame:
     """IVFADC (Jégou 2011, the billion-scale ANN architecture): coarse
     k-means cells prune the scan to the query's nprobe cells, PQ-ADC
@@ -722,15 +730,28 @@ def ivf_pq_topk(corpus: DataFrame | None, queries: DataFrame,
     artifact's own (passing different ones is an error: the cell
     routing must match the stored cells). `corpus` may then be None
     unless `candidates` is set (the exact re-rank still fetches floats
-    for the |queries| x candidates shortlist)."""
+    for the |queries| x candidates shortlist).
+
+    id_col/vec_col default to the artifact's recorded columns when
+    serving from codes_table (ADVICE r7 — an index built with a
+    non-default id_col previously failed at analysis unless the caller
+    re-supplied what the meta already stored), else to
+    vec_id/embedding. The CODES scan always uses the meta's id_col;
+    an explicit id_col/vec_col names the columns of the CALLER's
+    queries/corpus frames (they may legitimately differ)."""
     if candidates is not None and candidates < k:
         # ADVICE r6: a shortlist smaller than k silently returns only
         # `candidates` rows per query — reject at entry
         raise ValueError(
             f"candidates ({candidates}) must be >= k ({k})")
     if codes_table is not None:
-        codes, m_cents, m_books = load_ivf_pq_index(
-            queries.sparkSession, codes_table)
+        spark = queries.sparkSession
+        meta = _read_ivf_meta(spark, codes_table)
+        m_cents, m_books = meta["centroids"], meta["codebooks"]
+        if "/" in codes_table:
+            codes = spark.read.parquet(codes_table)
+        else:
+            codes = spark.table(codes_table)
         if centroids is not None and centroids != m_cents:
             raise ValueError("centroids differ from the codes_table "
                              "artifact's — cell routing would not match")
@@ -738,9 +759,14 @@ def ivf_pq_topk(corpus: DataFrame | None, queries: DataFrame,
             raise ValueError("codebooks differ from the codes_table "
                              "artifact's — ADC scores would not match")
         centroids, codebooks = m_cents, m_books
-        c = codes.select(F.col(id_col).alias("neighbor_id"),
-                         "__kcell", "pq_code")
+        id_col = id_col or meta.get("id_col", "vec_id")
+        vec_col = vec_col or meta.get("vec_col", "embedding")
+        c = codes.select(
+            F.col(meta.get("id_col", "vec_id")).alias("neighbor_id"),
+            "__kcell", "pq_code")
     else:
+        id_col = id_col or "vec_id"
+        vec_col = vec_col or "embedding"
         if corpus is None or centroids is None or codebooks is None:
             raise ValueError("without codes_table, corpus + centroids "
                              "+ codebooks are all required")
@@ -857,6 +883,165 @@ def ivf_index_health(spark, codes_table: str,
                     .alias("n_batch"),
                     F.col("mean_batch_dist2"))
             .orderBy("cell"))
+
+
+def compact_ivf_codes(spark, codes_table: str, max_files: int = 4,
+                      target_file_bytes: int = 128 * 1024 * 1024
+                      ) -> dict:
+    """Small-file compaction for a build_ivf_pq_index codes artifact —
+    the maintenance step streaming_ann_ingest makes necessary: each
+    micro-batch appends one file set into every touched __kcell
+    partition, so at crawl cadence a cell accumulates thousands of tiny
+    files and the probe scan (the whole point of cell partitioning)
+    degrades to file-open overhead. Same bin-packing contract as
+    plans.layout.compact_partitions (which handles the saveAsTable
+    form directly): only cells holding more than `max_files` parquet
+    files are rewritten, each to ceil(bytes / target_file_bytes) files;
+    untouched cells' files never move, the meta artifact
+    (`<codes_table>_meta`) is never touched, and served results are
+    bit-identical before/after (same rows, same m-byte codes).
+
+    Path-form mechanics: the oversized cell is staged OUT to a tmp dir
+    first (a dynamic-partition overwrite cannot read the files it is
+    replacing), then landed back via dynamic-partition overwrite so
+    only that cell's directory is replaced. Driver-side work is one
+    filesystem listing per cell — bounded by n_cells, the same scale
+    as the coarse quantizer itself.
+
+    Returns {cell_dir: (files_before, files_after)} for rewritten
+    cells ({} when nothing is oversized).
+    """
+    import math
+    import shutil
+    from pathlib import Path
+
+    from dbt_fusion_spark.sources.registry import ensure_session_confs
+
+    if "/" not in codes_table:
+        from dbt_fusion_spark.plans.layout import compact_partitions
+        return compact_partitions(spark, codes_table, max_files,
+                                  target_file_bytes)
+    ensure_session_confs(spark)  # dynamic partition overwrite
+    root = Path(codes_table)
+    todo = {}
+    for pdir in sorted(root.iterdir()):
+        if not (pdir.is_dir() and pdir.name.startswith("__kcell=")):
+            continue
+        files = [f for f in pdir.iterdir()
+                 if f.name.endswith(".parquet")]
+        if len(files) > max_files:
+            todo[pdir.name] = (len(files),
+                               sum(f.stat().st_size for f in files))
+    if not todo:
+        return {}
+    report = {}
+    tmp = str(root) + "__compact_tmp"
+    for dname, (n_before, nbytes) in todo.items():
+        n_out = max(1, math.ceil(nbytes / target_file_bytes))
+        # basePath keeps the __kcell partition column on the scoped read
+        (spark.read.option("basePath", str(root))
+         .parquet(str(root / dname))
+         .write.mode("overwrite").parquet(tmp))
+        (spark.read.parquet(tmp).coalesce(n_out)
+         .write.mode("overwrite").partitionBy("__kcell")
+         .parquet(str(root)))
+        shutil.rmtree(tmp, ignore_errors=True)
+        n_after = len([f for f in (root / dname).iterdir()
+                       if f.name.endswith(".parquet")])
+        report[dname] = (n_before, n_after)
+    return report
+
+
+def rebuild_ivf_pq_index(corpus: DataFrame, codes_table: str,
+                         n_cells: int | None = None,
+                         m: int | None = None,
+                         n_codes: int | None = None,
+                         sample_limit: int = 2000,
+                         max_iter: int = 10) -> DataFrame:
+    """Drift-triggered index rebuild — the action ivf_index_health's
+    rising mean_batch_dist2 signal calls for: re-fit the coarse
+    quantizer + PQ codebooks on the CURRENT corpus (the same
+    deterministic fits build-time used: lowest-id bounded sample,
+    no RNG), build the full index to a SIBLING artifact
+    (`<codes_table>__rebuild`), and swap it in atomically — serving
+    never reads a half-built index, and the old artifact stays fully
+    readable until the swap itself. n_cells/m/n_codes default to the
+    existing artifact's geometry (from its meta); id_col/vec_col
+    always come from the meta.
+
+    Swap discipline: path form renames old -> `__old`, sibling ->
+    target (one rename per directory — each artifact version is only
+    ever complete or absent); table form uses the executors.py backup
+    dance (rename target -> backup, MSCK REPAIR the BACKUP before
+    dropping it — its stale partition locations otherwise point into
+    the new table's files and DROP would delete them — then rename
+    sibling -> target + MSCK). The meta swaps immediately after its
+    codes; a concurrent reader that loads meta and codes across the
+    swap boundary can observe one stale component for the rename
+    window — on a production catalog this swap is a single pointer
+    update (the executors.py swap), and the gate keeps build/serve in
+    one session.
+
+    Returns the codes DataFrame as re-read from the swapped-in
+    artifact.
+    """
+    import os
+    import shutil
+
+    spark = corpus.sparkSession
+    meta = _read_ivf_meta(spark, codes_table)
+    id_col = meta.get("id_col", "vec_id")
+    vec_col = meta.get("vec_col", "embedding")
+    n_cells = n_cells or len(meta["centroids"])
+    m = m or len(meta["codebooks"])
+    n_codes = n_codes or len(meta["codebooks"][0])
+    # bounded deterministic sample: lowest-id rows via TakeOrdered —
+    # the load_vectors_pyarrow convention, never a full sort
+    sample = [r[0] for r in corpus.select(vec_col, id_col)
+              .orderBy(id_col).limit(sample_limit)
+              .select(vec_col).collect()]
+    cents = fit_kmeans_centroids(sample, n_cells=n_cells,
+                                 max_iter=max_iter)
+    books = fit_pq_codebooks(sample, m=m, n_codes=n_codes,
+                             max_iter=max_iter)
+    sib = codes_table + "__rebuild"
+    if "/" in codes_table:
+        for p in (sib, sib + "_meta"):
+            shutil.rmtree(p, ignore_errors=True)
+        build_ivf_pq_index(corpus, cents, books, sib,
+                           id_col=id_col, vec_col=vec_col)
+        old = codes_table + "__old"
+        for p in (old, old + "_meta"):
+            shutil.rmtree(p, ignore_errors=True)
+        # the swap: until each rename the old artifact is intact
+        os.rename(codes_table, old)
+        os.rename(sib, codes_table)
+        os.rename(codes_table + "_meta", old + "_meta")
+        os.rename(sib + "_meta", codes_table + "_meta")
+        for p in (old, old + "_meta"):
+            shutil.rmtree(p, ignore_errors=True)
+    else:
+        for t in (sib, sib + "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        build_ivf_pq_index(corpus, cents, books, sib,
+                           id_col=id_col, vec_col=vec_col)
+        for base, part in ((codes_table, True),
+                           (codes_table + "_meta", False)):
+            bak = base + "__dbt_backup"
+            new = (sib if base == codes_table else sib + "_meta")
+            spark.sql(f"DROP TABLE IF EXISTS {bak}")
+            spark.sql(f"ALTER TABLE {base} RENAME TO {bak}")
+            if part:
+                # repair the BACKUP before dropping it (r4 lesson:
+                # its stale partition locations point at the renamed
+                # path — DROP without repair deletes live data)
+                spark.sql(f"MSCK REPAIR TABLE {bak}")
+            spark.sql(f"ALTER TABLE {new} RENAME TO {base}")
+            if part:
+                spark.sql(f"MSCK REPAIR TABLE {base}")
+            spark.sql(f"DROP TABLE {bak}")
+        spark.catalog.refreshTable(codes_table)
+    return load_ivf_pq_index(spark, codes_table)[0]
 
 
 def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",

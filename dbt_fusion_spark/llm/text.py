@@ -385,8 +385,12 @@ def winnow_candidate_pairs_cross(new: DataFrame, id_col: str,
     max_df prunes on the JOINT document frequency (existing + new) —
     the cross cost of a hash is |existing| x |new|, and boilerplate is
     oversized on both sides. Both signature tables feed the probe and
-    the join, so the batch side is materialized first and the artifact
-    side is a parquet/table scan (cheap to re-read).
+    the join, so both sides are materialized first; the RESULT is then
+    eagerly localCheckpointed and the input caches RELEASED before
+    returning — repeated daily-batch calls must not accumulate
+    signature-table cache blocks for the life of the session (ADVICE
+    r7). The returned frame's own (small, min_shared-filtered) blocks
+    are the caller's to .unpersist() when done.
     """
     if id_col in existing_sigs.columns:
         existing_sigs = existing_sigs.select(
@@ -398,19 +402,24 @@ def winnow_candidate_pairs_cross(new: DataFrame, id_col: str,
     nsigs.count()
     esigs = existing_sigs.persist()
     esigs.count()
-    if max_df is not None:
-        joint = (esigs.select("gram_hash")
-                 .unionAll(nsigs.select("gram_hash"))
-                 .groupBy("gram_hash").agg(F.count("*").alias("__df"))
-                 .filter(F.col("__df") <= max_df)
-                 .select("gram_hash"))
-        esigs = esigs.join(joint, "gram_hash")
-        nsigs = nsigs.join(joint, "gram_hash")
-    e = esigs.select(F.col("__id").alias("existing_id"), "gram_hash")
-    n = nsigs.select(F.col("__id").alias("new_id"), "gram_hash")
-    return (
-        e.join(n, "gram_hash")
-        .groupBy("existing_id", "new_id")
-        .agg(F.count("*").cast("bigint").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-    )
+    cached = (nsigs, esigs)  # originals — re-bound below, release THESE
+    try:
+        if max_df is not None:
+            joint = (esigs.select("gram_hash")
+                     .unionAll(nsigs.select("gram_hash"))
+                     .groupBy("gram_hash").agg(F.count("*").alias("__df"))
+                     .filter(F.col("__df") <= max_df)
+                     .select("gram_hash"))
+            esigs = esigs.join(joint, "gram_hash")
+            nsigs = nsigs.join(joint, "gram_hash")
+        e = esigs.select(F.col("__id").alias("existing_id"), "gram_hash")
+        n = nsigs.select(F.col("__id").alias("new_id"), "gram_hash")
+        return (
+            e.join(n, "gram_hash")
+            .groupBy("existing_id", "new_id")
+            .agg(F.count("*").cast("bigint").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        ).localCheckpoint(eager=True)
+    finally:
+        for c in cached:
+            c.unpersist()

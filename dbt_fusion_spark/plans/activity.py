@@ -62,13 +62,17 @@ def rolling_active_users(df: DataFrame, user_col: str, time_col: str,
 
 
 def _grid_quintile(values: DataFrame, key_col: str, v_col: str,
-                   out_col: str, invert: bool = False) -> DataFrame:
+                   out_col: str, invert: bool = False,
+                   n: int | None = None) -> DataFrame:
     """Quintile score (1..5) of an INTEGER-grid metric, computed the
     scale-correct way: the cumulative walk runs over the (value ->
     count) DISTRIBUTION table — bounded by the value grid, never by
     the entity count — and the assignment is pure integer arithmetic
     ceil(5 * cume / n) = (5*cume + n - 1) DIV n, exact on every
     engine. invert=True flips to 6 - score (recency: smaller = better).
+    `n` is the total row count; pass it when the caller already knows
+    it (ADVICE r7: values.count() here re-ran the un-persisted
+    upstream pipeline once per score).
     """
     from pyspark.sql import Window
 
@@ -76,7 +80,8 @@ def _grid_quintile(values: DataFrame, key_col: str, v_col: str,
     w = (Window.orderBy(v_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = dist.withColumn("__cum", F.sum("__c").over(w))
-    n = values.count()  # driver scalar: one job, one long
+    if n is None:
+        n = values.count()  # driver scalar: one job, one long
     score = F.expr(f"CAST((5 * __cum + {n} - 1) DIV {n} AS INT)")
     score = (F.lit(6) - score) if invert else score
     return (values.join(cum.select(v_col, "__cum"), v_col)
@@ -84,7 +89,8 @@ def _grid_quintile(values: DataFrame, key_col: str, v_col: str,
 
 
 def rfm_scores(df: DataFrame, user_col: str, ts_col: str,
-               value_col: str) -> DataFrame:
+               value_col: str,
+               monetary_bucket_cents: int | None = None) -> DataFrame:
     """RFM quintile scoring (Hughes 1994, the retention-analytics
     staple): per user, recency (days since last event, vs the corpus
     max timestamp as 'now'), frequency (event count), monetary (exact
@@ -94,13 +100,22 @@ def rfm_scores(df: DataFrame, user_col: str, ts_col: str,
     r_score, f_score, m_score, rfm) where rfm = 100r + 10f + m.
 
     Scale shape (100 TB): per-user aggregates are one user-keyed
-    shuffle; 'now' rides a 1-row broadcast scalar join; each quintile's
-    cumulative walk windows over the bounded VALUE-GRID distribution
-    table (days / counts / cents), never over the user population —
-    the calibrate_keep_threshold grid trick. All score arithmetic is
-    integer-exact; the only floats (the decimal sum) are made exact by
-    decimal aggregation + floor-to-cents (floor is midpoint-free, so
-    no HALF_UP/HALF_EVEN divergence).
+    shuffle; 'now' rides a 1-row broadcast scalar join; the per-user
+    frame is localCheckpointed ONCE and its count shared by all three
+    quintiles (ADVICE r7: the unpersisted pipeline previously re-ran
+    per score, three extra driver jobs); each quintile's cumulative
+    walk windows over the bounded VALUE-GRID distribution table (days
+    / counts), never over the user population — the
+    calibrate_keep_threshold grid trick. CAVEAT: monetary CENTS are
+    near-unique, so the monetary grid is effectively user-cardinality
+    and its cumulative window is a single-reducer sort over ~n_users
+    rows; at fleet scale pass `monetary_bucket_cents` (e.g. 100 =
+    score on whole currency units) to bound that grid — scoring then
+    quantizes ties to the bucket, so it is opt-in (the default keeps
+    exact per-cent quintiles). All score arithmetic is integer-exact;
+    the only floats (the decimal sum) are made exact by decimal
+    aggregation + floor-to-cents (floor is midpoint-free, so no
+    HALF_UP/HALF_EVEN divergence).
     """
     from dbt_fusion_spark.llm.corpus import _join_scalar
 
@@ -119,12 +134,22 @@ def rfm_scores(df: DataFrame, user_col: str, ts_col: str,
         F.datediff(F.to_date("__now"), F.to_date("__last"))
         .cast("bigint").alias("recency_days"),
         "frequency", "monetary_cents")
+    # base feeds FOUR plan subtrees (r/f/m quintiles + the final join):
+    # materialize once, share one count with every quintile.
+    base = base.localCheckpoint(eager=True)
+    n_users = base.count()
+    m_val = (F.col("monetary_cents")
+             if monetary_bucket_cents is None else
+             (F.floor(F.col("monetary_cents")
+                      / F.lit(int(monetary_bucket_cents)))
+              * int(monetary_bucket_cents)).cast("bigint"))
     r = _grid_quintile(base.select("u", "recency_days"), "u",
-                       "recency_days", "r_score", invert=True)
+                       "recency_days", "r_score", invert=True,
+                       n=n_users)
     f = _grid_quintile(base.select("u", "frequency"), "u",
-                       "frequency", "f_score")
-    m = _grid_quintile(base.select("u", "monetary_cents"), "u",
-                       "monetary_cents", "m_score")
+                       "frequency", "f_score", n=n_users)
+    m = _grid_quintile(base.select("u", m_val.alias("monetary_cents")),
+                       "u", "monetary_cents", "m_score", n=n_users)
     return (base.join(r, "u").join(f, "u").join(m, "u")
             .select(F.col("u").alias(user_col),
                     "recency_days", "frequency", "monetary_cents",
