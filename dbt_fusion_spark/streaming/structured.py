@@ -162,6 +162,8 @@ def streaming_ann_ingest(
     trigger: dict | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    compact_every: int | None = None,
+    compact_max_files: int = 16,
 ) -> StreamingQuery:
     """Continuous ANN index maintenance: each micro-batch of new
     embeddings is PQ-encoded with the existing build_ivf_pq_index
@@ -176,9 +178,19 @@ def streaming_ann_ingest(
     the codes table before encoding (the codes scan reads only the id
     column of the m-byte table). Quantizer drift is rejected by the
     append path itself; watch ivf_index_health's mean_batch_dist2 to
-    decide when to stop appending and rebuild."""
+    decide when to stop appending and rebuild
+    (similarity.rebuild_ivf_pq_index).
+
+    `compact_every=N` (r8): every N-th micro-batch also runs
+    compact_ivf_codes over the artifact — each append lands one file
+    set per touched cell, so at crawl cadence the cell partitions
+    otherwise accumulate thousands of tiny files and the probe scan
+    degrades to file-open overhead. Compaction rewrites only cells
+    holding more than `compact_max_files` files; serving is
+    bit-identical before/after."""
     from dbt_fusion_spark.llm.similarity import (
         build_ivf_pq_index,
+        compact_ivf_codes,
         load_ivf_pq_index,
     )
 
@@ -188,10 +200,13 @@ def streaming_ann_ingest(
         new = (batch.select(id_col, vec_col)
                .dropDuplicates([id_col])
                .join(codes.select(id_col), id_col, "left_anti"))
-        if new.isEmpty():
-            return
-        build_ivf_pq_index(new, cents, books, codes_table,
-                           id_col=id_col, vec_col=vec_col, mode="append")
+        if not new.isEmpty():
+            build_ivf_pq_index(new, cents, books, codes_table,
+                               id_col=id_col, vec_col=vec_col,
+                               mode="append")
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_ivf_codes(bspark, codes_table,
+                              max_files=compact_max_files)
 
     writer = (
         source.writeStream.outputMode("append")
