@@ -107,10 +107,14 @@ HEADLINE = [
     # MMR diversity re-rank (single-shuffle HOF greedy)
     "dedup_substring_remove",
     "similarity_mmr_rerank",
-    # r7: the two heaviest late-round text ops — PMI's positional
-    # self-join and the winnow signature self-join
+    # r7: the two heaviest late-round text ops — PMI's bounded pair
+    # generator and the winnow signature self-join
     "corpus_pmi_topk",
     "dedup_winnow_pairs",
+    # r8: artifact maintenance — 3-batch build + compaction + serve,
+    # and stale-quantizer refit + atomic swap + serve
+    "similarity_ivf_pq_compacted",
+    "similarity_index_rebuilt",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

@@ -81,9 +81,12 @@ GATE_WINDOW: list[str] = [
     "snapshot_partition_scoped",
     "incremental_replace_where",
     "snapshot_timestamp",
-    # IVFADC family (artifact gains compaction + rebuild this round)
+    # IVFADC family (artifact gains compaction + rebuild this round;
+    # the two r8 debuts get driver certification in their debut round)
     "similarity_ivf_pq_topk",
     "similarity_ivf_pq_prebuilt",
+    "similarity_ivf_pq_compacted",
+    "similarity_index_rebuilt",
     # code touched by r8 ADVICE fixes
     "dedup_substring_remove",
     "dedup_spans_corpus",
@@ -105,8 +108,6 @@ GATE_WINDOW: list[str] = [
     "corpus_bm25_topk",
     "text_normalize_nfc",
     "quality_classifier_scores",
-    "events_sessionization",
-    "asof_join_last_purchase",
 ]
 
 

@@ -901,10 +901,16 @@ def compact_ivf_codes(spark, codes_table: str, max_files: int = 4,
     (`<codes_table>_meta`) is never touched, and served results are
     bit-identical before/after (same rows, same m-byte codes).
 
-    Path-form mechanics: the oversized cell is staged OUT to a tmp dir
-    first (a dynamic-partition overwrite cannot read the files it is
-    replacing), then landed back via dynamic-partition overwrite so
-    only that cell's directory is replaced. Driver-side work is one
+    Path-form mechanics: the oversized cells are staged OUT to a tmp
+    dir first (a dynamic-partition overwrite cannot read the files it
+    is replacing), then landed back via dynamic-partition overwrite so
+    only those cells' directories are replaced. Every cell whose bytes
+    fit one target file — at crawl file sizes, all of them — is
+    compacted in ONE batched stage-out + write (hash-repartitioned by
+    cell, so each cell lands as exactly one file); cells genuinely
+    larger than a target file fall back to a per-cell coalesce
+    (measured: the per-cell loop cost n_cells sequential job pairs —
+    4s of fixed overhead at 8 cells locally). Driver-side work is one
     filesystem listing per cell — bounded by n_cells, the same scale
     as the coarse quantizer itself.
 
@@ -934,18 +940,30 @@ def compact_ivf_codes(spark, codes_table: str, max_files: int = 4,
                                sum(f.stat().st_size for f in files))
     if not todo:
         return {}
-    report = {}
     tmp = str(root) + "__compact_tmp"
-    for dname, (n_before, nbytes) in todo.items():
-        n_out = max(1, math.ceil(nbytes / target_file_bytes))
+
+    def _land(dnames: list[str], n_out: int) -> None:
         # basePath keeps the __kcell partition column on the scoped read
-        (spark.read.option("basePath", str(root))
-         .parquet(str(root / dname))
-         .write.mode("overwrite").parquet(tmp))
-        (spark.read.parquet(tmp).coalesce(n_out)
-         .write.mode("overwrite").partitionBy("__kcell")
+        reader = spark.read.option("basePath", str(root))
+        staged = reader.parquet(*(str(root / d) for d in dnames))
+        staged.write.mode("overwrite").parquet(tmp)
+        out = spark.read.parquet(tmp)
+        out = (out.repartition(len(dnames), "__kcell")
+               if n_out == 1 else out.coalesce(n_out))
+        (out.write.mode("overwrite").partitionBy("__kcell")
          .parquet(str(root)))
         shutil.rmtree(tmp, ignore_errors=True)
+
+    single = [d for d, (_, b) in todo.items()
+              if b <= target_file_bytes]
+    if single:
+        _land(single, 1)
+    for dname, (_, nbytes) in todo.items():
+        if dname in single:
+            continue
+        _land([dname], max(1, math.ceil(nbytes / target_file_bytes)))
+    report = {}
+    for dname, (n_before, _) in todo.items():
         n_after = len([f for f in (root / dname).iterdir()
                        if f.name.endswith(".parquet")])
         report[dname] = (n_before, n_after)

@@ -386,6 +386,9 @@ _EXECUTING = {
     "similarity_index_health",
     "streaming_ann_ingest_codes",
     "streaming_winnow_ingest_sigs",
+    # r8: artifact-maintenance rows append/compact/rebuild at call time
+    "similarity_ivf_pq_compacted",
+    "similarity_index_rebuilt",
 }
 
 
