@@ -115,6 +115,12 @@ HEADLINE = [
     # and stale-quantizer refit + atomic swap + serve
     "similarity_ivf_pq_compacted",
     "similarity_index_rebuilt",
+    # r8: new text/similarity operators — LM bucket walk, sentence
+    # dedup rebuild, CDC HOF chunker, tf-idf sparse-cosine self-join
+    "quality_ccnet_buckets",
+    "dedup_sentences_corpus",
+    "dedup_cdc_chunks",
+    "similarity_tfidf_pairs",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

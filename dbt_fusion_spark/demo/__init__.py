@@ -91,23 +91,24 @@ GATE_WINDOW: list[str] = [
     "dedup_substring_remove",
     "dedup_spans_corpus",
     "dedup_lsh_incremental_batch",
+    # r8 debut operators (debut-round certification)
+    "quality_mojibake_signals",
+    "quality_ccnet_buckets",
+    "dedup_sentences_corpus",
+    "dedup_cdc_chunks",
+    "asof_join_tolerance",
+    "sample_neyman_allocation",
+    "sample_neyman_rows",
+    "similarity_tfidf_pairs",
     # family spread / flagship re-certs
     "similarity_mmr_rerank",
     "corpus_phrase_search",
     "similarity_hard_pair_mining",
     "dedup_minhash_lsh",
     "tpch_q1_pricing_summary",
-    "tpch_q9_product_type_profit",
-    "streaming_stateful_sessions",
-    "streaming_windowed_rollup",
     "data_test_unique_severity",
-    "unit_test_fixture_compare",
     "sample_leakage_safe_split",
     "graph_pagerank_suppliers",
-    "profile_table_events",
-    "corpus_bm25_topk",
-    "text_normalize_nfc",
-    "quality_classifier_scores",
 ]
 
 

@@ -3997,3 +3997,286 @@ def corpus_temperature_mixture(spark, sf_dir):
     return temperature_mixture(
         docs.select("doc_id", "source"), "source", "doc_id",
         temperature=2.0).select("doc_id", "source")
+
+
+# --------------------------------------------- r8: encoding + sentences
+
+# Deterministic encoding damage injected in-query (the corpus itself is
+# clean ASCII): doc_id % 7 == 0 gets a light mojibake suffix,
+# % 13 == 0 a heavy one (replacement char + two C1 controls + three
+# marker sequences).
+_MOJI_LIGHT = 'cafÃ© rocks'
+_MOJI_HEAVY = 'bad � bytes \x85\x92 and Ã©â€™Â soup'
+
+
+@register(
+    "quality_mojibake_signals",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 13 = 0 THEN ' ' || 'bad � bytes \x85\x92 and Ã©â€™Â soup'
+                          WHEN doc_id % 7 = 0 THEN ' ' || 'cafÃ© rocks'
+                          ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_split_to_array(text, '�')) - 1 AS BIGINT)
+             AS n_replacement,
+           CAST(len(regexp_split_to_array(text, '[\x80-\x9f]')) - 1 AS BIGINT)
+             AS n_c1_controls,
+           CAST(len(regexp_split_to_array(text, 'Ã|â€|Â')) - 1 AS BIGINT)
+             AS n_mojibake_seqs,
+           CAST((len(regexp_split_to_array(text, '�')) - 1
+                 + len(regexp_split_to_array(text, '[\x80-\x9f]')) - 1
+                 + len(regexp_split_to_array(text, 'Ã|â€|Â')) - 1) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS damaged_frac,
+           (CAST((len(regexp_split_to_array(text, '�')) - 1
+                 + len(regexp_split_to_array(text, '[\x80-\x9f]')) - 1
+                 + len(regexp_split_to_array(text, 'Ã|â€|Â')) - 1) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE)) <= 0.01 AS keep
+    FROM corpus
+    """,
+)
+def quality_mojibake_signals(spark, sf_dir):
+    """Encoding-damage audit (r8): U+FFFD replacement chars, C1
+    controls (CP-1252 mis-decodes), and UTF-8-as-Latin-1 mojibake
+    marker sequences counted per document — pure codegen'd regexp
+    projections, zero shuffles/joins/UDFs; the damaged fraction is the
+    raw IEEE double of an integer ratio (never rounded — 1/128-style
+    ratios terminate on a 7th-decimal 5 and would midpoint-diverge).
+    Damage is injected deterministically in-query: the corpus itself
+    is clean ASCII."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.lit(" " + _MOJI_HEAVY))
+            .when(F.col("doc_id") % 7 == 0, F.lit(" " + _MOJI_LIGHT))
+            .otherwise(F.lit(""))).alias("text"))
+    return Q.mojibake_signals(corpus, "doc_id", "text")
+
+
+@register(
+    "dedup_sentences_corpus",
+    # every doc gains the same three boilerplate sentences; the
+    # corpus-wide keep-first election leaves them only in the lowest
+    # (doc_id, idx) and each unique body survives everywhere.
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id,
+             'welcome to the site. ' || text ||
+             '. all rights reserved. subscribe now.' AS text
+      FROM documents),
+    sents AS (
+      SELECT doc_id, i - 1 AS idx, trim(s[i]) AS sent
+      FROM (SELECT doc_id,
+                   string_split(regexp_replace(
+                     trim(lower(text)), '([.!?])\\s+', '\\1' || chr(10),
+                     'g'), chr(10)) AS s
+            FROM corpus),
+           unnest(generate_series(1, len(s))) AS t(i)
+      WHERE trim(s[i]) <> ''),
+    keyed AS (SELECT *, md5(sent) AS h FROM sents),
+    keeper AS (
+      SELECT h, MIN(ROW(doc_id, idx)) AS keep FROM keyed GROUP BY h),
+    kept AS (
+      SELECT k.doc_id, k.idx, k.sent
+      FROM keyed k JOIN keeper p
+        ON k.h = p.h AND ROW(k.doc_id, k.idx) = p.keep)
+    SELECT s.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(COUNT(k.sent) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - COUNT(k.sent) AS BIGINT) AS n_dup_sentences,
+           COALESCE(string_agg(k.sent, ' ' ORDER BY s.idx), '')
+             AS clean_text
+    FROM keyed s LEFT JOIN kept k
+      ON s.doc_id = k.doc_id AND s.idx = k.idx
+    GROUP BY s.doc_id
+    """,
+)
+def dedup_sentences_corpus(spark, sf_dir):
+    """Sentence-level exact dedup (r8): the granularity between line
+    dedup and rolling-window span removal. Terminal-punctuation split
+    (RE2-safe rewrite-then-split, no lookbehind), md5 keeper election
+    over the sortable (doc, idx) struct, per-doc rebuild in original
+    order. Boilerplate sentences injected in-query survive only their
+    first corpus sighting; every unique body sentence survives
+    everywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(F.lit("welcome to the site. "), F.col("text"),
+                 F.lit(". all rights reserved. subscribe now.")
+                 ).alias("text"))
+    return D.dedup_sentences(corpus, "doc_id", "text")
+
+
+@register(
+    "quality_ccnet_buckets",
+    # unigram-LM scores + the integer-exact cumulative walk over the
+    # (score -> count) grid: bucket = ceil(3 * cume / n).
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               AS token
+      FROM documents),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok2 GROUP BY token),
+    stats AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                     CAST(COUNT(*) AS BIGINT) AS v FROM cnt),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok2 GROUP BY doc_id, token),
+    scored AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             CAST(round(-SUM(tf * ln((c + 0.5) / (n + 0.5 * v)))
+                        / SUM(tf), 6) AS DOUBLE) AS avg_neg_loglik
+      FROM tf JOIN cnt USING (token) CROSS JOIN stats
+      GROUP BY doc_id),
+    dist AS (SELECT avg_neg_loglik, CAST(COUNT(*) AS BIGINT) AS c
+             FROM scored GROUP BY avg_neg_loglik),
+    cum AS (SELECT avg_neg_loglik,
+                   SUM(c) OVER (ORDER BY avg_neg_loglik) AS cum
+            FROM dist),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored)
+    SELECT s.doc_id, s.n_tokens, s.avg_neg_loglik,
+           CAST((3 * c.cum + nn.n - 1) // nn.n AS INT) AS ppl_bucket
+    FROM scored s JOIN cum c USING (avg_neg_loglik) CROSS JOIN nn
+    """,
+)
+def quality_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity split (r8, Wenzek 2020): every
+    document scored by the corpus-fit unigram LM, then bucketed into 3
+    equal-population tiers by the integer-exact cumulative walk over
+    the (score -> count) grid — bucket 1 = most-typical text (what
+    CCNet keeps). Scoring is two token-keyed shuffles; the walk runs
+    over the per-doc table (the documented near-unique-grid caveat)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return Q.ccnet_perplexity_buckets(docs, "doc_id", "text",
+                                      alpha=0.5, n_buckets=3)
+
+
+@register(
+    "dedup_cdc_chunks",
+    # window-cumsum restatement of the HOF chunker: boundary after
+    # 0-indexed token p (p >= 2) when md5 of the 3-gram ending at p
+    # starts <= '1'; chunk id = exclusive running sum of boundaries.
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id,
+             text || ' all rights reserved please subscribe to our'
+                  || ' newsletter today thanks for reading goodbye'
+               AS text
+      FROM documents),
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)),
+                                               '\\s+'),
+                         x -> x <> '') AS w
+      FROM corpus),
+    pos AS (
+      SELECT doc_id, s AS p, w[s + 1] AS tok,
+             CASE WHEN s >= 2 AND substr(md5(array_to_string(
+                    list_slice(w, s - 1, s + 1), ' ')), 1, 1) <= '1'
+                  THEN 1 ELSE 0 END AS b
+      FROM toks, unnest(generate_series(0, len(w) - 1)) t(s)
+      WHERE len(w) > 0),
+    cid AS (
+      SELECT doc_id, p, tok,
+             COALESCE(SUM(b) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS c
+      FROM pos),
+    chunks AS (
+      SELECT doc_id, c, md5(string_agg(tok, ' ' ORDER BY p)) AS h
+      FROM cid GROUP BY doc_id, c),
+    dfreq AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY h)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_chunk_frac
+    FROM chunks JOIN dfreq USING (h)
+    GROUP BY doc_id
+    """,
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup audit (r8, the FastCDC idea on
+    token streams): boundaries are set by gram-hash content, so
+    identical passages chunk identically wherever they sit — the
+    shift-tolerant near-dup signal exact windows can't give. The
+    chunker is ONE aggregate() HOF per doc (no shuffle); only the
+    chunk-hash dfreq aggregate + join back shuffle. A boilerplate tail
+    injected in-query gives every doc cross-corpus duplicate chunks;
+    the per-doc dup fraction is the raw integer-ratio double."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" all rights reserved please subscribe to our"
+                       " newsletter today thanks for reading goodbye")
+                 ).alias("text"))
+    return D.cdc_chunk_stats(corpus, "doc_id", "text")
+
+
+@register(
+    "similarity_tfidf_pairs",
+    # same round(9)-decimal exact-sum recipe as the engine: each w^2
+    # and w_a*w_b term quantized, summed exactly, cast back to double.
+    oracle="""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    tok AS (
+      SELECT doc_id, t AS token
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\\s+')) AS t
+            FROM docs)
+      WHERE t <> ''),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, token),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY token HAVING COUNT(*) <= 1000),
+    nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+    wt AS (
+      SELECT doc_id, token,
+             CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE)
+                                     / CAST(df AS DOUBLE)) AS w
+      FROM tf JOIN dfreq USING (token) CROSS JOIN nn),
+    nrm AS (
+      SELECT doc_id,
+             sqrt(CAST(SUM(CAST(round(w * w, 9) AS DECIMAL(38,9)))
+                       AS DOUBLE)) AS nrm
+      FROM wt GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(SUM(CAST(round(a.w * b.w, 9) AS DECIMAL(38,9)))
+                  AS DOUBLE) AS dot
+      FROM wt a JOIN wt b USING (token)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, d.dot / (na.nrm * nb.nrm) AS cos_sim
+    FROM dots d
+    JOIN nrm na ON na.doc_id = id_a
+    JOIN nrm nb ON nb.doc_id = id_b
+    WHERE d.dot / (na.nrm * nb.nrm) >= 0.85
+    """,
+)
+def similarity_tfidf_pairs(spark, sf_dir):
+    """Lexical tf-idf cosine near-dup pairs (r8): the sparse-vector
+    complement to embedding cosine and shingle Jaccard — catches
+    word-order-shuffled paraphrases shingles miss. Token-keyed
+    self-join of the per-doc weight table (O(sum df^2), max_df-capped,
+    never all-pairs); every float sum rides the round(9)-decimal
+    exact recipe so the cosine is bit-identical cross-engine. Scoped
+    to doc_id < 300 so the pair mass is SF-stable."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 300)
+    from dbt_fusion_spark.llm import corpus as C
+
+    return C.tfidf_cosine_pairs(docs, "doc_id", "text", min_cos=0.85)

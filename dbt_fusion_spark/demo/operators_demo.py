@@ -925,3 +925,46 @@ def events_rfm_scores(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase")
     return rfm_scores(ev, "user_id", "ts", "value")
+
+
+@register(
+    "asof_join_tolerance",
+    # DuckDB's native ASOF JOIN finds the last purchase; the tolerance
+    # is a post-match null-out (a match older than 30 days is NO
+    # match) — exactly the operator's semantics.
+    oracle="""
+    WITH pur AS (
+      SELECT user_id, ts, MAX(event_id) AS purchase_id,
+             arg_max("value", event_id) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, c.ts,
+           CASE WHEN p.ts >= c.ts - INTERVAL 30 DAY
+                THEN p.purchase_id END AS purchase_id,
+           CASE WHEN p.ts >= c.ts - INTERVAL 30 DAY
+                THEN p.purchase_value END AS purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN pur p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_join_tolerance(spark, sf_dir):
+    """Tolerance as-of join (r8, pandas merge_asof semantics): each
+    click joined to the user's most recent purchase at-or-before it,
+    but only within a 30-day attribution window — older matches are
+    nulled out by a post-match projection (one shuffle total, no
+    second join). Checked against DuckDB's native ASOF JOIN plus the
+    same null-out."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"))
+    return asof_join(clicks, purchases, "user_id",
+                     left_ts="ts", right_ts="ts",
+                     payload=["purchase_id", "purchase_value"],
+                     how="left", tolerance="INTERVAL 30 DAYS")

@@ -7,10 +7,12 @@ from pyspark.sql import functions as F
 
 from dbt_fusion_spark.demo.registry import register
 from dbt_fusion_spark.sample import (
+    neyman_allocation,
     sample_branch,
     sample_group,
     sample_hash,
     sample_random,  # noqa: F401 — documented alternate
+    sample_neyman,
     sample_random_portable,
     sample_stratified,  # noqa: F401 — documented alternate
     sample_stratified_portable,
@@ -340,3 +342,89 @@ def sample_leakage_safe_split(spark, sf_dir):
     return leakage_safe_split(
         corpus.select("vec_id"), "vec_id", pairs,
         fracs={"train": 0.8, "test": 0.2}).select("vec_id", "fold")
+
+
+@register(
+    "sample_neyman_allocation",
+    # exact integer arithmetic end-to-end: cents are DECIMAL-quantized,
+    # N*sum(x^2) - sum(x)^2 stays an exact integer (HUGEINT), the
+    # weight floors to BIGINT, allocation = (n * w) // sum(w).
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS HUGEINT) AS c
+      FROM orders),
+    per AS (
+      SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             SUM(c) AS sx, SUM(c * c) AS sxx
+      FROM cents GROUP BY stratum),
+    wt AS (
+      SELECT stratum, n_rows,
+             sqrt(CAST(n_rows * sxx - sx * sx AS DOUBLE))
+               / CAST(n_rows AS DOUBLE) / 100.0 AS value_std,
+             CAST(floor(sqrt(CAST(n_rows * sxx - sx * sx AS DOUBLE)))
+                  AS BIGINT) AS w
+      FROM per),
+    tot AS (SELECT SUM(w) AS tw FROM wt)
+    SELECT stratum, n_rows, value_std,
+           CAST((1000 * w) // tw AS BIGINT) AS n_alloc
+    FROM wt CROSS JOIN tot
+    """,
+)
+def sample_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal stratified allocation (r8): the sampling budget
+    split across order-priority strata proportionally to N_h * S_h of
+    the order value — the variance-minimizing eval-set draw plan.
+    One stratum-keyed aggregate; N_h*S_h = sqrt(N*sum(x^2)-sum(x)^2)
+    over EXACT decimal-integer cents, so both engines floor the same
+    IEEE double and the allocation is pure integer arithmetic."""
+    orders = load_table(spark, sf_dir, "orders")
+    return neyman_allocation(orders, "o_orderpriority", "o_totalprice",
+                             total_n=1000)
+
+
+@register(
+    "sample_neyman_rows",
+    # the drawn sample itself: per stratum, the n_alloc lowest-md5(id)
+    # rows — the portable-hash draw, identical on every engine.
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS HUGEINT) AS c
+      FROM orders),
+    per AS (
+      SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             SUM(c) AS sx, SUM(c * c) AS sxx
+      FROM cents GROUP BY stratum),
+    wt AS (
+      SELECT stratum,
+             CAST(floor(sqrt(CAST(n_rows * sxx - sx * sx AS DOUBLE)))
+                  AS BIGINT) AS w
+      FROM per),
+    tot AS (SELECT SUM(w) AS tw FROM wt),
+    alloc AS (SELECT stratum, CAST((1000 * w) // tw AS BIGINT) AS n_alloc
+              FROM wt CROSS JOIN tot),
+    ranked AS (
+      SELECT o_orderkey, o_orderpriority AS stratum,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey)
+               AS rk
+      FROM orders)
+    SELECT r.o_orderkey, r.stratum
+    FROM ranked r JOIN alloc a USING (stratum)
+    WHERE r.rk <= a.n_alloc
+    """,
+)
+def sample_neyman_rows(spark, sf_dir):
+    """The Neyman-allocated draw (r8): within each stratum the n_alloc
+    rows with the lowest md5(o_orderkey) — deterministic on every
+    engine and run. One per-stratum rank window (partitioned, never
+    global) over the base table + a broadcast join of the 5-row
+    allocation."""
+    orders = load_table(spark, sf_dir, "orders")
+    return sample_neyman(orders, "o_orderpriority", "o_totalprice",
+                         "o_orderkey", total_n=1000) \
+        .withColumnRenamed("o_orderpriority", "stratum")

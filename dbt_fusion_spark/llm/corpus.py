@@ -502,3 +502,67 @@ def zipf_fit(df: DataFrame, id_col: str, text_col: str,
         F.round((F.col("sy") - slope * F.col("sx")) / n, 6)
         .alias("intercept"),
         F.round(cov * cov / (varx * vary), 6).alias("r2"))
+
+
+def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
+                       min_cos: float = 0.5,
+                       max_df: int | None = 1000) -> DataFrame:
+    """Lexical near-dup pairs by tf-idf cosine — the sparse-vector
+    complement to embedding cosine (embedding_near_dups) and shingle
+    Jaccard (dedup_minhash_lsh): documents sharing weighted vocabulary
+    score high even when word ORDER differs entirely (paraphrase
+    shuffles, list reorderings — shapes shingles miss). w(d,t) =
+    tf * ln(N/df); pairs share the token-keyed self-join of the
+    per-doc weight table, O(sum df_t^2) and never all-pairs; `max_df`
+    prunes ubiquitous terms before the join (their idf ~ 0 anyway —
+    pruning changes the subspace, and norms are computed over the SAME
+    pruned vocabulary so the emitted value is a true cosine there).
+
+    Float discipline: each w_a*w_b product and each w^2 term is
+    round(9)-quantized and summed as DECIMAL(38,9) — exact,
+    order-independent — then cast back to double for the sqrt/divide,
+    so the emitted cosine is bit-identical across engines (the
+    module's established recipe).
+
+    Scale shape: two token-keyed aggregates (tf, df), one bounded
+    self-join, one pair-keyed aggregate; N rides the 1-row broadcast
+    scalar join. No windows, no cross join, no Python.
+    """
+    tf = (tokens(df, id_col, text_col)
+          .groupBy(F.col(id_col).alias("__id"), "token")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("__tf")))
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("__df") <= max_df)
+    n_docs = tf.select("__id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("__N"))
+    wt = _join_scalar(tf.join(dfreq, "token"), "__tf", n_docs, "__N")
+    w = (F.col("__tf").cast("double")
+         * F.log(F.col("__N").cast("double")
+                 / F.col("__df").cast("double")))
+    wt = wt.select("__id", "token", w.alias("__w"))
+    norms = (wt.groupBy("__id")
+             .agg(F.sqrt(
+                 F.sum(F.round(F.col("__w") * F.col("__w"), 9)
+                       .cast("decimal(38,9)")).cast("double"))
+                 .alias("__nrm")))
+    a = wt.select(F.col("__id").alias("id_a"), "token",
+                  F.col("__w").alias("__wa"))
+    b = wt.select(F.col("__id").alias("id_b"), "token",
+                  F.col("__w").alias("__wb"))
+    dots = (a.join(b, "token")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.round(F.col("__wa") * F.col("__wb"), 9)
+                       .cast("decimal(38,9)")).cast("double")
+                 .alias("__dot")))
+    return (dots
+            .join(norms.select(F.col("__id").alias("id_a"),
+                               F.col("__nrm").alias("__na")), "id_a")
+            .join(norms.select(F.col("__id").alias("id_b"),
+                               F.col("__nrm").alias("__nb")), "id_b")
+            .select("id_a", "id_b",
+                    (F.col("__dot") / (F.col("__na") * F.col("__nb")))
+                    .alias("cos_sim"))
+            .filter(F.col("cos_sim") >= F.lit(float(min_cos))))

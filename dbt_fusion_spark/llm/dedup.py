@@ -778,3 +778,121 @@ def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
             (n_dup / F.size("__w").cast("bigint")).alias("dup_frac"),
             clean.alias("clean_text"))
     )
+
+
+def dedup_sentences(df: DataFrame, id_col: str, text_col: str
+                    ) -> DataFrame:
+    """Sentence-level exact dedup — the granularity between
+    dedup_lines (layout lines) and remove_duplicate_spans (rolling
+    word windows): sentences are split on terminal punctuation
+    ([.!?] + whitespace, RE2-safe on both engines: the punctuation is
+    first rewritten to a break marker, then split — no lookbehind),
+    normalized (lowercase, trimmed), and the corpus-wide FIRST
+    occurrence of every distinct sentence keeps its text; later
+    occurrences are dropped and the document rewritten from its
+    surviving sentences. Boilerplate sentences (cookie notices,
+    signatures) vanish everywhere but their first sighting.
+
+    Scale shape (100 TB): one Generate (posexplode) per doc; the
+    keeper election shuffles 16-byte md5 keys with a map-side partial
+    MIN over the sortable (doc, idx) struct (the
+    remove_duplicate_spans election — works for any orderable id, no
+    overflow); the rewrite aggregates surviving sentences per doc
+    ordered by their original index. No cross join, no Python, no
+    driver collect.
+    """
+    from dbt_fusion_spark.plans.partitioning import ensure_parallelism
+
+    marked = F.regexp_replace(
+        F.trim(F.lower(F.col(text_col))), r"([.!?])\s+", "$1\n")
+    base = ensure_parallelism(df).select(
+        F.col(id_col), F.split(marked, "\n").alias("__sents"))
+    s = (base.select(id_col,
+                     F.posexplode("__sents").alias("__i", "__s"))
+         .withColumn("__s", F.trim("__s"))
+         .filter(F.col("__s") != ""))
+    s = s.withColumn("__h", F.md5("__s")).withColumn(
+        "__pos", F.struct(F.col(id_col).alias("i"),
+                          F.col("__i").alias("s")))
+    keeper = s.groupBy("__h").agg(F.min("__pos").alias("__kp"))
+    kept = (s.join(keeper, "__h")
+            .filter(F.col("__pos") == F.col("__kp"))
+            .select(id_col, "__i", "__s"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__i", "__s"))),
+                lambda st: st["__s"]),
+            " ").alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    totals = s.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sentences"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(
+                F.col(id_col),
+                "n_sentences",
+                F.coalesce("n_kept", F.lit(0)).cast("bigint")
+                .alias("n_kept"),
+                (F.col("n_sentences")
+                 - F.coalesce("n_kept", F.lit(0))).cast("bigint")
+                .alias("n_dup_sentences"),
+                F.coalesce("clean_text", F.lit("")).alias("clean_text")))
+
+
+def cdc_chunk_stats(df: DataFrame, id_col: str, text_col: str,
+                    gram_w: int = 3, cutoff: str = "1") -> DataFrame:
+    """Content-defined chunking dedup audit (the FastCDC/rsync idea on
+    token streams): chunk boundaries are set by CONTENT — a boundary
+    closes after token i when md5 of the w-token gram ending at i
+    starts with a hex char <= `cutoff` (p = (cutoff+1)/16, expected
+    chunk ~16/(cutoff+1) tokens) — so an insertion early in a document
+    shifts only the chunks it touches, and identical passages chunk
+    identically wherever they sit. Per doc: chunk count, how many of
+    its chunks also appear in ANOTHER document, and the duplicated
+    fraction — the storage/near-dup audit exact dedup can't give
+    (it needs aligned windows; CDC self-aligns).
+
+    Scale shape (100 TB): chunking is ONE aggregate() HOF pass per
+    document (state = (chunks, current) — O(len) work, no shuffle, no
+    Python); the only shuffles are the chunk-hash dfreq aggregate and
+    its equi-join back. No windows over the corpus, no cross join.
+    """
+    from dbt_fusion_spark.plans.partitioning import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col), F.expr(
+            f"filter(split(trim(lower({text_col})), '\\\\s+'),"
+            " x -> x != '')").alias("__w"))
+    bnd = (f"i >= {gram_w - 1} AND substring(md5(array_join("
+           f"slice(__w, i - {gram_w - 2}, {gram_w}), ' ')), 1, 1)"
+           f" <= '{cutoff}'")
+    chunks_expr = F.expr(f"""
+      aggregate(
+        sequence(0, size(__w) - 1),
+        named_struct('cs', cast(array() as array<string>),
+                     'cur', cast(array() as array<string>)),
+        (st, i) -> IF({bnd},
+          named_struct(
+            'cs', array_append(st.cs,
+                    array_join(array_append(st.cur, __w[i]), ' ')),
+            'cur', cast(array() as array<string>)),
+          named_struct('cs', st.cs,
+                       'cur', array_append(st.cur, __w[i]))),
+        st -> IF(size(st.cur) > 0,
+                 array_append(st.cs, array_join(st.cur, ' ')),
+                 st.cs))
+    """)
+    ch = (toks.filter(F.size("__w") > 0)
+          .select(id_col, F.posexplode(chunks_expr).alias("__ci", "__c"))
+          .withColumn("__h", F.md5("__c")))
+    dfreq = ch.groupBy("__h").agg(
+        F.count_distinct(F.col(id_col)).alias("__df"))
+    per = (ch.join(dfreq, "__h")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+                F.sum(F.when(F.col("__df") > 1, 1).otherwise(0))
+                .cast("bigint").alias("n_dup_chunks")))
+    return per.select(
+        F.col(id_col), "n_chunks", "n_dup_chunks",
+        (F.col("n_dup_chunks").cast("double")
+         / F.col("n_chunks").cast("double")).alias("dup_chunk_frac"))

@@ -516,3 +516,80 @@ def bigram_backoff_score(df: DataFrame, id_col: str, text_col: str,
             .alias("avg_neg_loglik"),
             (F.col("__nb") / F.col("n_bigrams")).alias("backoff_frac"))
     )
+
+
+def mojibake_signals(df: DataFrame, id_col: str, text_col: str,
+                     flag_frac: float = 0.01) -> DataFrame:
+    """Encoding-damage audit — the cheap pre-filter every web-crawl
+    cleaning pipeline runs before spending tokens on broken text:
+    per document, counts of (a) U+FFFD replacement characters (decoder
+    already gave up), (b) C1 control characters U+0080-U+009F (almost
+    always CP-1252 bytes mis-decoded as Latin-1), and (c) the classic
+    UTF-8-read-as-Latin-1 mojibake markers ('\u00c3', '\u00e2\u20ac',
+    '\u00c2') that survive re-encoding. Emits raw counts, the
+    damaged-char fraction, and a keep boolean at `flag_frac`.
+
+    Scale shape (100 TB): pure codegen'd regexp/length expressions in
+    one projection — zero shuffles, zero UDFs, zero joins; the scan
+    prunes to (id, text). The fraction is emitted as the RAW double of
+    an integer division (bit-identical wherever IEEE doubles are) —
+    never rounded, so no midpoint divergence (1/128-style ratios
+    terminate on a 7th-decimal 5).
+    """
+    def _count(pat: str):  # occurrences of a regex in text
+        return (F.size(F.split(F.col(text_col), pat)) - 1).cast("bigint")
+
+    n_chars = F.length(text_col).cast("bigint")
+    n_repl = _count("\uFFFD")
+    n_c1 = _count("[\u0080-\u009F]")
+    n_moji = _count("\u00c3|\u00e2\u20ac|\u00c2")
+    bad = n_repl + n_c1 + n_moji
+    frac = F.when(n_chars > 0, bad.cast("double") / n_chars.cast("double")) \
+        .otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_repl.alias("n_replacement"),
+        n_c1.alias("n_c1_controls"),
+        n_moji.alias("n_mojibake_seqs"),
+        frac.alias("damaged_frac"),
+        (frac <= F.lit(float(flag_frac))).alias("keep"),
+    )
+
+
+def ccnet_perplexity_buckets(df: DataFrame, id_col: str, text_col: str,
+                             alpha: float = 0.5,
+                             n_buckets: int = 3) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): score every
+    document with the corpus-fit unigram LM (unigram_loglik — the
+    in-engine KenLM stand-in), then bucket documents into `n_buckets`
+    equal-population perplexity tiers: bucket 1 = most-typical text
+    (head, what CCNet keeps), bucket n = rare-token soup (tail). The
+    table an LLM-data curriculum samples from.
+
+    Scale shape: scoring is unigram_loglik's two token-keyed shuffles;
+    the bucket assignment is the integer-exact cumulative walk over
+    the (score -> count) distribution grid (the rfm_scores machinery:
+    ceil(n_buckets * cume / n) in pure integer arithmetic). CAVEAT
+    (same as RFM's monetary grid): round-6 scores are near-unique, so
+    the grid is ~doc-cardinality and its cumulative window is a
+    single-reducer sort over the PER-DOC table — petabytes of text
+    reduce to one row per document first; bucket boundaries
+    fundamentally need a global order.
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_loglik(df, id_col, text_col, alpha=alpha)
+    scored = scored.localCheckpoint(eager=True)  # feeds grid + join
+    n = scored.count()
+    dist = scored.groupBy("avg_neg_loglik").agg(
+        F.count(F.lit(1)).alias("__c"))
+    w = (Window.orderBy("avg_neg_loglik")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = dist.withColumn("__cum", F.sum("__c").over(w))
+    score = F.expr(
+        f"CAST(({int(n_buckets)} * __cum + {n} - 1) DIV {n} AS INT)")
+    return (scored.join(cum.select("avg_neg_loglik", "__cum"),
+                        "avg_neg_loglik")
+            .select(id_col, "n_tokens", "avg_neg_loglik",
+                    score.alias("ppl_bucket")))

@@ -34,7 +34,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],
               left_ts: str, right_ts: str,
               payload: Sequence[str], how: str = "left",
               strict: bool = False,
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              tolerance: str | None = None) -> DataFrame:
     """As-of join: per key, the latest right row with r_ts <= l_ts
     (direction='backward', the default) or the EARLIEST right row with
     r_ts >= l_ts (direction='forward' — next-event semantics: next
@@ -48,6 +49,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],
     payload   : right-side columns to bring over (NULL when no match)
     how       : 'left' keeps unmatched left rows; 'inner' drops them
     strict    : True matches strictly before/after only (exclusive)
+    tolerance : optional SQL interval literal (e.g. "INTERVAL 30 DAYS"):
+                a match older (backward) / farther ahead (forward) than
+                the tolerance is treated as NO match — pandas
+                merge_asof's `tolerance`, the shape 'last purchase
+                within the attribution window' queries need. Applied as
+                a post-match null-out, so it costs one projection, not
+                a second join.
 
     Right-side duplicates at the same (key, right_ts) are resolved to
     ONE row deterministically (max over the payload struct) before the
@@ -60,10 +68,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],
         raise ValueError(f"asof_join: direction={direction!r} "
                          "(use 'backward' or 'forward')")
 
-    # Deterministic tie-break: one right row per (key, ts).
+    # Deterministic tie-break: one right row per (key, ts). The
+    # matched timestamp rides FIRST in the payload struct (__mtol —
+    # constant within the group, so the struct-max tie-break is
+    # unchanged) so the tolerance null-out can compare it.
     r_uniq = (
         right.groupBy(*keys, F.col(right_ts).alias("__ts"))
-        .agg(F.max(F.struct(*payload)).alias("__p"))
+        .agg(F.max(F.struct(F.col(right_ts).alias("__mtol"), *payload))
+             .alias("__p"))
     )
     # side: right=0 sorts before left=1 at equal ts, so an exact-ts
     # match is visible to the left row (inclusive semantics); strict
@@ -87,6 +99,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],
     matched = merged.withColumn(
         "__match", F.last("__p", ignorenulls=True).over(w)
     ).filter(F.col("__side") == 1)
+    if tolerance is not None:
+        mt = F.col("__match.__mtol")
+        ok = (mt >= F.col("__ts") - F.expr(tolerance)
+              if direction == "backward"
+              else mt <= F.col("__ts") + F.expr(tolerance))
+        matched = matched.withColumn(
+            "__match", F.when(ok, F.col("__match")))
     if how == "inner":
         matched = matched.filter(F.col("__match").isNotNull())
 

@@ -325,3 +325,66 @@ def poisson_bootstrap_ci(df: DataFrame, key: str | Sequence[str],
                          F.col("mean_value"))).alias("ci_lo"),
             F.max(F.when(F.col("__r") == hi_rank,
                          F.col("mean_value"))).alias("ci_hi")))
+
+
+def neyman_allocation(df: DataFrame, stratum_col: str, value_col: str,
+                      total_n: int) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934): the
+    budget `total_n` is split across strata proportionally to
+    N_h * S_h (stratum size x stratum std of `value_col`) — the
+    allocation minimizing the variance of the stratified mean. The
+    planning table every measurement/eval-set sampler reads before
+    drawing.
+
+    Cross-engine exactness: values are quantized to exact integer
+    cents (DECIMAL(18,2) round of the double — the stored 2-dp price);
+    then N_h * S_h = sqrt(N_h * sum(x^2) - sum(x)^2) where both sums
+    are EXACT DECIMAL(38,0) integers, so the sqrt input (cast to
+    double, correctly rounded) is bit-identical on every engine; the
+    weight floors to a bigint and the allocation is pure integer
+    arithmetic (total_n * w_h) DIV sum(w). The emitted stddev is the
+    RAW double (never rounded).
+
+    Scale shape: one stratum-keyed aggregate with map-side partials
+    (the stratum table is catalog-sized); the allocation arithmetic
+    joins the 1-row weight total via a broadcast scalar join.
+    """
+    from dbt_fusion_spark.llm.corpus import _join_scalar
+
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100) \
+        .cast("decimal(38,0)")
+    per = (df.groupBy(F.col(stratum_col).alias("stratum"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(cents).alias("__sx"),
+                F.sum(cents * cents).alias("__sxx")))
+    w = F.sqrt((F.col("n_rows") * F.col("__sxx")
+                - F.col("__sx") * F.col("__sx")).cast("double"))
+    per = per.select(
+        "stratum", "n_rows",
+        (w / F.col("n_rows").cast("double") / F.lit(100.0))
+        .alias("value_std"),
+        F.floor(w).cast("bigint").alias("__w"))
+    tot = per.agg(F.sum("__w").alias("__tw"))
+    out = _join_scalar(per, "n_rows", tot, "__tw")
+    return out.select(
+        "stratum", "n_rows", "value_std",
+        F.expr(f"CAST(({int(total_n)} * __w) DIV __tw AS BIGINT)")
+        .alias("n_alloc"))
+
+
+def sample_neyman(df: DataFrame, stratum_col: str, value_col: str,
+                  id_col: str, total_n: int) -> DataFrame:
+    """Draw the Neyman-allocated sample: within each stratum, the
+    n_alloc rows with the lowest md5(id) — the engine's deterministic
+    portable-hash draw (sample_random_portable's convention), so the
+    same ids are drawn on every engine and every run. One extra
+    shuffle (the per-stratum rank window, partitioned by stratum)."""
+    alloc = neyman_allocation(df, stratum_col, value_col, total_n)
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    return (ranked.join(
+        F.broadcast(alloc.select(F.col("stratum").alias(stratum_col),
+                                 "n_alloc")), stratum_col)
+        .filter(F.col("__rk") <= F.col("n_alloc"))
+        .select(id_col, stratum_col))

@@ -945,3 +945,109 @@ def test_poisson_bootstrap_ci_brackets_truth(spark):
     assert row["ci_lo"] < 49.5 < row["ci_hi"]   # brackets the truth
     with _pytest.raises(ValueError):
         poisson_bootstrap_ci(df, "k", "v", lo_rank=19, hi_rank=2)
+
+
+def test_asof_join_tolerance(spark):
+    """Matches farther than the tolerance are nulled out (left) or
+    dropped (inner); within-tolerance matches are untouched; forward
+    direction symmetric."""
+    from dbt_fusion_spark.plans.asof_join import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-03-10 00:00:00"), (2, "2024-03-31 00:00:00")],
+        "id long, ts string").selectExpr("id", "CAST(ts AS TIMESTAMP) ts")
+    right = spark.createDataFrame(
+        [(1, "2024-03-01 00:00:00", 100.0),
+         (2, "2024-02-01 00:00:00", 200.0)],
+        "id long, ts string, v double").selectExpr(
+        "id", "CAST(ts AS TIMESTAMP) ts", "v")
+    out = {r["id"]: r for r in asof_join(
+        left, right, "id", left_ts="ts", right_ts="ts", payload=["v"],
+        how="left", tolerance="INTERVAL 15 DAYS").collect()}
+    assert out[1]["v"] == 100.0          # 9 days back: inside window
+    assert out[2]["v"] is None           # 59 days back: nulled
+    inner = asof_join(left, right, "id", left_ts="ts", right_ts="ts",
+                      payload=["v"], how="inner",
+                      tolerance="INTERVAL 15 DAYS").collect()
+    assert [r["id"] for r in inner] == [1]
+    fwd = {r["id"]: r for r in asof_join(
+        right.select("id", "ts"), left.withColumnRenamed("ts", "lts"),
+        "id", left_ts="ts", right_ts="lts", payload=["lts"],
+        how="left", direction="forward",
+        tolerance="INTERVAL 15 DAYS").collect()}
+    assert fwd[1]["lts"] is not None     # 9 days ahead
+    assert fwd[2]["lts"] is None         # 59 days ahead: nulled
+
+
+def test_cdc_chunks_shift_tolerant(spark):
+    """The CDC property exact windows lack: prepending tokens to a
+    document leaves every chunk after the first content boundary
+    identical (chunk hashes re-align), so the shared-passage dup
+    signal survives the shift."""
+    from pyspark.sql import functions as F
+
+    from dbt_fusion_spark.llm.dedup import cdc_chunk_stats
+
+    body = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+            "omega one two three four five six seven eight nine ten")
+    df = spark.createDataFrame(
+        [(1, body), (2, "shifted prefix words here " + body)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            cdc_chunk_stats(df, "doc_id", "text").collect()}
+    # the shared body produces shared chunks despite the shift
+    assert rows[1]["n_dup_chunks"] >= 1
+    assert rows[2]["n_dup_chunks"] >= 1
+    assert rows[1]["n_dup_chunks"] == rows[2]["n_dup_chunks"]
+
+
+def test_tfidf_cosine_pairs_known_answer(spark):
+    """Identical docs score cos 1.0; disjoint-vocab docs produce no
+    pair; a word-order shuffle (the case shingles miss) still scores
+    1.0 — the operator's reason to exist."""
+    from dbt_fusion_spark.llm.corpus import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, "red green blue yellow"),
+         (2, "yellow blue green red"),          # same bag, new order
+         (3, "cats dogs birds fish")],          # disjoint
+        "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
+             tfidf_cosine_pairs(df, "doc_id", "text",
+                                min_cos=0.0).collect()}
+    assert abs(pairs[(1, 2)] - 1.0) < 1e-9
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_neyman_allocation_and_draw(spark):
+    """Allocation is proportional to N_h * S_h (exact integer
+    arithmetic, sums <= budget), and the drawn sample honors it
+    exactly with a deterministic portable draw."""
+    from dbt_fusion_spark.sample import neyman_allocation, sample_neyman
+    from dbt_fusion_spark.sources.registry import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+    alloc = {r["stratum"]: r for r in neyman_allocation(
+        orders, "o_orderpriority", "o_totalprice", 1000).collect()}
+    assert len(alloc) == 5
+    total = sum(r["n_alloc"] for r in alloc.values())
+    assert total <= 1000 and total > 900  # floor-allocation remainder
+    # proportionality: ratio n_alloc/(n_rows*std) equal across strata
+    ratios = [r["n_alloc"] / (r["n_rows"] * r["value_std"])
+              for r in alloc.values()]
+    assert max(ratios) / min(ratios) < 1.02
+    sample = sample_neyman(orders, "o_orderpriority", "o_totalprice",
+                           "o_orderkey", 1000)
+    counts = {}
+    for r in sample.collect():
+        counts[r["o_orderpriority"]] = counts.get(
+            r["o_orderpriority"], 0) + 1
+    for s, r in alloc.items():
+        assert counts.get(s, 0) == r["n_alloc"], s
+    # deterministic: a second draw returns the same ids
+    ids1 = sorted(r["o_orderkey"] for r in sample.collect())
+    ids2 = sorted(r["o_orderkey"] for r in sample_neyman(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey",
+        1000).collect())
+    assert ids1 == ids2

@@ -765,3 +765,67 @@ def test_winnow_pair_mass_cap(spark):
     assert canon(under) == canon(off)
     assert {tuple(r) for r in under.collect()} == \
         {tuple(r) for r in off.collect()}
+
+
+def test_mojibake_signals_counts(spark):
+    """Known-answer: replacement chars, C1 controls, and mojibake
+    marker sequences counted exactly; clean text keeps."""
+    from dbt_fusion_spark.llm.quality import mojibake_signals
+
+    repl, c1a, c1b = chr(0xFFFD), chr(0x85), chr(0x92)
+    moji = "caf" + chr(0xC3) + chr(0xA9) + " and " \
+        + chr(0xE2) + chr(0x20AC) + chr(0x2122) + "quoted" \
+        + chr(0xE2) + chr(0x20AC) + chr(0x2122)
+    df = spark.createDataFrame(
+        [(1, "perfectly clean ascii text"),
+         (2, f"bad {repl} byte and {repl} again"),
+         (3, f"ctrl {c1a} and {c1b} here"),
+         (4, moji)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            mojibake_signals(df, "doc_id", "text").collect()}
+    assert rows[1]["n_replacement"] == 0 and rows[1]["keep"]
+    assert rows[2]["n_replacement"] == 2 and not rows[2]["keep"]
+    assert rows[3]["n_c1_controls"] == 2 and not rows[3]["keep"]
+    # 'A~(c)' hits the A~ marker; two Euro-TM sequences hit a-euro
+    assert rows[4]["n_mojibake_seqs"] == 3 and not rows[4]["keep"]
+    assert rows[2]["damaged_frac"] == 2 / rows[2]["n_chars"]
+
+
+def test_ccnet_buckets_equal_population(spark):
+    """Buckets are equal-population (+-1 on ties) and ordered: every
+    doc in bucket 1 scores <= every doc in bucket 3."""
+    from dbt_fusion_spark.llm.quality import ccnet_perplexity_buckets
+    from dbt_fusion_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    out = ccnet_perplexity_buckets(docs, "doc_id", "text").collect()
+    n = len(out)
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["ppl_bucket"], []).append(
+            r["avg_neg_loglik"])
+    assert set(by_bucket) == {1, 2, 3}
+    for b, vals in by_bucket.items():
+        assert abs(len(vals) - n / 3) < n * 0.05, (b, len(vals))
+    assert max(by_bucket[1]) <= min(by_bucket[3])
+
+
+def test_dedup_sentences_keep_first_and_rebuild(spark):
+    """Boilerplate sentence survives only its first corpus sighting;
+    docs rebuild in original order from surviving sentences."""
+    from dbt_fusion_spark.llm.dedup import dedup_sentences
+
+    df = spark.createDataFrame(
+        [(1, "All rights reserved. the quick fox runs. Subscribe now!"),
+         (2, "all rights reserved. a different body here? subscribe now!"),
+         (3, "unique thoughts only today.")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            dedup_sentences(df, "doc_id", "text").collect()}
+    assert rows[1]["n_sentences"] == 3 and rows[1]["n_dup_sentences"] == 0
+    assert rows[1]["clean_text"] == \
+        "all rights reserved. the quick fox runs. subscribe now!"
+    assert rows[2]["n_sentences"] == 3 and rows[2]["n_dup_sentences"] == 2
+    assert rows[2]["clean_text"] == "a different body here?"
+    assert rows[3]["n_dup_sentences"] == 0
