@@ -121,6 +121,11 @@ HEADLINE = [
     "dedup_sentences_corpus",
     "dedup_cdc_chunks",
     "similarity_tfidf_pairs",
+    # r8 batch 2: corpus drift dial, n-gram novelty vs reference,
+    # exact weighted median grid walk
+    "corpus_js_divergence",
+    "quality_novelty_ngrams",
+    "events_weighted_median",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

@@ -100,10 +100,10 @@ GATE_WINDOW: list[str] = [
     "sample_neyman_allocation",
     "sample_neyman_rows",
     "similarity_tfidf_pairs",
+    "corpus_js_divergence",
+    "quality_novelty_ngrams",
+    "events_weighted_median",
     # family spread / flagship re-certs
-    "similarity_mmr_rerank",
-    "corpus_phrase_search",
-    "similarity_hard_pair_mining",
     "dedup_minhash_lsh",
     "tpch_q1_pricing_summary",
     "data_test_unique_severity",

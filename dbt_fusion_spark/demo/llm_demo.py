@@ -4280,3 +4280,147 @@ def similarity_tfidf_pairs(spark, sf_dir):
     from dbt_fusion_spark.llm import corpus as C
 
     return C.tfidf_cosine_pairs(docs, "doc_id", "text", min_cos=0.85)
+
+
+@register(
+    "corpus_js_divergence",
+    # per-term contributions round(9)-quantized and summed as exact
+    # DECIMAL; final scalar round(6) (ln-derived emission recipe).
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t AS token
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\\s+')) AS t
+            FROM documents)
+      WHERE t <> ''),
+    ca AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS ca FROM tok
+           WHERE doc_id % 2 = 0 GROUP BY token),
+    cb AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cb FROM tok
+           WHERE doc_id % 2 = 1 GROUP BY token),
+    na AS (SELECT CAST(SUM(ca) AS BIGINT) AS na FROM ca),
+    nb AS (SELECT CAST(SUM(cb) AS BIGINT) AS nb FROM cb),
+    j AS (
+      SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      FROM ca FULL OUTER JOIN cb USING (token)),
+    terms AS (
+      SELECT ca, cb,
+             CAST(round(
+               CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / na)
+                    * ln((CAST(ca AS DOUBLE) / na)
+                         / ((CAST(ca AS DOUBLE) / na
+                             + CAST(cb AS DOUBLE) / nb) / 2.0))
+                    ELSE 0.0 END
+               + CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / nb)
+                      * ln((CAST(cb AS DOUBLE) / nb)
+                           / ((CAST(ca AS DOUBLE) / na
+                               + CAST(cb AS DOUBLE) / nb) / 2.0))
+                      ELSE 0.0 END, 9) AS DECIMAL(38,9)) AS t,
+             na, nb
+      FROM j CROSS JOIN na CROSS JOIN nb)
+    SELECT CAST(round(CAST(SUM(t) AS DOUBLE), 6) AS DOUBLE) AS jsd,
+           MAX(na) AS n_tokens_a, MAX(nb) AS n_tokens_b,
+           CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS vocab_a,
+           CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS vocab_b
+    FROM terms
+    """,
+)
+def corpus_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence between two corpus slices (r8): the
+    bounded, symmetric drift dial a curator reads before blending a
+    new crawl into the mix. One token aggregate per slice, a
+    vocabulary-sized full-outer join, exact decimal term sums."""
+    from dbt_fusion_spark.llm import corpus as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.js_divergence(docs.filter(F.col("doc_id") % 2 == 0),
+                           docs.filter(F.col("doc_id") % 2 == 1),
+                           "doc_id", "text")
+
+
+@register(
+    "quality_novelty_ngrams",
+    # reference = doc_id < 100; novelty = distinct 13-grams absent
+    # from the reference / distinct 13-grams (raw integer ratio).
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)),
+                                               '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, s + 1, s + 13), ' ') AS g
+      FROM toks, unnest(generate_series(0, len(w) - 13)) t(s)
+      WHERE len(w) >= 13),
+    ref AS (SELECT DISTINCT g FROM grams WHERE doc_id < 100),
+    novel AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+      FROM grams WHERE g NOT IN (SELECT g FROM ref)
+      GROUP BY doc_id),
+    total AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+      FROM grams GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(t.n_grams, 0) AS n_grams,
+           CASE WHEN t.n_grams IS NOT NULL
+                THEN COALESCE(v.n_novel, 0) END AS n_novel,
+           CASE WHEN t.n_grams IS NOT NULL
+                THEN CAST(COALESCE(v.n_novel, 0) AS DOUBLE)
+                     / CAST(t.n_grams AS DOUBLE) END AS novelty_frac
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN total t USING (doc_id) LEFT JOIN novel v USING (doc_id)
+    """,
+)
+def quality_novelty_ngrams(spark, sf_dir):
+    """Per-doc 13-gram novelty vs a reference slice (r8): the inverse
+    of decontamination containment — 'how much genuinely new text does
+    this crawl add'. Distinct-gram tables on both sides, LEFT ANTI
+    equi-join membership, raw integer-ratio fraction. Reference docs
+    score 0 by construction."""
+    from dbt_fusion_spark.llm import corpus as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.novelty_ngrams(docs, docs.filter(F.col("doc_id") < 100),
+                            "doc_id", "text", n=13)
+
+
+@register(
+    "events_weighted_median",
+    # lower-median convention: smallest value whose 2*cum_weight >=
+    # total; decimal-exact weights, the median is a value FROM the
+    # data — no interpolation, no float rounding anywhere.
+    oracle="""
+    WITH grid AS (
+      SELECT l_returnflag AS grp, l_extendedprice AS val,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS w
+      FROM lineitem GROUP BY grp, val),
+    tot AS (SELECT grp, SUM(w) AS tw FROM grid GROUP BY grp),
+    cum AS (
+      SELECT grp, val, w,
+             SUM(w) OVER (PARTITION BY grp ORDER BY val
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM grid)
+    SELECT c.grp AS l_returnflag,
+           MIN(c.val) AS weighted_median,
+           CAST(MAX(t.tw) AS DOUBLE) AS total_weight
+    FROM cum c JOIN tot t USING (grp)
+    WHERE c.cum * 2 >= t.tw
+    GROUP BY c.grp
+    """,
+)
+def events_weighted_median(spark, sf_dir):
+    """Exact weighted median per group (r8): extended price weighted
+    by quantity per return flag — the robust center for skewed
+    monetary data. The cumulative walk runs over the (group, value)
+    distribution grid partitioned BY GROUP (never a global sort);
+    selection is the integer-exact comparison 2*cum >= total."""
+    from dbt_fusion_spark.plans.profile import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_median(li, "l_returnflag", "l_extendedprice",
+                           "l_quantity")

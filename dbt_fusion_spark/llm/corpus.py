@@ -566,3 +566,95 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
                     (F.col("__dot") / (F.col("__na") * F.col("__nb")))
                     .alias("cos_sim"))
             .filter(F.col("cos_sim") >= F.lit(float(min_cos))))
+
+
+def js_divergence(df_a: DataFrame, df_b: DataFrame, id_col: str,
+                  text_col: str) -> DataFrame:
+    """Jensen-Shannon divergence between two corpus slices' token
+    distributions — the drift/contamination dial: 0 = identical
+    mixture, ln(2) = disjoint vocabularies. The one-row audit a data
+    curator reads before blending a new crawl into a training mix
+    (JSD is symmetric and bounded, unlike raw KL).
+
+    JSD = 0.5*KL(P||M) + 0.5*KL(Q||M) with M = (P+Q)/2, summed over
+    the union vocabulary (terms absent from one side contribute only
+    via the other's half — no smoothing needed: x*ln(x) -> 0).
+
+    Float discipline: each term's contribution is round(9)-quantized
+    and summed as DECIMAL(38,9) (exact, order-independent); the final
+    scalar is round(6) (ln-derived, the module's emission recipe).
+
+    Scale shape: one token-count aggregate per slice (map-side
+    partials), a full-outer equi-join on the token (vocabulary-sized),
+    scalars ride 1-row broadcast joins, final sum is one aggregate.
+    """
+    ca = (tokens(df_a, id_col, text_col).groupBy("token")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("__ca")))
+    cb = (tokens(df_b, id_col, text_col).groupBy("token")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("__cb")))
+    na = ca.agg(F.sum("__ca").alias("__na"))
+    nb = cb.agg(F.sum("__cb").alias("__nb"))
+    j = (ca.join(cb, "token", "full")
+         .select(F.coalesce("__ca", F.lit(0)).alias("__ca"),
+                 F.coalesce("__cb", F.lit(0)).alias("__cb")))
+    j = _join_scalar(_join_scalar(j, "__ca", na, "__na"),
+                     "__ca", nb, "__nb")
+    p = F.col("__ca").cast("double") / F.col("__na").cast("double")
+    q = F.col("__cb").cast("double") / F.col("__nb").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (F.when(F.col("__ca") > 0,
+                   F.lit(0.5) * p * F.log(p / m)).otherwise(F.lit(0.0))
+            + F.when(F.col("__cb") > 0,
+                     F.lit(0.5) * q * F.log(q / m)).otherwise(F.lit(0.0)))
+    return (j.select(
+        F.round(term, 9).cast("decimal(38,9)").alias("__t"),
+        "__na", "__nb", "__ca", "__cb")
+        .agg(F.round(F.sum("__t").cast("double"), 6).alias("jsd"),
+             F.max("__na").alias("n_tokens_a"),
+             F.max("__nb").alias("n_tokens_b"),
+             F.sum(F.when(F.col("__ca") > 0, 1).otherwise(0))
+             .cast("bigint").alias("vocab_a"),
+             F.sum(F.when(F.col("__cb") > 0, 1).otherwise(0))
+             .cast("bigint").alias("vocab_b")))
+
+
+def novelty_ngrams(corpus: DataFrame, reference: DataFrame, id_col: str,
+                   text_col: str, n: int = 13) -> DataFrame:
+    """Per-document n-gram novelty vs a REFERENCE corpus: the fraction
+    of a doc's distinct n-grams never seen in the reference — the
+    inverse of decontamination containment, read as "how much genuinely
+    new text does this crawl add?" (dedup keeps novel docs; a near-zero
+    novelty score at n=13 means the doc is stitched from reference
+    text even if no single probe matches).
+
+    Scale shape: both sides build distinct n-gram tables (Generate +
+    distinct — the decontamination machinery); the membership test is
+    a LEFT ANTI equi-join on the gram (never a cross join); the
+    emitted fraction is the raw integer-ratio double (midpoint-safe).
+    Docs shorter than n words emit n_grams = 0 with novelty NULL.
+    """
+    from dbt_fusion_spark.llm.quality import word_ngrams
+
+    doc_grams = word_ngrams(corpus, id_col, text_col, n=n) \
+        .dropDuplicates([id_col, "gram"])
+    ref_grams = word_ngrams(reference, id_col, text_col, n=n) \
+        .select("gram").distinct()
+    novel = (doc_grams.join(ref_grams, "gram", "left_anti")
+             .groupBy(id_col)
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel")))
+    total = (doc_grams.groupBy(id_col)
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams")))
+    base = corpus.select(id_col).distinct()
+    return (base.join(total, id_col, "left").join(novel, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("n_grams", F.lit(0)).cast("bigint")
+                .alias("n_grams"),
+                F.coalesce(
+                    F.when(F.col("n_grams").isNotNull(), F.coalesce(
+                        "n_novel", F.lit(0))), F.lit(None))
+                .cast("bigint").alias("n_novel"),
+                F.when(F.col("n_grams").isNotNull(),
+                       F.coalesce("n_novel", F.lit(0)).cast("double")
+                       / F.col("n_grams").cast("double"))
+                .alias("novelty_frac")))

@@ -71,3 +71,44 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
     return (one.select(F.col("__total").alias("n_rows"), F.expr(gen))
                .select("column", "n_rows", "n_nulls", "n_distinct",
                        "min_value", "max_value"))
+
+
+def weighted_median(df: DataFrame, group_col: str, value_col: str,
+                    weight_col: str) -> DataFrame:
+    """Exact weighted median per group (lower-median convention: the
+    smallest value whose cumulative weight reaches half the total) —
+    the robust center the mean can't give on skewed monetary data,
+    weighted so bulk rows count by their size (e.g. price weighted by
+    quantity).
+
+    Engine-exact by construction: weights are decimal-quantized
+    integers (exact sums), the cumulative walk runs over the
+    (group, value) -> weight DISTRIBUTION grid ordered by value, and
+    the median is selected by the integer comparison
+    2*cum >= total — no interpolation, no float rounding anywhere;
+    the emitted median is a VALUE FROM THE DATA.
+
+    Scale shape: one (group, value) aggregate with map-side partials;
+    the cumulative window partitions BY GROUP over the value grid
+    (bounded by distinct values per group, never a global sort); the
+    total rides the same grid re-aggregated. The min-selection is one
+    more group aggregate.
+    """
+    from pyspark.sql import Window
+
+    w_int = F.col(weight_col).cast("decimal(18,6)")
+    grid = (df.groupBy(F.col(group_col).alias("grp"),
+                       F.col(value_col).alias("val"))
+            .agg(F.sum(w_int).alias("__w")))
+    tot = grid.groupBy("grp").agg(F.sum("__w").alias("__tw"))
+    win = (Window.partitionBy("grp").orderBy("val")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = grid.withColumn("__cum", F.sum("__w").over(win))
+    hit = (cum.join(tot, "grp")
+           .filter(F.col("__cum") * 2 >= F.col("__tw"))
+           .groupBy("grp")
+           .agg(F.min("val").alias("weighted_median"),
+                F.max("__tw").alias("__tw")))
+    return hit.select(F.col("grp").alias(group_col),
+                      "weighted_median",
+                      F.col("__tw").cast("double").alias("total_weight"))

@@ -1051,3 +1051,66 @@ def test_neyman_allocation_and_draw(spark):
         orders, "o_orderpriority", "o_totalprice", "o_orderkey",
         1000).collect())
     assert ids1 == ids2
+
+
+def test_js_divergence_bounds(spark):
+    """JSD = 0 on identical slices, ln(2) on disjoint vocabularies,
+    strictly between for a partial overlap."""
+    import math
+
+    from dbt_fusion_spark.llm.corpus import js_divergence
+
+    a = spark.createDataFrame([(1, "alpha beta gamma alpha")],
+                              "doc_id long, text string")
+    same = js_divergence(a, a, "doc_id", "text").collect()[0]
+    assert same["jsd"] == 0.0
+    assert same["n_tokens_a"] == 4 and same["vocab_a"] == 3
+    b = spark.createDataFrame([(2, "delta epsilon zeta")],
+                              "doc_id long, text string")
+    disj = js_divergence(a, b, "doc_id", "text").collect()[0]
+    assert abs(disj["jsd"] - math.log(2)) < 1e-6
+    c = spark.createDataFrame([(3, "alpha beta delta")],
+                              "doc_id long, text string")
+    mid = js_divergence(a, c, "doc_id", "text").collect()[0]
+    assert 0.0 < mid["jsd"] < math.log(2)
+
+
+def test_novelty_ngrams_reference_zero(spark):
+    """Reference docs score 0 novelty; a disjoint doc scores 1; a doc
+    stitched half-and-half lands in between; short docs emit NULL."""
+    from dbt_fusion_spark.llm.corpus import novelty_ngrams
+
+    ref_text = " ".join(f"w{i}" for i in range(20))
+    half = " ".join(f"w{i}" for i in range(13)) + " " \
+        + " ".join(f"z{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [(1, ref_text),
+         (2, " ".join(f"y{i}" for i in range(15))),
+         (3, half),
+         (4, "too short")],
+        "doc_id long, text string")
+    ref = docs.filter("doc_id = 1")
+    rows = {r["doc_id"]: r for r in
+            novelty_ngrams(docs, ref, "doc_id", "text", n=13).collect()}
+    assert rows[1]["novelty_frac"] == 0.0
+    assert rows[2]["novelty_frac"] == 1.0
+    assert 0.0 < rows[3]["novelty_frac"] <= 1.0
+    assert rows[4]["n_grams"] == 0 and rows[4]["novelty_frac"] is None
+
+
+def test_weighted_median_hand_computed(spark):
+    """Lower-median convention: smallest value whose cumulative weight
+    reaches half the total; weights respected exactly."""
+    from dbt_fusion_spark.plans.profile import weighted_median
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 8.0),
+         ("b", 5.0, 1.0), ("b", 7.0, 1.0)],
+        "g string, v double, w double")
+    rows = {r["g"]: r for r in
+            weighted_median(df, "g", "v", "w").collect()}
+    # group a: total 10, cum at v=3 reaches 10 >= 5 -> median 3
+    assert rows["a"]["weighted_median"] == 3.0
+    assert rows["a"]["total_weight"] == 10.0
+    # group b: total 2, cum at v=5 is 1, 2*1 >= 2 -> median 5 (lower)
+    assert rows["b"]["weighted_median"] == 5.0
