@@ -126,6 +126,11 @@ HEADLINE = [
     "corpus_js_divergence",
     "quality_novelty_ngrams",
     "events_weighted_median",
+    # r8 batch 3: MAD grid walks, Levenshtein pair verify, grouped
+    # OLS moment aggregate
+    "events_mad_outliers",
+    "dedup_edit_distance_verify",
+    "events_trend_ols",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

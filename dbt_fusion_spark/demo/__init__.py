@@ -44,11 +44,14 @@ from dbt_fusion_spark.demo import (  # noqa: F401, E402
 # (whose artifact gains compaction + drift-rebuild this round), and
 # rows whose code the r8 ADVICE fixes touch (substring/spans dedup id
 # validation, winnow-cross unpersist, PMI bounded generate, RFM
-# persist — the PMI/RFM/winnow rows are already in the 22). New r8
-# debut operators swap into anchor slots as they land so nothing is
-# left ungated again. Rotated-out veterans remain covered by the
-# exact-float DuckDB parity battery at both SFs (tests/test_parity.py,
-# tools/local_gate.py).
+# persist — the PMI/RFM/winnow rows are already in the 22). The 13 r8
+# debut operators (artifact compaction + rebuild, mojibake, CCNet
+# buckets, sentence dedup, CDC chunks, tolerance as-of, Neyman
+# allocation + draw, tf-idf pairs, JS divergence, n-gram novelty,
+# weighted median) hold anchor slots — debut operators get driver
+# certification in their debut round (the r6 lesson). Rotated-out
+# veterans remain covered by the exact-float DuckDB parity battery at
+# both SFs (tests/test_parity.py, tools/local_gate.py).
 GATE_WINDOW: list[str] = [
     # ---- the 22 never-gated rows (exact r7-verdict list) ----
     "asof_join_next_purchase",
@@ -103,12 +106,12 @@ GATE_WINDOW: list[str] = [
     "corpus_js_divergence",
     "quality_novelty_ngrams",
     "events_weighted_median",
+    "events_mad_outliers",
+    "dedup_edit_distance_verify",
+    "events_trend_ols",
     # family spread / flagship re-certs
-    "dedup_minhash_lsh",
     "tpch_q1_pricing_summary",
     "data_test_unique_severity",
-    "sample_leakage_safe_split",
-    "graph_pagerank_suppliers",
 ]
 
 

@@ -4424,3 +4424,156 @@ def events_weighted_median(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return weighted_median(li, "l_returnflag", "l_extendedprice",
                            "l_quantity")
+
+
+@register(
+    "events_mad_outliers",
+    # both medians restated as the unit-weight lower-median grid walk;
+    # flags are exact comparisons on engine-identical doubles.
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS grp, "value" AS v FROM events
+      WHERE event_type = 'purchase'),
+    grid AS (SELECT grp, v, CAST(COUNT(*) AS DECIMAL(18,6)) AS w
+             FROM base GROUP BY grp, v),
+    tot AS (SELECT grp, SUM(w) AS tw FROM grid GROUP BY grp),
+    cum AS (SELECT grp, v, SUM(w) OVER (PARTITION BY grp ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+            FROM grid),
+    med AS (SELECT c.grp, MIN(c.v) AS med
+            FROM cum c JOIN tot t USING (grp)
+            WHERE c.c * 2 >= t.tw GROUP BY c.grp),
+    dev AS (SELECT b.grp, b.v, m.med, abs(b.v - m.med) AS ad
+            FROM base b JOIN med m USING (grp)),
+    dgrid AS (SELECT grp, ad, CAST(COUNT(*) AS DECIMAL(18,6)) AS w
+              FROM dev GROUP BY grp, ad),
+    dtot AS (SELECT grp, SUM(w) AS tw FROM dgrid GROUP BY grp),
+    dcum AS (SELECT grp, ad, SUM(w) OVER (PARTITION BY grp ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+             FROM dgrid),
+    mad AS (SELECT c.grp, MIN(c.ad) AS mad
+            FROM dcum c JOIN dtot t USING (grp)
+            WHERE c.c * 2 >= t.tw GROUP BY c.grp)
+    SELECT d.grp AS event_type, d.v AS "value",
+           d.med AS group_median, a.mad AS group_mad,
+           d.ad > 5.0 * a.mad AS is_outlier
+    FROM dev d JOIN mad a USING (grp)
+    """,
+)
+def events_mad_outliers(spark, sf_dir):
+    """Robust MAD outlier flags (r8): |x - median| > k*MAD per group,
+    both medians the exact lower-median grid walk (no interpolation,
+    engine-exact) — the anomaly detector a corrupted batch cannot
+    drag, unlike mean/stddev z-scores. Two per-group grid walks + two
+    group-level joins back; scoped to one event type for a bounded
+    gate emission."""
+    from dbt_fusion_spark.plans.profile import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events") \
+        .filter(F.col("event_type") == "purchase")
+    return mad_outliers(ev, "event_type", "value", k=5.0)
+
+
+@register(
+    "dedup_edit_distance_verify",
+    # pair construction is deterministic in-query (every doc with
+    # doc_id % 10 == 0 pairs with its successor); Levenshtein is an
+    # exact integer DP on both engines.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '\\s+', ' ', 'g') AS nt
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nt AS ta, b.nt AS tb
+      FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 10 = 0)
+    SELECT id_a, id_b,
+           CAST(levenshtein(ta, tb) AS BIGINT) AS edit_distance,
+           CASE WHEN greatest(length(ta), length(tb)) > 0
+                THEN 1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+                     / CAST(greatest(length(ta), length(tb)) AS DOUBLE)
+                ELSE 1.0 END AS edit_similarity
+    FROM pairs
+    """,
+)
+def dedup_edit_distance_verify(spark, sf_dir):
+    """Exact Levenshtein verify for candidate pairs (r8): the
+    strictest rung after LSH/winnow candidates — Jaccard ignores word
+    order, edit distance doesn't. Only the candidate pairs pay the
+    O(m*n) DP (the jaccard_pairs discipline); the similarity is the
+    raw integer-ratio double. Pairs constructed deterministically
+    in-query (doc % 10 with its successor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (docs.filter(F.col("doc_id") % 10 == 0)
+             .select(F.col("doc_id").alias("id_a"),
+                     (F.col("doc_id") + 1).alias("id_b")))
+    return D.edit_distance_verify(docs, pairs, "doc_id", "text")
+
+
+@register(
+    "events_trend_ols",
+    # moments from round(3)-decimal exact sums (scale 3 keeps every
+    # scaled mantissa under 2^53 so the decimal->double cast is
+    # correctly rounded on BOTH engines); slope/intercept/r2 on the
+    # identical derived doubles, emitted round(6).
+    oracle="""
+    WITH xy AS (
+      SELECT event_type AS grp,
+             CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE))
+                  AS DOUBLE) AS x,
+             CAST("value" AS DOUBLE) AS y
+      FROM events),
+    m AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(round(x, 3) AS DECIMAL(38,3))) AS sx,
+             SUM(CAST(round(y, 3) AS DECIMAL(38,3))) AS sy,
+             SUM(CAST(round(x * x, 3) AS DECIMAL(38,3))) AS sxx,
+             SUM(CAST(round(x * y, 3) AS DECIMAL(38,3))) AS sxy,
+             SUM(CAST(round(y * y, 3) AS DECIMAL(38,3))) AS syy
+      FROM xy GROUP BY grp)
+    SELECT grp AS event_type, n AS n_points,
+           CAST(round(CASE WHEN n >= 2 AND
+                  CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE) / n > 0
+                THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                      * CAST(sy AS DOUBLE) / n)
+                     / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE) / n) END, 6) AS DOUBLE)
+             AS slope,
+           CAST(round((CAST(sy AS DOUBLE)
+                - CASE WHEN n >= 2 AND CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n > 0
+                  THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sy AS DOUBLE) / n)
+                       / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                          * CAST(sx AS DOUBLE) / n) END
+                  * CAST(sx AS DOUBLE)) / n, 6) AS DOUBLE) AS intercept,
+           CAST(round(CASE WHEN n >= 2
+                AND CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE) / n > 0
+                AND CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / n > 0
+                THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                      * CAST(sy AS DOUBLE) / n)
+                     * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sy AS DOUBLE) / n)
+                     / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                         * CAST(sx AS DOUBLE) / n)
+                        * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                           * CAST(sy AS DOUBLE) / n)) END, 6) AS DOUBLE)
+             AS r2
+    FROM m
+    """,
+)
+def events_trend_ols(spark, sf_dir):
+    """Per-group OLS trend (r8): slope/intercept/r2 of event value
+    over time per event type — 'is this segment rising' as ONE
+    group-keyed moment aggregate (map-side partials, no window, no
+    iteration); moments ride round(9)-decimal exact sums."""
+    from dbt_fusion_spark.plans.timeseries import grouped_ols_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+    return grouped_ols_trend(ev.withColumn("__x", x), "event_type",
+                             "__x", "value")

@@ -896,3 +896,31 @@ def cdc_chunk_stats(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col), "n_chunks", "n_dup_chunks",
         (F.col("n_dup_chunks").cast("double")
          / F.col("n_chunks").cast("double")).alias("dup_chunk_frac"))
+
+
+def edit_distance_verify(df: DataFrame, pairs: DataFrame, id_col: str,
+                         text_col: str) -> DataFrame:
+    """Exact Levenshtein verification for candidate pairs — the
+    strictest verify rung after LSH/winnow candidates (Jaccard ignores
+    order; edit distance doesn't): per (id_a, id_b) pair, the edit
+    distance between the normalized texts and the normalized
+    similarity 1 - dist/max_len. ONLY candidate pairs pay the O(m*n)
+    DP — never the corpus (the jaccard_pairs discipline).
+
+    Levenshtein is a classic exact integer DP (identical on every
+    engine); the similarity is the raw integer-ratio double.
+    """
+    t = df.select(F.col(id_col).alias("__id"),
+                  _norm(text_col).alias("__t"))
+    j = (pairs.join(t.select(F.col("__id").alias("id_a"),
+                             F.col("__t").alias("__ta")), "id_a")
+         .join(t.select(F.col("__id").alias("id_b"),
+                        F.col("__t").alias("__tb")), "id_b"))
+    dist = F.levenshtein("__ta", "__tb")
+    mlen = F.greatest(F.length("__ta"), F.length("__tb"))
+    return j.select(
+        "id_a", "id_b",
+        dist.cast("bigint").alias("edit_distance"),
+        F.when(mlen > 0,
+               F.lit(1.0) - dist.cast("double") / mlen.cast("double"))
+        .otherwise(F.lit(1.0)).alias("edit_similarity"))

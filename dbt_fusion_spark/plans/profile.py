@@ -112,3 +112,36 @@ def weighted_median(df: DataFrame, group_col: str, value_col: str,
     return hit.select(F.col("grp").alias(group_col),
                       "weighted_median",
                       F.col("__tw").cast("double").alias("total_weight"))
+
+
+def mad_outliers(df: DataFrame, group_col: str, value_col: str,
+                 k: float = 5.0) -> DataFrame:
+    """Robust per-group outlier flags via median absolute deviation:
+    a row is flagged when |x - median| > k * MAD (both medians the
+    exact lower-median grid walk of weighted_median with unit weights
+    — no interpolation, engine-exact). The robust twin of z-score
+    anomaly detection: one corrupted batch can drag a mean/stddev arbitrarily,
+    but breaks down at 50% contamination instead of one row.
+
+    Scale shape: two grid walks (value grid, then |x - median| grid),
+    each partitioned BY GROUP, plus two broadcastable group-level
+    joins back onto the rows. No global sort, no Python.
+    """
+    med = (weighted_median(df.withColumn("__one", F.lit(1.0)),
+                           group_col, value_col, "__one")
+           .select(F.col(group_col), F.col("weighted_median")
+                   .alias("__med")))
+    dev = (df.join(med, group_col)
+           .withColumn("__adev",
+                       F.abs(F.col(value_col) - F.col("__med"))))
+    mad = (weighted_median(dev.withColumn("__one", F.lit(1.0)),
+                           group_col, "__adev", "__one")
+           .select(F.col(group_col),
+                   F.col("weighted_median").alias("__mad")))
+    return (dev.join(mad, group_col)
+            .select(F.col(group_col), F.col(value_col),
+                    F.col("__med").alias("group_median"),
+                    F.col("__mad").alias("group_mad"),
+                    (F.col("__adev")
+                     > F.lit(float(k)) * F.col("__mad"))
+                    .alias("is_outlier")))

@@ -96,3 +96,59 @@ def time_weighted_average(df: DataFrame, key_col: str, time_col: str,
                                 .cast("decimal(28,6)"))
                           / F.sum(F.col("__dur").cast("decimal(28,6)")))
                          .cast("double"), 6).alias("twap")))
+
+
+def grouped_ols_trend(df: DataFrame, group_col: str, x_col,
+                      y_col: str) -> DataFrame:
+    """Per-group OLS line fit (slope / intercept / r2) — the zipf_fit
+    moment algebra generalized to grouped trends (is this segment's
+    daily value rising?). x may be any numeric column expression
+    (e.g. a day number derived from a timestamp).
+
+    Cross-engine floats: the five moments are aggregated from
+    round(3)-quantized DECIMAL(38,3) terms (exact, order-independent).
+    Scale 3, not the module's usual 9: the decimal->double cast is
+    only correctly rounded while the SCALED mantissa fits 53 bits
+    (measured r8: a DECIMAL(38,9) sxx of ~1.2e19 scaled units made
+    DuckDB's cast drift 1 ulp and the intercept landed on a round-6
+    midpoint — 1562.0067705 emitted as ...771 vs ...770). At scale 3
+    every moment's scaled mantissa stays under 2^53, both engines
+    derive bit-identical doubles, and the slope/intercept/r2
+    arithmetic agrees exactly; emissions are round(6). Groups with
+    < 2 points or zero x-variance emit NULL slope/r2.
+
+    Scale shape: ONE group-keyed aggregate with map-side partials —
+    the moments are the whole algorithm; no window, no iteration.
+    """
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col) \
+        .cast("double")
+    y = F.col(y_col).cast("double")
+
+    def dec(c):
+        return F.round(c, 3).cast("decimal(38,3)")
+
+    m = (df.groupBy(F.col(group_col).alias("grp"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum(dec(x)).alias("sx"), F.sum(dec(y)).alias("sy"),
+              F.sum(dec(x * x)).alias("sxx"),
+              F.sum(dec(x * y)).alias("sxy"),
+              F.sum(dec(y * y)).alias("syy")))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    varx = sxx - sx * sx / n
+    vary = syy - sy * sy / n
+    cov = sxy - sx * sy / n
+    slope = F.when((F.col("n") >= 2) & (varx > 0), cov / varx)
+    intercept = (sy - slope * sx) / n
+    r2 = F.when((F.col("n") >= 2) & (varx > 0) & (vary > 0),
+                (cov * cov) / (varx * vary))
+    return m.select(
+        F.col("grp").alias(group_col),
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"))

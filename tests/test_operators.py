@@ -1114,3 +1114,54 @@ def test_weighted_median_hand_computed(spark):
     assert rows["a"]["total_weight"] == 10.0
     # group b: total 2, cum at v=5 is 1, 2*1 >= 2 -> median 5 (lower)
     assert rows["b"]["weighted_median"] == 5.0
+
+
+def test_mad_outliers_robust(spark):
+    """The outlier flag survives contamination that would wreck a
+    z-score: one huge row flags, the bulk doesn't; median/MAD are the
+    exact lower medians."""
+    from dbt_fusion_spark.plans.profile import mad_outliers
+
+    rows = [("g", float(v)) for v in [10, 11, 12, 13, 14, 10, 12, 1000]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["v"]: r for r in mad_outliers(df, "g", "v", k=5.0).collect()}
+    # sorted values: 10,10,11,12,12,13,14,1000 -> lower median 12
+    assert out[10.0]["group_median"] == 12.0
+    # abs devs: 2,2,1,0,0,1,2,988 -> sorted 0,0,1,1,2,2,2,988 -> MAD 1
+    assert out[10.0]["group_mad"] == 1.0
+    assert out[1000.0]["is_outlier"] is True
+    assert all(not r["is_outlier"] for v, r in out.items() if v != 1000.0)
+
+
+def test_edit_distance_verify_values(spark):
+    """Known answers incl. whitespace normalization and the
+    length-normalized similarity."""
+    from dbt_fusion_spark.llm.dedup import edit_distance_verify
+
+    docs = spark.createDataFrame(
+        [(1, "kitten small"), (2, "sitting  small"),
+         (3, "KITTEN    small")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (1, 3)],
+                                  "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r for r in
+           edit_distance_verify(docs, pairs, "doc_id", "text").collect()}
+    assert out[(1, 2)]["edit_distance"] == 3  # kitten -> sitting
+    assert out[(1, 3)]["edit_distance"] == 0  # normalization equalizes
+    assert out[(1, 3)]["edit_similarity"] == 1.0
+    assert out[(1, 2)]["edit_similarity"] == 1.0 - 3 / 13
+
+
+def test_grouped_ols_trend_exact_line(spark):
+    """Points on an exact line recover slope/intercept with r2 = 1;
+    a single-point group emits NULLs."""
+    from dbt_fusion_spark.plans.timeseries import grouped_ols_trend
+
+    rows = [("a", float(x), 2.0 * x + 3.0) for x in range(10)]
+    rows += [("b", 1.0, 5.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in
+           grouped_ols_trend(df, "g", "x", "y").collect()}
+    assert out["a"]["slope"] == 2.0 and out["a"]["intercept"] == 3.0
+    assert out["a"]["r2"] == 1.0
+    assert out["b"]["slope"] is None and out["b"]["r2"] is None

@@ -62,6 +62,17 @@ QUERY_SET = [
     "events_rfm_scores",
     "corpus_pmi_topk",
     "dedup_winnow_pairs",
+    # r8: sentence dedup rebuild, CDC HOF chunker, LM bucket walk,
+    # 13-gram novelty anti-join, weighted-median grid walk, JSD vocab
+    # join — every r8 operator whose work scales with the corpus
+    # (tfidf_pairs is doc_id<300-scoped and the artifact rows are
+    # build-dominated; both are benched at sf0.1 instead)
+    "dedup_sentences_corpus",
+    "dedup_cdc_chunks",
+    "quality_ccnet_buckets",
+    "quality_novelty_ngrams",
+    "events_weighted_median",
+    "corpus_js_divergence",
 ]
 
 

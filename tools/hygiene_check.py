@@ -133,12 +133,29 @@ def check_prior_round_artifacts_tracked(errors: list[str]) -> None:
                     f"finding, now CI)")
 
 
+def check_local_bench_artifacts(errors: list[str]) -> None:
+    """Judge r7 #7: the driver's BENCH_r{N}.json tail truncates and its
+    `parsed` is null, so round-over-round comparison depended on
+    regex-scraping. From r8 on, every COMPLETED round (one whose
+    BENCH_r{N} exists) must also carry the builder's complete local
+    bench as BENCH_LOCAL_r{N}.json (machine-readable, all rows)."""
+    benches = _round_artifacts("BENCH_r*.json")
+    for n in benches:
+        if n >= 8 and not (REPO / f"BENCH_LOCAL_r{n:02d}.json").exists() \
+                and not (REPO / f"BENCH_LOCAL_r{n}.json").exists():
+            errors.append(
+                f"round {n} closed (BENCH_r{n:02d}.json exists) without "
+                f"a self-contained BENCH_LOCAL_r{n:02d}.json — run "
+                f"bench.py and commit its full JSON (judge r7 #7)")
+
+
 def run_checks() -> list[str]:
     errors: list[str] = []
     check_headline_budgets(errors)
     check_provisional_budget_age(errors)
     check_gate_coverage_monotone(errors)
     check_prior_round_artifacts_tracked(errors)
+    check_local_bench_artifacts(errors)
     return errors
 
 
