@@ -104,7 +104,10 @@ def weighted_median(df: DataFrame, group_col: str, value_col: str,
     win = (Window.partitionBy("grp").orderBy("val")
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = grid.withColumn("__cum", F.sum("__w").over(win))
-    hit = (cum.join(tot, "grp")
+    # tot is provably |groups| rows but Catalyst ESTIMATES its size
+    # from the 10x-growable grid — force the broadcast so the plan
+    # holds at any scale without waiting for AQE's runtime flip
+    hit = (cum.join(F.broadcast(tot), "grp")
            .filter(F.col("__cum") * 2 >= F.col("__tw"))
            .groupBy("grp")
            .agg(F.min("val").alias("weighted_median"),
@@ -131,14 +134,14 @@ def mad_outliers(df: DataFrame, group_col: str, value_col: str,
                            group_col, value_col, "__one")
            .select(F.col(group_col), F.col("weighted_median")
                    .alias("__med")))
-    dev = (df.join(med, group_col)
+    dev = (df.join(F.broadcast(med), group_col)
            .withColumn("__adev",
                        F.abs(F.col(value_col) - F.col("__med"))))
     mad = (weighted_median(dev.withColumn("__one", F.lit(1.0)),
                            group_col, "__adev", "__one")
            .select(F.col(group_col),
                    F.col("weighted_median").alias("__mad")))
-    return (dev.join(mad, group_col)
+    return (dev.join(F.broadcast(mad), group_col)
             .select(F.col(group_col), F.col(value_col),
                     F.col("__med").alias("group_median"),
                     F.col("__mad").alias("group_mad"),

@@ -61,6 +61,16 @@ QUERY_SET = [
     # MMR greedy, positional phrase search, hard-pair mining
     "dedup_substring_remove",
     "similarity_mmr_rerank",
+    # r8 additions: PMI's HOF pair generator (the r7 positional
+    # self-join rewritten — shuffle bytes should now track the pair
+    # count, not len^2), sentence dedup, CDC chunker, tf-idf pair
+    # self-join, weighted-median grid walks, JSD vocab join
+    "corpus_pmi_topk",
+    "dedup_sentences_corpus",
+    "dedup_cdc_chunks",
+    "similarity_tfidf_pairs",
+    "events_weighted_median",
+    "corpus_js_divergence",
     "corpus_phrase_search",
     "similarity_hard_pair_mining",
     "graph_triangle_counts_coorder",
