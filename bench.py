@@ -131,6 +131,14 @@ HEADLINE = [
     "events_mad_outliers",
     "dedup_edit_distance_verify",
     "events_trend_ols",
+    # r8 batch 4: drift/experiment statistics (plans/stats.py). All
+    # bounded-grid single-scan shapes; benched to pin the grid
+    # reductions (PSI histograms, Lorenz ladder, CUSUM per-key walk).
+    "drift_psi_order_value",
+    "ab_cuped_order_value",
+    "stats_chi2_priority_status",
+    "events_cusum_daily_volume",
+    "stats_gini_revenue_nation",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

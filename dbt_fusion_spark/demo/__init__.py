@@ -18,6 +18,7 @@ from dbt_fusion_spark.demo import (  # noqa: F401, E402
     sampling_demo,
     semantic_demo,
     snapshot_demo,
+    stats_demo,
     testing_demo,
     tpch,
     utils_demo,
@@ -79,21 +80,33 @@ GATE_WINDOW: list[str] = [
     # ---- anchors (28) ----
     # runner / adapter surface (every round)
     "runner_full_build_statuses",
-    # write paths (byte-audited r7; ACID routing retried r8)
+    # write path (byte-audited r7; ACID routing retried r8)
     "incremental_merge_partition_scoped",
-    "snapshot_partition_scoped",
-    "incremental_replace_where",
-    "snapshot_timestamp",
-    # IVFADC family (artifact gains compaction + rebuild this round;
-    # the two r8 debuts get driver certification in their debut round)
-    "similarity_ivf_pq_topk",
-    "similarity_ivf_pq_prebuilt",
+    # IVFADC family r8 debuts (compaction-rebuilt artifacts; the
+    # compacted row exercises the prebuilt serve path end-to-end)
     "similarity_ivf_pq_compacted",
     "similarity_index_rebuilt",
-    # code touched by r8 ADVICE fixes
+    # code touched by the r8 ADVICE medium fix (id-type validation)
     "dedup_substring_remove",
-    "dedup_spans_corpus",
-    "dedup_lsh_incremental_batch",
+    # late-r8 drift/experiment statistics (plans/stats.py) — debut
+    # operators get driver certification in their debut round (the r6
+    # lesson). These took the slots of seven pure re-cert anchors
+    # (replace_where, snapshot_timestamp, ivf_pq_topk, spans_corpus,
+    # lsh_incremental_batch, tpch_q1, data_test_unique_severity — all
+    # driver-certified in r4–r7 and still exact-float parity-tested at
+    # both SFs every CI run).
+    "drift_psi_order_value",
+    "drift_ks_purchase_view",
+    "ab_welch_ttest_acctbal",
+    "ab_cuped_order_value",
+    "stats_chi2_priority_status",
+    "events_cusum_daily_volume",
+    "stats_gini_revenue_nation",
+    "orders_pareto_abc",
+    "quality_isotonic_calibration",
+    # (stats_benford_totalprice and events_dow_seasonality debut
+    # strict-green at both SFs but the window is full — they are the
+    # FIRST two rotations for the r9 window, ahead of any new anchors.)
     # r8 debut operators (debut-round certification)
     "quality_mojibake_signals",
     "quality_ccnet_buckets",
@@ -109,9 +122,6 @@ GATE_WINDOW: list[str] = [
     "events_mad_outliers",
     "dedup_edit_distance_verify",
     "events_trend_ols",
-    # family spread / flagship re-certs
-    "tpch_q1_pricing_summary",
-    "data_test_unique_severity",
 ]
 
 

@@ -1,0 +1,618 @@
+"""Gate queries for plans/stats.py — drift / experiment statistics.
+
+Every oracle restates the operator's exact arithmetic in DuckDB SQL:
+the same fixed-width grids, the same DECIMAL-exact sums, the same
+round(9)-quantized per-term doubles (the ln-derived emission recipe),
+so value hashes compare bit-for-bit.  BIGINT casts wrap every DuckDB
+window/grand SUM of integers (DuckDB widens them to HUGEINT, which
+pandas would emit as float and break the hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_fusion_spark.demo.registry import register
+from dbt_fusion_spark.plans import stats as S
+from dbt_fusion_spark.sources.registry import load_table
+
+SPLIT = "1998-01-01"  # orders span 1995..2001; ~median order date
+
+
+@register(
+    "drift_psi_order_value",
+    # fixed 25k-wide bins over o_totalprice (1k..500k → ≤20 bins);
+    # eps-floored fractions; per-bin term round(9)→DECIMAL(38,9) sum.
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS base_n
+      FROM orders WHERE o_orderdate < TIMESTAMP '{SPLIT}' GROUP BY 1),
+    c AS (
+      SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cur_n
+      FROM orders WHERE o_orderdate >= TIMESTAMP '{SPLIT}' GROUP BY 1),
+    grid AS (
+      SELECT bin, COALESCE(base_n, 0) AS base_n, COALESCE(cur_n, 0) AS cur_n
+      FROM b FULL OUTER JOIN c USING (bin)),
+    g AS (
+      SELECT *, CAST(SUM(base_n) OVER () AS BIGINT) AS nb,
+                CAST(SUM(cur_n) OVER () AS BIGINT) AS nc
+      FROM grid),
+    t AS (
+      SELECT *,
+        CAST(round(
+          (greatest(CAST(base_n AS DOUBLE) / nb, 1e-6)
+           - greatest(CAST(cur_n AS DOUBLE) / nc, 1e-6))
+          * ln(greatest(CAST(base_n AS DOUBLE) / nb, 1e-6)
+               / greatest(CAST(cur_n AS DOUBLE) / nc, 1e-6)),
+          9) AS DECIMAL(38,9)) AS term
+      FROM g)
+    SELECT bin, base_n, cur_n,
+           round(CAST(base_n AS DOUBLE) / nb, 6) AS base_frac,
+           round(CAST(cur_n AS DOUBLE) / nc, 6) AS cur_frac,
+           CAST(term AS DOUBLE) AS psi_term,
+           round(CAST(SUM(term) OVER () AS DOUBLE), 6) AS psi_total
+    FROM t
+    """,
+)
+def drift_psi_order_value(spark, sf_dir):
+    """PSI between pre/post-1998 order-value distributions: the
+    "did this release shift the mix" dial, on a bounded 25k-wide bin
+    grid. Single scan per side; grid-level window totals only."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit(SPLIT).cast("timestamp")
+    return S.psi_drift(orders.filter(F.col("o_orderdate") < cut),
+                       orders.filter(F.col("o_orderdate") >= cut),
+                       "o_totalprice", 25000.0)
+
+
+@register(
+    "drift_ks_purchase_view",
+    # grid-resolution KS at bin width 5.0 on events.value (0..490 →
+    # ≤99 bins); integral cum counts keep the ECDF doubles exact;
+    # tie-broken argmax = smallest bin attaining the max diff.
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor("value" / 5.0) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS base_n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    c AS (
+      SELECT CAST(floor("value" / 5.0) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cur_n
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    grid AS (
+      SELECT bin, COALESCE(base_n, 0) AS base_n, COALESCE(cur_n, 0) AS cur_n
+      FROM b FULL OUTER JOIN c USING (bin)),
+    g AS (
+      SELECT *,
+        CAST(SUM(base_n) OVER () AS BIGINT) AS nb,
+        CAST(SUM(cur_n) OVER () AS BIGINT) AS nc,
+        CAST(SUM(base_n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+        CAST(SUM(cur_n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+      FROM grid),
+    d AS (
+      SELECT *, abs(CAST(cb AS DOUBLE) / nb - CAST(cc AS DOUBLE) / nc)
+                AS diff
+      FROM g),
+    m AS (SELECT *, MAX(diff) OVER () AS md FROM d)
+    SELECT round(MAX(diff), 6) AS ks_stat,
+           MIN(CASE WHEN diff = md THEN bin END) AS at_bin,
+           MAX(nb) AS n_base, MAX(nc) AS n_current
+    FROM m
+    """,
+)
+def drift_ks_purchase_view(spark, sf_dir):
+    """Two-sample KS between purchase and view event values — the
+    nonparametric "same distribution?" check at explicit grid
+    resolution. One row out; bounded-grid windows only."""
+    ev = load_table(spark, sf_dir, "events")
+    return S.ks_two_sample(ev.filter(F.col("event_type") == "purchase"),
+                           ev.filter(F.col("event_type") == "view"),
+                           "value", 5.0)
+
+
+@register(
+    "ab_welch_ttest_acctbal",
+    # one conditional aggregate; DECIMAL-exact sums / sums-of-squares;
+    # t and Welch-Satterthwaite df derived in deterministic doubles.
+    oracle="""
+    WITH agg AS (
+      SELECT
+        COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS n_a,
+        COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS n_b,
+        SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                 THEN CAST(c_acctbal AS DECIMAL(18,6)) END) AS s_a,
+        SUM(CASE WHEN c_mktsegment = 'MACHINERY'
+                 THEN CAST(c_acctbal AS DECIMAL(18,6)) END) AS s_b,
+        SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                 THEN CAST(c_acctbal AS DECIMAL(19,6))
+                      * CAST(c_acctbal AS DECIMAL(19,6)) END) AS q_a,
+        SUM(CASE WHEN c_mktsegment = 'MACHINERY'
+                 THEN CAST(c_acctbal AS DECIMAL(19,6))
+                      * CAST(c_acctbal AS DECIMAL(19,6)) END) AS q_b
+      FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    d AS (
+      SELECT n_a, n_b,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(CAST(s_a AS VARCHAR) AS DOUBLE) AS sa,
+             CAST(CAST(s_b AS VARCHAR) AS DOUBLE) AS sb,
+             CAST(CAST(q_a AS VARCHAR) AS DOUBLE) AS qa,
+             CAST(CAST(q_b AS VARCHAR) AS DOUBLE) AS qb
+      FROM agg),
+    v AS (
+      SELECT *, sa / na AS ma, sb / nb AS mb,
+             (qa - sa * sa / na) / (na - 1) AS va,
+             (qb - sb * sb / nb) / (nb - 1) AS vb
+      FROM d),
+    t AS (
+      SELECT *, (ma - mb) / sqrt(va / na + vb / nb) AS tt,
+             (va / na + vb / nb) * (va / na + vb / nb)
+             / ((va / na) * (va / na) / (na - 1)
+                + (vb / nb) * (vb / nb) / (nb - 1)) AS dof
+      FROM v)
+    SELECT 'BUILDING' AS group_a, 'MACHINERY' AS group_b,
+           n_a, n_b,
+           round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+           round(va, 6) AS var_a, round(vb, 6) AS var_b,
+           round(tt, 6) AS t_stat, round(dof, 6) AS df_welch,
+           abs(tt) > 1.959964 AS significant_95
+    FROM t
+    """,
+)
+def ab_welch_ttest_acctbal(spark, sf_dir):
+    """Welch's t-test: BUILDING vs MACHINERY account balances — the
+    unequal-variance two-sample comparison every experiment readout
+    starts from. One shuffle to one row."""
+    cust = load_table(spark, sf_dir, "customer")
+    return S.welch_ttest(cust, "c_mktsegment", "c_acctbal",
+                         "BUILDING", "MACHINERY")
+
+
+@register(
+    "ab_cuped_order_value",
+    # units = per-customer pre/post-split spend (cents-exact decimal
+    # sums); variant = custkey % 2; theta/grand-mean from window sums
+    # over the two variant rows; var_adjusted closed-form.
+    oracle=f"""
+    WITH units AS (
+      SELECT o_custkey % 2 AS variant,
+        CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{SPLIT}'
+                 THEN CAST(o_totalprice AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS post_v,
+        CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{SPLIT}'
+                 THEN CAST(o_totalprice AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS pre_v
+      FROM orders GROUP BY o_custkey % 2, o_custkey),
+    per AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_units,
+        SUM(CAST(post_v AS DECIMAL(18,6))) AS vy,
+        SUM(CAST(pre_v AS DECIMAL(18,6))) AS vx,
+        SUM(CAST(post_v AS DECIMAL(19,6))
+            * CAST(post_v AS DECIMAL(19,6))) AS vyy,
+        SUM(CAST(pre_v AS DECIMAL(19,6))
+            * CAST(pre_v AS DECIMAL(19,6))) AS vxx,
+        SUM(CAST(post_v AS DECIMAL(19,6))
+            * CAST(pre_v AS DECIMAL(19,6))) AS vyx
+      FROM units GROUP BY variant),
+    pooled AS (
+      SELECT *,
+        CAST(SUM(n_units) OVER () AS DOUBLE) AS n,
+        CAST(CAST(SUM(vy) OVER () AS VARCHAR) AS DOUBLE) AS sy,
+        CAST(CAST(SUM(vx) OVER () AS VARCHAR) AS DOUBLE) AS sx,
+        CAST(CAST(SUM(vyx) OVER () AS VARCHAR) AS DOUBLE) AS syx,
+        CAST(CAST(SUM(vxx) OVER () AS VARCHAR) AS DOUBLE) AS sxx
+      FROM per),
+    m AS (
+      SELECT *,
+        (syx - sy * sx / n) / (sxx - sx * sx / n) AS th,
+        sx / n AS mean_x_all,
+        CAST(n_units AS DOUBLE) AS nn,
+        CAST(CAST(vy AS VARCHAR) AS DOUBLE) AS dvy,
+        CAST(CAST(vx AS VARCHAR) AS DOUBLE) AS dvx,
+        CAST(CAST(vyy AS VARCHAR) AS DOUBLE) AS dvyy,
+        CAST(CAST(vxx AS VARCHAR) AS DOUBLE) AS dvxx,
+        CAST(CAST(vyx AS VARCHAR) AS DOUBLE) AS dvyx
+      FROM pooled),
+    o AS (
+      SELECT *, dvy / nn AS mean_y,
+        (dvyy - dvy * dvy / nn) / (nn - 1) AS var_y,
+        (dvxx - dvx * dvx / nn) / (nn - 1) AS var_x,
+        (dvyx - dvy * dvx / nn) / (nn - 1) AS cov_yx
+      FROM m)
+    SELECT variant, n_units,
+           mean_y AS mean_metric,
+           mean_y - th * (dvx / nn - mean_x_all) AS mean_adjusted,
+           var_y AS var_metric,
+           var_y - 2 * th * cov_yx + th * th * var_x AS var_adjusted,
+           1.0 - (var_y - 2 * th * cov_yx + th * th * var_x)
+                 / var_y AS var_reduction_frac,
+           th AS theta
+    FROM o
+    """,
+)
+def ab_cuped_order_value(spark, sf_dir):
+    """CUPED variance reduction on post-split customer spend with
+    pre-split spend as covariate (variant = custkey parity — a
+    deterministic stand-in A/B split). Pre-period behavior predicts
+    post-period behavior, so the adjusted variance drops — the
+    operator reports by how much."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit(SPLIT).cast("timestamp")
+    z = F.lit(0).cast("decimal(18,6)")
+    units = (orders.groupBy((F.col("o_custkey") % 2).alias("variant"),
+                            F.col("o_custkey"))
+             .agg(F.sum(F.when(F.col("o_orderdate") >= cut,
+                               F.col("o_totalprice").cast("decimal(18,6)"))
+                        .otherwise(z)).cast("double").alias("post_v"),
+                  F.sum(F.when(F.col("o_orderdate") < cut,
+                               F.col("o_totalprice").cast("decimal(18,6)"))
+                        .otherwise(z)).cast("double").alias("pre_v")))
+    return S.cuped(units, "variant", "post_v", "pre_v")
+
+
+@register(
+    "stats_chi2_priority_status",
+    # contingency cells once; margins/totals/dof as grid windows
+    # (first-cell indicators replace countDistinct); per-cell terms
+    # round(9)→DECIMAL sum.
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b,
+             CAST(COUNT(*) AS BIGINT) AS observed
+      FROM orders GROUP BY 1, 2),
+    marked AS (
+      SELECT *,
+        CASE WHEN ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) = 1
+             THEN 1 ELSE 0 END AS first_a,
+        CASE WHEN ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) = 1
+             THEN 1 ELSE 0 END AS first_b
+      FROM cells),
+    g AS (
+      SELECT *,
+        CAST(SUM(observed) OVER (PARTITION BY a) AS BIGINT) AS row_n,
+        CAST(SUM(observed) OVER (PARTITION BY b) AS BIGINT) AS col_n,
+        CAST(SUM(observed) OVER () AS BIGINT) AS n,
+        CAST(SUM(first_a) OVER () AS BIGINT) AS nr,
+        CAST(SUM(first_b) OVER () AS BIGINT) AS nc
+      FROM marked),
+    t AS (
+      SELECT *,
+        CAST(round(
+          (CAST(observed AS DOUBLE)
+           - CAST(row_n * col_n AS DOUBLE) / n)
+          * (CAST(observed AS DOUBLE)
+             - CAST(row_n * col_n AS DOUBLE) / n)
+          / (CAST(row_n * col_n AS DOUBLE) / n), 9)
+        AS DECIMAL(38,9)) AS term
+      FROM g)
+    SELECT a, b, observed,
+           round(CAST(row_n * col_n AS DOUBLE) / n, 6) AS expected,
+           CAST(term AS DOUBLE) AS contribution,
+           round(CAST(SUM(term) OVER () AS DOUBLE), 6) AS chi2_total,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
+    FROM t
+    """,
+)
+def stats_chi2_priority_status(spark, sf_dir):
+    """Chi-square independence of order priority x order status — the
+    categorical-association test behind every segmentation sanity
+    check. One groupBy onto the bounded contingency grid; margins are
+    grid windows, so the source scans once."""
+    orders = load_table(spark, sf_dir, "orders")
+    return S.chi_square_independence(orders, "o_orderpriority",
+                                     "o_orderstatus")
+
+
+@register(
+    "events_cusum_daily_volume",
+    # per-type daily volumes standardized by the type's own moments;
+    # the max(0,.) CUSUM recursion evaluated closed-form as
+    # cumsum - min(0, running_min(cumsum)) on DECIMAL(38,9).
+    oracle="""
+    WITH series AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1, 2),
+    st AS (
+      SELECT *,
+        CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE) AS nn,
+        CAST(CAST(SUM(CAST(n_rows AS DECIMAL(18,6)))
+             OVER (PARTITION BY event_type) AS VARCHAR) AS DOUBLE) AS s,
+        CAST(CAST(SUM(CAST(n_rows AS DECIMAL(19,6))
+                 * CAST(n_rows AS DECIMAL(19,6)))
+             OVER (PARTITION BY event_type) AS VARCHAR) AS DOUBLE) AS q
+      FROM series),
+    z AS (
+      SELECT event_type, day, n_rows,
+        CAST(round((n_rows - s / nn)
+                   / sqrt((q - s * s / nn) / (nn - 1)), 9)
+             AS DECIMAL(20,9)) AS zq
+      FROM st),
+    steps AS (
+      SELECT *, zq - CAST(0.5 AS DECIMAL(20,9)) AS up_step,
+                -zq - CAST(0.5 AS DECIMAL(20,9)) AS dn_step
+      FROM z),
+    cums AS (
+      SELECT *,
+        SUM(up_step) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu,
+        SUM(dn_step) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd
+      FROM steps),
+    walk AS (
+      SELECT *,
+        cu - least(MIN(cu) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          CAST(0 AS DECIMAL(20,9))) AS s_pos,
+        cd - least(MIN(cd) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          CAST(0 AS DECIMAL(20,9))) AS s_neg
+      FROM cums)
+    SELECT event_type, day, n_rows,
+           CAST(zq AS DOUBLE) AS z,
+           CAST(s_pos AS DOUBLE) AS s_pos,
+           CAST(s_neg AS DOUBLE) AS s_neg,
+           CAST(s_pos AS DOUBLE) > 4.0 AS shift_up,
+           CAST(s_neg AS DOUBLE) > 4.0 AS shift_down
+    FROM walk
+    """,
+)
+def events_cusum_daily_volume(spark, sf_dir):
+    """Two-sided CUSUM over per-type daily event volume — catches the
+    sustained small drift a z-score threshold misses (the classic SPC
+    complement to events_volume_anomaly). Per-key windows only; the
+    sequential max(0,.) recursion runs closed-form, no loop."""
+    ev = load_table(spark, sf_dir, "events")
+    series = (ev.groupBy("event_type",
+                         F.date_trunc("day", F.col("ts")).alias("day"))
+                .agg(F.count(F.lit(1)).alias("n_rows")))
+    return S.cusum_changepoint(series, "event_type", "day", "n_rows",
+                               k=0.5, h=4.0)
+
+
+@register(
+    "stats_gini_revenue_nation",
+    # per-customer spend (exact decimal), per-nation distinct-value
+    # Lorenz ladder, trapezoid identity; term round(9)→DECIMAL sum.
+    oracle="""
+    WITH units AS (
+      SELECT n.n_name AS grp, o.o_custkey AS unit,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS uv
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    ladder AS (
+      SELECT grp, uv AS val, CAST(COUNT(*) AS BIGINT) AS cnt,
+             SUM(uv) AS mass
+      FROM units GROUP BY 1, 2),
+    lad AS (
+      SELECT *,
+        CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n_units,
+        SUM(mass) OVER (PARTITION BY grp) AS total,
+        CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY val
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cn,
+        SUM(mass) OVER (PARTITION BY grp ORDER BY val
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+      FROM ladder),
+    t AS (
+      SELECT *,
+        CAST(round(
+          (CAST(cn AS DOUBLE) / CAST(n_units AS DOUBLE)
+           - CAST(cn - cnt AS DOUBLE) / CAST(n_units AS DOUBLE))
+          * (CAST(CAST(cv AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(total AS VARCHAR) AS DOUBLE)
+             + CAST(CAST(cv - mass AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(total AS VARCHAR) AS DOUBLE)),
+          9) AS DECIMAL(38,9)) AS term
+      FROM lad)
+    SELECT grp AS n_name,
+           MAX(n_units) AS n_units,
+           CAST(CAST(MAX(total) AS VARCHAR) AS DOUBLE) AS total_value,
+           round(1.0 - CAST(SUM(term) AS DOUBLE), 6) AS gini
+    FROM t GROUP BY grp
+    """,
+)
+def stats_gini_revenue_nation(spark, sf_dir):
+    """Gini concentration of customer revenue within each nation — the
+    'is this mix dominated by a few heavy units' dial a corpus curator
+    reads on domain shares too. Distinct-value Lorenz ladder per
+    group; every window is group-partitioned."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    # customer is a real dimension (never force-broadcast: it scales
+    # with the fact at 100 TB — AQE picks the strategy); nation is 25
+    # rows, always broadcast.
+    df = (orders
+          .join(cust.select("c_custkey", "c_nationkey"),
+                orders.o_custkey == F.col("c_custkey"))
+          .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                F.col("c_nationkey") == F.col("n_nationkey")))
+    return S.gini_by_group(df, "n_name", "o_custkey", "o_totalprice")
+
+
+@register(
+    "orders_pareto_abc",
+    # per-segment descending distinct-value ladder; class from the
+    # level-inclusive cumulative share (ties share a level/class).
+    oracle="""
+    WITH units AS (
+      SELECT c.c_mktsegment AS grp, o.o_custkey AS unit,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS uv
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    ladder AS (
+      SELECT grp, uv AS val, SUM(uv) AS mass
+      FROM units GROUP BY 1, 2),
+    lad AS (
+      SELECT *,
+        SUM(mass) OVER (PARTITION BY grp) AS total,
+        SUM(mass) OVER (PARTITION BY grp ORDER BY val DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+      FROM ladder),
+    cls AS (
+      SELECT grp, val,
+        CAST(CAST(cv AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(total AS VARCHAR) AS DOUBLE) AS share
+      FROM lad)
+    SELECT u.grp AS c_mktsegment, u.unit AS o_custkey,
+           CAST(CAST(u.uv AS VARCHAR) AS DOUBLE) AS unit_value,
+           round(c.share, 6) AS cum_share,
+           CASE WHEN c.share <= 0.8 THEN 'A'
+                WHEN c.share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM units u JOIN cls c ON u.grp = c.grp AND u.uv = c.val
+    """,
+)
+def orders_pareto_abc(spark, sf_dir):
+    """ABC / Pareto classification of customers by revenue share within
+    their market segment — 'which 20 % of units carry 80 % of the
+    value', the triage cut every curation and inventory pass starts
+    from. Same per-group ladder shape as the Gini walk."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    df = orders.join(cust.select("c_custkey", "c_mktsegment"),
+                     orders.o_custkey == F.col("c_custkey"))
+    return S.pareto_abc(df, "c_mktsegment", "o_custkey", "o_totalprice")
+
+
+@register(
+    "stats_benford_totalprice",
+    # first digit from the DECIMAL-string rendering (libm-free);
+    # expected fraction log10(1 + 1/d); terms round(9)→DECIMAL sum.
+    oracle="""
+    WITH g AS (
+      SELECT CAST(regexp_extract(
+               CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS VARCHAR),
+               '[1-9]') AS BIGINT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS observed
+      FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+    t AS (
+      SELECT *, CAST(SUM(observed) OVER () AS BIGINT) AS n FROM g),
+    u AS (
+      SELECT *,
+        CAST(round(
+          (CAST(observed AS DOUBLE) - log10(1.0 + 1.0 / digit) * n)
+          * (CAST(observed AS DOUBLE) - log10(1.0 + 1.0 / digit) * n)
+          / (log10(1.0 + 1.0 / digit) * n), 9) AS DECIMAL(38,9)) AS term
+      FROM t)
+    SELECT digit, observed,
+           round(CAST(observed AS DOUBLE) / n, 6) AS observed_frac,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_frac,
+           CAST(term AS DOUBLE) AS contribution,
+           round(CAST(SUM(term) OVER () AS DOUBLE), 6) AS chi2_total
+    FROM u
+    """,
+)
+def stats_benford_totalprice(spark, sf_dir):
+    """Benford first-digit audit of order totals — the fabricated-data
+    / broken-ETL tell (TPC-H prices are synthetic-uniform, so the fit
+    SHOULD be terrible; the operator reports, it doesn't judge). One
+    groupBy onto the 9-digit grid."""
+    orders = load_table(spark, sf_dir, "orders")
+    return S.benford_first_digit(orders, "o_totalprice")
+
+
+@register(
+    "quality_isotonic_calibration",
+    # 50-bin grid on value/500; PAV via the closed-form minimax
+    # iso_i = max_{j<=i} min_{k>=i} mean(j..k) on the bounded grid —
+    # run averages from exact integer cum diffs.
+    oracle="""
+    WITH grid AS (
+      SELECT LEAST(CAST(floor(("value" / 500.0 - 0.0) / 0.02) AS BIGINT),
+                   49) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM events GROUP BY 1),
+    cums AS (
+      SELECT *,
+        CAST(SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+        CAST(SUM(pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+      FROM grid),
+    gj AS (SELECT bin AS j, cn - n AS cn0, cp - pos AS cp0 FROM cums),
+    gk AS (SELECT bin AS k, cn AS cn1, cp AS cp1 FROM cums),
+    pairs AS (
+      SELECT j, t.k, CAST(cp1 - cp0 AS DOUBLE)
+                     / CAST(cn1 - cn0 AS DOUBLE) AS avg
+      FROM gj, unnest(generate_series(j, 49)) t(k)
+      JOIN gk ON gk.k = t.k),
+    inner_min AS (
+      SELECT j, k AS i,
+        MIN(avg) OVER (PARTITION BY j ORDER BY k DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+      FROM pairs),
+    outer_max AS (
+      SELECT j, i,
+        MAX(m) OVER (PARTITION BY i ORDER BY j
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iso
+      FROM inner_min)
+    SELECT c.bin, c.n, c.pos,
+           round(CAST(c.pos AS DOUBLE) / CAST(c.n AS DOUBLE), 6)
+             AS raw_rate,
+           round(o.iso, 6) AS calibrated_rate
+    FROM cums c JOIN outer_max o ON o.i = c.bin AND o.j = o.i
+    ORDER BY c.bin
+    """,
+)
+def quality_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAV) calibration of event value against the purchase
+    label — turns any monotone-ish score into calibrated probabilities
+    without a parametric form; the standard last mile of a quality
+    classifier. The sequential pooling loop is evaluated closed-form
+    on the bounded bin grid (minimax identity), so no driver loop and
+    no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    return S.isotonic_calibration(
+        ev.withColumn("score", F.col("value") / 500.0)
+          .withColumn("label", (F.col("event_type") == "purchase")
+                      .cast("int")),
+        "score", "label", n_bins=50, lo=0.0, hi=1.0)
+
+
+@register(
+    "events_dow_seasonality",
+    # Spark dayofweek is 1=Sunday..7; DuckDB dayofweek is 0=Sunday..6,
+    # hence the +1. Daily rollup first, then the 7-row dow grid.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             SUM(CAST("value" AS DECIMAL(18,6))) AS dv
+      FROM events GROUP BY 1, 2),
+    dow AS (
+      SELECT event_type, CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days, SUM(dv) AS tot
+      FROM daily GROUP BY 1, 2),
+    g AS (
+      SELECT *,
+        CAST(SUM(n_days) OVER (PARTITION BY event_type) AS BIGINT)
+          AS all_days,
+        SUM(tot) OVER (PARTITION BY event_type) AS all_tot
+      FROM dow)
+    SELECT event_type, dow, n_days,
+           round(CAST(CAST(tot AS VARCHAR) AS DOUBLE) / n_days, 6)
+             AS dow_mean,
+           round(CAST(CAST(all_tot AS VARCHAR) AS DOUBLE) / all_days, 6)
+             AS overall_mean,
+           round((CAST(CAST(tot AS VARCHAR) AS DOUBLE) / n_days)
+                 / (CAST(CAST(all_tot AS VARCHAR) AS DOUBLE) / all_days),
+                 6) AS seasonal_index
+    FROM g
+    """,
+)
+def events_dow_seasonality(spark, sf_dir):
+    """Day-of-week seasonal indices of event value per type — the
+    first-order seasonality profile a volume-anomaly baseline or crawl
+    scheduler divides out. Two bounded reductions; per-key grid
+    windows."""
+    ev = load_table(spark, sf_dir, "events")
+    return S.seasonal_index_dow(ev, "event_type", "ts", "value")

