@@ -10,6 +10,7 @@ from dbt_fusion_spark.demo.registry import ORACLES, QUERIES  # noqa: F401
 # Import for side effects: each module registers its queries.
 from dbt_fusion_spark.demo import (  # noqa: F401, E402
     dialect_demo,
+    features_demo,
     functions_demo,
     incremental_demo,
     llm_demo,
@@ -104,9 +105,11 @@ GATE_WINDOW: list[str] = [
     "stats_gini_revenue_nation",
     "orders_pareto_abc",
     "quality_isotonic_calibration",
-    # (stats_benford_totalprice and events_dow_seasonality debut
-    # strict-green at both SFs but the window is full — they are the
-    # FIRST two rotations for the r9 window, ahead of any new anchors.)
+    # (stats_benford_totalprice, events_dow_seasonality,
+    # feature_target_encode_orders, events_top_paths, and
+    # embedding_label_centroids debut strict-green at both SFs but the
+    # window is full — they are the FIRST rotations for the r9 window,
+    # ahead of any new anchors.)
     # r8 debut operators (debut-round certification)
     "quality_mojibake_signals",
     "quality_ccnet_buckets",

@@ -1450,3 +1450,39 @@ def pq_adc_range_search(corpus: DataFrame, queries: DataFrame,
                  / (F.col("__qn") * F.col("__nn"))).alias("cos_sim"))
         .filter(F.col("cos_sim") >= F.lit(float(threshold))))
     return exact
+
+
+def label_centroids(df: DataFrame, label_col: str, vec_col: str
+                    ) -> DataFrame:
+    """Per-label, per-dimension centroid and variance of an embedding
+    column — the cluster-health readout behind semantic dedup cells and
+    nearest-centroid classification (is each label a tight cluster, or
+    smeared across the space?).
+
+    Returns one row per (label, dim 0-based): n_vecs, mean, var.
+
+    Scale: posexplode flattens to (label, dim) in one pass and the
+    aggregate is map-side-combined onto the (|labels| x dim)-bounded
+    grid. Cross-row float sums ride the round(9)->DECIMAL quantization
+    (plans/stats recipe) so the emitted moments are engine-exact;
+    within-row values are float32-exact in double.
+    """
+    from dbt_fusion_spark.plans.stats import _d2d, _qterm
+
+    x = F.col("x").cast("double")
+    flat = (df.select(F.col(label_col).alias("label"),
+                      F.posexplode(F.col(vec_col)).alias("dim", "x"))
+              .select("label", "dim", _qterm(x).alias("xq"),
+                      _qterm(x * x).alias("xx")))
+    g = (flat.groupBy("label", "dim")
+             .agg(F.count(F.lit(1)).alias("n_vecs"),
+                  F.sum("xq").alias("s"), F.sum("xx").alias("q")))
+    nn = F.col("n_vecs").cast("double")
+    s, q = _d2d("s"), _d2d("q")
+    return g.select(
+        "label", "dim", "n_vecs",
+        F.round(s / nn, 6).alias("mean"),
+        # n = 1: sample variance undefined → NULL (ANSI mode raises on
+        # the zero divisor otherwise)
+        F.when(F.col("n_vecs") > 1,
+               F.round((q - s * s / nn) / (nn - 1), 6)).alias("var"))

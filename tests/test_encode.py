@@ -1,0 +1,92 @@
+"""Semantic unit tests for plans/encode.py + embedding centroids."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_fusion_spark.plans.encode import target_encode_loo, top_paths
+
+
+def test_target_encode_loo_hand_values(spark):
+    # cat 'a': y = [1, 1, 0] (n=3, sum=2); cat 'b': y = [0] (n=1)
+    # prior = 3/4 wait -> 2+0 = 2 of 4 = 0.5; m = 2
+    rows = [(1, "a", 1), (2, "a", 1), (3, "a", 0), (4, "b", 0)]
+    df = spark.createDataFrame(rows, "id int, cat string, y int")
+    out = {r.id: r.te for r in
+           target_encode_loo(df, ["id"], "cat", "y", m=2.0).collect()}
+    prior = 0.5
+    # row 1 (a, y=1): (2-1 + 2*0.5)/(3-1+2) = 2/4 = 0.5
+    assert out[1] == pytest.approx((2 - 1 + 2 * prior) / (3 - 1 + 2))
+    # row 3 (a, y=0): (2-0 + 1)/(4) = 0.75
+    assert out[3] == pytest.approx((2 - 0 + 2 * prior) / (3 - 1 + 2))
+    # row 4 (b, y=0, n=1): (0-0 + 1)/(0+2) = 0.5 — pure prior shrinkage
+    assert out[4] == pytest.approx((0 - 0 + 2 * prior) / (1 - 1 + 2))
+
+
+def test_target_encode_loo_never_uses_own_label(spark):
+    # two identical rows except labels: their encodings must differ by
+    # exactly 1/(n-1+m) (the swapped own-label contribution)
+    rows = [(1, "a", 1), (2, "a", 0)] + [(i, "a", 1) for i in range(3, 8)]
+    df = spark.createDataFrame(rows, "id int, cat string, y int")
+    out = {r.id: r.te for r in
+           target_encode_loo(df, ["id"], "cat", "y", m=0.0).collect()}
+    assert out[2] - out[1] == pytest.approx(1 / 6, abs=1e-6)
+
+
+def test_top_paths_counts_and_rank(spark):
+    import datetime
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 1: a b c a b c → paths a>b>c x2, b>c>a x1, c>a>b x1
+    for i, e in enumerate(["a", "b", "c", "a", "b", "c"]):
+        rows.append((1, t0 + datetime.timedelta(minutes=i), e, i))
+    # user 2: a b c → a>b>c x1
+    for i, e in enumerate(["a", "b", "c"]):
+        rows.append((2, t0 + datetime.timedelta(minutes=i), e, 10 + i))
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string, event_id int")
+    out = top_paths(df, "user_id", "ts", "event_type", "event_id",
+                    n=3, k=10).collect()
+    assert out[0].rank == 1 and out[0].path == "a>b>c" \
+        and out[0].n_occurrences == 3
+    got = {r.path: r.n_occurrences for r in out}
+    assert got == {"a>b>c": 3, "b>c>a": 1, "c>a>b": 1}
+    # ties (1-count paths) rank by path ascending
+    assert [r.path for r in out[1:]] == ["b>c>a", "c>a>b"]
+
+
+def test_top_paths_never_crosses_users(spark):
+    import datetime
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(u, t0 + datetime.timedelta(minutes=i), e, u * 10 + i)
+            for u, seq in [(1, ["a", "b"]), (2, ["c", "d"])]
+            for i, e in enumerate(seq)]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string, event_id int")
+    out = top_paths(df, "user_id", "ts", "event_type", "event_id",
+                    n=2, k=10).collect()
+    assert {r.path for r in out} == {"a>b", "c>d"}  # no b>c bridge
+
+
+def test_label_centroids_known_values(spark):
+    from dbt_fusion_spark.llm.similarity import label_centroids
+
+    rows = [(0, [1.0, 2.0]), (0, [3.0, 4.0]), (1, [10.0, 10.0])]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    out = {(r.label, r.dim): r for r in
+           label_centroids(df, "label", "embedding").collect()}
+    assert out[(0, 0)].mean == 2.0 and out[(0, 1)].mean == 3.0
+    assert out[(0, 0)].var == 2.0   # var([1,3]) sample = 2
+    assert out[(0, 0)].n_vecs == 2
+    assert out[(1, 0)].mean == 10.0
+
+
+def test_label_centroids_single_vector_var_undefined(spark):
+    from dbt_fusion_spark.llm.similarity import label_centroids
+
+    df = spark.createDataFrame([(1, [5.0])],
+                               "label int, embedding array<float>")
+    r = label_centroids(df, "label", "embedding").collect()[0]
+    # (q - s*s/1)/0 → NULL or NaN — must not be a finite number
+    assert r.var is None or r.var != r.var
