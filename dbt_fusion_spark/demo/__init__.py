@@ -106,10 +106,10 @@ GATE_WINDOW: list[str] = [
     "orders_pareto_abc",
     "quality_isotonic_calibration",
     # (stats_benford_totalprice, events_dow_seasonality,
-    # feature_target_encode_orders, events_top_paths, and
-    # embedding_label_centroids debut strict-green at both SFs but the
-    # window is full — they are the FIRST rotations for the r9 window,
-    # ahead of any new anchors.)
+    # feature_target_encode_orders, events_top_paths,
+    # embedding_label_centroids, and streaming_psi_drift_monitor debut
+    # strict-green at both SFs but the window is full — they are the
+    # FIRST rotations for the r9 window, ahead of any new anchors.)
     # r8 debut operators (debut-round certification)
     "quality_mojibake_signals",
     "quality_ccnet_buckets",

@@ -616,3 +616,102 @@ def events_dow_seasonality(spark, sf_dir):
     windows."""
     ev = load_table(spark, sf_dir, "events")
     return S.seasonal_index_dow(ev, "event_type", "ts", "value")
+
+
+@register(
+    "streaming_psi_drift_monitor",
+    # oracle = the same PSI algebra restated in batch: baseline bins
+    # (eps-floored when the window missed them) + observed-extra bins;
+    # per-term round(9)->DECIMAL sums per window; append mode holds the
+    # trailing open window (window_end > max ts), so the oracle
+    # excludes it — the volume-monitor emission rule.
+    oracle="""
+    WITH base AS (
+      SELECT CAST(floor("value" / 50.0) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE ts < TIMESTAMP '2024-01-11' GROUP BY 1),
+    baseline AS (
+      SELECT bin, CAST(n AS DOUBLE)
+                  / CAST(SUM(n) OVER () AS BIGINT) AS base_frac
+      FROM base),
+    win AS (
+      SELECT date_trunc('day', ts) AS ws,
+             CAST(floor("value" / 50.0) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    tw AS (SELECT ws, CAST(SUM(n) AS BIGINT) AS total
+           FROM win GROUP BY ws),
+    grid AS (
+      SELECT w.ws, b.bin, b.base_frac FROM
+      (SELECT DISTINCT ws FROM win) w CROSS JOIN baseline b),
+    bterm AS (
+      SELECT g.ws,
+        CAST(round(
+          (greatest(g.base_frac, 1e-6)
+           - greatest(CASE WHEN t.n IS NOT NULL
+                           THEN CAST(t.n AS DOUBLE) / tw.total
+                           ELSE 0.0 END, 1e-6))
+          * ln(greatest(g.base_frac, 1e-6)
+               / greatest(CASE WHEN t.n IS NOT NULL
+                               THEN CAST(t.n AS DOUBLE) / tw.total
+                               ELSE 0.0 END, 1e-6)), 9)
+          AS DECIMAL(20,9)) AS term
+      FROM grid g
+      JOIN tw ON tw.ws = g.ws
+      LEFT JOIN win t ON t.ws = g.ws AND t.bin = g.bin),
+    xterm AS (
+      SELECT t.ws,
+        CAST(round(
+          (1e-6 - CAST(t.n AS DOUBLE) / tw.total)
+          * ln(1e-6 / (CAST(t.n AS DOUBLE) / tw.total)), 9)
+          AS DECIMAL(20,9)) AS term
+      FROM win t JOIN tw ON tw.ws = t.ws
+      LEFT JOIN baseline b ON b.bin = t.bin
+      WHERE b.bin IS NULL),
+    terms AS (SELECT * FROM bterm UNION ALL SELECT * FROM xterm),
+    psi AS (SELECT ws, SUM(term) AS p FROM terms GROUP BY ws)
+    SELECT CAST(psi.ws AS TIMESTAMP) AS window_start,
+           psi.ws + INTERVAL 1 DAY AS window_end,
+           tw.total AS n_rows,
+           round(CAST(psi.p AS DOUBLE), 6) AS psi,
+           CAST(psi.p AS DOUBLE) > 0.05 AS is_drift
+    FROM psi JOIN tw ON tw.ws = psi.ws
+    WHERE psi.ws + INTERVAL 1 DAY <= (SELECT max(ts) FROM events)
+    """,
+)
+def streaming_psi_drift_monitor(spark, sf_dir):
+    """Streaming distribution-drift monitor (streaming/structured.py
+    streaming_psi_monitor): per-day PSI of the live value stream
+    against the first-10-days baseline histogram — the streaming twin
+    of drift_psi_order_value (batch psi_drift IS the baseline source).
+    Two chained stateful windowed aggregates (Spark >= 3.4), PSI as
+    order-free decimal HOF folds in the final projection; availableNow
+    run over restaged parquet equals the batch algebra (oracle)."""
+    import tempfile
+    import uuid
+
+    from dbt_fusion_spark.streaming import streaming_psi_monitor as mon
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value",
+        F.col("ts").cast("timestamp").alias("ts"))
+    hist = (ev.filter(F.col("ts") < F.lit("2024-01-11").cast("timestamp"))
+              .select(F.floor(F.col("value") / 50.0).cast("bigint")
+                      .alias("bin"))
+              .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
+    from pyspark.sql import Window as W
+    t = F.sum("n").over(W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing)).cast("bigint")
+    baseline = hist.select("bin", (F.col("n").cast("double") / t)
+                           .alias("base_frac"))
+    staging = tempfile.mkdtemp(prefix="dfs-psimon-src-")
+    ev.write.mode("overwrite").parquet(staging)
+    stream = spark.readStream.schema(ev.schema).parquet(staging)
+    name = f"psimon_{uuid.uuid4().hex[:8]}"
+    q = (mon(stream, baseline, bin_width=50.0, threshold=0.05)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="dfs-psimon-ck-"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)

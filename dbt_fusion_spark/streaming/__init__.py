@@ -6,6 +6,7 @@ from dbt_fusion_spark.streaming.structured import (  # noqa: F401
     streaming_winnow_ingest,
     streaming_dedup,
     streaming_merge,
+    streaming_psi_monitor,
     streaming_table,
     streaming_volume_monitor,
     windowed_aggregate,

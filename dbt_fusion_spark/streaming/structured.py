@@ -421,3 +421,82 @@ def streaming_winnow_ingest(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def streaming_psi_monitor(events: DataFrame, baseline_hist: DataFrame,
+                          value_col: str = "value",
+                          event_time: str = "ts",
+                          window_size: str = "1 day",
+                          watermark: str = "0 seconds",
+                          bin_width: float = 50.0,
+                          eps: float = 1e-6,
+                          threshold: float = 0.2) -> DataFrame:
+    """Live distribution-drift monitor: per-window PSI of a value
+    column against a PRECOMPUTED baseline histogram (bin, base_frac) —
+    the streaming twin of plans/stats.psi_drift (whose batch run over a
+    reference period IS the natural baseline source).
+
+    Two chained stateful operators (Spark >= 3.4): a watermarked
+    (window, bin) count, then a per-window rollup that collects the
+    bounded histogram (state = range/bin_width structs per window,
+    bounded by construction — never raw rows).  The PSI itself is two
+    JVM higher-order folds over the collected histogram and the
+    broadcast baseline array: one term per baseline bin (eps-floored
+    when the window missed it), one per observed bin absent from the
+    baseline.  Terms round(9)-quantize into DECIMAL(38,9) inside the
+    fold accumulator, so the emitted PSI is independent of
+    collect_list order (the plans/stats float recipe).
+    """
+    win_col = F.window(event_time, window_size)
+    hist = (events
+            .withWatermark(event_time, watermark)
+            .groupBy(win_col.alias("win"),
+                     F.floor(F.col(value_col) / F.lit(bin_width))
+                      .cast("bigint").alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n")))
+    obs = (hist.groupBy(F.window(F.col("win"), window_size).alias("w"))
+               .agg(F.collect_list(F.struct("bin", "n")).alias("__obs"),
+                    F.sum("n").alias("__total")))
+    base = F.broadcast(
+        baseline_hist
+        .select(F.lit(1).alias("__k"),
+                F.col("bin").cast("bigint").alias("bin"),
+                F.col("base_frac").cast("double").alias("base_frac"))
+        .groupBy("__k")
+        .agg(F.collect_list(F.struct("bin", "base_frac"))
+             .alias("__base")))
+    j = obs.withColumn("__k", F.lit(1)).join(base, "__k")
+    # q(bin) = observed fraction (eps floor); p = baseline fraction.
+    # fold accumulator is DECIMAL(28,9): acc(28,9) + term(20,9) widens
+    # to (29,9), cast back exactly — a (38,9) accumulator would widen
+    # past precision 38 and Spark would silently reduce the scale
+    # (the CUSUM lesson in plans/stats.py).
+    term_base = F.expr(f"""
+      aggregate(__base, CAST(0 AS DECIMAL(28,9)), (acc, b) ->
+        CAST(acc + CAST(round(
+          (greatest(b.base_frac, {eps}D)
+           - greatest(coalesce(
+               CAST(get(filter(__obs, o -> o.bin = b.bin), 0).n AS DOUBLE)
+               / __total, 0D), {eps}D))
+          * ln(greatest(b.base_frac, {eps}D)
+               / greatest(coalesce(
+                   CAST(get(filter(__obs, o -> o.bin = b.bin), 0).n AS DOUBLE)
+                   / __total, 0D), {eps}D)), 9) AS DECIMAL(20,9))
+        AS DECIMAL(28,9)))
+    """)
+    term_extra = F.expr(f"""
+      aggregate(filter(__obs,
+                       o -> NOT exists(__base, b -> b.bin = o.bin)),
+        CAST(0 AS DECIMAL(28,9)), (acc, o) ->
+        CAST(acc + CAST(round(
+          ({eps}D - CAST(o.n AS DOUBLE) / __total)
+          * ln({eps}D / (CAST(o.n AS DOUBLE) / __total)), 9)
+        AS DECIMAL(20,9)) AS DECIMAL(28,9)))
+    """)
+    psi = (term_base + term_extra).cast("double")
+    return j.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.col("__total").alias("n_rows"),
+        F.round(psi, 6).alias("psi"),
+        (psi > threshold).alias("is_drift"))

@@ -342,3 +342,52 @@ def test_dow_seasonality_weighted_identity(spark):
     alln = sum(r.n_days for r in out)
     # dow_mean emits round(6), so the identity holds at ~1e-6
     assert tot / alln == pytest.approx(out[0].overall_mean, abs=1e-5)
+
+
+# ----------------------------------------------------------- streaming PSI
+def test_streaming_psi_monitor_flags_drifted_day(spark):
+    """A day whose value distribution shifts against the baseline must
+    flag, quiet days must not — end-to-end through the two chained
+    stateful aggregates and the decimal HOF fold."""
+    import datetime
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from dbt_fusion_spark.streaming import streaming_psi_monitor
+
+    rows = []
+    t0 = datetime.datetime(2024, 3, 1)
+    for d in range(4):
+        for i in range(200):
+            # days 0-2: values 0..99; day 3: shifted to 300..399
+            v = float((i * 7) % 100) + (300.0 if d == 3 else 0.0)
+            rows.append((d * 200 + i,
+                         t0 + datetime.timedelta(days=d, seconds=i), v))
+    # one late row on day 4 so the watermark passes day 3's end and the
+    # drifted window actually emits in append mode
+    rows.append((9999, t0 + datetime.timedelta(days=4, seconds=5), 1.0))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    baseline = (ev.filter(F.col("ts") < t0 + datetime.timedelta(days=3))
+                .select(F.floor(F.col("value") / 20.0).cast("bigint")
+                        .alias("bin"))
+                .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
+    tot = baseline.agg(F.sum("n")).collect()[0][0]
+    baseline = baseline.select(
+        "bin", (F.col("n").cast("double") / float(tot)).alias("base_frac"))
+    staging = tempfile.mkdtemp(prefix="dfs-psi-test-")
+    ev.write.mode("overwrite").parquet(staging)
+    stream = spark.readStream.schema(ev.schema).parquet(staging)
+    name = f"psit_{uuid.uuid4().hex[:8]}"
+    q = (streaming_psi_monitor(stream, baseline, bin_width=20.0,
+                               threshold=0.5)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", tempfile.mkdtemp())
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    out = {r.window_start.day: r for r in spark.table(name).collect()}
+    assert not out[1].is_drift and not out[2].is_drift \
+        and not out[3].is_drift
+    assert out[4].is_drift           # the shifted day (March 4)
+    assert out[4].psi > 5.0          # fully disjoint support
