@@ -105,11 +105,14 @@ GATE_WINDOW: list[str] = [
     "stats_gini_revenue_nation",
     "orders_pareto_abc",
     "quality_isotonic_calibration",
-    # (stats_benford_totalprice, events_dow_seasonality,
-    # feature_target_encode_orders, events_top_paths,
-    # embedding_label_centroids, and streaming_psi_drift_monitor debut
-    # strict-green at both SFs but the window is full — they are the
-    # FIRST rotations for the r9 window, ahead of any new anchors.)
+    # (The late-r8 debuts past this point are strict-green at both SFs
+    # but the window is full — they are the FIRST rotations for the r9
+    # window, ahead of any new anchors: stats_benford_totalprice,
+    # events_dow_seasonality, feature_target_encode_orders,
+    # events_top_paths, embedding_label_centroids,
+    # streaming_psi_drift_monitor, feature_winsorize_orders,
+    # feature_zscore_events, dq_functional_dependency,
+    # events_metric_correlations.)
     # r8 debut operators (debut-round certification)
     "quality_mojibake_signals",
     "quality_ccnet_buckets",

@@ -122,3 +122,164 @@ def embedding_label_centroids(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return label_centroids(emb, "label", "embedding")
+
+
+@register(
+    "feature_winsorize_orders",
+    # exact [1,99] percentiles per priority from the integer grid walk
+    # (cum*100 >= p*total, lower convention); clip is pure projection.
+    oracle="""
+    WITH grid AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS val,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2),
+    cum AS (
+      SELECT *,
+        CAST(SUM(n) OVER (PARTITION BY grp) AS BIGINT) AS total,
+        CAST(SUM(n) OVER (PARTITION BY grp ORDER BY val
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS c
+      FROM grid),
+    lo AS (SELECT grp, MIN(val) AS lo FROM cum
+           WHERE c * 100 >= 1 * total GROUP BY grp),
+    hi AS (SELECT grp, MIN(val) AS hi FROM cum
+           WHERE c * 100 >= 99 * total GROUP BY grp),
+    b AS (SELECT lo.grp, lo.lo, hi.hi FROM lo JOIN hi ON lo.grp = hi.grp)
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+           least(greatest(o.o_totalprice, b.lo), b.hi) AS clipped,
+           CASE WHEN o.o_totalprice < b.lo THEN 'lo'
+                WHEN o.o_totalprice > b.hi THEN 'hi'
+                ELSE 'none' END AS clip_side
+    FROM orders o JOIN b ON o.o_orderpriority = b.grp
+    """,
+)
+def feature_winsorize_orders(spark, sf_dir):
+    """Winsorize order totals to their priority group's exact [1, 99]
+    percentiles — the heavy-tail guard before any moment-based feature.
+    Percentiles from the integer grid walk; clipping is a broadcast
+    join + projection."""
+    from dbt_fusion_spark.plans.encode import winsorize_clip
+
+    orders = load_table(spark, sf_dir, "orders")
+    return winsorize_clip(orders, ["o_orderkey"], "o_orderpriority",
+                          "o_totalprice", p_lo=1, p_hi=99)
+
+
+@register(
+    "feature_zscore_events",
+    # per-type moments on DECIMAL-exact sums -> broadcast -> z; the
+    # emitted moments and z round(6) (all O(1..100) magnitudes).
+    oracle="""
+    WITH st AS (
+      SELECT event_type AS g, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST("value" AS DECIMAL(18,6))) AS s,
+             SUM(CAST("value" AS DECIMAL(19,6))
+                 * CAST("value" AS DECIMAL(19,6))) AS q
+      FROM events GROUP BY 1),
+    m AS (
+      SELECT g,
+        CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        CASE WHEN n > 1 THEN
+          sqrt((CAST(CAST(q AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                  / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+        END AS sd
+      FROM st)
+    SELECT e.event_id, e.event_type, e."value",
+           round(m.mu, 6) AS group_mean,
+           round(m.sd, 6) AS group_stddev,
+           CASE WHEN m.sd > 0
+                THEN round((e."value" - m.mu) / m.sd, 6) END AS z
+    FROM events e JOIN m ON e.event_type = m.g
+    """,
+)
+def feature_zscore_events(spark, sf_dir):
+    """Per-type z-score standardization of event values — the unit-
+    variance transform. One grid aggregate, broadcast back."""
+    from dbt_fusion_spark.plans.encode import standardize_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    return standardize_zscore(ev, ["event_id"], "event_type", "value")
+
+
+@register(
+    "dq_functional_dependency",
+    # det->dep audit rolled to the bounded cardinality histogram:
+    # how many order keys carry exactly k distinct return flags.
+    oracle="""
+    WITH pairs AS (
+      SELECT l_orderkey AS det, l_returnflag AS dep, COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2),
+    fd AS (
+      SELECT det, CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_dep_values
+      FROM pairs GROUP BY det)
+    SELECT n_dep_values, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           n_dep_values > 1 AS is_violation
+    FROM fd GROUP BY n_dep_values
+    """,
+)
+def dq_functional_dependency(spark, sf_dir):
+    """Functional-dependency audit: does l_orderkey determine
+    l_returnflag? (It doesn't — a multi-line order can mix returned and
+    kept lines; the histogram quantifies by how much.) The per-key
+    audit rolls up to the bounded dependency-cardinality histogram for
+    the gate."""
+    from dbt_fusion_spark.plans.profile import functional_dependency
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fd = functional_dependency(li, "l_orderkey", "l_returnflag")
+    return (fd.groupBy("n_dep_values")
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 F.sum("n_rows").alias("n_rows"))
+            .select("n_dep_values", "n_keys", "n_rows",
+                    (F.col("n_dep_values") > 1).alias("is_violation")))
+
+
+@register(
+    "events_metric_correlations",
+    # daily per-type rollup (DECIMAL-exact), pairwise join on day over
+    # the bounded (types x days) grid, Pearson from moment sums.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS k, date_trunc('day', ts) AS d,
+             SUM(CAST("value" AS DECIMAL(18,6))) AS dv
+      FROM events GROUP BY 1, 2),
+    pair AS (
+      SELECT a.k AS key_a, b.k AS key_b,
+             CAST(a.dv AS DECIMAL(19,6)) AS va,
+             CAST(b.dv AS DECIMAL(19,6)) AS vb
+      FROM daily a JOIN daily b ON a.d = b.d AND a.k < b.k),
+    m AS (
+      SELECT key_a, key_b, CAST(COUNT(*) AS BIGINT) AS n_days,
+             SUM(va) AS sx, SUM(vb) AS sy,
+             SUM(va * va) AS sxx, SUM(vb * vb) AS syy,
+             SUM(va * vb) AS sxy
+      FROM pair GROUP BY 1, 2)
+    SELECT key_a, key_b, n_days,
+      round((CAST(n_days AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+             - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+               * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+            / sqrt((CAST(n_days AS DOUBLE)
+                    * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                      * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                   * (CAST(n_days AS DOUBLE)
+                      * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                      - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(sy AS VARCHAR) AS DOUBLE))), 6)
+        AS corr
+    FROM m
+    """,
+)
+def events_metric_correlations(spark, sf_dir):
+    """Pairwise Pearson correlation matrix of per-type daily value
+    series — which metrics move together (redundant) or apart
+    (inversely coupled). Pair join runs on the bounded (types x days)
+    rollup, never on raw rows."""
+    from dbt_fusion_spark.plans.stats import metric_correlations
+
+    ev = load_table(spark, sf_dir, "events")
+    return metric_correlations(ev, "event_type", "ts", "value")

@@ -88,3 +88,97 @@ def top_paths(df: DataFrame, user_col: str, time_col: str,
     return (grams.withColumn("rank", F.row_number().over(wr))
                  .filter(F.col("rank") <= k)
                  .select("rank", "path", "n_occurrences"))
+
+
+def exact_quantile_grid(df: DataFrame, group_col: str, value_col: str,
+                        percents: Sequence[int]) -> DataFrame:
+    """Exact per-group percentiles by the distribution-grid walk
+    (plans/profile.weighted_median generalized to arbitrary integer
+    percents): the percentile is the smallest value whose cumulative
+    count satisfies the INTEGER comparison ``cum * 100 >= p * total``
+    — no interpolation, no float compare, the result is a value from
+    the data.
+
+    Returns one row per (group, percent) with the value.
+
+    Scale: one (group, value) aggregate; per-group bounded-grid
+    cumulative window; one selection aggregate per percent.
+    """
+    grid = (df.groupBy(F.col(group_col).alias("grp"),
+                       F.col(value_col).alias("val"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    wg = Window.partitionBy("grp")
+    wcum = (Window.partitionBy("grp").orderBy("val")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (grid.withColumn("total", F.sum("n").over(wg))
+               .withColumn("cum", F.sum("n").over(wcum)))
+    picks = None
+    for p in percents:
+        hit = (cum.filter(F.col("cum") * 100 >= F.lit(int(p))
+                          * F.col("total"))
+                  .groupBy("grp")
+                  .agg(F.min("val").alias("value"))
+                  .withColumn("percent", F.lit(int(p))))
+        picks = hit if picks is None else picks.unionByName(hit)
+    return picks.select(F.col("grp").alias(group_col), "percent", "value")
+
+
+def winsorize_clip(df: DataFrame, id_cols: Sequence[str], group_col: str,
+                   value_col: str, p_lo: int = 1,
+                   p_hi: int = 99) -> DataFrame:
+    """Winsorization: clip a value to its group's exact [p_lo, p_hi]
+    percentiles — the standard heavy-tail guard before any moment-based
+    feature or model sees the column.
+
+    Returns the id columns, group, raw value, clipped value, and a
+    clip-direction flag.
+
+    Scale: percentile bounds come from exact_quantile_grid (bounded
+    grid walks) and broadcast back onto the rows — one scan + one
+    broadcast join, no per-row shuffle.
+    """
+    qs = exact_quantile_grid(df, group_col, value_col, [p_lo, p_hi])
+    bounds = (qs.groupBy(group_col)
+                .agg(F.min(F.when(F.col("percent") == p_lo,
+                                  F.col("value"))).alias("__lo"),
+                     F.min(F.when(F.col("percent") == p_hi,
+                                  F.col("value"))).alias("__hi")))
+    v = F.col(value_col)
+    clipped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    return (df.join(F.broadcast(bounds), group_col)
+            .select(*id_cols, group_col, value_col,
+                    clipped.alias("clipped"),
+                    F.when(v < F.col("__lo"), F.lit("lo"))
+                     .when(v > F.col("__hi"), F.lit("hi"))
+                     .otherwise(F.lit("none")).alias("clip_side")))
+
+
+def standardize_zscore(df: DataFrame, id_cols: Sequence[str],
+                       group_col: str, value_col: str) -> DataFrame:
+    """Per-group z-score standardization — the unit-variance feature
+    transform. Group moments ride exact DECIMAL sums (broadcast back),
+    so z doubles are partition-order-free.
+
+    Scale: one grid aggregate + broadcast join; n=1 or constant groups
+    emit NULL z (ANSI-safe, no zero divisor).
+    """
+    from dbt_fusion_spark.plans.stats import _d2d, _dec
+
+    v = _dec(value_col)
+    stats = (df.groupBy(F.col(group_col).alias("__g"))
+               .agg(F.count(F.lit(1)).alias("__n"),
+                    F.sum(v).alias("__s"), F.sum(v * v).alias("__q")))
+    nn = F.col("__n").cast("double")
+    s, q = _d2d("__s"), _d2d("__q")
+    stats = stats.select(
+        "__g", (s / nn).alias("__mu"),
+        F.when(F.col("__n") > 1,
+               F.sqrt((q - s * s / nn) / (nn - 1))).alias("__sd"))
+    z = F.when(F.col("__sd") > 0,
+               (F.col(value_col) - F.col("__mu")) / F.col("__sd"))
+    return (df.join(F.broadcast(stats),
+                    df[group_col] == F.col("__g"))
+            .select(*id_cols, group_col, value_col,
+                    F.round(F.col("__mu"), 6).alias("group_mean"),
+                    F.round(F.col("__sd"), 6).alias("group_stddev"),
+                    F.round(z, 6).alias("z")))

@@ -148,3 +148,26 @@ def mad_outliers(df: DataFrame, group_col: str, value_col: str,
                     (F.col("__adev")
                      > F.lit(float(k)) * F.col("__mad"))
                     .alias("is_outlier")))
+
+
+def functional_dependency(df: DataFrame, det_col: str,
+                          dep_col: str) -> DataFrame:
+    """Functional-dependency audit: does `det_col` determine `dep_col`?
+
+    Returns one row per determinant value with its row count, the
+    number of distinct dependent values, and the violation flag
+    (> 1 distinct dependent) — the relational integrity check behind
+    'is this key actually a key' / 'did the join fan out'.
+
+    Scale: one (det, dep) distinct-pair aggregate, then a det-keyed
+    rollup — both map-side-combined; no windows, no joins.
+    """
+    pairs = (df.groupBy(F.col(det_col).alias("det"),
+                        F.col(dep_col).alias("dep"))
+               .agg(F.count(F.lit(1)).alias("n")))
+    return (pairs.groupBy("det")
+            .agg(F.sum("n").alias("n_rows"),
+                 F.count(F.lit(1)).alias("n_dep_values"))
+            .select(F.col("det").alias(det_col), "n_rows",
+                    "n_dep_values",
+                    (F.col("n_dep_values") > 1).alias("is_violation")))

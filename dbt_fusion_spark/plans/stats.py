@@ -608,3 +608,45 @@ def seasonal_index_dow(df: DataFrame, key_col: str, time_col: str,
         F.round(dmean, 6).alias("dow_mean"),
         F.round(omean, 6).alias("overall_mean"),
         F.round(dmean / omean, 6).alias("seasonal_index"))
+
+
+# ------------------------------------------------------ metric correlations
+def metric_correlations(df: DataFrame, key_col: str, time_col: str,
+                        value_col) -> DataFrame:
+    """Pairwise Pearson correlation between the daily series of each
+    pair of keys — the metric-correlation matrix an observability
+    stack computes to find redundant or inversely-coupled signals.
+
+    Returns one row per unordered key pair (key_a < key_b) with the
+    number of shared days and the correlation over them.
+
+    Scale: the raw scan reduces to (key, day) once; the pairwise
+    self-join runs on that bounded rollup (|keys| x days rows) joined
+    on day — the metric set is bounded by definition, so the pair
+    table is (|keys|^2 x days). Moment sums ride exact DECIMALs.
+    """
+    v = _dec(value_col) if isinstance(value_col, str) \
+        else value_col.cast(D186)
+    daily = (df.groupBy(F.col(key_col).alias("k"),
+                        F.date_trunc("day", F.col(time_col)).alias("d"))
+               .agg(F.sum(v).alias("dv")))
+    a = daily.select(F.col("k").alias("key_a"), "d",
+                     F.col("dv").alias("va"))
+    b = daily.select(F.col("k").alias("key_b"), "d",
+                     F.col("dv").alias("vb"))
+    pair = (a.join(b, "d").filter(F.col("key_a") < F.col("key_b")))
+    va, vb = F.col("va").cast("decimal(19,6)"), \
+        F.col("vb").cast("decimal(19,6)")
+    m = (pair.groupBy("key_a", "key_b")
+             .agg(F.count(F.lit(1)).alias("n_days"),
+                  F.sum(va).alias("sx"), F.sum(vb).alias("sy"),
+                  F.sum(va * va).alias("sxx"),
+                  F.sum(vb * vb).alias("syy"),
+                  F.sum(va * vb).alias("sxy")))
+    nn = F.col("n_days").cast("double")
+    sx, sy = _d2d("sx"), _d2d("sy")
+    sxx, syy, sxy = _d2d("sxx"), _d2d("syy"), _d2d("sxy")
+    corr = ((nn * sxy - sx * sy)
+            / F.sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy)))
+    return m.select("key_a", "key_b", "n_days",
+                    F.round(corr, 6).alias("corr"))

@@ -90,3 +90,74 @@ def test_label_centroids_single_vector_var_undefined(spark):
     r = label_centroids(df, "label", "embedding").collect()[0]
     # (q - s*s/1)/0 → NULL or NaN — must not be a finite number
     assert r.var is None or r.var != r.var
+
+
+def test_exact_quantile_grid_known(spark):
+    from dbt_fusion_spark.plans.encode import exact_quantile_grid
+
+    rows = [("g", float(i)) for i in range(1, 101)]  # 1..100
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.percent: r.value for r in
+           exact_quantile_grid(df, "g", "v", [1, 50, 99]).collect()}
+    # lower convention: smallest v with cum*100 >= p*total
+    assert out[1] == 1.0 and out[50] == 50.0 and out[99] == 99.0
+
+
+def test_winsorize_clip_bounds_and_flags(spark):
+    from dbt_fusion_spark.plans.encode import winsorize_clip
+
+    rows = [(i, "g", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id int, g string, v double")
+    out = {r.id: r for r in
+           winsorize_clip(df, ["id"], "g", "v", 5, 95).collect()}
+    assert out[1].clipped == 5.0 and out[1].clip_side == "lo"
+    assert out[100].clipped == 95.0 and out[100].clip_side == "hi"
+    assert out[50].clipped == 50.0 and out[50].clip_side == "none"
+
+
+def test_standardize_zscore_unit_variance(spark):
+    from dbt_fusion_spark.plans.encode import standardize_zscore
+
+    rows = [(i, "g", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id int, g string, v double")
+    out = standardize_zscore(df, ["id"], "g", "v").collect()
+    zs = [r.z for r in out]
+    n = len(zs)
+    assert sum(zs) / n == pytest.approx(0.0, abs=1e-6)
+    assert sum(z * z for z in zs) / (n - 1) == pytest.approx(1.0, abs=1e-4)
+    # constant group: NULL z
+    const = spark.createDataFrame([(1, "c", 5.0), (2, "c", 5.0)],
+                                  "id int, g string, v double")
+    out = standardize_zscore(const, ["id"], "g", "v").collect()
+    assert all(r.z is None for r in out)
+
+
+def test_functional_dependency_audit(spark):
+    from dbt_fusion_spark.plans.profile import functional_dependency
+
+    rows = [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, "c")]
+    df = spark.createDataFrame(rows, "k int, d string")
+    out = {r.k: r for r in functional_dependency(df, "k", "d").collect()}
+    assert not out[1].is_violation and out[1].n_dep_values == 1
+    assert out[2].is_violation and out[2].n_dep_values == 2
+    assert out[1].n_rows == 2 and out[3].n_rows == 1
+
+
+def test_metric_correlations_signs(spark):
+    import datetime
+
+    from dbt_fusion_spark.plans.stats import metric_correlations
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for d in range(20):
+        ts = t0 + datetime.timedelta(days=d, hours=1)
+        rows.append(("up", ts, float(d)))          # rises
+        rows.append(("up2", ts, 2.0 * d + 5.0))    # rises with it
+        rows.append(("down", ts, float(100 - d)))  # falls
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {(r.key_a, r.key_b): r.corr for r in
+           metric_correlations(df, "k", "ts", "v").collect()}
+    assert out[("up", "up2")] == pytest.approx(1.0, abs=1e-6)
+    assert out[("down", "up")] == pytest.approx(-1.0, abs=1e-6)
+    assert out[("down", "up2")] == pytest.approx(-1.0, abs=1e-6)
