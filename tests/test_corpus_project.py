@@ -94,3 +94,25 @@ def test_dedup_models_compose_new_operators(first_run, spark, schema):
                 .select("doc_id").collect()}
     for r in pairs.select("id_a", "id_b").collect():
         assert r["id_a"] in mart_ids and r["id_b"] in mart_ids
+
+
+def test_drift_report_composes_stats_operator(first_run, spark, schema):
+    """The late-r8 PSI operator runs AS a python model: the report
+    equals the direct algebra over the staged docs, and identical
+    halves of a symmetric corpus stay under the 0.2 line."""
+    from dbt_fusion_spark.plans.stats import psi_drift
+
+    docs = (load_table(spark, SF_DIR, "documents")
+            .filter(F.col("text").isNotNull()
+                    & (F.length(F.trim(F.col("text"))) > 0)))
+    expected = psi_drift(docs.filter(F.col("doc_id") % 2 == 0),
+                         docs.filter(F.col("doc_id") % 2 == 1),
+                         "n_chars", bin_width=200.0)
+    got = spark.table(f"{schema}.drift_report")
+    assert got.count() == expected.count() > 0
+    e = {r.bin: r for r in expected.collect()}
+    for r in got.collect():
+        assert r.psi_total == e[r.bin].psi_total
+        assert r.psi_term == e[r.bin].psi_term
+    # even/odd halves of one corpus: no real drift
+    assert got.collect()[0].psi_total < 0.2

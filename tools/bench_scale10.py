@@ -73,6 +73,17 @@ QUERY_SET = [
     "quality_novelty_ngrams",
     "events_weighted_median",
     "corpus_js_divergence",
+    # late r8: the row-scaling stats/feature operators — per-row
+    # emissions over 10x orders/lineitem/events (winsorize, target
+    # encode, zscore via FD rollup), the per-group Lorenz ladder, the
+    # LEAD-window path n-grams, and the bounded-grid PAV fit (its
+    # first aggregate scans 10x rows; the minimax stays n_bins^2)
+    "feature_winsorize_orders",
+    "feature_target_encode_orders",
+    "stats_gini_revenue_nation",
+    "dq_functional_dependency",
+    "events_top_paths",
+    "quality_isotonic_calibration",
 ]
 
 
