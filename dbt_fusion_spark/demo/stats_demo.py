@@ -715,3 +715,209 @@ def streaming_psi_drift_monitor(spark, sf_dir):
          .trigger(availableNow=True).start())
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@register(
+    "ab_diff_in_diff_spend",
+    # four conditional cells in one aggregate; DiD, pooled SE, t —
+    # all from DECIMAL-exact sums (19,6 products).
+    oracle=f"""
+    WITH units AS (
+      SELECT o_custkey % 2 AS grp,
+             CASE WHEN o_orderdate >= TIMESTAMP '{SPLIT}'
+                  THEN 1 ELSE 0 END AS period,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS spend
+      FROM orders GROUP BY o_custkey, 2, o_custkey % 2),
+    agg AS (
+      SELECT
+        COUNT(CASE WHEN grp = 1 AND period = 0 THEN 1 END) AS n_tpre,
+        COUNT(CASE WHEN grp = 1 AND period = 1 THEN 1 END) AS n_tpost,
+        COUNT(CASE WHEN grp <> 1 AND period = 0 THEN 1 END) AS n_cpre,
+        COUNT(CASE WHEN grp <> 1 AND period = 1 THEN 1 END) AS n_cpost,
+        SUM(CASE WHEN grp = 1 AND period = 0
+                 THEN CAST(spend AS DECIMAL(18,6)) END) AS s_tpre,
+        SUM(CASE WHEN grp = 1 AND period = 1
+                 THEN CAST(spend AS DECIMAL(18,6)) END) AS s_tpost,
+        SUM(CASE WHEN grp <> 1 AND period = 0
+                 THEN CAST(spend AS DECIMAL(18,6)) END) AS s_cpre,
+        SUM(CASE WHEN grp <> 1 AND period = 1
+                 THEN CAST(spend AS DECIMAL(18,6)) END) AS s_cpost,
+        SUM(CASE WHEN grp = 1 AND period = 0
+                 THEN CAST(spend AS DECIMAL(19,6))
+                      * CAST(spend AS DECIMAL(19,6)) END) AS q_tpre,
+        SUM(CASE WHEN grp = 1 AND period = 1
+                 THEN CAST(spend AS DECIMAL(19,6))
+                      * CAST(spend AS DECIMAL(19,6)) END) AS q_tpost,
+        SUM(CASE WHEN grp <> 1 AND period = 0
+                 THEN CAST(spend AS DECIMAL(19,6))
+                      * CAST(spend AS DECIMAL(19,6)) END) AS q_cpre,
+        SUM(CASE WHEN grp <> 1 AND period = 1
+                 THEN CAST(spend AS DECIMAL(19,6))
+                      * CAST(spend AS DECIMAL(19,6)) END) AS q_cpost
+      FROM units),
+    d AS (
+      SELECT n_tpre, n_tpost, n_cpre, n_cpost,
+        CAST(CAST(s_tpre AS VARCHAR) AS DOUBLE)
+          / CAST(n_tpre AS DOUBLE) AS m_tpre,
+        CAST(CAST(s_tpost AS VARCHAR) AS DOUBLE)
+          / CAST(n_tpost AS DOUBLE) AS m_tpost,
+        CAST(CAST(s_cpre AS VARCHAR) AS DOUBLE)
+          / CAST(n_cpre AS DOUBLE) AS m_cpre,
+        CAST(CAST(s_cpost AS VARCHAR) AS DOUBLE)
+          / CAST(n_cpost AS DOUBLE) AS m_cpost,
+        (CAST(CAST(q_tpre AS VARCHAR) AS DOUBLE)
+         - CAST(CAST(s_tpre AS VARCHAR) AS DOUBLE)
+           * CAST(CAST(s_tpre AS VARCHAR) AS DOUBLE)
+           / CAST(n_tpre AS DOUBLE))
+          / (CAST(n_tpre AS DOUBLE) - 1) / CAST(n_tpre AS DOUBLE)
+          AS v_tpre,
+        (CAST(CAST(q_tpost AS VARCHAR) AS DOUBLE)
+         - CAST(CAST(s_tpost AS VARCHAR) AS DOUBLE)
+           * CAST(CAST(s_tpost AS VARCHAR) AS DOUBLE)
+           / CAST(n_tpost AS DOUBLE))
+          / (CAST(n_tpost AS DOUBLE) - 1) / CAST(n_tpost AS DOUBLE)
+          AS v_tpost,
+        (CAST(CAST(q_cpre AS VARCHAR) AS DOUBLE)
+         - CAST(CAST(s_cpre AS VARCHAR) AS DOUBLE)
+           * CAST(CAST(s_cpre AS VARCHAR) AS DOUBLE)
+           / CAST(n_cpre AS DOUBLE))
+          / (CAST(n_cpre AS DOUBLE) - 1) / CAST(n_cpre AS DOUBLE)
+          AS v_cpre,
+        (CAST(CAST(q_cpost AS VARCHAR) AS DOUBLE)
+         - CAST(CAST(s_cpost AS VARCHAR) AS DOUBLE)
+           * CAST(CAST(s_cpost AS VARCHAR) AS DOUBLE)
+           / CAST(n_cpost AS DOUBLE))
+          / (CAST(n_cpost AS DOUBLE) - 1) / CAST(n_cpost AS DOUBLE)
+          AS v_cpost
+      FROM agg),
+    o AS (
+      SELECT *,
+        (m_tpost - m_tpre) - (m_cpost - m_cpre) AS did,
+        sqrt(v_tpre + v_tpost + v_cpre + v_cpost) AS se
+      FROM d)
+    SELECT n_tpre, n_tpost, n_cpre, n_cpost,
+           round(m_tpre, 6) AS mean_tpre,
+           round(m_tpost, 6) AS mean_tpost,
+           round(m_cpre, 6) AS mean_cpre,
+           round(m_cpost, 6) AS mean_cpost,
+           round(did, 6) AS did_estimate, round(se, 6) AS se,
+           round(did / se, 6) AS t_stat,
+           abs(did / se) > 1.959964 AS significant_95
+    FROM o
+    """,
+)
+def ab_diff_in_diff_spend(spark, sf_dir):
+    """Difference-in-differences on per-customer spend: treated =
+    odd custkeys, post = orders from 1998 — the causal-effect readout
+    when a pre-period exists (here a placebo: the estimate should be
+    statistically indistinguishable from zero). One conditional
+    aggregate to one row."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit(SPLIT).cast("timestamp")
+    units = (orders.groupBy(
+        F.col("o_custkey"),
+        (F.col("o_custkey") % 2).alias("grp"),
+        F.when(F.col("o_orderdate") >= cut, 1).otherwise(0)
+         .alias("period"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+             .cast("double").alias("spend")))
+    return S.diff_in_diff(units, "grp", "period", "spend",
+                          treat_val=1, post_val=1)
+
+
+@register(
+    "ab_mann_whitney_value",
+    # exact grid-walk U: 2U = sum n_a (2 cb + n_b), all integers;
+    # normal approximation with the standard tie correction.
+    oracle="""
+    WITH a AS (
+      SELECT "value" AS val, CAST(COUNT(*) AS BIGINT) AS na
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    b AS (
+      SELECT "value" AS val, CAST(COUNT(*) AS BIGINT) AS nb
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    grid AS (
+      SELECT val, COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+      FROM a FULL OUTER JOIN b USING (val)),
+    g AS (
+      SELECT *,
+        CAST(SUM(nb) OVER (ORDER BY val ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) - nb AS cb,
+        na + nb AS t
+      FROM grid),
+    o AS (
+      SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+             CAST(SUM(nb) AS BIGINT) AS n_b,
+             CAST(SUM(na * (2 * cb + nb)) AS BIGINT) AS u2,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+      FROM g),
+    v AS (
+      SELECT *, CAST(n_a AS DOUBLE) * n_b / 12
+             * ((CAST(n_a AS DOUBLE) + n_b + 1)
+                - CAST(ties AS DOUBLE)
+                  / ((CAST(n_a AS DOUBLE) + n_b)
+                     * (CAST(n_a AS DOUBLE) + n_b - 1))) AS var
+      FROM o)
+    SELECT n_a, n_b,
+           CAST(u2 AS DOUBLE) / 2 AS u_stat,
+           CASE WHEN var > 0 THEN
+             round((CAST(u2 AS DOUBLE) / 2
+                    - CAST(n_a AS DOUBLE) * n_b / 2) / sqrt(var), 6)
+           END AS z,
+           COALESCE(abs((CAST(u2 AS DOUBLE) / 2
+                         - CAST(n_a AS DOUBLE) * n_b / 2) / sqrt(var))
+                    > 1.959964, FALSE) AS significant_95
+    FROM v
+    """,
+)
+def ab_mann_whitney_value(spark, sf_dir):
+    """Mann-Whitney U between purchase and view event values — the
+    rank-based two-sample test that needs no normality, evaluated
+    exactly on the distinct-value grid (no per-row ranking, no global
+    sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    return S.mann_whitney_u(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"), "value")
+
+
+@register(
+    "ab_quantile_effect_acctbal",
+    # exact per-group percentiles (integer grid walk), per-percent
+    # B - A effect.
+    oracle="""
+    WITH grid AS (
+      SELECT c_mktsegment AS grp, c_acctbal AS val,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT *,
+        CAST(SUM(n) OVER (PARTITION BY grp) AS BIGINT) AS total,
+        CAST(SUM(n) OVER (PARTITION BY grp ORDER BY val
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS c
+      FROM grid),
+    picks AS (
+      SELECT grp, p.percent, MIN(val) AS value
+      FROM cum, (VALUES (10), (25), (50), (75), (90)) p(percent)
+      WHERE c * 100 >= p.percent * total
+      GROUP BY grp, p.percent)
+    SELECT percent,
+           MIN(CASE WHEN grp = 'BUILDING' THEN value END) AS value_a,
+           MIN(CASE WHEN grp = 'MACHINERY' THEN value END) AS value_b,
+           MIN(CASE WHEN grp = 'MACHINERY' THEN value END)
+             - MIN(CASE WHEN grp = 'BUILDING' THEN value END) AS effect
+    FROM picks GROUP BY percent
+    """,
+)
+def ab_quantile_effect_acctbal(spark, sf_dir):
+    """Quantile treatment effects: BUILDING vs MACHINERY account
+    balances at the 10/25/50/75/90th exact percentiles — where in the
+    distribution the difference lives (the mean comparison in
+    ab_welch_ttest_acctbal hides tail-only effects)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return S.quantile_treatment_effect(cust, "c_mktsegment", "c_acctbal",
+                                       "BUILDING", "MACHINERY",
+                                       [10, 25, 50, 75, 90])

@@ -650,3 +650,130 @@ def metric_correlations(df: DataFrame, key_col: str, time_col: str,
             / F.sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy)))
     return m.select("key_a", "key_b", "n_days",
                     F.round(corr, 6).alias("corr"))
+
+
+# ---------------------------------------------------------------------- DiD
+def diff_in_diff(df: DataFrame, group_col: str, period_col: str,
+                 value_col: str, treat_val, post_val) -> DataFrame:
+    """Difference-in-differences estimator over unit-level rows.
+
+    Input: one row per (unit, period) with its group label and metric.
+    Returns ONE row with the four cell means/sizes, the DiD estimate
+    (treated post-pre change minus control post-pre change), its
+    pooled standard error sqrt(sum s^2_cell / n_cell), the t statistic,
+    and the large-df 95 % flag.
+
+    Scale: one conditional aggregate to one row; all four cells' sums
+    and sums-of-squares ride exact DECIMALs.
+    """
+    g, p = F.col(group_col), F.col(period_col)
+    v = _dec(value_col)
+    cells = {"tpre": (g == treat_val) & (p != post_val),
+             "tpost": (g == treat_val) & (p == post_val),
+             "cpre": (g != treat_val) & (p != post_val),
+             "cpost": (g != treat_val) & (p == post_val)}
+    aggs = []
+    for name, cond in cells.items():
+        aggs += [F.count(F.when(cond, 1)).alias(f"n_{name}"),
+                 F.sum(F.when(cond, v)).alias(f"s_{name}"),
+                 F.sum(F.when(cond, v * v)).alias(f"q_{name}")]
+    agg = df.agg(*aggs)
+    means, ses = {}, []
+    for name in cells:
+        nn = F.col(f"n_{name}").cast("double")
+        s, q = _d2d(f"s_{name}"), _d2d(f"q_{name}")
+        means[name] = s / nn
+        ses.append((q - s * s / nn) / (nn - 1) / nn)
+    did = (means["tpost"] - means["tpre"]) \
+        - (means["cpost"] - means["cpre"])
+    se = F.sqrt(sum(ses[1:], ses[0]))
+    t = did / se
+    cols = [F.col(f"n_{n}") for n in cells]
+    cols += [F.round(means[n], 6).alias(f"mean_{n}") for n in cells]
+    cols += [F.round(did, 6).alias("did_estimate"),
+             F.round(se, 6).alias("se"),
+             F.round(t, 6).alias("t_stat"),
+             (F.abs(t) > 1.959964).alias("significant_95")]
+    return agg.select(*cols)
+
+
+# ------------------------------------------------------------- Mann-Whitney
+def mann_whitney_u(base: DataFrame, current: DataFrame, value_col: str,
+                   bin_width: float | None = None) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test between two samples — the
+    nonparametric complement to welch_ttest (no normality assumption,
+    robust to outliers).
+
+    Evaluated EXACTLY on the shared distinct-value grid: with per-value
+    counts n_a(v), n_b(v) and the strictly-below cumulative cb(v),
+    ``2U = sum_v n_a(v) * (2 cb(v) + n_b(v))`` — pure integers, no
+    per-row ranking, no global sort of raw rows.  The normal
+    approximation applies the standard tie correction
+    var = n_a n_b / 12 * ((n+1) - sum(t^3 - t)/(n (n-1))).
+    Returns ONE row: n_a, n_b, u_stat, z (round 6), significant_95.
+
+    Scale: two map-side-combined groupBys onto the value grid;
+    `bin_width` bounds the grid when values are near-unique at
+    planetary counts (the resolution knob, off by default); the
+    cumulative walk is one window over that grid.
+    """
+    def hist(df: DataFrame, n_name: str) -> DataFrame:
+        val = F.col(value_col)
+        if bin_width is not None:
+            val = F.floor(val / F.lit(bin_width)).cast("bigint")
+        return (df.select(val.alias("val"))
+                  .groupBy("val").agg(F.count(F.lit(1)).alias(n_name)))
+
+    grid = (hist(base, "na").join(hist(current, "nb"), "val",
+                                  "full_outer")
+            .select("val", F.coalesce("na", F.lit(0)).alias("na"),
+                    F.coalesce("nb", F.lit(0)).alias("nb")))
+    wcum = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    g = (grid.withColumn("cb",
+                         F.sum("nb").over(wcum) - F.col("nb"))
+             .withColumn("u2",
+                         F.col("na") * (2 * F.col("cb") + F.col("nb")))
+             .withColumn("t", F.col("na") + F.col("nb")))
+    out = g.agg(F.sum("na").alias("n_a"), F.sum("nb").alias("n_b"),
+                F.sum("u2").alias("u2"),
+                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+                 .alias("ties"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    u = F.col("u2").cast("double") / 2
+    mu = na * nb / 2
+    var = na * nb / 12 * ((n + 1) - F.col("ties").cast("double")
+                          / (n * (n - 1)))
+    # var = 0 (all values tied across both samples): z undefined →
+    # NULL (ANSI would raise on the zero divisor)
+    z = F.when(var > 0, (u - mu) / F.sqrt(var))
+    return out.select("n_a", "n_b", u.alias("u_stat"),
+                      F.round(z, 6).alias("z"),
+                      F.coalesce(F.abs(z) > 1.959964, F.lit(False))
+                       .alias("significant_95"))
+
+
+# ------------------------------------------------------ quantile effects
+def quantile_treatment_effect(df: DataFrame, group_col: str,
+                              value_col: str, group_a: str, group_b: str,
+                              percents) -> DataFrame:
+    """Quantile treatment effect: the per-percentile difference between
+    two groups' exact distribution-grid quantiles — where in the
+    distribution the effect lives (means hide tail-only effects).
+
+    Returns one row per percent: value_a, value_b, effect = b - a.
+
+    Scale: one exact_quantile_grid walk over the two-group frame
+    (per-group bounded grids), then a |percents|-row pivot.
+    """
+    from dbt_fusion_spark.plans.encode import exact_quantile_grid
+
+    two = df.filter(F.col(group_col).isin(group_a, group_b))
+    qs = exact_quantile_grid(two, group_col, value_col, percents)
+    pa = F.min(F.when(F.col(group_col) == group_a, F.col("value")))
+    pb = F.min(F.when(F.col(group_col) == group_b, F.col("value")))
+    return (qs.groupBy("percent")
+              .agg(pa.alias("value_a"), pb.alias("value_b"))
+              .select("percent", "value_a", "value_b",
+                      (F.col("value_b") - F.col("value_a"))
+                      .alias("effect")))

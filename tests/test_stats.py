@@ -391,3 +391,84 @@ def test_streaming_psi_monitor_flags_drifted_day(spark):
         and not out[3].is_drift
     assert out[4].is_drift           # the shifted day (March 4)
     assert out[4].psi > 5.0          # fully disjoint support
+
+
+# ---------------------------------------------------------------------- DiD
+def test_did_recovers_injected_effect(spark):
+    # control: pre 10, post 12 (trend +2). treated: pre 20, post 27
+    # (trend +2, effect +5). DiD must isolate exactly +5.
+    rows = []
+    for u in range(40):
+        treated = u % 2
+        base = 20.0 if treated else 10.0
+        noise = 0.5 if u % 4 < 2 else -0.5
+        rows.append((u, treated, 0, base + noise))
+        rows.append((u, treated, 1, base + 2.0
+                     + (5.0 if treated else 0.0) + noise))
+    df = _df(spark, rows, "unit int, grp int, period int, v double")
+    r = S.diff_in_diff(df, "grp", "period", "v",
+                       treat_val=1, post_val=1).collect()[0]
+    assert r.did_estimate == pytest.approx(5.0, abs=1e-6)
+    assert bool(r.significant_95) is True
+    assert (r.n_tpre, r.n_cpost) == (20, 20)
+
+
+def test_did_null_effect_insignificant(spark):
+    import random
+    rnd = random.Random(11)
+    rows = []
+    for u in range(200):
+        treated = u % 2
+        rows.append((u, treated, 0, 10.0 + rnd.gauss(0, 1)))
+        rows.append((u, treated, 1, 12.0 + rnd.gauss(0, 1)))
+    df = _df(spark, rows, "unit int, grp int, period int, v double")
+    r = S.diff_in_diff(df, "grp", "period", "v", 1, 1).collect()[0]
+    assert abs(r.did_estimate) < 0.5
+    assert bool(r.significant_95) is False
+
+
+# ------------------------------------------------------------- Mann-Whitney
+def test_mann_whitney_known_u(spark):
+    # a = [1,2,3], b = [4,5,6]: every b beats every a → U_a = 0
+    a = _df(spark, [(1.0,), (2.0,), (3.0,)], "v double")
+    b = _df(spark, [(4.0,), (5.0,), (6.0,)], "v double")
+    r = S.mann_whitney_u(a, b, "v").collect()[0]
+    assert r.u_stat == 0.0 and r.n_a == 3 and r.n_b == 3
+    # reversed: U_a = n_a*n_b = 9
+    r2 = S.mann_whitney_u(b, a, "v").collect()[0]
+    assert r2.u_stat == 9.0
+    # ties: a=[1,1], b=[1,1] → U = n_a*n_b/2 = 2, z undefined-ish 0/0?
+    t = _df(spark, [(1.0,), (1.0,)], "v double")
+    r3 = S.mann_whitney_u(t, t, "v").collect()[0]
+    assert r3.u_stat == 2.0
+
+
+def test_mann_whitney_agrees_with_scipy_formula(spark):
+    import random
+    rnd = random.Random(5)
+    av = [round(rnd.uniform(0, 10), 1) for _ in range(80)]
+    bv = [round(rnd.uniform(2, 12), 1) for _ in range(60)]
+    a = _df(spark, [(x,) for x in av], "v double")
+    b = _df(spark, [(x,) for x in bv], "v double")
+    r = S.mann_whitney_u(a, b, "v").collect()[0]
+    # reference U by brute force
+    u = sum((1.0 if x > y else 0.5 if x == y else 0.0)
+            for y in av for x in bv)
+    # U_a counts pairs where a-sample loses... our U: n_a*(2cb+nb)/2 =
+    # #(b<a) + 0.5 #(b==a)
+    u_ref = sum((1.0 if x > y else 0.5 if x == y else 0.0)
+                for x in av for y in bv)
+    assert r.u_stat == pytest.approx(u_ref, abs=1e-9)
+
+
+# ----------------------------------------------------------------------- QTE
+def test_quantile_treatment_effect_shift(spark):
+    rows = [("a", float(i)) for i in range(1, 101)] + \
+           [("b", float(i + 10)) for i in range(1, 101)]
+    df = _df(spark, rows, "g string, v double")
+    out = {r.percent: r for r in
+           S.quantile_treatment_effect(df, "g", "v", "a", "b",
+                                       [25, 50, 75]).collect()}
+    for p in (25, 50, 75):
+        assert out[p].effect == 10.0  # uniform shift at every quantile
+        assert out[p].value_a == float(p)
