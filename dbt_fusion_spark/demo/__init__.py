@@ -113,7 +113,8 @@ GATE_WINDOW: list[str] = [
     # streaming_psi_drift_monitor, feature_winsorize_orders,
     # feature_zscore_events, dq_functional_dependency,
     # events_metric_correlations, ab_diff_in_diff_spend,
-    # ab_mann_whitney_value, ab_quantile_effect_acctbal.)
+    # ab_mann_whitney_value, ab_quantile_effect_acctbal,
+    # survival_kaplan_meier_tenure.)
     # r8 debut operators (debut-round certification)
     "quality_mojibake_signals",
     "quality_ccnet_buckets",

@@ -921,3 +921,95 @@ def ab_quantile_effect_acctbal(spark, sf_dir):
     return S.quantile_treatment_effect(cust, "c_mktsegment", "c_acctbal",
                                        "BUILDING", "MACHINERY",
                                        [10, 25, 50, 75, 90])
+
+
+@register(
+    "survival_kaplan_meier_tenure",
+    # time-to-first-purchase per user; users who never purchase are
+    # CENSORED at the end of observation. Product-limit via
+    # exp(cumsum(round(9)-DECIMAL ln terms)) on the bounded day grid.
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id),
+    cut AS (SELECT max(ts) AS maxts FROM events),
+    subj AS (
+      SELECT CASE WHEN first_purchase IS NOT NULL
+                  THEN CAST(date_diff('day', CAST(first_ts AS DATE),
+                            CAST(first_purchase AS DATE)) AS INTEGER)
+                  ELSE CAST(date_diff('day', CAST(first_ts AS DATE),
+                            CAST(maxts AS DATE)) AS INTEGER)
+             END AS days_to_purchase,
+             CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END
+               AS ev
+      FROM firsts, cut),
+    grid AS (
+      SELECT days_to_purchase AS t, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(1 - ev) AS BIGINT) AS c
+      FROM subj GROUP BY 1),
+    g AS (
+      SELECT *,
+        CAST(SUM(d + c) OVER () AS BIGINT) AS total,
+        CAST(SUM(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) AS seen
+      FROM grid),
+    r AS (SELECT *, total - seen + d + c AS n_risk FROM g),
+    w AS (
+      SELECT *,
+        CASE WHEN d >= n_risk THEN NULL
+             WHEN d > 0 THEN CAST(round(
+               ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
+               AS DECIMAL(38,9))
+             ELSE CAST(0 AS DECIMAL(38,9)) END AS term,
+        CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS deadall
+      FROM r),
+    k AS (
+      SELECT *,
+        MAX(deadall) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS anydead,
+        SUM(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS cum
+      FROM w)
+    SELECT t AS days_to_purchase, CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_events, c AS n_censored,
+           round(CAST(d AS DOUBLE) / n_risk, 6) AS hazard,
+           round(CASE WHEN anydead = 1 THEN 0.0
+                      ELSE exp(CAST(cum AS DOUBLE)) END, 6)
+             AS survival
+    FROM k
+    """,
+)
+def survival_kaplan_meier_tenure(spark, sf_dir):
+    """Kaplan-Meier time-to-first-purchase: each user's days from
+    first event to first purchase, CENSORED at end of observation for
+    users who never purchase — the conversion-latency curve a naive
+    'average days to purchase' overstates by dropping non-converters.
+    Distinct-day grid walk; product-limit as exp(cumsum(decimal ln
+    terms))."""
+    from pyspark.sql import Window as W
+
+    from dbt_fusion_spark.plans.survival import kaplan_meier
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+         .alias("first_purchase"))
+    g = W.partitionBy().rowsBetween(W.unboundedPreceding,
+                                    W.unboundedFollowing)
+    # global max ts via the grid window over per-user maxima
+    maxts = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))               .select("user_id", F.max("last_ts").over(g).alias("maxts"))
+    subj = (firsts.join(maxts, "user_id")
+            .select(
+                F.when(F.col("first_purchase").isNotNull(),
+                       F.datediff(F.col("first_purchase").cast("date"),
+                                  F.col("first_ts").cast("date")))
+                 .otherwise(
+                       F.datediff(F.col("maxts").cast("date"),
+                                  F.col("first_ts").cast("date")))
+                 .alias("days_to_purchase"),
+                F.col("first_purchase").isNotNull().cast("int")
+                 .alias("converted")))
+    return kaplan_meier(subj, "days_to_purchase", "converted")
