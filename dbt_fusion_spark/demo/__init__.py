@@ -114,7 +114,8 @@ GATE_WINDOW: list[str] = [
     # feature_zscore_events, dq_functional_dependency,
     # events_metric_correlations, ab_diff_in_diff_spend,
     # ab_mann_whitney_value, ab_quantile_effect_acctbal,
-    # survival_kaplan_meier_tenure.)
+    # survival_kaplan_meier_tenure, ab_srm_check_custkey,
+    # ab_proportion_ztest_urgent.)
     # r8 debut operators (debut-round certification)
     "quality_mojibake_signals",
     "quality_ccnet_buckets",

@@ -1013,3 +1013,92 @@ def survival_kaplan_meier_tenure(spark, sf_dir):
                 F.col("first_purchase").isNotNull().cast("int")
                  .alias("converted")))
     return kaplan_meier(subj, "days_to_purchase", "converted")
+
+
+@register(
+    "ab_srm_check_custkey",
+    # custkey % 4 allocation audited against the uniform design —
+    # chi-square on the 4-row variant grid.
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey % 4 AS variant, CAST(COUNT(*) AS BIGINT)
+               AS observed
+      FROM orders GROUP BY 1),
+    t AS (
+      SELECT *, CAST(SUM(observed) OVER () AS BIGINT) AS n,
+             0.25 AS frac
+      FROM g),
+    u AS (
+      SELECT *,
+        CAST(round(
+          (CAST(observed AS DOUBLE) - frac * n)
+          * (CAST(observed AS DOUBLE) - frac * n)
+          / (frac * n), 9) AS DECIMAL(38,9)) AS term
+      FROM t)
+    SELECT variant, observed,
+           round(frac * n, 6) AS expected,
+           CAST(term AS DOUBLE) AS contribution,
+           round(CAST(SUM(term) OVER () AS DOUBLE), 6) AS chi2_total,
+           CAST(COUNT(*) OVER () - 1 AS BIGINT) AS dof
+    FROM u
+    """,
+)
+def ab_srm_check_custkey(spark, sf_dir):
+    """Sample-ratio-mismatch check: order volume by custkey % 4 vs the
+    uniform design — the randomizer-health gate every experiment
+    readout must pass first. One grid aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    return S.srm_check(
+        orders.withColumn("variant", F.col("o_custkey") % 4),
+        "variant", {0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0})
+
+
+@register(
+    "ab_proportion_ztest_urgent",
+    # conversion = 'order is urgent or high priority'; pooled-SE
+    # two-proportion z between custkey parities.
+    oracle="""
+    WITH t AS (
+      SELECT o_custkey % 2 AS grp,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS s
+      FROM orders),
+    agg AS (
+      SELECT COUNT(CASE WHEN grp = 0 THEN 1 END) AS n_a,
+             COUNT(CASE WHEN grp = 1 THEN 1 END) AS n_b,
+             CAST(SUM(CASE WHEN grp = 0 THEN s END) AS BIGINT) AS x_a,
+             CAST(SUM(CASE WHEN grp = 1 THEN s END) AS BIGINT) AS x_b
+      FROM t),
+    d AS (
+      SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(x_a AS DOUBLE) AS xa, CAST(x_b AS DOUBLE) AS xb
+      FROM agg),
+    v AS (
+      SELECT *, xa / na AS pa, xb / nb AS pb,
+             (xa + xb) / (na + nb) AS pool
+      FROM d),
+    o AS (
+      SELECT *, sqrt(pool * (1 - pool) * (1 / na + 1 / nb)) AS se
+      FROM v)
+    SELECT '0' AS group_a, '1' AS group_b, n_a, n_b,
+           x_a AS conv_a, x_b AS conv_b,
+           round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+           round(pb - pa, 6) AS lift,
+           CASE WHEN pa > 0 THEN round((pb - pa) / pa, 6) END
+             AS rel_lift,
+           CASE WHEN se > 0 THEN round((pb - pa) / se, 6) END AS z,
+           COALESCE(abs((pb - pa) / se) > 1.959964, FALSE)
+             AS significant_95
+    FROM o
+    """,
+)
+def ab_proportion_ztest_urgent(spark, sf_dir):
+    """Two-proportion z-test of urgent/high-priority order rate between
+    custkey parities — the conversion-rate comparison, pooled SE. One
+    conditional aggregate to one row."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        (F.col("o_custkey") % 2).cast("string").alias("grp"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+         .alias("s"))
+    return S.proportion_ztest(t, "grp", "s", "0", "1")

@@ -777,3 +777,73 @@ def quantile_treatment_effect(df: DataFrame, group_col: str,
               .select("percent", "value_a", "value_b",
                       (F.col("value_b") - F.col("value_a"))
                       .alias("effect")))
+
+
+# ---------------------------------------------------------------- SRM check
+def srm_check(df: DataFrame, variant_col: str,
+              expected: dict) -> DataFrame:
+    """Sample-ratio-mismatch check: chi-square of observed variant
+    counts against the design allocation — the FIRST gate on any
+    experiment readout (a randomizer bug invalidates everything
+    downstream).
+
+    `expected` maps variant value -> design weight (normalized
+    internally).  Returns one row per variant with observed/expected
+    counts and contribution, plus the table chi2 and dof on every row.
+
+    Scale: one groupBy onto the variant grid; everything else is grid
+    windows and literals.
+    """
+    total_w = float(sum(expected.values()))
+    w = F.create_map(*[F.lit(x) for kv in expected.items()
+                       for x in (kv[0], kv[1] / total_w)])
+    g = (df.groupBy(F.col(variant_col).alias("variant"))
+           .agg(F.count(F.lit(1)).alias("observed"))
+           .withColumn("n", F.sum("observed").over(_grid()))
+           .withColumn("frac", w[F.col("variant")]))
+    e = F.col("frac") * F.col("n").cast("double")
+    o = F.col("observed").cast("double")
+    g = g.withColumn("term", _qterm((o - e) * (o - e) / e))
+    return g.select(
+        "variant", "observed",
+        F.round(e, 6).alias("expected"),
+        F.col("term").cast("double").alias("contribution"),
+        F.round(F.sum("term").over(_grid()).cast("double"), 6)
+         .alias("chi2_total"),
+        (F.count(F.lit(1)).over(_grid()) - 1).cast("bigint").alias("dof"))
+
+
+# ------------------------------------------------------- proportion z-test
+def proportion_ztest(df: DataFrame, group_col: str, success,
+                     group_a: str, group_b: str) -> DataFrame:
+    """Two-proportion z-test — THE conversion-rate comparison: pooled
+    standard error, z, and the absolute/relative lifts.
+
+    Returns ONE row: per-group n / conversions / rate, lift, relative
+    lift, z, significant_95.  Pure integer counts in, deterministic
+    doubles out — one conditional aggregate.
+    """
+    s = (F.col(success) if isinstance(success, str) else success) \
+        .cast("bigint")
+    g = F.col(group_col)
+    agg = df.filter(g.isin(group_a, group_b)).agg(
+        F.count(F.when(g == group_a, 1)).alias("n_a"),
+        F.count(F.when(g == group_b, 1)).alias("n_b"),
+        F.sum(F.when(g == group_a, s)).alias("x_a"),
+        F.sum(F.when(g == group_b, s)).alias("x_b"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    xa, xb = F.col("x_a").cast("double"), F.col("x_b").cast("double")
+    pa, pb = xa / na, xb / nb
+    pool = (xa + xb) / (na + nb)
+    se = F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    z = F.when(se > 0, (pb - pa) / se)
+    return agg.select(
+        F.lit(group_a).alias("group_a"), F.lit(group_b).alias("group_b"),
+        "n_a", "n_b", F.col("x_a").alias("conv_a"),
+        F.col("x_b").alias("conv_b"),
+        F.round(pa, 6).alias("rate_a"), F.round(pb, 6).alias("rate_b"),
+        F.round(pb - pa, 6).alias("lift"),
+        F.when(pa > 0, F.round((pb - pa) / pa, 6)).alias("rel_lift"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > 1.959964, F.lit(False))
+         .alias("significant_95"))

@@ -472,3 +472,50 @@ def test_quantile_treatment_effect_shift(spark):
     for p in (25, 50, 75):
         assert out[p].effect == 10.0  # uniform shift at every quantile
         assert out[p].value_a == float(p)
+
+
+# ----------------------------------------------------------------- SRM / z
+def test_srm_clean_allocation_low_chi2(spark):
+    rows = [(i % 2,) for i in range(1000)]
+    out = S.srm_check(_df(spark, rows, "variant int"),
+                      "variant", {0: 1.0, 1: 1.0}).collect()
+    assert out[0].chi2_total == 0.0 and out[0].dof == 1
+
+
+def test_srm_detects_mismatch(spark):
+    rows = [(0,)] * 700 + [(1,)] * 300  # designed 50/50, delivered 70/30
+    out = S.srm_check(_df(spark, rows, "variant int"),
+                      "variant", {0: 1.0, 1: 1.0}).collect()
+    # chi2 = (700-500)^2/500 * 2 = 160
+    assert out[0].chi2_total == pytest.approx(160.0, abs=1e-6)
+
+
+def test_srm_weighted_design(spark):
+    rows = [(0,)] * 900 + [(1,)] * 100  # 90/10 design delivered exactly
+    out = S.srm_check(_df(spark, rows, "variant int"),
+                      "variant", {0: 9.0, 1: 1.0}).collect()
+    assert out[0].chi2_total == 0.0
+
+
+def test_proportion_ztest_known(spark):
+    # a: 100 trials 20 conv; b: 100 trials 35 conv
+    rows = [("a", 1)] * 20 + [("a", 0)] * 80 \
+        + [("b", 1)] * 35 + [("b", 0)] * 65
+    r = S.proportion_ztest(_df(spark, rows, "g string, s int"),
+                           "g", "s", "a", "b").collect()[0]
+    assert (r.rate_a, r.rate_b) == (0.2, 0.35)
+    assert r.lift == pytest.approx(0.15) and r.rel_lift == \
+        pytest.approx(0.75)
+    import math
+    pool = 55 / 200
+    se = math.sqrt(pool * (1 - pool) * (1 / 100 + 1 / 100))
+    assert r.z == pytest.approx(0.15 / se, abs=1e-6)
+    assert bool(r.significant_95) is True
+
+
+def test_proportion_ztest_zero_rates_safe(spark):
+    rows = [("a", 0)] * 10 + [("b", 0)] * 10
+    r = S.proportion_ztest(_df(spark, rows, "g string, s int"),
+                           "g", "s", "a", "b").collect()[0]
+    assert r.z is None and bool(r.significant_95) is False
+    assert r.rel_lift is None
