@@ -51,8 +51,9 @@ SPLIT = "1998-01-01"  # orders span 1995..2001; ~median order date
     SELECT bin, base_n, cur_n,
            round(CAST(base_n AS DOUBLE) / nb, 6) AS base_frac,
            round(CAST(cur_n AS DOUBLE) / nc, 6) AS cur_frac,
-           CAST(term AS DOUBLE) AS psi_term,
-           round(CAST(SUM(term) OVER () AS DOUBLE), 6) AS psi_total
+           CAST(CAST(term AS VARCHAR) AS DOUBLE) AS psi_term,
+           round(CAST(CAST(SUM(term) OVER () AS VARCHAR) AS DOUBLE), 6)
+             AS psi_total
     FROM t
     """,
 )
@@ -291,8 +292,9 @@ def ab_cuped_order_value(spark, sf_dir):
       FROM g)
     SELECT a, b, observed,
            round(CAST(row_n * col_n AS DOUBLE) / n, 6) AS expected,
-           CAST(term AS DOUBLE) AS contribution,
-           round(CAST(SUM(term) OVER () AS DOUBLE), 6) AS chi2_total,
+           CAST(CAST(term AS VARCHAR) AS DOUBLE) AS contribution,
+           round(CAST(CAST(SUM(term) OVER () AS VARCHAR) AS DOUBLE), 6)
+             AS chi2_total,
            CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
     FROM t
     """,
@@ -343,21 +345,28 @@ def stats_chi2_priority_status(spark, sf_dir):
         SUM(dn_step) OVER (PARTITION BY event_type ORDER BY day
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd
       FROM steps),
+    mins AS (
+      SELECT *,
+        MIN(cu) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mcu,
+        MIN(cd) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mcd
+      FROM cums),
+    -- CASE, not least(): DuckDB unifies least() over wide decimals to
+    -- DOUBLE (inexact), CASE keeps DECIMAL
     walk AS (
       SELECT *,
-        cu - least(MIN(cu) OVER (PARTITION BY event_type ORDER BY day
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-          CAST(0 AS DECIMAL(20,9))) AS s_pos,
-        cd - least(MIN(cd) OVER (PARTITION BY event_type ORDER BY day
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-          CAST(0 AS DECIMAL(20,9))) AS s_neg
-      FROM cums)
-    SELECT event_type, day, n_rows,
-           CAST(zq AS DOUBLE) AS z,
-           CAST(s_pos AS DOUBLE) AS s_pos,
-           CAST(s_neg AS DOUBLE) AS s_neg,
-           CAST(s_pos AS DOUBLE) > 4.0 AS shift_up,
-           CAST(s_neg AS DOUBLE) > 4.0 AS shift_down
+        cu - (CASE WHEN mcu < CAST(0 AS DECIMAL(38,9)) THEN mcu
+                   ELSE CAST(0 AS DECIMAL(38,9)) END) AS s_pos,
+        cd - (CASE WHEN mcd < CAST(0 AS DECIMAL(38,9)) THEN mcd
+                   ELSE CAST(0 AS DECIMAL(38,9)) END) AS s_neg
+      FROM mins)
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day, n_rows,
+           CAST(CAST(zq AS VARCHAR) AS DOUBLE) AS z,
+           CAST(CAST(s_pos AS VARCHAR) AS DOUBLE) AS s_pos,
+           CAST(CAST(s_neg AS VARCHAR) AS DOUBLE) AS s_neg,
+           CAST(CAST(s_pos AS VARCHAR) AS DOUBLE) > 4.0 AS shift_up,
+           CAST(CAST(s_neg AS VARCHAR) AS DOUBLE) > 4.0 AS shift_down
     FROM walk
     """,
 )
@@ -414,7 +423,8 @@ def events_cusum_daily_volume(spark, sf_dir):
     SELECT grp AS n_name,
            MAX(n_units) AS n_units,
            CAST(CAST(MAX(total) AS VARCHAR) AS DOUBLE) AS total_value,
-           round(1.0 - CAST(SUM(term) AS DOUBLE), 6) AS gini
+           round(1.0 - CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE), 6)
+             AS gini
     FROM t GROUP BY grp
     """,
 )
@@ -505,8 +515,9 @@ def orders_pareto_abc(spark, sf_dir):
     SELECT digit, observed,
            round(CAST(observed AS DOUBLE) / n, 6) AS observed_frac,
            round(log10(1.0 + 1.0 / digit), 6) AS benford_frac,
-           CAST(term AS DOUBLE) AS contribution,
-           round(CAST(SUM(term) OVER () AS DOUBLE), 6) AS chi2_total
+           CAST(CAST(term AS VARCHAR) AS DOUBLE) AS contribution,
+           round(CAST(CAST(SUM(term) OVER () AS VARCHAR) AS DOUBLE), 6)
+             AS chi2_total
     FROM u
     """,
 )
@@ -673,8 +684,8 @@ def events_dow_seasonality(spark, sf_dir):
     SELECT CAST(psi.ws AS TIMESTAMP) AS window_start,
            psi.ws + INTERVAL 1 DAY AS window_end,
            tw.total AS n_rows,
-           round(CAST(psi.p AS DOUBLE), 6) AS psi,
-           CAST(psi.p AS DOUBLE) > 0.05 AS is_drift
+           round(CAST(CAST(psi.p AS VARCHAR) AS DOUBLE), 6) AS psi,
+           CAST(CAST(psi.p AS VARCHAR) AS DOUBLE) > 0.05 AS is_drift
     FROM psi JOIN tw ON tw.ws = psi.ws
     WHERE psi.ws + INTERVAL 1 DAY <= (SELECT max(ts) FROM events)
     """,
@@ -976,8 +987,8 @@ def ab_quantile_effect_acctbal(spark, sf_dir):
            d AS n_events, c AS n_censored,
            round(CAST(d AS DOUBLE) / n_risk, 6) AS hazard,
            round(CASE WHEN anydead = 1 THEN 0.0
-                      ELSE exp(CAST(cum AS DOUBLE)) END, 6)
-             AS survival
+                      ELSE exp(CAST(CAST(cum AS VARCHAR) AS DOUBLE))
+                      END, 6) AS survival
     FROM k
     """,
 )
@@ -1026,7 +1037,7 @@ def survival_kaplan_meier_tenure(spark, sf_dir):
       FROM orders GROUP BY 1),
     t AS (
       SELECT *, CAST(SUM(observed) OVER () AS BIGINT) AS n,
-             0.25 AS frac
+             CAST(0.25 AS DOUBLE) AS frac
       FROM g),
     u AS (
       SELECT *,
@@ -1037,8 +1048,9 @@ def survival_kaplan_meier_tenure(spark, sf_dir):
       FROM t)
     SELECT variant, observed,
            round(frac * n, 6) AS expected,
-           CAST(term AS DOUBLE) AS contribution,
-           round(CAST(SUM(term) OVER () AS DOUBLE), 6) AS chi2_total,
+           CAST(CAST(term AS VARCHAR) AS DOUBLE) AS contribution,
+           round(CAST(CAST(SUM(term) OVER () AS VARCHAR) AS DOUBLE), 6)
+             AS chi2_total,
            CAST(COUNT(*) OVER () - 1 AS BIGINT) AS dof
     FROM u
     """,

@@ -116,8 +116,8 @@ def psi_drift(base: DataFrame, current: DataFrame, value_col: str,
          .alias("base_frac"),
         F.round(F.col("cur_n").cast("double") / F.col("nc"), 6)
          .alias("cur_frac"),
-        F.col("term").cast("double").alias("psi_term"),
-        F.round(F.sum("term").over(_grid()).cast("double"), 6)
+        _d2d("term").alias("psi_term"),
+        F.round(_d2d(F.sum("term").over(_grid())), 6)
          .alias("psi_total"))
 
 
@@ -297,8 +297,8 @@ def chi_square_independence(df: DataFrame, col_a: str,
     return g.select(
         "a", "b", "observed",
         F.round(e, 6).alias("expected"),
-        F.col("term").cast("double").alias("contribution"),
-        F.round(F.sum("term").over(_grid()).cast("double"), 6)
+        _d2d("term").alias("contribution"),
+        F.round(_d2d(F.sum("term").over(_grid())), 6)
          .alias("chi2_total"),
         ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"))
 
@@ -352,15 +352,15 @@ def cusum_changepoint(df: DataFrame, key_col: str, time_col: str,
     s_neg = F.col("cd") - F.least(F.min("cd").over(wcum), zero)
     return base.select(
         key_col, time_col, value_col,
-        F.col("z").cast("double").alias("z"),
+        _d2d("z").alias("z"),
         # raw doubles, no in-engine round: the 9dp-quantized walk lands
         # on exact 6dp halves (k = 0.5), where Spark HALF_UP and DuckDB
         # binary rounding split — the gate canonicalizer rounds both
         # frames identically instead.
-        s_pos.cast("double").alias("s_pos"),
-        s_neg.cast("double").alias("s_neg"),
-        (s_pos.cast("double") > h).alias("shift_up"),
-        (s_neg.cast("double") > h).alias("shift_down"))
+        _d2d(s_pos).alias("s_pos"),
+        _d2d(s_neg).alias("s_neg"),
+        (_d2d(s_pos) > h).alias("shift_up"),
+        (_d2d(s_neg) > h).alias("shift_down"))
 
 
 # -------------------------------------------------------------------- Gini
@@ -411,7 +411,7 @@ def gini_by_group(df: DataFrame, group_col: str, unit_col: str,
                     # no in-engine round: totals exceed the 2^53-safe
                     # range of DuckDB's round-via-1e6 at larger SFs
                     _d2d(F.max("total")).alias("total_value"),
-                    F.round(F.lit(1.0) - F.sum("term").cast("double"), 6)
+                    F.round(F.lit(1.0) - _d2d(F.sum("term")), 6)
                      .alias("gini"))
                .withColumnRenamed("grp", group_col))
 
@@ -499,8 +499,8 @@ def benford_first_digit(df: DataFrame, value_col: str) -> DataFrame:
         "digit", "observed",
         F.round(o / F.col("n"), 6).alias("observed_frac"),
         F.round(exp_frac, 6).alias("benford_frac"),
-        F.col("term").cast("double").alias("contribution"),
-        F.round(F.sum("term").over(_grid()).cast("double"), 6)
+        _d2d("term").alias("contribution"),
+        F.round(_d2d(F.sum("term").over(_grid())), 6)
          .alias("chi2_total"))
 
 
@@ -807,8 +807,8 @@ def srm_check(df: DataFrame, variant_col: str,
     return g.select(
         "variant", "observed",
         F.round(e, 6).alias("expected"),
-        F.col("term").cast("double").alias("contribution"),
-        F.round(F.sum("term").over(_grid()).cast("double"), 6)
+        _d2d("term").alias("contribution"),
+        F.round(_d2d(F.sum("term").over(_grid())), 6)
          .alias("chi2_total"),
         (F.count(F.lit(1)).over(_grid()) - 1).cast("bigint").alias("dof"))
 

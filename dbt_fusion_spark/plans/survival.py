@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from dbt_fusion_spark.plans.stats import _grid, _qterm
+from dbt_fusion_spark.plans.stats import _d2d, _grid, _qterm
 
 
 def kaplan_meier(df: DataFrame, duration_col: str,
@@ -57,7 +57,7 @@ def kaplan_meier(df: DataFrame, duration_col: str,
           .withColumn("__anydead", F.max(dead_all.cast("int")).over(wcum))
           .withColumn("__cum", F.sum("__t").over(wcum)))
     surv = F.when(F.col("__anydead") == 1, F.lit(0.0)) \
-            .otherwise(F.exp(F.col("__cum").cast("double")))
+            .otherwise(F.exp(_d2d("__cum")))
     return g.select(
         F.col("t").alias(duration_col),
         F.col("n_risk"),

@@ -493,7 +493,10 @@ def streaming_psi_monitor(events: DataFrame, baseline_hist: DataFrame,
           * ln({eps}D / (CAST(o.n AS DOUBLE) / __total)), 9)
         AS DECIMAL(20,9)) AS DECIMAL(28,9)))
     """)
-    psi = (term_base + term_extra).cast("double")
+    # decimal -> double via a string hop (the plans/stats _d2d rule:
+    # DuckDB's direct conversion multiplies by the inexact double
+    # 1e-scale and the oracle must match bit-for-bit)
+    psi = (term_base + term_extra).cast("string").cast("double")
     return j.select(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
