@@ -1114,3 +1114,116 @@ def ab_proportion_ztest_urgent(spark, sf_dir):
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
          .alias("s"))
     return S.proportion_ztest(t, "grp", "s", "0", "1")
+
+
+@register(
+    "survival_logrank_parity",
+    # time-to-first-purchase curves of even vs odd users compared by
+    # the log-rank statistic (placebo: parity carries no signal, chi2
+    # should be small). O-E and V terms round(9)->DECIMAL sums.
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, user_id % 2 AS grp, min(ts) AS first_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id),
+    cut AS (SELECT max(ts) AS maxts FROM events),
+    subj AS (
+      SELECT grp,
+             CASE WHEN first_purchase IS NOT NULL
+                  THEN CAST(date_diff('day', CAST(first_ts AS DATE),
+                            CAST(first_purchase AS DATE)) AS INTEGER)
+                  ELSE CAST(date_diff('day', CAST(first_ts AS DATE),
+                            CAST(maxts AS DATE)) AS INTEGER)
+             END AS dur,
+             CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END
+               AS ev
+      FROM firsts, cut),
+    grid AS (
+      SELECT dur AS t,
+        CAST(SUM(CASE WHEN grp = 0 THEN ev ELSE 0 END) AS BIGINT) AS da,
+        CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+        CAST(SUM(CASE WHEN grp <> 0 THEN ev ELSE 0 END) AS BIGINT) AS db,
+        CAST(SUM(CASE WHEN grp <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS xb
+      FROM subj GROUP BY 1),
+    w AS (
+      SELECT *,
+        CAST(SUM(xa) OVER () AS BIGINT) AS tot_a,
+        CAST(SUM(xb) OVER () AS BIGINT) AS tot_b,
+        CAST(SUM(xa) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS BIGINT) AS seen_a,
+        CAST(SUM(xb) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS BIGINT) AS seen_b
+      FROM grid),
+    r AS (
+      SELECT *, tot_a - seen_a + xa AS na, tot_b - seen_b + xb AS nb
+      FROM w),
+    terms AS (
+      SELECT *,
+        CASE WHEN da + db > 0 THEN
+          CAST(round(CAST(da + db AS DOUBLE) * na
+                     / CAST(na + nb AS DOUBLE), 9) AS DECIMAL(38,9))
+        ELSE CAST(0 AS DECIMAL(38,9)) END AS e,
+        CASE WHEN da + db > 0 AND na + nb > 1 THEN
+          CAST(round(CAST(da + db AS DOUBLE)
+                     * (na / CAST(na + nb AS DOUBLE))
+                     * (nb / CAST(na + nb AS DOUBLE))
+                     * (CAST(na + nb AS DOUBLE) - (da + db))
+                     / (CAST(na + nb AS DOUBLE) - 1), 9)
+               AS DECIMAL(38,9))
+        ELSE CAST(0 AS DECIMAL(38,9)) END AS v
+      FROM r),
+    agg AS (
+      SELECT CAST(MAX(tot_a) AS BIGINT) AS n_a,
+             CAST(MAX(tot_b) AS BIGINT) AS n_b,
+             CAST(SUM(da) AS BIGINT) AS events_a,
+             CAST(SUM(db) AS BIGINT) AS events_b,
+             SUM(e) AS ea, SUM(v) AS vv
+      FROM terms),
+    o AS (
+      SELECT *, CAST(CAST(ea AS VARCHAR) AS DOUBLE) AS ead,
+             CAST(CAST(vv AS VARCHAR) AS DOUBLE) AS vvd
+      FROM agg)
+    SELECT n_a, n_b, events_a, events_b,
+           round(ead, 6) AS expected_a,
+           CASE WHEN vvd > 0 THEN
+             round((CAST(events_a AS DOUBLE) - ead)
+                   * (CAST(events_a AS DOUBLE) - ead) / vvd, 6)
+           END AS chi2,
+           COALESCE((CAST(events_a AS DOUBLE) - ead)
+                    * (CAST(events_a AS DOUBLE) - ead) / vvd
+                    > 3.841459, FALSE) AS significant_95
+    FROM o
+    """,
+)
+def survival_logrank_parity(spark, sf_dir):
+    """Log-rank test between even- and odd-user time-to-first-purchase
+    curves — the hypothesis test that pairs with
+    survival_kaplan_meier_tenure (parity is a placebo split, so the
+    curves should agree). Same bounded duration-grid walk."""
+    from pyspark.sql import Window as W
+
+    from dbt_fusion_spark.plans.survival import logrank_test
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+         .alias("first_purchase"))
+    g = W.partitionBy().rowsBetween(W.unboundedPreceding,
+                                    W.unboundedFollowing)
+    maxts = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts")) \
+              .select("user_id", F.max("last_ts").over(g).alias("maxts"))
+    subj = (firsts.join(maxts, "user_id")
+            .select(
+                (F.col("user_id") % 2).alias("grp"),
+                F.when(F.col("first_purchase").isNotNull(),
+                       F.datediff(F.col("first_purchase").cast("date"),
+                                  F.col("first_ts").cast("date")))
+                 .otherwise(
+                       F.datediff(F.col("maxts").cast("date"),
+                                  F.col("first_ts").cast("date")))
+                 .alias("dur"),
+                F.col("first_purchase").isNotNull().cast("int")
+                 .alias("converted")))
+    return logrank_test(subj, "grp", "dur", "converted", 0, 1)

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from dbt_fusion_spark.plans.stats import _d2d, _grid, _qterm
+from dbt_fusion_spark.plans.stats import D389, _d2d, _grid, _qterm
 
 
 def kaplan_meier(df: DataFrame, duration_col: str,
@@ -66,3 +66,58 @@ def kaplan_meier(df: DataFrame, duration_col: str,
         F.round(F.col("d").cast("double") / F.col("n_risk"), 6)
          .alias("hazard"),
         F.round(surv, 6).alias("survival"))
+
+
+def logrank_test(df: DataFrame, group_col: str, duration_col: str,
+                 event_col: str, group_a, group_b) -> DataFrame:
+    """Log-rank test: do two groups share a survival curve? (Mantel
+    1966 — the hypothesis test that pairs with kaplan_meier.)
+
+    At each event time t: with n_g at risk and d_g events per group,
+    group A's expectation under H0 is d * n_a / n and the variance
+    term is d (n_a/n)(n_b/n)(n-d)/(n-1).  The statistic
+    chi2 = (O_a - E_a)^2 / V is 1-dof chi-square.  Returns ONE row:
+    per-group subjects/events, expected_a, chi2.
+
+    Scale: same bounded duration-grid walk as kaplan_meier, two
+    at-risk windows; the O-E and V sums ride round(9)->DECIMAL terms.
+    """
+    ga = F.col(group_col) == group_a
+    ev = F.col(event_col).cast("bigint")
+    grid = (df.filter(F.col(group_col).isin(group_a, group_b))
+              .groupBy(F.col(duration_col).alias("t"))
+              .agg(F.sum(F.when(ga, ev).otherwise(0)).alias("da"),
+                   F.sum(F.when(ga, 1).otherwise(0)).alias("xa"),
+                   F.sum(F.when(~ga, ev).otherwise(0)).alias("db"),
+                   F.sum(F.when(~ga, 1).otherwise(0)).alias("xb")))
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    g = (grid.withColumn("tot_a", F.sum("xa").over(_grid()))
+             .withColumn("tot_b", F.sum("xb").over(_grid()))
+             .withColumn("seen_a", F.sum("xa").over(wcum))
+             .withColumn("seen_b", F.sum("xb").over(wcum)))
+    na = F.col("tot_a") - F.col("seen_a") + F.col("xa")
+    nb = F.col("tot_b") - F.col("seen_b") + F.col("xb")
+    n = (na + nb).cast("double")
+    d = (F.col("da") + F.col("db")).cast("double")
+    e_term = F.when(F.col("da") + F.col("db") > 0,
+                    _qterm(d * na.cast("double") / n)) \
+              .otherwise(F.lit(0).cast(D389))
+    v_term = F.when((F.col("da") + F.col("db") > 0) & (na + nb > 1),
+                    _qterm(d * (na.cast("double") / n)
+                           * (nb.cast("double") / n)
+                           * (n - d) / (n - 1))) \
+              .otherwise(F.lit(0).cast(D389))
+    out = (g.withColumn("e", e_term).withColumn("v", v_term)
+            .agg(F.max("tot_a").alias("n_a"), F.max("tot_b").alias("n_b"),
+                 F.sum("da").alias("events_a"),
+                 F.sum("db").alias("events_b"),
+                 F.sum("e").alias("ea"), F.sum("v").alias("vv")))
+    oa = F.col("events_a").cast("double")
+    ea, vv = _d2d("ea"), _d2d("vv")
+    chi2 = F.when(vv > 0, (oa - ea) * (oa - ea) / vv)
+    return out.select(
+        "n_a", "n_b", "events_a", "events_b",
+        F.round(ea, 6).alias("expected_a"),
+        F.round(chi2, 6).alias("chi2"),
+        F.coalesce(chi2 > 3.841459, F.lit(False))
+         .alias("significant_95"))

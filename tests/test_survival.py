@@ -46,3 +46,41 @@ def test_km_all_censored_flat_one(spark):
     out = kaplan_meier(df, "dur", "ev").collect()
     assert all(r.survival == 1.0 for r in out)
     assert all(r.hazard == 0.0 for r in out)
+
+
+def test_logrank_identical_curves_insignificant(spark):
+    from dbt_fusion_spark.plans.survival import logrank_test
+
+    rows = []
+    for g in (0, 1):
+        for d, e in [(1, 1), (2, 0), (3, 1), (4, 0), (5, 1)] * 10:
+            rows.append((g, d, e))
+    df = spark.createDataFrame(rows, "grp int, dur int, ev int")
+    r = logrank_test(df, "grp", "dur", "ev", 0, 1).collect()[0]
+    # identical samples: O_a == E_a exactly → chi2 == 0
+    assert r.chi2 == pytest.approx(0.0, abs=1e-6)
+    assert bool(r.significant_95) is False
+    assert r.n_a == r.n_b == 50
+
+
+def test_logrank_flags_separated_curves(spark):
+    from dbt_fusion_spark.plans.survival import logrank_test
+
+    # group 0 dies early (1-3), group 1 late (7-9) — strongly separated
+    rows = [(0, 1 + i % 3, 1) for i in range(60)] \
+        + [(1, 7 + i % 3, 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "grp int, dur int, ev int")
+    r = logrank_test(df, "grp", "dur", "ev", 0, 1).collect()[0]
+    assert r.chi2 > 50.0
+    assert bool(r.significant_95) is True
+
+
+def test_logrank_censoring_only_reduces_risk(spark):
+    from dbt_fusion_spark.plans.survival import logrank_test
+
+    # all group-1 subjects censored: zero group-1 events, still valid
+    rows = [(0, d, 1) for d in (1, 2, 3)] + [(1, d, 0) for d in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "grp int, dur int, ev int")
+    r = logrank_test(df, "grp", "dur", "ev", 0, 1).collect()[0]
+    assert r.events_b == 0 and r.events_a == 3
+    assert r.chi2 is not None
