@@ -113,7 +113,9 @@ GATE_WINDOW: list[str] = [
     # events_metric_correlations, ab_diff_in_diff_spend,
     # ab_mann_whitney_value, ab_quantile_effect_acctbal,
     # survival_kaplan_meier_tenure, ab_srm_check_custkey,
-    # ab_proportion_ztest_urgent, survival_logrank_parity.)
+    # ab_proportion_ztest_urgent, survival_logrank_parity,
+    # ab_power_mde_events, events_seasonal_residuals,
+    # graph_clustering_coeff_suppliers.)
     # r8 debut operators (debut-round certification)
     "quality_mojibake_signals",
     "quality_ccnet_buckets",

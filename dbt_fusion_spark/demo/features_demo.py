@@ -283,3 +283,53 @@ def events_metric_correlations(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return metric_correlations(ev, "event_type", "ts", "value")
+
+
+@register(
+    "graph_clustering_coeff_suppliers",
+    # co-order supplier graph; cc = 2T/(d(d-1)) — exact integer ratio;
+    # triangles by the compact-forward walk (a<b<c once).
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS i
+               FROM lineitem),
+    e AS (SELECT DISTINCT a.i AS a, b2.i AS b
+          FROM b a JOIN b b2 USING (o) WHERE a.i < b2.i),
+    deg AS (
+      SELECT vertex, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a AS vertex FROM e UNION ALL SELECT b FROM e)
+      GROUP BY vertex),
+    w AS (SELECT e1.a, e1.b, e2.b AS c
+          FROM e e1 JOIN e e2 ON e1.b = e2.a),
+    t AS (SELECT w.* FROM w JOIN e ON e.a = w.a AND e.b = w.c),
+    tri AS (
+      SELECT vertex, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS vertex FROM t
+        UNION ALL SELECT b FROM t
+        UNION ALL SELECT c FROM t)
+      GROUP BY vertex)
+    SELECT d.vertex, d.degree,
+           COALESCE(tri.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree > 1 THEN
+             round(2.0 * COALESCE(tri.n_triangles, 0)
+                   / (d.degree * (d.degree - 1)), 6)
+           END AS clustering_coeff
+    FROM deg d LEFT JOIN tri ON tri.vertex = d.vertex
+    """,
+)
+def graph_clustering_coeff_suppliers(spark, sf_dir):
+    """Local clustering coefficients on the supplier co-order graph
+    (suppliers co-present in an order are connected) — how clique-like
+    each supplier's neighborhood is, the community-structure dial next
+    to pagerank/triangles. Exact 2T/(d(d-1)); one materialized edge
+    set feeds degrees and the compact-forward triangle count."""
+    from dbt_fusion_spark.plans.triangles import clustering_coefficients
+
+    b = (load_table(spark, sf_dir, "lineitem")
+         .select(F.col("l_orderkey").alias("o"),
+                 F.col("l_suppkey").alias("i")).distinct())
+    a2 = b.withColumnRenamed("i", "i2")
+    edges = (b.join(a2, "o")
+             .filter(F.col("i") < F.col("i2"))
+             .select(F.col("i").alias("src"), F.col("i2").alias("dst")))
+    return clustering_coefficients(edges, "src", "dst",
+                                   broadcast_edges=True)

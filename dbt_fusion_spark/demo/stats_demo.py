@@ -1227,3 +1227,99 @@ def survival_logrank_parity(spark, sf_dir):
                 F.col("first_purchase").isNotNull().cast("int")
                  .alias("converted")))
     return logrank_test(subj, "grp", "dur", "converted", 0, 1)
+
+
+@register(
+    "ab_power_mde_events",
+    # per-type MDE at 5%/80% on an equal split of the observed units;
+    # exact decimal moments, closed-form normal approximation.
+    oracle="""
+    WITH g AS (
+      SELECT event_type AS "group", CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST("value" AS DECIMAL(18,6))) AS s,
+             SUM(CAST("value" AS DECIMAL(19,6))
+                 * CAST("value" AS DECIMAL(19,6))) AS q
+      FROM events GROUP BY 1),
+    d AS (
+      SELECT "group", n, CAST(n AS DOUBLE) AS nn,
+             CAST(CAST(s AS VARCHAR) AS DOUBLE) AS sd,
+             CAST(CAST(q AS VARCHAR) AS DOUBLE) AS qd
+      FROM g),
+    m AS (
+      SELECT *, sd / nn AS mean,
+             (qd - sd * sd / nn) / (nn - 1) AS var
+      FROM d),
+    o AS (
+      SELECT *, 2.801585 * sqrt(var / (nn * 0.5) + var / (nn * 0.5))
+               AS mde
+      FROM m)
+    SELECT "group", n, round(mean, 6) AS mean,
+           round(sqrt(var), 6) AS stddev,
+           round(mde, 6) AS mde_abs,
+           CASE WHEN mean > 0 THEN round(mde / mean, 6) END AS mde_rel
+    FROM o
+    """,
+)
+def ab_power_mde_events(spark, sf_dir):
+    """Minimum detectable effect for each event type's value metric at
+    5 % significance / 80 % power on an equal split — the power budget
+    readout that tells a team whether their test can see the lift they
+    hope for. One grid aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return S.power_mde(ev, "event_type", "value")
+
+
+@register(
+    "events_seasonal_residuals",
+    # centered 7-day MA trend (edge days use the available window) x
+    # dow index; residual = dv / (trend * idx). All moments exact
+    # decimal -> varchar-hop doubles.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             SUM(CAST("value" AS DECIMAL(18,6))) AS dv
+      FROM events GROUP BY 1, 2),
+    ma AS (
+      SELECT *,
+        SUM(dv) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ts_,
+        CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS tn
+      FROM daily),
+    dow AS (
+      SELECT event_type, CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS nd, SUM(dv) AS tot
+      FROM daily GROUP BY 1, 2),
+    dg AS (
+      SELECT *,
+        CAST(SUM(nd) OVER (PARTITION BY event_type) AS BIGINT) AS ad,
+        SUM(tot) OVER (PARTITION BY event_type) AS at
+      FROM dow),
+    di AS (
+      SELECT event_type, dow,
+        (CAST(CAST(tot AS VARCHAR) AS DOUBLE) / nd)
+        / (CAST(CAST(at AS VARCHAR) AS DOUBLE) / ad) AS idx
+      FROM dg),
+    j AS (
+      SELECT m.event_type, m.day, m.dv,
+             CAST(CAST(m.ts_ AS VARCHAR) AS DOUBLE) / m.tn AS trend,
+             di.idx
+      FROM ma m JOIN di ON di.event_type = m.event_type
+                       AND di.dow = CAST(dayofweek(m.day) + 1 AS BIGINT))
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+           round(CAST(CAST(dv AS VARCHAR) AS DOUBLE), 6) AS daily_value,
+           round(trend, 6) AS trend,
+           round(idx, 6) AS seasonal_index,
+           CASE WHEN trend > 0 AND idx > 0 THEN
+             round(CAST(CAST(dv AS VARCHAR) AS DOUBLE) / (trend * idx), 6)
+           END AS residual
+    FROM j
+    """,
+)
+def events_seasonal_residuals(spark, sf_dir):
+    """De-trended, de-seasonalized daily value residuals per event
+    type (classical multiplicative decomposition: centered 7-day MA x
+    day-of-week index) — what a volume monitor should score instead of
+    the raw series. Per-key bounded windows + the dow grid."""
+    ev = load_table(spark, sf_dir, "events")
+    return S.seasonal_residuals(ev, "event_type", "ts", "value")

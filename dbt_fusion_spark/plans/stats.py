@@ -847,3 +847,91 @@ def proportion_ztest(df: DataFrame, group_col: str, success,
         F.round(z, 6).alias("z"),
         F.coalesce(F.abs(z) > 1.959964, F.lit(False))
          .alias("significant_95"))
+
+
+# ------------------------------------------------------------- power / MDE
+def power_mde(df: DataFrame, group_col: str, value_col: str,
+              alpha_z: float = 1.959964, power_z: float = 0.841621,
+              split_frac: float = 0.5) -> DataFrame:
+    """Minimum detectable effect per group — "is this experiment even
+    powered?", the question to ask BEFORE reading any test statistic.
+
+    For a metric with variance s^2 measured on n units, an equal-split
+    two-sample test at significance `alpha_z` (two-sided 5 % default)
+    and power `power_z` (80 % default) detects
+    ``mde = (z_a + z_b) * sqrt(s^2/(n f) + s^2/(n (1-f)))``.
+    Returns one row per group: n, mean, stddev, mde_abs, and
+    mde_rel = mde/mean (the % lift you could actually see).
+
+    Scale: one grid aggregate over exact DECIMAL moments.
+    """
+    v = _dec(value_col)
+    g = (df.groupBy(F.col(group_col).alias("group"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(v).alias("s"), F.sum(v * v).alias("q")))
+    nn = F.col("n").cast("double")
+    s, q = _d2d("s"), _d2d("q")
+    mean = s / nn
+    var = (q - s * s / nn) / (nn - 1)
+    k = F.lit(alpha_z + power_z)
+    mde = k * F.sqrt(var / (nn * split_frac)
+                     + var / (nn * (1.0 - split_frac)))
+    return g.select(
+        "group", "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(var), 6).alias("stddev"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.when(mean > 0, F.round(mde / mean, 6)).alias("mde_rel"))
+
+
+# ------------------------------------------------------- seasonal residuals
+def seasonal_residuals(df: DataFrame, key_col: str, time_col: str,
+                       value_col, ma_days: int = 7) -> DataFrame:
+    """Classical decomposition residuals: daily value divided by
+    (centered moving-average trend x day-of-week index) — the
+    de-trended, de-seasonalized series an anomaly detector should be
+    looking at instead of the raw one (a weekend dip is not an
+    incident).
+
+    Returns one row per (key, day): the daily value, the centered
+    `ma_days` trend, the dow index, and the multiplicative residual
+    (~1 = fully explained by trend x season).  Edge days average over
+    the available part of the window (documented classical behavior).
+
+    Scale: one daily rollup, then per-key bounded windows (trend) and
+    the (key x 7) dow grid (index) joined back broadcast — the same
+    grids seasonal_index_dow and volume_anomalies ride.
+    """
+    v = _dec(value_col) if isinstance(value_col, str) \
+        else value_col.cast(D186)
+    daily = (df.groupBy(F.col(key_col),
+                        F.date_trunc("day", F.col(time_col)).alias("day"))
+               .agg(F.sum(v).alias("dv")))
+    half = ma_days // 2
+    wma = (Window.partitionBy(key_col).orderBy("day")
+           .rowsBetween(-half, half))
+    daily = (daily.withColumn("__ts", F.sum("dv").over(wma))
+                  .withColumn("__tn", F.count(F.lit(1)).over(wma)))
+    trend = _d2d("__ts") / F.col("__tn").cast("double")
+    # dow index over the same rollup (weighted-mean identity as
+    # seasonal_index_dow)
+    dow = (daily.groupBy(key_col, F.dayofweek("day").alias("dow"))
+                .agg(F.count(F.lit(1)).alias("nd"),
+                     F.sum("dv").alias("tot")))
+    wk = Window.partitionBy(key_col)
+    dow = (dow.withColumn("ad", F.sum("nd").over(wk))
+              .withColumn("at", F.sum("tot").over(wk)))
+    idx = ((_d2d("tot") / F.col("nd").cast("double"))
+           / (_d2d("at") / F.col("ad").cast("double")))
+    dowidx = dow.select(key_col, "dow", idx.alias("__idx"))
+    out = (daily.withColumn("dow", F.dayofweek("day"))
+                .join(F.broadcast(dowidx), [key_col, "dow"])
+                .withColumn("__trend", trend))
+    resid = F.when((F.col("__trend") > 0) & (F.col("__idx") > 0),
+                   _d2d("dv") / (F.col("__trend") * F.col("__idx")))
+    return out.select(
+        key_col, "day",
+        F.round(_d2d("dv"), 6).alias("daily_value"),
+        F.round(F.col("__trend"), 6).alias("trend"),
+        F.round(F.col("__idx"), 6).alias("seasonal_index"),
+        F.round(resid, 6).alias("residual"))

@@ -646,3 +646,33 @@ def test_anomaly_rollup_before_windows(spark, sf):
     plan = plan_of(QUERIES["events_volume_anomaly"](spark, sf))
     assert "partial_count" in plan
     assert "SinglePartition" not in plan
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    from dbt_fusion_spark.plans.triangles import clustering_coefficients
+
+    # triangle graph: every vertex cc = 1
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)],
+                                "src int, dst int")
+    out = {r.vertex: r for r in
+           clustering_coefficients(tri, "src", "dst").collect()}
+    assert all(r.clustering_coeff == 1.0 and r.degree == 2
+               for r in out.values())
+    # star graph: center cc = 0 (no closed wedges), leaves NULL (deg 1)
+    star = spark.createDataFrame([(0, i) for i in range(1, 5)],
+                                 "src int, dst int")
+    out = {r.vertex: r for r in
+           clustering_coefficients(star, "src", "dst").collect()}
+    assert out[0].clustering_coeff == 0.0 and out[0].degree == 4
+    assert all(out[i].clustering_coeff is None for i in range(1, 5))
+    # square + one diagonal: the diagonal's endpoints close 2 of 3
+    # wedge pairs... verify against hand values: vertices 1-2-3-4 ring
+    # plus edge 1-3. deg(1)=3, T(1)=2 → cc=2*2/6=0.6667; deg(2)=2,
+    # T(2)=1 → 1.0
+    g = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)],
+                              "src int, dst int")
+    out = {r.vertex: r for r in
+           clustering_coefficients(g, "src", "dst").collect()}
+    assert out[2].clustering_coeff == 1.0
+    assert out[1].clustering_coeff == pytest.approx(2 / 3, abs=1e-6)
+    assert out[1].n_triangles == 2

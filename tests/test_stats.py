@@ -519,3 +519,44 @@ def test_proportion_ztest_zero_rates_safe(spark):
                            "g", "s", "a", "b").collect()[0]
     assert r.z is None and bool(r.significant_95) is False
     assert r.rel_lift is None
+
+
+# ------------------------------------------------------------- power / MDE
+def test_power_mde_scales_with_sqrt_n(spark):
+    import random
+    rnd = random.Random(9)
+    rows = [("small", rnd.gauss(100, 10)) for _ in range(100)] \
+        + [("big", rnd.gauss(100, 10)) for _ in range(10000)]
+    out = {r.group: r for r in
+           S.power_mde(_df(spark, rows, "g string, v double"),
+                       "g", "v").collect()}
+    # 100x the sample → ~10x smaller MDE (same sigma)
+    ratio = out["small"].mde_abs / out["big"].mde_abs
+    assert 8.0 < ratio < 12.5
+    # closed form check on the big group
+    import math
+    r = out["big"]
+    expect = 2.801585 * math.sqrt(r.stddev ** 2 / 5000
+                                  + r.stddev ** 2 / 5000)
+    assert r.mde_abs == pytest.approx(expect, rel=1e-4)
+
+
+# ------------------------------------------------------ seasonal residuals
+def test_seasonal_residuals_explain_pure_seasonality(spark):
+    import datetime
+    rows = []
+    for d in range(28):
+        ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+        v = 200.0 if ts.weekday() >= 5 else 100.0  # pure dow pattern
+        rows.append(("k", ts, v))
+    out = S.seasonal_residuals(
+        _df(spark, rows, "k string, ts timestamp, v double"),
+        "k", "ts", "v").collect()
+    # trend x index fully explains a flat-trend pure-seasonal series in
+    # the interior (edge MAs see a partial week)
+    interior = [r for r in out if 4 <= r.day.day <= 24]
+    for r in interior:
+        assert r.residual == pytest.approx(1.0, abs=0.15)
+    # weekend index high, weekday low
+    sat = [r for r in out if r.day.weekday() == 5][1]
+    assert sat.seasonal_index > 1.3
