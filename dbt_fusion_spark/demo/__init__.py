@@ -115,7 +115,7 @@ GATE_WINDOW: list[str] = [
     # survival_kaplan_meier_tenure, ab_srm_check_custkey,
     # ab_proportion_ztest_urgent, survival_logrank_parity,
     # ab_power_mde_events, events_seasonal_residuals,
-    # graph_clustering_coeff_suppliers.)
+    # graph_clustering_coeff_suppliers, stats_entropy_priority_mix.)
     # r8 debut operators (debut-round certification)
     "quality_mojibake_signals",
     "quality_ccnet_buckets",

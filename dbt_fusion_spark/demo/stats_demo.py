@@ -1323,3 +1323,45 @@ def events_seasonal_residuals(spark, sf_dir):
     the raw series. Per-key bounded windows + the dow grid."""
     ev = load_table(spark, sf_dir, "events")
     return S.seasonal_residuals(ev, "event_type", "ts", "value")
+
+
+@register(
+    "stats_entropy_priority_mix",
+    # per-status priority-mix entropy; -p ln p terms round(9)->DECIMAL;
+    # normalized by ln(k), NULL at k=1.
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderstatus AS grp, o_orderpriority AS cat,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2),
+    g AS (
+      SELECT *,
+        CAST(SUM(n) OVER (PARTITION BY grp) AS BIGINT) AS tot,
+        CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS k
+      FROM cells),
+    t AS (
+      SELECT *,
+        CAST(round(-(CAST(n AS DOUBLE) / tot)
+                   * ln(CAST(n AS DOUBLE) / tot), 9)
+             AS DECIMAL(38,9)) AS term
+      FROM g)
+    SELECT grp AS o_orderstatus,
+           CAST(MAX(tot) AS BIGINT) AS n_rows,
+           CAST(MAX(k) AS BIGINT) AS n_values,
+           round(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE), 6)
+             AS entropy,
+           CASE WHEN MAX(k) > 1 THEN
+             round(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)
+                   / ln(CAST(MAX(k) AS DOUBLE)), 6) END
+             AS normalized_entropy
+    FROM t GROUP BY grp
+    """,
+)
+def stats_entropy_priority_mix(spark, sf_dir):
+    """Shannon entropy of the order-priority mix within each order
+    status — the diversity/imbalance dial (normalized: 1 = uniform mix,
+    0 = one priority dominates), the same readout a curator runs on a
+    corpus domain mix. One grid aggregate per group."""
+    orders = load_table(spark, sf_dir, "orders")
+    return S.categorical_entropy(orders, "o_orderstatus",
+                                 "o_orderpriority")

@@ -935,3 +935,37 @@ def seasonal_residuals(df: DataFrame, key_col: str, time_col: str,
         F.round(F.col("__trend"), 6).alias("trend"),
         F.round(F.col("__idx"), 6).alias("seasonal_index"),
         F.round(resid, 6).alias("residual"))
+
+
+# ----------------------------------------------------- categorical entropy
+def categorical_entropy(df: DataFrame, group_col: str,
+                        cat_col: str) -> DataFrame:
+    """Shannon entropy of a categorical column per group, with the
+    normalized form H/ln(k) — the diversity/imbalance dial a corpus
+    curator reads on domain and language mixes (0 = one value
+    dominates entirely, 1 = perfectly uniform).
+
+    Returns one row per group: n_rows, n_values, entropy (nats),
+    normalized_entropy (NULL when k = 1 — undefined, not zero).
+
+    Scale: one groupBy onto the (group x category) grid; totals are
+    per-group grid windows; -p ln p terms ride the round(9)->DECIMAL
+    recipe.
+    """
+    cells = (df.groupBy(F.col(group_col).alias("grp"),
+                        F.col(cat_col).alias("cat"))
+               .agg(F.count(F.lit(1)).alias("n")))
+    wg = Window.partitionBy("grp")
+    g = (cells.withColumn("tot", F.sum("n").over(wg))
+              .withColumn("k", F.count(F.lit(1)).over(wg)))
+    p = F.col("n").cast("double") / F.col("tot").cast("double")
+    g = g.withColumn("term", _qterm(-p * F.log(p)))
+    ent = _d2d(F.sum("term"))
+    return (g.groupBy("grp")
+             .agg(F.max("tot").alias("n_rows"),
+                  F.max("k").alias("n_values"),
+                  F.round(ent, 6).alias("entropy"),
+                  F.when(F.max("k") > 1,
+                         F.round(ent / F.log(F.max("k").cast("double")),
+                                 6)).alias("normalized_entropy"))
+             .withColumnRenamed("grp", group_col))

@@ -560,3 +560,25 @@ def test_seasonal_residuals_explain_pure_seasonality(spark):
     # weekend index high, weekday low
     sat = [r for r in out if r.day.weekday() == 5][1]
     assert sat.seasonal_index > 1.3
+
+
+# ------------------------------------------------------------------ entropy
+def test_categorical_entropy_endpoints(spark):
+    import math
+    # uniform over 4 values → normalized entropy exactly 1
+    rows = [("g", f"c{i % 4}") for i in range(400)]
+    r = S.categorical_entropy(_df(spark, rows, "g string, c string"),
+                              "g", "c").collect()[0]
+    assert r.entropy == pytest.approx(math.log(4), abs=1e-6)
+    assert r.normalized_entropy == pytest.approx(1.0, abs=1e-6)
+    # single value → H = 0, normalized NULL (k = 1)
+    rows = [("g", "only")] * 50
+    r = S.categorical_entropy(_df(spark, rows, "g string, c string"),
+                              "g", "c").collect()[0]
+    assert r.entropy == 0.0 and r.normalized_entropy is None
+    # skewed 9:1 two-value mix: H = -(0.9 ln 0.9 + 0.1 ln 0.1)
+    rows = [("g", "a")] * 90 + [("g", "b")] * 10
+    r = S.categorical_entropy(_df(spark, rows, "g string, c string"),
+                              "g", "c").collect()[0]
+    expect = -(0.9 * math.log(0.9) + 0.1 * math.log(0.1))
+    assert r.entropy == pytest.approx(expect, abs=1e-6)
