@@ -65,7 +65,8 @@ def feature_target_encode_orders(spark, sf_dir):
     grams AS (
       SELECT event_type || '>' || t2 || '>' || t3 AS path,
              CAST(COUNT(*) AS BIGINT) AS n_occurrences
-      FROM seq WHERE t3 IS NOT NULL GROUP BY 1)
+      FROM seq WHERE event_type || '>' || t2 || '>' || t3 IS NOT NULL
+      GROUP BY 1)
     SELECT CAST(rank AS INTEGER) AS rank, path, n_occurrences
     FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_occurrences DESC,
                                        path) AS rank

@@ -1051,7 +1051,10 @@ def survival_kaplan_meier_tenure(spark, sf_dir):
            CAST(CAST(term AS VARCHAR) AS DOUBLE) AS contribution,
            round(CAST(CAST(SUM(term) OVER () AS VARCHAR) AS DOUBLE), 6)
              AS chi2_total,
-           CAST(COUNT(*) OVER () - 1 AS BIGINT) AS dof
+           -- dof from the DESIGN map (4 arms - 1), not the observed
+           -- variants; all 4 arms are always observed here so the
+           -- numbers agree, but the semantics must match srm_check's.
+           CAST(3 AS BIGINT) AS dof
     FROM u
     """,
 )

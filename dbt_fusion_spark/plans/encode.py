@@ -80,9 +80,14 @@ def top_paths(df: DataFrame, user_col: str, time_col: str,
     w = Window.partitionBy(user_col).orderBy(time_col, tiebreak_col)
     steps = [F.col(event_col)] + \
             [F.lead(event_col, i).over(w) for i in range(1, n)]
-    grams = (df.select(F.concat_ws(">", *steps).alias("path"),
-                       steps[-1].isNotNull().alias("complete"))
-               .filter(F.col("complete"))
+    # concat(), not concat_ws(): a NULL event value anywhere in the
+    # gram must nullify the whole path (|| oracle semantics) — with
+    # concat_ws a NULL mid-gram silently shortened 'a>NULL>c' to 'a>c'
+    # and counted it as a valid 2-hop path.
+    sep = F.lit(">")
+    parts = [steps[0]] + [x for s in steps[1:] for x in (sep, s)]
+    grams = (df.select(F.concat(*parts).alias("path"))
+               .filter(F.col("path").isNotNull())
                .groupBy("path").agg(F.count(F.lit(1)).alias("n_occurrences")))
     wr = Window.orderBy(F.col("n_occurrences").desc(), F.col("path"))
     return (grams.withColumn("rank", F.row_number().over(wr))

@@ -332,14 +332,27 @@ def cusum_changepoint(df: DataFrame, key_col: str, time_col: str,
     nn = F.col("__n").cast("double")
     s, q = _d2d("__s"), _d2d("__q")
     mu = s / nn
-    sd = F.sqrt((q - s * s / nn) / (nn - 1))
+    # the nn > 1 guard lives INSIDE sd: under ANSI mode the nn-1
+    # division would raise for single-row keys before any outer
+    # F.when could mask it
+    sd = F.sqrt(F.when(nn > 1, (q - s * s / nn) / (nn - 1)))
     # DECIMAL(20,9), not (38,9): Spark's precision-loss rule would
     # silently round the (38,9)-(38,9) subtraction below (result
     # precision 39 > 38 → scale reduction), diverging from the oracle.
     # (20,9) keeps every sum/min/subtract inside precision 38 exact.
     dz = "decimal(20,9)"
     kq = F.lit(k).cast(dz)
-    base = (base.withColumn("z", F.round((F.col(value_col) - mu) / sd, 9)
+    # Degenerate keys (single row: nn-1 = 0; constant series: sd = 0)
+    # would make z NaN/Infinity — and the NaN -> DECIMAL cast raises
+    # under ANSI mode.  Guard like standardize_zscore does: such keys
+    # emit NULL z, and the NULL propagates through the whole walk
+    # (steps -> cu/cd -> s_pos/s_neg -> shift flags), because the
+    # guard is a per-key constant so a key is either all-NULL or
+    # all-defined — never mixed (mixed NULLs would corrupt F.sum).
+    z_ok = sd.isNotNull() & (sd > 0) & ~F.isnan(sd)
+    base = (base.withColumn("z", F.when(z_ok,
+                                        F.round((F.col(value_col) - mu)
+                                                / sd, 9))
                             .cast(dz))
                 .withColumn("up_step", F.col("z") - kq)
                 .withColumn("dn_step", -F.col("z") - kq))
@@ -630,13 +643,27 @@ def metric_correlations(df: DataFrame, key_col: str, time_col: str,
     daily = (df.groupBy(F.col(key_col).alias("k"),
                         F.date_trunc("day", F.col(time_col)).alias("d"))
                .agg(F.sum(v).alias("dv")))
+    # The moment sums below ride DECIMAL(19,6) so that squares stay
+    # inside precision 38 (both engines agree exactly there).  That
+    # bounds |daily total| < 1e13 — plenty for a daily metric rollup,
+    # but the narrowing cast must never be allowed to overflow
+    # SILENTLY (NULL under non-ANSI = dropped days, skewed moments).
+    # Tripwire instead of trust: out-of-bound days raise.
+    dv_bound = F.lit(10 ** 13).cast("decimal(14,0)")
+    dv_ok = F.when(
+        F.abs(F.col("dv")) >= dv_bound,
+        F.raise_error(F.concat(
+            F.lit("metric_correlations: |daily sum| >= 1e13 "
+                  "overflows decimal(19,6) for key "),
+            F.col("k").cast("string")))
+    ).otherwise(F.col("dv").cast("decimal(19,6)"))
+    daily = daily.select("k", "d", dv_ok.alias("dv"))
     a = daily.select(F.col("k").alias("key_a"), "d",
                      F.col("dv").alias("va"))
     b = daily.select(F.col("k").alias("key_b"), "d",
                      F.col("dv").alias("vb"))
     pair = (a.join(b, "d").filter(F.col("key_a") < F.col("key_b")))
-    va, vb = F.col("va").cast("decimal(19,6)"), \
-        F.col("vb").cast("decimal(19,6)")
+    va, vb = F.col("va"), F.col("vb")
     m = (pair.groupBy("key_a", "key_b")
              .agg(F.count(F.lit(1)).alias("n_days"),
                   F.sum(va).alias("sx"), F.sum(vb).alias("sy"),
@@ -788,8 +815,15 @@ def srm_check(df: DataFrame, variant_col: str,
     downstream).
 
     `expected` maps variant value -> design weight (normalized
-    internally).  Returns one row per variant with observed/expected
-    counts and contribution, plus the table chi2 and dof on every row.
+    internally).  Returns one row per DESIGN variant with
+    observed/expected counts and contribution, plus the table chi2 and
+    dof on every row.  A design variant with no observed rows appears
+    with observed = 0 and contributes its full expected count to chi2
+    (a vanished arm IS a mismatch); a variant observed in the data but
+    absent from the design map raises — a rogue variant is the
+    strongest possible randomizer bug and must never pass the gate
+    silently.  dof comes from the design map (|variants| - 1), never
+    from whichever variants happen to be observed.
 
     Scale: one groupBy onto the variant grid; everything else is grid
     windows and literals.
@@ -797,20 +831,34 @@ def srm_check(df: DataFrame, variant_col: str,
     total_w = float(sum(expected.values()))
     w = F.create_map(*[F.lit(x) for kv in expected.items()
                        for x in (kv[0], kv[1] / total_w)])
+    grid = (df.sparkSession.range(1)
+              .select(F.explode(w).alias("variant", "frac")))
     g = (df.groupBy(F.col(variant_col).alias("variant"))
-           .agg(F.count(F.lit(1)).alias("observed"))
-           .withColumn("n", F.sum("observed").over(_grid()))
-           .withColumn("frac", w[F.col("variant")]))
+           .agg(F.count(F.lit(1)).alias("observed")))
+    j = grid.join(g, "variant", "full_outer")
+    # Rogue-variant tripwire: frac NULL <=> observed variant not in the
+    # design map.  raise_error is codegen'd per-row, no extra pass.
+    frac = F.when(
+        F.col("frac").isNull(),
+        F.raise_error(F.concat(
+            F.lit("srm_check: variant not in design map: "),
+            F.col("variant").cast("string")))
+    ).otherwise(F.col("frac"))
+    j = (j.withColumn("frac", frac)
+          .withColumn("observed",
+                      F.coalesce(F.col("observed"), F.lit(0))
+                       .cast("bigint"))
+          .withColumn("n", F.sum("observed").over(_grid())))
     e = F.col("frac") * F.col("n").cast("double")
     o = F.col("observed").cast("double")
-    g = g.withColumn("term", _qterm((o - e) * (o - e) / e))
-    return g.select(
+    j = j.withColumn("term", _qterm((o - e) * (o - e) / e))
+    return j.select(
         "variant", "observed",
         F.round(e, 6).alias("expected"),
         _d2d("term").alias("contribution"),
         F.round(_d2d(F.sum("term").over(_grid())), 6)
          .alias("chi2_total"),
-        (F.count(F.lit(1)).over(_grid()) - 1).cast("bigint").alias("dof"))
+        F.lit(len(expected) - 1).cast("bigint").alias("dof"))
 
 
 # ------------------------------------------------------- proportion z-test

@@ -82,6 +82,16 @@ def clustering_coefficients(edges: DataFrame, src: str, dst: str,
     (NULL when degree < 2 — undefined, not zero).  Exact integer
     ratio, no sampling.
 
+    With ``max_degree`` set the result is the exact clustering
+    coefficient of the DEGREE-CAPPED SUBGRAPH (hub vertices and their
+    edges removed): kept vertices report their subgraph degree so the
+    2T/(d(d-1)) ratio is internally consistent, and capped hub
+    vertices appear with their full-graph degree but NULL triangles
+    and NULL cc — never a fabricated 0.0.  Relative to the full
+    graph the kept-vertex values are approximate (a neighborhood
+    through a removed hub is invisible); that is the documented price
+    of the skew guard, not a silent one.
+
     Scale: the canonical deduped edge table is built ONCE and feeds
     both the degree aggregate and the compact-forward triangle count
     (the triangle_counts persist discipline; the cache stays for the
@@ -94,17 +104,34 @@ def clustering_coefficients(edges: DataFrame, src: str, dst: str,
          .distinct()
          .persist())
     e.count()
-    deg = (e.select(F.col("a").alias("vertex"))
-            .unionAll(e.select(F.col("b").alias("vertex")))
-            .groupBy("vertex")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("degree")))
+    deg_full = (e.select(F.col("a").alias("vertex"))
+                 .unionAll(e.select(F.col("b").alias("vertex")))
+                 .groupBy("vertex")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("degree")))
+    hubs = None
     if max_degree is not None:
-        keep = deg.filter(F.col("degree") <= max_degree).select("vertex")
+        hubs = deg_full.filter(F.col("degree") > max_degree)
+        keep = deg_full.filter(F.col("degree") <= max_degree) \
+                       .select("vertex")
         e2 = (e.join(keep.withColumnRenamed("vertex", "a"), "a")
                .join(keep.withColumnRenamed("vertex", "b"), "b")
                .select("a", "b"))
+        # Subgraph degree for kept vertices: cc's denominator must
+        # count the same edges the triangle count walked.  A kept
+        # vertex whose only neighbors were hubs keeps its row with
+        # degree 0 (left join + coalesce), cc NULL.
+        deg_sub = (e2.select(F.col("a").alias("vertex"))
+                     .unionAll(e2.select(F.col("b").alias("vertex")))
+                     .groupBy("vertex")
+                     .agg(F.count(F.lit(1)).cast("bigint")
+                           .alias("degree")))
+        deg = (keep.join(deg_sub, "vertex", "left")
+                   .select("vertex",
+                           F.coalesce(F.col("degree"), F.lit(0))
+                            .cast("bigint").alias("degree")))
     else:
         e2 = e
+        deg = deg_full
     tri = triangle_counts(e2, "a", "b", broadcast_edges=broadcast_edges)
     cc = F.when(
         F.col("degree") > 1,
@@ -112,8 +139,15 @@ def clustering_coefficients(edges: DataFrame, src: str, dst: str,
                 .cast("double")
                 / (F.col("degree") * (F.col("degree") - 1))
                 .cast("double"), 6))
-    return (deg.join(tri, "vertex", "left")
-            .select("vertex", "degree",
-                    F.coalesce(F.col("n_triangles"), F.lit(0))
-                     .cast("bigint").alias("n_triangles"),
-                    cc.alias("clustering_coeff")))
+    out = (deg.join(tri, "vertex", "left")
+           .select("vertex", "degree",
+                   F.coalesce(F.col("n_triangles"), F.lit(0))
+                    .cast("bigint").alias("n_triangles"),
+                   cc.alias("clustering_coeff")))
+    if hubs is not None:
+        out = out.unionByName(
+            hubs.select("vertex", "degree",
+                        F.lit(None).cast("bigint").alias("n_triangles"),
+                        F.lit(None).cast("double")
+                         .alias("clustering_coeff")))
+    return out

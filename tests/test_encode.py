@@ -161,3 +161,21 @@ def test_metric_correlations_signs(spark):
     assert out[("up", "up2")] == pytest.approx(1.0, abs=1e-6)
     assert out[("down", "up")] == pytest.approx(-1.0, abs=1e-6)
     assert out[("down", "up2")] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_top_paths_null_event_nullifies_gram(spark):
+    """A NULL event value anywhere in a gram voids the whole path
+    (|| semantics, r8 ADVICE) — concat_ws used to silently count
+    'a>NULL>c' as the 2-hop path 'a>c'."""
+    import datetime
+    t0 = datetime.datetime(2024, 1, 1)
+    seq = ["a", None, "c", "a", "b", "c"]
+    rows = [(1, t0 + datetime.timedelta(minutes=i), e, i)
+            for i, e in enumerate(seq)]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string, event_id int")
+    got = {r.path: r.n_occurrences
+           for r in top_paths(df, "user_id", "ts", "event_type",
+                              "event_id", n=3, k=10).collect()}
+    # grams touching the NULL slot vanish; only the clean tail counts
+    assert got == {"c>a>b": 1, "a>b>c": 1}

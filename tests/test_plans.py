@@ -676,3 +676,27 @@ def test_clustering_coefficient_known_graphs(spark):
     assert out[2].clustering_coeff == 1.0
     assert out[1].clustering_coeff == pytest.approx(2 / 3, abs=1e-6)
     assert out[1].n_triangles == 2
+
+
+def test_clustering_coefficient_max_degree_subgraph(spark):
+    """max_degree semantics (r8 ADVICE): capped hubs report full-graph
+    degree with NULL triangles/cc (never a fabricated 0.0), and kept
+    vertices report SUBGRAPH degree so 2T/(d(d-1)) is internally
+    consistent on the capped graph."""
+    from dbt_fusion_spark.plans.triangles import clustering_coefficients
+
+    # hub 0 connects to everything; 1-2-3 is a triangle; 4 hangs off
+    # the hub only (loses all edges when the hub is removed)
+    edges = [(0, i) for i in range(1, 5)] + [(1, 2), (2, 3), (1, 3)]
+    g = spark.createDataFrame(edges, "src int, dst int")
+    out = {r.vertex: r for r in
+           clustering_coefficients(g, "src", "dst",
+                                   max_degree=3).collect()}
+    # hub: full degree, NULL cc / triangles — NOT cc=0.0
+    assert out[0].degree == 4
+    assert out[0].n_triangles is None and out[0].clustering_coeff is None
+    # triangle members: subgraph degree 2 (hub edge removed), cc exact
+    for v in (1, 2, 3):
+        assert out[v].degree == 2 and out[v].clustering_coeff == 1.0
+    # hub-only satellite: kept, subgraph degree 0, NULL cc
+    assert out[4].degree == 0 and out[4].clustering_coeff is None

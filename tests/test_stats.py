@@ -582,3 +582,70 @@ def test_categorical_entropy_endpoints(spark):
                               "g", "c").collect()[0]
     expect = -(0.9 * math.log(0.9) + 0.1 * math.log(0.1))
     assert r.entropy == pytest.approx(expect, abs=1e-6)
+
+
+def test_srm_rogue_variant_raises(spark):
+    # a variant in the data but NOT in the design map is the strongest
+    # randomizer bug — it must never silently pass the gate (r8 ADVICE)
+    rows = [(0,)] * 50 + [(1,)] * 50 + [(2,)] * 5
+    with pytest.raises(Exception, match="not in design map"):
+        S.srm_check(_df(spark, rows, "variant int"),
+                    "variant", {0: 1.0, 1: 1.0}).collect()
+
+
+def test_srm_vanished_arm_contributes(spark):
+    # a design arm with ZERO observed rows shows up with observed=0 and
+    # contributes its full expected count; dof comes from the design
+    rows = [(0,)] * 60 + [(1,)] * 40
+    out = {r.variant: r for r in
+           S.srm_check(_df(spark, rows, "variant int"),
+                       "variant", {0: 1.0, 1: 1.0, 2: 2.0}).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[2].observed == 0
+    assert out[2].expected == pytest.approx(50.0)
+    assert out[2].contribution == pytest.approx(50.0)
+    assert out[0].dof == 2
+    # chi2 = (60-25)^2/25 + (40-25)^2/25 + (0-50)^2/50 = 49+9+50
+    assert out[0].chi2_total == pytest.approx(108.0, abs=1e-6)
+
+
+def test_cusum_degenerate_keys_null_not_nan(spark):
+    # single-row key (nn-1=0) and constant key (sd=0) emit NULL walks,
+    # never NaN/Infinity (r8 ADVICE) — and a healthy key is unaffected
+    rows = ([("solo", 1, 10.0)]
+            + [("flat", t, 5.0) for t in range(1, 6)]
+            + [("ok", t, float(t % 3)) for t in range(1, 8)])
+    out = S.cusum_changepoint(
+        _df(spark, rows, "k string, t int, v double"),
+        "k", "t", "v").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    for k in ("solo", "flat"):
+        for r in by_key[k]:
+            assert r.z is None and r.s_pos is None and r.s_neg is None
+            assert r.shift_up is None and r.shift_down is None
+    for r in by_key["ok"]:
+        assert r.z is not None and not math.isnan(r.z)
+        assert r.s_pos is not None and r.s_pos >= 0.0
+
+
+def test_metric_correlations_overflow_raises(spark):
+    # the decimal(19,6) moment lane bounds daily sums at 1e13 — an
+    # out-of-bound day must raise, never silently drop (r8 ADVICE)
+    import datetime
+    d = datetime.datetime(2024, 1, 1)
+    d2 = d + datetime.timedelta(days=1)
+    # per-row values stay inside the decimal(18,6) input lane (<1e12);
+    # the DAILY SUM is what crosses the (19,6) bound
+    rows = ([("a", d, 9.0e11)] * 9 + [("b", d, 1.0)]
+            + [("a", d2, 9.0e11)] * 2 + [("b", d2, 2.0)])
+    ok = S.metric_correlations(
+        _df(spark, rows, "k string, ts timestamp, v double"),
+        "k", "ts", "v").collect()
+    assert len(ok) == 1  # day sums 8.1e12 / 1.8e12: under the bound
+    bad = rows + [("a", d, 9.0e11)] * 3  # day-1 sum -> 1.08e13
+    with pytest.raises(Exception, match="overflows"):
+        S.metric_correlations(
+            _df(spark, bad, "k string, ts timestamp, v double"),
+            "k", "ts", "v").collect()
