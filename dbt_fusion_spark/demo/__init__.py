@@ -53,84 +53,49 @@ from dbt_fusion_spark.demo import (  # noqa: F401, E402
 # parity battery at both SFs every CI run (tests/test_parity.py,
 # tools/local_gate.py).
 GATE_WINDOW: list[str] = [
-    # ---- the 22 never-gated rows (exact r7-verdict list) ----
-    "asof_join_next_purchase",
-    "basket_pair_rules_lineitem",
-    "corpus_pmi_topk",
-    "corpus_zipf_fit",
-    "dedup_winnow_incremental",
-    "dedup_winnow_pairs",
-    "embedding_pca_project",
-    "embedding_whiten_project",
-    "events_markov_transitions",
-    "events_rfm_scores",
-    "graph_triangle_counts_coorder",
-    "join_salted_supplier_volume",
-    "quality_bigram_backoff",
-    "quality_langid_confusion",
-    "sample_poisson_bootstrap",
-    "sample_poisson_bootstrap_ci",
-    "similarity_adc_range_search",
-    "similarity_index_health",
-    "streaming_ann_ingest_codes",
-    "streaming_winnow_ingest_sigs",
-    "text_strip_markup",
-    "text_winnow_fingerprints",
-    # ---- anchors (28) ----
+    # ---- r9 ROTATION: the 21 never-driver-gated rows (the judge's
+    # exact computed list, VERDICT r8 "Next round" #2) — closing the
+    # cumulative certification gap to 239/239.
+    "ab_diff_in_diff_spend",
+    "ab_mann_whitney_value",
+    "ab_power_mde_events",
+    "ab_proportion_ztest_urgent",
+    "ab_quantile_effect_acctbal",
+    "dq_functional_dependency",
+    "embedding_label_centroids",
+    "events_dow_seasonality",
+    "events_metric_correlations",
+    "events_seasonal_residuals",
+    "events_top_paths",
+    "feature_target_encode_orders",
+    "feature_winsorize_orders",
+    "feature_zscore_events",
+    "graph_clustering_coeff_suppliers",
+    "stats_benford_totalprice",
+    "stats_entropy_priority_mix",
+    "streaming_psi_drift_monitor",
+    "survival_kaplan_meier_tenure",
+    "survival_logrank_parity",
+    "ab_srm_check_custkey",
+    # ---- anchors: code touched THIS round must re-gate ----
     # runner / adapter surface (every round)
     "runner_full_build_statuses",
-    # write path (byte-audited r7; ACID routing retried r8)
+    # write path (byte-audited; ACID routing still env-blocked)
     "incremental_merge_partition_scoped",
-    # IVFADC family r8 debuts (compaction-rebuilt artifacts; the
-    # compacted row exercises the prebuilt serve path end-to-end)
+    # r9 ADVICE fixes touched these operators' code (the five ADVICE
+    # rows: srm/top_paths/metric_correlations/clustering are already
+    # in the rotation above; cusum is the fifth)
+    "events_cusum_daily_volume",
+    # artifact-maintenance paths being ported to the Hadoop FS API
+    # this round (VERDICT "Next round" #4) — re-gate after the port
     "similarity_ivf_pq_compacted",
     "similarity_index_rebuilt",
-    # code touched by the r8 ADVICE medium fix (id-type validation)
-    "dedup_substring_remove",
-    # late-r8 drift/experiment statistics (plans/stats.py) — debut
-    # operators get driver certification in their debut round (the r6
-    # lesson). These took the slots of seven pure re-cert anchors
-    # (replace_where, snapshot_timestamp, ivf_pq_topk, spans_corpus,
-    # lsh_incremental_batch, tpch_q1, data_test_unique_severity — all
-    # driver-certified in r4–r7 and still exact-float parity-tested at
-    # both SFs every CI run).
-    "drift_psi_order_value",
-    "drift_ks_purchase_view",
-    "ab_welch_ttest_acctbal",
-    "ab_cuped_order_value",
-    "stats_chi2_priority_status",
-    "events_cusum_daily_volume",
-    "stats_gini_revenue_nation",
-    "orders_pareto_abc",
-    "quality_isotonic_calibration",
-    # (The late-r8 debuts past this point are strict-green at both SFs
-    # but the window is full — they are the FIRST rotations for the r9
-    # window, ahead of any new anchors: stats_benford_totalprice,
-    # events_dow_seasonality, feature_target_encode_orders,
-    # events_top_paths, embedding_label_centroids,
-    # streaming_psi_drift_monitor, feature_winsorize_orders,
-    # feature_zscore_events, dq_functional_dependency,
-    # events_metric_correlations, ab_diff_in_diff_spend,
-    # ab_mann_whitney_value, ab_quantile_effect_acctbal,
-    # survival_kaplan_meier_tenure, ab_srm_check_custkey,
-    # ab_proportion_ztest_urgent, survival_logrank_parity,
-    # ab_power_mde_events, events_seasonal_residuals,
-    # graph_clustering_coeff_suppliers, stats_entropy_priority_mix.)
-    # r8 debut operators (debut-round certification)
-    "quality_mojibake_signals",
-    "quality_ccnet_buckets",
-    "dedup_sentences_corpus",
-    "dedup_cdc_chunks",
-    "asof_join_tolerance",
-    "sample_neyman_allocation",
-    "sample_neyman_rows",
-    "similarity_tfidf_pairs",
-    "corpus_js_divergence",
-    "quality_novelty_ngrams",
-    "events_weighted_median",
-    "events_mad_outliers",
-    "dedup_edit_distance_verify",
-    "events_trend_ols",
+    "similarity_ivf_pq_prebuilt",
+    # ---- r9 debut operators (debut-round certification; appended as
+    # they land this round) ----
+    # in-engine classifier training (VERDICT r8 "Next round" #3)
+    "classifier_train_logreg",
+    "classifier_train_scores",
 ]
 
 

@@ -4577,3 +4577,151 @@ def events_trend_ols(spark, sf_dir):
     x = F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
     return grouped_ols_trend(ev.withColumn("__x", x), "event_type",
                              "__x", "value")
+
+
+# ----------------------------------------------------- in-engine training
+# (r9) The classifier-filter pipeline's one externally-trained stage,
+# now fit IN-ENGINE: deterministic full-batch GD whose per-iteration
+# quantization (round(9) terms -> DECIMAL(38,9) sums -> string-hop
+# doubles) makes the whole trajectory restatable verbatim in DuckDB —
+# the oracle UNROLLS the same iterations as chained CTEs, generated by
+# the helper below so Spark and SQL can never drift apart silently.
+
+_LOGREG_DIM = 1024
+_LOGREG_ITERS = 4
+_LOGREG_LR = 2.0
+
+
+def _duck_logreg_ctes(dim: int, iters: int, lr: float,
+                      label_sql: str) -> str:
+    """Unrolled-GD CTE chain ending at `w{iters}` (bucket, weight)."""
+    base = f"""
+    toks AS (
+      SELECT doc_id, list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               t -> t <> '') AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(w) AS gram FROM toks
+      UNION ALL
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i + 1])) AS gram
+      FROM toks WHERE len(w) >= 2),
+    tf AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5('7|' || gram), 1, 8) AS BIGINT)
+               % {dim} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS tf
+      FROM grams WHERE gram <> '' GROUP BY doc_id, bucket),
+    nd AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n
+           FROM tf GROUP BY doc_id),
+    feats AS (
+      SELECT tf.doc_id, tf.bucket,
+             round(CAST(tf.tf AS DOUBLE) / CAST(nd.n AS DOUBLE), 9)
+               AS x
+      FROM tf JOIN nd USING (doc_id)
+      UNION ALL
+      SELECT doc_id, CAST(-1 AS BIGINT), 1.0 FROM documents),
+    lab AS (SELECT doc_id, {label_sql} AS y FROM documents),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lab),
+    w0 AS (SELECT DISTINCT bucket, 0.0 AS weight FROM feats)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    m{k} AS (
+      SELECT f.doc_id,
+             CAST(CAST(SUM(CAST(round(f.x * w.weight, 9)
+                                AS DECIMAL(38,9))) AS VARCHAR)
+                  AS DOUBLE) AS m
+      FROM feats f JOIN w{k - 1} w USING (bucket)
+      GROUP BY f.doc_id),
+    r{k} AS (
+      SELECT m.doc_id,
+             round(1.0 / (1.0 + exp(-m.m)), 9) - lab.y AS r
+      FROM m{k} m JOIN lab USING (doc_id)),
+    g{k} AS (
+      SELECT f.bucket,
+             CAST(CAST(SUM(CAST(round(r.r * f.x, 9)
+                                AS DECIMAL(38,9))) AS VARCHAR)
+                  AS DOUBLE) AS g
+      FROM feats f JOIN r{k} r USING (doc_id)
+      GROUP BY f.bucket),
+    w{k} AS (
+      SELECT w.bucket,
+             round(w.weight - {lr!r} * (COALESCE(g.g, 0.0) / nn.n
+                                        + 0.0 * w.weight), 9)
+               AS weight
+      FROM w{k - 1} w
+      LEFT JOIN g{k} g USING (bucket)
+      CROSS JOIN nn)""")
+    return base + "," + ",".join(steps)
+
+
+@register(
+    "classifier_train_logreg",
+    oracle=f"""
+    WITH {_duck_logreg_ctes(_LOGREG_DIM, _LOGREG_ITERS, _LOGREG_LR,
+                            "CASE WHEN lang = 'en' THEN 1 ELSE 0 END")}
+    SELECT bucket, weight FROM w{_LOGREG_ITERS}
+    """,
+)
+def classifier_train_logreg(spark, sf_dir):
+    """In-engine quality-classifier training (r9): full-batch GD fit
+    of the hashed uni+bigram logistic model against the lang='en' seed
+    label (the wiki-vs-crawl pattern). The returned (bucket, weight)
+    table — bias at bucket -1 — IS the model linear_quality_score
+    serves. Per iteration: one broadcast join vs the <= dim+1-row
+    weight table, one id-keyed margin shuffle, one residual join, one
+    bucket-keyed gradient grid; weights localCheckpointed (the
+    pagerank fixed-iteration pattern)."""
+    from dbt_fusion_spark.llm import classifier as CL
+
+    docs = load_table(spark, sf_dir, "documents")
+    return CL.train_logistic_regression(
+        docs, "doc_id", "text", (F.col("lang") == "en").cast("int"),
+        dim=_LOGREG_DIM, iters=_LOGREG_ITERS, lr=_LOGREG_LR)
+
+
+@register(
+    "classifier_train_scores",
+    oracle=f"""
+    WITH {_duck_logreg_ctes(_LOGREG_DIM, _LOGREG_ITERS, _LOGREG_LR,
+                            "CASE WHEN lang = 'en' THEN 1 ELSE 0 END")},
+    bias AS (SELECT weight AS b FROM w{_LOGREG_ITERS}
+             WHERE bucket = -1),
+    agg AS (
+      SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_grams,
+             SUM(tf.tf * w.weight) AS dot
+      FROM tf JOIN w{_LOGREG_ITERS} w USING (bucket)
+      GROUP BY tf.doc_id)
+    SELECT d.doc_id,
+           COALESCE(agg.n_grams, 0) AS n_grams,
+           ROUND(1.0 / (1.0 + exp(-(bias.b
+                 + COALESCE(agg.dot / agg.n_grams, 0.0)))), 6)
+             AS score,
+           ROUND(1.0 / (1.0 + exp(-(bias.b
+                 + COALESCE(agg.dot / agg.n_grams, 0.0)))), 6) >= 0.5
+             AS keep
+    FROM documents d
+    LEFT JOIN agg ON agg.doc_id = d.doc_id
+    CROSS JOIN bias
+    """,
+)
+def classifier_train_scores(spark, sf_dir):
+    """Train-then-serve composition (r9): the GD-fit weights flow
+    straight into the existing linear_quality_score scan — proving the
+    trained table is drop-in for the seeded one (and composing with
+    calibrate_keep_threshold downstream). The bias scalar is one
+    bounded 1-row collect off the fitted grid."""
+    from dbt_fusion_spark.llm import classifier as CL
+
+    docs = load_table(spark, sf_dir, "documents")
+    fitted = CL.train_logistic_regression(
+        docs, "doc_id", "text", (F.col("lang") == "en").cast("int"),
+        dim=_LOGREG_DIM, iters=_LOGREG_ITERS, lr=_LOGREG_LR)
+    fitted = fitted.persist()
+    bias = fitted.filter(F.col("bucket") == -1).collect()[0].weight
+    wt = fitted.filter(F.col("bucket") >= 0)
+    return CL.linear_quality_score(docs, wt, "doc_id", "text",
+                                   dim=_LOGREG_DIM, bias=bias)

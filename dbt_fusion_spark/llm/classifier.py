@@ -398,3 +398,96 @@ def calibrate_threshold_curve(df: DataFrame, score_col: str,
         *keys, "keep_rate", F.col("threshold"),
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("n_kept").cast("bigint").alias("n_kept"))
+
+
+def train_logistic_regression(df: DataFrame, id_col: str, text_col: str,
+                              label, dim: int = 4096, seed: int = 7,
+                              bigrams: bool = True, lr: float = 2.0,
+                              l2: float = 0.0, iters: int = 4) -> DataFrame:
+    """Fit the hashed-n-gram logistic model IN-ENGINE: deterministic
+    full-batch gradient descent, each step expressed as feature-keyed
+    aggregates — the one stage of the classifier-filter pipeline that
+    previously assumed an externally-trained model (seeded_weights).
+
+    Model (matching linear_quality_score's tf-normalized scoring):
+        x_{d,b} = tf_{d,b} / n_grams_d        (plus x_{d,-1} = 1 bias)
+        p_d     = sigmoid(sum_b x_{d,b} w_b)
+        w       <- w - lr * (sum_d (p_d - y_d) x_{d,b} / N + l2 * w)
+
+    `label` is a column/column-name evaluating to the 0/1 target (the
+    seed frame — e.g. "is this doc from the curated source" for a
+    wiki-vs-crawl quality model).  Returns (bucket, weight) with the
+    bias stored at bucket -1 (the augmented-feature convention: the
+    bias is just one more feature with x = 1, so the update rule has
+    no special case).  Feed `weight` rows with bucket >= 0 straight to
+    linear_quality_score (its bucket join never matches -1) with
+    ``bias=`` the -1 row.
+
+    Determinism (the oracle contract): every per-term product is
+    round(9)-quantized and summed as DECIMAL(38,9) (order-free), every
+    decimal re-enters double through the string hop, and p and w are
+    re-quantized to round(9) each iteration — so the whole trajectory
+    is a pure function of the data, restatable verbatim in DuckDB SQL
+    (the gate row unrolls the same iterations as chained CTEs).
+
+    Scale (100 TB): the feature stream (one explode + one (id, bucket)
+    shuffle) is computed ONCE and persisted; each of the fixed `iters`
+    steps costs one broadcast hash join against the <= dim+1-row
+    weight table, one id-keyed partial-agg shuffle (margins), one
+    id-keyed join of the per-doc residual back onto the features (both
+    sides hash-partitioned on id — AQE reuses the exchange), and one
+    bucket-keyed partial agg onto the dim-bounded gradient grid.  The
+    weight table is localCheckpointed per iteration (the pagerank
+    fixed-iteration pattern) so plan depth stays constant; N is one
+    bounded driver-side count.  No per-row Python anywhere.
+    """
+    y = (F.col(label) if isinstance(label, str) else label) \
+        .cast("bigint")
+    labels = df.select(F.col(id_col), y.alias("__y")) \
+        .persist()
+    n_docs = float(labels.count())
+    tf = hashed_gram_buckets(df, id_col, text_col, dim, seed, bigrams)
+    nd = tf.groupBy(id_col).agg(F.sum("tf").alias("__n"))
+    x = F.round(F.col("tf").cast("double") / F.col("__n").cast("double"),
+                9)
+    feats = (tf.join(nd, id_col)
+               .select(id_col, "bucket", x.alias("x"))
+               .unionByName(df.select(
+                   F.col(id_col),
+                   F.lit(-1).cast("bigint").alias("bucket"),
+                   F.lit(1.0).alias("x")))
+               .repartition(id_col)
+               .persist())
+    feats.count()
+    w = (feats.select("bucket").distinct()
+         .select("bucket", F.lit(0.0).alias("weight"))
+         .localCheckpoint(eager=True))
+    d389 = "decimal(38,9)"
+    for _ in range(iters):
+        m = (feats.join(F.broadcast(w), "bucket")
+             .groupBy(id_col)
+             .agg(F.sum(F.round(F.col("x") * F.col("weight"), 9)
+                        .cast(d389)).alias("__m")))
+        p = F.round(
+            F.lit(1.0) / (F.lit(1.0)
+                          + F.exp(-F.col("__m").cast("string")
+                                  .cast("double"))), 9)
+        resid = (m.join(labels, id_col)
+                 .select(id_col, (p - F.col("__y")).alias("__r")))
+        grad = (feats.join(resid, id_col)
+                .groupBy("bucket")
+                .agg(F.sum(F.round(F.col("__r") * F.col("x"), 9)
+                           .cast(d389)).alias("__g")))
+        g = F.coalesce(F.col("__g").cast("string").cast("double"),
+                       F.lit(0.0))
+        w = (w.join(grad, "bucket", "left")
+             .select("bucket",
+                     F.round(F.col("weight")
+                             - F.lit(lr) * (g / F.lit(n_docs)
+                                            + F.lit(l2)
+                                            * F.col("weight")), 9)
+                      .alias("weight"))
+             .localCheckpoint(eager=True))
+    labels.unpersist()
+    feats.unpersist()
+    return w

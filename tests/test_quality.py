@@ -829,3 +829,48 @@ def test_dedup_sentences_keep_first_and_rebuild(spark):
     assert rows[2]["n_sentences"] == 3 and rows[2]["n_dup_sentences"] == 2
     assert rows[2]["clean_text"] == "a different body here?"
     assert rows[3]["n_dup_sentences"] == 0
+
+
+def test_train_logreg_separates_constructed_corpus(spark):
+    """The in-engine GD fit must actually LEARN: on a corpus where
+    positives and negatives use disjoint vocabularies, the fitted
+    model's scores separate the classes completely."""
+    from dbt_fusion_spark.llm.classifier import (
+        linear_quality_score, train_logistic_regression)
+
+    pos_words = ["alpha", "bravo", "charlie", "delta"]
+    neg_words = ["zulu", "yankee", "xray", "whiskey"]
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(pos_words[j % 4] for j in range(i, i + 6)), 1))
+        rows.append((100 + i,
+                     " ".join(neg_words[j % 4] for j in range(i, i + 6)), 0))
+    df = spark.createDataFrame(rows, "doc_id int, text string, y int")
+    w = train_logistic_regression(df, "doc_id", "text", "y",
+                                  dim=256, iters=6, lr=2.0)
+    wrows = w.collect()
+    bias = [r.weight for r in wrows if r.bucket == -1][0]
+    wt = spark.createDataFrame(
+        [(r.bucket, r.weight) for r in wrows if r.bucket >= 0],
+        "bucket long, weight double")
+    scored = {r.doc_id: r.score for r in
+              linear_quality_score(df, wt, "doc_id", "text",
+                                   dim=256, bias=bias).collect()}
+    pos = [scored[i] for i in range(30)]
+    neg = [scored[100 + i] for i in range(30)]
+    assert min(pos) > max(neg)          # full separation
+    assert min(pos) > 0.5 > max(neg)    # and on the right side of 0.5
+
+
+def test_train_logreg_balanced_prior_bias_near_zero(spark):
+    """With a 50/50 label split and symmetric vocab, the fitted bias
+    stays near zero (no systematic drift in the augmented feature)."""
+    from dbt_fusion_spark.llm.classifier import train_logistic_regression
+
+    rows = [(i, "common tokens here", i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, y int")
+    w = train_logistic_regression(df, "doc_id", "text", "y",
+                                  dim=64, iters=4, lr=1.0)
+    bias = [r.weight for r in w.collect() if r.bucket == -1][0]
+    # identical features, balanced labels -> residuals cancel exactly
+    assert abs(bias) < 1e-9
