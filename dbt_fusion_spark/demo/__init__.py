@@ -96,6 +96,8 @@ GATE_WINDOW: list[str] = [
     # in-engine classifier training (VERDICT r8 "Next round" #3)
     "classifier_train_logreg",
     "classifier_train_scores",
+    # mojibake REPAIR completing the r8 signals audit (VERDICT #9)
+    "quality_mojibake_repair",
 ]
 
 

@@ -4725,3 +4725,60 @@ def classifier_train_scores(spark, sf_dir):
     wt = fitted.filter(F.col("bucket") >= 0)
     return CL.linear_quality_score(docs, wt, "doc_id", "text",
                                    dim=_LOGREG_DIM, bias=bias)
+
+
+# ------------------------------------------------------- mojibake repair
+# (r9) The fixing half of the r8 mojibake_signals audit.  The corpus
+# text is pure ASCII, so the row first decorates every doc with
+# deterministic non-ASCII content (accents, em-dash, curly quotes,
+# euro — the exact marks web mojibake mangles), restated identically
+# in the oracle; the Spark side then DAMAGES 3 of every 4 docs by
+# re-reading the UTF-8 bytes as Latin-1 (decode(encode(.)) — pure
+# codegen) and repairs.  Expected output: the decorated original,
+# byte-identical, with was_repaired marking exactly the damaged rows
+# and the marker counter at zero — the oracle never sees the damage,
+# only the originals, so a repair that is anything short of exact
+# hash-mismatches.
+
+from dbt_fusion_spark.llm.quality import UTF8ISH_SEQ as _UTF8ISH  # noqa: E402
+
+_RICH_SPARK = None  # built lazily below (needs F at call time)
+
+
+def _rich_col():
+    return F.concat(
+        F.substring(F.col("text"), 1, 80),
+        F.lit(" caf\u00e9 \u2014 "), F.col("lang"),
+        F.lit(" \u2018"), F.col("source"), F.lit("\u2019\u20ac"))
+
+
+@register(
+    "quality_mojibake_repair",
+    oracle=f"""
+    WITH rich AS (
+      SELECT doc_id,
+             substring(text, 1, 80) || ' caf\u00e9 \u2014 ' || lang
+               || ' \u2018' || source || '\u2019\u20ac' AS r
+      FROM documents)
+    SELECT doc_id, r AS repaired,
+           doc_id % 4 <> 0 AS was_repaired,
+           CAST(len(regexp_extract_all(r, '{_UTF8ISH}')) AS BIGINT)
+             AS n_utf8ish_after
+    FROM rich
+    """,
+)
+def quality_mojibake_repair(spark, sf_dir):
+    """Mojibake REPAIR (r9): deterministically damaged corpus ->
+    ftfy-style Latin-1 re-encode repair -> byte-equality with the
+    originals restated in the oracle; marker counters drop to zero.
+    One codegen'd projection end to end — zero shuffles, zero UDFs."""
+    from dbt_fusion_spark.llm.quality import repair_mojibake
+
+    docs = load_table(spark, sf_dir, "documents")
+    rich = docs.select("doc_id", _rich_col().alias("text"))
+    damaged = rich.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.col("text"))
+         .otherwise(F.decode(F.encode("text", "UTF-8"), "ISO-8859-1"))
+         .alias("text"))
+    return repair_mojibake(damaged, "doc_id", "text")

@@ -593,3 +593,82 @@ def ccnet_perplexity_buckets(df: DataFrame, id_col: str, text_col: str,
                         "avg_neg_loglik")
             .select(id_col, "n_tokens", "avg_neg_loglik",
                     score.alias("ppl_bucket")))
+
+
+# --------------------------------------------------------- mojibake repair
+# The 27 CP-1252 printable characters that occupy the C1 control block
+# 0x80-0x9F (byte order), and their C1 equivalents -- the ftfy
+# "sloppy-windows-1252" table: text mis-decoded as CP-1252 shows these
+# PRINTABLE marks where Latin-1 mis-decoding shows C1 controls, so
+# translating them back first lets one Latin-1 re-encode serve both.
+_CP1252_PRINTABLE = ("\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6"
+                     "\u2030\u0160\u2039\u0152\u017d\u2018\u2019\u201c"
+                     "\u201d\u2022\u2013\u2014\u02dc\u2122\u0161\u203a"
+                     "\u0153\u017e\u0178")
+_CP1252_AS_C1 = ("\x80\x82\x83\x84\x85\x86\x87\x88\x89\x8a\x8b\x8c"
+                 "\x8e\x91\x92\x93\x94\x95\x96\x97\x98\x99\x9a\x9b"
+                 "\x9c\x9e\x9f")
+
+# UTF-8-looking byte sequences viewed as Latin-1 characters: the
+# smoking gun that a string is mojibake ('\u00c3\u00a9' for '\u00e9',
+# '\u00e2' + C1 pair for a curly quote).  Shared with the oracle
+# restatement (demo side rebuilds the same pattern from these bounds).
+UTF8ISH_SEQ = ("[\u00c2-\u00df][\u0080-\u00bf]"
+               "|[\u00e0-\u00ef][\u0080-\u00bf]{2}"
+               "|[\u00f0-\u00f4][\u0080-\u00bf]{3}")
+
+# Full RFC 3629 UTF-8 grammar over chars-as-bytes (excludes overlong
+# encodings, UTF-16 surrogates, and > U+10FFFF): a string matching
+# this END TO END re-encodes to Latin-1 bytes that decode as UTF-8
+# with zero error handling -- the guard that lets F.decode run without
+# ever seeing malformed input (Spark 4 raises on malformed; there is
+# no try_decode).
+_VALID_UTF8_AS_LATIN1 = (
+    "^(?:[\u0000-\u007f]"
+    "|[\u00c2-\u00df][\u0080-\u00bf]"
+    "|\u00e0[\u00a0-\u00bf][\u0080-\u00bf]"
+    "|[\u00e1-\u00ec][\u0080-\u00bf]{2}"
+    "|\u00ed[\u0080-\u009f][\u0080-\u00bf]"
+    "|[\u00ee-\u00ef][\u0080-\u00bf]{2}"
+    "|\u00f0[\u0090-\u00bf][\u0080-\u00bf]{2}"
+    "|[\u00f1-\u00f3][\u0080-\u00bf]{3}"
+    "|\u00f4[\u0080-\u008f][\u0080-\u00bf]{2})*$")
+
+
+def repair_mojibake(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Repair UTF-8-as-Latin-1/CP-1252 mojibake -- the fixing half of
+    the mojibake_signals audit (which only detects).  The ftfy-style
+    reverse transform: map CP-1252 printables back to the C1 block,
+    re-encode as Latin-1 (identity on code points <= 0xFF), decode the
+    bytes as UTF-8.
+
+    A row is repaired ONLY when all three hold on the translated text:
+    (a) it contains at least one UTF-8-looking sequence (there is
+    damage to fix), (b) every char is <= 0xFF (a genuine non-Latin
+    char means mixed content the re-encode would corrupt -- skipped,
+    honestly, rather than guessed at), and (c) the whole string
+    matches the strict UTF-8 grammar viewed as Latin-1 chars (the
+    decode is then total -- no error handling, no replacement chars).
+    Everything else passes through byte-identical, `was_repaired`
+    false.
+
+    Emits (id, repaired, was_repaired, n_utf8ish_after) -- the counter
+    dropping to zero on a damaged corpus is the gate's evidence.
+
+    Scale shape (100 TB): translate + three regexps + encode/decode
+    are all codegen'd string expressions in ONE projection -- zero
+    shuffles, zero UDFs, zero joins; the scan prunes to (id, text).
+    """
+    t = F.col(text_col)
+    c1 = F.translate(t, _CP1252_PRINTABLE, _CP1252_AS_C1)
+    do = (c1.rlike(UTF8ISH_SEQ)
+          & ~c1.rlike("[^\u0000-\u00ff]")
+          & c1.rlike(_VALID_UTF8_AS_LATIN1))
+    repaired = F.when(do, F.decode(F.encode(c1, "ISO-8859-1"), "UTF-8")) \
+        .otherwise(t)
+    out = df.select(F.col(id_col), repaired.alias("repaired"),
+                    do.alias("was_repaired"))
+    n_after = (F.size(F.split(F.col("repaired"), UTF8ISH_SEQ)) - 1) \
+        .cast("bigint")
+    return out.select(id_col, "repaired", "was_repaired",
+                      n_after.alias("n_utf8ish_after"))

@@ -874,3 +874,76 @@ def test_train_logreg_balanced_prior_bias_near_zero(spark):
     bias = [r.weight for r in w.collect() if r.bucket == -1][0]
     # identical features, balanced labels -> residuals cancel exactly
     assert abs(bias) < 1e-9
+
+
+def test_repair_mojibake_roundtrips_damage(spark):
+    """decode(encode(text, UTF-8), Latin-1) damage must repair back to
+    byte-identical originals; ASCII/empty rows pass through unflagged."""
+    from dbt_fusion_spark.llm.quality import repair_mojibake
+
+    originals = [
+        (0, "plain ascii stays untouched"),
+        (1, "caf\u00e9 r\u00e9sum\u00e9 na\u00efve"),
+        (2, "curly \u2018quotes\u2019 \u2014 dash \u20ac"),
+        (3, "\u4e2d\u6587 mixed with caf\u00e9"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(originals, "doc_id int, text string")
+    damaged = df.select(
+        "doc_id",
+        F.decode(F.encode("text", "UTF-8"), "ISO-8859-1").alias("text"))
+    rep = {r.doc_id: r for r in
+           repair_mojibake(damaged, "doc_id", "text").collect()}
+    orig = dict(originals)
+    for i, txt in originals:
+        assert rep[i].repaired == txt
+        assert rep[i].n_utf8ish_after == 0
+        assert rep[i].was_repaired == any(ord(c) > 127 for c in txt)
+    # clean text: byte-identical passthrough, never flagged
+    clean = repair_mojibake(df, "doc_id", "text").collect()
+    assert all(r.repaired == orig[r.doc_id] and not r.was_repaired
+               for r in clean)
+
+
+def test_repair_mojibake_cp1252_variant(spark):
+    """UTF-8 bytes mis-decoded as CP-1252 (curly quote shows as
+    a-circumflex + euro + trademark) repair through the sloppy-1252
+    translate step."""
+    from dbt_fusion_spark.llm.quality import repair_mojibake
+
+    orig = "it\u2019s caf\u00e9 \u2014 fine"
+    damaged = orig.encode("utf-8").decode("cp1252")
+    df = spark.createDataFrame([(1, damaged)], "doc_id int, text string")
+    r = repair_mojibake(df, "doc_id", "text").collect()[0]
+    assert r.repaired == orig and r.was_repaired
+
+
+def test_repair_mojibake_skips_mixed_unrepairable(spark):
+    """Damage markers NEXT TO genuine >0xFF chars: the re-encode would
+    corrupt the genuine chars, so the row is skipped honestly."""
+    from dbt_fusion_spark.llm.quality import repair_mojibake
+
+    mixed = "broken \u00c3\u00a9 plus real \u4e2d\u6587"
+    df = spark.createDataFrame([(1, mixed)], "doc_id int, text string")
+    r = repair_mojibake(df, "doc_id", "text").collect()[0]
+    assert r.repaired == mixed and not r.was_repaired
+
+
+def test_repair_mojibake_invalid_sequences_untouched(spark):
+    """A lone lead byte / truncated sequence fails the strict UTF-8
+    grammar: passthrough, and decode is never invoked on it (Spark 4
+    raises on malformed input -- the regexp guard is the only thing
+    between us and that error)."""
+    from dbt_fusion_spark.llm.quality import repair_mojibake
+
+    rows = [(1, "lone lead \u00c3 then ascii"),
+            (2, "truncated pair \u00e2\u0080 tail"),
+            (3, "overlong \u00e0\u0080\u0080 seq"),
+            (4, "surrogate \u00ed\u00a0\u0080 seq")]
+    out = {r.doc_id: r for r in
+           repair_mojibake(
+               spark.createDataFrame(rows, "doc_id int, text string"),
+               "doc_id", "text").collect()}
+    orig = dict(rows)
+    for i in orig:
+        assert out[i].repaired == orig[i] and not out[i].was_repaired
