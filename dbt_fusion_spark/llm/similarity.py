@@ -916,11 +916,16 @@ def compact_ivf_codes(spark, codes_table: str, max_files: int = 4,
 
     Returns {cell_dir: (files_before, files_after)} for rewritten
     cells ({} when nothing is oversized).
+
+    Storage: all listing/cleanup goes through the Hadoop FileSystem
+    API (sources/fsutil.py), resolved per the artifact path's scheme —
+    the same code serves file:// in tests and s3a://, abfs://, hdfs://
+    at 100 TB, where the previous pathlib/shutil form simply could not
+    run.
     """
     import math
-    import shutil
-    from pathlib import Path
 
+    from dbt_fusion_spark.sources.fsutil import HadoopFS
     from dbt_fusion_spark.sources.registry import ensure_session_confs
 
     if "/" not in codes_table:
@@ -928,31 +933,30 @@ def compact_ivf_codes(spark, codes_table: str, max_files: int = 4,
         return compact_partitions(spark, codes_table, max_files,
                                   target_file_bytes)
     ensure_session_confs(spark)  # dynamic partition overwrite
-    root = Path(codes_table)
+    root = codes_table
+    fs = HadoopFS(spark, root)
     todo = {}
-    for pdir in sorted(root.iterdir()):
-        if not (pdir.is_dir() and pdir.name.startswith("__kcell=")):
+    for dname in fs.subdirs(root):
+        if not dname.startswith("__kcell="):
             continue
-        files = [f for f in pdir.iterdir()
-                 if f.name.endswith(".parquet")]
+        files = fs.files(f"{root}/{dname}", suffix=".parquet")
         if len(files) > max_files:
-            todo[pdir.name] = (len(files),
-                               sum(f.stat().st_size for f in files))
+            todo[dname] = (len(files), sum(b for _, b in files))
     if not todo:
         return {}
-    tmp = str(root) + "__compact_tmp"
+    tmp = root + "__compact_tmp"
 
     def _land(dnames: list[str], n_out: int) -> None:
         # basePath keeps the __kcell partition column on the scoped read
-        reader = spark.read.option("basePath", str(root))
-        staged = reader.parquet(*(str(root / d) for d in dnames))
+        reader = spark.read.option("basePath", root)
+        staged = reader.parquet(*(f"{root}/{d}" for d in dnames))
         staged.write.mode("overwrite").parquet(tmp)
         out = spark.read.parquet(tmp)
         out = (out.repartition(len(dnames), "__kcell")
                if n_out == 1 else out.coalesce(n_out))
         (out.write.mode("overwrite").partitionBy("__kcell")
-         .parquet(str(root)))
-        shutil.rmtree(tmp, ignore_errors=True)
+         .parquet(root))
+        fs.delete(tmp)
 
     single = [d for d, (_, b) in todo.items()
               if b <= target_file_bytes]
@@ -964,8 +968,7 @@ def compact_ivf_codes(spark, codes_table: str, max_files: int = 4,
         _land([dname], max(1, math.ceil(nbytes / target_file_bytes)))
     report = {}
     for dname, (n_before, _) in todo.items():
-        n_after = len([f for f in (root / dname).iterdir()
-                       if f.name.endswith(".parquet")])
+        n_after = len(fs.files(f"{root}/{dname}", suffix=".parquet"))
         report[dname] = (n_before, n_after)
     return report
 
@@ -1002,9 +1005,14 @@ def rebuild_ivf_pq_index(corpus: DataFrame, codes_table: str,
 
     Returns the codes DataFrame as re-read from the swapped-in
     artifact.
+
+    Storage: the path-form swap runs on the Hadoop FileSystem API
+    (sources/fsutil.py) — file:// in tests, object storage at scale;
+    on s3a a directory rename is a copy+delete, so each rename is
+    slower there but the invariant holds unchanged (every artifact
+    version is only ever complete or absent).
     """
-    import os
-    import shutil
+    from dbt_fusion_spark.sources.fsutil import HadoopFS
 
     spark = corpus.sparkSession
     meta = _read_ivf_meta(spark, codes_table)
@@ -1024,20 +1032,21 @@ def rebuild_ivf_pq_index(corpus: DataFrame, codes_table: str,
                              max_iter=max_iter)
     sib = codes_table + "__rebuild"
     if "/" in codes_table:
+        fs = HadoopFS(spark, codes_table)
         for p in (sib, sib + "_meta"):
-            shutil.rmtree(p, ignore_errors=True)
+            fs.delete(p)
         build_ivf_pq_index(corpus, cents, books, sib,
                            id_col=id_col, vec_col=vec_col)
         old = codes_table + "__old"
         for p in (old, old + "_meta"):
-            shutil.rmtree(p, ignore_errors=True)
+            fs.delete(p)
         # the swap: until each rename the old artifact is intact
-        os.rename(codes_table, old)
-        os.rename(sib, codes_table)
-        os.rename(codes_table + "_meta", old + "_meta")
-        os.rename(sib + "_meta", codes_table + "_meta")
+        fs.rename(codes_table, old)
+        fs.rename(sib, codes_table)
+        fs.rename(codes_table + "_meta", old + "_meta")
+        fs.rename(sib + "_meta", codes_table + "_meta")
         for p in (old, old + "_meta"):
-            shutil.rmtree(p, ignore_errors=True)
+            fs.delete(p)
     else:
         for t in (sib, sib + "_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")

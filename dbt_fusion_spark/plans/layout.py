@@ -91,15 +91,16 @@ def compact_partitions(spark, table: str, max_files: int = 4,
     merge).
 
     Driver-side work is one filesystem listing per partition (bounded
-    by partition count, the same scale as the catalog itself).
+    by partition count, the same scale as the catalog itself), routed
+    through the Hadoop FileSystem API (sources/fsutil.py) so the same
+    code lists file:// locally and s3a://, abfs://, hdfs:// at scale.
     Returns {partition_dir: (files_before, files_after)} for the
     rewritten partitions.
     """
     import math
-    import os
     import urllib.parse
-    from pathlib import Path
 
+    from dbt_fusion_spark.sources.fsutil import HadoopFS
     from dbt_fusion_spark.sources.registry import ensure_session_confs
 
     ensure_session_confs(spark)  # dynamic partition overwrite required
@@ -120,25 +121,27 @@ def compact_partitions(spark, table: str, max_files: int = 4,
     if not part_cols:
         raise ValueError(f"{table} is not partitioned; compact by "
                          "rewriting (CTAS) instead")
-    root = Path(loc.removeprefix("file:"))
+    root = loc  # URI as the catalog reports it — scheme stays intact
+    fs = HadoopFS(spark, root)
 
     # descend one directory level per partition column — multi-column
     # partitioned tables nest (a=1/b=2/...); listing only the first
     # level would silently compact nothing
-    def _leaf_dirs(base, depth):
+    def _leaf_dirs(rel: str, depth: int):
         if depth == 0:
-            yield base
+            yield rel
             return
-        for child in base.iterdir():
-            if child.is_dir() and "=" in child.name:
-                yield from _leaf_dirs(child, depth - 1)
+        base = f"{root}/{rel}" if rel else root
+        for child in fs.subdirs(base):
+            if "=" in child:
+                yield from _leaf_dirs(
+                    f"{rel}/{child}" if rel else child, depth - 1)
 
     todo = {}  # partition dir (relative, a=1/b=2) -> (n_files, bytes)
-    for pdir in _leaf_dirs(root, len(part_cols)):
-        files = [f for f in pdir.iterdir() if f.name.endswith(".parquet")]
+    for dname in _leaf_dirs("", len(part_cols)):
+        files = fs.files(f"{root}/{dname}", suffix=".parquet")
         if len(files) > max_files:
-            todo[str(pdir.relative_to(root))] = (
-                len(files), sum(f.stat().st_size for f in files))
+            todo[dname] = (len(files), sum(b for _, b in files))
     if not todo:
         return {}
 
@@ -147,7 +150,7 @@ def compact_partitions(spark, table: str, max_files: int = 4,
     # %3A, or the filter matches nothing and the rewrite is a no-op
     def dir_filter(dname: str):
         cond = None
-        for piece in dname.split(os.sep):
+        for piece in dname.split("/"):
             col, _, val = piece.partition("=")
             c = (F.col(col).isNull()
                  if val == "__HIVE_DEFAULT_PARTITION__"
@@ -168,8 +171,7 @@ def compact_partitions(spark, table: str, max_files: int = 4,
         spark.sql(f"INSERT OVERWRITE TABLE {table}\n"
                   f"SELECT {cols} FROM {tmp}")
         spark.sql(f"DROP TABLE {tmp}")
-        n_after = len([f for f in (root / dname).iterdir()
-                       if f.name.endswith(".parquet")])
+        n_after = len(fs.files(f"{root}/{dname}", suffix=".parquet"))
         report[dname] = (n_before, n_after)
     spark.catalog.refreshTable(table)
     return report
