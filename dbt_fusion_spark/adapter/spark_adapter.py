@@ -103,6 +103,11 @@ class SparkAdapter:
     query_comment: str | None = None
     retries: int = 0
     retry_backoff: float = 1.0
+    # run cancellation (reference dbt-cancel: the token reaches the
+    # adapter engine so a cancelled run stops BETWEEN statements too,
+    # and a cancelled statement is never retried).  The runner sets
+    # this to the active token's is_cancelled for the run's duration.
+    cancellation_check: object | None = None
     # relation cache (reference cache.rs): schema -> {identifier -> Relation}
     _cache: dict[str, dict[str, Relation]] = field(default_factory=dict)
 
@@ -143,15 +148,23 @@ class SparkAdapter:
             return f"/* {self.query_comment} */\n{sql}"
         return sql
 
+    def _cancelled(self) -> bool:
+        return (self.cancellation_check is not None
+                and self.cancellation_check())
+
     def _sql_with_retry(self, sql: str) -> DataFrame:
-        # reference adapter_engine.rs:689 execute_query_with_retry
+        # reference adapter_engine.rs:689 execute_query_with_retry,
+        # threaded with the cancellation token (dbt-cancel): never
+        # start a statement after cancel, never retry a cancelled one
         attempt = 0
         while True:
+            if self._cancelled():
+                raise RuntimeError("run cancelled")
             try:
                 return self.spark.sql(sql)
             except Exception:
                 attempt += 1
-                if attempt > self.retries:
+                if attempt > self.retries or self._cancelled():
                     raise
                 time.sleep(self.retry_backoff * attempt)
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -43,10 +44,71 @@ from dbt_fusion_spark.project import load_project
 from dbt_fusion_spark.snapshots import SnapshotConfig
 
 
+class CancellationToken:
+    """Run-wide cancellation (reference: crates/dbt-cancel's
+    CancellationToken threaded through the adapter engine so ctrl-C
+    cancels in-flight warehouse statements and marks the rest of the
+    DAG skipped).
+
+    Spark-native shape: every node executes inside its own Spark job
+    group (``sc.setJobGroup(unique_id, ..., interruptOnCancel=True)``
+    — job groups are thread-local, and each node runs on its own pool
+    thread).  ``cancel()`` flips the flag and calls
+    ``sc.cancelJobGroup`` for every registered in-flight node, so
+    running warehouse work stops NOW — not after the current action
+    finishes — and no orphan Spark jobs outlive the run.  In-flight
+    nodes surface as status ``cancelled``; nodes not yet started are
+    ``skipped`` (Cancellable::Cancelled semantics).
+    """
+
+    def __init__(self):
+        self._flag = threading.Event()
+        self._lock = threading.Lock()
+        self._active: dict[str, object] = {}  # uid -> SparkContext
+
+    @property
+    def is_cancelled(self) -> bool:
+        return self._flag.is_set()
+
+    def register(self, uid: str, sc) -> None:
+        with self._lock:
+            self._active[uid] = sc
+        if self._flag.is_set():  # lost the race with cancel()
+            sc.cancelJobGroup(uid)
+
+    def deregister(self, uid: str) -> None:
+        with self._lock:
+            self._active.pop(uid, None)
+
+    def cancel(self) -> None:
+        self._flag.set()
+        # cancelJobGroup only kills jobs ACTIVE at call time — a node
+        # cancelled between two of its jobs (compile, staging writes)
+        # would happily start the next one.  Sweep: keep re-cancelling
+        # registered groups until every in-flight node deregisters
+        # (the adapter's pre-statement check stops new statements, so
+        # the sweep converges; bounded as a backstop).
+        def _sweep():
+            for _ in range(150):  # 30 s grace
+                with self._lock:
+                    active = list(self._active.items())
+                if not active:
+                    return
+                for uid, sc in active:
+                    try:
+                        sc.cancelJobGroup(uid)
+                    except Exception:  # noqa: BLE001 — teardown
+                        pass
+                time.sleep(0.2)
+
+        threading.Thread(target=_sweep, daemon=True).start()
+
+
 @dataclass
 class NodeResult:
     unique_id: str
-    status: str          # success | error | pass | warn | fail | skipped
+    status: str          # success | error | pass | warn | fail |
+    #                      skipped | cancelled
     message: str = ""
     execution_time: float = 0.0
 
@@ -273,33 +335,75 @@ class DbtSparkRunner:
         results: dict[str, NodeResult] = {}
         failed: set[str] = set()
 
+        # run cancellation (crates/dbt-cancel): one token per run;
+        # ctrl-C (SIGINT, main-thread runs only — signal handlers are
+        # main-thread-only in Python) and runner.cancel() both flip it
+        token = CancellationToken()
+        self.cancellation_token = token
+        # thread the token into the adapter: statements check it
+        # before starting and never retry after it trips
+        self.adapter.cancellation_check = lambda: token.is_cancelled
+        prev_sigint = None
+        if threading.current_thread() is threading.main_thread():
+            import signal
+
+            prev_sigint = signal.getsignal(signal.SIGINT)
+
+            def _on_sigint(signum, frame):
+                token.cancel()
+
+            signal.signal(signal.SIGINT, _on_sigint)
+
         aborted = False
-        for wave in self.dag.generations():
-            runnable = [u for u in wave if u in selected]
-            if not runnable:
-                continue
-            if aborted:
-                # dbt --fail-fast: nodes not yet scheduled when the
-                # first failure surfaced are skipped, not run
-                for uid in runnable:
-                    results[uid] = NodeResult(uid, "skipped", "fail-fast")
-                continue
-            with ThreadPoolExecutor(max_workers=threads) as pool:
-                futs = {}
-                for uid in runnable:
-                    if any(d in failed for d in self.dag.deps.get(uid, [])):
-                        results[uid] = NodeResult(uid, "skipped",
-                                                  "upstream failure")
-                        failed.add(uid)
-                        continue
-                    futs[uid] = pool.submit(self._run_node, uid, full_refresh)
-                for uid, fut in futs.items():
-                    res = fut.result()
-                    results[uid] = res
-                    if res.status in ("error", "fail"):
-                        failed.add(uid)
-                        if fail_fast:
-                            aborted = True
+        try:
+            for wave in self.dag.generations():
+                runnable = [u for u in wave if u in selected]
+                if not runnable:
+                    continue
+                if aborted or token.is_cancelled:
+                    # dbt --fail-fast / cancellation: nodes not yet
+                    # scheduled when the trigger fired are skipped,
+                    # not run (Cancellable::Cancelled semantics)
+                    why = "fail-fast" if aborted else "run cancelled"
+                    for uid in runnable:
+                        results[uid] = NodeResult(uid, "skipped", why)
+                    continue
+                with ThreadPoolExecutor(max_workers=threads) as pool:
+                    futs = {}
+                    for uid in runnable:
+                        if any(d in failed
+                               for d in self.dag.deps.get(uid, [])):
+                            results[uid] = NodeResult(uid, "skipped",
+                                                      "upstream failure")
+                            failed.add(uid)
+                            continue
+                        futs[uid] = pool.submit(self._run_node, uid,
+                                                full_refresh, token)
+                    # consume in COMPLETION order: a fail-fast or
+                    # cancel trigger from a fast-failing node must not
+                    # wait behind a slow sibling earlier in the wave
+                    from concurrent.futures import as_completed
+
+                    futmap = {fut: uid for uid, fut in futs.items()}
+                    for fut in as_completed(futmap):
+                        uid = futmap[fut]
+                        res = fut.result()
+                        results[uid] = res
+                        if res.status in ("error", "fail"):
+                            failed.add(uid)
+                            if fail_fast:
+                                aborted = True
+                                # stop in-flight siblings NOW, not
+                                # after their current action finishes
+                                token.cancel()
+                        if res.status == "cancelled":
+                            failed.add(uid)
+        finally:
+            self.adapter.cancellation_check = None
+            if prev_sigint is not None:
+                import signal
+
+                signal.signal(signal.SIGINT, prev_sigint)
 
         for sql in proj.on_run_end:
             self.adapter.execute(sql)
@@ -308,9 +412,29 @@ class DbtSparkRunner:
         self.write_artifacts(rr)
         return rr
 
-    def _run_node(self, uid: str, full_refresh: bool) -> NodeResult:
+    def cancel(self) -> None:
+        """Cancel the in-progress run(): in-flight nodes' Spark job
+        groups are cancelled (status `cancelled`), unscheduled nodes
+        are `skipped` — the programmatic twin of ctrl-C."""
+        token = getattr(self, "cancellation_token", None)
+        if token is not None:
+            token.cancel()
+
+    def _run_node(self, uid: str, full_refresh: bool,
+                  token: CancellationToken | None = None) -> NodeResult:
         node = self.project.nodes[uid]
         t0 = time.perf_counter()
+        sc = self.spark.sparkContext
+        if token is not None:
+            if token.is_cancelled:
+                return NodeResult(uid, "cancelled", "run cancelled")
+            # every Spark job this node's thread submits joins the
+            # uid-named group; cancelJobGroup(uid) then interrupts
+            # exactly this node's in-flight work (job groups are
+            # thread-local; pinned-thread mode is the pyspark default)
+            sc.setJobGroup(uid, f"dbt node {uid}",
+                           interruptOnCancel=True)
+            token.register(uid, sc)
         try:
             msg = self._materialize(node, full_refresh)
             status = "success"
@@ -318,8 +442,17 @@ class DbtSparkRunner:
                 status = msg  # pass | warn | fail
                 msg = ""
         except Exception as e:  # noqa: BLE001 — node errors become results
+            if token is not None and token.is_cancelled:
+                return NodeResult(uid, "cancelled", "run cancelled",
+                                  time.perf_counter() - t0)
             return NodeResult(uid, "error", str(e)[:500],
                               time.perf_counter() - t0)
+        finally:
+            if token is not None:
+                token.deregister(uid)
+                sc.setJobGroup("", "")
+        # a cancel that landed after the last action finished: the
+        # node's work completed, report it as such
         return NodeResult(uid, status, msg, time.perf_counter() - t0)
 
     def _enforce_contract(self, node, sql: str) -> None:
