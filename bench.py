@@ -139,6 +139,10 @@ HEADLINE = [
     "stats_chi2_priority_status",
     "events_cusum_daily_volume",
     "stats_gini_revenue_nation",
+    # r9 debuts: full in-engine GD training lifecycles + encoding QA
+    "classifier_train_logreg",
+    "classifier_train_scores",
+    "quality_mojibake_repair",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR
@@ -196,6 +200,24 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
+    # The round driver records only the LAST 2000 chars of stdout and
+    # json-parses what it finds there; the full per-query line above
+    # is ~3.5 KB, so from the driver's window it is left-truncated and
+    # unparseable (every BENCH_r*.json "parsed" was null).  Persist
+    # the full detail to a file and END stdout with a compact summary
+    # line that always fits the window whole.
+    with open("BENCH_LAST_LOCAL.json", "w") as f:
+        json.dump(out, f)
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:5])
+    print(json.dumps({
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(times),
+        "slowest": slowest,
+        "detail": "BENCH_LAST_LOCAL.json",
+    }))
     spark.stop()
 
 
