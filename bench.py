@@ -143,6 +143,15 @@ HEADLINE = [
     "classifier_train_logreg",
     "classifier_train_scores",
     "quality_mojibake_repair",
+    # r9 batch 2: statistics / time-series / text coverage
+    "survival_nelson_aalen_tenure",
+    "ab_spearman_hour_value",
+    "events_ewma_daily_volume",
+    "events_theil_sen_trend",
+    "sample_purged_time_split",
+    "quality_readability_scores",
+    "corpus_lexical_diversity",
+    "text_rake_keywords",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

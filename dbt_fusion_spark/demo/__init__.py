@@ -98,6 +98,15 @@ GATE_WINDOW: list[str] = [
     "classifier_train_scores",
     # mojibake REPAIR completing the r8 signals audit (VERDICT #9)
     "quality_mojibake_repair",
+    # r9 operator-coverage debuts (statistics / time-series / text)
+    "survival_nelson_aalen_tenure",
+    "ab_spearman_hour_value",
+    "events_ewma_daily_volume",
+    "events_theil_sen_trend",
+    "sample_purged_time_split",
+    "quality_readability_scores",
+    "corpus_lexical_diversity",
+    "text_rake_keywords",
 ]
 
 

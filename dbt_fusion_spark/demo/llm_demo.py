@@ -4782,3 +4782,137 @@ def quality_mojibake_repair(spark, sf_dir):
          .otherwise(F.decode(F.encode("text", "UTF-8"), "ISO-8859-1"))
          .alias("text"))
     return repair_mojibake(damaged, "doc_id", "text")
+
+
+# ------------------------------------------------------------ r9 additions
+
+@register(
+    "quality_readability_scores",
+    # pure regexp counts (words / sentence runs / vowel groups) +
+    # Flesch formulas; empty docs NULL.
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                  AS BIGINT) END AS n_words,
+        GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                 AS BIGINT), 1) AS n_sentences,
+        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             AS BIGINT) AS n_syllables
+      FROM documents)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+      CASE WHEN n_words > 0 THEN
+        round(206.835
+              - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+              - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+      END AS flesch_ease,
+      CASE WHEN n_words > 0 THEN
+        round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+              + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+              - 15.59, 6)
+      END AS fk_grade
+    FROM c
+    """,
+)
+def quality_readability_scores(spark, sf_dir):
+    """Flesch Reading Ease + Flesch-Kincaid grade per document (r9) —
+    the grade-level band a curation mix tunes on, as one codegen'd
+    regexp projection (zero shuffles, zero UDFs)."""
+    from dbt_fusion_spark.llm.quality import readability_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return readability_scores(docs, "doc_id", "text")
+
+
+@register(
+    "corpus_lexical_diversity",
+    oracle="""
+    WITH toks AS (
+      SELECT source AS domain,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               AS token
+      FROM documents),
+    t2 AS (SELECT domain, token FROM toks WHERE token <> ''),
+    vocab AS (SELECT domain, token, CAST(COUNT(*) AS BIGINT) AS c
+              FROM t2 GROUP BY 1, 2),
+    agg AS (
+      SELECT domain, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM vocab GROUP BY domain)
+    SELECT domain, n_tokens, n_types, n_hapax,
+      round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+      round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac,
+      round(CAST(n_tokens AS DOUBLE) / n_types, 6) AS mean_token_freq
+    FROM agg
+    """,
+)
+def corpus_lexical_diversity(spark, sf_dir):
+    """Per-domain lexical diversity (r9): type-token ratio, hapax
+    fraction, mean token frequency — the boilerplate/organic-text
+    separator that flags machine-generated repetition before any
+    model-based scorer runs. One vocabulary-grid aggregate."""
+    from dbt_fusion_spark.llm.corpus import lexical_diversity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lexical_diversity(docs, "source", "doc_id", "text")
+
+
+from dbt_fusion_spark.llm.text import RAKE_STOPWORDS as _RAKE_SW  # noqa: E402
+
+
+@register(
+    "text_rake_keywords",
+    # full RAKE pipeline restated: punctuation/stopword boundaries ->
+    # phrase runs -> word deg/freq grid -> per-phrase DECIMAL sums.
+    oracle="""
+    WITH bd AS (
+      SELECT regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\\s]', '|', 'g'),
+               '\\b({sw})\\b', '|', 'g') AS t
+      FROM documents),
+    rawp AS (SELECT unnest(string_split_regex(t, '\\|')) AS p FROM bd),
+    ph AS (
+      SELECT trim(regexp_replace(p, '\\s+', ' ', 'g')) AS phrase
+      FROM rawp),
+    ph2 AS (
+      SELECT phrase,
+             CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen
+      FROM ph
+      WHERE phrase <> '' AND len(string_split(phrase, ' ')) <= 4),
+    words AS (
+      SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS word
+      FROM ph2),
+    stats AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg
+      FROM words GROUP BY word),
+    scored AS (
+      SELECT phrase,
+        SUM(CAST(round(CAST(deg AS DOUBLE) / freq, 9)
+                 AS DECIMAL(38,9))) AS s,
+        CAST(COUNT(*) / MAX(plen) AS BIGINT) AS n_occurrences
+      FROM words JOIN stats USING (word) GROUP BY phrase),
+    fin AS (
+      SELECT phrase, n_occurrences,
+        round(CAST(CAST(s AS VARCHAR) AS DOUBLE) / n_occurrences, 6)
+          AS score
+      FROM scored),
+    rk AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, phrase)
+             AS INTEGER) AS rank, phrase, n_occurrences, score
+      FROM fin)
+    SELECT rank, phrase, n_occurrences, score FROM rk WHERE rank <= 20
+    """.format(sw="|".join(_RAKE_SW)),
+)
+def text_rake_keywords(spark, sf_dir):
+    """RAKE corpus keywords (r9): top-20 stopword-bounded phrases by
+    sum of member-word deg/freq scores (Rose 2010) — the unsupervised
+    'what is this corpus about' readout next to tfidf_top_terms. One
+    vocabulary-grid aggregate + one phrase-grid rank window."""
+    from dbt_fusion_spark.llm.text import rake_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rake_keywords(docs, "doc_id", "text", k=20)

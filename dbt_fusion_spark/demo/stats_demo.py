@@ -1368,3 +1368,334 @@ def stats_entropy_priority_mix(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     return S.categorical_entropy(orders, "o_orderstatus",
                                  "o_orderpriority")
+
+
+# ------------------------------------------------------------ r9 additions
+
+@register(
+    "survival_nelson_aalen_tenure",
+    # same censored time-to-first-purchase frame as the KM row; the
+    # additive hazard walk with round(9)-DECIMAL terms.
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id),
+    cut AS (SELECT max(ts) AS maxts FROM events),
+    subj AS (
+      SELECT CASE WHEN first_purchase IS NOT NULL
+                  THEN CAST(date_diff('day', CAST(first_ts AS DATE),
+                            CAST(first_purchase AS DATE)) AS INTEGER)
+                  ELSE CAST(date_diff('day', CAST(first_ts AS DATE),
+                            CAST(maxts AS DATE)) AS INTEGER)
+             END AS t,
+             CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END
+               AS ev
+      FROM firsts, cut),
+    grid AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(1 - ev) AS BIGINT) AS c
+      FROM subj GROUP BY 1),
+    g AS (
+      SELECT *,
+        CAST(SUM(d + c) OVER () AS BIGINT) AS total,
+        CAST(SUM(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) AS seen
+      FROM grid),
+    r AS (SELECT *, total - seen + d + c AS n_risk FROM g),
+    w AS (
+      SELECT *,
+        CASE WHEN d > 0 THEN CAST(round(
+               CAST(d AS DOUBLE) / n_risk, 9) AS DECIMAL(38,9))
+             ELSE CAST(0 AS DECIMAL(38,9)) END AS hterm,
+        CASE WHEN d > 0 THEN CAST(round(
+               CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * n_risk),
+               9) AS DECIMAL(38,9))
+             ELSE CAST(0 AS DECIMAL(38,9)) END AS vterm
+      FROM r),
+    k AS (
+      SELECT *,
+        SUM(hterm) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS ch,
+        SUM(vterm) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS cv
+      FROM w)
+    SELECT t AS days_to_purchase, CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_events, c AS n_censored,
+           round(CAST(CAST(ch AS VARCHAR) AS DOUBLE), 6)
+             AS cum_hazard,
+           round(sqrt(CAST(CAST(cv AS VARCHAR) AS DOUBLE)), 6) AS se,
+           round(exp(-CAST(CAST(ch AS VARCHAR) AS DOUBLE)), 6)
+             AS survival_fh
+    FROM k
+    """,
+)
+def survival_nelson_aalen_tenure(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard of time-to-first-purchase (r9):
+    the additive sibling of the KM row — the quantity hazard-ratio
+    models build on, with Aalen variance and the Fleming-Harrington
+    survival exp(-H). Same censored subject frame, same bounded
+    day-grid walk."""
+    from pyspark.sql import Window as W
+
+    from dbt_fusion_spark.plans.survival import nelson_aalen
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+         .alias("first_purchase"))
+    g = W.partitionBy().rowsBetween(W.unboundedPreceding,
+                                    W.unboundedFollowing)
+    maxts = (ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+             .select("user_id", F.max("last_ts").over(g).alias("maxts")))
+    subj = (firsts.join(maxts, "user_id")
+            .select(
+                F.when(F.col("first_purchase").isNotNull(),
+                       F.datediff(F.col("first_purchase").cast("date"),
+                                  F.col("first_ts").cast("date")))
+                 .otherwise(
+                       F.datediff(F.col("maxts").cast("date"),
+                                  F.col("first_ts").cast("date")))
+                 .alias("days_to_purchase"),
+                F.col("first_purchase").isNotNull().cast("int")
+                 .alias("converted")))
+    return nelson_aalen(subj, "days_to_purchase", "converted")
+
+
+@register(
+    "ab_spearman_hour_value",
+    # fractional ranks from the per-group VALUE GRID (never a raw-row
+    # sort); rank moments round(9)->DECIMAL(38,9); Pearson on ranks.
+    oracle="""
+    WITH rows_ AS (
+      SELECT event_type AS g, CAST(hour(ts) AS DOUBLE) AS x,
+             "value" AS y
+      FROM events WHERE ts IS NOT NULL AND "value" IS NOT NULL),
+    gx AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c
+           FROM rows_ GROUP BY 1, 2),
+    cx AS (SELECT *, SUM(c) OVER (PARTITION BY g ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM gx),
+    rx AS (SELECT g, x, CAST(cum - c AS DOUBLE)
+                        + CAST(c + 1 AS DOUBLE) / 2.0 AS rx FROM cx),
+    gy AS (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS c
+           FROM rows_ GROUP BY 1, 2),
+    cy AS (SELECT *, SUM(c) OVER (PARTITION BY g ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM gy),
+    ry AS (SELECT g, y, CAST(cum - c AS DOUBLE)
+                        + CAST(c + 1 AS DOUBLE) / 2.0 AS ry FROM cy),
+    rk AS (SELECT r.g, rx.rx, ry.ry
+           FROM rows_ r
+           JOIN rx ON rx.g = r.g AND rx.x = r.x
+           JOIN ry ON ry.g = r.g AND ry.y = r.y),
+    m AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(CAST(round(rx, 9) AS DECIMAL(38,9))) AS sx,
+        SUM(CAST(round(ry, 9) AS DECIMAL(38,9))) AS sy,
+        SUM(CAST(round(rx * rx, 9) AS DECIMAL(38,9))) AS sxx,
+        SUM(CAST(round(ry * ry, 9) AS DECIMAL(38,9))) AS syy,
+        SUM(CAST(round(rx * ry, 9) AS DECIMAL(38,9))) AS sxy
+      FROM rk GROUP BY g)
+    SELECT g AS event_type, n,
+      round(CASE WHEN (CAST(n AS DOUBLE)
+                       * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                         * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                     * (CAST(n AS DOUBLE)
+                        * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                        - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                          * CAST(CAST(sy AS VARCHAR) AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE)
+                  * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE)
+                         * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                         - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                           * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                        * (CAST(n AS DOUBLE)
+                           * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                           - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                             * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+            END, 6) AS spearman_rho,
+      COALESCE(ABS((CAST(n AS DOUBLE)
+                    * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                      * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                   / sqrt((CAST(n AS DOUBLE)
+                           * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                           - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                             * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                          * (CAST(n AS DOUBLE)
+                             * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                             - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                               * CAST(CAST(sy AS VARCHAR) AS DOUBLE))))
+               * sqrt(CAST(n AS DOUBLE) - 1) > 1.959964, FALSE)
+        AS significant_95
+    FROM m
+    """,
+)
+def ab_spearman_hour_value(spark, sf_dir):
+    """Spearman rank correlation between hour-of-day and event value
+    per type (r9) — the monotone-association complement to the Pearson
+    metric-correlation matrix, heavy on ties (24 hour values) so the
+    fractional-rank grid machinery is fully exercised."""
+    ev = load_table(spark, sf_dir, "events")
+    return S.spearman_correlation(
+        ev.filter(F.col("ts").isNotNull()), "event_type",
+        F.hour("ts").cast("double"), "value")
+
+
+@register(
+    "events_ewma_daily_volume",
+    # K=8 LAG unroll of the truncated adjusted EWMA; literal decay
+    # powers are the same doubles in both engines.
+    oracle="""
+    WITH series AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, day, n_rows,
+        {lags}
+      FROM series)
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day, n_rows,
+      round(({num}) / ({den}), 6) AS ewma,
+      round(CAST(n_rows AS DOUBLE) - ({num}) / ({den}), 6) AS residual
+    FROM l
+    """.format(
+        lags=",\n        ".join(
+            f"lag(CAST(n_rows AS DOUBLE), {j}) OVER "
+            f"(PARTITION BY event_type ORDER BY day) AS x{j}"
+            for j in range(1, 8)),
+        num=" + ".join(
+            ["COALESCE(CAST(n_rows AS DOUBLE) * 1.0, 0.0)"]
+            + [f"COALESCE(x{j} * {0.7 ** j!r}, 0.0)"
+               for j in range(1, 8)]),
+        den=" + ".join(
+            ["CASE WHEN n_rows IS NOT NULL THEN 1.0 ELSE 0.0 END"]
+            + [f"CASE WHEN x{j} IS NOT NULL THEN {0.7 ** j!r} "
+               "ELSE 0.0 END" for j in range(1, 8)]),
+    ),
+)
+def events_ewma_daily_volume(spark, sf_dir):
+    """Bounded-lookback EWMA of per-type daily volume (r9): the
+    noise-robust level estimate + residual an anomaly rule should
+    threshold, as a pure K-lag unroll — per-key windows, no recursion,
+    no state."""
+    from dbt_fusion_spark.plans.timeseries import ewma_smoothing
+
+    ev = load_table(spark, sf_dir, "events")
+    series = (ev.groupBy("event_type",
+                         F.date_trunc("day", F.col("ts")).alias("day"))
+                .agg(F.count(F.lit(1)).alias("n_rows")))
+    return ewma_smoothing(series, "event_type", "day", "n_rows",
+                          alpha=0.3, lookback=8)
+
+
+@register(
+    "events_theil_sen_trend",
+    # pairwise slopes on the bounded (type x day) rollup; lower
+    # medians from distinct-value walks.
+    oracle="""
+    WITH pts AS (
+      SELECT event_type AS g,
+             CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(ts AS DATE)) AS DOUBLE) AS x,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.g, round((b.y - a.y) / (b.x - a.x), 9) AS slope
+      FROM pts a JOIN pts b ON a.g = b.g AND a.x < b.x),
+    sg AS (SELECT g, slope, CAST(COUNT(*) AS BIGINT) AS c
+           FROM pairs GROUP BY 1, 2),
+    sc AS (SELECT *, SUM(c) OVER (PARTITION BY g) AS tot,
+             SUM(c) OVER (PARTITION BY g ORDER BY slope
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+           FROM sg),
+    ms AS (SELECT g, MIN(slope) AS slope,
+                  CAST(MAX(tot) AS BIGINT) AS n_pairs
+           FROM sc WHERE cum * 2 >= tot GROUP BY g),
+    resid AS (
+      SELECT p.g, round(p.y - m.slope * p.x, 9) AS icpt
+      FROM pts p JOIN ms m ON m.g = p.g),
+    ig AS (SELECT g, icpt, CAST(COUNT(*) AS BIGINT) AS c
+           FROM resid GROUP BY 1, 2),
+    ic AS (SELECT *, SUM(c) OVER (PARTITION BY g) AS tot,
+             SUM(c) OVER (PARTITION BY g ORDER BY icpt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+           FROM ig),
+    mi AS (SELECT g, MIN(icpt) AS intercept
+           FROM ic WHERE cum * 2 >= tot GROUP BY g),
+    np AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_points
+           FROM pts GROUP BY g)
+    SELECT np.g AS event_type, np.n_points,
+           COALESCE(ms.n_pairs, 0) AS n_pairs,
+           ms.slope, mi.intercept
+    FROM np LEFT JOIN ms ON ms.g = np.g
+    LEFT JOIN mi ON mi.g = np.g
+    """,
+)
+def events_theil_sen_trend(spark, sf_dir):
+    """Theil-Sen robust trend of per-type daily volume (r9): the
+    median-of-pairwise-slopes fit one spike cannot move — the robust
+    complement to events_trend_ols. Pairs form on the days^2-bounded
+    rollup; both medians are distinct-value grid walks."""
+    from dbt_fusion_spark.plans.timeseries import theil_sen_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+    daily = (ev.groupBy("event_type", x.alias("d"))
+               .agg(F.count(F.lit(1)).alias("n")))
+    return theil_sen_trend(daily, "event_type",
+                           F.col("d").cast("double"), "n")
+
+
+@register(
+    "sample_purged_time_split",
+    # row-level CASE split + entity-keyed straddle flag, emitted as
+    # the bounded (split x straddle) audit rollup.
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts,
+        CASE WHEN ts < TIMESTAMP '2024-01-20' - INTERVAL 2 DAY
+               THEN 'train'
+             WHEN ts >= TIMESTAMP '2024-01-20' THEN 'test'
+             ELSE 'purged' END AS split
+      FROM events),
+    ent AS (
+      SELECT user_id,
+        MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ht,
+        MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS hs
+      FROM tagged GROUP BY user_id)
+    SELECT t.split, ent.ht = 1 AND ent.hs = 1 AS entity_straddles,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT t.user_id) AS BIGINT) AS n_entities,
+           CAST(min(t.ts) AS TIMESTAMP) AS min_ts,
+           CAST(max(t.ts) AS TIMESTAMP) AS max_ts
+    FROM tagged t JOIN ent ON ent.user_id = t.user_id
+    GROUP BY 1, 2
+    """,
+)
+def sample_purged_time_split(spark, sf_dir):
+    """Purged temporal split audit (r9): rows split train/purged/test
+    around 2024-01-20 with a 2-day embargo, entities straddling both
+    sides flagged — the time-series leakage guard next to the near-dup
+    leakage-safe split. Emitted as the bounded (split x straddle)
+    rollup with row/entity counts and the boundary timestamps."""
+    from dbt_fusion_spark.sample.strategies import purged_time_split
+
+    ev = load_table(spark, sf_dir, "events")
+    out = purged_time_split(ev, "user_id", "ts", "2024-01-20",
+                            gap_expr="INTERVAL 2 DAY")
+    return (out.groupBy("split", "entity_straddles")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.countDistinct("user_id").cast("bigint")
+                  .alias("n_entities"),
+                 F.min("ts").alias("min_ts"),
+                 F.max("ts").alias("max_ts")))

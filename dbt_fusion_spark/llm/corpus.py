@@ -658,3 +658,39 @@ def novelty_ngrams(corpus: DataFrame, reference: DataFrame, id_col: str,
                        F.coalesce("n_novel", F.lit(0)).cast("double")
                        / F.col("n_grams").cast("double"))
                 .alias("novelty_frac")))
+
+
+def lexical_diversity(df: DataFrame, domain_col: str, id_col: str,
+                      text_col: str) -> DataFrame:
+    """Per-domain lexical-diversity profile: token count N, vocabulary
+    size V, type-token ratio V/N, hapax fraction (share of vocabulary
+    seen exactly once), and mean token frequency N/V — the dials that
+    separate template/boilerplate domains (low TTR) from organic text
+    and flag machine-generated repetition before any model-based
+    scorer runs.
+
+    Scale: one explode + one (domain, token)-keyed map-side-combined
+    aggregate onto the vocabulary grid, then a domain-keyed rollup of
+    that grid.  Integer counts end to end; ratios are exact-operand
+    double divisions emitted at round(6).
+    """
+    toks = (df.select(F.col(domain_col).alias("domain"),
+                      F.explode(
+                          F.filter(
+                              F.split(F.trim(F.lower(F.col(text_col))),
+                                      r"\s+"),
+                              lambda t: t != "")).alias("token")))
+    vocab = (toks.groupBy("domain", "token")
+                 .agg(F.count(F.lit(1)).alias("c")))
+    out = (vocab.groupBy("domain")
+           .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                F.count(F.lit(1)).cast("bigint").alias("n_types"),
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_hapax")))
+    n, v = F.col("n_tokens").cast("double"), F.col("n_types").cast("double")
+    return out.select(
+        "domain", "n_tokens", "n_types", "n_hapax",
+        F.round(v / n, 6).alias("type_token_ratio"),
+        F.round(F.col("n_hapax").cast("double") / v, 6)
+         .alias("hapax_frac"),
+        F.round(n / v, 6).alias("mean_token_freq"))

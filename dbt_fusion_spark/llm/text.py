@@ -468,3 +468,81 @@ def winnow_candidate_pairs_cross(new: DataFrame, id_col: str,
     finally:
         for c in cached:
             c.unpersist()
+
+
+# RAKE stopword boundary set (Rose et al. 2010 uses a full SMART list;
+# this is the high-frequency core — the list IS the phrase-boundary
+# definition, so it is part of the operator contract and shared
+# verbatim with the oracle restatement).
+RAKE_STOPWORDS = (
+    "a an and are as at be but by for from has have he her his i in is "
+    "it its of on or she that the their they this to was were will with "
+    "you your we our not no so if then than too very can could would "
+    "should do does did done").split()
+
+
+def rake_keywords(df: DataFrame, id_col: str, text_col: str,
+                  k: int = 20, max_phrase_words: int = 4) -> DataFrame:
+    """RAKE keyword extraction over the corpus (Rose et al. 2010):
+    candidate phrases are maximal stopword/punctuation-free word runs;
+    each word scores deg(w)/freq(w) where freq counts its occurrences
+    and deg sums the lengths of phrases containing it; a phrase scores
+    the sum over its words.  Returns the top-k corpus phrases by
+    (score desc, phrase asc) with occurrence counts — the unsupervised
+    "what is this corpus about" readout next to tfidf_top_terms (which
+    needs a document-frequency signal; RAKE works corpus-wide from
+    phrase co-occurrence alone).
+
+    Determinism: a phrase occurrence contributes the same word scores
+    wherever it appears, so the per-phrase sum aggregates
+    round(9)-quantized DECIMAL terms (order-free) and divides by the
+    occurrence count — identical in the SQL restatement.
+
+    Scale: phrase extraction is codegen'd regexp_replace + split +
+    explode; word stats are ONE word-keyed map-side-combined aggregate
+    onto the vocabulary grid; the phrase score re-aggregates the
+    word-stream join per distinct phrase; the top-k rank is a window
+    over the bounded distinct-phrase grid.
+    """
+    from dbt_fusion_spark.plans.stats import _d2d, _qterm
+
+    sw = "|".join(RAKE_STOPWORDS)
+    lowered = F.lower(F.col(text_col))
+    no_punct = F.regexp_replace(lowered, r"[^a-z0-9\s]", "|")
+    bounded = F.regexp_replace(no_punct, rf"\b({sw})\b", "|")
+    phrases = (df.select(F.explode(F.split(bounded, r"\|"))
+                         .alias("rawp"))
+               .select(F.trim(F.regexp_replace(F.col("rawp"),
+                                               r"\s+", " "))
+                       .alias("phrase"))
+               .filter((F.col("phrase") != "")
+                       & (F.size(F.split(F.col("phrase"), " "))
+                          <= max_phrase_words))
+               .withColumn("plen",
+                           F.size(F.split(F.col("phrase"), " "))
+                           .cast("bigint")))
+    words = phrases.select(
+        "phrase", "plen",
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"))
+    stats = (words.groupBy("word")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("freq"),
+                  F.sum("plen").cast("bigint").alias("deg")))
+    # per word-row score deg/freq; a phrase's row set is its
+    # occurrence count x its word count, every occurrence identical,
+    # so sum(ws)/n_occurrences IS the phrase score
+    scored = (words.join(stats, "word")
+              .groupBy("phrase")
+              .agg(F.sum(_qterm(F.col("deg").cast("double")
+                                / F.col("freq").cast("double")))
+                   .alias("__s"),
+                   (F.count(F.lit(1))
+                    / F.max("plen")).cast("bigint")
+                   .alias("n_occurrences")))
+    final = scored.select(
+        "phrase", "n_occurrences",
+        F.round(_d2d("__s") / F.col("n_occurrences").cast("double"), 6)
+         .alias("score"))
+    wr = Window.orderBy(F.col("score").desc(), F.col("phrase"))
+    return (final.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .select("rank", "phrase", "n_occurrences", "score"))

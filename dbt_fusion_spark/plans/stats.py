@@ -1017,3 +1017,61 @@ def categorical_entropy(df: DataFrame, group_col: str,
                          F.round(ent / F.log(F.max("k").cast("double")),
                                  6)).alias("normalized_entropy"))
              .withColumnRenamed("grp", group_col))
+
+
+# ---------------------------------------------------------------- Spearman
+def spearman_correlation(df: DataFrame, group_col: str, x_col,
+                         y_col) -> DataFrame:
+    """Per-group Spearman rank correlation — the monotone-association
+    complement to Pearson (metric_correlations): rank both variables
+    with fractional (average) ranks for ties, then Pearson on the
+    ranks.  Robust to outliers and any monotone transform, which is
+    what makes it the first association check on heavy-tailed metrics.
+
+    Returns one row per group: n, rho, and the large-n significance
+    flag (|rho| sqrt(n-1) > 1.959964).
+
+    Scale: ranks come from the per-group VALUE GRID (one groupBy per
+    variable + a cumulative window over the bounded grid), broadcast
+    back by (group, value) — never a raw-row window sort; rank
+    products quantize round(9) -> DECIMAL(38,9), whose 1e29 capacity
+    covers the n^3-scale rank moments past 1e9 rows per group.
+    """
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    rows = (df.select(F.col(group_col).alias("g"), x.alias("x"),
+                      y.alias("y"))
+              .filter(F.col("x").isNotNull() & F.col("y").isNotNull()))
+
+    def rank_map(col: str) -> DataFrame:
+        grid = rows.groupBy("g", col).agg(F.count(F.lit(1)).alias("c"))
+        wc = (Window.partitionBy("g").orderBy(col)
+              .rowsBetween(Window.unboundedPreceding, 0))
+        cum = grid.withColumn("cum", F.sum("c").over(wc))
+        # fractional average rank of a tie block ending at cum with c
+        # members: cum - c + (c + 1)/2 — exact halves
+        r = (F.col("cum") - F.col("c")).cast("double") \
+            + (F.col("c") + 1).cast("double") / F.lit(2.0)
+        return cum.select("g", col, r.alias(f"r{col}"))
+
+    rx, ry = rank_map("x"), rank_map("y")
+    ranked = rows.join(rx, ["g", "x"]).join(ry, ["g", "y"])
+    q = _qterm
+    m = (ranked.groupBy("g")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(q(F.col("rx"))).alias("sx"),
+              F.sum(q(F.col("ry"))).alias("sy"),
+              F.sum(q(F.col("rx") * F.col("rx"))).alias("sxx"),
+              F.sum(q(F.col("ry") * F.col("ry"))).alias("syy"),
+              F.sum(q(F.col("rx") * F.col("ry"))).alias("sxy")))
+    nn = F.col("n").cast("double")
+    sx, sy = _d2d("sx"), _d2d("sy")
+    sxx, syy, sxy = _d2d("sxx"), _d2d("syy"), _d2d("sxy")
+    num = nn * sxy - sx * sy
+    den2 = (nn * sxx - sx * sx) * (nn * syy - sy * sy)
+    rho = F.when(den2 > 0, num / F.sqrt(den2))
+    return m.select(
+        F.col("g").alias(group_col), "n",
+        F.round(rho, 6).alias("spearman_rho"),
+        F.coalesce(F.abs(rho) * F.sqrt(nn - 1) > 1.959964,
+                   F.lit(False)).alias("significant_95"))

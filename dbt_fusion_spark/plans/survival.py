@@ -121,3 +121,51 @@ def logrank_test(df: DataFrame, group_col: str, duration_col: str,
         F.round(chi2, 6).alias("chi2"),
         F.coalesce(chi2 > 3.841459, F.lit(False))
          .alias("significant_95"))
+
+
+def nelson_aalen(df: DataFrame, duration_col: str,
+                 event_col: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator — Kaplan-Meier's
+    additive sibling: H(t) = sum_{t_j <= t} d_j / n_j, with the
+    Aalen variance estimate sum d_j / n_j^2 and the derived
+    Fleming-Harrington survival exp(-H(t)) (which dominates the KM
+    curve and behaves better in small risk sets).  The cumulative
+    hazard is the quantity hazard-ratio models (Cox) are built on, so
+    this is the readout a churn analysis reaches for after the KM
+    plot.
+
+    Returns one row per distinct duration: at-risk count, events,
+    censored, cumulative hazard, its standard error, and exp(-H).
+
+    Scale: identical bounded duration-grid walk as kaplan_meier (one
+    map-side-combined groupBy + grid windows); hazard and variance
+    terms ride round(9)->DECIMAL sums so the walk is order-free.
+    """
+    ev = F.col(event_col).cast("bigint")
+    grid = (df.groupBy(F.col(duration_col).alias("t"))
+              .agg(F.sum(ev).alias("d"),
+                   F.sum(F.lit(1) - ev).alias("c")))
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    g = (grid.withColumn("total", F.sum(F.col("d") + F.col("c"))
+                         .over(_grid()))
+             .withColumn("seen", F.sum(F.col("d") + F.col("c"))
+                         .over(wcum)))
+    g = g.withColumn("n_risk",
+                     F.col("total") - F.col("seen")
+                     + F.col("d") + F.col("c"))
+    nr = F.col("n_risk").cast("double")
+    dd = F.col("d").cast("double")
+    h_term = F.when(F.col("d") > 0, _qterm(dd / nr)) \
+        .otherwise(F.lit(0).cast(D389))
+    v_term = F.when(F.col("d") > 0, _qterm(dd / (nr * nr))) \
+        .otherwise(F.lit(0).cast(D389))
+    g = (g.withColumn("__h", F.sum(h_term).over(wcum))
+          .withColumn("__v", F.sum(v_term).over(wcum)))
+    return g.select(
+        F.col("t").alias(duration_col),
+        F.col("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.round(_d2d("__h"), 6).alias("cum_hazard"),
+        F.round(F.sqrt(_d2d("__v")), 6).alias("se"),
+        F.round(F.exp(-_d2d("__h")), 6).alias("survival_fh"))

@@ -152,3 +152,102 @@ def grouped_ols_trend(df: DataFrame, group_col: str, x_col,
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"))
+
+
+def ewma_smoothing(df: DataFrame, key_col: str, time_col: str,
+                   value_col: str, alpha: float = 0.3,
+                   lookback: int = 8) -> DataFrame:
+    """Per-key exponentially-weighted moving average with a BOUNDED
+    lookback — the classic noise-robust level estimate next to the
+    moving-average trend (seasonal_residuals) and CUSUM drift walk.
+
+    ewma_t = sum_{j=0..K-1} (1-a)^j x_{t-j} / sum_j (1-a)^j over the
+    values that exist (series heads shorten the window — the pandas
+    ``adjust=True`` convention, truncated at K).  The K-term unroll is
+    a chain of LAG expressions, so the whole operator is per-key
+    windows + pure double arithmetic: deterministic IEEE in both
+    engines, no recursion, no state.  Emits the smoothed level and
+    the residual x_t - ewma_t (what an anomaly rule should threshold).
+
+    Scale: one per-key window sort produces all K lags; K is a
+    constant (default 8), so work is O(rows x K) map-side after the
+    sort — the per-key ordering is the operator's semantic floor
+    (same class as cusum_changepoint).
+    """
+    w = Window.partitionBy(key_col).orderBy(time_col)
+    x = F.col(value_col).cast("double")
+    decay = 1.0 - alpha
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(lookback):
+        lag = F.lag(x, j).over(w) if j else x
+        wj = F.lit(decay ** j)
+        num = num + F.coalesce(lag * wj, F.lit(0.0))
+        den = den + F.when(lag.isNotNull(), wj).otherwise(F.lit(0.0))
+    ewma = num / den  # den >= 1 term (row's own value) always
+    return df.select(
+        key_col, time_col, value_col,
+        F.round(ewma, 6).alias("ewma"),
+        F.round(x - ewma, 6).alias("residual"))
+
+
+def theil_sen_trend(df: DataFrame, group_col: str, x_col,
+                    y_col: str) -> DataFrame:
+    """Per-group Theil-Sen robust trend: the MEDIAN of all pairwise
+    slopes (y_j - y_i)/(x_j - x_i), x_i < x_j — up to ~29% outliers
+    cannot move it, which is exactly what the OLS trend
+    (grouped_ols_trend) lacks on spiky operational series.  Intercept
+    is the median of y_i - slope * x_i (the standard completion).
+
+    Returns one row per group: n_points, n_pairs, slope, intercept.
+    Medians are LOWER medians from the distinct-value cumulative walk
+    (the weighted_median convention: smallest value with
+    2 * cum >= total) — value-exact, no interpolation.
+
+    Scale: pairs form on the per-group (x, y) ROLLUP (one aggregate
+    first — for a daily series the grid is days, so pairs are
+    days^2-bounded per group, never rows^2); slopes round(9)-quantize
+    onto a grid and both medians are bounded-grid walks.  Callers with
+    sub-day x resolution should pre-bucket x — the pair mass is the
+    documented resolution knob.
+    """
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col) \
+        .cast("double")
+    y = F.col(y_col).cast("double")
+    # per-(group, x) rollup: mean y per x tick (standard pre-reduction)
+    pts = (df.groupBy(F.col(group_col).alias("g"), x.alias("x"))
+             .agg(F.avg(y).alias("y")))
+    a = pts.select("g", F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = pts.select("g", F.col("x").alias("xj"), F.col("y").alias("yj"))
+    pairs = (a.join(b, "g")
+             .filter(F.col("xi") < F.col("xj"))
+             .select("g", F.round((F.col("yj") - F.col("yi"))
+                                  / (F.col("xj") - F.col("xi")), 9)
+                     .alias("slope")))
+
+    def lower_median(vals: DataFrame, val: str) -> DataFrame:
+        grid = vals.groupBy("g", val).agg(F.count(F.lit(1)).alias("c"))
+        wg = Window.partitionBy("g")
+        wc = (Window.partitionBy("g").orderBy(val)
+              .rowsBetween(Window.unboundedPreceding, 0))
+        cum = (grid.withColumn("tot", F.sum("c").over(wg))
+                   .withColumn("cum", F.sum("c").over(wc)))
+        return (cum.filter(F.col("cum") * 2 >= F.col("tot"))
+                   .groupBy("g")
+                   .agg(F.min(val).alias(f"med_{val}"),
+                        F.max("tot").alias(f"n_{val}")))
+
+    med_slope = lower_median(pairs, "slope")
+    resid = (pts.join(F.broadcast(med_slope), "g")
+             .select("g", F.round(F.col("y")
+                                  - F.col("med_slope") * F.col("x"), 9)
+                     .alias("icpt")))
+    med_icpt = lower_median(resid, "icpt")
+    npts = pts.groupBy("g").agg(F.count(F.lit(1)).alias("n_points"))
+    return (npts.join(med_slope, "g", "left")
+            .join(med_icpt.drop("n_icpt"), "g", "left")
+            .select(F.col("g").alias(group_col), "n_points",
+                    F.coalesce("n_slope", F.lit(0)).cast("bigint")
+                     .alias("n_pairs"),
+                    F.col("med_slope").alias("slope"),
+                    F.col("med_icpt").alias("intercept")))

@@ -388,3 +388,44 @@ def sample_neyman(df: DataFrame, stratum_col: str, value_col: str,
                                  "n_alloc")), stratum_col)
         .filter(F.col("__rk") <= F.col("n_alloc"))
         .select(id_col, stratum_col))
+
+
+def purged_time_split(df: DataFrame, entity_col: str, time_col: str,
+                      split_ts, gap_expr: str = "INTERVAL 0 SECOND"
+                      ) -> DataFrame:
+    """Leakage-safe TEMPORAL train/test split with a purge gap (the
+    time-series complement to leakage-safe near-dup splitting, after
+    de Prado's purged cross-validation): rows strictly before
+    ``split_ts - gap`` are train, rows at/after ``split_ts`` are test,
+    and the gap between is PURGED — features computed over trailing
+    windows near the boundary otherwise read test-period information
+    into training rows.
+
+    Also flags ``entity_straddles``: whether the row's entity has
+    rows in BOTH train and test — the behavioral-leakage signal a
+    per-row split silently ignores (the same user's habits on both
+    sides of the boundary leak identity-level information); callers
+    route straddlers to one side or drop them.
+
+    Scale: the split itself is a pure projection; the straddle flag is
+    one entity-keyed aggregate broadcast-joined back when the entity
+    grid is bounded (here: joined on the entity key, one shuffle).
+    """
+    ts = F.col(time_col)
+    cutoff = F.lit(split_ts).cast("timestamp")
+    train_end = F.expr(
+        f"CAST('{split_ts}' AS TIMESTAMP) - {gap_expr}")
+    split = (F.when(ts < train_end, F.lit("train"))
+             .when(ts >= cutoff, F.lit("test"))
+             .otherwise(F.lit("purged")))
+    tagged = df.withColumn("split", split)
+    ent = (tagged.groupBy(F.col(entity_col).alias("__e"))
+           .agg(F.max(F.when(F.col("split") == "train", 1)
+                      .otherwise(0)).alias("__has_train"),
+                F.max(F.when(F.col("split") == "test", 1)
+                      .otherwise(0)).alias("__has_test")))
+    return (tagged.join(ent, F.col(entity_col) == F.col("__e"))
+            .select(*df.columns, "split",
+                    ((F.col("__has_train") == 1)
+                     & (F.col("__has_test") == 1))
+                    .alias("entity_straddles")))

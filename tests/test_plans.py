@@ -700,3 +700,39 @@ def test_clustering_coefficient_max_degree_subgraph(spark):
         assert out[v].degree == 2 and out[v].clustering_coeff == 1.0
     # hub-only satellite: kept, subgraph degree 0, NULL cc
     assert out[4].degree == 0 and out[4].clustering_coeff is None
+
+
+def test_ewma_bounded_lookback_matches_reference(spark):
+    """EWMA K-term unroll vs a python reference implementation of the
+    same truncated adjusted-EWMA definition."""
+    from dbt_fusion_spark.plans.timeseries import ewma_smoothing
+
+    xs = [10.0, 12.0, 8.0, 14.0, 30.0, 11.0, 9.0]
+    rows = [("k", t, v) for t, v in enumerate(xs)]
+    out = {r.t: r.ewma for r in
+           ewma_smoothing(
+               spark.createDataFrame(rows, "k string, t int, v double"),
+               "k", "t", "v", alpha=0.3, lookback=4).collect()}
+    d = 0.7
+    for t in range(len(xs)):
+        num = sum(d ** j * xs[t - j] for j in range(4) if t - j >= 0)
+        den = sum(d ** j for j in range(4) if t - j >= 0)
+        assert out[t] == pytest.approx(num / den, abs=1e-6), t
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """A gross outlier moves the OLS slope but not the Theil-Sen
+    median slope."""
+    from dbt_fusion_spark.plans.timeseries import (grouped_ols_trend,
+                                                   theil_sen_trend)
+
+    # clean line y = 2x + 1 with ONE wild outlier at x=10
+    rows = [("a", float(x), 2.0 * x + 1.0) for x in range(10)]
+    rows.append(("a", 10.0, 1000.0))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    ts = theil_sen_trend(df, "g", "x", "y").collect()[0]
+    ols = grouped_ols_trend(df, "g", "x", "y").collect()[0]
+    assert ts.slope == pytest.approx(2.0, abs=1e-6)
+    assert ts.intercept == pytest.approx(1.0, abs=1e-6)
+    assert ols.slope > 10  # OLS dragged far off by the outlier
+    assert ts.n_points == 11 and ts.n_pairs == 55

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dbt_fusion_spark.llm import quality as Q
@@ -947,3 +948,71 @@ def test_repair_mojibake_invalid_sequences_untouched(spark):
     orig = dict(rows)
     for i in orig:
         assert out[i].repaired == orig[i] and not out[i].was_repaired
+
+
+def test_readability_known_text(spark):
+    """Flesch formulas on hand-counted text."""
+    from dbt_fusion_spark.llm.quality import readability_scores
+
+    # "the cat sat. the dog ran." -> 6 words, 2 sentences,
+    # vowel groups: e,a,a,e,o,a = 6 syllables
+    rows = [(1, "the cat sat. the dog ran."), (2, "")]
+    out = {r.doc_id: r for r in
+           readability_scores(
+               spark.createDataFrame(rows, "doc_id int, text string"),
+               "doc_id", "text").collect()}
+    r = out[1]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (6, 2, 6)
+    ws, yw = 6 / 2, 6 / 6
+    assert r.flesch_ease == pytest.approx(206.835 - 1.015 * ws
+                                          - 84.6 * yw, abs=1e-6)
+    assert r.fk_grade == pytest.approx(0.39 * ws + 11.8 * yw - 15.59,
+                                       abs=1e-6)
+    assert out[2].n_words == 0 and out[2].flesch_ease is None
+
+
+def test_lexical_diversity_counts(spark):
+    from dbt_fusion_spark.llm.corpus import lexical_diversity
+
+    rows = [("a", 1, "x x y z"), ("a", 2, "x w"),
+            ("b", 3, "q q q q")]
+    out = {r.domain: r for r in
+           lexical_diversity(
+               spark.createDataFrame(
+                   rows, "src string, doc_id int, text string"),
+               "src", "doc_id", "text").collect()}
+    a = out["a"]
+    # domain a: tokens x,x,y,z,x,w -> N=6, V=4, hapax y,z,w = 3
+    assert (a.n_tokens, a.n_types, a.n_hapax) == (6, 4, 3)
+    assert a.type_token_ratio == pytest.approx(4 / 6, abs=1e-6)
+    assert a.hapax_frac == pytest.approx(3 / 4, abs=1e-6)
+    b = out["b"]
+    assert (b.n_tokens, b.n_types, b.n_hapax) == (4, 1, 0)
+
+
+def test_rake_scores_multiword_phrases(spark):
+    """RAKE on the canonical toy: co-occurring content words outscore
+    isolated frequent ones, and stopwords never appear in phrases."""
+    from dbt_fusion_spark.llm.text import rake_keywords
+
+    rows = [(1, "deep learning models and deep learning systems."),
+            (2, "the models are fast. systems of deep learning!")]
+    out = rake_keywords(
+        spark.createDataFrame(rows, "doc_id int, text string"),
+        "doc_id", "text", k=10).collect()
+    phrases = {r.phrase: r for r in out}
+    # "deep learning" occurs 3x (as a phrase or prefix of longer runs)
+    assert "deep learning" in phrases
+    assert all(" the " not in f" {p} " and not p.startswith("the ")
+               for p in phrases)
+    # multiword phrase outscores single frequent words: its score sums
+    # member word scores
+    single_scores = [r.score for r in out
+                     if " " not in r.phrase]
+    multi = phrases["deep learning models"].score \
+        if "deep learning models" in phrases \
+        else phrases["deep learning"].score
+    assert multi > max(single_scores)
+    # deterministic ranking: rank 1 is the highest score
+    assert out[0].rank == 1
+    assert out[0].score == max(r.score for r in out)

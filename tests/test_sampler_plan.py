@@ -76,3 +76,33 @@ def test_strategy_dispatch_variants(spark, tables):
     assert rnd.count() == apply_strategy(
         o.repartition(13),
         {"type": "random", "args": {"frac": 0.5, "by": "ok"}}).count()
+
+
+def test_purged_time_split_gap_and_straddle(spark):
+    """Purged temporal split: gap rows excluded from both sides, and
+    entities with rows in both train and test are flagged."""
+    import datetime
+
+    from dbt_fusion_spark.sample.strategies import purged_time_split
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("early", t0),                                   # train only
+        ("strad", t0 + datetime.timedelta(days=1)),      # train...
+        ("gap", t0 + datetime.timedelta(days=9, hours=12)),  # purged
+        ("strad", t0 + datetime.timedelta(days=12)),     # ...and test
+        ("late", t0 + datetime.timedelta(days=15)),      # test only
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    out = purged_time_split(df, "user", "ts", "2024-01-11",
+                            gap_expr="INTERVAL 2 DAY").collect()
+    by = {(r.user, r.ts.day): r for r in out}
+    assert by[("early", 1)].split == "train"
+    assert by[("strad", 2)].split == "train"
+    assert by[("gap", 10)].split == "purged"
+    assert by[("strad", 13)].split == "test"
+    assert by[("late", 16)].split == "test"
+    assert by[("strad", 2)].entity_straddles
+    assert by[("strad", 13)].entity_straddles
+    assert not by[("early", 1)].entity_straddles
+    assert not by[("gap", 10)].entity_straddles

@@ -649,3 +649,32 @@ def test_metric_correlations_overflow_raises(spark):
         S.metric_correlations(
             _df(spark, bad, "k string, ts timestamp, v double"),
             "k", "ts", "v").collect()
+
+
+def test_spearman_perfect_monotone_and_ties(spark):
+    # perfectly monotone (nonlinear) -> rho = 1; reversed -> -1
+    rows = [("m", float(i), float(i ** 3)) for i in range(1, 11)]
+    rows += [("r", float(i), float(-i ** 3)) for i in range(1, 11)]
+    out = {r[0]: r for r in
+           S.spearman_correlation(
+               _df(spark, rows, "g string, x double, y double"),
+               "g", "x", "y").collect()}
+    assert out["m"].spearman_rho == pytest.approx(1.0, abs=1e-9)
+    assert out["r"].spearman_rho == pytest.approx(-1.0, abs=1e-9)
+
+    # ties: fractional average ranks — cross-check vs scipy formula
+    # on a hand-computed example: x = [1,2,2,3], y = [10,20,20,40]
+    tie = [("t", 1.0, 10.0), ("t", 2.0, 20.0), ("t", 2.0, 20.0),
+           ("t", 3.0, 40.0)]
+    r = S.spearman_correlation(
+        _df(spark, tie, "g string, x double, y double"),
+        "g", "x", "y").collect()[0]
+    # ranks x = [1, 2.5, 2.5, 4], y identical ranks -> rho = 1
+    assert r.spearman_rho == pytest.approx(1.0, abs=1e-9)
+
+    # constant y -> zero variance -> NULL rho
+    const = [("c", float(i), 5.0) for i in range(5)]
+    r = S.spearman_correlation(
+        _df(spark, const, "g string, x double, y double"),
+        "g", "x", "y").collect()[0]
+    assert r.spearman_rho is None

@@ -84,3 +84,40 @@ def test_logrank_censoring_only_reduces_risk(spark):
     r = logrank_test(df, "grp", "dur", "ev", 0, 1).collect()[0]
     assert r.events_b == 0 and r.events_a == 3
     assert r.chi2 is not None
+
+
+def test_nelson_aalen_hand_computed(spark):
+    """NA cumulative hazard on a hand-walked table: (1,event),
+    (2,event), (2,censor), (3,event)."""
+    import math
+
+    from dbt_fusion_spark.plans.survival import nelson_aalen
+
+    rows = [(1, 1), (2, 1), (2, 0), (3, 1)]
+    out = {r.t: r for r in
+           nelson_aalen(
+               spark.createDataFrame(rows, "t int, e int"),
+               "t", "e").collect()}
+    assert out[1].n_risk == 4 and out[1].n_events == 1
+    assert out[1].cum_hazard == pytest.approx(0.25, abs=1e-6)
+    assert out[2].n_risk == 3
+    assert out[2].cum_hazard == pytest.approx(0.25 + 1 / 3, abs=1e-6)
+    assert out[2].se == pytest.approx(
+        math.sqrt(1 / 16 + 1 / 9), abs=1e-6)
+    assert out[3].n_risk == 1
+    assert out[3].cum_hazard == pytest.approx(0.25 + 1 / 3 + 1, abs=1e-6)
+    assert out[3].survival_fh == pytest.approx(
+        math.exp(-(0.25 + 1 / 3 + 1)), abs=1e-6)
+
+
+def test_nelson_aalen_dominates_km(spark):
+    """exp(-H) >= KM survival everywhere (textbook inequality)."""
+    from dbt_fusion_spark.plans.survival import kaplan_meier, nelson_aalen
+
+    rows = [(t % 7 + 1, 1 if t % 3 else 0) for t in range(60)]
+    df = spark.createDataFrame(rows, "t int, e int")
+    km = {r.t: r.survival for r in kaplan_meier(df, "t", "e").collect()}
+    na = {r.t: r.survival_fh for r in nelson_aalen(df, "t", "e").collect()}
+    assert set(km) == set(na)
+    for t in km:
+        assert na[t] >= km[t] - 1e-9
