@@ -152,6 +152,13 @@ HEADLINE = [
     "quality_readability_scores",
     "corpus_lexical_diversity",
     "text_rake_keywords",
+    # r9 batch 3: k-group tests, table drift audit, mixture matrix,
+    # int8 serving baseline
+    "ab_anova_order_value",
+    "ab_kruskal_wallis_value",
+    "dq_drift_audit_orders",
+    "corpus_domain_js_matrix",
+    "similarity_int8_topk",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

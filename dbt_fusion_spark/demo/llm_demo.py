@@ -4618,8 +4618,8 @@ def _duck_logreg_ctes(dim: int, iters: int, lr: float,
            FROM tf GROUP BY doc_id),
     feats AS (
       SELECT tf.doc_id, tf.bucket,
-             round(CAST(tf.tf AS DOUBLE) / CAST(nd.n AS DOUBLE), 9)
-               AS x
+             floor(CAST(tf.tf AS DOUBLE) / CAST(nd.n AS DOUBLE)
+                   * 1e9 + 0.5) / 1e9 AS x
       FROM tf JOIN nd USING (doc_id)
       UNION ALL
       SELECT doc_id, CAST(-1 AS BIGINT), 1.0 FROM documents),
@@ -4631,27 +4631,28 @@ def _duck_logreg_ctes(dim: int, iters: int, lr: float,
         steps.append(f"""
     m{k} AS (
       SELECT f.doc_id,
-             CAST(CAST(SUM(CAST(round(f.x * w.weight, 9)
-                                AS DECIMAL(38,9))) AS VARCHAR)
+             CAST(CAST(SUM(CAST(floor(f.x * w.weight * 1e9 + 0.5)
+                                / 1e9 AS DECIMAL(38,9))) AS VARCHAR)
                   AS DOUBLE) AS m
       FROM feats f JOIN w{k - 1} w USING (bucket)
       GROUP BY f.doc_id),
     r{k} AS (
       SELECT m.doc_id,
-             round(1.0 / (1.0 + exp(-m.m)), 9) - lab.y AS r
+             floor(1.0 / (1.0 + exp(-m.m)) * 1e6 + 0.5) / 1e6
+               - lab.y AS r
       FROM m{k} m JOIN lab USING (doc_id)),
     g{k} AS (
       SELECT f.bucket,
-             CAST(CAST(SUM(CAST(round(r.r * f.x, 9)
-                                AS DECIMAL(38,9))) AS VARCHAR)
+             CAST(CAST(SUM(CAST(floor(r.r * f.x * 1e9 + 0.5)
+                                / 1e9 AS DECIMAL(38,9))) AS VARCHAR)
                   AS DOUBLE) AS g
       FROM feats f JOIN r{k} r USING (doc_id)
       GROUP BY f.bucket),
     w{k} AS (
       SELECT w.bucket,
-             round(w.weight - {lr!r} * (COALESCE(g.g, 0.0) / nn.n
-                                        + 0.0 * w.weight), 9)
-               AS weight
+             floor((w.weight - {lr!r} * (COALESCE(g.g, 0.0) / nn.n
+                                         + 0.0 * w.weight))
+                   * 1e9 + 0.5) / 1e9 AS weight
       FROM w{k - 1} w
       LEFT JOIN g{k} g USING (bucket)
       CROSS JOIN nn)""")
@@ -4916,3 +4917,119 @@ def text_rake_keywords(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return rake_keywords(docs, "doc_id", "text", k=20)
+
+
+@register(
+    "corpus_domain_js_matrix",
+    # one (lang, token) rollup; matched-token pair terms + closed-form
+    # absent mass 0.5*ln2*(1 - matched); pair universe from the grid.
+    oracle="""
+    WITH tok AS (
+      SELECT lang AS d,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               AS token
+      FROM documents),
+    t2 AS (SELECT d, token FROM tok WHERE token <> ''),
+    dt AS (SELECT d, token, CAST(COUNT(*) AS BIGINT) AS c
+           FROM t2 GROUP BY 1, 2),
+    tot AS (SELECT d, CAST(SUM(c) AS BIGINT) AS n FROM dt GROUP BY d),
+    a AS (SELECT dt.d AS da, token,
+                 CAST(c AS DOUBLE) / tot.n AS p, tot.n AS na
+          FROM dt JOIN tot ON tot.d = dt.d),
+    b AS (SELECT dt.d AS db, token,
+                 CAST(c AS DOUBLE) / tot.n AS q, tot.n AS nb
+          FROM dt JOIN tot ON tot.d = dt.d),
+    pair AS (SELECT a.da, b.db, a.p, b.q
+             FROM a JOIN b ON a.token = b.token AND a.da < b.db),
+    g AS (
+      SELECT da, db,
+        SUM(CAST(round(0.5 * p * ln(p / ((p + q) / 2.0))
+                       + 0.5 * q * ln(q / ((p + q) / 2.0)), 9)
+                 AS DECIMAL(38,9))) AS t,
+        SUM(CAST(round(p, 9) AS DECIMAL(38,9))) AS mp,
+        SUM(CAST(round(q, 9) AS DECIMAL(38,9))) AS mq,
+        CAST(COUNT(*) AS BIGINT) AS shared_vocab
+      FROM pair GROUP BY 1, 2),
+    univ AS (
+      SELECT ta.d AS da, ta.n AS ua_n, tb.d AS db, tb.n AS ub_n
+      FROM tot ta CROSS JOIN tot tb WHERE ta.d < tb.d)
+    SELECT univ.da AS domain_a, univ.db AS domain_b,
+           CAST(ua_n AS BIGINT) AS n_tokens_a,
+           CAST(ub_n AS BIGINT) AS n_tokens_b,
+           COALESCE(shared_vocab, 0) AS shared_vocab,
+           round(COALESCE(CAST(t AS DOUBLE), 0.0)
+                 + 0.5 * ln(2.0)
+                 * ((1.0 - COALESCE(CAST(mp AS DOUBLE), 0.0))
+                    + (1.0 - COALESCE(CAST(mq AS DOUBLE), 0.0))), 6)
+             AS jsd
+    FROM univ LEFT JOIN g ON g.da = univ.da AND g.db = univ.db
+    """,
+)
+def corpus_domain_js_matrix(spark, sf_dir):
+    """Pairwise JSD between every two languages' unigram mixes (r9) —
+    the mixture-design matrix (redundant vs genuinely-new sources)
+    generalizing the single-pair corpus_js_divergence. One vocabulary
+    rollup; token-keyed pair join; absent mass in closed form."""
+    from dbt_fusion_spark.llm.corpus import domain_js_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_js_matrix(docs, "lang", "doc_id", "text")
+
+
+@register(
+    "similarity_int8_topk",
+    # int8 quantization both sides; EXACT integer dot/norms; cosine of
+    # the quantized vectors (scales cancel); one double op per pair.
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding,
+        list_max(list_transform(embedding, x -> abs(x))) AS amax
+      FROM embeddings),
+    qz AS (
+      SELECT vec_id,
+        CASE WHEN amax > 0 THEN
+          list_transform(embedding,
+            x -> CAST(floor(x / (amax / 127.0) + 0.5) AS BIGINT))
+        ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+        END AS qv
+      FROM base),
+    flat AS (
+      SELECT vec_id, t.i AS dim, qv[t.i] AS qi
+      FROM qz, unnest(generate_series(1, len(qv))) t(i)),
+    norms AS (
+      SELECT vec_id, SUM(qi * qi) AS n2 FROM flat GROUP BY vec_id),
+    qf AS (SELECT * FROM flat WHERE vec_id < 20),
+    dots AS (
+      SELECT qf.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(qf.qi * c.qi) AS dot
+      FROM qf JOIN flat c
+        ON c.dim = qf.dim AND c.vec_id <> qf.vec_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id,
+        CASE WHEN nq.n2 > 0 AND nc.n2 > 0 THEN
+          round(CAST(d.dot AS DOUBLE)
+                / (sqrt(CAST(nc.n2 AS DOUBLE))
+                   * sqrt(CAST(nq.n2 AS DOUBLE))), 9)
+        END AS score
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.query_id
+      JOIN norms nc ON nc.vec_id = d.neighbor_id),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id) AS r
+      FROM scored)
+    SELECT query_id, neighbor_id, score FROM rk WHERE r <= 5
+    """,
+)
+def similarity_int8_topk(spark, sf_dir):
+    """INT8 brute-force cosine top-k (r9): both sides symmetric-
+    quantized, scores are exact integer dot products over exact
+    integer norms (scales cancel in cosine) — the deterministic ANN
+    baseline that touches 4x fewer bytes and whose only float op per
+    pair is one divide."""
+    from dbt_fusion_spark.llm.similarity import int8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return int8_topk(emb, queries, k=5)

@@ -1699,3 +1699,185 @@ def sample_purged_time_split(spark, sf_dir):
                   .alias("n_entities"),
                  F.min("ts").alias("min_ts"),
                  F.max("ts").alias("max_ts")))
+
+
+@register(
+    "ab_anova_order_value",
+    # per-priority DECIMAL moments on the 5-row group grid; SSB/SSW
+    # from round(9)-DECIMAL terms.
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(COUNT(*) AS BIGINT) AS ng,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s,
+             -- (19,6) not (18,6): DuckDB multiplies DECIMAL(18) in
+             -- int64 and overflows; width 19 forces the int128 lane
+             SUM(CAST(o_totalprice AS DECIMAL(19,6))
+                 * CAST(o_totalprice AS DECIMAL(19,6))) AS q
+      FROM orders GROUP BY 1),
+    w AS (
+      SELECT *, CAST(SUM(ng) OVER () AS BIGINT) AS N,
+             SUM(s) OVER () AS SS,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k
+      FROM g),
+    t AS (
+      SELECT *,
+        CAST(round(CAST(ng AS DOUBLE)
+          * (CAST(CAST(s AS VARCHAR) AS DOUBLE) / ng
+             - CAST(CAST(SS AS VARCHAR) AS DOUBLE) / N)
+          * (CAST(CAST(s AS VARCHAR) AS DOUBLE) / ng
+             - CAST(CAST(SS AS VARCHAR) AS DOUBLE) / N), 0)
+          AS DECIMAL(38,0)) AS ssb_t,
+        CAST(round(CAST(CAST(q AS VARCHAR) AS DOUBLE)
+          - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+            * CAST(CAST(s AS VARCHAR) AS DOUBLE) / ng, 0)
+          AS DECIMAL(38,0)) AS ssw_t
+      FROM w),
+    agg AS (
+      SELECT MAX(k) AS k, MAX(N) AS n,
+             SUM(ssb_t) AS ssb, SUM(ssw_t) AS ssw
+      FROM t)
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+      CAST(CAST(ssb AS VARCHAR) AS DOUBLE) AS ss_between,
+      CAST(CAST(ssw AS VARCHAR) AS DOUBLE) AS ss_within,
+      CASE WHEN k > 1 AND n > k
+                AND CAST(CAST(ssw AS VARCHAR) AS DOUBLE) > 0 THEN
+        round((CAST(CAST(ssb AS VARCHAR) AS DOUBLE) / (k - 1))
+              / (CAST(CAST(ssw AS VARCHAR) AS DOUBLE) / (n - k)), 6)
+      END AS f_stat,
+      CAST(k - 1 AS BIGINT) AS df_between,
+      CAST(n - k AS BIGINT) AS df_within
+    FROM agg
+    """,
+)
+def ab_anova_order_value(spark, sf_dir):
+    """One-way ANOVA of order value across the five priorities (r9) —
+    the k-group generalization of the Welch readout. One grid
+    aggregate; exact DECIMAL moments."""
+    orders = load_table(spark, sf_dir, "orders")
+    return S.anova_oneway(orders, "o_orderpriority", "o_totalprice")
+
+
+@register(
+    "ab_kruskal_wallis_value",
+    # global fractional ranks from the distinct-value grid; tie-
+    # corrected H; all moments round(9)-DECIMAL.
+    oracle="""
+    WITH rows_ AS (
+      SELECT event_type AS g, "value" AS v FROM events
+      WHERE "value" IS NOT NULL),
+    grid AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+             FROM rows_ GROUP BY v),
+    cum AS (SELECT *, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS cm FROM grid),
+    rmap AS (
+      SELECT v, CAST(cm - c AS DOUBLE)
+                + CAST(c + 1 AS DOUBLE) / 2.0 AS r,
+        CAST(round(CAST(c AS DOUBLE) * c * c - CAST(c AS DOUBLE), 9)
+             AS DECIMAL(38,9)) AS tt
+      FROM cum),
+    ranked AS (SELECT rows_.g, rmap.r FROM rows_
+               JOIN rmap ON rmap.v = rows_.v),
+    pg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+             SUM(CAST(round(r, 9) AS DECIMAL(38,9))) AS rs
+      FROM ranked GROUP BY g),
+    pw AS (SELECT *, CAST(SUM(ng) OVER () AS BIGINT) AS N,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k FROM pg),
+    agg AS (
+      SELECT MAX(k) AS k, MAX(N) AS n,
+        SUM(CAST(round(CAST(CAST(rs AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(rs AS VARCHAR) AS DOUBLE) / ng, 9)
+                 AS DECIMAL(38,9))) AS rsq
+      FROM pw),
+    ties AS (SELECT SUM(tt) AS ties FROM rmap)
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+      CASE WHEN 1.0 - CAST(CAST(ties AS VARCHAR) AS DOUBLE)
+                / (CAST(n AS DOUBLE) * n * n - n) > 0 THEN
+        round((12.0 / (CAST(n AS DOUBLE) * (n + 1))
+               * CAST(CAST(rsq AS VARCHAR) AS DOUBLE)
+               - 3.0 * (CAST(n AS DOUBLE) + 1))
+              / (1.0 - CAST(CAST(ties AS VARCHAR) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n * n - n)), 6)
+      END AS h_stat,
+      CAST(k - 1 AS BIGINT) AS dof,
+      round(1.0 - CAST(CAST(ties AS VARCHAR) AS DOUBLE)
+            / (CAST(n AS DOUBLE) * n * n - n), 6) AS tie_correction
+    FROM agg CROSS JOIN ties
+    """,
+)
+def ab_kruskal_wallis_value(spark, sf_dir):
+    """Kruskal-Wallis rank test of event value across types (r9) —
+    the distribution-free k-group comparison; global fractional ranks
+    from the value grid, tie-corrected H."""
+    ev = load_table(spark, sf_dir, "events")
+    return S.kruskal_wallis(ev, "event_type", "value")
+
+
+@register(
+    "dq_drift_audit_orders",
+    # two per-column PSI audits in one pass (melt -> shared grid);
+    # oracle restates per column and unions.
+    oracle="""
+    WITH base AS (SELECT * FROM orders
+                  WHERE o_orderdate < DATE '1998-01-01'),
+    cur AS (SELECT * FROM orders
+            WHERE o_orderdate >= DATE '1998-01-01'),
+    cols(col, w) AS (VALUES ('o_totalprice', 50000.0),
+                            ('o_custkey', 200.0)),
+    mb AS (
+      SELECT 'o_totalprice' AS col,
+             CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS base_n
+      FROM base GROUP BY 2
+      UNION ALL
+      SELECT 'o_custkey',
+             CAST(floor(o_custkey / 200.0) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM base GROUP BY 2),
+    mc AS (
+      SELECT 'o_totalprice' AS col,
+             CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cur_n
+      FROM cur GROUP BY 2
+      UNION ALL
+      SELECT 'o_custkey',
+             CAST(floor(o_custkey / 200.0) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM cur GROUP BY 2),
+    g AS (
+      SELECT COALESCE(mb.col, mc.col) AS col,
+             COALESCE(mb.bin, mc.bin) AS bin,
+             COALESCE(base_n, 0) AS base_n,
+             COALESCE(cur_n, 0) AS cur_n
+      FROM mb FULL OUTER JOIN mc
+        ON mb.col = mc.col AND mb.bin = mc.bin),
+    t AS (
+      SELECT *,
+        CAST(SUM(base_n) OVER (PARTITION BY col) AS BIGINT) AS nb,
+        CAST(SUM(cur_n) OVER (PARTITION BY col) AS BIGINT) AS nc
+      FROM g),
+    u AS (
+      SELECT *,
+        GREATEST(CAST(base_n AS DOUBLE) / nb, 0.000001) AS p,
+        GREATEST(CAST(cur_n AS DOUBLE) / nc, 0.000001) AS q
+      FROM t)
+    SELECT col, MAX(nb) AS n_base, MAX(nc) AS n_current,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           round(CAST(CAST(SUM(CAST(round((p - q) * ln(p / q), 9)
+                 AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE), 6)
+             AS psi_total
+    FROM u GROUP BY col
+    """,
+)
+def dq_drift_audit_orders(spark, sf_dir):
+    """Table-level PSI drift audit (r9): every watched numeric column
+    of orders compared across the 1998 boundary in ONE melt+grid pass
+    — the "did this refresh shift anything?" gate, one row per
+    column."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderdate") < "1998-01-01")
+    cur = orders.filter(F.col("o_orderdate") >= "1998-01-01")
+    return S.psi_drift_multi(base, cur,
+                             {"o_totalprice": 50000.0,
+                              "o_custkey": 200.0})

@@ -441,6 +441,19 @@ def train_logistic_regression(df: DataFrame, id_col: str, text_col: str,
     fixed-iteration pattern) so plan depth stays constant; N is one
     bounded driver-side count.  No per-row Python anywhere.
     """
+    # floor-based grid rounding, NOT F.round: the GD trajectory is
+    # made of TERMINATING decimals (iteration 1 has r = +/-0.5 exactly,
+    # so r*x lands exactly on round(9) half-ties), and Spark's exact
+    # BigDecimal HALF_UP disagrees with DuckDB's scaled-double round
+    # precisely on ties (measured: bucket 767 diverged 1e-9 at g1).
+    # floor(x*1e9 + 0.5)/1e9 is multiply+add+floor+divide — identical
+    # IEEE doubles in every engine, no tie semantics to agree on.
+    def _r9(c):
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+    def _r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
     y = (F.col(label) if isinstance(label, str) else label) \
         .cast("bigint")
     labels = df.select(F.col(id_col), y.alias("__y")) \
@@ -448,8 +461,7 @@ def train_logistic_regression(df: DataFrame, id_col: str, text_col: str,
     n_docs = float(labels.count())
     tf = hashed_gram_buckets(df, id_col, text_col, dim, seed, bigrams)
     nd = tf.groupBy(id_col).agg(F.sum("tf").alias("__n"))
-    x = F.round(F.col("tf").cast("double") / F.col("__n").cast("double"),
-                9)
+    x = _r9(F.col("tf").cast("double") / F.col("__n").cast("double"))
     feats = (tf.join(nd, id_col)
                .select(id_col, "bucket", x.alias("x"))
                .unionByName(df.select(
@@ -466,26 +478,30 @@ def train_logistic_regression(df: DataFrame, id_col: str, text_col: str,
     for _ in range(iters):
         m = (feats.join(F.broadcast(w), "bucket")
              .groupBy(id_col)
-             .agg(F.sum(F.round(F.col("x") * F.col("weight"), 9)
+             .agg(F.sum(_r9(F.col("x") * F.col("weight"))
                         .cast(d389)).alias("__m")))
-        p = F.round(
+        # grid 1e-6 for the sigmoid: it is the one transcendental in
+        # the loop, and libm exp() differs by an ulp across engines —
+        # the boundary-flip probability scales as ulp/grid, so the
+        # coarse grid makes that divergence unobservable too.
+        p = _r6(
             F.lit(1.0) / (F.lit(1.0)
                           + F.exp(-F.col("__m").cast("string")
-                                  .cast("double"))), 9)
+                                  .cast("double"))))
         resid = (m.join(labels, id_col)
                  .select(id_col, (p - F.col("__y")).alias("__r")))
         grad = (feats.join(resid, id_col)
                 .groupBy("bucket")
-                .agg(F.sum(F.round(F.col("__r") * F.col("x"), 9)
+                .agg(F.sum(_r9(F.col("__r") * F.col("x"))
                            .cast(d389)).alias("__g")))
         g = F.coalesce(F.col("__g").cast("string").cast("double"),
                        F.lit(0.0))
         w = (w.join(grad, "bucket", "left")
              .select("bucket",
-                     F.round(F.col("weight")
-                             - F.lit(lr) * (g / F.lit(n_docs)
-                                            + F.lit(l2)
-                                            * F.col("weight")), 9)
+                     _r9(F.col("weight")
+                         - F.lit(lr) * (g / F.lit(n_docs)
+                                        + F.lit(l2)
+                                        * F.col("weight")))
                       .alias("weight"))
              .localCheckpoint(eager=True))
     labels.unpersist()

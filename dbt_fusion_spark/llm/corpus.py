@@ -694,3 +694,86 @@ def lexical_diversity(df: DataFrame, domain_col: str, id_col: str,
         F.round(F.col("n_hapax").cast("double") / v, 6)
          .alias("hapax_frac"),
         F.round(n / v, 6).alias("mean_token_freq"))
+
+
+def domain_js_matrix(df: DataFrame, domain_col: str, id_col: str,
+                     text_col: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two domains'
+    unigram distributions — the mixture-design matrix (which sources
+    are redundant, which add genuinely new text) that js_divergence
+    gives for one pair, computed for ALL pairs in one plan.
+
+    Returns one row per unordered domain pair (a < b) with both token
+    totals and the JSD (0 = identical mixture, ln 2 = disjoint).
+
+    Scale: ONE (domain, token) aggregate; the pair stream is a
+    token-keyed self-join of that bounded rollup (|domains| x vocab —
+    same shape as tfidf pairing), so terms for every pair materialize
+    without re-scanning text; term sums ride round(9)->DECIMAL.
+    Tokens absent from one domain of a pair contribute via the
+    present side only (x ln x -> 0; JSD needs no smoothing), which the
+    full-outer pair alignment below realizes by splitting each
+    domain-total into in-join and missing-mass parts: a token missing
+    from domain b contributes 0.5 * p * ln(p / (p/2)) = 0.5 p ln 2 —
+    aggregated in closed form from the per-pair matched mass, so the
+    join never needs the absent rows at all.
+    """
+    # tokens() keeps only (id, token) — pass the DOMAIN as the id
+    # column so the rollup key survives the explode
+    dt = (tokens(df, domain_col, text_col)
+          .groupBy(F.col(domain_col).alias("d"), "token")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    tot = dt.groupBy("d").agg(F.sum("c").alias("n"))
+    a = (dt.join(tot, "d")
+         .select(F.col("d").alias("da"), "token",
+                 (F.col("c").cast("double") / F.col("n").cast("double"))
+                 .alias("p"),
+                 F.col("n").alias("na")))
+    b = (dt.join(tot, "d")
+         .select(F.col("d").alias("db"), "token",
+                 (F.col("c").cast("double") / F.col("n").cast("double"))
+                 .alias("q"),
+                 F.col("n").alias("nb")))
+    pair = a.join(b, "token").filter(F.col("da") < F.col("db"))
+    m = (F.col("p") + F.col("q")) / F.lit(2.0)
+    # matched-token JSD terms + matched mass per side (the complement
+    # of the matched mass is exactly the absent-token mass, whose
+    # closed-form contribution is 0.5 * ln 2 * (1 - matched))
+    term = (F.lit(0.5) * F.col("p") * F.log(F.col("p") / m)
+            + F.lit(0.5) * F.col("q") * F.log(F.col("q") / m))
+    g = (pair.groupBy("da", "db")
+         .agg(F.sum(F.round(term, 9).cast("decimal(38,9)"))
+              .alias("__t"),
+              F.sum(F.round(F.col("p"), 9).cast("decimal(38,9)"))
+              .alias("__mp"),
+              F.sum(F.round(F.col("q"), 9).cast("decimal(38,9)"))
+              .alias("__mq"),
+              F.max("na").alias("n_tokens_a"),
+              F.max("nb").alias("n_tokens_b"),
+              F.count(F.lit(1)).cast("bigint").alias("shared_vocab")))
+    import math
+
+    # pair UNIVERSE from the bounded domain grid: a fully disjoint
+    # pair has zero matched tokens, so it never appears in the
+    # token-keyed join at all — exactly the pair whose JSD (= ln 2)
+    # matters most.  Constant-but-opaque key keeps the bounded
+    # grid x grid pairing a BroadcastHashJoin, never a cartesian.
+    ua = tot.select(F.col("d").alias("da"), F.col("n").alias("ua_n")) \
+            .withColumn("__k", F.pmod(F.abs(F.xxhash64("da")), F.lit(1)))
+    ub = tot.select(F.col("d").alias("db"), F.col("n").alias("ub_n")) \
+            .withColumn("__k", F.pmod(F.abs(F.xxhash64("db")), F.lit(1)))
+    univ = (ua.join(F.broadcast(ub), "__k").drop("__k")
+            .filter(F.col("da") < F.col("db")))
+    g = univ.join(g, ["da", "db"], "left")
+    mp = F.coalesce(F.col("__mp").cast("double"), F.lit(0.0))
+    mq = F.coalesce(F.col("__mq").cast("double"), F.lit(0.0))
+    jsd = (F.coalesce(F.col("__t").cast("double"), F.lit(0.0))
+           + F.lit(0.5 * math.log(2.0))
+           * ((F.lit(1.0) - mp) + (F.lit(1.0) - mq)))
+    return g.select(
+        F.col("da").alias("domain_a"), F.col("db").alias("domain_b"),
+        F.col("ua_n").cast("bigint").alias("n_tokens_a"),
+        F.col("ub_n").cast("bigint").alias("n_tokens_b"),
+        F.coalesce("shared_vocab", F.lit(0)).cast("bigint")
+         .alias("shared_vocab"),
+        F.round(jsd, 6).alias("jsd"))

@@ -1495,3 +1495,60 @@ def label_centroids(df: DataFrame, label_col: str, vec_col: str
         # the zero divisor otherwise)
         F.when(F.col("n_vecs") > 1,
                F.round((q - s * s / nn) / (nn - 1), 6)).alias("var"))
+
+
+def int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Brute-force top-k over INT8-QUANTIZED vectors — the serving
+    path quantize_embeddings exists for: both sides quantize
+    (scale = max|x|/127), scores are EXACT integer dot products
+    rescaled by the two scales.  4x less data touched than the float
+    brute force and the inner loop is integer multiply-adds; the
+    integer dot is a bigint (order-free, bit-identical everywhere),
+    so the only float op per pair is ONE double multiply — this is
+    the deterministic ANN baseline at 100 TB where even the floats'
+    summation order would wiggle a hash.
+
+    Returns (query_id, neighbor_id, score) with the top-k by
+    (score desc, neighbor_id) per query; self-pairs excluded.
+
+    Scale: same broadcast-queries shape as brute_force_topk (the
+    corpus streams once; queries must be broadcastable), with the
+    rank window per query id.
+    """
+    from pyspark.sql import Window
+
+    def inorm2(col):
+        return F.aggregate(
+            F.transform(F.col(col),
+                        lambda a: a.cast("bigint") * a.cast("bigint")),
+            F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+    cq = quantize_embeddings(corpus, id_col, vec_col) \
+        .select(F.col(id_col).alias("nid"),
+                F.col("qvec").alias("cv")) \
+        .withColumn("cn2", inorm2("cv"))
+    qq = quantize_embeddings(queries, id_col, vec_col) \
+        .select(F.col(id_col).alias("query_id"),
+                F.col("qvec").alias("qv")) \
+        .withColumn("qn2", inorm2("qv"))
+    pairs = cq.join(F.broadcast(qq), F.col("nid") != F.col("query_id"))
+    idot = F.aggregate(
+        F.zip_with(F.col("cv"), F.col("qv"),
+                   lambda a, b: (a.cast("bigint") * b.cast("bigint"))),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    # cosine of the quantized vectors: the two scales cancel, so all
+    # pair state is three exact bigints; zero-norm sides emit NULL
+    score = F.when(
+        (F.col("cn2") > 0) & (F.col("qn2") > 0),
+        F.round(idot.cast("double")
+                / (F.sqrt(F.col("cn2").cast("double"))
+                   * F.sqrt(F.col("qn2").cast("double"))), 9))
+    scored = pairs.select("query_id", F.col("nid").alias("neighbor_id"),
+                          score.alias("score"))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("score").desc(), F.col("neighbor_id")))
+    return (scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k)
+            .select("query_id", "neighbor_id", "score"))

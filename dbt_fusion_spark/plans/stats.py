@@ -1075,3 +1075,176 @@ def spearman_correlation(df: DataFrame, group_col: str, x_col,
         F.round(rho, 6).alias("spearman_rho"),
         F.coalesce(F.abs(rho) * F.sqrt(nn - 1) > 1.959964,
                    F.lit(False)).alias("significant_95"))
+
+
+# ------------------------------------------------------------------- ANOVA
+def anova_oneway(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """One-way ANOVA F statistic over k groups — the k-group
+    generalization of the two-sample t readout (is ANY group mean
+    different?).  Returns ONE row: k, n, the between/within sums of
+    squares, F, and both degrees of freedom; the caller reads F
+    against the F(df1, df2) critical value for their alpha.
+
+    Scale: per-group exact DECIMAL moments in one map-side-combined
+    aggregate onto the k-bounded group grid; SSB/SSW assemble from
+    grid windows — a single scan.
+    """
+    v = _dec(value_col)
+    g = (df.groupBy(F.col(group_col).alias("grp"))
+           .agg(F.count(F.lit(1)).alias("ng"),
+                F.sum(v).alias("s"), F.sum(v * v).alias("q")))
+    w = _grid()
+    # "__S", not "S": Spark resolves column names case-insensitively,
+    # so a window column named "S" would silently REPLACE the
+    # per-group sum "s" (caught by the hand-computed ANOVA test)
+    g = (g.withColumn("N", F.sum("ng").over(w))
+          .withColumn("__S", F.sum("s").over(w))
+          .withColumn("k", F.count(F.lit(1)).over(w)))
+    ngd = F.col("ng").cast("double")
+    s, q = _d2d("s"), _d2d("q")
+    grand = _d2d("__S") / F.col("N").cast("double")
+    mean_g = s / ngd
+    # scale 0, not the module's usual 9 (the grouped_ols_trend lesson
+    # taken to its limit): SS terms reach 1e14+ at sf0.1, where even a
+    # 3-decimal grid is unrepresentable in a double and HALF_UP vs
+    # binary rounding split by one ulp.  Integer rounding is safe at
+    # EVERY magnitude: below 2^53 the integer grid is exact, above it
+    # the double's exact value is already integral so round(., 0) is
+    # the identity in both engines.  Sub-unit SS precision is noise at
+    # these magnitudes (relative error <= 1e-10).
+    def _q0(c):
+        return F.round(c, 0).cast("decimal(38,0)")
+
+    ssb_t = _q0(ngd * (mean_g - grand) * (mean_g - grand))
+    ssw_t = _q0(q - s * s / ngd)
+    agg = g.agg(F.max("k").alias("k"), F.max("N").alias("n"),
+                F.sum(ssb_t).alias("ssb"), F.sum(ssw_t).alias("ssw"))
+    kk = F.col("k").cast("double")
+    nn = F.col("n").cast("double")
+    ssb, ssw = _d2d("ssb"), _d2d("ssw")
+    f = F.when((kk > 1) & (nn > kk) & (ssw > 0),
+               (ssb / (kk - 1)) / (ssw / (nn - kk)))
+    # ss emissions are the RAW decimal-hop doubles, never rounded:
+    # round(x, 6) at 1e14 magnitude asks for a fractional grid the
+    # double cannot represent, and Spark HALF_UP vs binary rounding
+    # split by one ulp (measured on ss_within at sf0.01)
+    return agg.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        F.round(f, 6).alias("f_stat"),
+        (F.col("k") - 1).cast("bigint").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("df_within"))
+
+
+# ---------------------------------------------------------- Kruskal-Wallis
+def kruskal_wallis(df: DataFrame, group_col: str,
+                   value_col: str) -> DataFrame:
+    """Kruskal-Wallis rank test — one-way ANOVA on fractional ranks,
+    the distribution-free k-group comparison for heavy-tailed metrics
+    (pairs with spearman_correlation's rank machinery).
+
+        H = 12/(N(N+1)) * sum_g R_g^2 / n_g - 3(N+1)
+
+    with the standard tie correction C = 1 - sum(t^3 - t)/(N^3 - N);
+    the emitted ``h_stat`` is H/C, chi-square with k-1 dof under H0.
+    Returns ONE row: k, n, h_stat, dof, tie_correction.
+
+    Scale: GLOBAL fractional ranks come from the distinct-value grid
+    (one groupBy + one bounded-grid cumulative window), joined back by
+    value; per-group rank sums ride round(9)->DECIMAL terms.  N^3-
+    scale quantities stay inside DECIMAL(38,9)'s 1e29 capacity past
+    1e9 rows.
+    """
+    rows = (df.select(F.col(group_col).alias("g"),
+                      F.col(value_col).alias("v"))
+              .filter(F.col("v").isNotNull()))
+    grid = rows.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    wc = (Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = grid.withColumn("cum", F.sum("c").over(wc))
+    rank = (F.col("cum") - F.col("c")).cast("double") \
+        + (F.col("c") + 1).cast("double") / F.lit(2.0)
+    # tie term on the same grid: sum(t^3 - t) over tie-block sizes
+    tie_t = _qterm(F.col("c").cast("double") * F.col("c") * F.col("c")
+                   - F.col("c").cast("double"))
+    rmap = cum.select("v", rank.alias("r"), tie_t.alias("tt"))
+    ranked = rows.join(rmap.select("v", "r"), "v")
+    pg = (ranked.groupBy("g")
+          .agg(F.count(F.lit(1)).alias("ng"),
+               F.sum(_qterm(F.col("r"))).alias("rs")))
+    w = _grid()
+    pg = pg.withColumn("N", F.sum("ng").over(w)) \
+           .withColumn("k", F.count(F.lit(1)).over(w))
+    nn = F.col("N").cast("double")
+    term = _qterm(_d2d("rs") * _d2d("rs") / F.col("ng").cast("double"))
+    agg = pg.agg(F.max("k").alias("k"), F.max("N").alias("n"),
+                 F.sum(term).alias("rsq"))
+    ties = rmap.agg(F.sum("tt").alias("ties"))
+    # 1-row x 1-row combine via opaque constant key (no cross join)
+    agg = agg.withColumn("__j", F.pmod(F.col("k"), F.lit(1))).join(
+        F.broadcast(ties.withColumn(
+            "__j", F.pmod(F.abs(F.hash("ties")), F.lit(1)))), "__j") \
+        .drop("__j")
+    nn = F.col("n").cast("double")
+    h = F.lit(12.0) / (nn * (nn + 1)) * _d2d("rsq") - 3.0 * (nn + 1)
+    corr = F.lit(1.0) - _d2d("ties") / (nn * nn * nn - nn)
+    h_c = F.when(corr > 0, h / corr)
+    return agg.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(h_c, 6).alias("h_stat"),
+        (F.col("k") - 1).cast("bigint").alias("dof"),
+        F.round(corr, 6).alias("tie_correction"))
+
+
+# ------------------------------------------------------- multi-column PSI
+def psi_drift_multi(base: DataFrame, current: DataFrame,
+                    col_widths: dict) -> DataFrame:
+    """PSI drift audit across MANY numeric columns in one pass — the
+    table-level "did this refresh shift anything?" gate (psi_drift
+    generalized; one row per column instead of one call per column).
+
+    `col_widths` maps column name -> bin width (the explicit
+    resolution knob; widths are part of the audit's contract, not
+    inferred — inference would need a second scan and make the grid
+    data-dependent).  Returns one row per column: n on both sides,
+    bins occupied, and psi_total ( > 0.2 = investigate).
+
+    Scale: each side melts to (column, bin) in ONE projection+explode
+    scan, aggregates onto the sum-of-per-column-grids (bounded by
+    ranges/widths), and the PSI terms reduce per column — two scans
+    total regardless of column count.
+    """
+    eps = 1e-6
+
+    def melt(df: DataFrame, tag: str) -> DataFrame:
+        pairs = F.array(*[
+            F.struct(F.lit(c).alias("col"),
+                     F.floor(F.col(c).cast("double") / F.lit(wd))
+                     .cast("bigint").alias("bin"))
+            for c, wd in col_widths.items()])
+        return (df.select(F.explode(pairs).alias("p"))
+                .select("p.col", "p.bin")
+                .groupBy("col", "bin")
+                .agg(F.count(F.lit(1)).alias(tag)))
+
+    g = (melt(base, "base_n")
+         .join(melt(current, "cur_n"), ["col", "bin"], "full_outer")
+         .select("col", "bin",
+                 F.coalesce("base_n", F.lit(0)).alias("base_n"),
+                 F.coalesce("cur_n", F.lit(0)).alias("cur_n")))
+    wcol = Window.partitionBy("col")
+    g = (g.withColumn("nb", F.sum("base_n").over(wcol))
+          .withColumn("nc", F.sum("cur_n").over(wcol)))
+    p = F.greatest(F.col("base_n").cast("double") / F.col("nb"),
+                   F.lit(eps))
+    q = F.greatest(F.col("cur_n").cast("double") / F.col("nc"),
+                   F.lit(eps))
+    g = g.withColumn("term", _qterm((p - q) * F.log(p / q)))
+    return (g.groupBy("col")
+            .agg(F.max("nb").cast("bigint").alias("n_base"),
+                 F.max("nc").cast("bigint").alias("n_current"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+                 F.round(_d2d(F.sum("term")), 6).alias("psi_total")))

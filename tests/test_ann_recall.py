@@ -460,3 +460,19 @@ def test_artifact_maintenance_never_touches_posix_fs(spark, tmp_path,
     assert report, "fragmented cells should have been compacted"
     out = S.rebuild_ivf_pq_index(emb, idx)
     assert out.count() == emb.count()
+
+
+def test_int8_topk_recall_vs_float(spark):
+    """int8 brute force recovers the float brute-force neighbors on
+    clustered data (quantization error << cluster separation), and the
+    integer dot is exact: re-running gives bit-identical scores."""
+    emb = _clustered(spark)
+    queries = emb.filter(F.col("vec_id") % 40 < 2)
+    truth = _pairs(S.brute_force_topk(emb, queries, k=K))
+    got_df = S.int8_topk(emb, queries, k=K)
+    got = _pairs(got_df)
+    assert _recall(truth, got) >= 0.9
+    again = {(r.query_id, r.neighbor_id): r.score
+             for r in S.int8_topk(emb, queries, k=K).collect()}
+    for r in got_df.collect():
+        assert again[(r.query_id, r.neighbor_id)] == r.score

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row, functions as F
 
 from dbt_fusion_spark.llm import corpus as C
@@ -497,3 +498,26 @@ def test_zipf_fit_recovers_exponent(spark):
     assert row["n_terms"] == 50
     assert -1.05 < row["slope"] < -0.95
     assert row["r2"] > 0.99
+
+
+def test_domain_js_matrix_endpoints(spark):
+    """Identical domains -> 0; disjoint vocabularies -> ln 2; matrix
+    agrees with the two-frame js_divergence on the same pair."""
+    import math
+
+    from dbt_fusion_spark.llm.corpus import domain_js_matrix, js_divergence
+
+    rows = [("a", 1, "x y z x"), ("a", 2, "x y"),
+            ("b", 3, "x y z x"), ("b", 4, "x y"),
+            ("c", 5, "p q r p q r")]
+    df = spark.createDataFrame(rows, "d string, doc_id int, text string")
+    out = {(r.domain_a, r.domain_b): r for r in
+           domain_js_matrix(df, "d", "doc_id", "text").collect()}
+    assert out[("a", "b")].jsd == pytest.approx(0.0, abs=1e-6)
+    assert out[("a", "c")].jsd == pytest.approx(math.log(2), abs=1e-6)
+    assert out[("a", "c")].shared_vocab == 0
+    # cross-check vs the dedicated two-frame operator
+    ref = js_divergence(df.filter(F.col("d") == "a"),
+                        df.filter(F.col("d") == "c"),
+                        "doc_id", "text").collect()[0].jsd
+    assert out[("a", "c")].jsd == pytest.approx(ref, abs=1e-6)

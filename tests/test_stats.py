@@ -678,3 +678,67 @@ def test_spearman_perfect_monotone_and_ties(spark):
         _df(spark, const, "g string, x double, y double"),
         "g", "x", "y").collect()[0]
     assert r.spearman_rho is None
+
+
+def test_anova_known_values(spark):
+    # groups: a=[1,2,3] b=[5,6,7] c=[9,10,11]; grand mean 6
+    # SSB = 3*(2-6)^2+3*(6-6)^2+3*(10-6)^2 = 96; SSW = 2+2+2 = 6
+    # F = (96/2)/(6/6) = 48
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 5.0), ("b", 6.0), ("b", 7.0),
+            ("c", 9.0), ("c", 10.0), ("c", 11.0)]
+    r = S.anova_oneway(_df(spark, rows, "g string, v double"),
+                       "g", "v").collect()[0]
+    assert (r.k, r.n) == (3, 9)
+    assert r.ss_between == pytest.approx(96.0, abs=1e-6)
+    assert r.ss_within == pytest.approx(6.0, abs=1e-6)
+    assert r.f_stat == pytest.approx(48.0, abs=1e-6)
+    assert (r.df_between, r.df_within) == (2, 6)
+
+
+def test_anova_identical_groups_f_zero(spark):
+    rows = [(g, float(v)) for g in "abc" for v in (1, 2, 3)]
+    r = S.anova_oneway(_df(spark, rows, "g string, v double"),
+                       "g", "v").collect()[0]
+    assert r.f_stat == pytest.approx(0.0, abs=1e-9)
+
+
+def test_kruskal_wallis_matches_scipy_formula(spark):
+    # no-ties case, hand-computed: a=[1,2] b=[3,4] c=[5,6]
+    # ranks 1..6; R_a=3, R_b=7, R_c=11; N=6
+    # H = 12/(6*7) * (9/2 + 49/2 + 121/2) - 3*7 = 12/42*89.5 - 21
+    rows = [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+            ("c", 5.0), ("c", 6.0)]
+    r = S.kruskal_wallis(_df(spark, rows, "g string, v double"),
+                         "g", "v").collect()[0]
+    h = 12.0 / 42.0 * 89.5 - 21.0
+    assert r.h_stat == pytest.approx(h, abs=1e-6)
+    assert r.dof == 2 and r.tie_correction == pytest.approx(1.0)
+
+
+def test_kruskal_wallis_tie_correction(spark):
+    # all values equal -> every rank ties -> correction denominator
+    # hits zero -> NULL h (guarded), never NaN
+    rows = [("a", 5.0)] * 3 + [("b", 5.0)] * 3
+    r = S.kruskal_wallis(_df(spark, rows, "g string, v double"),
+                         "g", "v").collect()[0]
+    assert r.h_stat is None
+    assert r.tie_correction == pytest.approx(0.0, abs=1e-9)
+
+
+def test_psi_multi_matches_single(spark):
+    """Per-column results from the one-pass multi audit equal the
+    single-column psi_drift totals."""
+    rows_a = [(float(i % 10), float(i % 3))
+              for i in range(100)]
+    rows_b = [(float(i % 10 + 3), float(i % 3))
+              for i in range(100)]
+    a = _df(spark, rows_a, "x double, y double")
+    b = _df(spark, rows_b, "x double, y double")
+    multi = {r.col: r for r in
+             S.psi_drift_multi(a, b, {"x": 2.0, "y": 1.0}).collect()}
+    sx = S.psi_drift(a, b, "x", 2.0).collect()[0].psi_total
+    sy = S.psi_drift(a, b, "y", 1.0).collect()[0].psi_total
+    assert multi["x"].psi_total == pytest.approx(sx, abs=1e-6)
+    assert multi["y"].psi_total == pytest.approx(sy, abs=1e-6)
+    assert multi["y"].psi_total == 0.0  # y identical both sides
