@@ -114,6 +114,7 @@ GATE_WINDOW: list[str] = [
     "dq_drift_audit_orders",
     "corpus_domain_js_matrix",
     "similarity_int8_topk",
+    "stats_bh_fdr_hourly",
 ]
 
 

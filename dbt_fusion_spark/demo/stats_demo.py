@@ -1881,3 +1881,64 @@ def dq_drift_audit_orders(spark, sf_dir):
     return S.psi_drift_multi(base, cur,
                              {"o_totalprice": 50000.0,
                               "o_custkey": 200.0})
+
+
+@register(
+    "stats_bh_fdr_hourly",
+    # 120 hypotheses (type x hour share vs uniform 1/24), Chernoff
+    # upper-bound p = exp(-z^2/2) on the floor-1e6 grid, BH step-up.
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(SUM(nb) AS BIGINT) AS n
+            FROM counts GROUP BY 1),
+    z AS (
+      SELECT c.event_type, c.hr,
+        (CAST(nb AS DOUBLE) - CAST(n AS DOUBLE) / 24.0)
+          / sqrt(CAST(n AS DOUBLE) * (1.0/24.0) * (23.0/24.0)) AS zz
+      FROM counts c JOIN tot ON tot.event_type = c.event_type),
+    p AS (
+      SELECT event_type, hr,
+        floor(LEAST(exp(-zz * zz / 2.0), 1.0) * 1e6 + 0.5) / 1e6
+          AS pv
+      FROM z),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY pv, event_type, hr)
+               AS BIGINT) AS rank,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM p),
+    q AS (
+      SELECT *, LEAST(MIN(pv * CAST(m AS DOUBLE) / rank)
+               OVER (ORDER BY rank DESC ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW), 1.0) AS qv
+      FROM ranked)
+    SELECT event_type, hr AS hour, pv AS p_value, rank,
+           round(qv, 9) AS q_value,
+           round(qv, 9) <= 0.05 AS discovery
+    FROM q
+    """,
+)
+def stats_bh_fdr_hourly(spark, sf_dir):
+    """Benjamini-Hochberg FDR over a 120-hypothesis battery (r9):
+    every (event_type, hour) bucket's volume share tested against the
+    uniform 1/24 design via the closed-form Chernoff bound
+    p = exp(-z^2/2), then the BH step-up turns raw p's into q-values —
+    the correction without which a 120-test readout is noise
+    mining. Grid windows only."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (ev.groupBy("event_type",
+                         F.hour("ts").cast("int").alias("hour"))
+                .agg(F.count(F.lit(1)).alias("nb")))
+    wg = __import__("pyspark.sql", fromlist=["Window"]).Window \
+        .partitionBy("event_type")
+    counts = counts.withColumn("n", F.sum("nb").over(wg))
+    z = ((F.col("nb").cast("double")
+          - F.col("n").cast("double") / F.lit(24.0))
+         / F.sqrt(F.col("n").cast("double") * F.lit(1.0 / 24.0)
+                  * F.lit(23.0 / 24.0)))
+    pv = F.floor(F.least(F.exp(-z * z / F.lit(2.0)), F.lit(1.0))
+                 * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    hyp = counts.select("event_type", "hour", pv.alias("pv"))
+    return S.bh_fdr(hyp, ["event_type", "hour"], "pv", alpha=0.05)

@@ -1248,3 +1248,41 @@ def psi_drift_multi(base: DataFrame, current: DataFrame,
                  F.max("nc").cast("bigint").alias("n_current"),
                  F.count(F.lit(1)).cast("bigint").alias("n_bins"),
                  F.round(_d2d(F.sum("term")), 6).alias("psi_total")))
+
+
+# ------------------------------------------------------------------ BH FDR
+def bh_fdr(df: DataFrame, id_cols, p_col: str,
+           alpha: float = 0.05) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate correction over a
+    battery of p-values — the piece every "run 200 tests, read the
+    winners" workflow is wrong without.  For ranked p_(1) <= ... <=
+    p_(m): q_i = min_{j >= i} (p_(j) * m / j), clipped at 1; a test is
+    discovered at level `alpha` iff q <= alpha (equivalent to the
+    classic step-up rule).
+
+    Returns the id columns, p_value, rank, q_value, and `discovery`.
+    Deterministic rank ties break by the id columns.
+
+    Scale: the test battery IS a bounded grid (one row per
+    hypothesis), so the rank and the reverse running minimum are
+    windows over it; q doubles derive from exact integer rank
+    arithmetic on the p doubles.
+    """
+    ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    m = F.count(F.lit(1)).over(_grid())
+    wr = Window.orderBy(F.col("p_value").asc(),
+                        *[F.col(c) for c in ids])
+    ranked = (df.select(*ids, F.col(p_col).alias("p_value"))
+              .withColumn("rank", F.row_number().over(wr))
+              .withColumn("__m", m))
+    raw_q = (F.col("p_value") * F.col("__m").cast("double")
+             / F.col("rank").cast("double"))
+    wrev = (Window.orderBy(F.col("rank").desc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    q = F.least(F.min(raw_q).over(wrev), F.lit(1.0))
+    return (ranked.withColumn("q_value", F.round(q, 9))
+            .select(*ids, "p_value",
+                    F.col("rank").cast("bigint").alias("rank"),
+                    "q_value",
+                    (F.col("q_value") <= F.lit(alpha))
+                    .alias("discovery")))

@@ -742,3 +742,31 @@ def test_psi_multi_matches_single(spark):
     assert multi["x"].psi_total == pytest.approx(sx, abs=1e-6)
     assert multi["y"].psi_total == pytest.approx(sy, abs=1e-6)
     assert multi["y"].psi_total == 0.0  # y identical both sides
+
+
+def test_bh_fdr_textbook_example(spark):
+    # classic BH walk: m=5, alpha=0.25 on p = .01,.04,.1,.3,.8
+    # q = min-suffix of (p*m/i): raw = .05,.1,.1667,.375,.8
+    rows = [(f"t{i}", p) for i, p in
+            enumerate([0.01, 0.04, 0.1, 0.3, 0.8])]
+    out = {r.tid: r for r in
+           S.bh_fdr(_df(spark, rows, "tid string, p double"),
+                    "tid", "p", alpha=0.25).collect()}
+    assert out["t0"].q_value == pytest.approx(0.05, abs=1e-9)
+    assert out["t1"].q_value == pytest.approx(0.1, abs=1e-9)
+    assert out["t2"].q_value == pytest.approx(1.0 / 6, abs=1e-9)
+    assert out["t3"].q_value == pytest.approx(0.375, abs=1e-9)
+    assert out["t4"].q_value == pytest.approx(0.8, abs=1e-9)
+    assert [out[f"t{i}"].discovery for i in range(5)] == \
+        [True, True, True, False, False]
+
+
+def test_bh_fdr_monotone_and_clipped(spark):
+    # q is monotone in rank and never exceeds 1
+    rows = [(f"t{i}", 0.1 + 0.09 * i) for i in range(11)]
+    out = sorted(S.bh_fdr(_df(spark, rows, "tid string, p double"),
+                          "tid", "p").collect(),
+                 key=lambda r: r.rank)
+    qs = [r.q_value for r in out]
+    assert qs == sorted(qs)
+    assert all(q <= 1.0 for q in qs)

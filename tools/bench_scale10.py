@@ -84,6 +84,17 @@ QUERY_SET = [
     "dq_functional_dependency",
     "events_top_paths",
     "quality_isotonic_calibration",
+    # r9: the in-engine GD training lifecycle (heaviest new row: 4
+    # full-corpus iterations), the int8 pair scan, rank-grid and
+    # pair-median statistics, the RAKE vocabulary walk, the pairwise
+    # domain matrix, and the pure-projection repair (expected ~flat)
+    "classifier_train_logreg",
+    "similarity_int8_topk",
+    "ab_kruskal_wallis_value",
+    "events_theil_sen_trend",
+    "text_rake_keywords",
+    "corpus_domain_js_matrix",
+    "quality_mojibake_repair",
 ]
 
 
