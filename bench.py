@@ -159,6 +159,7 @@ HEADLINE = [
     "dq_drift_audit_orders",
     "corpus_domain_js_matrix",
     "similarity_int8_topk",
+    "sketch_countmin_tokens",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

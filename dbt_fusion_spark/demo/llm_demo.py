@@ -5033,3 +5033,60 @@ def similarity_int8_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return int8_topk(emb, queries, k=5)
+
+
+@register(
+    "sketch_countmin_tokens",
+    # depth x width counter grid via the portable md5 unit hash;
+    # estimates = min over rows; compared against exact counts.
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+        AS token
+      FROM documents),
+    t2 AS (SELECT token FROM tok WHERE token <> ''),
+    cells AS (
+      SELECT d.d AS row,
+        CAST('0x' || substring(md5(CAST(42 + d.d AS VARCHAR)
+             || '|' || token), 1, 8) AS BIGINT) % 1024 AS col
+      FROM t2, (SELECT unnest(generate_series(0, 3)) AS d) d),
+    sk AS (SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM cells GROUP BY 1, 2),
+    exact_ AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count
+               FROM t2 GROUP BY token),
+    top AS (SELECT * FROM exact_
+            ORDER BY true_count DESC, token LIMIT 20),
+    probe AS (
+      SELECT top.token, top.true_count, d.d AS row,
+        CAST('0x' || substring(md5(CAST(42 + d.d AS VARCHAR)
+             || '|' || top.token), 1, 8) AS BIGINT) % 1024 AS col
+      FROM top, (SELECT unnest(generate_series(0, 3)) AS d) d)
+    SELECT p.token, p.true_count,
+           CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est_count
+    FROM probe p LEFT JOIN sk ON sk.row = p.row AND sk.col = p.col
+    GROUP BY p.token, p.true_count
+    """,
+)
+def sketch_countmin_tokens(spark, sf_dir):
+    """Count-Min frequency sketch over corpus tokens (r9, Cormode &
+    Muthukrishnan 2005) — the mergeable frequency sketch next to KMV
+    (distincts) and DDSketch (quantiles). The gate probes the exact
+    top-20 tokens against the 4x1024 grid: estimates are never below
+    the true counts (upward-biased by construction)."""
+    from dbt_fusion_spark.llm.corpus import tokens
+    from dbt_fusion_spark.llm.sketch import (countmin_estimate,
+                                             countmin_sketch)
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(docs, "doc_id", "text").select("token")
+    sk = countmin_sketch(toks, "token", depth=4, width=1024)
+    exact = (toks.groupBy("token")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("true_count")))
+    wr = W.orderBy(F.col("true_count").desc(), F.col("token"))
+    top = (exact.withColumn("__r", F.row_number().over(wr))
+           .filter(F.col("__r") <= 20).drop("__r"))
+    est = countmin_estimate(sk, top.select("token"), "token",
+                            depth=4, width=1024)
+    return top.join(est, "token").select("token", "true_count",
+                                         "est_count")

@@ -242,3 +242,55 @@ def ddsketch_quantiles(sketch: DataFrame, qs: Sequence[float],
                       / F.lit(gamma + 1.0)))
     return (hit.select(*keys, "q", F.round(rep, 6).alias("est"))
                .orderBy(*keys, "q"))
+
+
+def countmin_sketch(df: DataFrame, cols: str | Sequence[str],
+                    depth: int = 4, width: int = 1024,
+                    seed: int = 42) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): a depth x width
+    counter grid; item (row d) increments counter (d, h_d(item) % width)
+    with the engine-portable md5 unit hash per row — the mergeable
+    frequency sketch that pairs with KMV (distinct counts) and DDSketch
+    (quantiles).  Point estimates are biased UP only, error <= 2N/width
+    with prob 1 - 2^-depth.
+
+    The sketch is (row, col, cnt) — merge two by summing counts on
+    (row, col).  Scale: explode to depth rows per item (a constant
+    factor), then ONE map-side-combined aggregate onto the
+    depth x width-bounded grid.
+    """
+    cs = [cols] if isinstance(cols, str) else list(cols)
+    rows = F.array(*[
+        F.struct(F.lit(d).alias("row"),
+                 F.pmod(unit_hash(cs, seed + d), F.lit(width))
+                 .alias("col"))
+        for d in range(depth)])
+    return (df.select(F.explode(rows).alias("rc"))
+            .select(F.col("rc.row").alias("row"),
+                    F.col("rc.col").alias("col"))
+            .groupBy("row", "col")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+
+
+def countmin_estimate(sketch: DataFrame, items: DataFrame,
+                      cols: str | Sequence[str], depth: int = 4,
+                      width: int = 1024, seed: int = 42) -> DataFrame:
+    """Point-frequency estimates for `items` against a countmin_sketch:
+    est = min over rows d of counter(d, h_d(item)) — never an
+    underestimate.  Items join the bounded sketch grid on (row, col)
+    (broadcast — the sketch is depth x width rows), then a min per
+    item.
+    """
+    cs = [cols] if isinstance(cols, str) else list(cols)
+    probes = F.array(*[
+        F.struct(F.lit(d).alias("row"),
+                 F.pmod(unit_hash(cs, seed + d), F.lit(width))
+                 .alias("col"))
+        for d in range(depth)])
+    flat = (items.select(*cs, F.explode(probes).alias("rc"))
+            .select(*cs, F.col("rc.row").alias("row"),
+                    F.col("rc.col").alias("col")))
+    return (flat.join(F.broadcast(sketch), ["row", "col"], "left")
+            .groupBy(*cs)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .cast("bigint").alias("est_count")))

@@ -1165,3 +1165,34 @@ def test_grouped_ols_trend_exact_line(spark):
     assert out["a"]["slope"] == 2.0 and out["a"]["intercept"] == 3.0
     assert out["a"]["r2"] == 1.0
     assert out["b"]["slope"] is None and out["b"]["r2"] is None
+
+
+def test_countmin_never_underestimates_and_merges(spark):
+    """CM point estimates >= true counts always; small sketches on a
+    skewed stream stay tight for the heavy items; two half-stream
+    sketches summed on (row, col) equal the full-stream sketch."""
+    from dbt_fusion_spark.llm.sketch import (countmin_estimate,
+                                             countmin_sketch)
+
+    rows = ([("hot",)] * 500 + [("warm",)] * 50
+            + [(f"cold{i}",) for i in range(200)])
+    df = spark.createDataFrame(rows, "tok string")
+    sk = countmin_sketch(df, "tok", depth=4, width=256)
+    items = spark.createDataFrame(
+        [("hot",), ("warm",), ("cold5",), ("absent",)], "tok string")
+    est = {r.tok: r.est_count for r in
+           countmin_estimate(sk, items, "tok", depth=4,
+                             width=256).collect()}
+    assert est["hot"] >= 500 and est["hot"] <= 500 + 2 * 750 // 256 + 5
+    assert est["warm"] >= 50
+    assert est["cold5"] >= 1
+    assert est["absent"] >= 0  # collisions only — may be small, never neg
+    # mergeability: sum of half-sketches == full sketch
+    h1 = countmin_sketch(df.limit(300), "tok", depth=4, width=256)
+    rest = df.exceptAll(df.limit(300))
+    h2 = countmin_sketch(rest, "tok", depth=4, width=256)
+    merged = (h1.unionByName(h2).groupBy("row", "col")
+              .agg(F.sum("cnt").cast("bigint").alias("cnt")))
+    full = {(r.row, r.col): r.cnt for r in sk.collect()}
+    got = {(r.row, r.col): r.cnt for r in merged.collect()}
+    assert got == full
