@@ -418,7 +418,12 @@ def test_no_query_has_cartesian_or_rowwise_python(spark):
                     "similarity_hard_pair_mining",
                     # range search's stage 1 is the ADC-family
                     # broadcast code scan; stage 2 is equi-joins only
-                    "similarity_adc_range_search"}
+                    "similarity_adc_range_search",
+                    # int8 top-k (r9) IS the brute-force baseline on
+                    # quantized vectors: the same deliberate
+                    # corpus-once x broadcast-queries scan, with the
+                    # per-pair work reduced to integer multiply-adds
+                    "similarity_int8_topk"}
     offenders = []
     for name, fn in sorted(QUERIES.items()):
         if name in _EXECUTING:

@@ -41,7 +41,10 @@ def test_scale10_plan_shapes_stable(spark, scale_dir):
     allowed_bnlj = {"similarity_bruteforce_topk", "similarity_pq_adc_topk",
                     # r7: stage 1 of both IS the deliberate brute-force
                     # broadcast scan (same rationale as test_plans.py)
-                    "similarity_mmr_rerank", "similarity_hard_pair_mining"}
+                    "similarity_mmr_rerank", "similarity_hard_pair_mining",
+                    # r9: the brute-force baseline on int8-quantized
+                    # vectors — same deliberate broadcast scan
+                    "similarity_int8_topk"}
     # side-effectful: builds+merges real tables when invoked; its
     # O(touched-partitions) scale property has a dedicated test below
     # (test_scale10_merge_touched_partitions_invariant), and its
