@@ -78,6 +78,14 @@ QUERY_SET = [
     "events_rfm_scores",
     "corpus_pmi_topk",
     "dedup_winnow_pairs",
+    # r9: the GD training lifecycle (4 full-corpus iterations — the
+    # byte story: the feature stream shuffles once per iteration, the
+    # gradient grid is bucket-bounded), the int8 pair scan (corpus
+    # streamed once, zero shuffle growth expected), and the k-group
+    # rank grid
+    "classifier_train_logreg",
+    "similarity_int8_topk",
+    "ab_kruskal_wallis_value",
 ]
 
 FIELDS = ("inputBytes", "shuffleReadBytes", "shuffleWriteBytes",
