@@ -160,6 +160,8 @@ HEADLINE = [
     "corpus_domain_js_matrix",
     "similarity_int8_topk",
     "sketch_countmin_tokens",
+    "stats_cohens_kappa_priority",
+    "stats_mutual_information",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

@@ -112,6 +112,8 @@ GATE_WINDOW: list[str] = [
     "similarity_int8_topk",
     "stats_bh_fdr_hourly",
     "sketch_countmin_tokens",
+    "stats_cohens_kappa_priority",
+    "stats_mutual_information",
 ]
 
 

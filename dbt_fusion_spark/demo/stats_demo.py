@@ -1942,3 +1942,124 @@ def stats_bh_fdr_hourly(spark, sf_dir):
                  * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     hyp = counts.select("event_type", "hour", pv.alias("pv"))
     return S.bh_fdr(hyp, ["event_type", "hour"], "pv", alpha=0.05)
+
+
+@register(
+    "stats_cohens_kappa_priority",
+    # two derived labelings of orders; po from diagonal cells, pe from
+    # the marginal join (NOT the diagonal — raters can share a label
+    # they never agree on); integer marginal products, decimal sums.
+    oracle="""
+    WITH r AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'hi' ELSE 'lo' END AS a,
+             CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END
+               AS b
+      FROM orders),
+    g AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+          FROM r GROUP BY 1, 2),
+    t AS (SELECT *, CAST(SUM(c) OVER () AS BIGINT) AS n FROM g),
+    po AS (
+      SELECT MAX(n) AS n,
+        SUM(CASE WHEN a = b THEN
+          CAST(round(CAST(c AS DOUBLE) / n, 9) AS DECIMAL(38,9))
+          ELSE CAST(0 AS DECIMAL(38,9)) END) AS po
+      FROM t),
+    ma AS (SELECT a AS lbl, CAST(SUM(c) AS BIGINT) AS ca
+           FROM g GROUP BY a),
+    mb AS (SELECT b AS lbl, CAST(SUM(c) AS BIGINT) AS cb
+           FROM g GROUP BY b),
+    pe AS (
+      SELECT SUM(CAST(round(CAST(ca AS DOUBLE)
+                            * CAST(cb AS DOUBLE), 9)
+                 AS DECIMAL(38,9))) AS pe_raw
+      FROM ma JOIN mb USING (lbl))
+    SELECT po.n,
+      round(CAST(CAST(po.po AS VARCHAR) AS DOUBLE), 6)
+        AS observed_agreement,
+      round(CAST(CAST(pe.pe_raw AS VARCHAR) AS DOUBLE)
+            / (CAST(po.n AS DOUBLE) * po.n), 6) AS expected_agreement,
+      CASE WHEN CAST(CAST(pe.pe_raw AS VARCHAR) AS DOUBLE)
+                / (CAST(po.n AS DOUBLE) * po.n) < 1.0 THEN
+        round((CAST(CAST(po.po AS VARCHAR) AS DOUBLE)
+               - CAST(CAST(pe.pe_raw AS VARCHAR) AS DOUBLE)
+                 / (CAST(po.n AS DOUBLE) * po.n))
+              / (1.0 - CAST(CAST(pe.pe_raw AS VARCHAR) AS DOUBLE)
+                 / (CAST(po.n AS DOUBLE) * po.n)), 6)
+      END AS kappa
+    FROM po CROSS JOIN pe
+    """,
+)
+def stats_cohens_kappa_priority(spark, sf_dir):
+    """Cohen's kappa between two derived labelings of orders (r9):
+    'is it urgent/high priority' vs 'is it a big-ticket order' — the
+    chance-corrected agreement statistic a labeling pipeline reads
+    before trusting its labels. One contingency-grid scan + the
+    marginal join."""
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = orders.select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+               "hi").otherwise("lo").alias("ra"),
+        F.when(F.col("o_totalprice") > 150000, "hi").otherwise("lo")
+         .alias("rb"))
+    return S.cohens_kappa(tagged, "ra", "rb")
+
+
+@register(
+    "stats_mutual_information",
+    # joint + marginal -p ln p terms on the contingency grid; NMI
+    # normalized by sqrt(H(A) H(B)).
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2),
+    t AS (
+      SELECT *, CAST(SUM(c) OVER () AS BIGINT) AS n,
+        CAST(SUM(c) OVER (PARTITION BY a) AS BIGINT) AS ca,
+        CAST(SUM(c) OVER (PARTITION BY b) AS BIGINT) AS cb,
+        ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) AS fa,
+        ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) AS fb
+      FROM g),
+    terms AS (
+      SELECT n,
+        CAST(round(CAST(c AS DOUBLE) / n
+          * ln((CAST(c AS DOUBLE) / n)
+               / ((CAST(ca AS DOUBLE) / n)
+                  * (CAST(cb AS DOUBLE) / n))), 9)
+          AS DECIMAL(38,9)) AS mi_t,
+        CASE WHEN fa = 1 THEN
+          CAST(round(-(CAST(ca AS DOUBLE) / n)
+                     * ln(CAST(ca AS DOUBLE) / n), 9)
+               AS DECIMAL(38,9))
+          ELSE CAST(0 AS DECIMAL(38,9)) END AS ha_t,
+        CASE WHEN fb = 1 THEN
+          CAST(round(-(CAST(cb AS DOUBLE) / n)
+                     * ln(CAST(cb AS DOUBLE) / n), 9)
+               AS DECIMAL(38,9))
+          ELSE CAST(0 AS DECIMAL(38,9)) END AS hb_t
+      FROM t),
+    agg AS (
+      SELECT MAX(n) AS n, SUM(mi_t) AS mi,
+             SUM(ha_t) AS ha, SUM(hb_t) AS hb
+      FROM terms)
+    SELECT CAST(n AS BIGINT) AS n,
+      round(CAST(CAST(mi AS VARCHAR) AS DOUBLE), 6) AS mi,
+      round(CAST(CAST(ha AS VARCHAR) AS DOUBLE), 6) AS h_a,
+      round(CAST(CAST(hb AS VARCHAR) AS DOUBLE), 6) AS h_b,
+      CASE WHEN CAST(CAST(ha AS VARCHAR) AS DOUBLE) > 0
+                AND CAST(CAST(hb AS VARCHAR) AS DOUBLE) > 0 THEN
+        round(CAST(CAST(mi AS VARCHAR) AS DOUBLE)
+              / sqrt(CAST(CAST(ha AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(hb AS VARCHAR) AS DOUBLE)), 6)
+      END AS nmi
+    FROM agg
+    """,
+)
+def stats_mutual_information(spark, sf_dir):
+    """Mutual information + NMI between order priority and status
+    (r9) — how MUCH the two associate in nats, next to the chi-square
+    row's IF. One contingency-grid scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    return S.mutual_information(orders, "o_orderpriority",
+                                "o_orderstatus")

@@ -1286,3 +1286,99 @@ def bh_fdr(df: DataFrame, id_cols, p_col: str,
                     "q_value",
                     (F.col("q_value") <= F.lit(alpha))
                     .alias("discovery")))
+
+
+# ----------------------------------------------------------- Cohen's kappa
+def cohens_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
+    """Cohen's kappa agreement between two categorical labelings —
+    THE inter-annotator (or model-vs-model) agreement statistic a
+    labeling pipeline reads before trusting its labels: observed
+    agreement corrected for chance, kappa = (po - pe) / (1 - pe).
+
+    Returns ONE row: n, observed/expected agreement, kappa (NULL when
+    pe = 1 — a single shared label has no chance-corrected signal).
+
+    Scale: one groupBy onto the |A| x |B| contingency grid; marginals
+    are grid windows; agreement terms round(9)-DECIMAL sums.
+    """
+    g = (df.groupBy(F.col(rater_a).alias("a"),
+                    F.col(rater_b).alias("b"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    w = _grid()
+    g = g.withColumn("n", F.sum("c").over(w))
+    nn = F.col("n").cast("double")
+    po_t = F.when(F.col("a") == F.col("b"),
+                  _qterm(F.col("c").cast("double") / nn)) \
+        .otherwise(F.lit(0).cast(D389))
+    agg = g.agg(F.max("n").alias("n"), F.sum(po_t).alias("po"))
+    # pe = sum over LABELS of p_a(label)*p_b(label) — from the two
+    # label-grid MARGINAL tables joined on the label (NOT from the
+    # diagonal cells: two raters can both use a label yet never agree
+    # on it, leaving no diagonal row to carry the product)
+    ma = g.groupBy(F.col("a").alias("lbl")).agg(F.sum("c").alias("ca"))
+    mb = g.groupBy(F.col("b").alias("lbl")).agg(F.sum("c").alias("cb"))
+    pe_rows = (ma.join(mb, "lbl")
+               .withColumn("__n", F.lit(1)))
+    pe_tbl = pe_rows.groupBy("__n").agg(
+        F.sum(_qterm(F.col("ca").cast("double")
+                     * F.col("cb").cast("double"))).alias("pe_raw"))
+    # 1-row x 1-row combine via opaque constant key
+    agg = agg.withColumn("__n", F.pmod(F.col("n"), F.lit(1)) + 1).join(
+        F.broadcast(pe_tbl), "__n").drop("__n")
+    po = _d2d("po")
+    pe = _d2d("pe_raw") / (nn * nn)
+    kappa = F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("expected_agreement"),
+        F.round(kappa, 6).alias("kappa"))
+
+
+# ------------------------------------------------------ mutual information
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information between two categorical columns, with the
+    normalized variant NMI = I / sqrt(H(A) H(B)) — the feature-
+    relevance dial next to chi_square_independence (chi2 tells you IF
+    they associate; MI tells you HOW MUCH, in nats).
+
+    Returns ONE row: n, mi, h_a, h_b, nmi (NULL when either entropy is
+    0 — a constant column carries no information).
+
+    Scale: one groupBy onto the |A| x |B| contingency grid; marginals
+    from grid windows; -p ln p and joint terms on the round(9)-DECIMAL
+    recipe, single scan.
+    """
+    g = (df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    w = _grid()
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    g = (g.withColumn("n", F.sum("c").over(w))
+          .withColumn("ca", F.sum("c").over(wa))
+          .withColumn("cb", F.sum("c").over(wb))
+          .withColumn("fa", F.row_number().over(
+              Window.partitionBy("a").orderBy("b")))
+          .withColumn("fb", F.row_number().over(
+              Window.partitionBy("b").orderBy("a"))))
+    nn = F.col("n").cast("double")
+    pxy = F.col("c").cast("double") / nn
+    px = F.col("ca").cast("double") / nn
+    py = F.col("cb").cast("double") / nn
+    mi_t = _qterm(pxy * F.log(pxy / (px * py)))
+    # marginal entropies: each label's -p ln p counted ONCE via the
+    # first-row indicator (fa/fb == 1), the chi2 dof trick
+    ha_t = F.when(F.col("fa") == 1, _qterm(-px * F.log(px))) \
+        .otherwise(F.lit(0).cast(D389))
+    hb_t = F.when(F.col("fb") == 1, _qterm(-py * F.log(py))) \
+        .otherwise(F.lit(0).cast(D389))
+    agg = g.agg(F.max("n").alias("n"), F.sum(mi_t).alias("mi"),
+                F.sum(ha_t).alias("ha"), F.sum(hb_t).alias("hb"))
+    mi, ha, hb = _d2d("mi"), _d2d("ha"), _d2d("hb")
+    nmi = F.when((ha > 0) & (hb > 0), mi / F.sqrt(ha * hb))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(mi, 6).alias("mi"),
+        F.round(ha, 6).alias("h_a"),
+        F.round(hb, 6).alias("h_b"),
+        F.round(nmi, 6).alias("nmi"))

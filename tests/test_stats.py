@@ -770,3 +770,61 @@ def test_bh_fdr_monotone_and_clipped(spark):
     qs = [r.q_value for r in out]
     assert qs == sorted(qs)
     assert all(q <= 1.0 for q in qs)
+
+
+def test_cohens_kappa_known_values(spark):
+    # classic 2x2: a/b agree 20+15 of 50; marginals A: 25/25, B: 25/25
+    rows = ([("x", "x")] * 20 + [("x", "y")] * 5
+            + [("y", "x")] * 10 + [("y", "y")] * 15)
+    r = S.cohens_kappa(_df(spark, rows, "ra string, rb string"),
+                       "ra", "rb").collect()[0]
+    po = 35 / 50
+    pe = (25 / 50) * (30 / 50) + (25 / 50) * (20 / 50)
+    assert r.observed_agreement == pytest.approx(po, abs=1e-6)
+    assert r.expected_agreement == pytest.approx(pe, abs=1e-6)
+    assert r.kappa == pytest.approx((po - pe) / (1 - pe), abs=1e-6)
+
+
+def test_cohens_kappa_never_agreeing_raters(spark):
+    # both raters use both labels but NEVER agree: po=0, pe=0.5,
+    # kappa = -1 — the diagonal-only shortcut would have said pe=0
+    rows = [("x", "y")] * 25 + [("y", "x")] * 25
+    r = S.cohens_kappa(_df(spark, rows, "ra string, rb string"),
+                       "ra", "rb").collect()[0]
+    assert r.observed_agreement == 0.0
+    assert r.expected_agreement == pytest.approx(0.5, abs=1e-6)
+    assert r.kappa == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_cohens_kappa_perfect_and_constant(spark):
+    rows = [("x", "x")] * 30 + [("y", "y")] * 20
+    r = S.cohens_kappa(_df(spark, rows, "ra string, rb string"),
+                       "ra", "rb").collect()[0]
+    assert r.kappa == pytest.approx(1.0, abs=1e-6)
+    # single shared label: pe = 1 -> NULL kappa, never NaN
+    rows = [("x", "x")] * 10
+    r = S.cohens_kappa(_df(spark, rows, "ra string, rb string"),
+                       "ra", "rb").collect()[0]
+    assert r.kappa is None
+
+
+def test_mutual_information_endpoints(spark):
+    import math
+    # identical columns: MI = H(A), NMI = 1
+    rows = [(c, c) for c in "xxyyzz" * 10]
+    r = S.mutual_information(_df(spark, rows, "a string, b string"),
+                             "a", "b").collect()[0]
+    assert r.mi == pytest.approx(r.h_a, abs=1e-6)
+    assert r.nmi == pytest.approx(1.0, abs=1e-6)
+    # independent columns: MI = 0
+    rows = [(("x" if i % 2 else "y"), ("p" if (i // 2) % 2 else "q"))
+            for i in range(80)]
+    r = S.mutual_information(_df(spark, rows, "a string, b string"),
+                             "a", "b").collect()[0]
+    assert r.mi == pytest.approx(0.0, abs=1e-6)
+    assert r.h_a == pytest.approx(math.log(2), abs=1e-6)
+    # constant column: zero entropy -> NULL nmi
+    rows = [("x", ("p" if i % 2 else "q")) for i in range(20)]
+    r = S.mutual_information(_df(spark, rows, "a string, b string"),
+                             "a", "b").collect()[0]
+    assert r.nmi is None and r.mi == pytest.approx(0.0, abs=1e-6)
