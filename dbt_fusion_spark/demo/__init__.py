@@ -49,71 +49,33 @@ from dbt_fusion_spark.demo import (  # noqa: F401, E402
 # covered by the exact-float DuckDB parity battery at both SFs every
 # CI run (tests/test_parity.py, tools/local_gate.py).
 GATE_WINDOW: list[str] = [
-    # ---- r9 ROTATION: the 21 never-driver-gated rows (the judge's
-    # exact computed list, VERDICT r8 "Next round" #2) — closing the
-    # cumulative certification gap to 239/239.
-    "ab_diff_in_diff_spend",
-    "ab_mann_whitney_value",
-    "ab_power_mde_events",
-    "ab_proportion_ztest_urgent",
-    "ab_quantile_effect_acctbal",
-    "dq_functional_dependency",
-    "embedding_label_centroids",
-    "events_dow_seasonality",
-    "events_metric_correlations",
-    "events_seasonal_residuals",
-    "events_top_paths",
-    "feature_target_encode_orders",
-    "feature_winsorize_orders",
-    "feature_zscore_events",
-    "graph_clustering_coeff_suppliers",
-    "stats_benford_totalprice",
-    "stats_entropy_priority_mix",
-    "streaming_psi_drift_monitor",
-    "survival_kaplan_meier_tenure",
-    "survival_logrank_parity",
-    "ab_srm_check_custkey",
+    # ---- r10 ROTATION (judge r9 "Next round" #4): the ONLY two
+    # registry rows never status-green at a driver gate — both were
+    # gated once in r1 (`sample_random_seeded` as no_oracle before
+    # its oracle existed; `window_top_customers_per_nation` during
+    # the parquet-NANOS bug) and strict-PASS on the judge's re-gate.
+    # Certifying them = 259/259 cumulative, the first fully-certified
+    # registry.
+    "sample_random_seeded",
+    "window_top_customers_per_nation",
     # ---- anchors: code touched THIS round must re-gate ----
     # runner / adapter surface (every round)
     "runner_full_build_statuses",
+    # judge r9 #1: cohens_kappa scalar-join key de-literalized
+    # (BroadcastHashJoin restored) — oracle untouched, re-gate anyway
+    "stats_cohens_kappa_priority",
+    # r9 ADVICE fixes touched these four operators (+ their oracles:
+    # anova's scale-aware quantization is mirrored in SQL)
+    "ab_anova_order_value",
+    "events_ewma_daily_volume",
+    "sample_purged_time_split",
+    "corpus_lexical_diversity",
     # write path (byte-audited; ACID routing still env-blocked)
     "incremental_merge_partition_scoped",
-    # r9 ADVICE fixes touched these operators' code (the five ADVICE
-    # rows: srm/top_paths/metric_correlations/clustering are already
-    # in the rotation above; cusum is the fifth)
-    "events_cusum_daily_volume",
-    # artifact-maintenance paths being ported to the Hadoop FS API
-    # this round (VERDICT "Next round" #4) — re-gate after the port
-    "similarity_ivf_pq_compacted",
-    "similarity_index_rebuilt",
-    "similarity_ivf_pq_prebuilt",
-    # ---- r9 debut operators (debut-round certification; appended as
-    # they land this round) ----
-    # in-engine classifier training (VERDICT r8 "Next round" #3)
-    "classifier_train_logreg",
-    "classifier_train_scores",
-    # mojibake REPAIR completing the r8 signals audit (VERDICT #9)
-    "quality_mojibake_repair",
-    # r9 operator-coverage debuts (statistics / time-series / text)
-    "survival_nelson_aalen_tenure",
-    "ab_spearman_hour_value",
-    "events_ewma_daily_volume",
-    "events_theil_sen_trend",
-    "sample_purged_time_split",
-    "quality_readability_scores",
-    "corpus_lexical_diversity",
-    "text_rake_keywords",
-    # r9 batch 3: k-group tests, table drift audit, mixture matrix,
-    # int8 serving baseline
-    "ab_anova_order_value",
-    "ab_kruskal_wallis_value",
-    "dq_drift_audit_orders",
-    "corpus_domain_js_matrix",
-    "similarity_int8_topk",
-    "stats_bh_fdr_hourly",
-    "sketch_countmin_tokens",
-    "stats_cohens_kappa_priority",
-    "stats_mutual_information",
+    # ---- r10 debut operators (debut-round certification; appended
+    # as they land this round, BEFORE the closing sweeps — the freeze
+    # rule is now CI: tools/hygiene_check.py
+    # check_closing_sweep_covers_registry) ----
 ]
 
 

@@ -4858,7 +4858,7 @@ def corpus_lexical_diversity(spark, sf_dir):
     from dbt_fusion_spark.llm.corpus import lexical_diversity
 
     docs = load_table(spark, sf_dir, "documents")
-    return lexical_diversity(docs, "source", "doc_id", "text")
+    return lexical_diversity(docs, "source", "text")
 
 
 from dbt_fusion_spark.llm.text import RAKE_STOPWORDS as _RAKE_SW  # noqa: E402

@@ -1563,8 +1563,11 @@ def ab_spearman_hour_value(spark, sf_dir):
         {lags}
       FROM series)
     SELECT event_type, CAST(day AS TIMESTAMP) AS day, n_rows,
-      round(({num}) / ({den}), 6) AS ewma,
-      round(CAST(n_rows AS DOUBLE) - ({num}) / ({den}), 6) AS residual
+      CASE WHEN ({den}) > 0
+           THEN round(({num}) / ({den}), 6) END AS ewma,
+      CASE WHEN ({den}) > 0
+           THEN round(CAST(n_rows AS DOUBLE) - ({num}) / ({den}), 6)
+      END AS residual
     FROM l
     """.format(
         lags=",\n        ".join(
@@ -1720,19 +1723,29 @@ def sample_purged_time_split(spark, sf_dir):
              SUM(s) OVER () AS SS,
              CAST(COUNT(*) OVER () AS BIGINT) AS k
       FROM g),
-    t AS (
+    raw AS (
       SELECT *,
-        CAST(round(CAST(ng AS DOUBLE)
+        CAST(ng AS DOUBLE)
           * (CAST(CAST(s AS VARCHAR) AS DOUBLE) / ng
              - CAST(CAST(SS AS VARCHAR) AS DOUBLE) / N)
           * (CAST(CAST(s AS VARCHAR) AS DOUBLE) / ng
-             - CAST(CAST(SS AS VARCHAR) AS DOUBLE) / N), 0)
-          AS DECIMAL(38,0)) AS ssb_t,
-        CAST(round(CAST(CAST(q AS VARCHAR) AS DOUBLE)
+             - CAST(CAST(SS AS VARCHAR) AS DOUBLE) / N) AS ssb_raw,
+        CAST(CAST(q AS VARCHAR) AS DOUBLE)
           - CAST(CAST(s AS VARCHAR) AS DOUBLE)
-            * CAST(CAST(s AS VARCHAR) AS DOUBLE) / ng, 0)
-          AS DECIMAL(38,0)) AS ssw_t
+            * CAST(CAST(s AS VARCHAR) AS DOUBLE) / ng AS ssw_raw
       FROM w),
+    -- scale-aware quantization mirroring anova_oneway._qss: round(9)
+    -- below |1e6|, integer grid above — same exact-operand double in
+    -- both engines, so both take the same branch at every term
+    t AS (
+      SELECT *,
+        CASE WHEN ABS(ssb_raw) < 1e6
+             THEN CAST(round(ssb_raw, 9) AS DECIMAL(38,9))
+             ELSE CAST(round(ssb_raw, 0) AS DECIMAL(38,9)) END AS ssb_t,
+        CASE WHEN ABS(ssw_raw) < 1e6
+             THEN CAST(round(ssw_raw, 9) AS DECIMAL(38,9))
+             ELSE CAST(round(ssw_raw, 0) AS DECIMAL(38,9)) END AS ssw_t
+      FROM raw),
     agg AS (
       SELECT MAX(k) AS k, MAX(N) AS n,
              SUM(ssb_t) AS ssb, SUM(ssw_t) AS ssw

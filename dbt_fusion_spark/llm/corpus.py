@@ -660,7 +660,7 @@ def novelty_ngrams(corpus: DataFrame, reference: DataFrame, id_col: str,
                 .alias("novelty_frac")))
 
 
-def lexical_diversity(df: DataFrame, domain_col: str, id_col: str,
+def lexical_diversity(df: DataFrame, domain_col: str,
                       text_col: str) -> DataFrame:
     """Per-domain lexical-diversity profile: token count N, vocabulary
     size V, type-token ratio V/N, hapax fraction (share of vocabulary

@@ -980,7 +980,7 @@ def test_lexical_diversity_counts(spark):
            lexical_diversity(
                spark.createDataFrame(
                    rows, "src string, doc_id int, text string"),
-               "src", "doc_id", "text").collect()}
+               "src", "text").collect()}
     a = out["a"]
     # domain a: tokens x,x,y,z,x,w -> N=6, V=4, hapax y,z,w = 3
     assert (a.n_tokens, a.n_types, a.n_hapax) == (6, 4, 3)

@@ -147,6 +147,21 @@ def main(names: list[str]) -> int:
     print(f"\n== pass={n_pass} fail={n_fail} err={n_err} no_oracle={n_noracle} total={len(names)}")
     with open("/tmp/local_gate.json", "w") as f:
         json.dump(results, f, indent=1, default=str)
+    # SPARK_GATE_EMIT=<path>: write the battery record the closing
+    # artifact embeds verbatim — counts PLUS the explicit swept-row
+    # list tools/hygiene_check.check_closing_sweep_covers_registry
+    # audits against the live registry (judge r9 #3: the freeze rule
+    # as CI, produced mechanically so it cannot drift from reality).
+    emit = os.environ.get("SPARK_GATE_EMIT")
+    if emit:
+        rec = {"pass": n_pass, "fail": n_fail, "err": n_err,
+               "mode": ("SPARK_GATE_STRICT=1" if STRICT else "default")
+               + f", SPARK_GATE_SF_DIR={SF_DIR}",
+               "rows": sorted(n for n, r in results.items()
+                              if r.get("hash_match") is True)}
+        with open(emit, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"battery record -> {emit}")
     return 0 if n_fail == n_err == 0 else 1
 
 
