@@ -162,6 +162,17 @@ HEADLINE = [
     "sketch_countmin_tokens",
     "stats_cohens_kappa_priority",
     "stats_mutual_information",
+    # r10 debuts: K-class softmax training (training-only cost) and
+    # the full train+serve+confusion lifecycle. classifier_softmax_
+    # scores is deliberately NOT benched (the keep-best rule): it
+    # re-runs exactly the train+serve pipeline text_lang_id_model
+    # times, minus only the final 5-row confusion rollup.
+    "classifier_train_softmax",
+    "text_lang_id_model",
+    # r10: Cox PH fixed-Newton lifecycle on the duration grid (the
+    # p=2 row subsumes the p=1 machinery but both closed forms differ,
+    # so bench the heavier one)
+    "survival_cox_two_covariates",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

@@ -76,6 +76,13 @@ GATE_WINDOW: list[str] = [
     # as they land this round, BEFORE the closing sweeps — the freeze
     # rule is now CI: tools/hygiene_check.py
     # check_closing_sweep_covers_registry) ----
+    # K-class softmax training + model-based lang-ID (judge r9 #5)
+    "classifier_train_softmax",
+    "classifier_softmax_scores",
+    "text_lang_id_model",
+    # Cox proportional hazards completing the survival family (#6)
+    "survival_cox_ph",
+    "survival_cox_two_covariates",
 ]
 
 

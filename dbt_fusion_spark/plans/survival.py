@@ -169,3 +169,214 @@ def nelson_aalen(df: DataFrame, duration_col: str,
         F.round(_d2d("__h"), 6).alias("cum_hazard"),
         F.round(F.sqrt(_d2d("__v")), 6).alias("se"),
         F.round(F.exp(-_d2d("__h")), 6).alias("survival_fh"))
+
+
+def cox_ph(df: DataFrame, duration_col: str, event_col: str,
+           covariate_cols: list[str], iters: int = 8) -> DataFrame:
+    """Cox proportional-hazards regression (Breslow ties), fit
+    IN-ENGINE with fixed Newton-Raphson iterations on the partial
+    likelihood — the hazard-ratio model that completes the survival
+    family (Kaplan-Meier / Nelson-Aalen estimate the curve; Cox
+    explains it with covariates).  Cox 1972; Breslow 1974 tie
+    approximation (R's ``coxph(..., ties="breslow")``).
+
+    At each distinct duration t with d_t events, risk set R_t =
+    {j : t_j >= t} and weights w_j = exp(x_j' beta):
+
+        U_i  = sum_t [ sx_{i,t} - d_t S1_i/S0 ]          (score)
+        I_ij = sum_t d_t [ S2_ij/S0 - (S1_i/S0)(S1_j/S0) ]  (info)
+        beta <- beta + I^{-1} U
+
+    where S0/S1/S2 are risk-set sums of w, w x, w x x' — all SUFFIX
+    sums over the bounded duration grid (one reverse cumulative
+    window), never a per-subject risk-set join.  Supports 1 or 2
+    covariates: the information inverse is closed-form (scalar / 2x2),
+    so the whole fit stays declarative; wider models need an external
+    solver and are out of scope (raise).
+
+    Emits one row per covariate: covariate, n, n_events, beta, se
+    (sqrt of the inverse-information diagonal), z, hazard_ratio, and
+    score_chi2 — the score test at beta = 0 (U' I^{-1} U from the
+    FIRST iteration), which on tie-free data with one binary covariate
+    equals the log-rank statistic exactly (the classic identity; see
+    tests/test_survival.py).
+
+    Determinism (the oracle contract, the GD-trainer recipe): floor
+    grids only (never HALF_UP), per-term round(9) products summed as
+    DECIMAL(38,9) (order-free), string-hop decimal->double re-entry,
+    and the one transcendental (exp) floor-quantized on the COARSE
+    1e-6 grid so a libm ulp cannot flip a boundary.  Rows with a NULL
+    duration, event, or covariate are dropped (standard casewise
+    deletion).
+
+    Scale (100 TB): subjects persist once; each of the fixed `iters`
+    steps is one opaque-key broadcast join vs the 1-row beta table,
+    one duration-keyed partial agg onto the bounded grid, one grid
+    suffix window, and one 1-row reduce; beta localCheckpoints per
+    iteration (plan depth stays constant).  No collect in the loop.
+    """
+    p = len(covariate_cols)
+    if p not in (1, 2):
+        raise ValueError(
+            "cox_ph supports 1 or 2 covariates (closed-form "
+            f"information inverse); got {p}")
+
+    def _f9(c):
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+    def _f6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    def _dec(c):
+        return _f9(c).cast(D389)
+
+    xs = [F.col(c).cast("double").alias(f"x{i + 1}")
+          for i, c in enumerate(covariate_cols)]
+    subj = (df.select(F.col(duration_col).alias("t"),
+                      F.col(event_col).cast("bigint").alias("e"), *xs)
+            .na.drop()
+            .persist())
+    spark = df.sparkSession
+    zero = F.lit(0).cast(D389)
+    # beta-independent event-side sums on the duration grid
+    evt_aggs = [F.sum("e").alias("d")]
+    for i in range(1, p + 1):
+        evt_aggs.append(
+            F.sum(F.when(F.col("e") == 1, _dec(F.col(f"x{i}")))
+                  .otherwise(zero)).alias(f"sxd{i}"))
+    evt = subj.groupBy("t").agg(*evt_aggs)
+    evt = evt.select(
+        "t", "d", *[_d2d(f"sxd{i}").alias(f"sx{i}")
+                    for i in range(1, p + 1)]).localCheckpoint(eager=True)
+    counts = subj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("e").cast("bigint").alias("n_events")) \
+        .localCheckpoint(eager=True)
+
+    beta = spark.createDataFrame(
+        [tuple(0.0 for _ in range(p))],
+        ", ".join(f"b{i} double" for i in range(1, p + 1))) \
+        .localCheckpoint(eager=True)
+    wsuf = Window.orderBy(F.col("t").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    moments = [(i, j) for i in range(1, p + 1)
+               for j in range(i, p + 1)]
+
+    def _ui(b):
+        """One Newton pass: the 1-row (U_i, I_ij) frame at beta b."""
+        s = subj.withColumn(
+            "__k", F.pmod(F.abs(F.xxhash64("t")), F.lit(1))) \
+            .join(F.broadcast(b.withColumn(
+                "__k", F.pmod(F.abs(F.xxhash64("b1")), F.lit(1)))),
+                "__k")
+        eta = _f9(F.col("x1") * F.col("b1"))
+        if p == 2:
+            eta = eta + _f9(F.col("x2") * F.col("b2"))
+        s = s.withColumn("__w", _f6(F.exp(eta)))
+        aggs = [F.sum(_dec(F.col("__w"))).alias("a0")]
+        for i in range(1, p + 1):
+            aggs.append(F.sum(_dec(F.col("__w") * F.col(f"x{i}")))
+                        .alias(f"a{i}"))
+        for i, j in moments:
+            aggs.append(F.sum(_dec(F.col("__w") * F.col(f"x{i}")
+                                   * F.col(f"x{j}")))
+                        .alias(f"a{i}{j}"))
+        a = s.groupBy("t").agg(*aggs)
+        cols = (["a0"] + [f"a{i}" for i in range(1, p + 1)]
+                + [f"a{i}{j}" for i, j in moments])
+        suf = a.select("t", *[
+            F.sum(c).over(wsuf).cast("string").cast("double")
+            .alias(f"s{c[1:]}") for c in cols])
+        j2 = evt.join(suf, "t")
+        dd = F.col("d").cast("double")
+        s0 = F.col("s0")
+        terms = []
+        for i in range(1, p + 1):
+            terms.append(F.sum(
+                _f9(F.col(f"sx{i}") - dd * F.col(f"s{i}") / s0)
+                .cast(D389)).alias(f"ud{i}"))
+        for i, j in moments:
+            terms.append(F.sum(
+                _f9(dd * (F.col(f"s{i}{j}") / s0
+                          - (F.col(f"s{i}") / s0)
+                          * (F.col(f"s{j}") / s0)))
+                .cast(D389)).alias(f"id{i}{j}"))
+        out = j2.agg(*terms)
+        return out.select(
+            *[_d2d(f"ud{i}").alias(f"u{i}") for i in range(1, p + 1)],
+            *[_d2d(f"id{i}{j}").alias(f"i{i}{j}") for i, j in moments])
+
+    def _delta(ui_cols):
+        """Closed-form I^{-1} U as a list of p expressions (and the
+        determinant guard)."""
+        if p == 1:
+            ok = F.col("i11") > 0
+            return ok, [F.col("u1") / F.col("i11")]
+        det = (F.col("i11") * F.col("i22")
+               - F.col("i12") * F.col("i12"))
+        ok = det > 0
+        d1 = (F.col("i22") * F.col("u1")
+              - F.col("i12") * F.col("u2")) / det
+        d2 = (F.col("i11") * F.col("u2")
+              - F.col("i12") * F.col("u1")) / det
+        return ok, [d1, d2]
+
+    score = None
+    for k in range(iters):
+        ui = _ui(beta)
+        if k == 0:
+            # score test at beta = 0: U' I^{-1} U
+            ok0, delta0 = _delta(ui)
+            sc = F.col("u1") * delta0[0]
+            if p == 2:
+                sc = sc + F.col("u2") * delta0[1]
+            score = ui.select(
+                F.when(ok0, sc).alias("score_chi2")) \
+                .localCheckpoint(eager=True)
+        ok, delta = _delta(ui)
+        upd = beta.withColumn(
+            "__k", F.pmod(F.abs(F.xxhash64("b1")), F.lit(1))) \
+            .join(F.broadcast(ui.withColumn(
+                "__k", F.pmod(F.abs(F.xxhash64("u1")), F.lit(1)))),
+                "__k")
+        beta = upd.select(*[
+            F.when(ok, _f9(F.col(f"b{i}") + delta[i - 1]))
+            .otherwise(F.col(f"b{i}")).alias(f"b{i}")
+            for i in range(1, p + 1)]).localCheckpoint(eager=True)
+    # final information at the fitted beta for the SEs
+    ui = _ui(beta)
+    subj.unpersist()
+    if p == 1:
+        var = [F.lit(1.0) / F.col("i11")]
+        okf = F.col("i11") > 0
+    else:
+        det = (F.col("i11") * F.col("i22")
+               - F.col("i12") * F.col("i12"))
+        var = [F.col("i22") / det, F.col("i11") / det]
+        okf = det > 0
+    one = (beta.withColumn(
+        "__k", F.pmod(F.abs(F.xxhash64("b1")), F.lit(1)))
+        .join(F.broadcast(ui.withColumn(
+            "__k", F.pmod(F.abs(F.xxhash64("u1")), F.lit(1)))), "__k")
+        .join(F.broadcast(counts.withColumn(
+            "__k", F.pmod(F.abs(F.xxhash64("n")), F.lit(1)))), "__k")
+        .join(F.broadcast(score.withColumn(
+            "__k", F.pmod(F.abs(F.coalesce(
+                F.xxhash64("score_chi2"), F.lit(1))), F.lit(1)))),
+            "__k")
+        .drop("__k"))
+    rows = []
+    for i in range(1, p + 1):
+        se = F.when(okf, F.sqrt(var[i - 1]))
+        rows.append(one.select(
+            F.lit(covariate_cols[i - 1]).alias("covariate"),
+            F.col("n"), F.col("n_events"),
+            F.round(F.col(f"b{i}"), 6).alias("beta"),
+            F.round(se, 6).alias("se"),
+            F.round(F.col(f"b{i}") / se, 6).alias("z"),
+            F.round(F.exp(F.col(f"b{i}")), 6).alias("hazard_ratio"),
+            F.round(F.col("score_chi2"), 6).alias("score_chi2")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -863,6 +863,55 @@ def test_train_logreg_separates_constructed_corpus(spark):
     assert min(pos) > 0.5 > max(neg)    # and on the right side of 0.5
 
 
+def test_train_softmax_separates_three_classes(spark):
+    """The K-class GD fit must actually LEARN: on a corpus where the
+    three classes use disjoint vocabularies, the served argmax labels
+    every doc correctly with the top prob strictly above 1/K."""
+    from dbt_fusion_spark.llm.classifier import (
+        softmax_class_scores, train_softmax_regression)
+
+    vocab = {"aa": ["alpha", "bravo", "charlie", "delta"],
+             "bb": ["zulu", "yankee", "xray", "whiskey"],
+             "cc": ["mike", "november", "oscar", "papa"]}
+    rows = []
+    for i in range(20):
+        for k, (lbl, words) in enumerate(vocab.items()):
+            rows.append((i * 3 + k,
+                         " ".join(words[j % 4] for j in range(i, i + 6)),
+                         lbl))
+    df = spark.createDataFrame(rows, "doc_id int, text string, y string")
+    w = train_softmax_regression(df, "doc_id", "text", "y",
+                                 dim=256, iters=6, lr=2.0)
+    # weight grid shape: (dim-bounded buckets + bias) x K, bias per class
+    wrows = w.collect()
+    assert {r.label for r in wrows} == {"aa", "bb", "cc"}
+    assert sum(r.bucket == -1 for r in wrows) == 3
+    served = {r.doc_id: r for r in
+              softmax_class_scores(df, w, "doc_id", "text",
+                                   dim=256).collect()}
+    truth = {r[0]: r[2] for r in rows}
+    assert all(served[d].pred_label == truth[d] for d in truth)
+    assert all(served[d].prob > 1.0 / 3 for d in truth)
+
+
+def test_train_softmax_gramless_doc_scores_on_bias(spark):
+    """A doc with no grams must survive serving (bias-only scores,
+    n_grams = 0) — the universe re-entry path."""
+    from dbt_fusion_spark.llm.classifier import (
+        softmax_class_scores, train_softmax_regression)
+
+    rows = [(0, "alpha bravo", "a"), (1, "zulu yankee", "b"),
+            (2, "", "a")]
+    df = spark.createDataFrame(rows, "doc_id int, text string, y string")
+    w = train_softmax_regression(df, "doc_id", "text", "y",
+                                 dim=64, iters=2, lr=1.0)
+    out = {r.doc_id: r for r in
+           softmax_class_scores(df, w, "doc_id", "text",
+                                dim=64).collect()}
+    assert len(out) == 3
+    assert out[2].n_grams == 0 and out[2].pred_label in ("a", "b")
+
+
 def test_train_logreg_balanced_prior_bias_near_zero(spark):
     """With a 50/50 label split and symmetric vocab, the fitted bias
     stays near zero (no systematic drift in the augmented feature)."""

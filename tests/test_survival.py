@@ -121,3 +121,107 @@ def test_nelson_aalen_dominates_km(spark):
     assert set(km) == set(na)
     for t in km:
         assert na[t] >= km[t] - 1e-9
+
+
+# Gehan (1965) 6-MP remission textbook data — the dataset every
+# survival text fits first. x = 1 for the treated (6-MP) arm.
+_GEHAN_6MP = [(6, 1), (6, 1), (6, 1), (6, 0), (7, 1), (9, 0), (10, 1),
+              (10, 0), (11, 0), (13, 1), (16, 1), (17, 0), (19, 0),
+              (20, 0), (22, 1), (23, 1), (25, 0), (32, 0), (32, 0),
+              (34, 0), (35, 0)]
+_GEHAN_PLACEBO = [(1, 1), (1, 1), (2, 1), (2, 1), (3, 1), (4, 1),
+                  (4, 1), (5, 1), (5, 1), (8, 1), (8, 1), (8, 1),
+                  (8, 1), (11, 1), (11, 1), (12, 1), (12, 1), (15, 1),
+                  (17, 1), (22, 1), (23, 1)]
+
+
+def test_cox_ph_recovers_published_gehan_coefficients(spark):
+    """cox_ph on the Gehan data must recover R's
+    coxph(Surv(t, e) ~ x, ties="breslow") published fit:
+    beta = -1.5092, se = 0.4096 (hazard ratio 0.221 for 6-MP)."""
+    from dbt_fusion_spark.plans.survival import cox_ph
+
+    rows = [(t, e, 1.0) for t, e in _GEHAN_6MP] \
+        + [(t, e, 0.0) for t, e in _GEHAN_PLACEBO]
+    r = cox_ph(spark.createDataFrame(rows, "t int, e int, x double"),
+               "t", "e", ["x"], iters=8).collect()[0]
+    assert (r.n, r.n_events) == (42, 30)
+    assert r.beta == pytest.approx(-1.5092, abs=2e-3)
+    assert r.se == pytest.approx(0.4096, abs=2e-3)
+    assert r.hazard_ratio == pytest.approx(0.2211, abs=1e-3)
+
+
+def test_cox_score_test_equals_logrank_on_tiefree_binary(spark):
+    """The classic identity: with ONE binary covariate and no tied
+    event times, the Cox score test at beta = 0 IS the log-rank
+    statistic (Breslow information has no (n-d)/(n-1) factor to
+    disagree on when every d = 1)."""
+    from dbt_fusion_spark.plans.survival import cox_ph, logrank_test
+
+    # distinct durations throughout -> tie-free
+    rows = [(2 * i + 1, 1 if i % 4 else 0, "a") for i in range(12)] \
+        + [(2 * i + 2, 1 if i % 3 else 0, "b") for i in range(12)]
+    df = spark.createDataFrame(rows, "t int, e int, g string")
+    lr = logrank_test(df, "g", "t", "e", "a", "b").collect()[0]
+    cx = cox_ph(df.withColumn(
+        "x", (df.g == "a").cast("double")), "t", "e", ["x"],
+        iters=4).collect()[0]
+    assert cx.score_chi2 == pytest.approx(lr.chi2, abs=1e-4)
+
+
+def test_cox_ph_two_covariates_matches_numpy_newton(spark):
+    """p = 2 closed-form 2x2 Newton must track an unquantized numpy
+    reference on the same Breslow partial likelihood."""
+    import numpy as np
+
+    from dbt_fusion_spark.plans.survival import cox_ph
+
+    rng_rows = []
+    for i in range(40):
+        x1 = float(i % 2)
+        x2 = float(i % 5)
+        # longer survival for x1=1, shorter for larger x2
+        t = 3 + (i * 7) % 11 + int(4 * x1) - int(x2)
+        rng_rows.append((max(t, 1), 1 if i % 4 else 0, x1, x2))
+    df = spark.createDataFrame(rng_rows,
+                               "t int, e int, x1 double, x2 double")
+    out = {r.covariate: r for r in
+           cox_ph(df, "t", "e", ["x1", "x2"], iters=8).collect()}
+
+    t = np.array([r[0] for r in rng_rows], float)
+    e = np.array([r[1] for r in rng_rows], float)
+    X = np.array([[r[2], r[3]] for r in rng_rows], float)
+    b = np.zeros(2)
+    for _ in range(8):
+        w = np.exp(X @ b)
+        U = np.zeros(2)
+        I = np.zeros((2, 2))
+        for tt in np.unique(t[e == 1]):
+            risk = t >= tt
+            dmask = (t == tt) & (e == 1)
+            d = dmask.sum()
+            s0 = w[risk].sum()
+            s1 = (w[risk, None] * X[risk]).sum(0)
+            s2 = (w[risk, None, None] * X[risk][:, :, None]
+                  * X[risk][:, None, :]).sum(0)
+            U += X[dmask].sum(0) - d * s1 / s0
+            I += d * (s2 / s0 - np.outer(s1 / s0, s1 / s0))
+        b += np.linalg.solve(I, U)
+    se = np.sqrt(np.diag(np.linalg.inv(I)))
+    assert out["x1"].beta == pytest.approx(b[0], abs=5e-3)
+    assert out["x2"].beta == pytest.approx(b[1], abs=5e-3)
+    assert out["x1"].se == pytest.approx(se[0], abs=5e-3)
+    assert out["x2"].se == pytest.approx(se[1], abs=5e-3)
+
+
+def test_cox_ph_rejects_wide_models_and_drops_nulls(spark):
+    from dbt_fusion_spark.plans.survival import cox_ph
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.0), (2, 1, 0.0), (None, 1, 1.0), (3, None, 0.0),
+         (4, 0, None), (5, 1, 0.0)],
+        "t int, e int, x double")
+    with pytest.raises(ValueError):
+        cox_ph(df, "t", "e", ["x", "x", "x"])
+    r = cox_ph(df, "t", "e", ["x"], iters=2).collect()[0]
+    assert r.n == 3  # the three NULL-bearing rows casewise-deleted
