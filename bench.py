@@ -173,6 +173,15 @@ HEADLINE = [
     # p=2 row subsumes the p=1 machinery but both closed forms differ,
     # so bench the heavier one)
     "survival_cox_two_covariates",
+    # r10 batch 2: the pair-mass trend test (day-grid self-join), the
+    # three-pair contingency sweep, the value-grid POT walk, and the
+    # WOE bin grid. levene/jackknife/rmst/simpson/balanced are NOT
+    # benched (keep-best rule): each rides a grid machinery already
+    # benched (anova moments, KM walk, lexical grid, rank window).
+    "stats_mann_kendall_daily",
+    "stats_cramers_v_matrix",
+    "events_peak_over_threshold",
+    "feature_woe_iv_orders",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

@@ -83,6 +83,21 @@ GATE_WINDOW: list[str] = [
     # Cox proportional hazards completing the survival family (#6)
     "survival_cox_ph",
     "survival_cox_two_covariates",
+    # r10 batch 2: trend/variance/association/uncertainty statistics,
+    # survival completions, corpus diversity, balanced sampling, WOE
+    "stats_mann_kendall_daily",
+    "events_peak_over_threshold",
+    "ab_levene_variance",
+    "stats_cramers_v_matrix",
+    "stats_jackknife_ratio_ci",
+    "survival_rmst_tenure",
+    "survival_cox_schoenfeld",
+    "corpus_simpson_diversity",
+    "sample_balanced_downsample",
+    "feature_woe_iv_orders",
+    # re-gate: chi_square_independence's zero-cell fix touched this
+    # certified row's operator + oracle
+    "stats_chi2_priority_status",
 ]
 
 

@@ -334,3 +334,73 @@ def graph_clustering_coeff_suppliers(spark, sf_dir):
              .select(F.col("i").alias("src"), F.col("i2").alias("dst")))
     return clustering_coefficients(edges, "src", "dst",
                                    broadcast_edges=True)
+
+
+@register(
+    "feature_woe_iv_orders",
+    # equal-width bins over [min, max]; WOE/IV with the zero-cell
+    # convention (NULL woe, 0 IV contribution); round(9)-DECIMAL IV
+    # terms.
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS y,
+             CAST(o_totalprice AS DOUBLE) AS x
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+    bounds AS (SELECT MIN(x) AS lo, MAX(x) AS hi,
+                      CAST(COUNT(*) AS BIGINT) AS nn FROM base),
+    binned AS (
+      SELECT y,
+        CASE WHEN b.hi = b.lo THEN 0
+             ELSE least(CAST(floor((x - b.lo) / ((b.hi - b.lo) / 10.0))
+                             AS BIGINT), 9) END AS bin,
+        b.lo, b.hi
+      FROM base CROSS JOIN bounds b),
+    g AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(y) AS BIGINT) AS n_good,
+             CAST(SUM(1 - y) AS BIGINT) AS n_bad,
+             MAX(lo) AS lo, MAX(hi) AS hi
+      FROM binned GROUP BY 1),
+    w AS (
+      SELECT *, CAST(SUM(n_good) OVER () AS BIGINT) AS G,
+             CAST(SUM(n_bad) OVER () AS BIGINT) AS B
+      FROM g),
+    t AS (
+      SELECT *,
+        CASE WHEN n_good > 0 AND n_bad > 0 AND G > 0 AND B > 0 THEN
+          ln((CAST(n_good AS DOUBLE) / CAST(G AS DOUBLE))
+             / (CAST(n_bad AS DOUBLE) / CAST(B AS DOUBLE))) END AS woe,
+        CASE WHEN n_good > 0 AND n_bad > 0 AND G > 0 AND B > 0 THEN
+          CAST(round((CAST(n_good AS DOUBLE) / CAST(G AS DOUBLE)
+                      - CAST(n_bad AS DOUBLE) / CAST(B AS DOUBLE))
+            * ln((CAST(n_good AS DOUBLE) / CAST(G AS DOUBLE))
+                 / (CAST(n_bad AS DOUBLE) / CAST(B AS DOUBLE))), 9)
+            AS DECIMAL(38,9))
+        ELSE CAST(0 AS DECIMAL(38,9)) END AS ivt
+      FROM w)
+    SELECT bin,
+      round(lo + (hi - lo) / 10.0 * CAST(bin AS DOUBLE), 6) AS bin_lo,
+      round(CASE WHEN bin = 9 THEN hi
+                 ELSE lo + (hi - lo) / 10.0 * CAST(bin + 1 AS DOUBLE)
+            END, 6) AS bin_hi,
+      n_rows, n_good, n_bad,
+      round(woe, 6) AS woe,
+      round(CAST(CAST(ivt AS VARCHAR) AS DOUBLE), 6) AS iv_term,
+      round(CAST(CAST(SUM(ivt) OVER () AS VARCHAR) AS DOUBLE), 6)
+        AS iv
+    FROM t
+    """,
+)
+def feature_woe_iv_orders(spark, sf_dir):
+    """WOE/IV screen of order value against the urgent-priority label
+    (r10) — the scorecard-style feature-relevance audit: 10 equal-
+    width bins, per-bin weight of evidence, table-wide information
+    value. One bounds aggregate + one bin-grid aggregate."""
+    from dbt_fusion_spark.plans.encode import woe_iv_bins
+
+    orders = load_table(spark, sf_dir, "orders")
+    return woe_iv_bins(
+        orders, (F.col("o_orderpriority") == "1-URGENT").cast("int"),
+        "o_totalprice", bins=10)

@@ -5321,3 +5321,52 @@ def text_lang_id_model(spark, sf_dir):
                 "frac_of_label",
                 F.col("n_docs")
                 / F.sum("n_docs").over(wl).cast("double")))
+
+
+@register(
+    "corpus_simpson_diversity",
+    # (domain, token) grid -> round(9)-DECIMAL p-term sums.
+    oracle="""
+    WITH toks AS (
+      SELECT source AS domain,
+             unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               t -> t <> '')) AS token
+      FROM documents),
+    vocab AS (
+      SELECT domain, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2),
+    g AS (
+      SELECT *, SUM(c) OVER (PARTITION BY domain) AS n
+      FROM vocab),
+    agg AS (
+      SELECT domain, CAST(MAX(n) AS BIGINT) AS n_tokens,
+        CAST(COUNT(*) AS BIGINT) AS n_types,
+        SUM(CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+          AS DECIMAL(38,9))) AS p2,
+        SUM(CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+          * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+          AS DECIMAL(38,9))) AS h,
+        CAST(MAX(c) AS BIGINT) AS cmax
+      FROM g GROUP BY domain)
+    SELECT domain, n_tokens, n_types,
+      round(1.0 - CAST(CAST(p2 AS VARCHAR) AS DOUBLE), 6)
+        AS gini_simpson,
+      round(CAST(CAST(h AS VARCHAR) AS DOUBLE), 6) AS shannon_nats,
+      round(exp(CAST(CAST(h AS VARCHAR) AS DOUBLE)), 6)
+        AS effective_vocab,
+      round(CAST(cmax AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        AS berger_parker
+    FROM agg
+    """,
+)
+def corpus_simpson_diversity(spark, sf_dir):
+    """Per-source token-distribution diversity (r10): Gini-Simpson,
+    Shannon entropy, effective vocabulary, Berger-Parker dominance —
+    the probability-weighted complement to corpus_lexical_diversity
+    that flags template/spam domains no length filter catches."""
+    from dbt_fusion_spark.llm.corpus import simpson_diversity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simpson_diversity(docs, "source", "text")

@@ -428,3 +428,34 @@ def sample_neyman_rows(spark, sf_dir):
     return sample_neyman(orders, "o_orderpriority", "o_totalprice",
                          "o_orderkey", total_n=1000) \
         .withColumnRenamed("o_orderpriority", "stratum")
+
+
+@register(
+    "sample_balanced_downsample",
+    # per-lang md5-hash rank <= min class count — exact balanced keep,
+    # a pure function of (seed, doc_id).
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1),
+    floor_n AS (SELECT MIN(n) AS mn FROM counts),
+    ranked AS (
+      SELECT doc_id, lang,
+        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+          CAST('0x' || substring(md5('42|'
+            || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) ASC,
+          doc_id ASC) AS rk
+      FROM documents)
+    SELECT doc_id, lang FROM ranked, floor_n WHERE rk <= mn
+    """,
+)
+def sample_balanced_downsample(spark, sf_dir):
+    """Exact balanced class downsample of documents by lang (r10):
+    every language keeps min-class-count rows, selected by portable
+    md5-hash rank — deterministic, placement-independent, engine-
+    reproducible."""
+    from dbt_fusion_spark.sample.strategies import balanced_downsample
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang")
+    return balanced_downsample(docs, "lang", "doc_id", seed=42)

@@ -288,12 +288,17 @@ def ab_cuped_order_value(spark, sf_dir):
           * (CAST(observed AS DOUBLE)
              - CAST(row_n * col_n AS DOUBLE) / n)
           / (CAST(row_n * col_n AS DOUBLE) / n), 9)
-        AS DECIMAL(38,9)) AS term
+        AS DECIMAL(38,9)) AS term,
+        CAST(round(CAST(row_n * col_n AS DOUBLE) / n, 9)
+        AS DECIMAL(38,9)) AS e9
       FROM g)
     SELECT a, b, observed,
            round(CAST(row_n * col_n AS DOUBLE) / n, 6) AS expected,
            CAST(CAST(term AS VARCHAR) AS DOUBLE) AS contribution,
-           round(CAST(CAST(SUM(term) OVER () AS VARCHAR) AS DOUBLE), 6)
+           round(CAST(CAST(SUM(term) OVER () AS VARCHAR) AS DOUBLE)
+                 + greatest(CAST(n AS DOUBLE)
+                            - CAST(CAST(SUM(e9) OVER () AS VARCHAR)
+                                   AS DOUBLE), 0.0), 6)
              AS chi2_total,
            CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
     FROM t
@@ -2301,3 +2306,491 @@ def survival_cox_two_covariates(spark, sf_dir):
     subj = _cox_subjects(spark, sf_dir, with_nev=True)
     return cox_ph(subj, "t", "e", ["clicked", "n_events_user"],
                   iters=_COX_ITERS)
+
+
+# ----------------------------------------------- r10 batch 2: stats
+@register(
+    "stats_mann_kendall_daily",
+    # integer S / tie sums on the per-type day grid — bit-exact; only
+    # the final z division is floating point.
+    oracle="""
+    WITH series AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    pts AS (
+      SELECT event_type AS g,
+             CAST(date_diff('day', DATE '1995-01-01',
+                            CAST(day AS DATE)) AS DOUBLE) AS x,
+             AVG(CAST(n AS DOUBLE)) AS v
+      FROM series GROUP BY 1, 2),
+    s AS (
+      SELECT a.g,
+             CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                           WHEN b.v < a.v THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM pts a JOIN pts b ON a.g = b.g AND a.x < b.x
+      GROUP BY a.g),
+    ties AS (
+      SELECT g, SUM(t * (t - 1) * (2 * t + 5)) AS tie_sum,
+             CAST(SUM(t) AS BIGINT) AS n_points
+      FROM (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t
+            FROM pts GROUP BY 1, 2)
+      GROUP BY g),
+    j AS (
+      SELECT t.g, t.n_points,
+             CAST(COALESCE(s.s_stat, 0) AS BIGINT) AS s_stat,
+             CAST(t.n_points * (t.n_points - 1)
+                  * (2 * t.n_points + 5) - t.tie_sum AS DOUBLE)
+               / 18.0 AS var_s
+      FROM ties t LEFT JOIN s ON s.g = t.g)
+    SELECT g AS event_type, n_points, s_stat,
+           round(var_s, 6) AS var_s,
+           round(CASE WHEN var_s > 0 THEN
+             CASE WHEN s_stat > 0
+                    THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(var_s)
+                  WHEN s_stat < 0
+                    THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(var_s)
+                  ELSE 0.0 END END, 6) AS z,
+           COALESCE(CASE WHEN var_s > 0 THEN
+             abs(CASE WHEN s_stat > 0
+                        THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(var_s)
+                      WHEN s_stat < 0
+                        THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(var_s)
+                      ELSE 0.0 END) > 1.959964 END,
+             FALSE) AS significant_95
+    FROM j
+    """,
+)
+def stats_mann_kendall_daily(spark, sf_dir):
+    """Mann-Kendall monotone-trend test on per-type daily volume
+    (r10) — the existence test that pairs with the Theil-Sen slope
+    estimate. Integer S/tie arithmetic on the bounded day grid."""
+    from dbt_fusion_spark.plans.timeseries import mann_kendall_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    series = (ev.groupBy("event_type",
+                         F.date_trunc("day", F.col("ts")).alias("day"))
+                .agg(F.count(F.lit(1)).alias("n")))
+    x = F.datediff(F.to_date("day"), F.lit("1995-01-01").cast("date"))
+    return mann_kendall_trend(series.withColumn("__x", x),
+                              "event_type", "__x", "n")
+
+
+@register(
+    "events_peak_over_threshold",
+    # lower 0.95-quantile from the per-type value-grid walk; excess
+    # terms round(9)->DECIMAL.
+    oracle="""
+    WITH grid AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    cum AS (
+      SELECT *, SUM(c) OVER (PARTITION BY g) AS tot,
+             SUM(c) OVER (PARTITION BY g ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM grid),
+    thr AS (
+      SELECT g, MIN(v) AS threshold,
+             CAST(MAX(tot) AS BIGINT) AS n_rows
+      FROM cum WHERE cum >= CEIL(0.95 * tot) GROUP BY g),
+    exc AS (
+      SELECT grid.g, CAST(SUM(c) AS BIGINT) AS n_exceed,
+             SUM(CAST(round((v - threshold) * CAST(c AS DOUBLE), 9)
+                      AS DECIMAL(38,9))) AS ex,
+             MAX(v) AS max_value
+      FROM grid JOIN thr ON grid.g = thr.g
+      WHERE grid.v > thr.threshold GROUP BY grid.g)
+    SELECT t.g AS event_type, t.n_rows, t.threshold,
+           CAST(COALESCE(e.n_exceed, 0) AS BIGINT) AS n_exceed,
+           round(CASE WHEN e.n_exceed > 0 THEN
+             CAST(CAST(e.ex AS VARCHAR) AS DOUBLE)
+             / CAST(e.n_exceed AS DOUBLE) END, 6) AS mean_excess,
+           e.max_value
+    FROM thr t LEFT JOIN exc e ON t.g = e.g
+    """,
+)
+def events_peak_over_threshold(spark, sf_dir):
+    """Peak-over-threshold tail profile of event value per type
+    (r10) — the extreme-value readout (exceedance count, mean excess,
+    max) over the exact per-type 95th-percentile threshold."""
+    from dbt_fusion_spark.plans.timeseries import peak_over_threshold
+
+    ev = load_table(spark, sf_dir, "events")
+    return peak_over_threshold(ev.filter(F.col("value").isNotNull()),
+                               "event_type", "value", q=0.95)
+
+
+@register(
+    "ab_levene_variance",
+    # Brown-Forsythe: per-priority LOWER-median walk, |x - med|, then
+    # the anova machinery (scale-aware SS quantization) on z.
+    oracle="""
+    WITH vgrid AS (
+      SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2),
+    vcum AS (
+      SELECT *, SUM(c) OVER (PARTITION BY g) AS tot,
+             SUM(c) OVER (PARTITION BY g ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM vgrid),
+    ctr AS (SELECT g, MIN(v) AS ctr FROM vcum
+            WHERE cum * 2 >= tot GROUP BY g),
+    z AS (
+      SELECT o.o_orderpriority AS grp,
+             ABS(CAST(o.o_totalprice AS DOUBLE) - c.ctr) AS zv
+      FROM orders o JOIN ctr c ON o.o_orderpriority = c.g),
+    g AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng,
+             SUM(CAST(zv AS DECIMAL(18,6))) AS s,
+             SUM(CAST(zv AS DECIMAL(19,6))
+                 * CAST(zv AS DECIMAL(19,6))) AS q
+      FROM z GROUP BY 1),
+    w AS (
+      SELECT *, CAST(SUM(ng) OVER () AS BIGINT) AS N,
+             SUM(s) OVER () AS SS,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k
+      FROM g),
+    raw AS (
+      SELECT *,
+        CAST(ng AS DOUBLE)
+          * (CAST(CAST(s AS VARCHAR) AS DOUBLE) / ng
+             - CAST(CAST(SS AS VARCHAR) AS DOUBLE) / N)
+          * (CAST(CAST(s AS VARCHAR) AS DOUBLE) / ng
+             - CAST(CAST(SS AS VARCHAR) AS DOUBLE) / N) AS ssb_raw,
+        CAST(CAST(q AS VARCHAR) AS DOUBLE)
+          - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+            * CAST(CAST(s AS VARCHAR) AS DOUBLE) / ng AS ssw_raw
+      FROM w),
+    t AS (
+      SELECT *,
+        CASE WHEN ABS(ssb_raw) < 1e6
+             THEN CAST(round(ssb_raw, 9) AS DECIMAL(38,9))
+             ELSE CAST(round(ssb_raw, 0) AS DECIMAL(38,9)) END AS ssb_t,
+        CASE WHEN ABS(ssw_raw) < 1e6
+             THEN CAST(round(ssw_raw, 9) AS DECIMAL(38,9))
+             ELSE CAST(round(ssw_raw, 0) AS DECIMAL(38,9)) END AS ssw_t
+      FROM raw),
+    agg AS (
+      SELECT MAX(k) AS k, MAX(N) AS n,
+             SUM(ssb_t) AS ssb, SUM(ssw_t) AS ssw
+      FROM t)
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+      CAST(CAST(ssb AS VARCHAR) AS DOUBLE) AS ss_between,
+      CAST(CAST(ssw AS VARCHAR) AS DOUBLE) AS ss_within,
+      CASE WHEN k > 1 AND n > k
+                AND CAST(CAST(ssw AS VARCHAR) AS DOUBLE) > 0 THEN
+        round((CAST(CAST(ssb AS VARCHAR) AS DOUBLE) / (k - 1))
+              / (CAST(CAST(ssw AS VARCHAR) AS DOUBLE) / (n - k)), 6)
+      END AS f_stat,
+      CAST(k - 1 AS BIGINT) AS df_between,
+      CAST(n - k AS BIGINT) AS df_within
+    FROM agg
+    """,
+)
+def ab_levene_variance(spark, sf_dir):
+    """Brown-Forsythe (median-centered Levene) equality-of-variances
+    test of order value across priorities (r10) — the guard on
+    anova_oneway's homoscedasticity assumption."""
+    orders = load_table(spark, sf_dir, "orders")
+    return S.levene_variance(orders, "o_orderpriority", "o_totalprice")
+
+
+def _duck_cramers_pair(i: int, ca: str, cb: str) -> str:
+    """One pair's chi2/V summary CTEs (c{i}..s{i}) on lineitem."""
+    return f"""
+    c{i} AS (
+      SELECT {ca} AS a, {cb} AS b, CAST(COUNT(*) AS BIGINT) AS o
+      FROM part GROUP BY 1, 2),
+    m{i} AS (
+      SELECT *,
+        CASE WHEN ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) = 1
+             THEN 1 ELSE 0 END AS fa,
+        CASE WHEN ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) = 1
+             THEN 1 ELSE 0 END AS fb
+      FROM c{i}),
+    g{i} AS (
+      SELECT *,
+        SUM(o) OVER (PARTITION BY a) AS rn,
+        SUM(o) OVER (PARTITION BY b) AS cn,
+        CAST(SUM(o) OVER () AS BIGINT) AS n,
+        CAST(SUM(fa) OVER () AS BIGINT) AS nr,
+        CAST(SUM(fb) OVER () AS BIGINT) AS nc
+      FROM m{i}),
+    s{i} AS (
+      SELECT MAX(n) AS n,
+        CAST(CAST(SUM(CAST(round(
+          CAST(o AS DOUBLE) * o / (CAST(rn * cn AS DOUBLE) / n), 9)
+          AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS chi_raw,
+        MAX(nr) AS nr, MAX(nc) AS nc
+      FROM g{i})"""
+
+
+def _duck_cramers_emit(i: int, ca: str, cb: str) -> str:
+    chi2 = "greatest(chi_raw - CAST(n AS DOUBLE), 0.0)"
+    mind = "(least(nr, nc) - 1)"
+    return f"""
+    SELECT '{ca}' AS col_a, '{cb}' AS col_b, CAST(n AS BIGINT) AS n,
+           round({chi2}, 6) AS chi2,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           round(CASE WHEN {mind} > 0 THEN
+             sqrt({chi2} / (CAST(n AS DOUBLE)
+                            * CAST({mind} AS DOUBLE))) END, 6)
+             AS cramers_v
+    FROM s{i}"""
+
+
+_CRAMERS_COLS = ["p_brand", "p_type", "p_size"]
+_CRAMERS_PAIRS = [(i, j) for i in range(3) for j in range(i + 1, 3)]
+
+@register(
+    "stats_cramers_v_matrix",
+    oracle="WITH " + ",".join(
+        _duck_cramers_pair(k, _CRAMERS_COLS[i], _CRAMERS_COLS[j])
+        for k, (i, j) in enumerate(_CRAMERS_PAIRS))
+    + " UNION ALL ".join(
+        _duck_cramers_emit(k, _CRAMERS_COLS[i], _CRAMERS_COLS[j])
+        for k, (i, j) in enumerate(_CRAMERS_PAIRS)),
+)
+def stats_cramers_v_matrix(spark, sf_dir):
+    """Pairwise Cramér's V over part's brand/type/size columns
+    (r10) — the normalized association screen; chi2 rides the
+    sum(o^2/e) - n identity so sparse tables count their zero cells
+    (brand x type is a SPARSE 25 x 150 table)."""
+    pt = load_table(spark, sf_dir, "part")
+    return S.cramers_v_matrix(pt, _CRAMERS_COLS)
+
+
+@register(
+    "stats_jackknife_ratio_ci",
+    # delete-one-SHIPMODE jackknife for price-per-unit; DECIMAL group
+    # sums, round(9) pseudo-value terms.
+    oracle="""
+    WITH g AS (
+      SELECT p_brand AS g,
+             SUM(CAST(CAST(p_retailprice AS DOUBLE)
+                      AS DECIMAL(18,6))) AS ni,
+             SUM(CAST(CAST(p_size AS DOUBLE)
+                      AS DECIMAL(18,6))) AS di
+      FROM part GROUP BY 1),
+    w AS (
+      SELECT *, SUM(ni) OVER () AS N, SUM(di) OVER () AS D,
+             CAST(COUNT(*) OVER () AS BIGINT) AS gcnt
+      FROM g),
+    t AS (
+      SELECT *,
+        CAST(CAST(N AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(D AS VARCHAR) AS DOUBLE) AS r,
+        CASE WHEN CAST(CAST(D AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(di AS VARCHAR) AS DOUBLE) <> 0 THEN
+          CAST(gcnt AS DOUBLE)
+            * (CAST(CAST(N AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(D AS VARCHAR) AS DOUBLE))
+          - (CAST(gcnt AS DOUBLE) - 1)
+            * ((CAST(CAST(N AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(ni AS VARCHAR) AS DOUBLE))
+               / (CAST(CAST(D AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(di AS VARCHAR) AS DOUBLE)))
+        END AS theta
+      FROM w),
+    agg AS (
+      SELECT CAST(MAX(gcnt) AS BIGINT) AS n_groups,
+        CAST(CAST(MAX(CAST(round(r, 9) AS DECIMAL(38,9)))
+                  AS VARCHAR) AS DOUBLE) AS r,
+        CAST(CAST(SUM(CAST(round(theta, 9) AS DECIMAL(38,9)))
+                  AS VARCHAR) AS DOUBLE) AS st,
+        CAST(CAST(SUM(CAST(round(theta * theta, 9)
+                           AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE)
+          AS stt,
+        SUM(CASE WHEN theta IS NULL THEN 1 ELSE 0 END) AS bad
+      FROM t)
+    SELECT n_groups, round(r, 6) AS ratio,
+      round(CASE WHEN bad = 0 THEN st / n_groups END, 6)
+        AS jk_estimate,
+      round(CASE WHEN bad = 0 AND n_groups > 1 THEN
+        sqrt(((stt - st * st / n_groups) / (n_groups - 1))
+             / n_groups) END, 6) AS se,
+      round(st / n_groups - 1.959964
+        * CASE WHEN bad = 0 AND n_groups > 1 THEN
+            sqrt(((stt - st * st / n_groups) / (n_groups - 1))
+                 / n_groups) END, 6) AS ci_lo,
+      round(st / n_groups + 1.959964
+        * CASE WHEN bad = 0 AND n_groups > 1 THEN
+            sqrt(((stt - st * st / n_groups) / (n_groups - 1))
+                 / n_groups) END, 6) AS ci_hi
+    FROM agg
+    """,
+)
+def stats_jackknife_ratio_ci(spark, sf_dir):
+    """Delete-one-BRAND jackknife CI for the retail-price-per-size
+    ratio (r10) — honest uncertainty for a ratio KPI where rows within
+    a group correlate (25 brand groups). One DECIMAL group aggregate +
+    grid windows."""
+    pt = load_table(spark, sf_dir, "part")
+    return S.jackknife_ratio_ci(pt, "p_brand", "p_retailprice",
+                                "p_size")
+
+
+@register(
+    "survival_rmst_tenure",
+    # KM walk + lead-window step areas; segment terms round(9)-DECIMAL.
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id),
+    cut AS (SELECT max(ts) AS maxts FROM events),
+    subj AS (
+      SELECT CASE WHEN first_purchase IS NOT NULL
+                  THEN CAST(date_diff('day', CAST(first_ts AS DATE),
+                            CAST(first_purchase AS DATE)) AS INTEGER)
+                  ELSE CAST(date_diff('day', CAST(first_ts AS DATE),
+                            CAST(maxts AS DATE)) AS INTEGER)
+             END AS t,
+             CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END
+               AS ev
+      FROM firsts, cut),
+    grid AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(1 - ev) AS BIGINT) AS c
+      FROM subj GROUP BY 1),
+    g AS (
+      SELECT *,
+        CAST(SUM(d + c) OVER () AS BIGINT) AS total,
+        CAST(SUM(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) AS seen
+      FROM grid),
+    r AS (SELECT *, total - seen + d + c AS n_risk FROM g),
+    w AS (
+      SELECT *,
+        CASE WHEN d >= n_risk THEN NULL
+             WHEN d > 0 THEN CAST(round(
+               ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
+               AS DECIMAL(38,9))
+             ELSE CAST(0 AS DECIMAL(38,9)) END AS term,
+        CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS deadall
+      FROM r),
+    k AS (
+      SELECT *,
+        MAX(deadall) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS anydead,
+        SUM(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS cum
+      FROM w),
+    seg AS (
+      SELECT *,
+        CASE WHEN anydead = 1 THEN 0.0
+             ELSE exp(CAST(CAST(cum AS VARCHAR) AS DOUBLE))
+        END AS surv,
+        lead(CAST(t AS DOUBLE)) OVER (ORDER BY t) AS nxt,
+        MIN(CAST(t AS DOUBLE)) OVER () AS first_t
+      FROM k),
+    terms AS (
+      SELECT *,
+        CAST(round(surv * greatest(
+          least(COALESCE(nxt, 30.0), 30.0)
+          - least(CAST(t AS DOUBLE), 30.0), 0.0), 9)
+          AS DECIMAL(38,9)) AS segt,
+        CAST(round(least(first_t, 30.0), 9) AS DECIMAL(38,9)) AS head,
+        CASE WHEN CAST(t AS DOUBLE) <= 30.0
+             THEN round(surv, 6) END AS ktau
+      FROM seg)
+    SELECT CAST(SUM(d + c) AS BIGINT) AS n,
+           CAST(SUM(d) AS BIGINT) AS n_events,
+           30.0 AS tau,
+           round(CAST(CAST(SUM(segt) AS VARCHAR) AS DOUBLE)
+                 + CAST(CAST(MAX(head) AS VARCHAR) AS DOUBLE), 6)
+             AS rmst,
+           COALESCE(MIN(ktau), 1.0) AS km_at_tau
+    FROM terms
+    """,
+)
+def survival_rmst_tenure(spark, sf_dir):
+    """Restricted mean survival time of the time-to-first-purchase
+    curve at a 30-day horizon (r10) — 'expected days without a
+    purchase in the first month', the model-free effect measure that
+    pairs with cox_ph when proportional hazards is in doubt."""
+    from dbt_fusion_spark.plans.survival import rmst
+
+    subj = _cox_subjects(spark, sf_dir, with_nev=False) \
+        .select("t", "e")
+    return rmst(subj, "t", "e", tau=30.0)
+
+
+@register(
+    "survival_cox_schoenfeld",
+    # full 6-iteration Newton chain at p=1 -> fitted beta (round 6) ->
+    # Schoenfeld residual trend at that beta; floor-grid terms.
+    oracle="""
+    WITH """ + _DUCK_COX_SUBJ + _duck_cox_ctes(1, _COX_ITERS) + """,
+    bf AS (SELECT round(b1, 6) AS beta FROM b""" + str(_COX_ITERS)
+    + """),
+    sw AS (
+      SELECT s.t, s.e, s.x1,
+             floor(exp(floor(s.x1 * b.beta * 1e9 + 0.5) / 1e9)
+                   * 1e6 + 0.5) / 1e6 AS w
+      FROM subj s CROSS JOIN bf b),
+    sa AS (
+      SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+        SUM(CASE WHEN e = 1
+                 THEN CAST(floor(x1 * 1e9 + 0.5) / 1e9
+                           AS DECIMAL(38,9))
+                 ELSE CAST(0 AS DECIMAL(38,9)) END) AS sxd,
+        SUM(CAST(floor(w * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9))) AS a0,
+        SUM(CAST(floor(w * x1 * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9)))
+          AS a1
+      FROM sw GROUP BY t),
+    ss AS (
+      SELECT t, d, CAST(CAST(sxd AS VARCHAR) AS DOUBLE) AS sx,
+        CAST(CAST(SUM(a0) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS s0,
+        CAST(CAST(SUM(a1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS s1
+      FROM sa),
+    evs AS (SELECT * FROM ss WHERE d > 0),
+    mo AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        CAST(CAST(SUM(CAST(floor((sx - CAST(d AS DOUBLE) * s1 / s0)
+          * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE)
+          AS sr,
+        CAST(CAST(SUM(CAST(floor(CAST(t AS DOUBLE) * 1e9 + 0.5) / 1e9
+          AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS st,
+        CAST(CAST(SUM(CAST(floor((sx - CAST(d AS DOUBLE) * s1 / s0)
+          * CAST(t AS DOUBLE) * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9)))
+          AS VARCHAR) AS DOUBLE) AS srt,
+        CAST(CAST(SUM(CAST(floor((sx - CAST(d AS DOUBLE) * s1 / s0)
+          * (sx - CAST(d AS DOUBLE) * s1 / s0) * 1e9 + 0.5) / 1e9
+          AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS srr,
+        CAST(CAST(SUM(CAST(floor(CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+          * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE)
+          AS stt
+      FROM evs)
+    SELECT k AS n_event_times,
+      round(CASE WHEN (srr - sr * sr / k) > 0
+                  AND (stt - st * st / k) > 0 THEN
+        (srt - sr * st / k)
+        / sqrt((srr - sr * sr / k) * (stt - st * st / k)) END, 6)
+        AS corr,
+      round(CASE WHEN (stt - st * st / k) > 0 THEN
+        (srt - sr * st / k) / (stt - st * st / k) END, 6) AS slope,
+      round(sr / k, 6) AS mean_residual
+    FROM mo
+    """,
+)
+def survival_cox_schoenfeld(spark, sf_dir):
+    """Proportional-hazards diagnostic for the fitted clicked-covariate
+    Cox model (r10): Schoenfeld residuals at the fitted beta and their
+    trend in time — the cox.zph intuition; near-zero correlation means
+    the hazard ratio is stable over the observation window."""
+    from dbt_fusion_spark.plans.survival import (cox_ph,
+                                                 cox_schoenfeld_trend)
+
+    subj = _cox_subjects(spark, sf_dir, with_nev=False)
+    beta = cox_ph(subj, "t", "e", ["clicked"],
+                  iters=_COX_ITERS).collect()[0].beta
+    return cox_schoenfeld_trend(subj, "t", "e", "clicked", beta)

@@ -777,3 +777,48 @@ def domain_js_matrix(df: DataFrame, domain_col: str, id_col: str,
         F.coalesce("shared_vocab", F.lit(0)).cast("bigint")
          .alias("shared_vocab"),
         F.round(jsd, 6).alias("jsd"))
+
+
+def simpson_diversity(df: DataFrame, domain_col: str,
+                      text_col: str) -> DataFrame:
+    """Per-domain token-distribution DIVERSITY profile — the
+    probability-weighted complement to lexical_diversity (which counts
+    types; this weighs them): Gini-Simpson 1 - sum p², Shannon entropy
+    H = -sum p ln p (nats), the effective vocabulary e^H ("how many
+    equally-common tokens would look like this"), and Berger-Parker
+    max p (single-token dominance).  Low diversity at high volume is
+    the template/spam-domain signature no length filter catches.
+
+    Scale: the lexical_diversity (domain, token) grid aggregate, then
+    one domain-keyed rollup with round(9)->DECIMAL p-term sums
+    (order-free); ratios are exact-operand double divisions at
+    round(6).
+    """
+    from dbt_fusion_spark.plans.stats import D389, _d2d, _qterm
+
+    toks = (df.select(F.col(domain_col).alias("domain"),
+                      F.explode(
+                          F.filter(
+                              F.split(F.trim(F.lower(F.col(text_col))),
+                                      r"\s+"),
+                              lambda t: t != "")).alias("token")))
+    vocab = (toks.groupBy("domain", "token")
+                 .agg(F.count(F.lit(1)).alias("c")))
+    wdom = Window.partitionBy("domain")
+    g = vocab.withColumn("n", F.sum("c").over(wdom))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    agg = (g.groupBy("domain")
+           .agg(F.max("n").cast("bigint").alias("n_tokens"),
+                F.count(F.lit(1)).cast("bigint").alias("n_types"),
+                F.sum(_qterm(p * p)).alias("__p2"),
+                F.sum(_qterm(-p * F.log(p))).alias("__h"),
+                F.max("c").cast("bigint").alias("__cmax")))
+    h = _d2d("__h")
+    return agg.select(
+        "domain", "n_tokens", "n_types",
+        F.round(F.lit(1.0) - _d2d("__p2"), 6).alias("gini_simpson"),
+        F.round(h, 6).alias("shannon_nats"),
+        F.round(F.exp(h), 6).alias("effective_vocab"),
+        F.round(F.col("__cmax").cast("double")
+                / F.col("n_tokens").cast("double"), 6)
+         .alias("berger_parker"))

@@ -293,12 +293,21 @@ def chi_square_independence(df: DataFrame, col_a: str,
          .withColumn("nc", F.sum("first_b").over(_grid())))
     e = (F.col("row_n") * F.col("col_n")).cast("double") / F.col("n")
     o = F.col("observed").cast("double")
-    g = g.withColumn("term", _qterm((o - e) * (o - e) / e))
+    g = g.withColumn("term", _qterm((o - e) * (o - e) / e)) \
+         .withColumn("__e", _qterm(e))
+    # chi2_total carries the UNOBSERVED cells' mass too: a zero cell's
+    # (0 - e)^2 / e term is exactly e, and the missing-cell expected
+    # mass is n - sum(e over observed cells) — without it a sparse
+    # table's chi2 silently undercounts (r10; caught by the Cramér's V
+    # perfect-association check, where half the 2x2 is unobserved).
+    missing = F.greatest(
+        F.col("n").cast("double") - _d2d(F.sum("__e").over(_grid())),
+        F.lit(0.0))
     return g.select(
         "a", "b", "observed",
         F.round(e, 6).alias("expected"),
         _d2d("term").alias("contribution"),
-        F.round(_d2d(F.sum("term").over(_grid())), 6)
+        F.round(_d2d(F.sum("term").over(_grid())) + missing, 6)
          .alias("chi2_total"),
         ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"))
 
@@ -1391,3 +1400,185 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.round(ha, 6).alias("h_a"),
         F.round(hb, 6).alias("h_b"),
         F.round(nmi, 6).alias("nmi"))
+
+
+# ---------------------------------------------------------- Cramer's V
+def cramers_v_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Cramér's V over a list of categorical columns — the
+    normalized [0, 1] association MATRIX that turns per-pair chi²
+    readouts (chi_square_independence) into a screening table: which
+    categorical features are near-duplicates of each other and which
+    actually carry independent signal.
+
+        V = sqrt(chi2 / (n * (min(R, C) - 1)))
+
+    Returns one row per unordered pair (col_a < col_b by list order):
+    col_a, col_b, n, chi2, dof, cramers_v (NULL for a degenerate
+    single-level side).
+
+    Scale: the pair list is code-bounded (|cols| choose 2 unions);
+    each pair costs ONE groupBy onto its contingency grid + grid
+    windows — the chi_square_independence machinery reduced to a
+    1-row summary; no pair touches another pair's shuffle.
+    """
+    if len(cols) < 2:
+        raise ValueError("cramers_v_matrix needs >= 2 columns")
+    outs = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            ca, cb = cols[i], cols[j]
+            cells = (df.groupBy(F.col(ca).alias("a"),
+                                F.col(cb).alias("b"))
+                       .agg(F.count(F.lit(1)).alias("o")))
+            marked = (cells.withColumn(
+                "fa", (F.row_number().over(
+                    Window.partitionBy("a").orderBy("b")) == 1)
+                .cast("bigint"))
+                .withColumn(
+                "fb", (F.row_number().over(
+                    Window.partitionBy("b").orderBy("a")) == 1)
+                .cast("bigint")))
+            g = (marked
+                 .withColumn("rn", F.sum("o")
+                             .over(Window.partitionBy("a")))
+                 .withColumn("cn", F.sum("o")
+                             .over(Window.partitionBy("b")))
+                 .withColumn("n", F.sum("o").over(_grid()))
+                 .withColumn("nr", F.sum("fa").over(_grid()))
+                 .withColumn("nc", F.sum("fb").over(_grid())))
+            e = (F.col("rn") * F.col("cn")).cast("double") / F.col("n")
+            o = F.col("o").cast("double")
+            # chi2 via the identity sum(o^2/e) - n: UNOBSERVED cells
+            # contribute 0 in this form, so the grid over observed
+            # cells alone is exact even for sparse tables (a direct
+            # (o-e)^2/e sum would silently drop the zero-cell terms)
+            s = g.agg(
+                F.max("n").cast("bigint").alias("n"),
+                F.sum(_qterm(o * o / e)).alias("__chi"),
+                F.max("nr").alias("__nr"), F.max("nc").alias("__nc"))
+            chi2 = F.greatest(
+                _d2d("__chi") - F.col("n").cast("double"), F.lit(0.0))
+            mind = F.least("__nr", "__nc") - 1
+            v = F.when(mind > 0,
+                       F.sqrt(chi2 / (F.col("n").cast("double")
+                                      * mind.cast("double"))))
+            outs.append(s.select(
+                F.lit(ca).alias("col_a"), F.lit(cb).alias("col_b"),
+                "n", F.round(chi2, 6).alias("chi2"),
+                ((F.col("__nr") - 1) * (F.col("__nc") - 1))
+                .cast("bigint").alias("dof"),
+                F.round(v, 6).alias("cramers_v")))
+    out = outs[0]
+    for o2 in outs[1:]:
+        out = out.unionByName(o2)
+    return out
+
+
+# ------------------------------------------------- Levene/Brown-Forsythe
+def levene_variance(df: DataFrame, group_col: str, value_col: str,
+                    center: str = "median") -> DataFrame:
+    """Levene's test for EQUALITY OF VARIANCES across k groups — the
+    check that guards anova_oneway's homoscedasticity assumption (and
+    the dial that decides Welch vs pooled t downstream).  With
+    ``center="median"`` this is the Brown-Forsythe variant (robust to
+    heavy tails — the recommended default); ``center="mean"`` is
+    classic Levene.
+
+    Mechanically: z_i = |x_i - center_g|, then the one-way ANOVA F on
+    z (anova_oneway verbatim, scale-aware quantization included — the
+    z's are small-magnitude by construction, exactly the regime the
+    r10 quantization fix exists for).  Group medians are LOWER medians
+    from the per-group distinct-value cumulative walk (the
+    weighted_median convention — value-exact, no interpolation).
+
+    Scale: one (group, value) grid aggregate + bounded walk for the
+    centers, one broadcast join back, then anova's single-scan moment
+    aggregate.
+    """
+    if center not in ("median", "mean"):
+        raise ValueError(f"center must be median|mean, got {center!r}")
+    v = F.col(value_col).cast("double")
+    if center == "median":
+        grid = (df.groupBy(F.col(group_col).alias("__g"),
+                           v.alias("__v"))
+                  .agg(F.count(F.lit(1)).alias("c")))
+        wg = Window.partitionBy("__g")
+        wc = (Window.partitionBy("__g").orderBy("__v")
+              .rowsBetween(Window.unboundedPreceding, 0))
+        cum = (grid.withColumn("tot", F.sum("c").over(wg))
+                   .withColumn("cum", F.sum("c").over(wc)))
+        ctr = (cum.filter(F.col("cum") * 2 >= F.col("tot"))
+                  .groupBy("__g")
+                  .agg(F.min("__v").alias("__ctr")))
+    else:
+        ctr = (df.groupBy(F.col(group_col).alias("__g"))
+                 .agg(F.sum(_dec(v)).alias("__s"),
+                      F.count(F.lit(1)).alias("__c"))
+                 .select("__g", (_d2d("__s")
+                                 / F.col("__c").cast("double"))
+                         .alias("__ctr")))
+    z = (df.join(F.broadcast(ctr),
+                 F.col(group_col).eqNullSafe(F.col("__g")))
+           .select(F.col(group_col),
+                   F.abs(v - F.col("__ctr")).alias("__z")))
+    return anova_oneway(z, group_col, "__z")
+
+
+# ------------------------------------------------- jackknife ratio CI
+def jackknife_ratio_ci(df: DataFrame, group_col: str, num_col: str,
+                       den_col: str) -> DataFrame:
+    """Delete-one-GROUP jackknife confidence interval for a RATIO
+    metric R = sum(num) / sum(den) — the honest uncertainty for
+    revenue-per-order-style KPIs, where per-row bootstrap is wrong
+    (rows within a group correlate) and the delta method hides skew.
+    Groups are the jackknife units (days, nations, cohorts).
+
+        R_(i)    = (N - n_i) / (D - d_i)      (leave group i out)
+        theta_i  = G * R - (G - 1) * R_(i)    (pseudo-values)
+        se       = sd(theta) / sqrt(G)
+        CI       = mean(theta) +/- 1.96 se
+
+    Returns ONE row: n_groups, ratio, jk_estimate (the bias-corrected
+    mean pseudo-value), se, ci_lo, ci_hi.  NULL CI when G < 2 or any
+    leave-one-out denominator is 0.
+
+    Scale: one group-keyed DECIMAL aggregate onto the bounded group
+    grid; totals are grid windows; pseudo-value moments ride
+    round(9)->DECIMAL sums — a single scan.
+    """
+    # "__G", not "G": Spark resolves names case-insensitively, so a
+    # window column named "G" silently REPLACES the group column "g"
+    # (the anova "__S" lesson; bit DuckDB first — 'Brand#9' to DOUBLE)
+    g = (df.groupBy(F.col(group_col).alias("g"))
+           .agg(F.sum(_dec(F.col(num_col).cast("double"))).alias("ni"),
+                F.sum(_dec(F.col(den_col).cast("double"))).alias("di")))
+    w = _grid()
+    g = (g.withColumn("N", F.sum("ni").over(w))
+          .withColumn("D", F.sum("di").over(w))
+          .withColumn("__G", F.count(F.lit(1)).over(w)))
+    nn, dd = _d2d("N"), _d2d("D")
+    gg = F.col("__G").cast("double")
+    r = nn / dd
+    den_i = dd - _d2d("di")
+    r_i = F.when(den_i != 0, (nn - _d2d("ni")) / den_i)
+    theta = gg * r - (gg - 1) * r_i
+    agg = g.agg(
+        F.max("__G").cast("bigint").alias("n_groups"),
+        F.max(_qterm(r)).alias("__r"),
+        F.sum(_qterm(theta)).alias("__st"),
+        F.sum(_qterm(theta * theta)).alias("__stt"),
+        F.sum(F.when(theta.isNull(), 1).otherwise(0)).alias("__bad"))
+    gd = F.col("n_groups").cast("double")
+    st, stt = _d2d("__st"), _d2d("__stt")
+    mean_t = st / gd
+    var_t = F.when(F.col("n_groups") > 1,
+                   (stt - st * st / gd) / (gd - 1))
+    se = F.when(F.col("__bad") == 0, F.sqrt(var_t / gd))
+    return agg.select(
+        "n_groups",
+        F.round(_d2d("__r"), 6).alias("ratio"),
+        F.round(F.when(F.col("__bad") == 0, mean_t), 6)
+         .alias("jk_estimate"),
+        F.round(se, 6).alias("se"),
+        F.round(mean_t - F.lit(1.959964) * se, 6).alias("ci_lo"),
+        F.round(mean_t + F.lit(1.959964) * se, 6).alias("ci_hi"))

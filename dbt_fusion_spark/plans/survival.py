@@ -380,3 +380,148 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def rmst(df: DataFrame, duration_col: str, event_col: str,
+         tau: float) -> DataFrame:
+    """Restricted Mean Survival Time: the area under the Kaplan-Meier
+    curve up to the horizon tau — "expected survival time within the
+    first tau units", the model-free effect measure the survival
+    literature recommends when proportional hazards fails (so it pairs
+    with cox_ph exactly the way a robustness check should).
+
+    RMST = integral_0^tau S(t) dt over the KM step function: segment
+    sums S(t_i) * (min(t_{i+1}, tau) - min(t_i, tau)) plus the leading
+    1.0 * min(t_1, tau) segment.  Returns ONE row: n, n_events, tau,
+    rmst, and km_at_tau (the curve value at the horizon).
+
+    Scale: the kaplan_meier bounded duration-grid walk + one lead()
+    window + one grid reduce; segment terms ride round(9)->DECIMAL
+    sums (order-free).
+    """
+    ev = F.col(event_col).cast("bigint")
+    grid = (df.groupBy(F.col(duration_col).alias("t"))
+              .agg(F.sum(ev).alias("d"),
+                   F.sum(F.lit(1) - ev).alias("c")))
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    word = Window.orderBy("t")
+    g = (grid.withColumn("total", F.sum(F.col("d") + F.col("c"))
+                         .over(_grid()))
+             .withColumn("seen", F.sum(F.col("d") + F.col("c"))
+                         .over(wcum)))
+    g = g.withColumn("n_risk",
+                     F.col("total") - F.col("seen")
+                     + F.col("d") + F.col("c"))
+    dead_all = F.col("d") >= F.col("n_risk")
+    term = F.when(F.col("d") > 0,
+                  _qterm(F.log(F.lit(1.0)
+                               - F.col("d").cast("double")
+                               / F.col("n_risk")))) \
+        .otherwise(F.lit(0).cast(D389))
+    g = (g.withColumn("__t", F.when(dead_all, F.lit(None))
+                      .otherwise(term))
+          .withColumn("__anydead", F.max(dead_all.cast("int"))
+                      .over(wcum))
+          .withColumn("__cum", F.sum("__t").over(wcum)))
+    surv = F.when(F.col("__anydead") == 1, F.lit(0.0)) \
+        .otherwise(F.exp(_d2d("__cum")))
+    tt = F.col("t").cast("double")
+    nxt = F.lead(tt).over(word)
+    # segment [t_i, t_{i+1}) carries S(t_i); the last grid row's
+    # segment extends to tau (S is flat beyond the last observation)
+    seg_end = F.least(F.coalesce(nxt, F.lit(float(tau))),
+                      F.lit(float(tau)))
+    seg = _qterm(surv * F.greatest(seg_end - F.least(tt,
+                                                     F.lit(float(tau))),
+                                   F.lit(0.0)))
+    first_t = F.min(tt).over(_grid())
+    head = _qterm(F.least(first_t, F.lit(float(tau))))
+    km_tau = F.when(tt <= float(tau), F.round(surv, 6))
+    agg = (g.withColumn("__seg", seg).withColumn("__head", head)
+           .withColumn("__ktau", km_tau)
+           .agg(F.sum(F.col("d") + F.col("c")).cast("bigint")
+                .alias("n"),
+                F.sum("d").cast("bigint").alias("n_events"),
+                F.sum("__seg").alias("__area"),
+                F.max("__head").alias("__h"),
+                F.min("__ktau").alias("km_at_tau")))
+    return agg.select(
+        "n", "n_events", F.lit(float(tau)).alias("tau"),
+        F.round(_d2d("__area") + _d2d("__h"), 6).alias("rmst"),
+        F.coalesce("km_at_tau", F.lit(1.0)).alias("km_at_tau"))
+
+
+def cox_schoenfeld_trend(df: DataFrame, duration_col: str,
+                         event_col: str, covariate_col: str,
+                         beta: float) -> DataFrame:
+    """Proportional-hazards diagnostic for a fitted single-covariate
+    Cox model: the Schoenfeld residual at each event time,
+
+        r_t = sx_t - d_t * S1(t) / S0(t)     (at the FITTED beta),
+
+    and its Pearson correlation with time — the Grambsch-Therneau
+    cox.zph intuition (a PH-violating covariate's effect drifts, so
+    its residuals trend in time; near-zero correlation = PH holds).
+    Emits ONE row: n_event_times, corr (residual vs t), slope (OLS of
+    residual on t), and mean_residual (should be ~0 at the MLE).
+
+    Scale: one pass of the cox_ph iteration machinery at a FIXED beta
+    (one broadcast-free projection — beta is a literal — one duration-
+    grid aggregate, one suffix window, one grid reduce of the
+    correlation moments via round(9)->DECIMAL terms).
+    """
+
+    def _f9(c):
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+    def _f6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    def _dec9(c):
+        return _f9(c).cast(D389)
+
+    subj = (df.select(F.col(duration_col).alias("t"),
+                      F.col(event_col).cast("bigint").alias("e"),
+                      F.col(covariate_col).cast("double").alias("x"))
+            .na.drop())
+    zero = F.lit(0).cast(D389)
+    w = _f6(F.exp(_f9(F.col("x") * F.lit(float(beta)))))
+    a = (subj.withColumn("__w", w)
+         .groupBy("t")
+         .agg(F.sum("e").alias("d"),
+              F.sum(F.when(F.col("e") == 1, _dec9(F.col("x")))
+                    .otherwise(zero)).alias("sxd"),
+              F.sum(_dec9(F.col("__w"))).alias("a0"),
+              F.sum(_dec9(F.col("__w") * F.col("x"))).alias("a1")))
+    wsuf = Window.orderBy(F.col("t").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    s = a.select(
+        "t", "d", _d2d("sxd").alias("sx"),
+        F.sum("a0").over(wsuf).cast("string").cast("double")
+        .alias("s0"),
+        F.sum("a1").over(wsuf).cast("string").cast("double")
+        .alias("s1"))
+    ev = s.filter(F.col("d") > 0)
+    r = F.col("sx") - F.col("d").cast("double") * F.col("s1") \
+        / F.col("s0")
+    tt = F.col("t").cast("double")
+    m = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(_dec9(r)).alias("sr"),
+        F.sum(_dec9(tt)).alias("st"),
+        F.sum(_dec9(r * tt)).alias("srt"),
+        F.sum(_dec9(r * r)).alias("srr"),
+        F.sum(_dec9(tt * tt)).alias("stt"))
+    kk = F.col("k").cast("double")
+    sr, st = _d2d("sr"), _d2d("st")
+    srt, srr, stt = _d2d("srt"), _d2d("srr"), _d2d("stt")
+    cov = srt - sr * st / kk
+    vr = srr - sr * sr / kk
+    vt = stt - st * st / kk
+    corr = F.when((vr > 0) & (vt > 0), cov / F.sqrt(vr * vt))
+    slope = F.when(vt > 0, cov / vt)
+    return m.select(
+        F.col("k").alias("n_event_times"),
+        F.round(corr, 6).alias("corr"),
+        F.round(slope, 6).alias("slope"),
+        F.round(sr / kk, 6).alias("mean_residual"))

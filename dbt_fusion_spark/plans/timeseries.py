@@ -254,3 +254,116 @@ def theil_sen_trend(df: DataFrame, group_col: str, x_col,
                      .alias("n_pairs"),
                     F.col("med_slope").alias("slope"),
                     F.col("med_icpt").alias("intercept")))
+
+
+def mann_kendall_trend(df: DataFrame, group_col: str, time_col,
+                       value_col: str) -> DataFrame:
+    """Per-group Mann-Kendall trend test — the distribution-free
+    companion to theil_sen_trend (Theil-Sen estimates the slope;
+    Mann-Kendall decides whether a monotone trend EXISTS):
+
+        S      = sum_{i<j} sign(v_j - v_i)
+        Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18
+                 (t = tie-group sizes on the value grid)
+        z      = (S -/+ 1) / sqrt(Var)   (continuity correction)
+
+    Returns one row per group: n_points, s_stat, var_s, z, and the
+    5%-level trend verdict.  S and the tie sums are pure INTEGER
+    arithmetic — bit-exact in every engine, no quantization needed;
+    only the final z division is floating point.
+
+    Scale: pairs form on the per-(group, time-tick) ROLLUP exactly
+    like theil_sen_trend (mean value per tick first, so pair mass is
+    ticks^2-bounded per group, never rows^2); ties are a value-grid
+    aggregate.  Callers with sub-day time resolution pre-bucket the
+    tick — the documented pair-mass knob.
+    """
+    x = (F.col(time_col) if isinstance(time_col, str) else time_col) \
+        .cast("double")
+    v = F.col(value_col).cast("double")
+    pts = (df.groupBy(F.col(group_col).alias("g"), x.alias("x"))
+             .agg(F.avg(v).alias("v")))
+    a = pts.select("g", F.col("x").alias("xi"), F.col("v").alias("vi"))
+    b = pts.select("g", F.col("x").alias("xj"), F.col("v").alias("vj"))
+    s = (a.join(b, "g")
+         .filter(F.col("xi") < F.col("xj"))
+         .groupBy("g")
+         .agg(F.sum(F.signum(F.col("vj") - F.col("vi"))
+                    .cast("bigint")).alias("s_stat")))
+    # tie groups on the value grid (after the tick rollup)
+    ties = (pts.groupBy("g", "v").agg(F.count(F.lit(1)).alias("t"))
+            .groupBy("g")
+            .agg(F.sum(F.col("t") * (F.col("t") - 1)
+                       * (F.lit(2) * F.col("t") + 5)).alias("tie_sum"),
+                 F.sum("t").cast("bigint").alias("n_points")))
+    j = ties.join(s, "g", "left")
+    n = F.col("n_points")
+    var18 = (n * (n - 1) * (F.lit(2) * n + 5)
+             - F.col("tie_sum")).cast("double") / F.lit(18.0)
+    ss = F.coalesce(F.col("s_stat"), F.lit(0)).cast("double")
+    z = F.when(var18 > 0,
+               F.when(ss > 0, (ss - 1) / F.sqrt(var18))
+               .when(ss < 0, (ss + 1) / F.sqrt(var18))
+               .otherwise(F.lit(0.0)))
+    return j.select(
+        F.col("g").alias(group_col),
+        n.cast("bigint").alias("n_points"),
+        F.coalesce(F.col("s_stat"), F.lit(0)).cast("bigint")
+         .alias("s_stat"),
+        F.round(var18, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > 1.959964, F.lit(False))
+         .alias("significant_95"))
+
+
+def peak_over_threshold(df: DataFrame, group_col: str, value_col: str,
+                        q: float = 0.95) -> DataFrame:
+    """Per-group peak-over-threshold exceedance profile — the extreme-
+    value readout next to volume_anomalies (anomalies flag points; POT
+    characterizes the TAIL): threshold u = the per-group q-quantile
+    (LOWER quantile from the distinct-value cumulative walk — the
+    weighted_median convention, value-exact), then over the
+    exceedances x > u: count, mean excess E[x - u | x > u] (the mean-
+    excess statistic whose slope in u decides GPD tail heaviness), and
+    the max.
+
+    Scale: one (group, value) grid aggregate + one bounded cumulative
+    walk for the quantile, then one filtered re-aggregate; the mean
+    excess rides round(9)->DECIMAL terms on the value grid (order-
+    free), never a per-row second pass.
+    """
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    from dbt_fusion_spark.plans.stats import D389, _d2d, _qterm
+
+    v = F.col(value_col).cast("double")
+    grid = (df.groupBy(F.col(group_col).alias("g"), v.alias("v"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    wg = Window.partitionBy("g")
+    wc = (Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (grid.withColumn("tot", F.sum("c").over(wg))
+               .withColumn("cum", F.sum("c").over(wc)))
+    # lower q-quantile: smallest grid value with cum >= ceil(q * tot)
+    thr = (cum.filter(F.col("cum")
+                      >= F.ceil(F.lit(q) * F.col("tot")))
+           .groupBy("g")
+           .agg(F.min("v").alias("threshold"),
+                F.max("tot").cast("bigint").alias("n_rows")))
+    exc = (grid.join(F.broadcast(thr), "g")
+           .filter(F.col("v") > F.col("threshold"))
+           .groupBy("g")
+           .agg(F.sum("c").cast("bigint").alias("n_exceed"),
+                F.sum(_qterm((F.col("v") - F.col("threshold"))
+                             * F.col("c").cast("double")))
+                 .alias("__ex"),
+                F.max("v").alias("max_value")))
+    out = thr.join(exc, "g", "left")
+    me = F.when(F.col("n_exceed") > 0,
+                _d2d("__ex") / F.col("n_exceed").cast("double"))
+    return out.select(
+        F.col("g").alias(group_col), "n_rows", "threshold",
+        F.coalesce("n_exceed", F.lit(0)).cast("bigint")
+         .alias("n_exceed"),
+        F.round(me, 6).alias("mean_excess"),
+        F.col("max_value"))

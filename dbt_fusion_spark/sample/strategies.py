@@ -438,3 +438,35 @@ def purged_time_split(df: DataFrame, entity_col: str, time_col: str,
                     ((F.col("__has_train") == 1)
                      & (F.col("__has_test") == 1))
                     .alias("entity_straddles")))
+
+
+def balanced_downsample(df: DataFrame, class_col: str, key_col: str,
+                        seed: int = 42) -> DataFrame:
+    """Deterministic BALANCED class downsample: every class keeps
+    exactly min-class-count rows — the standard prep before training a
+    classifier on skewed labels (rebalance_domains equalizes by keyed
+    Bernoulli with binomial jitter; this variant is EXACT-count, the
+    difference that matters for small k-shot label budgets).
+
+    Row selection is by rank of the portable md5 unit hash (ties
+    broken by the key itself), so the kept set is a pure function of
+    (seed, key) — placement-independent, reproducible in any engine,
+    and restatable as SQL for the oracle.
+
+    Scale: one class-keyed count (bounded grid, broadcast back) + one
+    per-class rank window (hash-partitioned on the class — the rank is
+    the operator's semantic floor, same class as top-k).
+    """
+    counts = df.groupBy(F.col(class_col).alias("__c")) \
+        .agg(F.count(F.lit(1)).alias("__n"))
+    floor_n = counts.select(F.min("__n").alias("__min"))
+    h = _unit_hash([key_col], seed)
+    w = Window.partitionBy(class_col).orderBy(h.asc(),
+                                              F.col(key_col).asc())
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    return (ranked.withColumn(
+        "__k", F.pmod(F.col("__rk").cast("bigint"), F.lit(1)))
+        .join(F.broadcast(floor_n.withColumn(
+            "__k", F.pmod(F.col("__min"), F.lit(1)))), "__k")
+        .filter(F.col("__rk") <= F.col("__min"))
+        .drop("__k", "__rk", "__min"))

@@ -179,3 +179,32 @@ def test_top_paths_null_event_nullifies_gram(spark):
                               "event_id", n=3, k=10).collect()}
     # grams touching the NULL slot vanish; only the clean tail counts
     assert got == {"c>a>b": 1, "a>b>c": 1}
+
+
+def test_woe_iv_hand_computed_two_bins(spark):
+    import math
+
+    from dbt_fusion_spark.plans.encode import woe_iv_bins
+
+    # values 0..9: low half mostly bad, high half mostly good, one
+    # cross-over each way so no bin has a zero cell
+    rows = [(float(v), 1 if v >= 5 else 0) for v in range(10)] \
+        + [(6.0, 0), (2.0, 1)]
+    df = spark.createDataFrame(rows, "x double, y int")
+    out = {r.bin: r for r in
+           woe_iv_bins(df, "y", "x", bins=2).collect()}
+    lo, hi = out[0], out[1]
+    G = lo.n_good + hi.n_good
+    B = lo.n_bad + hi.n_bad
+    woe_hi = math.log((hi.n_good / G) / (hi.n_bad / B))
+    assert hi.woe == pytest.approx(woe_hi, abs=1e-6)
+    iv = ((lo.n_good / G - lo.n_bad / B) * lo.woe
+          + (hi.n_good / G - hi.n_bad / B) * woe_hi)
+    assert lo.iv == pytest.approx(iv, abs=1e-5)
+    assert lo.iv == hi.iv
+    # zero-cell bin: all-good feature range -> NULL woe, iv excludes it
+    rows2 = [(0.0, 0), (0.5, 1), (9.0, 1), (8.0, 1)]
+    out2 = {r.bin: r for r in woe_iv_bins(
+        spark.createDataFrame(rows2, "x double, y int"),
+        "y", "x", bins=2).collect()}
+    assert out2[1].woe is None and out2[1].iv_term == 0.0

@@ -1065,3 +1065,25 @@ def test_rake_scores_multiword_phrases(spark):
     # deterministic ranking: rank 1 is the highest score
     assert out[0].rank == 1
     assert out[0].score == max(r.score for r in out)
+
+
+def test_simpson_diversity_hand_computed(spark):
+    import math
+
+    from dbt_fusion_spark.llm.corpus import simpson_diversity
+
+    rows = [("a", 1, "x x y z"), ("b", 2, "q q q q")]
+    out = {r.domain: r for r in simpson_diversity(
+        spark.createDataFrame(rows, "d string, i int, text string"),
+        "d", "text").collect()}
+    a = out["a"]  # p = (.5, .25, .25)
+    assert (a.n_tokens, a.n_types) == (4, 3)
+    assert a.gini_simpson == pytest.approx(1 - (0.25 + 0.0625 * 2),
+                                           abs=1e-6)
+    h = -(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25))
+    assert a.shannon_nats == pytest.approx(h, abs=1e-6)
+    assert a.effective_vocab == pytest.approx(math.exp(h), abs=1e-4)
+    assert a.berger_parker == pytest.approx(0.5, abs=1e-6)
+    b = out["b"]  # single token
+    assert b.gini_simpson == pytest.approx(0.0, abs=1e-6)
+    assert b.berger_parker == pytest.approx(1.0, abs=1e-6)

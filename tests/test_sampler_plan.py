@@ -134,3 +134,27 @@ def test_purged_time_split_null_entity_and_null_ts(spark):
     null_ts = [r for r in out if r.ts is None][0]
     assert null_ts.split == "purged"
     assert not null_ts.entity_straddles
+
+
+def test_balanced_downsample_exact_counts_and_determinism(spark):
+    from dbt_fusion_spark.sample.strategies import balanced_downsample
+
+    rows = [(i, "maj") for i in range(50)] + \
+           [(100 + i, "min") for i in range(7)] + \
+           [(200 + i, "mid") for i in range(20)]
+    df = spark.createDataFrame(rows, "id int, cls string")
+    out = balanced_downsample(df, "cls", "id", seed=3)
+    counts = {r.cls: r.n for r in
+              out.groupBy("cls").agg(__import__(
+                  "pyspark.sql.functions", fromlist=["F"])
+                  .count("*").alias("n")).collect()}
+    assert counts == {"maj": 7, "min": 7, "mid": 7}
+    # deterministic: second run keeps the identical id set
+    ids1 = sorted(r.id for r in out.collect())
+    ids2 = sorted(r.id for r in
+                  balanced_downsample(df, "cls", "id", seed=3).collect())
+    assert ids1 == ids2
+    # different seed -> (almost surely) different majority picks
+    ids3 = sorted(r.id for r in
+                  balanced_downsample(df, "cls", "id", seed=4).collect())
+    assert ids1 != ids3

@@ -844,3 +844,128 @@ def test_mutual_information_endpoints(spark):
     r = S.mutual_information(_df(spark, rows, "a string, b string"),
                              "a", "b").collect()[0]
     assert r.nmi is None and r.mi == pytest.approx(0.0, abs=1e-6)
+
+
+def test_mann_kendall_hand_computed(spark):
+    """Monotone series: S = n(n-1)/2, no ties; z uses the continuity
+    correction."""
+    import math
+
+    from dbt_fusion_spark.plans.timeseries import mann_kendall_trend
+
+    rows = [("a", float(t), float(t) * 2.0) for t in range(8)]
+    r = mann_kendall_trend(
+        spark.createDataFrame(rows, "g string, t double, v double"),
+        "g", "t", "v").collect()[0]
+    assert r.n_points == 8
+    assert r.s_stat == 28  # 8*7/2, all pairs increasing
+    var = 8 * 7 * 21 / 18.0
+    assert r.var_s == pytest.approx(var, abs=1e-6)
+    assert r.z == pytest.approx((28 - 1) / math.sqrt(var), abs=1e-6)
+    assert r.significant_95
+
+
+def test_mann_kendall_tie_correction_and_flat(spark):
+    from dbt_fusion_spark.plans.timeseries import mann_kendall_trend
+
+    rows = [("f", float(t), 5.0) for t in range(6)]
+    r = mann_kendall_trend(
+        spark.createDataFrame(rows, "g string, t double, v double"),
+        "g", "t", "v").collect()[0]
+    assert r.s_stat == 0
+    # one tie group of size 6 kills the variance entirely:
+    # n(n-1)(2n+5) == t(t-1)(2t+5) -> var 0 -> z NULL
+    assert r.var_s == 0.0 and r.z is None and not r.significant_95
+
+
+def test_peak_over_threshold_hand_computed(spark):
+    from dbt_fusion_spark.plans.timeseries import peak_over_threshold
+
+    vals = list(range(1, 21))  # 1..20
+    rows = [("a", float(v)) for v in vals]
+    r = peak_over_threshold(
+        spark.createDataFrame(rows, "g string, v double"),
+        "g", "v", q=0.9).collect()[0]
+    # lower 0.9-quantile: smallest v with cum >= ceil(0.9*20)=18 -> 18
+    assert r.threshold == 18.0
+    assert r.n_exceed == 2 and r.max_value == 20.0
+    assert r.mean_excess == pytest.approx((1 + 2) / 2, abs=1e-6)
+
+
+def test_cramers_v_perfect_and_independent(spark):
+    from dbt_fusion_spark.plans.stats import cramers_v_matrix
+
+    rows = []
+    for i in range(40):
+        a = "x" if i % 2 else "y"
+        # c groups pairs of consecutive i, so each c level sees both
+        # a levels equally -> exact independence
+        rows.append((a, a.upper(), "c%d" % ((i // 2) % 4)))
+    out = {(r.col_a, r.col_b): r for r in cramers_v_matrix(
+        spark.createDataFrame(rows, "a string, b string, c string"),
+        ["a", "b", "c"]).collect()}
+    assert len(out) == 3
+    # a determines b exactly -> V = 1
+    assert out[("a", "b")].cramers_v == pytest.approx(1.0, abs=1e-6)
+    # a is independent of c by construction -> V = 0
+    assert out[("a", "c")].cramers_v == pytest.approx(0.0, abs=1e-6)
+
+
+def test_levene_brown_forsythe_flags_unequal_spread(spark):
+    from dbt_fusion_spark.plans.stats import levene_variance
+
+    rows = [("tight", 10.0 + 0.1 * (i % 3)) for i in range(30)] \
+        + [("wide", 10.0 + 5.0 * (i % 7)) for i in range(30)]
+    r = levene_variance(
+        spark.createDataFrame(rows, "g string, v double"),
+        "g", "v").collect()[0]
+    assert r.k == 2 and r.n == 60
+    assert r.f_stat is not None and r.f_stat > 10.0
+    # equal spreads -> F near 0
+    same = [("a", float(i % 5)) for i in range(25)] \
+        + [("b", float(i % 5)) for i in range(25)]
+    r2 = levene_variance(
+        spark.createDataFrame(same, "g string, v double"),
+        "g", "v").collect()[0]
+    assert r2.f_stat == pytest.approx(0.0, abs=1e-6)
+
+
+def test_jackknife_ratio_ci_matches_numpy(spark):
+    import numpy as np
+
+    from dbt_fusion_spark.plans.stats import jackknife_ratio_ci
+
+    rows = [("g%d" % (i % 6), float(10 + i), float(2 + i % 5))
+            for i in range(36)]
+    r = jackknife_ratio_ci(
+        spark.createDataFrame(rows, "g string, num double, den double"),
+        "g", "num", "den").collect()[0]
+    import collections
+    agg = collections.defaultdict(lambda: [0.0, 0.0])
+    for g, n, d in rows:
+        agg[g][0] += n
+        agg[g][1] += d
+    N = sum(v[0] for v in agg.values())
+    D = sum(v[1] for v in agg.values())
+    G = len(agg)
+    R = N / D
+    theta = np.array([G * R - (G - 1) * (N - v[0]) / (D - v[1])
+                      for v in agg.values()])
+    se = theta.std(ddof=1) / np.sqrt(G)
+    assert r.n_groups == G
+    assert r.ratio == pytest.approx(R, abs=1e-6)
+    assert r.jk_estimate == pytest.approx(theta.mean(), abs=1e-5)
+    assert r.se == pytest.approx(se, abs=1e-5)
+    assert r.ci_lo == pytest.approx(theta.mean() - 1.959964 * se,
+                                    abs=1e-4)
+
+
+def test_chi2_sparse_table_counts_zero_cells(spark):
+    """r10: chi2_total must include the UNOBSERVED cells' mass — a
+    perfectly-associated 2x2 (both off-diagonal cells empty) has
+    chi2 = n, V = 1, not n/2."""
+    rows = [("x", "X")] * 20 + [("y", "Y")] * 20
+    out = S.chi_square_independence(
+        _df(spark, rows, "a string, b string"), "a", "b").collect()
+    assert all(r.chi2_total == pytest.approx(40.0, abs=1e-5)
+               for r in out)

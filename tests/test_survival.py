@@ -225,3 +225,36 @@ def test_cox_ph_rejects_wide_models_and_drops_nulls(spark):
         cox_ph(df, "t", "e", ["x", "x", "x"])
     r = cox_ph(df, "t", "e", ["x"], iters=2).collect()[0]
     assert r.n == 3  # the three NULL-bearing rows casewise-deleted
+
+
+def test_rmst_hand_computed_step_areas(spark):
+    from dbt_fusion_spark.plans.survival import rmst
+
+    # events at t=2 (1 of 4 dies) and t=4 (1 of 2 dies); censored at 3
+    rows = [(2, 1), (3, 0), (4, 1), (5, 0)]
+    df = spark.createDataFrame(rows, "t int, e int")
+    # S: [0,2)=1, [2,4)=0.75, [4,5)=0.375
+    r = rmst(df, "t", "e", tau=5.0).collect()[0]
+    expect = 1.0 * 2 + 0.75 * 2 + 0.375 * 1
+    assert r.rmst == pytest.approx(expect, abs=1e-5)
+    assert r.km_at_tau == pytest.approx(0.375, abs=1e-6)
+    # horizon before any event: RMST = tau, S(tau) = 1
+    r2 = rmst(df, "t", "e", tau=1.5).collect()[0]
+    assert r2.rmst == pytest.approx(1.5, abs=1e-6)
+    assert r2.km_at_tau == pytest.approx(1.0, abs=1e-6)
+
+
+def test_schoenfeld_mean_residual_near_zero_at_mle(spark):
+    """At the fitted beta the Schoenfeld residuals sum to ~0 (the
+    score equation) — run on the Gehan fit from the cox test."""
+    from dbt_fusion_spark.plans.survival import (cox_ph,
+                                                 cox_schoenfeld_trend)
+
+    rows = [(t, e, 1.0) for t, e in _GEHAN_6MP] \
+        + [(t, e, 0.0) for t, e in _GEHAN_PLACEBO]
+    df = spark.createDataFrame(rows, "t int, e int, x double")
+    beta = cox_ph(df, "t", "e", ["x"], iters=8).collect()[0].beta
+    r = cox_schoenfeld_trend(df, "t", "e", "x", beta).collect()[0]
+    assert r.n_event_times == 17  # distinct event times in gehan
+    assert abs(r.mean_residual) < 1e-3
+    assert r.corr is not None and abs(r.corr) < 1.0
