@@ -182,6 +182,12 @@ HEADLINE = [
     "stats_cramers_v_matrix",
     "events_peak_over_threshold",
     "feature_woe_iv_orders",
+    # r10 batch 3: the 7-lag ACF unroll and the (item, category)
+    # agreement grid. calibration/gains re-run the benched logreg
+    # train lifecycle + tiny readouts (keep-best rule); the streaming
+    # countmin row is a foreachBatch lifecycle, not a query plan.
+    "events_acf_daily_volume",
+    "stats_fleiss_kappa_lineitems",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

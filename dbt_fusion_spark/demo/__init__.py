@@ -98,6 +98,13 @@ GATE_WINDOW: list[str] = [
     # re-gate: chi_square_independence's zero-cell fix touched this
     # certified row's operator + oracle
     "stats_chi2_priority_status",
+    # r10 batch 3: streaming sketch maintenance, autocorrelation,
+    # multi-rater agreement, model-eval readouts
+    "streaming_countmin_maintenance",
+    "events_acf_daily_volume",
+    "stats_fleiss_kappa_lineitems",
+    "classifier_calibration_ece",
+    "classifier_gains_table",
 ]
 
 

@@ -5370,3 +5370,218 @@ def corpus_simpson_diversity(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return simpson_diversity(docs, "source", "text")
+
+
+@register(
+    "streaming_countmin_maintenance",
+    # the streamed-and-merged sketch is counter-identical to the batch
+    # sketch (Count-Min merge = addition), so the batch oracle applies
+    # verbatim: same grid, same probes, same estimates.
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+        AS token
+      FROM documents),
+    t2 AS (SELECT token FROM tok WHERE token <> ''),
+    cells AS (
+      SELECT d.d AS row,
+        CAST('0x' || substring(md5(CAST(42 + d.d AS VARCHAR)
+             || '|' || token), 1, 8) AS BIGINT) % 1024 AS col
+      FROM t2, (SELECT unnest(generate_series(0, 3)) AS d) d),
+    sk AS (SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM cells GROUP BY 1, 2),
+    exact_ AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count
+               FROM t2 GROUP BY token),
+    top AS (SELECT * FROM exact_
+            ORDER BY true_count DESC, token LIMIT 20),
+    probe AS (
+      SELECT top.token, top.true_count, d.d AS row,
+        CAST('0x' || substring(md5(CAST(42 + d.d AS VARCHAR)
+             || '|' || top.token), 1, 8) AS BIGINT) % 1024 AS col
+      FROM top, (SELECT unnest(generate_series(0, 3)) AS d) d)
+    SELECT p.token, p.true_count,
+           CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est_count
+    FROM probe p LEFT JOIN sk ON sk.row = p.row AND sk.col = p.col
+    GROUP BY p.token, p.true_count
+    """,
+)
+def streaming_countmin_maintenance(spark, sf_dir):
+    """Streaming Count-Min maintenance (r10): corpus tokens restaged
+    as a MULTI-micro-batch stream (maxFilesPerTrigger=1 over 3 files),
+    per-batch partial sketches appended to a durable artifact, served
+    by the read-time (row, col) rollup — counter-identical to the
+    batch sketch because Count-Min merge is plain addition, so the
+    batch oracle applies verbatim. The live half of the corpus
+    frequency store: heavy-hitter estimates stay current as documents
+    land, one bounded grid write per batch."""
+    import tempfile
+
+    from dbt_fusion_spark.llm.corpus import tokens
+    from dbt_fusion_spark.llm.sketch import countmin_estimate
+    from dbt_fusion_spark.streaming import (countmin_from_artifact,
+                                            streaming_countmin_ingest)
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(docs, "doc_id", "text").select("token")
+    staging = tempfile.mkdtemp(prefix="dfs-cmstream-src-")
+    toks.repartition(3).write.mode("overwrite").parquet(staging)
+    stream = (spark.readStream.schema("token string")
+              .option("maxFilesPerTrigger", 1).parquet(staging))
+    path = tempfile.mkdtemp(prefix="dfs-cmstream-art-") + "/cm"
+    q = streaming_countmin_ingest(
+        stream, path, tempfile.mkdtemp(prefix="dfs-cmstream-ck-"),
+        spark, trigger={"availableNow": True}, cols="token",
+        depth=4, width=1024)
+    q.awaitTermination(300)
+    sk = countmin_from_artifact(spark, path)
+    exact = (toks.groupBy("token")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("true_count")))
+    wr = W.orderBy(F.col("true_count").desc(), F.col("token"))
+    top = (exact.withColumn("__r", F.row_number().over(wr))
+           .filter(F.col("__r") <= 20).drop("__r"))
+    est = countmin_estimate(sk, top.select("token"), "token",
+                            depth=4, width=1024)
+    return top.join(est, "token").select("token", "true_count",
+                                         "est_count")
+
+
+_DUCK_LOGREG_SCORED = (
+    "WITH "
+    + _duck_logreg_ctes(_LOGREG_DIM, _LOGREG_ITERS, _LOGREG_LR,
+                        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END")
+    + f""",
+    bias AS (SELECT weight AS b FROM w{_LOGREG_ITERS}
+             WHERE bucket = -1),
+    sagg AS (
+      SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_grams,
+             SUM(tf.tf * w.weight) AS dot
+      FROM tf JOIN w{_LOGREG_ITERS} w USING (bucket)
+      GROUP BY tf.doc_id),
+    scored AS (
+      SELECT d.doc_id,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+             ROUND(1.0 / (1.0 + exp(-(bias.b
+               + COALESCE(sagg.dot / sagg.n_grams, 0.0)))), 6) AS s
+      FROM documents d
+      LEFT JOIN sagg ON sagg.doc_id = d.doc_id
+      CROSS JOIN bias)""")
+
+
+@register(
+    "classifier_calibration_ece",
+    # the trained model's reliability table: fixed [0,1) bins, per-bin
+    # confidence vs accuracy, table-wide ECE from round(9) gap terms.
+    oracle=_DUCK_LOGREG_SCORED + """,
+    b AS (
+      SELECT CAST(least(floor(s * 10.0), 9) AS BIGINT) AS bin, y, s
+      FROM scored),
+    g AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             SUM(CAST(round(s, 9) AS DECIMAL(38,9))) AS ss
+      FROM b GROUP BY bin),
+    w AS (SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS NN FROM g),
+    t AS (
+      SELECT *,
+        CAST(CAST(ss AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+          AS conf,
+        CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc
+      FROM w),
+    u AS (
+      SELECT *,
+        CAST(round(CAST(n AS DOUBLE) / CAST(NN AS DOUBLE)
+          * ABS(acc - conf), 9) AS DECIMAL(38,9)) AS gap_t
+      FROM t)
+    SELECT bin,
+      round(CAST(bin AS DOUBLE) * 0.1, 6) AS bin_lo,
+      round(CASE WHEN bin = 9 THEN 1.0
+                 ELSE CAST(bin + 1 AS DOUBLE) * 0.1 END, 6) AS bin_hi,
+      n, n_pos,
+      round(conf, 6) AS confidence,
+      round(acc, 6) AS accuracy,
+      round(ABS(acc - conf), 6) AS gap,
+      round(CAST(CAST(SUM(gap_t) OVER () AS VARCHAR) AS DOUBLE), 6)
+        AS ece
+    FROM u
+    """,
+)
+def classifier_calibration_ece(spark, sf_dir):
+    """Reliability table + ECE for the in-engine-trained quality
+    classifier against its own seed label (r10) — the audit that
+    decides whether the model's probabilities can drive keep-
+    thresholds directly or need recalibration first."""
+    from dbt_fusion_spark.llm import classifier as CL
+
+    docs = load_table(spark, sf_dir, "documents")
+    fitted = CL.train_logistic_regression(
+        docs, "doc_id", "text", (F.col("lang") == "en").cast("int"),
+        dim=_LOGREG_DIM, iters=_LOGREG_ITERS, lr=_LOGREG_LR)
+    fitted = fitted.persist()
+    bias = fitted.filter(F.col("bucket") == -1).collect()[0].weight
+    wt = fitted.filter(F.col("bucket") >= 0)
+    scored = CL.linear_quality_score(docs, wt, "doc_id", "text",
+                                     dim=_LOGREG_DIM, bias=bias)
+    labeled = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    return CL.calibration_report(
+        labeled, (F.col("lang") == "en").cast("int"), "score",
+        bins=10)
+
+
+@register(
+    "classifier_gains_table",
+    # decile capture curve for the same scores: rank by (score DESC,
+    # doc_id ASC), equal-count buckets, cumulative gain + lift.
+    oracle=_DUCK_LOGREG_SCORED + """,
+    ranked AS (
+      SELECT doc_id, y, s,
+        ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS r
+      FROM scored),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS NN,
+                   CAST(SUM(y) AS BIGINT) AS P FROM scored),
+    b AS (
+      SELECT CAST(ceil(CAST(r AS DOUBLE) * 10.0
+                       / CAST(NN AS DOUBLE)) AS BIGINT) AS bucket, y
+      FROM ranked CROSS JOIN tot),
+    g AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM b GROUP BY bucket),
+    c AS (
+      SELECT *,
+        CAST(SUM(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        CAST(SUM(n_pos) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+      FROM g)
+    SELECT bucket, n, n_pos, cum_n, cum_pos,
+      round(CASE WHEN tot.P > 0 THEN
+        CAST(cum_pos AS DOUBLE) / CAST(tot.P AS DOUBLE) END, 6)
+        AS gain,
+      round(CASE WHEN tot.P > 0 THEN
+        (CAST(cum_pos AS DOUBLE) / CAST(tot.P AS DOUBLE))
+        / (CAST(cum_n AS DOUBLE) / CAST(tot.NN AS DOUBLE)) END, 6)
+        AS lift
+    FROM c CROSS JOIN tot
+    """,
+)
+def classifier_gains_table(spark, sf_dir):
+    """Cumulative gains / lift deciles for the trained quality
+    classifier (r10) — 'keep the top k%, capture what share of the
+    positives?' — the decision curve that grades the thresholds
+    calibrate_threshold_curve picks."""
+    from dbt_fusion_spark.llm import classifier as CL
+
+    docs = load_table(spark, sf_dir, "documents")
+    fitted = CL.train_logistic_regression(
+        docs, "doc_id", "text", (F.col("lang") == "en").cast("int"),
+        dim=_LOGREG_DIM, iters=_LOGREG_ITERS, lr=_LOGREG_LR)
+    fitted = fitted.persist()
+    bias = fitted.filter(F.col("bucket") == -1).collect()[0].weight
+    wt = fitted.filter(F.col("bucket") >= 0)
+    scored = CL.linear_quality_score(docs, wt, "doc_id", "text",
+                                     dim=_LOGREG_DIM, bias=bias)
+    labeled = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    return CL.gains_table(labeled, "doc_id",
+                          (F.col("lang") == "en").cast("int"),
+                          "score", n_buckets=10)

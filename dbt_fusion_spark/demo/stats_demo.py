@@ -2794,3 +2794,122 @@ def survival_cox_schoenfeld(spark, sf_dir):
     beta = cox_ph(subj, "t", "e", ["clicked"],
                   iters=_COX_ITERS).collect()[0].beta
     return cox_schoenfeld_trend(subj, "t", "e", "clicked", beta)
+
+
+# --------------------------------------------------- r10 batch 3
+_ACF_MAXLAG = 7
+
+
+def _duck_acf_sql(max_lag: int) -> str:
+    lag_cols = ",\n        ".join(
+        f"lag(p.x, {k}) OVER (PARTITION BY p.k ORDER BY p.day) AS l{k}"
+        for k in range(1, max_lag + 1))
+    aggs = ["""CAST(CAST(SUM(CAST(round((x - mu) * (x - mu), 9)
+        AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS den"""]
+    for k in range(1, max_lag + 1):
+        aggs.append(f"""CAST(CAST(SUM(CASE WHEN l{k} IS NOT NULL
+        THEN CAST(round((x - mu) * (l{k} - mu), 9) AS DECIMAL(38,9))
+        ELSE CAST(0 AS DECIMAL(38,9)) END) AS VARCHAR) AS DOUBLE)
+        AS num{k}""")
+        aggs.append(f"""CAST(SUM(CASE WHEN l{k} IS NOT NULL
+        THEN 1 ELSE 0 END) AS BIGINT) AS np{k}""")
+    emits = []
+    for k in range(1, max_lag + 1):
+        acf = f"CASE WHEN den > 0 THEN num{k} / den END"
+        emits.append(f"""
+    SELECT k AS event_type, {k} AS lag, np{k} AS n_pairs,
+           round({acf}, 6) AS acf,
+           COALESCE(abs({acf})
+             > 1.959964 / sqrt(CAST(n AS DOUBLE)), FALSE)
+             AS beyond_whitenoise_95
+    FROM g""")
+    return f"""
+    WITH series AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS nn
+      FROM events GROUP BY 1, 2),
+    pts AS (SELECT event_type AS k, day, CAST(nn AS DOUBLE) AS x
+            FROM series),
+    m AS (
+      SELECT k,
+        CAST(CAST(SUM(CAST(round(x, 9) AS DECIMAL(38,9)))
+             AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts GROUP BY k),
+    l AS (
+      SELECT p.k, p.x, m.mu, m.n,
+        {lag_cols}
+      FROM pts p JOIN m ON p.k = m.k),
+    g AS (
+      SELECT k, MAX(n) AS n,
+        {", ".join(aggs)}
+      FROM l GROUP BY k)
+    {" UNION ALL ".join(emits)}
+    """
+
+
+@register("events_acf_daily_volume", oracle=_duck_acf_sql(_ACF_MAXLAG))
+def events_acf_daily_volume(spark, sf_dir):
+    """Per-type daily-volume autocorrelation for lags 1..7 (r10) —
+    the seasonality/memory readout (does last week predict today?)
+    that precedes any forecasting model; K-lag unroll on the bounded
+    day grid, white-noise band verdicts."""
+    from dbt_fusion_spark.plans.timeseries import acf_by_key
+
+    ev = load_table(spark, sf_dir, "events")
+    series = (ev.groupBy("event_type",
+                         F.date_trunc("day", F.col("ts")).alias("day"))
+                .agg(F.count(F.lit(1)).alias("nn")))
+    return acf_by_key(series, "event_type", "day", "nn",
+                      max_lag=_ACF_MAXLAG)
+
+
+@register(
+    "stats_fleiss_kappa_lineitems",
+    # items = orders with >= 2 lineitems, ratings = return flags;
+    # P_i / marginals off the (item, category) grid.
+    oracle="""
+    WITH g AS (
+      SELECT l_orderkey AS i, l_returnflag AS j,
+             CAST(COUNT(*) AS BIGINT) AS nij
+      FROM lineitem GROUP BY 1, 2),
+    per_item AS (
+      SELECT i, SUM(nij) AS ni, SUM(nij * nij) AS sq
+      FROM g GROUP BY i HAVING SUM(nij) >= 2),
+    items AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(ni) AS BIGINT) AS n_ratings,
+             SUM(CAST(round(CAST(sq - ni AS DOUBLE)
+               / (CAST(ni AS DOUBLE) * (CAST(ni AS DOUBLE) - 1)), 9)
+               AS DECIMAL(38,9))) AS pbar_s
+      FROM per_item),
+    kept AS (SELECT g.* FROM g JOIN per_item USING (i)),
+    cat AS (
+      SELECT j, SUM(nij) AS cj, SUM(SUM(nij)) OVER () AS tot
+      FROM kept GROUP BY j),
+    pe AS (
+      SELECT SUM(CAST(round((CAST(cj AS DOUBLE) / CAST(tot AS DOUBLE))
+        * (CAST(cj AS DOUBLE) / CAST(tot AS DOUBLE)), 9)
+        AS DECIMAL(38,9))) AS pe_s
+      FROM cat)
+    SELECT n_items, n_ratings,
+      round(CAST(CAST(pbar_s AS VARCHAR) AS DOUBLE)
+            / CAST(n_items AS DOUBLE), 6) AS observed_agreement,
+      round(CAST(CAST(pe_s AS VARCHAR) AS DOUBLE), 6)
+        AS expected_agreement,
+      round(CASE WHEN CAST(CAST(pe_s AS VARCHAR) AS DOUBLE) < 1.0 THEN
+        (CAST(CAST(pbar_s AS VARCHAR) AS DOUBLE)
+         / CAST(n_items AS DOUBLE)
+         - CAST(CAST(pe_s AS VARCHAR) AS DOUBLE))
+        / (1.0 - CAST(CAST(pe_s AS VARCHAR) AS DOUBLE)) END, 6)
+        AS kappa
+    FROM items CROSS JOIN pe
+    """,
+)
+def stats_fleiss_kappa_lineitems(spark, sf_dir):
+    """Fleiss' kappa over orders-as-items with lineitem return flags
+    as ratings (r10) — multi-rater agreement, the generalization of
+    cohens_kappa a labeling pipeline reads at 3+ annotators; items
+    with a single rating are dropped (no agreement signal)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return S.fleiss_kappa(li, "l_orderkey", "l_returnflag")

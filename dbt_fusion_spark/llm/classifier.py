@@ -705,3 +705,121 @@ def softmax_class_scores(df: DataFrame, weights: DataFrame,
             .filter(F.col("__rn") == 1)
             .select(id_col, F.col("label").alias("pred_label"),
                     F.col("__p").alias("prob"), "n_grams"))
+
+
+def calibration_report(df: DataFrame, label_col, score_col: str,
+                       bins: int = 10) -> DataFrame:
+    """Reliability table + Expected Calibration Error for a scored
+    frame — the audit that decides whether a classifier's probability
+    is TRUSTWORTHY enough to drive keep-thresholds (an uncalibrated
+    0.9 is just a rank, not a rate):
+
+        bin b: conf_b = mean score, acc_b = positive rate
+        ece    = sum_b n_b / N * |acc_b - conf_b|
+
+    Fixed-width bins over [0, 1] (bin = min(floor(s * bins), bins-1) —
+    deterministic, no rank ties).  Emits one row per non-empty bin:
+    bin, lo/hi edges, n, n_pos, confidence, accuracy, |gap|, and the
+    table-wide ece on every row.
+
+    Scale: one bins-bounded grid aggregate + grid windows; score and
+    gap sums ride round(9)->DECIMAL terms — a single scan.
+    """
+    from dbt_fusion_spark.plans.stats import _d2d, _grid, _qterm
+
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    y = (F.col(label_col) if isinstance(label_col, str)
+         else label_col).cast("bigint")
+    s = F.col(score_col).cast("double")
+    b = F.least(F.floor(s * F.lit(float(bins))),
+                F.lit(bins - 1)).cast("bigint")
+    g = (df.select(y.alias("__y"), s.alias("__s"), b.alias("bin"))
+           .na.drop()
+           .groupBy("bin")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("__y").cast("bigint").alias("n_pos"),
+                F.sum(_qterm(F.col("__s"))).alias("__ss")))
+    w = _grid()
+    # "__N", not "N": case-insensitive resolution would silently
+    # REPLACE the per-bin count "n" (the anova "__S" lesson)
+    g = g.withColumn("__N", F.sum("n").over(w))
+    conf = _d2d("__ss") / F.col("n").cast("double")
+    acc = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    gap_t = _qterm(F.col("n").cast("double")
+                   / F.col("__N").cast("double") * F.abs(acc - conf))
+    g = g.withColumn("__g", gap_t)
+    wd = 1.0 / float(bins)
+    return g.select(
+        "bin",
+        F.round(F.col("bin").cast("double") * F.lit(wd), 6)
+         .alias("bin_lo"),
+        F.round(F.when(F.col("bin") == bins - 1, F.lit(1.0))
+                .otherwise((F.col("bin") + 1).cast("double")
+                           * F.lit(wd)), 6).alias("bin_hi"),
+        "n", "n_pos",
+        F.round(conf, 6).alias("confidence"),
+        F.round(acc, 6).alias("accuracy"),
+        F.round(F.abs(acc - conf), 6).alias("gap"),
+        F.round(_d2d(F.sum("__g").over(w)), 6).alias("ece"))
+
+
+def gains_table(df: DataFrame, id_col: str, label_col,
+                score_col: str, n_buckets: int = 10) -> DataFrame:
+    """Cumulative gains / lift table — the model-eval readout that
+    answers "if I only keep the top k%, what share of the positives
+    do I capture?" (the decision curve behind every
+    keep-rate-vs-quality trade-off, pairing with
+    calibrate_threshold_curve which picks thresholds and this which
+    grades them).
+
+    Rows rank by (score DESC, id ASC) — the id tiebreak makes the
+    bucketing deterministic and engine-reproducible — and split into
+    n_buckets equal-count buckets (bucket = ceil(rank * B / N)).  Per
+    bucket: n, positives, cumulative positives, cumulative capture
+    rate (gain), and lift = gain / (cum_n / N).
+
+    Scale: one global rank window over the scored frame (the rank IS
+    the semantic — same class as top-k), then a buckets-bounded
+    rollup + cumulative windows; integer arithmetic end to end except
+    the two emitted ratios.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    from pyspark.sql import Window
+
+    from dbt_fusion_spark.plans.stats import _grid
+
+    y = (F.col(label_col) if isinstance(label_col, str)
+         else label_col).cast("bigint")
+    s = F.col(score_col).cast("double")
+    base = df.select(F.col(id_col).alias("__id"), y.alias("__y"),
+                     s.alias("__s")).na.drop()
+    wr = Window.orderBy(F.col("__s").desc(), F.col("__id").asc())
+    ranked = base.withColumn("__r", F.row_number().over(wr))
+    cnt = ranked.withColumn(
+        "__k", F.pmod(F.col("__r").cast("bigint"), F.lit(1)))
+    tot = base.agg(F.count(F.lit(1)).alias("__N"),
+                   F.sum("__y").alias("__P"))
+    cnt = cnt.join(F.broadcast(tot.withColumn(
+        "__k", F.pmod(F.col("__N"), F.lit(1)))), "__k")
+    bucket = F.ceil(F.col("__r").cast("double") * F.lit(float(n_buckets))
+                    / F.col("__N").cast("double")).cast("bigint")
+    g = (cnt.withColumn("bucket", bucket)
+         .groupBy("bucket")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum("__y").cast("bigint").alias("n_pos"),
+              F.max("__N").alias("__N"), F.max("__P").alias("__P")))
+    wc = (Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    g = (g.withColumn("cum_n", F.sum("n").over(wc).cast("bigint"))
+          .withColumn("cum_pos",
+                      F.sum("n_pos").over(wc).cast("bigint")))
+    gain = F.when(F.col("__P") > 0,
+                  F.col("cum_pos").cast("double")
+                  / F.col("__P").cast("double"))
+    frac = F.col("cum_n").cast("double") / F.col("__N").cast("double")
+    return g.select(
+        "bucket", "n", "n_pos", "cum_n", "cum_pos",
+        F.round(gain, 6).alias("gain"),
+        F.round(gain / frac, 6).alias("lift"))

@@ -1582,3 +1582,61 @@ def jackknife_ratio_ci(df: DataFrame, group_col: str, num_col: str,
         F.round(se, 6).alias("se"),
         F.round(mean_t - F.lit(1.959964) * se, 6).alias("ci_lo"),
         F.round(mean_t + F.lit(1.959964) * se, 6).alias("ci_hi"))
+
+
+# --------------------------------------------------------- Fleiss' kappa
+def fleiss_kappa(df: DataFrame, item_col: str,
+                 category_col: str) -> DataFrame:
+    """Fleiss' kappa: chance-corrected agreement among MANY raters per
+    item (Fleiss 1971) — the multi-annotator generalization of
+    cohens_kappa a labeling pipeline reads when every document gets
+    3+ labels.  Uses the varying-rater-count generalization (per-item
+    n_i; items with n_i < 2 carry no agreement signal and are
+    dropped):
+
+        P_i   = (sum_j n_ij^2 - n_i) / (n_i (n_i - 1))
+        Pbar  = mean_i P_i
+        p_j   = sum_i n_ij / sum_i n_i
+        Pe    = sum_j p_j^2
+        kappa = (Pbar - Pe) / (1 - Pe)    (NULL when Pe = 1)
+
+    Returns ONE row: n_items, n_ratings, observed/expected agreement,
+    kappa.
+
+    Scale: one (item, category) grid aggregate; per-item and
+    per-category rollups of that grid; agreement terms
+    round(9)->DECIMAL sums — a single scan of the ratings.
+    """
+    g = (df.groupBy(F.col(item_col).alias("i"),
+                    F.col(category_col).alias("j"))
+           .agg(F.count(F.lit(1)).alias("nij")))
+    per_item = (g.groupBy("i")
+                .agg(F.sum("nij").alias("ni"),
+                     F.sum(F.col("nij") * F.col("nij")).alias("sq"))
+                .filter(F.col("ni") >= 2))
+    nid = F.col("ni").cast("double")
+    pi_t = _qterm((F.col("sq") - F.col("ni")).cast("double")
+                  / (nid * (nid - 1)))
+    items = per_item.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("ni").cast("bigint").alias("n_ratings"),
+        F.sum(pi_t).alias("__pbar_s"))
+    # category marginals over the SAME kept items (n_i >= 2)
+    kept = g.join(per_item.select("i"), "i")
+    cat = (kept.groupBy("j").agg(F.sum("nij").alias("cj"))
+           .withColumn("tot", F.sum("cj").over(_grid())))
+    pj = F.col("cj").cast("double") / F.col("tot").cast("double")
+    pe_tbl = cat.groupBy(
+        F.pmod(F.col("tot"), F.lit(1)).alias("__n")).agg(
+        F.sum(_qterm(pj * pj)).alias("__pe"))
+    one = items.withColumn(
+        "__n", F.pmod(F.col("n_ratings"), F.lit(1))).join(
+        F.broadcast(pe_tbl), "__n").drop("__n")
+    pbar = _d2d("__pbar_s") / F.col("n_items").cast("double")
+    pe = _d2d("__pe")
+    kappa = F.when(pe < 1.0, (pbar - pe) / (F.lit(1.0) - pe))
+    return one.select(
+        "n_items", "n_ratings",
+        F.round(pbar, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("expected_agreement"),
+        F.round(kappa, 6).alias("kappa"))

@@ -367,3 +367,71 @@ def peak_over_threshold(df: DataFrame, group_col: str, value_col: str,
          .alias("n_exceed"),
         F.round(me, 6).alias("mean_excess"),
         F.col("max_value"))
+
+
+def acf_by_key(df: DataFrame, key_col: str, time_col: str,
+               value_col: str, max_lag: int = 7) -> DataFrame:
+    """Per-key sample autocorrelation function for lags 1..max_lag —
+    the seasonality/memory readout that tells a forecaster whether
+    yesterday (lag 1) or last week (lag 7) predicts today, and the
+    standard pre-check before fitting anything ARIMA-shaped.
+
+        acf_k = sum_t (x_t - m)(x_{t-k} - m) / sum_t (x_t - m)^2
+
+    (statsmodels convention: the denominator is the FULL-series sum of
+    squares, so acf decays with missing overlap).  Emits one row per
+    (key, lag): n_pairs, acf, plus the +/-1.96/sqrt(n) white-noise
+    band verdict.
+
+    Scale: one per-key window sort produces ALL max_lag lag columns
+    (the ewma_smoothing unroll); per-key mean is one aggregate joined
+    back broadcast; numerator/denominator terms ride
+    round(9)->DECIMAL sums.  Work is O(rows x max_lag) map-side after
+    the per-key sort.
+    """
+    from dbt_fusion_spark.plans.stats import D389, _d2d, _qterm
+
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    x = F.col(value_col).cast("double")
+    m = (df.groupBy(F.col(key_col).alias("__k"))
+           .agg(F.sum(_qterm(x)).alias("__s"),
+                F.count(F.lit(1)).alias("__n"))
+           .select("__k", (_d2d("__s") / F.col("__n").cast("double"))
+                   .alias("__m"),
+                   F.col("__n").alias("__n")))
+    w = Window.partitionBy(key_col).orderBy(time_col)
+    b = df.join(F.broadcast(m),
+                F.col(key_col).eqNullSafe(F.col("__k")))
+    # lag columns MATERIALIZE before the aggregate (a window function
+    # is not allowed inside an aggregate function)
+    for k in range(1, max_lag + 1):
+        b = b.withColumn(f"__l{k}", F.lag(x, k).over(w))
+    zero = F.lit(0).cast(D389)
+    aggs = [F.max("__n").alias("n"),
+            F.sum(_qterm((x - F.col("__m"))
+                         * (x - F.col("__m")))).alias("den")]
+    for k in range(1, max_lag + 1):
+        lg = F.col(f"__l{k}")
+        aggs.append(F.sum(F.when(lg.isNotNull(),
+                                 _qterm((x - F.col("__m"))
+                                        * (lg - F.col("__m"))))
+                          .otherwise(zero)).alias(f"num{k}"))
+        aggs.append(F.sum(F.when(lg.isNotNull(), 1).otherwise(0))
+                    .cast("bigint").alias(f"np{k}"))
+    g = b.groupBy(key_col).agg(*aggs)
+    den = _d2d("den")
+    outs = []
+    for k in range(1, max_lag + 1):
+        acf = F.when(den > 0, _d2d(f"num{k}") / den)
+        band = F.lit(1.959964) / F.sqrt(F.col("n").cast("double"))
+        outs.append(g.select(
+            F.col(key_col), F.lit(k).alias("lag"),
+            F.col(f"np{k}").alias("n_pairs"),
+            F.round(acf, 6).alias("acf"),
+            F.coalesce(F.abs(acf) > band, F.lit(False))
+             .alias("beyond_whitenoise_95")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -503,3 +503,71 @@ def streaming_psi_monitor(events: DataFrame, baseline_hist: DataFrame,
         F.col("__total").alias("n_rows"),
         F.round(psi, 6).alias("psi"),
         (psi > threshold).alias("is_drift"))
+
+
+def streaming_countmin_ingest(
+    source: DataFrame,
+    sketch_path: str,
+    checkpoint: str,
+    spark: SparkSession,
+    trigger: dict | None = None,
+    cols: str = "token",
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+) -> StreamingQuery:
+    """Continuous Count-Min maintenance: each micro-batch's sketch
+    (depth x width counter grid, llm/sketch.countmin_sketch) is
+    APPENDED to a durable partial-sketch artifact keyed by batch id —
+    the streaming twin of the batch sketch build.  Count-Min merges by
+    SUMMING counters, so the artifact is served by one bounded
+    (row, col) rollup (``countmin_from_artifact``) and the stream
+    never rewrites history: ingest is append-only, merge is read-time.
+
+    Exactly-once: foreachBatch batch ids are stable within a
+    checkpoint, so a replayed batch finds its ``batch_id`` already in
+    the artifact and skips — the standard idempotent-sink recipe (the
+    id probe reads ONLY the artifact's batch_id column; one bounded
+    distinct).  One checkpoint per artifact: a fresh checkpoint means
+    a fresh stream and re-ingests by design.
+
+    Scale: per batch, one explode (depth rows/item) + one map-side-
+    combined aggregate onto the depth x width grid — the write is
+    grid-bounded no matter how large the batch; serving cost is
+    O(batches x grid) shrinking to O(grid) after any compaction
+    rewrite (read + overwrite with the rollup).
+    """
+    from dbt_fusion_spark.llm.sketch import countmin_sketch
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        try:
+            done = {r.batch_id for r in
+                    bspark.read.parquet(sketch_path)
+                    .select("batch_id").distinct().collect()}
+        except Exception:
+            done = set()
+        if batch_id in done:
+            return
+        sk = countmin_sketch(batch, cols, depth, width, seed) \
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+        sk.write.mode("append").parquet(sketch_path)
+
+    writer = (
+        source.writeStream.outputMode("append")
+        .foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def countmin_from_artifact(spark: SparkSession,
+                           sketch_path: str) -> DataFrame:
+    """Serve the streamed partial-sketch artifact as ONE Count-Min
+    sketch: counters sum on (row, col) — the mergeability that makes
+    Count-Min streaming-native. Feed straight to countmin_estimate."""
+    return (spark.read.parquet(sketch_path)
+            .groupBy("row", "col")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt")))

@@ -1087,3 +1087,39 @@ def test_simpson_diversity_hand_computed(spark):
     b = out["b"]  # single token
     assert b.gini_simpson == pytest.approx(0.0, abs=1e-6)
     assert b.berger_parker == pytest.approx(1.0, abs=1e-6)
+
+
+def test_calibration_report_ece_hand_computed(spark):
+    from dbt_fusion_spark.llm.classifier import calibration_report
+
+    # bin [0.8, 1.0): 4 rows conf 0.9 exactly, 2 positives -> gap 0.4
+    # bin [0.0, 0.2): 4 rows conf 0.1, 1 positive -> gap 0.15
+    rows = [(0.9, 1), (0.9, 1), (0.9, 0), (0.9, 0),
+            (0.1, 0), (0.1, 0), (0.1, 0), (0.1, 1)]
+    out = {r.bin: r for r in calibration_report(
+        spark.createDataFrame(rows, "s double, y int"),
+        "y", "s", bins=5).collect()}
+    hi, lo = out[4], out[0]
+    assert hi.confidence == pytest.approx(0.9, abs=1e-6)
+    assert hi.accuracy == pytest.approx(0.5, abs=1e-6)
+    assert hi.gap == pytest.approx(0.4, abs=1e-6)
+    assert lo.gap == pytest.approx(0.15, abs=1e-6)
+    ece = 0.5 * 0.4 + 0.5 * 0.15
+    assert hi.ece == pytest.approx(ece, abs=1e-6)
+    assert lo.ece == hi.ece
+
+
+def test_gains_table_separable_scores(spark):
+    from dbt_fusion_spark.llm.classifier import gains_table
+
+    # 20 rows, scores descend with id; positives are the top 5
+    rows = [(i, 1.0 - i * 0.01, 1 if i < 5 else 0) for i in range(20)]
+    out = {r.bucket: r for r in gains_table(
+        spark.createDataFrame(rows, "id int, s double, y int"),
+        "id", "y", "s", n_buckets=4).collect()}
+    assert out[1].n == 5 and out[1].n_pos == 5
+    assert out[1].gain == pytest.approx(1.0, abs=1e-9)
+    assert out[1].lift == pytest.approx(4.0, abs=1e-9)  # 100% in top 25%
+    assert out[4].gain == pytest.approx(1.0, abs=1e-9)
+    assert out[4].lift == pytest.approx(1.0, abs=1e-9)
+    assert out[2].n_pos == 0 and out[2].cum_pos == 5

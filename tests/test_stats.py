@@ -969,3 +969,72 @@ def test_chi2_sparse_table_counts_zero_cells(spark):
         _df(spark, rows, "a string, b string"), "a", "b").collect()
     assert all(r.chi2_total == pytest.approx(40.0, abs=1e-5)
                for r in out)
+
+
+def test_acf_lag_structure_on_alternating_series(spark):
+    """x alternates a,-a around mean 0: acf(1) = -1 * (n-1)/n-ish on
+    the full-denominator convention; acf(2) positive. Verify against a
+    direct python computation of the same formula."""
+    from dbt_fusion_spark.plans.timeseries import acf_by_key
+
+    xs = [5.0 if i % 2 else -5.0 for i in range(24)]
+    rows = [("k", i, v) for i, v in enumerate(xs)]
+    out = {r.lag: r for r in acf_by_key(
+        spark.createDataFrame(rows, "k string, t int, v double"),
+        "k", "t", "v", max_lag=3).collect()}
+    m = sum(xs) / len(xs)
+    den = sum((x - m) ** 2 for x in xs)
+    for k in range(1, 4):
+        num = sum((xs[i] - m) * (xs[i - k] - m)
+                  for i in range(k, len(xs)))
+        assert out[k].acf == pytest.approx(num / den, abs=1e-6), k
+        assert out[k].n_pairs == len(xs) - k
+    assert out[1].acf < -0.9 and out[2].acf > 0.85
+    assert out[1].beyond_whitenoise_95
+
+
+def test_fleiss_kappa_perfect_and_chance(spark):
+    from dbt_fusion_spark.plans.stats import fleiss_kappa
+
+    # perfect agreement: every item's 3 raters pick the same category
+    rows = [(i, "c%d" % (i % 3)) for i in range(12) for _ in range(3)]
+    r = fleiss_kappa(
+        spark.createDataFrame(rows, "item int, cat string"),
+        "item", "cat").collect()[0]
+    assert (r.n_items, r.n_ratings) == (12, 36)
+    assert r.observed_agreement == pytest.approx(1.0, abs=1e-6)
+    assert r.kappa == pytest.approx(1.0, abs=1e-6)
+    # single-rater items dropped; all-same-category -> Pe = 1, NULL
+    rows2 = [(i, "only") for i in range(5) for _ in range(2)]
+    r2 = fleiss_kappa(
+        spark.createDataFrame(rows2, "item int, cat string"),
+        "item", "cat").collect()[0]
+    assert r2.kappa is None and r2.expected_agreement == 1.0
+
+
+def test_fleiss_kappa_matches_formula_on_mixed_table(spark):
+    """14 items x 6 raters x 5 categories: the engine must agree with
+    a direct python evaluation of the Fleiss 1971 formula."""
+    from dbt_fusion_spark.plans.stats import fleiss_kappa
+
+    table = [
+        [0, 0, 0, 0, 6], [0, 3, 0, 0, 3], [0, 1, 4, 0, 1],
+        [0, 0, 0, 0, 6], [0, 3, 0, 3, 0], [2, 0, 4, 0, 0],
+        [0, 0, 4, 0, 2], [2, 0, 3, 1, 0], [2, 0, 0, 4, 0],
+        [0, 0, 0, 0, 6], [1, 0, 0, 5, 0], [1, 1, 0, 4, 0],
+        [0, 3, 3, 0, 0], [1, 0, 0, 2, 3]]
+    rows = [(i, "c%d" % j)
+            for i, cats in enumerate(table)
+            for j, n in enumerate(cats) for _ in range(n)]
+    r = fleiss_kappa(
+        spark.createDataFrame(rows, "item int, cat string"),
+        "item", "cat").collect()[0]
+    N, nr = len(table), 6
+    pi = [(sum(x * x for x in row) - nr) / (nr * (nr - 1))
+          for row in table]
+    pbar = sum(pi) / N
+    pj = [sum(row[j] for row in table) / (N * nr) for j in range(5)]
+    pe = sum(p * p for p in pj)
+    assert r.observed_agreement == pytest.approx(pbar, abs=1e-6)
+    assert r.expected_agreement == pytest.approx(pe, abs=1e-6)
+    assert r.kappa == pytest.approx((pbar - pe) / (1 - pe), abs=1e-6)

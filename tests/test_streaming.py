@@ -563,3 +563,45 @@ def test_streaming_ann_ingest_compacts_codes(spark, tmp_path):
     b = sorted(map(tuple, S.load_ivf_pq_index(spark, idx2)[0].select(
         "vec_id", "__kcell", F.col("pq_code").cast("string")).collect()))
     assert a == b
+
+
+def test_streaming_countmin_ingest_merges_and_replays(spark, tmp_path):
+    """Streamed partial sketches merged at read time must equal the
+    batch sketch of the same rows (exact per-cell counter equality —
+    Count-Min merge is counter addition), and a same-checkpoint replay
+    appends nothing (batch-id idempotent sink)."""
+    from dbt_fusion_spark.llm.sketch import countmin_estimate, countmin_sketch
+    from dbt_fusion_spark.streaming import (countmin_from_artifact,
+                                            streaming_countmin_ingest)
+
+    rows = [(f"tok{i % 17}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "token string")
+    src = str(tmp_path / "incoming")
+    df.write.parquet(src)
+    stream = spark.readStream.schema("token string").parquet(src)
+    path = str(tmp_path / "cm")
+    q = streaming_countmin_ingest(stream, path, str(tmp_path / "ckpt"),
+                                  spark, trigger={"availableNow": True},
+                                  cols="token", depth=4, width=64)
+    q.awaitTermination(120)
+    merged = countmin_from_artifact(spark, path)
+    batch = countmin_sketch(df, "token", depth=4, width=64)
+    got = {(r.row, r.col): r.cnt for r in merged.collect()}
+    want = {(r.row, r.col): r.cnt for r in batch.collect()}
+    assert got == want
+    # estimates never under-count the true frequencies
+    items = df.select("token").distinct()
+    est = {r.token: r.est_count for r in
+           countmin_estimate(merged, items, "token", depth=4,
+                             width=64).collect()}
+    import collections
+    true = collections.Counter(r[0] for r in rows)
+    assert all(est[t] >= c for t, c in true.items())
+    # same-checkpoint replay: no new batches -> artifact unchanged
+    n = spark.read.parquet(path).count()
+    q2 = streaming_countmin_ingest(stream, path, str(tmp_path / "ckpt"),
+                                   spark,
+                                   trigger={"availableNow": True},
+                                   cols="token", depth=4, width=64)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(path).count() == n

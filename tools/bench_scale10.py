@@ -95,6 +95,14 @@ QUERY_SET = [
     "text_rake_keywords",
     "corpus_domain_js_matrix",
     "quality_mojibake_repair",
+    # r10: the K-class training lifecycle (K x the logreg margin/grad
+    # volumes), the Newton survival fit (duration-grid suffix windows
+    # per iteration), the day-grid pair trend test, and the 3-pair
+    # contingency sweep
+    "classifier_train_softmax",
+    "survival_cox_two_covariates",
+    "stats_mann_kendall_daily",
+    "stats_cramers_v_matrix",
 ]
 
 
