@@ -188,6 +188,14 @@ HEADLINE = [
     # countmin row is a foreachBatch lifecycle, not a query plan.
     "events_acf_daily_volume",
     "stats_fleiss_kappa_lineitems",
+    # r10 batch 4: the per-key adaptive drift walk and the two-grid
+    # Aalen-Johansen CIF; msprt/partial-correlation are single
+    # moment aggregates already represented (keep-best rule)
+    "events_page_hinkley_drift",
+    "survival_competing_risks",
+    # r10 batch 5: the HLL register grid (pairs with kmv_distinct);
+    # k-anonymity is one tiny grid reduce (keep-best rule)
+    "sketch_hll_users",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

@@ -105,6 +105,15 @@ GATE_WINDOW: list[str] = [
     "stats_fleiss_kappa_lineitems",
     "classifier_calibration_ece",
     "classifier_gains_table",
+    # r10 batch 4: sequential testing, adaptive drift, competing
+    # risks, confounder-corrected association
+    "ab_msprt_always_valid",
+    "events_page_hinkley_drift",
+    "survival_competing_risks",
+    "stats_partial_correlation",
+    # r10 batch 5: the max-mergeable distinct sketch + privacy audit
+    "sketch_hll_users",
+    "dq_k_anonymity_audit",
 ]
 
 

@@ -5585,3 +5585,84 @@ def classifier_gains_table(spark, sf_dir):
     return CL.gains_table(labeled, "doc_id",
                           (F.col("lang") == "en").cast("int"),
                           "score", n_buckets=10)
+
+
+# ------------------------------------------------------------- HLL (r10)
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P
+_HLL_SHIFT = 60 - _HLL_P + 1  # max rank; 2^(shift-M) always integral
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(2 ** _HLL_SHIFT)
+
+# exact integer bitlength ladder (DuckDB's bin() padding is version-
+# dependent; the comparison ladder is unambiguous in any engine)
+_HLL_BITLEN = "CASE " + " ".join(
+    f"WHEN w >= {1 << (b - 1)} THEN {b}"
+    for b in range(60 - _HLL_P, 0, -1)) + " ELSE 0 END"
+
+
+@register(
+    "sketch_hll_users",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST('0x' || substring(
+               md5('42|' || CAST(user_id AS VARCHAR)), 1, 15)
+             AS BIGINT) AS hv
+      FROM events),
+    rw AS (
+      SELECT hv % {_HLL_M} AS register, hv >> {_HLL_P} AS w FROM h),
+    rk AS (
+      SELECT register,
+             CASE WHEN w = 0 THEN {_HLL_SHIFT}
+                  ELSE {_HLL_SHIFT} - ({_HLL_BITLEN}) END AS rank
+      FROM rw),
+    sk AS (
+      SELECT register, CAST(MAX(rank) AS BIGINT) AS max_rank
+      FROM rk GROUP BY register),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_filled,
+             SUM(CAST(pow(2.0, {_HLL_SHIFT} - max_rank)
+                      AS DECIMAL(38,0))) AS s
+      FROM sk),
+    est AS (
+      SELECT
+        CAST({_HLL_M} AS BIGINT) AS n_registers,
+        CAST({_HLL_M} - n_filled AS BIGINT) AS n_empty,
+        {_HLL_NUM!r}
+          / (CAST(CAST(s AS VARCHAR) AS DOUBLE)
+             + CAST({_HLL_M} - n_filled AS DOUBLE)
+               * {float(2 ** _HLL_SHIFT)!r}) AS raw
+      FROM agg),
+    fin AS (
+      SELECT n_registers, n_empty,
+        round(raw, 4) AS raw_estimate,
+        round(CASE WHEN raw <= {2.5 * _HLL_M!r} AND n_empty > 0
+                   THEN {float(_HLL_M)!r}
+                        * ln({float(_HLL_M)!r}
+                             / CAST(n_empty AS DOUBLE))
+                   ELSE raw END, 4) AS estimate
+      FROM est)
+    SELECT fin.*,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+            FROM events) AS true_distinct
+    FROM fin
+    """,
+)
+def sketch_hll_users(spark, sf_dir):
+    """Portable HyperLogLog distinct-user estimate (r10, Flajolet et
+    al.) — the constant-memory, max-mergeable sibling of KMV (and the
+    oracle-checkable twin of approx_count_distinct, whose registers
+    are engine-private). 2^10 registers off the md5 hash; probed
+    against the exact distinct count."""
+    from dbt_fusion_spark.llm.sketch import hll_estimate, hll_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_estimate(hll_sketch(ev, "user_id", p=_HLL_P), p=_HLL_P)
+    truth = ev.agg(F.countDistinct("user_id").cast("bigint")
+                   .alias("true_distinct"))
+    return (est.withColumn("__k", F.pmod(F.col("n_registers"),
+                                         F.lit(1)))
+            .join(F.broadcast(truth.withColumn(
+                "__k", F.pmod(F.col("true_distinct"), F.lit(1)))),
+                "__k")
+            .drop("__k"))

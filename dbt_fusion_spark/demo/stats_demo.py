@@ -2702,7 +2702,7 @@ def stats_jackknife_ratio_ci(spark, sf_dir):
       FROM seg)
     SELECT CAST(SUM(d + c) AS BIGINT) AS n,
            CAST(SUM(d) AS BIGINT) AS n_events,
-           30.0 AS tau,
+           CAST(30.0 AS DOUBLE) AS tau,
            round(CAST(CAST(SUM(segt) AS VARCHAR) AS DOUBLE)
                  + CAST(CAST(MAX(head) AS VARCHAR) AS DOUBLE), 6)
              AS rmst,
@@ -2913,3 +2913,366 @@ def stats_fleiss_kappa_lineitems(spark, sf_dir):
     with a single rating are dropped (no agreement signal)."""
     li = load_table(spark, sf_dir, "lineitem")
     return S.fleiss_kappa(li, "l_orderkey", "l_returnflag")
+
+
+@register(
+    "ab_msprt_always_valid",
+    # one exact-DECIMAL moment aggregate; mixture LR closed form.
+    oracle="""
+    WITH v AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_a,
+        CAST(SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_b,
+        CAST(CAST(SUM(CASE WHEN g = 'a' THEN
+          CAST(round(v, 9) AS DECIMAL(38,9))
+          ELSE CAST(0 AS DECIMAL(38,9)) END) AS VARCHAR) AS DOUBLE)
+          AS sa,
+        CAST(CAST(SUM(CASE WHEN g = 'b' THEN
+          CAST(round(v, 9) AS DECIMAL(38,9))
+          ELSE CAST(0 AS DECIMAL(38,9)) END) AS VARCHAR) AS DOUBLE)
+          AS sb,
+        CAST(CAST(SUM(CASE WHEN g = 'a' THEN
+          CAST(round(v * v, 9) AS DECIMAL(38,9))
+          ELSE CAST(0 AS DECIMAL(38,9)) END) AS VARCHAR) AS DOUBLE)
+          AS qa,
+        CAST(CAST(SUM(CASE WHEN g = 'b' THEN
+          CAST(round(v * v, 9) AS DECIMAL(38,9))
+          ELSE CAST(0 AS DECIMAL(38,9)) END) AS VARCHAR) AS DOUBLE)
+          AS qb
+      FROM v),
+    t AS (
+      SELECT *,
+        sa / n_a AS ma, sb / n_b AS mb,
+        ((qa - sa * sa / n_a) + (qb - sb * sb / n_b))
+          / (n_a + n_b - 2) AS s2
+      FROM agg),
+    u AS (
+      SELECT *,
+        s2 * (1.0 / n_a + 1.0 / n_b) AS vv, mb - ma AS d
+      FROM t),
+    w AS (
+      SELECT *,
+        CASE WHEN n_a > 1 AND n_b > 1 AND vv > 0 THEN
+          0.5 * ln(vv / (vv + 1.0))
+          + d * d * 1.0 / (2.0 * vv * (vv + 1.0)) END AS loglam
+      FROM u)
+    SELECT n_a, n_b,
+      round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+      round(d, 6) AS diff,
+      round(loglam, 6) AS log_lambda,
+      round(exp(-greatest(loglam, 0.0)), 6) AS always_valid_p,
+      COALESCE(exp(-greatest(loglam, 0.0)) < 0.05, FALSE)
+        AS reject_at_05
+    FROM w
+    """,
+)
+def ab_msprt_always_valid(spark, sf_dir):
+    """Always-valid mSPRT p-value for the even/odd-user value split
+    (r10, Johari et al.) — the peeking-proof sequential test; under
+    this null allocation p should sit near 1 at any look. One exact-
+    moment aggregate, closed-form mixture likelihood ratio."""
+    ev = load_table(spark, sf_dir, "events") \
+        .filter(F.col("value").isNotNull()) \
+        .withColumn("g", F.when(F.col("user_id") % 2 == 0, "a")
+                    .otherwise("b"))
+    return S.msprt_always_valid(ev, "g", "value", "a", "b", tau=1.0)
+
+
+@register(
+    "events_page_hinkley_drift",
+    # running-mean CUSUM sibling: cumulative DECIMAL walks + running
+    # min/max per key.
+    oracle="""
+    WITH series AS (
+      SELECT event_type AS k, date_trunc('day', ts) AS t,
+             CAST(COUNT(*) AS BIGINT) AS nn
+      FROM events GROUP BY 1, 2),
+    b AS (
+      SELECT k, t, CAST(nn AS DOUBLE) AS x,
+        SUM(CAST(round(CAST(nn AS DOUBLE), 9) AS DECIMAL(38,9)))
+          OVER (PARTITION BY k ORDER BY t ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS cs,
+        CAST(COUNT(*) OVER (PARTITION BY k ORDER BY t ROWS BETWEEN
+          UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS i
+      FROM series),
+    m AS (
+      SELECT *, CAST(CAST(cs AS VARCHAR) AS DOUBLE)
+                  / CAST(i AS DOUBLE) AS mu
+      FROM b),
+    u AS (
+      SELECT *,
+        SUM(CAST(round(x - mu - 0.5, 9) AS DECIMAL(38,9)))
+          OVER (PARTITION BY k ORDER BY t ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS uu,
+        SUM(CAST(round(x - mu + 0.5, 9) AS DECIMAL(38,9)))
+          OVER (PARTITION BY k ORDER BY t ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS dd
+      FROM m),
+    r AS (
+      SELECT *,
+        MIN(uu) OVER (PARTITION BY k ORDER BY t ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS umin,
+        MAX(dd) OVER (PARTITION BY k ORDER BY t ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS dmax
+      FROM u)
+    SELECT k AS event_type, CAST(t AS TIMESTAMP) AS day,
+      CAST(x AS BIGINT) AS n_rows,
+      round(mu, 6) AS running_mean,
+      round(CAST(CAST(uu AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(umin AS VARCHAR) AS DOUBLE), 6) AS ph_up,
+      round(CAST(CAST(dmax AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(dd AS VARCHAR) AS DOUBLE), 6) AS ph_down,
+      (CAST(CAST(uu AS VARCHAR) AS DOUBLE)
+       - CAST(CAST(umin AS VARCHAR) AS DOUBLE)) > 20.0 AS drift_up,
+      (CAST(CAST(dmax AS VARCHAR) AS DOUBLE)
+       - CAST(CAST(dd AS VARCHAR) AS DOUBLE)) > 20.0 AS drift_down
+    FROM r
+    """,
+)
+def events_page_hinkley_drift(spark, sf_dir):
+    """Page-Hinkley drift walk over per-type daily volume (r10) —
+    CUSUM's running-mean sibling: no fixed reference level, the test
+    adapts to the series' own mean. Per-key cumulative DECIMAL walks
+    + running extrema."""
+    from dbt_fusion_spark.plans.stats import page_hinkley
+
+    ev = load_table(spark, sf_dir, "events")
+    series = (ev.groupBy(F.col("event_type"),
+                         F.date_trunc("day", F.col("ts")).alias("day"))
+                .agg(F.count(F.lit(1)).alias("n_rows")))
+    out = page_hinkley(series, "event_type", "day", "n_rows",
+                       delta=0.5, lam=20.0)
+    return out.withColumn("n_rows", F.col("n_rows").cast("bigint"))
+
+
+@register(
+    "survival_competing_risks",
+    # Aalen-Johansen CIFs: first purchase (cause 1) vs first error
+    # (cause 2), censored at end of observation.
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp,
+             min(CASE WHEN event_type = 'error' THEN ts END) AS fe
+      FROM events GROUP BY user_id),
+    cut AS (SELECT max(ts) AS maxts FROM events),
+    subj AS (
+      SELECT CASE
+               WHEN fp IS NOT NULL AND (fe IS NULL OR fp <= fe)
+                 THEN CAST(date_diff('day', CAST(first_ts AS DATE),
+                           CAST(fp AS DATE)) AS INTEGER)
+               WHEN fe IS NOT NULL
+                 THEN CAST(date_diff('day', CAST(first_ts AS DATE),
+                           CAST(fe AS DATE)) AS INTEGER)
+               ELSE CAST(date_diff('day', CAST(first_ts AS DATE),
+                         CAST(maxts AS DATE)) AS INTEGER)
+             END AS t,
+             CASE
+               WHEN fp IS NOT NULL AND (fe IS NULL OR fp <= fe) THEN 1
+               WHEN fe IS NOT NULL THEN 2
+               ELSE 0
+             END AS cause
+      FROM firsts, cut),
+    grid AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN cause <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN cause = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM subj GROUP BY 1),
+    g AS (
+      SELECT *,
+        CAST(SUM(d + c) OVER () AS BIGINT) AS total,
+        CAST(SUM(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) AS seen
+      FROM grid),
+    r AS (SELECT *, total - seen + d + c AS n_risk FROM g),
+    w AS (
+      SELECT *,
+        CASE WHEN d >= n_risk THEN NULL
+             WHEN d > 0 THEN CAST(round(
+               ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
+               AS DECIMAL(38,9))
+             ELSE CAST(0 AS DECIMAL(38,9)) END AS term,
+        CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS deadall
+      FROM r),
+    k AS (
+      SELECT *,
+        MAX(deadall) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS anydead,
+        SUM(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS cum
+      FROM w),
+    sb AS (
+      SELECT *,
+        CASE WHEN COALESCE(lag(anydead) OVER (ORDER BY t), 0) = 1
+             THEN 0.0
+             ELSE exp(COALESCE(CAST(CAST(lag(cum) OVER (ORDER BY t)
+                  AS VARCHAR) AS DOUBLE), 0.0)) END AS s_before
+      FROM k),
+    causes AS (
+      SELECT t, cause, CAST(COUNT(*) AS BIGINT) AS dk
+      FROM subj WHERE cause <> 0 GROUP BY 1, 2),
+    j AS (
+      SELECT c.t, c.cause, s.n_risk, c.dk, s.s_before,
+        CAST(round(s.s_before * CAST(c.dk AS DOUBLE)
+                   / CAST(s.n_risk AS DOUBLE), 9)
+             AS DECIMAL(38,9)) AS cif_t
+      FROM causes c JOIN sb s ON c.t = s.t)
+    SELECT t, cause, CAST(n_risk AS BIGINT) AS n_risk,
+      dk AS n_events,
+      round(s_before, 6) AS s_before,
+      round(CAST(CAST(SUM(cif_t) OVER (PARTITION BY cause ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS VARCHAR) AS DOUBLE), 6) AS cif
+    FROM j
+    """,
+)
+def survival_competing_risks(spark, sf_dir):
+    """Aalen-Johansen cumulative incidence under competing exits
+    (r10): each user's first terminal event is purchase (cause 1) OR
+    error (cause 2), whichever comes first, censored at end of
+    observation — the honest per-cause probability a per-cause 1-KM
+    curve overstates."""
+    from dbt_fusion_spark.plans.survival import competing_risks_cif
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+         .alias("fp"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts")))
+         .alias("fe"))
+    from pyspark.sql import Window as W
+    g = W.partitionBy().rowsBetween(W.unboundedPreceding,
+                                    W.unboundedFollowing)
+    maxts = (ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+             .select("user_id",
+                     F.max("last_ts").over(g).alias("maxts")))
+    p_first = F.col("fp").isNotNull() \
+        & (F.col("fe").isNull() | (F.col("fp") <= F.col("fe")))
+    t = F.when(p_first,
+               F.datediff(F.col("fp").cast("date"),
+                          F.col("first_ts").cast("date"))) \
+        .when(F.col("fe").isNotNull(),
+              F.datediff(F.col("fe").cast("date"),
+                         F.col("first_ts").cast("date"))) \
+        .otherwise(F.datediff(F.col("maxts").cast("date"),
+                              F.col("first_ts").cast("date")))
+    cause = F.when(p_first, 1) \
+        .when(F.col("fe").isNotNull(), 2).otherwise(0)
+    subj = firsts.join(maxts, "user_id") \
+        .select(t.alias("t"), cause.alias("cause"))
+    return competing_risks_cif(subj, "t", "cause")
+
+
+@register(
+    "stats_partial_correlation",
+    # nine exact-DECIMAL moments in one aggregate; closed-form
+    # first-order partial.
+    oracle="""
+    WITH v AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+             CAST(l_tax AS DOUBLE) AS y,
+             CAST(l_quantity AS DOUBLE) AS z
+      FROM lineitem),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(CAST(SUM(CAST(round(x, 9) AS DECIMAL(38,9))) AS VARCHAR)
+             AS DOUBLE) AS sx,
+        CAST(CAST(SUM(CAST(round(y, 9) AS DECIMAL(38,9))) AS VARCHAR)
+             AS DOUBLE) AS sy,
+        CAST(CAST(SUM(CAST(round(z, 9) AS DECIMAL(38,9))) AS VARCHAR)
+             AS DOUBLE) AS sz,
+        CAST(CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(38,9)))
+             AS VARCHAR) AS DOUBLE) AS sxx,
+        CAST(CAST(SUM(CAST(round(y * y, 9) AS DECIMAL(38,9)))
+             AS VARCHAR) AS DOUBLE) AS syy,
+        CAST(CAST(SUM(CAST(round(z * z, 9) AS DECIMAL(38,9)))
+             AS VARCHAR) AS DOUBLE) AS szz,
+        CAST(CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(38,9)))
+             AS VARCHAR) AS DOUBLE) AS sxy,
+        CAST(CAST(SUM(CAST(round(x * z, 9) AS DECIMAL(38,9)))
+             AS VARCHAR) AS DOUBLE) AS sxz,
+        CAST(CAST(SUM(CAST(round(y * z, 9) AS DECIMAL(38,9)))
+             AS VARCHAR) AS DOUBLE) AS syz
+      FROM v),
+    c AS (
+      SELECT *,
+        CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+          (n * sxy - sx * sy)
+          / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+          AS rxy,
+        CASE WHEN (n * sxx - sx * sx) * (n * szz - sz * sz) > 0 THEN
+          (n * sxz - sx * sz)
+          / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) END
+          AS rxz,
+        CASE WHEN (n * syy - sy * sy) * (n * szz - sz * sz) > 0 THEN
+          (n * syz - sy * sz)
+          / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) END
+          AS ryz
+      FROM agg),
+    p AS (
+      SELECT *,
+        CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0 THEN
+          (rxy - rxz * ryz)
+          / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) END AS pr
+      FROM c)
+    SELECT n,
+      round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+      round(ryz, 6) AS r_yz, round(pr, 6) AS partial_r,
+      COALESCE(CASE WHEN n > 3 AND pr IS NOT NULL
+                         AND pr * pr < 1.0 THEN
+        abs(pr) * sqrt(CAST(n AS DOUBLE) - 3)
+          / sqrt(1.0 - pr * pr) > 1.959964 END, FALSE)
+        AS significant_95
+    FROM p
+    """,
+)
+def stats_partial_correlation(spark, sf_dir):
+    """First-order partial correlation of line price vs tax,
+    controlling for quantity (r10) — the confounder-corrected
+    association the raw metric-correlation matrix cannot read; one
+    nine-moment aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return S.partial_correlation(li, "l_extendedprice", "l_tax",
+                                 "l_quantity")
+
+
+@register(
+    "dq_k_anonymity_audit",
+    # quasi-identifier grid + one reduce; the audit reports exposure
+    # without re-publishing the combinations.
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2)
+    SELECT CAST(5 AS BIGINT) AS k,
+      CAST(SUM(n) AS BIGINT) AS n_rows,
+      CAST(COUNT(*) AS BIGINT) AS n_groups,
+      CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_violating_groups,
+      CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        AS n_rows_at_risk,
+      CAST(MIN(n) AS BIGINT) AS min_group_size,
+      round(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(n) AS DOUBLE), 6) AS at_risk_frac
+    FROM g
+    """,
+)
+def dq_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity exposure audit of customers over the
+    (nation, segment) quasi-identifier pair at k=5 (r10) — the
+    re-identification readout privacy review asks for before a
+    dataset ships. One grid aggregate + one reduce."""
+    from dbt_fusion_spark.plans.profile import k_anonymity_audit
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity_audit(cust, ["c_nationkey", "c_mktsegment"],
+                             k=5)

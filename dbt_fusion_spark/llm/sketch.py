@@ -294,3 +294,105 @@ def countmin_estimate(sketch: DataFrame, items: DataFrame,
             .groupBy(*cs)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .cast("bigint").alias("est_count")))
+
+
+# ------------------------------------------------------------ HyperLogLog
+HLL_BITS = 60          # md5's first 15 hex chars
+HLL_RANK_W = None      # derived per p below
+
+
+def hll_sketch(df: DataFrame, cols: str | Sequence[str], p: int = 10,
+               seed: int = 42) -> DataFrame:
+    """Portable HyperLogLog register grid (Flajolet et al. 2007) —
+    the CONSTANT-memory distinct sketch next to KMV (KMV keeps k
+    hashes and merges by re-min; HLL keeps 2^p one-byte ranks and
+    merges by per-register MAX, which makes it the cheaper one to
+    maintain incrementally/streamed).  Spark's own
+    approx_count_distinct IS HLL++ but its registers are engine-
+    private; this one is md5-derived, so any engine reproduces the
+    identical grid and the estimate is oracle-checkable.
+
+    A 60-bit uniform hash (first 15 md5 hex chars) splits into the
+    register index (h mod 2^p) and a (60-p)-bit window w; the register
+    records max(rank) with rank = (60-p) - bitlength(w) + 1 (the
+    leading-zero count + 1; w = 0 -> the full window width + 1).
+    bitlength is exact integer arithmetic in both engines (bin-string
+    length here, a comparison ladder in SQL).
+
+    Scale: one projection + one map-side-combined MAX aggregate onto
+    the 2^p-bounded register grid.  Merge two sketches with
+    ``hll_merge``; estimate with ``hll_estimate``.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    cs = [cols] if isinstance(cols, str) else list(cols)
+    m = 1 << p
+    width = HLL_BITS - p
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                "|", F.lit(str(seed)),
+                *[F.col(c).cast("string") for c in cs])),
+            1, 15),
+        16, 10).cast("bigint")
+    reg = F.pmod(h, F.lit(m))
+    # EXACT integer shift, never h/m: double division is incorrectly
+    # rounded past 2^53 and h carries 60 bits
+    w = F.shiftright(h, p)
+    rank = F.when(w == 0, F.lit(width + 1)) \
+        .otherwise(F.lit(width + 1) - F.length(F.bin(w)))
+    return (df.select(reg.alias("register"), rank.alias("rank"))
+            .groupBy("register")
+            .agg(F.max("rank").cast("bigint").alias("max_rank")))
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union HLL sketches: per-register MAX — the merge that makes HLL
+    the streaming-native distinct sketch."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (out.groupBy("register")
+            .agg(F.max("max_rank").cast("bigint").alias("max_rank")))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 10) -> DataFrame:
+    """Distinct-count estimate from an hll_sketch grid:
+
+        E = alpha_m m^2 / sum_j 2^(-M_j)    (empty registers M = 0)
+
+    with the small-range linear-counting correction E <= 2.5m and
+    V > 0 -> m ln(m/V) (V = empty registers).  Returns ONE row:
+    n_registers, n_empty, raw_estimate, estimate.
+
+    Determinism: the harmonic sum runs in EXACT integer arithmetic —
+    sum 2^(W+1-M_j) as DECIMAL(38,0) (each term a power of two well
+    inside the grid) — so the only floats are the final closed-form
+    scalars; doubles would round the sum order-dependently.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    width = HLL_BITS - p
+    shift = width + 1  # max rank, so 2^(shift - M) is always integral
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    term = F.pow(F.lit(2.0), F.lit(shift) - F.col("max_rank")) \
+        .cast("decimal(38,0)")
+    agg = sketch.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_filled"),
+        F.sum(term).alias("__s"))
+    n_empty = F.lit(m) - F.col("n_filled")
+    # empty registers contribute 2^(shift - 0) each
+    s_full = (F.col("__s").cast("string").cast("double")
+              + n_empty.cast("double")
+              * F.lit(float(2 ** shift)))
+    raw = (F.lit(alpha * m * m * float(2 ** shift)) / s_full)
+    v = n_empty.cast("double")
+    est = F.when((raw <= F.lit(2.5 * m)) & (n_empty > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v)) \
+        .otherwise(raw)
+    return agg.select(
+        F.lit(m).cast("bigint").alias("n_registers"),
+        n_empty.cast("bigint").alias("n_empty"),
+        F.round(raw, 4).alias("raw_estimate"),
+        F.round(est, 4).alias("estimate"))

@@ -171,3 +171,41 @@ def functional_dependency(df: DataFrame, det_col: str,
             .select(F.col("det").alias(det_col), "n_rows",
                     "n_dep_values",
                     (F.col("n_dep_values") > 1).alias("is_violation")))
+
+
+def k_anonymity_audit(df: DataFrame, quasi_cols: list[str],
+                      k: int = 5) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier set — the
+    re-identification exposure readout privacy review asks for before
+    a dataset ships: every quasi-identifier combination shared by
+    fewer than k rows is a linkage-attack foothold.
+
+    Returns ONE row: k, n_rows, n_groups, n_violating_groups (size
+    < k), n_rows_at_risk, worst (minimum) group size, and the
+    violating fraction of rows.
+
+    Scale: ONE map-side-combined aggregate onto the quasi-identifier
+    grid + one grid reduce — a single scan; no per-row emission of the
+    sensitive combinations themselves (the audit reports exposure, it
+    never re-publishes the quasi-identifiers).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    g = (df.groupBy(*[F.col(c) for c in quasi_cols])
+           .agg(F.count(F.lit(1)).alias("n")))
+    viol = F.col("n") < k
+    agg = g.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(viol, 1).otherwise(0)).cast("bigint")
+         .alias("n_violating_groups"),
+        F.sum(F.when(viol, F.col("n")).otherwise(0)).cast("bigint")
+         .alias("n_rows_at_risk"),
+        F.min("n").cast("bigint").alias("min_group_size"))
+    return agg.select(
+        F.lit(k).cast("bigint").alias("k"),
+        "n_rows", "n_groups", "n_violating_groups", "n_rows_at_risk",
+        "min_group_size",
+        F.round(F.col("n_rows_at_risk").cast("double")
+                / F.col("n_rows").cast("double"), 6)
+         .alias("at_risk_frac"))

@@ -1640,3 +1640,173 @@ def fleiss_kappa(df: DataFrame, item_col: str,
         F.round(pbar, 6).alias("observed_agreement"),
         F.round(pe, 6).alias("expected_agreement"),
         F.round(kappa, 6).alias("kappa"))
+
+
+# ------------------------------------------------------------------ mSPRT
+def msprt_always_valid(df: DataFrame, variant_col: str, value_col: str,
+                       group_a, group_b, tau: float = 1.0) -> DataFrame:
+    """Mixture Sequential Probability Ratio Test: the ALWAYS-VALID
+    p-value for a two-variant mean difference (Johari et al. 2017 —
+    the fix for experiment peeking: a fixed-horizon t-test's p is a
+    lie the moment anyone looks early, while 1/Lambda here is a valid
+    p at EVERY look).  Normal mixture N(0, tau^2) over the effect:
+
+        V      = s_pooled^2 (1/n_a + 1/n_b)
+        Lambda = sqrt(V/(V+tau^2)) exp(d^2 tau^2 / (2V(V+tau^2)))
+        p      = min(1, 1/Lambda)
+
+    Returns ONE row: n_a, n_b, mean_a, mean_b, diff, log_lambda, the
+    always-valid p, and the 5% rejection verdict.  log_lambda is the
+    emitted primitive (Lambda itself overflows a double long before
+    the decision is interesting); p = exp(-max(log_lambda, 0))
+    underflows gracefully to exactly 0.
+
+    Scale: ONE map-side-combined aggregate of exact DECIMAL moments —
+    the streaming-friendly shape (the same sums a stateful monitor
+    maintains incrementally).
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    v = F.col(value_col).cast("double")
+    isa = F.col(variant_col) == group_a
+    isb = F.col(variant_col) == group_b
+    zero = F.lit(0).cast(D389)
+    agg = df.filter(isa | isb).agg(
+        F.sum(F.when(isa, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(isb, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(isa, _qterm(v)).otherwise(zero)).alias("sa"),
+        F.sum(F.when(isb, _qterm(v)).otherwise(zero)).alias("sb"),
+        F.sum(F.when(isa, _qterm(v * v)).otherwise(zero)).alias("qa"),
+        F.sum(F.when(isb, _qterm(v * v)).otherwise(zero)).alias("qb"))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sa, sb, qa, qb = _d2d("sa"), _d2d("sb"), _d2d("qa"), _d2d("qb")
+    ma = sa / na
+    mb = sb / nb
+    ssa = qa - sa * sa / na
+    ssb = qb - sb * sb / nb
+    s2 = (ssa + ssb) / (na + nb - 2)
+    vv = s2 * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    d = mb - ma
+    t2 = F.lit(float(tau) * float(tau))
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (vv > 0)
+    loglam = F.when(ok,
+                    F.lit(0.5) * F.log(vv / (vv + t2))
+                    + d * d * t2 / (F.lit(2.0) * vv * (vv + t2)))
+    p = F.exp(-F.greatest(loglam, F.lit(0.0)))
+    return agg.select(
+        "n_a", "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(d, 6).alias("diff"),
+        F.round(loglam, 6).alias("log_lambda"),
+        F.round(p, 6).alias("always_valid_p"),
+        F.coalesce(p < 0.05, F.lit(False)).alias("reject_at_05"))
+
+
+# ----------------------------------------------------------- Page-Hinkley
+def page_hinkley(df: DataFrame, key_col: str, time_col: str,
+                 value_col: str, delta: float = 0.5,
+                 lam: float = 5.0) -> DataFrame:
+    """Page-Hinkley drift detection per key — CUSUM's running-mean
+    sibling (Page 1954; the standard concept-drift monitor in the
+    stream-mining literature): no fixed reference level needed, the
+    test adapts to the series' own running mean:
+
+        U_t  = sum_{i<=t} (x_i - mean_{1..i} - delta)
+        PH_t = U_t - min_{i<=t} U_i          (upward drift)
+        alarm when PH_t > lambda
+
+    Emits one row per input row: running mean, U, PH, and the alarm
+    flag (both directions — the downward walk mirrors with + delta
+    and a running max).
+
+    Scale: three per-key ordered windows (cumulative DECIMAL sum for
+    the running mean, one more for U, running min/max for PH) — the
+    cusum_changepoint shape exactly; per-key sort is the semantic
+    floor.
+    """
+    w = (Window.partitionBy(key_col).orderBy(time_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    x = F.col(value_col).cast("double")
+    b = (df.select(key_col, time_col, x.alias("__x"))
+           .withColumn("__cs", F.sum(_qterm(F.col("__x"))).over(w))
+           .withColumn("__i", F.count(F.lit(1)).over(w)))
+    m = _d2d("__cs") / F.col("__i").cast("double")
+    b = b.withColumn("__m", m)
+    up_t = _qterm(F.col("__x") - F.col("__m") - F.lit(float(delta)))
+    dn_t = _qterm(F.col("__x") - F.col("__m") + F.lit(float(delta)))
+    b = (b.withColumn("__u", F.sum(up_t).over(w))
+          .withColumn("__d", F.sum(dn_t).over(w)))
+    u = _d2d("__u")
+    dd = _d2d("__d")
+    b = (b.withColumn("__umin", F.min("__u").over(w))
+          .withColumn("__dmax", F.max("__d").over(w)))
+    ph_up = u - _d2d("__umin")
+    ph_dn = _d2d("__dmax") - dd
+    return b.select(
+        F.col(key_col), F.col(time_col),
+        F.col("__x").alias(value_col),
+        F.round(F.col("__m"), 6).alias("running_mean"),
+        F.round(ph_up, 6).alias("ph_up"),
+        F.round(ph_dn, 6).alias("ph_down"),
+        (ph_up > F.lit(float(lam))).alias("drift_up"),
+        (ph_dn > F.lit(float(lam))).alias("drift_down"))
+
+
+# ------------------------------------------------------ partial correlation
+def partial_correlation(df: DataFrame, x_col: str, y_col: str,
+                        z_col: str) -> DataFrame:
+    """First-order partial correlation r_xy.z — the x-y association
+    with the confounder z held fixed (the classic 'ice cream vs
+    drowning, controlling for temperature' correction that the raw
+    metric-correlation matrix cannot make):
+
+        r_xy.z = (r_xy - r_xz r_yz) / sqrt((1-r_xz^2)(1-r_yz^2))
+
+    Returns ONE row: n, the three raw correlations, the partial
+    correlation, and the 5% significance verdict (t with n-3 dof,
+    normal approximation — |r| sqrt(n-3) / sqrt(1-r^2) > 1.96).
+
+    Scale: ONE map-side-combined aggregate of the nine exact DECIMAL
+    moments — a single scan; everything downstream is closed-form
+    scalar arithmetic.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    z = F.col(z_col).cast("double")
+    agg = df.na.drop(subset=[x_col, y_col, z_col]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(_qterm(x)).alias("sx"), F.sum(_qterm(y)).alias("sy"),
+        F.sum(_qterm(z)).alias("sz"),
+        F.sum(_qterm(x * x)).alias("sxx"),
+        F.sum(_qterm(y * y)).alias("syy"),
+        F.sum(_qterm(z * z)).alias("szz"),
+        F.sum(_qterm(x * y)).alias("sxy"),
+        F.sum(_qterm(x * z)).alias("sxz"),
+        F.sum(_qterm(y * z)).alias("syz"))
+    n = F.col("n").cast("double")
+    sx, sy, sz = _d2d("sx"), _d2d("sy"), _d2d("sz")
+    sxx, syy, szz = _d2d("sxx"), _d2d("syy"), _d2d("szz")
+    sxy, sxz, syz = _d2d("sxy"), _d2d("sxz"), _d2d("syz")
+
+    def corr(sab, sa, sb, saa, sbb):
+        num = n * sab - sa * sb
+        den2 = (n * saa - sa * sa) * (n * sbb - sb * sb)
+        return F.when(den2 > 0, num / F.sqrt(den2))
+
+    rxy = corr(sxy, sx, sy, sxx, syy)
+    rxz = corr(sxz, sx, sz, sxx, szz)
+    ryz = corr(syz, sy, sz, syy, szz)
+    den2 = (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+    pr = F.when(den2 > 0, (rxy - rxz * ryz) / F.sqrt(den2))
+    sig = F.when((F.col("n") > 3) & pr.isNotNull() & (pr * pr < 1.0),
+                 F.abs(pr) * F.sqrt(n - 3)
+                 / F.sqrt(F.lit(1.0) - pr * pr) > 1.959964)
+    return agg.select(
+        "n",
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(rxz, 6).alias("r_xz"),
+        F.round(ryz, 6).alias("r_yz"),
+        F.round(pr, 6).alias("partial_r"),
+        F.coalesce(sig, F.lit(False)).alias("significant_95"))

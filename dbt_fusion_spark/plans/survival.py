@@ -525,3 +525,75 @@ def cox_schoenfeld_trend(df: DataFrame, duration_col: str,
         F.round(corr, 6).alias("corr"),
         F.round(slope, 6).alias("slope"),
         F.round(sr / kk, 6).alias("mean_residual"))
+
+
+def competing_risks_cif(df: DataFrame, duration_col: str,
+                        event_col: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence functions under COMPETING
+    RISKS — when a subject can exit for more than one reason (churn to
+    competitor vs churn to inactivity; purchase vs account close), the
+    per-cause 1 - KM curve OVERSTATES every cause (it treats the
+    others as censoring); the CIF is the honest per-cause probability:
+
+        CIF_k(t) = sum_{t_j <= t} S(t_j-) * d_kj / n_j
+
+    with S the ALL-CAUSE Kaplan-Meier (so sum_k CIF_k = 1 - S).
+    `event_col` is 0 for censored, else the cause label.  Returns one
+    row per (duration, cause): n_risk, n_events, s_before (S(t-)),
+    and the cif.
+
+    Scale: the kaplan_meier bounded duration-grid walk (all-cause),
+    one extra (duration, cause) grid for per-cause event counts, and
+    per-cause cumulative windows of round(9)->DECIMAL terms.
+    """
+    ev = F.col(event_col)
+    base = df.select(F.col(duration_col).alias("t"),
+                     ev.alias("cause"))
+    grid = (base.groupBy("t")
+            .agg(F.sum(F.when(F.col("cause") != 0, 1).otherwise(0))
+                 .alias("d"),
+                 F.sum(F.when(F.col("cause") == 0, 1).otherwise(0))
+                 .alias("c")))
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    g = (grid.withColumn("total", F.sum(F.col("d") + F.col("c"))
+                         .over(_grid()))
+             .withColumn("seen", F.sum(F.col("d") + F.col("c"))
+                         .over(wcum)))
+    g = g.withColumn("n_risk",
+                     F.col("total") - F.col("seen")
+                     + F.col("d") + F.col("c"))
+    dead_all = F.col("d") >= F.col("n_risk")
+    term = F.when(F.col("d") > 0,
+                  _qterm(F.log(F.lit(1.0)
+                               - F.col("d").cast("double")
+                               / F.col("n_risk")))) \
+        .otherwise(F.lit(0).cast(D389))
+    g = (g.withColumn("__t", F.when(dead_all, F.lit(None))
+                      .otherwise(term))
+          .withColumn("__anydead", F.max(dead_all.cast("int"))
+                      .over(wcum))
+          .withColumn("__cum", F.sum("__t").over(wcum)))
+    # S(t-): the product-limit BEFORE this row's events — lag of the
+    # cumulative walk (1.0 at the first grid row)
+    word = Window.orderBy("t")
+    s_before = F.when(
+        F.coalesce(F.lag("__anydead").over(word), F.lit(0)) == 1,
+        F.lit(0.0)).otherwise(
+        F.exp(F.coalesce(_d2d(F.lag("__cum").over(word)), F.lit(0.0))))
+    g = g.withColumn("__sb", s_before)
+    # per-cause event counts join the walk on the duration
+    causes = (base.filter(F.col("cause") != 0)
+              .groupBy("t", "cause")
+              .agg(F.count(F.lit(1)).alias("dk")))
+    j = causes.join(g.select("t", "n_risk", "__sb"), "t")
+    cif_t = _qterm(F.col("__sb") * F.col("dk").cast("double")
+                   / F.col("n_risk").cast("double"))
+    wk = (Window.partitionBy("cause").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    j = j.withColumn("__cif", F.sum(cif_t).over(wk))
+    return j.select(
+        F.col("t").alias(duration_col), "cause",
+        F.col("n_risk"),
+        F.col("dk").cast("bigint").alias("n_events"),
+        F.round(F.col("__sb"), 6).alias("s_before"),
+        F.round(_d2d("__cif"), 6).alias("cif"))

@@ -1196,3 +1196,48 @@ def test_countmin_never_underestimates_and_merges(spark):
     full = {(r.row, r.col): r.cnt for r in sk.collect()}
     got = {(r.row, r.col): r.cnt for r in merged.collect()}
     assert got == full
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    """HLL at p=10 is ~3% accurate on 5k distincts; union merge equals
+    the sketch of the union; estimate never NULL."""
+    from dbt_fusion_spark.llm.sketch import (hll_estimate, hll_merge,
+                                             hll_sketch)
+
+    a = spark.range(0, 5000).selectExpr("cast(id as string) AS u")
+    r = hll_estimate(hll_sketch(a, "u", p=10), p=10).collect()[0]
+    assert r.n_registers == 1024
+    assert abs(r.estimate - 5000) / 5000 < 0.1
+    # merge: two overlapping halves == sketch of the union
+    b1 = spark.range(0, 3000).selectExpr("cast(id as string) AS u")
+    b2 = spark.range(2000, 5000).selectExpr("cast(id as string) AS u")
+    merged = hll_merge(hll_sketch(b1, "u", p=10),
+                       hll_sketch(b2, "u", p=10))
+    direct = hll_sketch(a, "u", p=10)
+    got = {(r.register, r.max_rank) for r in merged.collect()}
+    want = {(r.register, r.max_rank) for r in direct.collect()}
+    assert got == want
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Tiny cardinalities route through the linear-counting branch
+    and land very close to exact."""
+    from dbt_fusion_spark.llm.sketch import hll_estimate, hll_sketch
+
+    a = spark.range(0, 30).selectExpr("cast(id as string) AS u")
+    r = hll_estimate(hll_sketch(a, "u", p=10), p=10).collect()[0]
+    assert r.n_empty > 900
+    assert abs(r.estimate - 30) < 3
+
+
+def test_k_anonymity_audit_hand_computed(spark):
+    from dbt_fusion_spark.plans.profile import k_anonymity_audit
+
+    rows = [("a", "x")] * 10 + [("a", "y")] * 3 + [("b", "x")] * 1
+    df = spark.createDataFrame(rows, "q1 string, q2 string")
+    r = k_anonymity_audit(df, ["q1", "q2"], k=5).collect()[0]
+    assert (r.n_rows, r.n_groups) == (14, 3)
+    assert r.n_violating_groups == 2
+    assert r.n_rows_at_risk == 4
+    assert r.min_group_size == 1
+    assert r.at_risk_frac == pytest.approx(4 / 14, abs=1e-6)

@@ -1038,3 +1038,86 @@ def test_fleiss_kappa_matches_formula_on_mixed_table(spark):
     assert r.observed_agreement == pytest.approx(pbar, abs=1e-6)
     assert r.expected_agreement == pytest.approx(pe, abs=1e-6)
     assert r.kappa == pytest.approx((pbar - pe) / (1 - pe), abs=1e-6)
+
+
+def test_msprt_always_valid_null_and_effect(spark):
+    """Under no effect the always-valid p stays near 1; under a clear
+    effect log_lambda grows and p collapses. Cross-check against a
+    direct python evaluation of the mixture likelihood ratio."""
+    import math
+
+    from dbt_fusion_spark.plans.stats import msprt_always_valid
+
+    null = [("a", float(i % 7)) for i in range(60)] + \
+           [("b", float(i % 7)) for i in range(60)]
+    r0 = msprt_always_valid(
+        _df(spark, null, "g string, v double"), "g", "v", "a", "b",
+        tau=1.0).collect()[0]
+    assert r0.diff == 0.0 and not r0.reject_at_05
+    assert r0.always_valid_p > 0.5
+
+    eff = [("a", float(i % 7)) for i in range(60)] + \
+          [("b", 5.0 + float(i % 7)) for i in range(60)]
+    r1 = msprt_always_valid(
+        _df(spark, eff, "g string, v double"), "g", "v", "a", "b",
+        tau=1.0).collect()[0]
+    assert r1.reject_at_05 and r1.always_valid_p < 1e-6
+    # python reference on the same moments
+    va = [float(i % 7) for i in range(60)]
+    vb = [5.0 + float(i % 7) for i in range(60)]
+    na, nb = len(va), len(vb)
+    ma, mb = sum(va) / na, sum(vb) / nb
+    ssa = sum((x - ma) ** 2 for x in va)
+    ssb = sum((x - mb) ** 2 for x in vb)
+    s2 = (ssa + ssb) / (na + nb - 2)
+    V = s2 * (1 / na + 1 / nb)
+    d = mb - ma
+    loglam = 0.5 * math.log(V / (V + 1)) + d * d / (2 * V * (V + 1))
+    assert r1.log_lambda == pytest.approx(loglam, abs=1e-4)
+
+
+def test_page_hinkley_flags_mean_shift(spark):
+    from dbt_fusion_spark.plans.stats import page_hinkley
+
+    rows = [("k", i, 10.0 + (0.5 if i % 2 else -0.5))
+            for i in range(30)]
+    rows += [("k", i, 14.0 + (0.5 if i % 2 else -0.5))
+             for i in range(30, 60)]
+    out = page_hinkley(
+        _df(spark, rows, "key string, t int, v double"),
+        "key", "t", "v", delta=0.5, lam=5.0).orderBy("t").collect()
+    assert not any(r.drift_up for r in out[:30])
+    assert any(r.drift_up for r in out[30:])
+    assert not any(r.drift_down for r in out)
+    # stationary series stays quiet both ways
+    quiet = [("k", i, 10.0 + (1.0 if i % 2 else -1.0))
+             for i in range(60)]
+    out2 = page_hinkley(
+        _df(spark, quiet, "key string, t int, v double"),
+        "key", "t", "v", delta=0.5, lam=5.0).collect()
+    assert not any(r.drift_up or r.drift_down for r in out2)
+
+
+def test_partial_correlation_removes_confounder(spark):
+    """x and y both driven by z, no direct link: raw r_xy is large,
+    partial r_xy.z collapses toward 0. Exact check vs numpy."""
+    import numpy as np
+
+    from dbt_fusion_spark.plans.stats import partial_correlation
+
+    rng = [(float(i % 13), ((i * 7) % 11) / 10.0) for i in range(80)]
+    rows = [(z + e1, 2 * z + e2, z) for (z, e1), (_, e2)
+            in zip(rng, rng[::-1])]
+    r = partial_correlation(
+        _df(spark, rows, "x double, y double, z double"),
+        "x", "y", "z").collect()[0]
+    X = np.array([a for a, _, _ in rows])
+    Y = np.array([b for _, b, _ in rows])
+    Z = np.array([c for _, _, c in rows])
+    rxy = np.corrcoef(X, Y)[0, 1]
+    rxz = np.corrcoef(X, Z)[0, 1]
+    ryz = np.corrcoef(Y, Z)[0, 1]
+    want = (rxy - rxz * ryz) / np.sqrt((1 - rxz**2) * (1 - ryz**2))
+    assert r.r_xy == pytest.approx(rxy, abs=1e-5)
+    assert r.partial_r == pytest.approx(want, abs=1e-5)
+    assert abs(r.partial_r) < abs(r.r_xy)

@@ -258,3 +258,26 @@ def test_schoenfeld_mean_residual_near_zero_at_mle(spark):
     assert r.n_event_times == 17  # distinct event times in gehan
     assert abs(r.mean_residual) < 1e-3
     assert r.corr is not None and abs(r.corr) < 1.0
+
+
+def test_competing_risks_cif_hand_computed(spark):
+    """4 subjects, 2 causes: CIFs walk S(t-) * d_k/n and sum to
+    1 - S(t) across causes at every time."""
+    from dbt_fusion_spark.plans.survival import competing_risks_cif
+
+    # t=1: cause 1 (n=4); t=2: censored (n=3); t=3: cause 2 (n=2);
+    # t=4: cause 1 (n=1)
+    rows = [(1, 1), (2, 0), (3, 2), (4, 1)]
+    out = {(r.t, r.cause): r for r in competing_risks_cif(
+        spark.createDataFrame(rows, "t int, e int"),
+        "t", "e").collect()}
+    # t=1 cause 1: S(0-)=1, d/n = 1/4
+    assert out[(1, 1)].cif == pytest.approx(0.25, abs=1e-6)
+    assert out[(1, 1)].s_before == pytest.approx(1.0, abs=1e-6)
+    # t=3 cause 2: S(3-) = 3/4, d/n = 1/2 -> 0.375
+    assert out[(3, 2)].cif == pytest.approx(0.375, abs=1e-6)
+    # t=4 cause 1: S(4-) = 3/4 * 1/2 = 0.375, d/n = 1 -> 0.25 + 0.375
+    assert out[(4, 1)].cif == pytest.approx(0.625, abs=1e-6)
+    # all-cause identity: sum of final CIFs = 1 - S(final) = 1
+    assert out[(4, 1)].cif + out[(3, 2)].cif == pytest.approx(
+        1.0, abs=1e-6)
