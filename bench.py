@@ -196,6 +196,11 @@ HEADLINE = [
     # r10 batch 5: the HLL register grid (pairs with kmv_distinct);
     # k-anonymity is one tiny grid reduce (keep-best rule)
     "sketch_hll_users",
+    # r10 batch 6: the full-outer bin-grid ECDF integral and the
+    # LEFT ANTI orphan audit (distinct join shape); the streaming HLL
+    # row is a foreachBatch lifecycle, not a query plan
+    "ab_cramer_von_mises",
+    "dq_referential_orphans",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

@@ -114,6 +114,11 @@ GATE_WINDOW: list[str] = [
     # r10 batch 5: the max-mergeable distinct sketch + privacy audit
     "sketch_hll_users",
     "dq_k_anonymity_audit",
+    # r10 batch 6: whole-curve ECDF drift, FK orphan audit, streamed
+    # HLL maintenance
+    "ab_cramer_von_mises",
+    "dq_referential_orphans",
+    "streaming_hll_maintenance",
 ]
 
 

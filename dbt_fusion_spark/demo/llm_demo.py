@@ -5660,9 +5660,81 @@ def sketch_hll_users(spark, sf_dir):
     est = hll_estimate(hll_sketch(ev, "user_id", p=_HLL_P), p=_HLL_P)
     truth = ev.agg(F.countDistinct("user_id").cast("bigint")
                    .alias("true_distinct"))
-    return (est.withColumn("__k", F.pmod(F.col("n_registers"),
-                                         F.lit(1)))
+    # opaque key from the COMPUTED n_empty — n_registers is a literal
+    # and Catalyst would constant-fold it into a BNLJ (the kappa bug)
+    return (est.withColumn("__k", F.pmod(F.col("n_empty"), F.lit(1)))
             .join(F.broadcast(truth.withColumn(
                 "__k", F.pmod(F.col("true_distinct"), F.lit(1)))),
                 "__k")
             .drop("__k"))
+
+
+@register(
+    "streaming_hll_maintenance",
+    # streamed HLL partials max-merge to the batch register grid, so
+    # the batch oracle applies verbatim (the countmin precedent).
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST('0x' || substring(
+               md5('42|' || CAST(user_id AS VARCHAR)), 1, 15)
+             AS BIGINT) AS hv
+      FROM events),
+    rw AS (
+      SELECT hv % {_HLL_M} AS register, hv >> {_HLL_P} AS w FROM h),
+    rk AS (
+      SELECT register,
+             CASE WHEN w = 0 THEN {_HLL_SHIFT}
+                  ELSE {_HLL_SHIFT} - ({_HLL_BITLEN}) END AS rank
+      FROM rw),
+    sk AS (
+      SELECT register, CAST(MAX(rank) AS BIGINT) AS max_rank
+      FROM rk GROUP BY register),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_filled,
+             SUM(CAST(pow(2.0, {_HLL_SHIFT} - max_rank)
+                      AS DECIMAL(38,0))) AS s
+      FROM sk),
+    est AS (
+      SELECT
+        CAST({_HLL_M} AS BIGINT) AS n_registers,
+        CAST({_HLL_M} - n_filled AS BIGINT) AS n_empty,
+        {_HLL_NUM!r}
+          / (CAST(CAST(s AS VARCHAR) AS DOUBLE)
+             + CAST({_HLL_M} - n_filled AS DOUBLE)
+               * {float(2 ** _HLL_SHIFT)!r}) AS raw
+      FROM agg)
+    SELECT n_registers, n_empty,
+      round(raw, 4) AS raw_estimate,
+      round(CASE WHEN raw <= {2.5 * _HLL_M!r} AND n_empty > 0
+                 THEN {float(_HLL_M)!r}
+                      * ln({float(_HLL_M)!r}
+                           / CAST(n_empty AS DOUBLE))
+                 ELSE raw END, 4) AS estimate
+    FROM est
+    """,
+)
+def streaming_hll_maintenance(spark, sf_dir):
+    """Streaming HyperLogLog maintenance (r10): events restaged as a
+    3-micro-batch stream, per-batch register grids appended to a
+    durable artifact, served by the read-time per-register MAX — the
+    distinct-count twin of the Count-Min row (HLL's max-merge makes
+    the streamed sketch register-identical to the batch build)."""
+    import tempfile
+
+    from dbt_fusion_spark.llm.sketch import hll_estimate
+    from dbt_fusion_spark.streaming import (hll_from_artifact,
+                                            streaming_hll_ingest)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"))
+    staging = tempfile.mkdtemp(prefix="dfs-hllstream-src-")
+    ev.repartition(3).write.mode("overwrite").parquet(staging)
+    stream = (spark.readStream.schema("user_id long")
+              .option("maxFilesPerTrigger", 1).parquet(staging))
+    path = tempfile.mkdtemp(prefix="dfs-hllstream-art-") + "/hll"
+    q = streaming_hll_ingest(
+        stream, path, tempfile.mkdtemp(prefix="dfs-hllstream-ck-"),
+        spark, trigger={"availableNow": True}, cols="user_id",
+        p=_HLL_P)
+    q.awaitTermination(300)
+    return hll_estimate(hll_from_artifact(spark, path), p=_HLL_P)

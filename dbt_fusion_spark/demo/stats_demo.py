@@ -3276,3 +3276,106 @@ def dq_k_anonymity_audit(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     return k_anonymity_audit(cust, ["c_nationkey", "c_mktsegment"],
                              k=5)
+
+
+@register(
+    "ab_cramer_von_mises",
+    # whole-curve ECDF drift on the binned grid: squared-gap terms
+    # weighted by combined counts, round(9)-DECIMAL sums.
+    oracle="""
+    WITH base AS (
+      SELECT floor(CAST(value AS DOUBLE) / 50.0) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS bn
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-11' AND value IS NOT NULL
+      GROUP BY 1),
+    cur AS (
+      SELECT floor(CAST(value AS DOUBLE) / 50.0) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cn
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-11' AND value IS NOT NULL
+      GROUP BY 1),
+    g AS (
+      SELECT COALESCE(base.bin, cur.bin) AS bin,
+             COALESCE(bn, 0) AS base_n, COALESCE(cn, 0) AS cur_n
+      FROM base FULL OUTER JOIN cur ON base.bin = cur.bin),
+    w AS (
+      SELECT *,
+        CAST(SUM(base_n) OVER () AS BIGINT) AS nb,
+        CAST(SUM(cur_n) OVER () AS BIGINT) AS nc,
+        CAST(SUM(base_n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+        CAST(SUM(cur_n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+      FROM g),
+    t AS (
+      SELECT *,
+        CAST(round(CAST(base_n + cur_n AS DOUBLE)
+          * (CAST(cb AS DOUBLE) / nb - CAST(cc AS DOUBLE) / nc)
+          * (CAST(cb AS DOUBLE) / nb - CAST(cc AS DOUBLE) / nc), 9)
+          AS DECIMAL(38,9)) AS wt
+      FROM w),
+    agg AS (
+      SELECT MAX(nb) AS n_base, MAX(nc) AS n_current,
+             CAST(CAST(SUM(wt) AS VARCHAR) AS DOUBLE) AS s
+      FROM t)
+    SELECT CAST(n_base AS BIGINT) AS n_base,
+      CAST(n_current AS BIGINT) AS n_current,
+      round(s, 6) AS integrated_sq_gap,
+      round(CAST(n_base AS DOUBLE) * n_current
+            / ((CAST(n_base AS DOUBLE) + n_current)
+               * (CAST(n_base AS DOUBLE) + n_current)) * s, 6)
+        AS cvm_stat,
+      (CAST(n_base AS DOUBLE) * n_current
+       / ((CAST(n_base AS DOUBLE) + n_current)
+          * (CAST(n_base AS DOUBLE) + n_current)) * s) > 0.461
+        AS significant_95
+    FROM agg
+    """,
+)
+def ab_cramer_von_mises(spark, sf_dir):
+    """Two-sample Cramér-von Mises drift of event value, first 10
+    days vs the rest (r10) — KS's whole-curve sibling: integrates the
+    squared ECDF gap so spread-out moderate drift registers even when
+    no single gap spikes."""
+    ev = load_table(spark, sf_dir, "events") \
+        .filter(F.col("value").isNotNull())
+    cut = F.lit("2024-01-11").cast("timestamp")
+    return S.cramer_von_mises(
+        ev.filter(F.col("ts") < cut),
+        ev.filter(F.col("ts") >= cut), "value", 50.0)
+
+
+@register(
+    "dq_referential_orphans",
+    # LEFT ANTI against the distinct parent keys + bounded reduces.
+    oracle="""
+    WITH keys AS (SELECT DISTINCT c_custkey FROM customer),
+    base AS (SELECT o_custkey FROM orders)
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_child,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM base
+       WHERE o_custkey IS NULL) AS n_null_keys,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM base
+       WHERE o_custkey IS NOT NULL
+         AND o_custkey NOT IN (SELECT c_custkey FROM keys))
+        AS n_orphans,
+      round((SELECT CAST(COUNT(*) AS DOUBLE) FROM base
+             WHERE o_custkey IS NOT NULL
+               AND o_custkey NOT IN (SELECT c_custkey FROM keys))
+            / (SELECT CAST(COUNT(*) AS DOUBLE) FROM base), 6)
+        AS orphan_frac,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM keys) AS n_parent_keys
+    """,
+)
+def dq_referential_orphans(spark, sf_dir):
+    """Referential-integrity audit of orders.o_custkey against the
+    customer table (r10) — the orphan-rate readout every warehouse dq
+    suite runs before trusting a join; NULL FKs reported separately
+    (a different defect class)."""
+    from dbt_fusion_spark.plans.profile import referential_integrity_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return referential_integrity_audit(orders, cust, "o_custkey",
+                                       "c_custkey")

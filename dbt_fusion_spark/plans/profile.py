@@ -209,3 +209,49 @@ def k_anonymity_audit(df: DataFrame, quasi_cols: list[str],
         F.round(F.col("n_rows_at_risk").cast("double")
                 / F.col("n_rows").cast("double"), 6)
          .alias("at_risk_frac"))
+
+
+def referential_integrity_audit(child: DataFrame, parent: DataFrame,
+                                child_key: str,
+                                parent_key: str) -> DataFrame:
+    """Referential-integrity audit: how many child rows point at a
+    parent key that does not exist (the orphan rate every warehouse
+    dq suite checks before trusting a join), plus NULL-key counts on
+    the child side (a NULL FK is not an orphan — it is a different
+    defect — so the two are reported separately).
+
+    Returns ONE row: n_child, n_null_keys, n_orphans, orphan_frac,
+    n_parent_keys.
+
+    Scale: one LEFT ANTI equi-join against the parent's DISTINCT key
+    projection (broadcast when small, shuffle-hash otherwise — the
+    optimizer's call) + two bounded reduces; the child scans once per
+    side of the audit, never row-by-row.
+    """
+    keys = parent.select(F.col(parent_key).alias("__pk")).distinct()
+    base = child.select(F.col(child_key).alias("__ck"))
+    nulls = base.filter(F.col("__ck").isNull())
+    orphans = (base.filter(F.col("__ck").isNotNull())
+               .join(keys, F.col("__ck") == F.col("__pk"), "left_anti"))
+    c1 = base.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+    c2 = nulls.agg(F.count(F.lit(1)).cast("bigint")
+                   .alias("n_null_keys"))
+    c3 = orphans.agg(F.count(F.lit(1)).cast("bigint")
+                     .alias("n_orphans"))
+    c4 = keys.agg(F.count(F.lit(1)).cast("bigint")
+                  .alias("n_parent_keys"))
+
+    def k(df2, col):
+        return df2.withColumn("__k", F.pmod(F.col(col), F.lit(1)))
+
+    one = (k(c1, "n_child")
+           .join(F.broadcast(k(c2, "n_null_keys")), "__k")
+           .join(F.broadcast(k(c3, "n_orphans")), "__k")
+           .join(F.broadcast(k(c4, "n_parent_keys")), "__k")
+           .drop("__k"))
+    return one.select(
+        "n_child", "n_null_keys", "n_orphans",
+        F.round(F.col("n_orphans").cast("double")
+                / F.col("n_child").cast("double"), 6)
+         .alias("orphan_frac"),
+        "n_parent_keys")

@@ -1810,3 +1810,48 @@ def partial_correlation(df: DataFrame, x_col: str, y_col: str,
         F.round(ryz, 6).alias("r_yz"),
         F.round(pr, 6).alias("partial_r"),
         F.coalesce(sig, F.lit(False)).alias("significant_95"))
+
+
+# ------------------------------------------------------- Cramer-von Mises
+def cramer_von_mises(base: DataFrame, current: DataFrame,
+                     value_col: str, bin_width: float) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic on the fixed-width grid —
+    KS's whole-curve sibling (KS reads the single worst ECDF gap; CvM
+    integrates the SQUARED gap over the distribution, so spread-out
+    moderate drift that never spikes still registers):
+
+        T = (n m / (n + m)^2) * sum_u (F1(u) - F2(u))^2
+
+    summed over the combined observations (binned: each grid bin
+    contributes its combined count times the squared ECDF gap at the
+    bin).  Returns ONE row: cvm_stat (T), the raw integrated gap, and
+    both sample sizes.  Same grid-resolution contract as
+    ks_two_sample.
+
+    Scale: the ks_two_sample walk exactly — one bounded bin grid, one
+    cumulative window; squared-gap terms ride round(9)->DECIMAL sums.
+    """
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    g = (_bin_grid(base, current, value_col, bin_width)
+         .withColumn("nb", F.sum("base_n").over(_grid()))
+         .withColumn("nc", F.sum("cur_n").over(_grid()))
+         .withColumn("cb", F.sum("base_n").over(wcum))
+         .withColumn("cc", F.sum("cur_n").over(wcum)))
+    gap = (F.col("cb").cast("double") / F.col("nb")
+           - F.col("cc").cast("double") / F.col("nc"))
+    w_t = _qterm((F.col("base_n") + F.col("cur_n")).cast("double")
+                 * gap * gap)
+    agg = g.agg(F.max("nb").alias("n_base"),
+                F.max("nc").alias("n_current"),
+                F.sum(w_t).alias("__s"))
+    nb = F.col("n_base").cast("double")
+    nc = F.col("n_current").cast("double")
+    s = _d2d("__s")
+    t = nb * nc / ((nb + nc) * (nb + nc)) * s
+    return agg.select(
+        "n_base", "n_current",
+        F.round(s, 6).alias("integrated_sq_gap"),
+        F.round(t, 6).alias("cvm_stat"),
+        # large-sample 5% critical value for the two-sample CvM
+        # statistic (Anderson 1962): 0.461
+        (t > 0.461).alias("significant_95"))

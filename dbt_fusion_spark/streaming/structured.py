@@ -571,3 +571,59 @@ def countmin_from_artifact(spark: SparkSession,
     return (spark.read.parquet(sketch_path)
             .groupBy("row", "col")
             .agg(F.sum("cnt").cast("bigint").alias("cnt")))
+
+
+def streaming_hll_ingest(
+    source: DataFrame,
+    sketch_path: str,
+    checkpoint: str,
+    spark: SparkSession,
+    trigger: dict | None = None,
+    cols: str = "user_id",
+    p: int = 10,
+    seed: int = 42,
+) -> StreamingQuery:
+    """Continuous HyperLogLog maintenance — the distinct-count twin of
+    streaming_countmin_ingest: each micro-batch's register grid
+    (llm/sketch.hll_sketch) appends to a durable partial-sketch
+    artifact keyed by batch id; HLL merges by per-register MAX, so the
+    live estimate is one bounded rollup away (``hll_from_artifact``)
+    and ingest never rewrites history.  Same idempotent-sink batch-id
+    contract as the Count-Min ingest.
+
+    Scale: per batch one projection + one MAX aggregate onto the
+    2^p-bounded grid — the write is grid-bounded no matter the batch.
+    """
+    from dbt_fusion_spark.llm.sketch import hll_sketch
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        try:
+            done = {r.batch_id for r in
+                    bspark.read.parquet(sketch_path)
+                    .select("batch_id").distinct().collect()}
+        except Exception:
+            done = set()
+        if batch_id in done:
+            return
+        sk = hll_sketch(batch, cols, p, seed) \
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+        sk.write.mode("append").parquet(sketch_path)
+
+    writer = (
+        source.writeStream.outputMode("append")
+        .foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def hll_from_artifact(spark: SparkSession,
+                      sketch_path: str) -> DataFrame:
+    """Serve the streamed partial-register artifact as ONE HLL sketch:
+    per-register MAX — feed straight to hll_estimate."""
+    return (spark.read.parquet(sketch_path)
+            .groupBy("register")
+            .agg(F.max("max_rank").cast("bigint").alias("max_rank")))

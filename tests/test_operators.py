@@ -1241,3 +1241,16 @@ def test_k_anonymity_audit_hand_computed(spark):
     assert r.n_rows_at_risk == 4
     assert r.min_group_size == 1
     assert r.at_risk_frac == pytest.approx(4 / 14, abs=1e-6)
+
+
+def test_referential_integrity_orphans_and_nulls(spark):
+    from dbt_fusion_spark.plans.profile import referential_integrity_audit
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (None,)], "fk long")
+    r = referential_integrity_audit(child, parent, "fk",
+                                    "pk").collect()[0]
+    assert (r.n_child, r.n_null_keys, r.n_orphans) == (5, 1, 1)
+    assert r.orphan_frac == pytest.approx(0.2, abs=1e-9)
+    assert r.n_parent_keys == 3

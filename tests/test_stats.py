@@ -1121,3 +1121,29 @@ def test_partial_correlation_removes_confounder(spark):
     assert r.r_xy == pytest.approx(rxy, abs=1e-5)
     assert r.partial_r == pytest.approx(want, abs=1e-5)
     assert abs(r.partial_r) < abs(r.r_xy)
+
+
+def test_cramer_von_mises_identical_zero_and_shift(spark):
+    from dbt_fusion_spark.plans.stats import cramer_von_mises
+
+    a = _df(spark, [(float(i % 10),) for i in range(100)], "v double")
+    r0 = cramer_von_mises(a, a, "v", 1.0).collect()[0]
+    assert r0.cvm_stat == 0.0 and not r0.significant_95
+    b = _df(spark, [(float(5 + i % 10),) for i in range(100)],
+            "v double")
+    r1 = cramer_von_mises(a, b, "v", 1.0).collect()[0]
+    # half-disjoint supports: big integrated gap, flagged
+    assert r1.cvm_stat > 0.461 and r1.significant_95
+    # python reference on the binned ECDFs
+    import collections
+    ca = collections.Counter(i % 10 for i in range(100))
+    cb = collections.Counter(5 + i % 10 for i in range(100))
+    bins = sorted(set(ca) | set(cb))
+    fa = fb = 0.0
+    s = 0.0
+    for u in bins:
+        fa += ca.get(u, 0) / 100
+        fb += cb.get(u, 0) / 100
+        s += (ca.get(u, 0) + cb.get(u, 0)) * (fa - fb) ** 2
+    want = 100 * 100 / 200 ** 2 * s
+    assert r1.cvm_stat == pytest.approx(want, abs=1e-6)

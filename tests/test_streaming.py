@@ -605,3 +605,29 @@ def test_streaming_countmin_ingest_merges_and_replays(spark, tmp_path):
                                    cols="token", depth=4, width=64)
     q2.awaitTermination(120)
     assert spark.read.parquet(path).count() == n
+
+
+def test_streaming_hll_ingest_matches_batch_sketch(spark, tmp_path):
+    """Streamed HLL partials max-merged at read time equal the batch
+    sketch of the same rows; estimate close to truth."""
+    from dbt_fusion_spark.llm.sketch import hll_estimate, hll_sketch
+    from dbt_fusion_spark.streaming import (hll_from_artifact,
+                                            streaming_hll_ingest)
+
+    df = spark.range(0, 2000).selectExpr("cast(id as string) AS u")
+    src = str(tmp_path / "in")
+    df.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema("u string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    path = str(tmp_path / "hll")
+    q = streaming_hll_ingest(stream, path, str(tmp_path / "ck"), spark,
+                             trigger={"availableNow": True}, cols="u",
+                             p=10)
+    q.awaitTermination(120)
+    merged = hll_from_artifact(spark, path)
+    batch = hll_sketch(df, "u", p=10)
+    got = {(r.register, r.max_rank) for r in merged.collect()}
+    want = {(r.register, r.max_rank) for r in batch.collect()}
+    assert got == want
+    est = hll_estimate(merged, p=10).collect()[0]
+    assert abs(est.estimate - 2000) / 2000 < 0.1
