@@ -201,6 +201,11 @@ HEADLINE = [
     # row is a foreachBatch lifecycle, not a query plan
     "ab_cramer_von_mises",
     "dq_referential_orphans",
+    # r10 batch 7: the 6-class regexp-strip scan (the heaviest
+    # per-char text op this round) and the 5-way conditional pivot;
+    # cmh is one stratum-grid aggregate (keep-best rule)
+    "text_script_mix",
+    "sql_pivot_daily_counts",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR

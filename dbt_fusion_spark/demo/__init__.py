@@ -119,6 +119,10 @@ GATE_WINDOW: list[str] = [
     "ab_cramer_von_mises",
     "dq_referential_orphans",
     "streaming_hll_maintenance",
+    # r10 batch 7: stratified association, script QA, warehouse PIVOT
+    "ab_cmh_stratified",
+    "text_script_mix",
+    "sql_pivot_daily_counts",
 ]
 
 

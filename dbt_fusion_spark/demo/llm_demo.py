@@ -5738,3 +5738,78 @@ def streaming_hll_maintenance(spark, sf_dir):
         p=_HLL_P)
     q.awaitTermination(300)
     return hll_estimate(hll_from_artifact(spark, path), p=_HLL_P)
+
+
+@register(
+    "text_script_mix",
+    # docs deterministically decorated per lang with non-Latin script
+    # (the corpus is pure ASCII — the mojibake-row pattern), restated
+    # identically in the oracle; counts = length minus stripped
+    # length; fractions raw exact-operand doubles (midpoint-safe).
+    oracle="""
+    WITH deco AS (
+      SELECT doc_id,
+        text || CASE lang
+          WHEN 'zh' THEN ' 中文内容测试'
+          WHEN 'de' THEN ' straße über'
+          WHEN 'fr' THEN ' café été'
+          WHEN 'es' THEN ' mañana nú 42'
+          ELSE ' plain ascii' END AS t
+      FROM documents),
+    c AS (
+      SELECT doc_id, t, CAST(length(t) AS BIGINT) AS n,
+        length(t) - length(regexp_replace(t,
+          '[A-Za-z\\x{00C0}-\\x{024F}]', '', 'g')) AS c_latin,
+        length(t) - length(regexp_replace(t,
+          '[\\x{0400}-\\x{04FF}]', '', 'g')) AS c_cyr,
+        length(t) - length(regexp_replace(t,
+          '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]',
+          '', 'g')) AS c_cjk,
+        length(t) - length(regexp_replace(t,
+          '[\\x{0600}-\\x{06FF}]', '', 'g')) AS c_arab,
+        length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+          AS c_digit,
+        length(t) - length(regexp_replace(t, '[ \t\r\n]', '', 'g'))
+          AS c_ws
+      FROM deco)
+    SELECT doc_id, n AS n_chars,
+      CASE WHEN n > 0 THEN CAST(c_latin AS DOUBLE) / n END
+        AS frac_latin,
+      CASE WHEN n > 0 THEN CAST(c_cyr AS DOUBLE) / n END
+        AS frac_cyrillic,
+      CASE WHEN n > 0 THEN CAST(c_cjk AS DOUBLE) / n END AS frac_cjk,
+      CASE WHEN n > 0 THEN CAST(c_arab AS DOUBLE) / n END
+        AS frac_arabic,
+      CASE WHEN n > 0 THEN CAST(c_digit AS DOUBLE) / n END
+        AS frac_digit,
+      CASE WHEN n > 0 THEN CAST(c_ws AS DOUBLE) / n END
+        AS frac_whitespace,
+      1.0 - CASE WHEN n > 0 THEN CAST(c_latin AS DOUBLE) / n END
+          - CASE WHEN n > 0 THEN CAST(c_cyr AS DOUBLE) / n END
+          - CASE WHEN n > 0 THEN CAST(c_cjk AS DOUBLE) / n END
+          - CASE WHEN n > 0 THEN CAST(c_arab AS DOUBLE) / n END
+          - CASE WHEN n > 0 THEN CAST(c_digit AS DOUBLE) / n END
+          - CASE WHEN n > 0 THEN CAST(c_ws AS DOUBLE) / n END
+        AS frac_other
+    FROM c
+    """,
+)
+def text_script_mix(spark, sf_dir):
+    """Per-document Unicode script distribution (r10): the wrong-
+    script contamination QA next to lang-ID. The ASCII corpus is
+    deterministically decorated per lang with genuine non-Latin
+    content (the mojibake-row pattern) so every class is exercised;
+    explicit codepoint ranges keep Java regex and RE2 in agreement."""
+    from dbt_fusion_spark.llm.text import script_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    deco = F.concat(
+        F.col("text"),
+        F.when(F.col("lang") == "zh",
+               F.lit(" 中文内容测试"))
+        .when(F.col("lang") == "de", F.lit(" straße über"))
+        .when(F.col("lang") == "fr", F.lit(" café été"))
+        .when(F.col("lang") == "es",
+              F.lit(" mañana nú 42"))
+        .otherwise(F.lit(" plain ascii")))
+    return script_mix(docs.withColumn("text", deco), "doc_id", "text")

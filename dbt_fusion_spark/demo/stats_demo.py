@@ -3379,3 +3379,105 @@ def dq_referential_orphans(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     return referential_integrity_audit(orders, cust, "o_custkey",
                                        "c_custkey")
+
+
+@register(
+    "ab_cmh_stratified",
+    # stratified 2x2 cells in one conditional aggregate; E/V/OR terms
+    # round(9)-DECIMAL sums; continuity-corrected chi2.
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS s,
+        CAST(SUM(CASE WHEN o_custkey % 2 = 0
+                       AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN o_custkey % 2 = 0
+                       AND o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN o_custkey % 2 <> 0
+                       AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN o_custkey % 2 <> 0
+                       AND o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+             AS BIGINT) AS d
+      FROM orders GROUP BY 1),
+    t AS (SELECT *, a + b + c + d AS n FROM g WHERE a+b+c+d >= 2),
+    u AS (
+      SELECT *,
+        CAST(round(CAST((a + b) * (a + c) AS DOUBLE)
+                   / CAST(n AS DOUBLE), 9) AS DECIMAL(38,9)) AS e_t,
+        CAST(round(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                   * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * (CAST(n AS DOUBLE) - 1)), 9)
+             AS DECIMAL(38,9)) AS v_t,
+        CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                   / CAST(n AS DOUBLE), 9) AS DECIMAL(38,9)) AS nu_t,
+        CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                   / CAST(n AS DOUBLE), 9) AS DECIMAL(38,9)) AS de_t
+      FROM t),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        CAST(SUM(n) AS BIGINT) AS n,
+        CAST(SUM(a) AS BIGINT) AS sum_a,
+        CAST(CAST(SUM(e_t) AS VARCHAR) AS DOUBLE) AS ee,
+        CAST(CAST(SUM(v_t) AS VARCHAR) AS DOUBLE) AS vv,
+        CAST(CAST(SUM(nu_t) AS VARCHAR) AS DOUBLE) AS orn,
+        CAST(CAST(SUM(de_t) AS VARCHAR) AS DOUBLE) AS ord_
+      FROM u)
+    SELECT n_strata, n, sum_a,
+      round(ee, 6) AS expected_a,
+      round(CASE WHEN vv > 0 THEN
+        greatest(abs(CAST(sum_a AS DOUBLE) - ee) - 0.5, 0.0)
+        * greatest(abs(CAST(sum_a AS DOUBLE) - ee) - 0.5, 0.0)
+        / vv END, 6) AS chi2,
+      round(CASE WHEN ord_ > 0 THEN orn / ord_ END, 6) AS or_mh,
+      COALESCE(CASE WHEN vv > 0 THEN
+        greatest(abs(CAST(sum_a AS DOUBLE) - ee) - 0.5, 0.0)
+        * greatest(abs(CAST(sum_a AS DOUBLE) - ee) - 0.5, 0.0)
+        / vv > 3.841459 END, FALSE) AS significant_95
+    FROM agg
+    """,
+)
+def ab_cmh_stratified(spark, sf_dir):
+    """Cochran-Mantel-Haenszel stratified association (r10): does
+    even-keyed customers' order-completion rate differ, holding
+    priority fixed? — the Simpson's-paradox-proof 2x2 readout with
+    the Mantel-Haenszel common odds ratio."""
+    orders = load_table(spark, sf_dir, "orders")
+    return S.cmh_test(orders, "o_orderpriority",
+                      F.col("o_custkey") % 2 == 0,
+                      F.col("o_orderstatus") == "F")
+
+
+@register(
+    "sql_pivot_daily_counts",
+    # warehouse PIVOT with an explicit IN list: one conditional
+    # aggregate, schema a pure function of the call.
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+      CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           AS BIGINT) AS click,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           AS BIGINT) AS error,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS purchase,
+      CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           AS BIGINT) AS signup,
+      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def sql_pivot_daily_counts(spark, sf_dir):
+    """PIVOT with an explicit IN list (r10): per-day wide count table
+    over the five event types — deterministic schema (no distinct
+    scan), one conditional aggregate; unpivot_counts inverts it
+    (roundtrip property-tested)."""
+    from dbt_fusion_spark.plans.reshape import pivot_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return pivot_counts(
+        ev.withColumn("day", F.date_trunc("day", F.col("ts"))),
+        "day", "event_type",
+        ["click", "error", "purchase", "signup", "view"])

@@ -546,3 +546,47 @@ def rake_keywords(df: DataFrame, id_col: str, text_col: str,
     return (final.withColumn("rank", F.row_number().over(wr))
             .filter(F.col("rank") <= k)
             .select("rank", "phrase", "n_occurrences", "score"))
+
+
+def script_mix(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Unicode SCRIPT distribution — the lang-pipeline QA
+    that catches wrong-script contamination the token-level lang-ID
+    heuristic scores anyway (Cyrillic spam inside an 'en' corpus,
+    mojibake remnants, digit-wall docs): fractions of Latin, Cyrillic,
+    CJK, Arabic, digit, whitespace, and other characters.
+
+    Character classes are EXPLICIT codepoint ranges (\\x{...} syntax —
+    identical semantics in Java regex and RE2, unlike \\p{script=}
+    whose Unicode tables drift by engine/version).  Counts come from
+    length-minus-stripped-length, all codegen'd; fractions are raw
+    exact-operand doubles over n_chars (midpoint-safe, the
+    novelty_frac convention).  Empty/NULL docs emit n_chars = 0 with
+    NULL fractions.
+    """
+    s = F.col(text_col)
+    total = F.length(s)
+
+    def frac(pattern: str):
+        cnt = total - F.length(F.regexp_replace(s, pattern, ""))
+        return F.when(total > 0,
+                      cnt.cast("double") / total.cast("double"))
+
+    latin = r"[A-Za-z\x{00C0}-\x{024F}]"
+    cyr = r"[\x{0400}-\x{04FF}]"
+    cjk = r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]"
+    arab = r"[\x{0600}-\x{06FF}]"
+    digit = r"[0-9]"
+    ws = r"[ \t\r\n]"
+    out = df.select(
+        F.col(id_col),
+        F.coalesce(total, F.lit(0)).cast("bigint").alias("n_chars"),
+        frac(latin).alias("frac_latin"),
+        frac(cyr).alias("frac_cyrillic"),
+        frac(cjk).alias("frac_cjk"),
+        frac(arab).alias("frac_arabic"),
+        frac(digit).alias("frac_digit"),
+        frac(ws).alias("frac_whitespace"))
+    other = (F.lit(1.0) - F.col("frac_latin") - F.col("frac_cyrillic")
+             - F.col("frac_cjk") - F.col("frac_arabic")
+             - F.col("frac_digit") - F.col("frac_whitespace"))
+    return out.withColumn("frac_other", other)

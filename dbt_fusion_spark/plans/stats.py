@@ -1855,3 +1855,69 @@ def cramer_von_mises(base: DataFrame, current: DataFrame,
         # large-sample 5% critical value for the two-sample CvM
         # statistic (Anderson 1962): 0.461
         (t > 0.461).alias("significant_95"))
+
+
+# -------------------------------------------------- Cochran-Mantel-Haenszel
+def cmh_test(df: DataFrame, stratum_col: str, exposure_col,
+             outcome_col) -> DataFrame:
+    """Cochran-Mantel-Haenszel test + common odds ratio: the
+    STRATIFIED 2x2 association test — "does exposure move the outcome
+    once the confounding stratum is held fixed?" (the categorical twin
+    of CUPED/DiD, and the Simpson's-paradox guard: per-stratum tables
+    can all agree while the pooled table flips).
+
+        per stratum k (2x2 cells a,b,c,d; n = a+b+c+d, n >= 2):
+          E_k = (a+b)(a+c)/n
+          V_k = (a+b)(c+d)(a+c)(b+d) / (n^2 (n-1))
+        chi2  = (|sum a - sum E| - 0.5)^2 / sum V   (continuity-
+                corrected, 1 dof)
+        OR_mh = sum(a d / n) / sum(b c / n)         (Mantel-Haenszel)
+
+    `exposure_col` / `outcome_col` are boolean-able columns or
+    expressions.  Returns ONE row: n_strata, n, sum_a, expected_a,
+    chi2, or_mh, significant_95.  Single-row strata carry no
+    information (V = 0/0) and are excluded.
+
+    Scale: one (stratum)-keyed conditional aggregate onto the bounded
+    stratum grid; E/V/OR terms ride round(9)->DECIMAL sums — a single
+    scan.
+    """
+    e = (F.col(exposure_col) if isinstance(exposure_col, str)
+         else exposure_col).cast("boolean")
+    o = (F.col(outcome_col) if isinstance(outcome_col, str)
+         else outcome_col).cast("boolean")
+    g = (df.groupBy(F.col(stratum_col).alias("s"))
+           .agg(F.sum(F.when(e & o, 1).otherwise(0)).alias("a"),
+                F.sum(F.when(e & ~o, 1).otherwise(0)).alias("b"),
+                F.sum(F.when(~e & o, 1).otherwise(0)).alias("c"),
+                F.sum(F.when(~e & ~o, 1).otherwise(0)).alias("d"))
+           .withColumn("n", F.col("a") + F.col("b") + F.col("c")
+                       + F.col("d"))
+           .filter(F.col("n") >= 2))
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    c, d = F.col("c").cast("double"), F.col("d").cast("double")
+    n = F.col("n").cast("double")
+    e_t = _qterm((a + b) * (a + c) / n)
+    v_t = _qterm((a + b) * (c + d) * (a + c) * (b + d)
+                 / (n * n * (n - 1)))
+    num_t = _qterm(a * d / n)
+    den_t = _qterm(b * c / n)
+    agg = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("a").cast("bigint").alias("sum_a"),
+        F.sum(e_t).alias("__e"), F.sum(v_t).alias("__v"),
+        F.sum(num_t).alias("__or_n"), F.sum(den_t).alias("__or_d"))
+    sa = F.col("sum_a").cast("double")
+    ee, vv = _d2d("__e"), _d2d("__v")
+    gap = F.greatest(F.abs(sa - ee) - F.lit(0.5), F.lit(0.0))
+    chi2 = F.when(vv > 0, gap * gap / vv)
+    orn, ord_ = _d2d("__or_n"), _d2d("__or_d")
+    or_mh = F.when(ord_ > 0, orn / ord_)
+    return agg.select(
+        "n_strata", "n", "sum_a",
+        F.round(ee, 6).alias("expected_a"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(or_mh, 6).alias("or_mh"),
+        F.coalesce(chi2 > 3.841459, F.lit(False))
+         .alias("significant_95"))

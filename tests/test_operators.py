@@ -1254,3 +1254,25 @@ def test_referential_integrity_orphans_and_nulls(spark):
     assert (r.n_child, r.n_null_keys, r.n_orphans) == (5, 1, 1)
     assert r.orphan_frac == pytest.approx(0.2, abs=1e-9)
     assert r.n_parent_keys == 3
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    from dbt_fusion_spark.plans.reshape import pivot_counts, unpivot_counts
+
+    rows = [("d1", "x"), ("d1", "x"), ("d1", "y"), ("d2", "y"),
+            ("d2", "z")]
+    df = spark.createDataFrame(rows, "day string, k string")
+    wide = pivot_counts(df, "day", "k", ["x", "y", "z"])
+    w = {r.day: r for r in wide.collect()}
+    assert (w["d1"].x, w["d1"].y, w["d1"].z) == (2, 1, 0)
+    assert (w["d2"].x, w["d2"].y, w["d2"].z) == (0, 1, 1)
+    # out-of-list values are ignored (PIVOT IN-list semantics)
+    wide2 = pivot_counts(df, "day", "k", ["x"])
+    assert {(r.day, r.x) for r in wide2.collect()} == {("d1", 2),
+                                                       ("d2", 0)}
+    # roundtrip: unpivot(pivot(长)) == the sparse long rollup
+    back = {(r.day, r.key): r.n for r in
+            unpivot_counts(wide, "day", ["x", "y", "z"]).collect()}
+    want = {("d1", "x"): 2, ("d1", "y"): 1, ("d2", "y"): 1,
+            ("d2", "z"): 1}
+    assert back == want

@@ -1123,3 +1123,22 @@ def test_gains_table_separable_scores(spark):
     assert out[4].gain == pytest.approx(1.0, abs=1e-9)
     assert out[4].lift == pytest.approx(1.0, abs=1e-9)
     assert out[2].n_pos == 0 and out[2].cum_pos == 5
+
+
+def test_script_mix_hand_counts(spark):
+    from dbt_fusion_spark.llm.text import script_mix
+
+    rows = [(1, "abc де 中文 12 "), (2, ""), (3, None)]
+    out = {r.doc_id: r for r in script_mix(
+        spark.createDataFrame(rows, "doc_id int, text string"),
+        "doc_id", "text").collect()}
+    r = out[1]  # 13 chars: 3 latin, 2 cyr, 2 cjk, 2 digit, 4 ws
+    assert r.n_chars == 13
+    assert r.frac_latin == pytest.approx(3 / 13)
+    assert r.frac_cyrillic == pytest.approx(2 / 13)
+    assert r.frac_cjk == pytest.approx(2 / 13)
+    assert r.frac_digit == pytest.approx(2 / 13)
+    assert r.frac_whitespace == pytest.approx(4 / 13)
+    assert r.frac_other == pytest.approx(0.0, abs=1e-9)
+    assert out[2].n_chars == 0 and out[2].frac_latin is None
+    assert out[3].n_chars == 0

@@ -1147,3 +1147,43 @@ def test_cramer_von_mises_identical_zero_and_shift(spark):
         s += (ca.get(u, 0) + cb.get(u, 0)) * (fa - fb) ** 2
     want = 100 * 100 / 200 ** 2 * s
     assert r1.cvm_stat == pytest.approx(want, abs=1e-6)
+
+
+def test_cmh_matches_python_reference_and_flags(spark):
+    from dbt_fusion_spark.plans.stats import cmh_test
+
+    # two strata with a consistent exposure->outcome association
+    rows = []
+    for s, (a, b, c, d) in (("s1", (20, 10, 10, 20)),
+                            ("s2", (30, 10, 15, 25))):
+        rows += [(s, True, True)] * a + [(s, True, False)] * b \
+            + [(s, False, True)] * c + [(s, False, False)] * d
+    r = cmh_test(_df(spark, rows, "s string, e boolean, o boolean"),
+                 "s", "e", "o").collect()[0]
+    E = V = A = orn = ord_ = 0.0
+    for a, b, c, d in ((20, 10, 10, 20), (30, 10, 15, 25)):
+        n = a + b + c + d
+        A += a
+        E += (a + b) * (a + c) / n
+        V += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+        orn += a * d / n
+        ord_ += b * c / n
+    chi2 = (abs(A - E) - 0.5) ** 2 / V
+    assert r.n_strata == 2 and r.sum_a == int(A)
+    assert r.expected_a == pytest.approx(E, abs=1e-6)
+    assert r.chi2 == pytest.approx(chi2, abs=1e-5)
+    assert r.or_mh == pytest.approx(orn / ord_, abs=1e-6)
+    assert r.significant_95
+
+
+def test_cmh_null_association_insignificant(spark):
+    from dbt_fusion_spark.plans.stats import cmh_test
+
+    rows = []
+    for s in ("s1", "s2", "s3"):
+        rows += [(s, True, True)] * 10 + [(s, True, False)] * 10 \
+            + [(s, False, True)] * 10 + [(s, False, False)] * 10
+    r = cmh_test(_df(spark, rows, "s string, e boolean, o boolean"),
+                 "s", "e", "o").collect()[0]
+    assert r.or_mh == pytest.approx(1.0, abs=1e-6)
+    assert not r.significant_95
