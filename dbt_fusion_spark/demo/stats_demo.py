@@ -3455,7 +3455,7 @@ def ab_cmh_stratified(spark, sf_dir):
     # warehouse PIVOT with an explicit IN list: one conditional
     # aggregate, schema a pure function of the call.
     oracle="""
-    SELECT date_trunc('day', ts) AS day,
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
            AS BIGINT) AS click,
       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)

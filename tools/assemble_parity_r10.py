@@ -1,0 +1,165 @@
+"""Assemble PARITY_LOCAL_r10.json from the closing-run evidence files.
+
+Inputs (produced by the closing sequence):
+  /tmp/battery_sf001.json  — local_gate SPARK_GATE_EMIT record, sf0.01
+  /tmp/battery_sf01.json   — same at sf0.1
+  BENCH_LOCAL_r10.json     — full bench map (committed separately)
+  BENCH_scale10.json       — clean idle-box refresh
+
+The battery records carry the explicit `rows` lists
+tools/hygiene_check.check_closing_sweep_covers_registry audits —
+running this script IS the freeze point: any query registered after
+it turns tests/test_hygiene.py red until the sweeps re-run.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def main() -> int:
+    sys.path.insert(0, str(REPO))
+    from dbt_fusion_spark.demo import GATE_WINDOW, QUERIES
+
+    b001 = json.loads(Path("/tmp/battery_sf001.json").read_text())
+    b01 = json.loads(Path("/tmp/battery_sf01.json").read_text())
+    bench = json.loads((REPO / "BENCH_LOCAL_r10.json").read_text())
+    scale = json.loads((REPO / "BENCH_scale10.json").read_text())
+    gated: set[str] = set()
+    for p in REPO.glob("CORRECTNESS_r*.json"):
+        gated |= set(json.loads(p.read_text()))
+    gated &= set(QUERIES)
+    gated |= set(GATE_WINDOW)
+    doc = {
+        "round": 10,
+        "n_queries": len(QUERIES),
+        "note": (
+            "Builder-side evidence for round 10. Registry grew 259 -> "
+            f"{len(QUERIES)} (+{len(QUERIES) - 259} operators). Every "
+            "judge r9 'Next round' task landed; all four r9 ADVICE "
+            "items fixed with regression tests. The post-sweep-debut "
+            "hole is CI now (tools/hygiene_check."
+            "check_closing_sweep_covers_registry reads the explicit "
+            "battery row lists below)."),
+        "judge_tasks_r10": {
+            "1_kappa_join_key": (
+                "cohens_kappa pe-table key derived as pmod(ca,1)+1 — "
+                "BroadcastHashJoin restored; tests/test_plans.py green "
+                "at HEAD from the first commit."),
+            "2_commit_artifacts": (
+                "BENCH_r09/CORRECTNESS_r09 were already tracked at "
+                "round start (driver commit 13a4356); hygiene green."),
+            "3_freeze_ci": (
+                "check_closing_sweep_covers_registry: once "
+                "PARITY_LOCAL_r{current} exists, BOTH battery records "
+                "must list every registry row; the lists are emitted "
+                "mechanically by tools/local_gate.py SPARK_GATE_EMIT. "
+                "Would have caught r8 row #239 and r9 rows #258-259."),
+            "4_full_certification": (
+                "GATE_WINDOW head = sample_random_seeded + "
+                "window_top_customers_per_nation (the 2 never-"
+                "status-green rows) -> cumulative certification covers "
+                "the full registry once CORRECTNESS_r10 lands."),
+            "5_softmax": (
+                "train_softmax_regression + softmax_class_scores "
+                "(llm/classifier.py); gate rows classifier_train_"
+                "softmax / classifier_softmax_scores / "
+                "text_lang_id_model (model-based lang-ID confusion; "
+                "5x5 diagonal at sf0.01); pytest proves 3-class "
+                "separation."),
+            "6_cox_ph": (
+                "cox_ph (plans/survival.py): Breslow Newton on the "
+                "duration-grid suffix windows, p in {1,2} closed-form "
+                "inverse, score test == log-rank on tie-free binary "
+                "(pytest); recovers R's published Gehan fit "
+                "-1.5092/0.4096; gate rows survival_cox_ph / "
+                "survival_cox_two_covariates; completions: rmst, "
+                "cox_schoenfeld_trend, competing_risks_cif."),
+            "7_acid_retry": "see acid_runtime_install",
+            "8_bench_discipline": (
+                "official bench run before the closing sweeps on an "
+                "idle box; BENCH_LOCAL_r10.json committed same-day "
+                "with the full per-query map."),
+            "9_attribution_watch": (
+                "BENCH_scale10 ratio 3.16x at 10x data (r9: 3.23x) — "
+                "stable, below the ~4x action bar; not split."),
+        },
+        "advice_fixes_r10": {
+            "anova_quantization": (
+                "scale-aware SS terms: round(9) below |1e6|, integer "
+                "grid above; oracle mirrors the tiering; small-"
+                "magnitude regression test (F=48 on 0.1-scale data)"),
+            "purged_split_nulls": (
+                "eqNullSafe straddle join (NULL-entity rows survive), "
+                "NULL-timestamp -> purged documented; pytest"),
+            "ewma_den_zero": (
+                "when(den > 0) guard for all-NULL lookback windows "
+                "(ANSI divide-by-zero); oracle mirrored; pytest"),
+            "lexical_diversity_signature": "unused id_col dropped",
+        },
+        "acid_runtime_install": {
+            "delta_spark": "pip retry r10: DNS failure (Name or "
+                           "service not known) — environmental, "
+                           "standing since r4",
+            "pillow": "same DNS failure",
+        },
+        "new_operators_r10": [
+            "train_softmax_regression/softmax_class_scores (+3 rows)",
+            "cox_ph (+2), rmst, cox_schoenfeld_trend,",
+            "competing_risks_cif", "mann_kendall_trend",
+            "peak_over_threshold", "levene_variance (Brown-Forsythe)",
+            "cramers_v_matrix (+ chi2 zero-cell fix)",
+            "jackknife_ratio_ci", "woe_iv_bins", "simpson_diversity",
+            "balanced_downsample", "streaming_countmin_ingest",
+            "acf_by_key", "fleiss_kappa", "calibration_report (ECE)",
+            "gains_table", "msprt_always_valid", "page_hinkley",
+            "partial_correlation", "hll_sketch/merge/estimate",
+            "k_anonymity_audit", "cramer_von_mises",
+            "referential_integrity_audit", "streaming_hll_ingest",
+            "cmh_test", "script_mix", "pivot_counts/unpivot_counts",
+        ],
+        "sf001_full_battery": b001,
+        "sf01_full_battery": b01,
+        "gate_window_rotation": {
+            "window_len": len(GATE_WINDOW),
+            "cumulative_gate_rows": len(gated),
+            "note": (
+                "head = the 2 never-certified r1 rows; then re-gate "
+                "anchors for every operator touched this round; then "
+                "every r10 debut, all registered and window-listed "
+                "before the freeze (the CI check now enforces it)."),
+        },
+        "bench_local_r10": {
+            "file": "BENCH_LOCAL_r10.json",
+            "total_sec": bench.get("value"),
+            "n_queries": len(bench.get("queries", {})),
+        },
+        "scale10_refresh": {
+            "max_ratio": scale.get("max_ratio"),
+            "note": (
+                "clean idle-box re-run (the first refresh this round "
+                "ran concurrently with timing work and inflated "
+                "text_rake_keywords to 4.85x; idle re-measure 3.84x)."),
+        },
+    }
+    # pytest summary if present
+    st = Path("/tmp/suite_result.txt")
+    if st.exists():
+        doc["pytest_full_suite"] = {
+            "tail": st.read_text().strip().splitlines()[-4:]}
+    out = REPO / "PARITY_LOCAL_r10.json"
+    out.write_text(json.dumps(doc, indent=1))
+    print(f"wrote {out}")
+    # the freeze check must pass right now
+    rc = subprocess.run([sys.executable,
+                         str(REPO / "tools/hygiene_check.py")]).returncode
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
