@@ -142,9 +142,19 @@ def main() -> int:
         "scale10_refresh": {
             "max_ratio": scale.get("max_ratio"),
             "note": (
-                "clean idle-box re-run (the first refresh this round "
-                "ran concurrently with timing work and inflated "
-                "text_rake_keywords to 4.85x; idle re-measure 3.84x)."),
+                "clean idle-box re-run (the first refresh ran "
+                "concurrently with timing work and inflated "
+                "text_rake_keywords to 4.85x). Worst row = "
+                "text_rake_keywords 4.39x wall at 10x data (r9 "
+                "2.96x); SHUFFLE_AUDIT adjudicates: its shuffle bytes "
+                "grow only 2.48x (input 15x) — the plan is byte-"
+                "sub-linear and the wall ratio is small-stage "
+                "overhead in a 106 KB-shuffle regime, not a shuffle "
+                "blowup. events_attribution_models (the r8/r9 watch "
+                "row) improved to 2.97x. All r10 debuts: softmax "
+                "train 2.57x, cox 1.0x, mann-kendall 0.87x, cramers "
+                "1.29x; r10 shuffle audit rows all <= 8x write bytes "
+                "at 10x data."),
         },
     }
     # pytest summary if present

@@ -86,6 +86,21 @@ QUERY_SET = [
     "classifier_train_logreg",
     "similarity_int8_topk",
     "ab_kruskal_wallis_value",
+    # r10: the K-class training lifecycle (the byte story: margins and
+    # gradients scale with K but the weight grid stays broadcast), the
+    # Newton survival fit (duration-grid suffix windows — shuffle
+    # bytes should track the GRID, not the rows), the day-grid pair
+    # trend, the 6-class regexp scan (pure map: zero shuffle growth
+    # expected), and the streamed-sketch serving rollup
+    "classifier_train_softmax",
+    "survival_cox_two_covariates",
+    "stats_mann_kendall_daily",
+    "text_script_mix",
+    "sketch_hll_users",
+    # r10: the worst scale10 wall ratio (4.39x at 10x) — the byte
+    # ratios adjudicate fixed-overhead amortization vs a real
+    # super-linear shuffle
+    "text_rake_keywords",
 ]
 
 FIELDS = ("inputBytes", "shuffleReadBytes", "shuffleWriteBytes",
