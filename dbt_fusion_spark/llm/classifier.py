@@ -717,8 +717,9 @@ def calibration_report(df: DataFrame, label_col, score_col: str,
         bin b: conf_b = mean score, acc_b = positive rate
         ece    = sum_b n_b / N * |acc_b - conf_b|
 
-    Fixed-width bins over [0, 1] (bin = min(floor(s * bins), bins-1) —
-    deterministic, no rank ties).  Emits one row per non-empty bin:
+    Fixed-width bins over [0, 1] (bin = clamp(floor(s * bins), 0,
+    bins-1) — deterministic, no rank ties; out-of-range scores land in
+    the edge bins instead of fabricating bins).  Emits one row per non-empty bin:
     bin, lo/hi edges, n, n_pos, confidence, accuracy, |gap|, and the
     table-wide ece on every row.
 
@@ -732,8 +733,12 @@ def calibration_report(df: DataFrame, label_col, score_col: str,
     y = (F.col(label_col) if isinstance(label_col, str)
          else label_col).cast("bigint")
     s = F.col(score_col).cast("double")
-    b = F.least(F.floor(s * F.lit(float(bins))),
-                F.lit(bins - 1)).cast("bigint")
+    # Clamp BOTH ends: least() handles s = 1.0, greatest() handles a
+    # miscalibrated s < 0 that would otherwise emit negative bin ids
+    # with negative bin_lo edges still counted into ECE.
+    b = F.greatest(F.least(F.floor(s * F.lit(float(bins))),
+                           F.lit(bins - 1)),
+                   F.lit(0)).cast("bigint")
     g = (df.select(y.alias("__y"), s.alias("__s"), b.alias("bin"))
            .na.drop()
            .groupBy("bin")

@@ -375,7 +375,17 @@ def hll_estimate(sketch: DataFrame, p: int = 10) -> DataFrame:
     m = 1 << p
     width = HLL_BITS - p
     shift = width + 1  # max rank, so 2^(shift - M) is always integral
-    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # Flajolet et al. small-m bias constants: the asymptotic
+    # 0.7213/(1 + 1.079/m) formula only holds for m >= 128; the paper
+    # tabulates exact alphas for the small grids.
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
     term = F.pow(F.lit(2.0), F.lit(shift) - F.col("max_rank")) \
         .cast("decimal(38,0)")
     agg = sketch.agg(

@@ -1571,8 +1571,13 @@ def jackknife_ratio_ci(df: DataFrame, group_col: str, num_col: str,
     gd = F.col("n_groups").cast("double")
     st, stt = _d2d("__st"), _d2d("__stt")
     mean_t = st / gd
+    # Clamp at 0: per-term round(9) quantization can push the variance
+    # a hair negative when every pseudo-value is (near-)identical,
+    # which would make sqrt() NaN instead of a zero-width CI (same
+    # guard chi_square_independence uses on its missing-mass term).
     var_t = F.when(F.col("n_groups") > 1,
-                   (stt - st * st / gd) / (gd - 1))
+                   F.greatest((stt - st * st / gd) / (gd - 1),
+                              F.lit(0.0)))
     se = F.when(F.col("__bad") == 0, F.sqrt(var_t / gd))
     return agg.select(
         "n_groups",

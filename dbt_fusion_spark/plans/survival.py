@@ -189,10 +189,14 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
 
     where S0/S1/S2 are risk-set sums of w, w x, w x x' — all SUFFIX
     sums over the bounded duration grid (one reverse cumulative
-    window), never a per-subject risk-set join.  Supports 1 or 2
-    covariates: the information inverse is closed-form (scalar / 2x2),
-    so the whole fit stays declarative; wider models need an external
-    solver and are out of scope (raise).
+    window), never a per-subject risk-set join.  For p <= 3 covariates
+    the information inverse is closed-form (scalar / 2x2 / 3x3
+    cofactor), so the whole fit stays declarative — grid + broadcast
+    only, no collect in the loop.  For p >= 4 the Newton step solves
+    the p x p system DRIVER-SIDE with numpy on the collected 1-row
+    (U, I) frame — bounded at p^2 doubles per iteration, the same
+    driver-fit contract as the k-means/PCA centroid fits; everything
+    data-sized stays in-engine.
 
     Emits one row per covariate: covariate, n, n_events, beta, se
     (sqrt of the inverse-information diagonal), z, hazard_ratio, and
@@ -216,10 +220,15 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
     iteration (plan depth stays constant).  No collect in the loop.
     """
     p = len(covariate_cols)
-    if p not in (1, 2):
+    if p < 1:
+        raise ValueError("cox_ph needs at least one covariate")
+    if len(set(covariate_cols)) != p:
         raise ValueError(
-            "cox_ph supports 1 or 2 covariates (closed-form "
-            f"information inverse); got {p}")
+            f"duplicate covariates make the information matrix "
+            f"singular: {covariate_cols}")
+    if p > 3:
+        return _cox_ph_wide(df, duration_col, event_col,
+                            covariate_cols, iters)
 
     def _f9(c):
         return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
@@ -270,8 +279,8 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
                 "__k", F.pmod(F.abs(F.xxhash64("b1")), F.lit(1)))),
                 "__k")
         eta = _f9(F.col("x1") * F.col("b1"))
-        if p == 2:
-            eta = eta + _f9(F.col("x2") * F.col("b2"))
+        for i in range(2, p + 1):
+            eta = eta + _f9(F.col(f"x{i}") * F.col(f"b{i}"))
         s = s.withColumn("__w", _f6(F.exp(eta)))
         aggs = [F.sum(_dec(F.col("__w"))).alias("a0")]
         for i in range(1, p + 1):
@@ -306,20 +315,45 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
             *[_d2d(f"ud{i}").alias(f"u{i}") for i in range(1, p + 1)],
             *[_d2d(f"id{i}{j}").alias(f"i{i}{j}") for i, j in moments])
 
+    def _cof3():
+        """3x3 symmetric cofactors + det, in a FIXED arithmetic order
+        mirrored verbatim by the DuckDB oracle (demo/stats_demo.py
+        _duck_cox_ctes) so IEEE doubles agree bit-for-bit."""
+        i11, i12, i13 = F.col("i11"), F.col("i12"), F.col("i13")
+        i22, i23, i33 = F.col("i22"), F.col("i23"), F.col("i33")
+        c11 = i22 * i33 - i23 * i23
+        c12 = i13 * i23 - i12 * i33
+        c13 = i12 * i23 - i22 * i13
+        c22 = i11 * i33 - i13 * i13
+        c23 = i12 * i13 - i11 * i23
+        c33 = i11 * i22 - i12 * i12
+        det = (i11 * (i22 * i33 - i23 * i23)
+               - i12 * (i12 * i33 - i23 * i13)
+               + i13 * (i12 * i23 - i22 * i13))
+        return det, (c11, c12, c13, c22, c23, c33)
+
     def _delta(ui_cols):
         """Closed-form I^{-1} U as a list of p expressions (and the
         determinant guard)."""
         if p == 1:
             ok = F.col("i11") > 0
             return ok, [F.col("u1") / F.col("i11")]
-        det = (F.col("i11") * F.col("i22")
-               - F.col("i12") * F.col("i12"))
+        if p == 2:
+            det = (F.col("i11") * F.col("i22")
+                   - F.col("i12") * F.col("i12"))
+            ok = det > 0
+            d1 = (F.col("i22") * F.col("u1")
+                  - F.col("i12") * F.col("u2")) / det
+            d2 = (F.col("i11") * F.col("u2")
+                  - F.col("i12") * F.col("u1")) / det
+            return ok, [d1, d2]
+        det, (c11, c12, c13, c22, c23, c33) = _cof3()
         ok = det > 0
-        d1 = (F.col("i22") * F.col("u1")
-              - F.col("i12") * F.col("u2")) / det
-        d2 = (F.col("i11") * F.col("u2")
-              - F.col("i12") * F.col("u1")) / det
-        return ok, [d1, d2]
+        u1, u2, u3 = F.col("u1"), F.col("u2"), F.col("u3")
+        d1 = (c11 * u1 + c12 * u2 + c13 * u3) / det
+        d2 = (c12 * u1 + c22 * u2 + c23 * u3) / det
+        d3 = (c13 * u1 + c23 * u2 + c33 * u3) / det
+        return ok, [d1, d2, d3]
 
     score = None
     for k in range(iters):
@@ -328,8 +362,8 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
             # score test at beta = 0: U' I^{-1} U
             ok0, delta0 = _delta(ui)
             sc = F.col("u1") * delta0[0]
-            if p == 2:
-                sc = sc + F.col("u2") * delta0[1]
+            for i in range(2, p + 1):
+                sc = sc + F.col(f"u{i}") * delta0[i - 1]
             score = ui.select(
                 F.when(ok0, sc).alias("score_chi2")) \
                 .localCheckpoint(eager=True)
@@ -349,10 +383,14 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
     if p == 1:
         var = [F.lit(1.0) / F.col("i11")]
         okf = F.col("i11") > 0
-    else:
+    elif p == 2:
         det = (F.col("i11") * F.col("i22")
                - F.col("i12") * F.col("i12"))
         var = [F.col("i22") / det, F.col("i11") / det]
+        okf = det > 0
+    else:
+        det, (c11, _c12, _c13, c22, _c23, c33) = _cof3()
+        var = [c11 / det, c22 / det, c33 / det]
         okf = det > 0
     one = (beta.withColumn(
         "__k", F.pmod(F.abs(F.xxhash64("b1")), F.lit(1)))
@@ -380,6 +418,152 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def _cox_ph_wide(df: DataFrame, duration_col: str, event_col: str,
+                 covariate_cols: list[str], iters: int) -> DataFrame:
+    """Cox PH for p >= 4 covariates: the SAME Breslow suffix-sum grid
+    machinery as cox_ph, but each Newton step collects the 1-row
+    (U, I) frame — p + p(p+1)/2 doubles, data-size-independent — and
+    solves the p x p system driver-side with numpy (Cholesky guard for
+    positive-definiteness, mirroring the det > 0 guard of the
+    declarative path).  Beta lives as plain Python floats quantized on
+    the same 1e-9 floor grid, broadcast into the plan as literals, so
+    no beta join is needed at all.
+
+    Scale (100 TB): per iteration one duration-keyed partial agg onto
+    the bounded grid + one grid suffix window + one 1-row collect;
+    subjects persist once.  The driver holds O(p^2) doubles — the
+    k-means/PCA driver-fit contract, never data-sized.
+    """
+    import math
+
+    import numpy as np
+
+    p = len(covariate_cols)
+
+    def _f9(c):
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+    def _f6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    def _dec(c):
+        return _f9(c).cast(D389)
+
+    def _pyf9(x: float) -> float:
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    xs = [F.col(c).cast("double").alias(f"x{i + 1}")
+          for i, c in enumerate(covariate_cols)]
+    subj = (df.select(F.col(duration_col).alias("t"),
+                      F.col(event_col).cast("bigint").alias("e"), *xs)
+            .na.drop()
+            .persist())
+    zero = F.lit(0).cast(D389)
+    evt_aggs = [F.sum("e").alias("d")]
+    for i in range(1, p + 1):
+        evt_aggs.append(
+            F.sum(F.when(F.col("e") == 1, _dec(F.col(f"x{i}")))
+                  .otherwise(zero)).alias(f"sxd{i}"))
+    evt = subj.groupBy("t").agg(*evt_aggs)
+    evt = evt.select(
+        "t", "d", *[_d2d(f"sxd{i}").alias(f"sx{i}")
+                    for i in range(1, p + 1)]).localCheckpoint(eager=True)
+    cnt = subj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("e").cast("bigint").alias("n_events")).collect()[0]
+    wsuf = Window.orderBy(F.col("t").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    moments = [(i, j) for i in range(1, p + 1)
+               for j in range(i, p + 1)]
+
+    def _ui_vals(bvals: list[float]):
+        """One grid pass at beta = bvals -> (U vector, I matrix)."""
+        eta = _f9(F.col("x1") * F.lit(bvals[0]))
+        for i in range(2, p + 1):
+            eta = eta + _f9(F.col(f"x{i}") * F.lit(bvals[i - 1]))
+        s = subj.withColumn("__w", _f6(F.exp(eta)))
+        aggs = [F.sum(_dec(F.col("__w"))).alias("a0")]
+        for i in range(1, p + 1):
+            aggs.append(F.sum(_dec(F.col("__w") * F.col(f"x{i}")))
+                        .alias(f"a{i}"))
+        for i, j in moments:
+            aggs.append(F.sum(_dec(F.col("__w") * F.col(f"x{i}")
+                                   * F.col(f"x{j}")))
+                        .alias(f"a{i}{j}"))
+        a = s.groupBy("t").agg(*aggs)
+        cols = (["a0"] + [f"a{i}" for i in range(1, p + 1)]
+                + [f"a{i}{j}" for i, j in moments])
+        suf = a.select("t", *[
+            F.sum(c).over(wsuf).cast("string").cast("double")
+            .alias(f"s{c[1:]}") for c in cols])
+        j2 = evt.join(suf, "t")
+        dd = F.col("d").cast("double")
+        s0 = F.col("s0")
+        terms = []
+        for i in range(1, p + 1):
+            terms.append(F.sum(
+                _f9(F.col(f"sx{i}") - dd * F.col(f"s{i}") / s0)
+                .cast(D389)).alias(f"ud{i}"))
+        for i, j in moments:
+            terms.append(F.sum(
+                _f9(dd * (F.col(f"s{i}{j}") / s0
+                          - (F.col(f"s{i}") / s0)
+                          * (F.col(f"s{j}") / s0)))
+                .cast(D389)).alias(f"id{i}{j}"))
+        row = j2.agg(*terms).select(
+            *[_d2d(f"ud{i}").alias(f"u{i}") for i in range(1, p + 1)],
+            *[_d2d(f"id{i}{j}").alias(f"i{i}{j}")
+              for i, j in moments]).collect()[0]
+        u = np.array([row[f"u{i}"] for i in range(1, p + 1)])
+        info = np.zeros((p, p))
+        for i, j in moments:
+            info[i - 1, j - 1] = info[j - 1, i - 1] = row[f"i{i}{j}"]
+        return u, info
+
+    def _solve(info: np.ndarray, u: np.ndarray):
+        """Cholesky-guarded solve: None when I is not PD (the wide-
+        model analogue of the det > 0 guard)."""
+        try:
+            ch = np.linalg.cholesky(info)
+        except np.linalg.LinAlgError:
+            return None
+        y = np.linalg.solve(ch, u)
+        return np.linalg.solve(ch.T, y)
+
+    beta = [0.0] * p
+    score_chi2 = None
+    for k in range(iters):
+        u, info = _ui_vals(beta)
+        delta = _solve(info, u)
+        if k == 0 and delta is not None:
+            score_chi2 = round(float(u @ delta), 6)
+        if delta is None:
+            break
+        beta = [_pyf9(b + float(d)) for b, d in zip(beta, delta)]
+    _u, info = _ui_vals(beta)
+    subj.unpersist()
+    try:
+        cov = np.linalg.inv(info)
+        np.linalg.cholesky(info)  # PD gate for the SEs
+        ses = [math.sqrt(cov[i, i]) for i in range(p)]
+    except np.linalg.LinAlgError:
+        ses = [None] * p
+    rows = []
+    for i, name in enumerate(covariate_cols):
+        se = ses[i]
+        rows.append((
+            name, int(cnt["n"]), int(cnt["n_events"]),
+            round(beta[i], 6),
+            round(se, 6) if se is not None else None,
+            round(beta[i] / se, 6) if se else None,
+            round(math.exp(beta[i]), 6),
+            score_chi2))
+    return df.sparkSession.createDataFrame(
+        rows, "covariate string, n bigint, n_events bigint, "
+              "beta double, se double, z double, "
+              "hazard_ratio double, score_chi2 double")
 
 
 def rmst(df: DataFrame, duration_col: str, event_col: str,

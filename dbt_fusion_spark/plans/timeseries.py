@@ -291,15 +291,21 @@ def mann_kendall_trend(df: DataFrame, group_col: str, time_col,
          .agg(F.sum(F.signum(F.col("vj") - F.col("vi"))
                     .cast("bigint")).alias("s_stat")))
     # tie groups on the value grid (after the tick rollup)
+    # The cubic products run in DOUBLE: n(n-1)(2n+5) overflows int64
+    # at n ~ 1.6M per-group ticks, silently yielding a wrong/negative
+    # var_s.  Doubles lose at most ulp-level precision here (the z
+    # readout rounds to 6 anyway) while staying exact for n < 2^17.
+    tt = F.col("t").cast("double")
     ties = (pts.groupBy("g", "v").agg(F.count(F.lit(1)).alias("t"))
             .groupBy("g")
-            .agg(F.sum(F.col("t") * (F.col("t") - 1)
-                       * (F.lit(2) * F.col("t") + 5)).alias("tie_sum"),
+            .agg(F.sum(tt * (tt - 1.0)
+                       * (F.lit(2.0) * tt + 5.0)).alias("tie_sum"),
                  F.sum("t").cast("bigint").alias("n_points")))
     j = ties.join(s, "g", "left")
     n = F.col("n_points")
-    var18 = (n * (n - 1) * (F.lit(2) * n + 5)
-             - F.col("tie_sum")).cast("double") / F.lit(18.0)
+    nd = n.cast("double")
+    var18 = (nd * (nd - 1.0) * (F.lit(2.0) * nd + 5.0)
+             - F.col("tie_sum")) / F.lit(18.0)
     ss = F.coalesce(F.col("s_stat"), F.lit(0)).cast("double")
     z = F.when(var18 > 0,
                F.when(ss > 0, (ss - 1) / F.sqrt(var18))

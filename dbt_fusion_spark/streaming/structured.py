@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -545,7 +546,12 @@ def streaming_countmin_ingest(
             done = {r.batch_id for r in
                     bspark.read.parquet(sketch_path)
                     .select("batch_id").distinct().collect()}
-        except Exception:
+        except AnalysisException:
+            # Only the missing-artifact case (PATH_NOT_FOUND on the
+            # first batch) means "no batches ingested yet".  Any other
+            # read failure (transient FS error, corrupt footer) must
+            # propagate: swallowing it would let a replayed batch
+            # re-append and double-count.
             done = set()
         if batch_id in done:
             return
@@ -602,7 +608,12 @@ def streaming_hll_ingest(
             done = {r.batch_id for r in
                     bspark.read.parquet(sketch_path)
                     .select("batch_id").distinct().collect()}
-        except Exception:
+        except AnalysisException:
+            # Only the missing-artifact case (PATH_NOT_FOUND on the
+            # first batch) means "no batches ingested yet".  Any other
+            # read failure (transient FS error, corrupt footer) must
+            # propagate: swallowing it would let a replayed batch
+            # re-append and double-count.
             done = set()
         if batch_id in done:
             return

@@ -192,6 +192,67 @@ def check_closing_sweep_covers_registry(errors: list[str]) -> None:
                 f"re-run the closing sweep and refresh the artifact")
 
 
+def _last_code_commit() -> str | None:
+    """SHA of the newest commit touching executable code (source,
+    tests, bench, entry, tools) — the thing full-suite evidence must
+    have been recorded AT, or it is stale."""
+    import subprocess
+    try:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--",
+             "dbt_fusion_spark", "tests", "bench.py",
+             "__spark_entry__.py", "tools"],
+            cwd=REPO, capture_output=True, text=True, timeout=30)
+    except Exception:
+        return None
+    sha = out.stdout.strip()
+    return sha or None
+
+
+def check_pytest_evidence_at_head(errors: list[str]) -> None:
+    """Judge r10 #2 ("close the stale-pytest hole in CI"): r10's
+    committed `pytest_full_suite` tail recorded a FAILED parity row
+    because the suite ran BEFORE a late oracle fix — committed
+    evidence was red while HEAD was green.  The rule, as CI: once the
+    CURRENT round's closing artifact exists (r11+), its
+    `pytest_full_suite` record must carry `head_sha` (the commit the
+    suite ran at) and `green: true`, and `head_sha` must equal the
+    last code-touching commit — so any code change after the recorded
+    run turns this red until the suite re-runs at HEAD and the
+    artifact is refreshed."""
+    n = current_round()
+    if n < 11:
+        return  # format requirement starts at r11
+    p = REPO / f"PARITY_LOCAL_r{n:02d}.json"
+    if not p.exists():
+        p = REPO / f"PARITY_LOCAL_r{n}.json"
+    if not p.exists():
+        return  # closing artifact not written yet — nothing frozen
+    try:
+        rec = json.loads(p.read_text()).get("pytest_full_suite")
+    except Exception as e:
+        errors.append(f"{p.name} unreadable: {e}")
+        return
+    if not isinstance(rec, dict) or not rec.get("head_sha"):
+        errors.append(
+            f"{p.name} pytest_full_suite lacks `head_sha` — from r11 "
+            f"on the closing full-suite record must pin the commit it "
+            f"ran at (judge r10 #2)")
+        return
+    if rec.get("green") is not True:
+        errors.append(
+            f"{p.name} pytest_full_suite is not recorded green — "
+            f"committed closing evidence must never be red; re-run "
+            f"the suite and refresh the artifact")
+    head = _last_code_commit()
+    if head and rec["head_sha"] != head:
+        errors.append(
+            f"{p.name} pytest_full_suite ran at {rec['head_sha'][:12]} "
+            f"but the last code-touching commit is {head[:12]} — the "
+            f"recorded run is stale; re-run the full suite at HEAD and "
+            f"refresh the artifact (judge r10 #2)")
+
+
 def run_checks() -> list[str]:
     errors: list[str] = []
     check_headline_budgets(errors)
@@ -200,6 +261,7 @@ def run_checks() -> list[str]:
     check_prior_round_artifacts_tracked(errors)
     check_local_bench_artifacts(errors)
     check_closing_sweep_covers_registry(errors)
+    check_pytest_evidence_at_head(errors)
     return errors
 
 
