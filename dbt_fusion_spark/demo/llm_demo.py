@@ -4883,23 +4883,26 @@ from dbt_fusion_spark.llm.text import RAKE_STOPWORDS as _RAKE_SW  # noqa: E402
              CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen
       FROM ph
       WHERE phrase <> '' AND len(string_split(phrase, ' ')) <= 4),
+    pgrid AS (
+      SELECT phrase, plen, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM ph2 GROUP BY phrase, plen),
     words AS (
-      SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS word
-      FROM ph2),
+      SELECT phrase, plen, n_occurrences,
+             unnest(string_split(phrase, ' ')) AS word
+      FROM pgrid),
     stats AS (
-      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
-             CAST(SUM(plen) AS BIGINT) AS deg
+      SELECT word, CAST(SUM(n_occurrences) AS BIGINT) AS freq,
+             CAST(SUM(n_occurrences * plen) AS BIGINT) AS deg
       FROM words GROUP BY word),
     scored AS (
       SELECT phrase,
+        CAST(MAX(n_occurrences) AS BIGINT) AS n_occurrences,
         SUM(CAST(round(CAST(deg AS DOUBLE) / freq, 9)
-                 AS DECIMAL(38,9))) AS s,
-        CAST(COUNT(*) / MAX(plen) AS BIGINT) AS n_occurrences
+                 AS DECIMAL(38,9))) AS s
       FROM words JOIN stats USING (word) GROUP BY phrase),
     fin AS (
       SELECT phrase, n_occurrences,
-        round(CAST(CAST(s AS VARCHAR) AS DOUBLE) / n_occurrences, 6)
-          AS score
+        round(CAST(CAST(s AS VARCHAR) AS DOUBLE), 6) AS score
       FROM scored),
     rk AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, phrase)
