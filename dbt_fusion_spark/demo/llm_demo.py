@@ -5764,6 +5764,84 @@ def sketch_hll_by_source(spark, sf_dir):
     return est.join(F.broadcast(truth), "source")
 
 
+def _hll_global_text_oracle() -> str:
+    """Global distinct-text HLL estimate CTE chain (documents): the
+    by_source oracle minus the key — also serves as the rollup oracle,
+    since key-dropping max-rollup of per-source grids IS the global
+    grid (registers are hash-determined)."""
+    return f"""
+    WITH h AS (
+      SELECT CAST('0x' || substring(
+               md5('42|' || CAST(text AS VARCHAR)), 1, 15)
+             AS BIGINT) AS hv
+      FROM documents),
+    rw AS (
+      SELECT hv % {_HLL_M} AS register, hv >> {_HLL_P} AS w FROM h),
+    rk AS (
+      SELECT register,
+             CASE WHEN w = 0 THEN {_HLL_SHIFT}
+                  ELSE {_HLL_SHIFT} - ({_HLL_BITLEN}) END AS rank
+      FROM rw),
+    sk AS (
+      SELECT register, CAST(MAX(rank) AS BIGINT) AS max_rank
+      FROM rk GROUP BY register),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_filled,
+             SUM(CAST(pow(2.0, {_HLL_SHIFT} - max_rank)
+                      AS DECIMAL(38,0))) AS s
+      FROM sk),
+    est AS (
+      SELECT
+        CAST({_HLL_M} AS BIGINT) AS n_registers,
+        CAST({_HLL_M} - n_filled AS BIGINT) AS n_empty,
+        {_HLL_NUM!r}
+          / (CAST(CAST(s AS VARCHAR) AS DOUBLE)
+             + CAST({_HLL_M} - n_filled AS DOUBLE)
+               * {float(2 ** _HLL_SHIFT)!r}) AS raw
+      FROM agg),
+    fin AS (
+      SELECT n_registers, n_empty,
+        round(raw, 4) AS raw_estimate,
+        round(CASE WHEN raw <= {2.5 * _HLL_M!r} AND n_empty > 0
+                   THEN {float(_HLL_M)!r}
+                        * ln({float(_HLL_M)!r}
+                             / CAST(n_empty AS DOUBLE))
+                   ELSE raw END, 4) AS estimate
+      FROM est)
+    SELECT fin.*,
+           (SELECT CAST(COUNT(DISTINCT text) AS BIGINT)
+            FROM documents) AS true_distinct
+    FROM fin
+    """
+
+
+@register(
+    "sketch_hll_rollup_merge",
+    oracle=_hll_global_text_oracle(),
+)
+def sketch_hll_rollup_merge(spark, sf_dir):
+    """HLL rollup-mart identity (r11): the per-source keyed grids of
+    sketch_hll_by_source max-rolled up onto NO key reproduce the
+    corpus-total register grid EXACTLY (registers are hash-determined,
+    key-independent), so the global distinct-content estimate derives
+    from the keyed mart without re-reading documents.  The oracle
+    computes the global sketch directly from data — hash-equality IS
+    the mergeability proof."""
+    from dbt_fusion_spark.llm.sketch import (hll_estimate, hll_rollup,
+                                             hll_sketch)
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = hll_sketch(docs, "text", p=_HLL_P, by=["source"])
+    est = hll_estimate(hll_rollup(keyed), p=_HLL_P)
+    truth = docs.agg(F.countDistinct("text").cast("bigint")
+                     .alias("true_distinct"))
+    return (est.withColumn("__k", F.pmod(F.col("n_empty"), F.lit(1)))
+            .join(F.broadcast(truth.withColumn(
+                "__k", F.pmod(F.col("true_distinct"), F.lit(1)))),
+                "__k")
+            .drop("__k"))
+
+
 @register(
     "streaming_hll_maintenance",
     # streamed HLL partials max-merge to the batch register grid, so

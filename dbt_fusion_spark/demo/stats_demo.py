@@ -3357,6 +3357,58 @@ def dq_k_anonymity_audit(spark, sf_dir):
 
 
 @register(
+    "dq_l_diversity_audit",
+    # (quasi x sensitive) grid -> per-group distinct/entropy -> one
+    # reduce; entropy terms ride round(9)->DECIMAL sums (order-free).
+    oracle="""
+    WITH g2 AS (
+      SELECT o_orderpriority AS q1,
+             date_trunc('month', o_orderdate) AS q2,
+             o_custkey AS s, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2, 3),
+    g2n AS (
+      SELECT *, SUM(c) OVER (PARTITION BY q1, q2) AS n FROM g2),
+    g AS (
+      SELECT q1, q2, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS nd,
+             SUM(CAST(round(
+                   (CAST(c AS DOUBLE) / n)
+                   * ln(CAST(n AS DOUBLE) / c), 9)
+                 AS DECIMAL(38,9))) AS ent
+      FROM g2n GROUP BY 1, 2)
+    SELECT CAST(10 AS BIGINT) AS l,
+      CAST(SUM(n) AS BIGINT) AS n_rows,
+      CAST(COUNT(*) AS BIGINT) AS n_groups,
+      CAST(SUM(CASE WHEN nd < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_violating_groups,
+      CAST(SUM(CASE WHEN nd < 10 THEN n ELSE 0 END) AS BIGINT)
+        AS n_rows_at_risk,
+      CAST(MIN(nd) AS BIGINT) AS min_distinct_sensitive,
+      round(MIN(CAST(CAST(ent AS VARCHAR) AS DOUBLE)), 6)
+        AS min_entropy,
+      round(CAST(SUM(CASE WHEN nd < 10 THEN n ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(n) AS DOUBLE), 6) AS at_risk_frac
+    FROM g
+    """,
+)
+def dq_l_diversity_audit(spark, sf_dir):
+    """l-diversity audit (r11): the disclosure-risk readout
+    k-anonymity misses — every (priority, order-month) release slice
+    must contain at least l=10 distinct customers, else the slice
+    narrows the customer down (Machanavajjhala 2007).  Reports both
+    distinct-l and the worst per-group entropy (entropy-l-diversity,
+    compare to ln l).  One (quasi x sensitive) grid pass + reduce."""
+    from dbt_fusion_spark.plans.profile import l_diversity_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    q = orders.select(
+        F.col("o_orderpriority").alias("q1"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("q2"),
+        "o_custkey")
+    return l_diversity_audit(q, ["q1", "q2"], "o_custkey", l=10)
+
+
+@register(
     "ab_cramer_von_mises",
     # whole-curve ECDF drift on the binned grid: squared-gap terms
     # weighted by combined counts, round(9)-DECIMAL sums.

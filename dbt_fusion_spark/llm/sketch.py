@@ -366,6 +366,18 @@ def hll_merge(*sketches: DataFrame) -> DataFrame:
             .agg(F.max("max_rank").cast("bigint").alias("max_rank")))
 
 
+def hll_rollup(sketch: DataFrame,
+               keys: Sequence[str] = ()) -> DataFrame:
+    """Coarsen a keyed HLL sketch onto `keys` — per-(source, day)
+    grids -> per-source, or () -> one corpus-total grid.  Per-register
+    MAX over the dropped dimensions IS the sketch of the union of the
+    underlying sets (registers are hash-determined, key-independent),
+    so a rollup mart keeps only fine-grained grids and derives every
+    coarser distinct count without re-reading data."""
+    return (sketch.groupBy(*keys, "register")
+            .agg(F.max("max_rank").cast("bigint").alias("max_rank")))
+
+
 def hll_estimate(sketch: DataFrame, p: int = 10,
                  by: Sequence[str] = ()) -> DataFrame:
     """Distinct-count estimate from an hll_sketch grid:

@@ -211,6 +211,66 @@ def k_anonymity_audit(df: DataFrame, quasi_cols: list[str],
          .alias("at_risk_frac"))
 
 
+def l_diversity_audit(df: DataFrame, quasi_cols: list[str],
+                      sensitive_col: str, l: int = 3) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the
+    disclosure-risk readout k-anonymity misses: a quasi-identifier
+    group can be large (k-anonymous) yet give away the SENSITIVE
+    attribute because every row in it shares one value.  Each group
+    must carry at least l distinct sensitive values.
+
+    Returns ONE row: l, n_rows, n_groups, n_violating_groups
+    (distinct sensitive < l), n_rows_at_risk, min_distinct_sensitive,
+    min_entropy (the worst per-group Shannon entropy of the sensitive
+    distribution, nats — the entropy-l-diversity readout; compare to
+    ln(l)), at_risk_frac.
+
+    Determinism: entropy terms ride the round(9)->DECIMAL quantized
+    sum (order-free); the final min is exact.
+
+    Scale: one map-side-combined aggregate onto the
+    (quasi x sensitive) grid, one grid window for group totals, one
+    grid aggregate, one reduce — a single data scan; like
+    k_anonymity_audit it never re-publishes the combinations.
+    """
+    from pyspark.sql import Window
+
+    from dbt_fusion_spark.plans.stats import _d2d, _qterm
+
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    qs = [F.col(c) for c in quasi_cols]
+    g2 = (df.groupBy(*qs, F.col(sensitive_col).alias("__s"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__c")))
+    wq = Window.partitionBy(*[F.col(c) for c in quasi_cols])
+    g2 = g2.withColumn("__n", F.sum("__c").over(wq))
+    p = F.col("__c").cast("double") / F.col("__n").cast("double")
+    ent_term = _qterm(p * F.log(F.col("__n").cast("double")
+                                / F.col("__c").cast("double")))
+    g = (g2.groupBy(*[F.col(c) for c in quasi_cols])
+           .agg(F.max("__n").cast("bigint").alias("n"),
+                F.count(F.lit(1)).cast("bigint").alias("nd"),
+                F.sum(ent_term).alias("__ent")))
+    viol = F.col("nd") < l
+    agg = g.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(viol, 1).otherwise(0)).cast("bigint")
+         .alias("n_violating_groups"),
+        F.sum(F.when(viol, F.col("n")).otherwise(0)).cast("bigint")
+         .alias("n_rows_at_risk"),
+        F.min("nd").cast("bigint").alias("min_distinct_sensitive"),
+        F.min(_d2d("__ent")).alias("__me"))
+    return agg.select(
+        F.lit(l).cast("bigint").alias("l"),
+        "n_rows", "n_groups", "n_violating_groups", "n_rows_at_risk",
+        "min_distinct_sensitive",
+        F.round(F.col("__me"), 6).alias("min_entropy"),
+        F.round(F.col("n_rows_at_risk").cast("double")
+                / F.col("n_rows").cast("double"), 6)
+         .alias("at_risk_frac"))
+
+
 def referential_integrity_audit(child: DataFrame, parent: DataFrame,
                                 child_key: str,
                                 parent_key: str) -> DataFrame:

@@ -1242,6 +1242,14 @@ def test_hll_keyed_by_group_estimates_and_merge(spark):
     got = {(r.g, r.register, r.max_rank) for r in merged.collect()}
     want = {(r.g, r.register, r.max_rank) for r in direct.collect()}
     assert got == want
+    # rollup identity: dropping the key by per-register MAX reproduces
+    # the unkeyed sketch exactly (registers are hash-determined)
+    from dbt_fusion_spark.llm.sketch import hll_rollup
+    rolled = {(r.register, r.max_rank)
+              for r in hll_rollup(direct).collect()}
+    flat = {(r.register, r.max_rank)
+            for r in hll_sketch(a, "u", p=10).collect()}
+    assert rolled == flat
 
 
 def test_hll_small_m_alpha_constants(spark):
@@ -1265,6 +1273,32 @@ def test_hll_small_range_linear_counting(spark):
     r = hll_estimate(hll_sketch(a, "u", p=10), p=10).collect()[0]
     assert r.n_empty > 900
     assert abs(r.estimate - 30) < 3
+
+
+def test_l_diversity_audit_hand_computed(spark):
+    """Hand-computed l-diversity: group ('a') holds sensitive {x,y}
+    (diverse enough at l=2), group ('b') holds only {x} (violating);
+    entropy of the worst group is 0."""
+    import math
+
+    import pytest as pt
+
+    from dbt_fusion_spark.plans.profile import l_diversity_audit
+
+    rows = ([("a", "x")] * 6 + [("a", "y")] * 2 + [("b", "x")] * 4)
+    df = spark.createDataFrame(rows, "q string, s string")
+    r = l_diversity_audit(df, ["q"], "s", l=2).collect()[0]
+    assert (r.n_rows, r.n_groups) == (12, 2)
+    assert r.n_violating_groups == 1 and r.n_rows_at_risk == 4
+    assert r.min_distinct_sensitive == 1
+    assert r.min_entropy == pt.approx(0.0, abs=1e-9)
+    assert r.at_risk_frac == pt.approx(4 / 12, abs=1e-6)
+    # group 'a' entropy = -(0.75 ln 0.75 + 0.25 ln 0.25)
+    r3 = l_diversity_audit(df.filter("q = 'a'"), ["q"], "s",
+                           l=3).collect()[0]
+    want = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert r3.min_entropy == pt.approx(want, abs=1e-6)
+    assert r3.n_violating_groups == 1  # 2 distinct < l=3
 
 
 def test_k_anonymity_audit_hand_computed(spark):
