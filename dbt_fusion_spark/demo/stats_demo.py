@@ -1555,6 +1555,88 @@ def ab_spearman_hour_value(spark, sf_dir):
 
 
 @register(
+    "ab_kendall_tau_hour_value",
+    # concordant/discordant counts off the (hour, value-decile)
+    # contingency grid self-join; cell products in exact DECIMAL.
+    oracle="""
+    WITH rows_ AS (
+      SELECT event_type AS g, CAST(hour(ts) AS BIGINT) AS x,
+             CAST(floor(CAST("value" AS DOUBLE) / 10.0) AS BIGINT)
+               AS y
+      FROM events WHERE ts IS NOT NULL AND "value" IS NOT NULL),
+    grid AS (SELECT g, x, y, CAST(COUNT(*) AS BIGINT) AS c
+             FROM rows_ GROUP BY 1, 2, 3),
+    cd AS (
+      SELECT a.g,
+        SUM(CASE WHEN b.y > a.y
+                 THEN CAST(a.c AS DECIMAL(18,0))
+                      * CAST(b.c AS DECIMAL(18,0))
+                 ELSE CAST(0 AS DECIMAL(37,0)) END) AS cc,
+        SUM(CASE WHEN b.y < a.y
+                 THEN CAST(a.c AS DECIMAL(18,0))
+                      * CAST(b.c AS DECIMAL(18,0))
+                 ELSE CAST(0 AS DECIMAL(37,0)) END) AS dd
+      FROM grid a JOIN grid b ON a.g = b.g AND a.x < b.x
+      GROUP BY a.g),
+    tx AS (
+      SELECT g, SUM(CAST(t AS DECIMAL(18,0))
+                    * (CAST(t AS DECIMAL(18,0)) - 1)) AS tx,
+             CAST(SUM(t) AS BIGINT) AS n
+      FROM (SELECT g, x, CAST(SUM(c) AS BIGINT) AS t
+            FROM grid GROUP BY 1, 2) GROUP BY g),
+    ty AS (
+      SELECT g, SUM(CAST(t AS DECIMAL(18,0))
+                    * (CAST(t AS DECIMAL(18,0)) - 1)) AS ty
+      FROM (SELECT g, y, CAST(SUM(c) AS BIGINT) AS t
+            FROM grid GROUP BY 1, 2) GROUP BY g),
+    j AS (
+      SELECT tx.g, tx.n,
+        CAST(CAST(CAST(tx.n AS DECIMAL(18,0))
+                  * (CAST(tx.n AS DECIMAL(18,0)) - 1) - tx.tx
+             AS VARCHAR) AS DOUBLE) AS av,
+        CAST(CAST(CAST(tx.n AS DECIMAL(18,0))
+                  * (CAST(tx.n AS DECIMAL(18,0)) - 1) - ty.ty
+             AS VARCHAR) AS DOUBLE) AS bv,
+        CAST(CAST(COALESCE(cd.cc, CAST(0 AS DECIMAL(37,0)))
+             AS VARCHAR) AS DOUBLE) AS ccd,
+        CAST(CAST(COALESCE(cd.dd, CAST(0 AS DECIMAL(37,0)))
+             AS VARCHAR) AS DOUBLE) AS ddd,
+        CAST(COALESCE(cd.cc, CAST(0 AS DECIMAL(37,0)))
+             AS BIGINT) AS n_concordant,
+        CAST(COALESCE(cd.dd, CAST(0 AS DECIMAL(37,0)))
+             AS BIGINT) AS n_discordant
+      FROM tx JOIN ty USING (g) LEFT JOIN cd USING (g)),
+    f AS (
+      SELECT g, n, n_concordant, n_discordant,
+        CASE WHEN av > 0 AND bv > 0
+             THEN 2.0 * (ccd - ddd) / sqrt(av * bv) END AS tau,
+        CAST(n AS DOUBLE) AS nd
+      FROM j)
+    SELECT g AS event_type, n, n_concordant, n_discordant,
+      round(tau, 6) AS tau_b,
+      round(CASE WHEN n > 1 THEN tau / sqrt(
+              2.0 * (2.0 * nd + 5.0) / (9.0 * nd * (nd - 1.0))) END,
+            6) AS z,
+      COALESCE(ABS(CASE WHEN n > 1 THEN tau / sqrt(
+                2.0 * (2.0 * nd + 5.0) / (9.0 * nd * (nd - 1.0)))
+              END) > 1.959964, FALSE) AS significant_95
+    FROM f
+    """,
+)
+def ab_kendall_tau_hour_value(spark, sf_dir):
+    """Kendall tau-b between hour-of-day and value decile per event
+    type (r11) — the concordance complement to ab_spearman_hour_value
+    on the SAME association, fully tie-adjusted (24 x ~deciles grid),
+    counted on the bounded contingency grid, never raw pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    return S.kendall_tau_b(
+        ev.filter(F.col("ts").isNotNull()), "event_type",
+        F.hour("ts").cast("bigint"),
+        F.floor(F.col("value").cast("double") / F.lit(10.0))
+         .cast("bigint"))
+
+
+@register(
     "events_ewma_daily_volume",
     # K=8 LAG unroll of the truncated adjusted EWMA; literal decay
     # powers are the same doubles in both engines.

@@ -1086,6 +1086,87 @@ def spearman_correlation(df: DataFrame, group_col: str, x_col,
                    F.lit(False)).alias("significant_95"))
 
 
+def kendall_tau_b(df: DataFrame, group_col: str, x_col,
+                  y_col) -> DataFrame:
+    """Per-group Kendall tau-b rank correlation — the concordance
+    complement to Spearman (spearman_correlation ranks then Pearsons;
+    tau-b counts concordant vs discordant pairs, with the tie-adjusted
+    denominator that keeps |tau| <= 1 on heavily tied grids):
+
+        tau_b = 2 (C - D) / sqrt(A * B)
+        A = n(n-1) - sum_x tx(tx-1),  B = n(n-1) - sum_y ty(ty-1)
+
+    Returns one row per group: n, n_concordant, n_discordant, tau_b,
+    z (the no-tie normal approximation tau / sqrt(2(2n+5)/(9n(n-1)))),
+    and significant_95.
+
+    Pair counting runs on the (x, y) CONTINGENCY GRID, never raw
+    pairs: C and D are sums of c_i * c_j over grid-cell pairs with
+    x_i < x_j, so the self-join is bounded by the distinct-cell grid
+    squared.  CALLERS MUST PRE-BUCKET continuous variables onto a
+    bounded grid (hour-of-day, value deciles — the mann_kendall
+    contract); raw doubles would make the grid row-sized.  Cell-count
+    products and tie sums ride DECIMAL(18,0) x DECIMAL(18,0) exact
+    arithmetic (order-free, no int64 overflow at n ~ 10^10), with one
+    string-hop re-entry for the final double ratio.
+    """
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    rows = (df.select(F.col(group_col).alias("g"), x.alias("x"),
+                      y.alias("y"))
+              .filter(F.col("x").isNotNull() & F.col("y").isNotNull()))
+    grid = rows.groupBy("g", "x", "y") \
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    d18 = "decimal(18,0)"
+    a = grid.select("g", F.col("x").alias("xi"),
+                    F.col("y").alias("yi"), F.col("c").alias("ci"))
+    b = grid.select("g", F.col("x").alias("xj"),
+                    F.col("y").alias("yj"), F.col("c").alias("cj"))
+    prod = F.col("ci").cast(d18) * F.col("cj").cast(d18)
+    zero = F.lit(0).cast("decimal(37,0)")
+    cd = (a.join(b, "g")
+          .filter(F.col("xi") < F.col("xj"))
+          .groupBy("g")
+          .agg(F.sum(F.when(F.col("yj") > F.col("yi"), prod)
+                     .otherwise(zero)).alias("cc"),
+               F.sum(F.when(F.col("yj") < F.col("yi"), prod)
+                     .otherwise(zero)).alias("dd")))
+
+    def _ties(col: str):
+        t = F.col("t").cast(d18)
+        return (grid.groupBy("g", col)
+                .agg(F.sum("c").cast("bigint").alias("t"))
+                .groupBy("g")
+                .agg(F.sum(t * (t - 1)).alias(f"t{col}"),
+                     F.sum("t").cast("bigint").alias(f"n{col}")))
+
+    tx, ty = _ties("x"), _ties("y")
+    j = (tx.join(ty, "g").join(cd, "g", "left"))
+    n = F.col("nx")
+    nd = n.cast("double")
+    nn1 = n.cast(d18) * (n.cast(d18) - 1)
+    av = (nn1 - F.col("tx")).cast("string").cast("double")
+    bv = (nn1 - F.col("ty")).cast("string").cast("double")
+    ccd = F.coalesce(F.col("cc"), zero).cast("string").cast("double")
+    ddd = F.coalesce(F.col("dd"), zero).cast("string").cast("double")
+    tau = F.when((av > 0) & (bv > 0),
+                 F.lit(2.0) * (ccd - ddd) / F.sqrt(av * bv))
+    z = F.when(n > 1, tau / F.sqrt(
+        F.lit(2.0) * (F.lit(2.0) * nd + 5.0)
+        / (F.lit(9.0) * nd * (nd - 1.0))))
+    return j.select(
+        F.col("g").alias(group_col),
+        n.cast("bigint").alias("n"),
+        F.coalesce(F.col("cc"), zero).cast("decimal(38,0)")
+         .cast("bigint").alias("n_concordant"),
+        F.coalesce(F.col("dd"), zero).cast("decimal(38,0)")
+         .cast("bigint").alias("n_discordant"),
+        F.round(tau, 6).alias("tau_b"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > 1.959964, F.lit(False))
+         .alias("significant_95"))
+
+
 # ------------------------------------------------------------------- ANOVA
 def anova_oneway(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """One-way ANOVA F statistic over k groups — the k-group

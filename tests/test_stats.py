@@ -680,6 +680,57 @@ def test_spearman_perfect_monotone_and_ties(spark):
     assert r.spearman_rho is None
 
 
+def test_kendall_tau_b_known_values(spark):
+    """tau-b against hand counts and a pure-python pair loop."""
+    # perfectly concordant -> 1; reversed -> -1
+    rows = [("m", i, i * i) for i in range(1, 9)]
+    rows += [("r", i, -i * i) for i in range(1, 9)]
+    out = {r[0]: r for r in
+           S.kendall_tau_b(
+               _df(spark, rows, "g string, x bigint, y bigint"),
+               "g", "x", "y").collect()}
+    assert out["m"].tau_b == pytest.approx(1.0, abs=1e-9)
+    assert out["m"].n_concordant == 28 and out["m"].n_discordant == 0
+    assert out["r"].tau_b == pytest.approx(-1.0, abs=1e-9)
+
+    # tied grid: cross-check the tie-adjusted denominator vs a naive
+    # O(n^2) reference on x=[1,1,2,2,3], y=[1,2,1,2,2]
+    xs, ys = [1, 1, 2, 2, 3], [1, 2, 1, 2, 2]
+    c = d = tx = ty = 0
+    n = len(xs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if xs[i] == xs[j]:
+                tx += 1
+            elif ys[i] == ys[j]:
+                ty += 1
+            else:
+                sgn = (xs[j] - xs[i]) * (ys[j] - ys[i])
+                c, d = c + (sgn > 0), d + (sgn < 0)
+    # re-derive tie sums the operator's way (per-value t(t-1)/2)
+    import collections
+    import math
+    n0 = n * (n - 1) // 2
+    n1 = sum(t * (t - 1) // 2
+             for t in collections.Counter(xs).values())
+    n2 = sum(t * (t - 1) // 2
+             for t in collections.Counter(ys).values())
+    want = (c - d) / math.sqrt((n0 - n1) * (n0 - n2))
+    tie = [("t", xs[i], ys[i]) for i in range(n)]
+    r = S.kendall_tau_b(
+        _df(spark, tie, "g string, x bigint, y bigint"),
+        "g", "x", "y").collect()[0]
+    assert r.tau_b == pytest.approx(want, abs=1e-6)
+    assert (r.n_concordant, r.n_discordant) == (c, d)
+
+    # constant y -> zero denominator -> NULL tau
+    const = [("c", i, 5) for i in range(5)]
+    r = S.kendall_tau_b(
+        _df(spark, const, "g string, x bigint, y bigint"),
+        "g", "x", "y").collect()[0]
+    assert r.tau_b is None
+
+
 def test_anova_known_values(spark):
     # groups: a=[1,2,3] b=[5,6,7] c=[9,10,11]; grand mean 6
     # SSB = 3*(2-6)^2+3*(6-6)^2+3*(10-6)^2 = 96; SSW = 2+2+2 = 6
