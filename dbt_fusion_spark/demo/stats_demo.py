@@ -2197,7 +2197,8 @@ _DUCK_COX_SUBJ = """
                   THEN 1 ELSE 0 END AS e,
              CAST(clicked AS DOUBLE) AS x1,
              CAST(n_ev AS DOUBLE) AS x2,
-             CAST(n_days AS DOUBLE) AS x3
+             CAST(n_days AS DOUBLE) AS x3,
+             CAST(user_id % 3 AS BIGINT) AS st
       FROM firsts, cut)"""
 
 
@@ -2244,10 +2245,15 @@ def _cox3_num(i: int, u: str = "u.") -> str:
         for j, c in enumerate(_COX3_ROWS[i - 1])) + ")")
 
 
-def _duck_cox_ctes(p: int, iters: int) -> str:
+def _duck_cox_ctes(p: int, iters: int, strata: bool = False) -> str:
     """Unrolled Breslow-Newton CTE chain: needs a prior `subj` CTE
-    with columns (t, e, x1[, x2]); ends at b{iters} + uif/cnt/sc."""
+    with columns (t, e, x1..xp[, st when strata]); ends at b{iters} +
+    uif/cnt/sc.  With strata=True every duration-grid CTE keys on
+    (st, t) and the suffix window partitions by st — per-stratum risk
+    sets, shared beta (plans/survival.cox_ph strata_col)."""
     mom = [(i, j) for i in range(1, p + 1) for j in range(i, p + 1)]
+    stc = "st, " if strata else ""
+    stg = "st, " if strata else ""
     evt_sx_parts = []
     for i in range(1, p + 1):
         inner = ("SUM(CASE WHEN e = 1 THEN " + _cox_dec("x%d" % i)
@@ -2255,9 +2261,10 @@ def _duck_cox_ctes(p: int, iters: int) -> str:
         evt_sx_parts.append(_cox_hop(inner) + " AS sx%d" % i)
     evt_sx = ",\n             ".join(evt_sx_parts)
     zeros = ", ".join("0.0 AS b%d" % i for i in range(1, p + 1))
-    base = (",\n    evt AS (\n      SELECT t, CAST(SUM(e) AS BIGINT)"
+    base = (",\n    evt AS (\n      SELECT " + stc
+            + "t, CAST(SUM(e) AS BIGINT)"
             " AS d,\n             " + evt_sx
-            + "\n      FROM subj GROUP BY t),\n"
+            + "\n      FROM subj GROUP BY " + stg + "t),\n"
             "    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,\n"
             "                   CAST(SUM(e) AS BIGINT) AS n_events"
             " FROM subj),\n"
@@ -2273,10 +2280,12 @@ def _duck_cox_ctes(p: int, iters: int) -> str:
         for i, j in mom:
             a_cols.append("SUM(" + _cox_dec("w * x%d * x%d" % (i, j))
                           + ") AS a%d%d" % (i, j))
+        part = "PARTITION BY st " if strata else ""
         suf_cols = []
         for c in (["0"] + [str(i) for i in range(1, p + 1)]
                   + ["%d%d" % m for m in mom]):
-            win = ("SUM(a" + c + ") OVER (ORDER BY t DESC ROWS BETWEEN"
+            win = ("SUM(a" + c + ") OVER (" + part
+                   + "ORDER BY t DESC ROWS BETWEEN"
                    " UNBOUNDED PRECEDING AND CURRENT ROW)")
             suf_cols.append(_cox_hop(win) + " AS s" + c)
         u_parts = []
@@ -2291,16 +2300,19 @@ def _duck_cox_ctes(p: int, iters: int) -> str:
             i_parts.append(_cox_hop("SUM(" + term + ")")
                            + " AS i%d%d" % (i, j))
         xs_sel = ", ".join("s.x%d" % i for i in range(1, p + 1))
-        return ("\n    w{k} AS (\n      SELECT s.t, s.e, {xs},\n"
+        sst = "s.st, " if strata else ""
+        ukey = "st, t" if strata else "t"
+        return ("\n    w{k} AS (\n      SELECT {sst}s.t, s.e, {xs},\n"
                 "             floor(exp({eta}) * 1e6 + 0.5) / 1e6 AS w\n"
                 "      FROM subj s CROSS JOIN {wsrc} b),\n"
-                "    a{k} AS (\n      SELECT t, {acols}\n"
-                "      FROM w{k} GROUP BY t),\n"
-                "    s{k} AS (\n      SELECT t, {sufs}\n"
+                "    a{k} AS (\n      SELECT {stc}t, {acols}\n"
+                "      FROM w{k} GROUP BY {stg}t),\n"
+                "    s{k} AS (\n      SELECT {stc}t, {sufs}\n"
                 "      FROM a{k}),\n"
                 "    ui{k} AS (\n      SELECT {us},\n             {is_}\n"
-                "      FROM evt e JOIN s{k} s USING (t))").format(
-            k=k, xs=xs_sel, eta=eta, wsrc=wsrc,
+                "      FROM evt e JOIN s{k} s USING ({ukey}))").format(
+            k=k, xs=xs_sel, eta=eta, wsrc=wsrc, sst=sst, stc=stc,
+            stg=stg, ukey=ukey,
             acols=", ".join(a_cols), sufs=",\n             ".join(suf_cols),
             us=",\n             ".join(u_parts),
             is_=",\n             ".join(i_parts))
@@ -2410,6 +2422,8 @@ def _cox_subjects(spark, sf_dir, with_nev: bool,
     if with_days:
         cols.append(F.col("n_days").cast("double")
                     .alias("n_active_days"))
+    # enrollment-cohort stratum (user_id mod 3) for the stratified fit
+    cols.append((F.col("user_id") % 3).cast("bigint").alias("cohort"))
     return firsts.join(maxts, "user_id").select(*cols)
 
 
@@ -2466,6 +2480,28 @@ def survival_cox_three_covariates(spark, sf_dir):
     return cox_ph(subj, "t", "e",
                   ["clicked", "n_events_user", "n_active_days"],
                   iters=_COX_ITERS)
+
+
+@register(
+    "survival_cox_stratified",
+    oracle="\n    WITH " + _DUCK_COX_SUBJ
+    + _duck_cox_ctes(2, _COX_ITERS, strata=True)
+    + "\n    " + _duck_cox_emit(2, _COX_ITERS,
+                                ["clicked", "n_events_user"]) + "\n    ",
+)
+def survival_cox_stratified(spark, sf_dir):
+    """STRATIFIED Cox fit (r11): clicked + event volume with a
+    separate baseline hazard per enrollment cohort (user_id mod 3) —
+    R's coxph(... + strata(cohort)).  Risk sets form within each
+    stratum (duration grid, suffix window, and event join keyed on
+    (stratum, t)); beta stays shared, so U/I sum over strata and the
+    Newton chain is unchanged.  Hash-exact against the strata-keyed
+    oracle unroll."""
+    from dbt_fusion_spark.plans.survival import cox_ph
+
+    subj = _cox_subjects(spark, sf_dir, with_nev=True)
+    return cox_ph(subj, "t", "e", ["clicked", "n_events_user"],
+                  iters=_COX_ITERS, strata_col="cohort")
 
 
 # ----------------------------------------------- r10 batch 2: stats

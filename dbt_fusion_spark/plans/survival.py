@@ -172,7 +172,8 @@ def nelson_aalen(df: DataFrame, duration_col: str,
 
 
 def cox_ph(df: DataFrame, duration_col: str, event_col: str,
-           covariate_cols: list[str], iters: int = 8) -> DataFrame:
+           covariate_cols: list[str], iters: int = 8,
+           strata_col: str | None = None) -> DataFrame:
     """Cox proportional-hazards regression (Breslow ties), fit
     IN-ENGINE with fixed Newton-Raphson iterations on the partial
     likelihood — the hazard-ratio model that completes the survival
@@ -197,6 +198,14 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
     (U, I) frame — bounded at p^2 doubles per iteration, the same
     driver-fit contract as the k-means/PCA centroid fits; everything
     data-sized stays in-engine.
+
+    `strata_col` (r11): STRATIFIED Cox — each stratum keeps its own
+    baseline hazard (risk sets form within the stratum: the duration
+    grid, suffix window, and event join key on (stratum, t)) while
+    beta stays shared; U and I simply sum over strata, so the Newton
+    machinery is untouched.  The classic fix when a nuisance factor
+    (site, cohort, device) violates proportional hazards: stratify on
+    it instead of modeling it.  R: coxph(... + strata(s)).
 
     Emits one row per covariate: covariate, n, n_events, beta, se
     (sqrt of the inverse-information diagonal), z, hazard_ratio, and
@@ -228,7 +237,7 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
             f"singular: {covariate_cols}")
     if p > 3:
         return _cox_ph_wide(df, duration_col, event_col,
-                            covariate_cols, iters)
+                            covariate_cols, iters, strata_col)
 
     def _f9(c):
         return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
@@ -239,9 +248,15 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
     def _dec(c):
         return _f9(c).cast(D389)
 
+    # strata: risk sets form WITHIN each stratum (its own baseline
+    # hazard) while beta stays shared — the duration grid, suffix
+    # window, and evt join all key on (stratum, t); U and I sum over
+    # strata, so everything downstream is unchanged.
+    skey = ["st"] if strata_col else []
+    scols = ([F.col(strata_col).alias("st")] if strata_col else [])
     xs = [F.col(c).cast("double").alias(f"x{i + 1}")
           for i, c in enumerate(covariate_cols)]
-    subj = (df.select(F.col(duration_col).alias("t"),
+    subj = (df.select(*scols, F.col(duration_col).alias("t"),
                       F.col(event_col).cast("bigint").alias("e"), *xs)
             .na.drop()
             .persist())
@@ -253,9 +268,9 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
         evt_aggs.append(
             F.sum(F.when(F.col("e") == 1, _dec(F.col(f"x{i}")))
                   .otherwise(zero)).alias(f"sxd{i}"))
-    evt = subj.groupBy("t").agg(*evt_aggs)
+    evt = subj.groupBy(*skey, "t").agg(*evt_aggs)
     evt = evt.select(
-        "t", "d", *[_d2d(f"sxd{i}").alias(f"sx{i}")
+        *skey, "t", "d", *[_d2d(f"sxd{i}").alias(f"sx{i}")
                     for i in range(1, p + 1)]).localCheckpoint(eager=True)
     counts = subj.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -266,7 +281,7 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
         [tuple(0.0 for _ in range(p))],
         ", ".join(f"b{i} double" for i in range(1, p + 1))) \
         .localCheckpoint(eager=True)
-    wsuf = Window.orderBy(F.col("t").desc()) \
+    wsuf = Window.partitionBy(*skey).orderBy(F.col("t").desc()) \
         .rowsBetween(Window.unboundedPreceding, 0)
     moments = [(i, j) for i in range(1, p + 1)
                for j in range(i, p + 1)]
@@ -290,13 +305,13 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
             aggs.append(F.sum(_dec(F.col("__w") * F.col(f"x{i}")
                                    * F.col(f"x{j}")))
                         .alias(f"a{i}{j}"))
-        a = s.groupBy("t").agg(*aggs)
+        a = s.groupBy(*skey, "t").agg(*aggs)
         cols = (["a0"] + [f"a{i}" for i in range(1, p + 1)]
                 + [f"a{i}{j}" for i, j in moments])
-        suf = a.select("t", *[
+        suf = a.select(*skey, "t", *[
             F.sum(c).over(wsuf).cast("string").cast("double")
             .alias(f"s{c[1:]}") for c in cols])
-        j2 = evt.join(suf, "t")
+        j2 = evt.join(suf, skey + ["t"])
         dd = F.col("d").cast("double")
         s0 = F.col("s0")
         terms = []
@@ -421,7 +436,8 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
 
 
 def _cox_ph_wide(df: DataFrame, duration_col: str, event_col: str,
-                 covariate_cols: list[str], iters: int) -> DataFrame:
+                 covariate_cols: list[str], iters: int,
+                 strata_col: str | None = None) -> DataFrame:
     """Cox PH for p >= 4 covariates: the SAME Breslow suffix-sum grid
     machinery as cox_ph, but each Newton step collects the 1-row
     (U, I) frame — p + p(p+1)/2 doubles, data-size-independent — and
@@ -454,9 +470,11 @@ def _cox_ph_wide(df: DataFrame, duration_col: str, event_col: str,
     def _pyf9(x: float) -> float:
         return math.floor(x * 1e9 + 0.5) / 1e9
 
+    skey = ["st"] if strata_col else []
+    scols = ([F.col(strata_col).alias("st")] if strata_col else [])
     xs = [F.col(c).cast("double").alias(f"x{i + 1}")
           for i, c in enumerate(covariate_cols)]
-    subj = (df.select(F.col(duration_col).alias("t"),
+    subj = (df.select(*scols, F.col(duration_col).alias("t"),
                       F.col(event_col).cast("bigint").alias("e"), *xs)
             .na.drop()
             .persist())
@@ -466,14 +484,14 @@ def _cox_ph_wide(df: DataFrame, duration_col: str, event_col: str,
         evt_aggs.append(
             F.sum(F.when(F.col("e") == 1, _dec(F.col(f"x{i}")))
                   .otherwise(zero)).alias(f"sxd{i}"))
-    evt = subj.groupBy("t").agg(*evt_aggs)
+    evt = subj.groupBy(*skey, "t").agg(*evt_aggs)
     evt = evt.select(
-        "t", "d", *[_d2d(f"sxd{i}").alias(f"sx{i}")
+        *skey, "t", "d", *[_d2d(f"sxd{i}").alias(f"sx{i}")
                     for i in range(1, p + 1)]).localCheckpoint(eager=True)
     cnt = subj.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("e").cast("bigint").alias("n_events")).collect()[0]
-    wsuf = Window.orderBy(F.col("t").desc()) \
+    wsuf = Window.partitionBy(*skey).orderBy(F.col("t").desc()) \
         .rowsBetween(Window.unboundedPreceding, 0)
     moments = [(i, j) for i in range(1, p + 1)
                for j in range(i, p + 1)]
@@ -492,13 +510,13 @@ def _cox_ph_wide(df: DataFrame, duration_col: str, event_col: str,
             aggs.append(F.sum(_dec(F.col("__w") * F.col(f"x{i}")
                                    * F.col(f"x{j}")))
                         .alias(f"a{i}{j}"))
-        a = s.groupBy("t").agg(*aggs)
+        a = s.groupBy(*skey, "t").agg(*aggs)
         cols = (["a0"] + [f"a{i}" for i in range(1, p + 1)]
                 + [f"a{i}{j}" for i, j in moments])
-        suf = a.select("t", *[
+        suf = a.select(*skey, "t", *[
             F.sum(c).over(wsuf).cast("string").cast("double")
             .alias(f"s{c[1:]}") for c in cols])
-        j2 = evt.join(suf, "t")
+        j2 = evt.join(suf, skey + ["t"])
         dd = F.col("d").cast("double")
         s0 = F.col("s0")
         terms = []

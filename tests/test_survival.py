@@ -311,6 +311,61 @@ def test_cox_ph_wide_model_matches_numpy_newton(spark):
     assert out["x1"].n == 60
 
 
+def test_cox_ph_stratified_matches_per_stratum_newton(spark):
+    """strata_col: risk sets form within each stratum, beta shared —
+    must match a numpy reference that loops strata and sums U/I, and
+    collapse to the unstratified fit when there is one stratum."""
+    import numpy as np
+
+    from dbt_fusion_spark.plans.survival import cox_ph
+
+    rows = []
+    for i in range(60):
+        x1, x2 = float(i % 2), float(i % 5)
+        st = i % 3
+        t = 3 + (i * 7) % 11 + int(4 * x1) - int(x2) + st
+        rows.append((st, max(t, 1), 1 if i % 4 else 0, x1, x2))
+    df = spark.createDataFrame(
+        rows, "s int, t int, e int, x1 double, x2 double")
+
+    b = np.zeros(2)
+    info = None
+    for _ in range(10):
+        U = np.zeros(2)
+        info = np.zeros((2, 2))
+        for s in sorted({r[0] for r in rows}):
+            sub = [r for r in rows if r[0] == s]
+            t = np.array([r[1] for r in sub], float)
+            e = np.array([r[2] for r in sub], float)
+            X = np.array([[r[3], r[4]] for r in sub], float)
+            w = np.exp(X @ b)
+            for tt in np.unique(t[e == 1]):
+                risk = t >= tt
+                d = ((t == tt) & (e == 1))
+                dn = d.sum()
+                s0 = w[risk].sum()
+                s1 = (w[risk, None] * X[risk]).sum(0)
+                s2 = np.einsum('i,ij,ik->jk', w[risk],
+                               X[risk], X[risk])
+                U += X[d].sum(0) - dn * s1 / s0
+                info += dn * (s2 / s0 - np.outer(s1 / s0, s1 / s0))
+        b = b + np.linalg.solve(info, U)
+    se = np.sqrt(np.diag(np.linalg.inv(info)))
+    out = {r.covariate: r for r in
+           cox_ph(df, "t", "e", ["x1", "x2"], iters=10,
+                  strata_col="s").collect()}
+    for i, c in enumerate(["x1", "x2"]):
+        assert out[c].beta == pytest.approx(b[i], abs=5e-3)
+        assert out[c].se == pytest.approx(se[i], abs=5e-3)
+
+    # one stratum == unstratified, value-for-value
+    un = cox_ph(df, "t", "e", ["x1", "x2"], iters=6).collect()
+    one = cox_ph(df.withColumn("z", df.s * 0), "t", "e",
+                 ["x1", "x2"], iters=6, strata_col="z").collect()
+    assert [(r.beta, r.se, r.score_chi2) for r in un] \
+        == [(r.beta, r.se, r.score_chi2) for r in one]
+
+
 def test_cox_ph_three_covariates_score_test_positive(spark):
     """The p = 3 joint score test at beta = 0 (U' I^{-1} U) is a
     chi-square(3) statistic: finite and non-negative."""
