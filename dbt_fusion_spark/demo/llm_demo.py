@@ -2340,6 +2340,67 @@ def corpus_rebalance_domains(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def _duck_ipf_ctes(iters: int) -> str:
+    """Unrolled IPF chain over the (source, lang) grid — mirrors
+    llm/corpus.ipf_raking's quantization term-for-term."""
+    f9 = "floor({x} * 1e9 + 0.5) / 1e9"
+    out = ["""
+    g AS (
+      SELECT source AS r, lang AS c, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2),
+    b AS (
+      SELECT r, c, n,
+        1.0 / CAST((SELECT COUNT(DISTINCT source) FROM documents)
+                   AS DOUBLE) AS tr,
+        1.0 / CAST((SELECT COUNT(DISTINCT lang) FROM documents)
+                   AS DOUBLE) AS tc,
+        """ + f9.format(x="CAST(n AS DOUBLE)"
+                          " / CAST(SUM(n) OVER () AS DOUBLE)")
+        + """ AS w0
+      FROM g),
+    i0b AS (SELECT r, c, n, tr, tc, w0, w0 AS w FROM b)"""]
+    msum = ("CAST(CAST(SUM(CAST(round(w, 9) AS DECIMAL(38,9)))"
+            " OVER (PARTITION BY {key}) AS VARCHAR) AS DOUBLE)")
+    for k in range(1, iters + 1):
+        out.append(""",
+    i{k}a AS (
+      SELECT r, c, n, tr, tc, w0,
+        """.format(k=k)
+            + f9.format(x="w * (tr / " + msum.format(key="r") + ")")
+            + """ AS w
+      FROM i{prev}b),
+    i{k}b AS (
+      SELECT r, c, n, tr, tc, w0,
+        """.format(k=k, prev=k - 1)
+            + f9.format(x="w * (tc / " + msum.format(key="c") + ")")
+            + """ AS w
+      FROM i{k}a)""".format(k=k))
+    return "".join(out)
+
+
+_IPF_ITERS = 6
+
+
+@register(
+    "corpus_ipf_balance",
+    oracle="\n    WITH " + _duck_ipf_ctes(_IPF_ITERS) + f"""
+    SELECT r AS source, c AS lang, n,
+           round(w, 6) AS balanced_share,
+           round(w / w0, 6) AS weight_factor
+    FROM i{_IPF_ITERS}b
+    """,
+)
+def corpus_ipf_balance(spark, sf_dir):
+    """Iterative proportional fitting (r11, Deming-Stephan raking):
+    per-(source, lang) cell weights whose source margins AND language
+    margins are both uniform — the two-margin balance one-margin
+    resampling (corpus_rebalance_domains) cannot achieve.  Six
+    alternating grid scalings, quantized on the 1e-9 floor grid;
+    hash-exact against the unrolled SQL chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.ipf_raking(docs, "source", "lang", iters=_IPF_ITERS)
+
+
 @register(
     "corpus_upsample_epochs",
     oracle="""

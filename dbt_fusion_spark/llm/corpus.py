@@ -200,6 +200,68 @@ def temperature_mixture(df: DataFrame, domain_col: str, key_col: str,
         .drop("__frac")
     )
 
+def ipf_raking(df: DataFrame, row_col: str, col_col: str,
+               iters: int = 6) -> DataFrame:
+    """Iterative proportional fitting (raking, Deming-Stephan 1940)
+    over the (row x col) label grid — the TWO-margin generalization of
+    rebalance_domains: find per-cell weights whose ROW margins and COL
+    margins are both uniform, e.g. balance a corpus to equal source
+    shares AND equal language shares simultaneously (one-margin
+    resampling cannot do both).  `iters` alternating proportional
+    scalings of the cell shares:
+
+        w <- f9(w * (R_r / rowsum(w)));  w <- f9(w * (C_c / colsum(w)))
+
+    with uniform targets R = 1/|rows present|, C = 1/|cols present|.
+    Emits one row per occupied cell: row, col, n, balanced_share (the
+    fitted cell share) and weight_factor = share/natural-share — the
+    per-row sampling/loss weight a curation pipeline applies.
+
+    Determinism (the GD-trainer recipe): margin sums are
+    round(9)->DECIMAL(38,9) of the quantized shares (order-free) with
+    string-hop re-entry; every update floor-quantizes on the 1e-9
+    grid, so the SQL unroll is hash-exact.
+
+    Scale: ONE corpus-sized aggregate onto the bounded label grid;
+    each iteration is two grid windows — data-size-independent.
+    Arbitrary (non-uniform) target margins are the same machinery
+    with a broadcast target join in place of the R/C literals.
+    """
+    from dbt_fusion_spark.plans.stats import _qterm
+
+    def _f9(c):
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+    grid = (df.groupBy(F.col(row_col).alias("r"),
+                       F.col(col_col).alias("c"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    wfull = Window.partitionBy()
+    base = grid.select(
+        "r", "c", "n",
+        (F.lit(1.0) / F.size(F.collect_set("r").over(wfull))
+         .cast("double")).alias("tr"),
+        (F.lit(1.0) / F.size(F.collect_set("c").over(wfull))
+         .cast("double")).alias("tc"),
+        _f9(F.col("n").cast("double")
+            / F.sum("n").over(wfull).cast("double")).alias("w0"))
+    cur = base.withColumn("w", F.col("w0"))
+    wr = Window.partitionBy("r")
+    wc = Window.partitionBy("c")
+    for _ in range(iters):
+        rs = F.sum(_qterm(F.col("w"))).over(wr) \
+            .cast("string").cast("double")
+        cur = cur.withColumn(
+            "w", _f9(F.col("w") * (F.col("tr") / rs)))
+        cs = F.sum(_qterm(F.col("w"))).over(wc) \
+            .cast("string").cast("double")
+        cur = cur.withColumn(
+            "w", _f9(F.col("w") * (F.col("tc") / cs)))
+    return cur.select(
+        F.col("r").alias(row_col), F.col("c").alias(col_col), "n",
+        F.round(F.col("w"), 6).alias("balanced_share"),
+        F.round(F.col("w") / F.col("w0"), 6).alias("weight_factor"))
+
+
 def upsample_epochs(df: DataFrame, domain_col: str, key_col: str,
                     epochs: dict[str, float], seed: int = 42) -> DataFrame:
     """Epoch-aware domain replication: the upsampling half of mixture

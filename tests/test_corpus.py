@@ -357,6 +357,44 @@ def test_temperature_mixture_shares_and_determinism(spark):
         temperature_mixture(df, "source", "doc_id", temperature=0)
 
 
+def test_ipf_raking_converges_to_uniform_margins(spark):
+    """After 6 alternating scalings on a skewed 2x2 grid, BOTH margins
+    of the fitted shares are uniform to well under 1e-3, shares sum to
+    ~1, and weight_factor = share / natural-share."""
+    rows = ([(i, "s1", "en") for i in range(40)]
+            + [(100 + i, "s1", "de") for i in range(10)]
+            + [(200 + i, "s2", "en") for i in range(10)]
+            + [(300 + i, "s2", "de") for i in range(40)])
+    df = spark.createDataFrame(rows,
+                               "doc_id long, source string, lang string")
+    out = {(r.source, r.lang): r for r in
+           C.ipf_raking(df, "source", "lang", iters=6).collect()}
+    assert len(out) == 4
+    for s in ("s1", "s2"):
+        rowsum = sum(out[(s, g)].balanced_share for g in ("en", "de"))
+        assert rowsum == pytest.approx(0.5, abs=1e-3)
+    for g in ("en", "de"):
+        colsum = sum(out[(s, g)].balanced_share for s in ("s1", "s2"))
+        assert colsum == pytest.approx(0.5, abs=1e-3)
+    tot = sum(r.balanced_share for r in out.values())
+    assert tot == pytest.approx(1.0, abs=2e-3)
+    r = out[("s1", "de")]
+    # natural share 0.1 -> factor = fitted/0.1
+    assert r.weight_factor == pytest.approx(r.balanced_share / 0.1,
+                                            rel=1e-4)
+    # already-balanced grid is a fixed point: factors stay ~1
+    bal = ([(i, "a", "x") for i in range(25)]
+           + [(50 + i, "a", "y") for i in range(25)]
+           + [(100 + i, "b", "x") for i in range(25)]
+           + [(150 + i, "b", "y") for i in range(25)])
+    fx = C.ipf_raking(
+        spark.createDataFrame(
+            bal, "doc_id long, source string, lang string"),
+        "source", "lang", iters=4).collect()
+    assert all(r.weight_factor == pytest.approx(1.0, abs=1e-6)
+               for r in fx)
+
+
 def test_upsample_epochs_counts_determinism_and_validation(spark):
     """Integer epochs replicate exactly; fractional epochs keep the
     extra copy for ~frac of keys (deterministically — two runs agree
