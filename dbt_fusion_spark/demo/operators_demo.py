@@ -968,3 +968,89 @@ def asof_join_tolerance(spark, sf_dir):
                      left_ts="ts", right_ts="ts",
                      payload=["purchase_id", "purchase_value"],
                      how="left", tolerance="INTERVAL 30 DAYS")
+
+
+@register(
+    "events_funnel_conversion",
+    # sequential min-chain per step; counts assemble on the k-row
+    # step table with lag/first windows.
+    oracle="""
+    WITH base AS (
+      SELECT user_id AS u, event_type AS et, ts FROM events
+      WHERE ts IS NOT NULL),
+    s1 AS (SELECT u, min(ts) AS t1 FROM base
+           WHERE et = 'view' GROUP BY u),
+    s2 AS (SELECT b.u, min(b.ts) AS t2 FROM base b JOIN s1 USING (u)
+           WHERE b.et = 'click' AND b.ts >= t1 GROUP BY b.u),
+    s3 AS (SELECT b.u, min(b.ts) AS t3 FROM base b JOIN s2 USING (u)
+           WHERE b.et = 'purchase' AND b.ts >= t2 GROUP BY b.u),
+    tbl AS (
+      SELECT 1 AS step, 'view' AS step_name,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n
+      UNION ALL
+      SELECT 2, 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM s3))
+    SELECT step, step_name, n AS n_users,
+      round(CASE WHEN lag(n) OVER (ORDER BY step) IS NULL THEN 1.0
+                 WHEN lag(n) OVER (ORDER BY step) > 0
+                 THEN CAST(n AS DOUBLE) / lag(n) OVER (ORDER BY step)
+            END, 6) AS conversion_from_prev,
+      round(CASE WHEN first_value(n) OVER (ORDER BY step
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING) > 0
+                 THEN CAST(n AS DOUBLE)
+                      / first_value(n) OVER (ORDER BY step
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+            END, 6) AS conversion_from_first
+    FROM tbl
+    """,
+)
+def events_funnel_conversion(spark, sf_dir):
+    """Strictly-ordered view -> click -> purchase funnel (r11): a
+    purchase only counts if it follows the user's first
+    post-view click — the sequential semantics product analytics
+    means by "funnel". k steps = k shrinking user-keyed shuffles."""
+    from dbt_fusion_spark.plans.activity import funnel_conversion
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_conversion(ev, "user_id", "event_type", "ts",
+                             ["view", "click", "purchase"])
+
+
+@register(
+    "events_cohort_retention",
+    # first-event Monday-week cohorts; cell = distinct actives at
+    # week offset k; sizes join on the bounded cohort grid.
+    oracle="""
+    WITH base AS (
+      SELECT user_id AS u, ts FROM events WHERE ts IS NOT NULL),
+    firsts AS (SELECT u, min(ts) AS t0 FROM base GROUP BY u),
+    j AS (SELECT b.u, b.ts, f.t0 FROM base b JOIN firsts f USING (u)),
+    cells AS (
+      SELECT CAST(date_trunc('week', t0) AS DATE) AS cohort_week,
+             CAST(floor(CAST(date_diff('day', CAST(t0 AS DATE),
+                                       CAST(ts AS DATE)) AS DOUBLE)
+                        / 7) AS BIGINT) AS week_offset,
+             CAST(COUNT(DISTINCT u) AS BIGINT) AS n_active
+      FROM j GROUP BY 1, 2),
+    sizes AS (
+      SELECT CAST(date_trunc('week', t0) AS DATE) AS cohort_week,
+             CAST(COUNT(DISTINCT u) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY 1)
+    SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+           round(CAST(c.n_active AS DOUBLE)
+                 / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+    FROM cells c JOIN sizes s USING (cohort_week)
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle (r11): users cohort by the
+    Monday week of their first event; cell (cohort, k) = the share
+    still active k weeks later. One user-keyed aggregate + join back,
+    then everything runs on the bounded cohort grid."""
+    from dbt_fusion_spark.plans.activity import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts")

@@ -156,3 +156,109 @@ def rfm_scores(df: DataFrame, user_col: str, ts_col: str,
                     "r_score", "f_score", "m_score",
                     (F.col("r_score") * 100 + F.col("f_score") * 10
                      + F.col("m_score")).cast("int").alias("rfm")))
+
+
+def funnel_conversion(df: DataFrame, user_col: str, type_col: str,
+                      time_col: str, steps: list[str]) -> DataFrame:
+    """Strictly-ORDERED conversion funnel (r11): a user counts at step
+    k only if an event of type steps[k] happened AT OR AFTER their
+    first qualifying time for step k-1 — the sequential semantics
+    product analytics means by "funnel" (an unordered distinct-type
+    count would credit a purchase that preceded the view).
+
+    Emits one row per step: step (1-based), step_name, n_users,
+    conversion_from_prev, conversion_from_first (both round(6);
+    step 1 reads 1.0).
+
+    Scale: step k is ONE user-keyed shuffle — filter to the step's
+    type, inner-join the survivors frame (shrinking monotonically),
+    keep events at/after the prior step time, min-aggregate.  k steps
+    = k bounded shuffles over ever-smaller frames; the rate assembly
+    is a window over the k-row step table.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"duplicate step types: {steps}")
+    base = df.select(F.col(user_col).alias("u"),
+                     F.col(type_col).alias("et"),
+                     F.col(time_col).alias("ts")) \
+        .filter(F.col("ts").isNotNull())
+    cur = (base.filter(F.col("et") == steps[0])
+           .groupBy("u").agg(F.min("ts").alias("t1")))
+    counts = [cur.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+              .select(F.lit(1).alias("step"),
+                      F.lit(steps[0]).alias("step_name"), "n")]
+    for i, s in enumerate(steps[1:], start=2):
+        prev = f"t{i - 1}"
+        cur = (base.filter(F.col("et") == s)
+               .join(cur, "u")
+               .filter(F.col("ts") >= F.col(prev))
+               .groupBy("u").agg(F.min("ts").alias(f"t{i}")))
+        counts.append(
+            cur.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select(F.lit(i).alias("step"),
+                    F.lit(s).alias("step_name"), "n"))
+    tbl = counts[0]
+    for c in counts[1:]:
+        tbl = tbl.unionByName(c)
+    w = Window.orderBy("step").rowsBetween(
+        Window.unboundedPreceding, 0)
+    first_n = F.first("n").over(
+        Window.orderBy("step").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+    prev_n = F.lag("n").over(Window.orderBy("step"))
+    return tbl.select(
+        "step", "step_name", F.col("n").alias("n_users"),
+        F.round(F.when(prev_n.isNull(), F.lit(1.0))
+                .when(prev_n > 0,
+                      F.col("n").cast("double")
+                      / prev_n.cast("double")), 6)
+         .alias("conversion_from_prev"),
+        F.round(F.when(first_n > 0,
+                       F.col("n").cast("double")
+                       / first_n.cast("double")), 6)
+         .alias("conversion_from_first"))
+
+
+def cohort_retention(df: DataFrame, user_col: str,
+                     time_col: str) -> DataFrame:
+    """Weekly cohort retention matrix (r11): users cohort by the
+    Monday week of their FIRST event; cell (cohort, k) counts the
+    cohort's users active in week k after signup — the triangle every
+    growth dashboard opens with.
+
+    Emits one row per non-empty (cohort_week, week_offset):
+    cohort_week (date), week_offset, n_active, cohort_size, retention
+    (round 6; offset 0 reads 1.0 whenever the cohort is non-empty,
+    since week 0 contains the first event itself).
+
+    Scale: one user-keyed aggregate for first times, one user-keyed
+    join back (broadcast never assumed — users are data-sized), one
+    distinct onto the (cohort, offset, user) grid, one grid count;
+    the cohort-size join runs on the bounded cohort grid.
+    """
+    base = df.select(F.col(user_col).alias("u"),
+                     F.col(time_col).alias("ts")) \
+        .filter(F.col("ts").isNotNull())
+    firsts = base.groupBy("u").agg(F.min("ts").alias("t0"))
+    j = base.join(firsts, "u")
+    cohort = F.date_trunc("week", F.col("t0")).cast("date")
+    off = F.floor(F.datediff(F.col("ts").cast("date"),
+                             F.col("t0").cast("date"))
+                  / F.lit(7)).cast("bigint")
+    cells = (j.select(cohort.alias("cohort_week"),
+                      off.alias("week_offset"), "u")
+             .groupBy("cohort_week", "week_offset")
+             .agg(F.countDistinct("u").cast("bigint")
+                  .alias("n_active")))
+    sizes = (firsts.groupBy(F.date_trunc("week", F.col("t0"))
+                            .cast("date").alias("cohort_week"))
+             .agg(F.countDistinct("u").cast("bigint")
+                  .alias("cohort_size")))
+    return (cells.join(F.broadcast(sizes), "cohort_week")
+            .select("cohort_week", "week_offset", "n_active",
+                    "cohort_size",
+                    F.round(F.col("n_active").cast("double")
+                            / F.col("cohort_size").cast("double"), 6)
+                     .alias("retention")))

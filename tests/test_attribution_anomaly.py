@@ -305,3 +305,68 @@ def test_rfm_scores_exact_quintiles(spark):
     assert out[5]["rfm"] == 555
     assert out[1]["monetary_cents"] == 1000
     assert out[1]["recency_days"] == 4 and out[5]["recency_days"] == 0
+
+
+def test_funnel_conversion_ordered_semantics(spark):
+    """Sequential funnel: a click BEFORE the first view must not
+    count; rates derive from the surviving counts."""
+    from dbt_fusion_spark.plans.activity import funnel_conversion
+
+    rows = [
+        # u1 completes view -> click -> purchase in order
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-02 10:00:00"),
+        (1, "purchase", "2024-01-03 10:00:00"),
+        # u2: click precedes the view -> stops at view
+        (2, "click", "2024-01-01 09:00:00"),
+        (2, "view", "2024-01-01 10:00:00"),
+        # u3: view + click, purchase precedes the click -> stops at 2
+        (3, "view", "2024-01-01 08:00:00"),
+        (3, "purchase", "2024-01-01 09:00:00"),
+        (3, "click", "2024-01-01 10:00:00"),
+        # u4: never views
+        (4, "click", "2024-01-01 10:00:00"),
+        (4, "purchase", "2024-01-02 10:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_type string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.step: r for r in funnel_conversion(
+        df, "user_id", "event_type", "ts",
+        ["view", "click", "purchase"]).collect()}
+    assert out[1].n_users == 3            # u1 u2 u3
+    assert out[2].n_users == 2            # u1 u3 (u2's click too early)
+    assert out[3].n_users == 1            # u1 only
+    assert out[1].conversion_from_prev == 1.0
+    assert out[2].conversion_from_prev == pytest.approx(2 / 3, abs=1e-6)
+    assert out[3].conversion_from_first == pytest.approx(1 / 3,
+                                                         abs=1e-6)
+    with pytest.raises(ValueError):
+        funnel_conversion(df, "user_id", "event_type", "ts", ["view"])
+    with pytest.raises(ValueError):
+        funnel_conversion(df, "user_id", "event_type", "ts",
+                          ["view", "view"])
+
+
+def test_cohort_retention_hand_computed(spark):
+    """Two Monday-week cohorts; retention cells counted by hand."""
+    from dbt_fusion_spark.plans.activity import cohort_retention
+
+    rows = [
+        # cohort of 2024-01-01 (Mon): u1 active weeks 0,1; u2 week 0
+        (1, "2024-01-02 10:00:00"), (1, "2024-01-09 10:00:00"),
+        (2, "2024-01-03 10:00:00"),
+        # cohort of 2024-01-08: u3 active weeks 0 and 2
+        (3, "2024-01-08 10:00:00"), (3, "2024-01-22 11:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(str(r.cohort_week), r.week_offset): r
+           for r in cohort_retention(df, "user_id", "ts").collect()}
+    a0 = out[("2024-01-01", 0)]
+    assert (a0.n_active, a0.cohort_size, a0.retention) == (2, 2, 1.0)
+    a1 = out[("2024-01-01", 1)]
+    assert (a1.n_active, a1.retention) == (1, 0.5)
+    b0 = out[("2024-01-08", 0)]
+    assert (b0.n_active, b0.cohort_size) == (1, 1)
+    assert ("2024-01-08", 2) in out and ("2024-01-08", 1) not in out
