@@ -3729,3 +3729,61 @@ def sql_pivot_daily_counts(spark, sf_dir):
         ev.withColumn("day", F.date_trunc("day", F.col("ts"))),
         "day", "event_type",
         ["click", "error", "purchase", "signup", "view"])
+
+
+@register(
+    "events_seasonal_naive_backtest",
+    # (group, day) grid self-join on the +7d calendar key; error
+    # terms round(9)->DECIMAL, string-hop re-entry.
+    oracle="""
+    WITH series AS (
+      SELECT event_type AS g, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+    lagged AS (
+      SELECT g, day + 7 AS day, v AS f FROM series),
+    j AS (
+      SELECT s.g, s.v, l.f,
+             CAST(s.v AS DOUBLE) - CAST(l.f AS DOUBLE) AS err,
+             (abs(CAST(s.v AS DOUBLE)) + abs(CAST(l.f AS DOUBLE)))
+               / 2.0 AS sden
+      FROM series s LEFT JOIN lagged l USING (g, day)),
+    agg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days,
+        CAST(SUM(CASE WHEN f IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_forecasts,
+        SUM(CASE WHEN f IS NOT NULL
+                 THEN CAST(round(abs(err), 9) AS DECIMAL(38,9)) END)
+          AS sa,
+        SUM(CASE WHEN f IS NOT NULL
+                 THEN CAST(round(err * err, 9) AS DECIMAL(38,9)) END)
+          AS ss,
+        SUM(CASE WHEN f IS NOT NULL AND sden > 0
+                 THEN CAST(round(abs(err) / sden, 9)
+                      AS DECIMAL(38,9)) END) AS sm,
+        CAST(SUM(CASE WHEN f IS NOT NULL AND sden > 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nm
+      FROM j GROUP BY g)
+    SELECT g AS event_type, n_days, n_forecasts,
+      round(CASE WHEN n_forecasts > 0
+            THEN CAST(CAST(sa AS VARCHAR) AS DOUBLE)
+                 / CAST(n_forecasts AS DOUBLE) END, 6) AS mae,
+      round(CASE WHEN n_forecasts > 0
+            THEN sqrt(CAST(CAST(ss AS VARCHAR) AS DOUBLE)
+                      / CAST(n_forecasts AS DOUBLE)) END, 6) AS rmse,
+      round(CASE WHEN nm > 0
+            THEN CAST(CAST(sm AS VARCHAR) AS DOUBLE)
+                 / CAST(nm AS DOUBLE) END, 6) AS smape
+    FROM agg
+    """,
+)
+def events_seasonal_naive_backtest(spark, sf_dir):
+    """Seasonal-naive (lag-7) forecast backtest per event type (r11):
+    the accuracy floor any real forecaster must beat — MAE/RMSE/sMAPE
+    of predicting each day's volume with the volume a week earlier.
+    One day-grid self-join on the shifted calendar key."""
+    from dbt_fusion_spark.plans.timeseries import seasonal_naive_backtest
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_naive_backtest(ev, "event_type", "ts",
+                                   period_days=7)

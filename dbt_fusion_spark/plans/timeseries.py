@@ -441,3 +441,59 @@ def acf_by_key(df: DataFrame, key_col: str, time_col: str,
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def seasonal_naive_backtest(df: DataFrame, group_col: str, time_col,
+                            period_days: int = 7) -> DataFrame:
+    """Seasonal-naive forecast backtest (r11): forecast each day's
+    per-group volume with the volume `period_days` earlier (the
+    forecast every dashboard should beat before trusting anything
+    fancier), and score it in-sample — the accuracy floor for
+    capacity/alerting models.
+
+    Per group: series = daily event counts; forecast(d) = actual(d -
+    period); emits n_days, n_forecasts (days whose lag day exists),
+    mae, rmse, smape (symmetric MAPE, skipping zero-denominator days)
+    — round(6), error terms round(9)->DECIMAL summed order-free.
+
+    Scale: one corpus aggregate onto the (group, day) grid, ONE grid
+    self-join on the shifted calendar key, one grid reduce — the
+    forecast join never touches raw rows.
+    """
+    t = F.col(time_col) if isinstance(time_col, str) else time_col
+    from dbt_fusion_spark.plans.stats import _d2d, _qterm
+
+    series = (df.select(F.col(group_col).alias("g"),
+                        t.cast("date").alias("day"))
+              .filter(F.col("day").isNotNull())
+              .groupBy("g", "day")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("v")))
+    lagged = series.select(
+        "g", F.date_add("day", period_days).alias("day"),
+        F.col("v").alias("f"))
+    j = series.join(lagged, ["g", "day"], "left")
+    vd = F.col("v").cast("double")
+    fd = F.col("f").cast("double")
+    err = vd - fd
+    sden = (F.abs(vd) + F.abs(fd)) / F.lit(2.0)
+    has = F.col("f").isNotNull()
+    agg = j.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.when(has, 1).otherwise(0)).cast("bigint")
+         .alias("n_forecasts"),
+        F.sum(F.when(has, _qterm(F.abs(err)))).alias("__sa"),
+        F.sum(F.when(has, _qterm(err * err))).alias("__ss"),
+        F.sum(F.when(has & (sden > 0), _qterm(F.abs(err) / sden)))
+         .alias("__sm"),
+        F.sum(F.when(has & (sden > 0), 1).otherwise(0)).cast("bigint")
+         .alias("__nm"))
+    nf = F.col("n_forecasts").cast("double")
+    return agg.select(
+        F.col("g").alias(group_col), "n_days", "n_forecasts",
+        F.round(F.when(F.col("n_forecasts") > 0, _d2d("__sa") / nf), 6)
+         .alias("mae"),
+        F.round(F.when(F.col("n_forecasts") > 0,
+                       F.sqrt(_d2d("__ss") / nf)), 6).alias("rmse"),
+        F.round(F.when(F.col("__nm") > 0,
+                       _d2d("__sm") / F.col("__nm").cast("double")), 6)
+         .alias("smape"))

@@ -370,3 +370,23 @@ def test_cohort_retention_hand_computed(spark):
     b0 = out[("2024-01-08", 0)]
     assert (b0.n_active, b0.cohort_size) == (1, 1)
     assert ("2024-01-08", 2) in out and ("2024-01-08", 1) not in out
+
+
+def test_seasonal_naive_backtest_hand_computed(spark):
+    """Lag-2 backtest on a hand series: day volumes [3,1,4,1] ->
+    forecasts for days 3,4 are 3,1 -> errors |4-3|=1, |1-1|=0."""
+    from dbt_fusion_spark.plans.timeseries import seasonal_naive_backtest
+
+    rows = []
+    vols = {1: 3, 2: 1, 3: 4, 4: 1}
+    for day, v in vols.items():
+        rows += [("g", f"2024-01-0{day} 10:00:0{s}") for s in range(v)]
+    df = spark.createDataFrame(rows, "g string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    r = seasonal_naive_backtest(df, "g", "ts",
+                                period_days=2).collect()[0]
+    assert (r.n_days, r.n_forecasts) == (4, 2)
+    assert r.mae == pytest.approx(0.5, abs=1e-9)
+    assert r.rmse == pytest.approx((0.5) ** 0.5, abs=1e-6)
+    # smape terms: 1/((4+3)/2) and 0 -> mean = (2/7)/2
+    assert r.smape == pytest.approx((2 / 7) / 2, abs=1e-6)
