@@ -3321,6 +3321,59 @@ def quality_unigram_loglik(spark, sf_dir):
     return Q.unigram_loglik(docs, "doc_id", "text", alpha=0.5)
 
 
+@register(
+    "quality_bigram_loglik",
+    # Jelinek-Mercer interpolated bigram LM fit on the corpus; the
+    # 0.3 backoff literal is spelled as the exact IEEE double Python's
+    # 1.0-0.7 produces so both engines mix identically.
+    oracle=f"""
+    WITH tokarr AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+      FROM documents),
+    pt AS (
+      SELECT doc_id, unnest(a) AS token,
+             generate_subscripts(a, 1) AS pos
+      FROM tokarr),
+    pt2 AS (SELECT * FROM pt WHERE token <> ''),
+    big AS (
+      SELECT a.doc_id, a.token AS w1, b.token AS w2
+      FROM pt2 a JOIN pt2 b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cu
+            FROM pt2 GROUP BY token),
+    stats AS (SELECT CAST(SUM(cu) AS BIGINT) AS n,
+                     CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+    bcnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+             FROM big GROUP BY 1, 2),
+    tf AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM big GROUP BY 1, 2, 3)
+    SELECT t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS n_bigrams,
+      CAST(round(-SUM(t.tf * ln(
+          0.7 * ((b.cb + 0.5)
+                 / (CAST(u1.cu AS DOUBLE) + 0.5 * s.v))
+          + {1.0 - 0.7!r} * ((u2.cu + 0.5)
+                 / (CAST(s.n AS DOUBLE) + 0.5 * s.v))))
+        / SUM(t.tf), 6) AS DOUBLE) AS avg_neg_loglik
+    FROM tf t
+    JOIN bcnt b USING (w1, w2)
+    JOIN uni u1 ON u1.token = t.w1
+    JOIN uni u2 ON u2.token = t.w2
+    CROSS JOIN stats s
+    GROUP BY t.doc_id
+    """,
+)
+def quality_bigram_loglik(spark, sf_dir):
+    """Interpolated bigram LM quality score (r11): the context-aware
+    upgrade of quality_unigram_loglik — word-order scrambles and rare
+    transitions now raise the score even when the unigram mix looks
+    normal.  Jelinek-Mercer 0.7/0.3 backoff keeps unseen bigrams
+    finite; adjacency comes from one id-keyed pos-lag window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return Q.bigram_loglik(docs, "doc_id", "text", alpha=0.5,
+                           lam=0.7)
+
+
 # Shared classifier-score pipeline (hashed uni+bigram linear model,
 # logistic link) — used by the scoring gate row and the threshold
 # calibration row.

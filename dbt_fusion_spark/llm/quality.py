@@ -313,6 +313,67 @@ def unigram_loglik(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def bigram_loglik(df: DataFrame, id_col: str, text_col: str,
+                  alpha: float = 0.5, lam: float = 0.7) -> DataFrame:
+    """Interpolated BIGRAM language-model quality score — the context-
+    aware upgrade of unigram_loglik (which cannot tell shuffled word
+    soup from fluent text, since it ignores order):
+
+        p(w2 | w1) = lam * (c(w1 w2)+a)/(c(w1)+aV)
+                   + (1-lam) * (c(w2)+a)/(N+aV)
+
+    fit on the corpus itself, each doc scored by the average negative
+    log-likelihood over its bigram transitions (docs with < 2 tokens
+    have no transitions and are omitted).  The Jelinek-Mercer unigram
+    backoff keeps unseen bigrams finite; low = fluent/typical, high =
+    order-scrambled or rare-token text.
+
+    Scale: one id-keyed window builds the adjacency stream (pos-lag,
+    same volume as tokenization); bigram/unigram count joins are all
+    co-keyed equi-joins; corpus scalars (N, V) ride the 1-row
+    broadcast join.  Emitted double rounds to 6 (per-doc sum order
+    differs across engines — the unigram_loglik convention).
+    """
+    from pyspark.sql import Window
+
+    from dbt_fusion_spark.llm.corpus import _join_scalar
+
+    arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    pos_toks = (df.select(F.col(id_col),
+                          F.posexplode(arr).alias("pos", "token"))
+                .filter(F.col("token") != ""))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = (pos_toks
+           .withColumn("w1", F.lag("token").over(w))
+           .filter(F.col("w1").isNotNull())
+           .select(id_col, "w1", F.col("token").alias("w2")))
+    uni_cnt = pos_toks.groupBy("token") \
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cu"))
+    scalar = uni_cnt.agg(F.sum("__cu").alias("__N"),
+                         F.count(F.lit(1)).alias("__V"))
+    big_cnt = big.groupBy("w1", "w2") \
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cb"))
+    tf = big.groupBy(id_col, "w1", "w2") \
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__tf"))
+    j = (tf.join(big_cnt, ["w1", "w2"])
+         .join(uni_cnt.select(F.col("token").alias("w1"),
+                              F.col("__cu").alias("__c1")), "w1")
+         .join(uni_cnt.select(F.col("token").alias("w2"),
+                              F.col("__cu").alias("__c2")), "w2"))
+    j = _join_scalar(j, "__tf", scalar, "__N")
+    a = F.lit(alpha)
+    av = a * F.col("__V")
+    pb = (F.col("__cb") + a) / (F.col("__c1").cast("double") + av)
+    pu = (F.col("__c2") + a) / (F.col("__N").cast("double") + av)
+    logp = F.log(F.lit(lam) * pb + F.lit(1.0 - lam) * pu)
+    return (j.groupBy(id_col)
+            .agg(F.sum("__tf").cast("bigint").alias("n_bigrams"),
+                 F.sum(F.col("__tf") * logp).alias("__ll"))
+            .select(id_col, "n_bigrams",
+                    F.round(-F.col("__ll") / F.col("n_bigrams"), 6)
+                    .alias("avg_neg_loglik")))
+
+
 def containment_scores(corpus: DataFrame, probes: DataFrame, id_col: str,
                        text_col: str, n: int = 5,
                        threshold: float = 0.5) -> DataFrame:

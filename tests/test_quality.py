@@ -139,6 +139,35 @@ def test_unigram_loglik_hand_computed(spark):
     assert abs(rows[2]["avg_neg_loglik"] - nll2) < 1e-6
 
 
+def test_bigram_loglik_hand_computed_and_order_sensitive(spark):
+    import math
+
+    from dbt_fusion_spark.llm.quality import bigram_loglik
+
+    # corpus: doc1 "a b", doc2 "a b", doc3 "b a" — bigram counts:
+    # (a,b)=2, (b,a)=1; unigrams a=3 b=3, N=6 V=2
+    df = spark.createDataFrame([(1, "a b"), (2, "a b"), (3, "b a")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            bigram_loglik(df, "doc_id", "text", alpha=0.5,
+                          lam=0.7).collect()}
+    av = 0.5 * 2
+    pu_b = (3 + 0.5) / (6 + av)     # unigram backoff for 'b'
+    p_ab = 0.7 * ((2 + 0.5) / (3 + av)) + (1.0 - 0.7) * pu_b
+    p_ba = 0.7 * ((1 + 0.5) / (3 + av)) + (1.0 - 0.7) * pu_b
+    assert rows[1]["n_bigrams"] == 1
+    assert abs(rows[1]["avg_neg_loglik"] - (-math.log(p_ab))) < 1e-6
+    # same unigram mix, rarer ORDER -> strictly worse score
+    assert rows[3]["avg_neg_loglik"] > rows[1]["avg_neg_loglik"]
+    assert abs(rows[3]["avg_neg_loglik"] - (-math.log(p_ba))) < 1e-6
+    # single-token doc has no transitions -> omitted
+    one = spark.createDataFrame([(9, "solo"), (10, "a b")],
+                                "doc_id long, text string")
+    got = {r["doc_id"] for r in
+           bigram_loglik(one, "doc_id", "text").collect()}
+    assert got == {10}
+
+
 def test_containment_scores_asymmetric(spark):
     from dbt_fusion_spark.llm.quality import containment_scores
 
