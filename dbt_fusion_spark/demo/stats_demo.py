@@ -3787,3 +3787,163 @@ def events_seasonal_naive_backtest(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return seasonal_naive_backtest(ev, "event_type", "ts",
                                    period_days=7)
+
+
+# ------------------------------------------------- IPW / propensity (r11)
+_IPW_ITERS = 8
+_IPW_LR = 2.0
+
+
+def _duck_logit_ctes(p: int, iters: int, lr: float) -> str:
+    """Unrolled tabular-logistic GD chain (plans/causal
+    train_logistic_tabular): needs a prior `subj` CTE with columns
+    (t, y, x1..xp); ends at lb{iters} + cnt."""
+    def f9(x):
+        return "floor((" + x + ") * 1e9 + 0.5) / 1e9"
+
+    def sig(eta):
+        ec = "greatest(least(" + eta + ", 30.0), -30.0)"
+        return ("1.0 / (1.0 + floor(exp(-(" + ec
+                + ")) * 1e6 + 0.5) / 1e6)")
+
+    def hop(x):
+        return "CAST(CAST(" + x + " AS VARCHAR) AS DOUBLE)"
+
+    eta = "b.b0 + " + " + ".join(
+        f9("s.x%d * b.b%d" % (i, i)) for i in range(1, p + 1))
+    zeros = ", ".join("0.0 AS b%d" % i for i in range(p + 1))
+    out = [",\n    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n"
+           " FROM subj),\n    lb0 AS (SELECT " + zeros + ")"]
+    resid = "(s.t - " + sig(eta) + ")"
+    for k in range(1, iters + 1):
+        gs = [hop("SUM(CAST(round(" + resid
+                  + ", 9) AS DECIMAL(38,9)))") + " AS g0"]
+        for i in range(1, p + 1):
+            gs.append(hop("SUM(CAST(round(" + resid
+                          + " * s.x%d, 9) AS DECIMAL(38,9)))" % i)
+                      + " AS g%d" % i)
+        out.append(
+            ",\n    g{k} AS (\n      SELECT {gs}\n"
+            "      FROM subj s CROSS JOIN lb{prev} b)".format(
+                k=k, prev=k - 1, gs=",\n             ".join(gs)))
+        ups = [f9("b.b%d + %r * g.g%d / CAST(c.n AS DOUBLE)"
+                  % (i, lr, i)) + " AS b%d" % i
+               for i in range(p + 1)]
+        out.append(
+            ",\n    lb{k} AS (\n      SELECT {ups}\n"
+            "      FROM lb{prev} b CROSS JOIN g{k} g"
+            " CROSS JOIN cnt c)".format(
+                k=k, prev=k - 1, ups=", ".join(ups)))
+    return "".join(out)
+
+
+def _duck_ipw_emit(p: int, iters: int, clip: float) -> str:
+    """Stabilized (Hajek) IPW readout off the trained chain."""
+    def sig(eta):
+        ec = "greatest(least(" + eta + ", 30.0), -30.0)"
+        return ("1.0 / (1.0 + floor(exp(-(" + ec
+                + ")) * 1e6 + 0.5) / 1e6)")
+
+    def hop(x):
+        return "CAST(CAST(" + x + " AS VARCHAR) AS DOUBLE)"
+
+    def f9(x):
+        return "floor((" + x + ") * 1e9 + 0.5) / 1e9"
+
+    def q(x):
+        return "SUM(CAST(round(" + x + ", 9) AS DECIMAL(38,9)))"
+
+    eta = "b.b0 + " + " + ".join(
+        f9("s.x%d * b.b%d" % (i, i)) for i in range(1, p + 1))
+    prop = "floor((" + sig(eta) + ") * 1e6 + 0.5) / 1e6"
+    e = ("greatest(least(p, %r), %r)" % (1.0 - clip, clip))
+    return (""",
+    scored AS (
+      SELECT s.t, s.y, """ + prop + """ AS p
+      FROM subj s CROSS JOIN lb""" + str(iters) + """ b),
+    ew AS (SELECT t, y, """ + e + """ AS e FROM scored),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(t) AS BIGINT) AS n_treated,
+        """ + hop(q("t / e")) + """ AS w1,
+        """ + hop(q("t * y / e")) + """ AS wy1,
+        """ + hop(q("(1 - t) / (1 - e)")) + """ AS w0,
+        """ + hop(q("(1 - t) * y / (1 - e)")) + """ AS wy0,
+        """ + hop(q("t * y")) + """ AS sy1,
+        """ + hop(q("(1 - t) * y")) + """ AS sy0,
+        """ + hop(q("t * e")) + """ AS se1,
+        """ + hop(q("(1 - t) * e")) + """ AS se0
+      FROM ew)
+    SELECT n, n_treated,
+      round(CASE WHEN n_treated > 0 AND n > n_treated
+            THEN sy1 / CAST(n_treated AS DOUBLE)
+               - sy0 / CAST(n - n_treated AS DOUBLE) END, 6)
+        AS naive_diff,
+      round(CASE WHEN n_treated > 0 AND n > n_treated
+            THEN wy1 / w1 - wy0 / w0 END, 6) AS ate_ipw,
+      round(CASE WHEN n_treated > 0 AND n > n_treated
+            THEN se1 / CAST(n_treated AS DOUBLE) END, 6)
+        AS mean_propensity_treated,
+      round(CASE WHEN n_treated > 0 AND n > n_treated
+            THEN se0 / CAST(n - n_treated AS DOUBLE) END, 6)
+        AS mean_propensity_control
+    FROM agg
+    """)
+
+
+_DUCK_IPW_SUBJ = """
+    per_user AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN event_type = 'click' THEN 1
+                           ELSE 0 END) AS DOUBLE) AS t,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) AS DOUBLE) AS y,
+             CAST(COUNT(*) AS BIGINT) AS n_ev,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+               AS n_days
+      FROM events GROUP BY user_id),
+    subj AS (
+      SELECT t, y,
+             floor(ln(1.0 + CAST(n_ev AS DOUBLE)) * 1e9 + 0.5) / 1e9
+               AS x1,
+             floor(ln(1.0 + CAST(n_days AS DOUBLE)) * 1e9 + 0.5) / 1e9
+               AS x2
+      FROM per_user)"""
+
+
+@register(
+    "ab_ipw_ate",
+    oracle="\n    WITH " + _DUCK_IPW_SUBJ
+    + _duck_logit_ctes(2, _IPW_ITERS, _IPW_LR)
+    + _duck_ipw_emit(2, _IPW_ITERS, 0.01) + "\n    ",
+)
+def ab_ipw_ate(spark, sf_dir):
+    """Inverse-propensity-weighted treatment effect (r11): did
+    clicking CAUSE purchasing, net of activity-volume confounding?
+    Propensity = in-engine tabular logistic GD on f9(ln(1+events)),
+    f9(ln(1+active days)); stabilized Hajek ATE with 1% positivity
+    clipping, next to the naive (confounded) gap and the overlap
+    diagnostic.  Hash-exact against the unrolled GD + IPW SQL."""
+    from dbt_fusion_spark.plans.causal import ipw_ate
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+         .cast("double").alias("t"),
+        F.max(F.when(F.col("event_type") == "purchase", 1)
+              .otherwise(0)).cast("double").alias("y"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+        F.countDistinct(F.col("ts").cast("date")).cast("bigint")
+         .alias("n_days"))
+
+    def _f9l(c):
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+    subj = per_user.select(
+        "t", "y",
+        _f9l(F.log(F.lit(1.0) + F.col("n_ev").cast("double")))
+        .alias("x1"),
+        _f9l(F.log(F.lit(1.0) + F.col("n_days").cast("double")))
+        .alias("x2"))
+    return ipw_ate(subj, "t", "y", ["x1", "x2"],
+                   iters=_IPW_ITERS, lr=_IPW_LR, clip=0.01)
