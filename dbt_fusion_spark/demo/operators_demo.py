@@ -971,7 +971,7 @@ def asof_join_tolerance(spark, sf_dir):
 
 
 @register(
-    "events_funnel_conversion",
+    "events_funnel_sequential",
     # sequential min-chain per step; counts assemble on the k-row
     # step table with lag/first windows.
     oracle="""
@@ -1007,11 +1007,14 @@ def asof_join_tolerance(spark, sf_dir):
     FROM tbl
     """,
 )
-def events_funnel_conversion(spark, sf_dir):
+def events_funnel_sequential(spark, sf_dir):
     """Strictly-ordered view -> click -> purchase funnel (r11): a
-    purchase only counts if it follows the user's first
-    post-view click — the sequential semantics product analytics
-    means by "funnel". k steps = k shrinking user-keyed shuffles."""
+    purchase only counts if it follows the user's first POST-VIEW
+    click.  The r7 sibling (events_funnel_conversion) compares
+    FIRST-occurrence times only, so a user whose first click preceded
+    the view is dropped even when they re-clicked afterwards; this
+    row applies the true sequential-scan semantics and adds
+    conversion rates.  k steps = k shrinking user-keyed shuffles."""
     from dbt_fusion_spark.plans.activity import funnel_conversion
 
     ev = load_table(spark, sf_dir, "events")
@@ -1020,7 +1023,7 @@ def events_funnel_conversion(spark, sf_dir):
 
 
 @register(
-    "events_cohort_retention",
+    "events_cohort_retention_matrix",
     # first-event Monday-week cohorts; cell = distinct actives at
     # week offset k; sizes join on the bounded cohort grid.
     oracle="""
@@ -1045,11 +1048,13 @@ def events_funnel_conversion(spark, sf_dir):
     FROM cells c JOIN sizes s USING (cohort_week)
     """,
 )
-def events_cohort_retention(spark, sf_dir):
-    """Weekly cohort retention triangle (r11): users cohort by the
-    Monday week of their first event; cell (cohort, k) = the share
-    still active k weeks later. One user-keyed aggregate + join back,
-    then everything runs on the bounded cohort grid."""
+def events_cohort_retention_matrix(spark, sf_dir):
+    """Weekly cohort retention triangle (r11): cell (cohort, k) = the
+    SHARE of the cohort still active k weeks after their first event —
+    the rate-normalized upgrade of the r7 count-only sibling
+    (events_cohort_retention), adding cohort_size and retention. One
+    user-keyed aggregate + join back; offsets computed on exact day
+    arithmetic rather than week-truncated differences."""
     from dbt_fusion_spark.plans.activity import cohort_retention
 
     ev = load_table(spark, sf_dir, "events")

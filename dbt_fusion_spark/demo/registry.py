@@ -18,10 +18,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _claim(name: str) -> None:
+    """Duplicate registrations fail LOUDLY at import: a silent
+    overwrite swaps the semantics behind an already-certified registry
+    name (caught live in r11 — a new sequential funnel shadowed the r7
+    flag-funnel under the same name until gated output rows changed)."""
+    if name in QUERIES:
+        raise RuntimeError(
+            f"duplicate query registration: {name!r} is already "
+            f"registered by {QUERIES[name].__module__}."
+            f"{QUERIES[name].__name__}; pick a distinct name")
+
+
 def register(name: str, oracle: str | None = None):
     """Decorator registering a (spark, sf_dir) -> DataFrame callable."""
 
     def deco(fn):
+        _claim(name)
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -42,5 +55,6 @@ def sql_query(name: str, sql: str, oracle: str | None = None) -> None:
         return spark.sql(sql)
 
     fn.__name__ = f"q_{name}"
+    _claim(name)
     QUERIES[name] = fn
     ORACLES[name] = oracle if oracle is not None else sql
