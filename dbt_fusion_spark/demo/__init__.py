@@ -49,80 +49,71 @@ from dbt_fusion_spark.demo import (  # noqa: F401, E402
 # covered by the exact-float DuckDB parity battery at both SFs every
 # CI run (tests/test_parity.py, tools/local_gate.py).
 GATE_WINDOW: list[str] = [
-    # ---- r10 ROTATION (judge r9 "Next round" #4): the ONLY two
-    # registry rows never status-green at a driver gate — both were
-    # gated once in r1 (`sample_random_seeded` as no_oracle before
-    # its oracle existed; `window_top_customers_per_nation` during
-    # the parquet-NANOS bug) and strict-PASS on the judge's re-gate.
-    # Certifying them = 259/259 cumulative, the first fully-certified
-    # registry.
-    "sample_random_seeded",
-    "window_top_customers_per_nation",
+    # ---- r11 DEBUTS first (debut-round certification, the r6 rule;
+    # the closing-sweep freeze is CI via
+    # tools/hygiene_check.check_closing_sweep_covers_registry) ----
+    "survival_cox_three_covariates",   # judge r10 #3 (3x3 cofactor)
+    "survival_cox_stratified",         # per-stratum risk sets
+    "sketch_hll_by_source",            # judge r10 #4 (keyed HLL)
+    "sketch_hll_rollup_merge",         # keyed->global rollup identity
+    "dq_l_diversity_audit",            # privacy, next to k-anonymity
+    "ab_kendall_tau_hour_value",       # tau-b on contingency grid
+    "corpus_ipf_balance",              # two-margin raking
+    "events_funnel_sequential",        # ordered funnel + rates
+    "events_cohort_retention_matrix",  # retention rates + sizes
+    "events_seasonal_naive_backtest",  # lag-7 forecast floor
+    "quality_bigram_loglik",           # order-sensitive LM score
+    "ab_ipw_ate",                      # propensity GD + Hajek IPW
     # ---- anchors: code touched THIS round must re-gate ----
     # runner / adapter surface (every round)
     "runner_full_build_statuses",
-    # judge r9 #1: cohens_kappa scalar-join key de-literalized
-    # (BroadcastHashJoin restored) — oracle untouched, re-gate anyway
-    "stats_cohens_kappa_priority",
-    # r9 ADVICE fixes touched these four operators (+ their oracles:
-    # anova's scale-aware quantization is mirrored in SQL)
-    "ab_anova_order_value",
-    "events_ewma_daily_volume",
-    "sample_purged_time_split",
-    "corpus_lexical_diversity",
-    # write path (byte-audited; ACID routing still env-blocked)
-    "incremental_merge_partition_scoped",
-    # ---- r10 debut operators (debut-round certification; appended
-    # as they land this round, BEFORE the closing sweeps — the freeze
-    # rule is now CI: tools/hygiene_check.py
-    # check_closing_sweep_covers_registry) ----
-    # K-class softmax training + model-based lang-ID (judge r9 #5)
+    # judge r10 #5: softmax family served from the durable model
+    # artifact (train-once; serve plans are pure parquet scans)
     "classifier_train_softmax",
     "classifier_softmax_scores",
     "text_lang_id_model",
-    # Cox proportional hazards completing the survival family (#6)
+    # judge r10 #6: RAKE fused onto the distinct-phrase grid
+    "text_rake_keywords",
+    # r10 ADVICE fixes touched these operators (+ the mann-kendall
+    # oracle's tie-sum arithmetic moved to double)
+    "stats_jackknife_ratio_ci",
+    "stats_mann_kendall_daily",
+    "classifier_calibration_ece",
+    "sketch_hll_users",
+    "streaming_countmin_maintenance",
+    "streaming_hll_maintenance",
+    # cox family re-gate: eta generalization + subject-prep columns
+    # (n_days / cohort) threaded through the shared oracle CTE
     "survival_cox_ph",
     "survival_cox_two_covariates",
-    # r10 batch 2: trend/variance/association/uncertainty statistics,
-    # survival completions, corpus diversity, balanced sampling, WOE
-    "stats_mann_kendall_daily",
-    "events_peak_over_threshold",
-    "ab_levene_variance",
-    "stats_cramers_v_matrix",
-    "stats_jackknife_ratio_ci",
-    "survival_rmst_tenure",
-    "survival_cox_schoenfeld",
-    "corpus_simpson_diversity",
-    "sample_balanced_downsample",
-    "feature_woe_iv_orders",
-    # re-gate: chi_square_independence's zero-cell fix touched this
-    # certified row's operator + oracle
-    "stats_chi2_priority_status",
-    # r10 batch 3: streaming sketch maintenance, autocorrelation,
-    # multi-rater agreement, model-eval readouts
-    "streaming_countmin_maintenance",
-    "events_acf_daily_volume",
-    "stats_fleiss_kappa_lineitems",
-    "classifier_calibration_ece",
-    "classifier_gains_table",
-    # r10 batch 4: sequential testing, adaptive drift, competing
-    # risks, confounder-corrected association
-    "ab_msprt_always_valid",
-    "events_page_hinkley_drift",
-    "survival_competing_risks",
-    "stats_partial_correlation",
-    # r10 batch 5: the max-mergeable distinct sketch + privacy audit
-    "sketch_hll_users",
-    "dq_k_anonymity_audit",
-    # r10 batch 6: whole-curve ECDF drift, FK orphan audit, streamed
-    # HLL maintenance
-    "ab_cramer_von_mises",
-    "dq_referential_orphans",
-    "streaming_hll_maintenance",
-    # r10 batch 7: stratified association, script QA, warehouse PIVOT
-    "ab_cmh_stratified",
-    "text_script_mix",
-    "sql_pivot_daily_counts",
+    # registry duplicate-guard incident: the r7 funnel/cohort rows
+    # were temporarily shadowed this round — prove them unchanged
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    # ---- veterans longest without a driver gate (r1-r2 cohort) ----
+    "sample_branch_alloc",
+    "crossdb_date_spine",
+    "crossdb_generate_series",
+    "dedup_exact_fingerprint",
+    "dedup_jaccard_verify",
+    "dedup_simhash",
+    "similarity_bruteforce_topk",
+    "similarity_ivf_topk",
+    "embedding_near_dups",
+    "gopher_quality_signals",
+    "decontamination_13gram",
+    "text_char_stats",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_estimate",
+    "text_fingerprint",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "events_daily_rollup",
+    "events_sessionization",
+    "multimodal_resize",
+    "events_session_window_agg",
+    "events_json_props_rollup",
 ]
 
 
