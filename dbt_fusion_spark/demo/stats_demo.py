@@ -3947,3 +3947,132 @@ def ab_ipw_ate(spark, sf_dir):
         .alias("x2"))
     return ipw_ate(subj, "t", "y", ["x1", "x2"],
                    iters=_IPW_ITERS, lr=_IPW_LR, clip=0.01)
+
+
+def _duck_aipw_emit(iters: int, clip: float) -> str:
+    """Doubly-robust readout off the trained logit chain (p = 2
+    confounders): per-arm closed-form OLS outcome models via the SAME
+    3x3 cofactor strings as the cox p=3 oracle, then the psi scan."""
+    def sig(eta):
+        ec = "greatest(least(" + eta + ", 30.0), -30.0)"
+        return ("1.0 / (1.0 + floor(exp(-(" + ec
+                + ")) * 1e6 + 0.5) / 1e6)")
+
+    def hop(x):
+        return "CAST(CAST(" + x + " AS VARCHAR) AS DOUBLE)"
+
+    def f9(x):
+        return "floor((" + x + ") * 1e9 + 0.5) / 1e9"
+
+    def q(x):
+        return "SUM(CAST(round(" + x + ", 9) AS DECIMAL(38,9)))"
+
+    eta = "b.b0 + " + " + ".join(
+        f9("s.x%d * b.b%d" % (i, i)) for i in (1, 2))
+    prop = "floor((" + sig(eta) + ") * 1e6 + 0.5) / 1e6"
+
+    def mom(pred: str) -> str:
+        return ("SELECT CAST(COUNT(*) AS DOUBLE) AS i11,\n        "
+                + hop(q("x1")) + " AS i12,\n        "
+                + hop(q("x2")) + " AS i13,\n        "
+                + hop(q("x1 * x1")) + " AS i22,\n        "
+                + hop(q("x1 * x2")) + " AS i23,\n        "
+                + hop(q("x2 * x2")) + " AS i33,\n        "
+                + hop(q("y")) + " AS u1,\n        "
+                + hop(q("x1 * y")) + " AS u2,\n        "
+                + hop(q("x2 * y")) + " AS u3\n"
+                "      FROM scored WHERE " + pred)
+
+    det = _cox3("det")
+
+    def coeffs(tag: str) -> str:
+        cols = []
+        for i in (1, 2, 3):
+            cols.append("CASE WHEN " + det + " > 0 THEN "
+                        + f9(_cox3_num(i) + " / " + det)
+                        + " END AS " + tag + str(i - 1))
+        return ",\n        ".join(cols)
+
+    e = "greatest(least(p, %r), %r)" % (1.0 - clip, clip)
+    m1 = "a.a0 + " + " + ".join(
+        f9("s.x%d * a.a%d" % (i, i)) for i in (1, 2))
+    m0 = "c.c0 + " + " + ".join(
+        f9("s.x%d * c.c%d" % (i, i)) for i in (1, 2))
+    return (""",
+    scored AS (
+      SELECT s.t, s.y, s.x1, s.x2, """ + prop + """ AS p
+      FROM subj s CROSS JOIN lb""" + str(iters) + """ b),
+    mt AS (
+      """ + mom("t = 1") + """),
+    mc AS (
+      """ + mom("t = 0") + """),
+    ca AS (SELECT """ + coeffs("a") + """ FROM mt u),
+    cc AS (SELECT """ + coeffs("c") + """ FROM mc u),
+    pieces AS (
+      SELECT s.t, s.y, """ + e + """ AS e,
+             """ + m1 + """ AS m1,
+             """ + m0 + """ AS m0
+      FROM scored s CROSS JOIN ca a CROSS JOIN cc c),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(t) AS BIGINT) AS n_treated,
+        """ + hop(q("(t * (y - m1) / e + m1)"
+                    " - ((1 - t) * (y - m0) / (1 - e) + m0)"))
+        + """ AS spsi,
+        """ + hop(q("t / e")) + """ AS w1,
+        """ + hop(q("t * y / e")) + """ AS wy1,
+        """ + hop(q("(1 - t) / (1 - e)")) + """ AS w0,
+        """ + hop(q("(1 - t) * y / (1 - e)")) + """ AS wy0,
+        """ + hop(q("t * y")) + """ AS sy1,
+        """ + hop(q("(1 - t) * y")) + """ AS sy0
+      FROM pieces)
+    SELECT n, n_treated,
+      round(CASE WHEN n_treated > 0 AND n > n_treated
+            THEN sy1 / CAST(n_treated AS DOUBLE)
+               - sy0 / CAST(n - n_treated AS DOUBLE) END, 6)
+        AS naive_diff,
+      round(CASE WHEN n_treated > 0 AND n > n_treated
+            THEN wy1 / w1 - wy0 / w0 END, 6) AS ate_ipw,
+      round(CASE WHEN n_treated > 0 AND n > n_treated
+            THEN spsi / CAST(n AS DOUBLE) END, 6) AS ate_aipw
+    FROM agg
+    """)
+
+
+@register(
+    "ab_aipw_ate",
+    oracle="\n    WITH " + _DUCK_IPW_SUBJ
+    + _duck_logit_ctes(2, _IPW_ITERS, _IPW_LR)
+    + _duck_aipw_emit(_IPW_ITERS, 0.01) + "\n    ",
+)
+def ab_aipw_ate(spark, sf_dir):
+    """DOUBLY-ROBUST treatment effect (r11, Robins AIPW): the IPW row
+    augmented with per-arm closed-form OLS outcome models — consistent
+    if EITHER the propensity or the outcome model is right.  Same
+    click->purchase question and confounders as ab_ipw_ate, emitting
+    naive / IPW / AIPW side by side.  The outcome-model solve reuses
+    the cox p=3 cofactor strings, so the whole estimator is
+    hash-exact against the unrolled SQL."""
+    from dbt_fusion_spark.plans.causal import aipw_ate
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+         .cast("double").alias("t"),
+        F.max(F.when(F.col("event_type") == "purchase", 1)
+              .otherwise(0)).cast("double").alias("y"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+        F.countDistinct(F.col("ts").cast("date")).cast("bigint")
+         .alias("n_days"))
+
+    def _f9l(c):
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+    subj = per_user.select(
+        "t", "y",
+        _f9l(F.log(F.lit(1.0) + F.col("n_ev").cast("double")))
+        .alias("x1"),
+        _f9l(F.log(F.lit(1.0) + F.col("n_days").cast("double")))
+        .alias("x2"))
+    return aipw_ate(subj, "t", "y", ["x1", "x2"],
+                    iters=_IPW_ITERS, lr=_IPW_LR, clip=0.01)

@@ -197,3 +197,162 @@ def ipw_ate(df: DataFrame, treat_col: str, outcome_col: str,
          .alias("mean_propensity_treated"),
         F.round(F.when(ok, _d2d("__se0") / n0), 6)
          .alias("mean_propensity_control"))
+
+
+def _ols3(side: DataFrame, confounder_cols: list[str],
+          tag: str) -> DataFrame:
+    """Closed-form OLS of y on (1, x1[, x2]) over `side`, as a 1-row
+    coefficient frame ({tag}0..{tag}p) — the outcome model of the
+    doubly-robust estimator.  p <= 2 keeps the normal-equation solve
+    a 2x2 / 3x3 cofactor expression (the cox_ph p=3 pattern, same
+    arithmetic order mirrored by the SQL oracle); wider outcome
+    models belong to a driver-side fit.
+    """
+    p = len(confounder_cols)
+    x1 = F.col("__fx1") if p >= 1 else None
+    x2 = F.col("__fx2") if p >= 2 else None
+    y = F.col("y")
+    if p == 1:
+        agg = side.agg(
+            F.count(F.lit(1)).cast("double").alias("i11"),
+            F.sum(_qterm(x1)).alias("__i12"),
+            F.sum(_qterm(x1 * x1)).alias("__i22"),
+            F.sum(_qterm(y)).alias("__u1"),
+            F.sum(_qterm(x1 * y)).alias("__u2"))
+        m = agg.select(
+            "i11", _d2d("__i12").alias("i12"),
+            _d2d("__i22").alias("i22"),
+            _d2d("__u1").alias("u1"), _d2d("__u2").alias("u2"))
+        det = F.col("i11") * F.col("i22") - F.col("i12") * F.col("i12")
+        c0 = (F.col("i22") * F.col("u1")
+              - F.col("i12") * F.col("u2")) / det
+        c1 = (F.col("i11") * F.col("u2")
+              - F.col("i12") * F.col("u1")) / det
+        ok = det > 0
+        return m.select(
+            F.when(ok, _f9(c0)).alias(f"{tag}0"),
+            F.when(ok, _f9(c1)).alias(f"{tag}1"))
+    agg = side.agg(
+        F.count(F.lit(1)).cast("double").alias("i11"),
+        F.sum(_qterm(x1)).alias("__i12"),
+        F.sum(_qterm(x2)).alias("__i13"),
+        F.sum(_qterm(x1 * x1)).alias("__i22"),
+        F.sum(_qterm(x1 * x2)).alias("__i23"),
+        F.sum(_qterm(x2 * x2)).alias("__i33"),
+        F.sum(_qterm(y)).alias("__u1"),
+        F.sum(_qterm(x1 * y)).alias("__u2"),
+        F.sum(_qterm(x2 * y)).alias("__u3"))
+    m = agg.select(
+        "i11", _d2d("__i12").alias("i12"), _d2d("__i13").alias("i13"),
+        _d2d("__i22").alias("i22"), _d2d("__i23").alias("i23"),
+        _d2d("__i33").alias("i33"),
+        _d2d("__u1").alias("u1"), _d2d("__u2").alias("u2"),
+        _d2d("__u3").alias("u3"))
+    i11, i12, i13 = F.col("i11"), F.col("i12"), F.col("i13")
+    i22, i23, i33 = F.col("i22"), F.col("i23"), F.col("i33")
+    c11 = i22 * i33 - i23 * i23
+    c12 = i13 * i23 - i12 * i33
+    c13 = i12 * i23 - i22 * i13
+    c22 = i11 * i33 - i13 * i13
+    c23 = i12 * i13 - i11 * i23
+    c33 = i11 * i22 - i12 * i12
+    det = (i11 * (i22 * i33 - i23 * i23)
+           - i12 * (i12 * i33 - i23 * i13)
+           + i13 * (i12 * i23 - i22 * i13))
+    u1, u2, u3 = F.col("u1"), F.col("u2"), F.col("u3")
+    d1 = (c11 * u1 + c12 * u2 + c13 * u3) / det
+    d2 = (c12 * u1 + c22 * u2 + c23 * u3) / det
+    d3 = (c13 * u1 + c23 * u2 + c33 * u3) / det
+    ok = det > 0
+    return m.select(
+        F.when(ok, _f9(d1)).alias(f"{tag}0"),
+        F.when(ok, _f9(d2)).alias(f"{tag}1"),
+        F.when(ok, _f9(d3)).alias(f"{tag}2"))
+
+
+def aipw_ate(df: DataFrame, treat_col: str, outcome_col: str,
+             confounder_cols: list[str], iters: int = 8,
+             lr: float = 1.0, clip: float = 0.01) -> DataFrame:
+    """DOUBLY-ROBUST average treatment effect (AIPW, Robins 1994):
+    augment the IPW estimator with per-arm linear outcome models —
+    consistent if EITHER the propensity model OR the outcome model is
+    right (and more efficient than IPW when both are):
+
+        psi = [T (y - m1(x))/e + m1(x)]
+            - [(1-T)(y - m0(x))/(1-e) + m0(x)]
+        ATE_aipw = mean(psi)
+
+    m1/m0 = closed-form OLS of y on (1, x) over treated/control (p <=
+    2 confounders; the normal-equation cofactor solve stays in-plan),
+    e = the trained propensity, clipped to [clip, 1-clip].  Emits ONE
+    row: n, n_treated, naive_diff, ate_ipw (stabilized Hajek, for
+    comparison), ate_aipw.
+
+    Scale: the GD trainer's fixed scans + two 1-row moment reduces +
+    one psi scan — nothing data-sized leaves the engine.
+    """
+    p = len(confounder_cols)
+    if p not in (1, 2):
+        raise ValueError(
+            f"aipw_ate supports 1 or 2 confounders (closed-form "
+            f"outcome OLS); got {p}")
+    data = df.select(
+        F.col(treat_col).cast("double").alias("t"),
+        F.col(outcome_col).cast("double").alias("y"),
+        *[F.col(c).cast("double").alias(c) for c in confounder_cols]) \
+        .na.drop()
+    w = train_logistic_tabular(data, "t", confounder_cols,
+                               iters=iters, lr=lr)
+    scored = logistic_scores(data, w, confounder_cols) \
+        .select("t", "y", "propensity",
+                *[F.col(c).alias(f"__fx{i + 1}")
+                  for i, c in enumerate(confounder_cols)]) \
+        .persist()
+    ct = _ols3(scored.filter(F.col("t") == 1), confounder_cols, "a")
+    cc = _ols3(scored.filter(F.col("t") == 0), confounder_cols, "b")
+    s = (scored
+         .withColumn("__k", F.pmod(F.abs(F.coalesce(
+             F.xxhash64("__fx1"), F.lit(1))), F.lit(1)))
+         .join(F.broadcast(ct.withColumn(
+             "__k", F.pmod(F.abs(F.coalesce(
+                 F.xxhash64("a0"), F.lit(1))), F.lit(1)))), "__k")
+         .join(F.broadcast(cc.withColumn(
+             "__k", F.pmod(F.abs(F.coalesce(
+                 F.xxhash64("b0"), F.lit(1))), F.lit(1)))), "__k"))
+
+    def _pred(tag):
+        out = F.col(f"{tag}0")
+        for i in range(1, p + 1):
+            out = out + _f9(F.col(f"__fx{i}") * F.col(f"{tag}{i}"))
+        return out
+
+    m1, m0 = _pred("a"), _pred("b")
+    e = F.greatest(F.least(F.col("propensity"),
+                           F.lit(1.0 - clip)), F.lit(clip))
+    t, y = F.col("t"), F.col("y")
+    psi = ((t * (y - m1) / e + m1)
+           - ((1 - t) * (y - m0) / (1 - e) + m0))
+    agg = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(t).cast("bigint").alias("n_treated"),
+        F.sum(_qterm(psi)).alias("__psi"),
+        F.sum(_qterm(t / e)).alias("__w1"),
+        F.sum(_qterm(t * y / e)).alias("__wy1"),
+        F.sum(_qterm((1 - t) / (1 - e))).alias("__w0"),
+        F.sum(_qterm((1 - t) * y / (1 - e))).alias("__wy0"),
+        F.sum(_qterm(t * y)).alias("__sy1"),
+        F.sum(_qterm((1 - t) * y)).alias("__sy0"))
+    scored.unpersist()
+    n1 = F.col("n_treated").cast("double")
+    n0 = (F.col("n") - F.col("n_treated")).cast("double")
+    ok = (F.col("n_treated") > 0) & (F.col("n") > F.col("n_treated"))
+    return agg.select(
+        "n", "n_treated",
+        F.round(F.when(ok, _d2d("__sy1") / n1 - _d2d("__sy0") / n0), 6)
+         .alias("naive_diff"),
+        F.round(F.when(ok, _d2d("__wy1") / _d2d("__w1")
+                       - _d2d("__wy0") / _d2d("__w0")), 6)
+         .alias("ate_ipw"),
+        F.round(F.when(ok, _d2d("__psi")
+                       / F.col("n").cast("double")), 6)
+         .alias("ate_aipw"))
