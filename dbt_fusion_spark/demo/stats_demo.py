@@ -4076,3 +4076,100 @@ def ab_aipw_ate(spark, sf_dir):
         .alias("x2"))
     return aipw_ate(subj, "t", "y", ["x1", "x2"],
                     iters=_IPW_ITERS, lr=_IPW_LR, clip=0.01)
+
+
+@register(
+    "survival_logrank_k_sample",
+    # full Mantel-Haenszel k-sample machinery on the DENSE (t x group)
+    # spine; u' V^-1 u via the closed-form 2x2 inverse (k = 3).
+    oracle="""
+    WITH """ + _DUCK_COX_SUBJ + """,
+    sparse AS (
+      SELECT st AS g, t, CAST(SUM(e) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM subj GROUP BY st, t),
+    tspine AS (SELECT DISTINCT t FROM sparse),
+    gspine AS (SELECT DISTINCT g FROM sparse),
+    grid AS (
+      SELECT tspine.t, gspine.g, COALESCE(s.d, 0) AS d,
+             COALESCE(s.x, 0) AS x
+      FROM tspine CROSS JOIN gspine
+      LEFT JOIN sparse s ON s.t = tspine.t AND s.g = gspine.g),
+    g2 AS (
+      SELECT t, g, d, x,
+        SUM(x) OVER (PARTITION BY g) AS tot,
+        SUM(x) OVER (PARTITION BY g ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen
+      FROM grid),
+    g2b AS (SELECT t, g, d, x, tot, tot - seen + x AS nr FROM g2),
+    g3 AS (
+      SELECT t, g, d, x, tot, nr,
+        SUM(nr) OVER (PARTITION BY t) AS ntw,
+        SUM(d) OVER (PARTITION BY t) AS dtw
+      FROM g2b),
+    g4 AS (
+      SELECT t, g, d, x, tot, nr, ntw, dtw,
+        CAST(nr AS DOUBLE) / CAST(ntw AS DOUBLE) AS f,
+        CASE WHEN dtw > 0 AND ntw > 1
+             THEN CAST(dtw AS DOUBLE)
+                  * (CAST(ntw AS DOUBLE) - CAST(dtw AS DOUBLE))
+                  / (CAST(ntw AS DOUBLE) - 1.0)
+             ELSE 0.0 END AS c
+      FROM g3),
+    oe AS (
+      SELECT g, CAST(MAX(tot) AS BIGINT) AS n_subjects,
+        CAST(SUM(d) AS BIGINT) AS n_events,
+        CAST(CAST(SUM(CASE WHEN dtw > 0
+              THEN CAST(round(CAST(dtw AS DOUBLE) * f, 9)
+                   AS DECIMAL(38,9))
+              ELSE CAST(0 AS DECIMAL(38,9)) END) AS VARCHAR)
+             AS DOUBLE) AS expected
+      FROM g4 GROUP BY g),
+    vv AS (
+      SELECT a.g AS ga, b.g AS gb,
+        CAST(CAST(SUM(CASE WHEN a.g = b.g
+              THEN CAST(round(a.c * (a.f - a.f * b.f), 9)
+                   AS DECIMAL(38,9))
+              ELSE CAST(round(-(a.c * a.f * b.f), 9)
+                   AS DECIMAL(38,9)) END) AS VARCHAR)
+             AS DOUBLE) AS v
+      FROM g4 a JOIN g4 b ON a.t = b.t
+      GROUP BY a.g, b.g),
+    one AS (
+      SELECT
+        MAX(CASE WHEN ga = 0 AND gb = 0 THEN v END) AS v11,
+        MAX(CASE WHEN ga = 0 AND gb = 1 THEN v END) AS v12,
+        MAX(CASE WHEN ga = 1 AND gb = 1 THEN v END) AS v22
+      FROM vv),
+    ue AS (
+      SELECT
+        MAX(CASE WHEN g = 0
+            THEN CAST(n_events AS DOUBLE) - expected END) AS u1,
+        MAX(CASE WHEN g = 1
+            THEN CAST(n_events AS DOUBLE) - expected END) AS u2
+      FROM oe),
+    stat AS (
+      SELECT CASE WHEN (v11 * v22 - v12 * v12) > 0
+             THEN (v22 * u1 * u1 - 2.0 * v12 * u1 * u2
+                   + v11 * u2 * u2) / (v11 * v22 - v12 * v12)
+             END AS chi2
+      FROM one CROSS JOIN ue)
+    SELECT oe.g AS cohort, oe.n_subjects, oe.n_events,
+      round(oe.expected, 6) AS expected,
+      round(stat.chi2, 6) AS chi2,
+      CAST(2 AS BIGINT) AS df,
+      COALESCE(stat.chi2 > 5.991465, FALSE) AS significant_95
+    FROM oe CROSS JOIN stat
+    """,
+)
+def survival_logrank_k_sample(spark, sf_dir):
+    """k-sample log-rank test (r11): do the three enrollment cohorts
+    (user_id mod 3) share one time-to-purchase curve?  FULL
+    Mantel-Haenszel machinery — dense (t x group) at-risk spine,
+    (k-1)x(k-1) covariance from a bounded t-keyed grid self-join,
+    u'V^-1 u via the closed-form 2x2 inverse — not the O-E^2/E
+    approximation.  Per-group O/E rows with the table-wide chi2."""
+    from dbt_fusion_spark.plans.survival import logrank_k_sample
+
+    subj = _cox_subjects(spark, sf_dir, with_nev=False)
+    return logrank_k_sample(subj, "cohort", "t", "e", [0, 1, 2])

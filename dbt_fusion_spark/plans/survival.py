@@ -799,3 +799,167 @@ def competing_risks_cif(df: DataFrame, duration_col: str,
         F.col("dk").cast("bigint").alias("n_events"),
         F.round(F.col("__sb"), 6).alias("s_before"),
         F.round(_d2d("__cif"), 6).alias("cif"))
+
+
+def logrank_k_sample(df: DataFrame, group_col: str, duration_col: str,
+                     event_col: str, groups: list) -> DataFrame:
+    """k-SAMPLE log-rank test (the k-group generalization of
+    logrank_test): do ALL k groups share one survival curve?  Full
+    Mantel-Haenszel machinery — per event time the observed vs
+    hypergeometric-expected event split and the (k-1)x(k-1) covariance
+
+        V_gh = sum_t c_t [ delta_gh f_g - f_g f_h ],
+        c_t  = d_t (n_t - d_t)/(n_t - 1),   f_g = n_gt / n_t
+
+    with chi2 = u' V^{-1} u over the first k-1 groups (df = k-1) —
+    NOT the O-E^2/E approximation.  k = 3 keeps the inverse a
+    closed-form 2x2 (fully declarative, hash-exact oracle); k > 3
+    solves the (k-1)x(k-1) system driver-side with numpy on the
+    collected covariance (k^2 doubles — the cox wide-model contract).
+
+    Emits one row per group: group, n_subjects, n_events, expected
+    (round 6), with the table-wide chi2 / df / significant_95 on
+    every row (the calibration-ece convention).
+
+    Scale: one aggregate onto the (duration, group) grid, per-group
+    cumulative windows for at-risk counts, one bounded t-keyed grid
+    self-join for the covariance pairs — never a per-subject join.
+    """
+    k = len(groups)
+    if k < 3:
+        raise ValueError(
+            "use logrank_test for 2 groups; k-sample needs k >= 3")
+    if len(set(groups)) != k:
+        raise ValueError(f"duplicate groups: {groups}")
+    ev = F.col(event_col).cast("bigint")
+    sparse = (df.filter(F.col(group_col).isin(*groups))
+              .groupBy(F.col(duration_col).alias("t"),
+                      F.col(group_col).alias("g"))
+              .agg(F.sum(ev).alias("d"),
+                   F.count(F.lit(1)).cast("bigint").alias("x")))
+    # DENSE (t x group) spine: a group with no exits at t must still
+    # contribute its at-risk count to n_t — the sparse grid would
+    # silently drop it from the hypergeometric denominator (caught by
+    # the python reference during r11 bring-up)
+    ts = sparse.select("t").distinct()
+    gs = sparse.select("g").distinct()
+    grid = (ts.crossJoin(F.broadcast(gs))
+            .join(sparse, ["t", "g"], "left")
+            .fillna(0, ["d", "x"]))
+    wg = Window.partitionBy("g")
+    wcum = Window.partitionBy("g").orderBy("t") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    g2 = (grid.withColumn("tot", F.sum("x").over(wg))
+              .withColumn("seen", F.sum("x").over(wcum)))
+    nrisk = F.col("tot") - F.col("seen") + F.col("x")
+    g2 = g2.select("t", "g", "d", "x", "tot", nrisk.alias("nr"))
+    wt = Window.partitionBy("t")
+    g3 = (g2.withColumn("nt", F.sum("nr").over(wt))
+            .withColumn("dt", F.sum("d").over(wt)))
+    nt = F.col("nt").cast("double")
+    dt = F.col("dt").cast("double")
+    frac = F.col("nr").cast("double") / nt
+    ct = F.when((F.col("dt") > 0) & (F.col("nt") > 1),
+                dt * (nt - dt) / (nt - 1.0)).otherwise(F.lit(0.0))
+    g3 = g3.select("t", "g", "d", "x", "tot", "nr",
+                   frac.alias("f"), ct.alias("c"))
+    # per-group O / E
+    e_term = F.when(F.col("dt2") > 0,
+                    _qterm(F.col("dt2").cast("double") * F.col("f"))) \
+        .otherwise(F.lit(0).cast(D389))
+    g3e = g3.withColumn("dt2", F.sum("d").over(wt))
+    oe = (g3e.withColumn("__e", e_term)
+          .groupBy("g")
+          .agg(F.max("tot").cast("bigint").alias("n_subjects"),
+               F.sum("d").cast("bigint").alias("n_events"),
+               F.sum("__e").alias("__ed")))
+    oe = oe.select("g", "n_subjects", "n_events",
+                   _d2d("__ed").alias("expected"))
+    # covariance pairs on the t-keyed grid self-join
+    a = g3.select("t", F.col("g").alias("ga"),
+                  F.col("f").alias("fa"), "c")
+    b = g3.select("t", F.col("g").alias("gb"), F.col("f").alias("fb"))
+    vterm = F.when(
+        F.col("ga") == F.col("gb"),
+        _qterm(F.col("c") * (F.col("fa")
+                             - F.col("fa") * F.col("fb")))) \
+        .otherwise(_qterm(-(F.col("c") * F.col("fa") * F.col("fb"))))
+    vv = (a.join(b, "t")
+          .groupBy("ga", "gb")
+          .agg(F.sum(vterm).alias("__v")))
+    vv = vv.select("ga", "gb", _d2d("__v").alias("v"))
+    ordered = sorted(groups, key=str)
+    lead = ordered[:-1]  # first k-1 groups span the statistic
+
+    def _pick(frame, gcol, vcol, cond):
+        return F.max(F.when(cond, F.col(vcol)))
+
+    if k == 3:
+        g1, gx2 = lead
+        one = vv.agg(
+            _pick(vv, "ga", "v",
+                  (F.col("ga") == g1) & (F.col("gb") == g1))
+            .alias("v11"),
+            _pick(vv, "ga", "v",
+                  (F.col("ga") == g1) & (F.col("gb") == gx2))
+            .alias("v12"),
+            _pick(vv, "ga", "v",
+                  (F.col("ga") == gx2) & (F.col("gb") == gx2))
+            .alias("v22"))
+        ue = oe.agg(
+            F.max(F.when(F.col("g") == g1,
+                         F.col("n_events").cast("double")
+                         - F.col("expected"))).alias("u1"),
+            F.max(F.when(F.col("g") == gx2,
+                         F.col("n_events").cast("double")
+                         - F.col("expected"))).alias("u2"))
+        one = one.withColumn(
+            "__k", F.pmod(F.abs(F.coalesce(F.xxhash64("v11"),
+                                           F.lit(1))), F.lit(1))) \
+            .join(F.broadcast(ue.withColumn(
+                "__k", F.pmod(F.abs(F.coalesce(F.xxhash64("u1"),
+                                               F.lit(1))),
+                              F.lit(1)))), "__k")
+        det = (F.col("v11") * F.col("v22")
+               - F.col("v12") * F.col("v12"))
+        u1, u2 = F.col("u1"), F.col("u2")
+        chi2 = F.when(det > 0,
+                      (F.col("v22") * u1 * u1
+                       - F.lit(2.0) * F.col("v12") * u1 * u2
+                       + F.col("v11") * u2 * u2) / det)
+        stat = one.select(chi2.alias("chi2"))
+    else:
+        import numpy as np
+
+        vmap = {(r.ga, r.gb): r.v for r in vv.collect()}
+        uvec = {r.g: float(r.n_events) - r.expected
+                for r in oe.collect()}
+        m = len(lead)
+        V = np.zeros((m, m))
+        for i, gi in enumerate(lead):
+            for j, gj in enumerate(lead):
+                V[i, j] = vmap.get((gi, gj), 0.0)
+        u = np.array([uvec[gi] for gi in lead])
+        try:
+            np.linalg.cholesky(V)
+            c2 = float(u @ np.linalg.solve(V, u))
+        except np.linalg.LinAlgError:
+            c2 = None
+        stat = df.sparkSession.createDataFrame(
+            [(c2,)], "chi2 double")
+    crit = {2: 5.991465, 3: 7.814728, 4: 9.487729,
+            5: 11.070498, 6: 12.591587}.get(k - 1, 0.0)
+    joined = (oe.withColumn(
+        "__k", F.pmod(F.abs(F.coalesce(F.xxhash64("expected"),
+                                       F.lit(1))), F.lit(1)))
+        .join(F.broadcast(stat.withColumn(
+            "__k", F.pmod(F.abs(F.coalesce(F.xxhash64("chi2"),
+                                           F.lit(1))), F.lit(1)))),
+            "__k"))
+    return joined.select(
+        F.col("g").alias(group_col), "n_subjects", "n_events",
+        F.round(F.col("expected"), 6).alias("expected"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.lit(k - 1).cast("bigint").alias("df"),
+        F.coalesce(F.col("chi2") > crit, F.lit(False))
+         .alias("significant_95"))

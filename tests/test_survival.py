@@ -432,3 +432,70 @@ def test_competing_risks_cif_hand_computed(spark):
     # all-cause identity: sum of final CIFs = 1 - S(final) = 1
     assert out[(4, 1)].cif + out[(3, 2)].cif == pytest.approx(
         1.0, abs=1e-6)
+
+
+def _py_logrank_k(rows, groups):
+    """Independent per-time-loop k-sample log-rank reference."""
+    import numpy as np
+
+    ts = sorted({r[1] for r in rows if r[2] == 1})
+    k = len(groups)
+    O = np.zeros(k)
+    E = np.zeros(k)
+    V = np.zeros((k, k))
+    for t in ts:
+        n_g = np.array([sum(1 for r in rows
+                            if r[0] == g and r[1] >= t)
+                        for g in groups], float)
+        d_g = np.array([sum(1 for r in rows
+                            if r[0] == g and r[1] == t and r[2] == 1)
+                        for g in groups], float)
+        n, d = n_g.sum(), d_g.sum()
+        if d == 0 or n <= 1:
+            continue
+        f = n_g / n
+        O += d_g
+        E += d * f
+        c = d * (n - d) / (n - 1)
+        V += c * (np.diag(f) - np.outer(f, f))
+    u = (O - E)[:-1]
+    Vm = V[:-1, :-1]
+    import numpy.linalg as la
+    return float(u @ la.solve(Vm, u)), O, E
+
+
+def test_logrank_k_sample_matches_reference(spark):
+    """k=3 (declarative 2x2 inverse) and k=4 (driver numpy solve)
+    both match the independent per-time-loop reference; a group with
+    no exits at some event time still counts in the at-risk pool
+    (the dense-spine fix)."""
+    import numpy as np
+
+    from dbt_fusion_spark.plans.survival import logrank_k_sample
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for g, lam in [("a", 1.0), ("b", 1.4), ("c", 2.2)]:
+        for _ in range(70):
+            t = int(np.ceil(rng.exponential(10.0 / lam)))
+            c = int(np.ceil(rng.exponential(25.0)))
+            rows.append((g, min(t, c), 1 if t <= c else 0))
+    df = spark.createDataFrame(rows, "g string, t int, e int")
+    chi2, O, E = _py_logrank_k(rows, ["a", "b", "c"])
+    out = {r.g: r for r in logrank_k_sample(
+        df, "g", "t", "e", ["a", "b", "c"]).collect()}
+    for i, g in enumerate(["a", "b", "c"]):
+        assert out[g].n_events == int(O[i])
+        assert out[g].expected == pytest.approx(E[i], abs=1e-3)
+        assert out[g].chi2 == pytest.approx(chi2, abs=1e-3)
+        assert out[g].df == 2
+    rows4 = rows + [("d", int(np.ceil(rng.exponential(4.0))), 1)
+                    for _ in range(50)]
+    chi24, _, _ = _py_logrank_k(rows4, ["a", "b", "c", "d"])
+    df4 = spark.createDataFrame(rows4, "g string, t int, e int")
+    r4 = logrank_k_sample(df4, "g", "t", "e",
+                          ["a", "b", "c", "d"]).collect()[0]
+    assert r4.chi2 == pytest.approx(chi24, abs=1e-3)
+    assert r4.df == 3
+    with pytest.raises(ValueError):
+        logrank_k_sample(df, "g", "t", "e", ["a", "b"])
