@@ -3791,13 +3791,14 @@ def events_seasonal_naive_backtest(spark, sf_dir):
 
 # ------------------------------------------------- IPW / propensity (r11)
 _IPW_ITERS = 8
-_IPW_LR = 2.0
-
-
-def _duck_logit_ctes(p: int, iters: int, lr: float) -> str:
-    """Unrolled tabular-logistic GD chain (plans/causal
+def _duck_logit_ctes(p: int, iters: int) -> str:
+    """Unrolled tabular-logistic NEWTON/IRLS chain (plans/causal
     train_logistic_tabular): needs a prior `subj` CTE with columns
-    (t, y, x1..xp); ends at lb{iters} + cnt."""
+    (t, y, x1..xp); ends at lb{iters}.  The (p+1)x(p+1) information
+    solve reuses the cox 3x3 cofactor strings (p = 2 only here)."""
+    if p != 2:
+        raise ValueError("oracle unroll written for p = 2")
+
     def f9(x):
         return "floor((" + x + ") * 1e9 + 0.5) / 1e9"
 
@@ -3809,31 +3810,43 @@ def _duck_logit_ctes(p: int, iters: int, lr: float) -> str:
     def hop(x):
         return "CAST(CAST(" + x + " AS VARCHAR) AS DOUBLE)"
 
+    def q(x):
+        return ("SUM(CAST(round(" + x + ", 9) AS DECIMAL(38,9)))")
+
     eta = "b.b0 + " + " + ".join(
-        f9("s.x%d * b.b%d" % (i, i)) for i in range(1, p + 1))
-    zeros = ", ".join("0.0 AS b%d" % i for i in range(p + 1))
-    out = [",\n    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n"
-           " FROM subj),\n    lb0 AS (SELECT " + zeros + ")"]
-    resid = "(s.t - " + sig(eta) + ")"
+        f9("s.x%d * b.b%d" % (i, i)) for i in (1, 2))
+    pr = sig(eta)
+    w = "(" + pr + " * (1.0 - " + pr + "))"
+    resid = "(s.t - " + pr + ")"
+    # z = (1, x1, x2); moments i11..i33, gradient u1..u3
+    zs = ["1.0", "s.x1", "s.x2"]
+    out = [",\n    lb0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)"]
+    det = _cox3("det")
     for k in range(1, iters + 1):
-        gs = [hop("SUM(CAST(round(" + resid
-                  + ", 9) AS DECIMAL(38,9)))") + " AS g0"]
-        for i in range(1, p + 1):
-            gs.append(hop("SUM(CAST(round(" + resid
-                          + " * s.x%d, 9) AS DECIMAL(38,9)))" % i)
-                      + " AS g%d" % i)
+        cols = []
+        for i in (1, 2, 3):
+            cols.append(hop(q(resid + " * " + zs[i - 1]))
+                        + " AS u%d" % i)
+        for i in (1, 2, 3):
+            for j in range(i, 4):
+                cols.append(hop(q(w + " * " + zs[i - 1]
+                                  + " * " + zs[j - 1]))
+                            + " AS i%d%d" % (i, j))
         out.append(
-            ",\n    g{k} AS (\n      SELECT {gs}\n"
+            ",\n    n{k} AS (\n      SELECT {cols}\n"
             "      FROM subj s CROSS JOIN lb{prev} b)".format(
-                k=k, prev=k - 1, gs=",\n             ".join(gs)))
-        ups = [f9("b.b%d + %r * g.g%d / CAST(c.n AS DOUBLE)"
-                  % (i, lr, i)) + " AS b%d" % i
-               for i in range(p + 1)]
+                k=k, prev=k - 1,
+                cols=",\n             ".join(cols)))
+        ups = []
+        for i in (1, 2, 3):
+            ups.append("CASE WHEN " + det + " > 0 THEN "
+                       + f9("b.b%d + %s / %s"
+                            % (i - 1, _cox3_num(i), det))
+                       + " ELSE b.b%d END AS b%d" % (i - 1, i - 1))
         out.append(
             ",\n    lb{k} AS (\n      SELECT {ups}\n"
-            "      FROM lb{prev} b CROSS JOIN g{k} g"
-            " CROSS JOIN cnt c)".format(
-                k=k, prev=k - 1, ups=", ".join(ups)))
+            "      FROM lb{prev} b CROSS JOIN n{k} u)".format(
+                k=k, prev=k - 1, ups=",\n             ".join(ups)))
     return "".join(out)
 
 
@@ -3894,44 +3907,37 @@ def _duck_ipw_emit(p: int, iters: int, clip: float) -> str:
 _DUCK_IPW_SUBJ = """
     per_user AS (
       SELECT user_id,
-             CAST(MAX(CASE WHEN event_type = 'click' THEN 1
-                           ELSE 0 END) AS DOUBLE) AS t,
-             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1
-                           ELSE 0 END) AS DOUBLE) AS y,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1
+                           ELSE 0 END) AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) AS BIGINT) AS np,
              CAST(COUNT(*) AS BIGINT) AS n_ev,
              CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
                AS n_days
       FROM events GROUP BY user_id),
     subj AS (
-      SELECT t, y,
-             floor(ln(1.0 + CAST(n_ev AS DOUBLE)) * 1e9 + 0.5) / 1e9
-               AS x1,
+      SELECT CASE WHEN nc >= 15 THEN 1.0 ELSE 0.0 END AS t,
+             CASE WHEN np >= 12 THEN 1.0 ELSE 0.0 END AS y,
+             floor(ln(1.0 + CAST(n_ev - nc - np AS DOUBLE))
+                   * 1e9 + 0.5) / 1e9 AS x1,
              floor(ln(1.0 + CAST(n_days AS DOUBLE)) * 1e9 + 0.5) / 1e9
                AS x2
       FROM per_user)"""
 
 
-@register(
-    "ab_ipw_ate",
-    oracle="\n    WITH " + _DUCK_IPW_SUBJ
-    + _duck_logit_ctes(2, _IPW_ITERS, _IPW_LR)
-    + _duck_ipw_emit(2, _IPW_ITERS, 0.01) + "\n    ",
-)
-def ab_ipw_ate(spark, sf_dir):
-    """Inverse-propensity-weighted treatment effect (r11): did
-    clicking CAUSE purchasing, net of activity-volume confounding?
-    Propensity = in-engine tabular logistic GD on f9(ln(1+events)),
-    f9(ln(1+active days)); stabilized Hajek ATE with 1% positivity
-    clipping, next to the naive (confounded) gap and the overlap
-    diagnostic.  Hash-exact against the unrolled GD + IPW SQL."""
-    from dbt_fusion_spark.plans.causal import ipw_ate
-
+def _ipw_subjects(spark, sf_dir):
+    """Per-user causal frame: treatment = heavy clicker (>= 15
+    clicks), outcome = heavy purchaser (>= 12 purchases), confounders
+    = log non-click/purchase activity volume + log active days.
+    Thresholds sit inside the per-user count distribution at every
+    SF, so BOTH arms are populated (an all-treated frame would make
+    every estimate NULL)."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
-        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
-         .cast("double").alias("t"),
-        F.max(F.when(F.col("event_type") == "purchase", 1)
-              .otherwise(0)).cast("double").alias("y"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+         .cast("bigint").alias("nc"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1)
+              .otherwise(0)).cast("bigint").alias("np"),
         F.count(F.lit(1)).cast("bigint").alias("n_ev"),
         F.countDistinct(F.col("ts").cast("date")).cast("bigint")
          .alias("n_days"))
@@ -3939,14 +3945,35 @@ def ab_ipw_ate(spark, sf_dir):
     def _f9l(c):
         return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
 
-    subj = per_user.select(
-        "t", "y",
-        _f9l(F.log(F.lit(1.0) + F.col("n_ev").cast("double")))
-        .alias("x1"),
+    return per_user.select(
+        F.when(F.col("nc") >= 15, 1.0).otherwise(0.0).alias("t"),
+        F.when(F.col("np") >= 12, 1.0).otherwise(0.0).alias("y"),
+        _f9l(F.log(F.lit(1.0)
+                   + (F.col("n_ev") - F.col("nc") - F.col("np"))
+                   .cast("double"))).alias("x1"),
         _f9l(F.log(F.lit(1.0) + F.col("n_days").cast("double")))
         .alias("x2"))
+
+
+@register(
+    "ab_ipw_ate",
+    oracle="\n    WITH " + _DUCK_IPW_SUBJ
+    + _duck_logit_ctes(2, _IPW_ITERS)
+    + _duck_ipw_emit(2, _IPW_ITERS, 0.01) + "\n    ",
+)
+def ab_ipw_ate(spark, sf_dir):
+    """Inverse-propensity-weighted treatment effect (r11): does heavy
+    CLICKING cause heavy purchasing, net of activity-volume
+    confounding?  Propensity = in-engine tabular logistic GD on
+    f9(ln(1+other events)), f9(ln(1+active days)); stabilized Hajek
+    ATE with 1% positivity clipping, next to the naive (confounded)
+    gap and the overlap diagnostic.  Hash-exact vs the unrolled GD +
+    IPW SQL."""
+    from dbt_fusion_spark.plans.causal import ipw_ate
+
+    subj = _ipw_subjects(spark, sf_dir)
     return ipw_ate(subj, "t", "y", ["x1", "x2"],
-                   iters=_IPW_ITERS, lr=_IPW_LR, clip=0.01)
+                   iters=_IPW_ITERS, clip=0.01)
 
 
 def _duck_aipw_emit(iters: int, clip: float) -> str:
@@ -4042,7 +4069,7 @@ def _duck_aipw_emit(iters: int, clip: float) -> str:
 @register(
     "ab_aipw_ate",
     oracle="\n    WITH " + _DUCK_IPW_SUBJ
-    + _duck_logit_ctes(2, _IPW_ITERS, _IPW_LR)
+    + _duck_logit_ctes(2, _IPW_ITERS)
     + _duck_aipw_emit(_IPW_ITERS, 0.01) + "\n    ",
 )
 def ab_aipw_ate(spark, sf_dir):
@@ -4055,27 +4082,9 @@ def ab_aipw_ate(spark, sf_dir):
     hash-exact against the unrolled SQL."""
     from dbt_fusion_spark.plans.causal import aipw_ate
 
-    ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
-         .cast("double").alias("t"),
-        F.max(F.when(F.col("event_type") == "purchase", 1)
-              .otherwise(0)).cast("double").alias("y"),
-        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
-        F.countDistinct(F.col("ts").cast("date")).cast("bigint")
-         .alias("n_days"))
-
-    def _f9l(c):
-        return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
-
-    subj = per_user.select(
-        "t", "y",
-        _f9l(F.log(F.lit(1.0) + F.col("n_ev").cast("double")))
-        .alias("x1"),
-        _f9l(F.log(F.lit(1.0) + F.col("n_days").cast("double")))
-        .alias("x2"))
+    subj = _ipw_subjects(spark, sf_dir)
     return aipw_ate(subj, "t", "y", ["x1", "x2"],
-                    iters=_IPW_ITERS, lr=_IPW_LR, clip=0.01)
+                    iters=_IPW_ITERS, clip=0.01)
 
 
 @register(

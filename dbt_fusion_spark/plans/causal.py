@@ -53,24 +53,45 @@ def _eta(feature_cols: list[str], prefix: str = "b",
     return eta
 
 
-def train_logistic_tabular(df: DataFrame, label_col: str,
-                           feature_cols: list[str], iters: int = 8,
-                           lr: float = 1.0) -> DataFrame:
-    """Full-batch gradient-descent logistic regression on TABULAR
-    features (the text trainers hash grams; this one takes numeric
-    columns directly — the propensity-model workhorse):
+def _cof3_cols(i11, i12, i13, i22, i23, i33):
+    """3x3 symmetric cofactors + det, the plans/survival._cof3
+    arithmetic order (mirrored verbatim by the SQL oracles)."""
+    c11 = i22 * i33 - i23 * i23
+    c12 = i13 * i23 - i12 * i33
+    c13 = i12 * i23 - i22 * i13
+    c22 = i11 * i33 - i13 * i13
+    c23 = i12 * i13 - i11 * i23
+    c33 = i11 * i22 - i12 * i12
+    det = (i11 * (i22 * i33 - i23 * i23)
+           - i12 * (i12 * i33 - i23 * i13)
+           + i13 * (i12 * i23 - i22 * i13))
+    return det, (c11, c12, c13, c22, c23, c33)
 
-        b <- b + f9(lr * mean((y - sigma(eta)) x))      per feature
+
+def train_logistic_tabular(df: DataFrame, label_col: str,
+                           feature_cols: list[str],
+                           iters: int = 8) -> DataFrame:
+    """NEWTON (IRLS) logistic regression on TABULAR features (the
+    text trainers hash grams; this one takes numeric columns directly
+    — the propensity-model workhorse):
+
+        b <- b + f9( (X'WX)^{-1} X'(y - sigma) ),  W = sigma(1-sigma)
         eta = b0 + sum f9(x_i b_i),  sigma quantized (1e-6 grid)
 
-    Returns ONE wide row (b0, b1..bp) — broadcastable straight into
-    logistic_scores.  Rows with any NULL label/feature are dropped
-    (casewise deletion).  Callers should put features on a moderate
-    scale (e.g. f9(ln(1+count))) — raw heavy-tailed counts make plain
-    GD step sizes useless, same as any unscaled GD.
+    Newton, NOT plain gradient descent: the information matrix makes
+    the step scale-invariant, so an intercept of -40 next to a
+    low-variance log feature (real propensity fits look like this)
+    converges in a handful of iterations where GD never arrives.  For
+    p <= 2 the (p+1)x(p+1) solve stays a closed-form 2x2/3x3 cofactor
+    expression — fully declarative, hash-exact in SQL; p >= 3 solves
+    driver-side with numpy on the collected 1-row (U, I) frame (the
+    cox_ph wide contract).
 
-    Scale: per iteration one scan + 1-row reduce + broadcast beta
-    join; beta localCheckpoints so plan depth stays constant.
+    Returns ONE wide row (b0, b1..bp) — broadcastable straight into
+    logistic_scores.  NULL-bearing rows drop (casewise deletion).
+
+    Scale: per iteration one scan + 1-row moment reduce + broadcast
+    beta join; beta localCheckpoints so plan depth stays constant.
     """
     p = len(feature_cols)
     if p < 1:
@@ -81,37 +102,102 @@ def train_logistic_tabular(df: DataFrame, label_col: str,
     data = (df.select(F.col(label_col).cast("double").alias("y"), *xs)
             .na.drop()
             .persist())
-    n = data.count()
-    if n == 0:
+    if data.limit(1).count() == 0:
         raise ValueError("no complete rows to fit on")
     beta = spark.createDataFrame(
         [tuple(0.0 for _ in range(p + 1))],
         ", ".join(f"b{i} double" for i in range(p + 1))) \
         .localCheckpoint(eager=True)
-    for _ in range(iters):
+    # moment names over z = (1, x1..xp): m[i][j], 1-indexed
+    dims = p + 1
+    pairs = [(i, j) for i in range(1, dims + 1)
+             for j in range(i, dims + 1)]
+
+    def _z(i):
+        return F.lit(1.0) if i == 1 else F.col(f"x{i - 1}")
+
+    def _moments(b):
         s = data.withColumn(
             "__k", F.pmod(F.abs(F.xxhash64("y")), F.lit(1))) \
-            .join(F.broadcast(beta.withColumn(
+            .join(F.broadcast(b.withColumn(
                 "__k", F.pmod(F.abs(F.xxhash64("b0")), F.lit(1)))),
                 "__k")
-        resid = F.col("y") - _sigmoid(_eta(feature_cols))
-        aggs = [F.sum(_qterm(resid)).alias("g0")]
-        for i in range(1, p + 1):
-            aggs.append(F.sum(_qterm(resid * F.col(f"x{i}")))
-                        .alias(f"g{i}"))
-        g = s.agg(*aggs)
-        upd = beta.withColumn(
-            "__k", F.pmod(F.abs(F.xxhash64("b0")), F.lit(1))) \
-            .join(F.broadcast(g.withColumn(
-                "__k", F.pmod(F.abs(F.xxhash64("g0")), F.lit(1)))),
-                "__k")
-        beta = upd.select(*[
-            _f9(F.col(f"b{i}")
-                + F.lit(lr) * _d2d(f"g{i}") / F.lit(float(n)))
-            .alias(f"b{i}") for i in range(p + 1)]) \
-            .localCheckpoint(eager=True)
+        pr = _sigmoid(_eta(feature_cols))
+        w = pr * (F.lit(1.0) - pr)
+        resid = F.col("y") - pr
+        aggs = []
+        for i in range(1, dims + 1):
+            aggs.append(F.sum(_qterm(resid * _z(i))).alias(f"gd{i}"))
+        for i, j in pairs:
+            aggs.append(F.sum(_qterm(w * _z(i) * _z(j)))
+                        .alias(f"md{i}{j}"))
+        out = s.agg(*aggs)
+        return out.select(
+            *[_d2d(f"gd{i}").alias(f"u{i}")
+              for i in range(1, dims + 1)],
+            *[_d2d(f"md{i}{j}").alias(f"i{i}{j}") for i, j in pairs])
+
+    if p <= 2:
+        for _ in range(iters):
+            ui = _moments(beta)
+            if p == 1:
+                det = (F.col("i11") * F.col("i22")
+                       - F.col("i12") * F.col("i12"))
+                num = [(F.col("i22") * F.col("u1")
+                        - F.col("i12") * F.col("u2")),
+                       (F.col("i11") * F.col("u2")
+                        - F.col("i12") * F.col("u1"))]
+                delta = [n / det for n in num]
+            else:
+                det, (c11, c12, c13, c22, c23, c33) = _cof3_cols(
+                    F.col("i11"), F.col("i12"), F.col("i13"),
+                    F.col("i22"), F.col("i23"), F.col("i33"))
+                u1, u2, u3 = F.col("u1"), F.col("u2"), F.col("u3")
+                delta = [
+                    (c11 * u1 + c12 * u2 + c13 * u3) / det,
+                    (c12 * u1 + c22 * u2 + c23 * u3) / det,
+                    (c13 * u1 + c23 * u2 + c33 * u3) / det]
+            ok = det > 0
+            upd = beta.withColumn(
+                "__k", F.pmod(F.abs(F.xxhash64("b0")), F.lit(1))) \
+                .join(F.broadcast(ui.withColumn(
+                    "__k", F.pmod(F.abs(F.coalesce(
+                        F.xxhash64("u1"), F.lit(1))), F.lit(1)))),
+                    "__k")
+            beta = upd.select(*[
+                F.when(ok, _f9(F.col(f"b{i}") + delta[i]))
+                .otherwise(F.col(f"b{i}")).alias(f"b{i}")
+                for i in range(dims)]) \
+                .localCheckpoint(eager=True)
+        data.unpersist()
+        return beta
+    # wide path: numpy solve on the collected 1-row (U, I) frame
+    import math
+
+    import numpy as np
+
+    bvals = [0.0] * dims
+    for _ in range(iters):
+        bdf = spark.createDataFrame(
+            [tuple(bvals)],
+            ", ".join(f"b{i} double" for i in range(dims)))
+        row = _moments(bdf).collect()[0]
+        u = np.array([row[f"u{i}"] for i in range(1, dims + 1)])
+        info = np.zeros((dims, dims))
+        for i, j in pairs:
+            info[i - 1, j - 1] = info[j - 1, i - 1] = row[f"i{i}{j}"]
+        try:
+            np.linalg.cholesky(info)
+            delta = np.linalg.solve(info, u)
+        except np.linalg.LinAlgError:
+            break
+        bvals = [math.floor((b + float(d)) * 1e9 + 0.5) / 1e9
+                 for b, d in zip(bvals, delta)]
     data.unpersist()
-    return beta
+    return spark.createDataFrame(
+        [tuple(bvals)],
+        ", ".join(f"b{i} double" for i in range(dims))) \
+        .localCheckpoint(eager=True)
 
 
 def logistic_scores(df: DataFrame, weights: DataFrame,
@@ -142,7 +228,7 @@ def logistic_scores(df: DataFrame, weights: DataFrame,
 
 def ipw_ate(df: DataFrame, treat_col: str, outcome_col: str,
             confounder_cols: list[str], iters: int = 8,
-            lr: float = 1.0, clip: float = 0.01) -> DataFrame:
+            clip: float = 0.01) -> DataFrame:
     """Average treatment effect by stabilized inverse-propensity
     weighting (the Hajek estimator):
 
@@ -166,7 +252,7 @@ def ipw_ate(df: DataFrame, treat_col: str, outcome_col: str,
         *[F.col(c).cast("double").alias(c) for c in confounder_cols]) \
         .na.drop()
     w = train_logistic_tabular(data, "t", confounder_cols,
-                               iters=iters, lr=lr)
+                               iters=iters)
     scored = logistic_scores(data, w, confounder_cols)
     e = F.greatest(F.least(F.col("propensity"),
                            F.lit(1.0 - clip)), F.lit(clip))
@@ -272,7 +358,7 @@ def _ols3(side: DataFrame, confounder_cols: list[str],
 
 def aipw_ate(df: DataFrame, treat_col: str, outcome_col: str,
              confounder_cols: list[str], iters: int = 8,
-             lr: float = 1.0, clip: float = 0.01) -> DataFrame:
+             clip: float = 0.01) -> DataFrame:
     """DOUBLY-ROBUST average treatment effect (AIPW, Robins 1994):
     augment the IPW estimator with per-arm linear outcome models —
     consistent if EITHER the propensity model OR the outcome model is
@@ -302,7 +388,7 @@ def aipw_ate(df: DataFrame, treat_col: str, outcome_col: str,
         *[F.col(c).cast("double").alias(c) for c in confounder_cols]) \
         .na.drop()
     w = train_logistic_tabular(data, "t", confounder_cols,
-                               iters=iters, lr=lr)
+                               iters=iters)
     scored = logistic_scores(data, w, confounder_cols) \
         .select("t", "y", "propensity",
                 *[F.col(c).alias(f"__fx{i + 1}")

@@ -27,12 +27,12 @@ def _synthetic(n=1500, seed=3):
 def test_logistic_tabular_recovers_coefficients(spark):
     rows = _synthetic()
     df = spark.createDataFrame(rows, "t double, y double, x double")
-    w = train_logistic_tabular(df, "t", ["x"], iters=40,
-                               lr=4.0).collect()[0]
+    w = train_logistic_tabular(df, "t", ["x"],
+                               iters=8).collect()[0]
     assert w.b1 == pytest.approx(0.8, abs=0.15)
     assert w.b0 == pytest.approx(-0.2, abs=0.15)
     scored = logistic_scores(df, train_logistic_tabular(
-        df, "t", ["x"], iters=40, lr=4.0), ["x"])
+        df, "t", ["x"], iters=8), ["x"])
     p = scored.agg(F.min("propensity"), F.max("propensity")).first()
     assert 0.0 < p[0] and p[1] < 1.0
     assert "x" in scored.columns and "propensity" in scored.columns
@@ -41,7 +41,7 @@ def test_logistic_tabular_recovers_coefficients(spark):
 def test_ipw_ate_removes_confounding(spark):
     rows = _synthetic()
     df = spark.createDataFrame(rows, "t double, y double, x double")
-    r = ipw_ate(df, "t", "y", ["x"], iters=40, lr=4.0).collect()[0]
+    r = ipw_ate(df, "t", "y", ["x"], iters=8).collect()[0]
     # naive is badly biased upward (confounder coef 3 > effect 2)
     assert r.naive_diff > 3.0
     assert r.ate_ipw == pytest.approx(2.0, abs=0.35)
@@ -63,12 +63,12 @@ def test_ipw_ate_null_effect_and_edge_cases(spark):
     df = spark.createDataFrame(
         [(float(t[i]), float(y[i]), float(x[i])) for i in range(n)],
         "t double, y double, x double")
-    r = ipw_ate(df, "t", "y", ["x"], iters=40, lr=4.0).collect()[0]
+    r = ipw_ate(df, "t", "y", ["x"], iters=8).collect()[0]
     assert abs(r.naive_diff) > 1.0        # confounded gap
     assert r.ate_ipw == pytest.approx(0.0, abs=0.4)
     # degenerate: everyone treated -> NULL estimates, not a crash
     allt = df.withColumn("t", F.lit(1.0))
-    rd = ipw_ate(allt, "t", "y", ["x"], iters=2, lr=1.0).collect()[0]
+    rd = ipw_ate(allt, "t", "y", ["x"], iters=2).collect()[0]
     assert rd.ate_ipw is None and rd.naive_diff is None
     with pytest.raises(ValueError):
         train_logistic_tabular(df, "t", [], iters=2)
@@ -79,7 +79,7 @@ def test_logistic_eta_clip_keeps_probs_finite(spark):
     rows = [(float(i % 2), float((i % 2) * 1e6 - 5e5)) for i in
             range(40)]
     df = spark.createDataFrame(rows, "t double, x double")
-    w = train_logistic_tabular(df, "t", ["x"], iters=3, lr=1.0)
+    w = train_logistic_tabular(df, "t", ["x"], iters=3)
     s = logistic_scores(df, w, ["x"]).select("propensity").collect()
     assert all(r.propensity is not None
                and not math.isnan(r.propensity)
@@ -96,12 +96,12 @@ def test_aipw_doubly_robust_recovery(spark):
 
     rows = _synthetic(2000)
     df = spark.createDataFrame(rows, "t double, y double, x double")
-    r = aipw_ate(df, "t", "y", ["x"], iters=40, lr=4.0).collect()[0]
+    r = aipw_ate(df, "t", "y", ["x"], iters=8).collect()[0]
     assert r.ate_aipw == pytest.approx(2.0, abs=0.3)
     assert r.naive_diff > 3.0
-    # starved propensity: IPW drifts toward the naive gap, AIPW's
-    # outcome model keeps it near the truth
-    r1 = aipw_ate(df, "t", "y", ["x"], iters=1, lr=0.01).collect()[0]
+    # starved propensity (0 Newton steps -> flat e = 0.5): IPW
+    # collapses to the naive gap, AIPW's outcome model still corrects
+    r1 = aipw_ate(df, "t", "y", ["x"], iters=0).collect()[0]
     assert abs(r1.ate_aipw - 2.0) + 0.15 < abs(r1.ate_ipw - 2.0)
     with pytest.raises(ValueError):
         aipw_ate(df, "t", "y", ["x", "x", "x"])
