@@ -63,7 +63,9 @@ GATE_WINDOW: list[str] = [
     "events_cohort_retention_matrix",  # retention rates + sizes
     "events_seasonal_naive_backtest",  # lag-7 forecast floor
     "quality_bigram_loglik",           # order-sensitive LM score
-    "ab_ipw_ate",                      # propensity GD + Hajek IPW
+    "ab_ipw_ate",                      # propensity Newton + Hajek IPW
+    "ab_aipw_ate",                     # doubly-robust AIPW
+    "survival_logrank_k_sample",       # k-group Mantel-Haenszel
     # ---- anchors: code touched THIS round must re-gate ----
     # runner / adapter surface (every round)
     "runner_full_build_statuses",
@@ -112,8 +114,6 @@ GATE_WINDOW: list[str] = [
     "events_daily_rollup",
     "events_sessionization",
     "multimodal_resize",
-    "events_session_window_agg",
-    "events_json_props_rollup",
 ]
 
 
