@@ -206,6 +206,19 @@ HEADLINE = [
     # cmh is one stratum-grid aggregate (keep-best rule)
     "text_script_mix",
     "sql_pivot_daily_counts",
+    # r11: the 3x3-cofactor Newton (heaviest cox algebra; stratified
+    # re-keys the same grid — keep-best), the doubly-robust lifecycle
+    # (Newton propensity + per-arm OLS + psi scan — subsumes
+    # ab_ipw_ate), the pos-lag bigram LM (3 co-keyed count joins),
+    # the k-step sequential funnel, and the dense-spine k-sample
+    # log-rank (t-keyed covariance self-join). ipf/kendall/l-diversity
+    # /cohort/seasonal-naive/hll-keyed ride already-benched grid
+    # machineries (keep-best rule).
+    "survival_cox_three_covariates",
+    "ab_aipw_ate",
+    "quality_bigram_loglik",
+    "events_funnel_sequential",
+    "survival_logrank_k_sample",
 ]
 
 # Steady-state measurement: each query first runs once at WARM_SF_DIR
