@@ -3792,10 +3792,18 @@ def events_seasonal_naive_backtest(spark, sf_dir):
 # ------------------------------------------------- IPW / propensity (r11)
 _IPW_ITERS = 8
 def _duck_logit_ctes(p: int, iters: int) -> str:
-    """Unrolled tabular-logistic NEWTON/IRLS chain (plans/causal
-    train_logistic_tabular): needs a prior `subj` CTE with columns
-    (t, y, x1..xp); ends at lb{iters}.  The (p+1)x(p+1) information
-    solve reuses the cox 3x3 cofactor strings (p = 2 only here)."""
+    """Back-compat wrapper: logistic Newton chain on label `t`."""
+    return _duck_glm_newton_ctes(p, iters, "logistic", "t")
+
+
+def _duck_glm_newton_ctes(p: int, iters: int, family: str,
+                          label: str) -> str:
+    """Unrolled tabular-GLM NEWTON/IRLS chain (plans/causal
+    _train_glm_newton): needs a prior `subj` CTE with columns
+    ({label}, x1..xp); ends at lb{iters}.  The (p+1)x(p+1)
+    information solve reuses the cox 3x3 cofactor strings (p = 2
+    only here).  family: 'logistic' (W = s(1-s)) or 'poisson'
+    (W = mu = exp(eta), +-20 eta clip)."""
     if p != 2:
         raise ValueError("oracle unroll written for p = 2")
 
@@ -3807,6 +3815,10 @@ def _duck_logit_ctes(p: int, iters: int) -> str:
         return ("1.0 / (1.0 + floor(exp(-(" + ec
                 + ")) * 1e6 + 0.5) / 1e6)")
 
+    def pois(eta):
+        ec = "greatest(least(" + eta + ", 20.0), -20.0)"
+        return "floor(exp(" + ec + ") * 1e6 + 0.5) / 1e6"
+
     def hop(x):
         return "CAST(CAST(" + x + " AS VARCHAR) AS DOUBLE)"
 
@@ -3815,12 +3827,27 @@ def _duck_logit_ctes(p: int, iters: int) -> str:
 
     eta = "b.b0 + " + " + ".join(
         f9("s.x%d * b.b%d" % (i, i)) for i in (1, 2))
-    pr = sig(eta)
-    w = "(" + pr + " * (1.0 - " + pr + "))"
-    resid = "(s.t - " + pr + ")"
+    if family == "logistic":
+        pr = sig(eta)
+        w = "(" + pr + " * (1.0 - " + pr + "))"
+    else:
+        pr = pois(eta)
+        w = "(" + pr + ")"
+    resid = "(s." + label + " - " + pr + ")"
     # z = (1, x1, x2); moments i11..i33, gradient u1..u3
     zs = ["1.0", "s.x1", "s.x2"]
-    out = [",\n    lb0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)"]
+    if family == "poisson":
+        # b0 init = f9(ln(mean y)) — mirrors the Spark IRLS start
+        yb = ("CAST(CAST(SUM(CAST(round(" + label
+              + ", 9) AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE)"
+              " / CAST(COUNT(*) AS DOUBLE)")
+        lb0 = (",\n    lb0 AS (SELECT CASE WHEN " + yb + " > 0 THEN "
+               + f9("ln(" + yb + ")")
+               + " ELSE 0.0 END AS b0, 0.0 AS b1, 0.0 AS b2"
+               " FROM subj)")
+    else:
+        lb0 = ",\n    lb0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)"
+    out = [lb0]
     det = _cox3("det")
     for k in range(1, iters + 1):
         cols = []
@@ -4182,3 +4209,129 @@ def survival_logrank_k_sample(spark, sf_dir):
 
     subj = _cox_subjects(spark, sf_dir, with_nev=False)
     return logrank_k_sample(subj, "cohort", "t", "e", [0, 1, 2])
+
+
+_DUCK_POIS_SUBJ = """
+    per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1
+                           ELSE 0 END) AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) AS BIGINT) AS np,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+               AS n_days
+      FROM events GROUP BY user_id),
+    subj AS (
+      SELECT CAST(np AS DOUBLE) AS y,
+             CASE WHEN nc >= 15 THEN 1.0 ELSE 0.0 END AS x1,
+             floor(ln(1.0 + CAST(n_days AS DOUBLE)) * 1e9 + 0.5) / 1e9
+               AS x2
+      FROM per_user)"""
+
+
+@register(
+    "stats_poisson_purchases",
+    oracle="\n    WITH " + _DUCK_POIS_SUBJ
+    + _duck_glm_newton_ctes(2, _IPW_ITERS, "poisson", "y")
+    + """,
+    ybar AS (
+      SELECT CAST(CAST(SUM(CAST(round(y, 9) AS DECIMAL(38,9)))
+               AS VARCHAR) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS yb,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM subj),
+    scored AS (
+      SELECT s.y,
+        floor(exp(greatest(least(
+          b.b0 + floor((s.x1 * b.b1) * 1e9 + 0.5) / 1e9
+               + floor((s.x2 * b.b2) * 1e9 + 0.5) / 1e9,
+          20.0), -20.0)) * 1e6 + 0.5) / 1e6 AS mu
+      FROM subj s CROSS JOIN lb""" + str(_IPW_ITERS) + """ b),
+    dvs AS (
+      SELECT yb.n,
+        CAST(CAST(SUM(CASE WHEN s.y > 0
+          THEN CAST(round(s.y * ln(s.y / s.mu) - (s.y - s.mu), 9)
+               AS DECIMAL(38,9))
+          ELSE CAST(round(s.mu, 9) AS DECIMAL(38,9)) END)
+          AS VARCHAR) AS DOUBLE) AS dsum,
+        CAST(CAST(SUM(CASE WHEN s.y > 0
+          THEN CAST(round(s.y * ln(s.y / yb.yb) - (s.y - yb.yb), 9)
+               AS DECIMAL(38,9))
+          ELSE CAST(round(yb.yb, 9) AS DECIMAL(38,9)) END)
+          AS VARCHAR) AS DOUBLE) AS nsum
+      FROM scored s CROSS JOIN ybar yb
+      GROUP BY yb.n)
+    SELECT d.n,
+      round(b.b0, 6) AS b0, round(b.b1, 6) AS b1,
+      round(b.b2, 6) AS b2,
+      round(exp(b.b1), 6) AS rate_ratio_heavy_clicker,
+      round(2.0 * d.dsum, 6) AS deviance,
+      round(2.0 * d.nsum, 6) AS null_deviance,
+      round(1.0 - (2.0 * d.dsum) / (2.0 * d.nsum), 6) AS pseudo_r2
+    FROM dvs d CROSS JOIN lb""" + str(_IPW_ITERS) + """ b
+    """,
+)
+def stats_poisson_purchases(spark, sf_dir):
+    """Poisson regression (r11): per-user purchase COUNT ~ heavy-
+    clicker flag + log active days — the count-outcome GLM next to
+    the logistic trainer, fit by the same closed-form Newton/IRLS
+    (W = mu) and read out as rate ratios + deviance/pseudo-R2.
+    Hash-exact against the unrolled Newton + deviance SQL."""
+    from dbt_fusion_spark.llm.corpus import _join_scalar
+    from dbt_fusion_spark.plans.causal import (poisson_rates,
+                                               train_poisson_tabular)
+    from dbt_fusion_spark.plans.stats import _d2d, _qterm
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+         .cast("bigint").alias("nc"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1)
+              .otherwise(0)).cast("bigint").alias("np"),
+        F.countDistinct(F.col("ts").cast("date")).cast("bigint")
+         .alias("n_days"))
+
+    def _f9l(c):
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+    subj = per_user.select(
+        F.col("np").cast("double").alias("y"),
+        F.when(F.col("nc") >= 15, 1.0).otherwise(0.0).alias("x1"),
+        _f9l(F.log(F.lit(1.0) + F.col("n_days").cast("double")))
+        .alias("x2"))
+    w = train_poisson_tabular(subj, "y", ["x1", "x2"],
+                              iters=_IPW_ITERS)
+    sc = poisson_rates(subj, w, ["x1", "x2"])
+    yb = subj.agg(
+        (F.sum(_qterm(F.col("y"))).cast("string").cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("yb"),
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    sc = _join_scalar(sc.withColumn(
+        "__i", F.lit(1).cast("bigint")), "__i", yb, "n")
+    y, mu, ybv = F.col("y"), F.col("mu"), F.col("yb")
+    dterm = F.when(y > 0, _qterm(y * F.log(y / mu) - (y - mu))) \
+        .otherwise(_qterm(mu))
+    nterm = F.when(y > 0, _qterm(y * F.log(y / ybv) - (y - ybv))) \
+        .otherwise(_qterm(ybv))
+    dvs = sc.groupBy("n").agg(
+        F.sum(dterm).alias("__d"), F.sum(nterm).alias("__n"))
+    dvs = dvs.select("n", _d2d("__d").alias("dsum"),
+                     _d2d("__n").alias("nsum"))
+    out = (dvs.withColumn(
+        "__k", F.pmod(F.abs(F.coalesce(F.xxhash64("dsum"),
+                                       F.lit(1))), F.lit(1)))
+        .join(F.broadcast(w.withColumn(
+            "__k", F.pmod(F.abs(F.xxhash64("b0")), F.lit(1)))),
+            "__k"))
+    dev = F.lit(2.0) * F.col("dsum")
+    ndev = F.lit(2.0) * F.col("nsum")
+    return out.select(
+        "n",
+        F.round(F.col("b0"), 6).alias("b0"),
+        F.round(F.col("b1"), 6).alias("b1"),
+        F.round(F.col("b2"), 6).alias("b2"),
+        F.round(F.exp(F.col("b1")), 6)
+         .alias("rate_ratio_heavy_clicker"),
+        F.round(dev, 6).alias("deviance"),
+        F.round(ndev, 6).alias("null_deviance"),
+        F.round(F.lit(1.0) - dev / ndev, 6).alias("pseudo_r2"))

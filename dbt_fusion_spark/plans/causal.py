@@ -68,6 +68,18 @@ def _cof3_cols(i11, i12, i13, i22, i23, i33):
     return det, (c11, c12, c13, c22, c23, c33)
 
 
+POISSON_ETA_CLIP = 20.0  # e^20 * 1e6 still exact under 2^53
+
+
+def _poisson_mu(eta):
+    """Quantized log-link mean: eta clipped so the 1e-6 exp grid
+    stays exact (e^20 * 1e6 < 2^53; an unclipped exp would make the
+    floor of an inexact giant double engine-dependent)."""
+    ec = F.greatest(F.least(eta, F.lit(POISSON_ETA_CLIP)),
+                    F.lit(-POISSON_ETA_CLIP))
+    return _f6(F.exp(ec))
+
+
 def train_logistic_tabular(df: DataFrame, label_col: str,
                            feature_cols: list[str],
                            iters: int = 8) -> DataFrame:
@@ -93,6 +105,30 @@ def train_logistic_tabular(df: DataFrame, label_col: str,
     Scale: per iteration one scan + 1-row moment reduce + broadcast
     beta join; beta localCheckpoints so plan depth stays constant.
     """
+    return _train_glm_newton(df, label_col, feature_cols, iters,
+                             family="logistic")
+
+
+def train_poisson_tabular(df: DataFrame, label_col: str,
+                          feature_cols: list[str],
+                          iters: int = 8) -> DataFrame:
+    """NEWTON (IRLS) POISSON regression with log link — the count-
+    outcome GLM next to the logistic one (events per user, orders per
+    account ~ covariates):
+
+        b <- b + f9( (X'WX)^{-1} X'(y - mu) ),   W = mu = exp(eta)
+
+    Same closed-form cofactor solve for p <= 2 / numpy for p >= 3,
+    same quantization contract (exp on the 1e-6 grid behind a +-20
+    eta clip).  Returns ONE wide row (b0, b1..bp); exp(b_i) is the
+    per-unit rate ratio."""
+    return _train_glm_newton(df, label_col, feature_cols, iters,
+                             family="poisson")
+
+
+def _train_glm_newton(df: DataFrame, label_col: str,
+                      feature_cols: list[str], iters: int,
+                      family: str) -> DataFrame:
     p = len(feature_cols)
     if p < 1:
         raise ValueError("need at least one feature")
@@ -104,10 +140,25 @@ def train_logistic_tabular(df: DataFrame, label_col: str,
             .persist())
     if data.limit(1).count() == 0:
         raise ValueError("no complete rows to fit on")
-    beta = spark.createDataFrame(
-        [tuple(0.0 for _ in range(p + 1))],
-        ", ".join(f"b{i} double" for i in range(p + 1))) \
-        .localCheckpoint(eager=True)
+    if family == "poisson":
+        # Newton from b = 0 overshoots catastrophically along an
+        # ill-conditioned (intercept, near-constant-feature) ridge
+        # (observed: b0 -68 on step 1, ~30 steps to recover).  The
+        # standard IRLS start b0 = ln(mean y) lands the first step
+        # near the optimum; computed declaratively and f9-quantized
+        # so the SQL unroll mirrors it exactly.
+        yb = (F.sum(_qterm(F.col("y"))).cast("string").cast("double")
+              / F.count(F.lit(1)).cast("double"))
+        beta = data.agg(
+            F.when(yb > 0, _f9(F.log(yb))).otherwise(F.lit(0.0))
+            .alias("b0"),
+            *[F.lit(0.0).alias(f"b{i}") for i in range(1, p + 1)]) \
+            .localCheckpoint(eager=True)
+    else:
+        beta = spark.createDataFrame(
+            [tuple(0.0 for _ in range(p + 1))],
+            ", ".join(f"b{i} double" for i in range(p + 1))) \
+            .localCheckpoint(eager=True)
     # moment names over z = (1, x1..xp): m[i][j], 1-indexed
     dims = p + 1
     pairs = [(i, j) for i in range(1, dims + 1)
@@ -122,9 +173,14 @@ def train_logistic_tabular(df: DataFrame, label_col: str,
             .join(F.broadcast(b.withColumn(
                 "__k", F.pmod(F.abs(F.xxhash64("b0")), F.lit(1)))),
                 "__k")
-        pr = _sigmoid(_eta(feature_cols))
-        w = pr * (F.lit(1.0) - pr)
-        resid = F.col("y") - pr
+        if family == "logistic":
+            pr = _sigmoid(_eta(feature_cols))
+            w = pr * (F.lit(1.0) - pr)
+            resid = F.col("y") - pr
+        else:
+            mu = _poisson_mu(_eta(feature_cols))
+            w = mu
+            resid = F.col("y") - mu
         aggs = []
         for i in range(1, dims + 1):
             aggs.append(F.sum(_qterm(resid * _z(i))).alias(f"gd{i}"))
@@ -177,6 +233,13 @@ def train_logistic_tabular(df: DataFrame, label_col: str,
     import numpy as np
 
     bvals = [0.0] * dims
+    if family == "poisson":
+        ybr = data.agg(
+            (F.sum(_qterm(F.col("y"))).cast("string").cast("double")
+             / F.count(F.lit(1)).cast("double")).alias("yb")) \
+            .collect()[0].yb
+        if ybr and ybr > 0:
+            bvals[0] = math.floor(math.log(ybr) * 1e9 + 0.5) / 1e9
     for _ in range(iters):
         bdf = spark.createDataFrame(
             [tuple(bvals)],
@@ -220,6 +283,27 @@ def logistic_scores(df: DataFrame, weights: DataFrame,
     out = s.withColumn(
         "propensity",
         _f6(_sigmoid(_eta(feature_cols, xprefix="__fx"))))
+    drop = (["__k"]
+            + [f"__fx{i}" for i in range(1, len(feature_cols) + 1)]
+            + [f"b{i}" for i in range(len(feature_cols) + 1)])
+    return out.drop(*drop)
+
+
+def poisson_rates(df: DataFrame, weights: DataFrame,
+                  feature_cols: list[str]) -> DataFrame:
+    """Attach the fitted Poisson mean exp(eta) as column `mu`
+    (quantized exactly as in training).  One broadcast join against
+    the 1-row weights — the count-GLM twin of logistic_scores."""
+    xs = [F.col(c).cast("double").alias(f"__fx{i + 1}")
+          for i, c in enumerate(feature_cols)]
+    s = (df.select("*", *xs)
+         .withColumn("__k", F.pmod(F.abs(F.coalesce(
+             F.xxhash64("__fx1"), F.lit(1))), F.lit(1)))
+         .join(F.broadcast(weights.withColumn(
+             "__k", F.pmod(F.abs(F.xxhash64("b0")), F.lit(1)))),
+             "__k"))
+    out = s.withColumn(
+        "mu", _poisson_mu(_eta(feature_cols, xprefix="__fx")))
     drop = (["__k"]
             + [f"__fx{i}" for i in range(1, len(feature_cols) + 1)]
             + [f"b{i}" for i in range(len(feature_cols) + 1)])

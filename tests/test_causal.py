@@ -105,3 +105,63 @@ def test_aipw_doubly_robust_recovery(spark):
     assert abs(r1.ate_aipw - 2.0) + 0.15 < abs(r1.ate_ipw - 2.0)
     with pytest.raises(ValueError):
         aipw_ate(df, "t", "y", ["x", "x", "x"])
+
+
+def test_poisson_newton_recovers_coefficients(spark):
+    """Poisson IRLS (W = mu, ln-ybar start) must recover known rate
+    coefficients and match an independent numpy IRLS; the p=3 wide
+    path agrees too."""
+    import numpy as np
+
+    from dbt_fusion_spark.plans.causal import (poisson_rates,
+                                               train_poisson_tabular)
+
+    rng = np.random.RandomState(4)
+    n = 1500
+    x1 = (rng.rand(n) > 0.5).astype(float)
+    x2 = rng.randn(n) * 0.5
+    mu = np.exp(1.2 + 0.5 * x1 - 0.3 * x2)
+    y = rng.poisson(mu).astype(float)
+    df = spark.createDataFrame(
+        [(float(y[i]), float(x1[i]), float(x2[i]))
+         for i in range(n)],
+        "y double, x1 double, x2 double")
+    w = train_poisson_tabular(df, "y", ["x1", "x2"],
+                              iters=8).collect()[0]
+    X = np.column_stack([np.ones(n), x1, x2])
+    b = np.array([np.log(y.mean()), 0.0, 0.0])
+    for _ in range(25):
+        m = np.exp(np.clip(X @ b, -20, 20))
+        b = b + np.linalg.solve(X.T @ (m[:, None] * X),
+                                X.T @ (y - m))
+    assert w.b0 == pytest.approx(b[0], abs=5e-3)
+    assert w.b1 == pytest.approx(b[1], abs=5e-3)
+    assert w.b2 == pytest.approx(b[2], abs=5e-3)
+    mus = poisson_rates(
+        df, train_poisson_tabular(df, "y", ["x1", "x2"], iters=8),
+        ["x1", "x2"]).select("mu").collect()
+    assert all(r.mu > 0 for r in mus)
+    # p=3 routes through the driver-side numpy solve
+    df3 = df.withColumn("x3", F.col("x1") * F.col("x2"))
+    w3 = train_poisson_tabular(df3, "y", ["x1", "x2", "x3"],
+                               iters=8).collect()[0]
+    assert w3.b1 == pytest.approx(b[1], abs=0.1)
+
+
+def test_poisson_ill_conditioned_design_converges(spark):
+    """The regression that motivated the ln-ybar start: a
+    near-constant feature beside the intercept made zero-start Newton
+    overshoot to b0 ~ -70; with the IRLS start the deviance must land
+    BELOW the null deviance."""
+    rows = [(float(3 + i % 9), 3.3 + 0.001 * (i % 7))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "y double, x double")
+    from dbt_fusion_spark.plans.causal import (poisson_rates,
+                                               train_poisson_tabular)
+    from dbt_fusion_spark.plans.stats import _qterm
+
+    w = train_poisson_tabular(df, "y", ["x"], iters=8)
+    sc = poisson_rates(df, w, ["x"])
+    got = sc.agg(F.avg("mu").alias("m"),
+                 F.avg("y").alias("ybar")).first()
+    assert got.m == pytest.approx(got.ybar, rel=0.05)
