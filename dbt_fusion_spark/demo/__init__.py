@@ -66,6 +66,7 @@ GATE_WINDOW: list[str] = [
     "ab_ipw_ate",                      # propensity Newton + Hajek IPW
     "ab_aipw_ate",                     # doubly-robust AIPW
     "survival_logrank_k_sample",       # k-group Mantel-Haenszel
+    "stats_poisson_purchases",         # count GLM (Newton, log link)
     # ---- anchors: code touched THIS round must re-gate ----
     # runner / adapter surface (every round)
     "runner_full_build_statuses",
@@ -113,7 +114,6 @@ GATE_WINDOW: list[str] = [
     "multimodal_frame_sample",
     "events_daily_rollup",
     "events_sessionization",
-    "multimodal_resize",
 ]
 
 
