@@ -4306,8 +4306,15 @@ def stats_poisson_purchases(spark, sf_dir):
         (F.sum(_qterm(F.col("y"))).cast("string").cast("double")
          / F.count(F.lit(1)).cast("double")).alias("yb"),
         F.count(F.lit(1)).cast("bigint").alias("n"))
-    sc = _join_scalar(sc.withColumn(
-        "__i", F.lit(1).cast("bigint")), "__i", yb, "n")
+    # opaque COMPUTED key — a literal __i constant-folds pmod(1,1)=0
+    # into a literal join key and the broadcast degrades to a BNLJ
+    # (the kappa bug; caught by the blanket plan guard)
+    sc = (sc.withColumn(
+        "__k", F.pmod(F.abs(F.coalesce(F.xxhash64("y"), F.lit(1))),
+                      F.lit(1)))
+        .join(F.broadcast(yb.withColumn(
+            "__k", F.pmod(F.col("n"), F.lit(1)))), "__k")
+        .drop("__k"))
     y, mu, ybv = F.col("y"), F.col("mu"), F.col("yb")
     dterm = F.when(y > 0, _qterm(y * F.log(y / mu) - (y - mu))) \
         .otherwise(_qterm(mu))

