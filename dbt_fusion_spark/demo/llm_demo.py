@@ -5346,30 +5346,20 @@ def _duck_softmax_serve_ctes(dim: int, iters: int, lr: float,
       FROM sp)"""
 
 
-# Train-once durable model artifact (r11, judge r10 #5): the three
-# softmax-family rows each used to RE-TRAIN the same model (~20% of
-# bench wall). Now the first family row to run trains and persists the
-# (bucket, label, weight) grid as a parquet artifact; every other row
-# LOADS it — bit-equal weights (doubles round-trip parquet exactly),
-# serve-only plans with no training lineage.
-_SOFTMAX_MODEL_PATHS: dict[str, str] = {}
-
-
+# r11 optimization round: the mid-build "train once per process" memo
+# (_SOFTMAX_MODEL_PATHS) was REMOVED — a module-level memo of a
+# trained intermediate keyed on sf_dir means a re-run of the training
+# row degenerates to an artifact load (the bench's min-of-2 then times
+# an artifact read, not training).  Every invocation now computes from
+# the parquet inputs; the honest speedup comes from the WIDE trainer /
+# server in llm/classifier.py instead (bit-equal, oracle-gated).
 def _softmax_model(spark, sf_dir):
     from dbt_fusion_spark.llm import classifier as CL
 
-    path = _SOFTMAX_MODEL_PATHS.get(sf_dir)
-    if path is None:
-        import tempfile
-
-        docs = load_table(spark, sf_dir, "documents")
-        w = CL.train_softmax_regression(
-            docs, "doc_id", "text", "lang", dim=_SOFTMAX_DIM,
-            iters=_SOFTMAX_ITERS, lr=_SOFTMAX_LR)
-        path = tempfile.mkdtemp(prefix="softmax_model_") + "/weights"
-        CL.save_softmax_model(w, path)
-        _SOFTMAX_MODEL_PATHS[sf_dir] = path
-    return CL.load_softmax_model(spark, path)
+    docs = load_table(spark, sf_dir, "documents")
+    return CL.train_softmax_regression(
+        docs, "doc_id", "text", "lang", dim=_SOFTMAX_DIM,
+        iters=_SOFTMAX_ITERS, lr=_SOFTMAX_LR)
 
 
 @register(
@@ -5383,13 +5373,13 @@ def _softmax_model(spark, sf_dir):
 def classifier_train_softmax(spark, sf_dir):
     """In-engine K-class softmax training (r10): full-batch GD fit of
     the hashed uni+bigram multinomial model against the labeled lang
-    column — the fastText-style lang-ID classifier. Per iteration: one
-    broadcast join vs the (dim+1) x K weight grid, one (id, class)
-    margin shuffle, one id-partitioned softmax window, one residual
-    join, one (bucket, class) gradient grid; weights localCheckpointed
-    (the fixed-iteration pattern).  r11: the fit persists as a durable
-    parquet model artifact (save_softmax_model) the serving rows load
-    — this is the ONE training row of the family."""
+    column — the fastText-style lang-ID classifier.  r11 (wide form):
+    per iteration one broadcast join vs the (dim+1)-row K-column
+    weight grid, one id-keyed margin shuffle (K decimal sums per id,
+    no K-fold row blowup), an in-row softmax (no window exchange),
+    one residual join, one bucket-keyed K-column gradient grid;
+    weights localCheckpointed (the fixed-iteration pattern).  Trained
+    per invocation — no cross-query memo."""
     return _softmax_model(spark, sf_dir)
 
 
@@ -5403,13 +5393,12 @@ def classifier_train_softmax(spark, sf_dir):
     """,
 )
 def classifier_softmax_scores(spark, sf_dir):
-    """Artifact-served K-class scoring (r10, artifact-served r11): the
-    persisted (bucket, label, weight) grid loads from the durable
-    model artifact into softmax_class_scores — per-doc argmax class +
-    probability, ties broken on the quantized prob by label ASC
-    (deterministic in both engines).  Bit-equal to the train-then-
-    serve composition (tests/test_classifier.py); the oracle still
-    unrolls the full train chain in SQL, so the hash gate proves it."""
+    """Train-then-serve composition for the K-class model (r10): the
+    fitted (bucket, label, weight) grid flows into the r11 WIDE
+    softmax_class_scores — per-doc argmax class + probability, ties
+    broken on the quantized prob by label ASC (deterministic in both
+    engines; the argmax CASE walks labels ASC).  Trained per
+    invocation — no cross-query memo."""
     from dbt_fusion_spark.llm import classifier as CL
 
     docs = load_table(spark, sf_dir, "documents")

@@ -562,10 +562,18 @@ def train_softmax_regression(df: DataFrame, id_col: str, text_col: str,
     labels = df.select(F.col(id_col),
                        F.col(label_col).cast("string").alias("__y")) \
         .persist()
-    n_docs = float(labels.count())
-    classes = (labels.select(F.col("__y").alias("label"))
-               .filter(F.col("label").isNotNull())
-               .distinct().localCheckpoint(eager=True))
+    # r11: ONE setup job instead of two — the per-class counts give
+    # n_docs (their sum) and the class list (bounded driver fit, the
+    # k-means-centroid contract) in a single pass over the persisted
+    # labels
+    cls_counts = labels.groupBy("__y").count().collect()
+    n_docs = float(sum(r["count"] for r in cls_counts))
+    classes = sorted(r["__y"] for r in cls_counts
+                     if r["__y"] is not None)
+    if not classes:
+        labels.unpersist()
+        return df.sparkSession.createDataFrame(
+            [], "bucket bigint, label string, weight double")
     tf = hashed_gram_buckets(df, id_col, text_col, dim, seed, bigrams)
     nd = tf.groupBy(id_col).agg(F.sum("tf").alias("__n"))
     x = _r9(F.col("tf").cast("double") / F.col("__n").cast("double"))
@@ -578,11 +586,12 @@ def train_softmax_regression(df: DataFrame, id_col: str, text_col: str,
                .repartition(id_col)
                .persist())
     feats.count()
+    # r11: the (bucket x class) init explodes a literal class array —
+    # no classes checkpoint job, no broadcast join
     w = (feats.select("bucket").distinct()
-         .withColumn("__k", F.pmod(F.abs(F.col("bucket")), F.lit(1)))
-         .join(F.broadcast(classes.withColumn(
-             "__k", F.pmod(F.abs(F.xxhash64("label")), F.lit(1)))),
-             "__k")
+         .select("bucket",
+                 F.explode(F.array(*[F.lit(c) for c in classes]))
+                 .alias("label"))
          .select("bucket", "label", F.lit(0.0).alias("weight"))
          .localCheckpoint(eager=True))
     wid = Window.partitionBy(id_col)
@@ -675,61 +684,87 @@ def softmax_class_scores(df: DataFrame, weights: DataFrame,
     opaque-constant-key broadcast join against the K-row class table
     (never a crossJoin) so empty docs survive.
     """
-    from pyspark.sql import Window
-
     def _r6(c):
         return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
-    # No localCheckpoint here: when weights come from a durable model
-    # artifact (load_softmax_model) the serve plan must stay a pure
-    # parquet-scan pipeline (plan-asserted no-retrain, judge r10 #5);
-    # trained weights are already checkpointed by the trainer, so the
-    # K-row filter is cheap either way.
-    wb = weights.filter(F.col("bucket") >= 0)
-    bias = weights.filter(F.col("bucket") == -1) \
-        .select("label", F.col("weight").alias("__b"))
     def _r9(c):
         return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
 
+    d389 = "decimal(38,9)"
+    # r11 optimization (guide §2.3/§2.4): the bias vector is K bounded
+    # rows — collect it once (the k-means-centroid driver-fit
+    # contract) and serve WIDE: one column per class.  This removes
+    # the K-fold (id, class) shuffle blowup, the per-id softmax window
+    # exchange, and the doc-universe×class broadcast blowup; every
+    # decimal dot keeps the identical term set (DECIMAL(38,9) sums are
+    # exact/order-free) and the argmax CASE walks labels ASC, so
+    # (pred_label, prob, n_grams) are bit-equal to the row-per-class
+    # formulation (asserted in tests/test_quality.py).
+    bias_rows = sorted(
+        ((r["label"], r["weight"]) for r in
+         weights.filter(F.col("bucket") == -1)
+         .select("label", "weight").collect()),
+        key=lambda t: t[0])
+    if not bias_rows:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} string, pred_label string, prob double, "
+                "n_grams bigint")
+    classes = [t[0] for t in bias_rows]
+    K = len(classes)
+    # pivot the (bucket, label, weight) grid wide; the grid is
+    # dim×K rows, so this is one bounded shuffle feeding a broadcast
+    wb = (weights.filter(F.col("bucket") >= 0)
+          .groupBy("bucket")
+          .agg(*[F.max(F.when(F.col("label") == F.lit(classes[c - 1]),
+                              F.col("weight"))).alias(f"w{c}")
+                 for c in range(1, K + 1)]))
     tf = hashed_gram_buckets(df, id_col, text_col, dim, seed, bigrams)
     # dot rides the training quantization (round(9) terms summed as
     # DECIMAL, string-hop re-entry) — order-free, so the oracle's SUM
     # cannot drift on double addition order
     per = (tf.join(F.broadcast(wb), "bucket")
-           .groupBy(id_col, "label")
+           .groupBy(id_col)
            .agg(F.sum("tf").alias("__ng"),
-                F.sum(_r9(F.col("tf").cast("double") * F.col("weight"))
-                      .cast("decimal(38,9)")).alias("__dotd")))
-    per = per.select(id_col, "label", "__ng",
-                     F.col("__dotd").cast("string").cast("double")
-                     .alias("__dot"))
-    universe = (df.select(id_col)
-                .withColumn("__k", F.pmod(F.abs(F.xxhash64(id_col)),
-                                          F.lit(1)))
-                .join(F.broadcast(bias.withColumn(
-                    "__k", F.pmod(F.abs(F.xxhash64("label")),
-                                  F.lit(1)))), "__k")
-                .drop("__k"))
-    z = (F.col("__b")
-         + F.coalesce(F.col("__dot") / F.col("__ng").cast("double"),
-                      F.lit(0.0)))
-    scored = (universe.join(per, [id_col, "label"], "left")
-              .select(id_col, "label",
+                *[F.sum(_r9(F.col("tf").cast("double")
+                            * F.col(f"w{c}")).cast(d389))
+                  .alias(f"__dotd{c}") for c in range(1, K + 1)]))
+    per = per.select(
+        id_col, "__ng",
+        *[F.col(f"__dotd{c}").cast("string").cast("double")
+          .alias(f"__dot{c}") for c in range(1, K + 1)])
+    scored = (df.select(id_col).join(per, id_col, "left")
+              .select(id_col,
                       F.coalesce("__ng", F.lit(0)).cast("bigint")
                       .alias("n_grams"),
-                      z.alias("__z")))
-    wid = Window.partitionBy(id_col)
-    e = scored.withColumn(
-        "__e", _r6(F.exp(F.col("__z") - F.max("__z").over(wid))))
-    den = F.sum(F.col("__e").cast("decimal(38,9)")).over(wid) \
-        .cast("string").cast("double")
-    p = e.withColumn("__p", _r6(F.col("__e") / den))
-    rn = F.row_number().over(
-        wid.orderBy(F.col("__p").desc(), F.col("label").asc()))
-    return (p.withColumn("__rn", rn)
-            .filter(F.col("__rn") == 1)
-            .select(id_col, F.col("label").alias("pred_label"),
-                    F.col("__p").alias("prob"), "n_grams"))
+                      *[(F.lit(bias_rows[c - 1][1])
+                         + F.coalesce(F.col(f"__dot{c}")
+                                      / F.col("__ng").cast("double"),
+                                      F.lit(0.0))).alias(f"__z{c}")
+                        for c in range(1, K + 1)]))
+    mx = F.greatest(*[F.col(f"__z{c}") for c in range(1, K + 1)]) \
+        if K > 1 else F.col("__z1")
+    e = scored.select(id_col, "n_grams", *[
+        _r6(F.exp(F.col(f"__z{c}") - mx)).alias(f"__e{c}")
+        for c in range(1, K + 1)])
+    den = F.col("__e1").cast(d389)
+    for c in range(2, K + 1):
+        den = den + F.col(f"__e{c}").cast(d389)
+    den = den.cast("string").cast("double")
+    p = e.select(id_col, "n_grams", *[
+        _r6(F.col(f"__e{c}") / den).alias(f"__p{c}")
+        for c in range(1, K + 1)])
+    # argmax with the row_number tie-break (p DESC, label ASC): walk
+    # the ASC-sorted labels, first one hitting the max wins
+    pmax = F.greatest(*[F.col(f"__p{c}") for c in range(1, K + 1)]) \
+        if K > 1 else F.col("__p1")
+    pred = F.when(F.col("__p1") == F.col("__pmax"),
+                  F.lit(classes[0]))
+    for c in range(2, K + 1):
+        pred = pred.when(F.col(f"__p{c}") == F.col("__pmax"),
+                         F.lit(classes[c - 1]))
+    return (p.withColumn("__pmax", pmax)
+            .select(id_col, pred.alias("pred_label"),
+                    F.col("__pmax").alias("prob"), "n_grams"))
 
 
 def calibration_report(df: DataFrame, label_col, score_col: str,

@@ -21,6 +21,8 @@ import sys
 import time
 import traceback
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "now"
