@@ -129,6 +129,17 @@ def train_poisson_tabular(df: DataFrame, label_col: str,
 def _train_glm_newton(df: DataFrame, label_col: str,
                       feature_cols: list[str], iters: int,
                       family: str) -> DataFrame:
+    """r11 optimization (guide §2.4): beta lives driver-side as p+1
+    quantized doubles for EVERY width — the former p <= 2 declarative
+    loop paid a broadcast beta join, a broadcast (U, I) re-join and a
+    weight-checkpoint job per iteration; now one iteration is exactly
+    one cached scan into a 1-row moment collect.  The p <= 2 Newton
+    step stays the closed-form 2x2/3x3 cofactor arithmetic, transcribed
+    operand-for-operand into Python floats (IEEE doubles, same op
+    order), so the trajectory — and the SQL-unrolled oracle hash — is
+    bit-identical to the column-expression form."""
+    import math
+
     p = len(feature_cols)
     if p < 1:
         raise ValueError("need at least one feature")
@@ -138,113 +149,129 @@ def _train_glm_newton(df: DataFrame, label_col: str,
     data = (df.select(F.col(label_col).cast("double").alias("y"), *xs)
             .na.drop()
             .persist())
-    if data.limit(1).count() == 0:
-        raise ValueError("no complete rows to fit on")
+    # moment names over z = (1, x1..xp): m[i][j], 1-indexed
+    dims = p + 1
+    pairs = [(i, j) for i in range(1, dims + 1)
+             for j in range(i, dims + 1)]
+    bvals = [0.0] * dims
     if family == "poisson":
         # Newton from b = 0 overshoots catastrophically along an
         # ill-conditioned (intercept, near-constant-feature) ridge
         # (observed: b0 -68 on step 1, ~30 steps to recover).  The
         # standard IRLS start b0 = ln(mean y) lands the first step
-        # near the optimum; computed declaratively and f9-quantized
-        # so the SQL unroll mirrors it exactly.
+        # near the optimum; computed IN-PLAN (Spark's log, not libm —
+        # an ulp there could flip the 1e-9 floor) and f9-quantized so
+        # the SQL unroll mirrors it exactly; this setup reduce also
+        # carries the emptiness guard.
         yb = (F.sum(_qterm(F.col("y"))).cast("string").cast("double")
               / F.count(F.lit(1)).cast("double"))
-        beta = data.agg(
+        r0 = data.agg(
             F.when(yb > 0, _f9(F.log(yb))).otherwise(F.lit(0.0))
             .alias("b0"),
-            *[F.lit(0.0).alias(f"b{i}") for i in range(1, p + 1)]) \
-            .localCheckpoint(eager=True)
-    else:
-        beta = spark.createDataFrame(
-            [tuple(0.0 for _ in range(p + 1))],
-            ", ".join(f"b{i} double" for i in range(p + 1))) \
-            .localCheckpoint(eager=True)
-    # moment names over z = (1, x1..xp): m[i][j], 1-indexed
-    dims = p + 1
-    pairs = [(i, j) for i in range(1, dims + 1)
-             for j in range(i, dims + 1)]
+            F.count(F.lit(1)).alias("__cnt")).collect()[0]
+        if r0["__cnt"] == 0:
+            raise ValueError("no complete rows to fit on")
+        bvals[0] = r0["b0"]
 
     def _z(i):
         return F.lit(1.0) if i == 1 else F.col(f"x{i - 1}")
 
-    def _moments(b):
-        s = data.withColumn(
-            "__k", F.pmod(F.abs(F.xxhash64("y")), F.lit(1))) \
-            .join(F.broadcast(b.withColumn(
-                "__k", F.pmod(F.abs(F.xxhash64("b0")), F.lit(1)))),
-                "__k")
+    def _eta_lit(bv):
+        eta = F.lit(bv[0])
+        for i in range(1, p + 1):
+            eta = eta + _f9(F.col(f"x{i}") * F.lit(bv[i]))
+        return eta
+
+    def _moments(bv):
         if family == "logistic":
-            pr = _sigmoid(_eta(feature_cols))
+            pr = _sigmoid(_eta_lit(bv))
             w = pr * (F.lit(1.0) - pr)
             resid = F.col("y") - pr
         else:
-            mu = _poisson_mu(_eta(feature_cols))
+            mu = _poisson_mu(_eta_lit(bv))
             w = mu
             resid = F.col("y") - mu
-        aggs = []
+        aggs = [F.count(F.lit(1)).alias("__cnt")]
         for i in range(1, dims + 1):
             aggs.append(F.sum(_qterm(resid * _z(i))).alias(f"gd{i}"))
         for i, j in pairs:
             aggs.append(F.sum(_qterm(w * _z(i) * _z(j)))
                         .alias(f"md{i}{j}"))
-        out = s.agg(*aggs)
+        out = data.agg(*aggs)
         return out.select(
+            "__cnt",
             *[_d2d(f"gd{i}").alias(f"u{i}")
               for i in range(1, dims + 1)],
             *[_d2d(f"md{i}{j}").alias(f"i{i}{j}") for i, j in pairs])
 
+    def _pyf9(x: float) -> float:
+        # mirror Spark floor(): NaN/inf pass through (math.floor raises)
+        if math.isnan(x) or math.isinf(x):
+            return x
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    def _ok(det) -> bool:
+        # mirror Spark/DuckDB comparison semantics where NaN sorts
+        # greater than any value (when(det > 0, ...) fires on NaN)
+        return math.isnan(det) or det > 0
+
+    def _pydelta(r):
+        """Closed-form (X'WX)^{-1} X'(y - mu) from the collected 1-row
+        moment frame — the SAME operand order as the former column
+        expressions and the unrolled SQL oracle.  None = guard failed
+        (keep beta)."""
+        u = [r[f"u{i}"] for i in range(1, dims + 1)]
+        ii = {(i, j): r[f"i{i}{j}"] for i, j in pairs}
+        if any(v is None for v in u) \
+                or any(v is None for v in ii.values()):
+            return None
+        if p == 1:
+            det = (ii[(1, 1)] * ii[(2, 2)]
+                   - ii[(1, 2)] * ii[(1, 2)])
+            if not _ok(det):
+                return None
+            return [(ii[(2, 2)] * u[0] - ii[(1, 2)] * u[1]) / det,
+                    (ii[(1, 1)] * u[1] - ii[(1, 2)] * u[0]) / det]
+        i11, i12, i13 = ii[(1, 1)], ii[(1, 2)], ii[(1, 3)]
+        i22, i23, i33 = ii[(2, 2)], ii[(2, 3)], ii[(3, 3)]
+        c11 = i22 * i33 - i23 * i23
+        c12 = i13 * i23 - i12 * i33
+        c13 = i12 * i23 - i22 * i13
+        c22 = i11 * i33 - i13 * i13
+        c23 = i12 * i13 - i11 * i23
+        c33 = i11 * i22 - i12 * i12
+        det = (i11 * (i22 * i33 - i23 * i23)
+               - i12 * (i12 * i33 - i23 * i13)
+               + i13 * (i12 * i23 - i22 * i13))
+        if not _ok(det):
+            return None
+        u1, u2, u3 = u
+        return [(c11 * u1 + c12 * u2 + c13 * u3) / det,
+                (c12 * u1 + c22 * u2 + c23 * u3) / det,
+                (c13 * u1 + c23 * u2 + c33 * u3) / det]
+
     if p <= 2:
-        for _ in range(iters):
-            ui = _moments(beta)
-            if p == 1:
-                det = (F.col("i11") * F.col("i22")
-                       - F.col("i12") * F.col("i12"))
-                num = [(F.col("i22") * F.col("u1")
-                        - F.col("i12") * F.col("u2")),
-                       (F.col("i11") * F.col("u2")
-                        - F.col("i12") * F.col("u1"))]
-                delta = [n / det for n in num]
-            else:
-                det, (c11, c12, c13, c22, c23, c33) = _cof3_cols(
-                    F.col("i11"), F.col("i12"), F.col("i13"),
-                    F.col("i22"), F.col("i23"), F.col("i33"))
-                u1, u2, u3 = F.col("u1"), F.col("u2"), F.col("u3")
-                delta = [
-                    (c11 * u1 + c12 * u2 + c13 * u3) / det,
-                    (c12 * u1 + c22 * u2 + c23 * u3) / det,
-                    (c13 * u1 + c23 * u2 + c33 * u3) / det]
-            ok = det > 0
-            upd = beta.withColumn(
-                "__k", F.pmod(F.abs(F.xxhash64("b0")), F.lit(1))) \
-                .join(F.broadcast(ui.withColumn(
-                    "__k", F.pmod(F.abs(F.coalesce(
-                        F.xxhash64("u1"), F.lit(1))), F.lit(1)))),
-                    "__k")
-            beta = upd.select(*[
-                F.when(ok, _f9(F.col(f"b{i}") + delta[i]))
-                .otherwise(F.col(f"b{i}")).alias(f"b{i}")
-                for i in range(dims)]) \
-                .localCheckpoint(eager=True)
+        for k in range(iters):
+            row = _moments(bvals).collect()[0]
+            if k == 0 and family != "poisson" and row["__cnt"] == 0:
+                raise ValueError("no complete rows to fit on")
+            delta = _pydelta(row)
+            if delta is not None:
+                bvals = [_pyf9(b + d) for b, d in zip(bvals, delta)]
         data.unpersist()
-        return beta
-    # wide path: numpy solve on the collected 1-row (U, I) frame
-    import math
-
-    import numpy as np
-
-    bvals = [0.0] * dims
-    if family == "poisson":
-        ybr = data.agg(
-            (F.sum(_qterm(F.col("y"))).cast("string").cast("double")
-             / F.count(F.lit(1)).cast("double")).alias("yb")) \
-            .collect()[0].yb
-        if ybr and ybr > 0:
-            bvals[0] = math.floor(math.log(ybr) * 1e9 + 0.5) / 1e9
-    for _ in range(iters):
-        bdf = spark.createDataFrame(
+        return spark.createDataFrame(
             [tuple(bvals)],
             ", ".join(f"b{i} double" for i in range(dims)))
-        row = _moments(bdf).collect()[0]
+    # wide path: numpy solve on the collected 1-row (U, I) frame
+    import numpy as np
+
+    empty_checked = family == "poisson"
+    for _ in range(iters):
+        row = _moments(bvals).collect()[0]
+        if not empty_checked:
+            if row["__cnt"] == 0:
+                raise ValueError("no complete rows to fit on")
+            empty_checked = True
         u = np.array([row[f"u{i}"] for i in range(1, dims + 1)])
         info = np.zeros((dims, dims))
         for i, j in pairs:
@@ -259,8 +286,7 @@ def _train_glm_newton(df: DataFrame, label_col: str,
     data.unpersist()
     return spark.createDataFrame(
         [tuple(bvals)],
-        ", ".join(f"b{i} double" for i in range(dims))) \
-        .localCheckpoint(eager=True)
+        ", ".join(f"b{i} double" for i in range(dims)))
 
 
 def logistic_scores(df: DataFrame, weights: DataFrame,

@@ -377,7 +377,15 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
     import math
 
     def _pyf9(x: float) -> float:
+        # mirror Spark floor(): NaN/inf pass through (math.floor raises)
+        if math.isnan(x) or math.isinf(x):
+            return x
         return math.floor(x * 1e9 + 0.5) / 1e9
+
+    def _ok(det) -> bool:
+        # mirror Spark/DuckDB comparison semantics where NaN sorts
+        # greater than any value (when(det > 0, ...) fires on NaN)
+        return math.isnan(det) or det > 0
 
     def _pydelta(r):
         """Closed-form I^{-1} U from the collected 1-row (U, I) frame
@@ -393,13 +401,13 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
             return None
         if p == 1:
             i11 = ii[(1, 1)]
-            if not i11 > 0:
+            if not _ok(i11):
                 return None
             return [u[0] / i11]
         if p == 2:
             i11, i12, i22 = ii[(1, 1)], ii[(1, 2)], ii[(2, 2)]
             det = i11 * i22 - i12 * i12
-            if not det > 0:
+            if not _ok(det):
                 return None
             return [(i22 * u[0] - i12 * u[1]) / det,
                     (i11 * u[1] - i12 * u[0]) / det]
@@ -414,7 +422,7 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
         det = (i11 * (i22 * i33 - i23 * i23)
                - i12 * (i12 * i33 - i23 * i13)
                + i13 * (i12 * i23 - i22 * i13))
-        if not det > 0:
+        if not _ok(det):
             return None
         u1, u2, u3 = u
         return [(c11 * u1 + c12 * u2 + c13 * u3) / det,
