@@ -38,8 +38,16 @@ def hashed_gram_buckets(df: DataFrame, id_col: str, text_col: str,
 
     Tokenization matches llm/corpus.tokens (lowercase, whitespace-run
     split); bigram construction is a zip_with over two slices of the
-    SAME token array — no self-join, no window, fully codegen'd. One
-    explode + one (id, bucket) partial-agg shuffle.
+    SAME token array — no self-join, no window, fully codegen'd.
+
+    r11 optimization (guide §2.5 input skew / §2.3 shuffle fewer
+    bytes): the id-keyed exchange moves BEFORE the explode — the raw
+    doc rows shuffle (fewer bytes than the exploded gram stream) and
+    the explode + md5 hashing then run at full parallelism even when
+    the source is one unsplittable parquet row group; the (id, bucket)
+    aggregation needs no further exchange (hash(id) already clusters
+    it) and the output stays id-partitioned for the downstream
+    id-keyed joins/aggs every caller does.
     """
     arr = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
@@ -51,8 +59,15 @@ def hashed_gram_buckets(df: DataFrame, id_col: str, text_col: str,
             F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
             lambda a, b: F.concat_ws(" ", a, b))
         grams = F.concat(arr, big)
+    # explicit partition count: AQE would coalesce this small-byte
+    # exchange to one partition (the bytes are tiny pre-explode) and
+    # serialize the compute-heavy explode+hash downstream of it;
+    # defaultParallelism scales with the cluster
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(n_part, id_col)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
         .filter(F.col("gram") != "")
         .select(id_col, F.pmod(_unit_hash(["gram"], seed),
                                F.lit(dim)).alias("bucket"))
@@ -456,9 +471,16 @@ def train_logistic_regression(df: DataFrame, id_col: str, text_col: str,
 
     y = (F.col(label) if isinstance(label, str) else label) \
         .cast("bigint")
-    labels = df.select(F.col(id_col), y.alias("__y")) \
-        .persist()
-    n_docs = float(labels.count())
+    n_docs = float(df.count())
+    # r11 optimization (guide §2.4): the label rides the cached feature
+    # stream (__y, constant per id, recovered as max in the margin
+    # agg), so no per-iteration labels join; the previous weight rides
+    # the gradient aggregation (max of the broadcast-joined constant),
+    # so no per-iteration w-vs-grad join either.  feats stays
+    # id-partitioned end to end: margins, the residual re-join and the
+    # gradient's map side all run exchange-free — one bucket-keyed
+    # grid shuffle per iteration.
+    lbl = df.select(F.col(id_col), y.alias("__y"))
     tf = hashed_gram_buckets(df, id_col, text_col, dim, seed, bigrams)
     nd = tf.groupBy(id_col).agg(F.sum("tf").alias("__n"))
     x = _r9(F.col("tf").cast("double") / F.col("__n").cast("double"))
@@ -468,7 +490,11 @@ def train_logistic_regression(df: DataFrame, id_col: str, text_col: str,
                    F.col(id_col),
                    F.lit(-1).cast("bigint").alias("bucket"),
                    F.lit(1.0).alias("x")))
-               .repartition(id_col)
+               .repartition(
+                   df.sparkSession.sparkContext.defaultParallelism,
+                   id_col)
+               .join(lbl, id_col)
+               .select(id_col, "bucket", "x", "__y")
                .persist())
     feats.count()
     w = (feats.select("bucket").distinct()
@@ -476,10 +502,11 @@ def train_logistic_regression(df: DataFrame, id_col: str, text_col: str,
          .localCheckpoint(eager=True))
     d389 = "decimal(38,9)"
     for _ in range(iters):
-        m = (feats.join(F.broadcast(w), "bucket")
-             .groupBy(id_col)
+        s = feats.join(F.broadcast(w), "bucket")
+        m = (s.groupBy(id_col)
              .agg(F.sum(_r9(F.col("x") * F.col("weight"))
-                        .cast(d389)).alias("__m")))
+                        .cast(d389)).alias("__m"),
+                  F.max("__y").alias("__y")))
         # grid 1e-6 for the sigmoid: it is the one transcendental in
         # the loop, and libm exp() differs by an ulp across engines —
         # the boundary-flip probability scales as ulp/grid, so the
@@ -488,23 +515,21 @@ def train_logistic_regression(df: DataFrame, id_col: str, text_col: str,
             F.lit(1.0) / (F.lit(1.0)
                           + F.exp(-F.col("__m").cast("string")
                                   .cast("double"))))
-        resid = (m.join(labels, id_col)
-                 .select(id_col, (p - F.col("__y")).alias("__r")))
-        grad = (feats.join(resid, id_col)
+        resid = m.select(id_col, (p - F.col("__y")).alias("__r"))
+        grad = (s.join(resid, id_col)
                 .groupBy("bucket")
                 .agg(F.sum(_r9(F.col("__r") * F.col("x"))
-                           .cast(d389)).alias("__g")))
+                           .cast(d389)).alias("__g"),
+                     F.max("weight").alias("__w")))
         g = F.coalesce(F.col("__g").cast("string").cast("double"),
                        F.lit(0.0))
-        w = (w.join(grad, "bucket", "left")
-             .select("bucket",
-                     _r9(F.col("weight")
-                         - F.lit(lr) * (g / F.lit(n_docs)
-                                        + F.lit(l2)
-                                        * F.col("weight")))
-                      .alias("weight"))
+        w = (grad.select(
+                "bucket",
+                _r9(F.col("__w")
+                    - F.lit(lr) * (g / F.lit(n_docs)
+                                   + F.lit(l2) * F.col("__w")))
+                .alias("weight"))
              .localCheckpoint(eager=True))
-    labels.unpersist()
     feats.unpersist()
     return w
 
@@ -559,21 +584,27 @@ def train_softmax_regression(df: DataFrame, id_col: str, text_col: str,
         return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
     d389 = "decimal(38,9)"
-    labels = df.select(F.col(id_col),
-                       F.col(label_col).cast("string").alias("__y")) \
-        .persist()
-    # r11: ONE setup job instead of two — the per-class counts give
-    # n_docs (their sum) and the class list (bounded driver fit, the
-    # k-means-centroid contract) in a single pass over the persisted
-    # labels
-    cls_counts = labels.groupBy("__y").count().collect()
+    # ONE setup job — the per-class counts give n_docs (their sum)
+    # and the class list (bounded driver fit, the k-means-centroid
+    # contract) in a single pass
+    cls_counts = (df.select(F.col(label_col).cast("string")
+                            .alias("__y"))
+                  .groupBy("__y").count().collect())
     n_docs = float(sum(r["count"] for r in cls_counts))
     classes = sorted(r["__y"] for r in cls_counts
                      if r["__y"] is not None)
     if not classes:
-        labels.unpersist()
         return df.sparkSession.createDataFrame(
             [], "bucket bigint, label string, weight double")
+    # r11 optimization (guide §2.4, same shape as the binary trainer):
+    # the label rides the cached feature stream (max in the margin
+    # agg) — no per-iteration labels join — and the previous weight
+    # rides the gradient aggregation — no per-iteration w-vs-grad
+    # join.  feats stays id-partitioned: margins, the per-id softmax
+    # window, the residual re-join and the gradient map side all run
+    # exchange-free — one (bucket, class) grid shuffle per iteration.
+    lbl = df.select(F.col(id_col),
+                    F.col(label_col).cast("string").alias("__y"))
     tf = hashed_gram_buckets(df, id_col, text_col, dim, seed, bigrams)
     nd = tf.groupBy(id_col).agg(F.sum("tf").alias("__n"))
     x = _r9(F.col("tf").cast("double") / F.col("__n").cast("double"))
@@ -583,10 +614,14 @@ def train_softmax_regression(df: DataFrame, id_col: str, text_col: str,
                    F.col(id_col),
                    F.lit(-1).cast("bigint").alias("bucket"),
                    F.lit(1.0).alias("x")))
-               .repartition(id_col)
+               .repartition(
+                   df.sparkSession.sparkContext.defaultParallelism,
+                   id_col)
+               .join(lbl, id_col)
+               .select(id_col, "bucket", "x", "__y")
                .persist())
     feats.count()
-    # r11: the (bucket x class) init explodes a literal class array —
+    # the (bucket x class) init explodes a literal class array —
     # no classes checkpoint job, no broadcast join
     w = (feats.select("bucket").distinct()
          .select("bucket",
@@ -596,11 +631,12 @@ def train_softmax_regression(df: DataFrame, id_col: str, text_col: str,
          .localCheckpoint(eager=True))
     wid = Window.partitionBy(id_col)
     for _ in range(iters):
-        m = (feats.join(F.broadcast(w), "bucket")
-             .groupBy(id_col, "label")
+        s = feats.join(F.broadcast(w), "bucket")
+        m = (s.groupBy(id_col, "label")
              .agg(F.sum(_r9(F.col("x") * F.col("weight"))
-                        .cast(d389)).alias("__md"))
-             .select(id_col, "label",
+                        .cast(d389)).alias("__md"),
+                  F.max("__y").alias("__y"))
+             .select(id_col, "label", "__y",
                      F.col("__md").cast("string").cast("double")
                      .alias("__m")))
         # max-shift is exact (no rounding): both engines agree on the
@@ -610,21 +646,25 @@ def train_softmax_regression(df: DataFrame, id_col: str, text_col: str,
             "__e", _r6(F.exp(F.col("__m") - F.max("__m").over(wid))))
         den = F.sum(F.col("__e").cast(d389)).over(wid) \
             .cast("string").cast("double")
-        p = e.select(id_col, "label",
+        p = e.select(id_col, "label", "__y",
                      _r6(F.col("__e") / den).alias("__p"))
-        resid = (p.join(labels, id_col)
-                 .select(id_col, "label",
+        resid = p.select(id_col, "label",
                          (F.col("__p")
                           - F.when(F.col("__y") == F.col("label"),
                                    F.lit(1.0)).otherwise(F.lit(0.0)))
-                         .alias("__r")))
+                         .alias("__r"))
+        # gradient joins the SLIM feats (id, bucket, x) — never the
+        # K-fold s frame, whose per-iteration (id, label) sort costs
+        # more than the removed join saves
         grad = (feats.join(resid, id_col)
                 .groupBy("bucket", "label")
                 .agg(F.sum(_r9(F.col("__r") * F.col("x"))
                            .cast(d389)).alias("__g")))
         g = F.coalesce(F.col("__g").cast("string").cast("double"),
                        F.lit(0.0))
-        w = (w.join(grad, ["bucket", "label"], "left")
+        # the (bucket, label) grid is broadcast-sized by construction
+        # — hash join, no grid-vs-grid sort-merge exchange
+        w = (w.join(F.broadcast(grad), ["bucket", "label"], "left")
              .select("bucket", "label",
                      _r9(F.col("weight")
                          - F.lit(lr) * (g / F.lit(n_docs)
@@ -632,7 +672,6 @@ def train_softmax_regression(df: DataFrame, id_col: str, text_col: str,
                                         * F.col("weight")))
                      .alias("weight"))
              .localCheckpoint(eager=True))
-    labels.unpersist()
     feats.unpersist()
     return w
 
