@@ -179,27 +179,22 @@ def fit_kmeans_centroids(vectors, n_cells: int = 8, max_iter: int = 10
     return centroids.tolist()
 
 
-# Fitted-quantizer cache: an IVF coarse quantizer is an INDEX — built
-# once, queried many times. The fit is deterministic (same file -> same
-# centroids bit-for-bit), so caching changes nothing semantically; the
-# file mtime in the key invalidates on data change.
-_CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
-
-
 def fit_kmeans_centroids_cached(parquet_path: str,
                                 vec_col: str = "embedding",
                                 id_col: str = "vec_id",
                                 n_cells: int = 8, limit: int = 2000,
                                 max_iter: int = 10) -> list[list[float]]:
-    import os
-
-    key = (os.path.abspath(parquet_path), os.path.getmtime(parquet_path),
-           vec_col, id_col, n_cells, limit, max_iter)
-    if key not in _CENTROID_CACHE:
-        _CENTROID_CACHE[key] = fit_kmeans_centroids(
-            load_vectors_pyarrow(parquet_path, vec_col, id_col, limit),
-            n_cells, max_iter)
-    return _CENTROID_CACHE[key]
+    """Fit the IVF coarse quantizer from the file's deterministic
+    lowest-id sample.  r11 optimization round: the former module-level
+    (path, mtime)-keyed memo is REMOVED — a memo of a fitted
+    intermediate keyed on the data directory lets a re-run of an
+    index-lifecycle row skip the fit (the bench's min-of-2 then times
+    an artifact-less shortcut, not the lifecycle).  Every invocation
+    now fits from the parquet input; the name survives for its callers.
+    """
+    return fit_kmeans_centroids(
+        load_vectors_pyarrow(parquet_path, vec_col, id_col, limit),
+        n_cells, max_iter)
 
 
 def load_vectors_pyarrow(parquet_path: str, vec_col: str = "embedding",
@@ -441,24 +436,15 @@ def fit_pq_codebooks(vectors, m: int = 4, n_codes: int = 16,
     ]
 
 
-_PQ_CACHE: dict[tuple, list[list[list[float]]]] = {}
-
-
 def fit_pq_codebooks_cached(parquet_path: str, vec_col: str = "embedding",
                             id_col: str = "vec_id", m: int = 4,
                             n_codes: int = 16, limit: int = 2000,
                             max_iter: int = 10) -> list[list[list[float]]]:
-    """Index-style cache (same rationale as fit_kmeans_centroids_cached:
-    the fit is deterministic, mtime invalidates on data change)."""
-    import os
-
-    key = (os.path.abspath(parquet_path), os.path.getmtime(parquet_path),
-           vec_col, id_col, m, n_codes, limit, max_iter)
-    if key not in _PQ_CACHE:
-        _PQ_CACHE[key] = fit_pq_codebooks(
-            load_vectors_pyarrow(parquet_path, vec_col, id_col, limit),
-            m=m, n_codes=n_codes, max_iter=max_iter)
-    return _PQ_CACHE[key]
+    """Fit PQ codebooks from the file's deterministic lowest-id sample
+    (memo removed — see fit_kmeans_centroids_cached)."""
+    return fit_pq_codebooks(
+        load_vectors_pyarrow(parquet_path, vec_col, id_col, limit),
+        m=m, n_codes=n_codes, max_iter=max_iter)
 
 
 def _pq_sub_slice(vec_col: str, j: int, sub: int, dialect: str) -> str:
@@ -1327,22 +1313,15 @@ def fit_pca_components(vectors, n_components: int = 2
     return [float(m) for m in mean], comps, evr
 
 
-_PCA_CACHE: dict = {}
-
-
 def fit_pca_components_cached(parquet_path: str,
                               vec_col: str = "embedding",
                               id_col: str = "vec_id",
                               n_components: int = 2, limit: int = 2000):
-    import os
-
-    key = (os.path.abspath(parquet_path), os.path.getmtime(parquet_path),
-           vec_col, id_col, n_components, limit)
-    if key not in _PCA_CACHE:
-        _PCA_CACHE[key] = fit_pca_components(
-            load_vectors_pyarrow(parquet_path, vec_col, id_col, limit),
-            n_components)
-    return _PCA_CACHE[key]
+    """Fit PCA from the file's deterministic lowest-id sample (memo
+    removed — see fit_kmeans_centroids_cached)."""
+    return fit_pca_components(
+        load_vectors_pyarrow(parquet_path, vec_col, id_col, limit),
+        n_components)
 
 
 def pca_project_exprs(mean: list[float], comps: list[list[float]],

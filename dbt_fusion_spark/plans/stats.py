@@ -1693,8 +1693,16 @@ def fleiss_kappa(df: DataFrame, item_col: str,
     per-category rollups of that grid; agreement terms
     round(9)->DECIMAL sums — a single scan of the ratings.
     """
-    g = (df.groupBy(F.col(item_col).alias("i"),
-                    F.col(category_col).alias("j"))
+    # r11 optimization (guide §2.4): one item-keyed exchange up front
+    # (explicit count — AQE would coalesce the small-byte shuffle and
+    # serialize the scan of a single-row-group source) serves the
+    # (item, category) grid, the per-item rollup AND the kept-items
+    # join below — the grouped-then-regrouped form paid three.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    g = (df.select(F.col(item_col).alias("i"),
+                   F.col(category_col).alias("j"))
+           .repartition(n_part, "i")
+           .groupBy("i", "j")
            .agg(F.count(F.lit(1)).alias("nij")))
     per_item = (g.groupBy("i")
                 .agg(F.sum("nij").alias("ni"),

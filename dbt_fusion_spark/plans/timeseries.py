@@ -427,20 +427,27 @@ def acf_by_key(df: DataFrame, key_col: str, time_col: str,
                     .cast("bigint").alias(f"np{k}"))
     g = b.groupBy(key_col).agg(*aggs)
     den = _d2d("den")
-    outs = []
+    # one row per lag via a single explode — the former max_lag-way
+    # union re-planned (and re-ran) the window+aggregate pipeline once
+    # per lag (r11 optimization; values are per-lag expressions over
+    # the same 1-row-per-key aggregate, so results are unchanged)
+    structs = []
     for k in range(1, max_lag + 1):
         acf = F.when(den > 0, _d2d(f"num{k}") / den)
         band = F.lit(1.959964) / F.sqrt(F.col("n").cast("double"))
-        outs.append(g.select(
-            F.col(key_col), F.lit(k).alias("lag"),
+        structs.append(F.struct(
+            F.lit(k).alias("lag"),
             F.col(f"np{k}").alias("n_pairs"),
             F.round(acf, 6).alias("acf"),
             F.coalesce(F.abs(acf) > band, F.lit(False))
-             .alias("beyond_whitenoise_95")))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+            .alias("beyond_whitenoise_95")))
+    return (g.select(F.col(key_col),
+                     F.explode(F.array(*structs)).alias("__r"))
+            .select(key_col, F.col("__r.lag").alias("lag"),
+                    F.col("__r.n_pairs").alias("n_pairs"),
+                    F.col("__r.acf").alias("acf"),
+                    F.col("__r.beyond_whitenoise_95")
+                    .alias("beyond_whitenoise_95")))
 
 
 def seasonal_naive_backtest(df: DataFrame, group_col: str, time_col,
