@@ -102,7 +102,22 @@ def create_table_as(adapter: SparkAdapter, relation: Relation, sql: str,
     select — Spark moves them to the end of the schema. bucket_by +
     buckets emit CLUSTERED BY ... INTO N BUCKETS: two tables bucketed on
     the same key/count join with ZERO exchange — the co-located join
-    shape that matters at 100 TB (dbt-spark's buckets config)."""
+    shape that matters at 100 TB (dbt-spark's buckets config).
+
+    Partitioned CTAS rebalances on the partition columns first (guide
+    §6): without it every select task writes a file into every touched
+    partition — n_tasks x n_partitions small files at scale, and a
+    single-task dynamic-partition writer crawling through all
+    partitions when the select collapses to one task.  REBALANCE is
+    AQE-sized (splits skewed partitions, coalesces small ones), so the
+    clustering adapts to data volume instead of a fixed count.  Same
+    rows, different file layout."""
+    if partition_by and not (bucket_by and buckets):
+        pb = ([partition_by] if isinstance(partition_by, str)
+              else list(partition_by))
+        cols = ", ".join(f"`{c}`" for c in pb)
+        sql = (f"SELECT /*+ REBALANCE({cols}) */ * FROM (\n{sql}\n)"
+               " __dbt_rebalance")
     adapter.spark.sql(
         f"CREATE TABLE {relation.render()} "
         f"{_format_clause(adapter.spark, file_format)}"
