@@ -55,9 +55,14 @@ def _join_scalar(df: DataFrame, left_col: str,
 
 
 def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, token) rows: lowercase, whitespace-run split, empties out."""
+    """(id, token) rows: lowercase, whitespace-run split, empties out.
+
+    ensure_parallelism splits a single-row-group local scan so the
+    explode runs on every core (no-op at fleet scale — r11)."""
+    from dbt_fusion_spark.plans.partitioning import ensure_parallelism
+
     return (
-        df.select(
+        ensure_parallelism(df).select(
             F.col(id_col),
             F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
             .alias("token"),
@@ -603,12 +608,17 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
     w = (F.col("__tf").cast("double")
          * F.log(F.col("__N").cast("double")
                  / F.col("__df").cast("double")))
-    wt = wt.select("__id", "token", w.alias("__w"))
+    # the weight table feeds BOTH self-join sides and the norms — cut
+    # it once so the tokenize+tf+df pipeline is computed once, not
+    # three times (r11; localCheckpoint is semantically transparent)
+    wt = (wt.select("__id", "token", w.alias("__w"))
+          .localCheckpoint(eager=True))
     norms = (wt.groupBy("__id")
              .agg(F.sqrt(
                  F.sum(F.round(F.col("__w") * F.col("__w"), 9)
                        .cast("decimal(38,9)")).cast("double"))
-                 .alias("__nrm")))
+                 .alias("__nrm"))
+             .localCheckpoint(eager=True))
     a = wt.select(F.col("__id").alias("id_a"), "token",
                   F.col("__w").alias("__wa"))
     b = wt.select(F.col("__id").alias("id_b"), "token",

@@ -164,9 +164,13 @@ def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 13
                 ) -> DataFrame:
     """(id, gram) long form of word-level n-grams: lowercase, split,
     explode the start index, slice + join. Stays JVM-side; one Generate
-    node per doc feeds the downstream join."""
+    node per doc feeds the downstream join. ensure_parallelism splits
+    a single-row-group local scan so the per-gram slice+join work runs
+    on every core (no-op at fleet scale — r11)."""
+    from dbt_fusion_spark.plans.partitioning import ensure_parallelism
+
     words = F.transform(_words(text_col), F.lower)
-    df = df.select(F.col(id_col), words.alias("__w")) \
+    df = ensure_parallelism(df).select(F.col(id_col), words.alias("__w")) \
            .filter(F.size("__w") >= n)
     starts = F.sequence(F.lit(1), F.size("__w") - (n - 1))
     return (df.select(id_col, "__w", F.explode(starts).alias("__i"))
@@ -544,7 +548,12 @@ def bigram_backoff_score(df: DataFrame, id_col: str, text_col: str,
                  "'w2', element_at(__w, i + 2)))")
 
     def _bigrams(frame: DataFrame) -> DataFrame:
-        return (frame.select(F.col(id_col), words.alias("__w"))
+        from dbt_fusion_spark.plans.partitioning import (
+            ensure_parallelism,
+        )
+
+        return (ensure_parallelism(frame)
+                .select(F.col(id_col), words.alias("__w"))
                 .filter(F.size("__w") >= 2)
                 .select(id_col, F.explode(F.expr(bg_struct)).alias("__b"))
                 .select(id_col, F.col("__b.w1").alias("__w1"),

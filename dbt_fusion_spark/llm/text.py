@@ -274,8 +274,16 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
         raise ValueError(f"k={k} and window={window} must be >= 1")
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n = F.size("__w")
+    # id-keyed exchange BEFORE the gram explode (explicit count — AQE
+    # would coalesce the small-byte shuffle): the per-gram md5 work
+    # parallelizes even on a single-row-group scan, and the per-doc
+    # selection window below is already clustered by id, so this
+    # replaces the window's own exchange rather than adding one (r11)
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     grams = (
-        df.select(F.col(id_col), words.alias("__w"))
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(n_part, id_col)
+        .select(F.col(id_col), words.alias("__w"))
         .filter(n >= k)
         .select(
             F.col(id_col), (n - k + 1).alias("__ng"), "__w",
@@ -510,12 +518,17 @@ def rake_keywords(df: DataFrame, id_col: str, text_col: str,
     """
     from dbt_fusion_spark.plans.stats import _d2d, _qterm
 
+    from dbt_fusion_spark.plans.partitioning import ensure_parallelism
+
     sw = "|".join(RAKE_STOPWORDS)
     lowered = F.lower(F.col(text_col))
     no_punct = F.regexp_replace(lowered, r"[^a-z0-9\s]", "|")
     bounded = F.regexp_replace(no_punct, rf"\b({sw})\b", "|")
-    phrases = (df.select(F.explode(F.split(bounded, r"\|"))
-                         .alias("rawp"))
+    # the two full-text regexp_replace passes are the corpus-sized
+    # work — split a single-row-group scan so they run on every core
+    phrases = (ensure_parallelism(df)
+               .select(F.explode(F.split(bounded, r"\|"))
+                       .alias("rawp"))
                .select(F.trim(F.regexp_replace(F.col("rawp"),
                                                r"\s+", " "))
                        .alias("phrase"))
@@ -578,13 +591,17 @@ def script_mix(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         return F.when(total > 0,
                       cnt.cast("double") / total.cast("double"))
 
+    from dbt_fusion_spark.plans.partitioning import ensure_parallelism
+
     latin = r"[A-Za-z\x{00C0}-\x{024F}]"
     cyr = r"[\x{0400}-\x{04FF}]"
     cjk = r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]"
     arab = r"[\x{0600}-\x{06FF}]"
     digit = r"[0-9]"
     ws = r"[ \t\r\n]"
-    out = df.select(
+    # six full-text regexp_replace passes per row — split a
+    # single-row-group scan so they run on every core (r11)
+    out = ensure_parallelism(df).select(
         F.col(id_col),
         F.coalesce(total, F.lit(0)).cast("bigint").alias("n_chars"),
         frac(latin).alias("frac_latin"),

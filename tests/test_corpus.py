@@ -90,11 +90,14 @@ def test_heavy_hitters_plan_one_shuffle_partial_agg(spark, sf_dir):
     from dbt_fusion_spark.demo import QUERIES
 
     plan = plan_of(QUERIES["corpus_heavy_hitters"](spark, sf_dir))
-    # exactly the two shuffles count_distinct requires — (token, doc_id)
-    # dedup level then token level, both fed by map-side partials — and
-    # top-k via TakeOrderedAndProject over the aggregated table, never a
-    # global sort exchange of the raw token stream
-    assert shuffles(plan) == 2
+    # the two shuffles count_distinct requires — (token, doc_id)
+    # dedup level then token level, both fed by map-side partials —
+    # plus at most the ensure_parallelism guard's round-robin exchange
+    # (fires only on an under-parallelized single-file local scan; a
+    # no-op at fleet scale) — and top-k via TakeOrderedAndProject over
+    # the aggregated table, never a global sort exchange of the raw
+    # token stream
+    assert shuffles(plan) in (2, 3)
     assert n_nodes(plan, "TakeOrderedAndProject") == 1
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan and "Sort " not in plan
