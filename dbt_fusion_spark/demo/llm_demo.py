@@ -5353,13 +5353,26 @@ def _duck_softmax_serve_ctes(dim: int, iters: int, lr: float,
 # an artifact read, not training).  Every invocation now computes from
 # the parquet inputs; the honest speedup comes from the WIDE trainer /
 # server in llm/classifier.py instead (bit-equal, oracle-gated).
-def _softmax_model(spark, sf_dir):
+def _softmax_model(spark, sf_dir, tf=None):
     from dbt_fusion_spark.llm import classifier as CL
 
     docs = load_table(spark, sf_dir, "documents")
     return CL.train_softmax_regression(
         docs, "doc_id", "text", "lang", dim=_SOFTMAX_DIM,
-        iters=_SOFTMAX_ITERS, lr=_SOFTMAX_LR)
+        iters=_SOFTMAX_ITERS, lr=_SOFTMAX_LR, tf=tf)
+
+
+def _softmax_shared_tf(spark, sf_dir):
+    """The (id, bucket, tf) gram stream, materialized ONCE per
+    invocation (localCheckpoint — id-partitioned, lineage-free) so a
+    train+serve composition does not run the explode+md5 gram pipeline
+    twice.  Per-invocation plan reuse, never a cross-run memo."""
+    from dbt_fusion_spark.llm import classifier as CL
+
+    docs = load_table(spark, sf_dir, "documents")
+    return CL.hashed_gram_buckets(
+        docs, "doc_id", "text", dim=_SOFTMAX_DIM) \
+        .localCheckpoint(eager=True)
 
 
 @register(
@@ -5402,9 +5415,10 @@ def classifier_softmax_scores(spark, sf_dir):
     from dbt_fusion_spark.llm import classifier as CL
 
     docs = load_table(spark, sf_dir, "documents")
-    w = _softmax_model(spark, sf_dir)
+    tf = _softmax_shared_tf(spark, sf_dir)
+    w = _softmax_model(spark, sf_dir, tf=tf)
     return CL.softmax_class_scores(docs, w, "doc_id", "text",
-                                   dim=_SOFTMAX_DIM)
+                                   dim=_SOFTMAX_DIM, tf=tf)
 
 
 @register(
@@ -5436,14 +5450,19 @@ def text_lang_id_model(spark, sf_dir):
     from dbt_fusion_spark.llm import classifier as CL
 
     docs = load_table(spark, sf_dir, "documents")
-    w = _softmax_model(spark, sf_dir)
+    tf = _softmax_shared_tf(spark, sf_dir)
+    w = _softmax_model(spark, sf_dir, tf=tf)
     pred = CL.softmax_class_scores(
-        docs, w, "doc_id", "text", dim=_SOFTMAX_DIM) \
+        docs, w, "doc_id", "text", dim=_SOFTMAX_DIM, tf=tf) \
         .select("doc_id", "pred_label")
     j = docs.select("doc_id", "lang").join(pred, "doc_id")
     wl = Window.partitionBy("lang")
+    # coalesce(1): the confusion grid is K x K rows — the per-lang
+    # window shares the grid aggregate's stage instead of paying its
+    # own exchange (r12, guide §2.4)
     return (j.groupBy("lang", "pred_label")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .coalesce(1)
             .withColumn(
                 "frac_of_label",
                 F.col("n_docs")

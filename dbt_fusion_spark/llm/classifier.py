@@ -31,6 +31,47 @@ from pyspark.sql import DataFrame, functions as F
 from dbt_fusion_spark.sample.strategies import _unit_hash
 
 
+def _sl9(c):
+    """Scaled-long round(9) term: floor(c*1e9 + 0.5) as BIGINT — the
+    same quantized rational that `_r9(c).cast(decimal(38,9))` carries,
+    summed as a primitive long instead of an unvectorized BigDecimal
+    (the r11 verdict's DECIMAL(38,9) determinism-tax item; ~2.2s pure
+    CPU measured on one 344k-row x 5-class serve aggregate).
+
+    Exactness contract: the decimal cast of the _r9 double recovers
+    the integer n = floor(c*1e9 + 0.5) whenever ulp(|c|) < 1e-9, i.e.
+    |c| < ~2.2e6 — margins are tf-normalized (|x| <= 1) and serve dots
+    are bounded by a single document's gram count times the weight
+    magnitude, both per-ROW model-bounded quantities that do not grow
+    with corpus size. The SUM stays exact while |sum| < 2^63 * 1e-9
+    (~9.2e9 in value units): per-document sums have at most dim+1
+    terms, so this is again model-bounded, never corpus-bounded.
+    Corpus-sized aggregations (gradient grids, Cox risk sets) must
+    keep the DECIMAL(38,9) path."""
+    return F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("long")
+
+
+def _l9d(c):
+    """Exact decimal re-entry of a scaled-long sum: bigint S -> the
+    double nearest S/1e9, via an exact decimal division (decimal(20,0)
+    / 10^9 -> decimal(31,11), lossless for every int64) and the same
+    string hop the DECIMAL(38,9) path uses — so the re-entered double
+    is bit-equal to cast(cast(sum(decimal) as string) as double)."""
+    return (c.cast("decimal(20,0)") / F.lit(1000000000)) \
+        .cast("string").cast("double")
+
+
+def _pyr9(x: float) -> float:
+    """Python mirror of the Spark floor-grid `_r9` in IEEE doubles:
+    floor(x*1e9 + 0.5)/1e9 with NaN/inf passing through (math.floor
+    raises on them; Spark's floor propagates)."""
+    import math
+
+    if math.isnan(x) or math.isinf(x):
+        return x
+    return math.floor(x * 1e9 + 0.5) / 1e9
+
+
 def hashed_gram_buckets(df: DataFrame, id_col: str, text_col: str,
                         dim: int = 4096, seed: int = 7,
                         bigrams: bool = True) -> DataFrame:
@@ -471,41 +512,57 @@ def train_logistic_regression(df: DataFrame, id_col: str, text_col: str,
 
     y = (F.col(label) if isinstance(label, str) else label) \
         .cast("bigint")
+    spark = df.sparkSession
     n_docs = float(df.count())
-    # r11 optimization (guide §2.4): the label rides the cached feature
-    # stream (__y, constant per id, recovered as max in the margin
-    # agg), so no per-iteration labels join; the previous weight rides
-    # the gradient aggregation (max of the broadcast-joined constant),
-    # so no per-iteration w-vs-grad join either.  feats stays
-    # id-partitioned end to end: margins, the residual re-join and the
-    # gradient's map side all run exchange-free — one bucket-keyed
-    # grid shuffle per iteration.
-    lbl = df.select(F.col(id_col), y.alias("__y"))
+    # r11 (guide §2.4): the label rides the cached feature stream
+    # (__y on the bias rows only — NULL on tf rows, recovered as max
+    # in the margin agg), so there is no labels join at all; feats
+    # stays id-partitioned end to end: margins, the residual re-join
+    # and the gradient's map side all run exchange-free — one
+    # bucket-keyed grid shuffle per iteration.
+    # r12 (guide §2.4/§5, the cox/GLM driver-fit contract): the weight
+    # vector lives DRIVER-SIDE as <= dim+1 Python floats — each
+    # iteration is one grid collect (the gradient), the update runs in
+    # IEEE doubles with the identical operand order as the former
+    # column expression, and the next pass re-enters the plan as a
+    # broadcast LocalRelation (no per-iteration localCheckpoint job,
+    # no weight-lineage growth).  Iteration 1 needs no weight join at
+    # all: every weight is exactly 0.0.
     tf = hashed_gram_buckets(df, id_col, text_col, dim, seed, bigrams)
     nd = tf.groupBy(id_col).agg(F.sum("tf").alias("__n"))
     x = _r9(F.col("tf").cast("double") / F.col("__n").cast("double"))
     feats = (tf.join(nd, id_col)
-               .select(id_col, "bucket", x.alias("x"))
+               .select(id_col, "bucket", x.alias("x"),
+                       F.lit(None).cast("bigint").alias("__y"))
                .unionByName(df.select(
                    F.col(id_col),
                    F.lit(-1).cast("bigint").alias("bucket"),
-                   F.lit(1.0).alias("x")))
+                   F.lit(1.0).alias("x"),
+                   y.alias("__y")))
                .repartition(
-                   df.sparkSession.sparkContext.defaultParallelism,
-                   id_col)
-               .join(lbl, id_col)
-               .select(id_col, "bucket", "x", "__y")
+                   spark.sparkContext.defaultParallelism, id_col)
                .persist())
     feats.count()
-    w = (feats.select("bucket").distinct()
-         .select("bucket", F.lit(0.0).alias("weight"))
-         .localCheckpoint(eager=True))
     d389 = "decimal(38,9)"
+    wd: dict[int, float] = {}
     for _ in range(iters):
-        s = feats.join(F.broadcast(w), "bucket")
+        if wd:
+            wdf = spark.createDataFrame(
+                sorted(wd.items()), "bucket bigint, weight double")
+            s = feats.join(F.broadcast(wdf), "bucket")
+            wcol = F.col("weight")
+        else:
+            # first pass: w == 0.0 for every bucket — same terms the
+            # all-zero weight table produced, without the join
+            s = feats
+            wcol = F.lit(0.0)
+        # r12: the per-doc margin is a scaled-LONG sum (the _sl9/_l9d
+        # pair) — same round(9) terms, same re-entered double, no
+        # per-row BigDecimal; per-doc sums are model-bounded (<= dim+1
+        # terms of |x*w| <= |w|), so the long never overflows.  The
+        # gradient below stays DECIMAL: it sums over the corpus.
         m = (s.groupBy(id_col)
-             .agg(F.sum(_r9(F.col("x") * F.col("weight"))
-                        .cast(d389)).alias("__m"),
+             .agg(F.sum(_sl9(F.col("x") * wcol)).alias("__ml"),
                   F.max("__y").alias("__y")))
         # grid 1e-6 for the sigmoid: it is the one transcendental in
         # the loop, and libm exp() differs by an ulp across engines —
@@ -513,32 +570,40 @@ def train_logistic_regression(df: DataFrame, id_col: str, text_col: str,
         # coarse grid makes that divergence unobservable too.
         p = _r6(
             F.lit(1.0) / (F.lit(1.0)
-                          + F.exp(-F.col("__m").cast("string")
-                                  .cast("double"))))
+                          + F.exp(-_l9d(F.col("__ml")))))
         resid = m.select(id_col, (p - F.col("__y")).alias("__r"))
-        grad = (s.join(resid, id_col)
+        grad = (feats.join(resid, id_col)
                 .groupBy("bucket")
                 .agg(F.sum(_r9(F.col("__r") * F.col("x"))
-                           .cast(d389)).alias("__g"),
-                     F.max("weight").alias("__w")))
-        g = F.coalesce(F.col("__g").cast("string").cast("double"),
-                       F.lit(0.0))
-        w = (grad.select(
-                "bucket",
-                _r9(F.col("__w")
-                    - F.lit(lr) * (g / F.lit(n_docs)
-                                   + F.lit(l2) * F.col("__w")))
-                .alias("weight"))
-             .localCheckpoint(eager=True))
+                           .cast(d389)).alias("__g")))
+        # the decimal -> string -> double hop, in Python: str() of the
+        # collected Decimal is the same plain 9-scale string Spark's
+        # cast emits, and float() parses it correctly-rounded exactly
+        # like the engine cast; the update reproduces the former
+        # column expression's operand order in IEEE doubles.
+        new_wd: dict[int, float] = {}
+        for r in grad.collect():
+            g = float(str(r["__g"])) if r["__g"] is not None else 0.0
+            wv = wd.get(r["bucket"], 0.0)
+            new_wd[r["bucket"]] = _pyr9(
+                wv - lr * (g / n_docs + l2 * wv))
+        wd = new_wd
     feats.unpersist()
-    return w
+    if iters == 0:
+        # degenerate call: preserve the all-zero table over the
+        # feature-bucket universe the old w0 init returned
+        return (feats.select("bucket").distinct()
+                .select("bucket", F.lit(0.0).alias("weight")))
+    return spark.createDataFrame(
+        sorted(wd.items()), "bucket bigint, weight double")
 
 
 def train_softmax_regression(df: DataFrame, id_col: str, text_col: str,
                              label_col: str, dim: int = 4096,
                              seed: int = 7, bigrams: bool = True,
                              lr: float = 2.0, l2: float = 0.0,
-                             iters: int = 4) -> DataFrame:
+                             iters: int = 4,
+                             tf: DataFrame | None = None) -> DataFrame:
     """Fit the K-CLASS softmax generalization of
     train_logistic_regression IN-ENGINE — the fastText-style lang-ID /
     domain classifier (reference stage: the model-based labeler a
@@ -575,8 +640,6 @@ def train_softmax_regression(df: DataFrame, id_col: str, text_col: str,
     The (bucket x class) init is an opaque-constant-key broadcast
     hash join — NEVER a crossJoin or literal key (plan guard).
     """
-    from pyspark.sql import Window
-
     def _r9(c):
         return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
 
@@ -596,84 +659,130 @@ def train_softmax_regression(df: DataFrame, id_col: str, text_col: str,
     if not classes:
         return df.sparkSession.createDataFrame(
             [], "bucket bigint, label string, weight double")
-    # r11 optimization (guide §2.4, same shape as the binary trainer):
-    # the label rides the cached feature stream (max in the margin
-    # agg) — no per-iteration labels join — and the previous weight
-    # rides the gradient aggregation — no per-iteration w-vs-grad
-    # join.  feats stays id-partitioned: margins, the per-id softmax
-    # window, the residual re-join and the gradient map side all run
-    # exchange-free — one (bucket, class) grid shuffle per iteration.
-    lbl = df.select(F.col(id_col),
-                    F.col(label_col).cast("string").alias("__y"))
-    tf = hashed_gram_buckets(df, id_col, text_col, dim, seed, bigrams)
+    # r11 (guide §2.4), tightened in r12: the label rides the cached
+    # feature stream on the BIAS rows only (__y NULL on tf rows,
+    # recovered as max in the margin agg) — no labels join at all.
+    # feats stays id-partitioned: margins, the residual re-join and
+    # the gradient map side all run exchange-free — one bucket-keyed
+    # grid shuffle per iteration.
+    spark = df.sparkSession
+    # tf= lets a train+serve composition (text_lang_id_model) compute
+    # the gram stream ONCE per invocation and share it — never a
+    # cross-run memo, just plan reuse inside one query build
+    if tf is None:
+        tf = hashed_gram_buckets(df, id_col, text_col, dim, seed,
+                                 bigrams)
     nd = tf.groupBy(id_col).agg(F.sum("tf").alias("__n"))
     x = _r9(F.col("tf").cast("double") / F.col("__n").cast("double"))
     feats = (tf.join(nd, id_col)
-               .select(id_col, "bucket", x.alias("x"))
+               .select(id_col, "bucket", x.alias("x"),
+                       F.lit(None).cast("string").alias("__y"))
                .unionByName(df.select(
                    F.col(id_col),
                    F.lit(-1).cast("bigint").alias("bucket"),
-                   F.lit(1.0).alias("x")))
+                   F.lit(1.0).alias("x"),
+                   F.col(label_col).cast("string").alias("__y")))
                .repartition(
-                   df.sparkSession.sparkContext.defaultParallelism,
-                   id_col)
-               .join(lbl, id_col)
-               .select(id_col, "bucket", "x", "__y")
+                   spark.sparkContext.defaultParallelism, id_col)
                .persist())
     feats.count()
-    # the (bucket x class) init explodes a literal class array —
-    # no classes checkpoint job, no broadcast join
-    w = (feats.select("bucket").distinct()
-         .select("bucket",
-                 F.explode(F.array(*[F.lit(c) for c in classes]))
-                 .alias("label"))
-         .select("bucket", "label", F.lit(0.0).alias("weight"))
-         .localCheckpoint(eager=True))
-    wid = Window.partitionBy(id_col)
+    # r12 (guide §2.3/§2.4, the serve-wide trick applied to TRAINING):
+    # the whole loop runs WIDE — one weight column per class on the
+    # bucket grid — so an iteration has no K-fold row blowup, no
+    # (id, label) aggregation and no per-id softmax window: margins
+    # are K scaled-long sums in ONE id-keyed aggregate (exchange-free,
+    # feats is id-partitioned), the softmax is in-row (greatest +
+    # decimal chain — max/decimal-window-sum of the identical values),
+    # the residual is one row per id, and the gradient is K decimal
+    # sums onto the bucket grid (the one exchange per iteration).
+    # Every sum keeps the identical term set and the identical
+    # re-entry hop, so the trajectory is bit-equal to the
+    # row-per-class formulation and the unrolled DuckDB oracle.
+    # r12 addition (the cox/GLM driver-fit contract): the (bucket x
+    # class) weight grid lives DRIVER-SIDE as <= (dim+1) x K Python
+    # floats — each iteration is one gradient-grid collect, the update
+    # runs in IEEE doubles with the identical operand order as the
+    # former column expression, and the next pass re-enters as a
+    # broadcast LocalRelation (no per-iteration localCheckpoint job).
+    K = len(classes)
+    rng = range(1, K + 1)
+    wschema = ("bucket bigint, "
+               + ", ".join(f"w{c} double" for c in rng))
+    wd: dict[int, list[float]] = {}
     for _ in range(iters):
-        s = feats.join(F.broadcast(w), "bucket")
-        m = (s.groupBy(id_col, "label")
-             .agg(F.sum(_r9(F.col("x") * F.col("weight"))
-                        .cast(d389)).alias("__md"),
-                  F.max("__y").alias("__y"))
-             .select(id_col, "label", "__y",
-                     F.col("__md").cast("string").cast("double")
-                     .alias("__m")))
-        # max-shift is exact (no rounding): both engines agree on the
-        # max of identical doubles; exp then lands in (0, 1] where the
-        # coarse 1e-6 grid absorbs the libm ulp
-        e = m.withColumn(
-            "__e", _r6(F.exp(F.col("__m") - F.max("__m").over(wid))))
-        den = F.sum(F.col("__e").cast(d389)).over(wid) \
-            .cast("string").cast("double")
-        p = e.select(id_col, "label", "__y",
-                     _r6(F.col("__e") / den).alias("__p"))
-        resid = p.select(id_col, "label",
-                         (F.col("__p")
-                          - F.when(F.col("__y") == F.col("label"),
-                                   F.lit(1.0)).otherwise(F.lit(0.0)))
-                         .alias("__r"))
-        # gradient joins the SLIM feats (id, bucket, x) — never the
-        # K-fold s frame, whose per-iteration (id, label) sort costs
-        # more than the removed join saves
+        if wd:
+            wdf = spark.createDataFrame(
+                [(b, *ws) for b, ws in sorted(wd.items())], wschema)
+            s = feats.join(F.broadcast(wdf), "bucket")
+            wcols = [F.col(f"w{c}") for c in rng]
+        else:
+            # first pass: every weight is exactly 0.0 — same terms
+            # the all-zero grid produced, without the join
+            s = feats
+            wcols = [F.lit(0.0) for _ in rng]
+        # per-doc margins: scaled-long sums (model-bounded — see _sl9)
+        m = (s.groupBy(id_col)
+             .agg(F.max("__y").alias("__y"),
+                  *[F.sum(_sl9(F.col("x") * wcols[c - 1]))
+                    .alias(f"__ml{c}") for c in rng])
+             .select(id_col, "__y",
+                     *[_l9d(F.col(f"__ml{c}")).alias(f"__m{c}")
+                       for c in rng]))
+        # max-shift is exact (no rounding): greatest() of the K
+        # margins equals the per-id window MAX of the same doubles;
+        # exp then lands in (0, 1] where the coarse 1e-6 grid absorbs
+        # the libm ulp
+        mx = (F.greatest(*[F.col(f"__m{c}") for c in rng])
+              if K > 1 else F.col("__m1"))
+        e = m.select(id_col, "__y",
+                     *[_r6(F.exp(F.col(f"__m{c}") - mx))
+                       .alias(f"__e{c}") for c in rng])
+        # den: the same K decimal terms the window SUM added —
+        # decimal addition is exact, hence order-free
+        den = F.col("__e1").cast(d389)
+        for c in range(2, K + 1):
+            den = den + F.col(f"__e{c}").cast(d389)
+        den = den.cast("string").cast("double")
+        resid = e.select(
+            id_col,
+            *[(_r6(F.col(f"__e{c}") / den)
+               - F.when(F.col("__y") == F.lit(classes[c - 1]),
+                        F.lit(1.0)).otherwise(F.lit(0.0)))
+              .alias(f"__r{c}") for c in rng])
+        # gradient joins the SLIM feats (id, bucket, x) — one row per
+        # id on the resid side, K decimal sums onto the bucket grid
+        # (corpus-sized: stays DECIMAL)
         grad = (feats.join(resid, id_col)
-                .groupBy("bucket", "label")
-                .agg(F.sum(_r9(F.col("__r") * F.col("x"))
-                           .cast(d389)).alias("__g")))
-        g = F.coalesce(F.col("__g").cast("string").cast("double"),
-                       F.lit(0.0))
-        # the (bucket, label) grid is broadcast-sized by construction
-        # — hash join, no grid-vs-grid sort-merge exchange
-        w = (w.join(F.broadcast(grad), ["bucket", "label"], "left")
-             .select("bucket", "label",
-                     _r9(F.col("weight")
-                         - F.lit(lr) * (g / F.lit(n_docs)
-                                        + F.lit(l2)
-                                        * F.col("weight")))
-                     .alias("weight"))
-             .localCheckpoint(eager=True))
+                .groupBy("bucket")
+                .agg(*[F.sum(_r9(F.col(f"__r{c}") * F.col("x"))
+                             .cast(d389)).alias(f"__g{c}")
+                       for c in rng]))
+        # decimal -> string -> double hop in Python (str() of the
+        # collected Decimal == Spark's cast-to-string), update in IEEE
+        # doubles with the former column expression's operand order
+        new_wd: dict[int, list[float]] = {}
+        for r in grad.collect():
+            ws = wd.get(r["bucket"], [0.0] * K)
+            new_wd[r["bucket"]] = [
+                _pyr9(ws[c - 1]
+                      - lr * ((float(str(r[f"__g{c}"]))
+                               if r[f"__g{c}"] is not None else 0.0)
+                              / n_docs + l2 * ws[c - 1]))
+                for c in rng]
+        wd = new_wd
     feats.unpersist()
-    return w
+    if iters == 0:
+        return (feats.select("bucket").distinct()
+                .select("bucket",
+                        F.explode(F.array(*[F.lit(c) for c in
+                                            classes])).alias("label"),
+                        F.lit(0.0).alias("weight")))
+    # back to the (bucket, label, weight) contract — a LocalRelation
+    # of the fitted grid (bounded: (dim+1) x K doubles)
+    return spark.createDataFrame(
+        [(b, classes[c - 1], ws[c - 1])
+         for b, ws in sorted(wd.items()) for c in rng],
+        "bucket bigint, label string, weight double")
 
 
 def save_softmax_model(weights: DataFrame, path: str) -> None:
@@ -699,8 +808,8 @@ def load_softmax_model(spark, path: str) -> DataFrame:
 
 def softmax_class_scores(df: DataFrame, weights: DataFrame,
                          id_col: str, text_col: str, dim: int = 4096,
-                         seed: int = 7,
-                         bigrams: bool = True) -> DataFrame:
+                         seed: int = 7, bigrams: bool = True,
+                         tf: DataFrame | None = None) -> DataFrame:
     """Serve a train_softmax_regression model: per document, the
     argmax class and its softmax probability — the inference half of
     the model-based lang-ID / domain labeler.
@@ -757,19 +866,23 @@ def softmax_class_scores(df: DataFrame, weights: DataFrame,
           .agg(*[F.max(F.when(F.col("label") == F.lit(classes[c - 1]),
                               F.col("weight"))).alias(f"w{c}")
                  for c in range(1, K + 1)]))
-    tf = hashed_gram_buckets(df, id_col, text_col, dim, seed, bigrams)
-    # dot rides the training quantization (round(9) terms summed as
-    # DECIMAL, string-hop re-entry) — order-free, so the oracle's SUM
-    # cannot drift on double addition order
+    if tf is None:
+        tf = hashed_gram_buckets(df, id_col, text_col, dim, seed,
+                                 bigrams)
+    # dot rides the training quantization — round(9) terms summed as
+    # scaled LONGS with the exact decimal re-entry (_sl9/_l9d: the
+    # per-doc dot is model-bounded, so the long path is bit-equal to
+    # the DECIMAL one at a fraction of its CPU), order-free, so the
+    # oracle's SUM cannot drift on double addition order
     per = (tf.join(F.broadcast(wb), "bucket")
            .groupBy(id_col)
            .agg(F.sum("tf").alias("__ng"),
-                *[F.sum(_r9(F.col("tf").cast("double")
-                            * F.col(f"w{c}")).cast(d389))
-                  .alias(f"__dotd{c}") for c in range(1, K + 1)]))
+                *[F.sum(_sl9(F.col("tf").cast("double")
+                             * F.col(f"w{c}")))
+                  .alias(f"__dl{c}") for c in range(1, K + 1)]))
     per = per.select(
         id_col, "__ng",
-        *[F.col(f"__dotd{c}").cast("string").cast("double")
+        *[_l9d(F.col(f"__dl{c}"))
           .alias(f"__dot{c}") for c in range(1, K + 1)])
     scored = (df.select(id_col).join(per, id_col, "left")
               .select(id_col,

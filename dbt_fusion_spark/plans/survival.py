@@ -32,9 +32,14 @@ def kaplan_meier(df: DataFrame, duration_col: str,
     product-limit survival S(t) = prod_{t_j <= t} (1 - d_j / n_j).
     """
     ev = F.col(event_col).cast("bigint")
+    # coalesce(1) (r12, guide §2.4): the global grid windows run in
+    # the grid aggregate's own stage instead of paying a second
+    # (SinglePartition) exchange — the grid is duration-bounded, and
+    # the map-side partial aggregation stays parallel
     grid = (df.groupBy(F.col(duration_col).alias("t"))
               .agg(F.sum(ev).alias("d"),
-                   F.sum(F.lit(1) - ev).alias("c")))
+                   F.sum(F.lit(1) - ev).alias("c"))
+              .coalesce(1))
     wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     g = (grid.withColumn("total", F.sum(F.col("d") + F.col("c"))
                          .over(_grid()))
@@ -89,7 +94,8 @@ def logrank_test(df: DataFrame, group_col: str, duration_col: str,
               .agg(F.sum(F.when(ga, ev).otherwise(0)).alias("da"),
                    F.sum(F.when(ga, 1).otherwise(0)).alias("xa"),
                    F.sum(F.when(~ga, ev).otherwise(0)).alias("db"),
-                   F.sum(F.when(~ga, 1).otherwise(0)).alias("xb")))
+                   F.sum(F.when(~ga, 1).otherwise(0)).alias("xb"))
+              .coalesce(1))
     wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     g = (grid.withColumn("tot_a", F.sum("xa").over(_grid()))
              .withColumn("tot_b", F.sum("xb").over(_grid()))
@@ -144,7 +150,8 @@ def nelson_aalen(df: DataFrame, duration_col: str,
     ev = F.col(event_col).cast("bigint")
     grid = (df.groupBy(F.col(duration_col).alias("t"))
               .agg(F.sum(ev).alias("d"),
-                   F.sum(F.lit(1) - ev).alias("c")))
+                   F.sum(F.lit(1) - ev).alias("c"))
+              .coalesce(1))
     wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     g = (grid.withColumn("total", F.sum(F.col("d") + F.col("c"))
                          .over(_grid()))
@@ -306,7 +313,17 @@ def cox_ph(df: DataFrame, duration_col: str, event_col: str,
                 F.sum(F.when(F.col("e") == 1, _dec(F.col(f"x{i}")))
                       .otherwise(zero)).alias(f"sxd{i}"))
         aggs.append(F.count(F.lit(1)).alias("cnt"))
-        a = s.groupBy(*skey, "t").agg(*aggs)
+        # r12 (guide §2.4): coalesce the grid aggregate to ONE
+        # partition so the suffix window (SinglePartition for the
+        # global case, ClusteredDistribution(st) for the stratified
+        # one — both satisfied) runs in the SAME stage instead of
+        # paying its own exchange: one exchange per Newton pass, not
+        # two.  Scale-safe: the map-side partial aggregation still
+        # runs on every core; only the grid-bounded (stratum, t) rows
+        # — thousands, data-size-independent — flow into the single
+        # final-agg+window task, which is exactly the volume the
+        # single-partition window already processed.
+        a = s.groupBy(*skey, "t").agg(*aggs).coalesce(1)
         cols = (["a0"] + [f"a{i}" for i in range(1, p + 1)]
                 + [f"a{i}{j}" for i, j in moments])
         suf = a.select(
@@ -566,7 +583,10 @@ def _cox_ph_wide(df: DataFrame, duration_col: str, event_col: str,
             aggs.append(F.sum(_dec(F.col("__w") * F.col(f"x{i}")
                                    * F.col(f"x{j}")))
                         .alias(f"a{i}{j}"))
-        a = s.groupBy(*skey, "t").agg(*aggs)
+        # coalesce(1): the suffix window shares the grid aggregate's
+        # stage (see cox_ph._ui) — grid-bounded rows, map-side partial
+        # aggregation still parallel
+        a = s.groupBy(*skey, "t").agg(*aggs).coalesce(1)
         cols = (["a0"] + [f"a{i}" for i in range(1, p + 1)]
                 + [f"a{i}{j}" for i, j in moments])
         suf = a.select(*skey, "t", *[
@@ -660,7 +680,8 @@ def rmst(df: DataFrame, duration_col: str, event_col: str,
     ev = F.col(event_col).cast("bigint")
     grid = (df.groupBy(F.col(duration_col).alias("t"))
               .agg(F.sum(ev).alias("d"),
-                   F.sum(F.lit(1) - ev).alias("c")))
+                   F.sum(F.lit(1) - ev).alias("c"))
+              .coalesce(1))
     wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     word = Window.orderBy("t")
     g = (grid.withColumn("total", F.sum(F.col("d") + F.col("c"))

@@ -1212,3 +1212,59 @@ def test_script_mix_hand_counts(spark):
     assert r.frac_other == pytest.approx(0.0, abs=1e-9)
     assert out[2].n_chars == 0 and out[2].frac_latin is None
     assert out[3].n_chars == 0
+
+
+def test_scaled_long_sum_bit_equal_to_decimal_path(spark):
+    """The r12 _sl9/_l9d scaled-long accumulator must re-enter double
+    BIT-EQUAL to the DECIMAL(38,9) string-hop it replaced, including
+    negatives, exact .5 grid ties, and zero/NULL-free sums."""
+    from pyspark.sql import functions as F
+
+    from dbt_fusion_spark.llm.classifier import _l9d, _sl9
+
+    vals = [0.0, 1.0, -1.0, 0.1234567891, -0.1234567895,
+            2.0000000005, -2.0000000005, 123456.789123456,
+            -99999.9999999994, 3.5e-10, -3.5e-10, 0.9999999995]
+    df = spark.createDataFrame([(i % 3, v) for i, v in enumerate(vals)],
+                               "k int, v double")
+
+    def _r9(c):
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+    out = (df.groupBy("k")
+           .agg(_l9d(F.sum(_sl9(F.col("v")))).alias("fast"),
+                F.sum(_r9(F.col("v")).cast("decimal(38,9)"))
+                .cast("string").cast("double").alias("ref"))
+           .collect())
+    assert len(out) == 3
+    for r in out:
+        # bit-equality, not approx: both must be the same double
+        assert r.fast == r.ref and (repr(r.fast) == repr(r.ref))
+
+
+def test_trainers_driver_side_weights_match_prior_contract(spark):
+    """The r12 driver-side weight update must return the same
+    (bucket[, label], weight) rows the in-plan localCheckpoint loop
+    produced: spot-check the documented fastText-style toy fits still
+    separate and stay on the round(9) grid."""
+    from dbt_fusion_spark.llm.classifier import (
+        train_logistic_regression, train_softmax_regression)
+
+    rows = [(1, "good fine great", 1), (2, "bad awful poor", 0),
+            (3, "good great fine good", 1), (4, "awful bad", 0)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, y int")
+    w = {r.bucket: r.weight
+         for r in train_logistic_regression(
+             df, "doc_id", "text", "y", dim=64, iters=3).collect()}
+    assert -1 in w  # bias row present
+    # every weight sits exactly on the 1e-9 grid
+    for v in w.values():
+        assert v == round(v * 1e9) / 1e9
+    ws = train_softmax_regression(
+        df, "doc_id", "text", "y", dim=64, iters=3).collect()
+    labels = {r.label for r in ws}
+    assert labels == {"0", "1"}
+    buckets = {r.bucket for r in ws}
+    assert -1 in buckets
+    # one row per (bucket, label)
+    assert len(ws) == len(buckets) * 2
